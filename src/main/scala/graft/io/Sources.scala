@@ -1,0 +1,87 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.schema.Schemas
+
+/** Readers for every input format the engine supports (SURVEY.md §2.1).
+  *
+  * All readers take an explicit schema — no inference pass, so a scan of a
+  * 249 GB GVF build (reference readme.rst:224-227) touches the data exactly
+  * once. Glob patterns and directories work directly (S7): one call reads a
+  * whole per-chromosome directory as a single distributed dataset, with
+  * `input_file_name()` available if per-file identity matters downstream.
+  *
+  * Partition granularity at scale is governed by
+  * `spark.sql.files.maxPartitionBytes` (the analogue of the reference's
+  * blocksize='150MB', eggv/process.py:60) — set once on the session, not
+  * per-read. Gzipped inputs are read natively, so the reference's separate
+  * gunzip step (eggv/retrieve.py:49-75) disappears.
+  */
+object Sources {
+
+  /** GVF scan (S1). Headerless TSV, '#' comment lines skipped, 9 declared
+    * columns. reference: eggv/process.py:25-61. */
+  def readGvf(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(Schemas.gvf)
+      .option("sep", "\t")
+      .option("comment", "#")
+      .csv(path)
+
+  /** GTF scan (S2). Same shape, feature/frame instead of type/phase; the
+    * '#' comment option also covers GTF's '#!' headers.
+    * reference: eggv/process.py:64-97. */
+  def readGtf(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(Schemas.gtf)
+      .option("sep", "\t")
+      .option("comment", "#")
+      .csv(path)
+
+  /** Processed-variant-effects scan (S3). Headered TSV, transcript forced
+    * string; missing transcripts were written as the empty string, other
+    * nulls as "NA" — the reader reverses both conventions. Spark's CSV
+    * reader yields null for an unquoted empty field, so transcript is
+    * coalesced back to "" — a lossless round trip of the in-memory
+    * representation (the reference re-reads "" as NaN, conflating the two;
+    * eggv/annotate.py:23-37).
+    */
+  def readProcessedVariants(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(Schemas.variantEffects)
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("comment", "#")
+      .option("nullValue", "NA")
+      .option("emptyValue", "")
+      .csv(path)
+      .na.fill("", Seq("transcript"))
+
+  /** Processed-genes scan (S4). reference: eggv/annotate.py:40-52. */
+  def readProcessedGenes(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(Schemas.processedGenes)
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("comment", "#")
+      .option("nullValue", "NA")
+      .option("emptyValue", "")
+      .csv(path)
+
+  /** Variant-metadata scan (same writer conventions as S3). */
+  def readVariantMetadata(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(Schemas.variantMetadata)
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("comment", "#")
+      .option("nullValue", "NA")
+      .option("emptyValue", "")
+      .csv(path)
+
+  /** A driver testdata parquet table (TESTDATA.md): `name` in
+    * region/nation/customer/supplier/part/orders/lineitem/events/
+    * documents/embeddings, `sfDir` like /root/testdata/sf0.01. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
