@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operator families (SURVEY.md §2) as named queries over
+  * the driver parquet tables, each paired with an equivalent DuckDB oracle.
+  *
+  * Determinism rules (the driver hash-compares against DuckDB):
+  *  - every query ends in a total ORDER BY over a unique key set, mirrored
+  *    in the oracle (nulls-first to match Spark's default);
+  *  - monetary aggregates are summed as DECIMAL(18,2) — exact and
+  *    order-independent — then cast to double, so both engines produce
+  *    bit-identical values regardless of accumulation order;
+  *  - ANSI-safe everywhere (Spark 4 defaults): try_element_at, null-guarded
+  *    casts.
+  *
+  * The events table stores TIMESTAMP(NANOS), which Spark's parquet reader
+  * rejects by default: `events()` flips spark.sql.legacy.parquet.nanosAsLong
+  * and works on epoch-nano longs.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact, order-independent money sum: decimal accumulate, double out. */
+  private def money(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S-family + P1/F: scan with pushed filter and pruned projection
+    "q_scan_filter_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // F4/F5: disjunctive IN filter
+    "q_filter_isin" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") && col("l_linestatus") === "F")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P2/P3/X4: rename, casts, concat
+    "q_project_cast_concat" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          concat(lit("ord"), col("l_orderkey").cast(StringType)).as("okey_tag"),
+          concat_ws(",", col("l_returnflag"), col("l_linestatus")).as("flags"),
+          col("l_quantity").cast(LongType).as("qty_int"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // X1/X5: regex extract with null-on-miss + coalesce default
+    "q_regex_extract" -> ((s, dir) =>
+      events(s, dir)
+        .select(
+          col("event_id"),
+          coalesce(nullif(regexp_extract(col("props"), "\"k\": (\\d+)", 1), lit(""))
+            .cast(LongType), lit(-1L)).as("k_val"),
+          coalesce(nullif(regexp_extract(col("props"), "\"missing\": (\\d+)", 1), lit(""))
+            .cast(LongType), lit(-1L)).as("miss_val"))
+        .orderBy("event_id")),
+
+    // X2: regex strip-prefix + cast
+    "q_regex_replace" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+          regexp_replace(col("p_brand"), "^Brand#", "").cast(LongType).as("brand_num"))
+        .orderBy("p_partkey")),
+
+    // X3/X10: nullif/coalesce battery (nulls synthesized — testdata has none)
+    "q_null_handling" -> ((s, dir) =>
+      events(s, dir)
+        .select(
+          col("event_id"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("ok")).as("et_clean"),
+          coalesce(when(col("value") > 100, lit(null)).otherwise(col("value")), lit(0.0))
+            .as("value_capped"))
+        .orderBy("event_id")),
+
+    // G1/X7/X8: split + explode + positional token get
+    "q_split_explode" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          explode(split(col("p_name"), " ")).as("word"),
+          try_element_at(split(col("p_name"), " "), lit(1)).as("head_token"))
+        .orderBy("p_partkey", "word")),
+
+    // J1: left equi-join (order side preserved, null lineitem cols survive)
+    "q_left_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left")
+        .select(o("o_orderkey"), l("l_linenumber"), l("l_partkey"), o("o_orderstatus"))
+        .orderBy("o_orderkey", "l_linenumber")
+    }),
+
+    // join + aggregation: revenue per market segment
+    "q_join_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), money(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // D1: exact full-row dedup
+    "q_dedup_full" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          to_date(col("l_shipdate")).as("ship_date"))
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus", "ship_date")),
+
+    // D2/D3: deterministic keep-first dedup per key (window row_number)
+    "q_dedup_keymin" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_nationkey")
+    }),
+
+    // aggregation battery (TPC-H Q1 shape; ABSENT in reference — extension)
+    "q_agg_groupby" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          money(col("l_quantity")).as("sum_qty"),
+          money(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // window function: top-3 orders per customer by price
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // sort + limit (top-k — TakeOrderedAndProject, no global sort at scale)
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // set op: distinct union of customer and supplier nations
+    "q_union_distinct" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey")),
+
+    // anti join: orders that never shipped a line item
+    "q_anti_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // semi join: parts that ship
+    "q_semi_join" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    }),
+
+    // event-time tumbling window aggregation over epoch-nano events
+    "q_time_window" -> ((s, dir) =>
+      events(s, dir)
+        .select(
+          timestamp_micros((col("ts") / lit(3600000000000L)).cast(LongType) * lit(3600000000L))
+            .as("hour"),
+          col("event_type"), col("value"))
+        .groupBy(col("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), money(col("value")).as("total_value"))
+        .orderBy("hour", "event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_quantity > 30 ORDER BY l_orderkey, l_linenumber""",
+    "q_filter_isin" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag IN ('A','R') AND l_linestatus = 'F' ORDER BY l_orderkey, l_linenumber""",
+    "q_project_cast_concat" ->
+      """SELECT l_orderkey, l_linenumber, 'ord' || CAST(l_orderkey AS VARCHAR) AS okey_tag, l_returnflag || ',' || l_linestatus AS flags, CAST(l_quantity AS BIGINT) AS qty_int FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_regex_extract" ->
+      """SELECT event_id, COALESCE(CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT), -1) AS k_val, COALESCE(CAST(NULLIF(regexp_extract(props, '"missing": (\d+)', 1), '') AS BIGINT), -1) AS miss_val FROM events ORDER BY event_id""",
+    "q_regex_replace" ->
+      """SELECT p_partkey, regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled, CAST(regexp_replace(p_brand, '^Brand#', '') AS BIGINT) AS brand_num FROM part ORDER BY p_partkey""",
+    "q_null_handling" ->
+      """SELECT event_id, COALESCE(NULLIF(event_type, 'error'), 'ok') AS et_clean, COALESCE(CASE WHEN value > 100 THEN NULL ELSE value END, 0.0) AS value_capped FROM events ORDER BY event_id""",
+    "q_split_explode" ->
+      """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word, string_split(p_name, ' ')[1] AS head_token FROM part ORDER BY p_partkey, word""",
+    "q_left_join" ->
+      """SELECT o_orderkey, l_linenumber, l_partkey, o_orderstatus FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey ORDER BY o_orderkey, l_linenumber NULLS FIRST""",
+    "q_join_agg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_dedup_full" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_shipdate AS DATE) AS ship_date FROM lineitem ORDER BY l_returnflag, l_linestatus, ship_date""",
+    "q_dedup_keymin" ->
+      """SELECT c_nationkey, c_custkey, c_name, c_acctbal FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn FROM customer) WHERE rn = 1 ORDER BY c_nationkey""",
+    "q_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty, COUNT(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey""",
+    "q_anti_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey) ORDER BY o_orderkey""",
+    "q_semi_join" ->
+      """SELECT p_partkey, p_name FROM part WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey) ORDER BY p_partkey""",
+    "q_time_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
+  )
+}
