@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting.
+  *
+  * All pure Catalyst expressions (codegen'd, no UDFs) so they stay inside
+  * whole-stage codegen on a 100 TB scan. The reference has no text-analysis
+  * surface (SURVEY.md §2.9) — these generalize its regex/split vocabulary
+  * (eggv/process.py:125-175) to the LLM-pipeline domain.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer; drops empty tokens (leading/trailing/multiple
+    * spaces). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Token count over whitespace tokenization. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: count of maximal runs of word chars, digits, or
+    * single punctuation — a cheap, deterministic stand-in for a real BPE
+    * vocab count (ratio vs whitespace tokens ~ tokens-per-word). */
+  def bpeTokenCount(text: Column): Column =
+    size(filter(split(text, """(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"""), t => t =!= "" && t =!= " "))
+
+  /** Stopword sets for the n-gram/stopword language heuristic. Tiny on
+    * purpose: language ID at pipeline scale wants a broadcastable constant,
+    * not a model. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "von", "sie", "ist", "des", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du", "que")
+  )
+
+  /** Count of tokens that appear in `words` (multiset count — each token
+    * occurrence counts). */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  /** Stopword-ratio language score for one language. */
+  def langScore(text: Column, lang: String): Column =
+    stopwordHits(text, stopwords(lang)).cast(DoubleType) /
+      greatest(tokenCount(text), lit(1)).cast(DoubleType)
+
+  /** Argmax language by stopword hit ratio; ties resolve in `langs` order;
+    * "und" (undetermined) when nothing scores above zero. */
+  def langId(text: Column, langs: Seq[String] = Seq("en", "es", "de", "fr")): Column = {
+    val best = langs.map(l => struct(langScore(text, l).as("score"), lit(l).as("lang")))
+      .reduce((a, b) => when(b("score") > a("score"), b).otherwise(a))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality-score feature struct: char/token counts, mean word length,
+    * whitespace/digit/alpha ratios, stopword density. All exact integer
+    * arithmetic until the final double divisions, so results are
+    * reproducible across engines. */
+  def qualityFeatures(text: Column): Column = {
+    val nChars = length(text)
+    val nonEmpty = greatest(nChars, lit(1)).cast(DoubleType)
+    val nTokens = tokenCount(text)
+    val nSpaces = nChars - length(regexp_replace(text, " ", ""))
+    val nDigits = nChars - length(regexp_replace(text, "[0-9]", ""))
+    val nAlpha = nChars - length(regexp_replace(text, "[A-Za-z]", ""))
+    struct(
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      (nChars.cast(DoubleType) / greatest(nTokens, lit(1)).cast(DoubleType)).as("chars_per_token"),
+      (nSpaces.cast(DoubleType) / nonEmpty).as("space_ratio"),
+      (nDigits.cast(DoubleType) / nonEmpty).as("digit_ratio"),
+      (nAlpha.cast(DoubleType) / nonEmpty).as("alpha_ratio"),
+      langScore(text, "en").as("en_stopword_ratio"))
+  }
+
+  /** Exact-content fingerprint (md5 hex — portable across engines). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** 64-bit rolling-style content fingerprint from xxhash64 (engine-native,
+    * faster than md5; not oracle-portable). */
+  def fingerprint64(text: Column): Column = xxhash64(text)
+
+  /** Word n-gram shingles (n consecutive tokens joined by single spaces),
+    * distinct. A doc with fewer than n tokens yields its full token join as
+    * the single shingle so no document silently drops out of dedup. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val joined = array_join(toks, " ")
+    val count = greatest(size(toks) - lit(n - 1), lit(1))
+    when(size(toks) <= n, array(joined)).otherwise(
+      array_distinct(transform(sequence(lit(0), count - 1),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+  }
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. The reference only ever dedups exact rows
+  * (SURVEY.md §2.8); these are the scale-path generalizations.
+  *
+  * Scale notes (100 TB / 1000 executors):
+  *  - every operator is a pure DataFrame graph: hash → shuffle on
+  *    hash/bucket keys → verify; no driver-side state, no collect;
+  *  - candidate generation always goes through LSH-style bucketing so the
+  *    all-pairs O(n²) never materializes — only same-bucket pairs shuffle;
+  *  - hot buckets (boilerplate shingles) are the skew risk: `maxDocFreq`
+  *    drops shingles present in more than that many docs (standard
+  *    stop-shingle trick), and AQE skew-join handles the remainder;
+  *  - seeds are compile-time constants — signatures are reproducible on any
+  *    executor with no broadcast model.
+  */
+object Dedup {
+
+  /** Exact-content duplicate groups: md5-keyed, deterministic min-id keeper.
+    * One shuffle on the 16-byte digest, map-side partial agg. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep one row per exact content (the min-id row). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = exactDupGroups(df, idCol, textCol)
+      .select(col("keeper_id").as(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signature: array of k minima of per-seed shingle hashes.
+    * xxhash64(seed, shingle) per seed — no long arithmetic, so ANSI
+    * overflow semantics can't bite. */
+  def minhashSignature(text: Column, k: Int, shingleN: Int): Column = {
+    val sh = TextFunctions.shingles(text, shingleN)
+    array((0 until k).map(i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+  }
+
+  /** LSH banding of a signature array: `bands` rows of (band_id, bucket)
+    * where bucket hashes `rowsPerBand` consecutive signature entries.
+    * Docs sharing any band bucket become candidate pairs. */
+  private def bandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bucket"))): _*)
+
+  /** MinHash+LSH candidate pairs with exact Jaccard verification.
+    *
+    * Plan shape: signature scan → explode bands (×bands rows) → shuffle on
+    * (band, bucket) → same-bucket self-pairs → dedup pair ids → join back
+    * the two shingle sets → exact Jaccard filter. The exact-verify join is
+    * what makes LSH false positives harmless.
+    */
+  def minhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      minJaccard: Double = 0.8): DataFrame = {
+    val rowsPerBand = k / bands
+    val withSig = df.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.shingles(col(textCol), shingleN).as("sh"),
+      minhashSignature(col(textCol), k, shingleN).as("sig"))
+
+    val bucketed = withSig
+      .select(col("doc_id"), explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+
+    val candidates = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    val shA = withSig.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val shB = withSig.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    candidates
+      .join(shA, Seq("id_a"))
+      .join(shB, Seq("id_b"))
+      .withColumn("n_shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_shared").cast(DoubleType) /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_shared")).cast(DoubleType))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash per document.
+    *
+    * Formulation chosen for scale: explode tokens → one row per (doc,
+    * token-hash) → 64 conditional-sum aggregates (one per bit) → recombine.
+    * The 64 sums are partial-aggregated map-side (standard hash agg), so
+    * the shuffle carries 64 longs per doc, not the token stream.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokenHashes = df.select(
+      col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"b$i"))
+    val bitsToLong = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    tokenHashes.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), bitsToLong.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 16-bit chunks (a pair within hamming
+    * distance ≤ 3 of 64 bits must agree exactly on at least one of 4
+    * chunks — pigeonhole), then verify with bit_count(xor). */
+  def simhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(df, idCol, textCol)
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("cb"))
+      .select(col("doc_id"), col("simhash"), col("cb.chunk"), col("cb.v"))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard pairs via inverted-index join (no LSH
+    * approximation): explode shingles → self-join on shingle → count
+    * shared → Jaccard from set sizes. `maxDocFreq` drops boilerplate
+    * shingles (doc frequency above the cap) before the pair join — the
+    * skew guard that keeps the hottest key bounded at scale. */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minJaccard: Double = 0.5,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    val shingled = df.select(
+      col(idCol).as("doc_id"),
+      explode(TextFunctions.shingles(col(textCol), shingleN)).as("sh"))
+    val rare = shingled.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxDocFreq)
+      .select("sh")
+    val filtered = shingled.join(rare, Seq("sh"), "left_semi")
+    val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+
+    val shared = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_shared").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("n_shared")).cast(DoubleType))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (ArrayType(FloatType)).
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine top-k, query-set × corpus. Correctness
+  *    baseline; at scale only sane when the query side is small enough to
+  *    broadcast (the corpus streams through one whole-stage-codegen pass —
+  *    no shuffle of the corpus at all).
+  *  - `lshTopK`: random-hyperplane LSH bucketing (seeds are constants, so
+  *    any executor recomputes the planes — no model broadcast). Candidates
+  *    = same (band, bucket); then exact cosine + top-k on candidates only.
+  *    The scale path: corpus shuffles once on bucket keys instead of
+  *    pairing all-vs-all.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors (cosine) of each query vector. `queries` is
+    * broadcast — callers keep it small (it's the per-batch probe set). */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** LSH-bucketed ANN: `bands` independent signatures of `bitsPerBand`
+    * hyperplane sign bits each; same-bucket vectors are candidates.
+    * Recall grows with bands; cost with bands × bucket collision rate. */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      bands: Int = 8, bitsPerBand: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+
+    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+      val sigs = array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          // seeds partitioned per band: bits [b*bitsPerBand, (b+1)*bitsPerBand)
+          (0 until bitsPerBand).map(i =>
+            VectorFunctions.hyperplaneSignBit(col(vecAs), b * bitsPerBand + i)
+              .cast("long") * lit(1L << i)).reduce(_ + _).as("bucket"))): _*)
+      df.withColumn("bb", explode(sigs))
+        .select(col(idAs), col(vecAs), col("bb.band"), col("bb.bucket"))
+    }
+
+    val q = bucketed(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
+    val c = bucketed(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv")
+
+    val candidates = c.join(broadcast(q), Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .distinct()
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Embedding near-duplicate pairs: LSH candidates + exact cosine ≥
+    * threshold. The all-pairs analogue of lshTopK for corpus self-dedup. */
+  def embeddingNearDupPairs(
+      df: DataFrame, threshold: Double,
+      bands: Int = 8, bitsPerBand: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sigs = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        (0 until bitsPerBand).map(i =>
+          VectorFunctions.hyperplaneSignBit(col("v"), b * bitsPerBand + i)
+            .cast("long") * lit(1L << i)).reduce(_ + _).as("bucket"))): _*)
+    val bucketedDf = base.withColumn("bb", explode(sigs))
+      .select(col("id"), col("v"), col("bb.band"), col("bb.bucket"))
+    bucketedDf.as("a")
+      .join(bucketedDf.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct()
+      .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

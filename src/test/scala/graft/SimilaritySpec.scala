@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => VF}
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine/dot/norm on known vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+      (Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val cos = df.select(VF.cosine($"a", $"b")).as[Double].collect()
+    assert(cos(0) == 0.0)
+    assert(math.abs(cos(1) - 1.0) < 1e-15)
+    assert(math.abs(cos(2) - 1.0) < 1e-15)
+    assert(df.select(VF.norm($"a")).as[Double].collect()(2) == 5.0)
+  }
+
+  test("cosine of zero vector is null, not an ANSI error") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(df.select(VF.cosine($"a", $"b")).collect()(0).isNullAt(0))
+  }
+
+  test("bruteForceTopK ranks by cosine with id tie-break") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 1L)
+    val top = Similarity.bruteForceTopK(q, corpus, k = 2)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq
+    assert(top == Seq((1, 2L), (2, 3L)))
+  }
+
+  test("lshTopK returns correctly-reranked subset of brute-force ordering") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(q, e, k = 50)
+      .select($"query_id", $"neighbor_id", $"cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = Similarity.lshTopK(q, e, k = 10, bands = 8, bitsPerBand = 6).collect()
+    assert(ann.nonEmpty)
+    // every ANN result's cosine must equal the exact cosine for that pair
+    ann.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      brute.get(key).foreach(c => assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-12))
+    }
+    // per query, ANN ranks must be sorted by descending cosine
+    ann.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      val cosines = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+  }
+
+  test("embeddingNearDupPairs finds planted duplicates") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").limit(50)
+    // plant exact duplicates under shifted ids
+    val planted = e.union(e.select(($"vec_id" + 1000L).as("vec_id"), $"embedding"))
+    val pairs = Similarity.embeddingNearDupPairs(planted, threshold = 0.999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // identical vectors agree on every LSH bit → always same buckets → all found
+    (0L until 50L).foreach(i => assert(pairs.contains((i, i + 1000L))))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens drops empties; tokenCount counts words") {
+    val df = Seq("  the quick  brown   fox ", "", "one").toDF("text")
+    val counts = df.select(TF.tokenCount($"text")).as[Int].collect().toSeq
+    assert(counts == Seq(4, 0, 1))
+  }
+
+  test("shingles: 3-grams of a 5-token doc; short docs yield one shingle") {
+    val df = Seq("a b c d e", "x y").toDF("text")
+    val sh = df.select(TF.shingles($"text", 3)).as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d", "c d e"))
+    assert(sh(1) == Seq("x y"))
+  }
+
+  test("langId picks the stopword-dominant language, und when none") {
+    val df = Seq(
+      "the cat sat on the mat and it is happy",
+      "el perro y la casa de los vecinos no se ve",
+      "der hund und die katze ist nicht von hier",
+      "zzz qqq xxx").toDF("text")
+    val langs = df.select(TF.langId($"text")).as[String].collect().toSeq
+    assert(langs == Seq("en", "es", "de", "und"))
+  }
+
+  test("qualityFeatures: exact ratios on a crafted string") {
+    val text = "ab cd 12"  // 8 chars, 3 tokens, 2 spaces, 2 digits, 4 alpha
+    val df = Seq(text).toDF("text")
+    val r = df.select(TF.qualityFeatures($"text").as("q")).select("q.*").collect()(0)
+    assert(r.getAs[Int]("n_chars") == 8)
+    assert(r.getAs[Int]("n_tokens") == 3)
+    assert(r.getAs[Double]("space_ratio") == 2.0 / 8)
+    assert(r.getAs[Double]("digit_ratio") == 2.0 / 8)
+    assert(r.getAs[Double]("alpha_ratio") == 4.0 / 8)
+  }
+
+  test("fingerprint is md5 hex; fingerprint64 deterministic") {
+    val df = Seq("abc").toDF("text")
+    assert(df.select(TF.fingerprint($"text")).as[String].head() ==
+      "900150983cd24fb0d6963f7d28e17f72")
+    val h1 = df.select(TF.fingerprint64($"text")).as[Long].head()
+    val h2 = df.select(TF.fingerprint64($"text")).as[Long].head()
+    assert(h1 == h2)
+  }
+}
