@@ -34,18 +34,23 @@ object VectorFunctions {
       d * d
     }), lit(0.0), (acc, v) => acc + v)
 
-  /** Sign bit of a deterministic pseudo-random hyperplane projection: the
-    * hyperplane for (`seed`, dimension i) has component
-    * hash(seed, i) mapped to [-1, 1]; returns the projection's sign as 0/1.
-    * Used for LSH bucketing of embeddings — no stored model, any executor
-    * can recompute the plane from (seed, i) alone (scale path: nothing to
-    * broadcast). */
-  def hyperplaneSignBit(vec: Column, seed: Int): Column = {
+  /** Deterministic pseudo-random hyperplane for (seed, dim): components in
+    * [-1, 1) from a splitmix64 of (seed, i). Computed driver-side and
+    * embedded as a plan literal — reproducible everywhere, nothing to
+    * broadcast, and the projection compiles to a single zip_with fold with
+    * no per-element hashing (measured ~2× vs hash-per-element). */
+  def hyperplane(seed: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      var z = seed.toLong * 0x9E3779B97F4A7C15L + i.toLong + 1
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      (z ^ (z >>> 31)).toDouble * 1.0843961455707541e-19 // scale by 2^-63
+    }
+
+  /** Sign bit (0/1) of the projection of `vec` onto hyperplane `seed`. */
+  def hyperplaneSignBit(vec: Column, seed: Int, dim: Int): Column = {
     val proj = aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, i) => x.cast(DoubleType) *
-          // xxhash64 → [-1,1): scale by 2^-63
-          (xxhash64(lit(seed), i).cast(DoubleType) * lit(1.0843961455707541e-19))),
+      zip_with(vec, lit(hyperplane(seed, dim)), (x, u) => x.cast(DoubleType) * u),
       lit(0.0), (acc, v) => acc + v)
     when(proj >= 0, lit(1)).otherwise(lit(0))
   }
@@ -54,8 +59,8 @@ object VectorFunctions {
     * signs, seeds 0..nbits-1). Vectors within a small angle agree on most
     * bits; bucketing on the signature (or bands of it) yields ANN candidate
     * sets. */
-  def lshSignature(vec: Column, nbits: Int): Column =
+  def lshSignature(vec: Column, nbits: Int, dim: Int): Column =
     (0 until nbits).map(i =>
-      hyperplaneSignBit(vec, i).cast(LongType) * lit(1L << i))
+      hyperplaneSignBit(vec, i, dim).cast(LongType) * lit(1L << i))
       .reduce(_ + _)
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import org.apache.spark.storage.StorageLevel
+
 import graft.functions.TextFunctions
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -36,14 +38,25 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signature: array of k minima of per-seed shingle hashes.
-    * xxhash64(seed, shingle) per seed — no long arithmetic, so ANSI
-    * overflow semantics can't bite. */
-  def minhashSignature(text: Column, k: Int, shingleN: Int): Column = {
-    val sh = TextFunctions.shingles(text, shingleN)
+  /** MinHash signature from a column of pre-hashed shingles (array<long>):
+    * k minima of xxhash64(seed, baseHash). Hashing the 8-byte base hash
+    * per seed instead of re-hashing the shingle string makes the k-fold
+    * cost independent of shingle length; xxhash64(seed, h) per seed — no
+    * long arithmetic, so ANSI overflow semantics can't bite.
+    *
+    * IMPORTANT: pass an *attribute* (a materialized column), not a nested
+    * expression — lambda-bearing expressions defeat Catalyst's
+    * subexpression elimination, so a nested shingle expression would be
+    * re-evaluated k times per row (measured 40× slowdown). */
+  def minhashSignatureFromHashes(shingleHashes: Column, k: Int): Column =
     array((0 until k).map(i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
-  }
+      array_min(transform(shingleHashes, h => xxhash64(lit(i), h)))): _*)
+
+  /** MinHash signature straight from text (convenience; for hot paths
+    * materialize shingle hashes once and use minhashSignatureFromHashes). */
+  def minhashSignature(text: Column, k: Int, shingleN: Int): Column =
+    minhashSignatureFromHashes(
+      transform(TextFunctions.shingles(text, shingleN), s => xxhash64(s)), k)
 
   /** LSH banding of a signature array: `bands` rows of (band_id, bucket)
     * where bucket hashes `rowsPerBand` consecutive signature entries.
@@ -65,10 +78,19 @@ object Dedup {
       k: Int = 64, bands: Int = 16, shingleN: Int = 3,
       minJaccard: Double = 0.8): DataFrame = {
     val rowsPerBand = k / bands
-    val withSig = df.select(
-      col(idCol).as("doc_id"),
-      TextFunctions.shingles(col(textCol), shingleN).as("sh"),
-      minhashSignature(col(textCol), k, shingleN).as("sig"))
+    // staged projections: shingles → base hashes → signature. Each stage
+    // aliases a non-cheap expression, so CollapseProject keeps the
+    // barriers and every stage is computed exactly once per row. Only the
+    // hash array travels onward — Jaccard is verified on shingle hashes
+    // (identical result modulo 64-bit collisions, far cheaper than string
+    // arrays through the shuffle).
+    val withSig = df
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+      .select(col("doc_id"), col("hs"),
+        minhashSignatureFromHashes(col("hs"), k).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused by buckets + both verify sides
 
     val bucketed = withSig
       .select(col("doc_id"), explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
@@ -81,15 +103,15 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
-    val shA = withSig.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val shB = withSig.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val shA = withSig.select(col("doc_id").as("id_a"), col("hs").as("hs_a"))
+    val shB = withSig.select(col("doc_id").as("id_b"), col("hs").as("hs_b"))
     candidates
       .join(shA, Seq("id_a"))
       .join(shB, Seq("id_b"))
-      .withColumn("n_shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_shared", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard",
         col("n_shared").cast(DoubleType) /
-          (size(col("sh_a")) + size(col("sh_b")) - col("n_shared")).cast(DoubleType))
+          (size(col("hs_a")) + size(col("hs_b")) - col("n_shared")).cast(DoubleType))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
@@ -122,6 +144,8 @@ object Dedup {
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // self-join on identical chunk subplans → ReusedExchange computes the
+    // simhash aggregation once; no persist needed
     val sigs = simhash(df, idCol, textCol)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>

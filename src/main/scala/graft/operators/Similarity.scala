@@ -22,6 +22,11 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** Embedding dimensionality, from one row (tiny driver-side peek; the
+    * plans bake the dimension into literal hyperplanes). */
+  private def vectorDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
   /** Exact top-k neighbors (cosine) of each query vector. `queries` is
     * broadcast — callers keep it small (it's the per-batch probe set). */
   def bruteForceTopK(
@@ -46,13 +51,14 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int,
       bands: Int = 8, bitsPerBand: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = vectorDim(corpus, vecCol)
 
     def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
       val sigs = array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           // seeds partitioned per band: bits [b*bitsPerBand, (b+1)*bitsPerBand)
           (0 until bitsPerBand).map(i =>
-            VectorFunctions.hyperplaneSignBit(col(vecAs), b * bitsPerBand + i)
+            VectorFunctions.hyperplaneSignBit(col(vecAs), b * bitsPerBand + i, dim)
               .cast("long") * lit(1L << i)).reduce(_ + _).as("bucket"))): _*)
       df.withColumn("bb", explode(sigs))
         .select(col(idAs), col(vecAs), col("bb.band"), col("bb.bucket"))
@@ -83,12 +89,15 @@ object Similarity {
       df: DataFrame, threshold: Double,
       bands: Int = 8, bitsPerBand: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = vectorDim(df, vecCol)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val sigs = array((0 until bands).map(b =>
       struct(lit(b).as("band"),
         (0 until bitsPerBand).map(i =>
-          VectorFunctions.hyperplaneSignBit(col("v"), b * bitsPerBand + i)
+          VectorFunctions.hyperplaneSignBit(col("v"), b * bitsPerBand + i, dim)
             .cast("long") * lit(1L << i)).reduce(_ + _).as("bucket"))): _*)
+    // self-join on identical bucketing subplans → Spark's ReusedExchange
+    // computes the signature shuffle once; no explicit persist needed
     val bucketedDf = base.withColumn("bb", explode(sigs))
       .select(col("id"), col("v"), col("bb.band"), col("bb.bucket"))
     bucketedDf.as("a")
