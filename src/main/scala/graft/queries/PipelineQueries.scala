@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{AnnotateOps, VariantOps}
+import graft.streaming.StreamingOps
+
+/** The reference's own operator chains — run through the REAL engine code
+  * (VariantOps/AnnotateOps/StreamingOps, not re-inlined expressions) — put
+  * under the DuckDB oracle gate by synthesizing GVF-shaped inputs from the
+  * shared parquet tables. The golden-file ScalaTests pin the byte-level
+  * quirks; these queries prove the same operators agree with an independent
+  * SQL engine on 10k+ generated attr strings, including the miss/edge paths
+  * (absent rsid, missing alleles, no-MAF, unterminated Variant_effect).
+  */
+object PipelineQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** GVF-shaped rows from events: ~10% lack an rsid, ~1/3 lack a variant
+    * allele, ~1/5 carry a MAF, ~1/4 carry a 2-effect attr, ~1/4 an
+    * UNTERMINATED effect attr (the X6 trailing-';' quirk path). Mirrored
+    * verbatim in the oracle SQL. */
+  private def syntheticGvf(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("user_id").cast(StringType).as("seqid"),
+      col("event_id").as("start"),
+      (col("event_id") + 1).as("end"),
+      concat(
+        when(col("event_id") % 10 =!= 0,
+          concat(lit("Dbxref=dbSNP_151:rs"), col("event_id").cast(StringType), lit(";")))
+          .otherwise(lit("")),
+        when(col("event_id") % 3 =!= 0, lit("Variant_seq=A;")).otherwise(lit("")),
+        lit("Reference_seq=G;"),
+        when(col("event_id") % 5 === 0,
+          concat(lit("global_minor_allele_frequency=1|0."),
+            (col("event_id") % 97).cast(StringType), lit("|x;")))
+          .otherwise(lit("")),
+        when(col("event_id") % 4 === 0,
+          concat(lit("Variant_effect=intron_variant 0 primary_transcript ENST"),
+            col("user_id").cast(StringType),
+            lit(",missense_variant 0 mRNA ENST"),
+            (col("user_id") + 1).cast(StringType), lit(";")))
+          .when(col("event_id") % 4 === 1,
+            // unterminated on purpose: the reference regex silently misses it
+            concat(lit("Variant_effect=intron_variant 0 mRNA ENST"),
+              col("user_id").cast(StringType)))
+          .otherwise(lit(""))
+      ).as("attr"))
+
+  /** Shared SQL CTE reproducing syntheticGvf. (Plain strings on purpose:
+    * stripMargin on a string that embeds SQL would eat the first pipe of
+    * every `||` concat operator.) */
+  private val gvfSql =
+    """gvf AS (
+  SELECT CAST(user_id AS VARCHAR) AS seqid, event_id AS start, event_id + 1 AS "end",
+    (CASE WHEN event_id % 10 != 0 THEN 'Dbxref=dbSNP_151:rs' || CAST(event_id AS VARCHAR) || ';' ELSE '' END)
+    || (CASE WHEN event_id % 3 != 0 THEN 'Variant_seq=A;' ELSE '' END)
+    || 'Reference_seq=G;'
+    || (CASE WHEN event_id % 5 = 0 THEN 'global_minor_allele_frequency=1|0.' || CAST(event_id % 97 AS VARCHAR) || '|x;' ELSE '' END)
+    || (CASE WHEN event_id % 4 = 0 THEN 'Variant_effect=intron_variant 0 primary_transcript ENST' || CAST(user_id AS VARCHAR) || ',missense_variant 0 mRNA ENST' || CAST(user_id + 1 AS VARCHAR) || ';'
+             WHEN event_id % 4 = 1 THEN 'Variant_effect=intron_variant 0 mRNA ENST' || CAST(user_id AS VARCHAR)
+             ELSE '' END) AS attr
+  FROM events)"""
+
+  /** SQL replica of the _process_gvf battery over the gvf CTE. */
+  private val processedSql =
+    s"""WITH $gvfSql,
+proc AS (
+  SELECT 'chr' || seqid AS chromosome,
+    CAST(regexp_replace(regexp_extract(attr, 'Dbxref=dbSNP_\\d+:(rs\\d+)', 1), '^rs', '') AS BIGINT) AS rsid,
+    start, "end",
+    COALESCE(NULLIF(regexp_extract(attr, 'Variant_seq=([-,ACGT]+)', 1), ''), '-')
+      || ',' || COALESCE(NULLIF(regexp_extract(attr, 'Reference_seq=([-,ACGT]+)', 1), ''), '-') AS observed,
+    CAST(COALESCE(CAST(NULLIF(regexp_extract(attr, 'global_minor_allele_frequency=\\d+\\|([.0-9]+)', 1), '') AS FLOAT), 0.0) AS FLOAT) AS maf,
+    COALESCE(NULLIF(regexp_extract(attr, 'Variant_effect=(.+?);', 1), ''), 'intergenic') AS effect_blob
+  FROM gvf WHERE regexp_extract(attr, 'Dbxref=dbSNP_\\d+:(rs\\d+)', 1) != ''),
+exploded AS (
+  SELECT chromosome, rsid, start, "end", observed, maf,
+    unnest(string_split(effect_blob, ',')) AS eff
+  FROM proc),
+variants AS (
+  SELECT chromosome, rsid, start, "end", observed, maf,
+    string_split(eff, ' ')[1] AS effect,
+    COALESCE(string_split(eff, ' ')[4], '') AS transcript
+  FROM exploded)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the full GVF regex battery + explode, through VariantOps.processGvf
+    "q_variant_pipeline" -> ((s, dir) =>
+      VariantOps.processGvf(syntheticGvf(s, dir))
+        .orderBy("rsid", "effect", "transcript")),
+
+    // effects isolation (global dedup) + the J1 broadcast left join +
+    // intragenic split (D4), through AnnotateOps
+    "q_annotate_pipeline" -> ((s, dir) => {
+      val effects = VariantOps.isolateEffects(VariantOps.processGvf(syntheticGvf(s, dir)))
+      val genes = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") % 2 === 0)
+        .select(
+          concat(lit("chr"), (col("c_custkey") % 22).cast(StringType)).as("chromosome"),
+          col("c_custkey").as("start"),
+          (col("c_custkey") + 100).as("end"),
+          concat(lit("ENST"), col("c_custkey").cast(StringType)).as("transcript_id"),
+          concat(lit("ENSG"), (col("c_custkey") * 10).cast(StringType)).as("gene_id"),
+          concat(lit("G"), col("c_custkey").cast(StringType)).as("gene_name"),
+          lit("protein_coding").as("biotype"))
+      AnnotateOps.annotateVariants(effects, genes)
+        .orderBy("rsid", "variant_effect", "transcript")
+    }),
+
+    // intragenic split + (rsid, effect, gene) dedup through AnnotateOps
+    "q_intragenic_pipeline" -> ((s, dir) => {
+      val effects = VariantOps.isolateEffects(VariantOps.processGvf(syntheticGvf(s, dir)))
+      val genes = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") % 2 === 0)
+        .select(
+          lit("chrX").as("chromosome"), col("c_custkey").as("start"),
+          (col("c_custkey") + 100).as("end"),
+          concat(lit("ENST"), col("c_custkey").cast(StringType)).as("transcript_id"),
+          concat(lit("ENSG"), (col("c_custkey") * 10).cast(StringType)).as("gene_id"),
+          concat(lit("G"), col("c_custkey").cast(StringType)).as("gene_name"),
+          lit("protein_coding").as("biotype"))
+      AnnotateOps.isolateIntragenic(AnnotateOps.annotateVariants(effects, genes))
+        .orderBy("rsid", "variant_effect", "gene_id")
+    }),
+
+    // session windows over event time, through StreamingOps (batch mode —
+    // the identical plan runs under readStream with the same results)
+    "q_session_window" -> ((s, dir) =>
+      StreamingOps.sessionWindowStats(
+          StreamingOps.nanosToTimestamp(events(s, dir)), "30 minutes")
+        .select(col("user_id"), unix_millis(col("session_start")).as("session_start_ms"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start_ms"))
+  )
+
+  private val genesSql =
+    """genes AS (
+  SELECT 'ENST' || CAST(c_custkey AS VARCHAR) AS transcript_id,
+    'ENSG' || CAST(c_custkey * 10 AS VARCHAR) AS gene_id,
+    'G' || CAST(c_custkey AS VARCHAR) AS gene_name,
+    'protein_coding' AS biotype,
+    'chr' || CAST(c_custkey % 22 AS VARCHAR) AS chromosome
+  FROM customer WHERE c_custkey % 2 = 0)"""
+
+  val oracles: Map[String, String] = Map(
+    "q_variant_pipeline" ->
+      s"""$processedSql SELECT chromosome, rsid, start, "end", observed, maf, effect, transcript FROM variants ORDER BY rsid, effect, transcript""",
+    "q_annotate_pipeline" ->
+      s"""$processedSql, effects AS (SELECT DISTINCT rsid, effect, transcript FROM variants), $genesSql
+SELECT g.chromosome, e.rsid, e.effect AS variant_effect, e.transcript, g.gene_id, g.gene_name, g.biotype AS gene_biotype
+FROM effects e LEFT JOIN genes g ON e.transcript = g.transcript_id
+ORDER BY rsid, variant_effect, transcript""",
+    "q_intragenic_pipeline" ->
+      s"""$processedSql, effects AS (SELECT DISTINCT rsid, effect, transcript FROM variants), $genesSql,
+annotated AS (
+  SELECT e.rsid, e.effect AS variant_effect, g.gene_id, g.gene_name, g.biotype AS gene_biotype
+  FROM effects e LEFT JOIN genes g ON e.transcript = g.transcript_id)
+SELECT DISTINCT rsid, variant_effect, gene_id, gene_name, gene_biotype
+FROM annotated
+WHERE variant_effect NOT IN ('intergenic', 'upstream_gene_variant', 'downstream_gene_variant')
+  AND gene_id IS NOT NULL
+ORDER BY rsid, variant_effect, gene_id""",
+    "q_session_window" ->
+      """WITH m AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT user_id, CAST(epoch_ns(min(ts)) // 1000000 AS BIGINT) AS session_start_ms, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_ms"""
+  )
+}

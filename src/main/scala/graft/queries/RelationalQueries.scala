@@ -192,11 +192,12 @@ object RelationalQueries {
         .orderBy("p_partkey")
     }),
 
-    // event-time tumbling window aggregation over epoch-nano events
+    // event-time tumbling window aggregation over epoch-nano events.
+    // integer DIV: double division of epoch nanos loses sub-µs exactness
     "q_time_window" -> ((s, dir) =>
       events(s, dir)
         .select(
-          timestamp_micros((col("ts") / lit(3600000000000L)).cast(LongType) * lit(3600000000L))
+          timestamp_micros(expr("(ts DIV 3600000000000) * 3600000000"))
             .as("hour"),
           col("event_type"), col("value"))
         .groupBy(col("hour"), col("event_type"))

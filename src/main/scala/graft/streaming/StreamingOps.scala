@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Event-stream operators: the same transformations run as batch over the
+  * events table or as Structured Streaming over a `readStream` source —
+  * the DataFrame graph is identical, only the source/sink differ.
+  *
+  * The reference has no streaming semantics at all (SURVEY.md §2.9 — its
+  * Dask futures are batch task orchestration); this module is the
+  * engine-extension for event-time processing at scale: watermarked
+  * windowed aggregation (bounded state), session windows (built-in
+  * session_window), and custom per-key state via flatMapGroupsWithState.
+  */
+object StreamingOps {
+
+  /** Typed event row for stateful APIs. */
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  /** A closed user session produced by the custom-state path. */
+  final case class Session(
+      user_id: Long, session_start_ms: Long, session_end_ms: Long,
+      n_events: Long, total_value: Double)
+
+  /** Internal per-user session accumulator (public: the state encoder's
+    * generated code must construct it). */
+  final case class SessionState(
+      startMs: Long, lastMs: Long, n: Long, total: Double)
+
+  /** Adapter from the testdata events table (epoch-nano long ts — see
+    * RelationalQueries on TIMESTAMP(NANOS)) to a proper timestamp column.
+    * Truncates ns → µs, Spark's native timestamp precision. Integer DIV on
+    * purpose: `/` is double division and epoch nanos exceed double's 2^53
+    * exact range, which rounds the microsecond. */
+  def nanosToTimestamp(events: DataFrame): DataFrame =
+    events.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Tumbling event-time window aggregation. On a stream the watermark
+    * bounds state: windows older than it are finalized and dropped. */
+  def windowedStats(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Session windows per user via the built-in session_window (gap-merged;
+    * window end = last event + gap). Works identically batch/streaming. */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
+  /** Custom sessionization with explicit state (flatMapGroupsWithState):
+    * emits a Session row when a user's gap exceeds `gapMs` (or on event-time
+    * timeout for streams). The shape to reach for when session logic
+    * outgrows session_window — per-key state is a tiny fixed-size struct,
+    * so state size is O(active users), not O(events). */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def flush(userId: Long, st: SessionState): Session =
+      Session(userId, st.startMs, st.lastMs, st.n, st.total)
+
+    // plain value: capturing the Dataset itself in the state closure would
+    // serialize a driver-only object to executors
+    val streaming = events.isStreaming
+
+    events
+      .withWatermark("ts", "10 minutes") // required for EventTimeTimeout; no-op in batch
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // stream path: watermark passed the gap → close the session
+            val out = state.getOption.map(flush(userId, _)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st = st match {
+                case null => SessionState(t, t, 1, e.value)
+                case s if t - s.lastMs > gapMs =>
+                  closed ::= flush(userId, s)
+                  SessionState(t, t, 1, e.value)
+                case s => SessionState(s.startMs, t, s.n + 1, s.total + e.value)
+              }
+            }
+            state.update(st)
+            if (state.getOption.isDefined && !streaming) {
+              // batch path: no timeout will ever fire — close the tail session
+              closed ::= flush(userId, st)
+              state.remove()
+            } else {
+              state.setTimeoutTimestamp(st.lastMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long) = new Timestamp(minutes * 60000L)
+
+  private val batch = Seq(
+    Event(1L, ts(0), "click", 1.0),
+    Event(1L, ts(10), "click", 2.0),
+    Event(1L, ts(100), "buy", 3.0),   // >30min gap → new session
+    Event(2L, ts(5), "click", 4.0)
+  )
+
+  test("windowedStats (batch): hourly buckets per event type") {
+    val out = StreamingOps.windowedStats(batch.toDF(), "1 hour", "1 hour")
+      .collect().map(r => (r.getAs[Timestamp]("window_start").getTime / 60000,
+        r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value"))).toSet
+    assert(out == Set((0L, "click", 3L, 7.0), (60L, "buy", 1L, 3.0)))
+  }
+
+  test("sessionWindowStats (batch): 30-minute gap sessions") {
+    val out = StreamingOps.sessionWindowStats(batch.toDF(), "30 minutes")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").getTime / 60000,
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    assert(out == Set((1L, 0L, 2L, 3.0), (1L, 100L, 1L, 3.0), (2L, 5L, 1L, 4.0)))
+  }
+
+  test("sessionize (batch): custom state closes sessions on gap and tail") {
+    val out = StreamingOps.sessionize(batch.toDS(), gapMs = 30 * 60000L)
+      .collect().map(s => (s.user_id, s.session_start_ms / 60000,
+        s.session_end_ms / 60000, s.n_events, s.total_value)).toSet
+    assert(out == Set((1L, 0L, 10L, 2L, 3.0), (1L, 100L, 100L, 1L, 3.0),
+      (2L, 5L, 5L, 1L, 4.0)))
+  }
+
+  test("windowedStats (streaming): MemoryStream end-to-end with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = StreamingOps.windowedStats(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(batch: _*)
+      query.processAllAvailable()
+      // advance watermark far past hour 1 so both windows finalize
+      mem.addData(Event(3L, ts(10000), "late", 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_stats")
+        .collect().map(r => (r.getAs[Timestamp]("window_start").getTime / 60000,
+          r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toSet
+      assert(rows.contains((0L, "click", 3L)))
+      assert(rows.contains((60L, "buy", 1L)))
+    } finally query.stop()
+  }
+
+  test("sessionize (streaming): event-time timeout closes sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = StreamingOps.sessionize(mem.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // minute 60 base: an event exactly at the initial watermark (epoch 0)
+      // would be discarded as late
+      mem.addData(Event(1L, ts(60), "click", 1.0), Event(1L, ts(70), "click", 2.0))
+      query.processAllAvailable()
+      // watermark advance → timeout fires for user 1's session
+      mem.addData(Event(9L, ts(1000), "click", 0.0))
+      query.processAllAvailable()
+      mem.addData(Event(8L, ts(2000), "click", 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("sessions").as[StreamingOps.Session].collect()
+        .map(s => (s.user_id, s.session_start_ms / 60000, s.session_end_ms / 60000,
+          s.n_events)).toSet
+      assert(rows.contains((1L, 60L, 70L, 2L)))
+    } finally query.stop()
+  }
+}
