@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{AnnotateOps, VariantOps}
+import graft.ops.{AnnotateOps, GeneOps, VariantOps}
 import graft.streaming.StreamingOps
 
 /** The reference's own operator chains — run through the REAL engine code
@@ -130,6 +130,33 @@ variants AS (
         .orderBy("rsid", "variant_effect", "gene_id")
     }),
 
+    // the GTF attr battery (X9) through GeneOps.processGtf: quoted-attr
+    // extracts, version-suffix exclusion, hyphen-truncating gene_name
+    // regex, missing-biotype → 'NA', dropna on ids, non-transcript filter
+    "q_gene_pipeline" -> ((s, dir) =>
+      GeneOps.processGtf(
+        s.read.parquet(s"$dir/part.parquet").select(
+          (col("p_partkey") % 22).cast(StringType).as("seqname"),
+          lit("ensembl").as("source"),
+          when(col("p_partkey") % 3 === 0, lit("transcript")).otherwise(lit("exon")).as("feature"),
+          col("p_partkey").as("start"),
+          (col("p_partkey") + 500).as("end"),
+          lit(".").as("score"), lit("+").as("strand"), lit(".").as("frame"),
+          concat(
+            when(col("p_partkey") % 5 =!= 0,
+              concat(lit("gene_id \"ENSG"), (col("p_partkey") * 3).cast(StringType), lit("\"; ")))
+              .otherwise(lit("")),
+            lit("gene_version \"16\"; "),
+            concat(lit("transcript_id \"ENST"), col("p_partkey").cast(StringType), lit("\"; ")),
+            when(col("p_partkey") % 4 === 0,
+              concat(lit("gene_name \"X-"), col("p_partkey").cast(StringType), lit("\"; ")))
+              .when(col("p_partkey") % 4 === 1,
+                concat(lit("gene_name \"N"), col("p_partkey").cast(StringType), lit("\"; ")))
+              .otherwise(lit("")),
+            when(col("p_partkey") % 7 =!= 0, lit("gene_biotype \"protein_coding\"; "))
+              .otherwise(lit(""))).as("attr")))
+        .orderBy("transcript_id")),
+
     // session windows over event time, through StreamingOps (batch mode —
     // the identical plan runs under readStream with the same results)
     "q_session_window" -> ((s, dir) =>
@@ -150,6 +177,29 @@ variants AS (
   FROM customer WHERE c_custkey % 2 = 0)"""
 
   val oracles: Map[String, String] = Map(
+    "q_gene_pipeline" ->
+      """WITH gtf AS (
+  SELECT CAST(p_partkey % 22 AS VARCHAR) AS seqname,
+    CASE WHEN p_partkey % 3 = 0 THEN 'transcript' ELSE 'exon' END AS feature,
+    p_partkey AS start, p_partkey + 500 AS "end",
+    (CASE WHEN p_partkey % 5 != 0 THEN 'gene_id "ENSG' || CAST(p_partkey * 3 AS VARCHAR) || '"; ' ELSE '' END)
+    || 'gene_version "16"; '
+    || 'transcript_id "ENST' || CAST(p_partkey AS VARCHAR) || '"; '
+    || (CASE WHEN p_partkey % 4 = 0 THEN 'gene_name "X-' || CAST(p_partkey AS VARCHAR) || '"; '
+             WHEN p_partkey % 4 = 1 THEN 'gene_name "N' || CAST(p_partkey AS VARCHAR) || '"; '
+             ELSE '' END)
+    || (CASE WHEN p_partkey % 7 != 0 THEN 'gene_biotype "protein_coding"; ' ELSE '' END) AS attr
+  FROM part),
+x AS (
+  SELECT seqname, start, "end",
+    regexp_extract(attr, 'gene_id "(ENS[A-Z]*\d+)"', 1) AS gene_id,
+    regexp_extract(attr, 'transcript_id "(ENS[A-Z]*\d+)"', 1) AS transcript_id,
+    COALESCE(NULLIF(regexp_extract(attr, 'biotype "(\w+)"', 1), ''), 'NA') AS biotype,
+    COALESCE(NULLIF(regexp_extract(attr, 'gene_name "(\w+)"', 1), ''), 'NA') AS gene_name
+  FROM gtf WHERE feature = 'transcript')
+SELECT 'chr' || seqname AS chromosome, start, "end", transcript_id, gene_id, gene_name, biotype
+FROM x WHERE gene_id != '' AND transcript_id != ''
+ORDER BY transcript_id""",
     "q_variant_pipeline" ->
       s"""$processedSql SELECT chromosome, rsid, start, "end", observed, maf, effect, transcript FROM variants ORDER BY rsid, effect, transcript""",
     "q_annotate_pipeline" ->
