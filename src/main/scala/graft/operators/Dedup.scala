@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import org.apache.spark.storage.StorageLevel
 
+import graft.expressions.SimHash64
 import graft.functions.TextFunctions
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -116,27 +117,16 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash per document.
-    *
-    * Formulation chosen for scale: explode tokens → one row per (doc,
-    * token-hash) → 64 conditional-sum aggregates (one per bit) → recombine.
-    * The 64 sums are partial-aggregated map-side (standard hash agg), so
-    * the shuffle carries 64 longs per doc, not the token stream.
-    */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokenHashes = df.select(
-      col(idCol).as("doc_id"),
-      explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        .as(s"b$i"))
-    val bitsToLong = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    tokenHashes.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), bitsToLong.as("simhash"))
-  }
+  /** 64-bit SimHash per document — a pure map operator, zero shuffle:
+    * tokenize → hash each token → native simhash64 kernel
+    * (graft.expressions.SimHash64, a codegen'd Catalyst expression). The
+    * earlier built-in-only formulation (explode + 64 conditional-sum
+    * aggregates) shuffled the whole token stream; identical outputs,
+    * except empty documents now yield simhash 0 instead of dropping out. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("hs"))
+      .select(col("doc_id"), SimHash64.simhash64(col("hs")).as("simhash"))
 
   /** SimHash near-dup pairs: block on 16-bit chunks (a pair within hamming
     * distance ≤ 3 of 64 bits must agree exactly on at least one of 4

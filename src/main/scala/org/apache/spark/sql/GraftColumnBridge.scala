@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the sql package for custom Catalyst expressions: Spark 4's
+  * Column↔Expression converters (classic.ExpressionUtils) are private[sql]
+  * since the Connect API split. This is the supported extension seam for
+  * libraries that ship native expressions. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
