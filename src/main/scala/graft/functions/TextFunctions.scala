@@ -26,7 +26,8 @@ object TextFunctions {
     * single punctuation — a cheap, deterministic stand-in for a real BPE
     * vocab count (ratio vs whitespace tokens ~ tokens-per-word). */
   def bpeTokenCount(text: Column): Column =
-    size(filter(split(text, """(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"""), t => t =!= "" && t =!= " "))
+    size(filter(split(text, """(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"""),
+      t => trim(t) =!= ""))
 
   /** Stopword sets for the n-gram/stopword language heuristic. Tiny on
     * purpose: language ID at pipeline scale wants a broadcastable constant,

@@ -73,11 +73,18 @@ object Dedup {
     * (band, bucket) → same-bucket self-pairs → dedup pair ids → join back
     * the two shingle sets → exact Jaccard filter. The exact-verify join is
     * what makes LSH false positives harmless.
+    *
+    * Caching: the signature table is persisted (it feeds the bucket explode
+    * and both verify sides with different shuffles) and stays cached after
+    * the returned frame is consumed — callers running many corpora per
+    * session should spark.catalog.clearCache() between batches (Bench does).
     */
   def minhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, shingleN: Int = 3,
       minJaccard: Double = 0.8): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"signature length k=$k must be a positive multiple of bands=$bands")
     val rowsPerBand = k / bands
     // staged projections: shingles → base hashes → signature. Each stage
     // aliases a non-cheap expression, so CollapseProject keeps the
@@ -128,19 +135,30 @@ object Dedup {
         transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("hs"))
       .select(col("doc_id"), SimHash64.simhash64(col("hs")).as("simhash"))
 
-  /** SimHash near-dup pairs: block on 16-bit chunks (a pair within hamming
-    * distance ≤ 3 of 64 bits must agree exactly on at least one of 4
-    * chunks — pigeonhole), then verify with bit_count(xor). */
+  /** SimHash near-dup pairs: pigeonhole blocking — split the 64 bits into
+    * maxHamming+1 chunks, so any pair within the hamming budget must agree
+    * exactly on at least one chunk; then verify with bit_count(xor).
+    * Large maxHamming degrades to many narrow chunks whose buckets collide
+    * heavily — keep the budget small (that is also what makes simhash
+    * near-dup semantically meaningful). */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+    val nChunks = maxHamming + 1
+    // partition the 64 bits into exactly nChunks non-empty chunks
+    // (widths differ by at most 1): chunk c covers [c*64/n, (c+1)*64/n)
+    def lo(c: Int) = c * 64 / nChunks
     // self-join on identical chunk subplans → ReusedExchange computes the
     // simhash aggregation once; no persist needed
     val sigs = simhash(df, idCol, textCol)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(c =>
+      explode(array((0 until nChunks).map { c =>
+        val w = lo(c + 1) - lo(c)
+        val mask = if (w >= 64) -1L else (1L << w) - 1
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("cb"))
+          shiftright(col("simhash"), lo(c)).bitwiseAND(lit(mask)).as("v"))
+      }: _*)).as("cb"))
       .select(col("doc_id"), col("simhash"), col("cb.chunk"), col("cb.v"))
     chunked.as("a")
       .join(chunked.as("b"),
@@ -170,8 +188,12 @@ object Dedup {
       .agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxDocFreq)
       .select("sh")
+    // sizes from the SAME filtered set as the pair counts: Jaccard is over
+    // non-boilerplate shingles on both top and bottom (computing sizes from
+    // the unfiltered set would mark even exact duplicates dissimilar once
+    // the cap binds)
     val filtered = shingled.join(rare, Seq("sh"), "left_semi")
-    val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sizes = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
 
     val shared = filtered.as("a")
       .join(filtered.as("b"),

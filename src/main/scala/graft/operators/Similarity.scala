@@ -22,10 +22,27 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
-  /** Embedding dimensionality, from one row (tiny driver-side peek; the
-    * plans bake the dimension into literal hyperplanes). */
+  /** Embedding dimensionality, from one non-null row (tiny driver-side
+    * peek; the plans bake the dimension into literal hyperplanes). Empty
+    * input → 0 (downstream plans then run over zero rows, harmlessly). */
   private def vectorDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+    df.filter(col(vecCol).isNotNull).select(size(col(vecCol)))
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
+
+  /** Shared LSH banding: explode `df` into one row per (band, bucket),
+    * where each band's bucket is `bitsPerBand` hyperplane sign bits (seeds
+    * partitioned per band so bands are independent). Single definition so
+    * the two candidate-generation paths can never drift apart. */
+  private def bandBucketed(df: DataFrame, idAs: String, vecAs: String,
+      bands: Int, bitsPerBand: Int, dim: Int): DataFrame = {
+    val sigs = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        (0 until bitsPerBand).map(i =>
+          VectorFunctions.hyperplaneSignBit(col(vecAs), b * bitsPerBand + i, dim)
+            .cast("long") * lit(1L << i)).reduce(_ + _).as("bucket"))): _*)
+    df.withColumn("bb", explode(sigs))
+      .select(col(idAs), col(vecAs), col("bb.band"), col("bb.bucket"))
+  }
 
   /** Exact top-k neighbors (cosine) of each query vector. `queries` is
     * broadcast — callers keep it small (it's the per-batch probe set). */
@@ -52,22 +69,12 @@ object Similarity {
       bands: Int = 8, bitsPerBand: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = vectorDim(corpus, vecCol)
-
-    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
-      val sigs = array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          // seeds partitioned per band: bits [b*bitsPerBand, (b+1)*bitsPerBand)
-          (0 until bitsPerBand).map(i =>
-            VectorFunctions.hyperplaneSignBit(col(vecAs), b * bitsPerBand + i, dim)
-              .cast("long") * lit(1L << i)).reduce(_ + _).as("bucket"))): _*)
-      df.withColumn("bb", explode(sigs))
-        .select(col(idAs), col(vecAs), col("bb.band"), col("bb.bucket"))
-    }
-
-    val q = bucketed(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
-    val c = bucketed(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv")
+    val q = bandBucketed(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv", bands, bitsPerBand, dim)
+    val c = bandBucketed(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      "neighbor_id", "cv", bands, bitsPerBand, dim)
 
     val candidates = c.join(broadcast(q), Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -90,16 +97,11 @@ object Similarity {
       bands: Int = 8, bitsPerBand: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = vectorDim(df, vecCol)
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val sigs = array((0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        (0 until bitsPerBand).map(i =>
-          VectorFunctions.hyperplaneSignBit(col("v"), b * bitsPerBand + i, dim)
-            .cast("long") * lit(1L << i)).reduce(_ + _).as("bucket"))): _*)
     // self-join on identical bucketing subplans → Spark's ReusedExchange
     // computes the signature shuffle once; no explicit persist needed
-    val bucketedDf = base.withColumn("bb", explode(sigs))
-      .select(col("id"), col("v"), col("bb.band"), col("bb.bucket"))
+    val bucketedDf = bandBucketed(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")),
+      "id", "v", bands, bitsPerBand, dim)
     bucketedDf.as("a")
       .join(bucketedDf.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

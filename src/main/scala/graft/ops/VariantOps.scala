@@ -57,9 +57,11 @@ object VariantOps {
       .withColumn("effect",
         coalesce(extractOrNull(col("attr"), """Variant_effect=(.+?);"""), lit("intergenic")))
       // one row per (variant × effect); explode(split(...)) never drops a
-      // row here because the effect column is non-null by construction
+      // row here because the effect column is non-null by construction.
+      // (The reference re-fills 'intergenic' after its explode,
+      // eggv/process.py:166, because pandas explode of an empty list emits
+      // NaN — Spark's split can't produce that, so no second fill.)
       .withColumn("effect", explode(split(col("effect"), ",")))
-      .withColumn("effect", coalesce(col("effect"), lit("intergenic")))
       // effect token layout: `term idx feature_type transcript`
       // (eggv/process.py:154-157); try_element_at → null when absent
       // (ANSI-safe), then '' to match the reference's fillna

@@ -220,7 +220,7 @@ ORDER BY rsid, variant_effect, gene_id""",
     "q_session_window" ->
       """WITH m AS (
   SELECT user_id, ts, value,
-    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
   FROM events),
 s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m)
 SELECT user_id, CAST(epoch_ns(min(ts)) // 1000000 AS BIGINT) AS session_start_ms, COUNT(*) AS n_events,

@@ -98,7 +98,9 @@ object StreamingOps {
               val t = e.ts.getTime
               st = st match {
                 case null => SessionState(t, t, 1, e.value)
-                case s if t - s.lastMs > gapMs =>
+                // >= matches session_window: an event exactly gap after the
+                // last one starts a new session (windows are half-open)
+                case s if t - s.lastMs >= gapMs =>
                   closed ::= flush(userId, s)
                   SessionState(t, t, 1, e.value)
                 case s => SessionState(s.startMs, t, s.n + 1, s.total + e.value)
