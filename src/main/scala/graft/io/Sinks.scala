@@ -41,4 +41,18 @@ object Sinks {
     * when the consumer is this engine rather than a third-party tool. */
   def writeParquet(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").parquet(dir)
+
+  /** Bucketed parquet table: pre-shuffled on `bucketCols` into `numBuckets`
+    * files per partition, registered in the session catalog. Joins and
+    * aggregations between tables bucketed the same way skip their shuffle
+    * entirely — the co-located-join layout for fact tables that are joined
+    * on the same key repeatedly (the 100 TB answer to "this join shuffles
+    * every run"). */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+      bucketCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

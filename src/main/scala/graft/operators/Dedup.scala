@@ -172,11 +172,17 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Exact n-gram Jaccard pairs via inverted-index join (no LSH
-    * approximation): explode shingles → self-join on shingle → count
-    * shared → Jaccard from set sizes. `maxDocFreq` drops boilerplate
-    * shingles (doc frequency above the cap) before the pair join — the
-    * skew guard that keeps the hottest key bounded at scale. */
+  /** Exact n-gram Jaccard pairs via inverted index (no LSH approximation):
+    * group postings by shingle hash, emit doc pairs inside each group,
+    * count shared shingles per pair, Jaccard from kept-set sizes.
+    *
+    * Plan shape: explode → ONE shuffle on the 64-bit shingle hash →
+    * in-group pair generation (pure array expressions, no self-join) →
+    * shuffle on pair ids. `maxDocFreq` caps posting-list length — it is
+    * both the boilerplate filter and the skew bound (a group of g docs
+    * emits g·(g−1)/2 pairs, so the hottest shuffle key is ≤ cap²/2).
+    * Sizes count the SAME capped shingle set as the pair counts, so exact
+    * duplicates stay at Jaccard 1.0 when the cap bites. */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.5,
@@ -184,21 +190,22 @@ object Dedup {
     val shingled = df.select(
       col(idCol).as("doc_id"),
       explode(TextFunctions.shingles(col(textCol), shingleN)).as("sh"))
-    val rare = shingled.groupBy(col("sh"))
-      .agg(count(lit(1)).as("df_count"))
-      .filter(col("df_count") <= maxDocFreq)
-      .select("sh")
-    // sizes from the SAME filtered set as the pair counts: Jaccard is over
-    // non-boilerplate shingles on both top and bottom (computing sizes from
-    // the unfiltered set would mark even exact duplicates dissimilar once
-    // the cap binds)
-    val filtered = shingled.join(rare, Seq("sh"), "left_semi")
-    val sizes = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    val groups = shingled.groupBy(col("sh"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) <= maxDocFreq)
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds sizes + pairs
 
-    val shared = filtered.as("a")
-      .join(filtered.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val sizes = groups.select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+
+    // all ordered (docs(i), docs(j)), i<j — docs is sorted, so id_a < id_b
+    val pairArr = flatten(transform(col("docs"), (a, i) =>
+      transform(slice(col("docs"), i + 2, size(col("docs"))),
+        b => struct(a.as("id_a"), b.as("id_b")))))
+    val shared = groups.filter(size(col("docs")) >= 2)
+      .select(explode(pairArr).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))

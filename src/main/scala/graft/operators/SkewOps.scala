@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is heavy-tailed (the
+  * classic: one hot customer/gene/shingle key holding >1% of a 100 TB
+  * fact table, stalling its shuffle partition for hours).
+  *
+  * AQE's skew-join split handles sort-merge skew automatically; salting is
+  * the explicit, planner-independent fallback — and the only option when
+  * the skew is in an aggregation key rather than a join.
+  */
+object SkewOps {
+
+  /** Salted equi-join on `keys`: the big (left) side gets a deterministic
+    * content-derived salt in [0, saltFactor); the small (right) side is
+    * replicated saltFactor times, so each hot key fans out over saltFactor
+    * shuffle partitions instead of one. Results equal the plain join.
+    *
+    * Use when `right` is too big to broadcast but small enough to
+    * replicate saltFactor×; join types preserving unmatched right rows
+    * (right/full outer) are rejected — replication would duplicate them.
+    */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive: $saltFactor")
+    require(Seq("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
+        .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi joins, not $joinType")
+    val salt = pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
+    val saltedLeft = left.withColumn("__salt", salt)
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit((saltFactor - 1).toLong))))
+    saltedLeft.join(saltedRight, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Two-phase (partial → final) aggregation with a salted first phase —
+    * for aggregations whose group key is skewed AND whose aggregate
+    * decomposes (sum/count/min/max). Spark's hash aggregate already does
+    * map-side partial aggregation; this adds an extra reduce tier so a
+    * single hot group's partials spread over saltFactor reducers first.
+    */
+  def saltedSum(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      saltFactor: Int): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive: $saltFactor")
+    val salt = pmod(xxhash64(col(valueCol)), lit(saltFactor))
+    df.withColumn("__salt", salt)
+      .groupBy((groupCols :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+  }
+}

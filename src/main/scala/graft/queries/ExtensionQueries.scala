@@ -109,6 +109,25 @@ object ExtensionQueries {
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // exact inverted-index n-gram Jaccard (no LSH approximation) over the
+    // constructed near-dup corpus; rows-only (value verified in DedupSpec)
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
+          shingleN = 3, minJaccard = 0.5, maxDocFreq = 10000L)
+        .orderBy("id_a", "id_b")),
+
+    // embedding near-dup pairs via hyperplane LSH + exact cosine verify,
+    // over embeddings ∪ exact copies (ids +100000) so pairs exist
+    "q_embed_near_dup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.union(e.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      // 16 bits/band: 65k buckets keeps same-bucket pair counts linear-ish
+      // in corpus size; identical vectors still always collide
+      Similarity.embeddingNearDupPairs(planted, threshold = 0.999,
+          bands = 8, bitsPerBand = 16)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- similarity search ------------------------------------------------
     "q_embed_cosine" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
