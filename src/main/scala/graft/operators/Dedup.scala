@@ -57,7 +57,7 @@ object Dedup {
     * materialize shingle hashes once and use minhashSignatureFromHashes). */
   def minhashSignature(text: Column, k: Int, shingleN: Int): Column =
     minhashSignatureFromHashes(
-      transform(TextFunctions.shingles(text, shingleN), s => xxhash64(s)), k)
+      TextFunctions.shingleHashesFrom(TextFunctions.tokenHashes(text), shingleN), k)
 
   /** LSH banding of a signature array: `bands` rows of (band_id, bucket)
     * where bucket hashes `rowsPerBand` consecutive signature entries.
@@ -86,16 +86,15 @@ object Dedup {
     require(bands > 0 && k % bands == 0,
       s"signature length k=$k must be a positive multiple of bands=$bands")
     val rowsPerBand = k / bands
-    // staged projections: shingles → base hashes → signature. Each stage
-    // aliases a non-cheap expression, so CollapseProject keeps the
-    // barriers and every stage is computed exactly once per row. Only the
-    // hash array travels onward — Jaccard is verified on shingle hashes
-    // (identical result modulo 64-bit collisions, far cheaper than string
-    // arrays through the shuffle).
+    // staged projections: token hashes → shingle hashes → signature. Each
+    // stage aliases a non-cheap expression, so CollapseProject keeps the
+    // barriers and every stage is computed exactly once per row. Shingle
+    // strings are never built — everything runs on 64-bit hashes, and
+    // Jaccard is verified on them too (identical result modulo collisions).
     val withSig = df
       .select(col(idCol).as("doc_id"),
-        TextFunctions.shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+        TextFunctions.tokenHashes(col(textCol)).as("th"))
+      .withColumn("hs", TextFunctions.shingleHashesFrom(col("th"), shingleN))
       .select(col("doc_id"), col("hs"),
         minhashSignatureFromHashes(col("hs"), k).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK) // reused by buckets + both verify sides
@@ -189,8 +188,9 @@ object Dedup {
       maxDocFreq: Long = 1000L): DataFrame = {
     val shingled = df.select(
       col(idCol).as("doc_id"),
-      explode(TextFunctions.shingles(col(textCol), shingleN)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      TextFunctions.tokenHashes(col(textCol)).as("th"))
+      .select(col("doc_id"),
+        explode(TextFunctions.shingleHashesFrom(col("th"), shingleN)).as("sh"))
     val groups = shingled.groupBy(col("sh"))
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) <= maxDocFreq)

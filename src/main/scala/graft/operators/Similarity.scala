@@ -69,21 +69,25 @@ object Similarity {
       bands: Int = 8, bitsPerBand: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = vectorDim(corpus, vecCol)
-    val q = bandBucketed(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "query_id", "qv", bands, bitsPerBand, dim)
-    val c = bandBucketed(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-      "neighbor_id", "cv", bands, bitsPerBand, dim)
-
-    val candidates = c.join(broadcast(q), Seq("band", "bucket"))
+    val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cRaw = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // candidate generation on ids only: the dedup shuffle carries two longs
+    // per row, not embedding vectors; vectors rejoin after (corpus side by
+    // id, query side broadcast)
+    val q = bandBucketed(qRaw, "query_id", "qv", bands, bitsPerBand, dim)
+      .select("query_id", "band", "bucket")
+    val c = bandBucketed(cRaw, "neighbor_id", "cv", bands, bitsPerBand, dim)
+      .select("neighbor_id", "band", "bucket")
+    val candidateIds = c.join(broadcast(q), Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
+      .select("query_id", "neighbor_id")
       .distinct()
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    candidates
+    candidateIds
+      .join(cRaw, Seq("neighbor_id"))
+      .join(broadcast(qRaw), Seq("query_id"))
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -97,18 +101,21 @@ object Similarity {
       bands: Int = 8, bitsPerBand: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = vectorDim(df, vecCol)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // self-join on identical bucketing subplans → Spark's ReusedExchange
-    // computes the signature shuffle once; no explicit persist needed
-    val bucketedDf = bandBucketed(
-      df.select(col(idCol).as("id"), col(vecCol).as("v")),
-      "id", "v", bands, bitsPerBand, dim)
-    bucketedDf.as("a")
+    // computes the signature shuffle once; candidate ids only (two longs
+    // per row through the pair shuffle/distinct), vectors rejoin after
+    val bucketedDf = bandBucketed(base, "id", "v", bands, bitsPerBand, dim)
+      .select("id", "band", "bucket")
+    val pairIds = bucketedDf.as("a")
       .join(bucketedDf.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    pairIds
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
