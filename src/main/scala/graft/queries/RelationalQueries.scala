@@ -192,6 +192,26 @@ object RelationalQueries {
         .orderBy("p_partkey")
     }),
 
+    // salted skew-join through SkewOps: results must equal the plain join
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.operators.SkewOps.saltedJoin(li, o, Seq("l_orderkey"), saltFactor = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // salted two-tier aggregation; decimal input keeps the sum exact and
+    // order-independent so the oracle matches bit-for-bit
+    "q_salted_agg" -> ((s, dir) =>
+      graft.operators.SkewOps.saltedSum(
+          t(s, dir, "lineitem").withColumn("lq", dec(col("l_quantity"))),
+          Seq("l_returnflag"), "lq", saltFactor = 16)
+        .select(col("l_returnflag"), col("sum_lq").cast(DoubleType).as("sum_lq"))
+        .orderBy("l_returnflag")),
+
     // event-time tumbling window aggregation over epoch-nano events.
     // integer DIV: double division of epoch nanos loses sub-µs exactness
     "q_time_window" -> ((s, dir) =>
@@ -240,6 +260,10 @@ object RelationalQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey) ORDER BY o_orderkey""",
     "q_semi_join" ->
       """SELECT p_partkey, p_name FROM part WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey) ORDER BY p_partkey""",
+    "q_salted_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_salted_agg" ->
+      """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_lq FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_time_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
   )
