@@ -157,6 +157,26 @@ variants AS (
               .otherwise(lit(""))).as("attr")))
         .orderBy("transcript_id")),
 
+    // positional (interval) annotation — the generalization the reference
+    // skipped: variants matched to genes by coordinate containment via the
+    // binned range join, not transcript equality
+    "q_interval_annotate" -> ((s, dir) => {
+      val variants = VariantOps.processGvf(syntheticGvf(s, dir))
+        .select("chromosome", "rsid", "start").distinct()
+      val genes = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") % 2 === 0)
+        .select(
+          concat(lit("chr"), (col("c_custkey") % 22).cast(StringType)).as("chromosome"),
+          (col("c_custkey") * 5).as("g_start"),
+          (col("c_custkey") * 5 + 400).as("g_end"),
+          concat(lit("ENSG"), (col("c_custkey") * 10).cast(StringType)).as("gene_id"))
+      graft.operators.IntervalJoin.pointInInterval(
+          variants, genes, "start", "g_start", "g_end",
+          Seq("chromosome"), binSize = 500L)
+        .select("chromosome", "rsid", "start", "gene_id")
+        .orderBy("rsid", "start", "gene_id")
+    }),
+
     // session windows over event time, through StreamingOps (batch mode —
     // the identical plan runs under readStream with the same results)
     "q_session_window" -> ((s, dir) =>
@@ -217,6 +237,12 @@ FROM annotated
 WHERE variant_effect NOT IN ('intergenic', 'upstream_gene_variant', 'downstream_gene_variant')
   AND gene_id IS NOT NULL
 ORDER BY rsid, variant_effect, gene_id""",
+    "q_interval_annotate" ->
+      s"""$processedSql, v AS (SELECT DISTINCT chromosome, rsid, start FROM variants),
+g AS (SELECT 'chr' || CAST(c_custkey % 22 AS VARCHAR) AS chromosome, c_custkey * 5 AS g_start, c_custkey * 5 + 400 AS g_end, 'ENSG' || CAST(c_custkey * 10 AS VARCHAR) AS gene_id FROM customer WHERE c_custkey % 2 = 0)
+SELECT v.chromosome, v.rsid, v.start, g.gene_id
+FROM v JOIN g ON v.chromosome = g.chromosome AND v.start >= g.g_start AND v.start <= g.g_end
+ORDER BY rsid, start, gene_id""",
     "q_session_window" ->
       """WITH m AS (
   SELECT user_id, ts, value,
