@@ -157,6 +157,25 @@ variants AS (
               .otherwise(lit(""))).as("attr")))
         .orderBy("transcript_id")),
 
+    // backward as-of join: each purchase matched to the user's latest
+    // at-or-before signup (union + ordered window, one shuffle)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+      graft.operators.AsOfJoin.asofBackward(
+          purchases, signups, Seq("user_id"), "ts", Seq("signup_id"), "signup_ts")
+        // µs-truncated output: DuckDB's parquet reader truncates ns→µs, so
+        // the oracle cannot observe full nanosecond values
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("ts_us"),
+          expr("signup_ts DIV 1000").as("signup_ts_us"),
+          col("signup_id"))
+        .orderBy("event_id")
+    }),
+
     // positional (interval) annotation — the generalization the reference
     // skipped: variants matched to genes by coordinate containment via the
     // binned range join, not transcript equality
@@ -237,6 +256,12 @@ FROM annotated
 WHERE variant_effect NOT IN ('intergenic', 'upstream_gene_variant', 'downstream_gene_variant')
   AND gene_id IS NOT NULL
 ORDER BY rsid, variant_effect, gene_id""",
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+s AS (SELECT user_id, ts, event_id AS signup_id FROM events WHERE event_type = 'signup')
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, epoch_us(s.ts) AS signup_ts_us, s.signup_id
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+ORDER BY p.event_id""",
     "q_interval_annotate" ->
       s"""$processedSql, v AS (SELECT DISTINCT chromosome, rsid, start FROM variants),
 g AS (SELECT 'chr' || CAST(c_custkey % 22 AS VARCHAR) AS chromosome, c_custkey * 5 AS g_start, c_custkey * 5 + 400 AS g_end, 'ENSG' || CAST(c_custkey * 10 AS VARCHAR) AS gene_id FROM customer WHERE c_custkey % 2 = 0)
