@@ -172,41 +172,64 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard pairs via inverted index (no LSH approximation):
-    * group postings by shingle hash, emit doc pairs inside each group,
-    * count shared shingles per pair, Jaccard from kept-set sizes.
+    * count doc frequency per shingle, drop stop shingles (df > maxDocFreq),
+    * group surviving postings by shingle hash, emit doc pairs inside each
+    * group, count shared shingles per pair, Jaccard from kept-set sizes.
     *
-    * Plan shape: explode → ONE shuffle on the 64-bit shingle hash →
-    * in-group pair generation (pure array expressions, no self-join) →
-    * shuffle on pair ids. `maxDocFreq` caps posting-list length — it is
-    * both the boilerplate filter and the skew bound (a group of g docs
-    * emits g·(g−1)/2 pairs, so the hottest shuffle key is ≤ cap²/2).
+    * Plan shape, scale-first:
+    *  - doc frequency is a COUNT-ONLY aggregation (map-side partial, a few
+    *    bytes per key) — no posting list is ever materialized for a hot
+    *    shingle, so boilerplate can't blow up executor memory;
+    *  - stop shingles (df > maxDocFreq) are by construction a tiny set →
+    *    broadcast anti-join removes them from the posting stream with no
+    *    extra shuffle of that stream;
+    *  - `collect_list` then only ever sees groups of ≤ maxDocFreq docs, so
+    *    the hottest pair-generation key is bounded at cap·(cap−1)/2;
+    *  - per-doc kept-set size is computed MAP-SIDE as size(hs) minus the
+    *    (tiny, broadcast-joined) stop-shingle hits — the old formulation
+    *    re-exploded the whole persisted group table a second time.
     * Sizes count the SAME capped shingle set as the pair counts, so exact
-    * duplicates stay at Jaccard 1.0 when the cap bites. */
+    * duplicates stay at Jaccard 1.0 when the cap bites. The per-doc shingle
+    * frame is persisted (three consumers); callers running many corpora per
+    * session should spark.catalog.clearCache() between batches (Bench does). */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.5,
       maxDocFreq: Long = 1000L): DataFrame = {
-    val shingled = df.select(
+    val docShingles = df.select(
       col(idCol).as("doc_id"),
       TextFunctions.tokenHashes(col(textCol)).as("th"))
       .select(col("doc_id"),
-        explode(TextFunctions.shingleHashesFrom(col("th"), shingleN)).as("sh"))
-    val groups = shingled.groupBy(col("sh"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) <= maxDocFreq)
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds sizes + pairs
+        TextFunctions.shingleHashesFrom(col("th"), shingleN).as("hs"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds postings ×2 + totals
 
-    val sizes = groups.select(explode(col("docs")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val postings = docShingles.select(col("doc_id"), explode(col("hs")).as("sh"))
+    val stopShingles = postings.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("sh")
 
-    // all ordered (docs(i), docs(j)), i<j — docs is sorted, so id_a < id_b
-    val pairArr = flatten(transform(col("docs"), (a, i) =>
-      transform(slice(col("docs"), i + 2, size(col("docs"))),
-        b => struct(a.as("id_a"), b.as("id_b")))))
-    val shared = groups.filter(size(col("docs")) >= 2)
-      .select(explode(pairArr).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    // in-group ordered pairs via self-equi-join on the shingle hash: both
+    // sides are the identical sub-plan, so the shuffle happens once and the
+    // second side is a ReusedExchange; the join itself is codegen'd (the
+    // earlier collect_list + nested-lambda pair explode ran interpreted —
+    // higher-order functions are CodegenFallback — and built per-key arrays
+    // that AQE can't split; a join key is skew-handled for free).
+    val kept = postings.join(broadcast(stopShingles), Seq("sh"), "left_anti")
+    val shared = kept.as("a")
+      .join(kept.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
+
+    val stopHits = postings.join(broadcast(stopShingles), Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_stop"))
+    val sizes = docShingles
+      .select(col("doc_id"), size(col("hs")).as("sz_total"))
+      .join(stopHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("sz_total").cast(LongType) - coalesce(col("n_stop"), lit(0L))).as("sz"))
+
     shared
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))

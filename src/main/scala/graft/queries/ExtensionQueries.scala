@@ -110,10 +110,13 @@ object ExtensionQueries {
         .orderBy("doc_id")),
 
     // exact inverted-index n-gram Jaccard (no LSH approximation) over the
-    // constructed near-dup corpus; rows-only (value verified in DedupSpec)
+    // constructed near-dup corpus; rows-only (value verified in DedupSpec).
+    // maxDocFreq stays at the operator's stop-shingle default: a shingle in
+    // more than 1000 docs is boilerplate, and pruning it is what bounds the
+    // hottest pair-generation key at any corpus size.
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
-          shingleN = 3, minJaccard = 0.5, maxDocFreq = 10000L)
+          shingleN = 3, minJaccard = 0.5)
         .orderBy("id_a", "id_b")),
 
     // embedding near-dup pairs via hyperplane LSH + exact cosine verify,
