@@ -13,8 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
-  /** Salted equi-join on `keys`: the big (left) side gets a deterministic
-    * content-derived salt in [0, saltFactor); the small (right) side is
+  /** Row-unique salt in [0, saltFactor): hashes the row's position
+    * (partition id is embedded in monotonically_increasing_id), NOT its
+    * content. A content-derived salt has a degenerate failure mode exactly
+    * when salting matters most — a hot group whose rows are identical (the
+    * "billion zero rows" case) hashes to ONE salt and nothing spreads.
+    * Position-derived salt spreads any hot group evenly regardless of
+    * content. The salt value never reaches results (joins carry all salts
+    * on the replicated side; aggregations re-reduce over it), so its
+    * per-run stability is irrelevant to correctness. */
+  private[graft] def rowSalt(saltFactor: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
+
+  /** Salted equi-join on `keys`: the big (left) side gets a row-unique
+    * salt in [0, saltFactor); the small (right) side is
     * replicated saltFactor times, so each hot key fans out over saltFactor
     * shuffle partitions instead of one. Results equal the plain join.
     *
@@ -29,8 +41,7 @@ object SkewOps {
     require(Seq("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
         .contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left/left_semi joins, not $joinType")
-    val salt = pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
-    val saltedLeft = left.withColumn("__salt", salt)
+    val saltedLeft = left.withColumn("__salt", rowSalt(saltFactor))
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0L), lit((saltFactor - 1).toLong))))
     saltedLeft.join(saltedRight, keys :+ "__salt", joinType).drop("__salt")
@@ -46,8 +57,7 @@ object SkewOps {
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       saltFactor: Int): DataFrame = {
     require(saltFactor > 0, s"saltFactor must be positive: $saltFactor")
-    val salt = pmod(xxhash64(col(valueCol)), lit(saltFactor))
-    df.withColumn("__salt", salt)
+    df.withColumn("__salt", rowSalt(saltFactor))
       .groupBy((groupCols :+ "__salt").map(col): _*)
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(groupCols.map(col): _*)

@@ -29,6 +29,16 @@ class SkewOpsSpec extends SparkSpec {
     }
   }
 
+  test("rowSalt spreads a constant-valued hot group over multiple salts") {
+    // the degenerate case for content-derived salts: every row identical
+    val hot = Seq.fill(1000)(("hotkey", 0.0)).toDF("k", "v").repartition(4)
+    val nSalts = hot.select(SkewOps.rowSalt(8).as("s")).distinct().count()
+    assert(nSalts >= 2, s"constant-value group got $nSalts salt(s) — no spread")
+    // and the salted aggregate over it still reduces to one exact group
+    val out = SkewOps.saltedSum(hot.withColumn("v", lit(1.0)), Seq("k"), "v", 8).collect()
+    assert(out.length == 1 && out.head.getDouble(1) == 1000.0)
+  }
+
   test("saltedSum equals plain aggregation") {
     val plain = li.groupBy("l_returnflag")
       .agg(sum("l_quantity").as("s")).collect()
