@@ -87,9 +87,19 @@ object TextFunctions {
 
   /** Word n-gram shingles (n consecutive tokens joined by single spaces),
     * distinct. A doc with fewer than n tokens yields its full token join as
-    * the single shingle so no document silently drops out of dedup. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+    * the single shingle so no document silently drops out of dedup.
+    *
+    * Tokenizes internally — `toks` is referenced several times, so callers
+    * on a hot path should materialize the token array themselves and use
+    * `shinglesFromTokens` (lambda-bearing expressions defeat Catalyst
+    * subexpression elimination; a nested tokens() here is re-split per
+    * reference). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** Same, from a MATERIALIZED token-array column (pass an attribute, not
+    * a nested expression). */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val joined = array_join(toks, " ")
     val count = greatest(size(toks) - lit(n - 1), lit(1))
     when(size(toks) <= n, array(joined)).otherwise(

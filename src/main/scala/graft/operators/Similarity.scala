@@ -63,10 +63,17 @@ object Similarity {
 
   /** LSH-bucketed ANN: `bands` independent signatures of `bitsPerBand`
     * hyperplane sign bits each; same-bucket vectors are candidates.
-    * Recall grows with bands; cost with bands × bucket collision rate. */
+    * Recall grows with bands; cost with bands × bucket collision rate.
+    * Defaults are tuned for top-k on unclustered embeddings (measured
+    * recall@10 = 0.9 on the 64-dim testdata): top-k needs WIDE nets —
+    * moderately-similar true neighbors still have ~0.3-0.5 angular
+    * disagreement per hyperplane, so long bucket keys (8+ bits) reject
+    * them almost surely (8×8 bits measured recall@10 = 0.1). Near-dup
+    * detection (cosine ≥ 0.99) is the opposite regime — long keys are
+    * fine and keep candidate counts linear (embeddingNearDupPairs). */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
-      bands: Int = 8, bitsPerBand: Int = 8,
+      bands: Int = 16, bitsPerBand: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = vectorDim(corpus, vecCol)
     val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))

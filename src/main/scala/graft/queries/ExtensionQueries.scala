@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -27,11 +27,30 @@ object ExtensionQueries {
   /** documents ∪ mutated copies (id + 1M, first token dropped): a corpus
     * with guaranteed near-duplicate pairs, so near-dup queries emit
     * meaningful, deterministic rows on purely-random testdata. */
-  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select("doc_id", "text")
+  private def docsWithNearDupsFrom(docs: DataFrame): DataFrame =
     docs.union(docs.select(
       (col("doc_id") + 1000000L).as("doc_id"),
       array_join(slice(TF.tokens(col("text")), 2, 1000000), " ").as("text")))
+
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame =
+    docsWithNearDupsFrom(t(s, dir, "documents").select("doc_id", "text"))
+
+  /** Sub-corpus bound for the q_check_* invariant queries: covers the whole
+    * table at the sf0.01 correctness gate (500 docs) while keeping the
+    * checks a fixed, small cost inside larger bench corpora. */
+  private val checkDocLimit = 1000L
+
+  private def checkDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < checkDocLimit)
+      .select("doc_id", "text")
+
+  /** Exact STRING-shingle Jaccard between two shingle-set columns — the
+    * independent yardstick the q_check_* queries measure hash-based
+    * operators against (no xxhash anywhere in this path). */
+  private def stringJaccard(shA: Column, shB: Column): Column = {
+    val nShared = size(array_intersect(shA, shB))
+    nShared.cast(DoubleType) /
+      (size(shA) + size(shB) - nShared).cast(DoubleType)
   }
 
   private val enStop = TF.stopwords("en")
@@ -119,6 +138,95 @@ object ExtensionQueries {
           shingleN = 3, minJaccard = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // ---- hash-operator invariant gates (each oracle-bearing) -------------
+    // LSH precision: every pair the MinHash pipeline emits must also pass
+    // the INDEPENDENT string-shingle exact Jaccard at the same threshold.
+    // Violations (expected: none) are the output, so the oracle is the
+    // empty set — if the verify filter or signature logic breaks, false
+    // positives appear here and the gate fails.
+    "q_check_minhash_precision" -> ((s, dir) => {
+      val corpus = docsWithNearDupsFrom(checkDocs(s, dir))
+      val mh = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+        k = 32, bands = 8, shingleN = 3, minJaccard = 0.5)
+      // token array materialized first — shingle expressions reference it
+      // repeatedly and lambda expressions defeat subexpression elimination
+      val sets = corpus.select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), TF.shinglesFromTokens(col("tk"), 3).as("sh"))
+      mh.select("id_a", "id_b")
+        .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("jaccard", stringJaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") < 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // LSH recall: of the planted (doc, mutated-doc) pairs whose TRUE
+    // string-shingle Jaccard is ≥ 0.9, at least 95% must be recovered by
+    // the MinHash pipeline (at j ≥ 0.9, k=32/b=8 collision probability is
+    // 1−(1−j⁴)⁸ ≈ 0.9998 — seeds are constants, so the result is exact and
+    // reproducible). n_planted is genuinely recomputed by the DuckDB
+    // oracle; recall_pass flips to false (hash mismatch) if recall breaks.
+    "q_check_minhash_recall" -> ((s, dir) => {
+      val docs = checkDocs(s, dir)
+      val mh = Dedup.minhashNearDupPairs(docsWithNearDupsFrom(docs), "doc_id", "text",
+        k = 32, bands = 8, shingleN = 3, minJaccard = 0.5)
+      // staged projections: tokens once, then both shingle sets from the
+      // materialized arrays (the mutated side shingles the token slice
+      // directly — identical to re-tokenizing its joined text, since
+      // tokens contain no whitespace). is_planted stays a COLUMN and the
+      // threshold lives in a conditional aggregate: a filter(j >= 0.9)
+      // here would be pushed through the projections with full alias
+      // substitution, re-splitting `text` a dozen times per row (measured
+      // 7s for 1000 docs).
+      val withJ = docs.select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+        .withColumn("tk_m", slice(col("tk"), 2, 1000000))
+        .select(col("doc_id"),
+          TF.shinglesFromTokens(col("tk"), 3).as("sh_o"),
+          TF.shinglesFromTokens(col("tk_m"), 3).as("sh_m"))
+        .select(col("doc_id"),
+          (stringJaccard(col("sh_o"), col("sh_m")) >= 0.9).as("is_planted"))
+      val recovered = mh.filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a").as("doc_id")).distinct().withColumn("hit", lit(1L))
+      val planted1 = when(col("is_planted"), 1L).otherwise(0L)
+      withJ.join(recovered, Seq("doc_id"), "left")
+        .agg(sum(planted1).as("n_planted"),
+          (sum(when(col("is_planted") && col("hit").isNotNull, 1L).otherwise(0L)) >=
+            sum(planted1).cast(DoubleType) * 0.95).as("recall_pass"))
+    }),
+
+    // SimHash recall: planted EXACT copies hash identically, so the
+    // blocking join must recover every (id, id+1M) pair at hamming 0.
+    // Output = planted pairs the pipeline missed (expected: none).
+    "q_check_simhash_recall" -> ((s, dir) => {
+      val docs = checkDocs(s, dir)
+      val corpus = docs.union(docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val pairs = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", maxHamming = 3)
+      docs.select("doc_id")
+        .join(pairs
+          .filter(col("id_b") === col("id_a") + 1000000L && col("hamming") === 0)
+          .select(col("id_a").as("doc_id")), Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    }),
+
+    // ANN recall: LSH top-k (same parameters as q_embed_ann_lsh; measured
+    // recall@10 = 0.9) must recover ≥ 0.6 of the exact brute-force top-k
+    // set — deterministic, hyperplane seeds are plan constants. n_brute is
+    // genuinely recomputed by the DuckDB oracle.
+    "q_check_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val ann = Similarity.lshTopK(q, e, k = 10, bands = 16, bitsPerBand = 4)
+        .select("query_id", "neighbor_id")
+      val brute = Similarity.bruteForceTopK(q, e, k = 10)
+        .select("query_id", "neighbor_id")
+      brute.join(ann.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_brute"),
+          (coalesce(sum(col("hit")), lit(0L)) >=
+            count(lit(1)).cast(DoubleType) * 0.6).as("recall_pass"))
+    }),
+
     // embedding near-dup pairs via hyperplane LSH + exact cosine verify,
     // over embeddings ∪ exact copies (ids +100000) so pairs exist
     "q_embed_near_dup" -> ((s, dir) => {
@@ -148,11 +256,13 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // rows-only: LSH ANN path (hash-bucketed candidates, exact rerank)
+    // rows-only: LSH ANN path (hash-bucketed candidates, exact rerank);
+    // 16 bands × 4 bits = measured recall@10 0.9 here (gated by
+    // q_check_ann_recall below)
     "q_embed_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e.filter(col("vec_id") < 20), e, k = 10,
-          bands = 8, bitsPerBand = 8)
+          bands = 16, bitsPerBand = 4)
         .orderBy("query_id", "rank")
     }),
 
@@ -170,6 +280,18 @@ object ExtensionQueries {
   private val enStopSql = enStop.map(w => s"'$w'").mkString("[", ", ", "]")
   private val tokensSql =
     """list_filter(string_split_regex(text, '\s+'), x -> x != '')"""
+
+  /** DuckDB mirror of TextFunctions.shingles over a token-list column `t`:
+    * distinct 3-gram strings, whole-join fallback for short docs. */
+  private def shingleSql(t: String): String =
+    s"CASE WHEN len($t) <= 3 THEN [array_to_string($t, ' ')] " +
+      s"ELSE list_distinct([array_to_string($t[i:i+2], ' ') " +
+      s"for i in range(1, greatest(len($t) - 2, 1) + 1)]) END"
+
+  /** DuckDB double-fold dot product (bit-identical to Spark's aggregate/
+    * zip_with double fold; DuckDB's list_cosine_similarity is float). */
+  private def dotSql(x: String, y: String): String =
+    s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
 
   val oracles: Map[String, String] = Map(
     "q_token_count" ->
@@ -189,16 +311,37 @@ object ExtensionQueries {
       """WITH u AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents) SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies FROM u GROUP BY 1 ORDER BY content_hash""",
     "q_jaccard_words" ->
       s"""WITH d AS (SELECT doc_id, list_distinct($tokensSql) AS toks FROM documents WHERE doc_id < 40) SELECT a.doc_id AS id_a, b.doc_id AS id_b, len(list_intersect(a.toks, b.toks)) AS n_shared, CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard FROM d a JOIN d b ON a.doc_id < b.doc_id ORDER BY id_a, id_b""",
-    "q_embed_cosine" -> {
-      def dotSql(x: String, y: String) =
-        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
-      s"""SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id >= 5 ORDER BY query_id, neighbor_id"""
-    },
-    "q_embed_topk" -> {
-      def dotSql(x: String, y: String) =
-        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
-      s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
-    },
+    "q_embed_cosine" ->
+      s"""SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id >= 5 ORDER BY query_id, neighbor_id""",
+    "q_embed_topk" ->
+      s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // full oracle for the exact inverted-index n-gram Jaccard: DuckDB
+    // reproduces the whole pipeline on string shingles (hash shingles are
+    // equal modulo xxhash64 collisions, ~1e-9 at this scale), including
+    // the stop-shingle cap (HAVING count <= 1000, inert at gate scale).
+    "q_ngram_jaccard" ->
+      s"""WITH corpus AS (SELECT doc_id, $tokensSql AS t FROM documents UNION ALL SELECT doc_id + 1000000, ($tokensSql)[2:] FROM documents), sh AS (SELECT doc_id, ${shingleSql("t")} AS shingles FROM corpus), post AS (SELECT doc_id, unnest(shingles) AS s FROM sh), keep AS (SELECT s FROM post GROUP BY s HAVING count(*) <= 1000), kept AS (SELECT p.doc_id, p.s FROM post p JOIN keep USING (s)), sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, CAST(n_shared AS DOUBLE) / CAST(sa.sz + sb.sz - n_shared AS DOUBLE) AS jaccard FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a JOIN sizes sb ON sb.doc_id = pairs.id_b) WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+
+    // full oracle for embedding near-dup: all pairs with exact double
+    // cosine >= threshold over the planted corpus. Identical vectors
+    // always share every LSH bucket, and this data has no natural pair at
+    // 0.999, so the LSH path must emit exactly this set.
+    "q_embed_near_dup" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 100000, embedding FROM embeddings), n AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM corpus) SELECT id_a, id_b, cosine FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dotSql("a.embedding", "b.embedding")} / nullif(a.nrm * b.nrm, 0) AS cosine FROM n a JOIN n b ON a.vec_id < b.vec_id) WHERE cosine >= 0.999 ORDER BY id_a, id_b""",
+
+    // invariant gates: precision/recall violations are empty sets or
+    // boolean flags; counts are genuinely recomputed in SQL, pass flags
+    // are the pinned expectation (a recall break flips them to false).
+    "q_check_minhash_precision" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS jaccard WHERE 1 = 0""",
+    "q_check_minhash_recall" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents WHERE doc_id < 1000), p AS (SELECT doc_id, ${shingleSql("t")} AS so, ${shingleSql("tm")} AS sm FROM (SELECT doc_id, t, t[2:] AS tm FROM toks)) SELECT count(*) AS n_planted, true AS recall_pass FROM p WHERE CAST(len(list_intersect(so, sm)) AS DOUBLE) / CAST(len(so) + len(sm) - len(list_intersect(so, sm)) AS DOUBLE) >= 0.9""",
+    "q_check_simhash_recall" ->
+      """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
+    "q_check_ann_recall" ->
+      s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
+
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'fake/blob' AS kind, octet_length(encode(text)) AS n_bytes, 1 + (octet_length(encode(text)) % 1024) AS width, 1 + (octet_length(encode(text)) % 768) AS height FROM documents ORDER BY media_id"""
   )
