@@ -2,26 +2,34 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.io.{Sinks, Sources}
+import graft.io.{Retrieve, Sinks, Sources}
 import graft.ops.GeneOps
 
 /** CLI entry point mirroring the reference's click CLI
   * (`eggv retrieve|process|annotate|complete`, eggv/cli.py:144-193).
-  * `retrieve` (HTTP download) is out of engine scope (SURVEY.md §2.1 S5).
   *
   * Usage:
+  *   graft.Main retrieve <url> [url...] <destDir>
   *   graft.Main process  <gvf> <gtf> <outDir>
   *   graft.Main annotate <effectsTsvDir> <genesTsvDir> <outDir>
-  *   graft.Main complete <gvf> <gtf> <outDir>
+  *   graft.Main complete <gvf|url> <gtf|url> <outDir>
+  *   graft.Main run      <config.properties>
+  *
+  * `complete` accepts http(s)/file URLs for the feature builds — they are
+  * staged via graft.io.Retrieve (the reference's eggv/retrieve.py stage,
+  * wired as in eggv/pipeline.py:161-177) into `<outDir>/raw/` and read
+  * from there; gzipped builds are read natively, no unzip pass. `run`
+  * drives the same pipeline through a config file + Catalog layout.
   */
 object Main {
 
-  def session(appName: String): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
+  def session(appName: String, config: GraftConfig = GraftConfig.default): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", config.cores.toString)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_CPUS", config.shufflePartitions.toString)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -30,12 +38,23 @@ object Main {
     s
   }
 
+  /** URL arguments are staged to `rawDir` and replaced by the local path;
+    * plain paths pass through untouched. */
+  private def resolveInput(arg: String, rawDir: String, force: Boolean): String =
+    if (Retrieve.isUrl(arg)) Retrieve.retrieve(arg, rawDir, force) else arg
+
   def main(args: Array[String]): Unit = args.toList match {
+    case "retrieve" :: rest if rest.length >= 2 =>
+      val urls = rest.init
+      val dest = rest.last
+      urls.foreach { u => println(s"retrieved: ${Retrieve.retrieve(u, dest)}") }
+
     case "process" :: gvf :: gtf :: out :: Nil =>
       val spark = session("graft-process")
       val v = Pipeline.processVariants(spark, gvf)
       Sinks.writeTsv(v.effects, s"$out/variant-effects")
       Sinks.writeTsv(v.metadata, s"$out/variant-metadata")
+      v.unpersist()
       val genes = Pipeline.processGenes(spark, gtf)
       Sinks.writeTsv(genes, s"$out/genes")
       Sinks.writeTsv(GeneOps.dedupGenes(genes), s"$out/genes-deduped")
@@ -52,16 +71,44 @@ object Main {
 
     case "complete" :: gvf :: gtf :: out :: Nil =>
       val spark = session("graft-complete")
-      Pipeline.complete(spark, gvf, gtf, out)
+      Pipeline.complete(spark,
+        resolveInput(gvf, s"$out/raw", force = false),
+        resolveInput(gtf, s"$out/raw", force = false),
+        out)
+      spark.stop()
+
+    case "run" :: configPath :: Nil =>
+      // raw data already staged at the catalog locations
+      val cfg = GraftConfig.load(configPath)
+      val spark = session(s"graft-run-${cfg.build}", cfg)
+      Pipeline.completeCatalog(spark, cfg.catalog)
+      spark.stop()
+
+    case "run" :: configPath :: gvf :: gtf :: Nil =>
+      // explicit sources: URLs stage into the catalog's raw layout
+      val cfg = GraftConfig.load(configPath)
+      val cat = cfg.catalog
+      val spark = session(s"graft-run-${cfg.build}", cfg)
+      Pipeline.completeTo(spark,
+        resolveInput(gvf, cat.variantRawDir, cfg.overwrite),
+        resolveInput(gtf, cat.variantRawDir, cfg.overwrite),
+        effectsDir = cat.variantEffectsDir,
+        metadataDir = cat.variantMetadataDir,
+        genesDir = cat.genesDir,
+        genesDedupedDir = cat.genesDedupedDir,
+        intergenicDir = cat.intergenicDir,
+        intragenicDir = cat.intragenicDir)
       spark.stop()
 
     case other =>
       System.err.println(
         s"""unknown arguments: ${other.mkString(" ")}
            |usage:
+           |  graft.Main retrieve <url> [url...] <destDir>
            |  graft.Main process  <gvf> <gtf> <outDir>
            |  graft.Main annotate <effectsTsv> <genesTsv> <outDir>
-           |  graft.Main complete <gvf> <gtf> <outDir>""".stripMargin)
+           |  graft.Main complete <gvf|url> <gtf|url> <outDir>
+           |  graft.Main run      <config.properties> [<gvf|url> <gtf|url>]""".stripMargin)
       sys.exit(2)
   }
 }

@@ -25,7 +25,14 @@ import graft.ops.{AnnotateOps, GeneOps, VariantOps}
   */
 object Pipeline {
 
-  final case class VariantOutputs(effects: DataFrame, metadata: DataFrame)
+  /** The two variant outputs plus a handle on their shared persisted
+    * parent: callers MUST `unpersist()` once both outputs are consumed, or
+    * the 249 GB-class processed-variant intermediate stays pinned for the
+    * session. */
+  final case class VariantOutputs(
+      effects: DataFrame, metadata: DataFrame, processed: DataFrame) {
+    def unpersist(): Unit = processed.unpersist()
+  }
   final case class AnnotationOutputs(intergenic: DataFrame, intragenic: DataFrame)
 
   /** EP1 core: GVF path/glob → processed → (effects, metadata). */
@@ -34,7 +41,8 @@ object Pipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     VariantOutputs(
       effects = VariantOps.isolateEffects(processed),
-      metadata = VariantOps.isolateMetadata(processed))
+      metadata = VariantOps.isolateMetadata(processed),
+      processed = processed)
   }
 
   /** EP1 gene branch: GTF path → processed genes (+ deduped view). */
@@ -50,23 +58,47 @@ object Pipeline {
   }
 
   /** EP3: the fused complete pipeline, raw GVF + GTF in, all six outputs
-    * written under `outDir`. Single Spark job graph per output; the
-    * download/unzip stages of the reference (eggv/retrieve.py) are out of
-    * engine scope (SURVEY.md §2.1 S5/S6).
+    * written under `outDir`. Single Spark job graph per output; retrieval
+    * from URLs is the caller's staging step (graft.io.Retrieve — Main's
+    * `complete`/`retrieve` commands wire it).
     */
-  def complete(spark: SparkSession, gvfPath: String, gtfPath: String, outDir: String): Unit = {
+  def complete(spark: SparkSession, gvfPath: String, gtfPath: String, outDir: String): Unit =
+    completeTo(spark, gvfPath, gtfPath,
+      effectsDir = s"$outDir/variant-effects",
+      metadataDir = s"$outDir/variant-metadata",
+      genesDir = s"$outDir/genes",
+      genesDedupedDir = s"$outDir/genes-deduped",
+      intergenicDir = s"$outDir/intergenic",
+      intragenicDir = s"$outDir/intragenic")
+
+  /** EP3 over a `Catalog` layout (reference eggv/globe.py:64-109): raw
+    * inputs at the catalog's raw locations, outputs to its
+    * processed/annotated dirs. */
+  def completeCatalog(spark: SparkSession, cat: Catalog): Unit =
+    completeTo(spark, cat.variantRawDir, cat.geneRawFile,
+      effectsDir = cat.variantEffectsDir,
+      metadataDir = cat.variantMetadataDir,
+      genesDir = cat.genesDir,
+      genesDedupedDir = cat.genesDedupedDir,
+      intergenicDir = cat.intergenicDir,
+      intragenicDir = cat.intragenicDir)
+
+  private[graft] def completeTo(spark: SparkSession, gvfPath: String, gtfPath: String,
+      effectsDir: String, metadataDir: String, genesDir: String,
+      genesDedupedDir: String, intergenicDir: String, intragenicDir: String): Unit = {
     val variants = processVariants(spark, gvfPath)
     val genes = processGenes(spark, gtfPath).persist(StorageLevel.MEMORY_AND_DISK)
 
-    Sinks.writeTsv(variants.effects, s"$outDir/variant-effects")
-    Sinks.writeTsv(variants.metadata, s"$outDir/variant-metadata")
-    Sinks.writeTsv(genes, s"$outDir/genes")
-    Sinks.writeTsv(GeneOps.dedupGenes(genes), s"$outDir/genes-deduped")
+    Sinks.writeTsv(variants.effects, effectsDir)
+    Sinks.writeTsv(variants.metadata, metadataDir)
+    Sinks.writeTsv(genes, genesDir)
+    Sinks.writeTsv(GeneOps.dedupGenes(genes), genesDedupedDir)
 
     val ann = annotate(variants.effects, genes)
-    Sinks.writeTsv(ann.intergenic, s"$outDir/intergenic")
-    Sinks.writeTsv(ann.intragenic, s"$outDir/intragenic")
+    Sinks.writeTsv(ann.intergenic, intergenicDir)
+    Sinks.writeTsv(ann.intragenic, intragenicDir)
 
     genes.unpersist()
+    variants.unpersist()
   }
 }

@@ -1,0 +1,86 @@
+package graft.io
+
+import java.io.{BufferedInputStream, BufferedOutputStream, FileOutputStream, InputStream}
+import java.net.URI
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.GZIPInputStream
+
+/** Feature-build retrieval: the driver-side counterpart of the engine's
+  * scans, mirroring the reference's download/decompress stage
+  * (eggv/retrieve.py:24-46 `_download`, :49-75 `_unzip`) and its EP3 wiring
+  * (eggv/pipeline.py:161-177). Plain JDK I/O on the driver — retrieval is
+  * a network-bound staging step, not a distributed computation; the
+  * downloaded files then enter the engine through `Sources`, which reads
+  * `.gz` natively, so decompression is OPTIONAL here (the reference had to
+  * gunzip because its reader required plain text).
+  *
+  * Skip-if-exists semantics: an existing destination short-circuits unless
+  * `force` — including the decompress step, where the reference only LOGS
+  * the skip and then decompresses anyway (missing early return,
+  * eggv/retrieve.py:67-71); here the skip is real.
+  */
+object Retrieve {
+
+  /** Download `url` (http/https/file) to `dest`. Returns `dest`. Existing
+    * non-empty `dest` is kept unless `force` (reference
+    * `_download_ensembl_build`, eggv/retrieve.py:78-102). Streams through a
+    * temp file + atomic move so a killed download never leaves a truncated
+    * file that a later skip-if-exists run would trust. */
+  def download(url: String, dest: String, force: Boolean = false): String = {
+    val destPath = Paths.get(dest)
+    if (!force && Files.exists(destPath) && Files.size(destPath) > 0) return dest
+    if (destPath.getParent != null) Files.createDirectories(destPath.getParent)
+    val in = new BufferedInputStream(new URI(url).toURL.openStream())
+    try writeAtomically(in, destPath) finally in.close()
+    dest
+  }
+
+  /** Decompress a `.gz` file to `dest` (default: source minus its final
+    * extension, like the reference's with_suffix('')). Existing `dest` is
+    * kept unless `force`. */
+  def gunzip(src: String, dest: Option[String] = None, force: Boolean = false): String = {
+    val out = dest.getOrElse(src.replaceAll("\\.[^./]+$", ""))
+    require(out != src, s"gunzip output would overwrite input: $src")
+    val outPath = Paths.get(out)
+    if (!force && Files.exists(outPath)) return out
+    if (outPath.getParent != null) Files.createDirectories(outPath.getParent)
+    val in = new GZIPInputStream(
+      new BufferedInputStream(Files.newInputStream(Paths.get(src))))
+    try writeAtomically(in, outPath) finally in.close()
+    out
+  }
+
+  /** Download a build file and, when it is gzipped and `decompress` is set,
+    * unzip it next to the download; returns the path the engine should
+    * read. With `decompress = false` the `.gz` path itself is returned —
+    * `Sources` reads it directly. */
+  def retrieve(url: String, destDir: String, force: Boolean = false,
+      decompress: Boolean = false): String = {
+    val name = new URI(url).getPath.split('/').last
+    require(name.nonEmpty, s"URL has no file name: $url")
+    val downloaded = download(url, s"$destDir/$name", force)
+    if (decompress && name.endsWith(".gz")) gunzip(downloaded, force = force)
+    else downloaded
+  }
+
+  /** True when the string is a URL this object can fetch (everything else
+    * is treated as a local path by callers). */
+  def isUrl(s: String): Boolean =
+    s.startsWith("http://") || s.startsWith("https://") || s.startsWith("file://")
+
+  private def writeAtomically(in: InputStream, dest: Path): Unit = {
+    val tmp = Files.createTempFile(
+      Option(dest.getParent).getOrElse(Paths.get(".")), s".${dest.getFileName}", ".part")
+    try {
+      val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile))
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally out.close()
+      Files.move(tmp, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+  }
+}
