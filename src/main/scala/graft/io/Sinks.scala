@@ -1,5 +1,10 @@
 package graft.io
 
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 
 /** TSV sinks matching the reference's writer conventions (SURVEY.md §2.2).
@@ -35,6 +40,49 @@ object Sinks {
     * for small outputs such as per-chromosome files. */
   def writeSingleTsv(df: DataFrame, dir: String): Unit =
     tsvWriter(df.coalesce(1)).csv(dir)
+
+  /** K2 at scale: partition-parallel write, then a driver-side concat of
+    * the part files (in part order) keeping one header — the reference's
+    * consolidation design (eggv/dfio.py:22-60), which preserves full write
+    * parallelism where `coalesce(1)` funnels the entire dataset through
+    * one task. The concat is a sequential byte copy: IO-bound, no
+    * parsing, no memory proportional to data size. Byte-identical to
+    * `writeSingleTsv` on the same DataFrame (coalesce(1) also merges
+    * partitions in order). Returns `outFile`. */
+  def consolidateTsv(df: DataFrame, outFile: String): String = {
+    val partsDir = outFile + ".parts"
+    writeTsv(df, partsDir)
+    val parts = Files.list(Paths.get(partsDir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.getFileName.toString)
+    val outPath = Paths.get(outFile)
+    if (outPath.getParent != null) Files.createDirectories(outPath.getParent)
+    val out = new BufferedOutputStream(Files.newOutputStream(outPath))
+    try {
+      var first = true
+      for (part <- parts) {
+        val in = new BufferedInputStream(Files.newInputStream(part))
+        try {
+          if (!first) { // skip this part's header line
+            var b = in.read()
+            while (b != -1 && b != '\n') b = in.read()
+          }
+          val buf = new Array[Byte](1 << 20)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        first = false
+      }
+    } finally out.close()
+    deleteRecursively(Paths.get(partsDir))
+    outFile
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
 
   /** Parquet sink — the scale-path output format (columnar, statistics,
     * predicate pushdown on re-read); what the TSV outputs should become
