@@ -47,4 +47,20 @@ class SimHash64Spec extends SparkSpec {
     assert(err.getMessage.contains("simhash64") ||
       err.getMessage.toLowerCase.contains("type"))
   }
+
+  test("simhash64 is reachable from SQL via GraftExtensions") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val viaSql = spark.sql(
+      "SELECT simhash64(array(xxhash64('a'), xxhash64('b'), xxhash64('a')))")
+      .as[Long].head()
+    val viaApi = Seq(Seq("a", "b", "a")).toDF("t")
+      .select(simhash64(org.apache.spark.sql.functions.transform(
+        $"t", x => org.apache.spark.sql.functions.xxhash64(x))))
+      .as[Long].head()
+    assert(viaSql == viaApi)
+    // registered catalog metadata is queryable
+    assert(spark.sql("DESCRIBE FUNCTION simhash64").collect()
+      .map(_.getString(0)).mkString("\n").contains("simhash64"))
+  }
 }
