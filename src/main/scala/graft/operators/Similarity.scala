@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType, ArrayType}
 
 import graft.functions.VectorFunctions
 
@@ -95,6 +96,113 @@ object Similarity {
     candidateIds
       .join(cRaw, Seq("neighbor_id"))
       .join(broadcast(qRaw), Seq("query_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  // ---- IVF (inverted-file) ANN --------------------------------------------
+
+  /** Dot of a vector column with a literal array (one codegen-planned fold,
+    * nothing broadcast). */
+  private def dotLit(vec: Column, u: Array[Double]): Column =
+    aggregate(zip_with(vec, lit(u), (x, w) => x.cast(DoubleType) * w),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Index of the nearest centroid by L2 (argmin ‖v−c‖² = argmin ‖c‖²−2v·c
+    * — the v·v term is constant per row). nLists literal-centroid folds per
+    * row. array_min over (distance, index) structs compares
+    * lexicographically, so ties resolve to the lower index — and the
+    * expression stays LINEAR in nLists, where the tempting
+    * reduce((a,b) => when(b<a, b).otherwise(a)) duplicates the accumulated
+    * tree twice per step: 2^nLists nodes, an analyzer OOM by 16 lists. */
+  private def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    array_min(array(centroids.zipWithIndex.map { case (c, j) =>
+      val normSq = c.map(x => x * x).sum
+      struct((lit(normSq) - lit(2.0) * dotLit(vec, c)).as("d"), lit(j).as("j"))
+    }: _*)).getField("j")
+
+  /** k-means-lite training: deterministic init (the nLists lowest-id
+    * vectors), `iters` distributed Lloyd rounds. Each round is one
+    * assignment pass + a (list, dimension)-keyed average — the only thing
+    * collected is the nLists×dim centroid model (KB-scale at any corpus
+    * size). Centroids are rounded to 1e-6 so run-to-run float-sum ordering
+    * can't perturb downstream assignments. Empty lists keep their previous
+    * centroid. Train on a sampled frame at 100 TB — centroid quality
+    * saturates long before the full corpus (pass `corpus.sample(...)`). */
+  def trainCentroids(
+      corpus: DataFrame, nLists: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var centroids = v.orderBy(col("id")).limit(nLists)
+      .select(col("v")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 1 to iters) {
+      // the argmin must be staged in its own select: co-selecting a
+      // getField-on-CaseWhen with a generator trips ExtractGenerator into
+      // re-deriving the struct type with positional field names
+      // (FIELD_NOT_FOUND `d` in `col1`,`col2`)
+      val assigned = v.select(nearestCentroid(col("v"), centroids).as("cid"), col("v"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      val stats = assigned.groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x").cast(DoubleType)).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      stats.foreach { r =>
+        val (cid, pos) = (r.getInt(0), r.getInt(1))
+        next(cid)(pos) = math.rint(r.getDouble(2) / r.getLong(3) * 1e6) / 1e6
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Centroids as a broadcastable table (list_id, centroid). */
+  private def centroidTable(spark: SparkSession, centroids: Array[Array[Double]]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(centroids.zipWithIndex.map {
+        case (c, j) => Row(j, c.toSeq)
+      }: _*),
+      StructType(Seq(StructField("cid", IntegerType, nullable = false),
+        StructField("centroid", ArrayType(DoubleType), nullable = false))))
+
+  /** IVF ANN: k-means-lite lists + nProbe-list search — the second ANN
+    * path (hyperplane LSH recall degrades on clustered real embeddings;
+    * IVF adapts its partitions to the data).
+    *
+    * Plan shape: corpus → one assignment pass (literal-centroid argmin,
+    * no shuffle) → shuffle on list id; queries × broadcast centroid table
+    * → window top-nProbe lists; candidates = probe ⋈ list (the only
+    * corpus shuffle), exact-cosine rerank → top-k. Probing nProbe of
+    * nLists lists scans ~nProbe/nLists of the corpus per query batch. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nProbe > 0 && nProbe <= nLists, s"nProbe must be in [1, $nLists]: $nProbe")
+    val spark = corpus.sparkSession
+    val centroids = trainCentroids(corpus, nLists, iters, idCol, vecCol)
+
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      nearestCentroid(col(vecCol), centroids).as("cid"))
+    val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("cid").asc)
+    val probes = qRaw.crossJoin(broadcast(centroidTable(spark, centroids)))
+      .select(col("query_id"),
+        col("cid"),
+        (aggregate(zip_with(col("centroid"), col("centroid"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v) -
+          lit(2.0) * VectorFunctions.dot(col("qv"), col("centroid"))).as("d"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "cid")
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes), Seq("cid"))
+      .join(broadcast(qRaw), Seq("query_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

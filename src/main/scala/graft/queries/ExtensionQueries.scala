@@ -266,6 +266,31 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // rows-only: IVF ANN path (k-means-lite lists, nProbe-list search,
+    // exact rerank) — the data-adaptive alternative to hyperplane LSH
+    "q_embed_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, k = 10,
+          nLists = 16, nProbe = 4, iters = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF recall against exact brute force, same gate shape as
+    // q_check_ann_recall (centroid training is deterministic: lowest-id
+    // init, rounded Lloyd updates)
+    "q_check_ann_ivf_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val ann = Similarity.ivfTopK(q, e, k = 10, nLists = 16, nProbe = 4, iters = 3)
+        .select("query_id", "neighbor_id")
+      val brute = Similarity.bruteForceTopK(q, e, k = 10)
+        .select("query_id", "neighbor_id")
+      brute.join(ann.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_brute"),
+          (coalesce(sum(col("hit")), lit(0L)) >=
+            count(lit(1)).cast(DoubleType) * 0.5).as("recall_pass"))
+    }),
+
     // ---- multimodal plumbing ---------------------------------------------
     "q_multimodal_meta" -> ((s, dir) => {
       import s.implicits._
@@ -339,6 +364,8 @@ object ExtensionQueries {
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents WHERE doc_id < 1000), p AS (SELECT doc_id, ${shingleSql("t")} AS so, ${shingleSql("tm")} AS sm FROM (SELECT doc_id, t, t[2:] AS tm FROM toks)) SELECT count(*) AS n_planted, true AS recall_pass FROM p WHERE CAST(len(list_intersect(so, sm)) AS DOUBLE) / CAST(len(so) + len(sm) - len(list_intersect(so, sm)) AS DOUBLE) >= 0.9""",
     "q_check_simhash_recall" ->
       """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
+    "q_check_ann_ivf_recall" ->
+      s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
     "q_check_ann_recall" ->
       s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
 

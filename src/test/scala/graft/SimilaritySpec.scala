@@ -54,6 +54,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK: recall vs brute force, exact cosines, bounded candidates") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(q, e, k = 10).collect()
+    val bruteSet = brute.map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val bruteCos = brute.map(r =>
+      (r.getLong(0), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    val ivf = Similarity.ivfTopK(q, e, k = 10, nLists = 16, nProbe = 4, iters = 3).collect()
+    // probing 4/16 lists must not return more than k rows per query
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) => assert(rows.length <= 10) }
+    val hits = ivf.count(r => bruteSet((r.getLong(0), r.getAs[Long]("neighbor_id"))))
+    val recall = hits.toDouble / bruteSet.size
+    assert(recall >= 0.5, s"IVF recall@10 too low: $recall")
+    // rerank is exact: any returned pair that brute force also ranked must
+    // carry the identical cosine
+    ivf.foreach { r =>
+      bruteCos.get((r.getLong(0), r.getAs[Long]("neighbor_id")))
+        .foreach(c => assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-12))
+    }
+  }
+
+  test("trainCentroids is deterministic and list-complete") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.trainCentroids(e, nLists = 8, iters = 2)
+    val b = Similarity.trainCentroids(e, nLists = 8, iters = 2)
+    assert(a.length == 8 && a.forall(_.length == 64))
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+  }
+
   test("embeddingNearDupPairs finds planted duplicates") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding").limit(50)
