@@ -84,4 +84,42 @@ object Sources {
     * documents/embeddings, `sfDir` like /root/testdata/sf0.01. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  // ---- streaming variants --------------------------------------------------
+  // Same schema/options as the batch readers over a file-source stream
+  // (`path` is a directory watched for new files — the continuous-ingest
+  // shape of the reference's per-chromosome arrival loop,
+  // eggv/pipeline.py:178-205, where files are processed as they land).
+  // The downstream operator graph is identical to batch; only source and
+  // sink differ (StreamingOps doc).
+
+  /** Streaming GVF scan: every new GVF file landing in `dir` flows through
+    * the same processing chain as the batch S1 reader. */
+  def readGvfStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(Schemas.gvf)
+      .option("sep", "\t")
+      .option("comment", "#")
+      .csv(dir)
+
+  /** Streaming GTF scan (S2's stream twin). */
+  def readGtfStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(Schemas.gtf)
+      .option("sep", "\t")
+      .option("comment", "#")
+      .csv(dir)
+
+  /** Streaming processed-variant-effects scan (S3's stream twin, same
+    * NA/"" reversal). */
+  def readProcessedVariantsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(Schemas.variantEffects)
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("comment", "#")
+      .option("nullValue", "NA")
+      .option("emptyValue", "")
+      .csv(dir)
+      .na.fill("", Seq("transcript"))
 }

@@ -40,6 +40,23 @@ object StreamingOps {
   def nanosToTimestamp(events: DataFrame): DataFrame =
     events.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
+  /** Streaming deduplication with bounded state: duplicates (same `keys`)
+    * arriving within the watermark horizon of each other collapse to the
+    * first row; state for keys older than the watermark is dropped, so
+    * memory is O(keys per horizon), not O(stream). The streaming twin of
+    * the batch dropDuplicates in VariantOps.isolateEffects (D1) — batch
+    * dedup is global, streaming dedup is exact within the horizon (a
+    * duplicate arriving later than the watermark allows would re-emit,
+    * which is the standard at-least-once ingest-dedup contract).
+    *
+    * `tsCol` must be the event-time column the watermark is defined on.
+    * Works identically on a batch frame (watermark is a no-op there and
+    * the dedup falls back to plain dropDuplicates semantics over keys). */
+  def dedupWithinWatermark(df: DataFrame, keys: Seq[String], tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Tumbling event-time window aggregation. On a stream the watermark
     * bounds state: windows older than it are finalized and dropped. */
   def windowedStats(events: DataFrame, window_ : String = "1 hour",

@@ -64,6 +64,48 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("readGvfStream: the batch GVF chain runs unchanged over a file stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gvf-stream")
+    val out = graft.io.Sources.readGvfStream(spark, dir.toString)
+    val processed = graft.ops.VariantOps.processGvf(out)
+    val query = processed.writeStream.format("memory").queryName("gvf_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // a file "lands" in the watched directory after the stream starts
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(resource("sample-hg38-chromosome-10.gvf")),
+        dir.resolve("chromosome-10.gvf"))
+      query.processAllAvailable()
+      val streamed = spark.table("gvf_stream").collect().map(_.toString).sorted
+      val batch = graft.ops.VariantOps.processGvf(
+        graft.io.Sources.readGvf(spark, resource("sample-hg38-chromosome-10.gvf")))
+        .collect().map(_.toString).sorted
+      assert(streamed.nonEmpty && streamed.sameElements(batch))
+    } finally query.stop()
+  }
+
+  test("dedupWithinWatermark: duplicates in horizon collapse, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val deduped = StreamingOps.dedupWithinWatermark(
+      mem.toDF(), Seq("user_id", "event_type"), "ts", "30 minutes")
+    val query = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1L, ts(60), "click", 1.0),
+        Event(1L, ts(61), "click", 99.0), // dup key within horizon → dropped
+        Event(2L, ts(62), "click", 2.0))
+      query.processAllAvailable()
+      mem.addData(Event(1L, ts(65), "click", 98.0)) // still within horizon
+      query.processAllAvailable()
+      val rows = spark.table("dedup_stream")
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[String]("event_type"), r.getAs[Double]("value"))).toSet
+      assert(rows == Set((1L, "click", 1.0), (2L, "click", 2.0)))
+    } finally query.stop()
+  }
+
   test("sessionize (streaming): event-time timeout closes sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
