@@ -107,22 +107,20 @@ object TextFunctions {
         i => array_join(slice(toks, i + 1, lit(n)), " "))))
   }
 
-  /** 64-bit shingle hashes from a MATERIALIZED token-hash array column,
-    * without building shingle strings: each shingle hash is the hash of an
-    * n-long slice of the token-hash array. Equivalent to hashing the
-    * shingle strings (distinct n-grams ↦ distinct hashes w.h.p.) at a
-    * fraction of the allocation. Pass an attribute, not a nested
-    * expression — `th` is referenced several times and lambda expressions
-    * defeat subexpression elimination. Same short-doc rule as `shingles`:
-    * ≤ n tokens → one whole-array hash. */
-  def shingleHashesFrom(th: Column, n: Int): Column = {
-    val count = greatest(size(th) - lit(n - 1), lit(1))
-    when(size(th) <= n, array(xxhash64(th))).otherwise(
-      array_distinct(transform(sequence(lit(0), count - 1),
-        i => xxhash64(slice(th, i + 1, lit(n))))))
-  }
+  /** 64-bit shingle hashes from a token-hash array column, without
+    * building shingle strings: each shingle hash is the hash of an n-long
+    * slice of the token-hash array (distinct, keep-first order; ≤ n tokens
+    * → one whole-array hash). Native codegen'd kernel — bit-identical to
+    * the built-in `array_distinct(transform(sequence, i =>
+    * xxhash64(slice(th, i+1, n))))` formulation it replaces (parity test
+    * in TextFunctionsSpec), minus the interpreted lambda evaluation. */
+  def shingleHashesFrom(th: Column, n: Int): Column =
+    graft.expressions.NativeText.shingleHashes(th, n)
 
-  /** Token-hash array (one xxhash64 per whitespace token). */
+  /** Token-hash array (one xxhash64 per whitespace token). Native kernel:
+    * hashes each token's byte slice in place — no per-token string
+    * allocation, no interpreted lambdas; bit-identical to
+    * `transform(tokens(text), xxhash64)` (parity test). */
   def tokenHashes(text: Column): Column =
-    transform(tokens(text), t => xxhash64(t))
+    graft.expressions.NativeText.tokenHashes(text)
 }

@@ -26,6 +26,11 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Session shuffle parallelism — the probe-side repartition width for
+    * the pair-generating self-joins below. */
+  private def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
   /** Exact-content duplicate groups: md5-keyed, deterministic min-id keeper.
     * One shuffle on the 16-byte digest, map-side partial agg. */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -42,16 +47,13 @@ object Dedup {
   /** MinHash signature from a column of pre-hashed shingles (array<long>):
     * k minima of xxhash64(seed, baseHash). Hashing the 8-byte base hash
     * per seed instead of re-hashing the shingle string makes the k-fold
-    * cost independent of shingle length; xxhash64(seed, h) per seed — no
-    * long arithmetic, so ANSI overflow semantics can't bite.
-    *
-    * IMPORTANT: pass an *attribute* (a materialized column), not a nested
-    * expression — lambda-bearing expressions defeat Catalyst's
-    * subexpression elimination, so a nested shingle expression would be
-    * re-evaluated k times per row (measured 40× slowdown). */
+    * cost independent of shingle length. Native codegen'd kernel —
+    * bit-identical to the built-in `array((0 until k).map(i =>
+    * array_min(transform(hs, h => xxhash64(lit(i), h)))))` it replaces
+    * (parity test in TextFunctionsSpec), computing all k minima in one
+    * O(k·m) primitive pass instead of k interpreted lambda traversals. */
   def minhashSignatureFromHashes(shingleHashes: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingleHashes, h => xxhash64(lit(i), h)))): _*)
+    graft.expressions.NativeText.minhashSignature(shingleHashes, k)
 
   /** MinHash signature straight from text (convenience; for hot paths
     * materialize shingle hashes once and use minhashSignatureFromHashes). */
@@ -103,7 +105,9 @@ object Dedup {
       .select(col("doc_id"), explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
 
-    val candidates = bucketed.as("a")
+    // probe side repartitioned for the same reason as simhashNearDupPairs:
+    // a broadcast self-join streams at the scan's (tiny) partition count
+    val candidates = bucketed.repartition(shufflePartitions(df)).as("a")
       .join(bucketed.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -131,7 +135,7 @@ object Dedup {
     * except empty documents now yield simhash 0 instead of dropping out. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("hs"))
+        TextFunctions.tokenHashes(col(textCol)).as("hs"))
       .select(col("doc_id"), SimHash64.simhash64(col("hs")).as("simhash"))
 
   /** SimHash near-dup pairs: pigeonhole blocking — split the 64 bits into
@@ -159,15 +163,30 @@ object Dedup {
           shiftright(col("simhash"), lo(c)).bitwiseAND(lit(mask)).as("v"))
       }: _*)).as("cb"))
       .select(col("doc_id"), col("simhash"), col("cb.chunk"), col("cb.v"))
-    chunked.as("a")
+    // Pair-join scale guards, measured on sf0.1 at maxHamming=6 (25M
+    // candidate pairs; top chunk buckets hold 4k docs = 8M pairs each):
+    //  - hamming is computed and filtered in the join projection — both
+    //    hashes are on the joined row, so the codegen'd bit_count runs
+    //    over the candidate stream and only survivors shuffle further
+    //    (Catalyst pushes the filter into the join condition);
+    //  - the PROBE side is round-robin repartitioned: on small inputs
+    //    Spark picks a broadcast hash join whose streamed side inherits
+    //    the scan's partitioning — a single small parquet file = 1-2
+    //    partitions = the whole O(Σ bucket²) pair generation on 1-2
+    //    cores (measured 6.3s -> 1.6s at sf0.1 from this alone). A plain
+    //    repartition also spreads hot buckets' rows evenly, where a
+    //    (chunk, v) hash partitioning would concentrate their quadratic
+    //    work. At cluster scale the join degrades to sort-merge and AQE's
+    //    skew split takes over; the extra shuffle is chunk-stream-sized.
+    val probe = chunked.repartition(shufflePartitions(df))
+    probe.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .select("id_a", "id_b", "hamming")
   }
 
@@ -216,7 +235,10 @@ object Dedup {
     // higher-order functions are CodegenFallback — and built per-key arrays
     // that AQE can't split; a join key is skew-handled for free).
     val kept = postings.join(broadcast(stopShingles), Seq("sh"), "left_anti")
-    val shared = kept.as("a")
+    // probe side repartitioned: when the posting stream fits under the
+    // broadcast threshold, the self-join streams at the scan's (tiny)
+    // partition count and pair generation serializes on 1-2 cores
+    val shared = kept.repartition(shufflePartitions(df)).as("a")
       .join(kept.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

@@ -23,27 +23,21 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
-  /** Embedding dimensionality, from one non-null row (tiny driver-side
-    * peek; the plans bake the dimension into literal hyperplanes). Empty
-    * input → 0 (downstream plans then run over zero rows, harmlessly). */
-  private def vectorDim(df: DataFrame, vecCol: String): Int =
-    df.filter(col(vecCol).isNotNull).select(size(col(vecCol)))
-      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
-
   /** Shared LSH banding: explode `df` into one row per (band, bucket),
     * where each band's bucket is `bitsPerBand` hyperplane sign bits (seeds
     * partitioned per band so bands are independent). Single definition so
-    * the two candidate-generation paths can never drift apart. */
+    * the two candidate-generation paths can never drift apart. Buckets
+    * come from the native HyperplaneBuckets kernel — one codegen'd
+    * primitive loop per row with on-the-fly plane generation (the earlier
+    * literal-plane lambda folds ran interpreted and shipped ~1 MiB of
+    * plane literals in every task binary). */
   private def bandBucketed(df: DataFrame, idAs: String, vecAs: String,
-      bands: Int, bitsPerBand: Int, dim: Int): DataFrame = {
-    val sigs = array((0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        (0 until bitsPerBand).map(i =>
-          VectorFunctions.hyperplaneSignBit(col(vecAs), b * bitsPerBand + i, dim)
-            .cast("long") * lit(1L << i)).reduce(_ + _).as("bucket"))): _*)
-    df.withColumn("bb", explode(sigs))
-      .select(col(idAs), col(vecAs), col("bb.band"), col("bb.bucket"))
-  }
+      bands: Int, bitsPerBand: Int): DataFrame =
+    df.select(col(idAs), col(vecAs),
+        graft.expressions.HyperplaneBuckets
+          .hyperplaneBuckets(col(vecAs), bands, bitsPerBand).as("bks"))
+      .select(col(idAs), col(vecAs),
+        posexplode(col("bks")).as(Seq("band", "bucket")))
 
   /** Exact top-k neighbors (cosine) of each query vector. `queries` is
     * broadcast — callers keep it small (it's the per-batch probe set). */
@@ -76,15 +70,14 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int,
       bands: Int = 16, bitsPerBand: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = vectorDim(corpus, vecCol)
     val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val cRaw = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     // candidate generation on ids only: the dedup shuffle carries two longs
     // per row, not embedding vectors; vectors rejoin after (corpus side by
     // id, query side broadcast)
-    val q = bandBucketed(qRaw, "query_id", "qv", bands, bitsPerBand, dim)
+    val q = bandBucketed(qRaw, "query_id", "qv", bands, bitsPerBand)
       .select("query_id", "band", "bucket")
-    val c = bandBucketed(cRaw, "neighbor_id", "cv", bands, bitsPerBand, dim)
+    val c = bandBucketed(cRaw, "neighbor_id", "cv", bands, bitsPerBand)
       .select("neighbor_id", "band", "bucket")
     val candidateIds = c.join(broadcast(q), Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -215,14 +208,18 @@ object Similarity {
       df: DataFrame, threshold: Double,
       bands: Int = 8, bitsPerBand: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = vectorDim(df, vecCol)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // self-join on identical bucketing subplans → Spark's ReusedExchange
     // computes the signature shuffle once; candidate ids only (two longs
     // per row through the pair shuffle/distinct), vectors rejoin after
-    val bucketedDf = bandBucketed(base, "id", "v", bands, bitsPerBand, dim)
+    val bucketedDf = bandBucketed(base, "id", "v", bands, bitsPerBand)
       .select("id", "band", "bucket")
-    val pairIds = bucketedDf.as("a")
+    // probe side repartitioned: a broadcast self-join otherwise streams at
+    // the scan's partition count (1-2 on a small parquet file) and the
+    // per-bucket quadratic pair generation serializes (Dedup has the
+    // measured numbers for the same shape)
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val pairIds = bucketedDf.repartition(nPart).as("a")
       .join(bucketedDf.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))

@@ -48,4 +48,45 @@ class TextFunctionsSpec extends SparkSpec {
     val h2 = df.select(TF.fingerprint64($"text")).as[Long].head()
     assert(h1 == h2)
   }
+
+  test("native TokenHashes matches transform(tokens, xxhash64) bit for bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .union(Seq("", "  ", "one", " a\tb\nc  d ", "x \u00e9\u00fc tail").toDF("text"))
+    val builtin = transform(TF.tokens($"text"), t => xxhash64(t))
+    val diff = docs
+      .select(TF.tokenHashes($"text").as("nat"), builtin.as("ref"))
+      .filter(not($"nat" <=> $"ref")).count()
+    assert(diff == 0)
+  }
+
+  test("native ShingleHashes matches the slice-hash formulation bit for bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .union(Seq("", "a", "a b", "a b c", "a b c d", "a b a b a b").toDF("text"))
+      .select(TF.tokenHashes($"text").as("th"))
+    val count = greatest(size($"th") - lit(2), lit(1))
+    val builtin = when(size($"th") <= 3, array(xxhash64($"th"))).otherwise(
+      array_distinct(transform(sequence(lit(0), count - 1),
+        i => xxhash64(slice($"th", i + 1, lit(3))))))
+    val diff = docs
+      .select(TF.shingleHashesFrom($"th", 3).as("nat"), builtin.as("ref"))
+      .filter(not($"nat" <=> $"ref")).count()
+    assert(diff == 0)
+  }
+
+  test("native MinHashSignature matches the k array_min transforms bit for bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").union(Seq("", "a b c d e").toDF("text"))
+      .select(TF.tokenHashes($"text").as("th"))
+      .select(TF.shingleHashesFrom($"th", 3).as("hs"))
+    val k = 8
+    val builtin = array((0 until k).map(i =>
+      array_min(transform($"hs", h => xxhash64(lit(i), h)))): _*)
+    val diff = docs
+      .select(graft.expressions.NativeText.minhashSignature($"hs", k).as("nat"),
+        builtin.as("ref"))
+      .filter(not($"nat" <=> $"ref")).count()
+    assert(diff == 0)
+  }
 }
