@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.SimHash64
+import graft.expressions.{HyperplaneBuckets, MinHashSignature, ShingleHashes, SimHash64, TokenHashes}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions with the SQL function registry, so SQL-only users (and
@@ -28,20 +28,63 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def arity(name: String, children: Seq[Expression], n: Int): Unit =
+    require(children.length == n,
+      s"$name takes exactly $n argument(s), got ${children.length}")
+
+  /** Extract a compile-time int parameter (k, n, bands...) from a SQL
+    * argument — must be a foldable integer expression. */
+  private def intArg(name: String, e: Expression): Int = {
+    require(e.foldable && (e.dataType == org.apache.spark.sql.types.IntegerType),
+      s"$name expects a literal integer parameter, got: $e")
+    e.eval().asInstanceOf[Int]
+  }
+
+  private def info(clazz: Class[_], name: String, usage: String, example: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, example)
+
   /** The registration triples, shared by both injection routes. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, null, "simhash64",
+      info(classOf[SimHash64], "simhash64",
         "simhash64(array<bigint>) - 64-bit SimHash of an array of 64-bit " +
           "token hashes: bit b of the result is set iff the majority of " +
           "elements set bit b (ties clear; nulls ignored; empty -> 0).",
         "SELECT simhash64(array(xxhash64('a'), xxhash64('b')))"),
-      (children: Seq[Expression]) => {
-        require(children.length == 1,
-          s"simhash64 takes exactly 1 argument, got ${children.length}")
-        SimHash64(children.head)
-      }))
+      (c: Seq[Expression]) => { arity("simhash64", c, 1); SimHash64(c.head) }),
+
+    (new FunctionIdentifier("token_hashes"),
+      info(classOf[TokenHashes], "token_hashes",
+        "token_hashes(string) - xxhash64 of each whitespace-separated " +
+          "token (bit-identical to transform(tokens, xxhash64)).",
+        "SELECT token_hashes('a b c')"),
+      (c: Seq[Expression]) => { arity("token_hashes", c, 1); TokenHashes(c.head) }),
+
+    (new FunctionIdentifier("shingle_hashes"),
+      info(classOf[ShingleHashes], "shingle_hashes",
+        "shingle_hashes(array<bigint>, n) - distinct n-gram shingle " +
+          "hashes of a token-hash array; <= n tokens -> one whole-array hash.",
+        "SELECT shingle_hashes(token_hashes('a b c d'), 3)"),
+      (c: Seq[Expression]) => { arity("shingle_hashes", c, 2)
+        ShingleHashes(c.head, intArg("shingle_hashes", c(1))) }),
+
+    (new FunctionIdentifier("minhash_signature"),
+      info(classOf[MinHashSignature], "minhash_signature",
+        "minhash_signature(array<bigint>, k) - k-minima MinHash signature " +
+          "over shingle hashes (seeds 0..k-1).",
+        "SELECT minhash_signature(shingle_hashes(token_hashes('a b c d'), 3), 16)"),
+      (c: Seq[Expression]) => { arity("minhash_signature", c, 2)
+        MinHashSignature(c.head, intArg("minhash_signature", c(1))) }),
+
+    (new FunctionIdentifier("hyperplane_buckets"),
+      info(classOf[HyperplaneBuckets], "hyperplane_buckets",
+        "hyperplane_buckets(array<float|double>, bands, bitsPerBand) - " +
+          "LSH band bucket keys from random-hyperplane sign bits.",
+        "SELECT hyperplane_buckets(array(1.0D, 2.0D), 8, 8)"),
+      (c: Seq[Expression]) => { arity("hyperplane_buckets", c, 3)
+        HyperplaneBuckets(c.head, intArg("hyperplane_buckets", c(1)),
+          intArg("hyperplane_buckets", c(2))) }))
 
   /** Register on a live session (the builder-config route only applies to
     * sessions built after the config is set). */

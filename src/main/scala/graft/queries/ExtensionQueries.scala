@@ -82,6 +82,16 @@ object ExtensionQueries {
         .select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // BPE-ish subword proxy vs whitespace tokens (tokens-per-word signal).
+    // The Spark side splits on alnum/non-alnum boundaries (lookaround
+    // regex); RE2 has no lookaround, so the oracle recomputes the same
+    // count arithmetically: alnum runs + non-alnum-non-space chars.
+    "q_bpe_token_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          TF.tokenCount(col("text")).as("n_ws_tokens"))
+        .orderBy("doc_id")),
+
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TF.fingerprint(col("text")).as("content_hash"),
@@ -292,6 +302,17 @@ object ExtensionQueries {
     }),
 
     // ---- multimodal plumbing ---------------------------------------------
+    // video-style frame sampling: one row per fixed-size byte window of
+    // the payload, sliced with pure Catalyst substr + posexplode
+    "q_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents")).toDF()
+      Multimodal.frameSample(media, frameBytes = 64)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame")).as("n_frame_bytes"),
+          md5(col("frame")).as("frame_hash"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     "q_multimodal_meta" -> ((s, dir) => {
       import s.implicits._
       val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
@@ -370,6 +391,14 @@ object ExtensionQueries {
       s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
 
     "q_multimodal_meta" ->
-      """SELECT doc_id AS media_id, 'fake/blob' AS kind, octet_length(encode(text)) AS n_bytes, 1 + (octet_length(encode(text)) % 1024) AS width, 1 + (octet_length(encode(text)) % 768) AS height FROM documents ORDER BY media_id"""
+      """SELECT doc_id AS media_id, 'fake/blob' AS kind, octet_length(encode(text)) AS n_bytes, 1 + (octet_length(encode(text)) % 1024) AS width, 1 + (octet_length(encode(text)) % 768) AS height FROM documents ORDER BY media_id""",
+
+    // frame windows recomputed with character substrings — the documents
+    // text is pure ASCII (verified), so char slicing equals byte slicing
+    "q_frame_sample" ->
+      """WITH f AS (SELECT doc_id AS media_id, i - 1 AS frame_idx, substring(text, (i - 1) * 64 + 1, 64) AS frame FROM documents, unnest(generate_series(1, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS t(i) WHERE length(text) > 0) SELECT media_id, frame_idx, length(frame) AS n_frame_bytes, md5(frame) AS frame_hash FROM f ORDER BY media_id, frame_idx""",
+
+    "q_bpe_token_count" ->
+      s"""SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_bpe_tokens, len($tokensSql) AS n_ws_tokens FROM documents ORDER BY doc_id"""
   )
 }

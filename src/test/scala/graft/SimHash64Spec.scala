@@ -63,4 +63,25 @@ class SimHash64Spec extends SparkSpec {
     assert(spark.sql("DESCRIBE FUNCTION simhash64").collect()
       .map(_.getString(0)).mkString("\n").contains("simhash64"))
   }
+
+  test("all native kernels are reachable from SQL") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val th = spark.sql("SELECT token_hashes('a b c d')").as[Seq[Long]].head()
+    assert(th.length == 4)
+    val sh = spark.sql("SELECT shingle_hashes(token_hashes('a b c d'), 3)")
+      .as[Seq[Long]].head()
+    assert(sh.length == 2)
+    val mh = spark.sql("SELECT minhash_signature(shingle_hashes(token_hashes('a b c d'), 3), 16)")
+      .as[Seq[Long]].head()
+    assert(mh.length == 16)
+    val hb = spark.sql("SELECT hyperplane_buckets(array(CAST(1.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 8, 8)")
+      .as[Seq[Long]].head()
+    assert(hb.length == 8)
+    // non-literal int parameter is rejected with a clear error
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array(1L), CAST(rand() * 4 AS INT))").collect()
+    }
+    assert(err.getMessage.contains("literal integer"))
+  }
 }
