@@ -190,6 +190,58 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS (minhash/simhash/ngram/embedding output) into
+    * dedup CLUSTERS with a canonical keeper (the component's min id).
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint — each round
+    * every vertex takes the min label among itself and its neighbors
+    * (label rows flow along edges in both directions, then a min-agg per
+    * vertex). Rounds = graph diameter; near-dup graphs are shallow (dup
+    * clusters are cliques-ish), so 2-4 rounds typical. Each round is one
+    * join + one partial-agg shuffle on vertex id.
+    *
+    * Every round's result is EAGERLY localCheckpoint'ed: `labels` feeds
+    * its successor twice (directly and via the edge join), so an
+    * un-truncated lineage doubles per round — 2^rounds plan nodes, a
+    * planner OOM by depth ~12. Checkpointing makes each round's plan
+    * depth-1; the previous round's blocks are freed once the new round is
+    * materialized. (On a cluster, lost blocks of a localCheckpoint can't
+    * be recomputed — long jobs that need that durability should set a
+    * reliable checkpoint dir; same tradeoff as GraphFrames' CC.)
+    *
+    * Output: (id, component) — component = min id reachable; isolated
+    * vertices of `vertices` keep their own id. Deterministic. */
+  def connectedComponents(
+      edges: DataFrame, vertices: DataFrame,
+      idCol: String = "id", aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    // symmetric edge list, ids only
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaEdges = labels.join(sym, col("id") === col("src"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(viaEdges)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true) // eager: materializes + truncates lineage
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+
   /** Exact n-gram Jaccard pairs via inverted index (no LSH approximation):
     * count doc frequency per shingle, drop stop shingles (df > maxDocFreq),
     * group surviving postings by shingle hash, emit doc pairs inside each

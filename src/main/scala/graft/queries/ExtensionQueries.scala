@@ -148,6 +148,22 @@ object ExtensionQueries {
           shingleN = 3, minJaccard = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // near-dup pairs → dedup clusters: connected components with min-id
+    // canonical keeper, over an exact-Jaccard edge set the oracle can
+    // recompute (DuckDB recursive CTE transitive closure)
+    "q_near_dup_clusters" -> ((s, dir) => {
+      val corpus = docsWithNearDupsFrom(
+        t(s, dir, "documents").filter(col("doc_id") < 40).select("doc_id", "text"))
+      val d = corpus.select(col("doc_id"), array_distinct(TF.tokens(col("text"))).as("toks"))
+      val shared = size(array_intersect(col("a.toks"), col("b.toks")))
+      val edges = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .filter(shared.cast(DoubleType) /
+          (size(col("a.toks")) + size(col("b.toks")) - shared).cast(DoubleType) >= 0.5)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.connectedComponents(edges, corpus.select("doc_id"), idCol = "doc_id")
+        .orderBy("id")
+    }),
+
     // ---- hash-operator invariant gates (each oracle-bearing) -------------
     // LSH precision: every pair the MinHash pipeline emits must also pass
     // the INDEPENDENT string-shingle exact Jaccard at the same threshold.
@@ -375,6 +391,11 @@ object ExtensionQueries {
     // 0.999, so the LSH path must emit exactly this set.
     "q_embed_near_dup" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 100000, embedding FROM embeddings), n AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM corpus) SELECT id_a, id_b, cosine FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dotSql("a.embedding", "b.embedding")} / nullif(a.nrm * b.nrm, 0) AS cosine FROM n a JOIN n b ON a.vec_id < b.vec_id) WHERE cosine >= 0.999 ORDER BY id_a, id_b""",
+
+    // connected components recomputed as a recursive-CTE transitive
+    // closure over the same exact-Jaccard edge set
+    "q_near_dup_clusters" ->
+      s"""WITH RECURSIVE corpus AS (SELECT doc_id, $tokensSql AS toks FROM documents WHERE doc_id < 40 UNION ALL SELECT doc_id + 1000000, ($tokensSql)[2:] FROM documents WHERE doc_id < 40), d AS (SELECT doc_id, list_distinct(toks) AS toks FROM corpus), e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM d a JOIN d b ON a.doc_id != b.doc_id AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.5), reach(id, label) AS (SELECT doc_id, doc_id FROM d UNION SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id) SELECT id, min(label) AS component FROM reach GROUP BY id ORDER BY id""",
 
     // invariant gates: precision/recall violations are empty sets or
     // boolean flags; counts are genuinely recomputed in SQL, pass flags

@@ -57,4 +57,21 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("connectedComponents: chain, pair, isolated vertex") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val cc = Dedup.connectedComponents(edges, vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 2)") {
+    val n = 12L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val vertices = (1L to n).toDF("id")
+    val cc = Dedup.connectedComponents(edges, vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet == Set(1L) && cc.size == n)
+  }
 }
