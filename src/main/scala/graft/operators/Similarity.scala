@@ -97,24 +97,16 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN --------------------------------------------
 
-  /** Dot of a vector column with a literal array (one codegen-planned fold,
-    * nothing broadcast). */
-  private def dotLit(vec: Column, u: Array[Double]): Column =
-    aggregate(zip_with(vec, lit(u), (x, w) => x.cast(DoubleType) * w),
-      lit(0.0), (acc, v) => acc + v)
-
   /** Index of the nearest centroid by L2 (argmin ‖v−c‖² = argmin ‖c‖²−2v·c
-    * — the v·v term is constant per row). nLists literal-centroid folds per
-    * row. array_min over (distance, index) structs compares
-    * lexicographically, so ties resolve to the lower index — and the
-    * expression stays LINEAR in nLists, where the tempting
-    * reduce((a,b) => when(b<a, b).otherwise(a)) duplicates the accumulated
-    * tree twice per step: 2^nLists nodes, an analyzer OOM by 16 lists. */
+    * — the v·v term is constant per row); ties → lower index. Native
+    * codegen'd kernel (graft.expressions.NearestCentroid): the built-in
+    * array_min-over-struct formulation evaluated nLists interpreted
+    * zip_with folds per row and re-embedded the centroid matrix as plan
+    * literals in every Lloyd round's job. (A when-chain reduce is worse
+    * still — it doubles the expression tree per centroid: 2^nLists nodes,
+    * an analyzer OOM by 16 lists.) */
   private def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
-    array_min(array(centroids.zipWithIndex.map { case (c, j) =>
-      val normSq = c.map(x => x * x).sum
-      struct((lit(normSq) - lit(2.0) * dotLit(vec, c)).as("d"), lit(j).as("j"))
-    }: _*)).getField("j")
+    graft.expressions.NearestCentroid.nearestCentroid(vec, centroids)
 
   /** k-means-lite training: deterministic init (the nLists lowest-id
     * vectors), `iters` distributed Lloyd rounds. Each round is one

@@ -297,7 +297,7 @@ object ExtensionQueries {
     "q_embed_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, k = 10,
-          nLists = 16, nProbe = 4, iters = 2)
+          nLists = 16, nProbe = 4, iters = 1)
         .orderBy("query_id", "rank")
     }),
 
@@ -307,7 +307,7 @@ object ExtensionQueries {
     "q_check_ann_ivf_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 20)
-      val ann = Similarity.ivfTopK(q, e, k = 10, nLists = 16, nProbe = 4, iters = 2)
+      val ann = Similarity.ivfTopK(q, e, k = 10, nLists = 16, nProbe = 4, iters = 1)
         .select("query_id", "neighbor_id")
       val brute = Similarity.bruteForceTopK(q, e, k = 10)
         .select("query_id", "neighbor_id")
