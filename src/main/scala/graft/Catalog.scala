@@ -13,6 +13,11 @@ final case class Catalog(baseDir: String, build: String = "hg38") {
   // raw inputs (eggv/globe.py:64-71)
   def variantRawDir: String = d(build, "raw", "variants")
   def geneRawFile: String = d(build, "raw", "genes")
+  /** Same location as `geneRawFile`, read as a directory: URL staging drops
+    * the fetched GTF inside it, and the scan globs the directory — so a
+    * staged `run <config> <gvf> <gtf>` and a pre-staged catalog `run
+    * <config>` read identical layouts. */
+  def geneRawDir: String = geneRawFile
 
   // processed intermediates (eggv/globe.py:85-103)
   def variantEffectsDir: String = d(build, "processed", "variant-effects")

@@ -25,7 +25,10 @@ object Main {
 
   def session(appName: String, config: GraftConfig = GraftConfig.default): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", config.cores.toString)
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_CPUS", config.shufflePartitions.toString)
+    // dedicated env var; falls back to the cpus value (local-mode default:
+    // one shuffle partition per core) and only then to the config file
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", config.shufflePartitions.toString))
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
@@ -92,7 +95,7 @@ object Main {
       val spark = session(s"graft-run-${cfg.build}", cfg)
       Pipeline.completeTo(spark,
         resolveInput(gvf, cat.variantRawDir, cfg.overwrite),
-        resolveInput(gtf, cat.variantRawDir, cfg.overwrite),
+        resolveInput(gtf, cat.geneRawDir, cfg.overwrite),
         effectsDir = cat.variantEffectsDir,
         metadataDir = cat.variantMetadataDir,
         genesDir = cat.genesDir,

@@ -27,7 +27,9 @@ object TextFunctions {
     * vocab count (ratio vs whitespace tokens ~ tokens-per-word). */
   def bpeTokenCount(text: Column): Column =
     size(filter(split(text, """(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"""),
-      t => trim(t) =!= ""))
+      // keep pieces containing any non-whitespace char: trim() strips only
+      // ' ' (0x20), so tab/newline pieces would be miscounted as tokens
+      t => t.rlike("\\S")))
 
   /** Stopword sets for the n-gram/stopword language heuristic. Tiny on
     * purpose: language ID at pipeline scale wants a broadcastable constant,

@@ -120,9 +120,15 @@ object Similarity {
       corpus: DataFrame, nLists: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
     val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // element type follows the column (float or double — the NearestCentroid
+    // kernel accepts both), so match on the runtime value
     var centroids = v.orderBy(col("id")).limit(nLists)
       .select(col("v")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: java.lang.Number => n.doubleValue()
+      }.toArray)
     for (_ <- 1 to iters) {
       // the argmin must be staged in its own select: co-selecting a
       // getField-on-CaseWhen with a generator trips ExtractGenerator into

@@ -75,6 +75,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK accepts array<double> embeddings (trainCentroids must not assume float)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("embedding"))
+    val q = e.filter($"vec_id" < 3)
+    val top = Similarity.ivfTopK(q, e, k = 5, nLists = 4, nProbe = 2, iters = 1).collect()
+    assert(top.nonEmpty)
+    top.groupBy(_.getLong(0)).foreach { case (_, rows) => assert(rows.length <= 5) }
+  }
+
   test("trainCentroids is deterministic and list-complete") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = Similarity.trainCentroids(e, nLists = 8, iters = 2)

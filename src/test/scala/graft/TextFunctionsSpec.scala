@@ -40,6 +40,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getAs[Double]("alpha_ratio") == 4.0 / 8)
   }
 
+  test("bpeTokenCount drops ALL whitespace pieces (tab/newline, not just space)") {
+    // pieces after boundary split: alnum runs + single non-alnum chars;
+    // whitespace of any kind must not count as a token (the DuckDB oracle
+    // counts alnum runs + non-alnum-non-\s chars)
+    val df = Seq(
+      "a\tb",        // runs a,b; tab dropped -> 2
+      "a.b\nc",      // runs a,b,c + '.'; newline dropped -> 4
+      "x  y\r\n z"   // runs x,y,z; all whitespace dropped -> 3
+    ).toDF("text")
+    val counts = df.select(TF.bpeTokenCount($"text")).as[Int].collect().toSeq
+    assert(counts == Seq(2, 4, 3))
+  }
+
   test("fingerprint is md5 hex; fingerprint64 deterministic") {
     val df = Seq("abc").toDF("text")
     assert(df.select(TF.fingerprint($"text")).as[String].head() ==
