@@ -138,23 +138,40 @@ object Dedup {
         TextFunctions.tokenHashes(col(textCol)).as("hs"))
       .select(col("doc_id"), SimHash64.simhash64(col("hs")).as("simhash"))
 
-  /** SimHash near-dup pairs: pigeonhole blocking — split the 64 bits into
-    * maxHamming+1 chunks, so any pair within the hamming budget must agree
-    * exactly on at least one chunk; then verify with bit_count(xor).
-    * Large maxHamming degrades to many narrow chunks whose buckets collide
-    * heavily — keep the budget small (that is also what makes simhash
-    * near-dup semantically meaningful). */
+  /** SimHash near-dup pairs. Two blocking regimes, both of which only ever
+    * join on EXACT 16-bit-or-wider keys (≥ 65k buckets), so candidate
+    * counts stay ~n²/2¹⁶ per block — the shape that survives 100×:
+    *
+    *  - `maxHamming ≤ 3`: pigeonhole — split the 64 bits into maxHamming+1
+    *    chunks (width ≥ 16); a pair within budget must agree exactly on
+    *    some chunk.
+    *  - `maxHamming ≥ 4`: multi-index blocking (the rotate-and-probe design
+    *    of Hamming-space multi-index hashing, cf. Norouzi et al., "Fast
+    *    Search in Hamming Space with Multi-Index Hashing", CVPR 2012): 4
+    *    chunks of 16 bits with per-chunk budget b = maxHamming/4 — if every
+    *    chunk disagreed in > b bits the total would exceed 4(b+1) >
+    *    maxHamming, so some chunk is within b; the PROBE side expands each
+    *    chunk value to its ≤ b-bit-flip neighborhood (Σᵢ≤b C(16,i) keys:
+    *    17 at b=1, 137 at b=2) and meets the index side on an exact key.
+    *    Probe-row amplification is a constant factor on a narrow (id,
+    *    chunk, key) stream; bucket occupancy stays n/2¹⁶ — unlike the
+    *    earlier naive pigeonhole at budget 6, whose 9-bit chunks made the
+    *    candidate join O(n²/512).
+    *
+    * Verification is exact either way: bit_count(xor) ≤ maxHamming.
+    * Budgets above 15 are rejected — at that distance simhash "near-dup"
+    * is semantically meaningless and the probe neighborhoods explode. */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
-    val nChunks = maxHamming + 1
-    // partition the 64 bits into exactly nChunks non-empty chunks
-    // (widths differ by at most 1): chunk c covers [c*64/n, (c+1)*64/n)
-    def lo(c: Int) = c * 64 / nChunks
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming out of range [0, 15]: $maxHamming")
     // self-join on identical chunk subplans → ReusedExchange computes the
     // simhash aggregation once; no persist needed
     val sigs = simhash(df, idCol, textCol)
+    val (nChunks, budget) =
+      if (maxHamming <= 3) (maxHamming + 1, 0) else (4, maxHamming / 4)
+    def lo(c: Int) = c * 64 / nChunks
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until nChunks).map { c =>
         val w = lo(c + 1) - lo(c)
@@ -163,8 +180,19 @@ object Dedup {
           shiftright(col("simhash"), lo(c)).bitwiseAND(lit(mask)).as("v"))
       }: _*)).as("cb"))
       .select(col("doc_id"), col("simhash"), col("cb.chunk"), col("cb.v"))
-    // Pair-join scale guards, measured on sf0.1 at maxHamming=6 (25M
-    // candidate pairs; top chunk buckets hold 4k docs = 8M pairs each):
+    // probe side: every ≤ budget-bit flip of each chunk value (budget 0 →
+    // just the value itself). Chunk widths are uniform when budget > 0
+    // (64/4 = 16), so one mask set serves all chunks.
+    val probe0 =
+      if (budget == 0) chunked
+      else {
+        val width = 64 / nChunks
+        val masks: Seq[Long] = (0 to budget).flatMap(k =>
+          (0 until width).combinations(k).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+        chunked.select(col("doc_id"), col("simhash"), col("chunk"),
+          explode(array(masks.map(m => col("v").bitwiseXOR(lit(m))): _*)).as("v"))
+      }
+    // Pair-join scale guards (measured at sf0.1):
     //  - hamming is computed and filtered in the join projection — both
     //    hashes are on the joined row, so the codegen'd bit_count runs
     //    over the candidate stream and only survivors shuffle further
@@ -178,7 +206,7 @@ object Dedup {
     //    (chunk, v) hash partitioning would concentrate their quadratic
     //    work. At cluster scale the join degrades to sort-merge and AQE's
     //    skew split takes over; the extra shuffle is chunk-stream-sized.
-    val probe = chunked.repartition(shufflePartitions(df))
+    val probe = probe0.repartition(shufflePartitions(df))
     probe.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
@@ -201,43 +229,71 @@ object Dedup {
     * clusters are cliques-ish), so 2-4 rounds typical. Each round is one
     * join + one partial-agg shuffle on vertex id.
     *
-    * Every round's result is EAGERLY localCheckpoint'ed: `labels` feeds
-    * its successor twice (directly and via the edge join), so an
-    * un-truncated lineage doubles per round — 2^rounds plan nodes, a
-    * planner OOM by depth ~12. Checkpointing makes each round's plan
-    * depth-1; the previous round's blocks are freed once the new round is
-    * materialized. (On a cluster, lost blocks of a localCheckpoint can't
-    * be recomputed — long jobs that need that durability should set a
-    * reliable checkpoint dir; same tradeoff as GraphFrames' CC.)
+    * Every round's result is checkpointed LAZILY, then materialized by the
+    * round's single convergence-count action: `labels` feeds its successor
+    * twice (directly and via the edge join), so an un-truncated lineage
+    * doubles per round — 2^rounds plan nodes, a planner OOM by depth ~12.
+    * The previous label is carried THROUGH the min-agg (`min(label) FILTER
+    * (is_self)` — each vertex contributes its own label exactly once), so
+    * convergence is a filter-count over the just-materialized blocks in the
+    * SAME job, not a second join pass per round (the round-2 shape ran two
+    * jobs per round: an eager checkpoint, then a labels-vs-prev join).
+    *
+    * `checkpointDir`: unset → `localCheckpoint` (executor-local blocks —
+    * fastest, but lost blocks are unrecoverable on a real cluster, the
+    * GraphFrames-CC tradeoff). Set → reliable `checkpoint` into that
+    * directory (survives executor loss; one extra checkpoint-write job per
+    * round, the price of durability; files accumulate for the session —
+    * point it at a job-scoped temp path).
+    *
+    * Terminates when no label changes, or after `maxIter` rounds with a
+    * WARNING — a component whose diameter exceeds `maxIter` would be
+    * silently split otherwise (min-label propagation needs diameter
+    * rounds); callers clustering pathological chain graphs should raise it.
     *
     * Output: (id, component) — component = min id reachable; isolated
     * vertices of `vertices` keep their own id. Deterministic. */
   def connectedComponents(
       edges: DataFrame, vertices: DataFrame,
       idCol: String = "id", aCol: String = "id_a", bCol: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
+    val spark = vertices.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     // symmetric edge list, ids only
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint(true)
+    var labels = truncate(vertices.select(col(idCol).as("id"), col(idCol).as("label")))
+    var prevCk = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val viaEdges = labels.join(sym, col("id") === col("src"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(viaEdges)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true) // eager: materializes + truncates lineage
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+        .select(col("dst").as("id"), col("label"), lit(false).as("is_self"))
+      val next = truncate(
+        labels.select(col("id"), col("label"), lit(true).as("is_self"))
+          .union(viaEdges)
+          .groupBy(col("id")).agg(
+            min(col("label")).as("label"),
+            min(when(col("is_self"), col("label"))).as("prev")))
+      // the ONE action per round: materializes the lazy checkpoint and
+      // reads the convergence flag off the same pass
+      val changed = next.filter(col("label") =!= col("prev")).count()
+      prevCk.unpersist()
+      prevCk = next
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents stopped at maxIter=$maxIter without converging: " +
+          "components wider than maxIter hops are SPLIT in the output; " +
+          "raise maxIter for long-chain graphs")
     sym.unpersist()
     labels.withColumnRenamed("label", "component")
   }

@@ -129,6 +129,9 @@ object ExtensionQueries {
           k = 32, bands = 8, shingleN = 3, minJaccard = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // maxHamming 6 runs on the multi-index blocking path (4×16-bit chunks,
+    // 1-bit-flip probe neighborhoods): buckets stay 2^16-wide at any
+    // budget, unlike the old pigeonhole-at-6's 9-bit chunks (O(n²/512))
     "q_simhash_near_dup" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(docsWithNearDups(s, dir), "doc_id", "text",
           maxHamming = 6)
