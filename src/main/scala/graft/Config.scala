@@ -22,7 +22,8 @@ final case class GraftConfig(
     build: String,
     overwrite: Boolean,
     cores: Int,
-    shufflePartitions: Int) {
+    shufflePartitions: Int,
+    chromosomePartitioned: Boolean = false) {
   def catalog: Catalog = Catalog(dataDir, build)
 }
 
@@ -33,7 +34,8 @@ object GraftConfig {
   val knownBuilds: Set[String] = Set("hg38", "mm10")
 
   private val knownKeys = Set(
-    "data.dir", "build", "overwrite", "cores", "shuffle.partitions")
+    "data.dir", "build", "overwrite", "cores", "shuffle.partitions",
+    "partition.by.chromosome")
 
   def default: GraftConfig = {
     val cpus = Runtime.getRuntime.availableProcessors
@@ -83,7 +85,10 @@ object GraftConfig {
       build = build,
       overwrite = getBool("overwrite", d.overwrite),
       cores = cores,
-      shufflePartitions = getInt("shuffle.partitions", cores))
+      shufflePartitions = getInt("shuffle.partitions", cores),
+      // reference-parity layout: variant outputs written as
+      // chromosome=chrN/ directories (per-chromosome files, pruned re-reads)
+      chromosomePartitioned = getBool("partition.by.chromosome", d.chromosomePartitioned))
     if (errors.nonEmpty)
       throw new IllegalArgumentException(
         s"invalid configuration:\n  ${errors.mkString("\n  ")}")

@@ -47,11 +47,24 @@ object Main {
   private def resolveInput(arg: String, rawDir: String, force: Boolean): String =
     if (Retrieve.isUrl(arg)) Retrieve.retrieve(arg, rawDir, force) else arg
 
+  /** Stage the GVF and GTF inputs concurrently (each into its own raw
+    * dir) — downloads are network-bound, so the two builds overlap
+    * (reference: one download future per file, eggv/pipeline.py:161-177). */
+  private def resolveInputs(gvf: String, gvfRawDir: String,
+      gtf: String, gtfRawDir: String, force: Boolean): (String, String) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fv = Future(resolveInput(gvf, gvfRawDir, force))
+    val fg = Future(resolveInput(gtf, gtfRawDir, force))
+    (Await.result(fv, Duration.Inf), Await.result(fg, Duration.Inf))
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "retrieve" :: rest if rest.length >= 2 =>
       val urls = rest.init
       val dest = rest.last
-      urls.foreach { u => println(s"retrieved: ${Retrieve.retrieve(u, dest)}") }
+      Retrieve.retrieveAll(urls, dest).foreach(p => println(s"retrieved: $p"))
 
     case "process" :: gvf :: gtf :: out :: Nil =>
       val spark = session("graft-process")
@@ -75,17 +88,16 @@ object Main {
 
     case "complete" :: gvf :: gtf :: out :: Nil =>
       val spark = session("graft-complete")
-      Pipeline.complete(spark,
-        resolveInput(gvf, s"$out/raw", force = false),
-        resolveInput(gtf, s"$out/raw", force = false),
-        out)
+      val (gvfLocal, gtfLocal) =
+        resolveInputs(gvf, s"$out/raw", gtf, s"$out/raw", force = false)
+      Pipeline.complete(spark, gvfLocal, gtfLocal, out)
       spark.stop()
 
     case "run" :: configPath :: Nil =>
       // raw data already staged at the catalog locations
       val cfg = GraftConfig.load(configPath)
       val spark = session(s"graft-run-${cfg.build}", cfg)
-      Pipeline.completeCatalog(spark, cfg.catalog)
+      Pipeline.completeCatalog(spark, cfg.catalog, cfg.chromosomePartitioned)
       spark.stop()
 
     case "run" :: configPath :: gvf :: gtf :: Nil =>
@@ -93,15 +105,16 @@ object Main {
       val cfg = GraftConfig.load(configPath)
       val cat = cfg.catalog
       val spark = session(s"graft-run-${cfg.build}", cfg)
-      Pipeline.completeTo(spark,
-        resolveInput(gvf, cat.variantRawDir, cfg.overwrite),
-        resolveInput(gtf, cat.geneRawDir, cfg.overwrite),
+      val (gvfLocal, gtfLocal) = resolveInputs(
+        gvf, cat.variantRawDir, gtf, cat.geneRawDir, cfg.overwrite)
+      Pipeline.completeTo(spark, gvfLocal, gtfLocal,
         effectsDir = cat.variantEffectsDir,
         metadataDir = cat.variantMetadataDir,
         genesDir = cat.genesDir,
         genesDedupedDir = cat.genesDedupedDir,
         intergenicDir = cat.intergenicDir,
-        intragenicDir = cat.intragenicDir)
+        intragenicDir = cat.intragenicDir,
+        chromosomePartitioned = cfg.chromosomePartitioned)
       spark.stop()
 
     case other =>

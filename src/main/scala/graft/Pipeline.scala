@@ -58,47 +58,80 @@ object Pipeline {
   }
 
   /** EP3: the fused complete pipeline, raw GVF + GTF in, all six outputs
-    * written under `outDir`. Single Spark job graph per output; retrieval
-    * from URLs is the caller's staging step (graft.io.Retrieve — Main's
-    * `complete`/`retrieve` commands wire it).
+    * written under `outDir`. Retrieval from URLs is the caller's staging
+    * step (graft.io.Retrieve — Main's `complete`/`retrieve` commands wire
+    * it). `chromosomePartitioned` switches the two variant outputs to the
+    * reference's per-chromosome layout (`chromosome=chrN/` directories,
+    * partition-pruned re-reads).
     */
-  def complete(spark: SparkSession, gvfPath: String, gtfPath: String, outDir: String): Unit =
+  def complete(spark: SparkSession, gvfPath: String, gtfPath: String, outDir: String,
+      chromosomePartitioned: Boolean = false): Unit =
     completeTo(spark, gvfPath, gtfPath,
       effectsDir = s"$outDir/variant-effects",
       metadataDir = s"$outDir/variant-metadata",
       genesDir = s"$outDir/genes",
       genesDedupedDir = s"$outDir/genes-deduped",
       intergenicDir = s"$outDir/intergenic",
-      intragenicDir = s"$outDir/intragenic")
+      intragenicDir = s"$outDir/intragenic",
+      chromosomePartitioned = chromosomePartitioned)
 
   /** EP3 over a `Catalog` layout (reference eggv/globe.py:64-109): raw
     * inputs at the catalog's raw locations, outputs to its
     * processed/annotated dirs. */
-  def completeCatalog(spark: SparkSession, cat: Catalog): Unit =
+  def completeCatalog(spark: SparkSession, cat: Catalog,
+      chromosomePartitioned: Boolean = false): Unit =
     completeTo(spark, cat.variantRawDir, cat.geneRawFile,
       effectsDir = cat.variantEffectsDir,
       metadataDir = cat.variantMetadataDir,
       genesDir = cat.genesDir,
       genesDedupedDir = cat.genesDedupedDir,
       intergenicDir = cat.intergenicDir,
-      intragenicDir = cat.intragenicDir)
+      intragenicDir = cat.intragenicDir,
+      chromosomePartitioned = chromosomePartitioned)
 
+  /** All six sink jobs run CONCURRENTLY from driver-side futures — the
+    * reference's overlapped-futures design (eggv/pipeline.py:161-230
+    * `as_completed`; write futures eggv/dfio.py:94-100 gathered at :230)
+    * in Spark's native form: each write is an independent job, the
+    * scheduler interleaves their stages, and the cluster stays busy while
+    * a small output (genes: KBs) finishes alongside a large one (effects).
+    * The shared persisted parents are computed exactly once — concurrent
+    * first readers of a persisted partition serialize on the block
+    * manager's per-block lock, they don't recompute. */
   private[graft] def completeTo(spark: SparkSession, gvfPath: String, gtfPath: String,
       effectsDir: String, metadataDir: String, genesDir: String,
-      genesDedupedDir: String, intergenicDir: String, intragenicDir: String): Unit = {
+      genesDedupedDir: String, intergenicDir: String, intragenicDir: String,
+      chromosomePartitioned: Boolean = false): Unit = {
     val variants = processVariants(spark, gvfPath)
     val genes = processGenes(spark, gtfPath).persist(StorageLevel.MEMORY_AND_DISK)
-
-    Sinks.writeTsv(variants.effects, effectsDir)
-    Sinks.writeTsv(variants.metadata, metadataDir)
-    Sinks.writeTsv(genes, genesDir)
-    Sinks.writeTsv(GeneOps.dedupGenes(genes), genesDedupedDir)
-
     val ann = annotate(variants.effects, genes)
-    Sinks.writeTsv(ann.intergenic, intergenicDir)
-    Sinks.writeTsv(ann.intragenic, intragenicDir)
+    val partCols = if (chromosomePartitioned) Seq("chromosome") else Nil
+    val effectsOut =
+      if (chromosomePartitioned) VariantOps.isolateEffectsByChromosome(variants.processed)
+      else variants.effects
+
+    runConcurrently(Seq(
+      () => Sinks.writeTsv(effectsOut, effectsDir, partCols),
+      () => Sinks.writeTsv(variants.metadata, metadataDir, partCols),
+      () => Sinks.writeTsv(genes, genesDir),
+      () => Sinks.writeTsv(GeneOps.dedupGenes(genes), genesDedupedDir),
+      () => Sinks.writeTsv(ann.intergenic, intergenicDir),
+      () => Sinks.writeTsv(ann.intragenic, intragenicDir)))
 
     genes.unpersist()
     variants.unpersist()
+  }
+
+  /** Run driver-side tasks concurrently on a dedicated pool; propagates
+    * the first failure (remaining tasks are interrupted via shutdownNow —
+    * a failed pipeline should not keep writing outputs). */
+  private def runConcurrently(tasks: Seq[() => Unit]): Unit = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(tasks.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(tasks.map(t => Future(t()))), Duration.Inf)
+    finally pool.shutdownNow()
   }
 }

@@ -63,6 +63,26 @@ object Retrieve {
     else downloaded
   }
 
+  /** Retrieve several URLs CONCURRENTLY (bounded pool) — the reference's
+    * overlapped download stage (eggv/pipeline.py:161-177 submits one
+    * download future per chromosome and gathers with as_completed).
+    * Downloads are network-bound driver-side I/O, so overlap is pure win;
+    * results keep input order. Fails fast: the first failed download
+    * propagates (in-flight ones are interrupted). */
+  def retrieveAll(urls: Seq[String], destDir: String, force: Boolean = false,
+      decompress: Boolean = false, parallelism: Int = 4): Seq[String] = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    if (urls.isEmpty) return Nil
+    val pool = Executors.newFixedThreadPool(math.min(parallelism, urls.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(
+      Future.sequence(urls.map(u => Future(retrieve(u, destDir, force, decompress)))),
+      Duration.Inf)
+    finally pool.shutdownNow()
+  }
+
   /** True when the string is a URL this object can fetch (everything else
     * is treated as a local path by callers). */
   def isUrl(s: String): Boolean =

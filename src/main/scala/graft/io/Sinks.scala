@@ -32,9 +32,17 @@ object Sinks {
       .option("emptyValue", "")
       .mode("overwrite")
 
-  /** Partition-parallel TSV write (K1). One part file per partition. */
-  def writeTsv(df: DataFrame, dir: String): Unit =
-    tsvWriter(df).csv(dir)
+  /** Partition-parallel TSV write (K1). One part file per partition.
+    * `partitionBy` columns become `col=value/` directories (hive layout)
+    * and are dropped from the file bodies — the reference's
+    * one-output-file-per-chromosome identity (eggv/process.py:394-424,
+    * eggv/annotate.py:207-235) maps to `partitionBy("chromosome")`:
+    * re-reads of a single chromosome prune to its directory instead of
+    * scanning the whole dataset. */
+  def writeTsv(df: DataFrame, dir: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = tsvWriter(df)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).csv(dir)
+  }
 
   /** Single-file TSV write (K2 parity) — serializes the final write, only
     * for small outputs such as per-chromosome files. */
@@ -86,9 +94,12 @@ object Sinks {
 
   /** Parquet sink — the scale-path output format (columnar, statistics,
     * predicate pushdown on re-read); what the TSV outputs should become
-    * when the consumer is this engine rather than a third-party tool. */
-  def writeParquet(df: DataFrame, dir: String): Unit =
-    df.write.mode("overwrite").parquet(dir)
+    * when the consumer is this engine rather than a third-party tool.
+    * `partitionBy` as in `writeTsv` — hive-layout dirs, pruned re-reads. */
+  def writeParquet(df: DataFrame, dir: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
+  }
 
   /** Bucketed parquet table: pre-shuffled on `bucketCols` into `numBuckets`
     * files per partition, registered in the session catalog. Joins and

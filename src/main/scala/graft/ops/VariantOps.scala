@@ -83,6 +83,17 @@ object VariantOps {
   def isolateEffects(df: DataFrame): DataFrame =
     df.select("rsid", "effect", "transcript").dropDuplicates()
 
+  /** Effects with the chromosome retained, deduped per chromosome — the
+    * frame to write with `partitionBy("chromosome")` for the reference's
+    * one-output-per-chromosome layout (eggv/process.py:394-424: the
+    * reference processes and dedups each chromosome file independently, so
+    * per-(chromosome, rsid, effect, transcript) dedup IS its semantics).
+    * The written files carry the same (rsid, effect, transcript) columns
+    * as `isolateEffects` — partitionBy moves chromosome into the
+    * directory name. */
+  def isolateEffectsByChromosome(df: DataFrame): DataFrame =
+    df.select("chromosome", "rsid", "effect", "transcript").dropDuplicates()
+
   /** Isolate per-variant metadata, one row per rsid (D2).
     *
     * The reference keeps the first row per rsid within each partition

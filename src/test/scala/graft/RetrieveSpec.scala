@@ -61,6 +61,31 @@ class RetrieveSpec extends AnyFunSuite {
     assert(Files.readAllLines(Paths.get(plain)).get(0).startsWith("chr10"))
   }
 
+  test("retrieveAll fetches many URLs concurrently, keeping input order") {
+    val dir = tmpDir()
+    val urls = (1 to 6).map { i =>
+      val src = Paths.get(dir, s"chromosome-$i.gvf")
+      Files.write(src, s"chr$i\tdbSNP\tSNV\n".getBytes)
+      s"file://$src"
+    }
+    val staged = Retrieve.retrieveAll(urls, s"$dir/raw", parallelism = 4)
+    assert(staged == (1 to 6).map(i => s"$dir/raw/chromosome-$i.gvf"))
+    staged.zipWithIndex.foreach { case (p, i) =>
+      assert(Files.readAllLines(Paths.get(p)).get(0).startsWith(s"chr${i + 1}\t"))
+    }
+  }
+
+  test("retrieveAll fails fast when one URL is broken") {
+    val dir = tmpDir()
+    val good = Paths.get(dir, "ok.gvf")
+    Files.write(good, "chr1\n".getBytes)
+    val ex = intercept[Exception] {
+      Retrieve.retrieveAll(
+        Seq(s"file://$good", s"file://$dir/does-not-exist.gvf"), s"$dir/raw")
+    }
+    assert(ex != null)
+  }
+
   test("isUrl distinguishes URLs from local paths") {
     assert(Retrieve.isUrl("file:///x/y.gz"))
     assert(Retrieve.isUrl("https://example.org/x.gz"))
