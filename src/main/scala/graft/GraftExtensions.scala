@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{HyperplaneBuckets, MinHashSignature, ShingleHashes, SimHash64, TokenHashes}
+import graft.expressions.{HyperplaneBuckets, MinHashMerge, MinHashSignature, ShingleHashes, SimHash64, TokenHashes}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions with the SQL function registry, so SQL-only users (and
@@ -33,11 +33,25 @@ object GraftExtensions {
       s"$name takes exactly $n argument(s), got ${children.length}")
 
   /** Extract a compile-time int parameter (k, n, bands...) from a SQL
-    * argument — must be a foldable integer expression. */
+    * argument — any FOLDABLE integral expression works: `3`, `3L`,
+    * `CAST(3 AS INT)`, `1 + 2`; non-constant expressions (`rand()`) and
+    * non-integral types are rejected with a clear error. */
   private def intArg(name: String, e: Expression): Int = {
-    require(e.foldable && (e.dataType == org.apache.spark.sql.types.IntegerType),
-      s"$name expects a literal integer parameter, got: $e")
-    e.eval().asInstanceOf[Int]
+    require(e.foldable,
+      s"$name expects a literal integer parameter (a foldable int expression), got: $e")
+    val v = e.eval()
+    require(v != null, s"$name literal integer parameter must not be NULL")
+    v match {
+      case i: java.lang.Integer => i.intValue
+      case b: java.lang.Byte    => b.intValue
+      case s: java.lang.Short   => s.intValue
+      case l: java.lang.Long =>
+        require(l >= Int.MinValue && l <= Int.MaxValue,
+          s"$name literal integer parameter out of int range: $l")
+        l.intValue
+      case _ => throw new IllegalArgumentException(
+        s"$name expects a literal integer parameter, got ${e.dataType.simpleString}: $e")
+    }
   }
 
   private def info(clazz: Class[_], name: String, usage: String, example: String) =
@@ -76,6 +90,16 @@ object GraftExtensions {
         "SELECT minhash_signature(shingle_hashes(token_hashes('a b c d'), 3), 16)"),
       (c: Seq[Expression]) => { arity("minhash_signature", c, 2)
         MinHashSignature(c.head, intArg("minhash_signature", c(1))) }),
+
+    (new FunctionIdentifier("minhash_merge"),
+      info(classOf[MinHashMerge], "minhash_merge",
+        "minhash_merge(array<bigint>) - AGGREGATE: element-wise min of " +
+          "MinHash signatures across the group = the signature of the " +
+          "union of the members' shingle sets. All non-empty inputs in a " +
+          "group must share one length k; null lanes are identity; a " +
+          "group with no non-empty input yields NULL.",
+        "SELECT minhash_merge(minhash_signature(shingle_hashes(token_hashes(t), 3), 16)) FROM docs GROUP BY cluster"),
+      (c: Seq[Expression]) => { arity("minhash_merge", c, 1); MinHashMerge(c.head) }),
 
     (new FunctionIdentifier("hyperplane_buckets"),
       info(classOf[HyperplaneBuckets], "hyperplane_buckets",

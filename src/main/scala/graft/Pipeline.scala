@@ -110,28 +110,47 @@ object Pipeline {
       if (chromosomePartitioned) VariantOps.isolateEffectsByChromosome(variants.processed)
       else variants.effects
 
-    runConcurrently(Seq(
-      () => Sinks.writeTsv(effectsOut, effectsDir, partCols),
-      () => Sinks.writeTsv(variants.metadata, metadataDir, partCols),
-      () => Sinks.writeTsv(genes, genesDir),
-      () => Sinks.writeTsv(GeneOps.dedupGenes(genes), genesDedupedDir),
-      () => Sinks.writeTsv(ann.intergenic, intergenicDir),
-      () => Sinks.writeTsv(ann.intragenic, intragenicDir)))
-
-    genes.unpersist()
-    variants.unpersist()
+    try
+      runConcurrently(spark, Seq(
+        () => Sinks.writeTsv(effectsOut, effectsDir, partCols),
+        () => Sinks.writeTsv(variants.metadata, metadataDir, partCols),
+        () => Sinks.writeTsv(genes, genesDir),
+        () => Sinks.writeTsv(GeneOps.dedupGenes(genes), genesDedupedDir),
+        () => Sinks.writeTsv(ann.intergenic, intergenicDir),
+        () => Sinks.writeTsv(ann.intragenic, intragenicDir)))
+    finally {
+      // unpersist even on failure — a caller that catches and continues
+      // must not keep the 249 GB-class intermediates pinned
+      genes.unpersist()
+      variants.unpersist()
+    }
   }
 
   /** Run driver-side tasks concurrently on a dedicated pool; propagates
-    * the first failure (remaining tasks are interrupted via shutdownNow —
-    * a failed pipeline should not keep writing outputs). */
-  private def runConcurrently(tasks: Seq[() => Unit]): Unit = {
+    * the first failure. All Spark jobs the tasks submit run under one job
+    * group with interruptOnCancel, and the group is cancelled on the first
+    * failure — so sibling writes already executing on the cluster are
+    * killed, not just their driver threads (cancellation of a job that
+    * completes in the same instant is inherently best-effort). */
+  private def runConcurrently(spark: SparkSession, tasks: Seq[() => Unit]): Unit = {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    val sc = spark.sparkContext
+    val group = s"graft-pipeline-${java.util.UUID.randomUUID()}"
     val pool = Executors.newFixedThreadPool(tasks.size)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try Await.result(Future.sequence(tasks.map(t => Future(t()))), Duration.Inf)
-    finally pool.shutdownNow()
+    val futures = tasks.map(t => Future {
+      // job-group properties are thread-local; each task thread tags its
+      // own jobs so one cancelJobGroup reaches all six writers
+      sc.setJobGroup(group, "graft pipeline concurrent sinks", interruptOnCancel = true)
+      try t() finally sc.clearJobGroup()
+    })
+    try Await.result(Future.sequence(futures), Duration.Inf)
+    catch {
+      case e: Throwable =>
+        sc.cancelJobGroup(group)
+        throw e
+    } finally pool.shutdownNow()
   }
 }

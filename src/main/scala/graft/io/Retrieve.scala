@@ -68,13 +68,22 @@ object Retrieve {
     * download future per chromosome and gathers with as_completed).
     * Downloads are network-bound driver-side I/O, so overlap is pure win;
     * results keep input order. Fails fast: the first failed download
-    * propagates (in-flight ones are interrupted). */
+    * propagates (in-flight ones are interrupted). Two URLs sharing a
+    * trailing file name would race on one destination (non-atomic
+    * skip-if-exists + last atomic move silently winning), so duplicate
+    * names are rejected up front. */
   def retrieveAll(urls: Seq[String], destDir: String, force: Boolean = false,
       decompress: Boolean = false, parallelism: Int = 4): Seq[String] = {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     if (urls.isEmpty) return Nil
+    val byName = urls.groupBy(u => new URI(u).getPath.split('/').last)
+    val clashes = byName.filter(_._2.distinct.size > 1)
+    require(clashes.isEmpty,
+      "URLs share a destination file name (their downloads would clobber " +
+        "each other in destDir) — stage them in separate calls: " +
+        clashes.map { case (n, us) => s"$n <- ${us.mkString(", ")}" }.mkString("; "))
     val pool = Executors.newFixedThreadPool(math.min(parallelism, urls.size))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try Await.result(

@@ -61,6 +61,16 @@ object Dedup {
     minhashSignatureFromHashes(
       TextFunctions.shingleHashesFrom(TextFunctions.tokenHashes(text), shingleN), k)
 
+  /** Cluster-level signature: element-wise min of member signatures via
+    * the native `minhash_merge` aggregate — exactly the signature of the
+    * UNION of the members' shingle sets (min over union = min of mins,
+    * lane by lane; parity-tested in DedupSpec), from one group-by over
+    * already-computed signatures instead of re-hashing concatenated text.
+    * Map-side partial agg: the shuffle moves one k-lane buffer per
+    * (partition, group). */
+  def mergeSignatures(sig: Column): Column =
+    graft.expressions.MinHashMerge.minhashMerge(sig)
+
   /** LSH banding of a signature array: `bands` rows of (band_id, bucket)
     * where bucket hashes `rowsPerBand` consecutive signature entries.
     * Docs sharing any band bucket become candidate pairs. */
@@ -166,9 +176,17 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming out of range [0, 15]: $maxHamming")
-    // self-join on identical chunk subplans → ReusedExchange computes the
-    // simhash aggregation once; no persist needed
-    val sigs = simhash(df, idCol, textCol)
+    // The (id, simhash) frame is PERSISTED — 16 bytes/doc, the cheapest
+    // cacheable thing in the engine — because it feeds both join sides
+    // with different downstream shapes (mask explode + repartition on the
+    // probe side), so exchange reuse can't kick in, and without a cache
+    // boundary Catalyst alias-substitutes the full tokenize+simhash into
+    // each side's isnotnull join filter too: measured 4 full evaluations
+    // of the text pipeline per row at sf0.1 (7.1 s), 1 with the cache
+    // (2.1 s). Stays cached after the result is consumed — callers
+    // running many corpora per session should clearCache between batches
+    // (Bench does).
+    val sigs = simhash(df, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     val (nChunks, budget) =
       if (maxHamming <= 3) (maxHamming + 1, 0) else (4, maxHamming / 4)
     def lo(c: Int) = c * 64 / nChunks
@@ -180,18 +198,6 @@ object Dedup {
           shiftright(col("simhash"), lo(c)).bitwiseAND(lit(mask)).as("v"))
       }: _*)).as("cb"))
       .select(col("doc_id"), col("simhash"), col("cb.chunk"), col("cb.v"))
-    // probe side: every ≤ budget-bit flip of each chunk value (budget 0 →
-    // just the value itself). Chunk widths are uniform when budget > 0
-    // (64/4 = 16), so one mask set serves all chunks.
-    val probe0 =
-      if (budget == 0) chunked
-      else {
-        val width = 64 / nChunks
-        val masks: Seq[Long] = (0 to budget).flatMap(k =>
-          (0 until width).combinations(k).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
-        chunked.select(col("doc_id"), col("simhash"), col("chunk"),
-          explode(array(masks.map(m => col("v").bitwiseXOR(lit(m))): _*)).as("v"))
-      }
     // Pair-join scale guards (measured at sf0.1):
     //  - hamming is computed and filtered in the join projection — both
     //    hashes are on the joined row, so the codegen'd bit_count runs
@@ -206,7 +212,21 @@ object Dedup {
     //    (chunk, v) hash partitioning would concentrate their quadratic
     //    work. At cluster scale the join degrades to sort-merge and AQE's
     //    skew split takes over; the extra shuffle is chunk-stream-sized.
-    val probe = probe0.repartition(shufflePartitions(df))
+    //  - the ≤ budget-bit-flip mask explode (17× rows at budget 1, 137×
+    //    at 2) runs AFTER that repartition, map-side: the shuffle moves
+    //    the narrow 4-rows/doc chunk stream, never the amplified probe
+    //    stream. Chunk widths are uniform when budget > 0 (64/4 = 16),
+    //    so one mask set serves all chunks.
+    val repartitioned = chunked.repartition(shufflePartitions(df))
+    val probe =
+      if (budget == 0) repartitioned
+      else {
+        val width = 64 / nChunks
+        val masks: Seq[Long] = (0 to budget).flatMap(k =>
+          (0 until width).combinations(k).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+        repartitioned.select(col("doc_id"), col("simhash"), col("chunk"),
+          explode(array(masks.map(m => col("v").bitwiseXOR(lit(m))): _*)).as("v"))
+      }
     probe.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
@@ -252,7 +272,10 @@ object Dedup {
     * rounds); callers clustering pathological chain graphs should raise it.
     *
     * Output: (id, component) — component = min id reachable; isolated
-    * vertices of `vertices` keep their own id. Deterministic. */
+    * vertices of `vertices` keep their own id. Edge endpoints absent from
+    * `vertices` are covered too: they enter via their neighbors' label
+    * rows (their first labeling is null-safe-counted as progress, see the
+    * convergence check below). Deterministic. */
   def connectedComponents(
       edges: DataFrame, vertices: DataFrame,
       idCol: String = "id", aCol: String = "id_a", bCol: String = "id_b",
@@ -281,8 +304,12 @@ object Dedup {
             min(col("label")).as("label"),
             min(when(col("is_self"), col("label"))).as("prev")))
       // the ONE action per round: materializes the lazy checkpoint and
-      // reads the convergence flag off the same pass
-      val changed = next.filter(col("label") =!= col("prev")).count()
+      // reads the convergence flag off the same pass. Null-safe compare:
+      // an edge endpoint absent from `vertices` has prev = NULL in its
+      // first round (no is_self row yet) — it just gained its first label,
+      // which MUST count as progress or a round whose only movement is
+      // labeling such vertices would be read as converged.
+      val changed = next.filter(!(col("label") <=> col("prev"))).count()
       prevCk.unpersist()
       prevCk = next
       labels = next.select(col("id"), col("label"))

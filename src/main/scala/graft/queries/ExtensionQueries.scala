@@ -151,6 +151,25 @@ object ExtensionQueries {
           shingleN = 3, minJaccard = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // cluster-signature merge via the native minhash_merge aggregate
+    // (element-wise min per group). Lanes here are deterministic integer
+    // arithmetic instead of xxhash64 so DuckDB can recompute them exactly
+    // — the MERGE semantics are what this query oracles; real-signature
+    // semantics (merge == signature of the unioned shingle sets) are
+    // parity-tested in DedupSpec.
+    "q_minhash_merge" -> ((s, dir) => {
+      val k = 16
+      val lanes = array((0 until k).map(i =>
+        pmod(col("doc_id") * lit(7L + i * 13L) + lit(i * 31L), lit(1000003L))): _*)
+      t(s, dir, "documents")
+        .select((col("doc_id") % 50).as("group_id"), lanes.as("sig"))
+        .groupBy("group_id")
+        .agg(Dedup.mergeSignatures(col("sig")).as("sig"))
+        .select(col("group_id"), posexplode(col("sig")).as(Seq("lane", "sig_min")))
+        .select(col("group_id"), col("lane").cast(LongType).as("lane"), col("sig_min"))
+        .orderBy("group_id", "lane")
+    }),
+
     // near-dup pairs → dedup clusters: connected components with min-id
     // canonical keeper, over an exact-Jaccard edge set the oracle can
     // recompute (DuckDB recursive CTE transitive closure)
@@ -394,6 +413,11 @@ object ExtensionQueries {
     // 0.999, so the LSH path must emit exactly this set.
     "q_embed_near_dup" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 100000, embedding FROM embeddings), n AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM corpus) SELECT id_a, id_b, cosine FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dotSql("a.embedding", "b.embedding")} / nullif(a.nrm * b.nrm, 0) AS cosine FROM n a JOIN n b ON a.vec_id < b.vec_id) WHERE cosine >= 0.999 ORDER BY id_a, id_b""",
+
+    // minhash_merge = min per (group, lane) over the same deterministic
+    // integer lanes (DuckDB generate_series is inclusive: 0..15 = 16)
+    "q_minhash_merge" ->
+      """WITH lanes AS (SELECT doc_id % 50 AS group_id, i AS lane, (doc_id * (7 + i * 13) + i * 31) % 1000003 AS v FROM documents, unnest(generate_series(0, 15)) AS t(i)) SELECT group_id, lane, min(v) AS sig_min FROM lanes GROUP BY group_id, lane ORDER BY group_id, lane""",
 
     // connected components recomputed as a recursive-CTE transitive
     // closure over the same exact-Jaccard edge set

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
 import graft.operators.Dedup
 
 class DedupSpec extends SparkSpec {
@@ -95,11 +96,14 @@ class DedupSpec extends SparkSpec {
     assert(cc.values.toSet == Set(1L) && cc.size == n)
   }
 
-  /** Count data-pass JOBS started while `body` runs, with AQE turned off
-    * for the duration — under AQE one action fans out into a job per
-    * shuffle-stage materialization, which measures planner mechanics, not
-    * algorithmic passes. Broadcast-exchange build jobs are excluded too:
-    * they are how Spark executes any broadcast join, not an extra pass.
+  /** Count JOBS started while `body` runs, with AQE *and broadcast joins*
+    * turned off for the duration — under AQE one action fans out into a
+    * job per shuffle-stage materialization, and broadcast builds run extra
+    * jobs from scheduler-internal frames; both measure planner mechanics,
+    * not algorithmic passes. With them off, every job the operator runs is
+    * one of its own actions, so the assertions below can stick to
+    * UPPER BOUNDS the operator controls (jobs ≤ rounds × passes) instead
+    * of exact scheduler job counts or Spark-internal stage names.
     * Listener bus is async — poll until stable. */
   private val seenJobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private def countJobsNoAqe[T](body: => T): (T, Int) = {
@@ -107,15 +111,14 @@ class DedupSpec extends SparkSpec {
     val counter = new java.util.concurrent.atomic.AtomicInteger
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        val stages = j.stageInfos.map(_.name).mkString(";")
-        seenJobs.add(s"job ${j.jobId}: $stages")
-        // broadcast-exchange builds run in a CompletableFuture via
-        // withThreadLocalCaptured — their result stage carries that frame
-        if (!stages.contains("withThreadLocalCaptured")) counter.incrementAndGet()
+        seenJobs.add(s"job ${j.jobId}: ${j.stageInfos.map(_.name).mkString(";")}")
+        counter.incrementAndGet()
       }
     }
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.sparkContext.addSparkListener(listener)
     try {
       val out = body
@@ -125,6 +128,7 @@ class DedupSpec extends SparkSpec {
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
     }
   }
 
@@ -137,10 +141,10 @@ class DedupSpec extends SparkSpec {
       Dedup.connectedComponents(edges, vertices)
     }
     // each round's lazy localCheckpoint is materialized by the same count
-    // action that reads the convergence flag — rounds jobs, nothing else
+    // action that reads the convergence flag — at most one job per round
     // (the round-2 shape ran 2 jobs/round: eager checkpoint + a
-    // labels-vs-prev join count)
-    assert(jobs == 6, s"expected 6 jobs (one per round), saw $jobs:\n${seenJobs.toArray.mkString("\n")}")
+    // labels-vs-prev join count = 12, which this bound catches)
+    assert(jobs <= 6, s"expected <= 6 jobs (one per round), saw $jobs:\n${seenJobs.toArray.mkString("\n")}")
     val m = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m.values.toSet == Set(1L) && m.size == 6)
   }
@@ -154,12 +158,71 @@ class DedupSpec extends SparkSpec {
     }
     val m = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m.values.toSet == Set(1L) && m.size == 6)
-    // durability costs one checkpoint-WRITE job per round on top of the
-    // round's count job (ReliableRDDCheckpointData writes in its own job)
-    assert(jobs == 12, s"expected 12 jobs (count + checkpoint-write per round), saw $jobs:\n${seenJobs.toArray.mkString("\n")}")
+    // durability costs at most one checkpoint-WRITE job per round on top
+    // of the round's count job (ReliableRDDCheckpointData writes in its
+    // own job) — a 3-pass regression would exceed this bound
+    assert(jobs <= 12, s"expected <= 12 jobs (count + checkpoint-write per round), saw $jobs:\n${seenJobs.toArray.mkString("\n")}")
     val ckFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(java.nio.file.Files.isRegularFile(_)).count()
     assert(ckFiles > 0, "no reliable checkpoint files written")
+  }
+
+  test("mergeSignatures == signature of the UNIONED shingle sets (real-minhash parity)") {
+    val clustered = Seq(
+      (1L, 0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, 0L, "a quick brown fox leaps over the lazy dog every single day"),
+      (3L, 0L, "the quick brown fox naps beside the lazy dog all afternoon"),
+      (4L, 1L, "completely different content about spark query engines at scale"),
+      (5L, 1L, "unrelated text with zero overlap whatsoever in any shingle")
+    ).toDF("doc_id", "cluster", "text")
+    val k = 16
+    val withSig = clustered.select($"cluster",
+      TextFunctions.shingleHashesFrom(TextFunctions.tokenHashes($"text"), 3).as("hs"))
+      .withColumn("sig", Dedup.minhashSignatureFromHashes($"hs", k))
+    val merged = withSig.groupBy("cluster")
+      .agg(Dedup.mergeSignatures($"sig").as("m"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // independent route: union the members' shingle-hash sets, sign once —
+    // min over a union is the min of the mins, lane by lane
+    val unioned = withSig.groupBy("cluster")
+      .agg(array_distinct(flatten(collect_list($"hs"))).as("hs"))
+      .select($"cluster", Dedup.minhashSignatureFromHashes($"hs", k).as("m"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(merged.keySet == Set(0L, 1L))
+    assert(merged == unioned)
+    assert(merged(0L).length == k)
+  }
+
+  test("minhash_merge semantics: null/empty identity, NULL-only group, mixed-k failure") {
+    val df = Seq(
+      (1L, Seq(5L, 10L)), (1L, Seq(3L, 20L)),
+      (2L, Seq(7L, 7L)),
+      (3L, Seq.empty[Long])
+    ).toDF("g", "sig")
+      .union(Seq((2L, null.asInstanceOf[Seq[Long]]), (3L, null.asInstanceOf[Seq[Long]]))
+        .toDF("g", "sig"))
+    val out = df.groupBy("g").agg(Dedup.mergeSignatures($"sig").as("m"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(out(1L).contains(Seq(3L, 10L)))
+    assert(out(2L).contains(Seq(7L, 7L)))   // null row is identity
+    assert(out(3L).isEmpty)                 // only null/empty inputs -> NULL
+    val err = intercept[Exception] {
+      Seq((1L, Seq(1L, 2L)), (1L, Seq(1L, 2L, 3L))).toDF("g", "sig")
+        .groupBy("g").agg(Dedup.mergeSignatures($"sig")).collect()
+    }
+    assert(err.getMessage.contains("length mismatch") ||
+      Option(err.getCause).exists(_.getMessage.contains("length mismatch")))
+  }
+
+  test("connectedComponents labels edge endpoints absent from vertices (null-safe convergence)") {
+    // vertices = {1} only; 2 and 3 exist solely as edge endpoints. Their
+    // first labeling arrives with prev = NULL — a non-null-safe compare
+    // would read the round as "no change" and stop before 3 gets label 1.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val vertices = Seq(1L).toDF("id")
+    val cc = Dedup.connectedComponents(edges, vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
   test("connectedComponents warns (not wrong-silently) past maxIter but still returns") {

@@ -86,6 +86,23 @@ class RetrieveSpec extends AnyFunSuite {
     assert(ex != null)
   }
 
+  test("retrieveAll rejects distinct URLs sharing a destination file name") {
+    val dir = tmpDir()
+    val a = Paths.get(dir, "a"); Files.createDirectories(a)
+    val b = Paths.get(dir, "b"); Files.createDirectories(b)
+    Files.write(a.resolve("chr.gvf"), "chrA\n".getBytes)
+    Files.write(b.resolve("chr.gvf"), "chrB\n".getBytes)
+    val ex = intercept[IllegalArgumentException] {
+      Retrieve.retrieveAll(
+        Seq(s"file://$a/chr.gvf", s"file://$b/chr.gvf"), s"$dir/raw")
+    }
+    assert(ex.getMessage.contains("chr.gvf"))
+    // the same URL listed twice is benign (identical content) — allowed
+    val staged = Retrieve.retrieveAll(
+      Seq(s"file://$a/chr.gvf", s"file://$a/chr.gvf"), s"$dir/raw2")
+    assert(staged.distinct.size == 1)
+  }
+
   test("isUrl distinguishes URLs from local paths") {
     assert(Retrieve.isUrl("file:///x/y.gz"))
     assert(Retrieve.isUrl("https://example.org/x.gz"))

@@ -84,4 +84,37 @@ class SimHash64Spec extends SparkSpec {
     }
     assert(err.getMessage.contains("literal integer"))
   }
+
+  test("int params accept any foldable integral form (cast, long, arithmetic)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val base = spark.sql("SELECT shingle_hashes(token_hashes('a b c d'), 3)")
+      .as[Seq[Long]].head()
+    for (form <- Seq("CAST(3 AS INT)", "3L", "CAST(3 AS SMALLINT)", "1 + 2")) {
+      val got = spark.sql(s"SELECT shingle_hashes(token_hashes('a b c d'), $form)")
+        .as[Seq[Long]].head()
+      assert(got == base, s"param form $form diverged")
+    }
+    // overflow and NULL literals fail loudly, not wrap
+    val big = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array(1L), 8589934592L)").collect()
+    }
+    assert(big.getMessage.contains("out of int range"))
+    val nul = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array(1L), CAST(NULL AS INT))").collect()
+    }
+    assert(nul.getMessage.contains("NULL"))
+  }
+
+  test("minhash_merge aggregate is reachable from SQL") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val out = Seq((1L, Seq(5L, 10L)), (1L, Seq(3L, 20L)), (2L, Seq(7L, 7L)))
+      .toDF("g", "sig")
+      .createOrReplaceTempView("sigs")
+    val merged = spark.sql(
+      "SELECT g, minhash_merge(sig) AS m FROM sigs GROUP BY g ORDER BY g")
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(merged == Seq((1L, Seq(3L, 10L)), (2L, Seq(7L, 7L))))
+  }
 }
