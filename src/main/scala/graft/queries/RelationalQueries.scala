@@ -212,6 +212,99 @@ object RelationalQueries {
         .select(col("l_returnflag"), col("sum_lq").cast(DoubleType).as("sum_lq"))
         .orderBy("l_returnflag")),
 
+    // multi-level aggregation: ROLLUP — per (flag, status), per flag,
+    // grand total, one shuffle (Spark expands grouping sets map-side)
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), money(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // CUBE over two order dimensions — all four grouping combinations
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), money(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    // explicit GROUPING SETS: segment totals and nation totals in one pass
+    "q_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupingSets(
+          Seq(Seq(col("c_mktsegment")), Seq(col("c_nationkey"))),
+          col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"), money(col("c_acctbal")).as("acct_total"))
+        .orderBy("c_mktsegment", "c_nationkey")),
+
+    // pivot: per-returnflag row counts and exact sums by linestatus column
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(money(col("l_quantity")))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")),
+
+    // exact (interpolating) percentiles per group — a full-sort-per-group
+    // aggregate; both engines interpolate lower + (upper-lower)*frac in
+    // double, so results are bit-identical on identical inputs
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("q50"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          min(col("l_quantity")).as("q_min"),
+          max(col("l_quantity")).as("q_max"))
+        .orderBy("l_returnflag")),
+
+    // second-moment statistics from EXACT decimal sufficient statistics:
+    // Σx, Σx², Σxy accumulate as decimals (order-independent), and
+    // variance/correlation are one deterministic double expression at the
+    // end — the single-pass shape that scales, without the
+    // accumulation-order nondeterminism of native welford stddev/corr
+    // (whose result bits change with partitioning, so they can never
+    // hash-match an oracle — or themselves across reruns)
+    "q_stats_moments" -> ((s, dir) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+        .select(
+          col("l_returnflag"),
+          col("n"),
+          (col("sx").cast(DoubleType) / col("n")).as("mean_qty"),
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) /
+            (col("n").cast(DoubleType) * (col("n") - 1))).as("var_qty"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // running-frame window battery: cumulative exact sum, lag, and
+    // position over an explicit ROWS frame (deterministic: the partition
+    // order key o_orderkey is unique)
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(running).cast(DoubleType)
+            .as("running_spend"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+          row_number().over(w).as("nth_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // event-time tumbling window aggregation over epoch-nano events.
     // integer DIV: double division of epoch nanos loses sub-µs exactness
     "q_time_window" -> ((s, dir) =>
@@ -265,6 +358,21 @@ object RelationalQueries {
     "q_salted_agg" ->
       """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_lq FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_time_window" ->
-      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    // rollup/cube/grouping-sets nulls sort FIRST in Spark's asc default
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_grouping_sets" ->
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct_total FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey)) ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""",
+    "q_pivot" ->
+      """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE) AS qty_f, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE) AS qty_o FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS q25, quantile_cont(l_quantity, 0.5) AS q50, quantile_cont(l_quantity, 0.75) AS q75, MIN(l_quantity) AS q_min, MAX(l_quantity) AS q_max FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_stats_moments" ->
+      """WITH s AS (SELECT l_returnflag, COUNT(*) AS n, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy, SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx, SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy, SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy FROM lineitem GROUP BY l_returnflag) SELECT l_returnflag, n, CAST(sx AS DOUBLE) / n AS mean_qty, CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)) AS var_qty, CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price FROM s ORDER BY l_returnflag""",
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend, lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nth_order FROM orders ORDER BY o_custkey, o_orderkey"""
   )
 }

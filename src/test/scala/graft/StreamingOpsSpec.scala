@@ -84,6 +84,45 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming annotate chain end-to-end == batch q_annotate_pipeline on the golden GVF") {
+    // readGvfStream -> processGvf -> watermarked dedup -> broadcast-join
+    // genes -> sink: the whole EP2 chain with only source/sink swapped.
+    // GVF rows carry no event time, so ingest time is the dedup horizon's
+    // clock — the standard shape for at-least-once file ingest.
+    val dir = java.nio.file.Files.createTempDirectory("graft-annotate-stream")
+    val genes = graft.ops.GeneOps.processGtf(
+      graft.io.Sources.readGtf(spark, resource("sample-hg38-gene-build.gtf")))
+    val effectsStream = graft.ops.VariantOps.processGvf(
+        graft.io.Sources.readGvfStream(spark, dir.toString))
+      .select("rsid", "effect", "transcript")
+      .withColumn("ingest_ts", org.apache.spark.sql.functions.current_timestamp())
+    val deduped = StreamingOps.dedupWithinWatermark(
+      effectsStream, Seq("rsid", "effect", "transcript"), "ingest_ts", "10 minutes")
+    val annotated = graft.ops.AnnotateOps.annotateVariants(deduped, genes)
+    val query = annotated.writeStream.format("memory").queryName("annotate_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(resource("sample-hg38-chromosome-10.gvf")),
+        dir.resolve("chromosome-10.gvf"))
+      query.processAllAvailable()
+      val streamed = spark.table("annotate_stream").collect().map(_.toString).sorted
+      val batchRows = graft.ops.AnnotateOps.annotateVariants(
+          graft.ops.VariantOps.isolateEffects(graft.ops.VariantOps.processGvf(
+            graft.io.Sources.readGvf(spark, resource("sample-hg38-chromosome-10.gvf")))),
+          genes)
+        .collect().map(_.toString).sorted
+      assert(streamed.nonEmpty && streamed.sameElements(batchRows))
+      // the same file landing again is all duplicates within the horizon:
+      // the watermarked dedup emits nothing new downstream
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(resource("sample-hg38-chromosome-10.gvf")),
+        dir.resolve("chromosome-10-replayed.gvf"))
+      query.processAllAvailable()
+      assert(spark.table("annotate_stream").count() == streamed.length.toLong)
+    } finally query.stop()
+  }
+
   test("dedupWithinWatermark: duplicates in horizon collapse, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
