@@ -287,6 +287,47 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // distributed per-lane vector mean (the IVF-training primitive) with
+    // DETERMINISTIC float aggregation: quantize each value to fixed-point
+    // Q20 (round(v·2²⁰) — a POWER-OF-TWO scale, so the scaling multiply
+    // is exact in double and the round is unambiguous in every engine;
+    // decimal(·,12) quantization was measured 1e-12 apart between Spark's
+    // BigDecimal cast and DuckDB's ×10¹² double path), then exact integer
+    // sums — order-independent, map-side partial agg, no collected
+    // arrays. Quantization error 2⁻²¹ ≈ 5e-7, at float32's own
+    // resolution; callers wanting the mean divide by n_vecs·2²⁰. Native
+    // double sums could never hash-match across partitionings.
+    "q_embed_centroid" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select((col("vec_id") % 8).as("group_id"),
+          posexplode(col("embedding")).as(Seq("lane", "v")))
+        .groupBy(col("group_id"), col("lane"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(round(col("v").cast(DoubleType) * (1 << 20)).cast(LongType))
+            .as("centroid_sum_q20"))
+        .select(col("group_id"), col("lane").cast(LongType).as("lane"),
+          col("n_vecs"), col("centroid_sum_q20"))
+        .orderBy("group_id", "lane")),
+
+    // sketch-aggregate gate: HLL++ distinct count and approx_percentile
+    // must land within tolerance of the exact answers the oracle
+    // recomputes (sketches are engine-specific — the EXACT values and
+    // pinned pass flags are what DuckDB checks; a sketch regression
+    // flips a flag and fails the hash)
+    "q_check_sketches" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("n_hll"),
+          expr("percentile(l_extendedprice, 0.5)").as("median_exact"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("median_approx"))
+        .select(col("n_exact"),
+          (abs(col("n_hll") - col("n_exact")).cast(DoubleType) / col("n_exact") <= 0.05)
+            .as("hll_pass"),
+          col("median_exact"),
+          (abs(col("median_approx") - col("median_exact")) / col("median_exact") <= 0.05)
+            .as("aq_pass"))),
+
     // ---- similarity search ------------------------------------------------
     "q_embed_cosine" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -437,6 +478,12 @@ object ExtensionQueries {
       s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
     "q_check_ann_recall" ->
       s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
+
+    "q_embed_centroid" ->
+      """WITH ex AS (SELECT vec_id % 8 AS group_id, i - 1 AS lane, CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS v FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)) SELECT group_id, lane, COUNT(*) AS n_vecs, SUM(v) AS centroid_sum_q20 FROM ex GROUP BY group_id, lane ORDER BY group_id, lane""",
+
+    "q_check_sketches" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_exact, true AS hll_pass, quantile_cont(l_extendedprice, 0.5) AS median_exact, true AS aq_pass FROM lineitem""",
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'fake/blob' AS kind, octet_length(encode(text)) AS n_bytes, 1 + (octet_length(encode(text)) % 1024) AS width, 1 + (octet_length(encode(text)) % 768) AS height FROM documents ORDER BY media_id""",
