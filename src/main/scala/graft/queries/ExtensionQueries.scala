@@ -98,6 +98,18 @@ object ExtensionQueries {
           length(col("text")).as("n_chars"))
         .orderBy("doc_id")),
 
+    // corpus-level term statistics: top-50 terms by frequency with doc
+    // frequency — explode + map-side partial count + TakeOrderedAndProject
+    // (no global sort); the tf/df primitive under stopword mining and
+    // quality heuristics
+    "q_top_terms" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("term").asc)
+        .limit(50)),
+
     // ---- deduplication ----------------------------------------------------
     "q_dedup_exact_docs" -> ((s, dir) =>
       Dedup.exactDupGroups(
@@ -432,6 +444,8 @@ object ExtensionQueries {
     },
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_hash, length(text) AS n_chars FROM documents ORDER BY doc_id""",
+    "q_top_terms" ->
+      s"""SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM (SELECT doc_id, unnest($tokensSql) AS term FROM documents) GROUP BY term ORDER BY tf DESC, term ASC LIMIT 50""",
     "q_dedup_exact_docs" ->
       """WITH u AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents) SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies FROM u GROUP BY 1 ORDER BY content_hash""",
     "q_jaccard_words" ->

@@ -196,6 +196,22 @@ variants AS (
         .orderBy("rsid", "start", "gene_id")
     }),
 
+    // stream-stream interval join in batch mode (identical plan/result
+    // under two MemoryStreams — StreamingOpsSpec proves it): purchases
+    // matched to the same user's clicks in the preceding hour
+    "q_stream_interval_join" -> ((s, dir) => {
+      val ev = StreamingOps.nanosToTimestamp(events(s, dir))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      StreamingOps.intervalJoinStreams(purchases, clicks, "user_id", "p_ts", "c_ts",
+          before = "1 hour", after = "0 seconds")
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          unix_millis(col("p_ts")).as("p_ms"), unix_millis(col("c_ts")).as("c_ms"))
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // session windows over event time, through StreamingOps (batch mode —
     // the identical plan runs under readStream with the same results)
     "q_session_window" -> ((s, dir) =>
@@ -268,6 +284,11 @@ g AS (SELECT 'chr' || CAST(c_custkey % 22 AS VARCHAR) AS chromosome, c_custkey *
 SELECT v.chromosome, v.rsid, v.start, g.gene_id
 FROM v JOIN g ON v.chromosome = g.chromosome AND v.start >= g.g_start AND v.start <= g.g_end
 ORDER BY rsid, start, gene_id""",
+    // joins on µs-TRUNCATED integer timestamps: the Spark side compares
+    // after the ns->µs truncation, so the oracle must too (a ns-precision
+    // comparison could flip a pair sitting inside the same microsecond)
+    "q_stream_interval_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS p_us FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS c_us FROM events WHERE event_type = 'click') SELECT purchase_id, click_id, p.user_id AS user_id, p_us // 1000 AS p_ms, c_us // 1000 AS c_ms FROM p JOIN c ON p.user_id = c.user_id AND c_us >= p_us - 3600000000 AND c_us <= p_us ORDER BY purchase_id, click_id""",
     "q_session_window" ->
       """WITH m AS (
   SELECT user_id, ts, value,

@@ -81,6 +81,29 @@ object StreamingOps {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream inner join within an event-time interval: each left
+    * row matches right rows with the same `key` whose timestamp lies in
+    * [left.ts - before, left.ts + after]. Both sides carry watermarks, so
+    * each side's join state is bounded to the interval plus the watermark
+    * delay — the canonical Structured Streaming two-stream join shape
+    * (state for rows older than watermark + interval is evicted).
+    * Column names must be disjoint apart from `key`; the interval bound
+    * strings are SQL intervals ("1 hour"). Works identically in batch
+    * (watermarks no-op, the range condition is a plain theta-join). */
+  def intervalJoinStreams(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      before: String = "1 hour", after: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after"))
+      .drop(col(s"r.$key"))
+  }
+
   /** Custom sessionization with explicit state (flatMapGroupsWithState):
     * emits a Session row when a user's gap exceeds `gapMs` (or on event-time
     * timeout for streams). The shape to reach for when session logic

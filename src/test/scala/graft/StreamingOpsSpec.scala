@@ -84,6 +84,42 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("intervalJoinStreams: two MemoryStreams, bounded state, == batch theta-join") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    val pMem = MemoryStream[Event]
+    val cMem = MemoryStream[Event]
+    def purchases(df: DataFrame) =
+      df.select($"user_id", $"ts".as("p_ts"), $"value".as("p_val"))
+    def clicks(df: DataFrame) =
+      df.select($"user_id", $"ts".as("c_ts"), $"value".as("c_val"))
+    val joined = StreamingOps.intervalJoinStreams(
+      purchases(pMem.toDF()), clicks(cMem.toDF()), "user_id", "p_ts", "c_ts",
+      before = "30 minutes", after = "0 seconds", watermark = "10 minutes")
+    val query = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val pData = Seq(Event(1L, ts(60), "purchase", 10.0), Event(2L, ts(60), "purchase", 20.0))
+      val cData = Seq(
+        Event(1L, ts(40), "click", 1.0), // 20 min before user 1's purchase → match
+        Event(1L, ts(20), "click", 2.0), // 40 min before → outside interval
+        Event(2L, ts(61), "click", 3.0)) // after the purchase → outside
+      pMem.addData(pData: _*)
+      cMem.addData(cData: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("ssj").select("user_id", "p_val", "c_val")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(streamed == Set((1L, 10.0, 1.0)))
+      // batch parity: the same operator over batch frames, same rows
+      val batch = StreamingOps.intervalJoinStreams(
+          purchases(pData.toDF()), clicks(cData.toDF()), "user_id", "p_ts", "c_ts",
+          before = "30 minutes", after = "0 seconds")
+        .select("user_id", "p_val", "c_val")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(batch == streamed)
+    } finally query.stop()
+  }
+
   test("streaming annotate chain end-to-end == batch q_annotate_pipeline on the golden GVF") {
     // readGvfStream -> processGvf -> watermarked dedup -> broadcast-join
     // genes -> sink: the whole EP2 chain with only source/sink swapped.
