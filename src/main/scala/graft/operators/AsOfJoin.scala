@@ -61,4 +61,43 @@ object AsOfJoin {
         (col(s"__r.$timeCol").as(rightTimeAs) +:
           valueCols.map(c => col(s"__r.$c").as(c))): _*)
   }
+
+  /** Forward as-of join — the mirror: for each left row, the single
+    * EARLIEST right row with rightTime ≥ leftTime in the key group. Same
+    * one-shuffle union+window shape, with the frame flipped to
+    * [current, unbounded following] and `first(ignoreNulls)` instead of
+    * `last`. Tie order flips too: at equal instants the left row sorts
+    * first so a same-instant right row is visible ("at or after"). */
+  def asofForward(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], timeCol: String,
+      valueCols: Seq[String], rightTimeAs: String = "asof_time"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(valueCols.forall(!leftCols.contains(_)),
+      s"valueCols must not collide with left columns: $valueCols vs $leftCols")
+
+    val r1 = right.select((keys :+ timeCol).map(col) :+
+      struct((timeCol +: valueCols).map(col): _*).as("__r"): _*)
+      .withColumn("__is_left", lit(0))
+    val rStructType = r1.schema("__r").dataType
+
+    val l1 = left
+      .withColumn("__is_left", lit(1))
+      .withColumn("__r", lit(null).cast(rStructType))
+    val r2 = leftCols.foldLeft(r1)((df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select(l1.columns.map(col).toIndexedSeq: _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__is_left").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    l1.unionByName(r2)
+      .withColumn("__r", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select(leftCols.map(col) ++
+        (col(s"__r.$timeCol").as(rightTimeAs) +:
+          valueCols.map(c => col(s"__r.$c").as(c))): _*)
+  }
 }

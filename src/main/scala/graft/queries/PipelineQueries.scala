@@ -176,6 +176,23 @@ variants AS (
         .orderBy("event_id")
     }),
 
+    // forward as-of: each purchase matched to the user's EARLIEST signup
+    // at-or-after (mirror window frame, same one-shuffle shape)
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+      graft.operators.AsOfJoin.asofForward(
+          purchases, signups, Seq("user_id"), "ts", Seq("signup_id"), "signup_ts")
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("ts_us"),
+          expr("signup_ts DIV 1000").as("signup_ts_us"),
+          col("signup_id"))
+        .orderBy("event_id")
+    }),
+
     // positional (interval) annotation — the generalization the reference
     // skipped: variants matched to genes by coordinate containment via the
     // binned range join, not transcript equality
@@ -284,6 +301,12 @@ g AS (SELECT 'chr' || CAST(c_custkey % 22 AS VARCHAR) AS chromosome, c_custkey *
 SELECT v.chromosome, v.rsid, v.start, g.gene_id
 FROM v JOIN g ON v.chromosome = g.chromosome AND v.start >= g.g_start AND v.start <= g.g_end
 ORDER BY rsid, start, gene_id""",
+    "q_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+s AS (SELECT user_id, ts, event_id AS signup_id FROM events WHERE event_type = 'signup')
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, epoch_us(s.ts) AS signup_ts_us, s.signup_id
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts <= s.ts
+ORDER BY p.event_id""",
     // joins on µs-TRUNCATED integer timestamps: the Spark side compares
     // after the ns->µs truncation, so the oracle must too (a ns-precision
     // comparison could flip a pair sitting inside the same microsecond)

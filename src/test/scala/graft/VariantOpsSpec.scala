@@ -59,6 +59,31 @@ class VariantOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Float]("maf") == 0.0f))
   }
 
+  test("readGvf on malformed rows: PERMISSIVE nulls, never a crashed scan") {
+    // contract for dirty 100 TB inputs: a short line null-fills missing
+    // trailing columns, a non-numeric start nulls the whole row's parsed
+    // fields (Spark CSV PERMISSIVE drops the row's other values too), a
+    // good line is untouched; nothing throws under ANSI mode
+    val dir = java.nio.file.Files.createTempDirectory("gvf-malformed")
+    val good = "chr10\tdbSNP\tSNV\t100\t101\t.\t+\t.\t" +
+      "Dbxref=dbSNP_151:rs42;Variant_seq=A;Reference_seq=G;"
+    java.nio.file.Files.write(dir.resolve("dirty.gvf"), java.util.Arrays.asList(
+      "# header comment",
+      good,
+      "chr10\tdbSNP\tSNV",                       // truncated line
+      "chr10\tdbSNP\tSNV\tNOT_A_NUMBER\t101\t.\t+\t.\tattr"), // bad long
+      java.nio.charset.StandardCharsets.UTF_8)
+    val raw = graft.io.Sources.readGvf(spark, dir.toString)
+    assert(raw.count() == 3) // comment skipped, malformed rows kept as rows
+    val rows = raw.collect().map(r => (r.getAs[String]("seqid"),
+      Option(r.getAs[java.lang.Long]("start")).map(_.toLong))).toSet
+    assert(rows.contains(("chr10", Some(100L))))
+    assert(rows.exists(_._2.isEmpty)) // malformed starts surface as null
+    // the processing chain keeps only rows with a parsable dbSNP id
+    val processed = VariantOps.processGvf(raw)
+    assert(processed.select("rsid").collect().map(_.getLong(0)).toSeq == Seq(42L, 42L))
+  }
+
   test("effect regex preserves the trailing-semicolon quirk (X6)") {
     import spark.implicits._
     // unterminated Variant_effect attr (ends the line, no ';') must be
