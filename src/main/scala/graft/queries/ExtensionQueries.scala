@@ -494,7 +494,7 @@ object ExtensionQueries {
       s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
 
     "q_embed_centroid" ->
-      """WITH ex AS (SELECT vec_id % 8 AS group_id, i - 1 AS lane, CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS v FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)) SELECT group_id, lane, COUNT(*) AS n_vecs, SUM(v) AS centroid_sum_q20 FROM ex GROUP BY group_id, lane ORDER BY group_id, lane""",
+      """WITH ex AS (SELECT vec_id % 8 AS group_id, i - 1 AS lane, CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS v FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)) SELECT group_id, lane, COUNT(*) AS n_vecs, CAST(SUM(v) AS BIGINT) AS centroid_sum_q20 FROM ex GROUP BY group_id, lane ORDER BY group_id, lane""",
 
     "q_check_sketches" ->
       """SELECT COUNT(DISTINCT l_partkey) AS n_exact, true AS hll_pass, quantile_cont(l_extendedprice, 0.5) AS median_exact, true AS aq_pass FROM lineitem""",

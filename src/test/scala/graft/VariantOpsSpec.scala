@@ -81,7 +81,7 @@ class VariantOpsSpec extends SparkSpec {
     assert(rows.exists(_._2.isEmpty)) // malformed starts surface as null
     // the processing chain keeps only rows with a parsable dbSNP id
     val processed = VariantOps.processGvf(raw)
-    assert(processed.select("rsid").collect().map(_.getLong(0)).toSeq == Seq(42L, 42L))
+    assert(processed.select("rsid").collect().map(_.getLong(0)).toSeq == Seq(42L))
   }
 
   test("effect regex preserves the trailing-semicolon quirk (X6)") {

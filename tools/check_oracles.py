@@ -29,6 +29,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def dtype_family(dtype) -> str:
+    """Normalized dtype family — the driver's hash is type-sensitive, so a
+    value-identical result with an int column where the oracle yields a
+    float (e.g. DuckDB SUM(BIGINT) → HUGEINT → float64) must FAIL here the
+    way it fails at the driver."""
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    return "other"
+
+
 def main(out_dir: str, sf_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -56,6 +72,14 @@ def main(out_dir: str, sf_dir: str) -> int:
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            failures += 1
+            continue
+        dtype_mismatch = [
+            (c, got[c].dtype, want[c].dtype) for c in got.columns
+            if dtype_family(got[c].dtype) != dtype_family(want[c].dtype)]
+        if dtype_mismatch:
+            for c, g, w in dtype_mismatch:
+                print(f"FAIL {name}: dtype family of {c}: spark {g} vs oracle {w}")
             failures += 1
             continue
         try:
