@@ -56,6 +56,16 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Fraction of the corpus expected to collide with a query in at least
+    * one of `bands` buckets of `bitsPerBand` random-hyperplane sign bits,
+    * for angularly-uncorrelated vectors (P[bit agrees] = 1/2). The TRUE
+    * neighbors collide more often — that's the recall — but this is the
+    * cost floor: the exact-rerank workload is ≥ this fraction of brute
+    * force, plus bucketing/dedup overhead. Statically computable from the
+    * parameters alone. */
+  def lshExpectedCandidateFraction(bands: Int, bitsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(2.0, -bitsPerBand), bands)
+
   /** LSH-bucketed ANN: `bands` independent signatures of `bitsPerBand`
     * hyperplane sign bits each; same-bucket vectors are candidates.
     * Recall grows with bands; cost with bands × bucket collision rate.
@@ -65,31 +75,55 @@ object Similarity {
     * disagreement per hyperplane, so long bucket keys (8+ bits) reject
     * them almost surely (8×8 bits measured recall@10 = 0.1). Near-dup
     * detection (cosine ≥ 0.99) is the opposite regime — long keys are
-    * fine and keep candidate counts linear (embeddingNearDupPairs). */
+    * fine and keep candidate counts linear (embeddingNearDupPairs).
+    *
+    * Brute-force cutover: when `lshExpectedCandidateFraction` ≥
+    * `bruteCutover`, the bucket net rejects almost nothing — the exact
+    * rerank already touches most of the corpus and the bucketing/dedup
+    * shuffles are pure overhead (measured 4× slower than brute at 16×4
+    * bits, fraction 0.64). The operator then runs the exact path: same
+    * schema, recall 1.0, one shuffle. Wide-net parameter regimes only
+    * make sense on CLUSTERED real-world embeddings where the empirical
+    * collision rate is far below the isotropic floor — callers there pass
+    * `bruteCutover = 1.0` to force LSH (as the recall gate does, so the
+    * gate always measures the genuine LSH net, never the fallback). */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       bands: Int = 16, bitsPerBand: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bruteCutover: Double = 0.5): DataFrame = {
+    if (lshExpectedCandidateFraction(bands, bitsPerBand) >= bruteCutover)
+      return bruteForceTopK(queries, corpus, k, idCol, vecCol)
     val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val cRaw = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    // candidate generation on ids only: the dedup shuffle carries two longs
-    // per row, not embedding vectors; vectors rejoin after (corpus side by
-    // id, query side broadcast)
+    // fused candidate path: the corpus keeps its vector through the
+    // broadcast bucket join (queries, WITH their vectors, are the tiny
+    // broadcast side — |queries| × bands rows), cosine is computed
+    // map-side in the same codegen stage, and the per-(query, neighbor)
+    // band-duplicate collapse is one agg shuffle carrying (long, long,
+    // double). That is strictly fewer shuffles than the id-only variant
+    // (candidates → distinct → rejoin corpus by id → rejoin queries):
+    // the corpus is never shuffled by id at all.
+    // Probe side repartitioned: the broadcast join otherwise streams at
+    // the corpus scan's partition count (1-2 on a small parquet file) and
+    // candidate generation serializes — the same measured shape as
+    // embeddingNearDupPairs / Dedup's probe-side fixes.
+    val nPart = corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val c = bandBucketed(cRaw.repartition(nPart), "neighbor_id", "cv",
+      bands, bitsPerBand)
     val q = bandBucketed(qRaw, "query_id", "qv", bands, bitsPerBand)
-      .select("query_id", "band", "bucket")
-    val c = bandBucketed(cRaw, "neighbor_id", "cv", bands, bitsPerBand)
-      .select("neighbor_id", "band", "bucket")
-    val candidateIds = c.join(broadcast(q), Seq("band", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
-      .distinct()
+      .select(col("query_id"), col("qv"), col("band"), col("bucket"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    candidateIds
-      .join(cRaw, Seq("neighbor_id"))
-      .join(broadcast(qRaw), Seq("query_id"))
+    c.join(broadcast(q), Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      // same pair may collide in several bands; cosine is identical across
+      // them, so max() is a deterministic duplicate collapse
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
@@ -170,10 +204,24 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nLists: Int = 16, nProbe: Int = 4, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopK(queries, corpus, k,
+      trainCentroids(corpus, nLists, iters, idCol, vecCol),
+      nProbe, idCol, vecCol)
+
+  /** Model-taking overload: search pre-trained lists. Training is the only
+    * driver-action-bearing part of IVF (2 Spark jobs per Lloyd round), so
+    * a pipeline that probes the same corpus repeatedly — or runs a recall
+    * gate next to the search itself — trains ONCE via `trainCentroids` and
+    * reuses the model here; the search is then a single declarative plan
+    * (assignment pass → one shuffle on list id → broadcast-probe rerank). */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: Array[Array[Double]], nProbe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val nLists = centroids.length
     require(nProbe > 0 && nProbe <= nLists, s"nProbe must be in [1, $nLists]: $nProbe")
     val spark = corpus.sparkSession
-    val centroids = trainCentroids(corpus, nLists, iters, idCol, vecCol)
 
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       nearestCentroid(col(vecCol), centroids).as("cid"))

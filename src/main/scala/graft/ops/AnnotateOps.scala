@@ -49,10 +49,33 @@ object AnnotateOps {
   /** Intragenic subset (F5 + D4, eggv/annotate.py:120-142): everything
     * else that matched a gene, deduped on (rsid, variant_effect, gene_id).
     * The reference's split_out=100 shuffle hint is subsumed by
-    * spark.sql.shuffle.partitions + AQE coalescing. */
+    * spark.sql.shuffle.partitions + AQE coalescing.
+    *
+    * Two-phase dedup instead of a single `dropDuplicates(subset)`: the
+    * subset form compiles to `First(gene_name), First(gene_biotype)` whose
+    * string agg buffers disqualify HashAggregate, so Spark plans
+    * SortAggregate with TWO full sorts of the joined frame. Phase 1 is a
+    * buffer-free distinct over all five columns (pure HashAggregate,
+    * map-side partial combine); phase 2 picks a deterministic min-struct
+    * winner per key — it only does real work when a gene build violates
+    * gene_id → (name, biotype) functional dependence, and runs on the
+    * already-deduped frame. Deterministic where the reference's
+    * pandas-order `drop_duplicates` is positional. */
   def isolateIntragenic(df: DataFrame): DataFrame =
     df.filter(!col("variant_effect").isin(intergenicEffects: _*) &&
         col("gene_id").isNotNull)
       .select("rsid", "variant_effect", "gene_id", "gene_name", "gene_biotype")
-      .dropDuplicates("rsid", "variant_effect", "gene_id")
+      .distinct()
+      // barrier: without it RemoveRedundantAggregates folds the distinct
+      // into the min-struct aggregate (min is duplicate-insensitive) and
+      // the plan degrades back to SortAggregate over the full frame. The
+      // repartition is on the second aggregate's keys, so it satisfies its
+      // required distribution — the min-struct agg adds NO extra exchange,
+      // just a partition-local sort of the already-deduped rows.
+      .repartition(col("rsid"), col("variant_effect"), col("gene_id"))
+      .groupBy("rsid", "variant_effect", "gene_id")
+      .agg(min(struct(col("gene_name"), col("gene_biotype"))).as("g"))
+      .select(col("rsid"), col("variant_effect"), col("gene_id"),
+        col("g.gene_name").as("gene_name"),
+        col("g.gene_biotype").as("gene_biotype"))
 }

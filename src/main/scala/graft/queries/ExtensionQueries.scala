@@ -55,6 +55,20 @@ object ExtensionQueries {
 
   private val enStop = TF.stopwords("en")
 
+  /** Session-scoped IVF centroid memo keyed by (sf dir, params):
+    * trainCentroids is deterministic (lowest-id init, rounded Lloyd
+    * updates), so the first caller trains and every later query over the
+    * same table reuses the KB-scale model instead of re-running Lloyd
+    * collects. At 100 TB the analogue is training once, persisting the
+    * model table, and searching many batches against it. */
+  private val ivfModels =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Double]]]()
+
+  private def ivfModel(s: SparkSession, dir: String,
+      nLists: Int, iters: Int): Array[Array[Double]] =
+    ivfModels.computeIfAbsent((dir, nLists, iters), _ =>
+      Similarity.trainCentroids(t(s, dir, "embeddings"), nLists, iters))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----------------------------------------------------
     "q_token_count" -> ((s, dir) =>
@@ -277,7 +291,11 @@ object ExtensionQueries {
     "q_check_ann_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 20)
-      val ann = Similarity.lshTopK(q, e, k = 10, bands = 16, bitsPerBand = 4)
+      // bruteCutover = 1.0: the gate must always measure the genuine LSH
+      // net (16×4 bits is past the default cutover where lshTopK would
+      // answer exactly via brute force and the gate would test nothing)
+      val ann = Similarity.lshTopK(q, e, k = 10, bands = 16, bitsPerBand = 4,
+          bruteCutover = 1.0)
         .select("query_id", "neighbor_id")
       val brute = Similarity.bruteForceTopK(q, e, k = 10)
         .select("query_id", "neighbor_id")
@@ -357,9 +375,12 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // rows-only: LSH ANN path (hash-bucketed candidates, exact rerank);
-    // 16 bands × 4 bits = measured recall@10 0.9 here (gated by
-    // q_check_ann_recall below)
+    // rows-only: LSH ANN entry point at its wide-net defaults. 16 bands ×
+    // 4 bits has an isotropic expected candidate fraction of 0.64 — past
+    // the default cutover — so on THIS (unclustered) corpus lshTopK
+    // answers via the exact path (recall 1.0, one shuffle); the genuine
+    // LSH net at these params is measured by q_check_ann_recall, which
+    // forces bruteCutover = 1.0.
     "q_embed_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e.filter(col("vec_id") < 20), e, k = 10,
@@ -368,21 +389,28 @@ object ExtensionQueries {
     }),
 
     // rows-only: IVF ANN path (k-means-lite lists, nProbe-list search,
-    // exact rerank) — the data-adaptive alternative to hyperplane LSH
+    // exact rerank) — the data-adaptive alternative to hyperplane LSH.
+    // Centroid training (the only driver-action-bearing stage) runs once
+    // per (table, params) per session via ivfModel; the recall gate below
+    // searches with the SAME model, so gate + search pay one training.
     "q_embed_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, k = 10,
-          nLists = 16, nProbe = 4, iters = 1)
+          ivfModel(s, dir, nLists = 16, iters = 1), nProbe = 4,
+          "vec_id", "embedding")
         .orderBy("query_id", "rank")
     }),
 
     // IVF recall against exact brute force, same gate shape as
     // q_check_ann_recall (centroid training is deterministic: lowest-id
-    // init, rounded Lloyd updates)
+    // init, rounded Lloyd updates — so sharing the model with
+    // q_embed_ann_ivf gates exactly what that query runs)
     "q_check_ann_ivf_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 20)
-      val ann = Similarity.ivfTopK(q, e, k = 10, nLists = 16, nProbe = 4, iters = 1)
+      val ann = Similarity.ivfTopK(q, e, k = 10,
+          ivfModel(s, dir, nLists = 16, iters = 1), nProbe = 4,
+          "vec_id", "embedding")
         .select("query_id", "neighbor_id")
       val brute = Similarity.bruteForceTopK(q, e, k = 10)
         .select("query_id", "neighbor_id")
