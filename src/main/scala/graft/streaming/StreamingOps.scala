@@ -104,33 +104,92 @@ object StreamingOps {
       .drop(col(s"r.$key"))
   }
 
-  /** Custom sessionization with explicit state (flatMapGroupsWithState):
-    * emits a Session row when a user's gap exceeds `gapMs` (or on event-time
-    * timeout for streams). The shape to reach for when session logic
-    * outgrows session_window — per-key state is a tiny fixed-size struct,
-    * so state size is O(active users), not O(events). */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+  /** Custom sessionization with explicit state: emits a Session row when a
+    * user's gap exceeds `gapMs` (or on event-time timeout for streams).
+    * The shape to reach for when session logic outgrows session_window —
+    * per-key state is a tiny fixed-size struct, so state size is O(active
+    * users), not O(events).
+    *
+    * Batch and streaming take different physical paths on purpose:
+    *  - batch: secondary sort (`repartition(user_id)` +
+    *    `sortWithinPartitions(user_id, ts)`) + one `mapPartitions` fold
+    *    with O(1) state — a hot user's whole history streams through,
+    *    never materializing on-heap. (`groupByKey` can't do this: its
+    *    lambda key is opaque to Catalyst, so a pre-sort is always
+    *    destroyed by the grouping shuffle, and the per-group iterator
+    *    would have to be sorted in memory.)
+    *  - streaming: flatMapGroupsWithState with EventTimeTimeout; the
+    *    in-memory sort there is bounded by one user's rows in ONE
+    *    microbatch, not their history. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] =
+    if (events.isStreaming) sessionizeStream(events, gapMs)
+    else sessionizeBatch(events, gapMs)
+
+  private def flush(userId: Long, st: SessionState): Session =
+    Session(userId, st.startMs, st.lastMs, st.n, st.total)
+
+  /** Batch path: secondary-sort + streaming fold. Sessions can't span
+    * partitions (hash-partitioned by user_id), and within a partition the
+    * fold emits as it goes — heap is one SessionState regardless of how
+    * many events the hottest user has. */
+  private def sessionizeBatch(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"))
+      .as[Event]
+      .mapPartitions { rows =>
+        new Iterator[Session] {
+          private var pending: Session = null
+          private var cur = 0L
+          private var st: SessionState = null
+          private def step(): Unit = {
+            while (pending == null && rows.hasNext) {
+              val e = rows.next()
+              val t = e.ts.getTime
+              if (st == null) {
+                cur = e.user_id; st = SessionState(t, t, 1, e.value)
+              } else if (e.user_id != cur) {
+                pending = flush(cur, st)
+                cur = e.user_id; st = SessionState(t, t, 1, e.value)
+              } else if (t - st.lastMs >= gapMs) {
+                // >= matches session_window: an event exactly gap after
+                // the last one starts a new session (half-open windows)
+                pending = flush(cur, st)
+                st = SessionState(t, t, 1, e.value)
+              } else {
+                st = SessionState(st.startMs, t, st.n + 1, st.total + e.value)
+              }
+            }
+            if (pending == null && !rows.hasNext && st != null) {
+              pending = flush(cur, st) // tail session of the partition
+              st = null
+            }
+          }
+          def hasNext: Boolean = { step(); pending != null }
+          def next(): Session = {
+            step(); val out = pending; pending = null; out
+          }
+        }
+      }
+  }
+
+  private def sessionizeStream(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
 
-    def flush(userId: Long, st: SessionState): Session =
-      Session(userId, st.startMs, st.lastMs, st.n, st.total)
-
-    // plain value: capturing the Dataset itself in the state closure would
-    // serialize a driver-only object to executors
-    val streaming = events.isStreaming
-
     events
-      .withWatermark("ts", "10 minutes") // required for EventTimeTimeout; no-op in batch
+      .withWatermark("ts", "10 minutes") // required for EventTimeTimeout
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (rows.isEmpty && state.hasTimedOut) {
-            // stream path: watermark passed the gap → close the session
+            // watermark passed the gap → close the session
             val out = state.getOption.map(flush(userId, _)).toList
             state.remove()
             out.iterator
           } else {
+            // sort bound: one user's rows within one microbatch
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
             var closed = List.empty[Session]
             var st = state.getOption.orNull
@@ -147,13 +206,7 @@ object StreamingOps {
               }
             }
             state.update(st)
-            if (state.getOption.isDefined && !streaming) {
-              // batch path: no timeout will ever fire — close the tail session
-              closed ::= flush(userId, st)
-              state.remove()
-            } else {
-              state.setTimeoutTimestamp(st.lastMs + gapMs)
-            }
+            state.setTimeoutTimestamp(st.lastMs + gapMs)
             closed.reverseIterator
           }
       }

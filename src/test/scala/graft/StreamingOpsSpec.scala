@@ -44,6 +44,33 @@ class StreamingOpsSpec extends SparkSpec {
       (2L, 5L, 5L, 1L, 4.0)))
   }
 
+  test("sessionize (batch): one dominant key with 2*10^5 events stays bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
+    // a hot key whose event history must NOT materialize per-group: the
+    // secondary-sort fold keeps O(1) state however many events one user
+    // has. 200k events, one per minute → every 30-minute gap is exceeded
+    // never, so the hot user folds to ONE session spanning the range; a
+    // handful of cold users interleave to prove key transitions flush.
+    val n = 200000
+    val hot = spark.range(n).select(
+      lit(7L).as("user_id"),
+      timestamp_millis((col("id") * 60000L) + 1000000000000L).as("ts"),
+      lit("click").as("event_type"), lit(1.0).as("value"))
+    val cold = spark.range(3).select(
+      (col("id") + 100L).as("user_id"),
+      timestamp_millis(lit(1000000000000L)).as("ts"),
+      lit("click").as("event_type"), lit(2.0).as("value"))
+    val events = hot.union(cold).as[StreamingOps.Event]
+    val out = StreamingOps.sessionize(events, gapMs = 30 * 60000L).collect()
+    val hotSessions = out.filter(_.user_id == 7L)
+    assert(hotSessions.length == 1)
+    assert(hotSessions.head.n_events == n)
+    assert(hotSessions.head.session_end_ms - hotSessions.head.session_start_ms ==
+      (n - 1).toLong * 60000L)
+    assert(out.count(_.user_id >= 100L) == 3)
+  }
+
   test("windowedStats (streaming): MemoryStream end-to-end with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
