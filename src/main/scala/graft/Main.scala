@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.io.{Retrieve, Sinks, Sources}
+import graft.io.{EnsemblRegistry, Retrieve, Sinks, Sources}
 import graft.ops.GeneOps
 
 /** CLI entry point mirroring the reference's click CLI
@@ -12,7 +12,8 @@ import graft.ops.GeneOps
   *   graft.Main retrieve <url> [url...] <destDir>
   *   graft.Main process  <gvf> <gtf> <outDir>
   *   graft.Main annotate <effectsTsvDir> <genesTsvDir> <outDir>
-  *   graft.Main complete <gvf|url> <gtf|url> <outDir>
+  *   graft.Main complete [--force] <gvf|url> <gtf|url> <outDir>
+  *   graft.Main complete [--force] <hg38|mm10> <outDir>
   *   graft.Main run      <config.properties>
   *
   * `complete` accepts http(s)/file URLs for the feature builds — they are
@@ -41,6 +42,11 @@ object Main {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Split `--force` (anywhere in a subcommand's argument list) from the
+    * positional arguments. */
+  private[graft] def parseForce(rest: List[String]): (Boolean, List[String]) =
+    (rest.contains("--force"), rest.filterNot(_ == "--force"))
 
   /** URL arguments are staged to `rawDir` and replaced by the local path;
     * plain paths pass through untouched. */
@@ -86,12 +92,35 @@ object Main {
       Sinks.writeTsv(ann.intragenic, s"$out/intragenic")
       spark.stop()
 
-    case "complete" :: gvf :: gtf :: out :: Nil =>
-      val spark = session("graft-complete")
-      val (gvfLocal, gtfLocal) =
-        resolveInputs(gvf, s"$out/raw", gtf, s"$out/raw", force = false)
-      Pipeline.complete(spark, gvfLocal, gtfLocal, out)
-      spark.stop()
+    // `complete` forms (each takes --force anywhere after the verb, the
+    // reference's eggv/cli.py:43-77 flag: re-download staged builds):
+    //   complete [--force] <gvf|url> <gtf|url> <outDir>
+    //   complete [--force] <build> <outDir>     (hg38|mm10 via Ensembl registry)
+    case "complete" :: rest if parseForce(rest)._2.length >= 2 =>
+      val (force, positional) = parseForce(rest)
+      positional match {
+        case build :: out :: Nil if EnsemblRegistry.isBuild(build) =>
+          // zero-URL convenience: the registry derives the full download
+          // set (24 per-chromosome GVFs for hg38); variants stage into
+          // their own raw dir so the processing scan can take the DIR as
+          // its glob — one read over all chromosome files
+          val spark = session(s"graft-complete-$build")
+          Retrieve.retrieveAll(
+            EnsemblRegistry.variationUrls(build), s"$out/raw/variants", force)
+          val gtfLocal = Retrieve.retrieve(
+            EnsemblRegistry.geneUrl(build), s"$out/raw/genes", force)
+          Pipeline.complete(spark, s"$out/raw/variants", gtfLocal, out)
+          spark.stop()
+        case gvf :: gtf :: out :: Nil =>
+          val spark = session("graft-complete")
+          val (gvfLocal, gtfLocal) =
+            resolveInputs(gvf, s"$out/raw", gtf, s"$out/raw", force)
+          Pipeline.complete(spark, gvfLocal, gtfLocal, out)
+          spark.stop()
+        case other =>
+          System.err.println(s"complete: bad arguments: ${other.mkString(" ")}")
+          sys.exit(2)
+      }
 
     case "run" :: configPath :: Nil =>
       // raw data already staged at the catalog locations
@@ -124,7 +153,8 @@ object Main {
            |  graft.Main retrieve <url> [url...] <destDir>
            |  graft.Main process  <gvf> <gtf> <outDir>
            |  graft.Main annotate <effectsTsv> <genesTsv> <outDir>
-           |  graft.Main complete <gvf|url> <gtf|url> <outDir>
+           |  graft.Main complete [--force] <gvf|url> <gtf|url> <outDir>
+           |  graft.Main complete [--force] <hg38|mm10> <outDir>
            |  graft.Main run      <config.properties> [<gvf|url> <gtf|url>]""".stripMargin)
       sys.exit(2)
   }

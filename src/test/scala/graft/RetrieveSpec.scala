@@ -109,4 +109,43 @@ class RetrieveSpec extends AnyFunSuite {
     assert(!Retrieve.isUrl("/data/raw/x.gvf"))
     assert(!Retrieve.isUrl("relative/path.gvf"))
   }
+
+  test("EnsemblRegistry: hg38 = 24 per-chromosome GVFs + 1 GTF (globe.py URLs)") {
+    import graft.io.EnsemblRegistry
+    val urls = EnsemblRegistry.variationUrls("hg38")
+    assert(urls.size == 24)
+    assert(urls.head ==
+      "http://ftp.ensembl.org/pub/release-95/variation/gvf/homo_sapiens/" +
+        "homo_sapiens_incl_consequences-chr1.gvf.gz")
+    assert(urls.last.endsWith("-chrY.gvf.gz"))
+    assert(urls.exists(_.endsWith("-chr22.gvf.gz")))
+    assert(urls.exists(_.endsWith("-chrX.gvf.gz")))
+    // every URL has a distinct trailing file name → retrieveAll accepts
+    // the whole set into one raw dir
+    assert(urls.map(_.split('/').last).distinct.size == 24)
+    assert(EnsemblRegistry.geneUrl("hg38") ==
+      "http://ftp.ensembl.org/pub/release-95/gtf/homo_sapiens/" +
+        "Homo_sapiens.GRCh38.95.gtf.gz")
+  }
+
+  test("EnsemblRegistry: mm10 = 1 whole-genome GVF + 1 GTF; unknown rejected") {
+    import graft.io.EnsemblRegistry
+    assert(EnsemblRegistry.variationUrls("mm10") == Seq(
+      "http://ftp.ensembl.org/pub/release-95/variation/gvf/mus_musculus/" +
+        "mus_musculus_incl_consequences.gvf.gz"))
+    assert(EnsemblRegistry.geneUrl("mm10") ==
+      "http://ftp.ensembl.org/pub/release-95/gtf/mus_musculus/" +
+        "Mus_musculus.GRCm38.95.gtf.gz")
+    assert(!EnsemblRegistry.isBuild("hg19"))
+    intercept[IllegalArgumentException](EnsemblRegistry.variationUrls("hg19"))
+    intercept[IllegalArgumentException](EnsemblRegistry.geneUrl("hg19"))
+  }
+
+  test("Main complete accepts --force anywhere among its arguments") {
+    assert(Main.parseForce(List("--force", "hg38", "/out")) ==
+      (true, List("hg38", "/out")))
+    assert(Main.parseForce(List("a.gvf", "b.gtf", "/out", "--force")) ==
+      (true, List("a.gvf", "b.gtf", "/out")))
+    assert(Main.parseForce(List("hg38", "/out")) == (false, List("hg38", "/out")))
+  }
 }
