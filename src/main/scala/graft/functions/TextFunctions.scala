@@ -99,6 +99,19 @@ object TextFunctions {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
+  /** ALL word n-grams in order (duplicates kept — the multiset the
+    * repetition-ratio quality signal needs; `shinglesFromTokens` is the
+    * distinct-set variant for Jaccard/MinHash). ≤ n tokens → one
+    * whole-document gram, mirroring the shingle fallback. Pass a
+    * MATERIALIZED token-array attribute, not a nested expression. */
+  def ngramsAll(toks: Column, n: Int): Column = {
+    val joined = array_join(toks, " ")
+    val count = greatest(size(toks) - lit(n - 1), lit(1))
+    when(size(toks) <= n, array(joined)).otherwise(
+      transform(sequence(lit(0), count - 1),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
   /** Same, from a MATERIALIZED token-array column (pass an attribute, not
     * a nested expression). */
   def shinglesFromTokens(toks: Column, n: Int): Column = {

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** Sequence packing for LLM training data: the concat-then-chunk manifest.
+  *
+  * Documents, taken in id order, are conceptually concatenated into one
+  * token stream and sliced into fixed-size context windows ("packs"). The
+  * manifest maps each document to its global token offset and the pack
+  * range it lands in — the downstream writer can then materialize any pack
+  * by pulling exactly the documents whose [pack_start, pack_end] covers it.
+  *
+  * The global offset is a prefix sum over a 100 TB-wide total order, which
+  * does NOT need a single-partition window: partitions are range-ordered
+  * by id, each partition's token total is a single long, so the driver
+  * collects one long per partition (KB-scale at any corpus size), computes
+  * cumulative bases, and broadcasts them back; each partition then streams
+  * its rows once adding its base. Two jobs, no wide shuffle beyond the
+  * range partitioning itself.
+  *
+  * The sorted frame is persisted for the operator's two passes: both the
+  * per-partition totals job and the offset job must see the SAME physical
+  * partitioning (range boundaries come from sampling, so an unpersisted
+  * re-execution could legally re-draw them and the collected bases would
+  * describe partitions that no longer exist).
+  */
+object Packing {
+
+  /** Manifest columns: (doc_id, n_tokens, start_offset, pack_start,
+    * pack_end). Documents with no tokens are excluded (they occupy no
+    * window). `pack_end` is inclusive: the pack holding the document's
+    * last token. */
+  def packManifest(docs: DataFrame, ctxTokens: Long,
+      idCol: String = "doc_id", nTokensCol: String = "n_tokens"): DataFrame = {
+    require(ctxTokens > 0, s"ctxTokens must be positive: $ctxTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val sorted = docs
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        col(nTokensCol).cast(LongType).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // pass 1: one (partition, token-total) pair per partition — tiny
+    val partSums = sorted
+      .select(spark_partition_id().as("pid"), col("n_tokens"))
+      .groupBy("pid").agg(sum("n_tokens").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = if (partSums.isEmpty) 0 else partSums.keys.max + 1
+    val bases = new Array[Long](nParts + 1)
+    for (p <- 0 until nParts) bases(p + 1) = bases(p) + partSums.getOrElse(p, 0L)
+    val baseB = spark.sparkContext.broadcast(bases)
+
+    // pass 2: in-partition running sum seeded with the partition's base
+    val ctx = ctxTokens
+    sorted.as[(Long, Long)].mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var off = baseB.value(pid)
+      it.map { case (id, n) =>
+        val start = off
+        off += n
+        (id, n, start, start / ctx, (start + n - 1) / ctx)
+      }
+    }.toDF("doc_id", "n_tokens", "start_offset", "pack_start", "pack_end")
+  }
+}

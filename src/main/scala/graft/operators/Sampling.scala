@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType}
+
+/** Deterministic, seed-free dataset splitting and sampling for training
+  * pipelines. A document's split must be a pure function of its identity —
+  * stable across runs, engines, partitionings, and corpus growth — so the
+  * assignment hashes the id (md5, available identically in every engine an
+  * oracle might run in) rather than using `rand()` or Spark's `sample`.
+  * Adding documents later never moves an existing document between splits.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, nBuckets): the first 16 bits of md5(id) mod
+    * nBuckets. Pure Catalyst (md5/substring/conv are codegen'd built-ins),
+    * no UDF, no seed state. */
+  def md5Bucket(id: Column, nBuckets: Int): Column = {
+    require(nBuckets > 0 && nBuckets <= 65536,
+      s"nBuckets must be in [1, 65536]: $nBuckets")
+    conv(substring(md5(id.cast(StringType)), 1, 4), 16, 10)
+      .cast(IntegerType) % nBuckets
+  }
+
+  /** Assign each row a named split by cumulative percentage, e.g.
+    * Seq("train" -> 90, "val" -> 5, "test" -> 5). Percentages must total
+    * 100. Output adds `bucket` (0-99) and `split`. */
+  def assignSplit(df: DataFrame, idCol: String,
+      weights: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5)): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum == 100,
+      s"split weights must total 100: $weights")
+    val bucket = md5Bucket(col(idCol), 100)
+    val cum = weights.scanLeft(0)(_ + _._2).tail
+    val split = weights.zip(cum).tail.foldLeft(
+      when(bucket < cum.head, lit(weights.head._1))) {
+      case (acc, ((name, _), upper)) => acc.when(bucket < upper, lit(name))
+    }
+    df.withColumn("bucket", bucket).withColumn("split", split)
+  }
+
+  /** Keep a deterministic `permille`/1000 fraction of rows by id hash —
+    * the repeatable corpus-sampling primitive (same rows survive every
+    * run; a grown corpus keeps its previously-sampled rows). */
+  def hashSample(df: DataFrame, idCol: String, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000,
+      s"permille must be in [0, 1000]: $permille")
+    df.filter(md5Bucket(col(idCol), 1000) < permille)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity}
 
 /** Training-data-pipeline extension operators as named queries
   * (deduplication, similarity search, text analysis, multimodal plumbing).
@@ -110,6 +110,40 @@ object ExtensionQueries {
       t(s, dir, "documents")
         .select(col("doc_id"), TF.fingerprint(col("text")).as("content_hash"),
           length(col("text")).as("n_chars"))
+        .orderBy("doc_id")),
+
+    // Gopher-style repetition signal: fraction of DUPLICATE word 3-grams
+    // within each document (multiset n-grams, not the distinct shingle
+    // set) — high ratios mark boilerplate/looping text for quality
+    // filtering. Token array materialized in its own projection (the
+    // lambda-subexpression trap: nesting tokens() inside transform()
+    // re-evaluates the split per gram).
+    "q_repetition_ratio" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TF.ngramsAll(col("toks"), 3).as("grams"))
+        .select(col("doc_id"), size(col("grams")).as("n_grams"),
+          size(array_distinct(col("grams"))).as("n_unique_grams"))
+        .withColumn("dup_ngram_ratio", lit(1.0) -
+          col("n_unique_grams").cast(DoubleType) /
+            col("n_grams").cast(DoubleType))
+        .orderBy("doc_id")),
+
+    // concat-then-chunk sequence-packing manifest: global token offsets
+    // via the distributed prefix sum in Packing (per-partition totals →
+    // broadcast bases, never a single-partition window), then each doc's
+    // covering context-window range at ctx=512
+    "q_pack_manifest" -> ((s, dir) =>
+      Packing.packManifest(
+        t(s, dir, "documents")
+          .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens")),
+        ctxTokens = 512)
+        .orderBy("doc_id")),
+
+    // deterministic, seed-free train/val/test assignment: md5-bucket of
+    // the id — stable across runs, engines, and corpus growth
+    "q_split_assign" -> ((s, dir) =>
+      Sampling.assignSplit(t(s, dir, "documents").select("doc_id"), "doc_id")
         .orderBy("doc_id")),
 
     // corpus-level term statistics: top-50 terms by frequency with doc
@@ -520,6 +554,21 @@ object ExtensionQueries {
       s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
     "q_check_ann_recall" ->
       s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
+
+    // multiset n-grams: shingleSql minus its list_distinct (same slicing,
+    // same whole-doc fallback); ratio arithmetic is the identical
+    // double-division + subtraction on both sides
+    "q_repetition_ratio" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents), g AS (SELECT doc_id, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')] ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks) - 2, 1) + 1)] END AS grams FROM tk) SELECT doc_id, len(grams) AS n_grams, len(list_distinct(grams)) AS n_unique_grams, 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE) AS dup_ngram_ratio FROM g ORDER BY doc_id""",
+
+    // the oracle's prefix sum is the single-window formulation (fine at
+    // gate scale); CAST around the window sum — DuckDB SUM(BIGINT) is
+    // HUGEINT, the driver hash is type-sensitive
+    "q_pack_manifest" ->
+      s"""WITH tk AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents WHERE len($tokensSql) > 0), o AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM tk) SELECT doc_id, n_tokens, start_offset, start_offset // 512 AS pack_start, (start_offset + n_tokens - 1) // 512 AS pack_end FROM o ORDER BY doc_id""",
+
+    "q_split_assign" ->
+      """WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket FROM documents) SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id""",
 
     "q_embed_centroid" ->
       """WITH ex AS (SELECT vec_id % 8 AS group_id, i - 1 AS lane, CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS v FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)) SELECT group_id, lane, COUNT(*) AS n_vecs, CAST(SUM(v) AS BIGINT) AS centroid_sum_q20 FROM ex GROUP BY group_id, lane ORDER BY group_id, lane""",

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Packing, Sampling}
+
+class PackingSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packManifest: golden offsets, zero-token docs excluded, inclusive pack_end") {
+    val docs = Seq((1L, 3L), (2L, 4L), (3L, 1L), (4L, 0L), (5L, 10L))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.packManifest(docs, ctxTokens = 5)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // concat order 1,2,3,5 (doc 4 has no tokens): offsets 0,3,7,8
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L),   // tokens [0,2]   → pack 0 only
+      (2L, 3L, 0L, 1L),   // tokens [3,6]   → straddles packs 0-1
+      (3L, 7L, 1L, 1L),   // token  [7]     → pack 1
+      (5L, 8L, 1L, 3L)))  // tokens [8,17]  → packs 1-3
+  }
+
+  test("packManifest: multi-partition prefix sum equals the sequential scan") {
+    // enough rows that repartitionByRange produces several partitions —
+    // the broadcast-base path must agree with a driver-side running sum
+    val docs = spark.range(1, 2001).select(
+      col("id").as("doc_id"), (col("id") % 17 + 1).as("n_tokens"))
+    val got = Packing.packManifest(docs, ctxTokens = 64)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var off = 0L
+    val want = (1L until 2001L).map { id =>
+      val n = id % 17 + 1
+      val row = (id, n, off)
+      off += n
+      row
+    }
+    assert(got.toSeq == want)
+    assert(got.map(_._1).length == 2000) // nothing dropped or duplicated
+  }
+
+  test("md5Bucket/assignSplit: seed-free, stable, exhaustive, well-mixed") {
+    val docs = spark.range(0, 2000).select(col("id").as("doc_id"))
+    val out = Sampling.assignSplit(docs, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // stable: a second run assigns identically (no rand(), no seed state)
+    val again = Sampling.assignSplit(docs, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.toSeq == again.toSeq)
+    // known value: md5("42") = a1d0... → 0xa1d0 = 41424 → bucket 24 → train
+    assert(out.find(_._1 == 42L).get._2 == 24)
+    assert(out.find(_._1 == 42L).get._3 == "train")
+    // exhaustive: every row lands in exactly one named split
+    assert(out.forall(r => Set("train", "val", "test")(r._3)))
+    // well-mixed: md5 buckets put ~90/5/5 within a loose tolerance
+    val frac = out.count(_._3 == "train").toDouble / out.length
+    assert(frac > 0.85 && frac < 0.95, s"train fraction $frac")
+    // the split is the bucket's band, row by row
+    assert(out.forall { case (_, b, s) =>
+      (b < 90 && s == "train") || (b >= 90 && b < 95 && s == "val") ||
+        (b >= 95 && s == "test")
+    })
+  }
+
+  test("hashSample: deterministic nested subsets, sane sizing") {
+    val docs = spark.range(0, 2000).select(col("id").as("doc_id"))
+    val s100 = Sampling.hashSample(docs, "doc_id", 100).collect().map(_.getLong(0)).toSet
+    val s300 = Sampling.hashSample(docs, "doc_id", 300).collect().map(_.getLong(0)).toSet
+    assert(s100.subsetOf(s300)) // growing the rate keeps prior survivors
+    assert(s100.nonEmpty && s300.size < 2000)
+    assert(math.abs(s100.size - 200) < 80, s"10% of 2000 ≈ 200, got ${s100.size}")
+    // re-run returns the identical set
+    assert(Sampling.hashSample(docs, "doc_id", 100)
+      .collect().map(_.getLong(0)).toSet == s100)
+  }
+}
