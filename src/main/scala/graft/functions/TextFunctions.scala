@@ -87,6 +87,42 @@ object TextFunctions {
     * faster than md5; not oracle-portable). */
   def fingerprint64(text: Column): Column = xxhash64(text)
 
+  // ---- PII redaction ------------------------------------------------------
+  // Patterns are RE2-compatible (no lookaround, no backreferences) so any
+  // engine pairing — Spark's java.util.regex, an RE2-based oracle, a
+  // downstream Go/Rust service — matches the same spans.
+
+  /** Email addresses (practical form, not full RFC 5322). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (word-bounded; no range check — redaction favors
+    * recall over precision). */
+  val ipv4Pattern = "\\b([0-9]{1,3}\\.)([0-9]{1,3}\\.)([0-9]{1,3})\\.([0-9]{1,3})\\b"
+
+  /** International-prefixed phone numbers: +, then ≥8 phone chars ending
+    * in a digit. The leading '+' anchor keeps false positives (ids, dates,
+    * quantities) out; bare national formats are too ambiguous to redact
+    * blindly at corpus scale. */
+  val phonePattern = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** Redact emails → `<EMAIL>`, IPv4s → `<IP>`, phones → `<PHONE>`,
+    * in that fixed order (replacement text contains no digits, so later
+    * passes can't re-match inside earlier redactions). Codegen'd
+    * regexp_replace chain — no UDF. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Pre-redaction PII hit counts per kind (audit signal: which documents
+    * carry how much PII, independent of the rewrite). */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(emailPattern), lit(0))).as("n_emails"),
+    size(regexp_extract_all(text, lit(ipv4Pattern), lit(0))).as("n_ips"),
+    size(regexp_extract_all(text, lit(phonePattern), lit(0))).as("n_phones"))
+
   /** Word n-gram shingles (n consecutive tokens joined by single spaces),
     * distinct. A doc with fewer than n tokens yields its full token join as
     * the single shingle so no document silently drops out of dedup.

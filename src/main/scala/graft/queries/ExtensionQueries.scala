@@ -112,6 +112,33 @@ object ExtensionQueries {
           length(col("text")).as("n_chars"))
         .orderBy("doc_id")),
 
+    // PII redaction battery over a PLANTED corpus (the synthetic documents
+    // carry no natural PII, so emails/IPs/phones are appended
+    // deterministically by id — same construction in the oracle): per-doc
+    // pre-redaction counts + the md5 of the redacted text, which pins the
+    // exact rewritten bytes without hauling full text through the gate
+    "q_pii_redact" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0, concat(lit(" contact user"),
+          col("doc_id").cast(StringType), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" from 10.0."),
+          (col("doc_id") % 256).cast(StringType), lit(".1"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, concat(lit(" call +1 555 01"),
+          lpad((col("doc_id") % 100).cast(StringType), 2, "0"))).otherwise(lit("")))
+        .as("text"))
+      val c = TF.piiCounts(col("text"))
+      planted
+        .select(col("doc_id"), col("text"), TF.redactPii(col("text")).as("red"))
+        .select(col("doc_id"),
+          c.getField("n_emails").as("n_emails"),
+          c.getField("n_ips").as("n_ips"),
+          c.getField("n_phones").as("n_phones"),
+          md5(col("red")).as("redacted_hash"),
+          length(col("red")).as("n_redacted_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition signal: fraction of DUPLICATE word 3-grams
     // within each document (multiset n-grams, not the distinct shingle
     // set) — high ratios mark boilerplate/looping text for quality
@@ -554,6 +581,13 @@ object ExtensionQueries {
       s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
     "q_check_ann_recall" ->
       s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
+
+    // same planted corpus, same RE2-safe patterns (interpolated from
+    // TextFunctions so engine and oracle can never drift), same fixed
+    // email → IP → phone order; DuckDB regexp_replace needs the explicit
+    // 'g' flag to match Spark's replace-all default
+    "q_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id, text || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END || CASE WHEN doc_id % 11 = 0 THEN ' call +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END AS text FROM documents), r AS (SELECT doc_id, text, regexp_replace(regexp_replace(regexp_replace(text, '${TF.emailPattern}', '<EMAIL>', 'g'), '${TF.ipv4Pattern}', '<IP>', 'g'), '${TF.phonePattern}', '<PHONE>', 'g') AS red FROM p) SELECT doc_id, len(regexp_extract_all(text, '${TF.emailPattern}')) AS n_emails, len(regexp_extract_all(text, '${TF.ipv4Pattern}')) AS n_ips, len(regexp_extract_all(text, '${TF.phonePattern}')) AS n_phones, md5(red) AS redacted_hash, length(red) AS n_redacted_chars FROM r ORDER BY doc_id""",
 
     // multiset n-grams: shingleSql minus its list_distinct (same slicing,
     // same whole-doc fallback); ratio arithmetic is the identical

@@ -102,4 +102,25 @@ class TextFunctionsSpec extends SparkSpec {
       .filter(not($"nat" <=> $"ref")).count()
     assert(diff == 0)
   }
+
+  test("redactPii: emails, IPv4s, + phones rewritten; counts match; clean text untouched") {
+    val rows = Seq(
+      "mail me at a.b+c@sub.example.org or x@y.io thanks",
+      "server 192.168.0.1 and 10.0.255.254 responded",
+      "call +1 (555) 010-9999 today",
+      "version 1.2.3 costs 12.50 at example.com no pii here",
+      "mixed: b@c.de from 8.8.8.8 dial +44 20 7946 0958")
+      .toDF("text")
+      .select($"text", TF.redactPii($"text").as("red"), TF.piiCounts($"text").as("c"))
+      .collect()
+      .map(r => (r.getString(1), r.getStruct(2).getInt(0),
+        r.getStruct(2).getInt(1), r.getStruct(2).getInt(2)))
+    assert(rows(0) == ("mail me at <EMAIL> or <EMAIL> thanks", 2, 0, 0))
+    assert(rows(1) == ("server <IP> and <IP> responded", 0, 2, 0))
+    assert(rows(2) == ("call <PHONE> today", 0, 0, 1))
+    // "1.2.3" (3 octets) and "12.50" are NOT IPs; bare "example.com" is
+    // not an email; nothing rewritten
+    assert(rows(3) == ("version 1.2.3 costs 12.50 at example.com no pii here", 0, 0, 0))
+    assert(rows(4) == ("mixed: <EMAIL> from <IP> dial <PHONE>", 1, 1, 1))
+  }
 }
