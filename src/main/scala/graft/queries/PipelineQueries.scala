@@ -229,6 +229,23 @@ variants AS (
         .orderBy("purchase_id", "click_id")
     }),
 
+    // left-outer variant: every purchase survives; one with no same-user
+    // click in the preceding hour carries null click columns (in streaming
+    // mode the null row is emitted once the click watermark passes — the
+    // StreamingOpsSpec proves batch/stream parity)
+    "q_stream_interval_join_left" -> ((s, dir) => {
+      val ev = StreamingOps.nanosToTimestamp(events(s, dir))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      StreamingOps.intervalJoinStreams(purchases, clicks, "user_id", "p_ts", "c_ts",
+          before = "1 hour", after = "0 seconds", joinType = "left_outer")
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          unix_millis(col("p_ts")).as("p_ms"), unix_millis(col("c_ts")).as("c_ms"))
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // session windows over event time, through StreamingOps (batch mode —
     // the identical plan runs under readStream with the same results)
     "q_session_window" -> ((s, dir) =>
@@ -312,6 +329,8 @@ ORDER BY p.event_id""",
     // comparison could flip a pair sitting inside the same microsecond)
     "q_stream_interval_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS p_us FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS c_us FROM events WHERE event_type = 'click') SELECT purchase_id, click_id, p.user_id AS user_id, p_us // 1000 AS p_ms, c_us // 1000 AS c_ms FROM p JOIN c ON p.user_id = c.user_id AND c_us >= p_us - 3600000000 AND c_us <= p_us ORDER BY purchase_id, click_id""",
+    "q_stream_interval_join_left" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS p_us FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS c_us FROM events WHERE event_type = 'click') SELECT purchase_id, click_id, p.user_id AS user_id, p_us // 1000 AS p_ms, c_us // 1000 AS c_ms FROM p LEFT JOIN c ON p.user_id = c.user_id AND c_us >= p_us - 3600000000 AND c_us <= p_us ORDER BY purchase_id, click_id NULLS FIRST""",
     "q_session_window" ->
       """WITH m AS (
   SELECT user_id, ts, value,

@@ -89,18 +89,25 @@ object StreamingOps {
     * (state for rows older than watermark + interval is evicted).
     * Column names must be disjoint apart from `key`; the interval bound
     * strings are SQL intervals ("1 hour"). Works identically in batch
-    * (watermarks no-op, the range condition is a plain theta-join). */
+    * (watermarks no-op, the range condition is a plain theta-join).
+    *
+    * `joinType` "inner" (default) or "left_outer": outer emits an
+    * unmatched left row with null right columns once the watermark proves
+    * no in-interval right row can still arrive — both watermarks plus the
+    * time-range condition are exactly what Structured Streaming requires
+    * to bound outer-join state. */
   def intervalJoinStreams(
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
       before: String = "1 hour", after: String = "1 hour",
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour", joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark).alias("l")
     val r = right.withWatermark(rightTs, watermark).alias("r")
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after"))
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after"),
+      joinType)
       .drop(col(s"r.$key"))
   }
 

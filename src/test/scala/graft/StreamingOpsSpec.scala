@@ -147,6 +147,53 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("intervalJoinStreams left_outer: unmatched purchase emits nulls after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    val pMem = MemoryStream[Event]
+    val cMem = MemoryStream[Event]
+    def purchases(df: DataFrame) =
+      df.select($"user_id", $"ts".as("p_ts"), $"value".as("p_val"))
+    def clicks(df: DataFrame) =
+      df.select($"user_id", $"ts".as("c_ts"), $"value".as("c_val"))
+    val joined = StreamingOps.intervalJoinStreams(
+      purchases(pMem.toDF()), clicks(cMem.toDF()), "user_id", "p_ts", "c_ts",
+      before = "30 minutes", after = "0 seconds", watermark = "10 minutes",
+      joinType = "left_outer")
+    val query = joined.writeStream.format("memory").queryName("ssj_left")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val pData = Seq(Event(1L, ts(60), "purchase", 10.0), Event(2L, ts(60), "purchase", 20.0))
+      val cData = Seq(
+        Event(1L, ts(40), "click", 1.0), // match for user 1
+        Event(2L, ts(61), "click", 3.0)) // after user 2's purchase → no match
+      pMem.addData(pData: _*)
+      cMem.addData(cData: _*)
+      query.processAllAvailable()
+      // push both watermarks far past the interval so the unmatched left
+      // row is provably final and the null-padded result can emit
+      pMem.addData(Event(9L, ts(10000), "purchase", 0.0))
+      cMem.addData(Event(9L, ts(10001), "click", 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("ssj_left")
+        .filter($"user_id" < 9L)
+        .select($"user_id", $"p_val", $"c_val")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(streamed == Set((1L, 10.0, Some(1.0)), (2L, 20.0, None)))
+      // batch parity: same operator, batch frames, plain left theta-join
+      val batch = StreamingOps.intervalJoinStreams(
+          purchases(pData.toDF()), clicks(cData.toDF()), "user_id", "p_ts", "c_ts",
+          before = "30 minutes", after = "0 seconds", joinType = "left_outer")
+        .select($"user_id", $"p_val", $"c_val")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(batch == streamed)
+    } finally query.stop()
+  }
+
   test("streaming annotate chain end-to-end == batch q_annotate_pipeline on the golden GVF") {
     // readGvfStream -> processGvf -> watermarked dedup -> broadcast-join
     // genes -> sink: the whole EP2 chain with only source/sink swapped.
