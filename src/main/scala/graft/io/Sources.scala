@@ -79,6 +79,31 @@ object Sources {
       .option("emptyValue", "")
       .csv(path)
 
+  /** JSONL corpus scan — the de-facto LLM training-data interchange
+    * format: one JSON document object per line, gzipped or plain, globs
+    * and directories welcome. Explicit schema (default
+    * `Schemas.jsonlDocument`) so the scan never runs Spark's two-pass
+    * inference over a 100 TB corpus; PERMISSIVE mode null-fills rows whose
+    * JSON is broken instead of failing the scan (`_corrupt_record` is
+    * deliberately NOT declared — a dirty line becomes an all-null row the
+    * pipeline's quality filters drop, the same contract as the GVF
+    * malformed-row handling). */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType = Schemas.jsonlDocument): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .json(path)
+
+  /** Streaming JSONL scan: new corpus shards landing in `dir` flow through
+    * the same document pipeline as the batch reader. */
+  def readJsonlStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType = Schemas.jsonlDocument): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .json(dir)
+
   /** A driver testdata parquet table (TESTDATA.md): `name` in
     * region/nation/customer/supplier/part/orders/lineitem/events/
     * documents/embeddings, `sfDir` like /root/testdata/sf0.01. */

@@ -160,6 +160,21 @@ object RelationalQueries {
         .orderBy("o_custkey", "rn")
     }),
 
+    // quantile + fixed-width bucketing: ntile(4) within each order
+    // priority (partitioned window — never a global single-partition
+    // sort), total order made deterministic by the key tie-breaker, plus
+    // an arithmetic fixed-width price bucket (the histogram primitive)
+    "q_quantile_buckets" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("price_quartile", ntile(4).over(w))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"), col("price_quartile"),
+          floor(col("o_totalprice") / 50000).cast(LongType).as("price_bucket"))
+        .orderBy("o_orderkey")
+    }),
+
     // sort + limit (top-k — TakeOrderedAndProject, no global sort at scale)
     "q_topk" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -345,6 +360,8 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty, COUNT(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q_window_rank" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_quantile_buckets" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice, ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC) AS price_quartile, CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bucket FROM orders ORDER BY o_orderkey""",
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
     "q_union_distinct" ->

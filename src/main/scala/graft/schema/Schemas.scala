@@ -111,4 +111,15 @@ object Schemas {
     StructField("gene_name", StringType),
     StructField("gene_biotype", StringType)
   ))
+
+  /** Default JSONL corpus document (engine extension, not a reference
+    * format): the common LLM training-data shard shape — id, provenance
+    * url, language tag, text. Callers with richer shards pass their own
+    * schema to Sources.readJsonl. */
+  val jsonlDocument: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("url", StringType),
+    StructField("lang", StringType),
+    StructField("text", StringType)
+  ))
 }
