@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 import org.apache.spark.storage.StorageLevel
 
 /** Sequence packing for LLM training data: the concat-then-chunk manifest.
@@ -69,5 +69,37 @@ object Packing {
         (id, n, start, start / ctx, (start + n - 1) / ctx)
       }
     }.toDF("doc_id", "n_tokens", "start_offset", "pack_start", "pack_end")
+  }
+
+  /** Materialize the packing: one row per (pack, document segment), with
+    * the exact token slice that pack receives. A document spanning k packs
+    * explodes into k segments whose slice bounds are pure integer
+    * arithmetic off the manifest — so the expensive part (the token
+    * arrays) is touched in ONE narrow pass after one hash join against the
+    * manifest; a pack's segments are reassembled downstream by
+    * (pack_id, offset_in_pack).
+    *
+    * `docs` must carry `idCol` and a token-array column `tokensCol`.
+    * Output: pack_id, doc_id, offset_in_pack, seg_tokens, n_seg_tokens. */
+  def packSegments(docs: DataFrame, ctxTokens: Long,
+      idCol: String = "doc_id", tokensCol: String = "tokens"): DataFrame = {
+    val withN = docs
+      .select(col(idCol).cast(LongType).as("doc_id"), col(tokensCol).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+    val manifest = packManifest(withN.select("doc_id", "n_tokens"), ctxTokens)
+    val ctx = lit(ctxTokens)
+    manifest
+      .join(withN.select(col("doc_id"), col("toks")), Seq("doc_id"))
+      .withColumn("pack_id", explode(sequence(col("pack_start"), col("pack_end"))))
+      // global token interval of this (doc ∩ pack): [gs, ge)
+      .withColumn("gs", greatest(col("pack_id") * ctx, col("start_offset")))
+      .withColumn("ge", least((col("pack_id") + 1) * ctx,
+        col("start_offset") + col("n_tokens")))
+      .select(col("pack_id"), col("doc_id"),
+        (col("gs") - col("pack_id") * ctx).as("offset_in_pack"),
+        slice(col("toks"),
+          (col("gs") - col("start_offset") + 1).cast(IntegerType),
+          (col("ge") - col("gs")).cast(IntegerType)).as("seg_tokens"),
+        (col("ge") - col("gs")).as("n_seg_tokens"))
   }
 }

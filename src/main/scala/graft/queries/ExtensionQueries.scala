@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -167,6 +168,19 @@ object ExtensionQueries {
         ctxTokens = 512)
         .orderBy("doc_id")),
 
+    // the packing materialized: per-(pack, doc) token segments. seg_text
+    // instead of the raw array keeps the gate comparison scalar (and pins
+    // the same bytes)
+    "q_pack_segments" -> ((s, dir) =>
+      Packing.packSegments(
+        t(s, dir, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("tokens")),
+        ctxTokens = 512)
+        .select(col("pack_id"), col("doc_id"), col("offset_in_pack"),
+          array_join(col("seg_tokens"), " ").as("seg_text"),
+          col("n_seg_tokens"))
+        .orderBy("pack_id", "doc_id")),
+
     // deterministic, seed-free train/val/test assignment: md5-bucket of
     // the id — stable across runs, engines, and corpus growth
     "q_split_assign" -> ((s, dir) =>
@@ -184,6 +198,29 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
         .orderBy(col("tf").desc, col("term").asc)
         .limit(50)),
+
+    // per-document keyword extraction: top-5 terms by tf·idf. The ranking
+    // key is tf/(df+1) — order-equivalent to tf·idf for any idf that
+    // decreases monotonically in df (smoothed log idf included), but a
+    // SINGLE double division, which is IEEE-exact and engine-portable
+    // where ln() can differ in the last ulp between libm and the JVM.
+    // One shuffle for (doc, term) tf, a broadcast-joined term df, a
+    // per-doc window — no corpus-wide sort.
+    "q_tfidf_terms" -> ((s, dir) => {
+      val terms = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(broadcast(df), Seq("term"))
+        .withColumn("score",
+          col("tf").cast(DoubleType) / (col("df") + lit(1L)).cast(DoubleType))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    }),
 
     // ---- deduplication ----------------------------------------------------
     "q_dedup_exact_docs" -> ((s, dir) =>
@@ -582,6 +619,9 @@ object ExtensionQueries {
     "q_check_ann_recall" ->
       s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
 
+    "q_tfidf_terms" ->
+      s"""WITH terms AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term), df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term), scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, CAST(tf.tf AS DOUBLE) / CAST(df.df + 1 AS DOUBLE) AS score FROM tf JOIN df USING (term)), ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM scored) SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""",
+
     // same planted corpus, same RE2-safe patterns (interpolated from
     // TextFunctions so engine and oracle can never drift), same fixed
     // email → IP → phone order; DuckDB regexp_replace needs the explicit
@@ -600,6 +640,12 @@ object ExtensionQueries {
     // HUGEINT, the driver hash is type-sensitive
     "q_pack_manifest" ->
       s"""WITH tk AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents WHERE len($tokensSql) > 0), o AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM tk) SELECT doc_id, n_tokens, start_offset, start_offset // 512 AS pack_start, (start_offset + n_tokens - 1) // 512 AS pack_end FROM o ORDER BY doc_id""",
+
+    // DuckDB list slices are 1-based INCLUSIVE on both ends; Spark's
+    // slice(toks, start, length) start is 1-based with a count — a = gs-s+1
+    // and b = ge-s (ge exclusive) make them the same tokens
+    "q_pack_segments" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents), nn AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk WHERE len(toks) > 0), o AS (SELECT doc_id, toks, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM nn), e AS (SELECT doc_id, toks, n_tokens, s, unnest(generate_series(s // 512, (s + n_tokens - 1) // 512)) AS pack_id FROM o), seg AS (SELECT pack_id, doc_id, greatest(pack_id * 512, s) - pack_id * 512 AS offset_in_pack, greatest(pack_id * 512, s) - s + 1 AS a, least((pack_id + 1) * 512, s + n_tokens) - s AS b, toks FROM e) SELECT pack_id, doc_id, offset_in_pack, array_to_string(toks[a:b], ' ') AS seg_text, b - a + 1 AS n_seg_tokens FROM seg ORDER BY pack_id, doc_id""",
 
     "q_split_assign" ->
       """WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket FROM documents) SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id""",

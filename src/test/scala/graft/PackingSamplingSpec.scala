@@ -41,6 +41,37 @@ class PackingSamplingSpec extends SparkSpec {
     assert(got.map(_._1).length == 2000) // nothing dropped or duplicated
   }
 
+  test("packSegments: slices reassemble every doc, packs never exceed ctx") {
+    // docs of 3/4/1/10 tokens at ctx=5 — doc 5 spans three packs
+    val docs = Seq(
+      (1L, (1 to 3).map(i => s"a$i")),
+      (2L, (1 to 4).map(i => s"b$i")),
+      (3L, Seq("c1")),
+      (5L, (1 to 10).map(i => s"e$i")))
+      .toDF("doc_id", "tokens")
+    val seg = Packing.packSegments(docs, ctxTokens = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[String](3), r.getLong(4)))
+    // per-doc reassembly: segments ordered by pack concatenate to the doc
+    val byDoc = seg.groupBy(_._2).view.mapValues(
+      _.sortBy(_._1).flatMap(_._4).toSeq).toMap
+    assert(byDoc(1L) == (1 to 3).map(i => s"a$i"))
+    assert(byDoc(2L) == (1 to 4).map(i => s"b$i"))
+    assert(byDoc(3L) == Seq("c1"))
+    assert(byDoc(5L) == (1 to 10).map(i => s"e$i"))
+    // per-pack load: total tokens ≤ ctx, offsets consistent with lengths
+    val byPack = seg.groupBy(_._1)
+    assert(byPack.forall { case (_, ss) => ss.map(_._5).sum <= 5 })
+    byPack.foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._3)
+      sorted.zip(sorted.drop(1)).foreach { case (prev, next) =>
+        assert(prev._3 + prev._5 == next._3) // segments tile the pack
+      }
+    }
+    // the straddling doc: 10 tokens starting at offset 8 → packs 1..3
+    assert(seg.filter(_._2 == 5L).map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("md5Bucket/assignSplit: seed-free, stable, exhaustive, well-mixed") {
     val docs = spark.range(0, 2000).select(col("id").as("doc_id"))
     val out = Sampling.assignSplit(docs, "doc_id").collect()
