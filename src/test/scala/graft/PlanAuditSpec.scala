@@ -1,0 +1,45 @@
+package graft
+
+/** Plan lint over the ENTIRE query surface: constructs every SparkEntry
+  * query against sf0.001 and rejects physical plans containing a
+  * cartesian product or broadcast-nested-loop join, except the queries
+  * that choose one deliberately (small broadcast probe sets against a
+  * streamed corpus — the documented brute-force/theta shapes). A new
+  * query that accidentally drops its equi-join key fails here instead of
+  * becoming a 100 TB × 100 TB cross product in production. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Deliberate non-equi shapes: brute-force cosine top-k and its recall
+    * gates (corpus × broadcast KB-scale probe/centroid set), the
+    * all-pairs word-Jaccard demo (doc_id < doc_id theta join on 40 docs),
+    * and the cosine cross-block (vec_id range theta join). */
+  private val nonEquiAllowed = Set(
+    "q_embed_topk", "q_embed_ann_lsh", "q_embed_ann_ivf",
+    "q_check_ann_recall", "q_check_ann_ivf_recall",
+    "q_jaccard_words", "q_embed_cosine")
+
+  test("no accidental cartesian / nested-loop joins anywhere in the surface") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val hasCross = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        if (hasCross && !nonEquiAllowed(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected cartesian/BNLJ in: ${offenders.mkString(", ")}")
+  }
+
+  test("the deliberate non-equi queries still broadcast their small side") {
+    // the allowed shapes must never degrade to a CartesianProductExec —
+    // a broadcast nested loop with a KB-scale build side is the contract
+    nonEquiAllowed.toSeq.sorted.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name degraded from broadcast nested loop to cartesian")
+    }
+  }
+}
