@@ -49,6 +49,26 @@ object Sinks {
   def writeSingleTsv(df: DataFrame, dir: String): Unit =
     tsvWriter(df.coalesce(1)).csv(dir)
 
+  /** Streaming TSV sink: the exactly-once file sink (Spark's manifest
+    * commit log under `checkpointDir` guarantees a batch's part files
+    * appear atomically and are never double-committed on restart), with
+    * the SAME writer conventions as the batch `writeTsv` — a consumer
+    * cannot tell whether a dataset was produced by the batch or the
+    * streaming pipeline. Returns the started query; callers own its
+    * lifecycle. */
+  def writeTsvStream(df: DataFrame, dir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("csv")
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("nullValue", "NA")
+      .option("emptyValue", "")
+      .option("path", dir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
   /** K2 at scale: partition-parallel write, then a driver-side concat of
     * the part files (in part order) keeping one header — the reference's
     * consolidation design (eggv/dfio.py:22-60), which preserves full write

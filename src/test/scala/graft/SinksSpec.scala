@@ -53,4 +53,45 @@ class SinksSpec extends SparkSpec {
     assert(java.util.Arrays.equals(
       singleFileBytes(s"$base/single"), Files.readAllBytes(Paths.get(out))))
   }
+
+  test("writeTsvStream: exactly-once file sink, same bytes conventions as batch writeTsv") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-sink").toString
+    val srcDir = Files.createTempDirectory("graft-stream-sink-src")
+    val stream = graft.io.Sources.readJsonl(spark, srcDir.toString) // schema probe only
+    assert(!stream.isStreaming) // (batch read; the stream below is separate)
+
+    val inStream = graft.io.Sources.readJsonlStream(spark, srcDir.toString)
+      .select($"doc_id", $"lang", $"text")
+    val query = Sinks.writeTsvStream(inStream, s"$base/out", s"$base/ckpt")
+    try {
+      Files.write(srcDir.resolve("shard.jsonl"), Seq(
+        """{"doc_id": 1, "lang": "en", "text": "alpha"}""",
+        """{"doc_id": 2, "lang": null, "text": ""}""").mkString("\n").getBytes)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // written bytes follow the batch conventions: null → "NA", empty
+    // string → truly empty field (distinct on disk)
+    import scala.jdk.CollectionConverters._
+    val lines = Files.list(Paths.get(s"$base/out")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .filterNot(_.startsWith("doc_id")).toSeq.sorted
+    assert(lines == Seq("1\ten\talpha", "2\tNA\t"))
+    // read back: NA → null; the unquoted empty field reads as null too
+    // (Spark CSV reader quirk — the same one readProcessedVariants
+    // coalesces away), so the read-back contract matches the batch S3 path
+    val back = spark.read
+      .option("sep", "\t").option("header", "true")
+      .option("nullValue", "NA").option("emptyValue", "")
+      .schema("doc_id LONG, lang STRING, text STRING")
+      .csv(s"$base/out")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getString(2)))).toSet
+    assert(back == Set((1L, Some("en"), Some("alpha")), (2L, None, None)))
+    // the sink's commit manifest exists — the exactly-once machinery, not
+    // a bare directory of parts
+    assert(Files.exists(Paths.get(s"$base/out/_spark_metadata")))
+  }
 }
