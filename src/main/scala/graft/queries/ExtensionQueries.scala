@@ -181,6 +181,27 @@ object ExtensionQueries {
           col("n_seg_tokens"))
         .orderBy("pack_id", "doc_id")),
 
+    // decontamination: test/val documents sharing any word-3-gram shingle
+    // with the train split (the standard benchmark-leakage check). Runs on
+    // the near-dup corpus so hits exist by construction: a mutated copy
+    // (id+1M) hashes into a different split than its original ~10% of the
+    // time. Scale shape: the train shingle set is a distinct hash join key
+    // — one shuffle on the shingle, count per doc; no broadcast (at 100 TB
+    // the train side is the big one).
+    "q_contamination" -> ((s, dir) => {
+      val d = Sampling.assignSplit(docsWithNearDups(s, dir), "doc_id")
+      val sh = d
+        .select(col("doc_id"), col("split"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("split"),
+          explode(TF.shinglesFromTokens(col("toks"), 3)).as("sh"))
+      val train = sh.filter(col("split") === "train").select("sh").distinct()
+      sh.filter(col("split") =!= "train")
+        .join(train, Seq("sh"))
+        .groupBy("doc_id", "split")
+        .agg(count(lit(1)).as("n_shared_shingles"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic, seed-free train/val/test assignment: md5-bucket of
     // the id — stable across runs, engines, and corpus growth
     "q_split_assign" -> ((s, dir) =>
@@ -646,6 +667,12 @@ object ExtensionQueries {
     // and b = ge-s (ge exclusive) make them the same tokens
     "q_pack_segments" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents), nn AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk WHERE len(toks) > 0), o AS (SELECT doc_id, toks, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM nn), e AS (SELECT doc_id, toks, n_tokens, s, unnest(generate_series(s // 512, (s + n_tokens - 1) // 512)) AS pack_id FROM o), seg AS (SELECT pack_id, doc_id, greatest(pack_id * 512, s) - pack_id * 512 AS offset_in_pack, greatest(pack_id * 512, s) - s + 1 AS a, least((pack_id + 1) * 512, s + n_tokens) - s AS b, toks FROM e) SELECT pack_id, doc_id, offset_in_pack, array_to_string(toks[a:b], ' ') AS seg_text, b - a + 1 AS n_seg_tokens FROM seg ORDER BY pack_id, doc_id""",
+
+    // per-doc shingles are DISTINCT on both sides (shingleSql carries the
+    // list_distinct; Spark's shinglesFromTokens likewise), so the join
+    // count is the number of distinct shared shingles
+    "q_contamination" ->
+      s"""WITH corpus AS (SELECT doc_id, $tokensSql AS toks FROM documents UNION ALL SELECT doc_id + 1000000, ($tokensSql)[2:] FROM documents), d AS (SELECT doc_id, CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'train' WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 95 THEN 'val' ELSE 'test' END AS split, toks FROM corpus), s AS (SELECT doc_id, split, unnest(${shingleSql("toks")}) AS sh FROM d), tr AS (SELECT DISTINCT sh FROM s WHERE split = 'train') SELECT doc_id, split, COUNT(*) AS n_shared_shingles FROM s JOIN tr USING (sh) WHERE s.split != 'train' GROUP BY doc_id, split ORDER BY doc_id""",
 
     "q_split_assign" ->
       """WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket FROM documents) SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id""",
