@@ -122,6 +122,20 @@ object Main {
           sys.exit(2)
       }
 
+    // LLM corpus curation over a JSONL corpus (engine extension):
+    // redact -> score -> filter -> exact dedup -> split -> pack manifest.
+    // Writes parquet: <outDir>/documents (curated + split) and
+    // <outDir>/pack-manifest (train-split context-window map).
+    case "corpus" :: in :: out :: Nil =>
+      val spark = session("graft-corpus")
+      val curated = graft.operators.CorpusPipeline.curate(
+        Sources.readJsonl(spark, in))
+      curated.documents.write.mode("overwrite").parquet(s"$out/documents")
+      curated.packManifest.write.mode("overwrite").parquet(s"$out/pack-manifest")
+      println(s"curated: ${spark.read.parquet(s"$out/documents").count()} docs, " +
+        s"${spark.read.parquet(s"$out/pack-manifest").count()} manifest rows")
+      spark.stop()
+
     case "run" :: configPath :: Nil =>
       // raw data already staged at the catalog locations
       val cfg = GraftConfig.load(configPath)
@@ -155,6 +169,7 @@ object Main {
            |  graft.Main annotate <effectsTsv> <genesTsv> <outDir>
            |  graft.Main complete [--force] <gvf|url> <gtf|url> <outDir>
            |  graft.Main complete [--force] <hg38|mm10> <outDir>
+           |  graft.Main corpus   <in.jsonl|dir> <outDir>
            |  graft.Main run      <config.properties> [<gvf|url> <gtf|url>]""".stripMargin)
       sys.exit(2)
   }

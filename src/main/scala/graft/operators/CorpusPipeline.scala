@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.{TextFunctions => TF}
+
+/** The curated outputs: `documents` is the cleaned/annotated/split corpus,
+  * `packManifest` the context-window map over its train split. */
+final case class CuratedCorpus(documents: DataFrame, packManifest: DataFrame)
+
+/** End-to-end training-data curation: the engine's LLM-pipeline operators
+  * composed into the standard corpus flow —
+  *
+  *   redact PII → score (tokens, repetition, language, quality) →
+  *   filter (empty / boilerplate) → exact dedup (min-id keeper) →
+  *   deterministic split assignment → packing manifest of the train split.
+  *
+  * Everything before the dedup is a single narrow codegen'd pass over the
+  * text; dedup is one hash shuffle on the content digest; the split is
+  * seed-free arithmetic; the manifest is the Packing distributed prefix
+  * sum. No UDFs, no driver-side loops — the whole flow is the same plan
+  * at 500 documents and at 100 TB.
+  */
+object CorpusPipeline {
+
+  /** Curate a raw corpus (columns: doc_id, text; extra columns ride
+    * along). `minTokens` drops empty/trivial docs, `maxDupNgramRatio`
+    * drops boilerplate (duplicate word-3-gram fraction above the cut). */
+  def curate(raw: DataFrame, ctxTokens: Long = 2048,
+      minTokens: Long = 1, maxDupNgramRatio: Double = 0.9): CuratedCorpus = {
+    val redacted = raw.withColumn("text", TF.redactPii(col("text")))
+    // token array staged once — every downstream score reads the
+    // materialized column (lambda-bearing expressions defeat Catalyst
+    // subexpression elimination)
+    val scored = redacted
+      .withColumn("toks", TF.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("grams", TF.ngramsAll(col("toks"), 3))
+      .withColumn("dup_ngram_ratio", lit(1.0) -
+        size(array_distinct(col("grams"))).cast(DoubleType) /
+          size(col("grams")).cast(DoubleType))
+      .withColumn("lang_pred", TF.langId(col("text")))
+      .drop("toks", "grams")
+    val kept = scored.filter(
+      col("n_tokens") >= minTokens && col("dup_ngram_ratio") <= maxDupNgramRatio)
+    val deduped = Dedup.exactDedup(kept, "doc_id", "text")
+    val split = Sampling.assignSplit(deduped, "doc_id")
+    val manifest = Packing.packManifest(
+      split.filter(col("split") === "train").select("doc_id", "n_tokens"),
+      ctxTokens)
+    CuratedCorpus(split, manifest)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusPipeline
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curate: redacts, scores, filters, dedups, splits, packs — one flow") {
+    val raw = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "mail me at spy@example.org for the secret files"),
+      (4L, ""),                                            // empty → dropped
+      (5L, "spam spam spam spam spam spam spam spam spam spam"), // boilerplate
+      (6L, "ein ganz anderes dokument mit eigenem inhalt"))
+      .toDF("doc_id", "text")
+    val curated = CorpusPipeline.curate(raw, ctxTokens = 5,
+      minTokens = 1, maxDupNgramRatio = 0.5)
+    val docs = curated.documents.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    // dedup kept the min id of the identical pair; empty + boilerplate gone
+    assert(docs.keySet == Set(1L, 3L, 6L))
+    // PII redacted before anything downstream saw the text
+    assert(docs(3L).getAs[String]("text") ==
+      "mail me at <EMAIL> for the secret files")
+    // scores and split attached
+    assert(docs(1L).getAs[Long]("n_tokens") == 9)
+    assert(Set("train", "val", "test")(docs(1L).getAs[String]("split")))
+    assert(docs(6L).getAs[String]("lang_pred") != null)
+
+    // the manifest covers exactly the train-split keepers, offsets tile
+    val trainIds = docs.collect {
+      case (id, r) if r.getAs[String]("split") == "train" => id }.toSet
+    val manifest = curated.packManifest.orderBy("doc_id").collect()
+    assert(manifest.map(_.getAs[Long]("doc_id")).toSet == trainIds)
+    val offsets = manifest.map(r =>
+      (r.getAs[Long]("start_offset"), r.getAs[Long]("n_tokens")))
+    offsets.zip(offsets.drop(1)).foreach { case ((s, n), (s2, _)) =>
+      assert(s + n == s2)
+    }
+  }
+}
