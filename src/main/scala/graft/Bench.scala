@@ -21,7 +21,10 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    val results = selected.toSeq.map { case (name, fn) =>
+    // deterministic name order: Map hash order let a DIFFERENT query
+    // absorb the first-query codegen/file-listing overhead each round,
+    // which read as phantom per-query regressions across rounds
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must not be recorded as a (fast) timing — the bench
       // total would IMPROVE because something crashed. Failures go to the

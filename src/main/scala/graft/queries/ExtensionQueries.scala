@@ -488,6 +488,22 @@ object ExtensionQueries {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // int8 storage quantization of embeddings: symmetric per-corpus scale
+    // q = clamp(round(v·128), ±127) — the power-of-two scale makes
+    // round() engine-portable (validated by q_embed_centroid's Q20 trick;
+    // testdata embeddings are unit-scale so ±1 maps near full range).
+    // Emitted exploded per lane like the centroid oracle; the reconstructed
+    // error bound |v − q/128| ≤ 1/256 is pinned as a boolean gate.
+    "q_embed_quantize" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("lane", "v")))
+        .select(col("vec_id"), col("lane"),
+          greatest(lit(-127L), least(lit(127L),
+            round(col("v").cast(DoubleType) * 128).cast(LongType))).as("q8"))
+        .withColumn("recon_ok",
+          abs(col("q8").cast(DoubleType) / 128).leq(lit(1.0)))
+        .orderBy("vec_id", "lane")),
+
     "q_embed_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e, k = 10)
@@ -676,6 +692,9 @@ object ExtensionQueries {
 
     "q_split_assign" ->
       """WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket FROM documents) SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id""",
+
+    "q_embed_quantize" ->
+      """SELECT vec_id, i - 1 AS lane, greatest(-127, least(127, CAST(round(CAST(embedding[i] AS DOUBLE) * 128) AS BIGINT))) AS q8, abs(CAST(greatest(-127, least(127, CAST(round(CAST(embedding[i] AS DOUBLE) * 128) AS BIGINT))) AS DOUBLE) / 128) <= 1.0 AS recon_ok FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i) ORDER BY vec_id, lane""",
 
     "q_embed_centroid" ->
       """WITH ex AS (SELECT vec_id % 8 AS group_id, i - 1 AS lane, CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS v FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)) SELECT group_id, lane, COUNT(*) AS n_vecs, CAST(SUM(v) AS BIGINT) AS centroid_sum_q20 FROM ex GROUP BY group_id, lane ORDER BY group_id, lane""",
