@@ -39,6 +39,28 @@ object Sampling {
     df.withColumn("bucket", bucket).withColumn("split", split)
   }
 
+  /** Deterministic stratified sample: the first `perStratum` rows of each
+    * stratum in md5(id) order — a fixed-size, seed-free panel per group
+    * (e.g. a balanced eval set of k docs per language from a corpus where
+    * languages differ by 1000×). The md5 order is a stable shuffle of each
+    * stratum, so the panel is uniform-without-replacement yet identical
+    * across runs and engines; adding rows later only displaces panel
+    * members that hash-sort after the newcomer.
+    *
+    * Adds `sample_rank` (1-based position in the stratum's md5 order).
+    * Scale shape: one shuffle on the stratum key + a per-partition sort
+    * (WindowExec spills); the rank filter drops everything past
+    * `perStratum` before any downstream exchange. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      perStratum: Int): DataFrame = {
+    require(perStratum > 0, s"perStratum must be positive: $perStratum")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= perStratum)
+  }
+
   /** Keep a deterministic `permille`/1000 fraction of rows by id hash —
     * the repeatable corpus-sampling primitive (same rows survive every
     * run; a grown corpus keeps its previously-sampled rows). */

@@ -208,6 +208,16 @@ object ExtensionQueries {
       Sampling.assignSplit(t(s, dir, "documents").select("doc_id"), "doc_id")
         .orderBy("doc_id")),
 
+    // fixed-size panel per split: 20 docs each from train/val/test in
+    // md5(id) order — deterministic balanced eval subsets from splits that
+    // differ 18× in size (90/5/5)
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+          Sampling.assignSplit(t(s, dir, "documents").select("doc_id"), "doc_id")
+            .drop("bucket"),
+          "split", "doc_id", perStratum = 20)
+        .orderBy("split", "sample_rank")),
+
     // corpus-level term statistics: top-50 terms by frequency with doc
     // frequency — explode + map-side partial count + TakeOrderedAndProject
     // (no global sort); the tf/df primitive under stopword mining and
@@ -692,6 +702,9 @@ object ExtensionQueries {
 
     "q_split_assign" ->
       """WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket FROM documents) SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id""",
+
+    "q_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket FROM documents), s AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b), r AS (SELECT doc_id, split, ROW_NUMBER() OVER (PARTITION BY split ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank FROM s) SELECT doc_id, split, sample_rank FROM r WHERE sample_rank <= 20 ORDER BY split, sample_rank""",
 
     "q_embed_quantize" ->
       """SELECT vec_id, i - 1 AS lane, greatest(-127, least(127, CAST(round(CAST(embedding[i] AS DOUBLE) * 128) AS BIGINT))) AS q8, abs(CAST(greatest(-127, least(127, CAST(round(CAST(embedding[i] AS DOUBLE) * 128) AS BIGINT))) AS DOUBLE) / 128) <= 1.0 AS recon_ok FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i) ORDER BY vec_id, lane""",

@@ -218,6 +218,35 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // bloom pre-filtered join: the fact shuffle only carries rows whose key
+    // probes positive against a 1%-fpp sketch of the (selective) dim keys;
+    // the exact join that follows makes the result equal the plain join
+    "q_bloom_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      graft.operators.BloomJoin.preFilterJoin(
+          t(s, dir, "lineitem"), urgent, "l_orderkey", "o_orderkey",
+          expectedItems = 1000000L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("o_custkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // bloom anti-join: definite non-matches bypass the shuffle, probable
+    // matches run the exact anti join — equals the plain left_anti
+    "q_bloom_anti_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      graft.operators.BloomJoin.antiJoin(
+          t(s, dir, "lineitem"), urgent, "l_orderkey", "o_orderkey",
+          expectedItems = 1000000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), money(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // salted two-tier aggregation; decimal input keeps the sum exact and
     // order-independent so the oracle matches bit-for-bit
     "q_salted_agg" -> ((s, dir) =>
@@ -374,6 +403,10 @@ object RelationalQueries {
       """SELECT o_orderstatus, COUNT(*) AS n_rows FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_salted_agg" ->
       """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_lq FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_bloom_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_custkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '1-URGENT' ORDER BY l_orderkey, l_linenumber""",
+    "q_bloom_anti_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT') GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_time_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     // rollup/cube/grouping-sets nulls sort FIRST in Spark's asc default

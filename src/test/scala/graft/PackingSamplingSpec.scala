@@ -106,4 +106,28 @@ class PackingSamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(docs, "doc_id", 100)
       .collect().map(_.getLong(0)).toSet == s100)
   }
+
+  test("stratifiedSample: exact k per stratum, deterministic, stable under growth") {
+    // unbalanced strata: 1000 'big' rows, 40 'small'
+    val docs = spark.range(0, 1040).select(col("id").as("doc_id"),
+      when(col("id") < 1000, "big").otherwise("small").as("lang"))
+    val panel = Sampling.stratifiedSample(docs, "lang", "doc_id", 25)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    val byLang = panel.groupBy(_._1)
+    assert(byLang("big").length == 25 && byLang("small").length == 25)
+    assert(byLang.values.forall(_.map(_._3).sorted.toSeq == (1 to 25)))
+    // identical on re-run
+    val again = Sampling.stratifiedSample(docs, "lang", "doc_id", 25)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    assert(again.toSet == panel.toSet)
+    // growing a stratum only displaces members that hash after the newcomers:
+    // the new panel is drawn from old panel ∪ new rows
+    val grown = docs.union(spark.range(2000, 2100).select(col("id").as("doc_id"),
+      lit("small").as("lang")))
+    val panel2 = Sampling.stratifiedSample(grown, "lang", "doc_id", 25)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    val oldSmall = panel.filter(_._1 == "small").map(_._2).toSet
+    val newSmall = panel2.filter(_._1 == "small").map(_._2).toSet
+    assert(newSmall.forall(id => oldSmall.contains(id) || id >= 2000))
+  }
 }
