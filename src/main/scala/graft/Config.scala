@@ -23,7 +23,8 @@ final case class GraftConfig(
     overwrite: Boolean,
     cores: Int,
     shufflePartitions: Int,
-    chromosomePartitioned: Boolean = false) {
+    chromosomePartitioned: Boolean = false,
+    retrieveFromRegistry: Boolean = false) {
   def catalog: Catalog = Catalog(dataDir, build)
 }
 
@@ -35,7 +36,7 @@ object GraftConfig {
 
   private val knownKeys = Set(
     "data.dir", "build", "overwrite", "cores", "shuffle.partitions",
-    "partition.by.chromosome")
+    "partition.by.chromosome", "retrieve.registry")
 
   def default: GraftConfig = {
     val cpus = Runtime.getRuntime.availableProcessors
@@ -88,7 +89,11 @@ object GraftConfig {
       shufflePartitions = getInt("shuffle.partitions", cores),
       // reference-parity layout: variant outputs written as
       // chromosome=chrN/ directories (per-chromosome files, pruned re-reads)
-      chromosomePartitioned = getBool("partition.by.chromosome", d.chromosomePartitioned))
+      chromosomePartitioned = getBool("partition.by.chromosome", d.chromosomePartitioned),
+      // `run <config>` stages the build's full Ensembl download set into
+      // the catalog's raw dirs first (the reference's `eggv complete -s`
+      // convenience driven from config instead of the CLI)
+      retrieveFromRegistry = getBool("retrieve.registry", d.retrieveFromRegistry))
     if (errors.nonEmpty)
       throw new IllegalArgumentException(
         s"invalid configuration:\n  ${errors.mkString("\n  ")}")

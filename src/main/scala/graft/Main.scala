@@ -137,10 +137,19 @@ object Main {
       spark.stop()
 
     case "run" :: configPath :: Nil =>
-      // raw data already staged at the catalog locations
+      // raw data already staged at the catalog locations — unless
+      // retrieve.registry=true, which stages the build's Ensembl download
+      // set there first (config-driven form of `complete <build>`)
       val cfg = GraftConfig.load(configPath)
+      val cat = cfg.catalog
+      if (cfg.retrieveFromRegistry) {
+        Retrieve.retrieveAll(
+          EnsemblRegistry.variationUrls(cfg.build), cat.variantRawDir, cfg.overwrite)
+        Retrieve.retrieve(
+          EnsemblRegistry.geneUrl(cfg.build), cat.geneRawDir, cfg.overwrite)
+      }
       val spark = session(s"graft-run-${cfg.build}", cfg)
-      Pipeline.completeCatalog(spark, cfg.catalog, cfg.chromosomePartitioned)
+      Pipeline.completeCatalog(spark, cat, cfg.chromosomePartitioned)
       spark.stop()
 
     case "run" :: configPath :: gvf :: gtf :: Nil =>

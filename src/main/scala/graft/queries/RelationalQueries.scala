@@ -359,7 +359,18 @@ object RelationalQueries {
           col("event_type"), col("value"))
         .groupBy(col("hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), money(col("value")).as("total_value"))
-        .orderBy("hour", "event_type"))
+        .orderBy("hour", "event_type")),
+
+    // stream-static enrichment (batch face of StreamingOps.enrichWithStatic
+    // — the identical graph runs over readStream): every event picks up its
+    // user's market segment via a broadcast dim, no shuffle, no state
+    "q_stream_enrich" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.streaming.StreamingOps.enrichWithStatic(ev, cust, Seq("user_id"))
+        .orderBy("event_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -409,6 +420,8 @@ object RelationalQueries {
       """SELECT l_returnflag, COUNT(*) AS n_rows, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT') GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_time_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q_stream_enrich" ->
+      """SELECT event_id, user_id, c_mktsegment FROM events LEFT JOIN customer ON user_id = c_custkey ORDER BY event_id""",
     // rollup/cube/grouping-sets nulls sort FIRST in Spark's asc default
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",

@@ -111,6 +111,28 @@ object StreamingOps {
       .drop(col(s"r.$key"))
   }
 
+  /** Stream-static enrichment join: each event picks up the dimension
+    * attributes for its key (user → account tier, document → source
+    * domain). The static side is broadcast — Structured Streaming re-plans
+    * the static subtree per microbatch, so with no shuffle on the stream
+    * side there is no streaming state AT ALL: this is the cheapest join
+    * shape available and the first one to reach for when the dimension
+    * fits the broadcast budget. At 100 TB/day of events a MB-scale
+    * dimension still joins map-side; a dimension past the broadcast
+    * budget should instead pre-partition both sides on the key (or go
+    * through [[graft.operators.BloomJoin]] batch-side).
+    *
+    * Stream-left joins must preserve the stream: inner and left only (a
+    * right/full outer would need to prove a static row NEVER matches,
+    * which an unbounded stream cannot). Identical graph runs in batch. */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame, keys: Seq[String],
+      joinType: String = "left"): DataFrame = {
+    require(Seq("inner", "left", "left_outer", "leftouter")
+        .contains(joinType.toLowerCase),
+      s"enrichWithStatic keeps the stream side: inner/left only, not $joinType")
+    events.join(broadcast(dim), keys, joinType)
+  }
+
   /** Custom sessionization with explicit state: emits a Session row when a
     * user's gap exceeds `gapMs` (or on event-time timeout for streams).
     * The shape to reach for when session logic outgrows session_window —

@@ -40,6 +40,22 @@ class ConfigSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown config key: speling.mistake"))
   }
 
+  test("retrieve.registry parses, defaults off, and rejects non-booleans") {
+    assert(!GraftConfig.fromProperties(props()).retrieveFromRegistry)
+    val on = GraftConfig.fromProperties(props("retrieve.registry" -> "true"))
+    assert(on.retrieveFromRegistry)
+    // every known build has a registry download set, so a config that can
+    // validate can always stage (24+1 URLs for hg38, 1+1 for mm10)
+    for (b <- GraftConfig.knownBuilds) {
+      assert(graft.io.EnsemblRegistry.variationUrls(b).nonEmpty)
+      assert(graft.io.EnsemblRegistry.geneUrl(b).nonEmpty)
+    }
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig.fromProperties(props("retrieve.registry" -> "yes"))
+    }
+    assert(e.getMessage.contains("retrieve.registry must be true/false"))
+  }
+
   test("load reads a properties file from disk") {
     val f = java.nio.file.Files.createTempFile("graft", ".properties")
     java.nio.file.Files.write(f, "build=mm10\ndata.dir=/tmp/d\n".getBytes)

@@ -91,6 +91,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("enrichWithStatic (streaming): MemoryStream + broadcast dim == batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    val query = StreamingOps.enrichWithStatic(mem.toDF(), dim, Seq("user_id"))
+      .select(col("user_id"), col("event_type"), col("tier"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(batch :+ Event(9L, ts(1), "click", 0.5): _*) // 9L: no dim row
+      query.processAllAvailable()
+      val streamed = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).sorted.toSeq
+      val expected = StreamingOps.enrichWithStatic(
+          (batch :+ Event(9L, ts(1), "click", 0.5)).toDF(), dim, Seq("user_id"))
+        .select(col("user_id"), col("event_type"), col("tier")).collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).sorted.toSeq
+      assert(streamed == expected)
+      // the unmatched stream row survives the left join with a null tier
+      assert(streamed.contains((9L, "click", None)))
+      intercept[IllegalArgumentException] {
+        StreamingOps.enrichWithStatic(mem.toDF(), dim, Seq("user_id"), "full")
+      }
+    } finally query.stop()
+  }
+
   test("readGvfStream: the batch GVF chain runs unchanged over a file stream") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gvf-stream")
     val out = graft.io.Sources.readGvfStream(spark, dir.toString)
