@@ -183,6 +183,26 @@ object Similarity {
     centroids
   }
 
+  /** Persist a trained centroid model as a parquet table (cid, centroid).
+    * The 100 TB workflow: train ONCE on a sample, save, and have every
+    * later batch (or streaming microbatch) load the KB-scale model instead
+    * of re-running Lloyd collects — the round-4 double-training cost,
+    * eliminated across sessions rather than just memoized within one. */
+  def saveCentroids(spark: SparkSession, centroids: Array[Array[Double]],
+      path: String): Unit =
+    centroidTable(spark, centroids).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a model written by [[saveCentroids]]; cids must be the
+    * contiguous 0..n-1 the trainer produced. */
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(path).orderBy("cid").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i, s"centroid table not contiguous at cid ${r.getInt(0)}")
+    }
+    rows.map(_.getSeq[Double](1).toArray)
+  }
+
   /** Centroids as a broadcastable table (list_id, centroid). */
   private def centroidTable(spark: SparkSession, centroids: Array[Array[Double]]): DataFrame =
     spark.createDataFrame(

@@ -247,6 +247,16 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // z-order (Morton) key derivation — the sort key Layout.clusterByZ
+    // range-partitions on so parquet min-max stats prune on BOTH columns;
+    // pure codegen'd integer arithmetic, replayed step-for-step in SQL
+    "q_zorder" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.zValue(col("l_partkey"), col("l_suppkey"))
+            .as("zval"))
+        .orderBy("zval", "l_orderkey", "l_linenumber")),
+
     // salted two-tier aggregation; decimal input keeps the sum exact and
     // order-independent so the oracle matches bit-for-bit
     "q_salted_agg" -> ((s, dir) =>
@@ -418,6 +428,10 @@ object RelationalQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity, o_custkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '1-URGENT' ORDER BY l_orderkey, l_linenumber""",
     "q_bloom_anti_join" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT') GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // Morton spreading replayed: 16-bit mask, then 8/4/2/1 shift-or-mask
+    // steps per dimension, x on even bits, y odd
+    "q_zorder" ->
+      """WITH a AS (SELECT l_orderkey, l_linenumber, l_partkey & 65535 AS x0, l_suppkey & 65535 AS y0 FROM lineitem), b AS (SELECT l_orderkey, l_linenumber, (x0 | (x0 << 8)) & 16711935 AS x1, (y0 | (y0 << 8)) & 16711935 AS y1 FROM a), c AS (SELECT l_orderkey, l_linenumber, (x1 | (x1 << 4)) & 252645135 AS x2, (y1 | (y1 << 4)) & 252645135 AS y2 FROM b), d AS (SELECT l_orderkey, l_linenumber, (x2 | (x2 << 2)) & 858993459 AS x3, (y2 | (y2 << 2)) & 858993459 AS y3 FROM c), e AS (SELECT l_orderkey, l_linenumber, (x3 | (x3 << 1)) & 1431655765 AS x4, (y3 | (y3 << 1)) & 1431655765 AS y4 FROM d) SELECT l_orderkey, l_linenumber, x4 | (y4 << 1) AS zval FROM e ORDER BY zval, l_orderkey, l_linenumber""",
     "q_time_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     "q_stream_enrich" ->

@@ -92,6 +92,23 @@ class SimilaritySpec extends SparkSpec {
     assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
   }
 
+  test("saveCentroids/loadCentroids round-trips and drives the model-taking search") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Similarity.trainCentroids(e, nLists = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.saveCentroids(spark, model, dir)
+    val loaded = Similarity.loadCentroids(spark, dir)
+    assert(loaded.length == model.length)
+    assert(model.zip(loaded).forall { case (x, y) => x.sameElements(y) })
+    // searching with the loaded model equals searching with the fresh one
+    val q = e.limit(5)
+    val fresh = Similarity.ivfTopK(q, e, 5, model, 4, "vec_id", "embedding")
+      .collect().map(_.toString).sorted.toSeq
+    val reloaded = Similarity.ivfTopK(q, e, 5, loaded, 4, "vec_id", "embedding")
+      .collect().map(_.toString).sorted.toSeq
+    assert(fresh == reloaded && fresh.nonEmpty)
+  }
+
   test("embeddingNearDupPairs finds planted duplicates") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding").limit(50)
