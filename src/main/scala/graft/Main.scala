@@ -126,10 +126,13 @@ object Main {
     // redact -> score -> filter -> exact dedup -> split -> pack manifest.
     // Writes parquet: <outDir>/documents (curated + split) and
     // <outDir>/pack-manifest (train-split context-window map).
-    case "corpus" :: in :: out :: Nil =>
+    case "corpus" :: rest if rest.filterNot(_ == "--near-dup").length == 2 =>
+      val nearDup = rest.contains("--near-dup")
+      val (in :: out :: Nil) = rest.filterNot(_ == "--near-dup"): @unchecked
       val spark = session("graft-corpus")
       val curated = graft.operators.CorpusPipeline.curate(
-        Sources.readJsonl(spark, in))
+        Sources.readJsonl(spark, in),
+        nearDupMaxHamming = if (nearDup) Some(3) else None)
       curated.documents.write.mode("overwrite").parquet(s"$out/documents")
       curated.packManifest.write.mode("overwrite").parquet(s"$out/pack-manifest")
       println(s"curated: ${spark.read.parquet(s"$out/documents").count()} docs, " +
@@ -178,7 +181,7 @@ object Main {
            |  graft.Main annotate <effectsTsv> <genesTsv> <outDir>
            |  graft.Main complete [--force] <gvf|url> <gtf|url> <outDir>
            |  graft.Main complete [--force] <hg38|mm10> <outDir>
-           |  graft.Main corpus   <in.jsonl|dir> <outDir>
+           |  graft.Main corpus   [--near-dup] <in.jsonl|dir> <outDir>
            |  graft.Main run      <config.properties> [<gvf|url> <gtf|url>]""".stripMargin)
       sys.exit(2)
   }

@@ -27,9 +27,17 @@ object CorpusPipeline {
 
   /** Curate a raw corpus (columns: doc_id, text; extra columns ride
     * along). `minTokens` drops empty/trivial docs, `maxDupNgramRatio`
-    * drops boilerplate (duplicate word-3-gram fraction above the cut). */
+    * drops boilerplate (duplicate word-3-gram fraction above the cut).
+    *
+    * `nearDupMaxHamming = Some(h)` adds a near-duplicate pass after the
+    * exact dedup: SimHash-blocked candidate pairs within `h` bits →
+    * connected components → each cluster keeps its min-id doc. The same
+    * bounded-candidate shapes as the standalone operators (16-bit-or-wider
+    * exact block keys, id-only shuffles), so the stage scales with the
+    * corpus, not with pairs². */
   def curate(raw: DataFrame, ctxTokens: Long = 2048,
-      minTokens: Long = 1, maxDupNgramRatio: Double = 0.9): CuratedCorpus = {
+      minTokens: Long = 1, maxDupNgramRatio: Double = 0.9,
+      nearDupMaxHamming: Option[Int] = None): CuratedCorpus = {
     val redacted = raw.withColumn("text", TF.redactPii(col("text")))
     // token array staged once — every downstream score reads the
     // materialized column (lambda-bearing expressions defeat Catalyst
@@ -46,7 +54,15 @@ object CorpusPipeline {
     val kept = scored.filter(
       col("n_tokens") >= minTokens && col("dup_ngram_ratio") <= maxDupNgramRatio)
     val deduped = Dedup.exactDedup(kept, "doc_id", "text")
-    val split = Sampling.assignSplit(deduped, "doc_id")
+    val nearDeduped = nearDupMaxHamming.fold(deduped) { h =>
+      val pairs = Dedup.simhashNearDupPairs(deduped, "doc_id", "text", h)
+      val keepers = Dedup.connectedComponents(
+          pairs, deduped.select("doc_id"), idCol = "doc_id")
+        .filter(col("id") === col("component"))
+        .select(col("id").as("doc_id"))
+      deduped.join(keepers, Seq("doc_id"), "left_semi")
+    }
+    val split = Sampling.assignSplit(nearDeduped, "doc_id")
     val manifest = Packing.packManifest(
       split.filter(col("split") === "train").select("doc_id", "n_tokens"),
       ctxTokens)

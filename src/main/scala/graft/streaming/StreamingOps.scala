@@ -57,6 +57,24 @@ object StreamingOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming NEAR-duplicate ingest dedup: sketch each document with the
+    * 64-bit SimHash kernel (a zero-shuffle map) and collapse sketch-equal
+    * docs within the watermark horizon. Catches exact dups plus the
+    * mutations that preserve the token stream's bit-majority — whitespace/
+    * formatting edits, token reorderings — at 8 bytes of state per
+    * distinct surviving sketch in the horizon. The streaming counterpart
+    * of [[graft.operators.Dedup.simhashNearDupPairs]] at hamming 0: a
+    * stream can't run candidate pair-joins (that needs the whole corpus),
+    * so ingest-time near-dedup trades hamming tolerance for bounded
+    * state, and the batch pair/cluster pass sweeps the remainder. */
+  def nearDupDedupWithinWatermark(docs: DataFrame, textCol: String,
+      tsCol: String, watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("__simhash", graft.expressions.SimHash64.simhash64(
+        graft.functions.TextFunctions.tokenHashes(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__simhash")
+      .drop("__simhash")
+
   /** Tumbling event-time window aggregation. On a stream the watermark
     * bounds state: windows older than it are finalized and dropped. */
   def windowedStats(events: DataFrame, window_ : String = "1 hour",

@@ -42,4 +42,24 @@ class CorpusPipelineSpec extends SparkSpec {
       assert(s + n == s2)
     }
   }
+
+  test("curate with near-dup stage: token-preserving mutants collapse to min id") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val raw = Seq(
+      (10L, base),
+      (11L, base + "  "),          // whitespace edit: same tokens, new digest
+      (12L, base.split(' ').reverse.mkString(" ")), // reorder: same multiset
+      (13L, "ein voellig anderes dokument ohne gemeinsame woerter ueberhaupt"))
+      .toDF("doc_id", "text")
+    // without the stage, only EXACT dedup runs — all four texts differ
+    val plain = CorpusPipeline.curate(raw, ctxTokens = 50)
+      .documents.select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(10L, 11L, 12L, 13L))
+    // with it, the sketch-equal mutants fold into doc 10
+    val near = CorpusPipeline.curate(raw, ctxTokens = 50,
+        nearDupMaxHamming = Some(3))
+      .documents.select("doc_id").as[Long].collect().toSet
+    assert(near == Set(10L, 13L))
+  }
 }

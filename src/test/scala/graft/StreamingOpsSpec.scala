@@ -91,6 +91,28 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("nearDupDedupWithinWatermark: sketch-equal docs collapse in-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val query = StreamingOps.nearDupDedupWithinWatermark(docs, "text", "ts")
+      .writeStream.format("memory").queryName("near_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val base = "one two three four five six seven eight nine ten"
+      mem.addData(
+        (1L, ts(0), base),
+        (2L, ts(1), base + "   "),                      // whitespace mutant
+        (3L, ts(2), base.split(' ').reverse.mkString(" ")), // reorder mutant
+        (4L, ts(3), "completely different content here entirely"))
+      query.processAllAvailable()
+      val ids = spark.table("near_dedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.size == 2 && ids.contains(4L))
+      assert((ids - 4L).subsetOf(Set(1L, 2L, 3L))) // exactly one sketch rep
+    } finally query.stop()
+  }
+
   test("enrichWithStatic (streaming): MemoryStream + broadcast dim == batch join") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
