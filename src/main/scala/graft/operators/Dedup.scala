@@ -44,6 +44,44 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** Paragraph-level exact dedup (the C4/CCNet move): a paragraph that
+    * appears anywhere else in the corpus survives only at its FIRST
+    * occurrence (min (id, position)); every document is reassembled from
+    * its surviving paragraphs in original order. Boilerplate — headers,
+    * navigation, license blocks — is usually duplicated ACROSS documents
+    * that are not document-level dups, which is exactly what whole-doc
+    * dedup can't see.
+    *
+    * Shape: split+posexplode (narrow) → one shuffle on the paragraph text
+    * for the first-occurrence window → one shuffle back on the id to
+    * reassemble. Paragraph-keyed skew (an empty or ultra-common line) is
+    * bounded: empties are dropped, and the window only ranks — the
+    * paragraph's row count, not its content, rides the exchange. Documents
+    * whose every paragraph is claimed elsewhere drop out of the result
+    * (C4 drops now-empty docs); left-join the input to keep them.
+    *
+    * Returns (idCol, textCol). `sep` is a literal separator, split-quoted.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+      .filter(length(col("para")) > 0)
+    val firstSeen = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("para")).orderBy(col("id"), col("pos"))
+    paras
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")),
+        sep).as("text"))
+      .select(col("id").as(idCol), col("text").as(textCol))
+  }
+
   /** MinHash signature from a column of pre-hashed shingles (array<long>):
     * k minima of xxhash64(seed, baseHash). Hashing the 8-byte base hash
     * per seed instead of re-hashing the shingle string makes the k-fold

@@ -263,6 +263,21 @@ object ExtensionQueries {
         "doc_id", "text")
         .orderBy("content_hash")),
 
+    // paragraph-level dedup over a corpus with planted structure: full
+    // copies (+1M: every paragraph already seen → doc drops out) and
+    // composites (+2M: "<text>. <reversed tokens>" — the first paragraph
+    // is claimed by the original, the reversed one survives alone)
+    "q_paragraph_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs
+        .union(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .union(docs.select((col("doc_id") + 2000000L).as("doc_id"),
+          concat_ws(". ", col("text"),
+            array_join(reverse(TF.tokens(col("text"))), " ")).as("text")))
+      Dedup.paragraphDedup(corpus, "doc_id", "text", sep = ". ")
+        .orderBy("doc_id")
+    }),
+
     "q_jaccard_words" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .filter(col("doc_id") < 40)
@@ -621,6 +636,9 @@ object ExtensionQueries {
       s"""SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM (SELECT doc_id, unnest($tokensSql) AS term FROM documents) GROUP BY term ORDER BY tf DESC, term ASC LIMIT 50""",
     "q_dedup_exact_docs" ->
       """WITH u AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents) SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies FROM u GROUP BY 1 ORDER BY content_hash""",
+
+    "q_paragraph_dedup" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents UNION ALL SELECT doc_id + 2000000, text || '. ' || array_to_string(list_reverse($tokensSql), ' ') FROM documents), p0 AS (SELECT doc_id, string_split(text, '. ') AS ps FROM corpus), p AS (SELECT doc_id, i - 1 AS pos, ps[i] AS para FROM p0, unnest(generate_series(1, len(ps))) AS t(i) WHERE length(ps[i]) > 0), k AS (SELECT doc_id, pos, para, ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn FROM p) SELECT doc_id, string_agg(para, '. ' ORDER BY pos) AS text FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
     "q_jaccard_words" ->
       s"""WITH d AS (SELECT doc_id, list_distinct($tokensSql) AS toks FROM documents WHERE doc_id < 40) SELECT a.doc_id AS id_a, b.doc_id AS id_b, len(list_intersect(a.toks, b.toks)) AS n_shared, CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard FROM d a JOIN d b ON a.doc_id < b.doc_id ORDER BY id_a, id_b""",
     "q_embed_cosine" ->

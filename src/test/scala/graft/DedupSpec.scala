@@ -24,6 +24,23 @@ class DedupSpec extends SparkSpec {
     assert(groups.length == 1 && groups(0).getAs[Long]("keeper_id") == 1L)
   }
 
+  test("paragraphDedup: cross-doc boilerplate survives only at first occurrence") {
+    val corpus = Seq(
+      (1L, "intro. shared boilerplate. body one"),
+      (2L, "shared boilerplate. body two"),   // boilerplate first seen in doc 1
+      (3L, "intro"),                          // fully claimed → doc drops out
+      (4L, "body one. fresh content"),
+      (5L, "x. x")                            // within-doc repeat
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(corpus, "doc_id", "text", sep = ". ")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "intro. shared boilerplate. body one", // first occurrences all keep
+      2L -> "body two",
+      4L -> "fresh content",
+      5L -> "x"))
+  }
+
   test("minhashNearDupPairs finds exact+near dups, not unrelated docs") {
     // 16 bands × 2 rows: detection prob at jaccard≈0.54 is 1-(1-0.54²)¹⁶≈0.996
     // (8×4 would be a coin flip); deterministic either way — these params find it
