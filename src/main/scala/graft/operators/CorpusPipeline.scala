@@ -38,21 +38,7 @@ object CorpusPipeline {
   def curate(raw: DataFrame, ctxTokens: Long = 2048,
       minTokens: Long = 1, maxDupNgramRatio: Double = 0.9,
       nearDupMaxHamming: Option[Int] = None): CuratedCorpus = {
-    val redacted = raw.withColumn("text", TF.redactPii(col("text")))
-    // token array staged once — every downstream score reads the
-    // materialized column (lambda-bearing expressions defeat Catalyst
-    // subexpression elimination)
-    val scored = redacted
-      .withColumn("toks", TF.tokens(col("text")))
-      .withColumn("n_tokens", size(col("toks")).cast(LongType))
-      .withColumn("grams", TF.ngramsAll(col("toks"), 3))
-      .withColumn("dup_ngram_ratio", lit(1.0) -
-        size(array_distinct(col("grams"))).cast(DoubleType) /
-          size(col("grams")).cast(DoubleType))
-      .withColumn("lang_pred", TF.langId(col("text")))
-      .drop("toks", "grams")
-    val kept = scored.filter(
-      col("n_tokens") >= minTokens && col("dup_ngram_ratio") <= maxDupNgramRatio)
+    val kept = scoreAndFilter(raw, minTokens, maxDupNgramRatio)
     val deduped = Dedup.exactDedup(kept, "doc_id", "text")
     val nearDeduped = nearDupMaxHamming.fold(deduped) { h =>
       val pairs = Dedup.simhashNearDupPairs(deduped, "doc_id", "text", h)
@@ -68,4 +54,42 @@ object CorpusPipeline {
       ctxTokens)
     CuratedCorpus(split, manifest)
   }
+
+  /** The stateless front of the flow — redact, score, filter — one narrow
+    * codegen'd pass, shared verbatim by batch `curate` and the streaming
+    * face below (same plan, same columns, same cuts). */
+  def scoreAndFilter(raw: DataFrame,
+      minTokens: Long = 1, maxDupNgramRatio: Double = 0.9): DataFrame = {
+    val redacted = raw.withColumn("text", TF.redactPii(col("text")))
+    // token array staged once — every downstream score reads the
+    // materialized column (lambda-bearing expressions defeat Catalyst
+    // subexpression elimination)
+    val scored = redacted
+      .withColumn("toks", TF.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("grams", TF.ngramsAll(col("toks"), 3))
+      .withColumn("dup_ngram_ratio", lit(1.0) -
+        size(array_distinct(col("grams"))).cast(DoubleType) /
+          size(col("grams")).cast(DoubleType))
+      .withColumn("lang_pred", TF.langId(col("text")))
+      .drop("toks", "grams")
+    scored.filter(
+      col("n_tokens") >= minTokens && col("dup_ngram_ratio") <= maxDupNgramRatio)
+  }
+
+  /** Incremental-ingest face: the same redact → score → filter pass over a
+    * STREAM of documents, then SimHash-sketch ingest dedup within the
+    * watermark horizon (8 B state per surviving sketch). Returns a
+    * streaming frame ready for `writeStream` (parquet append, or the
+    * exactly-once TSV sink). Corpus-WIDE stages stay batch jobs over the
+    * accumulated output on purpose: global near-dup clustering, split
+    * assignment, and packing all need the whole corpus (a pack manifest's
+    * prefix sum over a partial stream would renumber on every batch), so
+    * the streaming face curates what a stream CAN — per-doc transforms and
+    * horizon-bounded dedup — and the batch `curate` sweeps the rest. */
+  def curateStream(raw: DataFrame, tsCol: String, watermark: String = "1 hour",
+      minTokens: Long = 1, maxDupNgramRatio: Double = 0.9): DataFrame =
+    graft.streaming.StreamingOps.nearDupDedupWithinWatermark(
+      scoreAndFilter(raw, minTokens, maxDupNgramRatio),
+      "text", tsCol, watermark)
 }

@@ -62,4 +62,37 @@ class CorpusPipelineSpec extends SparkSpec {
       .documents.select("doc_id").as[Long].collect().toSet
     assert(near == Set(10L, 13L))
   }
+
+  test("curateStream: redact/score/filter + sketch dedup over a MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    def ts(m: Long) = new Timestamp(m * 60000L)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val query = CorpusPipeline.curateStream(docs, "ts", minTokens = 1,
+        maxDupNgramRatio = 0.5)
+      .writeStream.format("memory").queryName("curated_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (1L, ts(0), "write to spy@example.org about the quiet harbor plan"),
+        (2L, ts(1), "write to spy@example.org about the quiet harbor plan  "), // sketch dup
+        (3L, ts(2), ""),                                       // empty → cut
+        (4L, ts(3), "spam spam spam spam spam spam spam spam") // boilerplate → cut
+      )
+      query.processAllAvailable()
+      val rows = spark.table("curated_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      // ingest dedup keeps the first-SEEN sketch representative — within
+      // one microbatch that's physical order, so either twin may survive
+      assert(rows.size == 1 && Set(1L, 2L).contains(rows.keySet.head))
+      val survivor = rows.values.head
+      assert(survivor.contains("<EMAIL>") && !survivor.contains("spy@"))
+      // score columns ride along, same names as the batch flow
+      val cols = spark.table("curated_stream").columns.toSet
+      assert(Set("n_tokens", "dup_ngram_ratio", "lang_pred").subsetOf(cols))
+    } finally query.stop()
+  }
 }
