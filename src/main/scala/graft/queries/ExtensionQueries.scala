@@ -208,6 +208,23 @@ object ExtensionQueries {
       Sampling.assignSplit(t(s, dir, "documents").select("doc_id"), "doc_id")
         .orderBy("doc_id")),
 
+    // per-group quality floor: keep docs at or above their split's median
+    // token count — the per-stratum-cutoff curation move (per-language in
+    // production; split here keeps the oracle's group SQL exact). Exact
+    // interpolating percentile per group, broadcast back, one filter.
+    "q_quality_floor" -> ((s, dir) => {
+      val scored = Sampling.assignSplit(
+          t(s, dir, "documents")
+            .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens")),
+          "doc_id").drop("bucket")
+      val floors = scored.groupBy("split")
+        .agg(expr("percentile(n_tokens, 0.5)").as("floor_tokens"))
+      scored.join(broadcast(floors), Seq("split"))
+        .filter(col("n_tokens").cast(DoubleType) >= col("floor_tokens"))
+        .select("doc_id", "split", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // fixed-size panel per split: 20 docs each from train/val/test in
     // md5(id) order — deterministic balanced eval subsets from splits that
     // differ 18× in size (90/5/5)
@@ -720,6 +737,9 @@ object ExtensionQueries {
 
     "q_split_assign" ->
       """WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket FROM documents) SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id""",
+
+    "q_quality_floor" ->
+      s"""WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket, CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents), s AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, n_tokens FROM b), f AS (SELECT split, quantile_cont(n_tokens, 0.5) AS floor_tokens FROM s GROUP BY split) SELECT doc_id, split, n_tokens FROM s JOIN f USING (split) WHERE CAST(n_tokens AS DOUBLE) >= floor_tokens ORDER BY doc_id""",
 
     "q_stratified_sample" ->
       """WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket FROM documents), s AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b), r AS (SELECT doc_id, split, ROW_NUMBER() OVER (PARTITION BY split ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank FROM s) SELECT doc_id, split, sample_rank FROM r WHERE sample_rank <= 20 ORDER BY split, sample_rank""",
