@@ -208,6 +208,14 @@ object ExtensionQueries {
       Sampling.assignSplit(t(s, dir, "documents").select("doc_id"), "doc_id")
         .orderBy("doc_id")),
 
+    // BM25 keyword search (rational idf, fixed-order IEEE sum — see
+    // operators/Search.scala): top-100 docs for a 4-term query, one
+    // narrow scan + a broadcast single-row stats frame + TakeOrdered
+    "q_bm25_topk" -> ((s, dir) =>
+      graft.operators.Search.bm25TopK(
+        t(s, dir, "documents"),
+        Seq("spark", "merge", "window", "stream"), k = 100)),
+
     // per-group quality floor: keep docs at or above their split's median
     // token count — the per-stratum-cutoff curation move (per-language in
     // production; split here keeps the oracle's group SQL exact). Exact
@@ -737,6 +745,11 @@ object ExtensionQueries {
 
     "q_split_assign" ->
       """WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket FROM documents) SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id""",
+
+    // same fixed IEEE expression tree as Search.bm25TopK: rational idf,
+    // exact-integer avdl, per-term CASE contributions summed left-to-right
+    "q_bm25_topk" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents), d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0, CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf1, CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf2, CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE) AS tf3 FROM tk), st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avdl, CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0, CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1, CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2, CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3 FROM d), sc AS (SELECT doc_id, CASE WHEN tf0 > 0 THEN ((n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * (dl / avdl))) ELSE 0.0 END + CASE WHEN tf1 > 0 THEN ((n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * (dl / avdl))) ELSE 0.0 END + CASE WHEN tf2 > 0 THEN ((n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * (dl / avdl))) ELSE 0.0 END + CASE WHEN tf3 > 0 THEN ((n_docs - df3 + 0.5) / (df3 + 0.5)) * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * (dl / avdl))) ELSE 0.0 END AS bm25 FROM d, st) SELECT doc_id, bm25 FROM sc WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 100""",
 
     "q_quality_floor" ->
       s"""WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket, CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents), s AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, n_tokens FROM b), f AS (SELECT split, quantile_cont(n_tokens, 0.5) AS floor_tokens FROM s GROUP BY split) SELECT doc_id, split, n_tokens FROM s JOIN f USING (split) WHERE CAST(n_tokens AS DOUBLE) >= floor_tokens ORDER BY doc_id""",

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Search
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "spark spark spark runs the cluster"),             // high tf, short
+    (2L, "spark runs here"),                                // tf 1, shortest
+    (3L, "spark " + ("filler " * 50).trim),                 // tf 1, long doc
+    (4L, "quantum entanglement is rare rare rare"),         // rare-term doc
+    (5L, "nothing relevant in this one at all"),            // zero overlap
+    (6L, "quantum spark")                                   // both terms
+  ).toDF("doc_id", "text")
+
+  test("bm25TopK: tf raises, doc length damps, rarity outweighs commonness") {
+    val out = Search.bm25TopK(corpus, Seq("spark", "quantum"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val rank = out.map(_._1).toSeq
+    val score = out.toMap
+    // zero-overlap doc excluded
+    assert(!score.contains(5L))
+    // more occurrences of the same term in comparable-length docs → higher
+    assert(score(1L) > score(2L))
+    // same tf, longer doc → damped
+    assert(score(2L) > score(3L))
+    // 'quantum' (df 2/6) outscores a single 'spark' (df 4/6): doc 6 with
+    // both terms must beat every single-'spark' doc
+    assert(rank.head == 6L || score(6L) > score(2L))
+    // scores are strictly ordered in the output with id tie-break
+    assert(out.map(_._2).sameElements(out.map(_._2).sortBy(-_)))
+  }
+
+  test("bm25TopK: k truncates after the full ordering; validations reject bad input") {
+    val top2 = Search.bm25TopK(corpus, Seq("spark", "quantum"), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val all = Search.bm25TopK(corpus, Seq("spark", "quantum"), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 == all.take(2))
+    intercept[IllegalArgumentException] {
+      Search.bm25TopK(corpus, Seq.empty, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Search.bm25TopK(corpus, Seq("a", "a"), k = 5)
+    }
+  }
+}
