@@ -121,6 +121,38 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
   }
 
+  /** Compact a parquet directory's small files in place: rewrite into
+    * ceil(totalBytes / targetFileBytes) files, then swap atomically
+    * (tmp-write → retire old → move in). The small-files maintenance op
+    * every long-running ingest needs — each streaming microbatch or
+    * per-task writer leaves file counts that grow without bound, and at
+    * 100 TB a scan's task count (and the namenode's listing cost) follows
+    * the file count, not the byte count. Coalesce, not repartition: a
+    * shuffle-free narrow rewrite (compaction only ever merges).
+    *
+    * Not transactional against concurrent writers/readers of `dir` — run
+    * it as the ingest's own maintenance step, like the reference's
+    * single-owner output dirs. Returns the new file count. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val source = Paths.get(dir)
+    val parquetFiles = Files.list(source).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val totalBytes = parquetFiles.map(Files.size).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = Paths.get(dir + ".compact-tmp")
+    deleteRecursively(tmp)
+    spark.read.parquet(dir).coalesce(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val retired = Paths.get(dir + ".compact-old")
+    deleteRecursively(retired)
+    Files.move(source, retired)
+    Files.move(tmp, source)
+    deleteRecursively(retired)
+    nFiles
+  }
+
   /** Bucketed parquet table: pre-shuffled on `bucketCols` into `numBuckets`
     * files per partition, registered in the session catalog. Joins and
     * aggregations between tables bucketed the same way skip their shuffle

@@ -54,6 +54,30 @@ class SinksSpec extends SparkSpec {
       singleFileBytes(s"$base/single"), Files.readAllBytes(Paths.get(out))))
   }
 
+  test("compactParquet: many small files fold to the byte-budget count, rows intact") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = spark.range(0, 10000).select(col("id"), (col("id") * 2).as("v"))
+    df.repartition(20).write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files().length == 20)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted
+    // generous budget → everything folds into one file
+    val n = graft.io.Sinks.compactParquet(spark, dir, targetFileBytes = 1L << 30)
+    assert(n == 1 && files().length == 1)
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(after.sameElements(before))
+    // tight budget splits the estimate but never grows the count back
+    val total = files().map(_.length).sum
+    val n2 = graft.io.Sinks.compactParquet(spark, dir, targetFileBytes = total / 2 + 1)
+    assert(n2 == 2 && files().length <= 2) // coalesce can't split 1 file
+    assert(spark.read.parquet(dir).count() == 10000L)
+    // swap left no temp/retired debris
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("compact")))
+  }
+
   test("writeTsvStream: exactly-once file sink, same bytes conventions as batch writeTsv") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream-sink").toString
