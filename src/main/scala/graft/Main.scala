@@ -139,6 +139,26 @@ object Main {
         s"${spark.read.parquet(s"$out/pack-manifest").count()} manifest rows")
       spark.stop()
 
+    // ad-hoc keyword probe of a curated corpus: top-k docs by BM25
+    //   graft.Main search <documentsParquetDir> <k> <term> [term...]
+    case "search" :: dir :: k :: terms if terms.nonEmpty && k.toIntOption.exists(_ > 0) =>
+      val spark = session("graft-search")
+      graft.operators.Search.bm25TopK(
+          spark.read.parquet(dir), terms.distinct, k.toInt)
+        .collect()
+        .foreach(r => println(s"${r.getLong(0)}\t${r.getDouble(1)}"))
+      spark.stop()
+
+    // small-file maintenance: rewrite a parquet dir to a byte budget
+    //   graft.Main compact <parquetDir> [targetFileMB]
+    case "compact" :: dir :: rest if rest.length <= 1 &&
+        rest.headOption.forall(_.toLongOption.exists(_ > 0)) =>
+      val targetMb = rest.headOption.map(_.toLong).getOrElse(128L)
+      val spark = session("graft-compact")
+      val n = Sinks.compactParquet(spark, dir, targetMb * 1024 * 1024)
+      println(s"compacted: $dir -> $n file(s)")
+      spark.stop()
+
     case "run" :: configPath :: Nil =>
       // raw data already staged at the catalog locations — unless
       // retrieve.registry=true, which stages the build's Ensembl download
@@ -182,6 +202,8 @@ object Main {
            |  graft.Main complete [--force] <gvf|url> <gtf|url> <outDir>
            |  graft.Main complete [--force] <hg38|mm10> <outDir>
            |  graft.Main corpus   [--near-dup] <in.jsonl|dir> <outDir>
+           |  graft.Main search   <documentsParquetDir> <k> <term> [term...]
+           |  graft.Main compact  <parquetDir> [targetFileMB]
            |  graft.Main run      <config.properties> [<gvf|url> <gtf|url>]""".stripMargin)
       sys.exit(2)
   }

@@ -14,11 +14,12 @@ class PlanAuditSpec extends SparkSpec {
   /** Deliberate non-equi shapes: brute-force cosine top-k and its recall
     * gates (corpus × broadcast KB-scale probe/centroid set), the
     * all-pairs word-Jaccard demo (doc_id < doc_id theta join on 40 docs),
-    * and the cosine cross-block (vec_id range theta join). */
+    * the cosine cross-block (vec_id range theta join), and BM25's
+    * cross-join of the corpus with its SINGLE-ROW broadcast stats frame. */
   private val nonEquiAllowed = Set(
     "q_embed_topk", "q_embed_ann_lsh", "q_embed_ann_ivf",
     "q_check_ann_recall", "q_check_ann_ivf_recall",
-    "q_jaccard_words", "q_embed_cosine")
+    "q_jaccard_words", "q_embed_cosine", "q_bm25_topk")
 
   test("no accidental cartesian / nested-loop joins anywhere in the surface") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
