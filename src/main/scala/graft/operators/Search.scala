@@ -70,4 +70,55 @@ object Search {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Batch BM25: score a TABLE of queries — (query_id, term) rows —
+    * against the corpus in one pass. This is the posting-list shape for
+    * large query streams, where [[bm25TopK]]'s scan-side tf would rescan
+    * the corpus once per query: here the corpus explodes to (doc, term)
+    * tf rows ONCE, pruned to the query vocabulary BEFORE the count
+    * shuffle (broadcast semi-join — the explode stream that reaches the
+    * exchange is queries' terms only, not the corpus vocabulary), then
+    * one aggregation per (query, doc) and a per-query top-k window.
+    *
+    * Same rational-idf scoring as [[bm25TopK]]; the per-(query, doc) sum
+    * is a shuffle aggregation rather than a fixed-order fold, so scores
+    * can differ from the scan-side operator in the last ulp —
+    * q_check_bm25_batch gates rank-list + 1e-9 score agreement.
+    * Output: (query_id, doc_id, bm25, rank), rank ≤ k per query. */
+  def bm25TopKBatch(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text",
+      queryIdCol: String = "query_id", termCol: String = "term"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast(DoubleType))
+    val stats = toks.agg(
+      count(lit(1)).cast(DoubleType).as("n_docs"),
+      (sum(col("dl").cast(LongType)).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("avdl"))
+    val q = queries
+      .select(col(queryIdCol).as("query_id"), col(termCol).as("term")).distinct()
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(q.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val docFreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast(DoubleType).as("df"))
+    val contributions = tf
+      .join(broadcast(docFreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(q), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        (((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avdl")))))
+          .as("s"))
+    val perDoc = contributions
+      .groupBy(col("query_id"), col("doc_id")).agg(sum(col("s")).as("bm25"))
+    val topk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("bm25").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(topk)).filter(col("rank") <= k)
+  }
 }

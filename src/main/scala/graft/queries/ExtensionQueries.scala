@@ -216,6 +216,42 @@ object ExtensionQueries {
         t(s, dir, "documents"),
         Seq("spark", "merge", "window", "stream"), k = 100)),
 
+    // batch face of BM25 — many queries in one pass over the corpus.
+    // rows-only (the per-(query,doc) sum is a shuffle agg, so the doubles
+    // aren't a fixed expression tree) — gated by q_check_bm25_batch below
+    "q_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        ("q1", "spark"), ("q1", "merge"),
+        ("q2", "window"), ("q2", "stream"), ("q2", "filter"))
+        .toDF("query_id", "term")
+      graft.operators.Search.bm25TopKBatch(
+          t(s, dir, "documents"), queries, k = 50)
+        .orderBy("query_id", "rank")
+    }),
+
+    // gate: for the scan-side operator's own 4-term query, the batch
+    // operator must reproduce the exact top-20 ranking with scores within
+    // 1e-9 — emitted rows are violations, oracle = empty set
+    "q_check_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val terms = Seq("spark", "merge", "window", "stream")
+      val scan = graft.operators.Search.bm25TopK(
+          t(s, dir, "documents"), terms, k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+      val batch = graft.operators.Search.bm25TopKBatch(
+          t(s, dir, "documents"),
+          terms.map(("q", _)).toDF("query_id", "term"), k = 20)
+        .select(col("doc_id"), col("bm25").as("batch_bm25"), col("rank").as("batch_rank"))
+      scan.join(batch, Seq("doc_id"), "full_outer")
+        .filter(col("rank").isNull || col("batch_rank").isNull ||
+          col("rank") =!= col("batch_rank") ||
+          abs(col("bm25") - col("batch_bm25")) > 1e-9)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // per-group quality floor: keep docs at or above their split's median
     // token count — the per-stratum-cutoff curation move (per-language in
     // production; split here keeps the oracle's group SQL exact). Exact
@@ -745,6 +781,9 @@ object ExtensionQueries {
 
     "q_split_assign" ->
       """WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket FROM documents) SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id""",
+
+    "q_check_bm25_batch" ->
+      """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
 
     // same fixed IEEE expression tree as Search.bm25TopK: rational idf,
     // exact-integer avdl, per-term CASE contributions summed left-to-right

@@ -32,6 +32,23 @@ class SearchSpec extends SparkSpec {
     assert(out.map(_._2).sameElements(out.map(_._2).sortBy(-_)))
   }
 
+  test("bm25TopKBatch: per-query rankings match the scan-side operator") {
+    val queries = Seq(("a", "spark"), ("a", "quantum"), ("b", "quantum"))
+      .toDF("query_id", "term")
+    val batch = Search.bm25TopKBatch(corpus, queries, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    for (qid <- Seq("a", "b")) {
+      val terms = if (qid == "a") Seq("spark", "quantum") else Seq("quantum")
+      val scan = Search.bm25TopK(corpus, terms, k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val got = batch.filter(_._1 == qid).sortBy(_._4).map(t => (t._2, t._3))
+      assert(got.map(_._1).toSeq == scan.map(_._1).toSeq, s"ranking for $qid")
+      got.zip(scan).foreach { case ((_, s1), (_, s2)) =>
+        assert(math.abs(s1 - s2) < 1e-9, s"score drift for $qid: $s1 vs $s2")
+      }
+    }
+  }
+
   test("bm25TopK: k truncates after the full ordering; validations reject bad input") {
     val top2 = Search.bm25TopK(corpus, Seq("spark", "quantum"), k = 2)
       .collect().map(_.getLong(0)).toSeq
