@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
 
 /** Deterministic, seed-free dataset splitting and sampling for training
   * pipelines. A document's split must be a pure function of its identity —
@@ -69,4 +69,22 @@ object Sampling {
       s"permille must be in [0, 1000]: $permille")
     df.filter(md5Bucket(col(idCol), 1000) < permille)
   }
+
+  /** Deterministic weighted (importance) sampling: keep each row with
+    * probability `weight` ∈ [0, 1] — per ROW, so the weight can encode
+    * source-mixing rates, quality-proportional retention, or temperature
+    * reweighting — without `rand()`: the row's md5-derived unit uniform
+    * `u = bucket(id, 65536) / 65536` is compared against its weight, so
+    * the survivor set is a pure function of (id, weight). Re-running,
+    * re-partitioning, or growing the corpus never flips a row whose
+    * weight is unchanged; RAISING a weight only ADDS survivors (the
+    * nested-subset property hashSample has, generalized per-row).
+    *
+    * The uniform reads md5 hex chars 9-12 — a DIFFERENT 16 bits than
+    * `md5Bucket`/`assignSplit` (chars 1-4) — so sampling composes with
+    * split assignment as an independent decision. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
+    df.filter(
+      conv(substring(md5(col(idCol).cast(StringType)), 9, 4), 16, 10)
+        .cast(DoubleType) / lit(65536.0) < weight)
 }

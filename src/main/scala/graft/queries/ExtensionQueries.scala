@@ -269,6 +269,19 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // deterministic source mixing: keep train at 1.0, val at 0.5, test at
+    // 0.25 — per-row weighted retention from an independent 16-bit md5
+    // uniform, no rand(), survivors stable under reruns and growth
+    "q_weighted_sample" -> ((s, dir) => {
+      val withSplit = Sampling.assignSplit(
+        t(s, dir, "documents").select("doc_id"), "doc_id").drop("bucket")
+      Sampling.weightedSample(withSplit, "doc_id",
+          when(col("split") === "train", lit(1.0))
+            .when(col("split") === "val", lit(0.5))
+            .otherwise(lit(0.25)))
+        .orderBy("doc_id")
+    }),
+
     // fixed-size panel per split: 20 docs each from train/val/test in
     // md5(id) order — deterministic balanced eval subsets from splits that
     // differ 18× in size (90/5/5)
@@ -792,6 +805,9 @@ object ExtensionQueries {
 
     "q_quality_floor" ->
       s"""WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket, CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents), s AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, n_tokens FROM b), f AS (SELECT split, quantile_cont(n_tokens, 0.5) AS floor_tokens FROM s GROUP BY split) SELECT doc_id, split, n_tokens FROM s JOIN f USING (split) WHERE CAST(n_tokens AS DOUBLE) >= floor_tokens ORDER BY doc_id""",
+
+    "q_weighted_sample" ->
+      """WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))::BIGINT AS DOUBLE) / 65536.0 AS u FROM documents), s AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, u FROM b) SELECT doc_id, split FROM s WHERE u < (CASE split WHEN 'train' THEN 1.0 WHEN 'val' THEN 0.5 ELSE 0.25 END) ORDER BY doc_id""",
 
     "q_stratified_sample" ->
       """WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket FROM documents), s AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b), r AS (SELECT doc_id, split, ROW_NUMBER() OVER (PARTITION BY split ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank FROM s) SELECT doc_id, split, sample_rank FROM r WHERE sample_rank <= 20 ORDER BY split, sample_rank""",

@@ -107,6 +107,23 @@ class PackingSamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == s100)
   }
 
+  test("weightedSample: deterministic, rate-accurate, monotone in weight") {
+    val docs = spark.range(0, 4000).select(col("id").as("doc_id"))
+    val w3 = Sampling.weightedSample(docs, "doc_id", lit(0.3))
+      .collect().map(_.getLong(0)).toSet
+    val w6 = Sampling.weightedSample(docs, "doc_id", lit(0.6))
+      .collect().map(_.getLong(0)).toSet
+    assert(math.abs(w3.size - 1200) < 150, s"30% of 4000 ≈ 1200, got ${w3.size}")
+    assert(w3.subsetOf(w6)) // raising a weight only adds survivors
+    assert(Sampling.weightedSample(docs, "doc_id", lit(0.3))
+      .collect().map(_.getLong(0)).toSet == w3) // rerun identical
+    // per-row weights: weight 0 drops everything, weight 1 keeps everything
+    val mixed = Sampling.weightedSample(docs, "doc_id",
+      when(col("doc_id") < 2000, lit(1.0)).otherwise(lit(0.0)))
+      .collect().map(_.getLong(0))
+    assert(mixed.length == 2000 && mixed.forall(_ < 2000))
+  }
+
   test("stratifiedSample: exact k per stratum, deterministic, stable under growth") {
     // unbalanced strata: 1000 'big' rows, 40 'small'
     val docs = spark.range(0, 1040).select(col("id").as("doc_id"),
