@@ -121,31 +121,85 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
   }
 
-  /** Compact a parquet directory's small files in place: rewrite into
-    * ceil(totalBytes / targetFileBytes) files, then swap atomically
-    * (tmp-write → retire old → move in). The small-files maintenance op
-    * every long-running ingest needs — each streaming microbatch or
-    * per-task writer leaves file counts that grow without bound, and at
-    * 100 TB a scan's task count (and the namenode's listing cost) follows
-    * the file count, not the byte count. Coalesce, not repartition: a
-    * shuffle-free narrow rewrite (compaction only ever merges).
+  /** Compact a parquet directory's small files in place. The small-files
+    * maintenance op every long-running ingest needs — each streaming
+    * microbatch or per-task writer leaves file counts that grow without
+    * bound, and at 100 TB a scan's task count (and the namenode's listing
+    * cost) follows the file count, not the byte count.
     *
-    * Not transactional against concurrent writers/readers of `dir` — run
-    * it as the ingest's own maintenance step, like the reference's
-    * single-owner output dirs. Returns the new file count. */
+    * Layout-aware: a flat dir rewrites into ceil(totalBytes /
+    * targetFileBytes) files; a hive-partitioned dir (`key=value/` subdirs,
+    * nested to any depth — exactly what `writeTsv`/`writeParquet`
+    * `partitionBy` and the streaming sinks produce) compacts each LEAF
+    * partition independently with its own byte budget, preserving the
+    * directory layout and its pruning. Leaf rewrites are independent Spark
+    * jobs overlapped from driver futures (same design as the pipeline's
+    * concurrent sinks), so a 10k-partition table compacts at cluster
+    * parallelism, not one partition at a time. A dir mixing top-level
+    * parquet files with partition subdirs is rejected (`require`) — no
+    * layout Spark's own writers produce looks like that, and guessing
+    * would silently merge partitioned and unpartitioned schemas.
+    *
+    * Coalesce, not repartition: a shuffle-free narrow rewrite (compaction
+    * only ever merges). Each leaf swap is tmp-write → retire old → move
+    * in: two renames, NOT atomic — a concurrent reader listing the leaf in
+    * the instant between them sees it missing, and a reader that resolved
+    * file paths before the swap sees deleted files. Run it as the
+    * ingest's own maintenance step (single-owner dirs, like the
+    * reference's); tmp/retired dirs are dot-prefixed so Spark readers
+    * never list them as data. Returns the new total file count across all
+    * compacted leaves. */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
-    val source = Paths.get(dir)
-    val parquetFiles = Files.list(source).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-    val totalBytes = parquetFiles.map(Files.size).sum
+    val leaves = parquetLeaves(Paths.get(dir))
+    if (leaves.size <= 1) leaves.map(compactLeaf(spark, _, targetFileBytes)).sum
+    else {
+      // overlap leaf jobs; cap the driver pool — each job's tasks already
+      // fan out to the cluster, the pool only hides job-submit latency
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = Executors.newFixedThreadPool(math.min(leaves.size, 8))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(leaves.map(l => Future(compactLeaf(spark, l, targetFileBytes)))),
+        Duration.Inf).sum
+      finally pool.shutdownNow()
+    }
+  }
+
+  /** Leaf dirs holding parquet files under `root`, descending through
+    * `key=value` partition dirs only. Rejects mixed layouts. */
+  private def parquetLeaves(root: Path): Seq[Path] = {
+    val entries = Files.list(root).iterator().asScala.toSeq
+    val partDirs = entries.filter(p =>
+      Files.isDirectory(p) && p.getFileName.toString.matches("[^=]+=.*"))
+    val hasFiles = entries.exists(_.getFileName.toString.endsWith(".parquet"))
+    if (partDirs.isEmpty) if (hasFiles) Seq(root) else Nil
+    else {
+      require(!hasFiles,
+        s"mixed layout under $root: top-level parquet files alongside partition " +
+          s"dir ${partDirs.head.getFileName} — compact the halves separately")
+      partDirs.flatMap(parquetLeaves)
+    }
+  }
+
+  /** Rewrite one flat dir of parquet files to its byte-budget file count
+    * and swap it in (two renames — see compactParquet's contract). */
+  private def compactLeaf(spark: org.apache.spark.sql.SparkSession, source: Path,
+      targetFileBytes: Long): Int = {
+    val totalBytes = Files.list(source).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).map(Files.size).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val tmp = Paths.get(dir + ".compact-tmp")
+    val parent = source.toAbsolutePath.getParent
+    val tmp = parent.resolve(s".${source.getFileName}.compact-tmp")
     deleteRecursively(tmp)
-    spark.read.parquet(dir).coalesce(nFiles)
+    // reading the leaf directly sees exactly the file-body schema (no
+    // inferred partition columns), so the rewrite is layout-neutral
+    spark.read.parquet(source.toString).coalesce(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    val retired = Paths.get(dir + ".compact-old")
+    val retired = parent.resolve(s".${source.getFileName}.compact-old")
     deleteRecursively(retired)
     Files.move(source, retired)
     Files.move(tmp, source)

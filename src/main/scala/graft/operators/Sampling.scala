@@ -15,7 +15,14 @@ object Sampling {
 
   /** Stable bucket in [0, nBuckets): the first 16 bits of md5(id) mod
     * nBuckets. Pure Catalyst (md5/substring/conv are codegen'd built-ins),
-    * no UDF, no seed state. */
+    * no UDF, no seed state.
+    *
+    * Known (documented) bias: 16 bits mod nBuckets leaves the first
+    * `65536 % nBuckets` buckets one 1/65536-slice heavier — ≤ 0.06%
+    * relative occupancy skew at nBuckets = 100, zero when nBuckets is a
+    * power of two. Deterministic and oracle-matched; kept at 16 bits
+    * because the value doubles as the published split contract
+    * (assignSplit's bucket column) and widening would reassign splits. */
   def md5Bucket(id: Column, nBuckets: Int): Column = {
     require(nBuckets > 0 && nBuckets <= 65536,
       s"nBuckets must be in [1, 65536]: $nBuckets")

@@ -84,6 +84,11 @@ object Search {
     * is a shuffle aggregation rather than a fixed-order fold, so scores
     * can differ from the scan-side operator in the last ulp —
     * q_check_bm25_batch gates rank-list + 1e-9 score agreement.
+    *
+    * The tokenized corpus is persisted: it feeds both the single-row stats
+    * agg and the exploded tf stream, which are otherwise separate scans —
+    * without the cache boundary the tokenizer (the dominant cost) runs
+    * twice over the corpus. Same pattern as Dedup.minhashNearDupPairs.
     * Output: (query_id, doc_id, bm25, rank), rank ≤ k per query. */
   def bm25TopKBatch(docs: DataFrame, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
@@ -93,6 +98,7 @@ object Search {
     val toks = docs
       .select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")).cast(DoubleType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = toks.agg(
       count(lit(1)).cast(DoubleType).as("n_docs"),
       (sum(col("dl").cast(LongType)).cast(DoubleType) /

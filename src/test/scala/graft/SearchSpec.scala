@@ -49,6 +49,17 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopKBatch: corpus is tokenized once (cached scan feeds stats and tf)") {
+    val queries = Seq(("a", "spark")).toDF("query_id", "term")
+    val plan = Search.bm25TopKBatch(corpus, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    // both consumers (the single-row stats agg and the exploded tf stream)
+    // must read the persisted token table, not re-run the tokenizer
+    val scans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(scans >= 2, s"expected both branches on the cached token scan:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("bm25TopK: k truncates after the full ordering; validations reject bad input") {
     val top2 = Search.bm25TopK(corpus, Seq("spark", "quantum"), k = 2)
       .collect().map(_.getLong(0)).toSeq

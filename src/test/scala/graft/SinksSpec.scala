@@ -78,6 +78,51 @@ class SinksSpec extends SparkSpec {
     assert(!parent.exists(_.contains("compact")))
   }
 
+  test("compactParquet: hive-partitioned dir compacts per leaf, layout preserved") {
+    val dir = Files.createTempDirectory("graft-compact-part").toString + "/t"
+    val df = spark.range(0, 9000)
+      .select(col("id"), (col("id") % 3).cast("string").as("chromosome"),
+        (col("id") * 2).as("v"))
+    // 10 part files per partition dir
+    df.repartition(10).write.partitionBy("chromosome").parquet(dir)
+    def leafFiles(part: String) = new java.io.File(s"$dir/chromosome=$part")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(Seq("0", "1", "2").forall(p => leafFiles(p).length == 10))
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted
+
+    val n = Sinks.compactParquet(spark, dir, targetFileBytes = 1L << 30)
+    // one file per partition, partition dirs intact, bytes readable with
+    // the partition column still inferred from the layout
+    assert(n == 3)
+    assert(Seq("0", "1", "2").forall(p => leafFiles(p).length == 1))
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(after.sameElements(before))
+    assert(spark.read.parquet(dir).schema.fieldNames.contains("chromosome"))
+    // partition pruning still works on the compacted layout
+    assert(spark.read.parquet(dir).filter(col("chromosome") === "1").count() == 3000L)
+    // no temp/retired debris anywhere in the tree
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.getName +: f.listFiles().toSeq.flatMap(walk) else Seq(f.getName)
+    assert(!walk(new java.io.File(dir)).exists(_.contains("compact")))
+  }
+
+  test("compactParquet: mixed flat+partitioned layout is rejected; empty dir is a no-op") {
+    val base = Files.createTempDirectory("graft-compact-mixed")
+    val dir = base.toString + "/t"
+    spark.range(0, 10).write.parquet(dir)
+    // graft a partition dir next to the flat files
+    val sub = Paths.get(dir, "k=1")
+    spark.range(0, 10).write.parquet(sub.toString)
+    val e = intercept[IllegalArgumentException] {
+      Sinks.compactParquet(spark, dir)
+    }
+    assert(e.getMessage.contains("mixed layout"))
+    // a dir with no parquet files compacts to nothing rather than
+    // rewriting the dataset into one unpartitioned file
+    val empty = Files.createTempDirectory("graft-compact-empty").toString
+    assert(Sinks.compactParquet(spark, empty) == 0)
+  }
+
   test("writeTsvStream: exactly-once file sink, same bytes conventions as batch writeTsv") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream-sink").toString
