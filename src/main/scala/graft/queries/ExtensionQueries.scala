@@ -269,6 +269,23 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // the production form of the quality floor: per-LANGUAGE median token
+    // cuts over langId groups (each language keeps its own length norm —
+    // one global floor would purge whole languages whose docs run short).
+    // Same exact-percentile + broadcast shape as q_quality_floor; the
+    // oracle replays the identical stopword-ratio argmax via langScoresSql.
+    "q_quality_floor_lang" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), TF.langId(col("text")).as("lang_pred"),
+          TF.tokenCount(col("text")).as("n_tokens"))
+      val floors = scored.groupBy("lang_pred")
+        .agg(expr("percentile(n_tokens, 0.5)").as("floor_tokens"))
+      scored.join(broadcast(floors), Seq("lang_pred"))
+        .filter(col("n_tokens").cast(DoubleType) >= col("floor_tokens"))
+        .select("doc_id", "lang_pred", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // deterministic source mixing: keep train at 1.0, val at 0.5, test at
     // 0.25 — per-row weighted retention from an independent 16-bit md5
     // uniform, no rand(), survivors stable under reruns and growth
@@ -680,6 +697,27 @@ object ExtensionQueries {
   private val tokensSql =
     """list_filter(string_split_regex(text, '\s+'), x -> x != '')"""
 
+  /** DuckDB mirror of TextFunctions.langId, factored so every oracle that
+    * groups or filters on the predicted language replays the IDENTICAL
+    * stopword-hit-ratio scoring: `langScoresSql` emits per-doc per-language
+    * scores (plus n_tokens for downstream quality cuts), `langPredSql` is
+    * the argmax CASE over them. */
+  private val langScoresSql: String = {
+    def hits(words: Seq[String]) = {
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter($tokensSql, x -> list_contains($lst, x))) AS DOUBLE) / greatest(len($tokensSql), 1)"
+    }
+    s"SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens, " +
+      s"${hits(TF.stopwords("en"))} AS s_en, ${hits(TF.stopwords("es"))} AS s_es, " +
+      s"${hits(TF.stopwords("de"))} AS s_de, ${hits(TF.stopwords("fr"))} AS s_fr FROM documents"
+  }
+
+  private val langPredSql: String =
+    "CASE WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'und' " +
+      "WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en' " +
+      "WHEN s_es >= s_de AND s_es >= s_fr THEN 'es' " +
+      "WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END"
+
   /** DuckDB mirror of TextFunctions.shingles over a token-list column `t`:
     * distinct 3-gram strings, whole-join fallback for short docs. */
   private def shingleSql(t: String): String =
@@ -697,13 +735,8 @@ object ExtensionQueries {
       s"""SELECT doc_id, len($tokensSql) AS n_tokens, len(list_distinct($tokensSql)) AS n_unique_tokens FROM documents ORDER BY doc_id""",
     "q_text_quality" ->
       s"""WITH f AS (SELECT doc_id, text, length(text) AS n_chars, len($tokensSql) AS n_tokens, len(list_filter($tokensSql, x -> list_contains($enStopSql, x))) AS en_hits FROM documents) SELECT doc_id, n_chars, n_tokens, CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1) AS chars_per_token, CAST(n_chars - length(replace(text, ' ', '')) AS DOUBLE) / greatest(n_chars, 1) AS space_ratio, CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / greatest(n_chars, 1) AS digit_ratio, CAST(n_chars - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio, CAST(en_hits AS DOUBLE) / greatest(n_tokens, 1) AS en_stopword_ratio FROM f ORDER BY doc_id""",
-    "q_lang_id" -> {
-      def hits(words: Seq[String]) = {
-        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"CAST(len(list_filter($tokensSql, x -> list_contains($lst, x))) AS DOUBLE) / greatest(len($tokensSql), 1)"
-      }
-      s"""WITH f AS (SELECT doc_id, ${hits(TF.stopwords("en"))} AS s_en, ${hits(TF.stopwords("es"))} AS s_es, ${hits(TF.stopwords("de"))} AS s_de, ${hits(TF.stopwords("fr"))} AS s_fr FROM documents) SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'und' WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en' WHEN s_es >= s_de AND s_es >= s_fr THEN 'es' WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_pred FROM f ORDER BY doc_id"""
-    },
+    "q_lang_id" ->
+      s"""WITH f AS ($langScoresSql) SELECT doc_id, $langPredSql AS lang_pred FROM f ORDER BY doc_id""",
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_hash, length(text) AS n_chars FROM documents ORDER BY doc_id""",
     "q_top_terms" ->
@@ -805,6 +838,9 @@ object ExtensionQueries {
 
     "q_quality_floor" ->
       s"""WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket, CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents), s AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, n_tokens FROM b), f AS (SELECT split, quantile_cont(n_tokens, 0.5) AS floor_tokens FROM s GROUP BY split) SELECT doc_id, split, n_tokens FROM s JOIN f USING (split) WHERE CAST(n_tokens AS DOUBLE) >= floor_tokens ORDER BY doc_id""",
+
+    "q_quality_floor_lang" ->
+      s"""WITH f AS ($langScoresSql), l AS (SELECT doc_id, $langPredSql AS lang_pred, n_tokens FROM f), fl AS (SELECT lang_pred, quantile_cont(n_tokens, 0.5) AS floor_tokens FROM l GROUP BY lang_pred) SELECT doc_id, lang_pred, n_tokens FROM l JOIN fl USING (lang_pred) WHERE CAST(n_tokens AS DOUBLE) >= floor_tokens ORDER BY doc_id""",
 
     "q_weighted_sample" ->
       """WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))::BIGINT AS DOUBLE) / 65536.0 AS u FROM documents), s AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, u FROM b) SELECT doc_id, split FROM s WHERE u < (CASE split WHEN 'train' THEN 1.0 WHEN 'val' THEN 0.5 ELSE 0.25 END) ORDER BY doc_id""",
