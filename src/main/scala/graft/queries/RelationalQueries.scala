@@ -257,6 +257,16 @@ object RelationalQueries {
             .as("zval"))
         .orderBy("zval", "l_orderkey", "l_linenumber")),
 
+    // 3-column Morton key (stride-3 interleave, 8 bits/dim) — the N-way
+    // generalization; same bit-for-bit SQL replay contract as q_zorder
+    "q_zorder3" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.zValueN(
+            Seq(col("l_partkey"), col("l_suppkey"), col("l_orderkey")),
+            bitsPerDim = 8).as("zval"))
+        .orderBy("zval", "l_orderkey", "l_linenumber")),
+
     // salted two-tier aggregation; decimal input keeps the sum exact and
     // order-independent so the oracle matches bit-for-bit
     "q_salted_agg" -> ((s, dir) =>
@@ -420,6 +430,9 @@ object RelationalQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey) ORDER BY o_orderkey""",
     "q_semi_join" ->
       """SELECT p_partkey, p_name FROM part WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey) ORDER BY p_partkey""",
+    "q_zorder3" ->
+      s"""SELECT l_orderkey, l_linenumber, ${graft.operators.Layout.zValueNSql(
+        Seq("l_partkey", "l_suppkey", "l_orderkey"), 8)} AS zval FROM lineitem ORDER BY zval, l_orderkey, l_linenumber""",
     "q_salted_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_rows FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_salted_agg" ->

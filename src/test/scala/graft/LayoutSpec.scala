@@ -53,6 +53,77 @@ class LayoutSpec extends SparkSpec {
     assert(!clustered.columns.contains("__z"))
   }
 
+  test("zValueN: N=2 at 16 bits is bit-identical to the magic-number zValue") {
+    val probes = Seq((0, 0), (65535, 65535), (65535, 0), (0, 65535),
+      (1, 2), (43690, 21845), (12345, 54321), (256, 255))
+    probes.toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y")).as("magic"),
+        Layout.zValueN(Seq(col("x"), col("y")), 16).as("generic"))
+      .collect().foreach(r =>
+        assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("zValueN: 3-column golden + sql replay agrees with the Column form") {
+    // x=0b11 → bits 0,3 = 9; y=0b01 → bit 1 = 2; w=0b10 → bit 1*3+2=5 = 32
+    assert(Seq((3, 1, 2)).toDF("x", "y", "w")
+      .select(Layout.zValueN(Seq(col("x"), col("y"), col("w")), 2))
+      .as[Long].head() == 43L)
+    // sql replay: the exact string the oracle runs, evaluated by Spark SQL
+    val df = Seq((12, 200, 255), (0, 0, 0), (255, 255, 255), (7, 130, 64))
+      .toDF("x", "y", "w")
+    df.createOrReplaceTempView("zn_probe")
+    val viaSql = spark.sql(
+      s"SELECT ${Layout.zValueNSql(Seq("x", "y", "w"), 8)} AS z FROM zn_probe")
+      .as[Long].collect().toSeq
+    val viaCol = df.select(
+      Layout.zValueN(Seq(col("x"), col("y"), col("w")), 8)).as[Long].collect().toSeq
+    assert(viaSql == viaCol)
+  }
+
+  test("clusterByZQuantized: 3-D partitions cover compact bounding VOLUMES") {
+    // full 32x32x32 grid, one row per cell; uniform grid makes equi-depth
+    // quantization ~identity, so the invariant tests the curve itself
+    val grid = spark.range(0, 32768).select(
+      (col("id") % 32).cast("int").as("x"),
+      ((col("id") / 32) % 32).cast("int").as("y"),
+      (col("id") / 1024).cast("int").as("w"))
+    val clustered = Layout.clusterByZQuantized(grid, Seq("x", "y", "w"),
+      nPartitions = 16, bitsPerDim = 5)
+    val extents = clustered
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max("x") - min("x")).as("ex"), (max("y") - min("y")).as("ey"),
+        (max("w") - min("w")).as("ew"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(extents.map(_._4).sum == 32768L)
+    // a z-interval's bounding VOLUME stays within a small constant factor
+    // of its cell count (the 3-D analogue of the 2-D area invariant; the
+    // constant is larger because an interval can cross octant boundaries
+    // in more ways). Random placement would give every partition the full
+    // 32768-cell volume = 16x its cell count.
+    extents.foreach { case (ex, ey, ew, n) =>
+      val vol = (ex + 1L) * (ey + 1L) * (ew + 1L)
+      assert(vol <= 12L * n, s"bbox ${ex + 1}x${ey + 1}x${ew + 1} = $vol for $n cells")
+    }
+  }
+
+  test("clusterByZQuantized: skewed domains still fill the curve evenly") {
+    // id^2 is heavily right-skewed; modulo-style quantization would dump
+    // most rows into the low corner of the curve. Equi-depth buckets must
+    // keep range partitions balanced anyway.
+    val skewed = spark.range(0, 20000).select(
+      (col("id") * col("id")).as("a"),
+      (lit(400000000L) - col("id") * col("id")).as("b"))
+    val counts = Layout.clusterByZQuantized(skewed, Seq("a", "b"),
+      nPartitions = 8, bitsPerDim = 6)
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid").count().as[(Int, Long)].collect().map(_._2)
+    assert(counts.sum == 20000L)
+    assert(counts.max <= 4 * (20000 / 8),
+      s"skewed partition sizes: ${counts.mkString(",")}")
+  }
+
   test("clusterByZ write: parquet min-max footers prune on either dimension") {
     val grid = spark.range(0, 65536).select(
       (col("id") % 256).cast("int").as("x"),
