@@ -69,6 +69,84 @@ object Sinks {
       .outputMode("append")
       .start()
 
+  /** Append one microbatch to a parquet dir at-most-once per `batchId`:
+    * the last committed id is recorded in a dot-marker inside `dir`
+    * (hidden from every parquet reader), and a replayed id — Structured
+    * Streaming re-runs the failed batch with the SAME id on recovery — is
+    * skipped instead of double-appended. Returns whether the batch was
+    * written. The marker is written AFTER the append, so the residual
+    * window is a crash between append-completion and marker-write: that
+    * replay duplicates (closing it needs an atomic data+marker commit — a
+    * table format's job, out of scope). Single-writer contract, same as
+    * compaction's. */
+  def appendBatchIdempotent(batch: DataFrame, dir: String, batchId: Long,
+      partitionBy: Seq[String] = Nil): Boolean = {
+    val marker = Paths.get(dir, ".graft_last_batch")
+    val last =
+      if (Files.exists(marker))
+        new String(Files.readAllBytes(marker), "UTF-8").trim.toLong
+      else -1L
+    if (batchId <= last) false
+    else {
+      val w = batch.write.mode("append")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(dir)
+      Files.write(marker, batchId.toString.getBytes("UTF-8"))
+      true
+    }
+  }
+
+  /** Parquet files under `root`, excluding dot-prefixed (in-flight
+    * compaction tmp/retired) subtrees. */
+  private def countParquetFiles(root: Path): Int =
+    if (!Files.exists(root)) 0
+    else Files.walk(root).iterator().asScala.count { p =>
+      p.getFileName.toString.endsWith(".parquet") &&
+        !root.relativize(p).iterator().asScala
+          .exists(_.toString.startsWith("."))
+    }
+
+  /** The streaming maintenance loop: a foreachBatch parquet sink that
+    * keeps its own directory healthy — append the microbatch (idempotent
+    * per batchId), and when the accumulated file count crosses
+    * `maxFiles`, run the layout-preserving in-place compaction and
+    * re-record the batch marker (the swap retires the old leaf dir,
+    * marker included). Each batch ends with a catalog refresh
+    * (`refreshByPath` + optionally a registered table name), so session
+    * readers of `dir` see the new files and never hold post-compaction
+    * stale file lists. This is the piece between "a streaming sink that
+    * accumulates small files forever" and "a table format": the file
+    * count a 100 TB scan's task count follows stays bounded by
+    * `maxFiles` + one batch's burst, at the documented cost of the
+    * compaction swap's single-owner contract — this query IS that owner.
+    * The batch-commit marker makes recovery replays skip, not duplicate
+    * (see appendBatchIdempotent for the residual window). Returns the
+    * started query; callers own its lifecycle. */
+  def writeParquetStreamMaintained(df: DataFrame, dir: String,
+      checkpointDir: String, maxFiles: Int = 64,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionBy: Seq[String] = Nil,
+      refreshTable: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(maxFiles > 0, s"maxFiles must be positive: $maxFiles")
+    val commit = (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      if (appendBatchIdempotent(batch, dir, batchId, partitionBy) &&
+          countParquetFiles(Paths.get(dir)) > maxFiles) {
+        compactParquet(spark, dir, targetFileBytes)
+        Files.write(Paths.get(dir, ".graft_last_batch"),
+          batchId.toString.getBytes("UTF-8"))
+      }
+      spark.catalog.refreshByPath(dir)
+      refreshTable.foreach(spark.catalog.refreshTable)
+      ()
+    }
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(commit)
+      .start()
+  }
+
   /** K2 at scale: partition-parallel write, then a driver-side concat of
     * the part files (in part order) keeping one header — the reference's
     * consolidation design (eggv/dfio.py:22-60), which preserves full write

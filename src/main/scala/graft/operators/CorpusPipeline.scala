@@ -86,7 +86,12 @@ object CorpusPipeline {
     * assignment, and packing all need the whole corpus (a pack manifest's
     * prefix sum over a partial stream would renumber on every batch), so
     * the streaming face curates what a stream CAN — per-doc transforms and
-    * horizon-bounded dedup — and the batch `curate` sweeps the rest. */
+    * horizon-bounded dedup — and the batch `curate` sweeps the rest.
+    *
+    * Pair with `Sinks.writeParquetStreamMaintained` for the full
+    * maintenance loop: append each curated microbatch, keep the sink
+    * directory's file count bounded by threshold-triggered in-place
+    * compaction, and refresh the catalog entry every batch. */
   def curateStream(raw: DataFrame, tsCol: String, watermark: String = "1 hour",
       minTokens: Long = 1, maxDupNgramRatio: Double = 0.9): DataFrame =
     graft.streaming.StreamingOps.nearDupDedupWithinWatermark(

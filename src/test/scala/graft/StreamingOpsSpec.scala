@@ -326,4 +326,49 @@ class StreamingOpsSpec extends SparkSpec {
       assert(rows.contains((1L, 60L, 70L, 2L)))
     } finally query.stop()
   }
+
+  test("writeParquetStreamMaintained: file count stays bounded, rows exact") {
+    import graft.io.Sinks
+    implicit val sqlCtx = spark.sqlContext
+    def nFiles(dir: String): Int = {
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(root)) 0
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.count { p =>
+          p.getFileName.toString.endsWith(".parquet") &&
+            !root.relativize(p).iterator().asScala
+              .exists(_.toString.startsWith("."))
+        }
+      }
+    }
+    val mem = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-maint-ck").toString
+    // 4 part files per microbatch: 12 batches would pile up 48 files
+    // unmaintained; the loop must keep the dir at or under maxFiles
+    val query = Sinks.writeParquetStreamMaintained(
+      mem.toDF().toDF("doc_id", "text").repartition(4),
+      dir, ckpt, maxFiles = 10)
+    try {
+      for (b <- 0 until 12) {
+        mem.addData((0 until 50).map(i =>
+          ((b * 1000 + i).toLong, s"doc $b $i")): _*)
+        query.processAllAvailable()
+        // post-commit invariant: append then compact-if-over-threshold
+        assert(nFiles(dir) <= 10, s"batch $b left ${nFiles(dir)} files")
+      }
+    } finally query.stop()
+    // exactness: every streamed row present exactly once — compaction
+    // swaps and idempotent appends never dropped or doubled anything
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 600L)
+    assert(out.select("doc_id").distinct().count() == 600L)
+    // recovery replay: a batchId at or below the committed marker is
+    // skipped, not double-appended
+    import spark.implicits._
+    assert(!Sinks.appendBatchIdempotent(
+      Seq((99999L, "replay")).toDF("doc_id", "text"), dir, batchId = 0))
+    assert(spark.read.parquet(dir).count() == 600L)
+  }
 }
