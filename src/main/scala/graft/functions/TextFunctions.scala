@@ -80,6 +80,55 @@ object TextFunctions {
       langScore(text, "en").as("en_stopword_ratio"))
   }
 
+  /** Gopher-rules document quality battery (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * Appendix A1.1 — the heuristic filter set RedPajama/Dolma reuse),
+    * as one exact struct of the per-doc signals plus the composed
+    * `keep` verdict:
+    *  - token count in [minTokens, maxTokens] (Gopher: 50..100k words)
+    *  - mean token length in [3, 10] chars
+    *  - symbol tokens (no alphanumeric char at all) ≤ 10% of tokens
+    *  - tokens containing an alphabetic char ≥ 80% (Gopher's
+    *    word-level alpha requirement)
+    *  - ≥ 2 occurrences of the 8 Gopher stop words (the "is this prose"
+    *    probe: the, be, to, of, and, that, have, with)
+    * Integer counts with final double divisions only, replayable
+    * verbatim in oracle SQL. All thresholds are the published defaults;
+    * callers tune per corpus. */
+  def gopherQuality(text: Column,
+      minTokens: Long = 50L, maxTokens: Long = 100000L): Column =
+    gopherQualityFromTokens(tokens(text), minTokens, maxTokens)
+
+  /** `gopherQuality` over a pre-staged token array. Hot paths should
+    * materialize the array once (`withColumn("toks", TF.tokens(...))`)
+    * and call this form: the battery reads the array five times, and
+    * lambda-bearing expressions sit outside Catalyst subexpression
+    * elimination, so the text-form would re-tokenize per signal. */
+  def gopherQualityFromTokens(toks: Column,
+      minTokens: Long = 50L, maxTokens: Long = 100000L): Column = {
+    val nTokens = size(toks).cast(LongType)
+    val nTokD = greatest(nTokens, lit(1L)).cast(DoubleType)
+    val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast(DoubleType) / nTokD
+    val symbolRatio = size(filter(toks, t => !t.rlike("[A-Za-z0-9]")))
+      .cast(DoubleType) / nTokD
+    val alphaRatio = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast(DoubleType) / nTokD
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(filter(toks, t => t.isInCollection(gopherStops)))
+      .cast(LongType)
+    struct(
+      nTokens.as("n_tokens"),
+      meanLen.as("mean_token_len"),
+      symbolRatio.as("symbol_ratio"),
+      alphaRatio.as("alpha_ratio"),
+      stopHits.as("stop_hits"),
+      (nTokens >= minTokens && nTokens <= maxTokens &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symbolRatio <= 0.1 && alphaRatio >= 0.8 &&
+        stopHits >= 2L).as("keep"))
+  }
+
   /** Exact-content fingerprint (md5 hex — portable across engines). */
   def fingerprint(text: Column): Column = md5(text)
 

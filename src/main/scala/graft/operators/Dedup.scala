@@ -434,4 +434,76 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Duplicated-SPAN detection — the exact-substring signal of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better":
+    * repeated ≥50-token substrings across a corpus are memorization fuel
+    * that document-level dedup can't see), re-expressed as Spark-native
+    * window fingerprinting instead of their single-node suffix array: a
+    * sliding `windowTokens`-token fingerprint per position, one count
+    * shuffle on the fingerprint to find windows occurring more than once
+    * corpus-wide, and a per-doc islands merge (pos − row_number) that
+    * collapses overlapping duplicated windows into maximal spans.
+    *
+    * Output: (doc_id, span_start, span_end, n_windows) — 1-based token
+    * positions, inclusive; every span is a maximal run of duplicated
+    * windows in that document. Downstream can cut the spans (keeping one
+    * global occurrence) or use coverage as a filter signal (RefinedWeb
+    * drops docs by duplicate-fraction; see `dupSpanStats`).
+    *
+    * Scale shape: the window explode is ~n_tokens rows/doc (linear); the
+    * count agg is map-side partial on the fingerprint; the join back is a
+    * plain equi-join AQE can skew-split (a boilerplate span's fan-out is
+    * its occurrence count, bounded by corpus size, and never pairwise).
+    * The islands window sorts per doc — keyed on the doc id, partition
+    * count grows with the corpus. The fingerprint is md5 of the
+    * space-joined span (engine-portable, oracle replays it verbatim);
+    * at 100 TB swap in the rolling-hash kernel (`TextFunctions`
+    * fingerprints) — same plan, cheaper bytes. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 20): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
+    val n = windowTokens
+    val keyed = df
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("nt", size(col("toks")))
+      .filter(col("nt") >= n)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), col("nt") - (n - 1)),
+          p => struct(p.as("pos"),
+            md5(concat_ws(" ", slice(col("toks"), p, lit(n)))).as("key")))).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.key").as("key"))
+    val dupKeys = keyed.groupBy("key")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    val islands = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    keyed.join(dupKeys, Seq("key"))
+      .withColumn("grp", col("pos") - row_number().over(islands))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
+  /** Per-document duplicated-token coverage from `duplicateSpans`: the
+    * fraction of a doc's tokens inside ANY duplicated span (spans from the
+    * islands merge never overlap, so coverage is a plain sum). Docs with
+    * no duplicated span report 0.0 — the left join keeps them filterable
+    * in one pass. */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 20): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, windowTokens)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    df.select(col(idCol).as("doc_id"),
+        TextFunctions.tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) /
+          greatest(col("n_tokens"), lit(1L)).cast(DoubleType)).as("dup_fraction"))
+  }
 }

@@ -286,6 +286,37 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-rules quality battery (Rae et al. 2021 App. A1.1): exact
+    // per-doc signals + composed keep verdict; token array staged once
+    // (lambda-bearing exprs sit outside subexpression elimination)
+    "q_gopher_quality" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .withColumn("toks", TF.tokens(col("text")))
+        .withColumn("g", TF.gopherQualityFromTokens(col("toks")))
+      g.select(col("doc_id"), col("g.n_tokens").as("n_tokens"),
+          col("g.mean_token_len").as("mean_token_len"),
+          col("g.symbol_ratio").as("symbol_ratio"),
+          col("g.alpha_ratio").as("alpha_ratio"),
+          col("g.stop_hits").as("stop_hits"),
+          col("g.keep").as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // duplicated-span detection (Lee et al. 2022 exact-substring signal):
+    // every twin's 20-token window also occurs in its source doc, so the
+    // constructed corpus has deterministic maximal spans
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(docsWithNearDups(s, dir), "doc_id", "text",
+          windowTokens = 20)
+        .orderBy("doc_id", "span_start")),
+
+    // per-doc duplicated-token coverage — the RefinedWeb-style filter
+    // signal derived from the spans
+    "q_dup_span_stats" -> ((s, dir) =>
+      Dedup.dupSpanStats(docsWithNearDups(s, dir), "doc_id", "text",
+          windowTokens = 20)
+        .orderBy("doc_id")),
+
     // deterministic source mixing: keep train at 1.0, val at 0.5, test at
     // 0.25 — per-row weighted retention from an independent 16-bit md5
     // uniform, no rand(), survivors stable under reruns and growth
@@ -838,6 +869,15 @@ object ExtensionQueries {
 
     "q_quality_floor" ->
       s"""WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket, CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents), s AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, n_tokens FROM b), f AS (SELECT split, quantile_cont(n_tokens, 0.5) AS floor_tokens FROM s GROUP BY split) SELECT doc_id, split, n_tokens FROM s JOIN f USING (split) WHERE CAST(n_tokens AS DOUBLE) >= floor_tokens ORDER BY doc_id""",
+
+    "q_gopher_quality" ->
+      s"""WITH f AS (SELECT doc_id, $tokensSql AS toks FROM documents), g AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE) / greatest(len(toks), 1) AS mean_token_len, CAST(len(list_filter(toks, x -> NOT regexp_matches(x, '[A-Za-z0-9]'))) AS DOUBLE) / greatest(len(toks), 1) AS symbol_ratio, CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / greatest(len(toks), 1) AS alpha_ratio, CAST(len(list_filter(toks, x -> list_contains(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'], x))) AS BIGINT) AS stop_hits FROM f) SELECT doc_id, n_tokens, mean_token_len, symbol_ratio, alpha_ratio, stop_hits, (n_tokens >= 50 AND n_tokens <= 100000 AND mean_token_len >= 3.0 AND mean_token_len <= 10.0 AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND stop_hits >= 2) AS keep FROM g ORDER BY doc_id""",
+
+    "q_dup_spans" ->
+      s"""WITH corpus AS (SELECT doc_id, $tokensSql AS toks FROM documents UNION ALL SELECT doc_id + 1000000, ($tokensSql)[2:] FROM documents), w AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 19)) AS pos, toks FROM corpus), k AS (SELECT doc_id, pos, md5(array_to_string(toks[pos:pos+19], ' ')) AS key FROM w), c AS (SELECT key FROM k GROUP BY key HAVING count(*) > 1), d AS (SELECT k.doc_id, k.pos, k.pos - ROW_NUMBER() OVER (PARTITION BY k.doc_id ORDER BY k.pos) AS grp FROM k JOIN c USING (key)) SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 19 AS span_end, COUNT(*) AS n_windows FROM d GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
+
+    "q_dup_span_stats" ->
+      s"""WITH corpus AS (SELECT doc_id, $tokensSql AS toks FROM documents UNION ALL SELECT doc_id + 1000000, ($tokensSql)[2:] FROM documents), w AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 19)) AS pos, toks FROM corpus), k AS (SELECT doc_id, pos, md5(array_to_string(toks[pos:pos+19], ' ')) AS key FROM w), c AS (SELECT key FROM k GROUP BY key HAVING count(*) > 1), d AS (SELECT k.doc_id, k.pos, k.pos - ROW_NUMBER() OVER (PARTITION BY k.doc_id ORDER BY k.pos) AS grp FROM k JOIN c USING (key)), sp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 19 AS e FROM d GROUP BY doc_id, grp), cov AS (SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens FROM sp GROUP BY doc_id) SELECT corpus.doc_id, CAST(len(corpus.toks) AS BIGINT) AS n_tokens, coalesce(cov.dup_tokens, 0) AS dup_tokens, CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE) / greatest(len(corpus.toks), 1) AS dup_fraction FROM corpus LEFT JOIN cov ON corpus.doc_id = cov.doc_id ORDER BY corpus.doc_id""",
 
     "q_quality_floor_lang" ->
       s"""WITH f AS ($langScoresSql), l AS (SELECT doc_id, $langPredSql AS lang_pred, n_tokens FROM f), fl AS (SELECT lang_pred, quantile_cont(n_tokens, 0.5) AS floor_tokens FROM l GROUP BY lang_pred) SELECT doc_id, lang_pred, n_tokens FROM l JOIN fl USING (lang_pred) WHERE CAST(n_tokens AS DOUBLE) >= floor_tokens ORDER BY doc_id""",

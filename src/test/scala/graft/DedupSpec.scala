@@ -251,4 +251,43 @@ class DedupSpec extends SparkSpec {
     assert(cc.size == 8)
     assert(cc.values.toSet != Set(1L), "2 rounds cannot close a diameter-7 chain")
   }
+
+  test("duplicateSpans: cross-doc shared run merges into one maximal span") {
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "x1 w2 w3 w4 w5 x2"), // shares the w2..w5 run with doc 1
+      (3L, "s1 s2")              // shorter than the window: no rows
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(corpus, "doc_id", "text", windowTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    // dup windows: (w2 w3 w4) and (w3 w4 w5) at pos 2,3 of both docs →
+    // one island each, span tokens 2..5
+    assert(spans == Set((1L, 2, 5, 2L), (2L, 2, 5, 2L)))
+  }
+
+  test("duplicateSpans: within-doc repetition covers the whole doc") {
+    val corpus = Seq((7L, "r1 r2 r3 r1 r2 r3 r1 r2 r3")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(corpus, "doc_id", "text", windowTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // every 3-window repeats later in the doc → a single island over all
+    // 7 window positions, spanning tokens 1..9
+    assert(spans.toSeq == Seq((7L, 1, 9, 7L)))
+  }
+
+  test("dupSpanStats: coverage fractions, zero for clean and short docs") {
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "x1 w2 w3 w4 w5 x2"),
+      (3L, "s1 s2"),
+      (4L, "a1 a2 a3 a4 a5 a6 a7 a8")
+    ).toDF("doc_id", "text")
+    val stats = Dedup.dupSpanStats(corpus, "doc_id", "text", windowTokens = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(stats(1L) == ((6L, 4L, 4.0 / 6)))
+    assert(stats(2L) == ((6L, 4L, 4.0 / 6)))
+    assert(stats(3L) == ((2L, 0L, 0.0)))
+    assert(stats(4L) == ((8L, 0L, 0.0)))
+  }
 }

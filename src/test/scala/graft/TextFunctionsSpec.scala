@@ -53,6 +53,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(counts == Seq(2, 4, 3))
   }
 
+  test("gopherQuality: exact signals and the composed keep verdict") {
+    val prose = "the be to of and that have with " +
+      "alpha beta gamma delta " * 11 // 8 + 44 = 52 tokens, all alpha
+    val rows = Seq(
+      (1L, prose),
+      (2L, "the quick brown fox"),          // < 50 tokens
+      (3L, "the with " + "$$ " * 55)        // symbol-dominated
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TF.gopherQuality($"text").as("g"))
+      .select($"doc_id", $"g.n_tokens", $"g.mean_token_len",
+        $"g.symbol_ratio", $"g.alpha_ratio", $"g.stop_hits", $"g.keep")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = rows(1L)
+    assert(d1.getLong(1) == 52L)
+    assert(d1.getDouble(2) == (24 + 19 * 11).toDouble / 52) // exact mean len
+    assert(d1.getDouble(3) == 0.0 && d1.getDouble(4) == 1.0)
+    assert(d1.getLong(5) == 8L && d1.getBoolean(6))
+    assert(!rows(2L).getBoolean(6)) // too short
+    val d3 = rows(3L)
+    assert(d3.getDouble(3) > 0.1 && !d3.getBoolean(6)) // symbol ratio cut
+    // threshold override: the 8-stopword probe alone passes at minTokens=1
+    val tiny = Seq("the be to of and that have with").toDF("text")
+      .select(TF.gopherQuality($"text", minTokens = 1L).as("g"))
+      .select($"g.mean_token_len", $"g.keep").head()
+    assert(tiny.getDouble(0) == 3.0 && tiny.getBoolean(1))
+  }
+
   test("fingerprint is md5 hex; fingerprint64 deterministic") {
     val df = Seq("abc").toDF("text")
     assert(df.select(TF.fingerprint($"text")).as[String].head() ==
