@@ -71,7 +71,7 @@ object CorpusPipeline {
       .withColumn("dup_ngram_ratio", lit(1.0) -
         size(array_distinct(col("grams"))).cast(DoubleType) /
           size(col("grams")).cast(DoubleType))
-      .withColumn("lang_pred", TF.langId(col("text")))
+      .withColumn("lang_pred", TF.langIdFromTokens(col("toks")))
       .drop("toks", "grams")
     scored.filter(
       col("n_tokens") >= minTokens && col("dup_ngram_ratio") <= maxDupNgramRatio)

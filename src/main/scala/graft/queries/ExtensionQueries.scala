@@ -276,8 +276,9 @@ object ExtensionQueries {
     // oracle replays the identical stopword-ratio argmax via langScoresSql.
     "q_quality_floor_lang" -> ((s, dir) => {
       val scored = t(s, dir, "documents")
-        .select(col("doc_id"), TF.langId(col("text")).as("lang_pred"),
-          TF.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("toks", TF.tokens(col("text")))
+        .select(col("doc_id"), TF.langIdFromTokens(col("toks")).as("lang_pred"),
+          size(col("toks")).cast(LongType).as("n_tokens"))
       val floors = scored.groupBy("lang_pred")
         .agg(expr("percentile(n_tokens, 0.5)").as("floor_tokens"))
       scored.join(broadcast(floors), Seq("lang_pred"))
