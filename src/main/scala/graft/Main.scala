@@ -126,13 +126,17 @@ object Main {
     // redact -> score -> filter -> exact dedup -> split -> pack manifest.
     // Writes parquet: <outDir>/documents (curated + split) and
     // <outDir>/pack-manifest (train-split context-window map).
-    case "corpus" :: rest if rest.filterNot(_ == "--near-dup").length == 2 =>
+    case "corpus" :: rest if rest.filterNot(
+        f => f == "--near-dup" || f == "--gopher").length == 2 =>
       val nearDup = rest.contains("--near-dup")
-      val (in :: out :: Nil) = rest.filterNot(_ == "--near-dup"): @unchecked
+      val gopher = rest.contains("--gopher")
+      val (in :: out :: Nil) = rest.filterNot(
+        f => f == "--near-dup" || f == "--gopher"): @unchecked
       val spark = session("graft-corpus")
       val curated = graft.operators.CorpusPipeline.curate(
         Sources.readJsonl(spark, in),
-        nearDupMaxHamming = if (nearDup) Some(3) else None)
+        nearDupMaxHamming = if (nearDup) Some(3) else None,
+        gopherRules = gopher)
       curated.documents.write.mode("overwrite").parquet(s"$out/documents")
       curated.packManifest.write.mode("overwrite").parquet(s"$out/pack-manifest")
       println(s"curated: ${spark.read.parquet(s"$out/documents").count()} docs, " +
@@ -201,7 +205,7 @@ object Main {
            |  graft.Main annotate <effectsTsv> <genesTsv> <outDir>
            |  graft.Main complete [--force] <gvf|url> <gtf|url> <outDir>
            |  graft.Main complete [--force] <hg38|mm10> <outDir>
-           |  graft.Main corpus   [--near-dup] <in.jsonl|dir> <outDir>
+           |  graft.Main corpus   [--near-dup] [--gopher] <in.jsonl|dir> <outDir>
            |  graft.Main search   <documentsParquetDir> <k> <term> [term...]
            |  graft.Main compact  <parquetDir> [targetFileMB]
            |  graft.Main run      <config.properties> [<gvf|url> <gtf|url>]""".stripMargin)

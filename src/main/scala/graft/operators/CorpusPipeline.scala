@@ -29,6 +29,17 @@ object CorpusPipeline {
     * along). `minTokens` drops empty/trivial docs, `maxDupNgramRatio`
     * drops boilerplate (duplicate word-3-gram fraction above the cut).
     *
+    * `gopherRules = true` adds the Gopher-rules keep verdict
+    * (`TextFunctions.gopherQuality`) to the narrow scoring pass — the
+    * published prose heuristics, off by default because they assume
+    * prose-length documents (minimum 50 words).
+    *
+    * `maxDupSpanFraction = Some(f)` drops documents whose duplicated-span
+    * coverage (`Dedup.dupSpanStats`, the Lee et al. exact-substring
+    * signal) exceeds `f` — one extra count shuffle on the window
+    * fingerprints, before the exact dedup so boilerplate-heavy docs never
+    * reach the digest shuffle.
+    *
     * `nearDupMaxHamming = Some(h)` adds a near-duplicate pass after the
     * exact dedup: SimHash-blocked candidate pairs within `h` bits →
     * connected components → each cluster keeps its min-id doc. The same
@@ -37,8 +48,16 @@ object CorpusPipeline {
     * corpus, not with pairs². */
   def curate(raw: DataFrame, ctxTokens: Long = 2048,
       minTokens: Long = 1, maxDupNgramRatio: Double = 0.9,
-      nearDupMaxHamming: Option[Int] = None): CuratedCorpus = {
-    val kept = scoreAndFilter(raw, minTokens, maxDupNgramRatio)
+      nearDupMaxHamming: Option[Int] = None,
+      gopherRules: Boolean = false,
+      maxDupSpanFraction: Option[Double] = None): CuratedCorpus = {
+    val scored = scoreAndFilter(raw, minTokens, maxDupNgramRatio, gopherRules)
+    val kept = maxDupSpanFraction.fold(scored) { f =>
+      val heavy = Dedup.dupSpanStats(scored, "doc_id", "text")
+        .filter(col("dup_fraction") > f)
+        .select("doc_id")
+      scored.join(heavy, Seq("doc_id"), "left_anti")
+    }
     val deduped = Dedup.exactDedup(kept, "doc_id", "text")
     val nearDeduped = nearDupMaxHamming.fold(deduped) { h =>
       val pairs = Dedup.simhashNearDupPairs(deduped, "doc_id", "text", h)
@@ -57,9 +76,12 @@ object CorpusPipeline {
 
   /** The stateless front of the flow — redact, score, filter — one narrow
     * codegen'd pass, shared verbatim by batch `curate` and the streaming
-    * face below (same plan, same columns, same cuts). */
+    * face below (same plan, same columns, same cuts). With `gopherRules`
+    * the Gopher keep verdict joins the same pass and its rejects are
+    * filtered here. */
   def scoreAndFilter(raw: DataFrame,
-      minTokens: Long = 1, maxDupNgramRatio: Double = 0.9): DataFrame = {
+      minTokens: Long = 1, maxDupNgramRatio: Double = 0.9,
+      gopherRules: Boolean = false): DataFrame = {
     val redacted = raw.withColumn("text", TF.redactPii(col("text")))
     // token array staged once — every downstream score reads the
     // materialized column (lambda-bearing expressions defeat Catalyst
@@ -72,8 +94,14 @@ object CorpusPipeline {
         size(array_distinct(col("grams"))).cast(DoubleType) /
           size(col("grams")).cast(DoubleType))
       .withColumn("lang_pred", TF.langIdFromTokens(col("toks")))
-      .drop("toks", "grams")
-    scored.filter(
+    val gated =
+      if (gopherRules)
+        scored.withColumn("gopher_keep",
+            TF.gopherQualityFromTokens(col("toks")).getField("keep"))
+          .filter(col("gopher_keep"))
+          .drop("gopher_keep")
+      else scored
+    gated.drop("toks", "grams").filter(
       col("n_tokens") >= minTokens && col("dup_ngram_ratio") <= maxDupNgramRatio)
   }
 

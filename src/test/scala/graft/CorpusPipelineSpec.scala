@@ -63,6 +63,32 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(near == Set(10L, 13L))
   }
 
+  test("curate: gopherRules gate keeps prose, drops sub-minimum docs") {
+    val prose = "the be to of and that have with " +
+      "alpha beta gamma delta " * 11 // 52 tokens, passes every Gopher rule
+    val raw = Seq((1L, prose), (2L, "way too short the of and"))
+      .toDF("doc_id", "text")
+    val curated = CorpusPipeline.curate(raw, ctxTokens = 64,
+      minTokens = 1, gopherRules = true)
+    assert(curated.documents.select("doc_id").as[Long].collect().toSet == Set(1L))
+    // same corpus without the gate keeps both
+    assert(CorpusPipeline.curate(raw, ctxTokens = 64, minTokens = 1)
+      .documents.count() == 2)
+  }
+
+  test("curate: maxDupSpanFraction drops span-coverage-heavy docs") {
+    val common = (1 to 25).map(i => s"c$i").mkString(" ") // shared 25-token run
+    val raw = Seq(
+      (1L, (1 to 5).map(i => s"u$i").mkString(" ") + " " + common),  // 25/30 covered
+      (2L, (1 to 15).map(i => s"v$i").mkString(" ") + " " + common), // 25/40 covered
+      (3L, (1 to 30).map(i => s"w$i").mkString(" ")))                // clean
+      .toDF("doc_id", "text")
+    val curated = CorpusPipeline.curate(raw, ctxTokens = 64,
+      minTokens = 1, maxDupSpanFraction = Some(0.7))
+    assert(curated.documents.select("doc_id").as[Long].collect().toSet ==
+      Set(2L, 3L))
+  }
+
   test("curateStream: redact/score/filter + sketch dedup over a MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp
