@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 /** Deterministic, seed-free dataset splitting and sampling for training
   * pipelines. A document's split must be a pure function of its identity —
@@ -75,6 +76,91 @@ object Sampling {
     require(permille >= 0 && permille <= 1000,
       s"permille must be in [0, 1000]: $permille")
     df.filter(md5Bucket(col(idCol), 1000) < permille)
+  }
+
+  /** Stable per-group order key: md5 of the row id (ties broken by the id
+    * itself) — the same "deterministic shuffle" stratifiedSample ranks by. */
+  private def md5Order(idCol: String): Seq[Column] =
+    Seq(md5(col(idCol).cast(StringType)), col(idCol))
+
+  /** Cap each group at `maxPerGroup` rows — the per-domain document cap of
+    * web-corpus curation (a handful of giant domains otherwise dominate the
+    * mixture). Survivors are the first `maxPerGroup` rows of the group in
+    * md5(id) order, so the kept set is deterministic and nested: re-running,
+    * re-partitioning, or growing an already-capped group never swaps a
+    * survivor for a hash-later newcomer.
+    *
+    * Output adds `cap_rank`: the 1-based md5-order position for rows of
+    * groups that EXCEEDED the cap, null for rows of groups that never hit
+    * it (kept wholesale, unranked).
+    *
+    * Scale shape (the point of the two-branch plan): group sizes come from
+    * one map-side-combined count agg; only rows of OVER-cap groups pay the
+    * rank window's shuffle+sort. Under-cap rows — in a web corpus, almost
+    * all domains — flow scan → broadcast-hash anti-probe → out with NO
+    * exchange at all. The input is scanned twice (once per branch), which
+    * at 100 TB is two column-pruned parquet reads vs. shuffling the entire
+    * corpus through one WindowExec; persist `df` first if its lineage is
+    * expensive instead of a scan. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup > 0, s"maxPerGroup must be positive: $maxPerGroup")
+    val over = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxPerGroup)
+      .select(col(groupCol), lit(true).as("__over"))
+    val flagged = df.join(broadcast(over), Seq(groupCol), "left")
+    val under = flagged.filter(col("__over").isNull)
+      .drop("__over")
+      .withColumn("cap_rank", lit(null).cast(LongType))
+    val w = Window.partitionBy(col(groupCol)).orderBy(md5Order(idCol): _*)
+    val capped = flagged.filter(col("__over"))
+      .drop("__over")
+      .withColumn("cap_rank", row_number().over(w).cast(LongType))
+      .filter(col("cap_rank") <= maxPerGroup)
+    under.unionByName(capped)
+  }
+
+  /** Select documents until each group's TOKEN budget is spent — the
+    * mixture-building primitive ("this source contributes at most B tokens
+    * to the run"). Docs are taken in md5(id) order; a doc is kept while the
+    * budget is not yet exhausted BEFORE it, so the doc that crosses the
+    * budget is the last survivor and every group with any budget at all
+    * contributes at least one doc. Deterministic and nested under budget
+    * raises, like every sampler here.
+    *
+    * `budgets` maps group value → token budget; groups absent from the map
+    * get `defaultBudget`. The lookup is a broadcast-free literal map
+    * expression (budgets are config-sized).
+    *
+    * Output adds `n_tokens` (from `tokenCol`) and `cum_tokens` — the
+    * inclusive running sum in selection order for groups that EXCEEDED
+    * their budget, null for groups kept wholesale (same nullable-rank
+    * convention as capPerGroup, same two-branch scale shape: only
+    * over-budget groups ride the window). */
+  def tokenBudget(df: DataFrame, groupCol: String, idCol: String,
+      tokenCol: String, budgets: Map[String, Long],
+      defaultBudget: Long): DataFrame = {
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      "budgets must be non-negative")
+    val budget =
+      if (budgets.isEmpty) lit(defaultBudget)
+      else coalesce(element_at(typedLit(budgets), col(groupCol).cast(StringType)),
+        lit(defaultBudget))
+    val toks = col(tokenCol).cast(LongType)
+    val over = df.groupBy(col(groupCol)).agg(sum(toks).as("__tot"))
+      .filter(col("__tot") > budget)
+      .select(col(groupCol), lit(true).as("__over"))
+    val flagged = df.join(broadcast(over), Seq(groupCol), "left")
+    val under = flagged.filter(col("__over").isNull)
+      .drop("__over")
+      .withColumn("cum_tokens", lit(null).cast(LongType))
+    val w = Window.partitionBy(col(groupCol)).orderBy(md5Order(idCol): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val trimmed = flagged.filter(col("__over"))
+      .drop("__over")
+      .withColumn("cum_tokens", sum(toks).over(w))
+      .filter(col("cum_tokens") - toks < budget)
+    under.unionByName(trimmed)
   }
 
   /** Deterministic weighted (importance) sampling: keep each row with

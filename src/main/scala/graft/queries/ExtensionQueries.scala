@@ -341,6 +341,27 @@ object ExtensionQueries {
           "split", "doc_id", perStratum = 20)
         .orderBy("split", "sample_rank")),
 
+    // per-source document cap (the per-domain cap of web curation): lang
+    // is the skewed group here (en is ~43% of docs), so cap 100 leaves en
+    // trimmed and every other group kept wholesale at the sf0.01 gate —
+    // BOTH branches of capPerGroup's two-branch plan are oracle-checked
+    "q_source_cap" -> ((s, dir) =>
+      Sampling.capPerGroup(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id", maxPerGroup = 100)
+        .orderBy("lang", "doc_id")),
+
+    // per-source TOKEN budget (mixture building): en's ~12k tokens are cut
+    // to 3000, every other lang sits under the 5000 default — again both
+    // the trimmed-window branch and the no-exchange branch carry rows
+    "q_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudget(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            TF.tokenCount(col("text")).cast(LongType).as("n_tokens")),
+          "lang", "doc_id", "n_tokens",
+          budgets = Map("en" -> 3000L), defaultBudget = 5000L)
+        .orderBy("lang", "doc_id")),
+
     // corpus-level term statistics: top-50 terms by frequency with doc
     // frequency — explode + map-side partial count + TakeOrderedAndProject
     // (no global sort); the tf/df primitive under stopword mining and
@@ -888,6 +909,12 @@ object ExtensionQueries {
 
     "q_stratified_sample" ->
       """WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket FROM documents), s AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b), r AS (SELECT doc_id, split, ROW_NUMBER() OVER (PARTITION BY split ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank FROM s) SELECT doc_id, split, sample_rank FROM r WHERE sample_rank <= 20 ORDER BY split, sample_rank""",
+
+    "q_source_cap" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) SELECT r.doc_id, r.lang, CASE WHEN n.n > 100 THEN rn END AS cap_rank FROM r JOIN n USING (lang) WHERE n.n <= 100 OR rn <= 100 ORDER BY lang, doc_id""",
+
+    "q_token_budget" ->
+      s"""WITH base AS (SELECT doc_id, lang, CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents), tot AS (SELECT lang, sum(n_tokens) AS tot FROM base GROUP BY lang), c AS (SELECT doc_id, lang, n_tokens, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM base), j AS (SELECT c.*, CASE WHEN c.lang = 'en' THEN 3000 ELSE 5000 END AS budget, tot.tot AS tot FROM c JOIN tot USING (lang)) SELECT doc_id, lang, n_tokens, CASE WHEN tot > budget THEN cum END AS cum_tokens FROM j WHERE tot <= budget OR cum - n_tokens < budget ORDER BY lang, doc_id""",
 
     "q_embed_quantize" ->
       """SELECT vec_id, i - 1 AS lane, greatest(-127, least(127, CAST(round(CAST(embedding[i] AS DOUBLE) * 128) AS BIGINT))) AS q8, abs(CAST(greatest(-127, least(127, CAST(round(CAST(embedding[i] AS DOUBLE) * 128) AS BIGINT))) AS DOUBLE) / 128) <= 1.0 AS recon_ok FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i) ORDER BY vec_id, lane""",

@@ -147,4 +147,53 @@ class PackingSamplingSpec extends SparkSpec {
     val newSmall = panel2.filter(_._1 == "small").map(_._2).toSet
     assert(newSmall.forall(id => oldSmall.contains(id) || id >= 2000))
   }
+
+  test("capPerGroup: over-cap trimmed to exactly the cap, under-cap kept whole and unranked") {
+    // 'heavy' domain with 500 docs, 'light' with 30, cap 100
+    val docs = spark.range(0, 530).select(col("id").as("doc_id"),
+      when(col("id") < 500, "heavy").otherwise("light").as("source"))
+    val out = Sampling.capPerGroup(docs, "source", "doc_id", 100)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        Option(r.getAs[java.lang.Long]("cap_rank"))))
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc("heavy").length == 100)
+    assert(bySrc("heavy").flatMap(_._3).map(_.toLong).sorted.toSeq == (1L to 100L))
+    assert(bySrc("light").length == 30)            // kept wholesale...
+    assert(bySrc("light").forall(_._3.isEmpty))    // ...with null rank
+    // deterministic on re-run
+    val again = Sampling.capPerGroup(docs, "source", "doc_id", 100)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+    assert(again.toSet == out.map(t => (t._1, t._2)).toSet)
+    // nested under growth: survivors of the grown corpus come from the old
+    // keep-set or the newcomers — a survivor never reappears once displaced
+    val grown = docs.union(spark.range(1000, 1200).select(
+      col("id").as("doc_id"), lit("heavy").as("source")))
+    val kept2 = Sampling.capPerGroup(grown, "source", "doc_id", 100)
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    val kept1 = out.filter(_._1 == "heavy").map(_._2).toSet
+    assert(kept2.filter(_ < 500).subsetOf(kept1))
+  }
+
+  test("tokenBudget: crossing doc kept, budget spent exactly once, under-budget groups whole") {
+    // heavy: 100 docs × 10 tokens = 1000 tokens vs budget 95 → the doc
+    // that crosses 95 is the last survivor; light: 300 tokens vs 5000
+    val docs = spark.range(0, 130).select(col("id").as("doc_id"),
+      when(col("id") < 100, "heavy").otherwise("light").as("source"),
+      lit(10L).as("n_tokens"))
+    val out = Sampling.tokenBudget(docs, "source", "doc_id", "n_tokens",
+        Map("heavy" -> 95L), defaultBudget = 5000L)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        Option(r.getAs[java.lang.Long]("cum_tokens")).map(_.toLong)))
+    val bySrc = out.groupBy(_._1)
+    // 9 docs fill 90 < 95; the 10th crosses (cum 100) and is kept; the 11th is not
+    assert(bySrc("heavy").length == 10)
+    assert(bySrc("heavy").flatMap(_._3).max == 100L)
+    assert(bySrc("light").length == 30 && bySrc("light").forall(_._3.isEmpty))
+    // zero budget still contributes the first doc (cum - n < 0 is false;
+    // guard: budget 5 < first doc's 10 tokens keeps exactly one)
+    val tiny = Sampling.tokenBudget(docs.filter(col("source") === "heavy"),
+        "source", "doc_id", "n_tokens", Map("heavy" -> 5L), 0L)
+      .collect()
+    assert(tiny.length == 1)
+  }
 }
