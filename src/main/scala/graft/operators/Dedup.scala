@@ -363,6 +363,33 @@ object Dedup {
     labels.withColumnRenamed("label", "component")
   }
 
+  /** Pick the canonical survivor of each dedup cluster by QUALITY instead
+    * of by id: given per-doc cluster labels (connectedComponents output
+    * joined back to the corpus) and a numeric quality column, keep the
+    * highest-score member (ties → lowest id, so the choice is total and
+    * deterministic). This is the "which twin do we actually train on"
+    * stage between near-dup clustering and the final corpus — keeping the
+    * longest / highest-quality version instead of whichever hashed first.
+    *
+    * Output: the input rows plus `keeper_id` (the cluster's survivor) and
+    * `is_keeper`; filter on `is_keeper` for the deduped corpus, or keep
+    * the full frame for dedup provenance (who was dropped for whom).
+    *
+    * Scale shape: the argmax is ONE min-struct aggregation on the
+    * component key — map-side partial, a few bytes per cluster, no window
+    * sort — and the join back rides the same component-keyed exchange.
+    * Singleton clusters (the overwhelming majority of a real corpus) cost
+    * one agg row each; nothing is quadratic in cluster size. */
+  def clusterKeepers(membership: DataFrame, idCol: String,
+      componentCol: String, scoreCol: String): DataFrame = {
+    val keeper = membership.groupBy(col(componentCol))
+      .agg(min(struct((-col(scoreCol)).as("neg_score"),
+        col(idCol).as("id"))).as("k"))
+      .select(col(componentCol), col("k.id").as("keeper_id"))
+    membership.join(keeper, Seq(componentCol))
+      .withColumn("is_keeper", col(idCol) === col("keeper_id"))
+  }
+
   /** Exact n-gram Jaccard pairs via inverted index (no LSH approximation):
     * count doc frequency per shingle, drop stop shingles (df > maxDocFreq),
     * group surviving postings by shingle hash, emit doc pairs inside each

@@ -45,6 +45,19 @@ object ExtensionQueries {
     t(s, dir, "documents").filter(col("doc_id") < checkDocLimit)
       .select("doc_id", "text")
 
+  /** Exact whole-token Jaccard ≥ 0.5 edge set over a (doc_id, text)
+    * corpus — the oracle-recomputable edge generator behind the cluster
+    * queries (the DuckDB side replays it with list_intersect + a recursive
+    * CTE for the transitive closure). */
+  private def exactJaccardEdges(corpus: DataFrame): DataFrame = {
+    val d = corpus.select(col("doc_id"), array_distinct(TF.tokens(col("text"))).as("toks"))
+    val shared = size(array_intersect(col("a.toks"), col("b.toks")))
+    d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(shared.cast(DoubleType) /
+        (size(col("a.toks")) + size(col("b.toks")) - shared).cast(DoubleType) >= 0.5)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+  }
+
   /** Exact STRING-shingle Jaccard between two shingle-set columns — the
     * independent yardstick the q_check_* queries measure hash-based
     * operators against (no xxhash anywhere in this path). */
@@ -490,14 +503,27 @@ object ExtensionQueries {
     "q_near_dup_clusters" -> ((s, dir) => {
       val corpus = docsWithNearDupsFrom(
         t(s, dir, "documents").filter(col("doc_id") < 40).select("doc_id", "text"))
-      val d = corpus.select(col("doc_id"), array_distinct(TF.tokens(col("text"))).as("toks"))
-      val shared = size(array_intersect(col("a.toks"), col("b.toks")))
-      val edges = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .filter(shared.cast(DoubleType) /
-          (size(col("a.toks")) + size(col("b.toks")) - shared).cast(DoubleType) >= 0.5)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      Dedup.connectedComponents(edges, corpus.select("doc_id"), idCol = "doc_id")
+      Dedup.connectedComponents(exactJaccardEdges(corpus),
+          corpus.select("doc_id"), idCol = "doc_id")
         .orderBy("id")
+    }),
+
+    // clusters → canonical survivors: argmax-QUALITY keeper per component
+    // (quality = raw token count, so each near-dup pair's original — one
+    // token longer than its mutated twin — must win; ties fall to min id).
+    // The full provenance frame is emitted: every doc, its cluster, who it
+    // was kept/dropped for.
+    "q_cluster_keeper" -> ((s, dir) => {
+      val corpus = docsWithNearDupsFrom(
+        t(s, dir, "documents").filter(col("doc_id") < 40).select("doc_id", "text"))
+      val labels = Dedup.connectedComponents(exactJaccardEdges(corpus),
+        corpus.select("doc_id"), idCol = "doc_id")
+      val membership = corpus
+        .select(col("doc_id"), TF.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      Dedup.clusterKeepers(membership, "doc_id", "component", "n_tokens")
+        .select("doc_id", "component", "n_tokens", "keeper_id", "is_keeper")
+        .orderBy("doc_id")
     }),
 
     // ---- hash-operator invariant gates (each oracle-bearing) -------------
@@ -829,6 +855,9 @@ object ExtensionQueries {
     // closure over the same exact-Jaccard edge set
     "q_near_dup_clusters" ->
       s"""WITH RECURSIVE corpus AS (SELECT doc_id, $tokensSql AS toks FROM documents WHERE doc_id < 40 UNION ALL SELECT doc_id + 1000000, ($tokensSql)[2:] FROM documents WHERE doc_id < 40), d AS (SELECT doc_id, list_distinct(toks) AS toks FROM corpus), e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM d a JOIN d b ON a.doc_id != b.doc_id AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.5), reach(id, label) AS (SELECT doc_id, doc_id FROM d UNION SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id) SELECT id, min(label) AS component FROM reach GROUP BY id ORDER BY id""",
+
+    "q_cluster_keeper" ->
+      s"""WITH RECURSIVE corpus AS (SELECT doc_id, $tokensSql AS toks FROM documents WHERE doc_id < 40 UNION ALL SELECT doc_id + 1000000, ($tokensSql)[2:] FROM documents WHERE doc_id < 40), d AS (SELECT doc_id, list_distinct(toks) AS toks FROM corpus), e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM d a JOIN d b ON a.doc_id != b.doc_id AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.5), reach(id, label) AS (SELECT doc_id, doc_id FROM d UNION SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id), comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id), m AS (SELECT corpus.doc_id, comp.component, CAST(len(corpus.toks) AS BIGINT) AS n_tokens FROM corpus JOIN comp ON corpus.doc_id = comp.id), k AS (SELECT component, doc_id AS keeper_id FROM (SELECT component, doc_id, ROW_NUMBER() OVER (PARTITION BY component ORDER BY n_tokens DESC, doc_id) AS rn FROM m) WHERE rn = 1) SELECT m.doc_id, m.component, m.n_tokens, k.keeper_id, m.doc_id = k.keeper_id AS is_keeper FROM m JOIN k USING (component) ORDER BY doc_id""",
 
     // invariant gates: precision/recall violations are empty sets or
     // boolean flags; counts are genuinely recomputed in SQL, pass flags

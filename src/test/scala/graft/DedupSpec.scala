@@ -290,4 +290,26 @@ class DedupSpec extends SparkSpec {
     assert(stats(3L) == ((2L, 0L, 0.0)))
     assert(stats(4L) == ((8L, 0L, 0.0)))
   }
+
+  test("clusterKeepers: argmax quality wins, ties fall to min id, singletons keep themselves") {
+    val membership = Seq(
+      // cluster 10: doc 3 has the best score
+      (1L, 10L, 5L), (2L, 10L, 7L), (3L, 10L, 9L),
+      // cluster 20: score tie between 4 and 6 → min id 4 wins
+      (4L, 20L, 8L), (5L, 20L, 2L), (6L, 20L, 8L),
+      // singleton
+      (7L, 30L, 1L)
+    ).toDF("doc_id", "component", "score")
+    val out = Dedup.clusterKeepers(membership, "doc_id", "component", "score")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("keeper_id"), r.getAs[Boolean]("is_keeper")))).toMap
+    assert(out(1L) == ((3L, false)) && out(2L) == ((3L, false)) && out(3L) == ((3L, true)))
+    assert(out(4L) == ((4L, true)) && out(5L) == ((4L, false)) && out(6L) == ((4L, false)))
+    assert(out(7L) == ((7L, true)))
+    // exactly one keeper per cluster
+    val keepers = Dedup.clusterKeepers(membership, "doc_id", "component", "score")
+      .filter(col("is_keeper")).collect()
+    assert(keepers.length == 3)
+  }
 }
