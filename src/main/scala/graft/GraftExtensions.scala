@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{HyperplaneBuckets, MinHashMerge, MinHashSignature, ShingleHashes, SimHash64, TokenHashes}
+import graft.expressions.{FreqSketch, HyperplaneBuckets, MinHashMerge, MinHashSignature, ShingleHashes, SimHash64, TokenHashes}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions with the SQL function registry, so SQL-only users (and
@@ -100,6 +100,17 @@ object GraftExtensions {
           "group with no non-empty input yields NULL.",
         "SELECT minhash_merge(minhash_signature(shingle_hashes(token_hashes(t), 3), 16)) FROM docs GROUP BY cluster"),
       (c: Seq[Expression]) => { arity("minhash_merge", c, 1); MinHashMerge(c.head) }),
+
+    (new FunctionIdentifier("freq_sketch"),
+      info(classOf[FreqSketch], "freq_sketch",
+        "freq_sketch(string, capacity) - AGGREGATE: Misra-Gries " +
+          "heavy-hitters summary with at most `capacity` counters, as " +
+          "map<string,bigint> term -> estimated count. Estimates " +
+          "undercount by at most n/(capacity+1); capacity >= distinct " +
+          "terms gives exact counts.",
+        "SELECT freq_sketch(term, 64) FROM (SELECT explode(split(text, ' ')) AS term FROM docs)"),
+      (c: Seq[Expression]) => { arity("freq_sketch", c, 2)
+        FreqSketch(c.head, intArg("freq_sketch", c(1))) }),
 
     (new FunctionIdentifier("hyperplane_buckets"),
       info(classOf[HyperplaneBuckets], "hyperplane_buckets",

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.expressions.FreqSketch
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity}
 
@@ -386,6 +387,51 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
         .orderBy(col("tf").desc, col("term").asc)
         .limit(50)),
+
+    // heavy hitters via the native Misra-Gries aggregate, run in its
+    // EXACT regime (capacity 4096 ≥ the corpus vocabulary) so DuckDB can
+    // oracle the counts; the fixed-size-buffer approximate regime — the
+    // 100 TB path, where the vocabulary outgrows the shuffle budget — is
+    // gated by q_check_heavy_hitters below
+    "q_heavy_hitters" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("term"))
+        .agg(FreqSketch.freqSketch(col("term"), 4096).as("m"))
+        .select(explode(col("m")).as(Seq("term", "est")))
+        .orderBy(col("est").desc, col("term").asc)
+        .limit(50)),
+
+    // Misra-Gries invariant gate, approximate regime (capacity 8 ≪ the
+    // 32-term vocabulary, with a planted heavy term at 60 occurrences per
+    // doc so the heavy set is non-empty): every term with true count
+    // > n/(k+1) must survive the sketch, and every estimate must sit in
+    // [true − n/(k+1), true] — the Misra-Gries guarantees, which hold for
+    // ANY partitioning/merge order, so the pinned flags are deterministic
+    // even though the surviving light terms are not. n_total and n_heavy
+    // are genuinely recomputed by the oracle; a sketch regression flips a
+    // flag and fails the hash.
+    "q_check_heavy_hitters" -> ((s, dir) => {
+      val k = 8
+      val docs = t(s, dir, "documents")
+      val terms = docs.select(explode(TF.tokens(col("text"))).as("term"))
+        .union(docs.select(explode(array_repeat(lit("zzheavy"), 60)).as("term")))
+      val sketch = terms
+        .agg(FreqSketch.freqSketch(col("term"), k).as("m"))
+        .select(explode(col("m")).as(Seq("term", "est")))
+      val exact = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val stats = exact.agg(sum(col("cnt")).as("n_total"))
+      val err = col("n_total").cast(DoubleType) / (k + 1)
+      exact.join(sketch, Seq("term"), "left")
+        .crossJoin(broadcast(stats))
+        .agg(
+          first(col("n_total")).as("n_total"),
+          sum(when(col("cnt") > err, 1L).otherwise(0L)).as("n_heavy"),
+          min(when(col("cnt") > err, col("est").isNotNull)
+            .otherwise(lit(true))).as("all_heavy_found"),
+          min(when(col("est").isNotNull,
+              col("est") <= col("cnt") && (col("cnt") - col("est")) <= err)
+            .otherwise(lit(true))).as("bounds_ok"))
+    }),
 
     // per-document keyword extraction: top-5 terms by tf·idf. The ranking
     // key is tf/(df+1) — order-equivalent to tf·idf for any idf that
@@ -820,6 +866,12 @@ object ExtensionQueries {
       """SELECT doc_id, md5(text) AS content_hash, length(text) AS n_chars FROM documents ORDER BY doc_id""",
     "q_top_terms" ->
       s"""SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM (SELECT doc_id, unnest($tokensSql) AS term FROM documents) GROUP BY term ORDER BY tf DESC, term ASC LIMIT 50""",
+
+    "q_heavy_hitters" ->
+      s"""SELECT term, CAST(COUNT(*) AS BIGINT) AS est FROM (SELECT unnest($tokensSql) AS term FROM documents) GROUP BY term ORDER BY est DESC, term ASC LIMIT 50""",
+
+    "q_check_heavy_hitters" ->
+      s"""WITH raw AS (SELECT unnest($tokensSql) AS term FROM documents UNION ALL SELECT 'zzheavy' AS term FROM documents, generate_series(1, 60)), c AS (SELECT term, count(*) AS cnt FROM raw GROUP BY term), s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c), h AS (SELECT CAST(count(*) AS BIGINT) AS n_heavy FROM c, s WHERE cnt > CAST(n_total AS DOUBLE) / 9) SELECT s.n_total, h.n_heavy, true AS all_heavy_found, true AS bounds_ok FROM s, h""",
     "q_dedup_exact_docs" ->
       """WITH u AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents) SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies FROM u GROUP BY 1 ORDER BY content_hash""",
 

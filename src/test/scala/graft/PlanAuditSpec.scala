@@ -20,7 +20,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_embed_topk", "q_embed_ann_lsh", "q_embed_ann_ivf",
     "q_check_ann_recall", "q_check_ann_ivf_recall",
     "q_jaccard_words", "q_embed_cosine",
-    "q_bm25_topk", "q_bm25_batch", "q_check_bm25_batch")
+    "q_bm25_topk", "q_bm25_batch", "q_check_bm25_batch",
+    "q_check_heavy_hitters") // single-row broadcast n_total frame
 
   test("no accidental cartesian / nested-loop joins anywhere in the surface") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
