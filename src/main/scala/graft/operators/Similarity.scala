@@ -268,6 +268,49 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** SemDeDup-style semantic deduplication: assign every embedding to its
+    * nearest centroid (k-means lists from [[trainCentroids]] — train on a
+    * sample, reuse via save/loadCentroids), generate candidate pairs ONLY
+    * within a cluster, and drop any row that has a smaller-id neighbor
+    * with cosine ≥ `threshold` (greedy min-id survivor — deterministic,
+    * single-pass, no iteration; identical vectors always share a cluster,
+    * so exact twins are structurally guaranteed to dedup).
+    *
+    * Output: one row per input — (idCol, cid, dup_of, is_kept) where
+    * `dup_of` is the smallest qualifying neighbor id (null = survivor).
+    * Filter `is_kept` for the deduped corpus; keep the frame for
+    * provenance. Pipe the pairs into connectedComponents + clusterKeepers
+    * instead if quality-based (not min-id) keeper choice is wanted.
+    *
+    * Scale shape: the assignment pass is a literal-centroid argmin (no
+    * shuffle, no model broadcast); the only corpus exchange is ONE
+    * repartition on cid, computed once and read by both sides of the
+    * self-join (ReusedExchange). Pair generation is quadratic in CLUSTER
+    * size, not corpus size — size nLists so clusters stay bounded (the
+    * 100 TB knob; SemDeDup's published config is ~100k clusters), and the
+    * cosine filter runs inside the same stage, so the quadratic stream is
+    * never shuffled or materialized. */
+  def semanticDedup(
+      df: DataFrame, centroids: Array[Array[Double]], threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0, 1]: $threshold")
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val assigned = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        nearestCentroid(col(vecCol), centroids).as("cid"))
+      .repartition(nPart, col("cid"))
+    val dupOf = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .filter(VectorFunctions.cosine(col("a.v"), col("b.v")) >= threshold)
+      .groupBy(col("b.id").as("id"))
+      .agg(min(col("a.id")).as("dup_of"))
+    assigned.select("id", "cid")
+      .join(dupOf, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid"), col("dup_of"),
+        col("dup_of").isNull.as("is_kept"))
+  }
+
   /** Embedding near-duplicate pairs: LSH candidates + exact cosine ≥
     * threshold. The all-pairs analogue of lshTopK for corpus self-dedup. */
   def embeddingNearDupPairs(

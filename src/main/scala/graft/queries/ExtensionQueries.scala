@@ -37,6 +37,13 @@ object ExtensionQueries {
   private def docsWithNearDups(s: SparkSession, dir: String): DataFrame =
     docsWithNearDupsFrom(t(s, dir, "documents").select("doc_id", "text"))
 
+  /** embeddings ∪ exact copies (id + 1M): a corpus with guaranteed
+    * semantic duplicates for the SemDeDup queries. */
+  private def embsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    e.union(e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+  }
+
   /** Sub-corpus bound for the q_check_* invariant queries: covers the whole
     * table at the sf0.01 correctness gate (500 docs) while keeping the
     * checks a fixed, small cost inside larger bench corpora. */
@@ -677,6 +684,42 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // SemDeDup-style semantic dedup over the planted-twin corpus: IVF
+    // cluster assignment (session-memoized model) → within-cluster pairs
+    // → drop rows with a smaller-id cosine ≥ 0.95 neighbor. Rows-only
+    // (cluster ids come from trained centroids); the guarantees are
+    // oracled by q_check_semdedup.
+    "q_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(embsWithDups(s, dir),
+          ivfModel(s, dir, nLists = 16, iters = 1), threshold = 0.95)
+        .orderBy("vec_id")),
+
+    // semantic-dedup invariant gate (oracle-bearing): identical planted
+    // twins share a cluster BY CONSTRUCTION (same vector → same argmin),
+    // so every planted copy must be dropped (recall); and every drop's
+    // recorded dup_of must genuinely clear the cosine threshold when
+    // recomputed with the oracle-portable double fold (precision —
+    // violations are counted, expected exactly 0)
+    "q_check_semdedup" -> ((s, dir) => {
+      val corpus = embsWithDups(s, dir)
+      val res = Similarity.semanticDedup(corpus,
+        ivfModel(s, dir, nLists = 16, iters = 1), threshold = 0.95)
+      val vecs = corpus.select(col("vec_id"), col("embedding"))
+      val cosines = res.filter(!col("is_kept"))
+        .select(col("vec_id"), col("dup_of"))
+        .join(vecs.select(col("vec_id"), col("embedding").as("vb")), Seq("vec_id"))
+        .join(vecs.select(col("vec_id").as("dup_of"), col("embedding").as("va")),
+          Seq("dup_of"))
+        .select(col("vec_id"), VF.cosine(col("va"), col("vb")).as("cos"))
+      res.join(cosines, Seq("vec_id"), "left")
+        .agg(
+          sum(when(col("vec_id") >= lit(1000000L), 1L).otherwise(0L)).as("n_planted"),
+          min(when(col("vec_id") >= lit(1000000L), !col("is_kept"))
+            .otherwise(lit(true))).as("all_planted_dropped"),
+          sum(when(col("cos").isNotNull && col("cos") < 0.95, 1L)
+            .otherwise(0L)).as("n_precision_violations"))
+    }),
+
     // distributed per-lane vector mean (the IVF-training primitive) with
     // DETERMINISTIC float aggregation: quantize each value to fixed-point
     // Q20 (round(v·2²⁰) — a POWER-OF-TWO scale, so the scaling multiply
@@ -897,6 +940,13 @@ object ExtensionQueries {
     // 0.999, so the LSH path must emit exactly this set.
     "q_embed_near_dup" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 100000, embedding FROM embeddings), n AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM corpus) SELECT id_a, id_b, cosine FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dotSql("a.embedding", "b.embedding")} / nullif(a.nrm * b.nrm, 0) AS cosine FROM n a JOIN n b ON a.vec_id < b.vec_id) WHERE cosine >= 0.999 ORDER BY id_a, id_b""",
+
+    // SemDeDup gate: n_planted genuinely recomputed; the recall and
+    // precision flags are pinned expectations (identical twins MUST drop;
+    // recomputed cosines MUST clear the threshold — a clustering or
+    // survivor-rule regression flips one and fails the hash)
+    "q_check_semdedup" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_planted, true AS all_planted_dropped, CAST(0 AS BIGINT) AS n_precision_violations""",
 
     // minhash_merge = min per (group, lane) over the same deterministic
     // integer lanes (DuckDB generate_series is inclusive: 0..15 = 16)

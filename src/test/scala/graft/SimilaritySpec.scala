@@ -119,4 +119,29 @@ class SimilaritySpec extends SparkSpec {
     // identical vectors agree on every LSH bit → always same buckets → all found
     (0L until 50L).foreach(i => assert(pairs.contains((i, i + 1000L))))
   }
+
+  test("semanticDedup: min-id survivor per similar group, cross-cluster pairs never compared") {
+    // two well-separated clusters on the axes; centroids put at the axes
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),    // cluster 0, survivor (min id of the sim group)
+      (2L, Array(0.999f, 0.01f)), // cos≈1 with 1 → dropped for 1
+      (3L, Array(0.98f, 0.199f)), // cos with 1 ≈ 0.98 → kept at 0.99 threshold
+      (10L, Array(0.0f, 1.0f)),   // cluster 1, survivor
+      (11L, Array(0.0f, 2.0f))    // same direction, different norm → cos 1 → dropped
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.semanticDedup(corpus, centroids, threshold = 0.99)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cid"), Option(r.getAs[java.lang.Long]("dup_of")),
+          r.getAs[Boolean]("is_kept")))).toMap
+    assert(res(1L) == ((0, None, true)))
+    assert(res(2L) == ((0, Some(1L), false)))
+    assert(res(3L)._3, "0.98-cosine doc must survive a 0.99 threshold")
+    assert(res(10L) == ((1, None, true)))
+    assert(res(11L) == ((1, Some(10L), false)))
+    // exact twins in the same cluster always dedup; survivors re-run stable
+    val twins = corpus.union(corpus.select(($"vec_id" + 100L).as("vec_id"), $"embedding"))
+    val res2 = Similarity.semanticDedup(twins, centroids, threshold = 0.99)
+    assert(res2.filter($"vec_id" >= 100L && $"is_kept").count() == 0)
+  }
 }
