@@ -67,14 +67,29 @@ object TextFunctions {
     * language's score expression appears exactly once in the plan. The
     * earlier pairwise when-reduce substituted every prior struct into
     * each comparison branch, duplicating the scores ~2^n-fold (measured:
-    * ~50 tokenizer evaluations per row for 4 languages). */
+    * ~50 tokenizer evaluations per row for 4 languages).
+    *
+    * Two deliberate structural properties (both measured, both 10×-class):
+    *  - the "und" fallback is a SENTINEL struct inside the same array_max
+    *    (score 0, ord above every language, so any positive score beats
+    *    it and an all-zero row loses to it) instead of a CASE WHEN that
+    *    references the argmax twice — lambda-bearing expressions sit
+    *    outside both codegen subexpression elimination and CollapseProject
+    *    cost checks, so a second reference genuinely re-runs every score;
+    *  - the result is wrapped non-nullable (coalesce with the sentinel
+    *    value), because a downstream join or filter on the predicted
+    *    language otherwise INFERS IsNotNull(lang_pred) and pushes it below
+    *    the token-staging Project, substituting the alias and inlining
+    *    ~16 tokenizer runs per row into a scan-side Filter (measured:
+    *    35 s → 1 s at sf0.1 on the per-language quality floor). */
   def langIdFromTokens(toks: Column,
       langs: Seq[String] = Seq("en", "es", "de", "fr")): Column = {
-    val best = array_max(array(langs.zipWithIndex.map { case (l, i) =>
+    val sentinel = struct(lit(0.0).as("score"), lit(1).as("ord"), lit("und").as("lang"))
+    val best = array_max(array(sentinel +: langs.zipWithIndex.map { case (l, i) =>
       struct(langScoreFromTokens(toks, l).as("score"),
         lit(-i).as("ord"), lit(l).as("lang"))
     }: _*))
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    coalesce(best.getField("lang"), lit("und"))
   }
 
   /** Quality-score feature struct: char/token counts, mean word length,
