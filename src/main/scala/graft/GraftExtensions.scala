@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FreqSketch, HyperplaneBuckets, MinHashMerge, MinHashSignature, ShingleHashes, SimHash64, TokenHashes}
+import graft.expressions.{CosineSim, FreqSketch, HyperplaneBuckets, MinHashMerge, MinHashSignature, ShingleHashes, SimHash64, TokenHashes}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions with the SQL function registry, so SQL-only users (and
@@ -100,6 +100,16 @@ object GraftExtensions {
           "group with no non-empty input yields NULL.",
         "SELECT minhash_merge(minhash_signature(shingle_hashes(token_hashes(t), 3), 16)) FROM docs GROUP BY cluster"),
       (c: Seq[Expression]) => { arity("minhash_merge", c, 1); MinHashMerge(c.head) }),
+
+    (new FunctionIdentifier("cosine_sim"),
+      info(classOf[CosineSim], "cosine_sim",
+        "cosine_sim(array<float|double>, array<float|double>) - cosine " +
+          "similarity as a single codegen'd double loop; null on null " +
+          "element, length mismatch, or zero norm (matches the " +
+          "aggregate/zip_with double-fold formulation bit-for-bit).",
+        "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 1.0D))"),
+      (c: Seq[Expression]) => { arity("cosine_sim", c, 2)
+        CosineSim(c.head, c(1)) }),
 
     (new FunctionIdentifier("freq_sketch"),
       info(classOf[FreqSketch], "freq_sketch",

@@ -9,9 +9,10 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.FreqSketch
 import graft.functions.{TextFunctions => TF}
 import graft.io.Sinks
-import graft.operators.{Dedup, Packing, Search}
+import graft.operators.{Dedup, Packing, Sampling, Search, Similarity}
 
 /** Scale-validation harness: measures how the engine's scale-shaped
   * operators grow as the corpus grows 1× → 10× → 50×, converting the
@@ -77,6 +78,20 @@ object ScaleBench {
       array_join(
         transform(TF.tokens(col("text")), t => concat(t, lit(s"_s$i"))),
         " ").as("text"))
+
+  /** Copy i of the embedding corpus: ids offset, vector cyclically ROTATED
+    * by i lanes — intra-copy geometry (distances, twins, cluster shape) is
+    * preserved exactly while cross-copy cosines stay generic, the vector
+    * analogue of token salting. Scales up to 64 copies (the lane count). */
+  private def rotatedEmbCopy(embs: DataFrame, i: Int): DataFrame = {
+    val s = i % 64
+    if (s == 0) embs.select(col("vec_id") + lit(i * 10000000L) as "vec_id",
+      col("embedding"))
+    else embs.select(
+      (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+      concat(slice(col("embedding"), s + 1, 64 - s),
+        slice(col("embedding"), 1, s)).as("embedding"))
+  }
 
   /** Base corpus = documents ∪ mutated twins (id + 10⁶, first token
     * dropped) — guaranteed near-dup pairs inside every copy. */
@@ -184,6 +199,50 @@ object ScaleBench {
         Packing.packManifest(
           corpus.select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens")),
           ctxTokens = 2048)
+      }
+
+      // skewed synthetic source: 70% of docs in one 'heavy' domain (always
+      // over cap, grows linearly), the rest spread over 100 small sources
+      // (they cross the cap/budget between scales — both plan branches are
+      // exercised at some scale)
+      def sourced: DataFrame = corpus.select(col("doc_id"),
+        when(col("doc_id") % 10 < 7, lit("heavy"))
+          .otherwise(concat(lit("src"), col("doc_id") % 100)).as("source"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      measure("source_cap", s"$scaleDir/out_cap") {
+        Sampling.capPerGroup(sourced.drop("n_tokens"),
+          "source", "doc_id", maxPerGroup = 1000)
+      }
+      measure("token_budget", s"$scaleDir/out_budget") {
+        Sampling.tokenBudget(sourced, "source", "doc_id", "n_tokens",
+          Map("heavy" -> 100000L), defaultBudget = 50000L)
+      }
+      measure("heavy_hitters", s"$scaleDir/out_hh") {
+        // capacity 64 ≪ the salted vocabulary (31·scale·2) past 1× — the
+        // approximate regime: fixed-size buffers, map-side partials only
+        corpus.select(explode(TF.tokens(col("text"))).as("term"))
+          .agg(FreqSketch.freqSketch(col("term"), 64).as("m"))
+          .select(explode(col("m")).as(Seq("term", "est")))
+      }
+
+      // semantic dedup over a rotated-copy embedding corpus; the model is
+      // trained ONCE per scale (untimed — production trains on a sample
+      // and persists) with nLists ∝ corpus so cluster size stays constant,
+      // the operator's documented scale knob
+      val embPath = s"$scaleDir/embeddings.parquet"
+      val embBase = {
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        e.union(e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      }
+      (0 until scale).map(rotatedEmbCopy(embBase, _)).reduce(_ union _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(embPath)
+      def embCorpus: DataFrame = spark.read.parquet(embPath)
+      val centroids = Similarity.trainCentroids(embCorpus,
+        nLists = 16 * scale, iters = 1)
+      measure("semantic_dedup", s"$scaleDir/out_semdedup") {
+        Similarity.semanticDedup(embCorpus, centroids, threshold = 0.95)
       }
 
       // compaction: untimed prep scatters the corpus into per-scale-growing

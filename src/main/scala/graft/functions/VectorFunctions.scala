@@ -23,8 +23,18 @@ object VectorFunctions {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; null-safe on zero vectors (returns null rather than
-    * raising under ANSI division semantics). */
+    * raising under ANSI division semantics). Delegates to the native
+    * codegen'd kernel — bit-identical to the declarative
+    * `dot(a,b) / nullif(norm(a)·norm(b), 0)` folds (parity-locked in
+    * SimilaritySpec), but one primitive loop instead of three interpreted
+    * higher-order folds, which dominate pair-generation loops (semantic
+    * dedup, ANN rerank). */
   def cosine(a: Column, b: Column): Column =
+    graft.expressions.CosineSim.cosineSim(a, b)
+
+  /** The declarative higher-order-function formulation `cosine` replaces —
+    * kept as the independent yardstick its parity spec compares against. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /** Squared L2 distance. */

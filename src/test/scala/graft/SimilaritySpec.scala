@@ -7,6 +7,27 @@ import graft.operators.Similarity
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("native cosine kernel === the declarative double-fold formulation (bit parity)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = e.select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = e.select($"vec_id".as("ib"), $"embedding".as("vb"))
+    // every ordered pair over 40 vectors: 1600 exact comparisons
+    val mismatches = a.filter($"ia" < 40).crossJoin(b.filter($"ib" < 40))
+      .select(VF.cosine($"va", $"vb").as("native"),
+        VF.cosineHof($"va", $"vb").as("hof"))
+      .filter(!($"native" <=> $"hof"))
+      .count()
+    assert(mismatches == 0L)
+    // null semantics parity: zero vector, length mismatch, null element
+    val edge = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f)),
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))
+    ).toDF("a", "b")
+    val got = edge.select(VF.cosine($"a", $"b").as("n"), VF.cosineHof($"a", $"b").as("h"))
+      .collect()
+    got.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1)))
+  }
+
   test("cosine/dot/norm on known vectors") {
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
       (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
