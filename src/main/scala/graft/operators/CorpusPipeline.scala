@@ -45,12 +45,24 @@ object CorpusPipeline {
     * connected components → each cluster keeps its min-id doc. The same
     * bounded-candidate shapes as the standalone operators (16-bit-or-wider
     * exact block keys, id-only shuffles), so the stage scales with the
-    * corpus, not with pairs². */
+    * corpus, not with pairs².
+    *
+    * `sourceCap = Some((col, n))` caps every value of `col` (domain,
+    * source) at n docs after dedup — `Sampling.capPerGroup`'s
+    * deterministic md5-order keep-set, only over-cap groups shuffled.
+    * `tokenBudgets = Some((col, budgets, default))` then trims each
+    * source to its token budget (`Sampling.tokenBudget`) — the mixture
+    * knob. Both run AFTER dedup (a duplicate shouldn't spend budget) and
+    * BEFORE the split (a capped doc shouldn't occupy a split slot); the
+    * rank/cum provenance columns are dropped to keep the curated schema
+    * stable. */
   def curate(raw: DataFrame, ctxTokens: Long = 2048,
       minTokens: Long = 1, maxDupNgramRatio: Double = 0.9,
       nearDupMaxHamming: Option[Int] = None,
       gopherRules: Boolean = false,
-      maxDupSpanFraction: Option[Double] = None): CuratedCorpus = {
+      maxDupSpanFraction: Option[Double] = None,
+      sourceCap: Option[(String, Int)] = None,
+      tokenBudgets: Option[(String, Map[String, Long], Long)] = None): CuratedCorpus = {
     val scored = scoreAndFilter(raw, minTokens, maxDupNgramRatio, gopherRules)
     val kept = maxDupSpanFraction.fold(scored) { f =>
       val heavy = Dedup.dupSpanStats(scored, "doc_id", "text")
@@ -67,7 +79,14 @@ object CorpusPipeline {
         .select(col("id").as("doc_id"))
       deduped.join(keepers, Seq("doc_id"), "left_semi")
     }
-    val split = Sampling.assignSplit(nearDeduped, "doc_id")
+    val capped = sourceCap.fold(nearDeduped) { case (c, n) =>
+      Sampling.capPerGroup(nearDeduped, c, "doc_id", n).drop("cap_rank")
+    }
+    val budgeted = tokenBudgets.fold(capped) { case (c, budgets, default) =>
+      Sampling.tokenBudget(capped, c, "doc_id", "n_tokens", budgets, default)
+        .drop("cum_tokens")
+    }
+    val split = Sampling.assignSplit(budgeted, "doc_id")
     val manifest = Packing.packManifest(
       split.filter(col("split") === "train").select("doc_id", "n_tokens"),
       ctxTokens)

@@ -89,6 +89,39 @@ class CorpusPipelineSpec extends SparkSpec {
       Set(2L, 3L))
   }
 
+  test("curate: source cap and token budgets trim after dedup, before the split") {
+    // 30 'blog' docs (5 tokens each), 3 'books' docs; dup of a blog doc
+    // must not count against the cap (dedup runs first)
+    val blogs = (1L to 30L).map(i =>
+      (i, s"blog post number $i words", "blog"))
+    val raw = (blogs ++ Seq(
+      (100L, "blog post number 1 words", "blog"),   // exact dup of doc 1
+      (201L, "a long book of many chapters one", "books"),
+      (202L, "another book with different chapters", "books"),
+      (203L, "third book entirely its own text", "books")))
+      .toDF("doc_id", "text", "source")
+
+    val capped = CorpusPipeline.curate(raw, ctxTokens = 8,
+      minTokens = 1, maxDupNgramRatio = 1.0,
+      sourceCap = Some(("source", 10)))
+    val bySrc = capped.documents.collect()
+      .groupBy(_.getAs[String]("source"))
+    assert(bySrc("blog").length == 10)   // capped (31 deduped to 30, then 10)
+    assert(bySrc("books").length == 3)   // under cap, untouched
+    // schema stayed stable (provenance dropped) and the split still rides
+    assert(!capped.documents.columns.contains("cap_rank"))
+    assert(capped.documents.columns.contains("split"))
+
+    val budgeted = CorpusPipeline.curate(raw, ctxTokens = 8,
+      minTokens = 1, maxDupNgramRatio = 1.0,
+      tokenBudgets = Some(("source", Map("blog" -> 40L), 10000L)))
+    val blogTokens = budgeted.documents.filter($"source" === "blog")
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    // 5-token docs against a 40-token budget: 8 docs fill it exactly
+    assert(blogTokens == 40L)
+    assert(budgeted.documents.filter($"source" === "books").count() == 3)
+  }
+
   test("curateStream: redact/score/filter + sketch dedup over a MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp
