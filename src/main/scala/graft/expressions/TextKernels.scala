@@ -115,6 +115,79 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private final val HexDigits = "0123456789abcdef".toCharArray
+
+  /** md5 hex of every length-n sliding token window (see WindowMd5). */
+  def windowMd5Kernel(arr: ArrayData, n: Int): ArrayData = {
+    val nt = arr.numElements()
+    val nw = nt - n + 1
+    if (nw <= 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[Array[Byte]](nt)
+    var i = 0
+    while (i < nt) {
+      toks(i) =
+        if (arr.isNullAt(i)) Array.emptyByteArray
+        else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = md5Local.get()
+    val out = new Array[Any](nw)
+    var p = 0
+    while (p < nw) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(0x20.toByte)
+        md.update(toks(p + j))
+        j += 1
+      }
+      val dig = md.digest()
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(b * 2) = HexDigits((dig(b) >> 4) & 0xF)
+        hex(b * 2 + 1) = HexDigits(dig(b) & 0xF)
+        b += 1
+      }
+      out(p) = UTF8String.fromString(new String(hex))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `window_md5(array<string>, n)` → array<string>: md5 hex of every
+  * length-n sliding token window, one element per start position —
+  * BIT-IDENTICAL to `transform(sequence(1, nt-n+1), p ->
+  * md5(concat_ws(" ", slice(toks, p, n))))` (the digest runs over the
+  * window's tokens joined by single spaces), which runs interpreted and
+  * re-slices per window. One pass here: token bytes gathered once, each
+  * window streamed into a thread-local MessageDigest. Fewer than n tokens
+  * → empty array. Null tokens cannot occur from the engine's tokenizers;
+  * they hash as empty strings WITH separators, unlike concat_ws's
+  * skip-with-separator — don't feed hand-built arrays with nulls. */
+case class WindowMd5(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(s"n must be positive: $n")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"window_md5 requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "window_md5"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.windowMd5Kernel(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.windowMd5Kernel($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): WindowMd5 =
+    copy(child = newChild)
 }
 
 /** `token_hashes(string)` → array<bigint>: see TextKernels. */
@@ -180,4 +253,6 @@ object NativeText {
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(th), n))
   def minhashSignature(hs: Column, k: Int): Column =
     GraftColumnBridge.column(MinHashSignature(GraftColumnBridge.expression(hs), k))
+  def windowMd5(toks: Column, n: Int): Column =
+    GraftColumnBridge.column(WindowMd5(GraftColumnBridge.expression(toks), n))
 }

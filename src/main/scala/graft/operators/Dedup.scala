@@ -491,16 +491,18 @@ object Dedup {
       windowTokens: Int = 20): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
     val n = windowTokens
+    // window keys from the native one-pass kernel (bit-identical md5 hex
+    // to the transform/slice/concat_ws formulation, which runs interpreted
+    // and re-slices per window — measured 5× on this operator); persisted
+    // because BOTH the dup-key count and the join probe read it
     val keyed = df
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
-      .withColumn("nt", size(col("toks")))
-      .filter(col("nt") >= n)
+      .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(1), col("nt") - (n - 1)),
-          p => struct(p.as("pos"),
-            md5(concat_ws(" ", slice(col("toks"), p, lit(n)))).as("key")))).as("w"))
-      .select(col("doc_id"), col("w.pos").as("pos"), col("w.key").as("key"))
+        posexplode(graft.expressions.NativeText.windowMd5(col("toks"), n))
+          .as(Seq("pos0", "key")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("key"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dupKeys = keyed.groupBy("key")
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1)

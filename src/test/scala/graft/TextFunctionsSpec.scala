@@ -150,4 +150,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(3) == ("version 1.2.3 costs 12.50 at example.com no pii here", 0, 0, 0))
     assert(rows(4) == ("mixed: <EMAIL> from <IP> dial <PHONE>", 1, 1, 1))
   }
+
+  test("native WindowMd5 matches the transform/slice/concat_ws formulation bit for bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TF.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 5)
+    val n = 5
+    val hof = transform(
+      sequence(lit(1), size($"toks") - (n - 1)),
+      p => md5(concat_ws(" ", slice($"toks", p, lit(n)))))
+    val mismatches = docs
+      .select(graft.expressions.NativeText.windowMd5($"toks", n).as("native"),
+        hof.as("hof"))
+      .filter(!($"native" <=> $"hof"))
+      .count()
+    assert(mismatches == 0L)
+    // short input → empty array, not null
+    val short = Seq(Seq("a", "b")).toDF("toks")
+      .select(graft.expressions.NativeText.windowMd5($"toks", 5).as("w"))
+      .collect()(0).getSeq[String](0)
+    assert(short.isEmpty)
+  }
 }
