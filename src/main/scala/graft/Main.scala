@@ -127,16 +127,25 @@ object Main {
     // Writes parquet: <outDir>/documents (curated + split) and
     // <outDir>/pack-manifest (train-split context-window map).
     case "corpus" :: rest if rest.filterNot(
-        f => f == "--near-dup" || f == "--gopher").length == 2 =>
+        f => f == "--near-dup" || f == "--gopher" || f.startsWith("--cap=")).length == 2 =>
       val nearDup = rest.contains("--near-dup")
       val gopher = rest.contains("--gopher")
+      // --cap=<col>:<n> caps every value of <col> (e.g. lang, url) at n
+      // docs post-dedup — Sampling.capPerGroup via the curate stage
+      val cap = rest.find(_.startsWith("--cap=")).map { f =>
+        f.stripPrefix("--cap=").split(":", 2) match {
+          case Array(c, n) if n.toIntOption.exists(_ > 0) => (c, n.toInt)
+          case other => sys.error(s"--cap expects <col>:<n>, got: ${other.mkString(":")}")
+        }
+      }
       val (in :: out :: Nil) = rest.filterNot(
-        f => f == "--near-dup" || f == "--gopher"): @unchecked
+        f => f == "--near-dup" || f == "--gopher" || f.startsWith("--cap=")): @unchecked
       val spark = session("graft-corpus")
       val curated = graft.operators.CorpusPipeline.curate(
         Sources.readJsonl(spark, in),
         nearDupMaxHamming = if (nearDup) Some(3) else None,
-        gopherRules = gopher)
+        gopherRules = gopher,
+        sourceCap = cap)
       curated.documents.write.mode("overwrite").parquet(s"$out/documents")
       curated.packManifest.write.mode("overwrite").parquet(s"$out/pack-manifest")
       println(s"curated: ${spark.read.parquet(s"$out/documents").count()} docs, " +
@@ -205,7 +214,7 @@ object Main {
            |  graft.Main annotate <effectsTsv> <genesTsv> <outDir>
            |  graft.Main complete [--force] <gvf|url> <gtf|url> <outDir>
            |  graft.Main complete [--force] <hg38|mm10> <outDir>
-           |  graft.Main corpus   [--near-dup] [--gopher] <in.jsonl|dir> <outDir>
+           |  graft.Main corpus   [--near-dup] [--gopher] [--cap=<col>:<n>] <in.jsonl|dir> <outDir>
            |  graft.Main search   <documentsParquetDir> <k> <term> [term...]
            |  graft.Main compact  <parquetDir> [targetFileMB]
            |  graft.Main run      <config.properties> [<gvf|url> <gtf|url>]""".stripMargin)
