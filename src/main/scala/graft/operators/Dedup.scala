@@ -136,17 +136,13 @@ object Dedup {
     require(bands > 0 && k % bands == 0,
       s"signature length k=$k must be a positive multiple of bands=$bands")
     val rowsPerBand = k / bands
-    // staged projections: token hashes → shingle hashes → signature. Each
-    // stage aliases a non-cheap expression, so CollapseProject keeps the
-    // barriers and every stage is computed exactly once per row. Shingle
-    // strings are never built — everything runs on 64-bit hashes, and
-    // Jaccard is verified on them too (identical result modulo collisions).
-    val withSig = df
-      .select(col(idCol).as("doc_id"),
-        TextFunctions.tokenHashes(col(textCol)).as("th"))
-      .withColumn("hs", TextFunctions.shingleHashesFrom(col("th"), shingleN))
-      .select(col("doc_id"), col("hs"),
-        minhashSignatureFromHashes(col("hs"), k).as("sig"))
+    // staged projections (inside minhashSignatureTable): token hashes →
+    // shingle hashes → signature. Each stage aliases a non-cheap
+    // expression, so CollapseProject keeps the barriers and every stage is
+    // computed exactly once per row. Shingle strings are never built —
+    // everything runs on 64-bit hashes, and Jaccard is verified on them
+    // too (identical result modulo collisions).
+    val withSig = minhashSignatureTable(df, idCol, textCol, k, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK) // reused by buckets + both verify sides
 
     val bucketed = withSig
@@ -173,6 +169,67 @@ object Dedup {
           (size(col("hs_a")) + size(col("hs_b")) - col("n_shared")).cast(DoubleType))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The (doc_id, hs, sig) MinHash signature frame `minhashNearDupPairs`
+    * stages internally, as a public table: persist it to parquet for a
+    * curated corpus and every future ingest batch dedups against the
+    * SIGNATURES (KB per doc) instead of re-tokenizing the corpus — the
+    * signature-table analogue of `Similarity.saveCentroids`. */
+  def minhashSignatureTable(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, shingleN: Int = 3): DataFrame = df
+    .select(col(idCol).as("doc_id"),
+      TextFunctions.tokenHashes(col(textCol)).as("th"))
+    .withColumn("hs", TextFunctions.shingleHashesFrom(col("th"), shingleN))
+    .select(col("doc_id"), col("hs"),
+      minhashSignatureFromHashes(col("hs"), k).as("sig"))
+
+  /** Incremental near-dup dedup: flag every document of a NEW batch that
+    * near-duplicates the REFERENCE corpus — the growing-corpus operation
+    * ("today's crawl vs everything curated so far") where re-clustering
+    * the whole corpus per batch would be quadratic in corpus lifetime.
+    *
+    * `refSigs` is a [[minhashSignatureTable]] frame (load the persisted
+    * one at scale; pass `minhashSignatureTable(referenceDf, ...)` to
+    * compute it inline). Same LSH machinery as `minhashNearDupPairs` —
+    * band buckets, (band, bucket)-keyed equi-join, exact shingle-hash
+    * Jaccard verify — but two-sided: candidates join batch buckets to
+    * reference buckets, so the shuffle is O(batch + reference signatures),
+    * never pairs². Output: the batch plus `dup_of_ref` (smallest matching
+    * reference id, null = genuinely new) and `is_new`.
+    *
+    * (k, bands, shingleN) must match the persisted table's parameters —
+    * mismatched signatures bucket differently and silently flag nothing;
+    * store the parameters next to the table (path naming or a sidecar)
+    * the way the centroid model does. */
+  def minhashDedupAgainst(
+      batch: DataFrame, refSigs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      minJaccard: Double = 0.8): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"signature length k=$k must be a positive multiple of bands=$bands")
+    val rowsPerBand = k / bands
+    val b = minhashSignatureTable(batch, idCol, textCol, k, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK) // buckets + verify probe
+    def bucketed(s: DataFrame) = s
+      .select(col("doc_id"), explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val candidates = bucketed(b).repartition(shufflePartitions(batch)).as("n")
+      .join(bucketed(refSigs).as("o"),
+        col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket"))
+      .select(col("n.doc_id").as("batch_id"), col("o.doc_id").as("ref_id"))
+      .distinct()
+    val dupOf = candidates
+      .join(b.select(col("doc_id").as("batch_id"), col("hs").as("hs_b")), Seq("batch_id"))
+      .join(refSigs.select(col("doc_id").as("ref_id"), col("hs").as("hs_r")), Seq("ref_id"))
+      .withColumn("n_shared", size(array_intersect(col("hs_b"), col("hs_r"))))
+      .filter(col("n_shared").cast(DoubleType) /
+        (size(col("hs_b")) + size(col("hs_r")) - col("n_shared")).cast(DoubleType)
+          >= minJaccard)
+      .groupBy(col("batch_id").as(idCol))
+      .agg(min(col("ref_id")).as("dup_of_ref"))
+    batch.join(dupOf, Seq(idCol), "left")
+      .withColumn("is_new", col("dup_of_ref").isNull)
   }
 
   /** 64-bit SimHash per document — a pure map operator, zero shuffle:

@@ -531,6 +531,72 @@ object ExtensionQueries {
           shingleN = 3, minJaccard = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // incremental ingest dedup: a new batch (mutated twins of the
+    // reference + token-salted genuinely-new docs) flagged against the
+    // reference corpus's persisted-shape signature table. Rows-only
+    // (xxhash shingles); the guarantees are oracled by the gate below.
+    "q_incremental_dedup" -> ((s, dir) => {
+      val ref = checkDocs(s, dir)
+      val batch = ref.select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(TF.tokens(col("text")), 2, 1000000), " ").as("text"))
+        .union(ref.select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(transform(TF.tokens(col("text")), t => concat(t, lit("_x"))),
+            " ").as("text")))
+      Dedup.minhashDedupAgainst(batch,
+          Dedup.minhashSignatureTable(ref, "doc_id", "text"),
+          "doc_id", "text", minJaccard = 0.5)
+        .select("doc_id", "dup_of_ref", "is_new")
+        .orderBy("doc_id")
+    }),
+
+    // incremental-dedup invariant gate (oracle-bearing): every salted doc
+    // (disjoint shingles from all of the reference — no short docs exist,
+    // asserted by the corpus) must come back is_new; planted twins with
+    // true string-shingle Jaccard ≥ 0.9 must be flagged at ≥95% recall;
+    // every flagged (batch, ref) claim must clear the INDEPENDENT
+    // string-shingle Jaccard at the operator's threshold (violations
+    // counted, pinned 0)
+    "q_check_incremental_dedup" -> ((s, dir) => {
+      val ref = checkDocs(s, dir)
+      val twin = ref.select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(TF.tokens(col("text")), 2, 1000000), " ").as("text"))
+      val salted = ref.select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(transform(TF.tokens(col("text")), t => concat(t, lit("_x"))),
+          " ").as("text"))
+      val batch = twin.union(salted)
+      val res = Dedup.minhashDedupAgainst(batch,
+        Dedup.minhashSignatureTable(ref, "doc_id", "text"),
+        "doc_id", "text", minJaccard = 0.5)
+      val withJ = ref.select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+        .withColumn("tk_m", slice(col("tk"), 2, 1000000))
+        .select(col("doc_id"),
+          TF.shinglesFromTokens(col("tk"), 3).as("sh_o"),
+          TF.shinglesFromTokens(col("tk_m"), 3).as("sh_m"))
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          (stringJaccard(col("sh_o"), col("sh_m")) >= 0.9).as("is_planted"))
+      val batchSh = batch.select(col("doc_id"),
+        TF.shinglesFromTokens(TF.tokens(col("text")), 3).as("sh_b"))
+      val refSh = ref.select(col("doc_id").as("dup_of_ref"),
+        TF.shinglesFromTokens(TF.tokens(col("text")), 3).as("sh_r"))
+      val viol = res.filter(!col("is_new"))
+        .select(col("doc_id"), col("dup_of_ref"))
+        .join(batchSh, Seq("doc_id"))
+        .join(refSh, Seq("dup_of_ref"))
+        .filter(stringJaccard(col("sh_b"), col("sh_r")) < 0.5)
+        .select(col("doc_id")).withColumn("v", lit(1L))
+      res.join(withJ, Seq("doc_id"), "left")
+        .join(viol, Seq("doc_id"), "left")
+        .agg(
+          sum(when(col("doc_id") >= 2000000L, 1L).otherwise(0L)).as("n_salted"),
+          min(when(col("doc_id") >= 2000000L, col("is_new"))
+            .otherwise(lit(true))).as("all_salted_new"),
+          sum(when(col("is_planted"), 1L).otherwise(0L)).as("n_planted"),
+          (sum(when(col("is_planted") && !col("is_new"), 1L).otherwise(0L)) >=
+            sum(when(col("is_planted"), 1L).otherwise(0L)).cast(DoubleType) * 0.95)
+            .as("recall_pass"),
+          coalesce(sum(col("v")), lit(0L)).as("n_precision_violations"))
+    }),
+
     // cluster-signature merge via the native minhash_merge aggregate
     // (element-wise min per group). Lanes here are deterministic integer
     // arithmetic instead of xxhash64 so DuckDB can recompute them exactly
@@ -970,6 +1036,9 @@ object ExtensionQueries {
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents WHERE doc_id < 1000), p AS (SELECT doc_id, ${shingleSql("t")} AS so, ${shingleSql("tm")} AS sm FROM (SELECT doc_id, t, t[2:] AS tm FROM toks)) SELECT count(*) AS n_planted, true AS recall_pass FROM p WHERE CAST(len(list_intersect(so, sm)) AS DOUBLE) / CAST(len(so) + len(sm) - len(list_intersect(so, sm)) AS DOUBLE) >= 0.9""",
     "q_check_simhash_recall" ->
       """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
+
+    "q_check_incremental_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents WHERE doc_id < 1000), p AS (SELECT doc_id, ${shingleSql("t")} AS so, ${shingleSql("tm")} AS sm FROM (SELECT doc_id, t, t[2:] AS tm FROM toks)) SELECT CAST((SELECT count(*) FROM toks) AS BIGINT) AS n_salted, true AS all_salted_new, (SELECT count(*) FROM p WHERE CAST(len(list_intersect(so, sm)) AS DOUBLE) / CAST(len(so) + len(sm) - len(list_intersect(so, sm)) AS DOUBLE) >= 0.9) AS n_planted, true AS recall_pass, CAST(0 AS BIGINT) AS n_precision_violations""",
     "q_check_ann_ivf_recall" ->
       s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
     "q_check_ann_recall" ->

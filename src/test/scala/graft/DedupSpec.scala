@@ -291,6 +291,32 @@ class DedupSpec extends SparkSpec {
     assert(stats(4L) == ((8L, 0L, 0.0)))
   }
 
+  test("minhashDedupAgainst: twins flagged with their source, fresh docs pass, empty ref passes all") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val ref = Seq((1L, base), (2L, "one totally different reference document here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatureTable(ref, "doc_id", "text")
+    val batch = Seq(
+      (10L, base),                                  // exact copy of ref 1
+      (11L, base.replace("alpha ", "")),            // near-dup of ref 1
+      (12L, "a genuinely new document about nothing shared at all")
+    ).toDF("doc_id", "text")
+    val res = Dedup.minhashDedupAgainst(batch, sigs, "doc_id", "text",
+        minJaccard = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[java.lang.Long]("dup_of_ref")).map(_.toLong),
+          r.getAs[Boolean]("is_new")))).toMap
+    assert(res(10L) == ((Some(1L), false)))
+    assert(res(11L) == ((Some(1L), false)))
+    assert(res(12L) == ((None, true)))
+    // batch columns ride along; empty reference keeps everything
+    val emptyRef = Dedup.minhashSignatureTable(ref.filter($"doc_id" < 0),
+      "doc_id", "text")
+    assert(Dedup.minhashDedupAgainst(batch, emptyRef, "doc_id", "text")
+      .filter($"is_new").count() == 3)
+  }
+
   test("clusterKeepers: argmax quality wins, ties fall to min id, singletons keep themselves") {
     val membership = Seq(
       // cluster 10: doc 3 has the best score
