@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -144,4 +146,56 @@ object CorpusPipeline {
     graft.streaming.StreamingOps.nearDupDedupWithinWatermark(
       scoreAndFilter(raw, minTokens, maxDupNgramRatio),
       "text", tsCol, watermark)
+
+  /** Continuous-ingest sink with CROSS-BATCH near-dup dedup: each
+    * microbatch of an already-curated stream (e.g. [[curateStream]]'s
+    * output — its watermark dedup handles WITHIN-horizon twins, this
+    * handles everything older) is flagged against the corpus's
+    * accumulated MinHash signature table, only the genuinely-new docs are
+    * appended, and THEIR signatures join the table for the next batch —
+    * so the reference side grows as KB-scale signatures, never as
+    * re-tokenized text. First batch (no table yet) passes wholesale.
+    *
+    * Idempotency: the doc append reuses the batch-marker contract
+    * (`Sinks.appendBatchIdempotent`), and the signature append happens
+    * only when the doc append really ran, so a replayed batch touches
+    * neither. A crash BETWEEN doc and signature append leaves the docs
+    * present but unindexed — later twins of exactly those docs can slip
+    * through (dedup weakens, data never corrupts); closing that needs an
+    * atomic two-dir commit, a table format's job. Single-writer contract.
+    *
+    * (k, bands, shingleN, minJaccard) are pinned per corpus — changing
+    * them invalidates the accumulated table (see minhashDedupAgainst). */
+  def writeStreamIncrementalDedup(curated: DataFrame, corpusDir: String,
+      sigDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      minJaccard: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
+    import java.nio.file.{Files, Paths}
+    val commit = (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val hasTable = Files.exists(Paths.get(sigDir)) &&
+        Files.list(Paths.get(sigDir)).iterator().asScala
+          .exists(_.getFileName.toString.endsWith(".parquet"))
+      val fresh =
+        if (!hasTable) batch
+        else Dedup.minhashDedupAgainst(batch, spark.read.parquet(sigDir),
+            idCol, textCol, k, bands, shingleN, minJaccard)
+          .filter(col("is_new")).drop("dup_of_ref", "is_new")
+      val freshP = fresh.persist() // feeds the doc append AND the sig append
+      if (graft.io.Sinks.appendBatchIdempotent(freshP, corpusDir, batchId)) {
+        Dedup.minhashSignatureTable(freshP, idCol, textCol, k, shingleN)
+          .write.mode("append").parquet(sigDir)
+        spark.catalog.refreshByPath(sigDir)
+      }
+      freshP.unpersist()
+      spark.catalog.refreshByPath(corpusDir)
+      ()
+    }
+    curated.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(commit)
+      .start()
+  }
 }

@@ -122,6 +122,42 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(budgeted.documents.filter($"source" === "books").count() == 3)
   }
 
+  test("writeStreamIncrementalDedup: cross-batch twins dropped, fresh docs appended with their signatures") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val query = CorpusPipeline.writeStreamIncrementalDedup(docs,
+      s"$dir/corpus", s"$dir/sigs", s"$dir/ck", minJaccard = 0.5)
+    try {
+      // batch 0: table empty → both docs land, signatures indexed
+      mem.addData((1L, base), (2L, other))
+      query.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus").count() == 2)
+      assert(spark.read.parquet(s"$dir/sigs").count() == 2)
+      // batch 1: a near-twin of doc 1 (first token dropped), an exact copy
+      // of doc 2, and one genuinely new doc → only the new doc lands
+      mem.addData(
+        (10L, base.replace("alpha ", "")),
+        (11L, other),
+        (12L, "completely different content nothing shared with anything"))
+      query.processAllAvailable()
+      val ids = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 12L))
+      // the new doc's signature joined the table → batch 2 twin of 12 drops
+      assert(spark.read.parquet(s"$dir/sigs").count() == 3)
+      mem.addData((20L, "completely different content nothing shared with anything"))
+      query.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus").count() == 3)
+    } finally query.stop()
+  }
+
   test("curateStream: redact/score/filter + sketch dedup over a MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp
