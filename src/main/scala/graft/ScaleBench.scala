@@ -225,6 +225,20 @@ object ScaleBench {
           .select(explode(col("m")).as(Seq("term", "est")))
       }
 
+      // incremental ingest dedup, steady state: the signature table is a
+      // PERSISTED artifact (built untimed, as production loads it), the
+      // timed region is one FIXED-size ingest batch (copy-0 re-ids, all
+      // duplicates) against the GROWING table — the claim under test is
+      // that per-batch cost grows only with the table scan, not pairs²
+      val sigPath = s"$scaleDir/sigs.parquet"
+      Dedup.minhashSignatureTable(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(sigPath)
+      measure("incremental_dedup", s"$scaleDir/out_incdedup") {
+        Dedup.minhashDedupAgainst(
+          base.select((col("doc_id") + 900000000L).as("doc_id"), col("text")),
+          spark.read.parquet(sigPath), "doc_id", "text", minJaccard = 0.8)
+      }
+
       // semantic dedup over a rotated-copy embedding corpus; the model is
       // trained ONCE per scale (untimed — production trains on a sample
       // and persists) with nLists ∝ corpus so cluster size stays constant,
@@ -330,7 +344,11 @@ object ScaleBench {
       "vocabulary-wide groupBy at 100 TB. semantic_dedup holds linear " +
       "with nLists ∝ corpus (constant cluster size — the documented " +
       "scale knob), pairing only within clusters over the rotated-copy " +
-      "embedding corpus.\n"
+      "embedding corpus. incremental_dedup times a FIXED-size ingest " +
+      "batch against the GROWING persisted signature table (built " +
+      "untimed, as production loads it): per-batch cost grows only with " +
+      "the table scan — the steady-state property that lets a corpus " +
+      "ingest daily batches without re-clustering its lifetime.\n"
     Files.write(Paths.get(mdOut), sb.toString.getBytes("UTF-8"))
   }
 }
