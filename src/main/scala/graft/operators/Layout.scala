@@ -66,6 +66,27 @@ object Layout {
       .drop("__z")
   }
 
+  /** Hilbert curve distance of (`x`, `y`) in a 2^bits grid — the
+    * jump-free alternative to `zValue`: consecutive key values are always
+    * grid neighbors, so range-partitioned files get tighter bounding
+    * boxes for the same shuffle (better min-max pruning on average; the
+    * LayoutSpec measures both). Codegen'd iterative kernel
+    * ([[graft.expressions.HilbertValue]]); the oracle replays it as a
+    * bits-step recursive CTE. Quantize wider domains first, as with
+    * zValue. */
+  def hilbertValue(x: Column, y: Column, bits: Int = 16): Column =
+    graft.expressions.HilbertValue.hilbertValue(x, y, bits)
+
+  /** `clusterByZ` with the Hilbert key instead of Morton. */
+  def clusterByHilbert(df: DataFrame, xCol: String, yCol: String,
+      nPartitions: Int, bits: Int = 16): DataFrame = {
+    require(nPartitions > 0, s"nPartitions must be positive: $nPartitions")
+    df.withColumn("__h", hilbertValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(nPartitions, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+  }
+
   /** N-column Morton value: bit i of dimension d lands at bit i·N + d, so
     * every dimension's bits are interleaved at stride N — the direct
     * generalization of `zValue` (for N = 2 at 16 bits the two are

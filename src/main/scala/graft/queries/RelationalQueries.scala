@@ -267,6 +267,18 @@ object RelationalQueries {
             bitsPerDim = 8).as("zval"))
         .orderBy("zval", "l_orderkey", "l_linenumber")),
 
+    // Hilbert curve key (8-bit grid) — the jump-free alternative to
+    // Morton: consecutive keys are always grid neighbors, so range files
+    // get tighter bounding boxes. The iterative rotate-accumulate kernel
+    // is replayed by the oracle as an 8-step RECURSIVE CTE.
+    "q_hilbert" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          graft.operators.Layout.hilbertValue(
+            col("p_partkey") % 256, (col("p_size") * 7) % 256, bits = 8)
+            .as("h"))
+        .orderBy("p_partkey")),
+
     // salted two-tier aggregation; decimal input keeps the sum exact and
     // order-independent so the oracle matches bit-for-bit
     "q_salted_agg" -> ((s, dir) =>
@@ -445,6 +457,12 @@ object RelationalQueries {
     // steps per dimension, x on even bits, y odd
     "q_zorder" ->
       """WITH a AS (SELECT l_orderkey, l_linenumber, l_partkey & 65535 AS x0, l_suppkey & 65535 AS y0 FROM lineitem), b AS (SELECT l_orderkey, l_linenumber, (x0 | (x0 << 8)) & 16711935 AS x1, (y0 | (y0 << 8)) & 16711935 AS y1 FROM a), c AS (SELECT l_orderkey, l_linenumber, (x1 | (x1 << 4)) & 252645135 AS x2, (y1 | (y1 << 4)) & 252645135 AS y2 FROM b), d AS (SELECT l_orderkey, l_linenumber, (x2 | (x2 << 2)) & 858993459 AS x3, (y2 | (y2 << 2)) & 858993459 AS y3 FROM c), e AS (SELECT l_orderkey, l_linenumber, (x3 | (x3 << 1)) & 1431655765 AS x4, (y3 | (y3 << 1)) & 1431655765 AS y4 FROM d) SELECT l_orderkey, l_linenumber, x4 | (y4 << 1) AS zval FROM e ORDER BY zval, l_orderkey, l_linenumber""",
+    // the Hilbert kernel's loop replayed as a recursive CTE: each step
+    // reads (rx, ry) off the current (x, y, s), rotates the quadrant, and
+    // accumulates s²·((3rx) xor ry); rows finish at s = 0
+    "q_hilbert" ->
+      """WITH RECURSIVE h AS (SELECT p_partkey AS id, CAST(p_partkey % 256 AS BIGINT) AS x, CAST((p_size * 7) % 256 AS BIGINT) AS y, CAST(0 AS BIGINT) AS d, CAST(128 AS BIGINT) AS s FROM part UNION ALL SELECT id, CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN s - 1 - y ELSE y END) ELSE x END, CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN s - 1 - x ELSE x END) ELSE y END, d + s * s * xor(3 * rx, ry), s // 2 FROM (SELECT id, x, y, d, s, CASE WHEN (x & s) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS rx, CASE WHEN (y & s) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS ry FROM h WHERE s > 0)) SELECT id AS p_partkey, d AS h FROM h WHERE s = 0 ORDER BY p_partkey""",
+
     "q_time_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     "q_stream_enrich" ->

@@ -142,4 +142,53 @@ class LayoutSpec extends SparkSpec {
     assert(touching < files.length / 2,
       s"$touching/${files.length} files overlap y=16 — z-layout not pruning")
   }
+
+  test("hilbertValue: exhaustive bijection + jump-free adjacency on the 16x16 grid") {
+    import graft.expressions.HilbertValue
+    val bits = 4
+    val n = 1 << bits
+    // bijection: all n² cells map to distinct d in [0, n²)
+    val cells = for (x <- 0L until n; y <- 0L until n)
+      yield (x, y, HilbertValue.compute(x, y, bits))
+    assert(cells.map(_._3).sorted == (0L until (n.toLong * n)).toSeq)
+    // the defining property Morton LACKS: consecutive d are ALWAYS
+    // Manhattan-distance-1 neighbors
+    val byD = cells.map(t => t._3 -> ((t._1, t._2))).toMap
+    (0L until (n.toLong * n - 1)).foreach { d =>
+      val (x1, y1) = byD(d)
+      val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // d2xy inverse round-trips
+    cells.foreach { case (x, y, d) =>
+      assert(HilbertValue.d2xy(d, bits) == ((x, y)))
+    }
+    // the Column API agrees with the kernel
+    val viaCol = Seq((3L, 5L), (0L, 0L), (15L, 15L), (7L, 8L)).toDF("x", "y")
+      .select(Layout.hilbertValue(col("x"), col("y"), bits).as("h"))
+      .as[Long].collect()
+    assert(viaCol.toSeq == Seq(
+      HilbertValue.compute(3, 5, bits), HilbertValue.compute(0, 0, bits),
+      HilbertValue.compute(15, 15, bits), HilbertValue.compute(7, 8, bits)))
+  }
+
+  test("clusterByHilbert: bounding boxes at least as tight as Morton's on the grid") {
+    val grid = spark.range(0, 65536).select(
+      (col("id") % 256).cast("int").as("x"),
+      (col("id") / 256).cast("int").as("y"))
+    def areaSum(df: org.apache.spark.sql.DataFrame): Long = df
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max("x") - min("x")).as("ex"), (max("y") - min("y")).as("ey"))
+      .collect().map(r => (r.getInt(1) + 1L) * (r.getInt(2) + 1L)).sum
+    val hilbert = areaSum(Layout.clusterByHilbert(grid, "x", "y", 16, bits = 8))
+    val morton = areaSum(Layout.clusterByZ(grid, "x", "y", 16))
+    // the jump-free curve's per-partition boxes cover no more total area
+    // than Morton's (strictly less when a partition spans a Morton seam)
+    assert(hilbert <= morton,
+      s"hilbert bbox area $hilbert > morton $morton")
+    assert(hilbert <= 3L * 65536,
+      s"hilbert total bbox area $hilbert not compact")
+  }
 }
