@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType, ArrayType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 import graft.functions.VectorFunctions
 
@@ -309,6 +309,126 @@ object Similarity {
       .join(dupOf, Seq("id"), "left")
       .select(col("id").as(idCol), col("cid"), col("dup_of"),
         col("dup_of").isNull.as("is_kept"))
+  }
+
+  /** Product-quantization codebooks: the embedding's `dim` lanes split
+    * into `m` contiguous sub-blocks, each with its own `kc`-centroid
+    * k-means-lite codebook trained on the corpus's sub-vectors (reusing
+    * [[trainCentroids]]'s deterministic trainer per block). Result shape
+    * m × kc × (dim/m); KB-scale at any corpus size — train once on a
+    * sample and persist, like the IVF model. */
+  def trainPqCodebooks(
+      corpus: DataFrame, m: Int, kc: Int, iters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(m >= 1 && kc >= 2, s"need m >= 1 sub-blocks, kc >= 2 centroids: $m, $kc")
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val sub = dim / m
+    (0 until m).toArray.map { b =>
+      trainCentroids(
+        corpus.select(col(idCol), slice(col(vecCol), b * sub + 1, sub).as(vecCol)),
+        kc, iters, idCol, vecCol)
+    }
+  }
+
+  /** PQ-encode a corpus: each vector becomes `m` small codes (nearest
+    * sub-codebook centroid per block — the same codegen'd argmin kernel
+    * as IVF assignment). At kc = 16 that is m·log₂16 bits per vector —
+    * 16× smaller than float32 lanes for m = dim/8 — the representation
+    * the 100 TB similarity tier actually stores and scans. Pure map
+    * (no shuffle); output (idCol, codes). */
+  def pqEncode(corpus: DataFrame, codebooks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    corpus.select(col(idCol),
+      array((0 until m).map(b =>
+        nearestCentroid(slice(col(vecCol), b * sub + 1, sub), codebooks(b))): _*)
+        .as("codes"))
+  }
+
+  /** PQ reconstruction (decode): concatenate each code's centroid — used
+    * by the distortion gate; lossy by design. */
+  def pqReconstruct(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    flatten(zip_with(
+      codes,
+      typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq),
+      (code, book) => element_at(book, code + 1)))
+
+  /** PQ ANN search: asymmetric distance computation + exact rerank. Each
+    * query's m×kc table of squared sub-distances to every codebook
+    * centroid is built DRIVER-side (queries are the small broadcast probe
+    * set, same contract as bruteForceTopK; the table is m·kc doubles per
+    * query), the corpus's CODES stream through one codegen'd `pq_adc`
+    * lookup loop — the corpus's float vectors are only touched for the
+    * `rerankDepth` ADC survivors per query, which the exact-cosine rerank
+    * then orders (the IVF-PQ refinement step). Scale shape: the scan
+    * reads m-byte-scale codes instead of 4·dim-byte vectors, no corpus
+    * shuffle before the rerank join. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      codebooks: Array[Array[Array[Double]]],
+      rerankDepth: Int = 100,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && rerankDepth >= k, s"need rerankDepth >= k >= 1: $rerankDepth, $k")
+    val m = codebooks.length
+    val kc = codebooks(0).length
+    val sub = codebooks(0)(0).length
+    val spark = corpus.sparkSession
+
+    // per-query flattened ADC table: entry b*kc + c = ||q_b - centroid||²
+    val qRows = queries.select(col(idCol), col(vecCol)).collect().map { r =>
+      val qid = r.getLong(0)
+      val v = r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: java.lang.Number => n.doubleValue()
+      }.toArray
+      val table = new Array[Double](m * kc)
+      var b = 0
+      while (b < m) {
+        var c = 0
+        while (c < kc) {
+          var d2 = 0.0
+          var j = 0
+          while (j < sub) {
+            val diff = v(b * sub + j) - codebooks(b)(c)(j)
+            d2 += diff * diff
+            j += 1
+          }
+          table(b * kc + c) = d2
+          c += 1
+        }
+        b += 1
+      }
+      Row(qid, table.toSeq)
+    }
+    val qTables = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*),
+      StructType(Seq(StructField("query_id", LongType, nullable = false),
+        StructField("qtable", ArrayType(DoubleType, containsNull = false), nullable = false))))
+
+    val codes = pqEncode(corpus, codebooks, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val adcW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val shortlist = codes.crossJoin(broadcast(qTables))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", graft.expressions.PqAdc.pqAdc(col("codes"), col("qtable")))
+      .withColumn("adc_rank", row_number().over(adcW))
+      .filter(col("adc_rank") <= rerankDepth)
+      .select("query_id", "neighbor_id")
+
+    val qVec = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    shortlist
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(qVec), Seq("query_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
   /** Embedding near-duplicate pairs: LSH candidates + exact cosine ≥

@@ -91,6 +91,15 @@ object ExtensionQueries {
     ivfModels.computeIfAbsent((dir, nLists, iters), _ =>
       Similarity.trainCentroids(t(s, dir, "embeddings"), nLists, iters))
 
+  /** Session-scoped PQ codebook memo, same contract as ivfModels. */
+  private val pqModels =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Array[Double]]]]()
+
+  private def pqModel(s: SparkSession, dir: String,
+      m: Int, kc: Int): Array[Array[Array[Double]]] =
+    pqModels.computeIfAbsent((dir, m, kc), _ =>
+      Similarity.trainPqCodebooks(t(s, dir, "embeddings"), m, kc, iters = 1))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----------------------------------------------------
     "q_token_count" -> ((s, dir) =>
@@ -886,6 +895,52 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // rows-only: PQ ANN path — the corpus scanned as m-code rows (16×
+    // smaller than float lanes), per-query ADC table lookups, exact
+    // rerank of the shortlist. Codebooks train once per (table, m, kc)
+    // per session (pqModel memo); the recall/distortion gates below share
+    // the same model.
+    "q_embed_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(e.filter(col("vec_id") < 20), e, k = 10,
+          pqModel(s, dir, m = 8, kc = 16), rerankDepth = 100)
+        .orderBy("query_id", "rank")
+    }),
+
+    // PQ recall gate: ADC shortlist + exact rerank vs brute force, same
+    // shape as the LSH/IVF recall gates (training and encoding are
+    // deterministic, so the flag is stable)
+    "q_check_pq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val pq = Similarity.pqTopK(q, e, k = 10,
+          pqModel(s, dir, m = 8, kc = 16), rerankDepth = 100)
+        .select("query_id", "neighbor_id")
+      val brute = Similarity.bruteForceTopK(q, e, k = 10)
+        .select("query_id", "neighbor_id")
+      brute.join(pq.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_brute"),
+          (coalesce(sum(col("hit")), lit(0L)) >=
+            count(lit(1)).cast(DoubleType) * 0.5).as("recall_pass"))
+    }),
+
+    // PQ distortion gate: the encode→decode round trip must preserve
+    // direction — mean cosine(original, reconstruction) over the corpus
+    // clears a floor. Random 64-dim vectors are PQ's worst case (no
+    // correlated structure for the sub-codebooks to exploit), so the
+    // floor is modest; real embedding tables sit far above it.
+    "q_check_pq_distortion" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = pqModel(s, dir, m = 8, kc = 16)
+      Similarity.pqEncode(e, model)
+        .join(e, Seq("vec_id"))
+        .select(col("vec_id"),
+          VF.cosine(col("embedding"),
+            Similarity.pqReconstruct(col("codes"), model)).as("recon_cos"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (avg(col("recon_cos")) >= 0.3).as("distortion_pass"))
+    }),
+
     // IVF recall against exact brute force, same gate shape as
     // q_check_ann_recall (centroid training is deterministic: lowest-id
     // init, rounded Lloyd updates — so sharing the model with
@@ -1043,6 +1098,12 @@ object ExtensionQueries {
       s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
     "q_check_ann_recall" ->
       s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
+
+    "q_check_pq_recall" ->
+      s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
+
+    "q_check_pq_distortion" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs, true AS distortion_pass FROM embeddings""",
 
     "q_tfidf_terms" ->
       s"""WITH terms AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term), df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term), scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, CAST(tf.tf AS DOUBLE) / CAST(df.df + 1 AS DOUBLE) AS score FROM tf JOIN df USING (term)), ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM scored) SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""",

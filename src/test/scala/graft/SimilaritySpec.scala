@@ -141,6 +141,37 @@ class SimilaritySpec extends SparkSpec {
     (0L until 50L).foreach(i => assert(pairs.contains((i, i + 1000L))))
   }
 
+  test("PQ: full-depth rerank equals brute force; codes bounded; reconstruction is centroid concat") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Similarity.trainPqCodebooks(e, m = 8, kc = 16, iters = 1)
+    assert(model.length == 8 && model.forall(_.length == 16) &&
+      model.forall(_.forall(_.length == 8)))
+    // codes in range, deterministic across runs
+    val codes = Similarity.pqEncode(e, model)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+    val again = Similarity.pqEncode(e, model)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1)).toMap
+    assert(again == codes)
+    // reconstruction = concatenation of the chosen centroids
+    val rec = Similarity.pqEncode(e, model)
+      .select($"vec_id", Similarity.pqReconstruct($"codes", model).as("r"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+    codes.foreach { case (id, cs) =>
+      val want = cs.zipWithIndex.flatMap { case (c, b) => model(b)(c) }
+      assert(rec(id) == want.toSeq, s"recon mismatch for $id")
+    }
+    // with rerankDepth >= |corpus| the ADC shortlist covers everything and
+    // the exact rerank makes pqTopK ≡ bruteForceTopK
+    val n = e.count().toInt
+    val q = e.filter($"vec_id" < 5)
+    val pq = Similarity.pqTopK(q, e, k = 10, model, rerankDepth = n)
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    val brute = Similarity.bruteForceTopK(q, e, k = 10)
+      .select("query_id", "rank", "neighbor_id").collect().toSeq
+    assert(pq.toSet == brute.toSet)
+  }
+
   test("semanticDedup: min-id survivor per similar group, cross-cluster pairs never compared") {
     // two well-separated clusters on the axes; centroids put at the axes
     val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
