@@ -162,6 +162,17 @@ object TextFunctions {
         stopHits >= 2L).as("keep"))
   }
 
+  /** CCNet-style normalization for dedup keys: lowercase, strip
+    * punctuation/symbols to spaces, collapse whitespace, trim — so
+    * case/punctuation/spacing variants of the same content share one
+    * exact-dedup key. ASCII fold ([a-z0-9] + whitespace): right for
+    * Latin-script corpora; CJK text needs its own normalizer (these
+    * classes would strip it entirely). Pure codegen'd regexp chain,
+    * replayed verbatim in oracle SQL. */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
   /** Exact-content fingerprint (md5 hex — portable across engines). */
   def fingerprint(text: Column): Column = md5(text)
 

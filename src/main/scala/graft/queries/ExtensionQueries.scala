@@ -540,6 +540,31 @@ object ExtensionQueries {
           shingleN = 3, minJaccard = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // normalization-robust exact dedup: dirty twins (uppercased,
+    // punctuation-injected) collapse onto their source's group once keys
+    // are normalized — every group has exactly 2 copies with the original
+    // as keeper, which the oracle replays with the same regexp chain
+    "q_normalized_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val dirty = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(upper(col("text")), lit(" !!")).as("text"))
+      Dedup.exactDupGroups(
+          docs.union(dirty)
+            .select(col("doc_id"), TF.normalizeForDedup(col("text")).as("text")),
+          "doc_id", "text")
+        .orderBy("content_hash")
+    }),
+
+    // corpus mixture report: docs/tokens per (source, lang) with rollup
+    // subtotals — the dashboard query behind mixture decisions; one
+    // shuffle (grouping sets expand map-side)
+    "q_corpus_report" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_tokens", TF.tokenCount(col("text")).cast(LongType))
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)),
+
     // incremental ingest dedup: a new batch (mutated twins of the
     // reference + token-salted genuinely-new docs) flagged against the
     // reference corpus's persisted-shape signature table. Rows-only
@@ -1094,6 +1119,12 @@ object ExtensionQueries {
 
     "q_check_incremental_dedup" ->
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents WHERE doc_id < 1000), p AS (SELECT doc_id, ${shingleSql("t")} AS so, ${shingleSql("tm")} AS sm FROM (SELECT doc_id, t, t[2:] AS tm FROM toks)) SELECT CAST((SELECT count(*) FROM toks) AS BIGINT) AS n_salted, true AS all_salted_new, (SELECT count(*) FROM p WHERE CAST(len(list_intersect(so, sm)) AS DOUBLE) / CAST(len(so) + len(sm) - len(list_intersect(so, sm)) AS DOUBLE) >= 0.9) AS n_planted, true AS recall_pass, CAST(0 AS BIGINT) AS n_precision_violations""",
+
+    "q_normalized_dedup" ->
+      """WITH u AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, upper(text) || ' !!' FROM documents), n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM u) SELECT md5(t) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies FROM n GROUP BY 1 ORDER BY content_hash""",
+
+    "q_corpus_report" ->
+      s"""SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(len($tokensSql)) AS BIGINT) AS n_tokens FROM documents GROUP BY ROLLUP (source, lang) ORDER BY source NULLS FIRST, lang NULLS FIRST""",
     "q_check_ann_ivf_recall" ->
       s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
     "q_check_ann_recall" ->

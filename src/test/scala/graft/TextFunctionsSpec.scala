@@ -151,6 +151,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(4) == ("mixed: <EMAIL> from <IP> dial <PHONE>", 1, 1, 1))
   }
 
+  test("normalizeForDedup: case/punct/spacing variants share one key; clean text unchanged") {
+    val rows = Seq(
+      "The  quick,   brown FOX!",
+      "the quick brown fox",
+      "THE QUICK BROWN FOX?!?",
+      "  the\tquick\nbrown fox  ",
+      "a different document").toDF("text")
+      .select(TF.normalizeForDedup($"text").as("n")).as[String].collect()
+    assert(rows.take(4).toSet == Set("the quick brown fox"))
+    assert(rows(4) == "a different document")
+  }
+
   test("native WindowMd5 matches the transform/slice/concat_ws formulation bit for bit") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(TF.tokens($"text").as("toks"))
