@@ -431,6 +431,107 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** IVF-PQ search — the composition production ANN actually runs (the
+    * FAISS IVFPQ shape): IVF probing restricts the scan to
+    * ~nProbe/nLists of the corpus, PQ codes make the scanned rows
+    * m-byte-scale, ADC scores them with one codegen'd lookup loop, and
+    * the exact rerank fixes both approximations' ordering errors within
+    * the shortlist. Models (centroids + codebooks) are KB-scale,
+    * trained once and persisted.
+    *
+    * Plan: corpus → one pass computing (cid, codes) (two literal-model
+    * argmins, no shuffle) → broadcast-join the (query, cid) probe set →
+    * ADC + per-query top-rerankDepth window → vector rejoin + exact
+    * cosine rerank. The corpus's float vectors are touched only for
+    * shortlist members. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int, rerankDepth: Int = 100,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nLists = centroids.length
+    require(nProbe > 0 && nProbe <= nLists, s"nProbe must be in [1, $nLists]: $nProbe")
+    require(k >= 1 && rerankDepth >= k, s"need rerankDepth >= k >= 1: $rerankDepth, $k")
+    val m = codebooks.length
+    val kc = codebooks(0).length
+    val sub = codebooks(0)(0).length
+    val spark = corpus.sparkSession
+
+    // probe set: per query, the nProbe nearest lists (same derivation as
+    // ivfTopK) — plus the query's ADC table, built driver-side from the
+    // collected probe vectors (the small-broadcast contract)
+    val qRows = queries.select(col(idCol), col(vecCol)).collect().map { r =>
+      val qid = r.getLong(0)
+      val v = r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: java.lang.Number => n.doubleValue()
+      }.toArray
+      val table = new Array[Double](m * kc)
+      var b = 0
+      while (b < m) {
+        var c = 0
+        while (c < kc) {
+          var d2 = 0.0
+          var j = 0
+          while (j < sub) {
+            val diff = v(b * sub + j) - codebooks(b)(c)(j)
+            d2 += diff * diff
+            j += 1
+          }
+          table(b * kc + c) = d2
+          c += 1
+        }
+        b += 1
+      }
+      val lists = centroids.indices.map { ci =>
+        var d2 = 0.0
+        var j = 0
+        while (j < v.length) {
+          val diff = v(j) - centroids(ci)(j)
+          d2 += diff * diff
+          j += 1
+        }
+        (d2, ci)
+      }.sorted.take(nProbe).map(_._2)
+      lists.map(ci => Row(qid, ci, table.toSeq))
+    }
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(qRows.flatten: _*),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("cid", IntegerType, nullable = false),
+        StructField("qtable", ArrayType(DoubleType, containsNull = false), nullable = false))))
+
+    val sub0 = codebooks(0)(0).length
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      nearestCentroid(col(vecCol), centroids).as("cid"),
+      array((0 until m).map(b =>
+        nearestCentroid(slice(col(vecCol), b * sub0 + 1, sub0), codebooks(b))): _*)
+        .as("codes"))
+
+    val adcW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val shortlist = coded.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", graft.expressions.PqAdc.pqAdc(col("codes"), col("qtable")))
+      .withColumn("adc_rank", row_number().over(adcW))
+      .filter(col("adc_rank") <= rerankDepth)
+      .select("query_id", "neighbor_id")
+
+    val qVec = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    shortlist
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(qVec), Seq("query_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Embedding near-duplicate pairs: LSH candidates + exact cosine ≥
     * threshold. The all-pairs analogue of lshTopK for corpus self-dedup. */
   def embeddingNearDupPairs(

@@ -966,6 +966,35 @@ object ExtensionQueries {
           (avg(col("recon_cos")) >= 0.3).as("distortion_pass"))
     }),
 
+    // rows-only: IVF-PQ — the composed production path (probe nProbe
+    // lists, ADC over m-byte codes inside them, exact rerank); shares the
+    // session-memoized IVF and PQ models with the standalone paths
+    "q_embed_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 20), e, k = 10,
+          ivfModel(s, dir, nLists = 16, iters = 1),
+          pqModel(s, dir, m = 8, kc = 16), nProbe = 8, rerankDepth = 100)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ recall gate vs brute force (both approximations composed,
+    // so the floor sits below the standalone gates'; deterministic models
+    // make the flag stable)
+    "q_check_ivfpq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val ann = Similarity.ivfPqTopK(q, e, k = 10,
+          ivfModel(s, dir, nLists = 16, iters = 1),
+          pqModel(s, dir, m = 8, kc = 16), nProbe = 8, rerankDepth = 100)
+        .select("query_id", "neighbor_id")
+      val brute = Similarity.bruteForceTopK(q, e, k = 10)
+        .select("query_id", "neighbor_id")
+      brute.join(ann.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_brute"),
+          (coalesce(sum(col("hit")), lit(0L)) >=
+            count(lit(1)).cast(DoubleType) * 0.4).as("recall_pass"))
+    }),
+
     // IVF recall against exact brute force, same gate shape as
     // q_check_ann_recall (centroid training is deterministic: lowest-id
     // init, rounded Lloyd updates — so sharing the model with
@@ -1131,6 +1160,9 @@ object ExtensionQueries {
       s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
 
     "q_check_pq_recall" ->
+      s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
+
+    "q_check_ivfpq_recall" ->
       s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
 
     "q_check_pq_distortion" ->

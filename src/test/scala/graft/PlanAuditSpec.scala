@@ -20,6 +20,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_embed_topk", "q_embed_ann_lsh", "q_embed_ann_ivf",
     "q_check_ann_recall", "q_check_ann_ivf_recall",
     "q_embed_pq", "q_check_pq_recall", // ADC: codes × broadcast query tables
+    "q_check_ivfpq_recall", // brute-force arm of the recall gate
     "q_jaccard_words", "q_embed_cosine",
     "q_bm25_topk", "q_bm25_batch", "q_check_bm25_batch",
     "q_check_heavy_hitters") // single-row broadcast n_total frame

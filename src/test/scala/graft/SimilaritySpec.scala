@@ -172,6 +172,25 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.toSet == brute.toSet)
   }
 
+  test("ivfPqTopK: probing every list at full depth equals brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.trainCentroids(e, nLists = 4, iters = 1)
+    val books = Similarity.trainPqCodebooks(e, m = 8, kc = 16, iters = 1)
+    val n = e.count().toInt
+    val q = e.filter($"vec_id" < 5)
+    val full = Similarity.ivfPqTopK(q, e, k = 10, cents, books,
+        nProbe = 4, rerankDepth = n)
+      .select("query_id", "rank", "neighbor_id").collect().toSet
+    val brute = Similarity.bruteForceTopK(q, e, k = 10)
+      .select("query_id", "rank", "neighbor_id").collect().toSet
+    assert(full == brute)
+    // partial probing returns a valid, exactly-reranked subset shape
+    val part = Similarity.ivfPqTopK(q, e, k = 10, cents, books,
+      nProbe = 2, rerankDepth = 50)
+    val ranks = part.groupBy("query_id").count().collect()
+    assert(ranks.forall(_.getLong(1) <= 10))
+  }
+
   test("semanticDedup: min-id survivor per similar group, cross-cluster pairs never compared") {
     // two well-separated clusters on the axes; centroids put at the axes
     val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
