@@ -126,8 +126,8 @@ object Main {
     // redact -> score -> filter -> exact dedup -> split -> pack manifest.
     // Writes parquet: <outDir>/documents (curated + split) and
     // <outDir>/pack-manifest (train-split context-window map).
-    case "corpus" :: rest if rest.filterNot(
-        f => f == "--near-dup" || f == "--gopher" || f.startsWith("--cap=")).length == 2 =>
+    case "corpus" :: rest if rest.filterNot(f => f == "--near-dup" ||
+        f == "--gopher" || f.startsWith("--cap=") || f.startsWith("--budget=")).length == 2 =>
       val nearDup = rest.contains("--near-dup")
       val gopher = rest.contains("--gopher")
       // --cap=<col>:<n> caps every value of <col> (e.g. lang, url) at n
@@ -138,14 +138,24 @@ object Main {
           case other => sys.error(s"--cap expects <col>:<n>, got: ${other.mkString(":")}")
         }
       }
-      val (in :: out :: Nil) = rest.filterNot(
-        f => f == "--near-dup" || f == "--gopher" || f.startsWith("--cap=")): @unchecked
+      // --budget=<col>:<tokens> spends at most <tokens> tokens per value
+      // of <col> — Sampling.tokenBudget via the curate stage
+      val budget = rest.find(_.startsWith("--budget=")).map { f =>
+        f.stripPrefix("--budget=").split(":", 2) match {
+          case Array(c, n) if n.toLongOption.exists(_ > 0) =>
+            (c, Map.empty[String, Long], n.toLong)
+          case other => sys.error(s"--budget expects <col>:<tokens>, got: ${other.mkString(":")}")
+        }
+      }
+      val (in :: out :: Nil) = rest.filterNot(f => f == "--near-dup" ||
+        f == "--gopher" || f.startsWith("--cap=") || f.startsWith("--budget=")): @unchecked
       val spark = session("graft-corpus")
       val curated = graft.operators.CorpusPipeline.curate(
         Sources.readJsonl(spark, in),
         nearDupMaxHamming = if (nearDup) Some(3) else None,
         gopherRules = gopher,
-        sourceCap = cap)
+        sourceCap = cap,
+        tokenBudgets = budget)
       curated.documents.write.mode("overwrite").parquet(s"$out/documents")
       curated.packManifest.write.mode("overwrite").parquet(s"$out/pack-manifest")
       println(s"curated: ${spark.read.parquet(s"$out/documents").count()} docs, " +
@@ -214,7 +224,7 @@ object Main {
            |  graft.Main annotate <effectsTsv> <genesTsv> <outDir>
            |  graft.Main complete [--force] <gvf|url> <gtf|url> <outDir>
            |  graft.Main complete [--force] <hg38|mm10> <outDir>
-           |  graft.Main corpus   [--near-dup] [--gopher] [--cap=<col>:<n>] <in.jsonl|dir> <outDir>
+           |  graft.Main corpus   [--near-dup] [--gopher] [--cap=<col>:<n>] [--budget=<col>:<tokens>] <in.jsonl|dir> <outDir>
            |  graft.Main search   <documentsParquetDir> <k> <term> [term...]
            |  graft.Main compact  <parquetDir> [targetFileMB]
            |  graft.Main run      <config.properties> [<gvf|url> <gtf|url>]""".stripMargin)
