@@ -174,9 +174,11 @@ object CorpusPipeline {
     import java.nio.file.{Files, Paths}
     val commit = (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      val hasTable = Files.exists(Paths.get(sigDir)) &&
-        Files.list(Paths.get(sigDir)).iterator().asScala
-          .exists(_.getFileName.toString.endsWith(".parquet"))
+      val hasTable = Files.exists(Paths.get(sigDir)) && {
+        val ls = Files.list(Paths.get(sigDir))
+        try ls.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+        finally ls.close()
+      }
       val fresh =
         if (!hasTable) batch
         else Dedup.minhashDedupAgainst(batch, spark.read.parquet(sigDir),

@@ -101,7 +101,12 @@ object Sampling {
     * exchange at all. The input is scanned twice (once per branch), which
     * at 100 TB is two column-pruned parquet reads vs. shuffling the entire
     * corpus through one WindowExec; persist `df` first if its lineage is
-    * expensive instead of a scan. */
+    * expensive instead of a scan.
+    *
+    * Rows with a NULL group value are always kept wholesale (equi-join
+    * semantics: a null key never matches the over-cap set) — coalesce the
+    * group column to a sentinel first if the null group must be capped
+    * too. Same contract in [[tokenBudget]]. */
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
       maxPerGroup: Int): DataFrame = {
     require(maxPerGroup > 0, s"maxPerGroup must be positive: $maxPerGroup")
