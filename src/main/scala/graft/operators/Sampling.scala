@@ -96,9 +96,12 @@ object Sampling {
     *
     * Scale shape (the point of the two-branch plan): group sizes come from
     * one map-side-combined count agg; only rows of OVER-cap groups pay the
-    * rank window's shuffle+sort. Under-cap rows — in a web corpus, almost
-    * all domains — flow scan → broadcast-hash anti-probe → out with NO
-    * exchange at all. The input is scanned twice (once per branch), which
+    * rank window's shuffle+sort — and Catalyst's WindowGroupLimit pushes
+    * the `<= maxPerGroup` rank filter BELOW that exchange (plan-verified),
+    * so each input partition ships at most maxPerGroup rows per group.
+    * Under-cap rows — in a web corpus, almost all domains — flow scan →
+    * broadcast-hash anti-probe → out with NO exchange at all. The input is
+    * scanned twice (once per branch), which
     * at 100 TB is two column-pruned parquet reads vs. shuffling the entire
     * corpus through one WindowExec; persist `df` first if its lineage is
     * expensive instead of a scan.
