@@ -1,11 +1,9 @@
 package graft.io
 
 import java.io.{BufferedInputStream, BufferedOutputStream}
-import java.nio.file.{Files, Path, Paths}
 
-import scala.jdk.CollectionConverters._
-
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** TSV sinks matching the reference's writer conventions (SURVEY.md §2.2).
   *
@@ -21,8 +19,47 @@ import org.apache.spark.sql.DataFrame
   * the reference's single-file outputs on small data; for 100 GB-class
   * outputs, partitioned write + out-of-engine concat is the right call
   * (SURVEY.md §7.5.7).
+  *
+  * Every file-level maintenance op here (markers, listings, concat,
+  * compaction swaps) goes through `org.apache.hadoop.fs.FileSystem`
+  * resolved from the path's scheme + the session's Hadoop configuration —
+  * the same code path works on driver-local disk (`file:`, what the tests
+  * exercise), HDFS, and S3A. Object-store caveat: on S3-style stores
+  * `rename` is a server-side COPY + DELETE, not a metadata move — it is
+  * neither atomic nor O(1), so the compaction swap's non-atomic window
+  * (documented at `compactParquet`) widens from milliseconds to
+  * proportional-to-bytes, and the single-owner contract matters even more
+  * there. HDFS renames are atomic per-directory, making the swap window the
+  * instant between the two renames.
   */
 object Sinks {
+
+  /** Resolve the FileSystem owning `path` from the session's Hadoop conf —
+    * `file:`, `hdfs:`, `s3a:` all dispatch off the path scheme (a bare path
+    * resolves against `fs.defaultFS`). */
+  private def fsFor(spark: SparkSession, path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def renameOrFail(fs: FileSystem, src: HPath, dst: HPath): Unit =
+    require(fs.rename(src, dst), s"rename failed: $src -> $dst")
+
+  private def readUtf8(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def writeUtf8(fs: FileSystem, p: HPath, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
 
   private def tsvWriter(df: DataFrame) =
     df.write
@@ -81,30 +118,42 @@ object Sinks {
     * compaction's. */
   def appendBatchIdempotent(batch: DataFrame, dir: String, batchId: Long,
       partitionBy: Seq[String] = Nil): Boolean = {
-    val marker = Paths.get(dir, ".graft_last_batch")
+    val (fs, _) = fsFor(batch.sparkSession, dir)
+    val marker = new HPath(dir, ".graft_last_batch")
     val last =
-      if (Files.exists(marker))
-        new String(Files.readAllBytes(marker), "UTF-8").trim.toLong
+      if (fs.exists(marker)) readUtf8(fs, marker).trim.toLong
       else -1L
     if (batchId <= last) false
     else {
       val w = batch.write.mode("append")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(dir)
-      Files.write(marker, batchId.toString.getBytes("UTF-8"))
+      writeUtf8(fs, marker, batchId.toString)
       true
     }
   }
 
   /** Parquet files under `root`, excluding dot-prefixed (in-flight
     * compaction tmp/retired) subtrees. */
-  private def countParquetFiles(root: Path): Int =
-    if (!Files.exists(root)) 0
-    else Files.walk(root).iterator().asScala.count { p =>
-      p.getFileName.toString.endsWith(".parquet") &&
-        !root.relativize(p).iterator().asScala
-          .exists(_.toString.startsWith("."))
+  private def countParquetFiles(fs: FileSystem, root: HPath): Int = {
+    if (!fs.exists(root)) return 0
+    val qualifiedRoot = fs.makeQualified(root)
+    val it = fs.listFiles(root, true)
+    var n = 0
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) {
+        var hidden = false
+        var cur = p.getParent
+        while (cur != null && fs.makeQualified(cur) != qualifiedRoot) {
+          if (cur.getName.startsWith(".")) hidden = true
+          cur = cur.getParent
+        }
+        if (!hidden) n += 1
+      }
     }
+    n
+  }
 
   /** The streaming maintenance loop: a foreachBatch parquet sink that
     * keeps its own directory healthy — append the microbatch (idempotent
@@ -130,11 +179,11 @@ object Sinks {
     require(maxFiles > 0, s"maxFiles must be positive: $maxFiles")
     val commit = (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
+      val (fs, root) = fsFor(spark, dir)
       if (appendBatchIdempotent(batch, dir, batchId, partitionBy) &&
-          countParquetFiles(Paths.get(dir)) > maxFiles) {
+          countParquetFiles(fs, root) > maxFiles) {
         compactParquet(spark, dir, targetFileBytes)
-        Files.write(Paths.get(dir, ".graft_last_batch"),
-          batchId.toString.getBytes("UTF-8"))
+        writeUtf8(fs, new HPath(dir, ".graft_last_batch"), batchId.toString)
       }
       spark.catalog.refreshByPath(dir)
       refreshTable.foreach(spark.catalog.refreshTable)
@@ -151,23 +200,24 @@ object Sinks {
     * the part files (in part order) keeping one header — the reference's
     * consolidation design (eggv/dfio.py:22-60), which preserves full write
     * parallelism where `coalesce(1)` funnels the entire dataset through
-    * one task. The concat is a sequential byte copy: IO-bound, no
-    * parsing, no memory proportional to data size. Byte-identical to
-    * `writeSingleTsv` on the same DataFrame (coalesce(1) also merges
-    * partitions in order). Returns `outFile`. */
+    * one task. The concat is a sequential byte copy through the Hadoop
+    * FileSystem streams: IO-bound, no parsing, no memory proportional to
+    * data size, and it works against whatever store owns `outFile`'s
+    * scheme. Byte-identical to `writeSingleTsv` on the same DataFrame
+    * (coalesce(1) also merges partitions in order). Returns `outFile`. */
   def consolidateTsv(df: DataFrame, outFile: String): String = {
     val partsDir = outFile + ".parts"
     writeTsv(df, partsDir)
-    val parts = Files.list(Paths.get(partsDir)).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .toSeq.sortBy(_.getFileName.toString)
-    val outPath = Paths.get(outFile)
-    if (outPath.getParent != null) Files.createDirectories(outPath.getParent)
-    val out = new BufferedOutputStream(Files.newOutputStream(outPath))
+    val (fs, outPath) = fsFor(df.sparkSession, outFile)
+    val parts = fs.listStatus(new HPath(partsDir)).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+      .sortBy(_.getName)
+    val out = new BufferedOutputStream(fs.create(outPath, true))
     try {
       var first = true
       for (part <- parts) {
-        val in = new BufferedInputStream(Files.newInputStream(part))
+        val in = new BufferedInputStream(fs.open(part))
         try {
           if (!first) { // skip this part's header line
             var b = in.read()
@@ -180,14 +230,8 @@ object Sinks {
         first = false
       }
     } finally out.close()
-    deleteRecursively(Paths.get(partsDir))
+    fs.delete(new HPath(partsDir), true)
     outFile
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
-    Files.deleteIfExists(p)
   }
 
   /** Parquet sink — the scale-path output format (columnar, statistics,
@@ -222,16 +266,19 @@ object Sinks {
     * only ever merges). Each leaf swap is tmp-write → retire old → move
     * in: two renames, NOT atomic — a concurrent reader listing the leaf in
     * the instant between them sees it missing, and a reader that resolved
-    * file paths before the swap sees deleted files. Run it as the
-    * ingest's own maintenance step (single-owner dirs, like the
-    * reference's); tmp/retired dirs are dot-prefixed so Spark readers
-    * never list them as data. Returns the new total file count across all
-    * compacted leaves. */
-  def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+    * file paths before the swap sees deleted files. On HDFS each rename is
+    * an atomic metadata op (the window is the gap between the two); on S3
+    * "rename" is copy+delete, so the window is proportional to leaf bytes
+    * — run it as the ingest's own maintenance step (single-owner dirs,
+    * like the reference's). Tmp/retired dirs are dot-prefixed so Spark
+    * readers never list them as data. Returns the new total file count
+    * across all compacted leaves. */
+  def compactParquet(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
-    val leaves = parquetLeaves(Paths.get(dir))
-    if (leaves.size <= 1) leaves.map(compactLeaf(spark, _, targetFileBytes)).sum
+    val (fs, root) = fsFor(spark, dir)
+    val leaves = parquetLeaves(fs, root)
+    if (leaves.size <= 1) leaves.map(compactLeaf(spark, fs, _, targetFileBytes)).sum
     else {
       // overlap leaf jobs; cap the driver pool — each job's tasks already
       // fan out to the cluster, the pool only hides job-submit latency
@@ -241,7 +288,7 @@ object Sinks {
       val pool = Executors.newFixedThreadPool(math.min(leaves.size, 8))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try Await.result(
-        Future.sequence(leaves.map(l => Future(compactLeaf(spark, l, targetFileBytes)))),
+        Future.sequence(leaves.map(l => Future(compactLeaf(spark, fs, l, targetFileBytes)))),
         Duration.Inf).sum
       finally pool.shutdownNow()
     }
@@ -249,39 +296,40 @@ object Sinks {
 
   /** Leaf dirs holding parquet files under `root`, descending through
     * `key=value` partition dirs only. Rejects mixed layouts. */
-  private def parquetLeaves(root: Path): Seq[Path] = {
-    val entries = Files.list(root).iterator().asScala.toSeq
-    val partDirs = entries.filter(p =>
-      Files.isDirectory(p) && p.getFileName.toString.matches("[^=]+=.*"))
-    val hasFiles = entries.exists(_.getFileName.toString.endsWith(".parquet"))
+  private def parquetLeaves(fs: FileSystem, root: HPath): Seq[HPath] = {
+    if (!fs.exists(root)) return Nil
+    val entries = fs.listStatus(root).toSeq
+    val partDirs = entries.filter(st =>
+      st.isDirectory && st.getPath.getName.matches("[^=]+=.*"))
+    val hasFiles = entries.exists(_.getPath.getName.endsWith(".parquet"))
     if (partDirs.isEmpty) if (hasFiles) Seq(root) else Nil
     else {
       require(!hasFiles,
         s"mixed layout under $root: top-level parquet files alongside partition " +
-          s"dir ${partDirs.head.getFileName} — compact the halves separately")
-      partDirs.flatMap(parquetLeaves)
+          s"dir ${partDirs.head.getPath.getName} — compact the halves separately")
+      partDirs.flatMap(st => parquetLeaves(fs, st.getPath))
     }
   }
 
   /** Rewrite one flat dir of parquet files to its byte-budget file count
     * and swap it in (two renames — see compactParquet's contract). */
-  private def compactLeaf(spark: org.apache.spark.sql.SparkSession, source: Path,
+  private def compactLeaf(spark: SparkSession, fs: FileSystem, source: HPath,
       targetFileBytes: Long): Int = {
-    val totalBytes = Files.list(source).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).map(Files.size).sum
+    val totalBytes = fs.listStatus(source).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val parent = source.toAbsolutePath.getParent
-    val tmp = parent.resolve(s".${source.getFileName}.compact-tmp")
-    deleteRecursively(tmp)
+    val parent = fs.makeQualified(source).getParent
+    val tmp = new HPath(parent, s".${source.getName}.compact-tmp")
+    fs.delete(tmp, true)
     // reading the leaf directly sees exactly the file-body schema (no
     // inferred partition columns), so the rewrite is layout-neutral
     spark.read.parquet(source.toString).coalesce(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    val retired = parent.resolve(s".${source.getFileName}.compact-old")
-    deleteRecursively(retired)
-    Files.move(source, retired)
-    Files.move(tmp, source)
-    deleteRecursively(retired)
+    val retired = new HPath(parent, s".${source.getName}.compact-old")
+    fs.delete(retired, true)
+    renameOrFail(fs, fs.makeQualified(source), retired)
+    renameOrFail(fs, tmp, fs.makeQualified(source))
+    fs.delete(retired, true)
     nFiles
   }
 

@@ -1,7 +1,5 @@
 package graft.operators
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -153,44 +151,80 @@ object CorpusPipeline {
     * handles everything older) is flagged against the corpus's
     * accumulated MinHash signature table, only the genuinely-new docs are
     * appended, and THEIR signatures join the table for the next batch —
-    * so the reference side grows as KB-scale signatures, never as
-    * re-tokenized text. First batch (no table yet) passes wholesale.
+    * so no batch ever re-tokenizes the accumulated corpus (the signature
+    * table itself is text-order-sized: its shingle-hash arrays feed the
+    * exact verify — see minhashSignatureTable's storage note). First
+    * batch (no table yet) passes wholesale.
+    *
+    * The PROBE is index-shaped: a (doc_id, band, bucket) bucket table
+    * ([[Dedup.minhashBucketTable]]) is maintained at `sigDir + ".buckets"`
+    * and each batch joins its own buckets against the PRE-BUILT index
+    * instead of re-exploding the whole signature table — per-batch cost
+    * is O(batch + matching buckets + one signature-table verify probe),
+    * not O(corpus bands). A signature table that predates the index (or
+    * lost it) is backfilled once, inside the commit, before the probe.
     *
     * Idempotency: the doc append reuses the batch-marker contract
-    * (`Sinks.appendBatchIdempotent`), and the signature append happens
-    * only when the doc append really ran, so a replayed batch touches
-    * neither. A crash BETWEEN doc and signature append leaves the docs
-    * present but unindexed — later twins of exactly those docs can slip
-    * through (dedup weakens, data never corrupts); closing that needs an
-    * atomic two-dir commit, a table format's job. Single-writer contract.
+    * (`Sinks.appendBatchIdempotent`), and the signature + bucket appends
+    * happen only when the doc append really ran, so a replayed batch
+    * touches none of the three dirs. A crash BETWEEN doc append and the
+    * index appends leaves the docs present but unindexed — later twins of
+    * exactly those docs can slip through (dedup weakens, data never
+    * corrupts); closing that needs an atomic multi-dir commit, a table
+    * format's job. Single-writer contract. Every batch's caches
+    * (batch signatures, the fresh survivors) are unpersisted at the end
+    * of the commit — a long-running query holds no growing cache.
     *
     * (k, bands, shingleN, minJaccard) are pinned per corpus — changing
-    * them invalidates the accumulated table (see minhashDedupAgainst). */
+    * them invalidates the accumulated table AND index (see
+    * minhashDedupAgainst). */
   def writeStreamIncrementalDedup(curated: DataFrame, corpusDir: String,
       sigDir: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 64, bands: Int = 16, shingleN: Int = 3,
       minJaccard: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
-    import java.nio.file.{Files, Paths}
+    import org.apache.hadoop.fs.{Path => HPath}
+    val bucketDir = sigDir + ".buckets"
     val commit = (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      val hasTable = Files.exists(Paths.get(sigDir)) && {
-        val ls = Files.list(Paths.get(sigDir))
-        try ls.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
-        finally ls.close()
+      // Hadoop FS, not java.nio: sigDir may live on HDFS/S3 — a local-only
+      // probe would report "no table" forever and silently disable dedup
+      val fs = new HPath(sigDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def hasParquet(dir: String): Boolean = {
+        val p = new HPath(dir)
+        fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
       }
+      val hasTable = hasParquet(sigDir)
+      val batchSigs = Dedup
+        .minhashSignatureTable(batch, idCol, textCol, k, shingleN)
+        .persist() // probe buckets + verify side + post-append sig write
       val fresh =
         if (!hasTable) batch
-        else Dedup.minhashDedupAgainst(batch, spark.read.parquet(sigDir),
-            idCol, textCol, k, bands, shingleN, minJaccard)
-          .filter(col("is_new")).drop("dup_of_ref", "is_new")
-      val freshP = fresh.persist() // feeds the doc append AND the sig append
+        else {
+          if (!hasParquet(bucketDir)) // pre-index table: backfill once
+            Dedup.minhashBucketTable(spark.read.parquet(sigDir), k, bands)
+              .write.mode("overwrite").parquet(bucketDir)
+          Dedup.minhashDedupAgainst(batch, spark.read.parquet(sigDir),
+              idCol, textCol, k, bands, shingleN, minJaccard,
+              batchSigs = Some(batchSigs),
+              refBuckets = Some(spark.read.parquet(bucketDir)))
+            .filter(col("is_new")).drop("dup_of_ref", "is_new")
+        }
+      val freshP = fresh.persist() // feeds the doc append AND the index appends
       if (graft.io.Sinks.appendBatchIdempotent(freshP, corpusDir, batchId)) {
-        Dedup.minhashSignatureTable(freshP, idCol, textCol, k, shingleN)
-          .write.mode("append").parquet(sigDir)
+        val freshSigs = batchSigs.join(
+          freshP.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
+          .persist() // sig append + bucket append
+        freshSigs.write.mode("append").parquet(sigDir)
+        Dedup.minhashBucketTable(freshSigs, k, bands)
+          .write.mode("append").parquet(bucketDir)
+        freshSigs.unpersist()
         spark.catalog.refreshByPath(sigDir)
+        spark.catalog.refreshByPath(bucketDir)
       }
       freshP.unpersist()
+      batchSigs.unpersist()
       spark.catalog.refreshByPath(corpusDir)
       ()
     }

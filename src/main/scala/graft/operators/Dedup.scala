@@ -174,8 +174,13 @@ object Dedup {
   /** The (doc_id, hs, sig) MinHash signature frame `minhashNearDupPairs`
     * stages internally, as a public table: persist it to parquet for a
     * curated corpus and every future ingest batch dedups against the
-    * SIGNATURES (KB per doc) instead of re-tokenizing the corpus — the
-    * signature-table analogue of `Similarity.saveCentroids`. */
+    * persisted frame instead of re-tokenizing the corpus — the
+    * signature-table analogue of `Similarity.saveCentroids`. Storage
+    * honesty: `hs` (the full shingle-hash array, ~8 bytes per token) is the
+    * same order of magnitude as the text itself — the win is NOT a smaller
+    * table; it is skipping re-tokenization every batch and enabling the
+    * two-sided bucket join (`minhashDedupAgainst`), whose exact-verify
+    * stage genuinely needs `hs`. */
   def minhashSignatureTable(df: DataFrame, idCol: String, textCol: String,
       k: Int = 64, shingleN: Int = 3): DataFrame = df
     .select(col(idCol).as("doc_id"),
@@ -183,6 +188,22 @@ object Dedup {
     .withColumn("hs", TextFunctions.shingleHashesFrom(col("th"), shingleN))
     .select(col("doc_id"), col("hs"),
       minhashSignatureFromHashes(col("hs"), k).as("sig"))
+
+  /** LSH band-bucket table of a [[minhashSignatureTable]] frame: one
+    * (doc_id, band, bucket) row per band per doc — the signature table's
+    * companion INDEX. Persist it to parquet next to the signatures and
+    * `minhashDedupAgainst` probes the pre-built buckets instead of
+    * re-exploding the whole signature table every batch: per-batch cost
+    * becomes O(batch + matching buckets), flat in corpus lifetime instead
+    * of growing with the accumulated table's explode. (k, bands) must
+    * match the signature table's parameters — same pinning contract. */
+  def minhashBucketTable(sigs: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"signature length k=$k must be a positive multiple of bands=$bands")
+    sigs
+      .select(col("doc_id"), explode(bandBuckets(col("sig"), bands, k / bands)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
 
   /** Incremental near-dup dedup: flag every document of a NEW batch that
     * near-duplicates the REFERENCE corpus — the growing-corpus operation
@@ -201,21 +222,33 @@ object Dedup {
     * (k, bands, shingleN) must match the persisted table's parameters —
     * mismatched signatures bucket differently and silently flag nothing;
     * store the parameters next to the table (path naming or a sidecar)
-    * the way the centroid model does. */
+    * the way the centroid model does.
+    *
+    * `refBuckets`: pass the persisted [[minhashBucketTable]] index and the
+    * reference side skips its per-batch band explode entirely — the probe
+    * reads the pre-built (band, bucket) rows, so per-batch cost stops
+    * growing with corpus lifetime (the explode otherwise re-runs over the
+    * whole accumulated table each batch). `batchSigs`: pass a
+    * pre-computed (and pre-persisted) [[minhashSignatureTable]] of the
+    * batch and the caller owns its cache lifecycle — the right call from
+    * per-microbatch loops, where the internal persist taken when this is
+    * None would otherwise accumulate cached blocks for the session
+    * (`writeStreamIncrementalDedup` does exactly this and unpersists at
+    * the end of each commit). */
   def minhashDedupAgainst(
       batch: DataFrame, refSigs: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8,
+      batchSigs: Option[DataFrame] = None,
+      refBuckets: Option[DataFrame] = None): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"signature length k=$k must be a positive multiple of bands=$bands")
-    val rowsPerBand = k / bands
-    val b = minhashSignatureTable(batch, idCol, textCol, k, shingleN)
-      .persist(StorageLevel.MEMORY_AND_DISK) // buckets + verify probe
-    def bucketed(s: DataFrame) = s
-      .select(col("doc_id"), explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    val candidates = bucketed(b).repartition(shufflePartitions(batch)).as("n")
-      .join(bucketed(refSigs).as("o"),
+    val b = batchSigs.getOrElse(
+      minhashSignatureTable(batch, idCol, textCol, k, shingleN)
+        .persist(StorageLevel.MEMORY_AND_DISK)) // buckets + verify probe
+    val candidates = minhashBucketTable(b, k, bands)
+      .repartition(shufflePartitions(batch)).as("n")
+      .join(refBuckets.getOrElse(minhashBucketTable(refSigs, k, bands)).as("o"),
         col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket"))
       .select(col("n.doc_id").as("batch_id"), col("o.doc_id").as("ref_id"))
       .distinct()

@@ -576,9 +576,13 @@ object ExtensionQueries {
         .union(ref.select((col("doc_id") + 2000000L).as("doc_id"),
           array_join(transform(TF.tokens(col("text")), t => concat(t, lit("_x"))),
             " ").as("text")))
-      Dedup.minhashDedupAgainst(batch,
-          Dedup.minhashSignatureTable(ref, "doc_id", "text"),
-          "doc_id", "text", minJaccard = 0.5)
+      // probe through the persisted-INDEX path: the bucket table is what a
+      // deployment stores next to the signatures (writeStreamIncrementalDedup
+      // maintains it), so the rows-check runs the shape production runs
+      val refSigs = Dedup.minhashSignatureTable(ref, "doc_id", "text")
+      Dedup.minhashDedupAgainst(batch, refSigs,
+          "doc_id", "text", minJaccard = 0.5,
+          refBuckets = Some(Dedup.minhashBucketTable(refSigs)))
         .select("doc_id", "dup_of_ref", "is_new")
         .orderBy("doc_id")
     }),
@@ -598,9 +602,10 @@ object ExtensionQueries {
         array_join(transform(TF.tokens(col("text")), t => concat(t, lit("_x"))),
           " ").as("text"))
       val batch = twin.union(salted)
-      val res = Dedup.minhashDedupAgainst(batch,
-        Dedup.minhashSignatureTable(ref, "doc_id", "text"),
-        "doc_id", "text", minJaccard = 0.5)
+      val refSigs = Dedup.minhashSignatureTable(ref, "doc_id", "text")
+      val res = Dedup.minhashDedupAgainst(batch, refSigs,
+        "doc_id", "text", minJaccard = 0.5,
+        refBuckets = Some(Dedup.minhashBucketTable(refSigs)))
       val withJ = ref.select(col("doc_id"), TF.tokens(col("text")).as("tk"))
         .withColumn("tk_m", slice(col("tk"), 2, 1000000))
         .select(col("doc_id"),

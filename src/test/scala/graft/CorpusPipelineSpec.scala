@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.CorpusPipeline
+import graft.operators.{CorpusPipeline, Dedup}
 
 class CorpusPipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -155,6 +155,45 @@ class CorpusPipelineSpec extends SparkSpec {
       mem.addData((20L, "completely different content nothing shared with anything"))
       query.processAllAvailable()
       assert(spark.read.parquet(s"$dir/corpus").count() == 3)
+      // the bucket INDEX tracked the signature table: one row per band per
+      // indexed doc (default bands = 16), so the next batch probes the
+      // pre-built index instead of re-exploding the whole table
+      val buckets = spark.read.parquet(s"$dir/sigs.buckets")
+      assert(buckets.count() == 3 * 16)
+      assert(buckets.select("doc_id").distinct().collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L, 12L))
+      assert(buckets.columns.toSet == Set("doc_id", "band", "bucket"))
+    } finally query.stop()
+  }
+
+  test("writeStreamIncrementalDedup: pre-index signature table is backfilled once, dedup still holds") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup_bf").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // a signature table written BEFORE the bucket index existed (older
+    // deployments): table present, no .buckets dir
+    val ref = Seq((1L, base)).toDF("doc_id", "text")
+    Dedup.minhashSignatureTable(ref, "doc_id", "text")
+      .write.parquet(s"$dir/sigs")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/sigs.buckets")))
+    val mem = MemoryStream[(Long, String)]
+    val query = CorpusPipeline.writeStreamIncrementalDedup(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/sigs", s"$dir/ck", minJaccard = 0.5)
+    try {
+      // a near-twin of the pre-indexed doc must still be caught — the
+      // commit backfills the bucket index from the signature table first
+      mem.addData((10L, base.replace("alpha ", "")), (11L, "totally new words here"))
+      query.processAllAvailable()
+      val ids = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(11L))
+      // backfilled index covers the pre-existing doc AND the new one
+      assert(spark.read.parquet(s"$dir/sigs.buckets")
+        .select("doc_id").distinct().collect()
+        .map(_.getLong(0)).toSet == Set(1L, 11L))
     } finally query.stop()
   }
 
