@@ -15,8 +15,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * approximate squared distance Σ_b table[b·kc + codes[b]] — the FAISS
   * ADC step as one codegen'd lookup loop per (query, doc) pair. kc is
   * table.length / codes.length, derived per row so one expression serves
-  * any codebook size. Null input → null; a code outside the table is a
-  * caller bug and raises.
+  * any codebook size. Null input → null; malformed input — empty codes,
+  * a table length that is not a multiple of the code count, or a code
+  * outside [0, kc) — is a caller bug (mismatched model) and raises with
+  * an explicit message rather than summing garbage lanes.
   */
 case class PqAdc(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -50,11 +52,21 @@ object PqAdc {
 
   def compute(codes: ArrayData, table: ArrayData): Double = {
     val m = codes.numElements()
-    val kc = table.numElements() / m
+    val n = table.numElements()
+    if (m == 0 || n % m != 0)
+      throw new IllegalArgumentException(
+        s"pq_adc: table length $n must be a positive multiple of code count $m " +
+          "(codes and table come from different PQ models?)")
+    val kc = n / m
     var sum = 0.0
     var b = 0
     while (b < m) {
-      sum += table.getDouble(b * kc + codes.getInt(b))
+      val code = codes.getInt(b)
+      if (code < 0 || code >= kc)
+        throw new IllegalArgumentException(
+          s"pq_adc: code $code at block $b outside [0, $kc) " +
+            "(codes and table come from different PQ models?)")
+      sum += table.getDouble(b * kc + code)
       b += 1
     }
     sum

@@ -246,16 +246,7 @@ object Similarity {
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       nearestCentroid(col(vecCol), centroids).as("cid"))
     val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("cid").asc)
-    val probes = qRaw.crossJoin(broadcast(centroidTable(spark, centroids)))
-      .select(col("query_id"),
-        col("cid"),
-        (aggregate(zip_with(col("centroid"), col("centroid"), (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v) -
-          lit(2.0) * VectorFunctions.dot(col("qv"), col("centroid"))).as("d"))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nProbe)
-      .select("query_id", "cid")
+    val probes = probeLists(qRaw, centroids, spark, nProbe)
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -266,6 +257,24 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Per-query nProbe nearest IVF lists, fully distributed: queries ×
+    * broadcast centroid table (KB-scale), d = ‖c‖² − 2q·c (the ‖q‖² term
+    * is rank-constant per query), window top-nProbe. Ties break to the
+    * lower cid, matching the assignment argmin's tie rule. */
+  private def probeLists(qRaw: DataFrame, centroids: Array[Array[Double]],
+      spark: SparkSession, nProbe: Int): DataFrame = {
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("cid").asc)
+    qRaw.crossJoin(broadcast(centroidTable(spark, centroids)))
+      .select(col("query_id"),
+        col("cid"),
+        (aggregate(zip_with(col("centroid"), col("centroid"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v) -
+          lit(2.0) * VectorFunctions.dot(col("qv"), col("centroid"))).as("d"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "cid")
   }
 
   /** SemDeDup-style semantic deduplication: assign every embedding to its
@@ -357,55 +366,25 @@ object Similarity {
 
   /** PQ ANN search: asymmetric distance computation + exact rerank. Each
     * query's m×kc table of squared sub-distances to every codebook
-    * centroid is built DRIVER-side (queries are the small broadcast probe
-    * set, same contract as bruteForceTopK; the table is m·kc doubles per
-    * query), the corpus's CODES stream through one codegen'd `pq_adc`
-    * lookup loop — the corpus's float vectors are only touched for the
-    * `rerankDepth` ADC survivors per query, which the exact-cosine rerank
-    * then orders (the IVF-PQ refinement step). Scale shape: the scan
-    * reads m-byte-scale codes instead of 4·dim-byte vectors, no corpus
-    * shuffle before the rerank join. */
+    * centroid is computed DISTRIBUTED by the `pq_adc_table` kernel (the
+    * codebook model rides along as one codegen reference — no query-side
+    * collect anywhere in the plan); the corpus's CODES stream through one
+    * codegen'd `pq_adc` lookup loop — the corpus's float vectors are only
+    * touched for the `rerankDepth` ADC survivors per query, which the
+    * exact-cosine rerank then orders (the IVF-PQ refinement step). Scale
+    * shape: the scan reads m-byte-scale codes instead of 4·dim-byte
+    * vectors, no corpus shuffle before the rerank join. The broadcast of
+    * the query tables is inherent to the flat-ADC regime (every query
+    * scans every code), so the probe set must stay broadcast-small;
+    * query TABLES beyond that — corpus self-search included — belong on
+    * [[ivfPqTopK]], whose cid-keyed join needs no broadcast. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       codebooks: Array[Array[Array[Double]]],
       rerankDepth: Int = 100,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && rerankDepth >= k, s"need rerankDepth >= k >= 1: $rerankDepth, $k")
-    val m = codebooks.length
-    val kc = codebooks(0).length
-    val sub = codebooks(0)(0).length
-    val spark = corpus.sparkSession
-
-    // per-query flattened ADC table: entry b*kc + c = ||q_b - centroid||²
-    val qRows = queries.select(col(idCol), col(vecCol)).collect().map { r =>
-      val qid = r.getLong(0)
-      val v = r.getSeq[Any](1).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-        case n: java.lang.Number => n.doubleValue()
-      }.toArray
-      val table = new Array[Double](m * kc)
-      var b = 0
-      while (b < m) {
-        var c = 0
-        while (c < kc) {
-          var d2 = 0.0
-          var j = 0
-          while (j < sub) {
-            val diff = v(b * sub + j) - codebooks(b)(c)(j)
-            d2 += diff * diff
-            j += 1
-          }
-          table(b * kc + c) = d2
-          c += 1
-        }
-        b += 1
-      }
-      Row(qid, table.toSeq)
-    }
-    val qTables = spark.createDataFrame(
-      java.util.Arrays.asList(qRows: _*),
-      StructType(Seq(StructField("query_id", LongType, nullable = false),
-        StructField("qtable", ArrayType(DoubleType, containsNull = false), nullable = false))))
+    val qTables = queries.select(col(idCol).as("query_id"),
+      graft.expressions.PqAdcTable.pqAdcTable(col(vecCol), codebooks).as("qtable"))
 
     val codes = pqEncode(corpus, codebooks, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("codes"))
@@ -440,10 +419,18 @@ object Similarity {
     * trained once and persisted.
     *
     * Plan: corpus → one pass computing (cid, codes) (two literal-model
-    * argmins, no shuffle) → broadcast-join the (query, cid) probe set →
-    * ADC + per-query top-rerankDepth window → vector rejoin + exact
-    * cosine rerank. The corpus's float vectors are touched only for
-    * shortlist members. */
+    * argmins, no shuffle) → join the (query, cid) probe set → attach each
+    * query's ADC table ONCE by query_id (never replicated per probed
+    * list) → ADC + per-query top-rerankDepth window → vector rejoin +
+    * exact cosine rerank. The corpus's float vectors are touched only for
+    * shortlist members.
+    *
+    * Fully distributed on the query side: probe lists come from the
+    * shared window derivation (`probeLists`) and ADC tables from the
+    * `pq_adc_table` kernel — no driver collect, no forced broadcast. A
+    * small probe set auto-broadcasts (planner stats / AQE); a TABLE-scale
+    * query set — all-corpus self-search — shuffles on cid/query_id, the
+    * only shape that scales there. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
@@ -453,57 +440,14 @@ object Similarity {
     require(nProbe > 0 && nProbe <= nLists, s"nProbe must be in [1, $nLists]: $nProbe")
     require(k >= 1 && rerankDepth >= k, s"need rerankDepth >= k >= 1: $rerankDepth, $k")
     val m = codebooks.length
-    val kc = codebooks(0).length
-    val sub = codebooks(0)(0).length
+    val sub0 = codebooks(0)(0).length
     val spark = corpus.sparkSession
 
-    // probe set: per query, the nProbe nearest lists (same derivation as
-    // ivfTopK) — plus the query's ADC table, built driver-side from the
-    // collected probe vectors (the small-broadcast contract)
-    val qRows = queries.select(col(idCol), col(vecCol)).collect().map { r =>
-      val qid = r.getLong(0)
-      val v = r.getSeq[Any](1).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-        case n: java.lang.Number => n.doubleValue()
-      }.toArray
-      val table = new Array[Double](m * kc)
-      var b = 0
-      while (b < m) {
-        var c = 0
-        while (c < kc) {
-          var d2 = 0.0
-          var j = 0
-          while (j < sub) {
-            val diff = v(b * sub + j) - codebooks(b)(c)(j)
-            d2 += diff * diff
-            j += 1
-          }
-          table(b * kc + c) = d2
-          c += 1
-        }
-        b += 1
-      }
-      val lists = centroids.indices.map { ci =>
-        var d2 = 0.0
-        var j = 0
-        while (j < v.length) {
-          val diff = v(j) - centroids(ci)(j)
-          d2 += diff * diff
-          j += 1
-        }
-        (d2, ci)
-      }.sorted.take(nProbe).map(_._2)
-      lists.map(ci => Row(qid, ci, table.toSeq))
-    }
-    val probes = spark.createDataFrame(
-      java.util.Arrays.asList(qRows.flatten: _*),
-      StructType(Seq(
-        StructField("query_id", LongType, nullable = false),
-        StructField("cid", IntegerType, nullable = false),
-        StructField("qtable", ArrayType(DoubleType, containsNull = false), nullable = false))))
+    val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = probeLists(qRaw, centroids, spark, nProbe)
+    val qTables = queries.select(col(idCol).as("query_id"),
+      graft.expressions.PqAdcTable.pqAdcTable(col(vecCol), codebooks).as("qtable"))
 
-    val sub0 = codebooks(0)(0).length
     val coded = corpus.select(col(idCol).as("neighbor_id"),
       nearestCentroid(col(vecCol), centroids).as("cid"),
       array((0 until m).map(b =>
@@ -512,7 +456,8 @@ object Similarity {
 
     val adcW = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id").asc)
-    val shortlist = coded.join(broadcast(probes), Seq("cid"))
+    val shortlist = coded.join(probes, Seq("cid"))
+      .join(qTables, Seq("query_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", graft.expressions.PqAdc.pqAdc(col("codes"), col("qtable")))
       .withColumn("adc_rank", row_number().over(adcW))

@@ -1000,6 +1000,44 @@ object ExtensionQueries {
             count(lit(1)).cast(DoubleType) * 0.4).as("recall_pass"))
     }),
 
+    // all-corpus SELF-search through the IVF-PQ tier: the query side is
+    // the corpus TABLE itself — possible only because the probe lists and
+    // ADC tables are computed distributed (probeLists window +
+    // pq_adc_table kernel); the plan has NO query-side collect and no
+    // forced broadcast, so the same query scales to a query table no
+    // driver could hold. Rows-only; gated by q_check_pq_selfjoin.
+    "q_embed_pq_selfjoin" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e, k = 5,
+          ivfModel(s, dir, nLists = 16, iters = 1),
+          pqModel(s, dir, m = 8, kc = 16), nProbe = 8, rerankDepth = 50)
+        .orderBy("query_id", "rank")
+    }),
+
+    // self-join gate (oracle-bearing): every corpus vector must come back
+    // as a query with exactly k neighbors (coverage — each vector's own
+    // list is by construction its top probe), and the vec_id < 20 slice
+    // must clear the same recall floor as the probe-set IVF-PQ gate
+    // against independently-computed brute-force truth
+    "q_check_pq_selfjoin" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ann = Similarity.ivfPqTopK(e, e, k = 5,
+          ivfModel(s, dir, nLists = 16, iters = 1),
+          pqModel(s, dir, m = 8, kc = 16), nProbe = 8, rerankDepth = 50)
+      val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e, k = 5)
+        .select("query_id", "neighbor_id")
+      val coverage = ann.groupBy(col("query_id")).agg(count(lit(1)).as("nk"))
+        .agg(count(lit(1)).as("n_queries"), min(col("nk")).as("min_k"),
+          max(col("nk")).as("max_k"))
+      brute.join(
+          ann.select("query_id", "neighbor_id").withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_brute"),
+          (coalesce(sum(col("hit")), lit(0L)) >=
+            count(lit(1)).cast(DoubleType) * 0.4).as("recall_pass"))
+        .crossJoin(coverage)
+    }),
+
     // IVF recall against exact brute force, same gate shape as
     // q_check_ann_recall (centroid training is deterministic: lowest-id
     // init, rounded Lloyd updates — so sharing the model with
@@ -1172,6 +1210,12 @@ object ExtensionQueries {
 
     "q_check_pq_distortion" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vecs, true AS distortion_pass FROM embeddings""",
+
+    // self-join coverage + recall: brute truth recomputed on the vec_id <
+    // 20 slice; coverage invariants (every corpus vector queries, exactly
+    // k = 5 neighbors each) recomputed from the corpus count
+    "q_check_pq_selfjoin" ->
+      s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass, (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_queries, CAST(5 AS BIGINT) AS min_k, CAST(5 AS BIGINT) AS max_k FROM ranked WHERE rank <= 5""",
 
     "q_tfidf_terms" ->
       s"""WITH terms AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term), df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term), scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, CAST(tf.tf AS DOUBLE) / CAST(df.df + 1 AS DOUBLE) AS score FROM tf JOIN df USING (term)), ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM scored) SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""",

@@ -21,6 +21,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_check_ann_recall", "q_check_ann_ivf_recall",
     "q_embed_pq", "q_check_pq_recall", // ADC: codes × broadcast query tables
     "q_check_ivfpq_recall", // brute-force arm of the recall gate
+    // IVF probe-list derivation: queries × the KB-scale broadcast centroid
+    // table (nLists rows — the build side is model-sized, never data-sized);
+    // the corpus itself only ever rides cid/query_id EQUI-joins
+    "q_embed_ivfpq", "q_embed_pq_selfjoin", "q_check_pq_selfjoin",
     "q_jaccard_words", "q_embed_cosine",
     "q_bm25_topk", "q_bm25_batch", "q_check_bm25_batch",
     "q_check_heavy_hitters") // single-row broadcast n_total frame
