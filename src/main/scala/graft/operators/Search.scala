@@ -127,4 +127,108 @@ object Search {
       .partitionBy(col("query_id")).orderBy(col("bm25").desc, col("doc_id"))
     perDoc.withColumn("rank", row_number().over(topk)).filter(col("rank") <= k)
   }
+
+  // ---- standing inverted index ---------------------------------------------
+  //
+  // [[bm25TopK]] is the right shape for ad-hoc probes (one scan, no index);
+  // [[bm25TopKBatch]] for a large query batch (tokenize once, prune to the
+  // batch vocabulary). A HIGH-RATE QUERY SERVICE is the third regime: the
+  // corpus is tokenized ONCE into a persisted index and every probe reads
+  // only its own terms' postings — probe cost follows the query vocabulary,
+  // not the corpus. Three append-only parquet tables under `indexDir`:
+  //
+  //   postings/  (term, doc_id, dl, tf) — repartitioned BY TERM and sorted
+  //              within partitions on (term, doc_id), so a probe's pushed
+  //              `term IN (...)` filter skips whole row groups via parquet
+  //              min/max stats — the IO path that stays flat as the corpus
+  //              grows (plus: one term's postings are contiguous);
+  //   terms/     (term, df) doc-frequency INCREMENTS — probes sum them, so
+  //              appends never rewrite existing rows;
+  //   stats/     (n_docs, total_tokens) corpus-count increments, same idea.
+  //
+  // Scores are corpus-relative (df, avdl), and the probe re-derives both
+  // from the increment sums each run — results over an appended index are
+  // IDENTICAL to a fresh build over the union (SearchSpec proves it).
+  //
+  // Maintenance contract: single writer, appends at-most-once (pair with
+  // the batch-marker pattern of `Sinks.appendBatchIdempotent` when feeding
+  // from a stream). A crash between the postings append and the
+  // terms/stats appends leaves those docs searchable but df/avdl slightly
+  // stale until the append is repaired — scores drift in the last
+  // decimals, data never corrupts; an atomic three-dir commit is a table
+  // format's job (same honesty note as the incremental-dedup sink).
+
+  /** Build the standing index at `indexDir` (overwrites). */
+  def bm25BuildIndex(docs: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeIndex(docs, indexDir, "overwrite", idCol, textCol)
+
+  /** Append a document batch to an existing index — increments only, no
+    * rewrite of standing postings (the signature-table maintenance
+    * pattern). `newDocs` must be NEW doc ids: re-appending a doc double
+    * counts it (see the maintenance contract above). */
+  def bm25IndexAppend(newDocs: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeIndex(newDocs, indexDir, "append", idCol, textCol)
+
+  private def writeIndex(docs: DataFrame, indexDir: String, mode: String,
+      idCol: String, textCol: String): Unit = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast(LongType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val postings = toks
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+      postings
+        .repartition(col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode(mode).parquet(s"$indexDir/postings")
+      // df increments ride the SAME term-keyed exchange shape; stats is a
+      // single row per append
+      postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.mode(mode).parquet(s"$indexDir/terms")
+      toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+        .write.mode(mode).parquet(s"$indexDir/stats")
+    } finally toks.unpersist()
+  }
+
+  /** Top-`k` by BM25 from the standing index — the corpus text is never
+    * touched: the postings scan carries a pushed `term IN (...)` filter
+    * (literal query terms → parquet row-group skipping over the
+    * term-sorted layout), df/avdl come from the KB-scale increment tables,
+    * and the only aggregation is the per-doc contribution sum over the
+    * matching postings. Same rational-idf scoring as [[bm25TopK]]; the
+    * per-doc sum is a shuffle agg, so scores can differ from the
+    * scan-side operator in the last ulp — q_check_bm25_index gates
+    * rank + 1e-9 agreement. Output: (doc_id, bm25), top-k ordered. */
+  def bm25IndexProbe(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms, s"queryTerms must be distinct: $queryTerms")
+    require(k > 0, s"k must be positive: $k")
+    val stats = spark.read.parquet(s"$indexDir/stats")
+      .agg(sum(col("n_docs")).cast(DoubleType).as("n_docs"),
+        (sum(col("total_tokens")).cast(DoubleType) /
+          sum(col("n_docs")).cast(DoubleType)).as("avdl"))
+    val termDf = spark.read.parquet(s"$indexDir/terms")
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(sum(col("df")).cast(DoubleType).as("df"))
+    spark.read.parquet(s"$indexDir/postings")
+      .filter(col("term").isin(queryTerms: _*)) // pushed to the parquet scan
+      .join(broadcast(termDf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf").cast(DoubleType) * lit(k1 + 1)) /
+          (col("tf").cast(DoubleType) + lit(k1) *
+            (lit(1 - b) + lit(b) * (col("dl").cast(DoubleType) / col("avdl")))))
+          .as("s"))
+      .groupBy(col("doc_id")).agg(sum(col("s")).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -100,6 +100,23 @@ object ExtensionQueries {
     pqModels.computeIfAbsent((dir, m, kc), _ =>
       Similarity.trainPqCodebooks(t(s, dir, "embeddings"), m, kc, iters = 1))
 
+  /** Session-scoped standing BM25 index memo: built ONCE per sf dir in a
+    * temp location — deliberately as build + APPEND (two-thirds, then the
+    * rest), so every probe query also exercises the incremental
+    * maintenance path's increment summation. At 100 TB the analogue is
+    * the persisted index a query service probes for weeks of appends. */
+  private val bm25Indexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bm25Index(s: SparkSession, dir: String): String =
+    bm25Indexes.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+      val docs = t(s, dir, "documents")
+      graft.operators.Search.bm25BuildIndex(docs.filter(col("doc_id") % 3 =!= 2), out)
+      graft.operators.Search.bm25IndexAppend(docs.filter(col("doc_id") % 3 === 2), out)
+      out
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----------------------------------------------------
     "q_token_count" -> ((s, dir) =>
@@ -258,6 +275,38 @@ object ExtensionQueries {
       graft.operators.Search.bm25TopKBatch(
           t(s, dir, "documents"), queries, k = 50)
         .orderBy("query_id", "rank")
+    }),
+
+    // standing-index probe: same 4-term query as q_bm25_topk answered
+    // from the persisted inverted index (built once per session, via
+    // build + append — see bm25Index) — the corpus text is never
+    // touched, the postings scan carries a pushed term IN (...) filter.
+    // Rows-only (per-doc sum is a shuffle agg); gated by
+    // q_check_bm25_index below.
+    "q_bm25_index_probe" -> ((s, dir) =>
+      graft.operators.Search.bm25IndexProbe(s, bm25Index(s, dir),
+        Seq("spark", "merge", "window", "stream"), k = 100)),
+
+    // gate: the index probe (over the build+append index) must reproduce
+    // the scan-side operator's exact top-20 ranking with scores within
+    // 1e-9 — emitted rows are violations, oracle = empty set
+    "q_check_bm25_index" -> ((s, dir) => {
+      val terms = Seq("spark", "merge", "window", "stream")
+      val scan = graft.operators.Search.bm25TopK(
+          t(s, dir, "documents"), terms, k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+      val probe = graft.operators.Search.bm25IndexProbe(
+          s, bm25Index(s, dir), terms, k = 20)
+        .withColumn("idx_rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("bm25").as("idx_bm25"), col("idx_rank"))
+      scan.join(probe, Seq("doc_id"), "full_outer")
+        .filter(col("rank").isNull || col("idx_rank").isNull ||
+          col("rank") =!= col("idx_rank") ||
+          abs(col("bm25") - col("idx_bm25")) > 1e-9)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
     }),
 
     // gate: for the scan-side operator's own 4-term query, the batch
@@ -1255,6 +1304,9 @@ object ExtensionQueries {
       """WITH b AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket FROM documents) SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id""",
 
     "q_check_bm25_batch" ->
+      """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
+
+    "q_check_bm25_index" ->
       """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
 
     // same fixed IEEE expression tree as Search.bm25TopK: rational idf,

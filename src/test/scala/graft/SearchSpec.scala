@@ -60,6 +60,41 @@ class SearchSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("standing index: build+append probe matches the scan-side operator exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+    // two-step construction: the append path must leave the index
+    // equivalent to a fresh build over the union (df/avdl from increment
+    // sums)
+    Search.bm25BuildIndex(corpus.filter($"doc_id" <= 3), dir)
+    Search.bm25IndexAppend(corpus.filter($"doc_id" > 3), dir)
+    for (terms <- Seq(Seq("spark", "quantum"), Seq("quantum"), Seq("rare"))) {
+      val scan = Search.bm25TopK(corpus, terms, k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val probe = Search.bm25IndexProbe(spark, dir, terms, k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(probe.map(_._1).toSeq == scan.map(_._1).toSeq,
+        s"ranking for $terms: ${probe.toSeq} vs ${scan.toSeq}")
+      probe.zip(scan).foreach { case ((_, s1), (_, s2)) =>
+        assert(math.abs(s1 - s2) < 1e-9, s"score drift for $terms: $s1 vs $s2")
+      }
+    }
+    // a term absent from the index returns no rows (not an error)
+    assert(Search.bm25IndexProbe(spark, dir, Seq("absentterm"), k = 5).count() == 0)
+  }
+
+  test("standing index: probe plan pushes the term filter into the postings scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx_plan").toString
+    Search.bm25BuildIndex(corpus, dir)
+    val plan = Search.bm25IndexProbe(spark, dir, Seq("spark", "quantum"), k = 5)
+      .queryExecution.executedPlan.toString
+    // the pushed IN filter is what keeps probe IO tied to the query
+    // vocabulary (row-group skipping over the term-sorted layout), and the
+    // corpus text is nowhere in the plan
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"term filter not pushed to the postings scan:\n$plan")
+    assert(!plan.toLowerCase.contains("text"), "probe plan touches corpus text")
+  }
+
   test("bm25TopK: k truncates after the full ordering; validations reject bad input") {
     val top2 = Search.bm25TopK(corpus, Seq("spark", "quantum"), k = 2)
       .collect().map(_.getLong(0)).toSeq
