@@ -100,8 +100,15 @@ object Sampling {
     * the `<= maxPerGroup` rank filter BELOW that exchange (plan-verified),
     * so each input partition ships at most maxPerGroup rows per group.
     * Under-cap rows — in a web corpus, almost all domains — flow scan →
-    * broadcast-hash anti-probe → out with NO exchange at all. The input is
-    * scanned twice (once per branch), which
+    * hash anti-probe → out with no exchange of their own. The over-cap
+    * group set's join strategy is left to the planner: its cardinality is
+    * UNBOUNDED (a cap of 100 over a web corpus makes most of millions of
+    * domains over-cap), so a forced broadcast would be driver-memory
+    * pressure exactly when the operator matters most — with AQE the
+    * common small set still becomes a runtime broadcast (the under branch
+    * keeps its no-exchange shape, plan-verified in PackingSamplingSpec),
+    * and a pathological set degrades to a shuffle join instead of an OOM.
+    * The input is scanned twice (once per branch), which
     * at 100 TB is two column-pruned parquet reads vs. shuffling the entire
     * corpus through one WindowExec; persist `df` first if its lineage is
     * expensive instead of a scan.
@@ -116,7 +123,7 @@ object Sampling {
     val over = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxPerGroup)
       .select(col(groupCol), lit(true).as("__over"))
-    val flagged = df.join(broadcast(over), Seq(groupCol), "left")
+    val flagged = df.join(over, Seq(groupCol), "left")
     val under = flagged.filter(col("__over").isNull)
       .drop("__over")
       .withColumn("cap_rank", lit(null).cast(LongType))
@@ -144,7 +151,13 @@ object Sampling {
     * inclusive running sum in selection order for groups that EXCEEDED
     * their budget, null for groups kept wholesale (same nullable-rank
     * convention as capPerGroup, same two-branch scale shape: only
-    * over-budget groups ride the window). */
+    * over-budget groups ride the window, and the over-group join strategy
+    * is the planner's — see capPerGroup's cardinality note).
+    *
+    * A null `tokenCol` counts as 0 tokens in BOTH branches (the group's
+    * total, the running sum, and the cut all coalesce it), so a
+    * null-token row is kept iff the budget isn't already spent before it
+    * — the same treatment whether its group is over or under budget. */
   def tokenBudget(df: DataFrame, groupCol: String, idCol: String,
       tokenCol: String, budgets: Map[String, Long],
       defaultBudget: Long): DataFrame = {
@@ -154,11 +167,11 @@ object Sampling {
       if (budgets.isEmpty) lit(defaultBudget)
       else coalesce(element_at(typedLit(budgets), col(groupCol).cast(StringType)),
         lit(defaultBudget))
-    val toks = col(tokenCol).cast(LongType)
+    val toks = coalesce(col(tokenCol).cast(LongType), lit(0L))
     val over = df.groupBy(col(groupCol)).agg(sum(toks).as("__tot"))
       .filter(col("__tot") > budget)
       .select(col(groupCol), lit(true).as("__over"))
-    val flagged = df.join(broadcast(over), Seq(groupCol), "left")
+    val flagged = df.join(over, Seq(groupCol), "left")
     val under = flagged.filter(col("__over").isNull)
       .drop("__over")
       .withColumn("cum_tokens", lit(null).cast(LongType))
