@@ -27,10 +27,15 @@ case class PqAdcTable(child: Expression, codebooks: Array[Array[Array[Double]]])
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
-      if (codebooks.nonEmpty && codebooks.forall(b => b.nonEmpty && b.forall(_.length == codebooks(0)(0).length)))
+      // uniform centroid count AND sub-vector width: compute() reads
+      // books(0).length as kc for every book, so a ragged codebooks array
+      // must fail analysis here, not throw in executors
+      if (codebooks.nonEmpty && codebooks.forall(b => b.nonEmpty &&
+          b.length == codebooks(0).length &&
+          b.forall(_.length == codebooks(0)(0).length)))
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
-        "codebooks must be non-empty with uniform sub-vector width")
+        "codebooks must be non-empty with uniform centroid count and sub-vector width")
     case other => TypeCheckResult.TypeCheckFailure(
       s"pq_adc_table requires array<float> or array<double>, got ${other.catalogString}")
   }

@@ -56,9 +56,18 @@ object Sinks {
     } finally in.close()
   }
 
+  /** Crash-safe small-file write: stage to a dot-tmp sibling, then delete
+    * the old file and rename the tmp in — a crash mid-write leaves the
+    * previous content (or the tmp, which every reader ignores), never a
+    * truncated file. The delete+rename pair is the same non-atomic window
+    * as the compaction swap (instantaneous on HDFS/local, copy+delete on
+    * S3) and is covered by the same single-writer contract. */
   private def writeUtf8(fs: FileSystem, p: HPath, s: String): Unit = {
-    val out = fs.create(p, true)
+    val tmp = new HPath(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(s.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    renameOrFail(fs, tmp, p)
   }
 
   private def tsvWriter(df: DataFrame) =
@@ -106,6 +115,30 @@ object Sinks {
       .outputMode("append")
       .start()
 
+  /** Last batch id recorded in `dir`'s dot-marker, -1 when absent. A
+    * damaged marker (external truncation — writeUtf8's staged write can't
+    * produce one) must not wedge the stream forever: treat it as "no
+    * marker", which re-appends at most the one in-flight batch. Public
+    * face of the at-most-once contract, for sinks that gate SEVERAL
+    * appends on one marker (the BM25 index's three tables). */
+  def lastCommittedBatch(spark: SparkSession, dir: String): Long = {
+    val (fs, _) = fsFor(spark, dir)
+    val marker = new HPath(dir, ".graft_last_batch")
+    if (fs.exists(marker))
+      scala.util.Try(readUtf8(fs, marker).trim.toLong).getOrElse {
+        Console.err.println(s"graft: unparseable batch marker $marker — treating as -1")
+        -1L
+      }
+    else -1L
+  }
+
+  /** Record `batchId` in `dir`'s marker (staged write — see writeUtf8).
+    * Call only after every append the marker guards has completed. */
+  def recordCommittedBatch(spark: SparkSession, dir: String, batchId: Long): Unit = {
+    val (fs, _) = fsFor(spark, dir)
+    writeUtf8(fs, new HPath(dir, ".graft_last_batch"), batchId.toString)
+  }
+
   /** Append one microbatch to a parquet dir at-most-once per `batchId`:
     * the last committed id is recorded in a dot-marker inside `dir`
     * (hidden from every parquet reader), and a replayed id — Structured
@@ -118,17 +151,13 @@ object Sinks {
     * compaction's. */
   def appendBatchIdempotent(batch: DataFrame, dir: String, batchId: Long,
       partitionBy: Seq[String] = Nil): Boolean = {
-    val (fs, _) = fsFor(batch.sparkSession, dir)
-    val marker = new HPath(dir, ".graft_last_batch")
-    val last =
-      if (fs.exists(marker)) readUtf8(fs, marker).trim.toLong
-      else -1L
-    if (batchId <= last) false
+    val spark = batch.sparkSession
+    if (batchId <= lastCommittedBatch(spark, dir)) false
     else {
       val w = batch.write.mode("append")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(dir)
-      writeUtf8(fs, marker, batchId.toString)
+      recordCommittedBatch(spark, dir, batchId)
       true
     }
   }
@@ -153,6 +182,36 @@ object Sinks {
       }
     }
     n
+  }
+
+  /** Parquet files under `dir` (recursive, dot-prefixed subtrees excluded)
+    * — the quantity maintenance thresholds watch. */
+  def parquetFileCount(spark: SparkSession, dir: String): Int = {
+    val (fs, root) = fsFor(spark, dir)
+    countParquetFiles(fs, root)
+  }
+
+  /** Rewrite a flat parquet dir through `transform` and swap the result
+    * in: tmp-write → retire old → move in (the compactParquet leaf-swap
+    * contract — two renames, NOT atomic, dot-prefixed tmp/retired dirs
+    * invisible to readers, single-owner). For maintenance rewrites that
+    * need more than a coalesce: fold increment rows by key, re-sort a
+    * layout. Ends with a catalog refresh so session readers drop their
+    * pre-swap file lists. */
+  def rewriteParquetInPlace(spark: SparkSession, dir: String)(
+      transform: DataFrame => DataFrame): Unit = {
+    val (fs, rootRaw) = fsFor(spark, dir)
+    val root = fs.makeQualified(rootRaw)
+    val parent = root.getParent
+    val tmp = new HPath(parent, s".${root.getName}.rewrite-tmp")
+    fs.delete(tmp, true)
+    transform(spark.read.parquet(dir)).write.mode("overwrite").parquet(tmp.toString)
+    val retired = new HPath(parent, s".${root.getName}.rewrite-old")
+    fs.delete(retired, true)
+    renameOrFail(fs, root, retired)
+    renameOrFail(fs, tmp, root)
+    fs.delete(retired, true)
+    spark.catalog.refreshByPath(dir)
   }
 
   /** The streaming maintenance loop: a foreachBatch parquet sink that

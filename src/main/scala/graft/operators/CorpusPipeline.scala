@@ -205,6 +205,22 @@ object CorpusPipeline {
           if (!hasParquet(bucketDir)) // pre-index table: backfill once
             Dedup.minhashBucketTable(spark.read.parquet(sigDir), k, bands)
               .write.mode("overwrite").parquet(bucketDir)
+          else {
+            // repair partial divergence, not just total absence: a crash
+            // between the signature append and the bucket append leaves
+            // docs in sigDir the probe can never see — their twins would
+            // pass dedup forever. An id-column anti-join (cheap: both
+            // sides column-pruned to doc_id) finds them each commit and
+            // appends exactly their buckets.
+            val unindexed = spark.read.parquet(sigDir)
+              .join(spark.read.parquet(bucketDir).select("doc_id").distinct(),
+                Seq("doc_id"), "left_anti")
+            if (!unindexed.isEmpty) {
+              Dedup.minhashBucketTable(unindexed, k, bands)
+                .write.mode("append").parquet(bucketDir)
+              spark.catalog.refreshByPath(bucketDir)
+            }
+          }
           Dedup.minhashDedupAgainst(batch, spark.read.parquet(sigDir),
               idCol, textCol, k, bands, shingleN, minJaccard,
               batchSigs = Some(batchSigs),

@@ -105,9 +105,10 @@ object Sampling {
     * UNBOUNDED (a cap of 100 over a web corpus makes most of millions of
     * domains over-cap), so a forced broadcast would be driver-memory
     * pressure exactly when the operator matters most — with AQE the
-    * common small set still becomes a runtime broadcast (the under branch
-    * keeps its no-exchange shape, plan-verified in PackingSamplingSpec),
-    * and a pathological set degrades to a shuffle join instead of an OOM.
+    * common small set still becomes a runtime broadcast — the under branch
+    * keeps its no-exchange shape (PackingSamplingSpec asserts the final
+    * AQE plan joins the over set by broadcast, never sort-merge/shuffled
+    * hash) — and a pathological set degrades to a shuffle join, not an OOM.
     * The input is scanned twice (once per branch), which
     * at 100 TB is two column-pruned parquet reads vs. shuffling the entire
     * corpus through one WindowExec; persist `df` first if its lineage is

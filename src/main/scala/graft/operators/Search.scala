@@ -150,13 +150,17 @@ object Search {
   // from the increment sums each run — results over an appended index are
   // IDENTICAL to a fresh build over the union (SearchSpec proves it).
   //
-  // Maintenance contract: single writer, appends at-most-once (pair with
-  // the batch-marker pattern of `Sinks.appendBatchIdempotent` when feeding
-  // from a stream). A crash between the postings append and the
-  // terms/stats appends leaves those docs searchable but df/avdl slightly
-  // stale until the append is repaired — scores drift in the last
-  // decimals, data never corrupts; an atomic three-dir commit is a table
-  // format's job (same honesty note as the incremental-dedup sink).
+  // Maintenance contract: single writer, appends at-most-once — when
+  // feeding from a stream use [[bm25IndexAppendIdempotent]], which gates
+  // all three table appends on one batch marker at the index root, so a
+  // replayed microbatch is skipped instead of double-counting df/tf. A
+  // crash between the postings append and the terms/stats appends leaves
+  // those docs searchable but df/avdl slightly stale until the append is
+  // repaired — scores drift in the last decimals, data never corrupts; an
+  // atomic three-dir commit is a table format's job (same honesty note as
+  // the incremental-dedup sink). Appends accumulate files and increment
+  // rows; [[bm25IndexMaintain]] folds them back when a dir crosses its
+  // file threshold.
 
   /** Build the standing index at `indexDir` (overwrites). */
   def bm25BuildIndex(docs: DataFrame, indexDir: String,
@@ -166,10 +170,64 @@ object Search {
   /** Append a document batch to an existing index — increments only, no
     * rewrite of standing postings (the signature-table maintenance
     * pattern). `newDocs` must be NEW doc ids: re-appending a doc double
-    * counts it (see the maintenance contract above). */
+    * counts it (see the maintenance contract above; from a stream, use
+    * [[bm25IndexAppendIdempotent]]). */
   def bm25IndexAppend(newDocs: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit =
     writeIndex(newDocs, indexDir, "append", idCol, textCol)
+
+  /** At-most-once [[bm25IndexAppend]]: the three table appends are gated
+    * on one batch marker at the index ROOT (`Sinks.lastCommittedBatch`),
+    * written only after all three complete — a replayed microbatch
+    * (Structured Streaming re-runs a failed batch with the SAME id) is
+    * skipped instead of double-counting df/tf. Residual window: a crash
+    * between the first append and the marker write duplicates on replay,
+    * same as `Sinks.appendBatchIdempotent`'s documented window. Returns
+    * whether the batch was written. */
+  def bm25IndexAppendIdempotent(newDocs: DataFrame, indexDir: String,
+      batchId: Long, idCol: String = "doc_id", textCol: String = "text"): Boolean = {
+    val spark = newDocs.sparkSession
+    if (batchId <= graft.io.Sinks.lastCommittedBatch(spark, indexDir)) false
+    else {
+      writeIndex(newDocs, indexDir, "append", idCol, textCol)
+      graft.io.Sinks.recordCommittedBatch(spark, indexDir, batchId)
+      true
+    }
+  }
+
+  /** Fold the index's append debris in place. `terms/` and `stats/`
+    * increment rows collapse to one row per key — probes SUM increments,
+    * so folded probe results are bit-identical (integer sums reassociate
+    * exactly; the double casts happen after summation). `postings/`
+    * re-sorts into term-partitioned, term-sorted files: appends interleave
+    * term runs across ever more files, eroding the row-group skipping the
+    * probe's pushed `term IN` filter relies on. Each dir rewrites through
+    * `Sinks.rewriteParquetInPlace` (dot-tmp + two-rename swap — same
+    * non-atomic window and single-owner contract as compaction; the batch
+    * marker lives at the index root, so swaps never touch it). */
+  def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    graft.io.Sinks.rewriteParquetInPlace(spark, s"$indexDir/postings")(df =>
+      df.repartition(col("term")).sortWithinPartitions(col("term"), col("doc_id")))
+    graft.io.Sinks.rewriteParquetInPlace(spark, s"$indexDir/terms")(df =>
+      df.groupBy(col("term")).agg(sum(col("df")).as("df")))
+    graft.io.Sinks.rewriteParquetInPlace(spark, s"$indexDir/stats")(df =>
+      df.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens")))
+  }
+
+  /** Threshold maintenance for an append-loop: compact when any of the
+    * three dirs crosses `maxFiles` parquet files (the same bounded-file
+    * contract as `Sinks.writeParquetStreamMaintained`). Returns whether a
+    * compaction ran. */
+  def bm25IndexMaintain(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, maxFiles: Int = 64): Boolean = {
+    require(maxFiles > 0, s"maxFiles must be positive: $maxFiles")
+    val over = Seq("postings", "terms", "stats").exists(d =>
+      graft.io.Sinks.parquetFileCount(spark, s"$indexDir/$d") > maxFiles)
+    if (over) bm25IndexCompact(spark, indexDir)
+    over
+  }
 
   private def writeIndex(docs: DataFrame, indexDir: String, mode: String,
       idCol: String, textCol: String): Unit = {

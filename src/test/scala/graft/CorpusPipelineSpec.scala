@@ -197,6 +197,41 @@ class CorpusPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("writeStreamIncrementalDedup: partially-diverged bucket index is repaired, not ignored") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup_rp").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    // simulate a crash BETWEEN the signature append and the bucket append:
+    // both docs have signatures, but only doc 1 made it into the index —
+    // the absent-dir backfill never fires (the dir exists), so without the
+    // per-commit anti-join repair, twins of doc 2 would pass dedup forever
+    val sigs = Dedup.minhashSignatureTable(
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"), "doc_id", "text")
+    sigs.write.parquet(s"$dir/sigs")
+    Dedup.minhashBucketTable(sigs.filter($"doc_id" === 1L))
+      .write.parquet(s"$dir/sigs.buckets")
+    val mem = MemoryStream[(Long, String)]
+    val query = CorpusPipeline.writeStreamIncrementalDedup(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/sigs", s"$dir/ck", minJaccard = 0.5)
+    try {
+      mem.addData((10L, other.replace("one ", "")), (11L, "totally new words here"))
+      query.processAllAvailable()
+      // the twin of the UNINDEXED doc 2 was caught — repair ran first
+      val ids = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(11L))
+      // and the index now covers every signed doc
+      assert(spark.read.parquet(s"$dir/sigs.buckets")
+        .select("doc_id").distinct().collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L, 11L))
+    } finally query.stop()
+  }
+
   test("curateStream: redact/score/filter + sketch dedup over a MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp

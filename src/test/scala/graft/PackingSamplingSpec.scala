@@ -174,6 +174,23 @@ class PackingSamplingSpec extends SparkSpec {
     assert(kept2.filter(_ < 500).subsetOf(kept1))
   }
 
+  test("capPerGroup: under-cap branch shuffles no corpus rows (AQE broadcasts the over set)") {
+    // the docstring's scale contract: corpus rows on the under branch flow
+    // scan → broadcast-hash anti-probe → union with NO exchange of their
+    // own — the only shuffles in the plan are the group-count agg and the
+    // window over the over-cap rows. Proven by the join strategy: if the
+    // __over set reached the corpus via a sort-merge or shuffled-hash
+    // join, corpus rows would ride an exchange; AQE must pick broadcast.
+    val docs = spark.range(0, 530).select(col("id").as("doc_id"),
+      when(col("id") < 500, "heavy").otherwise("light").as("source"))
+    val out = Sampling.capPerGroup(docs, "source", "doc_id", 100)
+    out.collect() // let AQE finalize the runtime plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"over-set join degraded from broadcast — corpus rows now shuffle:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("tokenBudget: crossing doc kept, budget spent exactly once, under-budget groups whole") {
     // heavy: 100 docs × 10 tokens = 1000 tokens vs budget 95 → the doc
     // that crosses 95 is the last survivor; light: 300 tokens vs 5000

@@ -95,6 +95,65 @@ class SearchSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("text"), "probe plan touches corpus text")
   }
 
+  test("standing index: replayed append batch is skipped — no df/tf double-count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx_rp").toString
+    Search.bm25BuildIndex(corpus.filter($"doc_id" <= 3), dir)
+    val batch = corpus.filter($"doc_id" > 3)
+    assert(Search.bm25IndexAppendIdempotent(batch, dir, batchId = 0L))
+    val once = Search.bm25IndexProbe(spark, dir, Seq("spark", "quantum"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the replay: same batch, same id — must be a no-op
+    assert(!Search.bm25IndexAppendIdempotent(batch, dir, batchId = 0L))
+    val again = Search.bm25IndexProbe(spark, dir, Seq("spark", "quantum"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(again == once, "replayed batch changed probe results")
+    // and the results still match the scan-side truth over the union
+    val scan = Search.bm25TopK(corpus, Seq("spark", "quantum"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(once.map(_._1) == scan.map(_._1))
+    once.zip(scan).foreach { case ((_, s1), (_, s2)) =>
+      assert(math.abs(s1 - s2) < 1e-9)
+    }
+  }
+
+  test("standing index: maintained append loop keeps file counts bounded, probe results exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx_cp").toString
+    val docs = (1L to 40L).map(i =>
+      (i, s"spark doc$i " + (if (i % 4 == 0) "quantum " else "") + "common words here"))
+      .toDF("doc_id", "text")
+    Search.bm25BuildIndex(docs.filter($"doc_id" <= 4), dir)
+    // 9 appends of 4 docs each, compacting past the threshold
+    for (b <- 1 to 9) {
+      val lo = b * 4L
+      assert(Search.bm25IndexAppendIdempotent(
+        docs.filter($"doc_id" > lo && $"doc_id" <= lo + 4), dir, batchId = b.toLong))
+      Search.bm25IndexMaintain(spark, dir, maxFiles = 8)
+    }
+    // bounded: threshold + one batch's burst, never 10 appends' worth
+    for (d <- Seq("postings", "terms", "stats")) {
+      val n = graft.io.Sinks.parquetFileCount(spark, s"$dir/$d")
+      assert(n <= 8 + 32, s"$d grew unbounded: $n files") // burst ≤ shuffle partitions
+    }
+    // folded increments + re-sorted postings reproduce the scan-side truth
+    val scan = Search.bm25TopK(docs, Seq("spark", "quantum"), k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probe = Search.bm25IndexProbe(spark, dir, Seq("spark", "quantum"), k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe.map(_._1) == scan.map(_._1))
+    probe.zip(scan).foreach { case ((_, s1), (_, s2)) =>
+      assert(math.abs(s1 - s2) < 1e-9)
+    }
+    // an explicit compact folds terms to one row per term, stats to one
+    // row — and probe results stay bit-identical (integer increment sums)
+    Search.bm25IndexCompact(spark, dir)
+    assert(spark.read.parquet(s"$dir/stats").count() == 1)
+    val dfRows = spark.read.parquet(s"$dir/terms").groupBy("term").count()
+    assert(dfRows.filter($"count" > 1).count() == 0, "terms not folded")
+    val probe2 = Search.bm25IndexProbe(spark, dir, Seq("spark", "quantum"), k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe2 == probe, "compaction changed probe results")
+  }
+
   test("bm25TopK: k truncates after the full ordering; validations reject bad input") {
     val top2 = Search.bm25TopK(corpus, Seq("spark", "quantum"), k = 2)
       .collect().map(_.getLong(0)).toSeq

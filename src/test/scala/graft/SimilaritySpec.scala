@@ -215,4 +215,24 @@ class SimilaritySpec extends SparkSpec {
     val res2 = Similarity.semanticDedup(twins, centroids, threshold = 0.99)
     assert(res2.filter($"vec_id" >= 100L && $"is_kept").count() == 0)
   }
+
+  test("pqAdcTable: ragged codebooks fail at analysis, not in executors") {
+    // compute() reads books(0).length as kc for every book — a codebook
+    // with a different centroid count must be rejected before execution
+    val ragged = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)), // 2 centroids
+      Array(Array(0.0, 0.0)))                  // 1 centroid
+    val df = Seq((1L, Array(0.1f, 0.2f, 0.3f, 0.4f))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      df.select(graft.expressions.PqAdcTable.pqAdcTable($"vec", ragged)).collect()
+    }
+    assert(e.getMessage.contains("uniform centroid count"), e.getMessage)
+    // the uniform shape still evaluates fine
+    val ok = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(0.0, 0.0), Array(2.0, 2.0)))
+    val t = df.select(graft.expressions.PqAdcTable.pqAdcTable($"vec", ok))
+      .collect()(0).getSeq[Double](0)
+    assert(t.length == 4) // m=2 × kc=2
+  }
 }
