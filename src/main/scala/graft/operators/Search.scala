@@ -257,35 +257,57 @@ object Search {
     * touched: the postings scan carries a pushed `term IN (...)` filter
     * (literal query terms → parquet row-group skipping over the
     * term-sorted layout), df/avdl come from the KB-scale increment tables,
-    * and the only aggregation is the per-doc contribution sum over the
-    * matching postings. Same rational-idf scoring as [[bm25TopK]]; the
-    * per-doc sum is a shuffle agg, so scores can differ from the
-    * scan-side operator in the last ulp — q_check_bm25_index gates
-    * rank + 1e-9 agreement. Output: (doc_id, bm25), top-k ordered. */
+    * and the only shuffle is the per-doc gather of the matching postings.
+    *
+    * BIT-PARITY with [[bm25TopK]]: the gather collects each doc's
+    * (term → tf) map — an ORDER-FREE aggregation, unlike a double sum —
+    * and the score is then the same fixed left-assoc fold over the query
+    * terms, with per-term df as single-row broadcast columns (order-free
+    * integer sums over the increment rows). Every operand
+    * (tf, dl, df, n_docs, avdl) is an exact integer cast to double, so
+    * the whole score is the identical IEEE expression tree and the probe
+    * is directly oracle-able by the same SQL as the scan-side operator.
+    * Output: (doc_id, bm25), top-k ordered. */
   def bm25IndexProbe(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct == queryTerms, s"queryTerms must be distinct: $queryTerms")
     require(k > 0, s"k must be positive: $k")
+    val terms = queryTerms.indices
     val stats = spark.read.parquet(s"$indexDir/stats")
       .agg(sum(col("n_docs")).cast(DoubleType).as("n_docs"),
         (sum(col("total_tokens")).cast(DoubleType) /
           sum(col("n_docs")).cast(DoubleType)).as("avdl"))
-    val termDf = spark.read.parquet(s"$indexDir/terms")
+    // per-term df pivoted to one row of df0..dfm-1 columns: conditional
+    // integer sums, deterministic whatever the increment-row order. A term
+    // absent from the index yields a null df — harmless, since no postings
+    // row can carry tf > 0 for it.
+    val dfCols = terms.map(i =>
+      sum(when(col("term") === queryTerms(i), col("df")))
+        .cast(DoubleType).as(s"df$i"))
+    val dfRow = spark.read.parquet(s"$indexDir/terms")
       .filter(col("term").isin(queryTerms: _*))
-      .groupBy(col("term")).agg(sum(col("df")).cast(DoubleType).as("df"))
-    spark.read.parquet(s"$indexDir/postings")
+      .agg(dfCols.head, dfCols.tail: _*)
+    val perDoc = spark.read.parquet(s"$indexDir/postings")
       .filter(col("term").isin(queryTerms: _*)) // pushed to the parquet scan
-      .join(broadcast(termDf), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("dl")).cast(DoubleType).as("dl"),
+        map_from_entries(collect_list(struct(col("term"), col("tf")))).as("tfs"))
+    val score = terms.map { i =>
+      val tf = coalesce(try_element_at(col("tfs"), lit(queryTerms(i))), lit(0L))
+        .cast(DoubleType)
+      when(tf > 0,
+        ((col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))) *
+          (tf * lit(k1 + 1)) /
+          (tf + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avdl")))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _) // fixed left-assoc fold — bm25TopK's exact sum order
+    perDoc
+      .crossJoin(broadcast(dfRow))
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        (((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf").cast(DoubleType) * lit(k1 + 1)) /
-          (col("tf").cast(DoubleType) + lit(k1) *
-            (lit(1 - b) + lit(b) * (col("dl").cast(DoubleType) / col("avdl")))))
-          .as("s"))
-      .groupBy(col("doc_id")).agg(sum(col("s")).as("bm25"))
+      .select(col("doc_id"), score.as("bm25"))
+      .filter(col("bm25") > 0)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }
