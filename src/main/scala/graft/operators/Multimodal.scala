@@ -8,9 +8,11 @@ import org.apache.spark.sql.types._
   * with typed metadata, processed by per-partition batch functions.
   *
   * The Spark-side plumbing here is real — schemas, partition-batch
-  * iteration, explode of frame samples — while the actual media decode is
-  * a clearly-marked STUB (this environment ships no image/audio codecs).
-  * A production deployment replaces `stubDecode` with a real codec call;
+  * iteration, explode of frame samples — and ONE codec is real too:
+  * binary PPM (`image/ppm`, [[decodePpm]]) decodes with pure byte
+  * arithmetic, no library. Every other kind falls to the clearly-marked
+  * STUB (this environment ships no compressed-image/audio codecs); a
+  * production deployment swaps `stubDecode` for a JNI/javacv call and
   * nothing else changes. In PySpark the same shape is `mapInPandas` with
   * arrow batches; in Scala the analogue is a typed `mapPartitions`, which
   * keeps the per-batch amortization (open codec once per partition, stream
@@ -49,14 +51,79 @@ object Multimodal {
     MediaFeatures(m.media_id, m.kind, n, width = 1 + (n % 1024), height = 1 + (n % 768), feats)
   }
 
+  /** REAL codec for one self-describing format: binary PPM ("P6") decoded
+    * with pure byte arithmetic — magic, whitespace/`#`-comment-tolerant
+    * header (width, height, maxval), one separator byte, then row-major
+    * RGB samples. 8-bit samples only (maxval < 256 — the ubiquitous
+    * case); 16-bit PPMs are rejected, not misread. Features: per-channel
+    * means scaled to [0,1] (slots 0-2), aspect ratio (3), and a 12-bin
+    * integer-luminance histogram as pixel fractions (4-15) — a real,
+    * stable signature for embedding-style downstream ops. Malformed
+    * payloads fail loudly (IllegalArgumentException): a silently-faked
+    * feature vector for a corrupt image would poison downstream dedup. */
+  def decodePpm(m: Media): MediaFeatures = {
+    val b = m.bytes
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6',
+      s"media ${m.media_id}: not a binary PPM (P6) payload")
+    var i = 2
+    def skipSpace(): Unit = {
+      var go = true
+      while (go && i < b.length) {
+        val c = b(i)
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipSpace()
+      require(i < b.length && b(i) >= '0' && b(i) <= '9',
+        s"media ${m.media_id}: malformed PPM header")
+      var v = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    require(w > 0 && h > 0 && maxv > 0,
+      s"media ${m.media_id}: degenerate PPM dims ${w}x$h maxval $maxv")
+    require(maxv < 256, s"media ${m.media_id}: 16-bit PPM (maxval $maxv) unsupported")
+    i += 1 // exactly one whitespace byte separates the header from samples
+    val nPix = w.toLong * h
+    require(b.length - i >= nPix * 3,
+      s"media ${m.media_id}: truncated PPM — need ${nPix * 3} sample bytes, have ${b.length - i}")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val hist = new Array[Long](12)
+    var p = i; var px = 0L
+    while (px < nPix) {
+      val r = b(p) & 0xff; val g = b(p + 1) & 0xff; val bl = b(p + 2) & 0xff
+      sr += r; sg += g; sb += bl
+      // integer Rec.601 luminance in [0, maxv] → 12 equal bins
+      val lum = (r * 299 + g * 587 + bl * 114) / 1000
+      hist(((lum * 12) / (maxv + 1)).toInt) += 1
+      p += 3; px += 1
+    }
+    val feats = new Array[Float](16)
+    feats(0) = (sr.toDouble / nPix / maxv).toFloat
+    feats(1) = (sg.toDouble / nPix / maxv).toFloat
+    feats(2) = (sb.toDouble / nPix / maxv).toFloat
+    feats(3) = w.toFloat / h
+    var k = 0
+    while (k < 12) { feats(4 + k) = (hist(k).toDouble / nPix).toFloat; k += 1 }
+    MediaFeatures(m.media_id, m.kind, b.length, w, h, feats)
+  }
+
   /** Decode/feature-extract a media dataset. Per-partition batching: the
-    * (stubbed) codec is "opened" once per partition — the real-codec cost
-    * model this plumbing exists for. */
+    * codec is "opened" once per partition — the real-codec cost model
+    * this plumbing exists for. Dispatch is by `kind`: `image/ppm` rows
+    * take the real [[decodePpm]] path; everything else keeps the stub. */
   def decodeFeatures(ds: Dataset[Media]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      // per-partition setup would initialize the codec here (once, not per row)
-      rows.map(stubDecode)
+      // per-partition setup would initialize heavier codecs here (once,
+      // not per row)
+      rows.map(m => if (m.kind == "image/ppm") decodePpm(m) else stubDecode(m))
     }
   }
 

@@ -21,6 +21,49 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(0).width == 1 + 1000 % 1024)
   }
 
+  test("decodePpm: real planted P6 bytes decode exactly — dims, means, histogram") {
+    // 4×2 image, comment in the header, maxval 255:
+    // row 0: pure red, pure green, pure blue, white | row 1: 4× black
+    val header = "P6\n# planted test image\n4 2\n255\n".getBytes("US-ASCII")
+    val pixels = Array(
+      255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255,
+      0, 0, 0,    0, 0, 0,    0, 0, 0,    0, 0, 0).map(_.toByte)
+    val ppm = Media(7L, "image/ppm", header ++ pixels)
+    val out = Multimodal.decodeFeatures(Seq(ppm).toDS()).collect()(0)
+    assert(out.width == 4 && out.height == 2)
+    assert(out.n_bytes == header.length + pixels.length)
+    // channel means: R = (255+255)/8/255, G likewise, B likewise = 0.25
+    assert(math.abs(out.features(0) - 0.25f) < 1e-6)
+    assert(math.abs(out.features(1) - 0.25f) < 1e-6)
+    assert(math.abs(out.features(2) - 0.25f) < 1e-6)
+    assert(out.features(3) == 2.0f) // aspect 4/2
+    // luminance bins (maxv 255, 12 bins of ~21.33): red lum 76 → bin 3,
+    // green 149 → bin 6, blue 28 → bin 1, white 255 → bin 11, 4× black → bin 0
+    val hist = out.features.drop(4)
+    assert(hist(0) == 0.5f)
+    assert(hist(1) == 0.125f && hist(3) == 0.125f && hist(6) == 0.125f && hist(11) == 0.125f)
+    assert(math.abs(hist.sum - 1.0f) < 1e-6)
+    // same bytes, kind image/ppm vs fake: the dispatch is real — the stub
+    // would produce different dims for this payload
+    val asFake = Multimodal.decodeFeatures(
+      Seq(ppm.copy(kind = "image/fake")).toDS()).collect()(0)
+    assert(asFake.width != out.width || asFake.features.toSeq != out.features.toSeq)
+  }
+
+  test("decodePpm: malformed payloads fail loudly, never fake features") {
+    def bad(bytes: Array[Byte]) = intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(Media(1L, "image/ppm", bytes))
+    }
+    assert(bad("P5\n1 1\n255\n ".getBytes("US-ASCII")) // wrong magic (grayscale)
+      .getMessage.contains("not a binary PPM"))
+    assert(bad("P6\n4 2\n255\nxx".getBytes("US-ASCII")) // short pixel data
+      .getMessage.contains("truncated"))
+    assert(bad("P6\n4 2\n65535\n".getBytes("US-ASCII")) // 16-bit samples
+      .getMessage.contains("unsupported"))
+    assert(bad("P6\nwide 2\n255\n".getBytes("US-ASCII")) // non-numeric dim
+      .getMessage.contains("malformed"))
+  }
+
   test("frameSample: frames reassemble to the original payload") {
     val frames = Multimodal.frameSample(media.toDF(), frameBytes = 256)
       .orderBy("media_id", "frame_idx").collect()
