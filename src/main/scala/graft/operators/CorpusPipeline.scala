@@ -250,4 +250,107 @@ object CorpusPipeline {
       .foreachBatch(commit)
       .start()
   }
+
+  /** [[writeStreamIncrementalDedup]]'s indexed sibling: one sink maintains
+    * the corpus, the MinHash signature table + band-bucket index, AND a
+    * standing BM25 inverted index ([[Search.bm25IndexAppendIdempotent]]),
+    * so the curated corpus is keyword-searchable the moment a batch
+    * commits — no separate indexing job trailing the ingest.
+    *
+    * Crash safety — the reason this is more than four appends in a row:
+    * every directory carries its own batch marker, the appends run in a
+    * FIXED order (docs → BM25 index → buckets → signatures), and the
+    * batch's kept-set (`fresh`) is a pure function of (batch, signature
+    * table) with the signature append LAST. A replay after a crash at any
+    * point therefore recomputes the same kept-set — or, once the
+    * signatures landed, an empty one — and each dir's marker skips
+    * exactly the appends that already completed: the three-dir crash
+    * window documented on the bare index (Search.scala maintenance
+    * contract) is SELF-HEALING here, which CorpusPipelineSpec drives
+    * (mid-sequence crash + replay converges, index never double-counts).
+    * The residual window is appendBatchIdempotent's own (crash between an
+    * append and its marker write duplicates that one append on replay) —
+    * a table format's job, documented there. Single-writer contract.
+    *
+    * The BM25 index is threshold-compacted in the commit
+    * ([[Search.bm25IndexMaintain]], `maxIndexFiles`) so a long-running
+    * ingest keeps bounded file counts. Parameter pinning as in
+    * [[writeStreamIncrementalDedup]]. */
+  def writeStreamIndexed(curated: DataFrame, corpusDir: String,
+      sigDir: String, indexDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      minJaccard: Double = 0.8,
+      maxIndexFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    val commit = (batch: DataFrame, batchId: Long) =>
+      indexedCommit(batch, batchId, corpusDir, sigDir, indexDir,
+        idCol, textCol, k, bands, shingleN, minJaccard, maxIndexFiles)
+    curated.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(commit)
+      .start()
+  }
+
+  /** One [[writeStreamIndexed]] commit — package-visible so the spec can
+    * drive replay and mid-sequence-crash scenarios directly. */
+  private[graft] def indexedCommit(batch: DataFrame, batchId: Long,
+      corpusDir: String, sigDir: String, indexDir: String,
+      idCol: String, textCol: String,
+      k: Int, bands: Int, shingleN: Int, minJaccard: Double,
+      maxIndexFiles: Int): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val spark = batch.sparkSession
+    val bucketDir = sigDir + ".buckets"
+    val fs = new HPath(sigDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasParquet(dir: String): Boolean = {
+      val p = new HPath(dir)
+      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    }
+    val hasTable = hasParquet(sigDir)
+    val batchSigs = Dedup
+      .minhashSignatureTable(batch, idCol, textCol, k, shingleN)
+      .persist()
+    val fresh =
+      if (!hasTable) batch
+      else {
+        if (!hasParquet(bucketDir)) // pre-index table: backfill once
+          Dedup.minhashBucketTable(spark.read.parquet(sigDir), k, bands)
+            .write.mode("overwrite").parquet(bucketDir)
+        else {
+          // same partial-divergence repair as writeStreamIncrementalDedup
+          val unindexed = spark.read.parquet(sigDir)
+            .join(spark.read.parquet(bucketDir).select("doc_id").distinct(),
+              Seq("doc_id"), "left_anti")
+          if (!unindexed.isEmpty) {
+            Dedup.minhashBucketTable(unindexed, k, bands)
+              .write.mode("append").parquet(bucketDir)
+            spark.catalog.refreshByPath(bucketDir)
+          }
+        }
+        Dedup.minhashDedupAgainst(batch, spark.read.parquet(sigDir),
+            idCol, textCol, k, bands, shingleN, minJaccard,
+            batchSigs = Some(batchSigs),
+            refBuckets = Some(spark.read.parquet(bucketDir)))
+          .filter(col("is_new")).drop("dup_of_ref", "is_new")
+      }
+    val freshP = fresh.persist()
+    val freshSigs = batchSigs.join(
+      freshP.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
+      .persist()
+    // fixed order, one marker per dir; signatures LAST (see scaladoc)
+    graft.io.Sinks.appendBatchIdempotent(freshP, corpusDir, batchId)
+    if (graft.operators.Search.bm25IndexAppendIdempotent(
+        freshP, indexDir, batchId, idCol, textCol))
+      graft.operators.Search.bm25IndexMaintain(spark, indexDir, maxIndexFiles)
+    graft.io.Sinks.appendBatchIdempotent(
+      Dedup.minhashBucketTable(freshSigs, k, bands), bucketDir, batchId)
+    graft.io.Sinks.appendBatchIdempotent(freshSigs, sigDir, batchId)
+    freshSigs.unpersist()
+    freshP.unpersist()
+    batchSigs.unpersist()
+    Seq(corpusDir, sigDir, bucketDir).foreach(spark.catalog.refreshByPath)
+    ()
+  }
 }

@@ -232,6 +232,90 @@ class CorpusPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("writeStreamIndexed: dedup + standing BM25 index maintained in one commit") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_widx").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    val mem = MemoryStream[(Long, String)]
+    val query = CorpusPipeline.writeStreamIndexed(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/sigs", s"$dir/idx", s"$dir/ck", minJaccard = 0.5)
+    try {
+      mem.addData((1L, base), (2L, other))
+      query.processAllAvailable()
+      // twin of doc 1 dropped; new doc 11 lands in corpus AND index
+      mem.addData((10L, base.replace("alpha ", "")),
+        (11L, "totally new words here"))
+      query.processAllAvailable()
+      val ids = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 11L))
+      assert(spark.read.parquet(s"$dir/sigs").count() == 3)
+      assert(spark.read.parquet(s"$dir/sigs.buckets")
+        .select("doc_id").distinct().count() == 3)
+      // the standing index answers EXACTLY like scan-side BM25 over the
+      // committed corpus — searchable the moment the batch commits
+      val terms = Seq("alpha", "one", "words")
+      val probe = graft.operators.Search
+        .bm25IndexProbe(spark, s"$dir/idx", terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val scan = graft.operators.Search
+        .bm25TopK(spark.read.parquet(s"$dir/corpus"), terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(probe.map(_._1).toSeq == scan.map(_._1).toSeq)
+      probe.zip(scan).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) < 1e-9)
+      }
+    } finally query.stop()
+  }
+
+  test("writeStreamIndexed: mid-sequence crash replays to convergence, no index double-count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_widx_cr").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    def commit(docs: Seq[(Long, String)], id: Long): Unit =
+      CorpusPipeline.indexedCommit(docs.toDF("doc_id", "text"), id,
+        s"$dir/corpus", s"$dir/sigs", s"$dir/idx", "doc_id", "text",
+        k = 64, bands = 16, shingleN = 3, minJaccard = 0.5, maxIndexFiles = 64)
+    commit(Seq((1L, base), (2L, other)), 0L)
+    // batch 1 "crashes" after the doc + index appends completed (markers
+    // written) but before the bucket/signature appends — the window the
+    // plain index documents as needing repair
+    val b1 = Seq((5L, "completely different content nothing shared with anything"))
+    graft.io.Sinks.appendBatchIdempotent(
+      b1.toDF("doc_id", "text"), s"$dir/corpus", 1L)
+    graft.operators.Search.bm25IndexAppendIdempotent(
+      b1.toDF("doc_id", "text"), s"$dir/idx", 1L)
+    assert(spark.read.parquet(s"$dir/sigs").count() == 2) // crash state
+    // the replay: recomputes the same kept-set, skips the committed
+    // appends via their markers, completes the missing ones
+    commit(b1, 1L)
+    assert(spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
+    assert(spark.read.parquet(s"$dir/sigs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
+    assert(spark.read.parquet(s"$dir/sigs.buckets")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
+    // df/tf not double-counted: probe == scan-side truth exactly
+    val probe = graft.operators.Search
+      .bm25IndexProbe(spark, s"$dir/idx", Seq("completely", "alpha"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val scan = graft.operators.Search
+      .bm25TopK(spark.read.parquet(s"$dir/corpus"), Seq("completely", "alpha"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(probe.map(_._1).toSeq == scan.map(_._1).toSeq)
+    probe.zip(scan).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+    // and the repaired state keeps deduping: a twin of doc 5 is dropped
+    commit(Seq((20L, "completely different content nothing shared with anything")), 2L)
+    assert(spark.read.parquet(s"$dir/corpus").count() == 3)
+  }
+
   test("curateStream: redact/score/filter + sketch dedup over a MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp
