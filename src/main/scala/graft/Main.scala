@@ -172,6 +172,37 @@ object Main {
         .foreach(r => println(s"${r.getLong(0)}\t${r.getDouble(1)}"))
       spark.stop()
 
+    // standing-index lifecycle: build (overwrite) or append a doc batch,
+    // probe with a term list, fold append debris
+    //   graft.Main index-build  <documentsParquetDir> <indexDir>
+    //   graft.Main index-append <documentsParquetDir> <indexDir>
+    //   graft.Main index-probe  <indexDir> <k> <term> [term...]
+    //   graft.Main index-compact <indexDir>
+    case "index-build" :: docs :: idx :: Nil =>
+      val spark = session("graft-index-build")
+      graft.operators.Search.bm25BuildIndex(spark.read.parquet(docs), idx)
+      println(s"indexed: $docs -> $idx")
+      spark.stop()
+
+    case "index-append" :: docs :: idx :: Nil =>
+      val spark = session("graft-index-append")
+      graft.operators.Search.bm25IndexAppend(spark.read.parquet(docs), idx)
+      println(s"appended: $docs -> $idx")
+      spark.stop()
+
+    case "index-probe" :: idx :: k :: terms if terms.nonEmpty && k.toIntOption.exists(_ > 0) =>
+      val spark = session("graft-index-probe")
+      graft.operators.Search.bm25IndexProbe(spark, idx, terms.distinct, k.toInt)
+        .collect()
+        .foreach(r => println(s"${r.getLong(0)}\t${r.getDouble(1)}"))
+      spark.stop()
+
+    case "index-compact" :: idx :: Nil =>
+      val spark = session("graft-index-compact")
+      graft.operators.Search.bm25IndexCompact(spark, idx)
+      println(s"compacted index: $idx")
+      spark.stop()
+
     // small-file maintenance: rewrite a parquet dir to a byte budget
     //   graft.Main compact <parquetDir> [targetFileMB]
     case "compact" :: dir :: rest if rest.length <= 1 &&
@@ -226,6 +257,10 @@ object Main {
            |  graft.Main complete [--force] <hg38|mm10> <outDir>
            |  graft.Main corpus   [--near-dup] [--gopher] [--cap=<col>:<n>] [--budget=<col>:<tokens>] <in.jsonl|dir> <outDir>
            |  graft.Main search   <documentsParquetDir> <k> <term> [term...]
+           |  graft.Main index-build  <documentsParquetDir> <indexDir>
+           |  graft.Main index-append <documentsParquetDir> <indexDir>
+           |  graft.Main index-probe  <indexDir> <k> <term> [term...]
+           |  graft.Main index-compact <indexDir>
            |  graft.Main compact  <parquetDir> [targetFileMB]
            |  graft.Main run      <config.properties> [<gvf|url> <gtf|url>]""".stripMargin)
       sys.exit(2)

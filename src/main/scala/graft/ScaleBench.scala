@@ -394,10 +394,13 @@ object ScaleBench {
             .withColumn("domain_weight", lit(1.0)),
           Seq("source"), saltFactor = 32)
       }
-    }
 
-    writeReport(mdOut, sfDir, scales, corpusStats.toSeq, results.toSeq)
-    println(s"wrote $mdOut")
+      // report after EVERY completed scale: a crash at the top scale still
+      // leaves the finished scales' evidence on disk
+      writeReport(mdOut, sfDir, scales.filter(_ <= scale),
+        corpusStats.toSeq, results.toSeq)
+      println(s"wrote $mdOut through ${scale}x")
+    }
     spark.stop()
   }
 
@@ -422,14 +425,15 @@ object ScaleBench {
     val byOp = rows.groupBy(_.op)
     def opTable(ops: Seq[String], withTasks: Boolean): Unit = {
       sb ++= ("| op | " + scales.map(s => s"${s}× sec").mkString(" | ") +
-        " | " + scales.sliding(2).map(p => s"w→${p(1) / p(0)}×").mkString(" | ") +
+        " | " + scales.sliding(2).filter(_.size == 2)
+          .map(p => s"w→${p(1) / p(0)}×").mkString(" | ") +
         " | out rows @" + scales.last + "× | shuffle w+r MB @" + scales.last + "×" +
         (if (withTasks) " | max/med task @" + scales.last + "×" else " | spill MB") + " |\n")
       sb ++= "|---" * (scales.size + (scales.size - 1) + 4) + "|\n"
       ops.foreach { op =>
         val rs = byOp(op).sortBy(_.scale)
         val times = rs.map(r => f"${r.sec}%.1f")
-        val ratios = rs.sliding(2).map { p =>
+        val ratios = rs.sliding(2).filter(_.size == 2).map { p =>
           val dataRatio = p(1).scale.toDouble / p(0).scale
           f"${p(1).sec / p(0).sec / dataRatio}%.2f"
         }.toSeq

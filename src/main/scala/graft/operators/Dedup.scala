@@ -124,6 +124,20 @@ object Dedup {
     * the two shingle sets → exact Jaccard filter. The exact-verify join is
     * what makes LSH false positives harmless.
     *
+    * `maxBucketSize` is the HOT-BUCKET guard: a (band, bucket) shared by
+    * m docs yields m²/2 candidate pairs, and corpus-wide boilerplate
+    * (footers, licenses, templates) routinely drives one band value to
+    * thousands of docs — a quadratic blow-up that OOMed the skewed-corpus
+    * ScaleBench before this cap existed. Buckets over the cap are dropped
+    * from pair generation (the stop-shingle defense of [[jaccardPairs]],
+    * band-level): docs that agree ONLY on a boilerplate-dominated band
+    * are false candidates the exact verify would reject anyway, and a
+    * true near-dup pair still surfaces through any of its other
+    * `bands - 1` doc-specific bands. The occupancy frame rides the same
+    * (band, bucket) exchange as the pair join; the over-cap set's join
+    * strategy is AQE's call (tiny in practice, never forced broadcast —
+    * the Sampling cardinality lesson).
+    *
     * Caching: the signature table is persisted (it feeds the bucket explode
     * and both verify sides with different shuffles) and stays cached after
     * the returned frame is consumed — callers running many corpora per
@@ -132,9 +146,10 @@ object Dedup {
   def minhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"signature length k=$k must be a positive multiple of bands=$bands")
+    require(maxBucketSize > 1, s"maxBucketSize must exceed 1: $maxBucketSize")
     val rowsPerBand = k / bands
     // staged projections (inside minhashSignatureTable): token hashes →
     // shingle hashes → signature. Each stage aliases a non-cheap
@@ -149,10 +164,16 @@ object Dedup {
       .select(col("doc_id"), explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
 
+    val hotBuckets = bucketed.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select("band", "bucket")
+    val kept = bucketed.join(hotBuckets, Seq("band", "bucket"), "left_anti")
+
     // probe side repartitioned for the same reason as simhashNearDupPairs:
     // a broadcast self-join streams at the scan's (tiny) partition count
-    val candidates = bucketed.repartition(shufflePartitions(df)).as("a")
-      .join(bucketed.as("b"),
+    val candidates = kept.repartition(shufflePartitions(df)).as("a")
+      .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -298,12 +319,22 @@ object Dedup {
     *
     * Verification is exact either way: bit_count(xor) ≤ maxHamming.
     * Budgets above 15 are rejected — at that distance simhash "near-dup"
-    * is semantically meaningless and the probe neighborhoods explode. */
+    * is semantically meaningless and the probe neighborhoods explode.
+    *
+    * `maxBlockSize` is the hot-block guard, the simhash face of
+    * [[minhashNearDupPairs]]'s hot-bucket cap: corpus-wide boilerplate
+    * pulls many docs' sketches toward the same bit pattern, so one
+    * (chunk, value) block can hold thousands of docs and its self-join
+    * goes quadratic. Over-cap blocks are dropped from pair generation;
+    * a true near-dup pair still meets on any of its other chunks (a pair
+    * within the Hamming budget agrees on ≥ 1 chunk by pigeonhole, and
+    * boilerplate-dominated agreement concentrates in the hot blocks). */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBlockSize: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming out of range [0, 15]: $maxHamming")
+    require(maxBlockSize > 1, s"maxBlockSize must exceed 1: $maxBlockSize")
     // The (id, simhash) frame is PERSISTED — 16 bytes/doc, the cheapest
     // cacheable thing in the engine — because it feeds both join sides
     // with different downstream shapes (mask explode + repartition on the
@@ -326,6 +357,13 @@ object Dedup {
           shiftright(col("simhash"), lo(c)).bitwiseAND(lit(mask)).as("v"))
       }: _*)).as("cb"))
       .select(col("doc_id"), col("simhash"), col("cb.chunk"), col("cb.v"))
+      // hot-block guard (see scaladoc): occupancy rides the same
+      // (chunk, v) keys; the over-cap set is AQE's to size, never forced
+    val hotBlocks = chunked.groupBy(col("chunk"), col("v"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBlockSize)
+      .select("chunk", "v")
+    val keptChunks = chunked.join(hotBlocks, Seq("chunk", "v"), "left_anti")
     // Pair-join scale guards (measured at sf0.1):
     //  - hamming is computed and filtered in the join projection — both
     //    hashes are on the joined row, so the codegen'd bit_count runs
@@ -345,7 +383,7 @@ object Dedup {
     //    the narrow 4-rows/doc chunk stream, never the amplified probe
     //    stream. Chunk widths are uniform when budget > 0 (64/4 = 16),
     //    so one mask set serves all chunks.
-    val repartitioned = chunked.repartition(shufflePartitions(df))
+    val repartitioned = keptChunks.repartition(shufflePartitions(df))
     val probe =
       if (budget == 0) repartitioned
       else {
@@ -356,7 +394,7 @@ object Dedup {
           explode(array(masks.map(m => col("v").bitwiseXOR(lit(m))): _*)).as("v"))
       }
     probe.as("a")
-      .join(chunked.as("b"),
+      .join(keptChunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

@@ -53,6 +53,41 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("hot-bucket cap bounds boilerplate blow-up; clean pairs unaffected") {
+    import spark.implicits._
+    // a 12-doc identical-text clique (all 16 bands collide — the
+    // boilerplate mega-bucket shape that goes quadratic uncapped) plus
+    // one distinct-vocabulary twin pair
+    val clique = (1L to 12L).map(i => (i, "common boiler words repeated " +
+      "verbatim across every single document in this clique"))
+    // 12 tokens, last differs → shingle jaccard 9/11 ≈ 0.82
+    val twins = Seq(
+      (100L, "completely separate vocabulary twin pair sharing eleven of twelve aligned tokens first"),
+      (101L, "completely separate vocabulary twin pair sharing eleven of twelve aligned tokens second"))
+    val corpus = (clique ++ twins).toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+        k = 32, bands = 16, shingleN = 3, minJaccard = 0.5, maxBucketSize = 5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // every clique bucket holds 12 > 5 docs → dropped from pair
+    // generation; the twin pair's buckets (occupancy 2) are untouched
+    assert(!capped.exists(p => p._1 <= 12L))
+    assert(capped.exists(p => p._1 == 100L && p._2 == 101L))
+    // with the cap above the occupancy, the clique pairs come back
+    val uncapped = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+        k = 32, bands = 16, shingleN = 3, minJaccard = 0.5, maxBucketSize = 100)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(uncapped.count(p => p._1 <= 12L && p._2 <= 12L) == 12 * 11 / 2)
+    // simhash face: the identical clique shares every chunk block
+    val simCapped = Dedup.simhashNearDupPairs(corpus, "doc_id", "text",
+        maxHamming = 3, maxBlockSize = 5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(!simCapped.exists(p => p._1 <= 12L))
+    val simUncapped = Dedup.simhashNearDupPairs(corpus, "doc_id", "text",
+        maxHamming = 3, maxBlockSize = 100)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(simUncapped.count(p => p._1 <= 12L && p._2 <= 12L) == 12 * 11 / 2)
+  }
+
   test("jaccardPairs computes exact shingle jaccard") {
     // doc 1 vs 3: 10 3-gram shingles each, differing in the 3 containing
     // dog/cat → 7 shared, union 13 → jaccard 7/13
