@@ -301,8 +301,12 @@ object ScaleBench {
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(embPath)
       def embCorpus: DataFrame = spark.read.parquet(embPath)
+      // iters = 2: at nLists ∝ corpus a single Lloyd round leaves very
+      // imbalanced lists, and hot lists × hot probes is what turns the
+      // selfjoin's candidate count super-linear — training quality is the
+      // IVF balance knob, and production trains offline anyway (untimed)
       val centroids = Similarity.trainCentroids(embCorpus,
-        nLists = 16 * scale, iters = 1)
+        nLists = 16 * scale, iters = 2)
       measure("semantic_dedup", s"$scaleDir/out_semdedup") {
         Similarity.semanticDedup(embCorpus, centroids, threshold = 0.95)
       }
@@ -382,8 +386,13 @@ object ScaleBench {
         Dedup.simhashNearDupPairs(skewed, "doc_id", "text", maxHamming = 3)
       }
       measure("skew_ngram_jaccard", s"$scaleDir/out_sk_jaccard") {
+        // maxDocFreq is the exact-Jaccard pair budget: per-shingle join
+        // fanout is df²/2, so a cap of 1000 admits 500k pairs from ONE
+        // shingle (measured: a 192× straggler at 50×). 200 bounds any
+        // shingle to 20k pairs; near-dup pairs share many LOW-df shingles,
+        // so the count survives the tighter cut.
         Dedup.jaccardPairs(skewed, "doc_id", "text",
-          shingleN = 3, minJaccard = 0.5, maxDocFreq = 1000L)
+          shingleN = 3, minJaccard = 0.5, maxDocFreq = 200L)
       }
       measure("skew_salted_agg", s"$scaleDir/out_sk_sagg") {
         SkewOps.saltedSum(skewSourced, Seq("source"), "n_tokens", saltFactor = 32)

@@ -273,9 +273,20 @@ object Dedup {
         col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket"))
       .select(col("n.doc_id").as("batch_id"), col("o.doc_id").as("ref_id"))
       .distinct()
+    // the verify side is PRUNED to candidate ref ids BEFORE the wide hs
+    // column joins: without the semi-join the verify shuffles the WHOLE
+    // signature table's shingle arrays every batch (measured 456 MB/batch
+    // at ScaleBench 50× — identical to the no-index path, swallowing the
+    // bucket index's entire win); with it the table contributes only its
+    // matching rows, so per-batch bytes follow the candidate set. The
+    // semi-join's id set is candidate-sized — AQE broadcasts the common
+    // small case, a pathological batch degrades to a shuffle, not an OOM.
+    val refNeeded = refSigs
+      .select(col("doc_id").as("ref_id"), col("hs").as("hs_r"))
+      .join(candidates.select("ref_id").distinct(), Seq("ref_id"), "left_semi")
     val dupOf = candidates
       .join(b.select(col("doc_id").as("batch_id"), col("hs").as("hs_b")), Seq("batch_id"))
-      .join(refSigs.select(col("doc_id").as("ref_id"), col("hs").as("hs_r")), Seq("ref_id"))
+      .join(refNeeded, Seq("ref_id"))
       .withColumn("n_shared", size(array_intersect(col("hs_b"), col("hs_r"))))
       .filter(col("n_shared").cast(DoubleType) /
         (size(col("hs_b")) + size(col("hs_r")) - col("n_shared")).cast(DoubleType)

@@ -464,13 +464,19 @@ object Similarity {
       .filter(col("adc_rank") <= rerankDepth)
       .select("query_id", "neighbor_id")
 
+    // NO forced broadcast on the query-vector rejoin: in the self-search
+    // shape the query table IS the corpus, and a broadcast hint here ships
+    // every query vector to every task (measured at ScaleBench 50× as a
+    // straggler + spill source). AQE still broadcasts genuinely small
+    // probe sets at runtime; table-scale query sets ride the query_id
+    // shuffle the shortlist already carries.
     val qVec = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     shortlist
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
         Seq("neighbor_id"))
-      .join(broadcast(qVec), Seq("query_id"))
+      .join(qVec, Seq("query_id"))
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
