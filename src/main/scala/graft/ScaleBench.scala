@@ -134,6 +134,11 @@ object ScaleBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // a 16g driver comfortably builds 64 MB hash tables; the default
+      // 10 MB threshold forces sort-merge (and a full index shuffle) for
+      // batch-probe joins whose build side is tens of MB — the same knob
+      // a real cluster tunes per executor memory
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new MetricsListener
@@ -301,11 +306,17 @@ object ScaleBench {
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(embPath)
       def embCorpus: DataFrame = spark.read.parquet(embPath)
-      // iters = 2: at nLists ∝ corpus a single Lloyd round leaves very
-      // imbalanced lists, and hot lists × hot probes is what turns the
-      // selfjoin's candidate count super-linear — training quality is the
-      // IVF balance knob, and production trains offline anyway (untimed)
-      val centroids = Similarity.trainCentroids(embCorpus,
+      // INIT DIVERSITY: trainCentroids seeds from the lowest-id vectors
+      // (its reproducibility contract) — here those are all copy-0, one
+      // rotation's subspace, which leaves every other rotation's vectors
+      // piling into a few lists (measured: the selfjoin went super-linear
+      // from hot lists × hot probes). Hash-remapping the training ids
+      // makes "lowest ids" a pseudo-random spread across the corpus — the
+      // deterministic analogue of the shuffled training sample production
+      // k-means always uses. iters = 2 then balances within reach.
+      val trainSet = embCorpus.select(
+        xxhash64(col("vec_id")).as("vec_id"), col("embedding"))
+      val centroids = Similarity.trainCentroids(trainSet,
         nLists = 16 * scale, iters = 2)
       measure("semantic_dedup", s"$scaleDir/out_semdedup") {
         Similarity.semanticDedup(embCorpus, centroids, threshold = 0.95)

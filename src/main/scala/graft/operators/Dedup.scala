@@ -264,9 +264,21 @@ object Dedup {
       refBuckets: Option[DataFrame] = None): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"signature length k=$k must be a positive multiple of bands=$bands")
-    val b = batchSigs.getOrElse(
-      minhashSignatureTable(batch, idCol, textCol, k, shingleN)
-        .persist(StorageLevel.MEMORY_AND_DISK)) // buckets + verify probe
+    val b = batchSigs.getOrElse {
+      val sigs = minhashSignatureTable(batch, idCol, textCol, k, shingleN)
+        .persist(StorageLevel.MEMORY_AND_DISK) // buckets + verify probe
+      // materialize the cache NOW: with exact InMemoryRelation stats the
+      // planner picks a broadcast hash join for the candidates probe with
+      // the batch side as build — the REFERENCE bucket index then streams
+      // through its scan with NO exchange, which is the whole point of a
+      // persisted index (an unmaterialized cache estimates from the base
+      // scan, plans a sort-merge join, and shuffles the index every
+      // batch — measured 230 MB/batch at ScaleBench 50×). Callers passing
+      // batchSigs own this materialization (the streaming sink's persist
+      // is materialized by its first consumer inside the same commit).
+      sigs.count()
+      sigs
+    }
     val candidates = minhashBucketTable(b, k, bands)
       .repartition(shufflePartitions(batch)).as("n")
       .join(refBuckets.getOrElse(minhashBucketTable(refSigs, k, bands)).as("o"),

@@ -393,6 +393,8 @@ object Similarity {
     val shortlist = codes.crossJoin(broadcast(qTables))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", graft.expressions.PqAdc.pqAdc(col("codes"), col("qtable")))
+      // narrow before the rank sort — same reason as ivfPqTopK's shortlist
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
       .withColumn("adc_rank", row_number().over(adcW))
       .filter(col("adc_rank") <= rerankDepth)
       .select("query_id", "neighbor_id")
@@ -460,6 +462,12 @@ object Similarity {
       .join(qTables, Seq("query_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", graft.expressions.PqAdc.pqAdc(col("codes"), col("qtable")))
+      // NARROW the stream before the rank sort: the m·kc ADC table
+      // (KBs/row) has done its job once `adc` is computed, and letting it
+      // ride through the per-query sort multiplies the sort's bytes by
+      // ~40× — measured as 5 GB of spill on the 50× self-join before
+      // this projection existed
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
       .withColumn("adc_rank", row_number().over(adcW))
       .filter(col("adc_rank") <= rerankDepth)
       .select("query_id", "neighbor_id")
