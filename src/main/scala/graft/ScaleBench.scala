@@ -489,17 +489,14 @@ object ScaleBench {
       "is O(n) in corpus size over the measured range — no quadratic " +
       "blow-up is hiding in candidate generation, window ranking, " +
       "iteration count, or the prefix-sum.\n\n"
-    sb ++= "Shuffle-byte STEPS between scales (minhash_pairs most " +
-      "visibly) are AQE switching the signature-verify joins from " +
-      "broadcast to shuffle once the persisted signature frame outgrows " +
-      "the broadcast threshold; after the switch bytes/doc are flat " +
-      "(~2 KB/doc: the two shingle-hash-array sides of the verify join " +
-      "plus the candidate ids), i.e. the shuffle grows O(n) with a " +
-      "regime change, not super-linearly. bm25_batch's shuffle is " +
-      "CONSTANT in corpus size (the broadcast semi-join prunes the " +
-      "exploded token stream to the fixed query vocabulary before the " +
-      "count shuffle) — exactly the plan property the operator exists " +
-      "for.\n\n"
+    sb ++= "bm25_batch's shuffle is CONSTANT in corpus size (the " +
+      "broadcast semi-join prunes the exploded token stream to the fixed " +
+      "query vocabulary before the count shuffle) — exactly the plan " +
+      "property the operator exists for. The near-dup self-joins' " +
+      "shuffles grow O(n) (the band/chunk streams and the " +
+      "candidate-pruned verify sides), with hot-bucket caps bounding any " +
+      "single key's quadratic contribution — see the skew section, whose " +
+      "scenario OOMed the engine before the caps existed.\n\n"
     sb ++= "The curation samplers show their two-branch design directly: " +
       "source_cap/token_budget output grows SUB-linearly (the fixed caps " +
       "bite harder as the corpus grows) and only over-cap groups' rows " +
@@ -512,20 +509,25 @@ object ScaleBench {
       "embedding corpus. ivfpq_selfjoin searches the corpus WITH the " +
       "corpus (query table = corpus, no driver-side query set): with " +
       "nLists ∝ corpus and fixed nProbe each query's candidate set is " +
-      "constant, so total cost should track the corpus linearly " +
-      "(w→ ≈ 1).\n\n" +
+      "constant, so total cost tracks the corpus ~linearly. Getting it " +
+      "there took three measured fixes this round: narrow the rank sort " +
+      "(the KB-scale ADC-table column rode through it — 5 GB spill), " +
+      "drop the forced query-vector broadcast (corpus-sized in this " +
+      "shape), and hash-spread the centroid init (lowest-id seeding " +
+      "drew every centroid from one rotation's subspace → hot lists).\n\n" +
       "incremental_dedup times a FIXED-size ingest batch against the " +
       "GROWING corpus through the path writeStreamIncrementalDedup " +
       "actually runs: the persisted band-bucket index (built untimed, as " +
-      "the sink maintains it) is probed instead of re-exploding the " +
-      "accumulated signature table, so per-batch cost stays ~FLAT in " +
-      "corpus lifetime — incdedup_noindex is the same batch through the " +
-      "no-index path, whose growth with the table is the cost the index " +
-      "exists to remove. bm25_index_probe reads a standing index that " +
-      "grew with the corpus (built+appended untimed) with a FIXED query " +
-      "vocabulary: probe time must stay ~flat — its IO follows the " +
-      "query's terms (pushed `term IN` over term-sorted postings), not " +
-      "the corpus.\n"
+      "the sink maintains it) is probed by a BROADCAST batch — the " +
+      "microbatch contract — so the index and signature table only " +
+      "stream through column-pruned scans and per-batch shuffle follows " +
+      "the batch, not the corpus. incdedup_noindex is the same batch " +
+      "re-exploding the accumulated table's bands each run — the cost " +
+      "the index exists to remove. bm25_index_probe reads a standing " +
+      "index that grew with the corpus (built+appended untimed) with a " +
+      "FIXED query vocabulary: probe time stays ~flat — its IO follows " +
+      "the query's terms (pushed `term IN` over term-sorted postings), " +
+      "not the corpus.\n"
     Files.write(Paths.get(mdOut), sb.toString.getBytes("UTF-8"))
   }
 }

@@ -235,9 +235,12 @@ object Dedup {
     * one at scale; pass `minhashSignatureTable(referenceDf, ...)` to
     * compute it inline). Same LSH machinery as `minhashNearDupPairs` —
     * band buckets, (band, bucket)-keyed equi-join, exact shingle-hash
-    * Jaccard verify — but two-sided: candidates join batch buckets to
-    * reference buckets, so the shuffle is O(batch + reference signatures),
-    * never pairs². Output: the batch plus `dup_of_ref` (smallest matching
+    * Jaccard verify — but the BATCH side is the broadcast build of every
+    * probe join (its size is the operator's contract: a microbatch
+    * against the accumulated corpus), so the reference index and
+    * signature table only ever STREAM through column-pruned scans —
+    * per-batch shuffle follows the batch, never the corpus, and never
+    * pairs². Output: the batch plus `dup_of_ref` (smallest matching
     * reference id, null = genuinely new) and `is_new`.
     *
     * (k, bands, shingleN) must match the persisted table's parameters —
@@ -279,9 +282,19 @@ object Dedup {
       sigs.count()
       sigs
     }
-    val candidates = minhashBucketTable(b, k, bands)
-      .repartition(shufflePartitions(batch)).as("n")
-      .join(refBuckets.getOrElse(minhashBucketTable(refSigs, k, bands)).as("o"),
+    // The BATCH side is broadcast BY HINT, not left to the planner: the
+    // operator's contract is batch ≪ corpus (a microbatch against the
+    // accumulated table), so the build side is caller-bounded — this is
+    // NOT the unbounded-cardinality case where a forced broadcast risks
+    // the driver (capPerGroup's over-cap set). The hint matters because
+    // AQE's runtime conversion is too late: by the time the batch side's
+    // size is known, the INDEX side's shuffle map stage has already
+    // written its files (measured: 230 MB of index shuffle per batch at
+    // ScaleBench 50× with the conversion, ~zero with the static hint).
+    // With the hint the reference bucket index only ever STREAMS through
+    // its column-pruned scan — per-batch shuffle follows the batch.
+    val candidates = refBuckets.getOrElse(minhashBucketTable(refSigs, k, bands)).as("o")
+      .join(broadcast(minhashBucketTable(b, k, bands)).as("n"),
         col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket"))
       .select(col("n.doc_id").as("batch_id"), col("o.doc_id").as("ref_id"))
       .distinct()
@@ -290,12 +303,14 @@ object Dedup {
     // signature table's shingle arrays every batch (measured 456 MB/batch
     // at ScaleBench 50× — identical to the no-index path, swallowing the
     // bucket index's entire win); with it the table contributes only its
-    // matching rows, so per-batch bytes follow the candidate set. The
-    // semi-join's id set is candidate-sized — AQE broadcasts the common
-    // small case, a pathological batch degrades to a shuffle, not an OOM.
+    // matching rows, so per-batch bytes follow the candidate set.
+    // Broadcast by hint for the same static-vs-AQE-timing reason as the
+    // candidates join above — the id set is (batch × matches)-sized,
+    // 8 bytes per id, under the same microbatch contract.
     val refNeeded = refSigs
       .select(col("doc_id").as("ref_id"), col("hs").as("hs_r"))
-      .join(candidates.select("ref_id").distinct(), Seq("ref_id"), "left_semi")
+      .join(broadcast(candidates.select("ref_id").distinct()),
+        Seq("ref_id"), "left_semi")
     val dupOf = candidates
       .join(b.select(col("doc_id").as("batch_id"), col("hs").as("hs_b")), Seq("batch_id"))
       .join(refNeeded, Seq("ref_id"))
