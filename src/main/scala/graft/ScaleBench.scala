@@ -397,13 +397,12 @@ object ScaleBench {
         Dedup.simhashNearDupPairs(skewed, "doc_id", "text", maxHamming = 3)
       }
       measure("skew_ngram_jaccard", s"$scaleDir/out_sk_jaccard") {
-        // maxDocFreq is the exact-Jaccard pair budget: per-shingle join
-        // fanout is df²/2, so a cap of 1000 admits 500k pairs from ONE
-        // shingle (measured: a 192× straggler at 50×). 200 bounds any
-        // shingle to 20k pairs; near-dup pairs share many LOW-df shingles,
-        // so the count survives the tighter cut.
+        // default caps on purpose: maxDocFreq=1000 admits up to 500k pairs
+        // from ONE shingle — a 192× straggler before the triangle-salted
+        // hot-key branch existed — so this row measures the salting's
+        // straggler-splitting under the worst admissible fanout
         Dedup.jaccardPairs(skewed, "doc_id", "text",
-          shingleN = 3, minJaccard = 0.5, maxDocFreq = 200L)
+          shingleN = 3, minJaccard = 0.5)
       }
       measure("skew_salted_agg", s"$scaleDir/out_sk_sagg") {
         SkewOps.saltedSum(skewSourced, Seq("source"), "n_tokens", saltFactor = 32)

@@ -580,7 +580,8 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.5,
-      maxDocFreq: Long = 1000L): DataFrame = {
+      maxDocFreq: Long = 1000L, saltDocFreq: Long = 100L): DataFrame = {
+    require(saltDocFreq > 1, s"saltDocFreq must exceed 1: $saltDocFreq")
     val docShingles = df.select(
       col(idCol).as("doc_id"),
       TextFunctions.tokenHashes(col(textCol)).as("th"))
@@ -589,25 +590,54 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds postings ×2 + totals
 
     val postings = docShingles.select(col("doc_id"), explode(col("hs")).as("sh"))
-    val stopShingles = postings.groupBy(col("sh"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq)
-      .select("sh")
+    val dfs = postings.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val stopShingles = dfs.filter(col("df") > maxDocFreq).select("sh")
 
     // in-group ordered pairs via self-equi-join on the shingle hash: both
     // sides are the identical sub-plan, so the shuffle happens once and the
     // second side is a ReusedExchange; the join itself is codegen'd (the
     // earlier collect_list + nested-lambda pair explode ran interpreted —
     // higher-order functions are CodegenFallback — and built per-key arrays
-    // that AQE can't split; a join key is skew-handled for free).
+    // that AQE can't split).
     val kept = postings.join(broadcast(stopShingles), Seq("sh"), "left_anti")
+
+    // HOT keys under the stop cap still amplify: one shingle at df docs
+    // fans out to df²/2 pairs, and AQE's skew handling can't see it — skew
+    // split is INPUT-bytes-based, and a 1000-row key producing 500k pairs
+    // looks tiny on input (measured: a 98× max/median task ratio on the
+    // boilerplate ScaleBench corpus). Keys with df > saltDocFreq take a
+    // triangle-salted self-join instead: the probe side gets a row salt in
+    // [0, ceil(df/saltDocFreq)), the build side replicates once per salt
+    // value, and each pair meets exactly once (at the probe row's salt) —
+    // one key's pair generation spreads over ~df/saltDocFreq tasks. The
+    // replication is df/saltDocFreq copies of df rows per key — O(df²/T),
+    // always ≤ the pair output it enables. Cold keys (the overwhelming
+    // majority) pay nothing. The pair MULTISET is identical either way,
+    // so results don't depend on the salt (and the row salt itself is
+    // position-derived, same contract as SkewOps.rowSalt).
+    val hotDfs = dfs.filter(col("df") > saltDocFreq && col("df") <= maxDocFreq)
+      .select(col("sh"), col("df"))
+    val coldRows = kept.join(broadcast(hotDfs.select("sh")), Seq("sh"), "left_anti")
+    val hotRows = kept.join(broadcast(hotDfs), Seq("sh"))
+      .withColumn("n_salt", ceil(col("df").cast(DoubleType) / saltDocFreq).cast(LongType))
+    val hotA = hotRows.select(col("sh"),  col("doc_id"),
+      pmod(xxhash64(monotonically_increasing_id()), col("n_salt")).as("salt"))
+    val hotB = hotRows.select(col("sh"), col("doc_id"),
+      explode(sequence(lit(0L), col("n_salt") - 1)).as("salt"))
+    val hotPairs = hotA.repartition(shufflePartitions(df), col("sh"), col("salt")).as("a")
+      .join(hotB.as("b"),
+        col("a.sh") === col("b.sh") && col("a.salt") === col("b.salt") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     // probe side repartitioned: when the posting stream fits under the
     // broadcast threshold, the self-join streams at the scan's (tiny)
     // partition count and pair generation serializes on 1-2 cores
-    val shared = kept.repartition(shufflePartitions(df)).as("a")
-      .join(kept.as("b"),
+    val coldPairs = coldRows.repartition(shufflePartitions(df)).as("a")
+      .join(coldRows.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val shared = coldPairs.union(hotPairs)
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
 
     val stopHits = postings.join(broadcast(stopShingles), Seq("sh"))

@@ -88,6 +88,26 @@ class DedupSpec extends SparkSpec {
     assert(simUncapped.count(p => p._1 <= 12L && p._2 <= 12L) == 12 * 11 / 2)
   }
 
+  test("jaccardPairs: triangle-salted hot keys produce the identical pair multiset") {
+    import spark.implicits._
+    // 30 docs share one shingle (df 30) — hot under saltDocFreq = 5 —
+    // plus per-doc unique tails; every cross pair shares exactly that one
+    // shingle, so results must be identical salted and unsalted
+    val docs30 = (1L to 30L).map(i =>
+      (i, s"common alpha beta uniq$i tail$i end$i")).toDF("doc_id", "text")
+    def run(salt: Long) = Dedup.jaccardPairs(docs30, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.01, maxDocFreq = 1000L, saltDocFreq = salt)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    val salted = run(5L)     // df 30 > 5 → triangle-salted branch
+    val unsalted = run(500L) // df 30 ≤ 500 → plain self-join branch
+    assert(salted.size == 30 * 29 / 2)
+    assert(salted == unsalted)
+    // one shared shingle over 4+4-1... each doc has 4 shingles, 1 shared:
+    // jaccard = 1 / (4 + 4 - 1) = 1/7 for every pair
+    assert(salted.values.forall(j => math.abs(j - 1.0 / 7.0) < 1e-12))
+  }
+
   test("jaccardPairs computes exact shingle jaccard") {
     // doc 1 vs 3: 10 3-gram shingles each, differing in the 3 containing
     // dog/cat → 7 shared, union 13 → jaccard 7/13
