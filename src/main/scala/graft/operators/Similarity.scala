@@ -492,24 +492,40 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: LSH candidates + exact cosine ≥
-    * threshold. The all-pairs analogue of lshTopK for corpus self-dedup. */
+    * threshold. The all-pairs analogue of lshTopK for corpus self-dedup.
+    *
+    * `maxBucketSize` is the hot-bucket guard, the embedding face of
+    * `Dedup.minhashNearDupPairs`'s cap: a corpus with many identical or
+    * near-identical vectors (exact-dup documents re-embedded, zero
+    * vectors, template pages) piles them into the same sign-sketch
+    * bucket in EVERY band, and that bucket's self-join is quadratic.
+    * Over-cap buckets are dropped from pair generation; mega-clusters of
+    * exact duplicates belong to exact dedup (hash the vector bytes), not
+    * LSH pairing. */
   def embeddingNearDupPairs(
       df: DataFrame, threshold: Double,
       bands: Int = 8, bitsPerBand: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(maxBucketSize > 1, s"maxBucketSize must exceed 1: $maxBucketSize")
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // self-join on identical bucketing subplans → Spark's ReusedExchange
     // computes the signature shuffle once; candidate ids only (two longs
     // per row through the pair shuffle/distinct), vectors rejoin after
     val bucketedDf = bandBucketed(base, "id", "v", bands, bitsPerBand)
       .select("id", "band", "bucket")
+    val hotBuckets = bucketedDf.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select("band", "bucket")
+    val keptBuckets = bucketedDf.join(hotBuckets, Seq("band", "bucket"), "left_anti")
     // probe side repartitioned: a broadcast self-join otherwise streams at
     // the scan's partition count (1-2 on a small parquet file) and the
     // per-bucket quadratic pair generation serializes (Dedup has the
     // measured numbers for the same shape)
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val pairIds = bucketedDf.repartition(nPart).as("a")
-      .join(bucketedDf.as("b"),
+    val pairIds = keptBuckets.repartition(nPart).as("a")
+      .join(keptBuckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
