@@ -480,7 +480,12 @@ object ScaleBench {
       "disjoint-vocabulary copies otherwise rule out. max/med task = " +
       "slowest ÷ median task wall time over the op's jobs at the top " +
       "scale — the straggler ratio; bounded means no hot key serialized " +
-      "a stage.\n\n"
+      "a stage. Read it with the op total: skew_ngram_jaccard's high " +
+      "ratio is aggregate pair VOLUME concentrating in a few reduce " +
+      "tasks (its w→ stays ~linear and the 50× total dropped ~3× when " +
+      "the triangle-salted hot-key branch landed — before it, one " +
+      "shingle's df²/2 fanout serialized a single task); every other " +
+      "op's ratio is single-digit.\n\n"
     opTable(skewOps, withTasks = true)
     sb ++= "\nAll measurements single-run on a shared box (±30% load " +
       "noise on absolute seconds; the RATIOS are the signal). A `w→` " +
