@@ -183,67 +183,12 @@ object CorpusPipeline {
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 64, bands: Int = 16, shingleN: Int = 3,
       minJaccard: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.hadoop.fs.{Path => HPath}
-    val bucketDir = sigDir + ".buckets"
-    val commit = (batch: DataFrame, batchId: Long) => {
-      val spark = batch.sparkSession
-      // Hadoop FS, not java.nio: sigDir may live on HDFS/S3 — a local-only
-      // probe would report "no table" forever and silently disable dedup
-      val fs = new HPath(sigDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def hasParquet(dir: String): Boolean = {
-        val p = new HPath(dir)
-        fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
-      }
-      val hasTable = hasParquet(sigDir)
-      val batchSigs = Dedup
-        .minhashSignatureTable(batch, idCol, textCol, k, shingleN)
-        .persist() // probe buckets + verify side + post-append sig write
-      val fresh =
-        if (!hasTable) batch
-        else {
-          if (!hasParquet(bucketDir)) // pre-index table: backfill once
-            Dedup.minhashBucketTable(spark.read.parquet(sigDir), k, bands)
-              .write.mode("overwrite").parquet(bucketDir)
-          else {
-            // repair partial divergence, not just total absence: a crash
-            // between the signature append and the bucket append leaves
-            // docs in sigDir the probe can never see — their twins would
-            // pass dedup forever. An id-column anti-join (cheap: both
-            // sides column-pruned to doc_id) finds them each commit and
-            // appends exactly their buckets.
-            val unindexed = spark.read.parquet(sigDir)
-              .join(spark.read.parquet(bucketDir).select("doc_id").distinct(),
-                Seq("doc_id"), "left_anti")
-            if (!unindexed.isEmpty) {
-              Dedup.minhashBucketTable(unindexed, k, bands)
-                .write.mode("append").parquet(bucketDir)
-              spark.catalog.refreshByPath(bucketDir)
-            }
-          }
-          Dedup.minhashDedupAgainst(batch, spark.read.parquet(sigDir),
-              idCol, textCol, k, bands, shingleN, minJaccard,
-              batchSigs = Some(batchSigs),
-              refBuckets = Some(spark.read.parquet(bucketDir)))
-            .filter(col("is_new")).drop("dup_of_ref", "is_new")
-        }
-      val freshP = fresh.persist() // feeds the doc append AND the index appends
-      if (graft.io.Sinks.appendBatchIdempotent(freshP, corpusDir, batchId)) {
-        val freshSigs = batchSigs.join(
-          freshP.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
-          .persist() // sig append + bucket append
-        freshSigs.write.mode("append").parquet(sigDir)
-        Dedup.minhashBucketTable(freshSigs, k, bands)
-          .write.mode("append").parquet(bucketDir)
-        freshSigs.unpersist()
-        spark.catalog.refreshByPath(sigDir)
-        spark.catalog.refreshByPath(bucketDir)
-      }
-      freshP.unpersist()
-      batchSigs.unpersist()
-      spark.catalog.refreshByPath(corpusDir)
-      ()
-    }
+    // the same self-healing commit as [[writeStreamIndexed]], minus the
+    // BM25 index (indexDir = None): per-dir markers, fixed append order,
+    // signatures last — see indexedCommit's scaladoc for the replay proof
+    val commit = (batch: DataFrame, batchId: Long) =>
+      indexedCommit(batch, batchId, corpusDir, sigDir, indexDir = None,
+        idCol, textCol, k, bands, shingleN, minJaccard, maxIndexFiles = 64)
     curated.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -283,7 +228,7 @@ object CorpusPipeline {
       minJaccard: Double = 0.8,
       maxIndexFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
     val commit = (batch: DataFrame, batchId: Long) =>
-      indexedCommit(batch, batchId, corpusDir, sigDir, indexDir,
+      indexedCommit(batch, batchId, corpusDir, sigDir, Some(indexDir),
         idCol, textCol, k, bands, shingleN, minJaccard, maxIndexFiles)
     curated.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -292,10 +237,11 @@ object CorpusPipeline {
       .start()
   }
 
-  /** One [[writeStreamIndexed]] commit — package-visible so the spec can
-    * drive replay and mid-sequence-crash scenarios directly. */
+  /** One sink commit — shared by [[writeStreamIncrementalDedup]]
+    * (indexDir = None) and [[writeStreamIndexed]]; package-visible so the
+    * spec can drive replay and mid-sequence-crash scenarios directly. */
   private[graft] def indexedCommit(batch: DataFrame, batchId: Long,
-      corpusDir: String, sigDir: String, indexDir: String,
+      corpusDir: String, sigDir: String, indexDir: Option[String],
       idCol: String, textCol: String,
       k: Int, bands: Int, shingleN: Int, minJaccard: Double,
       maxIndexFiles: Int): Unit = {
@@ -341,9 +287,11 @@ object CorpusPipeline {
       .persist()
     // fixed order, one marker per dir; signatures LAST (see scaladoc)
     graft.io.Sinks.appendBatchIdempotent(freshP, corpusDir, batchId)
-    if (graft.operators.Search.bm25IndexAppendIdempotent(
-        freshP, indexDir, batchId, idCol, textCol))
-      graft.operators.Search.bm25IndexMaintain(spark, indexDir, maxIndexFiles)
+    indexDir.foreach { idx =>
+      if (graft.operators.Search.bm25IndexAppendIdempotent(
+          freshP, idx, batchId, idCol, textCol))
+        graft.operators.Search.bm25IndexMaintain(spark, idx, maxIndexFiles)
+    }
     graft.io.Sinks.appendBatchIdempotent(
       Dedup.minhashBucketTable(freshSigs, k, bands), bucketDir, batchId)
     graft.io.Sinks.appendBatchIdempotent(freshSigs, sigDir, batchId)

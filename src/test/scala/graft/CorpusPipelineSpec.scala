@@ -281,7 +281,7 @@ class CorpusPipelineSpec extends SparkSpec {
       "twelve thirteen fourteen fifteen sixteen"
     def commit(docs: Seq[(Long, String)], id: Long): Unit =
       CorpusPipeline.indexedCommit(docs.toDF("doc_id", "text"), id,
-        s"$dir/corpus", s"$dir/sigs", s"$dir/idx", "doc_id", "text",
+        s"$dir/corpus", s"$dir/sigs", Some(s"$dir/idx"), "doc_id", "text",
         k = 64, bands = 16, shingleN = 3, minJaccard = 0.5, maxIndexFiles = 64)
     commit(Seq((1L, base), (2L, other)), 0L)
     // batch 1 "crashes" after the doc + index appends completed (markers

@@ -216,6 +216,25 @@ class SimilaritySpec extends SparkSpec {
     assert(res2.filter($"vec_id" >= 100L && $"is_kept").count() == 0)
   }
 
+  test("embeddingNearDupPairs: hot-bucket cap drops identical-vector mega-clusters only") {
+    // 20 identical vectors (every band bucket collides — the shape that
+    // goes quadratic uncapped) plus one genuinely near-dup pair
+    val same = (1L to 20L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    val pair = Seq(
+      (100L, Array(0.0f, 1.0f, 0.01f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.02f, 0.0f)))
+    val corpus = (same ++ pair).toDF("vec_id", "embedding")
+    val capped = Similarity.embeddingNearDupPairs(corpus, threshold = 0.99,
+        maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(p => p._1 <= 20L), "mega-cluster pairs must be dropped")
+    assert(capped.contains((100L, 101L)), "clean near-dup pair must survive")
+    val uncapped = Similarity.embeddingNearDupPairs(corpus, threshold = 0.99,
+        maxBucketSize = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count(p => p._1 <= 20L && p._2 <= 20L) == 20 * 19 / 2)
+  }
+
   test("pqAdcTable: ragged codebooks fail at analysis, not in executors") {
     // compute() reads books(0).length as kc for every book — a codebook
     // with a different centroid count must be rejected before execution
