@@ -71,6 +71,44 @@ object Packing {
     }.toDF("doc_id", "n_tokens", "start_offset", "pack_start", "pack_end")
   }
 
+  /** Per-document sliding-window chunking — the OTHER way long documents
+    * become training samples (packing concatenates short docs; chunking
+    * splits long ones, with `strideTokens` of overlap so no span is only
+    * ever seen cut in half at a window boundary).
+    *
+    * Window starts are 0, stride, 2·stride, … while start < n_tokens, so
+    * every token is covered and (when stride < chunkTokens) consecutive
+    * chunks overlap by chunkTokens − stride; tail windows run short rather
+    * than duplicating the previous chunk's end. Empty documents emit no
+    * chunks. Output: (doc_id, chunk_id, chunk_start, n_chunk_tokens,
+    * chunk_text) — chunk_start is the 1-based token position.
+    *
+    * Scale shape: this is a NARROW operator — tokenize, explode the window
+    * starts, slice — no shuffle at any corpus size; it pipelines inside
+    * the scan's whole-stage codegen and parallelism is the scan's. The
+    * explode's fan-out is n_tokens/stride rows per doc, each carrying only
+    * its own slice. */
+  def chunkByTokens(docs: DataFrame, chunkTokens: Int, strideTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(strideTokens > 0, s"strideTokens must be positive: $strideTokens")
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), col("n") - 1, lit(strideTokens))).as("s"),
+        col("n"))
+      .select(col("doc_id"),
+        (col("s") / strideTokens).cast(LongType).as("chunk_id"),
+        (col("s") + 1).cast(LongType).as("chunk_start"),
+        least(lit(chunkTokens), col("n") - col("s")).cast(LongType)
+          .as("n_chunk_tokens"),
+        array_join(slice(col("tk"), col("s") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** Materialize the packing: one row per (pack, document segment), with
     * the exact token slice that pack receives. A document spanning k packs
     * explodes into k segments whose slice bounds are pure integer

@@ -202,4 +202,47 @@ object Sampling {
     df.filter(
       conv(substring(md5(col(idCol).cast(StringType)), 9, 4), 16, 10)
         .cast(DoubleType) / lit(65536.0) < weight)
+
+  /** x^alpha for dyadic alphas, composed from `sqrt` — reproducible where
+    * `pow` is not: IEEE-754 requires sqrt correctly rounded, so the same
+    * composition gives bit-identical results in every engine, while
+    * `pow(x, 0.5)` is a libm transcendental whose last ulp is
+    * implementation-defined. Supported: 0.25, 0.5, 0.75, 1.0 — the range
+    * temperature-sampling recipes actually use. */
+  private[graft] def dyadicPow(x: Column, alpha: Double): Column = alpha match {
+    case 1.0  => x
+    case 0.5  => sqrt(x)
+    case 0.25 => sqrt(sqrt(x))
+    case 0.75 => sqrt(x) * sqrt(sqrt(x))
+    case a => throw new IllegalArgumentException(
+      s"alpha must be one of 0.25, 0.5, 0.75, 1.0 (sqrt-composable): $a")
+  }
+
+  /** Temperature-based source mixture weights — the sampling distribution
+    * behind multilingual/multi-source training mixes (weight ∝ tokens^α,
+    * α < 1 upweights small sources; the XLM-R/mT5 recipe). Output one row
+    * per group: (group, tokens, weight), weights summing to 1.
+    *
+    * Determinism is the design constraint here, not scale (the output is
+    * sources-sized): token totals are INTEGER sums (exact, order-free);
+    * tokens^α goes through [[dyadicPow]] (correctly-rounded sqrt
+    * composition, never libm pow); and the normalizing denominator — a sum
+    * of doubles, where accumulation order would leak into the last ulp —
+    * is a LEFT FOLD over the group-sorted list, pinned by `array_sort` +
+    * `aggregate`. The fold runs on one sources-sized row on the driver
+    * side of a 2-level agg; the corpus-sized work is only the integer sum.
+    * An oracle reproduces it as list_reduce over the same sorted list. */
+  def mixtureWeights(df: DataFrame, groupCol: String, nTokens: Column,
+      alpha: Double = 0.5): DataFrame = {
+    val perGroup = df.groupBy(col(groupCol))
+      .agg(sum(nTokens.cast(LongType)).as("tokens"))
+    val pw = dyadicPow(col("tokens").cast(DoubleType), alpha)
+    val denom = perGroup
+      .agg(aggregate(
+        array_sort(collect_list(struct(col(groupCol).as("g"), pw.as("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("denom"))
+    perGroup
+      .crossJoin(broadcast(denom))
+      .select(col(groupCol), col("tokens"), (pw / col("denom")).as("weight"))
+  }
 }

@@ -456,6 +456,26 @@ object ExtensionQueries {
           budgets = Map("en" -> 3000L), defaultBudget = 5000L)
         .orderBy("lang", "doc_id")),
 
+    // temperature-based source mixture weights (weight ∝ tokens^0.5, the
+    // XLM-R/mT5 upweight-small-sources recipe) — integer token sums,
+    // sqrt-composed power, and a sorted-fold denominator so the doubles
+    // are bit-identical in any engine (Sampling.mixtureWeights scaladoc)
+    "q_mixture_weights" -> ((s, dir) =>
+      Sampling.mixtureWeights(
+          t(s, dir, "documents"), "source", TF.tokenCount(col("text")),
+          alpha = 0.5)
+        .orderBy("source")),
+
+    // per-document sliding-window chunking (64-token windows, stride 48 →
+    // 16-token overlap): how long docs become training samples. A NARROW
+    // plan — tokenize/explode/slice inside the scan's codegen, no shuffle
+    // at any corpus size (the orderBy here is presentation for the oracle
+    // hash, not part of the operator)
+    "q_chunk_stride" -> ((s, dir) =>
+      graft.operators.Packing.chunkByTokens(
+          t(s, dir, "documents"), chunkTokens = 64, strideTokens = 48)
+        .orderBy("doc_id", "chunk_id")),
+
     // corpus-level term statistics: top-50 terms by frequency with doc
     // frequency — explode + map-side partial count + TakeOrderedAndProject
     // (no global sort); the tf/df primitive under stopword mining and
@@ -1380,6 +1400,15 @@ object ExtensionQueries {
       """WITH f AS (SELECT doc_id AS media_id, i - 1 AS frame_idx, substring(text, (i - 1) * 64 + 1, 64) AS frame FROM documents, unnest(generate_series(1, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS t(i) WHERE length(text) > 0) SELECT media_id, frame_idx, length(frame) AS n_frame_bytes, md5(frame) AS frame_hash FROM f ORDER BY media_id, frame_idx""",
 
     "q_bpe_token_count" ->
-      s"""SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_bpe_tokens, len($tokensSql) AS n_ws_tokens FROM documents ORDER BY doc_id"""
+      s"""SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_bpe_tokens, len($tokensSql) AS n_ws_tokens FROM documents ORDER BY doc_id""",
+
+    // the denominator fold replays Sampling.mixtureWeights' pinned
+    // accumulation order: list_reduce over the source-sorted sqrt list
+    // with a prepended 0.0 init == Spark's aggregate(array_sort(...), 0.0)
+    "q_mixture_weights" ->
+      s"""WITH per AS (SELECT source, CAST(SUM(len($tokensSql)) AS BIGINT) AS tokens FROM documents GROUP BY source), d AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sqrt(CAST(tokens AS DOUBLE)) ORDER BY source)), (acc, x) -> acc + x) AS denom FROM per) SELECT source, tokens, sqrt(CAST(tokens AS DOUBLE)) / denom AS weight FROM per, d ORDER BY source""",
+
+    "q_chunk_stride" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents), t2 AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0) SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id, CAST(s + 1 AS BIGINT) AS chunk_start, CAST(least(64, n - s) AS BIGINT) AS n_chunk_tokens, array_to_string(list_slice(tk, s + 1, s + 64), ' ') AS chunk_text FROM t2, unnest(generate_series(0, n - 1, 48)) AS u(s) ORDER BY doc_id, chunk_id"""
   )
 }

@@ -72,6 +72,66 @@ class PackingSamplingSpec extends SparkSpec {
     assert(seg.filter(_._2 == 5L).map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("chunkByTokens: full coverage, stride overlap, short tails, empty docs dropped") {
+    // doc 1: 10 tokens, chunk 4 stride 3 → starts 0,3,6,9 (tail len 1);
+    // doc 2: 3 tokens (single short chunk); doc 3: empty → no chunks
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"),
+      (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = Packing.chunkByTokens(docs, chunkTokens = 4, strideTokens = 3)
+      .orderBy("doc_id", "chunk_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.map(_._1).toSet == Set(1L, 2L)) // empty doc emits nothing
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq == Seq(
+      (0L, 1L, 4L), (1L, 4L, 4L), (2L, 7L, 4L), (3L, 10L, 1L)))
+    assert(d1.head._5 == "t1 t2 t3 t4")
+    assert(d1(1)._5 == "t4 t5 t6 t7") // 1-token overlap at stride 3
+    assert(d1.last._5 == "t10")       // short tail, never padded/duplicated
+    // every token position is covered by some chunk
+    val covered = d1.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (1L to 10L).toSet)
+    assert(out.filter(_._1 == 2L).map(c => (c._2, c._4, c._5)).toSeq ==
+      Seq((0L, 3L, "a b c")))
+  }
+
+  test("chunkByTokens: narrow plan — no exchange at any corpus size") {
+    val docs = spark.range(0, 200).select(col("id").as("doc_id"),
+      lit((1 to 50).map(i => s"w$i").mkString(" ")).as("text"))
+    val plan = Packing.chunkByTokens(docs, 16, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("mixtureWeights: integer totals, dyadic alphas, weights sum to 1 deterministically") {
+    val docs = Seq(
+      ("a", "x y z"), ("a", "p q"),           // 5 tokens
+      ("b", "one two three four five six"),   // 6
+      ("c", "lone"))                          // 1
+      .toDF("source", "text")
+    val nTok = graft.functions.TextFunctions.tokenCount(col("text"))
+    val out = Sampling.mixtureWeights(docs, "source", nTok, alpha = 0.5)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq(("a", 5L), ("b", 6L), ("c", 1L)))
+    val denom = ((0.0 + math.sqrt(5.0)) + math.sqrt(6.0)) + math.sqrt(1.0)
+    assert(out.map(_._3).toSeq == Seq(math.sqrt(5.0) / denom,
+      math.sqrt(6.0) / denom, math.sqrt(1.0) / denom)) // bit-exact, not ≈
+    // alpha=1.0 is proportional sampling; alpha=0.25 flattens harder than 0.5
+    val w1 = Sampling.mixtureWeights(docs, "source", nTok, alpha = 1.0)
+      .orderBy("source").collect().map(_.getDouble(2))
+    assert(math.abs(w1(0) - 5.0 / 12.0) < 1e-15)
+    val w25 = Sampling.mixtureWeights(docs, "source", nTok, alpha = 0.25)
+      .orderBy("source").collect().map(_.getDouble(2))
+    assert(w25(2) > out(2)._3, "smaller alpha upweights the small source")
+    assertThrows[IllegalArgumentException](
+      Sampling.mixtureWeights(docs, "source", nTok, alpha = 0.3))
+  }
+
   test("md5Bucket/assignSplit: seed-free, stable, exhaustive, well-mixed") {
     val docs = spark.range(0, 2000).select(col("id").as("doc_id"))
     val out = Sampling.assignSplit(docs, "doc_id").collect()
