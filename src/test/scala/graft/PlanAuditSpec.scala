@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_jaccard_words", "q_embed_cosine",
     "q_bm25_topk", "q_bm25_batch", "q_check_bm25_batch",
     "q_bm25_index_probe", "q_check_bm25_index", // same single-row stats shape
-    "q_check_heavy_hitters") // single-row broadcast n_total frame
+    "q_check_heavy_hitters", // single-row broadcast n_total frame
+    "q_mixture_weights") // single-row broadcast denominator frame
 
   test("no accidental cartesian / nested-loop joins anywhere in the surface") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
