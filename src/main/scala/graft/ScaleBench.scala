@@ -227,6 +227,11 @@ object ScaleBench {
           corpus.select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens")),
           ctxTokens = 2048)
       }
+      measure("chunk_stride", s"$scaleDir/out_chunks") {
+        // the narrow-plan claim under measurement: zero shuffle at every
+        // scale (watch the shuffle columns stay ~0), cost linear in corpus
+        Packing.chunkByTokens(corpus, chunkTokens = 64, strideTokens = 48)
+      }
 
       // skewed synthetic source: 70% of docs in one 'heavy' domain (always
       // over cap, grows linearly), the rest spread over 100 small sources
