@@ -153,8 +153,10 @@ object CorpusPipeline {
     * appended, and THEIR signatures join the table for the next batch —
     * so no batch ever re-tokenizes the accumulated corpus (the signature
     * table itself is text-order-sized: its shingle-hash arrays feed the
-    * exact verify — see minhashSignatureTable's storage note). First
-    * batch (no table yet) passes wholesale.
+    * exact verify — see minhashSignatureTable's storage note). Twins
+    * WITHIN one microbatch are deduped first (greedy min-keeper — see
+    * indexedCommit), so the first batch (no table yet) is also internally
+    * deduped rather than passing wholesale.
     *
     * The PROBE is index-shaped: a (doc_id, band, bucket) bucket table
     * ([[Dedup.minhashBucketTable]]) is maintained at `sigDir + ".buckets"`
@@ -205,8 +207,8 @@ object CorpusPipeline {
     * Crash safety — the reason this is more than four appends in a row:
     * every directory carries its own batch marker, the appends run in a
     * FIXED order (docs → BM25 index → buckets → signatures), and the
-    * batch's kept-set (`fresh`) is a pure function of (batch, signature
-    * table) with the signature append LAST. A replay after a crash at any
+    * batch's kept-set (`fresh`) — intra-batch dedup included — is a pure
+    * function of (batch, signature table) with the signature append LAST. A replay after a crash at any
     * point therefore recomputes the same kept-set — or, once the
     * signatures landed, an empty one — and each dir's marker skips
     * exactly the appends that already completed: the three-dir crash
@@ -258,8 +260,21 @@ object CorpusPipeline {
     val batchSigs = Dedup
       .minhashSignatureTable(batch, idCol, textCol, k, shingleN)
       .persist()
+    // INTRA-batch twins first: the corpus probe only sees the STANDING
+    // table, so near-identical docs arriving in the SAME microbatch would
+    // all pass it (and the first batch ever passed wholesale). Greedy
+    // min-keeper inside the batch — drop a doc iff it near-dups a
+    // smaller-id batch doc, the same rule as the probe's min(ref_id).
+    // Chains (A~B~C, A≁C) drop C though its witness B was itself dropped —
+    // the over-dropping a CC keeper also applies. Pure function of the
+    // batch, so a crash replay recomputes the identical kept-set;
+    // batch-sized work under the microbatch contract.
+    val intraLosers = Dedup.minhashNearDupPairs(batch, idCol, textCol,
+        k, bands, shingleN, minJaccard, sigs = Some(batchSigs))
+      .select(col("id_b").as(idCol)).distinct()
+    val batchKept = batch.join(intraLosers, Seq(idCol), "left_anti")
     val fresh =
-      if (!hasTable) batch
+      if (!hasTable) batchKept
       else {
         if (!hasParquet(bucketDir)) // pre-index table: backfill once
           Dedup.minhashBucketTable(spark.read.parquet(sigDir), k, bands)
@@ -275,7 +290,10 @@ object CorpusPipeline {
             spark.catalog.refreshByPath(bucketDir)
           }
         }
-        Dedup.minhashDedupAgainst(batch, spark.read.parquet(sigDir),
+        // batchSigs is a superset of batchKept's signatures (it still
+        // carries the intra-batch losers) — harmless: extra candidates,
+        // and the output joins back to batchKept's rows only
+        Dedup.minhashDedupAgainst(batchKept, spark.read.parquet(sigDir),
             idCol, textCol, k, bands, shingleN, minJaccard,
             batchSigs = Some(batchSigs),
             refBuckets = Some(spark.read.parquet(bucketDir)))

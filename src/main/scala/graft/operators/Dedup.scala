@@ -142,11 +142,16 @@ object Dedup {
     * and both verify sides with different shuffles) and stays cached after
     * the returned frame is consumed — callers running many corpora per
     * session should spark.catalog.clearCache() between batches (Bench does).
+    * `sigs`: pass a pre-computed (and pre-persisted/materialized)
+    * [[minhashSignatureTable]] and the caller owns its cache lifecycle —
+    * same contract as `minhashDedupAgainst`'s `batchSigs`; (k, bands,
+    * shingleN) must match the table's build parameters.
     */
   def minhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      minJaccard: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+      minJaccard: Double = 0.8, maxBucketSize: Int = 1000,
+      sigs: Option[DataFrame] = None): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"signature length k=$k must be a positive multiple of bands=$bands")
     require(maxBucketSize > 1, s"maxBucketSize must exceed 1: $maxBucketSize")
@@ -157,8 +162,9 @@ object Dedup {
     // computed exactly once per row. Shingle strings are never built —
     // everything runs on 64-bit hashes, and Jaccard is verified on them
     // too (identical result modulo collisions).
-    val withSig = minhashSignatureTable(df, idCol, textCol, k, shingleN)
-      .persist(StorageLevel.MEMORY_AND_DISK) // reused by buckets + both verify sides
+    val withSig = sigs.getOrElse(
+      minhashSignatureTable(df, idCol, textCol, k, shingleN)
+        .persist(StorageLevel.MEMORY_AND_DISK)) // reused by buckets + both verify sides
 
     val bucketed = withSig
       .select(col("doc_id"), explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))

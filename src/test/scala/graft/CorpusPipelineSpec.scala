@@ -273,6 +273,40 @@ class CorpusPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("indexedCommit: twins INSIDE one microbatch collapse to the min id — first batch included") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_intra").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    def commit(docs: Seq[(Long, String)], id: Long): Unit =
+      CorpusPipeline.indexedCommit(docs.toDF("doc_id", "text"), id,
+        s"$dir/corpus", s"$dir/sigs", None, "doc_id", "text",
+        k = 64, bands = 16, shingleN = 3, minJaccard = 0.5, maxIndexFiles = 64)
+    // batch 0 — NO standing table yet: an exact twin and a near-twin of
+    // doc 1 arrive in the same batch; only the min id of the group lands
+    commit(Seq((1L, base), (3L, base), (4L, base.replace("alpha ", "")),
+      (2L, other)), 0L)
+    val ids0 = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids0 == Set(1L, 2L), s"intra-batch twins leaked: $ids0")
+    // the dropped twins' signatures never entered the table either
+    assert(spark.read.parquet(s"$dir/sigs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // batch 1 — BOTH dedup faces at once: a twin of standing doc 2 (cross
+    // batch) and an intra-batch twin pair of a genuinely new doc
+    commit(Seq(
+      (10L, other),
+      (11L, "completely different content nothing shared with anything"),
+      (12L, "completely different content nothing shared with anything")), 1L)
+    val ids1 = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == Set(1L, 2L, 11L), s"got $ids1")
+    assert(spark.read.parquet(s"$dir/sigs.buckets")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 11L))
+  }
+
   test("writeStreamIndexed: mid-sequence crash replays to convergence, no index double-count") {
     val dir = java.nio.file.Files.createTempDirectory("graft_widx_cr").toString
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
