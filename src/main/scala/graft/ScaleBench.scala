@@ -40,7 +40,17 @@ import graft.operators.{Dedup, Packing, Sampling, Search, Similarity, SkewOps}
   * SPARK_GRAFT_SF_DIR (base tables, default sf0.1), SPARK_GRAFT_SCALES
   * (default "1,10,50"), SPARK_GRAFT_CPUS (default 32). Prints one JSON
   * line per (op, scale) and writes the markdown report to `mdOut`
-  * (default SCALE.md).
+  * (default SCALE.md) after every completed scale, so a crashed top
+  * scale leaves the finished scales' report behind.
+  *
+  * Run scale 50 with `SPARK_DRIVER_MEM=32g`: the build.sbt default (8g)
+  * gives 32 concurrent tasks ~150 MB of execution memory each, and the
+  * PQ self-join's sort+ADC buffers at 50× sit right at that edge —
+  * observed as a flaky `UNABLE_TO_ACQUIRE_MEMORY` abort. (The sizing
+  * lesson transfers: at 100 TB this is executor-memory-per-core vs
+  * `spark.sql.shuffle.partitions`, not driver heap.) Run on an IDLE box
+  * — the w→ ratios are the deliverable, and a concurrent build inflated
+  * the heavy rows ~2× when measured under contention.
   */
 object ScaleBench {
 
