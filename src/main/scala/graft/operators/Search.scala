@@ -81,8 +81,14 @@ object Search {
     * one aggregation per (query, doc) and a per-query top-k window.
     *
     * Same rational-idf scoring as [[bm25TopK]]; the per-(query, doc) sum
-    * is a shuffle aggregation rather than a fixed-order fold, so scores
-    * can differ from the scan-side operator in the last ulp —
+    * is accumulated VALUE-SORTED (aggregate over array_sort(collect_list))
+    * rather than as a partial shuffle sum, so the score is a deterministic
+    * IEEE fold a SQL oracle replays bit-for-bit (list_reduce over
+    * `list(s ORDER BY s)` with a prepended 0.0 init — the q_mixture_weights
+    * pattern). The group is bounded by the query's term count (a handful of
+    * doubles), so trading the map-side partial sum for a partial
+    * collect_list costs nothing at corpus scale; scores can still differ
+    * from the scan-side operator's query-term-order fold in the last ulp —
     * q_check_bm25_batch gates rank-list + 1e-9 score agreement.
     *
     * The tokenized corpus is persisted: it feeds both the single-row stats
@@ -122,7 +128,9 @@ object Search {
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avdl")))))
           .as("s"))
     val perDoc = contributions
-      .groupBy(col("query_id"), col("doc_id")).agg(sum(col("s")).as("bm25"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(array_sort(collect_list(col("s"))), lit(0.0),
+        (acc, x) => acc + x).as("bm25"))
     val topk = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("bm25").desc, col("doc_id"))
     perDoc.withColumn("rank", row_number().over(topk)).filter(col("rank") <= k)

@@ -278,8 +278,10 @@ object ExtensionQueries {
         Seq("spark", "merge", "window", "stream"), k = 100)),
 
     // batch face of BM25 — many queries in one pass over the corpus.
-    // rows-only (the per-(query,doc) sum is a shuffle agg, so the doubles
-    // aren't a fixed expression tree) — gated by q_check_bm25_batch below
+    // Fully oracled: the per-(query,doc) sum is a value-sorted fold
+    // (Search.bm25TopKBatch), so DuckDB's list_reduce over
+    // `list(s ORDER BY s)` replays the identical IEEE sum;
+    // q_check_bm25_batch additionally gates batch-vs-scan rank agreement
     "q_bm25_batch" -> ((s, dir) => {
       import s.implicits._
       val queries = Seq(
@@ -1343,6 +1345,14 @@ object ExtensionQueries {
 
     "q_check_bm25_index" ->
       """SELECT doc_id FROM documents WHERE 1 = 0 ORDER BY doc_id""",
+
+    // batch BM25 replayed as the identical pipeline: per-doc tf over the
+    // batch vocabulary, df from those tf rows, rational-idf contributions,
+    // and the per-(query,doc) sum as list_reduce over `list(s ORDER BY s)`
+    // with a prepended 0.0 init == Spark's aggregate(array_sort(
+    // collect_list), 0.0) value-sorted fold (Search.bm25TopKBatch).
+    "q_bm25_batch" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents), q(query_id, term) AS (VALUES ('q1', 'spark'), ('q1', 'merge'), ('q2', 'window'), ('q2', 'stream'), ('q2', 'filter')), d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM tk), st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avdl FROM d), tf AS (SELECT doc_id, dl, u.term, CAST(COUNT(*) AS DOUBLE) AS tf FROM d, unnest(toks) AS u(term) WHERE u.term IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, dl, u.term), df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term), c AS (SELECT q.query_id, tf.doc_id, ((st.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / st.avdl))) AS s FROM tf JOIN df USING (term) JOIN q USING (term), st), p AS (SELECT query_id, doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY s)), (acc, x) -> acc + x) AS bm25 FROM c GROUP BY query_id, doc_id), r AS (SELECT query_id, doc_id, bm25, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank FROM p) SELECT query_id, doc_id, bm25, rank FROM r WHERE rank <= 50 ORDER BY query_id, rank""",
 
     // same fixed IEEE expression tree as Search.bm25TopK: rational idf,
     // exact-integer avdl, per-term CASE contributions summed left-to-right.
