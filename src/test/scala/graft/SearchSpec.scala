@@ -49,6 +49,29 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopKBatch: scores are bit-identical across input partitionings") {
+    // the per-(query,doc) score is a value-sorted fold, not a partial
+    // shuffle sum — so the doubles cannot depend on how the corpus was
+    // partitioned (the property the q_bm25_batch DuckDB oracle relies on)
+    val queries = Seq(("a", "spark"), ("a", "quantum"), ("b", "quantum"))
+      .toDF("query_id", "term")
+    def run(parts: Int): Seq[(String, Long, Double, Int)] = {
+      val out = Search.bm25TopKBatch(corpus.repartition(parts), queries, k = 10)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      spark.catalog.clearCache()
+      out
+    }
+    val a = run(1)
+    val b = run(7)
+    assert(a == b, "batch BM25 scores drifted with input partitioning")
+    a.zip(b).foreach { case ((_, _, s1, _), (_, _, s2, _)) =>
+      assert(java.lang.Double.doubleToLongBits(s1) ==
+        java.lang.Double.doubleToLongBits(s2), s"ulp drift: $s1 vs $s2")
+    }
+  }
+
   test("bm25TopKBatch: corpus is tokenized once (cached scan feeds stats and tf)") {
     val queries = Seq(("a", "spark")).toDF("query_id", "term")
     val plan = Search.bm25TopKBatch(corpus, queries, k = 5)
