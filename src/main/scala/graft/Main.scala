@@ -162,6 +162,20 @@ object Main {
         s"${spark.read.parquet(s"$out/pack-manifest").count()} manifest rows")
       spark.stop()
 
+    // WET/WARC ingestion: parse a Common Crawl-style WET segment dir
+    // (plain or .gz) to a parquet record table — the entry point feeding
+    // the `corpus` curation stage at web scale
+    //   graft.Main wet <wetPathOrGlob> <outParquetDir>
+    case "wet" :: in :: out :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session("graft-wet")
+      graft.io.Wet.readWet(spark, in).write.mode("overwrite").parquet(out)
+      val recs = spark.read.parquet(out)
+      println(s"wet: ${recs.count()} records " +
+        s"(${recs.filter(col("warc_type") === "conversion").count()} conversion, " +
+        s"${recs.filter(!col("framing_ok")).count()} framing violations) -> $out")
+      spark.stop()
+
     // ad-hoc keyword probe of a curated corpus: top-k docs by BM25
     //   graft.Main search <documentsParquetDir> <k> <term> [term...]
     case "search" :: dir :: k :: terms if terms.nonEmpty && k.toIntOption.exists(_ > 0) =>
@@ -256,6 +270,7 @@ object Main {
            |  graft.Main complete [--force] <gvf|url> <gtf|url> <outDir>
            |  graft.Main complete [--force] <hg38|mm10> <outDir>
            |  graft.Main corpus   [--near-dup] [--gopher] [--cap=<col>:<n>] [--budget=<col>:<tokens>] <in.jsonl|dir> <outDir>
+           |  graft.Main wet      <wetPathOrGlob> <outParquetDir>
            |  graft.Main search   <documentsParquetDir> <k> <term> [term...]
            |  graft.Main index-build  <documentsParquetDir> <indexDir>
            |  graft.Main index-append <documentsParquetDir> <indexDir>

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.io.Wet
+
+class WetSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A hand-built two-record WET stream with the warcinfo file header,
+    * CRLF line endings, a multi-line payload, and an empty payload. */
+  private def goldenWet: String = {
+    def rec(headers: Seq[(String, String)], payload: String): String =
+      "WARC/1.0\r\n" +
+        (headers :+ ("Content-Length" ->
+          payload.getBytes(StandardCharsets.UTF_8).length.toString))
+          .map { case (k, v) => s"$k: $v\r\n" }.mkString +
+        "\r\n" + payload + "\r\n\r\n"
+    rec(Seq("WARC-Type" -> "warcinfo",
+        "Content-Type" -> "application/warc-fields"),
+      "software: graft-test\r\nformat: WARC File Format 1.0") +
+      rec(Seq("WARC-Type" -> "conversion",
+          "WARC-Target-URI" -> "http://example.test/a",
+          "WARC-Date" -> "2026-01-02T03:04:05Z",
+          "WARC-Record-ID" -> "<urn:uuid:aaa>",
+          "Content-Type" -> "text/plain"),
+        "first line\nsecond line\nthird") +
+      rec(Seq("WARC-Type" -> "conversion",
+          "WARC-Target-URI" -> "http://example.test/empty",
+          "WARC-Record-ID" -> "<urn:uuid:bbb>",
+          "Content-Type" -> "text/plain"), "")
+  }
+
+  private def writeTemp(content: String): String = {
+    val dir = Files.createTempDirectory("graft_wet_spec")
+    Files.write(Paths.get(dir.toString, "seg.wet"),
+      content.getBytes(StandardCharsets.UTF_8))
+    dir.toString
+  }
+
+  test("readWet: golden stream — headers, multi-line payload, empty payload, warcinfo") {
+    val out = Wet.readWet(spark, writeTemp(goldenWet))
+      .orderBy("target_uri").collect()
+    assert(out.length == 3)
+    val byType = out.groupBy(_.getAs[String]("warc_type"))
+    assert(byType("warcinfo").length == 1)
+    val conv = byType("conversion").sortBy(_.getAs[String]("target_uri"))
+    assert(conv(0).getAs[String]("target_uri") == "http://example.test/a")
+    assert(conv(0).getAs[String]("payload") == "first line\nsecond line\nthird")
+    assert(conv(0).getAs[String]("warc_date") == "2026-01-02T03:04:05Z")
+    assert(conv(0).getAs[String]("record_id") == "<urn:uuid:aaa>")
+    assert(conv(0).getAs[Long]("n_bytes") == 28L)
+    assert(conv(0).getAs[Long]("content_length") == 28L)
+    assert(conv(0).getAs[Boolean]("framing_ok"))
+    assert(conv(1).getAs[String]("payload") == "")
+    assert(conv(1).getAs[Long]("content_length") == 0L)
+    assert(conv(1).getAs[Boolean]("framing_ok"))
+    // the warcinfo record's CRLF-joined fields survive as its payload
+    assert(byType("warcinfo").head.getAs[String]("payload")
+      .startsWith("software: graft-test"))
+  }
+
+  test("readWet: malformed records flag framing_ok instead of failing") {
+    // no blank line; bogus Content-Length; payload containing the record
+    // delimiter at line start (the documented mis-split case)
+    val bad =
+      "WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 5\r\nno-blank-line" +
+        "WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: abc\r\n\r\nhi\r\n\r\n" +
+        "WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 20\r\n\r\n" +
+        "before\nWARC/1.0\r\nafter\r\n\r\n"
+    val out = Wet.readWet(spark, writeTemp(bad)).collect()
+    assert(out.length == 4) // the delimiter inside a payload splits it
+    assert(out.forall(!_.getAs[Boolean]("framing_ok")))
+  }
+
+  test("round-trip: serialize documents, read back byte-identically") {
+    val docs = Seq(
+      (1L, "plain single line"),
+      (2L, "multi\nline\npayload with trailing spaces   "),
+      (3L, "")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_wet_rt").toString
+    Wet.writeWet(Wet.toWetRecords(docs, "http://t/doc/"), dir)
+    val back = Wet.readWet(spark, dir)
+      .filter($"warc_type" === "conversion")
+      .select($"target_uri", $"payload", $"framing_ok", $"content_length")
+      .collect().sortBy(_.getString(0))
+    assert(back.length == 3)
+    assert(back.forall(_.getAs[Boolean]("framing_ok")))
+    val payloads = back.map(r =>
+      r.getString(0).stripPrefix("http://t/doc/").toLong -> r.getString(1)).toMap
+    docs.collect().foreach(r =>
+      assert(payloads(r.getLong(0)) == r.getString(1), s"doc ${r.getLong(0)}"))
+  }
+
+  test("split-parallel read: record straddling a file-split boundary parses exactly") {
+    // many records, read with a tiny maxPartitionBytes so the scan is
+    // forced into multiple splits — Hadoop's custom-delimiter LineReader
+    // must reassemble records across split edges
+    val docs = (1L to 200L).map(i => (i, s"doc $i " + ("x " * 40).trim))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_wet_split").toString
+    Wet.writeWet(Wet.toWetRecords(docs.repartition(1), "http://t/doc/"), dir)
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    val prevCost = conf.get("spark.sql.files.openCostInBytes", "4194304")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      conf.set("spark.sql.files.openCostInBytes", "0")
+      val df = Wet.readWet(spark, dir).filter($"warc_type" === "conversion")
+      assert(df.rdd.getNumPartitions > 1, "expected a multi-split scan")
+      assert(df.count() == 200)
+      assert(df.filter(!$"framing_ok").count() == 0)
+    } finally {
+      conf.set("spark.sql.files.maxPartitionBytes", prev)
+      conf.set("spark.sql.files.openCostInBytes", prevCost)
+    }
+  }
+}
