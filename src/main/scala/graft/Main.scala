@@ -127,9 +127,13 @@ object Main {
     // Writes parquet: <outDir>/documents (curated + split) and
     // <outDir>/pack-manifest (train-split context-window map).
     case "corpus" :: rest if rest.filterNot(f => f == "--near-dup" ||
-        f == "--gopher" || f.startsWith("--cap=") || f.startsWith("--budget=")).length == 2 =>
+        f == "--gopher" || f == "--wet" ||
+        f.startsWith("--cap=") || f.startsWith("--budget=")).length == 2 =>
       val nearDup = rest.contains("--near-dup")
       val gopher = rest.contains("--gopher")
+      // --wet: the input is a WET segment dir (Common Crawl shape), not
+      // JSONL — ingest via io.Wet and curate the same way
+      val wet = rest.contains("--wet")
       // --cap=<col>:<n> caps every value of <col> (e.g. lang, url) at n
       // docs post-dedup — Sampling.capPerGroup via the curate stage
       val cap = rest.find(_.startsWith("--cap=")).map { f =>
@@ -148,10 +152,14 @@ object Main {
         }
       }
       val (in :: out :: Nil) = rest.filterNot(f => f == "--near-dup" ||
-        f == "--gopher" || f.startsWith("--cap=") || f.startsWith("--budget=")): @unchecked
+        f == "--gopher" || f == "--wet" ||
+        f.startsWith("--cap=") || f.startsWith("--budget=")): @unchecked
       val spark = session("graft-corpus")
+      val raw =
+        if (wet) graft.io.Wet.toDocuments(graft.io.Wet.readWet(spark, in))
+        else Sources.readJsonl(spark, in)
       val curated = graft.operators.CorpusPipeline.curate(
-        Sources.readJsonl(spark, in),
+        raw,
         nearDupMaxHamming = if (nearDup) Some(3) else None,
         gopherRules = gopher,
         sourceCap = cap,
@@ -269,7 +277,7 @@ object Main {
            |  graft.Main annotate <effectsTsv> <genesTsv> <outDir>
            |  graft.Main complete [--force] <gvf|url> <gtf|url> <outDir>
            |  graft.Main complete [--force] <hg38|mm10> <outDir>
-           |  graft.Main corpus   [--near-dup] [--gopher] [--cap=<col>:<n>] [--budget=<col>:<tokens>] <in.jsonl|dir> <outDir>
+           |  graft.Main corpus   [--wet] [--near-dup] [--gopher] [--cap=<col>:<n>] [--budget=<col>:<tokens>] <in.jsonl|wetDir> <outDir>
            |  graft.Main wet      <wetPathOrGlob> <outParquetDir>
            |  graft.Main search   <documentsParquetDir> <k> <term> [term...]
            |  graft.Main index-build  <documentsParquetDir> <indexDir>

@@ -48,8 +48,24 @@ object Wet {
     * content_length, payload, n_bytes, framing_ok). The `warcinfo`
     * file-header record surfaces as a row with `warc_type = 'warcinfo'` —
     * filter `warc_type = 'conversion'` for the text payloads. */
-  def readWet(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.option("lineSep", Delim).text(path)
+  def readWet(spark: SparkSession, path: String): DataFrame =
+    parseWetRecords(
+      spark.read.option("lineSep", Delim).text(path))
+
+  /** Streaming [[readWet]]: new WET segments landing in `dir` parse
+    * through the identical expression tree — crawl output flows straight
+    * into `CorpusPipeline.curateStream` / the incremental-dedup sinks.
+    * Per-segment parallelism (each microbatch's files are its splits);
+    * same framing semantics as batch. */
+  def readWetStream(spark: SparkSession, dir: String): DataFrame =
+    parseWetRecords(
+      spark.readStream.option("lineSep", Delim).text(dir))
+
+  /** The shared parse: delimiter-split raw text rows (one per record)
+    * to typed records. Works unchanged over batch and streaming scans —
+    * it is a pure per-row expression tree. */
+  def parseWetRecords(raw0: DataFrame): DataFrame = {
+    val raw = raw0
       .filter(length(col("value")) > 0) // the split before each file's first record
     val headers = substring_index(col("value"), "\r\n\r\n", 1)
     // payload = after the first blank line, with the trailing record
@@ -76,6 +92,24 @@ object Wet {
       nBytes.as("n_bytes"),
       (contentLength.isNotNull && nBytes === contentLength).as("framing_ok"))
   }
+
+  /** Curate-ready documents from parsed WET records — the jsonlDocument
+    * shape (doc_id, url, lang, text) the corpus pipeline ingests, so
+    * `toDocuments(readWet(...))` feeds `CorpusPipeline.curate` directly
+    * (the CLI's `corpus --wet`). Only framing-clean `conversion` records
+    * pass. `doc_id` is the 64-bit hash of the target URI — deterministic
+    * across re-ingest, but at billions of documents birthday collisions
+    * exist; keep `url` when exact identity matters. `lang` is the n-gram
+    * language-ID computed at ingest (the CCNet placement: one pass,
+    * before any grouping wants it). */
+  def toDocuments(records: DataFrame): DataFrame =
+    records
+      .filter(col("warc_type") === "conversion" && col("framing_ok"))
+      .select(
+        xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        graft.functions.TextFunctions.langId(col("payload")).as("lang"),
+        col("payload").as("text"))
 
   /** Serialize (id, text) rows to WET `conversion` records — one string
     * per record, ready for [[writeWet]]. Content-Length is the payload's

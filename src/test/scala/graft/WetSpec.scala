@@ -93,6 +93,42 @@ class WetSpec extends SparkSpec {
       assert(payloads(r.getLong(0)) == r.getString(1), s"doc ${r.getLong(0)}"))
   }
 
+  test("readWetStream: segments landing in a watched dir parse as in batch") {
+    val dir = Files.createTempDirectory("graft_wet_stream")
+    val stream = Wet.readWetStream(spark, dir.toString)
+    assert(stream.isStreaming)
+    val query = stream.writeStream.format("memory").queryName("wet_stream")
+      .outputMode("append").start()
+    try {
+      Files.write(Paths.get(dir.toString, "seg0.wet"),
+        goldenWet.getBytes(StandardCharsets.UTF_8))
+      query.processAllAvailable()
+      val got = spark.table("wet_stream").collect()
+      val batch = Wet.readWet(spark, dir.toString).collect()
+      assert(got.length == batch.length)
+      assert(got.map(_.toString).sorted.sameElements(batch.map(_.toString).sorted))
+    } finally query.stop()
+  }
+
+  test("toDocuments: curate-ready shape — hashed ids, ingest lang-ID, clean records only") {
+    val docs = Wet.toDocuments(Wet.readWet(spark, writeTemp(goldenWet)))
+    assert(docs.columns.toSeq == Seq("doc_id", "url", "lang", "text"))
+    val rows = docs.orderBy("url").collect()
+    assert(rows.length == 2) // warcinfo excluded
+    assert(rows(0).getAs[String]("url") == "http://example.test/a")
+    assert(rows(0).getAs[String]("text") == "first line\nsecond line\nthird")
+    assert(rows(0).getAs[String]("lang") != null)
+    // id is the deterministic uri hash — stable across re-ingest
+    val again = Wet.toDocuments(Wet.readWet(spark, writeTemp(goldenWet)))
+      .orderBy("url").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq ==
+      again.map(_.getAs[Long]("doc_id")).toSeq)
+    // mis-framed records never become documents
+    val bad = "WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: http://x/\r\nContent-Length: 99\r\n\r\nshort\r\n\r\n"
+    assert(Wet.toDocuments(Wet.readWet(spark, writeTemp(bad))).count() == 0)
+  }
+
   test("split-parallel read: record straddling a file-split boundary parses exactly") {
     // many records, read with a tiny maxPartitionBytes so the scan is
     // forced into multiple splits — Hadoop's custom-delimiter LineReader
