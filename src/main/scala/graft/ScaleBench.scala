@@ -61,10 +61,17 @@ object ScaleBench {
     val shuffleWrite = new AtomicLong
     val shuffleRead = new AtomicLong
     val spill = new AtomicLong
-    // per-task wall times since the last drain — the straggler signal:
-    // max/median task time is what uniform corpora can't show and skewed
-    // ones exist to bound
-    private val taskMs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    // per-task wall times since the last drain, keyed by stage — two
+    // distinct signals fall out of one queue:
+    //  - op-global max/median: the VOLUME signal (a heavy stage among
+    //    light ones). This alone reads as "straggler" when it isn't —
+    //    measured: the jaccard pair stage's 64 perfectly balanced 22 s
+    //    tasks against the op's many 250 ms tasks showed 192×;
+    //  - worst WITHIN-stage max/median (stages with ≥ 8 tasks): the
+    //    actual straggler signal — a hot key serializing one task of an
+    //    otherwise-parallel stage. This is what skew defenses must bound.
+    private val taskMs =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, java.lang.Long)]()
     override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
       val m = ev.stageInfo.taskMetrics
       if (m != null) {
@@ -75,24 +82,33 @@ object ScaleBench {
       }
     }
     override def onTaskEnd(ev: SparkListenerTaskEnd): Unit =
-      if (ev.taskInfo != null) taskMs.add(ev.taskInfo.duration)
+      if (ev.taskInfo != null) taskMs.add((ev.stageId, ev.taskInfo.duration))
     def snapshot(): Array[Long] = {
       Thread.sleep(500) // let the listener bus drain
       Array(shuffleWrite.get, shuffleRead.get, spill.get)
     }
-    /** Task durations recorded since the previous drain (bus already
-      * settled by the snapshot sleep). */
-    def drainTaskMs(): Array[Long] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var v: java.lang.Long = taskMs.poll()
-      while (v != null) { out += v.longValue; v = taskMs.poll() }
+    /** (stageId, duration) pairs recorded since the previous drain (bus
+      * already settled by the snapshot sleep). */
+    def drainTaskMs(): Array[(Int, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      var v: (Int, java.lang.Long) = taskMs.poll()
+      while (v != null) { out += ((v._1, v._2.longValue)); v = taskMs.poll() }
       out.toArray
     }
   }
 
+  /** Worst within-stage max/median task-time ratio over stages with at
+    * least `minTasks` tasks — 1.0 when every wide stage is balanced. */
+  private def stageSkew(tasks: Array[(Int, Long)], minTasks: Int = 8): Double =
+    tasks.groupBy(_._1).values.collect {
+      case ts if ts.length >= minTasks =>
+        val d = ts.map(_._2).sorted
+        d.last.toDouble / math.max(1L, d(d.length / 2))
+    }.foldLeft(1.0)(math.max)
+
   private case class Row(op: String, scale: Int, rows: Long, sec: Double,
       shufWriteMB: Double, shufReadMB: Double, spillMB: Double,
-      maxTaskMs: Long = 0L, medTaskMs: Long = 0L)
+      maxTaskMs: Long = 0L, medTaskMs: Long = 0L, stageSkew: Double = 1.0)
 
   /** Copy i of the corpus: ids offset by i·10⁷, every token suffixed
     * `_s<i>` (disjoint vocabulary across copies — see object doc). */
@@ -198,17 +214,20 @@ object ScaleBench {
         build.write.mode("overwrite").parquet(out)
         val sec = (System.nanoTime() - t0) / 1e9
         val s1 = metrics.snapshot()
-        val tasks = metrics.drainTaskMs().sorted
+        val staged = metrics.drainTaskMs()
+        val tasks = staged.map(_._2).sorted
         val (maxT, medT) =
           if (tasks.isEmpty) (0L, 0L) else (tasks.last, tasks(tasks.length / 2))
+        val skew = stageSkew(staged)
         val rows = spark.read.parquet(out).count()
         def mb(i: Int) = (s1(i) - s0(i)) / 1e6
-        val r = Row(op, scale, rows, sec, mb(0), mb(1), mb(2), maxT, medT)
+        val r = Row(op, scale, rows, sec, mb(0), mb(1), mb(2), maxT, medT, skew)
         results += r
         println(f"""{"op":"${r.op}","scale":${r.scale},"rows":${r.rows},""" +
           f""""sec":${r.sec}%.2f,"shuffle_write_mb":${r.shufWriteMB}%.1f,""" +
           f""""shuffle_read_mb":${r.shufReadMB}%.1f,"spill_mb":${r.spillMB}%.1f,""" +
-          f""""max_task_ms":${r.maxTaskMs},"med_task_ms":${r.medTaskMs}}""")
+          f""""max_task_ms":${r.maxTaskMs},"med_task_ms":${r.medTaskMs},""" +
+          f""""stage_skew":${r.stageSkew}%.1f}""")
       }
 
       measure("exact_dedup", s"$scaleDir/out_exact") {
@@ -474,8 +493,9 @@ object ScaleBench {
         " | " + scales.sliding(2).filter(_.size == 2)
           .map(p => s"w→${p(1) / p(0)}×").mkString(" | ") +
         " | out rows @" + scales.last + "× | shuffle w+r MB @" + scales.last + "×" +
-        (if (withTasks) " | max/med task @" + scales.last + "×" else " | spill MB") + " |\n")
-      sb ++= "|---" * (scales.size + (scales.size - 1) + 4) + "|\n"
+        (if (withTasks) " | max/med task @" + scales.last + "× | stage skew @" + scales.last + "×"
+         else " | spill MB") + " |\n")
+      sb ++= "|---" * (scales.size + (scales.size - 1) + 4 + (if (withTasks) 1 else 0)) + "|\n"
       ops.foreach { op =>
         val rs = byOp(op).sortBy(_.scale)
         val times = rs.map(r => f"${r.sec}%.1f")
@@ -487,7 +507,8 @@ object ScaleBench {
         val tail =
           if (withTasks)
             f"${last.maxTaskMs}%,d/${last.medTaskMs}%,d ms = " +
-              f"${last.maxTaskMs.toDouble / math.max(1L, last.medTaskMs)}%.1f×"
+              f"${last.maxTaskMs.toDouble / math.max(1L, last.medTaskMs)}%.1f×" +
+              f" | ${last.stageSkew}%.1f×"
           else f"${last.spillMB}%.0f"
         sb ++= (s"| $op | " + times.mkString(" | ") + " | " +
           ratios.mkString(" | ") +
@@ -504,15 +525,18 @@ object ScaleBench {
       "of ALL docs (one genuinely hot group key at every scale) and 40% " +
       "of docs carry an UNSALTED boilerplate tail, so its shingles are " +
       "shared across every copy — corpus-wide hot candidate keys that " +
-      "disjoint-vocabulary copies otherwise rule out. max/med task = " +
-      "slowest ÷ median task wall time over the op's jobs at the top " +
-      "scale — the straggler ratio; bounded means no hot key serialized " +
-      "a stage. Read it with the op total: skew_ngram_jaccard's high " +
-      "ratio is aggregate pair VOLUME concentrating in a few reduce " +
-      "tasks (its w→ stays ~linear and the 50× total dropped ~3× when " +
-      "the triangle-salted hot-key branch landed — before it, one " +
-      "shingle's df²/2 fanout serialized a single task); every other " +
-      "op's ratio is single-digit.\n\n"
+      "disjoint-vocabulary copies otherwise rule out. Two task columns, " +
+      "two different signals: max/med task divides the slowest task by " +
+      "the MEDIAN over all the op's jobs — high values mean one stage " +
+      "works at a much heavier grain than the rest (a volume signal, not " +
+      "skew; pair-generating stages are heavy at every key). stage skew " +
+      "is the worst WITHIN-stage max/median over stages with ≥ 8 tasks — " +
+      "the actual straggler signal: a hot key serializing one task of an " +
+      "otherwise-parallel stage, the failure the salting/cap defenses " +
+      "exist to bound. Low stage skew with a high max/med means the " +
+      "heavy stage is internally balanced and simply needs the width it " +
+      "was given (jaccardPairs sizes that width from predicted pair " +
+      "volume).\n\n"
     opTable(skewOps, withTasks = true)
     sb ++= "\nAll measurements single-run on a shared box (±30% load " +
       "noise on absolute seconds; the RATIOS are the signal). A `w→` " +
@@ -544,12 +568,16 @@ object ScaleBench {
       "embedding corpus. ivfpq_selfjoin searches the corpus WITH the " +
       "corpus (query table = corpus, no driver-side query set): with " +
       "nLists ∝ corpus and fixed nProbe each query's candidate set is " +
-      "constant, so total cost tracks the corpus ~linearly. Getting it " +
-      "there took three measured fixes this round: narrow the rank sort " +
-      "(the KB-scale ADC-table column rode through it — 5 GB spill), " +
-      "drop the forced query-vector broadcast (corpus-sized in this " +
-      "shape), and hash-spread the centroid init (lowest-id seeding " +
-      "drew every centroid from one rotation's subspace → hot lists).\n\n" +
+      "constant — but assignment and probing brute-scan the centroid " +
+      "list per vector, an O(corpus · nLists) = quadratic pair of terms " +
+      "that dominated at 50× (115 s) until the exact pruned centroid " +
+      "kernel landed (triangle-inequality bounds over ~√L centroid " +
+      "groups, NearestCentroid.scala; probe lists via an in-row top-t " +
+      "kernel instead of a queries × centroid-table cross join through " +
+      "a window sort — 160M intermediate rows at 50× became zero; plus " +
+      "the scan-decoupling repartition of the coded corpus). Measured " +
+      "50×: 115 → ~16 s; the remaining cost is the single balanced rank " +
+      "shuffle over the candidate stream, linear in the corpus.\n\n" +
       "incremental_dedup times a FIXED-size ingest batch against the " +
       "GROWING corpus through the path writeStreamIncrementalDedup " +
       "actually runs: the persisted band-bucket index (built untimed, as " +

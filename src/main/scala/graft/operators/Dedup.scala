@@ -576,13 +576,14 @@ object Dedup {
     *    extra shuffle of that stream;
     *  - `collect_list` then only ever sees groups of ≤ maxDocFreq docs, so
     *    the hottest pair-generation key is bounded at cap·(cap−1)/2;
-    *  - per-doc kept-set size is computed MAP-SIDE as size(hs) minus the
-    *    (tiny, broadcast-joined) stop-shingle hits — the old formulation
-    *    re-exploded the whole persisted group table a second time.
+    *  - per-doc kept-set size is the count of the doc's kept postings —
+    *    one tiny aggregate whose runtime size AQE can see, so the final
+    *    size joins broadcast whenever the doc table allows it.
     * Sizes count the SAME capped shingle set as the pair counts, so exact
     * duplicates stay at Jaccard 1.0 when the cap bites. The per-doc shingle
-    * frame is persisted (three consumers); callers running many corpora per
-    * session should spark.catalog.clearCache() between batches (Bench does). */
+    * frame and the df-stats frame are persisted (multiple consumers each);
+    * callers running many corpora per session should
+    * spark.catalog.clearCache() between batches (Bench does). */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.5,
@@ -596,8 +597,29 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds postings ×2 + totals
 
     val postings = docShingles.select(col("doc_id"), explode(col("hs")).as("sh"))
+    // persisted: the stop/hot broadcast builds below each run as their own
+    // broadcast-exchange job, and exchange reuse does not cross job
+    // boundaries — uncached, every build re-shuffles the whole posting
+    // stream for this one aggregate (measured: 3 redundant full-corpus
+    // map stages at 50×)
     val dfs = postings.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val stopShingles = dfs.filter(col("df") > maxDocFreq).select("sh")
+
+    // Pair-stage width from PREDICTED pair volume, not the static session
+    // conf: Σ df·(df−1) over admitted shingles is (twice) the exact count
+    // of pair instances the self-joins will emit, known before they run.
+    // A fixed width makes per-task pair work grow linearly with the
+    // corpus (measured: balanced but 22 s tasks at 50× — and they'd be
+    // 7 min at 1000×); sizing tasks to ~constant pair volume keeps the
+    // stage's grain flat at any scale. The estimate is one count-only
+    // aggregate over the (persisted) df stats — corpus-independent cost.
+    val pairInstances = dfs.filter(col("df") <= maxDocFreq)
+      .agg(coalesce(sum(col("df") * (col("df") - lit(1))), lit(0L)))
+      .head.getLong(0) / 2
+    val pairsPerTask = 4000000L
+    val width = math.max(shufflePartitions(df),
+      math.min(8192L, pairInstances / pairsPerTask + 1).toInt)
 
     // in-group ordered pairs via self-equi-join on the shingle hash: both
     // sides are the identical sub-plan, so the shuffle happens once and the
@@ -628,31 +650,42 @@ object Dedup {
       .withColumn("n_salt", ceil(col("df").cast(DoubleType) / saltDocFreq).cast(LongType))
     val hotA = hotRows.select(col("sh"),  col("doc_id"),
       pmod(xxhash64(monotonically_increasing_id()), col("n_salt")).as("salt"))
+      .repartition(width, col("sh"), col("salt"))
     val hotB = hotRows.select(col("sh"), col("doc_id"),
       explode(sequence(lit(0L), col("n_salt") - 1)).as("salt"))
-    val hotPairs = hotA.repartition(shufflePartitions(df), col("sh"), col("salt")).as("a")
+      .repartition(width, col("sh"), col("salt"))
+    val hotPairs = hotA.as("a")
       .join(hotB.as("b"),
         col("a.sh") === col("b.sh") && col("a.salt") === col("b.salt") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    // probe side repartitioned: when the posting stream fits under the
-    // broadcast threshold, the self-join streams at the scan's (tiny)
-    // partition count and pair generation serializes on 1-2 cores
-    val coldPairs = coldRows.repartition(shufflePartitions(df)).as("a")
-      .join(coldRows.as("b"),
+    // both sides hash-repartitioned ON THE JOIN KEYS at the adaptive
+    // width: the join reuses the distribution (no second shuffle), and the
+    // self-join sides share one canonicalized exchange (ReusedExchange) —
+    // a keyless repartition here round-robined the postings and then
+    // re-shuffled them again for the join. Widening also defeats the
+    // degenerate case where an under-threshold posting stream broadcasts
+    // and pair generation streams serially at the scan's partition count.
+    val coldKeyed = coldRows.repartition(width, col("sh"))
+    val coldPairs = coldKeyed.as("a")
+      .join(coldKeyed.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     val shared = coldPairs.union(hotPairs)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
 
-    val stopHits = postings.join(broadcast(stopShingles), Seq("sh"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_stop"))
-    val sizes = docShingles
-      .select(col("doc_id"), size(col("hs")).as("sz_total"))
-      .join(stopHits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        (col("sz_total").cast(LongType) - coalesce(col("n_stop"), lit(0L))).as("sz"))
+    // per-doc kept-set size = count of the doc's kept postings (hs is
+    // distinct per doc, so this IS |shingles \ stop|). Aggregated — not
+    // computed map-side off the cached shingle table — so the frame sits
+    // behind an exchange and AQE sees its true one-row-per-doc size when
+    // planning the joins below: the map-side formulation carried the
+    // cached array-column table's stats, which (once the width estimate
+    // materialized the cache) flipped these joins to sort-merge and
+    // re-shuffled the whole pair stream twice (measured: +3.7 GB shuffle).
+    // Docs with every shingle stopped drop out, but they have no kept
+    // postings and so no pairs — the inner joins lose nothing.
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
 
     shared
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))

@@ -259,23 +259,21 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
-  /** Per-query nProbe nearest IVF lists, fully distributed: queries ×
-    * broadcast centroid table (KB-scale), d = ‖c‖² − 2q·c (the ‖q‖² term
-    * is rank-constant per query), window top-nProbe. Ties break to the
-    * lower cid, matching the assignment argmin's tie rule. */
+  /** Per-query nProbe nearest IVF lists: one in-row top-t kernel pass +
+    * explode — ordering and tie rule ((d, cid) ascending) match the
+    * assignment argmin's. This used to be queries × broadcast centroid
+    * table + per-query window top-nProbe: an O(queries · nLists)
+    * intermediate AND a window shuffle, which in the nLists ∝ corpus
+    * self-search regime went quadratic (at ScaleBench 50× that cross
+    * join was 160M rows through a sort for a 2/800-list probe). The
+    * kernel pass is O(queries · √nLists + visited members) via the same
+    * exact pruned scan the assignment uses, with zero extra rows and
+    * zero shuffle. */
   private def probeLists(qRaw: DataFrame, centroids: Array[Array[Double]],
-      spark: SparkSession, nProbe: Int): DataFrame = {
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("cid").asc)
-    qRaw.crossJoin(broadcast(centroidTable(spark, centroids)))
-      .select(col("query_id"),
-        col("cid"),
-        (aggregate(zip_with(col("centroid"), col("centroid"), (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v) -
-          lit(2.0) * VectorFunctions.dot(col("qv"), col("centroid"))).as("d"))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nProbe)
-      .select("query_id", "cid")
-  }
+      spark: SparkSession, nProbe: Int): DataFrame =
+    qRaw.select(col("query_id"),
+      explode(graft.expressions.NearestCentroid.nearestCentroidsTop(
+        col("qv"), centroids, nProbe)).as("cid"))
 
   /** SemDeDup-style semantic deduplication: assign every embedding to its
     * nearest centroid (k-means lists from [[trainCentroids]] — train on a
@@ -450,11 +448,22 @@ object Similarity {
     val qTables = queries.select(col(idCol).as("query_id"),
       graft.expressions.PqAdcTable.pqAdcTable(col(vecCol), codebooks).as("qtable"))
 
+    // keyless repartition decouples candidate generation from the SCAN's
+    // split count (the simhashNearDupPairs lesson): under a broadcast
+    // probe join the streamed side inherits the scan's partitioning, and
+    // a single-row-group parquet file = 1 split = the whole
+    // O(corpus · nProbe/nLists · corpus) candidate stream generated on
+    // one core (measured 3× on the sf0.1 self-join). The shuffled rows
+    // are narrow (id, cid, m code bytes) — a sliver of the candidate
+    // stream they parallelize — and when the probe side is big enough to
+    // go sort-merge the planner re-keys this exchange anyway.
     val coded = corpus.select(col(idCol).as("neighbor_id"),
       nearestCentroid(col(vecCol), centroids).as("cid"),
       array((0 until m).map(b =>
         nearestCentroid(slice(col(vecCol), b * sub0 + 1, sub0), codebooks(b))): _*)
         .as("codes"))
+      .repartition(corpus.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "200").toInt)
 
     val adcW = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id").asc)
