@@ -82,6 +82,48 @@ object Dedup {
       .select(col("id").as(idCol), col("text").as(textCol))
   }
 
+  /** Corpus-wide boilerplate-line removal, the CCNet pre-dedup pass
+    * (Wenzek et al. 2020 dedup frequent lines across the whole crawl
+    * before scoring; C4's "terms of use"/cookie-notice rule is the same
+    * idea as a fixed list): a line that occurs in at least `minDocFreq`
+    * DISTINCT documents is removed from EVERY document. Unlike
+    * [[paragraphDedup]] no occurrence survives — boilerplate has no
+    * canonical owner.
+    *
+    * Plan: split+posexplode (narrow) → distinct-doc count per line (a
+    * partial-aggregated count, bytes per key — no posting list ever
+    * materializes for a hot line) → the frequent set (tiny for any real
+    * threshold) anti-joins the line stream, strategy left to AQE (never
+    * forced broadcast — the Sampling cardinality lesson) → reassemble per
+    * doc. Empty lines are dropped unconditionally (same contract as
+    * [[paragraphDedup]]); docs whose every line was boilerplate survive
+    * with empty text via the final left join.
+    *
+    * Returns (idCol, textCol). `sep` is a literal separator. */
+  def dropFrequentLines(df: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Long, sep: String = "\n"): DataFrame = {
+    require(minDocFreq > 1, s"minDocFreq must exceed 1: $minDocFreq")
+    val lines = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .filter(length(col("line")) > 0)
+    val frequent = lines.groupBy(col("line"))
+      .agg(count_distinct(col("id")).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select("line")
+    val kept = lines.join(frequent, Seq("line"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")),
+        sep).as("__text"))
+    df.select(col(idCol).as("id"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__text"), lit("")).as(textCol))
+  }
+
   /** MinHash signature from a column of pre-hashed shingles (array<long>):
     * k minima of xxhash64(seed, baseHash). Hashing the 8-byte base hash
     * per seed instead of re-hashing the shingle string makes the k-fold
@@ -133,10 +175,11 @@ object Dedup {
     * band-level): docs that agree ONLY on a boilerplate-dominated band
     * are false candidates the exact verify would reject anyway, and a
     * true near-dup pair still surfaces through any of its other
-    * `bands - 1` doc-specific bands. The occupancy frame rides the same
-    * (band, bucket) exchange as the pair join; the over-cap set's join
+    * `bands - 1` doc-specific bands. The over-cap set's anti-join
     * strategy is AQE's call (tiny in practice, never forced broadcast —
-    * the Sampling cardinality lesson).
+    * the Sampling cardinality lesson). UNDER-cap buckets above
+    * `saltBucketSize` docs take the shared triangle-salted pair branch
+    * ([[saltedSelfPairs]]) so no single bucket serializes a task.
     *
     * Caching: the signature table is persisted (it feeds the bucket explode
     * and both verify sides with different shuffles) and stays cached after
@@ -151,10 +194,11 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, shingleN: Int = 3,
       minJaccard: Double = 0.8, maxBucketSize: Int = 1000,
-      sigs: Option[DataFrame] = None): DataFrame = {
+      sigs: Option[DataFrame] = None, saltBucketSize: Int = 100): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"signature length k=$k must be a positive multiple of bands=$bands")
     require(maxBucketSize > 1, s"maxBucketSize must exceed 1: $maxBucketSize")
+    require(saltBucketSize > 1, s"saltBucketSize must exceed 1: $saltBucketSize")
     val rowsPerBand = k / bands
     // staged projections (inside minhashSignatureTable): token hashes →
     // shingle hashes → signature. Each stage aliases a non-cheap
@@ -168,21 +212,25 @@ object Dedup {
 
     val bucketed = withSig
       .select(col("doc_id"), explode(bandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      // single 64-bit bucket key: the (band, bucket) pair hashed — a
+      // collision merely merges two buckets' candidate sets, and the
+      // exact-Jaccard verify filters any false candidate it adds
+      .select(col("doc_id"), xxhash64(col("bb.band"), col("bb.bucket")).as("bkey"))
 
-    val hotBuckets = bucketed.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucketSize)
-      .select("band", "bucket")
-    val kept = bucketed.join(hotBuckets, Seq("band", "bucket"), "left_anti")
-
-    // probe side repartitioned for the same reason as simhashNearDupPairs:
-    // a broadcast self-join streams at the scan's (tiny) partition count
-    val candidates = kept.repartition(shufflePartitions(df)).as("a")
-      .join(kept.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val bucketCounts = bucketed.groupBy(col("bkey")).agg(count(lit(1)).as("n"))
+    val kept = bucketed.join(
+      bucketCounts.filter(col("n") > maxBucketSize).select("bkey"),
+      Seq("bkey"), "left_anti")
+    // pair generation through the shared triangle-salted core: an
+    // UNDER-cap bucket at 1000 docs still fans out to 500k pairs in one
+    // task — measured as a 40× within-stage straggler on the boilerplate
+    // skew corpus before buckets over saltBucketSize took the salted
+    // branch (the candidate SET is salt-invariant; see saltedSelfPairs)
+    val candidates = saltedSelfPairs(
+      kept.select(col("bkey").as("key"), col("doc_id").as("id")),
+      bucketCounts.filter(col("n") <= maxBucketSize)
+        .select(col("bkey").as("key"), col("n")),
+      saltBucketSize, shufflePartitions(df))
       .distinct()
 
     val shA = withSig.select(col("doc_id").as("id_a"), col("hs").as("hs_a"))
@@ -562,6 +610,59 @@ object Dedup {
       .withColumn("is_keeper", col(idCol) === col("keeper_id"))
   }
 
+  /** Ordered same-key candidate pairs (id_a < id_b) from a keyed row
+    * stream — the shared pair-generation core of [[jaccardPairs]] and
+    * [[minhashNearDupPairs]], with triangle-salted splitting of hot keys.
+    *
+    * `rows` is (key: long, id); `counts` is (key, n) for every ADMITTED
+    * key (over-cap keys must already be gone from `rows`). HOT keys
+    * (n > saltThreshold) amplify: one key at n rows fans out to n²/2
+    * pairs, and AQE's skew handling can't see it — skew split is
+    * INPUT-bytes-based, and a 1000-row key producing 500k pairs looks
+    * tiny on input (measured: a 98× max/median task ratio on the
+    * boilerplate ScaleBench corpus for jaccard; a 40× WITHIN-stage
+    * straggler for minhash buckets). They take a triangle-salted
+    * self-join: the probe side gets a row salt in
+    * [0, ceil(n/saltThreshold)), the build side replicates once per salt
+    * value, and each pair meets exactly once (at the probe row's salt) —
+    * one key's pair generation spreads over ~n/saltThreshold tasks. The
+    * replication is n/saltThreshold copies of n rows per key — O(n²/T),
+    * always ≤ the pair output it enables. Cold keys (the overwhelming
+    * majority) pay nothing. The pair MULTISET is identical either way,
+    * so results don't depend on the salt (the row salt itself is
+    * position-derived, same contract as SkewOps.rowSalt).
+    *
+    * Both join sides are hash-repartitioned ON THE JOIN KEYS at `width`:
+    * the join reuses the distribution (no second shuffle), and the cold
+    * self-join's sides share one canonicalized exchange (ReusedExchange).
+    * Explicit widening also defeats the degenerate case where an
+    * under-threshold stream broadcasts and pair generation streams
+    * serially at the scan's partition count. */
+  private def saltedSelfPairs(rows: DataFrame, counts: DataFrame,
+      saltThreshold: Long, width: Int): DataFrame = {
+    val hot = counts.filter(col("n") > saltThreshold)
+    val coldRows = rows.join(broadcast(hot.select("key")), Seq("key"), "left_anti")
+    val hotRows = rows.join(broadcast(hot), Seq("key"))
+      .withColumn("n_salt", ceil(col("n").cast(DoubleType) / saltThreshold).cast(LongType))
+    val hotA = hotRows.select(col("key"), col("id"),
+      pmod(xxhash64(monotonically_increasing_id()), col("n_salt")).as("salt"))
+      .repartition(width, col("key"), col("salt"))
+    val hotB = hotRows.select(col("key"), col("id"),
+      explode(sequence(lit(0L), col("n_salt") - 1)).as("salt"))
+      .repartition(width, col("key"), col("salt"))
+    val hotPairs = hotA.as("a")
+      .join(hotB.as("b"),
+        col("a.key") === col("b.key") && col("a.salt") === col("b.salt") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val coldKeyed = coldRows.repartition(width, col("key"))
+    val coldPairs = coldKeyed.as("a")
+      .join(coldKeyed.as("b"),
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    coldPairs.union(hotPairs)
+  }
+
   /** Exact n-gram Jaccard pairs via inverted index (no LSH approximation):
     * count doc frequency per shingle, drop stop shingles (df > maxDocFreq),
     * group surviving postings by shingle hash, emit doc pairs inside each
@@ -629,49 +730,10 @@ object Dedup {
     // that AQE can't split).
     val kept = postings.join(broadcast(stopShingles), Seq("sh"), "left_anti")
 
-    // HOT keys under the stop cap still amplify: one shingle at df docs
-    // fans out to df²/2 pairs, and AQE's skew handling can't see it — skew
-    // split is INPUT-bytes-based, and a 1000-row key producing 500k pairs
-    // looks tiny on input (measured: a 98× max/median task ratio on the
-    // boilerplate ScaleBench corpus). Keys with df > saltDocFreq take a
-    // triangle-salted self-join instead: the probe side gets a row salt in
-    // [0, ceil(df/saltDocFreq)), the build side replicates once per salt
-    // value, and each pair meets exactly once (at the probe row's salt) —
-    // one key's pair generation spreads over ~df/saltDocFreq tasks. The
-    // replication is df/saltDocFreq copies of df rows per key — O(df²/T),
-    // always ≤ the pair output it enables. Cold keys (the overwhelming
-    // majority) pay nothing. The pair MULTISET is identical either way,
-    // so results don't depend on the salt (and the row salt itself is
-    // position-derived, same contract as SkewOps.rowSalt).
-    val hotDfs = dfs.filter(col("df") > saltDocFreq && col("df") <= maxDocFreq)
-      .select(col("sh"), col("df"))
-    val coldRows = kept.join(broadcast(hotDfs.select("sh")), Seq("sh"), "left_anti")
-    val hotRows = kept.join(broadcast(hotDfs), Seq("sh"))
-      .withColumn("n_salt", ceil(col("df").cast(DoubleType) / saltDocFreq).cast(LongType))
-    val hotA = hotRows.select(col("sh"),  col("doc_id"),
-      pmod(xxhash64(monotonically_increasing_id()), col("n_salt")).as("salt"))
-      .repartition(width, col("sh"), col("salt"))
-    val hotB = hotRows.select(col("sh"), col("doc_id"),
-      explode(sequence(lit(0L), col("n_salt") - 1)).as("salt"))
-      .repartition(width, col("sh"), col("salt"))
-    val hotPairs = hotA.as("a")
-      .join(hotB.as("b"),
-        col("a.sh") === col("b.sh") && col("a.salt") === col("b.salt") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    // both sides hash-repartitioned ON THE JOIN KEYS at the adaptive
-    // width: the join reuses the distribution (no second shuffle), and the
-    // self-join sides share one canonicalized exchange (ReusedExchange) —
-    // a keyless repartition here round-robined the postings and then
-    // re-shuffled them again for the join. Widening also defeats the
-    // degenerate case where an under-threshold posting stream broadcasts
-    // and pair generation streams serially at the scan's partition count.
-    val coldKeyed = coldRows.repartition(width, col("sh"))
-    val coldPairs = coldKeyed.as("a")
-      .join(coldKeyed.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val shared = coldPairs.union(hotPairs)
+    val shared = saltedSelfPairs(
+      kept.select(col("sh").as("key"), col("doc_id").as("id")),
+      dfs.filter(col("df") <= maxDocFreq).select(col("sh").as("key"), col("df").as("n")),
+      saltDocFreq, width)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
 

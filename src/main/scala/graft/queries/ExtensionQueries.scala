@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.expressions.FreqSketch
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, UrlFilter}
 
 /** Training-data-pipeline extension operators as named queries
   * (deduplication, similarity search, text analysis, multimodal plumbing).
@@ -589,6 +589,40 @@ object ExtensionQueries {
           t(s, dir, "documents").select((col("doc_id") + 1000000L).as("doc_id"), col("text"))),
         "doc_id", "text")
         .orderBy("content_hash")),
+
+    // CCNet-style corpus-wide boilerplate-line removal: every third doc
+    // gains the same two footer lines; at minDocFreq=50 exactly those
+    // planted lines cross the threshold and are removed from EVERY doc,
+    // while each doc's own text line (unique) survives
+    "q_drop_frequent_lines" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat_ws("\n", col("text"),
+            lit("all rights reserved"),
+            lit("subscribe to our newsletter")))
+          .otherwise(col("text")).as("text"))
+      Dedup.dropFrequentLines(corpus, "doc_id", "text", minDocFreq = 50)
+        .orderBy("doc_id")
+    }),
+
+    // URL/domain blocklist filter: synthesized per-doc urls (every 5th
+    // doc on a cdn. subdomain — must still match its registrable domain;
+    // every 97th an unparseable string — kept, block needs evidence),
+    // blocklist = two of the twenty source domains
+    "q_url_filter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val withUrl = docs.select(col("doc_id"),
+        when(col("doc_id") % 97 === 0, lit("not a url"))
+          .otherwise(concat(lit("https://"),
+            when(col("doc_id") % 5 === 0, lit("cdn.")).otherwise(lit("")),
+            col("source"), lit(".example.com/p/"),
+            col("doc_id").cast("string"))).as("url"))
+      val blocked = Seq("src0.example.com", "src7.example.com", "spam.test")
+        .toDF("host")
+      UrlFilter.dropBlockedHosts(withUrl, "url", blocked).orderBy("doc_id")
+    }),
 
     // paragraph-level dedup over a corpus with planted structure: full
     // copies (+1M: every paragraph already seen → doc drops out) and
@@ -1265,6 +1299,13 @@ object ExtensionQueries {
 
     "q_paragraph_dedup" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents UNION ALL SELECT doc_id + 2000000, text || '. ' || array_to_string(list_reverse($tokensSql), ' ') FROM documents), p0 AS (SELECT doc_id, string_split(text, '. ') AS ps FROM corpus), p AS (SELECT doc_id, i - 1 AS pos, ps[i] AS para FROM p0, unnest(generate_series(1, len(ps))) AS t(i) WHERE length(ps[i]) > 0), k AS (SELECT doc_id, pos, para, ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn FROM p) SELECT doc_id, string_agg(para, '. ' ORDER BY pos) AS text FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+    "q_drop_frequent_lines" ->
+      """WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || 'all rights reserved' || chr(10) || 'subscribe to our newsletter' ELSE text END AS text FROM documents), l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus), l AS (SELECT doc_id, i - 1 AS pos, ls[i] AS line FROM l0, unnest(generate_series(1, len(ls))) AS t(i) WHERE length(ls[i]) > 0), freq AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 50), kept AS (SELECT doc_id, pos, line FROM l ANTI JOIN freq USING (line)) SELECT c.doc_id, coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text FROM corpus c LEFT JOIN kept k ON c.doc_id = k.doc_id GROUP BY c.doc_id ORDER BY c.doc_id""",
+    // independent derivation: the synthesized host is [cdn.]<source>
+    // .example.com, so suffix-blocking {src0,src7}.example.com is exactly
+    // source ∉ {src0, src7}; the every-97th unparseable url is always kept
+    "q_url_filter" ->
+      """WITH u AS (SELECT doc_id, source, CASE WHEN doc_id % 97 = 0 THEN 'not a url' ELSE 'https://' || CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) END AS url FROM documents) SELECT doc_id, url FROM u WHERE doc_id % 97 = 0 OR source NOT IN ('src0', 'src7') ORDER BY doc_id""",
     "q_jaccard_words" ->
       s"""WITH d AS (SELECT doc_id, list_distinct($tokensSql) AS toks FROM documents WHERE doc_id < 40) SELECT a.doc_id AS id_a, b.doc_id AS id_b, len(list_intersect(a.toks, b.toks)) AS n_shared, CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard FROM d a JOIN d b ON a.doc_id < b.doc_id ORDER BY id_a, id_b""",
     "q_embed_cosine" ->

@@ -41,6 +41,28 @@ class DedupSpec extends SparkSpec {
       5L -> "x"))
   }
 
+  test("dropFrequentLines: corpus-frequent lines removed everywhere, others untouched") {
+    val corpus = Seq(
+      (1L, "unique one\nfooter line\nmore text"),
+      (2L, "unique two\nfooter line"),
+      (3L, "footer line\nunique three"),
+      (4L, "footer line"),                     // only boilerplate → empty text
+      (5L, "unaffected doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropFrequentLines(corpus, "doc_id", "text", minDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "unique one\nmore text",   // removed from the middle, order kept
+      2L -> "unique two",
+      3L -> "unique three",
+      4L -> "",                        // doc survives with empty text
+      5L -> "unaffected doc"))
+    // below the threshold nothing is touched
+    val loose = Dedup.dropFrequentLines(corpus, "doc_id", "text", minDocFreq = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(1L) == "unique one\nfooter line\nmore text")
+  }
+
   test("minhashNearDupPairs finds exact+near dups, not unrelated docs") {
     // 16 bands × 2 rows: detection prob at jaccard≈0.54 is 1-(1-0.54²)¹⁶≈0.996
     // (8×4 would be a coin flip); deterministic either way — these params find it
@@ -106,6 +128,23 @@ class DedupSpec extends SparkSpec {
     // one shared shingle over 4+4-1... each doc has 4 shingles, 1 shared:
     // jaccard = 1 / (4 + 4 - 1) = 1/7 for every pair
     assert(salted.values.forall(j => math.abs(j - 1.0 / 7.0) < 1e-12))
+  }
+
+  test("minhashNearDupPairs: salted hot buckets produce the identical pair set") {
+    import spark.implicits._
+    // 20 identical docs → every band bucket holds all 20 (> salt 4,
+    // ≤ cap 1000) → the salted branch generates, and must produce
+    // exactly the same C(20,2) pair set as the plain branch
+    val clique = (1L to 20L).map(i => (i, "same exact text in every copy here"))
+      .toDF("doc_id", "text")
+    def run(salt: Int) = Dedup.minhashNearDupPairs(clique, "doc_id", "text",
+        k = 32, bands = 16, shingleN = 3, minJaccard = 0.5,
+        saltBucketSize = salt)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val salted = run(4)
+    val unsalted = run(500)
+    assert(salted.size == 20 * 19 / 2)
+    assert(salted == unsalted)
   }
 
   test("jaccardPairs computes exact shingle jaccard") {
