@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, length, trim}
 
 import graft.io.{EnsemblRegistry, Retrieve, Sinks, Sources}
 import graft.ops.GeneOps
@@ -127,8 +128,8 @@ object Main {
     // Writes parquet: <outDir>/documents (curated + split) and
     // <outDir>/pack-manifest (train-split context-window map).
     case "corpus" :: rest if rest.filterNot(f => f == "--near-dup" ||
-        f == "--gopher" || f == "--wet" ||
-        f.startsWith("--cap=") || f.startsWith("--budget=")).length == 2 =>
+        f == "--gopher" || f == "--wet" || f.startsWith("--cap=") ||
+        f.startsWith("--budget=") || f.startsWith("--block=")).length == 2 =>
       val nearDup = rest.contains("--near-dup")
       val gopher = rest.contains("--gopher")
       // --wet: the input is a WET segment dir (Common Crawl shape), not
@@ -151,9 +152,14 @@ object Main {
           case other => sys.error(s"--budget expects <col>:<tokens>, got: ${other.mkString(":")}")
         }
       }
+      // --block=<hostsFile>: one registrable domain per line (UT1-style
+      // blocklist shape) — docs whose url host falls under any are dropped
+      // before content work
+      val blockFile = rest.find(_.startsWith("--block="))
+        .map(_.stripPrefix("--block="))
       val (in :: out :: Nil) = rest.filterNot(f => f == "--near-dup" ||
-        f == "--gopher" || f == "--wet" ||
-        f.startsWith("--cap=") || f.startsWith("--budget=")): @unchecked
+        f == "--gopher" || f == "--wet" || f.startsWith("--cap=") ||
+        f.startsWith("--budget=") || f.startsWith("--block=")): @unchecked
       val spark = session("graft-corpus")
       val raw =
         if (wet) graft.io.Wet.toDocuments(graft.io.Wet.readWet(spark, in))
@@ -163,7 +169,11 @@ object Main {
         nearDupMaxHamming = if (nearDup) Some(3) else None,
         gopherRules = gopher,
         sourceCap = cap,
-        tokenBudgets = budget)
+        tokenBudgets = budget,
+        blockedHosts = blockFile.map(f =>
+          spark.read.textFile(f).toDF("host")
+            .filter(length(trim(col("host"))) > 0)
+            .select(trim(col("host")).as("host"))))
       curated.documents.write.mode("overwrite").parquet(s"$out/documents")
       curated.packManifest.write.mode("overwrite").parquet(s"$out/pack-manifest")
       println(s"curated: ${spark.read.parquet(s"$out/documents").count()} docs, " +
@@ -277,7 +287,7 @@ object Main {
            |  graft.Main annotate <effectsTsv> <genesTsv> <outDir>
            |  graft.Main complete [--force] <gvf|url> <gtf|url> <outDir>
            |  graft.Main complete [--force] <hg38|mm10> <outDir>
-           |  graft.Main corpus   [--wet] [--near-dup] [--gopher] [--cap=<col>:<n>] [--budget=<col>:<tokens>] <in.jsonl|wetDir> <outDir>
+           |  graft.Main corpus   [--wet] [--near-dup] [--gopher] [--cap=<col>:<n>] [--budget=<col>:<tokens>] [--block=<hostsFile>] <in.jsonl|wetDir> <outDir>
            |  graft.Main wet      <wetPathOrGlob> <outParquetDir>
            |  graft.Main search   <documentsParquetDir> <k> <term> [term...]
            |  graft.Main index-build  <documentsParquetDir> <indexDir>

@@ -55,15 +55,26 @@ object CorpusPipeline {
     * knob. Both run AFTER dedup (a duplicate shouldn't spend budget) and
     * BEFORE the split (a capped doc shouldn't occupy a split slot); the
     * rank/cum provenance columns are dropped to keep the curated schema
-    * stable. */
+    * stable.
+    *
+    * `blockedHosts = Some(hostsDf)` drops documents whose `url` host
+    * falls under a blocked registrable domain (`UrlFilter
+    * .dropBlockedHosts`) BEFORE any content work — the cheapest cut
+    * runs first, the CCNet/RefinedWeb ordering. Requires a `url` column
+    * (the jsonlDocument/WET-ingest shape has one). The streaming face
+    * gets this for free: the streaming sinks commit through
+    * foreachBatch, where each microbatch is a batch frame. */
   def curate(raw: DataFrame, ctxTokens: Long = 2048,
       minTokens: Long = 1, maxDupNgramRatio: Double = 0.9,
       nearDupMaxHamming: Option[Int] = None,
       gopherRules: Boolean = false,
       maxDupSpanFraction: Option[Double] = None,
       sourceCap: Option[(String, Int)] = None,
-      tokenBudgets: Option[(String, Map[String, Long], Long)] = None): CuratedCorpus = {
-    val scored = scoreAndFilter(raw, minTokens, maxDupNgramRatio, gopherRules)
+      tokenBudgets: Option[(String, Map[String, Long], Long)] = None,
+      blockedHosts: Option[DataFrame] = None): CuratedCorpus = {
+    val unblocked = blockedHosts.fold(raw)(b =>
+      UrlFilter.dropBlockedHosts(raw, "url", b))
+    val scored = scoreAndFilter(unblocked, minTokens, maxDupNgramRatio, gopherRules)
     val kept = maxDupSpanFraction.fold(scored) { f =>
       val heavy = Dedup.dupSpanStats(scored, "doc_id", "text")
         .filter(col("dup_fraction") > f)

@@ -177,12 +177,15 @@ object Dedup {
     * true near-dup pair still surfaces through any of its other
     * `bands - 1` doc-specific bands. The over-cap set's anti-join
     * strategy is AQE's call (tiny in practice, never forced broadcast —
-    * the Sampling cardinality lesson). UNDER-cap buckets above
-    * `saltBucketSize` docs take the shared triangle-salted pair branch
-    * ([[saltedSelfPairs]]) so no single bucket serializes a task.
+    * the Sampling cardinality lesson). `saltBucketSize > 1` additionally
+    * routes under-cap buckets above that size through the shared
+    * triangle-salted pair branch ([[saltedSelfPairs]]); off by default —
+    * the cap already bounds per-bucket fanout corpus-independently (see
+    * the inline note at the call).
     *
-    * Caching: the signature table is persisted (it feeds the bucket explode
-    * and both verify sides with different shuffles) and stays cached after
+    * Caching: the signature table and the bucket-occupancy frame are
+    * persisted (the former feeds the bucket explode and both verify
+    * sides, the latter three broadcast builds) and stay cached after
     * the returned frame is consumed — callers running many corpora per
     * session should spark.catalog.clearCache() between batches (Bench does).
     * `sigs`: pass a pre-computed (and pre-persisted/materialized)
@@ -194,11 +197,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, shingleN: Int = 3,
       minJaccard: Double = 0.8, maxBucketSize: Int = 1000,
-      sigs: Option[DataFrame] = None, saltBucketSize: Int = 100): DataFrame = {
+      sigs: Option[DataFrame] = None, saltBucketSize: Int = 0): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"signature length k=$k must be a positive multiple of bands=$bands")
     require(maxBucketSize > 1, s"maxBucketSize must exceed 1: $maxBucketSize")
-    require(saltBucketSize > 1, s"saltBucketSize must exceed 1: $saltBucketSize")
+    require(saltBucketSize == 0 || saltBucketSize > 1,
+      s"saltBucketSize must be 0 (off) or exceed 1: $saltBucketSize")
     val rowsPerBand = k / bands
     // staged projections (inside minhashSignatureTable): token hashes →
     // shingle hashes → signature. Each stage aliases a non-cheap
@@ -217,20 +221,30 @@ object Dedup {
       // exact-Jaccard verify filters any false candidate it adds
       .select(col("doc_id"), xxhash64(col("bb.band"), col("bb.bucket")).as("bkey"))
 
+    // persisted: the over-cap anti-join and the salted branch's two hot
+    // broadcast builds each run as their own job, and exchange reuse does
+    // not cross job boundaries — uncached, every one re-aggregates the
+    // full band stream (measured: 5 redundant occupancy shuffles at 50×)
     val bucketCounts = bucketed.groupBy(col("bkey")).agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val kept = bucketed.join(
       bucketCounts.filter(col("n") > maxBucketSize).select("bkey"),
       Seq("bkey"), "left_anti")
-    // pair generation through the shared triangle-salted core: an
-    // UNDER-cap bucket at 1000 docs still fans out to 500k pairs in one
-    // task — measured as a 40× within-stage straggler on the boilerplate
-    // skew corpus before buckets over saltBucketSize took the salted
-    // branch (the candidate SET is salt-invariant; see saltedSelfPairs)
+    // pair generation through the shared core. Salting is OFF by default
+    // here, unlike jaccardPairs: an under-cap bucket's fanout is bounded
+    // by maxBucketSize²/2 — a CORPUS-INDEPENDENT constant (measured
+    // ~2.4 s for the worst admissible 500k-pair bucket), so the bound
+    // does not degrade at scale, and a measured salt=100 run at 50×
+    // added +575 MB of replication shuffle without moving the op's max
+    // task (which sits in cache materialization, not pair generation).
+    // Pass saltBucketSize > 1 when a tighter straggler bound matters
+    // more than the replication (the candidate SET is salt-invariant).
     val candidates = saltedSelfPairs(
       kept.select(col("bkey").as("key"), col("doc_id").as("id")),
       bucketCounts.filter(col("n") <= maxBucketSize)
         .select(col("bkey").as("key"), col("n")),
-      saltBucketSize, shufflePartitions(df))
+      if (saltBucketSize == 0) Long.MaxValue else saltBucketSize,
+      shufflePartitions(df))
       .distinct()
 
     val shA = withSig.select(col("doc_id").as("id_a"), col("hs").as("hs_a"))
@@ -620,9 +634,9 @@ object Dedup {
     * pairs, and AQE's skew handling can't see it — skew split is
     * INPUT-bytes-based, and a 1000-row key producing 500k pairs looks
     * tiny on input (measured: a 98× max/median task ratio on the
-    * boilerplate ScaleBench corpus for jaccard; a 40× WITHIN-stage
-    * straggler for minhash buckets). They take a triangle-salted
-    * self-join: the probe side gets a row salt in
+    * boilerplate ScaleBench corpus for jaccard, whose admitted df cap
+    * is a tunable that real corpora push high). They take a
+    * triangle-salted self-join: the probe side gets a row salt in
     * [0, ceil(n/saltThreshold)), the build side replicates once per salt
     * value, and each pair meets exactly once (at the probe row's salt) —
     * one key's pair generation spreads over ~n/saltThreshold tasks. The

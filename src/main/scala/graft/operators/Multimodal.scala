@@ -114,16 +114,107 @@ object Multimodal {
     MediaFeatures(m.media_id, m.kind, b.length, w, h, feats)
   }
 
+  /** REAL codec for one self-describing AUDIO format: RIFF/WAVE with PCM
+    * samples (format tag 1; 8-bit unsigned or 16-bit signed
+    * little-endian), decoded with pure byte arithmetic — RIFF magic,
+    * chunk walk to `fmt ` and `data`, then one pass over the samples.
+    * Non-PCM (compressed) WAVs and other sample widths are rejected, not
+    * misread — same fail-loudly contract as [[decodePpm]].
+    *
+    * Field mapping into the shared [[MediaFeatures]] schema (documented,
+    * the plumbing keeps ONE feature shape across modalities):
+    * `width` = sample rate in Hz, `height` = channel count. Features:
+    * 0 = mean amplitude mapped to [0,1] (0.5 = no DC offset), 1 = RMS
+    * in [0,1], 2 = zero-crossing fraction of the first channel,
+    * 3 = duration in seconds, 4-15 = 12-bin |amplitude| histogram as
+    * sample fractions — a stable audio signature for downstream dedup
+    * and filtering, the audio analogue of the PPM luminance histogram. */
+  def decodeWav(m: Media): MediaFeatures = {
+    val b = m.bytes
+    def u8(p: Int): Int = b(p) & 0xff
+    def u16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
+    def u32(p: Int): Long = (u16(p).toLong | (u16(p + 2).toLong << 16)) & 0xffffffffL
+    require(b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E',
+      s"media ${m.media_id}: not a RIFF/WAVE payload")
+    // chunk walk: chunks are (4-byte id, 4-byte LE size, payload, pad to even)
+    var fmtAt = -1; var dataAt = -1; var dataLen = 0L
+    var p = 12
+    while (p + 8 <= b.length && (fmtAt < 0 || dataAt < 0)) {
+      val id = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = u32(p + 4)
+      if (id == "fmt ") fmtAt = p + 8
+      else if (id == "data") { dataAt = p + 8; dataLen = sz }
+      p += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    require(fmtAt >= 0 && dataAt >= 0,
+      s"media ${m.media_id}: WAV missing fmt/data chunk")
+    val audioFormat = u16(fmtAt)
+    val nChannels = u16(fmtAt + 2)
+    val sampleRate = u32(fmtAt + 4)
+    val bitsPerSample = u16(fmtAt + 14)
+    require(audioFormat == 1,
+      s"media ${m.media_id}: non-PCM WAV (format $audioFormat) unsupported")
+    require(bitsPerSample == 8 || bitsPerSample == 16,
+      s"media ${m.media_id}: $bitsPerSample-bit PCM unsupported")
+    require(nChannels > 0 && sampleRate > 0,
+      s"media ${m.media_id}: degenerate WAV ($nChannels ch @ $sampleRate Hz)")
+    val bytesPerSample = bitsPerSample / 8
+    require(dataAt + dataLen <= b.length,
+      s"media ${m.media_id}: truncated WAV — data chunk claims $dataLen bytes")
+    val nSamples = dataLen / (bytesPerSample * nChannels)
+    require(nSamples > 0, s"media ${m.media_id}: empty WAV data chunk")
+    // one pass: mean, RMS, per-frame first-channel zero crossings,
+    // 12-bin |amplitude| histogram; samples normalized to [-1, 1]
+    var sum = 0.0; var sumSq = 0.0; var crossings = 0L
+    val hist = new Array[Long](12)
+    var prevSign = 0
+    var s = 0L
+    while (s < nSamples) {
+      var c = 0
+      while (c < nChannels) {
+        val at = dataAt + ((s * nChannels + c) * bytesPerSample).toInt
+        val v =
+          if (bitsPerSample == 8) (u8(at) - 128) / 128.0
+          else u16(at).toShort / 32768.0
+        sum += v; sumSq += v * v
+        val a = math.abs(v)
+        hist(math.min(11, (a * 12).toInt)) += 1
+        if (c == 0) {
+          val sign = if (v > 0) 1 else if (v < 0) -1 else 0
+          if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+          if (sign != 0) prevSign = sign
+        }
+        c += 1
+      }
+      s += 1
+    }
+    val total = nSamples * nChannels
+    val feats = new Array[Float](16)
+    feats(0) = ((sum / total + 1.0) / 2.0).toFloat
+    feats(1) = math.sqrt(sumSq / total).toFloat
+    feats(2) = (crossings.toDouble / nSamples).toFloat
+    feats(3) = (nSamples.toDouble / sampleRate).toFloat
+    var k = 0
+    while (k < 12) { feats(4 + k) = (hist(k).toDouble / total).toFloat; k += 1 }
+    MediaFeatures(m.media_id, m.kind, b.length, sampleRate.toInt, nChannels, feats)
+  }
+
   /** Decode/feature-extract a media dataset. Per-partition batching: the
     * codec is "opened" once per partition — the real-codec cost model
     * this plumbing exists for. Dispatch is by `kind`: `image/ppm` rows
-    * take the real [[decodePpm]] path; everything else keeps the stub. */
+    * take the real [[decodePpm]] path, `audio/wav` the real
+    * [[decodeWav]]; everything else keeps the stub. */
   def decodeFeatures(ds: Dataset[Media]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       // per-partition setup would initialize heavier codecs here (once,
       // not per row)
-      rows.map(m => if (m.kind == "image/ppm") decodePpm(m) else stubDecode(m))
+      rows.map {
+        case m if m.kind == "image/ppm" => decodePpm(m)
+        case m if m.kind == "audio/wav" => decodeWav(m)
+        case m => stubDecode(m)
+      }
     }
   }
 

@@ -43,6 +43,23 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("curate: blockedHosts drops by url domain before content work") {
+    val raw = Seq(
+      (1L, "https://good.test/a", "a perfectly fine document with plenty of text"),
+      (2L, "https://bad.example.net/x", "same quality text but from a blocked site"),
+      (3L, "https://cdn.bad.example.net/y", "subdomain of the blocked domain dies too"),
+      (4L, null.asInstanceOf[String], "no url at all still flows through the pipeline"))
+      .toDF("doc_id", "url", "text")
+    val blocked = Seq("bad.example.net").toDF("host")
+    val docs = CorpusPipeline.curate(raw, blockedHosts = Some(blocked))
+      .documents.select("doc_id").as[Long].collect().toSet
+    assert(docs == Set(1L, 4L))
+    // without the list everything survives
+    val all = CorpusPipeline.curate(raw)
+      .documents.select("doc_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L, 4L))
+  }
+
   test("curate with near-dup stage: token-preserving mutants collapse to min id") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"

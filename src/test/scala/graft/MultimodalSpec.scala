@@ -64,6 +64,57 @@ class MultimodalSpec extends SparkSpec {
       .getMessage.contains("malformed"))
   }
 
+  /** Minimal RIFF/WAVE writer for planted tests: PCM, LE. */
+  private def wavBytes(sampleRate: Int, channels: Int, bits: Int,
+      samples: Seq[Int], fmtTag: Int = 1): Array[Byte] = {
+    val bps = bits / 8
+    val dataLen = samples.length * bps
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    out.write("RIFF".getBytes("US-ASCII")); w32(36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(16)
+    w16(fmtTag); w16(channels); w32(sampleRate)
+    w32(sampleRate * channels * bps); w16(channels * bps); w16(bits)
+    out.write("data".getBytes("US-ASCII")); w32(dataLen)
+    samples.foreach(s => if (bits == 8) out.write(s & 0xff) else w16(s))
+    out.toByteArray
+  }
+
+  test("decodeWav: planted 16-bit PCM decodes exactly — rate, RMS, crossings, duration") {
+    // mono square wave at half amplitude: +16384, -16384, ... (8 samples)
+    val sq = wavBytes(8000, 1, 16, Seq.fill(4)(Seq(16384, -16384)).flatten)
+    val out = Multimodal.decodeFeatures(
+      Seq(Media(9L, "audio/wav", sq)).toDS()).collect()(0)
+    assert(out.width == 8000 && out.height == 1)        // rate, channels
+    assert(math.abs(out.features(0) - 0.5f) < 1e-6)     // zero DC offset
+    assert(math.abs(out.features(1) - 0.5f) < 1e-6)     // RMS = amplitude
+    assert(math.abs(out.features(2) - 7.0f / 8) < 1e-6) // 7 crossings / 8 samples
+    assert(math.abs(out.features(3) - 8.0f / 8000) < 1e-9) // duration s
+    // every |sample| = 0.5 → histogram bin 6 holds everything
+    assert(out.features(4 + 6) == 1.0f)
+    assert(math.abs(out.features.drop(4).sum - 1.0f) < 1e-6)
+    // stereo 8-bit: silence on both channels → RMS 0, centered mean
+    val st = wavBytes(44100, 2, 8, Seq.fill(20)(128))
+    val so = Multimodal.decodeFeatures(
+      Seq(Media(10L, "audio/wav", st)).toDS()).collect()(0)
+    assert(so.width == 44100 && so.height == 2)
+    assert(math.abs(so.features(0) - 0.5f) < 1e-6 && so.features(1) == 0.0f)
+  }
+
+  test("decodeWav: malformed payloads fail loudly, never fake features") {
+    def bad(bytes: Array[Byte]) = intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(Media(1L, "audio/wav", bytes))
+    }
+    assert(bad("not audio at all, definitely not RIFF/WAVE bytes here"
+      .getBytes("US-ASCII")).getMessage.contains("not a RIFF/WAVE"))
+    assert(bad(wavBytes(8000, 1, 16, Seq(1, 2, 3), fmtTag = 3)) // IEEE float
+      .getMessage.contains("non-PCM"))
+    val truncated = wavBytes(8000, 1, 16, Seq.fill(100)(5)).dropRight(40)
+    assert(bad(truncated).getMessage.contains("truncated"))
+  }
+
   test("frameSample: frames reassemble to the original payload") {
     val frames = Multimodal.frameSample(media.toDF(), frameBytes = 256)
       .orderBy("media_id", "frame_idx").collect()
