@@ -129,7 +129,8 @@ object Main {
     // <outDir>/pack-manifest (train-split context-window map).
     case "corpus" :: rest if rest.filterNot(f => f == "--near-dup" ||
         f == "--gopher" || f == "--wet" || f.startsWith("--cap=") ||
-        f.startsWith("--budget=") || f.startsWith("--block=")).length == 2 =>
+        f.startsWith("--budget=") || f.startsWith("--block=") ||
+        f.startsWith("--drop-lines=")).length == 2 =>
       val nearDup = rest.contains("--near-dup")
       val gopher = rest.contains("--gopher")
       // --wet: the input is a WET segment dir (Common Crawl shape), not
@@ -157,9 +158,16 @@ object Main {
       // before content work
       val blockFile = rest.find(_.startsWith("--block="))
         .map(_.stripPrefix("--block="))
+      // --drop-lines=<n>: remove lines occurring in >= n distinct docs
+      // (CCNet boilerplate pass) before scoring
+      val dropLines = rest.find(_.startsWith("--drop-lines="))
+        .map(_.stripPrefix("--drop-lines="))
+        .map(v => v.toLongOption.filter(_ > 1)
+          .getOrElse(sys.error(s"--drop-lines expects an integer > 1, got: $v")))
       val (in :: out :: Nil) = rest.filterNot(f => f == "--near-dup" ||
         f == "--gopher" || f == "--wet" || f.startsWith("--cap=") ||
-        f.startsWith("--budget=") || f.startsWith("--block=")): @unchecked
+        f.startsWith("--budget=") || f.startsWith("--block=") ||
+        f.startsWith("--drop-lines=")): @unchecked
       val spark = session("graft-corpus")
       val raw =
         if (wet) graft.io.Wet.toDocuments(graft.io.Wet.readWet(spark, in))
@@ -173,7 +181,8 @@ object Main {
         blockedHosts = blockFile.map(f =>
           spark.read.textFile(f).toDF("host")
             .filter(length(trim(col("host"))) > 0)
-            .select(trim(col("host")).as("host"))))
+            .select(trim(col("host")).as("host"))),
+        dropLinesMinDocFreq = dropLines)
       curated.documents.write.mode("overwrite").parquet(s"$out/documents")
       curated.packManifest.write.mode("overwrite").parquet(s"$out/pack-manifest")
       println(s"curated: ${spark.read.parquet(s"$out/documents").count()} docs, " +
@@ -287,7 +296,7 @@ object Main {
            |  graft.Main annotate <effectsTsv> <genesTsv> <outDir>
            |  graft.Main complete [--force] <gvf|url> <gtf|url> <outDir>
            |  graft.Main complete [--force] <hg38|mm10> <outDir>
-           |  graft.Main corpus   [--wet] [--near-dup] [--gopher] [--cap=<col>:<n>] [--budget=<col>:<tokens>] [--block=<hostsFile>] <in.jsonl|wetDir> <outDir>
+           |  graft.Main corpus   [--wet] [--near-dup] [--gopher] [--cap=<col>:<n>] [--budget=<col>:<tokens>] [--block=<hostsFile>] [--drop-lines=<n>] <in.jsonl|wetDir> <outDir>
            |  graft.Main wet      <wetPathOrGlob> <outParquetDir>
            |  graft.Main search   <documentsParquetDir> <k> <term> [term...]
            |  graft.Main index-build  <documentsParquetDir> <indexDir>

@@ -450,6 +450,20 @@ object ScaleBench {
         Dedup.jaccardPairs(skewed, "doc_id", "text",
           shingleN = 3, minJaccard = 0.5)
       }
+      // CCNet boilerplate-line removal over the skew corpus: dom0's 30%
+      // of docs carry two planted footer LINES whose doc frequency grows
+      // linearly with the corpus — the hot-line regime the count-only
+      // aggregate exists for (no posting list materializes; the frequent
+      // set is tiny however hot the line is)
+      measure("skew_drop_lines", s"$scaleDir/out_sk_droplines") {
+        Dedup.dropFrequentLines(
+          skewed.select(col("doc_id"),
+            when(col("source") === "dom0",
+              concat(col("text"),
+                lit("\nall rights reserved\nsubscribe to our newsletter")))
+              .otherwise(col("text")).as("text")),
+          "doc_id", "text", minDocFreq = 1000L)
+      }
       measure("skew_salted_agg", s"$scaleDir/out_sk_sagg") {
         SkewOps.saltedSum(skewSourced, Seq("source"), "n_tokens", saltFactor = 32)
       }

@@ -63,7 +63,13 @@ object CorpusPipeline {
     * runs first, the CCNet/RefinedWeb ordering. Requires a `url` column
     * (the jsonlDocument/WET-ingest shape has one). The streaming face
     * gets this for free: the streaming sinks commit through
-    * foreachBatch, where each microbatch is a batch frame. */
+    * foreachBatch, where each microbatch is a batch frame.
+    *
+    * `dropLinesMinDocFreq = Some(n)` removes corpus-frequent lines
+    * (`Dedup.dropFrequentLines`) after the blocklist but before
+    * scoring — CCNet's ordering, so boilerplate never inflates quality
+    * scores or token counts, and the exact dedup downstream sees the
+    * cleaned text (two boilerplate-only variants of one page dedup). */
   def curate(raw: DataFrame, ctxTokens: Long = 2048,
       minTokens: Long = 1, maxDupNgramRatio: Double = 0.9,
       nearDupMaxHamming: Option[Int] = None,
@@ -71,10 +77,17 @@ object CorpusPipeline {
       maxDupSpanFraction: Option[Double] = None,
       sourceCap: Option[(String, Int)] = None,
       tokenBudgets: Option[(String, Map[String, Long], Long)] = None,
-      blockedHosts: Option[DataFrame] = None): CuratedCorpus = {
+      blockedHosts: Option[DataFrame] = None,
+      dropLinesMinDocFreq: Option[Long] = None): CuratedCorpus = {
     val unblocked = blockedHosts.fold(raw)(b =>
       UrlFilter.dropBlockedHosts(raw, "url", b))
-    val scored = scoreAndFilter(unblocked, minTokens, maxDupNgramRatio, gopherRules)
+    val lineClean = dropLinesMinDocFreq.fold(unblocked) { n =>
+      // dropFrequentLines returns only (doc_id, text) — rejoin to keep
+      // the ingest columns (url/lang/...) flowing to the score stage
+      val cleaned = Dedup.dropFrequentLines(unblocked, "doc_id", "text", n)
+      unblocked.drop("text").join(cleaned, Seq("doc_id"))
+    }
+    val scored = scoreAndFilter(lineClean, minTokens, maxDupNgramRatio, gopherRules)
     val kept = maxDupSpanFraction.fold(scored) { f =>
       val heavy = Dedup.dupSpanStats(scored, "doc_id", "text")
         .filter(col("dup_fraction") > f)

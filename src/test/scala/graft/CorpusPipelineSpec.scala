@@ -60,6 +60,25 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(all == Set(1L, 2L, 3L, 4L))
   }
 
+  test("curate: dropLinesMinDocFreq cleans boilerplate BEFORE scoring and dedup") {
+    // three docs share a footer line; two become IDENTICAL once it's
+    // removed — the downstream exact dedup must see the cleaned text
+    val raw = Seq(
+      (1L, "unique body one\nall rights reserved"),
+      (2L, "the very same body\nall rights reserved"),
+      (3L, "the very same body\nall rights reserved"),
+      (4L, "a document with no footer at all"))
+      .toDF("doc_id", "text")
+    val docs = CorpusPipeline.curate(raw, dropLinesMinDocFreq = Some(3L))
+      .documents.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(docs.keySet == Set(1L, 2L, 4L)) // 3 deduped into 2 post-clean
+    assert(docs(1L).getAs[String]("text") == "unique body one")
+    assert(docs(2L).getAs[String]("text") == "the very same body")
+    // token counts scored on the CLEANED text (3, not 6)
+    assert(docs(1L).getAs[Long]("n_tokens") == 3L)
+  }
+
   test("curate with near-dup stage: token-preserving mutants collapse to min id") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
