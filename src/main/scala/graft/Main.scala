@@ -203,6 +203,25 @@ object Main {
         s"${recs.filter(!col("framing_ok")).count()} framing violations) -> $out")
       spark.stop()
 
+    // full-WARC ingestion (binary-safe): record table, or media features
+    // through the multimodal codecs
+    case "warc" :: in :: out :: Nil =>
+      val spark = session("graft-warc")
+      graft.io.Warc.readWarc(spark, in).toDF().write.mode("overwrite").parquet(out)
+      val recs = spark.read.parquet(out)
+      println(s"warc: ${recs.count()} records " +
+        s"(${recs.filter(col("warc_type") === "response").count()} response, " +
+        s"${recs.filter(!col("framing_ok")).count()} framing violations) -> $out")
+      spark.stop()
+
+    case "warc-media" :: in :: out :: Nil =>
+      val spark = session("graft-warc-media")
+      graft.operators.Multimodal.decodeFeatures(
+          graft.io.Warc.toMedia(graft.io.Warc.readWarc(spark, in)))
+        .toDF().write.mode("overwrite").parquet(out)
+      println(s"warc-media: ${spark.read.parquet(out).count()} media features -> $out")
+      spark.stop()
+
     // ad-hoc keyword probe of a curated corpus: top-k docs by BM25
     //   graft.Main search <documentsParquetDir> <k> <term> [term...]
     case "search" :: dir :: k :: terms if terms.nonEmpty && k.toIntOption.exists(_ > 0) =>
@@ -298,6 +317,8 @@ object Main {
            |  graft.Main complete [--force] <hg38|mm10> <outDir>
            |  graft.Main corpus   [--wet] [--near-dup] [--gopher] [--cap=<col>:<n>] [--budget=<col>:<tokens>] [--block=<hostsFile>] [--drop-lines=<n>] <in.jsonl|wetDir> <outDir>
            |  graft.Main wet      <wetPathOrGlob> <outParquetDir>
+           |  graft.Main warc     <warcPathOrGlob> <outParquetDir>
+           |  graft.Main warc-media <warcPathOrGlob> <outParquetDir>
            |  graft.Main search   <documentsParquetDir> <k> <term> [term...]
            |  graft.Main index-build  <documentsParquetDir> <indexDir>
            |  graft.Main index-append <documentsParquetDir> <indexDir>

@@ -1,0 +1,184 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full WARC reader — the BINARY-payload face of Common Crawl ingestion
+  * (ISO 28500). [[Wet]] covers the text pipeline split-parallel;
+  * `response` records in full `.warc` archives carry raw HTTP bodies —
+  * images, audio, PDFs — that a text-mode scan would corrupt (the text
+  * source DECODES bytes as UTF-8; any non-character byte is lossy). This
+  * reader keeps every payload byte intact and bridges straight into the
+  * multimodal tier: [[toMedia]] turns media-typed responses into
+  * `Multimodal.Media` rows for the real codecs.
+  *
+  * Scale shape: one task per ARCHIVE FILE (`binaryFile` source +
+  * per-file sequential Content-Length framing), parallelism across
+  * segments — the honest contract for binary WARC, whose record framing
+  * cannot be re-synchronized mid-split without risking a payload that
+  * embeds the magic bytes (exactly the corruption [[Wet]]'s `framing_ok`
+  * exists to flag; here framing is sequential, so it is exact, not
+  * approximate). Common Crawl sizes segments ~1 GB for precisely this
+  * per-file regime. Record-level gzip (`.warc.gz`, concatenated members
+  * per spec) is decompressed in the same pass.
+  *
+  * Per-file memory is the decompressed archive (the `binaryFile`
+  * source's own contract); size `spark.sql.files.maxPartitionBytes`-like
+  * concerns accordingly — for bigger-than-memory archives, split them
+  * upstream (Common Crawl already does).
+  */
+object Warc {
+
+  /** One WARC record. `http_status`/`http_content_type` are parsed from
+    * the embedded HTTP response head for `response` records (null
+    * otherwise); `payload` is the HTTP BODY for responses, the raw
+    * content block for every other type. `framing_ok` = the declared
+    * Content-Length fit inside the file and the record terminator
+    * followed — sequential framing, exact per record. */
+  final case class WarcRecord(
+      path: String, record_idx: Int, warc_type: String,
+      target_uri: String, warc_date: String, content_length: Long,
+      http_status: Integer, http_content_type: String,
+      payload: Array[Byte], framing_ok: Boolean)
+
+  /** Read a WARC file / directory / glob (plain or record-gzipped
+    * `.warc.gz`) as one row per record. */
+  def readWarc(spark: SparkSession, path: String): Dataset[WarcRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) => parseWarcBytes(p, bytes) }
+  }
+
+  /** Media-typed `response` payloads as `Multimodal.Media` rows —
+    * crawl archive → typed media features without leaving Spark:
+    * `Multimodal.decodeFeatures(Warc.toMedia(Warc.readWarc(...)))`.
+    * `media_id` is the 64-bit target-URI hash (same identity contract
+    * as `Wet.toDocuments`); `kind` is the HTTP Content-Type with any
+    * `; charset=` parameters stripped. Only framing-clean responses
+    * with a parseable Content-Type pass. */
+  def toMedia(records: Dataset[WarcRecord]): Dataset[graft.operators.Multimodal.Media] = {
+    import records.sparkSession.implicits._
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("http_content_type").isNotNull)
+      .select(
+        xxhash64(col("target_uri")).as("media_id"),
+        trim(substring_index(col("http_content_type"), ";", 1)).as("kind"),
+        col("payload").as("bytes"))
+      .as[graft.operators.Multimodal.Media]
+  }
+
+  /** Sequential record walk over one (decompressed) archive. Malformed
+    * framing never throws: the offending record surfaces with
+    * `framing_ok = false` and the walk stops (nothing after a framing
+    * break is trustworthy — a sequential reader would be lost too). */
+  private[io] def parseWarcBytes(path: String, raw: Array[Byte]): Iterator[WarcRecord] = {
+    val bytes =
+      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) gunzip(raw)
+      else raw
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var i = 0
+    var idx = 0
+    var broken = false
+    while (!broken && i < bytes.length) {
+      // skip inter-record CRLFs
+      while (i < bytes.length && (bytes(i) == '\r' || bytes(i) == '\n')) i += 1
+      if (i >= bytes.length) return out.iterator
+      val hdrEnd = indexOfCrlfCrlf(bytes, i)
+      val versionOk = startsWith(bytes, i, "WARC/")
+      if (!versionOk || hdrEnd < 0) {
+        out += WarcRecord(path, idx, null, null, null, -1L, null, null,
+          Array.emptyByteArray, framing_ok = false)
+        broken = true
+      } else {
+        val headers = new String(bytes, i, hdrEnd - i,
+          java.nio.charset.StandardCharsets.UTF_8)
+        def h(name: String): String = {
+          val m = ("(?mi)^" + java.util.regex.Pattern.quote(name) +
+            ": ([^\\r\\n]*)").r.findFirstMatchIn(headers)
+          m.map(_.group(1).trim).filter(_.nonEmpty).orNull
+        }
+        val wtype = h("WARC-Type")
+        val uri = h("WARC-Target-URI")
+        val date = h("WARC-Date")
+        val clen = Option(h("Content-Length")).flatMap(_.toLongOption).getOrElse(-1L)
+        val blockStart = hdrEnd + 4
+        val ok = clen >= 0 && blockStart + clen <= bytes.length
+        if (!ok) {
+          out += WarcRecord(path, idx, wtype, uri, date, clen, null, null,
+            Array.emptyByteArray, framing_ok = false)
+          broken = true
+        } else {
+          val block = java.util.Arrays.copyOfRange(bytes, blockStart,
+            blockStart + clen.toInt)
+          // response records embed an HTTP message: status line + headers
+          // + CRLF CRLF + body
+          var status: Integer = null
+          var ctype: String = null
+          var payload = block
+          if (wtype == "response") {
+            val he = indexOfCrlfCrlf(block, 0)
+            if (he >= 0 && startsWith(block, 0, "HTTP/")) {
+              val head = new String(block, 0, he,
+                java.nio.charset.StandardCharsets.UTF_8)
+              val lines = head.split("\r\n")
+              status = lines.head.split(" ").lift(1)
+                .flatMap(_.toIntOption).map(Integer.valueOf).orNull
+              ctype = lines.tail.collectFirst {
+                case l if l.toLowerCase.startsWith("content-type:") =>
+                  l.substring("content-type:".length).trim
+              }.orNull
+              payload = java.util.Arrays.copyOfRange(block, he + 4, block.length)
+            }
+          }
+          // record terminator: two CRLFs (or clean end-of-file)
+          val termAt = blockStart + clen.toInt
+          val term = termAt == bytes.length ||
+            (termAt + 4 <= bytes.length && bytes(termAt) == '\r' &&
+              bytes(termAt + 1) == '\n' && bytes(termAt + 2) == '\r' &&
+              bytes(termAt + 3) == '\n')
+          out += WarcRecord(path, idx, wtype, uri, date, clen, status, ctype,
+            payload, framing_ok = term)
+          if (!term) broken = true
+          i = termAt + 4
+        }
+      }
+      idx += 1
+    }
+    out.iterator
+  }
+
+  private def startsWith(b: Array[Byte], at: Int, s: String): Boolean = {
+    if (at + s.length > b.length) return false
+    var k = 0
+    while (k < s.length) {
+      if (b(at + k) != s.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  private def indexOfCrlfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 4 <= b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Concatenated-member gzip (the `.warc.gz` record-level layout —
+    * GZIPInputStream consumes all members). */
+  private def gunzip(raw: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(raw))
+    val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+}
