@@ -180,8 +180,8 @@ object Main {
         tokenBudgets = budget,
         blockedHosts = blockFile.map(f =>
           spark.read.textFile(f).toDF("host")
-            .filter(length(trim(col("host"))) > 0)
-            .select(trim(col("host")).as("host"))),
+            .select(trim(col("host")).as("host"))
+            .filter(length(col("host")) > 0 && !col("host").startsWith("#"))),
         dropLinesMinDocFreq = dropLines)
       curated.documents.write.mode("overwrite").parquet(s"$out/documents")
       curated.packManifest.write.mode("overwrite").parquet(s"$out/pack-manifest")

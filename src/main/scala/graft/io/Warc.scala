@@ -57,12 +57,13 @@ object Warc {
     * `media_id` is the 64-bit target-URI hash (same identity contract
     * as `Wet.toDocuments`); `kind` is the HTTP Content-Type with any
     * `; charset=` parameters stripped. Only framing-clean responses
-    * with a parseable Content-Type pass. */
+    * with a parseable Content-Type AND a target URI pass (the URI is
+    * the identity — an anonymous response has none to hash). */
   def toMedia(records: Dataset[WarcRecord]): Dataset[graft.operators.Multimodal.Media] = {
     import records.sparkSession.implicits._
     records.toDF()
       .filter(col("warc_type") === "response" && col("framing_ok") &&
-        col("http_content_type").isNotNull)
+        col("http_content_type").isNotNull && col("target_uri").isNotNull)
       .select(
         xxhash64(col("target_uri")).as("media_id"),
         trim(substring_index(col("http_content_type"), ";", 1)).as("kind"),
