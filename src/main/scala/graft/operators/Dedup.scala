@@ -654,6 +654,17 @@ object Dedup {
     * serially at the scan's partition count. */
   private def saltedSelfPairs(rows: DataFrame, counts: DataFrame,
       saltThreshold: Long, width: Int): DataFrame = {
+    // salting disabled → the hot set is empty BY CONSTRUCTION; skip the
+    // anti-join/replicate/union machinery instead of planning empty
+    // branches (an empty broadcast + two empty exchanges still cost
+    // plan and stage overhead per call)
+    if (saltThreshold == Long.MaxValue) {
+      val keyed = rows.repartition(width, col("key"))
+      return keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    }
     val hot = counts.filter(col("n") > saltThreshold)
     val coldRows = rows.join(broadcast(hot.select("key")), Seq("key"), "left_anti")
     val hotRows = rows.join(broadcast(hot), Seq("key"))
