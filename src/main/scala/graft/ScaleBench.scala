@@ -262,6 +262,13 @@ object ScaleBench {
         Packing.chunkByTokens(corpus, chunkTokens = 64, strideTokens = 48)
       }
 
+      // content-defined chunking: same zero-shuffle narrow regime as the
+      // stride chunker, plus the per-row gear-hash boundary kernel
+      measure("chunk_cdc", s"$scaleDir/out_cdc") {
+        Packing.chunkByContent(corpus,
+          avgTokens = 64, minTokens = 16, maxTokens = 256)
+      }
+
       // WET ingestion: the corpus serialized to WET segment files
       // (untimed — production receives them from the crawler), timed
       // region = the full split-parallel parse back to a typed record

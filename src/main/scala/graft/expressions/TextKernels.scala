@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text-hashing kernels for the dedup hot path. The built-in
@@ -114,6 +114,39 @@ object TextKernels {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Content-defined chunk boundaries over a token-hash stream —
+    * FastCDC-style (Xia et al. 2016, USENIX ATC) gear rolling hash
+    * adapted from bytes to 64-bit token hashes: h = (h << 1) + th(i),
+    * boundary after position i when the chunk has ≥ `min` tokens and
+    * (h & mask) == 0 (mask = 2^⌊log₂ avg⌋ − 1 → ~1/avg boundary odds
+    * per position), forced at `max`; h resets per chunk. Returns the
+    * EXCLUSIVE end positions, ascending, final element always n.
+    * The shift ages old tokens out of h (effective window 64), so after
+    * any edit the boundary stream RESYNCHRONIZES with the unedited
+    * text's — the property fixed-stride chunking lacks and chunk-level
+    * dedup needs. Empty input → empty array. */
+  def cdcBoundariesKernel(th: ArrayData, avg: Int, min: Int, max: Int): ArrayData = {
+    val n = th.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyIntArray)
+    val mask = (java.lang.Integer.highestOneBit(avg) - 1).toLong
+    val out = new scala.collection.mutable.ArrayBuffer[Int](n / math.max(1, min) + 1)
+    var h = 0L
+    var last = 0
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + th.getLong(i)
+      val len = i - last + 1
+      if ((len >= min && (h & mask) == 0L) || len >= max) {
+        out += i + 1
+        last = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (last < n) out += n
+    new GenericArrayData(out.toArray)
   }
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
@@ -246,6 +279,29 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `cdc_boundaries(array<bigint>, avg, min, max)` → array<int>: see
+  * TextKernels.cdcBoundariesKernel. */
+case class CdcBoundaries(child: Expression, avg: Int, min: Int, max: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if 0 < min && min <= avg && avg <= max =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure(
+      s"need 0 < min <= avg <= max, got min=$min avg=$avg max=$max")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_boundaries requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_boundaries"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.cdcBoundariesKernel(input.asInstanceOf[ArrayData], avg, min, max)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.cdcBoundariesKernel($c, $avg, $min, $max);")
+  override protected def withNewChildInternal(newChild: Expression): CdcBoundaries =
+    copy(child = newChild)
+}
+
 object NativeText {
   def tokenHashes(text: Column): Column =
     GraftColumnBridge.column(TokenHashes(GraftColumnBridge.expression(text)))
@@ -255,4 +311,7 @@ object NativeText {
     GraftColumnBridge.column(MinHashSignature(GraftColumnBridge.expression(hs), k))
   def windowMd5(toks: Column, n: Int): Column =
     GraftColumnBridge.column(WindowMd5(GraftColumnBridge.expression(toks), n))
+  def cdcBoundaries(th: Column, avg: Int, min: Int, max: Int): Column =
+    GraftColumnBridge.column(
+      CdcBoundaries(GraftColumnBridge.expression(th), avg, min, max))
 }

@@ -109,6 +109,53 @@ object Packing {
           .as("chunk_text"))
   }
 
+  /** Content-defined chunking — boundaries from the TEXT, not the ruler.
+    * Fixed-stride windows ([[chunkByTokens]]) shift EVERY boundary when a
+    * prefix edit inserts or drops a token, so chunk-level dedup between
+    * two near-identical long documents finds nothing past the edit.
+    * Here boundaries come from a FastCDC-style gear hash over the token
+    * stream (`TextKernels.cdcBoundariesKernel`, Xia et al. 2016): after
+    * an edit the boundary stream resynchronizes, and the shared suffix
+    * chunks hash-match again — feed `chunk_text` through
+    * [[graft.operators.Dedup.exactDupGroups]] for sub-document dedup
+    * that survives edits.
+    *
+    * Output: (doc_id, chunk_id, chunk_start 1-based, n_chunk_tokens,
+    * chunk_text) — the [[chunkByTokens]] schema. Chunk lengths land in
+    * [minTokens, maxTokens] with mean ~avgTokens (the final chunk of a
+    * doc may run short). Empty documents emit no chunks.
+    *
+    * Scale shape: same as the stride chunker — one narrow codegen'd
+    * pass (token hashes → in-row boundary kernel → explode → slice), no
+    * shuffle at any corpus size, parallelism is the scan's. */
+  def chunkByContent(docs: DataFrame,
+      avgTokens: Int = 64, minTokens: Int = 16, maxTokens: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(0 < minTokens && minTokens <= avgTokens && avgTokens <= maxTokens,
+      s"need 0 < min <= avg <= max, got $minTokens/$avgTokens/$maxTokens")
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("tk"),
+        graft.expressions.NativeText.cdcBoundaries(
+          graft.functions.TextFunctions.tokenHashes(col(textCol)),
+          avgTokens, minTokens, maxTokens).as("ends"))
+      .select(col("doc_id"), col("tk"),
+        posexplode(col("ends")).as(Seq("chunk_id", "end")),
+        col("ends"))
+      .select(col("doc_id"),
+        col("chunk_id").cast(LongType),
+        (when(col("chunk_id") === 0, lit(0))
+          .otherwise(element_at(col("ends"), col("chunk_id"))) + 1)
+          .cast(LongType).as("chunk_start"),
+        col("end"), col("tk"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+        (col("end") + 1 - col("chunk_start")).cast(LongType).as("n_chunk_tokens"),
+        array_join(
+          slice(col("tk"), col("chunk_start").cast(IntegerType),
+            (col("end") + 1 - col("chunk_start")).cast(IntegerType)),
+          " ").as("chunk_text"))
+  }
+
   /** Materialize the packing: one row per (pack, document segment), with
     * the exact token slice that pack receives. A document spanning k packs
     * explodes into k segments whose slice bounds are pure integer

@@ -500,6 +500,52 @@ object ExtensionQueries {
           t(s, dir, "documents"), chunkTokens = 64, strideTokens = 48)
         .orderBy("doc_id", "chunk_id")),
 
+    // content-defined chunking: boundaries from the gear hash, not the
+    // ruler. Rows-only (the sequential gear fold over xxhash64 token
+    // hashes has no DuckDB replay); gated by q_check_cdc below.
+    "q_chunk_cdc" -> ((s, dir) =>
+      graft.operators.Packing.chunkByContent(
+          t(s, dir, "documents"), avgTokens = 16, minTokens = 4, maxTokens = 64)
+        .orderBy("doc_id", "chunk_id")),
+
+    // CDC invariants, oracle-bearing: chunks reassemble EXACTLY to the
+    // tokenized document, no chunk exceeds maxTokens, and — the property
+    // the operator exists for — after a 3-token prefix edit the boundary
+    // stream resynchronizes, so most original chunks reappear verbatim
+    // in the mutant's chunking (fixed-stride sharing would be ~zero)
+    "q_check_cdc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      def chunksOf(d: DataFrame) =
+        graft.operators.Packing.chunkByContent(d,
+          avgTokens = 8, minTokens = 2, maxTokens = 32)
+      val orig = chunksOf(docs)
+      val origAgg = orig.groupBy(col("doc_id")).agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+            x => x.getField("chunk_text")), " ").as("re"),
+        max(col("n_chunk_tokens")).as("max_len"),
+        count(lit(1)).as("n_chunks"))
+      val mutants = docs.select(col("doc_id"),
+        concat(lit("zq xv qy "), col("text")).as("text"))
+      val sharedPerDoc = orig.select(col("doc_id"), col("chunk_text"))
+        .join(chunksOf(mutants).select(col("doc_id"), col("chunk_text")).distinct(),
+          Seq("doc_id", "chunk_text"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      docs
+        .select(col("doc_id"),
+          array_join(TF.tokens(col("text")), " ").as("norm"))
+        .join(origAgg, Seq("doc_id"), "left")
+        .join(sharedPerDoc, Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(coalesce(col("re"), lit("")) =!= coalesce(col("norm"), lit("")),
+            1L).otherwise(0L)).as("reassembly_violations"),
+          sum(when(col("max_len") > 32, 1L).otherwise(0L)).as("bound_violations"),
+          (sum(coalesce(col("n_shared"), lit(0L))).cast(DoubleType) /
+            sum(coalesce(col("n_chunks"), lit(0L))).cast(DoubleType) >= 0.5)
+            .as("resync_pass"))
+    }),
+
     // corpus-level term statistics: top-50 terms by frequency with doc
     // frequency — explode + map-side partial count + TakeOrderedAndProject
     // (no global sort); the tf/df primitive under stopword mining and
@@ -1508,6 +1554,8 @@ object ExtensionQueries {
       s"""WITH per AS (SELECT source, CAST(SUM(len($tokensSql)) AS BIGINT) AS tokens FROM documents GROUP BY source), d AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sqrt(CAST(tokens AS DOUBLE)) ORDER BY source)), (acc, x) -> acc + x) AS denom FROM per) SELECT source, tokens, sqrt(CAST(tokens AS DOUBLE)) / denom AS weight FROM per, d ORDER BY source""",
 
     "q_chunk_stride" ->
-      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents), t2 AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0) SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id, CAST(s + 1 AS BIGINT) AS chunk_start, CAST(least(64, n - s) AS BIGINT) AS n_chunk_tokens, array_to_string(list_slice(tk, s + 1, s + 64), ' ') AS chunk_text FROM t2, unnest(generate_series(0, n - 1, 48)) AS u(s) ORDER BY doc_id, chunk_id"""
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents), t2 AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0) SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id, CAST(s + 1 AS BIGINT) AS chunk_start, CAST(least(64, n - s) AS BIGINT) AS n_chunk_tokens, array_to_string(list_slice(tk, s + 1, s + 64), ' ') AS chunk_text FROM t2, unnest(generate_series(0, n - 1, 48)) AS u(s) ORDER BY doc_id, chunk_id""",
+    "q_check_cdc" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS reassembly_violations, CAST(0 AS BIGINT) AS bound_violations, true AS resync_pass FROM documents"""
   )
 }

@@ -99,6 +99,66 @@ class PackingSamplingSpec extends SparkSpec {
       Seq((0L, 3L, "a b c")))
   }
 
+  test("chunkByContent: exact reassembly, bounds respected, deterministic") {
+    // deterministic pseudo-random text: 300 tokens from a fixed mix
+    val words = (0 until 300).map(i =>
+      s"w${(i * 2654435761L % 97)}x${i % 7}").mkString(" ")
+    val docs = Seq((1L, words), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val out = Packing.chunkByContent(docs, avgTokens = 16, minTokens = 4, maxTokens = 64)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(!out.exists(_._1 == 3L)) // empty doc → no chunks
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.length > 3, s"expected several chunks, got ${d1.length}")
+    // chunks tile the doc exactly: reassembly == original tokens
+    assert(d1.sortBy(_._2).map(_._5).mkString(" ") == words)
+    // starts/lengths tile with no gaps
+    d1.sortBy(_._2).foldLeft(1L) { case (expectStart, c) =>
+      assert(c._3 == expectStart, s"chunk ${c._2} start")
+      expectStart + c._4
+    }
+    // every non-final chunk within [min, max]; final may run short
+    d1.dropRight(1).foreach(c => assert(c._4 >= 4 && c._4 <= 64, s"len ${c._4}"))
+    assert(d1.last._4 <= 64)
+    // a 3-token doc under minTokens still emits its single short chunk
+    assert(out.filter(_._1 == 2L).map(_._5).toSeq == Seq("a b c"))
+    // deterministic
+    val again = Packing.chunkByContent(docs, 16, 4, 64)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("chunkByContent: boundaries RESYNC after a prefix edit; stride chunks do not") {
+    val words = (0 until 400).map(i =>
+      s"tok${(i * 1103515245L % 89)}y${i % 11}").mkString(" ")
+    val orig = Seq((1L, words)).toDF("doc_id", "text")
+    val edited = Seq((1L, "inserted prefix tokens " + words)).toDF("doc_id", "text")
+    def cdcChunks(d: org.apache.spark.sql.DataFrame) =
+      Packing.chunkByContent(d, avgTokens = 16, minTokens = 4, maxTokens = 64)
+        .select("chunk_text").as[String].collect().toSeq
+    val a = cdcChunks(orig)
+    val b = cdcChunks(edited)
+    val shared = a.toSet.intersect(b.toSet).size.toDouble / a.length
+    assert(shared >= 0.6, f"CDC resync too weak: $shared%.2f of ${a.length} chunks")
+    // the contrast: fixed-stride chunking shares (nearly) nothing after
+    // a 3-token shift
+    def strideChunks(d: org.apache.spark.sql.DataFrame) =
+      Packing.chunkByTokens(d, chunkTokens = 16, strideTokens = 16)
+        .select("chunk_text").as[String].collect().toSet
+    val sa = strideChunks(orig); val sb = strideChunks(edited)
+    assert(sa.intersect(sb).size.toDouble / sa.size < 0.2,
+      "stride chunking unexpectedly survived the shift — contrast broken")
+  }
+
+  test("chunkByContent: narrow plan — no exchange at any corpus size") {
+    val docs = spark.range(0, 200).select(col("id").as("doc_id"),
+      concat_ws(" ", (1 to 80).map(i => lit(s"w$i")): _*).as("text"))
+    val plan = Packing.chunkByContent(docs, 16, 4, 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"CDC chunking must not shuffle:\n$plan")
+  }
+
   test("chunkByTokens: narrow plan — no exchange at any corpus size") {
     val docs = spark.range(0, 200).select(col("id").as("doc_id"),
       lit((1 to 50).map(i => s"w$i").mkString(" ")).as("text"))
