@@ -129,6 +129,38 @@ class WetSpec extends SparkSpec {
     assert(Wet.toDocuments(Wet.readWet(spark, writeTemp(bad))).count() == 0)
   }
 
+  test("crawl-to-corpus streaming e2e: WET segments -> documents -> incremental dedup sink") {
+    // two WET segments landing over time; segment 2 re-crawls one page
+    // of segment 1 verbatim (same uri, same text) — the incremental
+    // dedup sink must drop the twin and append only the fresh page
+    val wetDir = Files.createTempDirectory("graft_wet_e2e")
+    val out = Files.createTempDirectory("graft_wet_e2e_out")
+    def rec(uri: String, body: String): String = {
+      val n = body.getBytes(StandardCharsets.UTF_8).length
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: $n\r\n\r\n$body\r\n\r\n"
+    }
+    val docs = Wet.toDocuments(Wet.readWetStream(spark, wetDir.toString))
+    val query = graft.operators.CorpusPipeline.writeStreamIncrementalDedup(
+      docs, s"$out/corpus", s"$out/sigs", s"$out/ckpt")
+    try {
+      Files.write(Paths.get(wetDir.toString, "seg1.wet"),
+        (rec("http://e.test/a", "the first page body with several tokens here") +
+          rec("http://e.test/b", "a second page wholly different from the first one"))
+          .getBytes(StandardCharsets.UTF_8))
+      query.processAllAvailable()
+      Files.write(Paths.get(wetDir.toString, "seg2.wet"),
+        (rec("http://e.test/a2", "the first page body with several tokens here") + // twin of /a
+          rec("http://e.test/c", "an entirely fresh third page arriving later on"))
+          .getBytes(StandardCharsets.UTF_8))
+      query.processAllAvailable()
+    } finally query.stop()
+    val corpus = spark.read.parquet(s"$out/corpus")
+      .select("url", "text").collect().map(r => r.getString(0)).toSet
+    assert(corpus == Set("http://e.test/a", "http://e.test/b", "http://e.test/c"),
+      s"got $corpus") // the re-crawl twin never lands
+  }
+
   test("split-parallel read: record straddling a file-split boundary parses exactly") {
     // many records, read with a tiny maxPartitionBytes so the scan is
     // forced into multiple splits — Hadoop's custom-delimiter LineReader
