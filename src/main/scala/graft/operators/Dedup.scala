@@ -185,7 +185,8 @@ object Dedup {
     *
     * Caching: the signature table and the bucket-occupancy frame are
     * persisted (the former feeds the bucket explode and both verify
-    * sides, the latter three broadcast builds) and stay cached after
+    * sides, the latter the over-cap anti-join build — plus the two hot
+    * broadcast builds when salting is enabled) and stay cached after
     * the returned frame is consumed — callers running many corpora per
     * session should spark.catalog.clearCache() between batches (Bench does).
     * `sigs`: pass a pre-computed (and pre-persisted/materialized)
