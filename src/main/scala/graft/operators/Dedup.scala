@@ -222,12 +222,18 @@ object Dedup {
       // exact-Jaccard verify filters any false candidate it adds
       .select(col("doc_id"), xxhash64(col("bb.band"), col("bb.bucket")).as("bkey"))
 
-    // persisted: the over-cap anti-join and the salted branch's two hot
-    // broadcast builds each run as their own job, and exchange reuse does
-    // not cross job boundaries — uncached, every one re-aggregates the
-    // full band stream (measured: 5 redundant occupancy shuffles at 50×)
-    val bucketCounts = bucketed.groupBy(col("bkey")).agg(count(lit(1)).as("n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted ONLY when salting is on: the over-cap anti-join and the
+    // salted branch's two hot broadcast builds each run as their own job,
+    // and exchange reuse does not cross job boundaries — uncached, every
+    // one re-aggregates the full band stream (measured: 5 redundant
+    // occupancy shuffles at 50×). With salting off there is a single
+    // consumer, and an unconditional persist would LEAK one cached frame
+    // per microbatch in the streaming sinks (which call this for
+    // intra-batch dedup and cannot clearCache mid-stream).
+    val bucketCountsRaw = bucketed.groupBy(col("bkey")).agg(count(lit(1)).as("n"))
+    val bucketCounts =
+      if (saltBucketSize == 0) bucketCountsRaw
+      else bucketCountsRaw.persist(StorageLevel.MEMORY_AND_DISK)
     val kept = bucketed.join(
       bucketCounts.filter(col("n") > maxBucketSize).select("bkey"),
       Seq("bkey"), "left_anti")
