@@ -115,6 +115,43 @@ class MultimodalSpec extends SparkSpec {
     assert(bad(truncated).getMessage.contains("truncated"))
   }
 
+  test("resizePpm: nearest-neighbor picks exact source pixels; output re-decodes") {
+    // 4×2 planted image (see decodePpm test) → 2×1: rows map to sy=0,
+    // columns 0,1 map to sx=0,2 → pixels (red, blue)
+    val header = "P6\n4 2\n255\n".getBytes("US-ASCII")
+    val pixels = Array(
+      255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255,
+      0, 0, 0,    0, 0, 0,    0, 0, 0,    0, 0, 0).map(_.toByte)
+    val m = Media(1L, "image/ppm", header ++ pixels)
+    val small = Multimodal.resizePpm(m, 2, 1)
+    val dec = Multimodal.decodePpm(small)
+    assert(dec.width == 2 && dec.height == 1)
+    val body = small.bytes.drop("P6\n2 1\n255\n".length)
+    assert(body.toSeq == Seq(255, 0, 0, 0, 0, 255).map(_.toByte)) // red, blue
+    // upscale replicates pixels and still decodes
+    val big = Multimodal.decodePpm(Multimodal.resizePpm(m, 8, 4))
+    assert(big.width == 8 && big.height == 4)
+    intercept[IllegalArgumentException](Multimodal.resizePpm(m, 0, 4))
+  }
+
+  test("resampleWav: decimation halves rate and keeps every k-th frame exactly") {
+    val sq = wavBytes(8000, 1, 16, Seq.fill(4)(Seq(16384, -16384)).flatten)
+    val m = Media(2L, "audio/wav", sq)
+    val half = Multimodal.resampleWav(m, 2)
+    val dec = Multimodal.decodeWav(half)
+    assert(dec.width == 4000 && dec.height == 1)
+    // kept frames are the +16384 ones: no crossings, RMS unchanged
+    assert(dec.features(2) == 0.0f)
+    assert(math.abs(dec.features(1) - 0.5f) < 1e-6)
+    assert(math.abs(dec.features(3) - 4.0f / 4000) < 1e-9) // 4 frames @ 4 kHz
+    // the dataset face dispatches by kind and passes unknown kinds through
+    val mixed = Seq(m, Media(3L, "video/fake", Array[Byte](1, 2, 3))).toDS()
+    val out = Multimodal.resizeMedia(mixed, 2, 2, audioFactor = 2)
+      .collect().map(x => x.media_id -> x).toMap
+    assert(Multimodal.decodeWav(out(2L)).width == 4000)
+    assert(out(3L).bytes.toSeq == Seq[Byte](1, 2, 3))
+  }
+
   test("frameSample: frames reassemble to the original payload") {
     val frames = Multimodal.frameSample(media.toDF(), frameBytes = 256)
       .orderBy("media_id", "frame_idx").collect()
