@@ -209,6 +209,47 @@ object TextFunctions {
         ipv4Pattern, "<IP>"),
       phonePattern, "<PHONE>")
 
+  // ---- HTML text extraction ----------------------------------------------
+
+  /** Strip HTML to text — the extraction step between a full-WARC
+    * `text/html` response and the documents table (WET arrives
+    * pre-extracted; raw crawl archives don't). A regexp-replace chain,
+    * codegen'd, RE2-compatible (inline `(?i)`/`(?s)` flags, non-greedy
+    * quantifiers, no lookaround/backrefs) so the DuckDB oracle replays
+    * it verbatim:
+    *  1. `<script>`/`<style>` elements drop wholesale, content included;
+    *  2. `<br>` and block-level closers become newlines;
+    *  3. every remaining tag deletes to a space;
+    *  4. the ubiquitous entities decode (`&amp;` LAST, the standard
+    *     single-pass order, so it cannot fabricate new entities);
+    *  5. horizontal whitespace collapses, newlines shed flanking spaces,
+    *     ≥3 newlines fold to a paragraph break, edges trim.
+    * A text EXTRACTOR, not an HTML parser: malformed nesting degrades to
+    * extra whitespace, never to silently dropped text. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)>", " ")
+    val withBreaks = regexp_replace(noScript,
+      "(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(withBreaks, "(?s)<[^>]*>", " ")
+    val decoded =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(noTags, "&lt;", "<"),
+                "&gt;", ">"),
+              "&quot;", "\""),
+            "&#39;", "'"),
+          "&nbsp;", " "),
+        "&amp;", "&")
+    val collapsed = regexp_replace(decoded, "[ \\t\\r]+", " ")
+    val tidyBreaks = regexp_replace(collapsed, " ?\\n ?", "\n")
+    val folded = regexp_replace(tidyBreaks, "\\n{3,}", "\n\n")
+    trim(regexp_replace(folded, "^\\n+|\\n+$", ""))
+  }
+
   /** Pre-redaction PII hit counts per kind (audit signal: which documents
     * carry how much PII, independent of the rewrite). */
   def piiCounts(text: Column): Column = struct(

@@ -71,6 +71,28 @@ object Warc {
       .as[graft.operators.Multimodal.Media]
   }
 
+  /** Curate-ready documents from `text/html` responses: payload decoded
+    * as UTF-8 (charset headers are not consulted — modern crawls are
+    * overwhelmingly UTF-8; mojibake from the tail degrades quality
+    * scores, it does not corrupt framing), stripped through
+    * `TextFunctions.htmlToText`, identity/lang-ID exactly as
+    * `Wet.toDocuments` — so a FULL archive feeds `CorpusPipeline.curate`
+    * without a WET conversion step. */
+  def toDocumentsHtml(records: Dataset[WarcRecord]): DataFrame = {
+    import graft.functions.TextFunctions
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        substring_index(col("http_content_type"), ";", 1) === "text/html")
+      .select(
+        xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        TextFunctions.htmlToText(col("payload").cast("string")).as("html_text"))
+      .select(col("doc_id"), col("url"),
+        TextFunctions.langId(col("html_text")).as("lang"),
+        col("html_text").as("text"))
+  }
+
   /** Sequential record walk over one (decompressed) archive. Malformed
     * framing never throws: the offending record surfaces with
     * `framing_ok = false` and the walk stops (nothing after a framing

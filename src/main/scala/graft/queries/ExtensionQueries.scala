@@ -636,6 +636,22 @@ object ExtensionQueries {
         "doc_id", "text")
         .orderBy("content_hash")),
 
+    // HTML→text extraction over a synthesized page per document: script/
+    // style content must vanish, block closers become line breaks,
+    // entities decode, and the document text passes through byte-exact —
+    // the full-WARC text path (WET arrives pre-extracted; raw crawls
+    // don't). Oracle replays the identical RE2-safe regexp chain.
+    "q_html_to_text" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val html = concat(
+        lit("<html><head><title>t</title><script>var x = 1 < 2;</script>" +
+          "<style>p { color: red; }</style></head><body><h1>Heading</h1><p>"),
+        col("text"),
+        lit("</p><div>a &amp; b &lt;tag&gt; &quot;q&quot;</div></body></html>"))
+      docs.select(col("doc_id"), TF.htmlToText(html).as("text"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style corpus-wide boilerplate-line removal: every third doc
     // gains the same two footer lines; at minDocFreq=50 exactly those
     // planted lines cross the threshold and are removed from EVERY doc,
@@ -1345,6 +1361,8 @@ object ExtensionQueries {
 
     "q_paragraph_dedup" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents UNION ALL SELECT doc_id + 2000000, text || '. ' || array_to_string(list_reverse($tokensSql), ' ') FROM documents), p0 AS (SELECT doc_id, string_split(text, '. ') AS ps FROM corpus), p AS (SELECT doc_id, i - 1 AS pos, ps[i] AS para FROM p0, unnest(generate_series(1, len(ps))) AS t(i) WHERE length(ps[i]) > 0), k AS (SELECT doc_id, pos, para, ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn FROM p) SELECT doc_id, string_agg(para, '. ' ORDER BY pos) AS text FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+    "q_html_to_text" ->
+      """WITH h AS (SELECT doc_id, '<html><head><title>t</title><script>var x = 1 < 2;</script><style>p { color: red; }</style></head><body><h1>Heading</h1><p>' || text || '</p><div>a &amp; b &lt;tag&gt; &quot;q&quot;</div></body></html>' AS html FROM documents), s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<(script|style)\b[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h), s2 AS (SELECT doc_id, regexp_replace(t, '(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol)\b[^>]*>', chr(10), 'g') AS t FROM s1), s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s2), s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t FROM s3), s5 AS (SELECT doc_id, regexp_replace(t, '[ \t\r]+', ' ', 'g') AS t FROM s4), s6 AS (SELECT doc_id, regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM s5), s7 AS (SELECT doc_id, regexp_replace(t, '\n{3,}', chr(10) || chr(10), 'g') AS t FROM s6) SELECT doc_id, trim(regexp_replace(t, '^\n+|\n+$', '', 'g')) AS text FROM s7 ORDER BY doc_id""",
     "q_drop_frequent_lines" ->
       """WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || 'all rights reserved' || chr(10) || 'subscribe to our newsletter' ELSE text END AS text FROM documents), l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus), l AS (SELECT doc_id, i - 1 AS pos, ls[i] AS line FROM l0, unnest(generate_series(1, len(ls))) AS t(i) WHERE length(ls[i]) > 0), freq AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 50), kept AS (SELECT doc_id, pos, line FROM l ANTI JOIN freq USING (line)) SELECT c.doc_id, coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text FROM corpus c LEFT JOIN kept k ON c.doc_id = k.doc_id GROUP BY c.doc_id ORDER BY c.doc_id""",
     // independent derivation: the synthesized host is [cdn.]<source>
