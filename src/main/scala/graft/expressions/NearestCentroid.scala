@@ -320,12 +320,18 @@ object NearestCentroid {
         val grp = order(oi).intValue
         val lb = math.sqrt(sdist(grp)) - pruner.radius(grp)
         // skip the whole group only when its best possible member is
-        // strictly worse than the settled t-th best (true-dist² space);
-        // the 1e-9 relative slack keeps float rounding in the bound from
-        // ever skipping a true winner
+        // strictly worse than the settled t-th best (true-dist² space).
+        // The slack absorbs the bound's own rounding: sdist is a
+        // cancellation-prone sum of ~dim products, so its absolute error
+        // scales with dim · (‖s‖² + ‖v‖²), not with the bound's value —
+        // a fixed relative slack under-covers exactly the high-dim /
+        // large-magnitude case. 1e-12 ≈ machine-ε with headroom for the
+        // dim-length accumulation; widening the slack only scores more
+        // groups, it can never drop a true winner.
         val worstTrue = bd(t - 1) + vNormSq
-        if (filled < t || lb <= 0.0 ||
-            lb * lb <= worstTrue + 1e-9 * (math.abs(worstTrue) + 1.0)) {
+        val slack = 1e-12 * dim *
+          (pruner.superNormSq(grp) + vNormSq + math.abs(worstTrue) + 1.0)
+        if (filled < t || lb <= 0.0 || lb * lb <= worstTrue + slack) {
           val ms = pruner.members(grp)
           var mi = 0
           while (mi < ms.length) { val i = ms(mi); score(i, centroids(i)); mi += 1 }

@@ -66,28 +66,66 @@ object Warc {
         col("http_content_type").isNotNull && col("target_uri").isNotNull)
       .select(
         xxhash64(col("target_uri")).as("media_id"),
-        trim(substring_index(col("http_content_type"), ";", 1)).as("kind"),
+        mimeOf(col("http_content_type")).as("kind"),
         col("payload").as("bytes"))
       .as[graft.operators.Multimodal.Media]
   }
 
+  /** HTTP media type, normalized: parameters stripped, trimmed,
+    * lowercased — media types are case-insensitive per RFC 9110, and real
+    * crawls carry `Text/HTML` and `text/html ; charset=...` variants. */
+  private def mimeOf(contentType: org.apache.spark.sql.Column) =
+    lower(trim(substring_index(contentType, ";", 1)))
+
+  /** Windows-1252 is ISO-8859-1 with the C1 control range 0x80–0x9F
+    * remapped to printable characters (smart quotes, dashes, €, ™, …).
+    * Decoding latin-1 then translating those 27 defined positions IS an
+    * exact cp1252 decode — one codegen'd `translate`, no UDF and no
+    * non-default JVM charset (Spark's `decode` allowlist stops at
+    * ISO-8859-1). The 5 undefined cp1252 positions pass through. */
+  private val c1Range: String =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008a\u008b" +
+      "\u008c\u008e\u0091\u0092\u0093\u0094\u0095\u0096\u0097\u0098\u0099" +
+      "\u009a\u009b\u009c\u009e\u009f"
+  private val cp1252Chars: String =
+    "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160\u2039" +
+      "\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014\u02dc\u2122" +
+      "\u0161\u203a\u0153\u017e\u0178"
+
+  /** Decode an HTTP payload honoring the `charset=` parameter already
+    * sitting in the parsed Content-Type: ISO-8859-1/latin1 and
+    * Windows-1252/cp1252 (still a real fraction of the web) decode
+    * exactly; everything else — including the no-parameter default —
+    * decodes UTF-8 as before. */
+  private def decodePayload(payload: org.apache.spark.sql.Column,
+      contentType: org.apache.spark.sql.Column) = {
+    val cs = lower(regexp_extract(contentType,
+      "(?i)charset\\s*=\\s*\"?([A-Za-z0-9_\\-]+)", 1))
+    val latin1 = decode(payload, "ISO-8859-1")
+    when(cs.isin("iso-8859-1", "latin1", "iso8859-1"), latin1)
+      .when(cs.isin("windows-1252", "cp1252"),
+        translate(latin1, c1Range, cp1252Chars))
+      .otherwise(payload.cast("string"))
+  }
+
   /** Curate-ready documents from `text/html` responses: payload decoded
-    * as UTF-8 (charset headers are not consulted — modern crawls are
-    * overwhelmingly UTF-8; mojibake from the tail degrades quality
-    * scores, it does not corrupt framing), stripped through
+    * honoring the Content-Type `charset=` parameter ([[decodePayload]] —
+    * latin-1/cp1252 exact, UTF-8 default), stripped through
     * `TextFunctions.htmlToText`, identity/lang-ID exactly as
     * `Wet.toDocuments` — so a FULL archive feeds `CorpusPipeline.curate`
-    * without a WET conversion step. */
+    * without a WET conversion step. The media-type match is normalized
+    * (case-insensitive, parameter- and whitespace-tolerant). */
   def toDocumentsHtml(records: Dataset[WarcRecord]): DataFrame = {
     import graft.functions.TextFunctions
     records.toDF()
       .filter(col("warc_type") === "response" && col("framing_ok") &&
         col("target_uri").isNotNull &&
-        substring_index(col("http_content_type"), ";", 1) === "text/html")
+        mimeOf(col("http_content_type")) === "text/html")
       .select(
         xxhash64(col("target_uri")).as("doc_id"),
         col("target_uri").as("url"),
-        TextFunctions.htmlToText(col("payload").cast("string")).as("html_text"))
+        TextFunctions.htmlToText(
+          decodePayload(col("payload"), col("http_content_type"))).as("html_text"))
       .select(col("doc_id"), col("url"),
         TextFunctions.langId(col("html_text")).as("lang"),
         col("html_text").as("text"))
@@ -128,7 +166,12 @@ object Warc {
         val date = h("WARC-Date")
         val clen = Option(h("Content-Length")).flatMap(_.toLongOption).getOrElse(-1L)
         val blockStart = hdrEnd + 4
-        val ok = clen >= 0 && blockStart + clen <= bytes.length
+        // clen must fit an Int BEFORE any arithmetic: a hostile header near
+        // Long.MaxValue overflows `blockStart + clen` negative (passing the
+        // bound check) and then wraps in `.toInt` — surface it as the
+        // documented framing_ok = false row, never an executor exception
+        val ok = clen >= 0 && clen <= Int.MaxValue &&
+          blockStart + clen <= bytes.length
         if (!ok) {
           out += WarcRecord(path, idx, wtype, uri, date, clen, null, null,
             Array.emptyByteArray, framing_ok = false)

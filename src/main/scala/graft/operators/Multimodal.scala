@@ -137,16 +137,7 @@ object Multimodal {
     require(b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E',
       s"media ${m.media_id}: not a RIFF/WAVE payload")
-    // chunk walk: chunks are (4-byte id, 4-byte LE size, payload, pad to even)
-    var fmtAt = -1; var dataAt = -1; var dataLen = 0L
-    var p = 12
-    while (p + 8 <= b.length && (fmtAt < 0 || dataAt < 0)) {
-      val id = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val sz = u32(p + 4)
-      if (id == "fmt ") fmtAt = p + 8
-      else if (id == "data") { dataAt = p + 8; dataLen = sz }
-      p += 8 + sz.toInt + (sz.toInt & 1)
-    }
+    val (fmtAt, dataAt, dataLen) = walkRiffChunks(m)
     require(fmtAt >= 0 && dataAt >= 0,
       s"media ${m.media_id}: WAV missing fmt/data chunk")
     val audioFormat = u16(fmtAt)
@@ -198,6 +189,33 @@ object Multimodal {
     var k = 0
     while (k < 12) { feats(4 + k) = (hist(k).toDouble / total).toFloat; k += 1 }
     MediaFeatures(m.media_id, m.kind, b.length, sampleRate.toInt, nChannels, feats)
+  }
+
+  /** RIFF chunk walk shared by [[decodeWav]] and [[resampleWav]]: chunks
+    * are (4-byte id, 4-byte LE size, payload, pad to even). The declared
+    * size is UNSIGNED 32-bit; a size that doesn't fit in the remaining
+    * bytes fails loudly rather than truncating through `.toInt` — a
+    * crafted chunk size ≥ 2^31 would otherwise wrap negative and stall
+    * the walk forever, hanging the executor task on untrusted crawl
+    * bytes. Returns (fmtAt, dataAt, dataLen). */
+  private def walkRiffChunks(m: Media): (Int, Int, Long) = {
+    val b = m.bytes
+    def u8(p: Int): Int = b(p) & 0xff
+    def u16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
+    def u32(p: Int): Long = (u16(p).toLong | (u16(p + 2).toLong << 16)) & 0xffffffffL
+    var fmtAt = -1; var dataAt = -1; var dataLen = 0L
+    var p = 12
+    while (p + 8 <= b.length && (fmtAt < 0 || dataAt < 0)) {
+      val id = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = u32(p + 4)
+      require(sz <= b.length - p - 8,
+        s"media ${m.media_id}: malformed/truncated WAV — chunk '$id' claims " +
+          s"$sz bytes, only ${b.length - p - 8} remain")
+      if (id == "fmt ") fmtAt = p + 8
+      else if (id == "data") { dataAt = p + 8; dataLen = sz }
+      p += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    (fmtAt, dataAt, dataLen)
   }
 
   /** Decode/feature-extract a media dataset. Per-partition batching: the
@@ -287,18 +305,9 @@ object Multimodal {
     val b = m.bytes
     def u8(p: Int): Int = b(p) & 0xff
     def u16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
-    def u32(p: Int): Long = (u16(p).toLong | (u16(p + 2).toLong << 16)) & 0xffffffffL
     val parsed = decodeWav(m) // fail-loudly validation + rate/channels
     val rate = parsed.width; val nCh = parsed.height
-    var fmtAt = -1; var dataAt = -1; var dataLen = 0L
-    var p = 12
-    while (p + 8 <= b.length && (fmtAt < 0 || dataAt < 0)) {
-      val id = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val sz = u32(p + 4)
-      if (id == "fmt ") fmtAt = p + 8
-      else if (id == "data") { dataAt = p + 8; dataLen = sz }
-      p += 8 + sz.toInt + (sz.toInt & 1)
-    }
+    val (fmtAt, dataAt, dataLen) = walkRiffChunks(m)
     val bits = u16(fmtAt + 14)
     val frameBytes = (bits / 8) * nCh
     val nFrames = (dataLen / frameBytes).toInt

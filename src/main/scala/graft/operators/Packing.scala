@@ -92,6 +92,9 @@ object Packing {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
     require(strideTokens > 0, s"strideTokens must be positive: $strideTokens")
+    require(strideTokens <= chunkTokens,
+      s"strideTokens ($strideTokens) > chunkTokens ($chunkTokens) would skip " +
+        "tokens between windows, breaking the every-token-covered contract")
     docs
       .select(col(idCol).as("doc_id"),
         graft.functions.TextFunctions.tokens(col(textCol)).as("tk"))

@@ -113,6 +113,20 @@ class MultimodalSpec extends SparkSpec {
       .getMessage.contains("non-PCM"))
     val truncated = wavBytes(8000, 1, 16, Seq.fill(100)(5)).dropRight(40)
     assert(bad(truncated).getMessage.contains("truncated"))
+    // hostile unsigned chunk size ≥ 2^31: 0xFFFFFFF8.toInt = -8 would make
+    // the walk advance 0 bytes and spin forever; must fail loudly instead
+    val hostile = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { hostile.write(v & 0xff); hostile.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    hostile.write("RIFF".getBytes("US-ASCII")); w32(1000L)
+    hostile.write("WAVE".getBytes("US-ASCII"))
+    hostile.write("JUNK".getBytes("US-ASCII")); w32(0xFFFFFFF8L)
+    hostile.write(new Array[Byte](32)) // payload far shorter than claimed
+    assert(bad(hostile.toByteArray).getMessage.contains("claims"))
+    // the resample path shares the guarded walk
+    intercept[IllegalArgumentException] {
+      Multimodal.resampleWav(Media(1L, "audio/wav", hostile.toByteArray), 2)
+    }
   }
 
   test("resizePpm: nearest-neighbor picks exact source pixels; output re-decodes") {
