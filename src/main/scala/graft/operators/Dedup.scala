@@ -664,11 +664,21 @@ object Dedup {
     // salting disabled → the hot set is empty BY CONSTRUCTION; skip the
     // anti-join/replicate/union machinery instead of planning empty
     // branches (an empty broadcast + two empty exchanges still cost
-    // plan and stage overhead per call)
+    // plan and stage overhead per call).
+    //
+    // Only the PROBE side is keyed-repartitioned. Repartitioning both
+    // sides double-pays when the build side fits a broadcast: the user
+    // repartition cannot be elided, so the build side shuffles AND
+    // broadcasts the same rows (measured ~0.8 s/call on the minhash
+    // family at sf0.1). One-sided, the small-input plan is exactly one
+    // exchange + broadcast — probe widened to `width`, so pair
+    // generation never streams serially at the scan's split count — and
+    // past the broadcast threshold the planner completes the build side
+    // with the matching hashpartitioning(key, width) exchange, the
+    // co-partitioned shape the two-sided form produced.
     if (saltThreshold == Long.MaxValue) {
-      val keyed = rows.repartition(width, col("key"))
-      return keyed.as("a")
-        .join(keyed.as("b"),
+      return rows.repartition(width, col("key")).as("a")
+        .join(rows.as("b"),
           col("a.key") === col("b.key") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     }
