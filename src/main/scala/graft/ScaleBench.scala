@@ -72,6 +72,11 @@ object ScaleBench {
     //    otherwise-parallel stage. This is what skew defenses must bound.
     private val taskMs =
       new java.util.concurrent.ConcurrentLinkedQueue[(Int, java.lang.Long)]()
+    // stageId → operator-scope chain (the DAG-viz scopes: "Exchange",
+    // "WholeStageCodegen (3)", "InMemoryTableScan", …) — the readable
+    // WHAT of a stage, where StageInfo.name is only the action callsite
+    private val stageScopes =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
     override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
       val m = ev.stageInfo.taskMetrics
       if (m != null) {
@@ -80,7 +85,12 @@ object ScaleBench {
           m.shuffleReadMetrics.localBytesRead + m.shuffleReadMetrics.remoteBytesRead)
         spill.addAndGet(m.diskBytesSpilled)
       }
+      val scopes = ev.stageInfo.rddInfos.flatMap(_.scope).map(_.name).distinct
+      stageScopes.put(ev.stageInfo.stageId,
+        if (scopes.nonEmpty) scopes.mkString("·") else ev.stageInfo.name)
     }
+    def stageDesc(id: Int): String =
+      Option(stageScopes.get(id)).getOrElse(s"stage $id")
     override def onTaskEnd(ev: SparkListenerTaskEnd): Unit =
       if (ev.taskInfo != null) taskMs.add((ev.stageId, ev.taskInfo.duration))
     def snapshot(): Array[Long] = {
@@ -106,9 +116,27 @@ object ScaleBench {
         d.last.toDouble / math.max(1L, d(d.length / 2))
     }.foldLeft(1.0)(math.max)
 
+  /** [[stageSkew]] plus the attribution the bare ratio lacks: the worst
+    * stage's scope chain, task count, and max/med task ms. */
+  private def stageSkewDetail(tasks: Array[(Int, Long)],
+      desc: Int => String, minTasks: Int = 8): (Double, String) = {
+    val per = tasks.groupBy(_._1).toSeq.collect {
+      case (sid, ts) if ts.length >= minTasks =>
+        val d = ts.map(_._2).sorted
+        (sid, d.last, math.max(1L, d(d.length / 2)), ts.length)
+    }
+    if (per.isEmpty) (1.0, "")
+    else {
+      val (sid, mx, md, n) = per.maxBy(p => p._2.toDouble / p._3)
+      (math.max(1.0, mx.toDouble / md),
+        s"${desc(sid).take(90)} [$n tasks, $mx/$md ms]")
+    }
+  }
+
   private case class Row(op: String, scale: Int, rows: Long, sec: Double,
       shufWriteMB: Double, shufReadMB: Double, spillMB: Double,
-      maxTaskMs: Long = 0L, medTaskMs: Long = 0L, stageSkew: Double = 1.0)
+      maxTaskMs: Long = 0L, medTaskMs: Long = 0L, stageSkew: Double = 1.0,
+      worstStage: String = "")
 
   /** Copy i of the corpus: ids offset by i·10⁷, every token suffixed
     * `_s<i>` (disjoint vocabulary across copies — see object doc). */
@@ -205,8 +233,20 @@ object ScaleBench {
       /** Time `build`, write its frame to parquet (the sink is part of the
         * op's honest cost), report rows from an untimed read-back. Task
         * wall-time max/median over the op's jobs ride along — the
-        * straggler ratio the skew scenario exists to bound. */
-      def measure(op: String, out: String)(build: => DataFrame): Unit = {
+        * straggler ratio the skew scenario exists to bound.
+        *
+        * `warmReps > 0` re-runs the op that many times with its internal
+        * persists already materialized (CacheManager dedupes by
+        * canonicalized plan, so rep 2+ reuses rep 1's cache entries) and
+        * takes `stage_skew` as the MEDIAN over the warm reps, attributed
+        * to the worst stage's scope chain. Cache-FILL stages — whose task
+        * mix is bimodal by construction (32 partition-build tasks, a few
+        * slow) — simply do not re-run warm, so they can no longer
+        * masquerade as hot-key stragglers; what remains is the op's real
+        * dataflow, the stages the salting/cap defenses must bound.
+        * `sec` stays the COLD first run (comparable across rounds). */
+      def measure(op: String, out: String, warmReps: Int = 0)
+          (build: => DataFrame): Unit = {
         spark.catalog.clearCache()
         val s0 = metrics.snapshot()
         metrics.drainTaskMs() // discard tasks from prep/previous op
@@ -218,16 +258,27 @@ object ScaleBench {
         val tasks = staged.map(_._2).sorted
         val (maxT, medT) =
           if (tasks.isEmpty) (0L, 0L) else (tasks.last, tasks(tasks.length / 2))
-        val skew = stageSkew(staged)
+        var skew = stageSkew(staged)
+        var worst = ""
+        if (warmReps > 0) {
+          val details = (1 to warmReps).map { _ =>
+            build.write.mode("overwrite").parquet(out)
+            metrics.snapshot() // settle the listener bus
+            stageSkewDetail(metrics.drainTaskMs(), metrics.stageDesc)
+          }
+          val med = details.sortBy(_._1).apply(details.length / 2)
+          skew = med._1; worst = med._2
+        }
         val rows = spark.read.parquet(out).count()
         def mb(i: Int) = (s1(i) - s0(i)) / 1e6
-        val r = Row(op, scale, rows, sec, mb(0), mb(1), mb(2), maxT, medT, skew)
+        val r = Row(op, scale, rows, sec, mb(0), mb(1), mb(2), maxT, medT,
+          skew, worst)
         results += r
         println(f"""{"op":"${r.op}","scale":${r.scale},"rows":${r.rows},""" +
           f""""sec":${r.sec}%.2f,"shuffle_write_mb":${r.shufWriteMB}%.1f,""" +
           f""""shuffle_read_mb":${r.shufReadMB}%.1f,"spill_mb":${r.spillMB}%.1f,""" +
           f""""max_task_ms":${r.maxTaskMs},"med_task_ms":${r.medTaskMs},""" +
-          f""""stage_skew":${r.stageSkew}%.1f}""")
+          f""""stage_skew":${r.stageSkew}%.1f,"worst_stage":"${r.worstStage}"}""")
       }
 
       measure("exact_dedup", s"$scaleDir/out_exact") {
@@ -466,22 +517,22 @@ object ScaleBench {
       def skewSourced: DataFrame = skewed.select(col("doc_id"), col("source"),
         TF.tokenCount(col("text")).cast("long").as("n_tokens"))
 
-      measure("skew_source_cap", s"$scaleDir/out_sk_cap") {
+      measure("skew_source_cap", s"$scaleDir/out_sk_cap", warmReps = 3) {
         Sampling.capPerGroup(skewed.select("doc_id", "source"),
           "source", "doc_id", maxPerGroup = 1000)
       }
-      measure("skew_token_budget", s"$scaleDir/out_sk_budget") {
+      measure("skew_token_budget", s"$scaleDir/out_sk_budget", warmReps = 3) {
         Sampling.tokenBudget(skewSourced, "source", "doc_id", "n_tokens",
           Map("dom0" -> 100000L), defaultBudget = 50000L)
       }
-      measure("skew_minhash_pairs", s"$scaleDir/out_sk_minhash") {
+      measure("skew_minhash_pairs", s"$scaleDir/out_sk_minhash", warmReps = 3) {
         Dedup.minhashNearDupPairs(skewed, "doc_id", "text",
           k = 64, bands = 16, minJaccard = 0.8)
       }
-      measure("skew_simhash_pairs", s"$scaleDir/out_sk_simhash") {
+      measure("skew_simhash_pairs", s"$scaleDir/out_sk_simhash", warmReps = 3) {
         Dedup.simhashNearDupPairs(skewed, "doc_id", "text", maxHamming = 3)
       }
-      measure("skew_ngram_jaccard", s"$scaleDir/out_sk_jaccard") {
+      measure("skew_ngram_jaccard", s"$scaleDir/out_sk_jaccard", warmReps = 3) {
         // default caps on purpose: maxDocFreq=1000 admits up to 500k pairs
         // from ONE shingle — a 192× straggler before the triangle-salted
         // hot-key branch existed — so this row measures the salting's
@@ -494,7 +545,7 @@ object ScaleBench {
       // linearly with the corpus — the hot-line regime the count-only
       // aggregate exists for (no posting list materializes; the frequent
       // set is tiny however hot the line is)
-      measure("skew_drop_lines", s"$scaleDir/out_sk_droplines") {
+      measure("skew_drop_lines", s"$scaleDir/out_sk_droplines", warmReps = 3) {
         Dedup.dropFrequentLines(
           skewed.select(col("doc_id"),
             when(col("source") === "dom0",
@@ -503,10 +554,10 @@ object ScaleBench {
               .otherwise(col("text")).as("text")),
           "doc_id", "text", minDocFreq = 1000L)
       }
-      measure("skew_salted_agg", s"$scaleDir/out_sk_sagg") {
+      measure("skew_salted_agg", s"$scaleDir/out_sk_sagg", warmReps = 3) {
         SkewOps.saltedSum(skewSourced, Seq("source"), "n_tokens", saltFactor = 32)
       }
-      measure("skew_salted_join", s"$scaleDir/out_sk_sjoin") {
+      measure("skew_salted_join", s"$scaleDir/out_sk_sjoin", warmReps = 3) {
         SkewOps.saltedJoin(skewSourced,
           skewSourced.select("source").distinct()
             .withColumn("domain_weight", lit(1.0)),
@@ -546,9 +597,9 @@ object ScaleBench {
         " | " + scales.sliding(2).filter(_.size == 2)
           .map(p => s"w→${p(1) / p(0)}×").mkString(" | ") +
         " | out rows @" + scales.last + "× | shuffle w+r MB @" + scales.last + "×" +
-        (if (withTasks) " | max/med task @" + scales.last + "× | stage skew @" + scales.last + "×"
+        (if (withTasks) " | max/med task @" + scales.last + "× | stage skew (warm med-of-3) @" + scales.last + "× | worst warm stage @" + scales.last + "×"
          else " | spill MB") + " |\n")
-      sb ++= "|---" * (scales.size + (scales.size - 1) + 4 + (if (withTasks) 1 else 0)) + "|\n"
+      sb ++= "|---" * (scales.size + (scales.size - 1) + 4 + (if (withTasks) 2 else 0)) + "|\n"
       ops.foreach { op =>
         val rs = byOp(op).sortBy(_.scale)
         val times = rs.map(r => f"${r.sec}%.1f")
@@ -561,7 +612,8 @@ object ScaleBench {
           if (withTasks)
             f"${last.maxTaskMs}%,d/${last.medTaskMs}%,d ms = " +
               f"${last.maxTaskMs.toDouble / math.max(1L, last.medTaskMs)}%.1f×" +
-              f" | ${last.stageSkew}%.1f×"
+              f" | ${last.stageSkew}%.1f×" +
+              s" | ${if (last.worstStage.isEmpty) "—" else last.worstStage}"
           else f"${last.spillMB}%.0f"
         sb ++= (s"| $op | " + times.mkString(" | ") + " | " +
           ratios.mkString(" | ") +
@@ -589,10 +641,24 @@ object ScaleBench {
       "exist to bound. Low stage skew with a high max/med means the " +
       "heavy stage is internally balanced and simply needs the width it " +
       "was given (jaccardPairs sizes that width from predicted pair " +
-      "volume).\n\n"
+      "volume).\n\nMeasurement: stage skew is the MEDIAN over 3 warm " +
+      "re-runs of the op (internal persists already materialized — " +
+      "CacheManager reuses rep 1's entries), attributed to the worst " +
+      "stage's operator-scope chain in the last column. Warm reps " +
+      "exclude cache-FILL stages by construction: a fill's task mix is " +
+      "bimodal (most partitions build fast, a few slow), which a " +
+      "single cold run misreads as a hot-key straggler — the round-8 " +
+      "table published 36.3×/24.5× on the minhash/simhash rows from " +
+      "exactly that artifact. A warm ratio ≥ 8× whose worst stage is a " +
+      "pair-generating Exchange/join IS a real straggler (the salting " +
+      "defense is mis-defaulted); a warm ratio near 1× adjudicates the " +
+      "cold flag as cache-fill noise. The cold first run still provides " +
+      "`sec` (comparable across rounds) and the max/med column.\n\n"
     opTable(skewOps, withTasks = true)
-    sb ++= "\nAll measurements single-run on a shared box (±30% load " +
-      "noise on absolute seconds; the RATIOS are the signal). A `w→` " +
+    sb ++= "\nTimings single-run on a shared box (±30% load " +
+      "noise on absolute seconds; the RATIOS are the signal — and the " +
+      "skew table's stage-skew column is a median of 3 warm re-runs). " +
+      "A `w→` " +
       "near or below 1.0 across both steps means the operator's cost " +
       "is O(n) in corpus size over the measured range — no quadratic " +
       "blow-up is hiding in candidate generation, window ranking, " +
