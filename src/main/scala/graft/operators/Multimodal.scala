@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
   * with typed metadata, processed by per-partition batch functions.
   *
   * The Spark-side plumbing here is real — schemas, partition-batch
-  * iteration, explode of frame samples — and ONE codec is real too:
-  * binary PPM (`image/ppm`, [[decodePpm]]) decodes with pure byte
-  * arithmetic, no library. Every other kind falls to the clearly-marked
-  * STUB (this environment ships no compressed-image/audio codecs); a
+  * iteration, explode of frame samples — and THREE codecs are real too:
+  * binary PPM (`image/ppm`, [[decodePpm]]), PNG (`image/png`,
+  * [[decodePng]] — full 8-bit color-type matrix, all five scanline
+  * filters, `java.util.zip.Inflater` for the DEFLATE stream), and PCM
+  * WAV (`audio/wav`, [[decodeWav]]), all pure JVM byte arithmetic, no
+  * library. Remaining compressed kinds (JPEG/MP3/…) fall to the
+  * clearly-marked STUB (this environment ships no such codecs); a
   * production deployment swaps `stubDecode` for a JNI/javacv call and
   * nothing else changes. In PySpark the same shape is `mapInPandas` with
   * arrow batches; in Scala the analogue is a typed `mapPartitions`, which
@@ -191,6 +194,158 @@ object Multimodal {
     MediaFeatures(m.media_id, m.kind, b.length, sampleRate.toInt, nChannels, feats)
   }
 
+  /** REAL codec for the web's most common lossless image format: PNG,
+    * decoded with pure JVM byte arithmetic + `java.util.zip.Inflater` —
+    * no native or library dependency. Supports the full 8-bit-depth
+    * matrix (grayscale 0, RGB 2, palette 3, gray+alpha 4, RGBA 6) with
+    * all five scanline filters (None/Sub/Up/Average/Paeth) and per-chunk
+    * CRC verification. 16-bit depths and Adam7 interlacing are rejected,
+    * not misread; any malformed structure (bad magic, CRC mismatch,
+    * truncated IDAT, short pixel data) fails loudly — same contract as
+    * [[decodePpm]], and the feature layout is identical (channel means,
+    * aspect, 12-bin Rec.601 luminance histogram; alpha ignored), so PNG
+    * and PPM encodings of the same pixels produce the same features. */
+  def decodePng(m: Media): MediaFeatures = {
+    val b = m.bytes
+    require(b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G' && b(4) == '\r' && b(5) == '\n' &&
+      (b(6) & 0xff) == 0x1a && b(7) == '\n',
+      s"media ${m.media_id}: not a PNG payload")
+    def u32(p: Int): Long =
+      ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    var p = 8
+    var w = 0; var h = 0; var bitDepth = -1; var colorType = -1; var interlace = 0
+    var plte: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream(b.length)
+    var seenIend = false
+    while (!seenIend) {
+      require(p + 12 <= b.length,
+        s"media ${m.media_id}: truncated PNG — chunk header past end")
+      val len = u32(p)
+      // unsigned length must fit the remaining bytes BEFORE .toInt — the
+      // same hostile-size discipline as the WAV chunk walk
+      require(len <= b.length - p - 12,
+        s"media ${m.media_id}: malformed/truncated PNG — chunk claims $len bytes")
+      val n = len.toInt
+      val ctype = new String(b, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, p + 4, 4 + n)
+      require(crc.getValue == u32(p + 8 + n),
+        s"media ${m.media_id}: PNG chunk $ctype CRC mismatch")
+      ctype match {
+        case "IHDR" =>
+          require(n == 13, s"media ${m.media_id}: malformed PNG IHDR")
+          w = u32(p + 8).toInt; h = u32(p + 12).toInt
+          bitDepth = b(p + 16) & 0xff; colorType = b(p + 17) & 0xff
+          interlace = b(p + 20) & 0xff
+        case "PLTE" => plte = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + n)
+        case "IDAT" => idat.write(b, p + 8, n)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks (tEXt, gAMA, …) don't affect pixels
+      }
+      p += 12 + n
+    }
+    require(w > 0 && h > 0, s"media ${m.media_id}: degenerate PNG dims ${w}x$h")
+    require(bitDepth == 8,
+      s"media ${m.media_id}: $bitDepth-bit PNG unsupported (8-bit only)")
+    require(interlace == 0,
+      s"media ${m.media_id}: interlaced (Adam7) PNG unsupported")
+    val channels = colorType match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // RGB
+      case 3 => 1 // palette index
+      case 4 => 2 // gray + alpha
+      case 6 => 4 // RGBA
+      case ct => throw new IllegalArgumentException(
+        s"media ${m.media_id}: PNG color type $ct unsupported")
+    }
+    if (colorType == 3)
+      require(plte != null && plte.length >= 3 && plte.length % 3 == 0,
+        s"media ${m.media_id}: palette PNG missing/malformed PLTE")
+    val stride = w.toLong * channels
+    require((stride + 1) * h <= Int.MaxValue - 8,
+      s"media ${m.media_id}: PNG too large to decode in one buffer (${w}x$h)")
+    // inflate the filtered scanlines: h rows of (1 filter byte + stride)
+    val raw = new Array[Byte](((stride + 1) * h).toInt)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inf.finished()) {
+        val k = inf.inflate(raw, off, raw.length - off)
+        require(k > 0 || !inf.needsInput(),
+          s"media ${m.media_id}: truncated PNG IDAT stream")
+        off += k
+      }
+    } finally inf.end()
+    require(off == raw.length,
+      s"media ${m.media_id}: PNG pixel data short — $off of ${raw.length} bytes")
+    // unfilter in place into `img` (filter bytes dropped)
+    val rowBytes = stride.toInt
+    val img = new Array[Byte](rowBytes * h)
+    val bpp = channels
+    var y = 0
+    while (y < h) {
+      val src = y * (rowBytes + 1)
+      val ft = raw(src) & 0xff
+      val cur = y * rowBytes
+      val up = cur - rowBytes
+      var x = 0
+      while (x < rowBytes) {
+        val rv = raw(src + 1 + x) & 0xff
+        val a = if (x >= bpp) img(cur + x - bpp) & 0xff else 0      // left
+        val bb = if (y > 0) img(up + x) & 0xff else 0               // above
+        val c = if (y > 0 && x >= bpp) img(up + x - bpp) & 0xff else 0 // up-left
+        val out = ft match {
+          case 0 => rv
+          case 1 => rv + a
+          case 2 => rv + bb
+          case 3 => rv + ((a + bb) >> 1)
+          case 4 =>
+            val pp = a + bb - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - bb); val pc = math.abs(pp - c)
+            rv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c)
+          case other => throw new IllegalArgumentException(
+            s"media ${m.media_id}: PNG filter type $other invalid")
+        }
+        img(cur + x) = out.toByte
+        x += 1
+      }
+      y += 1
+    }
+    // feature pass — identical layout to decodePpm (maxv = 255)
+    var sr = 0L; var sg = 0L; var sb2 = 0L
+    val hist = new Array[Long](12)
+    val nPix = w.toLong * h
+    var pi = 0L
+    while (pi < nPix) {
+      val at = (pi * channels).toInt
+      var r = 0; var g = 0; var bl = 0
+      colorType match {
+        case 0 | 4 => val v = img(at) & 0xff; r = v; g = v; bl = v
+        case 2 | 6 => r = img(at) & 0xff; g = img(at + 1) & 0xff; bl = img(at + 2) & 0xff
+        case 3 =>
+          val idx = (img(at) & 0xff) * 3
+          require(idx + 2 < plte.length,
+            s"media ${m.media_id}: PNG palette index out of range")
+          r = plte(idx) & 0xff; g = plte(idx + 1) & 0xff; bl = plte(idx + 2) & 0xff
+      }
+      sr += r; sg += g; sb2 += bl
+      val lum = (r * 299 + g * 587 + bl * 114) / 1000
+      hist((lum * 12) / 256) += 1
+      pi += 1
+    }
+    val feats = new Array[Float](16)
+    feats(0) = (sr.toDouble / nPix / 255).toFloat
+    feats(1) = (sg.toDouble / nPix / 255).toFloat
+    feats(2) = (sb2.toDouble / nPix / 255).toFloat
+    feats(3) = w.toFloat / h
+    var k = 0
+    while (k < 12) { feats(4 + k) = (hist(k).toDouble / nPix).toFloat; k += 1 }
+    MediaFeatures(m.media_id, m.kind, b.length, w, h, feats)
+  }
+
   /** RIFF chunk walk shared by [[decodeWav]] and [[resampleWav]]: chunks
     * are (4-byte id, 4-byte LE size, payload, pad to even). The declared
     * size is UNSIGNED 32-bit; a size that doesn't fit in the remaining
@@ -221,8 +376,9 @@ object Multimodal {
   /** Decode/feature-extract a media dataset. Per-partition batching: the
     * codec is "opened" once per partition — the real-codec cost model
     * this plumbing exists for. Dispatch is by `kind`: `image/ppm` rows
-    * take the real [[decodePpm]] path, `audio/wav` the real
-    * [[decodeWav]]; everything else keeps the stub. */
+    * take the real [[decodePpm]] path, `image/png` the real
+    * [[decodePng]], `audio/wav` the real [[decodeWav]]; everything else
+    * keeps the stub. */
   def decodeFeatures(ds: Dataset[Media]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
@@ -230,6 +386,7 @@ object Multimodal {
       // not per row)
       rows.map {
         case m if m.kind == "image/ppm" => decodePpm(m)
+        case m if m.kind == "image/png" => decodePng(m)
         case m if m.kind == "audio/wav" => decodeWav(m)
         case m => stubDecode(m)
       }

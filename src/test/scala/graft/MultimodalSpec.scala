@@ -166,6 +166,96 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).bytes.toSeq == Seq[Byte](1, 2, 3))
   }
 
+  test("decodePng: all five scanline filters decode to exact pixels — PPM feature parity") {
+    // 4×5 RGB with varied rows so every filter's predictor is non-trivial;
+    // one row per filter type None/Sub/Up/Average/Paeth
+    val px = Array(
+      255, 0, 0,    0, 255, 0,    0, 0, 255,    255, 255, 255,
+      10, 20, 30,   40, 50, 60,   70, 80, 90,   100, 110, 120,
+      200, 100, 50, 25, 75, 225,  0, 0, 0,      128, 128, 128,
+      1, 2, 3,      254, 253, 252, 17, 34, 51,  68, 85, 102,
+      90, 180, 45,  45, 90, 180,  180, 45, 90,  9, 8, 7).map(_.toByte)
+    val png = Media(21L, "image/png", TestPng(4, 5, 2, px, filters = Seq(0, 1, 2, 3, 4)))
+    val out = Multimodal.decodeFeatures(Seq(png).toDS()).collect()(0)
+    assert(out.width == 4 && out.height == 5)
+    assert(out.n_bytes == png.bytes.length)
+    // identical pixels through the PPM decoder → identical features
+    val ppm = Multimodal.decodePpm(
+      Media(22L, "image/ppm", "P6\n4 5\n255\n".getBytes("US-ASCII") ++ px))
+    assert(out.features.toSeq == ppm.features.toSeq)
+    // same bytes under a stub kind would NOT produce these dims — dispatch is real
+    val asFake = Multimodal.decodeFeatures(
+      Seq(png.copy(kind = "image/x-unknown")).toDS()).collect()(0)
+    assert(asFake.width != out.width || asFake.features.toSeq != out.features.toSeq)
+  }
+
+  test("decodePng: color-type matrix — gray, palette, gray+alpha, RGBA resolve identically") {
+    val rgb = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 128, 128, 128).map(_.toByte)
+    val base = Multimodal.decodePng(Media(1L, "image/png", TestPng(2, 2, 2, rgb, Seq(1, 4))))
+    // RGBA: same pixels, alpha varies — alpha must be ignored
+    val rgba = Array(255, 0, 0, 0, 0, 255, 0, 64, 0, 0, 255, 128, 128, 128, 128, 255).map(_.toByte)
+    val a = Multimodal.decodePng(Media(2L, "image/png", TestPng(2, 2, 6, rgba, Seq(4, 3))))
+    assert(a.features.toSeq == base.features.toSeq)
+    // palette: indices resolve through PLTE to the same colors
+    val plte = Array(128, 128, 128, 255, 0, 0, 0, 255, 0, 0, 0, 255).map(_.toByte)
+    val idx = Array[Byte](1, 2, 3, 0)
+    val p = Multimodal.decodePng(Media(3L, "image/png", TestPng(2, 2, 3, idx, Seq(0), palette = plte)))
+    assert(p.features.toSeq == base.features.toSeq)
+    // grayscale and gray+alpha: r=g=b=v, same as an RGB expansion
+    val gray = Array(0, 85, 170, 255).map(_.toByte)
+    val grayRgb = gray.flatMap(v => Array(v, v, v))
+    val g = Multimodal.decodePng(Media(4L, "image/png", TestPng(2, 2, 0, gray, Seq(2))))
+    val gBase = Multimodal.decodePng(Media(5L, "image/png", TestPng(2, 2, 2, grayRgb, Seq(0))))
+    assert(g.features.toSeq == gBase.features.toSeq)
+    val grayA = Array(0, 200, 85, 10, 170, 99, 255, 0).map(_.toByte)
+    val ga = Multimodal.decodePng(Media(6L, "image/png", TestPng(2, 2, 4, grayA, Seq(1, 2))))
+    assert(ga.features.toSeq == gBase.features.toSeq)
+  }
+
+  test("decodePng: malformed payloads fail loudly, never fake features") {
+    def bad(bytes: Array[Byte]) = intercept[IllegalArgumentException] {
+      Multimodal.decodePng(Media(1L, "image/png", bytes))
+    }
+    val px = Array.fill(12)(7.toByte)
+    val valid = TestPng(2, 2, 2, px)
+    assert(bad("GIF89a not a png".getBytes("US-ASCII")).getMessage.contains("not a PNG"))
+    // corrupt one IDAT payload byte → chunk CRC must catch it
+    val idatAt = valid.indexOfSlice("IDAT".getBytes("US-ASCII"))
+    val corrupt = valid.clone()
+    corrupt(idatAt + 4) = (corrupt(idatAt + 4) ^ 0x55).toByte
+    assert(bad(corrupt).getMessage.contains("CRC mismatch"))
+    // 16-bit depth and Adam7 are rejected, not misread
+    assert(bad(TestPng(2, 2, 2, px, bitDepth = 16)) // IHDR claims 16-bit
+      .getMessage.contains("unsupported"))
+    assert(bad(TestPng(2, 2, 2, px, interlace = 1)).getMessage.contains("unsupported"))
+    // IHDR claims more rows than the IDAT stream carries → short pixel data
+    val shortPng = new java.io.ByteArrayOutputStream()
+    shortPng.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    TestPng.writeU32(ihdr, 2L); TestPng.writeU32(ihdr, 3L) // h=3, data has 2 rows
+    ihdr.write(8); ihdr.write(2); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    TestPng.chunk(shortPng, "IHDR", ihdr.toByteArray)
+    val validIdatLen = ((valid(idatAt - 4) & 0xff) << 24) | ((valid(idatAt - 3) & 0xff) << 16) |
+      ((valid(idatAt - 2) & 0xff) << 8) | (valid(idatAt - 1) & 0xff)
+    TestPng.chunk(shortPng, "IDAT",
+      java.util.Arrays.copyOfRange(valid, idatAt + 4, idatAt + 4 + validIdatLen))
+    TestPng.chunk(shortPng, "IEND", Array.emptyByteArray)
+    assert(bad(shortPng.toByteArray).getMessage.contains("short"))
+    // hostile unsigned chunk length ≥ 2^31: must fail the bounds check,
+    // not wrap negative through .toInt (same discipline as the WAV walk)
+    val hostile = new java.io.ByteArrayOutputStream()
+    hostile.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    TestPng.writeU32(hostile, 0xFFFFFFF8L)
+    hostile.write("IDAT".getBytes("US-ASCII"))
+    hostile.write(new Array[Byte](64))
+    assert(bad(hostile.toByteArray).getMessage.contains("claims"))
+    // palette index past PLTE end
+    val oob = TestPng(1, 1, 3, Array[Byte](5), palette = Array(1, 2, 3).map(_.toByte))
+    assert(bad(oob).getMessage.contains("palette index"))
+    // truncated mid-chunk
+    assert(bad(valid.dropRight(6)).getMessage.toLowerCase.contains("truncated"))
+  }
+
   test("frameSample: frames reassemble to the original payload") {
     val frames = Multimodal.frameSample(media.toDF(), frameBytes = 256)
       .orderBy("media_id", "frame_idx").collect()
