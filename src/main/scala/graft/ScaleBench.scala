@@ -247,6 +247,11 @@ object ScaleBench {
         * `sec` stays the COLD first run (comparable across rounds). */
       def measure(op: String, out: String, warmReps: Int = 0)
           (build: => DataFrame): Unit = {
+        // SPARK_GRAFT_OPS=<substring,substring,…> runs only matching rows
+        // (iteration aid, same contract as Bench's SPARK_GRAFT_ONLY);
+        // corpus materialization still happens per scale
+        val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+        if (only.exists(!_.exists(op.contains))) return
         spark.catalog.clearCache()
         val s0 = metrics.snapshot()
         metrics.drainTaskMs() // discard tasks from prep/previous op
