@@ -133,10 +133,24 @@ object ScaleBench {
     }
   }
 
+  /** The stage carrying the largest single task — the VOLUME attribution
+    * (which stage the op's wall-clock concentrates in when something runs
+    * at the wrong grain). No minimum task count: a heavy 2-task stage is
+    * exactly what this column exists to name. From the COLD run, where
+    * cache fills genuinely belong to the cost. */
+  private def heavyStageDetail(tasks: Array[(Int, Long)],
+      desc: Int => String): String =
+    if (tasks.isEmpty) ""
+    else {
+      val (sid, ts) = tasks.groupBy(_._1).maxBy(_._2.map(_._2).max)
+      val d = ts.map(_._2).sorted
+      s"${desc(sid).take(90)} [${ts.length} tasks, ${d.last}/${d(d.length / 2)} ms]"
+    }
+
   private case class Row(op: String, scale: Int, rows: Long, sec: Double,
       shufWriteMB: Double, shufReadMB: Double, spillMB: Double,
       maxTaskMs: Long = 0L, medTaskMs: Long = 0L, stageSkew: Double = 1.0,
-      worstStage: String = "")
+      worstStage: String = "", heavyStage: String = "")
 
   /** Copy i of the corpus: ids offset by i·10⁷, every token suffixed
     * `_s<i>` (disjoint vocabulary across copies — see object doc). */
@@ -277,13 +291,14 @@ object ScaleBench {
         val rows = spark.read.parquet(out).count()
         def mb(i: Int) = (s1(i) - s0(i)) / 1e6
         val r = Row(op, scale, rows, sec, mb(0), mb(1), mb(2), maxT, medT,
-          skew, worst)
+          skew, worst, heavyStageDetail(staged, metrics.stageDesc))
         results += r
         println(f"""{"op":"${r.op}","scale":${r.scale},"rows":${r.rows},""" +
           f""""sec":${r.sec}%.2f,"shuffle_write_mb":${r.shufWriteMB}%.1f,""" +
           f""""shuffle_read_mb":${r.shufReadMB}%.1f,"spill_mb":${r.spillMB}%.1f,""" +
           f""""max_task_ms":${r.maxTaskMs},"med_task_ms":${r.medTaskMs},""" +
-          f""""stage_skew":${r.stageSkew}%.1f,"worst_stage":"${r.worstStage}"}""")
+          f""""stage_skew":${r.stageSkew}%.1f,"worst_stage":"${r.worstStage}",""" +
+          f""""heavy_stage":"${r.heavyStage}"}""")
       }
 
       measure("exact_dedup", s"$scaleDir/out_exact") {
@@ -602,9 +617,9 @@ object ScaleBench {
         " | " + scales.sliding(2).filter(_.size == 2)
           .map(p => s"w→${p(1) / p(0)}×").mkString(" | ") +
         " | out rows @" + scales.last + "× | shuffle w+r MB @" + scales.last + "×" +
-        (if (withTasks) " | max/med task @" + scales.last + "× | stage skew (warm med-of-3) @" + scales.last + "× | worst warm stage @" + scales.last + "×"
+        (if (withTasks) " | max/med task @" + scales.last + "× | stage skew (warm med-of-3) @" + scales.last + "× | worst warm stage @" + scales.last + "× | heaviest cold stage @" + scales.last + "×"
          else " | spill MB") + " |\n")
-      sb ++= "|---" * (scales.size + (scales.size - 1) + 4 + (if (withTasks) 2 else 0)) + "|\n"
+      sb ++= "|---" * (scales.size + (scales.size - 1) + 4 + (if (withTasks) 3 else 0)) + "|\n"
       ops.foreach { op =>
         val rs = byOp(op).sortBy(_.scale)
         val times = rs.map(r => f"${r.sec}%.1f")
@@ -618,7 +633,8 @@ object ScaleBench {
             f"${last.maxTaskMs}%,d/${last.medTaskMs}%,d ms = " +
               f"${last.maxTaskMs.toDouble / math.max(1L, last.medTaskMs)}%.1f×" +
               f" | ${last.stageSkew}%.1f×" +
-              s" | ${if (last.worstStage.isEmpty) "—" else last.worstStage}"
+              s" | ${if (last.worstStage.isEmpty) "—" else last.worstStage}" +
+              s" | ${if (last.heavyStage.isEmpty) "—" else last.heavyStage}"
           else f"${last.spillMB}%.0f"
         sb ++= (s"| $op | " + times.mkString(" | ") + " | " +
           ratios.mkString(" | ") +

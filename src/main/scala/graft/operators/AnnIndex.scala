@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+
+import graft.functions.VectorFunctions
+
+/** Standing ANN index — the vector analogue of [[Search]]'s standing BM25
+  * index: the IVF-PQ models and the coded corpus persisted under one
+  * `indexDir` that a later session (or a streaming append loop) probes
+  * without retraining or recoding anything.
+  *
+  * Layout (all parquet, single-writer maintenance contract):
+  *
+  *   centroids/  (cid, centroid)          — the IVF coarse model,
+  *               `Similarity.saveCentroids` format; KB-scale at any corpus.
+  *   codebooks/  (block, cid, centroid)   — the PQ sub-codebooks; KB-scale.
+  *   lists/      (cid, vec_id, codes, embedding) — one row per indexed
+  *               vector, repartitioned BY LIST and sorted on (cid, vec_id):
+  *               a probe's pushed `cid IN (...)` filter skips whole
+  *               row groups, so probe IO follows the PROBED LISTS, not the
+  *               corpus (the postings/`term IN` design re-expressed for
+  *               vectors). Columnar pruning splits the two read paths for
+  *               free: the ADC scan reads (cid, vec_id, codes) — m bytes of
+  *               code per vector, never the floats — and the exact rerank
+  *               reads (cid, vec_id, embedding) for the same pruned lists
+  *               only. No second table, no duplicated storage.
+  *
+  * Append contract: new vectors are coded against the STANDING models —
+  * centroids and codebooks never change after build (the FAISS operating
+  * model: retrain = rebuild under a new indexDir). Appends therefore
+  * change no existing row and probes over build+appends are bit-identical
+  * to a fresh build over the union (AnnIndexSpec proves it). From a
+  * stream, use [[annIndexAppendIdempotent]] — a root batch marker makes
+  * replayed microbatches no-ops (`Search.bm25IndexAppendIdempotent`'s
+  * contract, same residual crash window as `Sinks.appendBatchIdempotent`).
+  * Appends accumulate files and erode the cid-sorted layout;
+  * [[annIndexMaintain]] folds them back past a file threshold.
+  */
+object AnnIndex {
+
+  /** Build the standing index at `indexDir` (overwrites): train the IVF
+    * centroids and PQ codebooks on `corpus` (or pass `trainOn` — at
+    * 100 TB, a sample: model quality saturates long before the corpus
+    * does), then code and store every corpus vector. */
+  def annBuildIndex(corpus: DataFrame, indexDir: String,
+      nLists: Int, m: Int, kc: Int = 16, iters: Int = 2,
+      trainOn: Option[DataFrame] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val train = trainOn.getOrElse(corpus)
+    val centroids = Similarity.trainCentroids(train, nLists, iters, idCol, vecCol)
+    val codebooks = Similarity.trainPqCodebooks(train, m, kc, iters, idCol, vecCol)
+    Similarity.saveCentroids(spark, centroids, s"$indexDir/centroids")
+    saveCodebooks(spark, codebooks, s"$indexDir/codebooks")
+    writeLists(corpus, indexDir, "overwrite", centroids, codebooks, idCol, vecCol)
+  }
+
+  /** Append a vector batch: coded against the standing models, no rewrite
+    * of existing rows. `newVecs` must be NEW vec ids (the signature-table
+    * maintenance pattern); from a stream use
+    * [[annIndexAppendIdempotent]]. */
+  def annIndexAppend(newVecs: DataFrame, indexDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newVecs.sparkSession
+    val centroids = Similarity.loadCentroids(spark, s"$indexDir/centroids")
+    val codebooks = loadCodebooks(spark, s"$indexDir/codebooks")
+    writeLists(newVecs, indexDir, "append", centroids, codebooks, idCol, vecCol)
+  }
+
+  /** At-most-once [[annIndexAppend]], gated on the root batch marker —
+    * a replayed microbatch id is skipped instead of double-indexing.
+    * Returns whether the batch was written. */
+  def annIndexAppendIdempotent(newVecs: DataFrame, indexDir: String,
+      batchId: Long, idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    val spark = newVecs.sparkSession
+    if (batchId <= graft.io.Sinks.lastCommittedBatch(spark, indexDir)) false
+    else {
+      annIndexAppend(newVecs, indexDir, idCol, vecCol)
+      graft.io.Sinks.recordCommittedBatch(spark, indexDir, batchId)
+      true
+    }
+  }
+
+  /** Top-`k` neighbors from the standing index. The query batch computes
+    * its probe lists and ADC tables with the loaded KB-scale models; the
+    * only index IO is two column-pruned scans of `lists/` carrying a
+    * pushed `cid IN (<probed>)` filter — codes for the ADC pass,
+    * embeddings for the exact rerank of the `rerankDepth` survivors.
+    * Results are BIT-IDENTICAL to `Similarity.ivfPqTopK` with the same
+    * models over the indexed vectors (same kernels, same tie order —
+    * AnnIndexSpec asserts equality), so the probe inherits its recall
+    * properties and oracle gates.
+    *
+    * The probed-cid collect is bounded by min(queries·nProbe, nLists)
+    * ints — the KB-scale model-class collect that turns list pruning into
+    * a PUSHED parquet filter. The probe regime is a query BATCH against a
+    * big standing corpus (the service shape); an all-corpus self-join
+    * belongs on `ivfPqTopK` over the raw table, where no pruning exists
+    * to exploit.
+    *
+    * Output: (query_id, rank, neighbor_id, cosine), rank ≤ k. */
+  def annIndexProbe(spark: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int, nProbe: Int, rerankDepth: Int = 100,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = Similarity.loadCentroids(spark, s"$indexDir/centroids")
+    val codebooks = loadCodebooks(spark, s"$indexDir/codebooks")
+    val nLists = centroids.length
+    require(nProbe > 0 && nProbe <= nLists, s"nProbe must be in [1, $nLists]: $nProbe")
+    require(k >= 1 && rerankDepth >= k, s"need rerankDepth >= k >= 1: $rerankDepth, $k")
+
+    val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = qRaw.select(col("query_id"),
+      explode(graft.expressions.NearestCentroid.nearestCentroidsTop(
+        col("qv"), centroids, nProbe)).as("cid"))
+    val probedCids = probes.select("cid").distinct().collect()
+      .map(r => Int.box(r.getInt(0)))
+    def prunedLists = spark.read.parquet(s"$indexDir/lists")
+      .filter(col("cid").isin(probedCids.toSeq: _*))
+
+    val qTables = queries.select(col(idCol).as("query_id"),
+      graft.expressions.PqAdcTable.pqAdcTable(col(vecCol), codebooks).as("qtable"))
+    val adcW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val shortlist = prunedLists
+      .select(col("cid"), col("vec_id").as("neighbor_id"), col("codes"))
+      .join(probes, Seq("cid"))
+      .join(qTables, Seq("query_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", graft.expressions.PqAdc.pqAdc(col("codes"), col("qtable")))
+      // narrow before the rank sort — the ivfPqTopK spill lesson
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
+      .withColumn("adc_rank", row_number().over(adcW))
+      .filter(col("adc_rank") <= rerankDepth)
+      .select("query_id", "neighbor_id")
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    shortlist
+      .join(prunedLists.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv")), Seq("neighbor_id"))
+      .join(qRaw, Seq("query_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Fold append debris: rewrite `lists/` back to cid-partitioned,
+    * (cid, vec_id)-sorted files, restoring the row-group skipping the
+    * probe's pushed filter relies on. Same two-rename swap window and
+    * single-owner contract as the BM25 compactor; probe results are
+    * unchanged (row ORDER is not part of any result — every output goes
+    * through rank windows with total tie orders). */
+  def annIndexCompact(spark: SparkSession, indexDir: String): Unit =
+    graft.io.Sinks.rewriteParquetInPlace(spark, s"$indexDir/lists")(df =>
+      df.repartition(col("cid")).sortWithinPartitions(col("cid"), col("vec_id")))
+
+  /** Threshold maintenance for an append loop: compact `lists/` past
+    * `maxFiles` parquet files. Returns whether a compaction ran. */
+  def annIndexMaintain(spark: SparkSession, indexDir: String,
+      maxFiles: Int = 64): Boolean = {
+    require(maxFiles > 0, s"maxFiles must be positive: $maxFiles")
+    val over = graft.io.Sinks.parquetFileCount(spark, s"$indexDir/lists") > maxFiles
+    if (over) annIndexCompact(spark, indexDir)
+    over
+  }
+
+  /** Persist PQ codebooks as (block, cid, centroid) — the sub-block
+    * analogue of `Similarity.saveCentroids`. */
+  def saveCodebooks(spark: SparkSession,
+      codebooks: Array[Array[Array[Double]]], path: String): Unit = {
+    val rows = for {
+      (book, b) <- codebooks.zipWithIndex
+      (c, j) <- book.zipWithIndex
+    } yield Row(b, j, c.toSeq)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("block", IntegerType, nullable = false),
+        StructField("cid", IntegerType, nullable = false),
+        StructField("centroid", ArrayType(DoubleType), nullable = false))))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveCodebooks]] model; (block, cid) must be the contiguous
+    * grid the trainer produced. */
+  def loadCodebooks(spark: SparkSession,
+      path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path).orderBy("block", "cid").collect()
+    val m = rows.map(_.getInt(0)).distinct.length
+    require(m > 0, s"empty codebook table at $path")
+    val kc = rows.length / m
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i / kc && r.getInt(1) == i % kc,
+        s"codebook table not a contiguous grid at (${r.getInt(0)}, ${r.getInt(1)})")
+    }
+    rows.map(_.getSeq[Double](2).toArray).grouped(kc).map(_.toArray).toArray
+  }
+
+  /** Code `vecs` with the given models and write/append the `lists/`
+    * rows: one coding pass (two literal-model argmin kernels, no
+    * shuffle), then the cid repartition that makes the sorted layout. */
+  private def writeLists(vecs: DataFrame, indexDir: String, mode: String,
+      centroids: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      idCol: String, vecCol: String): Unit = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    def nc(v: org.apache.spark.sql.Column, model: Array[Array[Double]]) =
+      graft.expressions.NearestCentroid.nearestCentroid(v, model)
+    vecs.select(
+      nc(col(vecCol), centroids).as("cid"),
+      col(idCol).as("vec_id"),
+      array((0 until m).map(b =>
+        nc(slice(col(vecCol), b * sub + 1, sub), codebooks(b))): _*).as("codes"),
+      col(vecCol).as("embedding"))
+      .repartition(col("cid"))
+      .sortWithinPartitions(col("cid"), col("vec_id"))
+      .write.mode(mode).parquet(s"$indexDir/lists")
+  }
+}

@@ -760,9 +760,12 @@ object Dedup {
     val pairInstances = dfs.filter(col("df") <= maxDocFreq)
       .agg(coalesce(sum(col("df") * (col("df") - lit(1))), lit(0L)))
       .head.getLong(0) / 2
-    val pairsPerTask = 4000000L
+    // grain is set by the pair CONSUMER (hash-agg + verify + sink, ~µs per
+    // instance), not the emit side — 4M-instance tasks measured ~20 s with
+    // GBs of agg hash spill on the skew corpus at 50×
+    val pairsPerTask = 1000000L
     val width = math.max(shufflePartitions(df),
-      math.min(8192L, pairInstances / pairsPerTask + 1).toInt)
+      math.min(16384L, pairInstances / pairsPerTask + 1).toInt)
 
     // in-group ordered pairs via self-equi-join on the shingle hash: both
     // sides are the identical sub-plan, so the shuffle happens once and the
@@ -772,10 +775,20 @@ object Dedup {
     // that AQE can't split).
     val kept = postings.join(broadcast(stopShingles), Seq("sh"), "left_anti")
 
+    // The aggregate's own exchange would run at the SESSION width whatever
+    // `width` says (EnsureRequirements plans conf partitions; AQE only
+    // coalesces) — measured at skew 50× as the whole-op hot spot: the
+    // ~135M-instance pair stream funneled into 32 perfectly-balanced
+    // ~20 s tasks (final agg + verify joins + sink in one stage) with
+    // 2.2 GB of hash-agg spill. Repartitioning ON the group keys at the
+    // predicted-volume width replaces that exchange (the distribution
+    // satisfies the agg, so no second shuffle) and bounds each task's
+    // hash table at ~pairsPerTask entries — flat grain at any scale.
     val shared = saltedSelfPairs(
       kept.select(col("sh").as("key"), col("doc_id").as("id")),
       dfs.filter(col("df") <= maxDocFreq).select(col("sh").as("key"), col("df").as("n")),
       saltDocFreq, width)
+      .repartition(width, col("id_a"), col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
 

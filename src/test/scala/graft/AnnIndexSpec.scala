@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnIndex, Similarity}
+
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select($"vec_id", $"embedding")
+  private def queries = emb.filter($"vec_id" < 5)
+
+  private def probeVsFresh(dir: String, corpus: org.apache.spark.sql.DataFrame): Unit = {
+    val centroids = Similarity.loadCentroids(spark, s"$dir/centroids")
+    val codebooks = AnnIndex.loadCodebooks(spark, s"$dir/codebooks")
+    val fresh = Similarity.ivfPqTopK(queries, corpus, k = 5, centroids, codebooks,
+      nProbe = 2, rerankDepth = 10, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2))
+    val probe = AnnIndex.annIndexProbe(spark, dir, queries, k = 5,
+      nProbe = 2, rerankDepth = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2))
+    // BIT-identical, cosines included: same kernels, same models, same ties
+    assert(probe.toSeq == fresh.toSeq,
+      s"index probe diverged from the model-taking search:\n$probe\nvs\n$fresh")
+    assert(probe.nonEmpty)
+  }
+
+  test("standing ANN index: build+append probe is bit-identical to ivfPqTopK over the union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    // two-step construction: appended vectors are coded against the
+    // STANDING models, so the index must equal a fresh build over the union
+    AnnIndex.annBuildIndex(emb.filter($"vec_id" % 3 =!= 2), dir,
+      nLists = 4, m = 8, kc = 8, iters = 2)
+    AnnIndex.annIndexAppend(emb.filter($"vec_id" % 3 === 2), dir)
+    assert(spark.read.parquet(s"$dir/lists").count() == emb.count())
+    probeVsFresh(dir, emb)
+  }
+
+  test("standing ANN index: probe plan pushes the cid filter; ADC scan never reads embeddings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_plan").toString
+    AnnIndex.annBuildIndex(emb, dir, nLists = 4, m = 8, kc = 8)
+    val probe = AnnIndex.annIndexProbe(spark, dir, queries, k = 3, nProbe = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    // probe IO follows the probed lists: the cid IN filter reaches parquet
+    assert(plan.contains("PushedFilters: [In(cid"),
+      s"cid filter not pushed to the lists scan:\n$plan")
+    // the ADC pass reads codes, not floats: some lists scan omits embedding
+    val schemas = "ReadSchema: [^\\n]+".r.findAllIn(plan).toSeq
+      .filter(_.contains("codes"))
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("embedding")),
+      s"ADC scan reads the embedding column:\n$plan")
+  }
+
+  test("standing ANN index: replayed append batch is skipped, results unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_rp").toString
+    AnnIndex.annBuildIndex(emb.filter($"vec_id" % 3 =!= 2), dir,
+      nLists = 4, m = 8, kc = 8)
+    val batch = emb.filter($"vec_id" % 3 === 2)
+    assert(AnnIndex.annIndexAppendIdempotent(batch, dir, batchId = 0L))
+    val once = AnnIndex.annIndexProbe(spark, dir, queries, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // the replay: same batch, same id — must be a no-op
+    assert(!AnnIndex.annIndexAppendIdempotent(batch, dir, batchId = 0L))
+    assert(spark.read.parquet(s"$dir/lists").count() == emb.count(),
+      "replayed batch double-indexed")
+    val again = AnnIndex.annIndexProbe(spark, dir, queries, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(again == once, "replayed batch changed probe results")
+  }
+
+  test("standing ANN index: maintained append loop bounds files, compaction is invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_cp").toString
+    AnnIndex.annBuildIndex(emb.filter($"vec_id" < 8), dir, nLists = 4, m = 8, kc = 8)
+    for (b <- 0 until 8) {
+      assert(AnnIndex.annIndexAppendIdempotent(
+        emb.filter($"vec_id" >= 8 + b * 4 && $"vec_id" < 12 + b * 4), dir, b.toLong))
+      AnnIndex.annIndexMaintain(spark, dir, maxFiles = 6)
+    }
+    val n = graft.io.Sinks.parquetFileCount(spark, s"$dir/lists")
+    assert(n <= 6 + 8, s"lists grew unbounded: $n files") // threshold + one burst
+    probeVsFresh(dir, emb.filter($"vec_id" < 40)) // = the indexed subset
+    val before = AnnIndex.annIndexProbe(spark, dir, queries, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    AnnIndex.annIndexCompact(spark, dir)
+    val after = AnnIndex.annIndexProbe(spark, dir, queries, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(after == before, "compaction changed probe results")
+  }
+
+  test("codebook save/load round-trips the grid exactly") {
+    val books = Array(
+      Array(Array(1.0, 2.0), Array(3.0, 4.0)),
+      Array(Array(5.0, 6.0), Array(7.0, 8.0)),
+      Array(Array(9.0, 0.5), Array(0.25, 0.125)))
+    val p = java.nio.file.Files.createTempDirectory("graft_cb").toString + "/cb"
+    AnnIndex.saveCodebooks(spark, books, p)
+    val loaded = AnnIndex.loadCodebooks(spark, p)
+    assert(loaded.map(_.map(_.toSeq).toSeq).toSeq == books.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+}
