@@ -19,7 +19,16 @@ object PipelineQueries {
 
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    // ts contract downstream: epoch NANOS as Long. parquet timestamp[ns]
+    // arrives that way via nanosAsLong; timestamp[us]/[ms] arrive as a
+    // timestamp type — normalize through µs in the UTC session (DuckDB
+    // reads the same naive instants, so oracles agree either way).
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ => raw.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
   }
 
   /** GVF-shaped rows from events: ~10% lack an rsid, ~1/3 lack a variant

@@ -28,7 +28,14 @@ object RelationalQueries {
 
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
+    val raw = t(s, dir, "events")
+    // ts contract downstream: epoch NANOS as Long (see PipelineQueries
+    // .events — same normalization, same UTC-session oracle agreement)
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ => raw.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
   }
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
