@@ -263,6 +263,42 @@ object Main {
       println(s"compacted index: $idx")
       spark.stop()
 
+    // standing ANN index lifecycle — the vector analogue of index-*:
+    //   graft.Main ann-build   <embeddingsParquetDir> <indexDir> <nLists> <m>
+    //   graft.Main ann-append  <embeddingsParquetDir> <indexDir>
+    //   graft.Main ann-probe   <indexDir> <queriesParquetDir> <k> [nProbe]
+    //   graft.Main ann-compact <indexDir>
+    case "ann-build" :: vecs :: idx :: nl :: m :: Nil
+        if nl.toIntOption.exists(_ > 0) && m.toIntOption.exists(_ > 0) =>
+      val spark = session("graft-ann-build")
+      graft.operators.AnnIndex.annBuildIndex(
+        spark.read.parquet(vecs), idx, nLists = nl.toInt, m = m.toInt)
+      println(s"ann-indexed: $vecs -> $idx")
+      spark.stop()
+
+    case "ann-append" :: vecs :: idx :: Nil =>
+      val spark = session("graft-ann-append")
+      graft.operators.AnnIndex.annIndexAppend(spark.read.parquet(vecs), idx)
+      println(s"ann-appended: $vecs -> $idx")
+      spark.stop()
+
+    case "ann-probe" :: idx :: queries :: k :: rest
+        if rest.length <= 1 && k.toIntOption.exists(_ > 0) &&
+          rest.headOption.forall(_.toIntOption.exists(_ > 0)) =>
+      val spark = session("graft-ann-probe")
+      graft.operators.AnnIndex.annIndexProbe(spark, idx,
+          spark.read.parquet(queries), k.toInt,
+          nProbe = rest.headOption.map(_.toInt).getOrElse(8))
+        .collect()
+        .foreach(r => println(s"${r.getLong(0)}\t${r.getInt(1)}\t${r.getLong(2)}\t${r.getDouble(3)}"))
+      spark.stop()
+
+    case "ann-compact" :: idx :: Nil =>
+      val spark = session("graft-ann-compact")
+      graft.operators.AnnIndex.annIndexCompact(spark, idx)
+      println(s"compacted ann index: $idx")
+      spark.stop()
+
     // small-file maintenance: rewrite a parquet dir to a byte budget
     //   graft.Main compact <parquetDir> [targetFileMB]
     case "compact" :: dir :: rest if rest.length <= 1 &&
@@ -324,6 +360,10 @@ object Main {
            |  graft.Main index-append <documentsParquetDir> <indexDir>
            |  graft.Main index-probe  <indexDir> <k> <term> [term...]
            |  graft.Main index-compact <indexDir>
+           |  graft.Main ann-build <embeddingsParquetDir> <indexDir> <nLists> <m>
+           |  graft.Main ann-append <embeddingsParquetDir> <indexDir>
+           |  graft.Main ann-probe <indexDir> <queriesParquetDir> <k> [nProbe]
+           |  graft.Main ann-compact <indexDir>
            |  graft.Main compact  <parquetDir> [targetFileMB]
            |  graft.Main run      <config.properties> [<gvf|url> <gtf|url>]""".stripMargin)
       sys.exit(2)

@@ -490,6 +490,27 @@ object ScaleBench {
           codebooks, nProbe = 2, rerankDepth = 20)
       }
 
+      // standing ANN index: the vector analogue of bm25_index_probe. Build
+      // + append are untimed prep (the index is the persisted artifact a
+      // vector-search service maintains; nLists ∝ corpus keeps list size
+      // constant — you size nLists at BUILD time from the expected corpus,
+      // the FAISS operating model). The timed probe carries a FIXED
+      // 20-query batch at fixed nProbe, so the pushed `cid IN (...)`
+      // filter reads a constant number of constant-size lists — probe
+      // time must stay ~flat while the indexed corpus grows.
+      val annDir = s"$scaleDir/annidx"
+      graft.operators.AnnIndex.annBuildIndex(
+        embCorpus.filter(col("vec_id") % 3 =!= 2), annDir,
+        nLists = 16 * scale, m = 8, kc = 16, iters = 1,
+        trainOn = Some(trainSet))
+      graft.operators.AnnIndex.annIndexAppend(
+        embCorpus.filter(col("vec_id") % 3 === 2), annDir)
+      measure("ann_index_probe", s"$scaleDir/out_annprobe") {
+        graft.operators.AnnIndex.annIndexProbe(spark, annDir,
+          embCorpus.filter(col("vec_id") < 20), k = 10, nProbe = 4,
+          rerankDepth = 100)
+      }
+
       // compaction: untimed prep scatters the corpus into per-scale-growing
       // small files; the timed region is the layout-preserving rewrite
       val smallDir = s"$scaleDir/small_files"
@@ -734,7 +755,13 @@ object ScaleBench {
       "index that grew with the corpus (built+appended untimed) with a " +
       "FIXED query vocabulary: probe time stays ~flat — its IO follows " +
       "the query's terms (pushed `term IN` over term-sorted postings), " +
-      "not the corpus.\n"
+      "not the corpus. ann_index_probe is the vector twin: a standing " +
+      "IVF-PQ index (built+appended untimed, nLists ∝ corpus so list " +
+      "size is constant — sized at build time from the expected corpus) " +
+      "probed by a fixed 20-query batch at fixed nProbe; its IO is two " +
+      "column-pruned scans of the cid-sorted lists/ table behind a " +
+      "pushed `cid IN (...)` filter — codes for the ADC pass, " +
+      "embeddings for the rerank — so probe time stays ~flat too.\n"
     Files.write(Paths.get(mdOut), sb.toString.getBytes("UTF-8"))
   }
 }

@@ -21,6 +21,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_check_ann_recall", "q_check_ann_ivf_recall",
     "q_embed_pq", "q_check_pq_recall", // ADC: codes × broadcast query tables
     "q_check_ivfpq_recall", // brute-force arm of the recall gate
+    "q_check_ann_index", // brute-force arm of the standing-index gate
     // IVF probe-list derivation: queries × the KB-scale broadcast centroid
     // table (nLists rows — the build side is model-sized, never data-sized);
     // the corpus itself only ever rides cid/query_id EQUI-joins
