@@ -263,6 +263,15 @@ object Main {
       println(s"compacted index: $idx")
       spark.stop()
 
+    //   graft.Main index-delete <indexDir> <id1,id2,...>
+    case "index-delete" :: idx :: idCsv :: Nil =>
+      val spark = session("graft-index-delete")
+      import spark.implicits._
+      val n = graft.operators.Search.bm25IndexDelete(spark, idx,
+        idCsv.split(",").map(_.trim.toLong).toSeq.toDF("doc_id"))
+      println(s"retracted $n doc(s) from $idx")
+      spark.stop()
+
     // standing ANN index lifecycle — the vector analogue of index-*:
     //   graft.Main ann-build   <embeddingsParquetDir> <indexDir> <nLists> <m>
     //   graft.Main ann-append  <embeddingsParquetDir> <indexDir>
@@ -297,6 +306,27 @@ object Main {
       val spark = session("graft-ann-compact")
       graft.operators.AnnIndex.annIndexCompact(spark, idx)
       println(s"compacted ann index: $idx")
+      spark.stop()
+
+    //   graft.Main ann-delete <indexDir> <id1,id2,...>
+    case "ann-delete" :: idx :: idCsv :: Nil =>
+      val spark = session("graft-ann-delete")
+      import spark.implicits._
+      val n = graft.operators.AnnIndex.annIndexDelete(spark, idx,
+        idCsv.split(",").map(_.trim.toLong).toSeq.toDF("vec_id"))
+      println(s"retracted $n vector(s) from $idx")
+      spark.stop()
+
+    // full-corpus takedown across every standing artifact the streaming
+    // sinks maintain (corpus, signatures, buckets, optional BM25 index):
+    //   graft.Main delete <corpusDir> <sigDir> <id1,id2,...> [bm25IndexDir]
+    case "delete" :: corpusDir :: sigDir :: idCsv :: rest if rest.length <= 1 =>
+      val spark = session("graft-delete")
+      import spark.implicits._
+      val n = graft.operators.CorpusPipeline.deleteDocs(spark,
+        idCsv.split(",").map(_.trim.toLong).toSeq.toDF("doc_id"),
+        corpusDir, sigDir, indexDir = rest.headOption)
+      println(s"retracted $n doc(s) from $corpusDir")
       spark.stop()
 
     // small-file maintenance: rewrite a parquet dir to a byte budget
@@ -360,10 +390,13 @@ object Main {
            |  graft.Main index-append <documentsParquetDir> <indexDir>
            |  graft.Main index-probe  <indexDir> <k> <term> [term...]
            |  graft.Main index-compact <indexDir>
+           |  graft.Main index-delete <indexDir> <id1,id2,...>
            |  graft.Main ann-build <embeddingsParquetDir> <indexDir> <nLists> <m>
            |  graft.Main ann-append <embeddingsParquetDir> <indexDir>
            |  graft.Main ann-probe <indexDir> <queriesParquetDir> <k> [nProbe]
            |  graft.Main ann-compact <indexDir>
+           |  graft.Main ann-delete <indexDir> <id1,id2,...>
+           |  graft.Main delete <corpusDir> <sigDir> <id1,id2,...> [bm25IndexDir]
            |  graft.Main compact  <parquetDir> [targetFileMB]
            |  graft.Main run      <config.properties> [<gvf|url> <gtf|url>]""".stripMargin)
       sys.exit(2)

@@ -191,6 +191,12 @@ object Sinks {
     countParquetFiles(fs, root)
   }
 
+  /** Whether `dir` holds at least one readable parquet file — the guard
+    * for optional standing tables (delete registries, pre-backfill
+    * indexes) that other paths must tolerate being absent. */
+  def parquetExists(spark: SparkSession, dir: String): Boolean =
+    parquetFileCount(spark, dir) > 0
+
   /** Rewrite a flat parquet dir through `transform` and swap the result
     * in: tmp-write → retire old → move in (the compactParquet leaf-swap
     * contract — two renames, NOT atomic, dot-prefixed tmp/retired dirs

@@ -117,8 +117,18 @@ object AnnIndex {
         col("qv"), centroids, nProbe)).as("cid"))
     val probedCids = probes.select("cid").distinct().collect()
       .map(r => Int.box(r.getInt(0)))
-    def prunedLists = spark.read.parquet(s"$indexDir/lists")
-      .filter(col("cid").isin(probedCids.toSeq: _*))
+    // retracted vectors ([[annIndexDelete]] registry) are masked right at
+    // the pruned scan — a broadcast anti-join, gone once compaction
+    // physically drops their rows
+    val delDir = s"$indexDir/deletes"
+    val hasDeletes = graft.io.Sinks.parquetExists(spark, delDir)
+    def prunedLists = {
+      val scan = spark.read.parquet(s"$indexDir/lists")
+        .filter(col("cid").isin(probedCids.toSeq: _*))
+      if (hasDeletes)
+        scan.join(broadcast(spark.read.parquet(delDir)), Seq("vec_id"), "left_anti")
+      else scan
+    }
 
     val qTables = queries.select(col(idCol).as("query_id"),
       graft.expressions.PqAdcTable.pqAdcTable(col(vecCol), codebooks).as("qtable"))
@@ -148,15 +158,52 @@ object AnnIndex {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Retract vectors from the standing index: ids land in a `deletes/`
+    * registry at the index root — [[annIndexProbe]] anti-joins it (so a
+    * deleted vector never surfaces as a neighbor) and a replayed delete
+    * batch is skipped by the registry guard. Unlike BM25 there are no
+    * corpus-relative statistics to correct: IVF-PQ scores each candidate
+    * independently, so masking the rows IS the complete retraction;
+    * [[annIndexCompact]] physically drops them. Returns the number of
+    * NEWLY retracted ids. Single-writer contract. */
+  def annIndexDelete(spark: SparkSession, indexDir: String, ids: DataFrame,
+      idCol: String = "vec_id"): Long = {
+    require(graft.io.Sinks.parquetExists(spark, s"$indexDir/lists"),
+      s"no standing ANN index at $indexDir (lists/ is empty or absent)")
+    val delDir = s"$indexDir/deletes"
+    val incoming = ids.select(col(idCol).as("vec_id")).distinct()
+    val fresh = if (graft.io.Sinks.parquetExists(spark, delDir))
+      incoming.join(spark.read.parquet(delDir), Seq("vec_id"), "left_anti")
+    else incoming
+    val n = fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .count()
+    if (n > 0) {
+      fresh.write.mode("append").parquet(delDir)
+      spark.catalog.refreshByPath(delDir)
+    }
+    fresh.unpersist()
+    n
+  }
+
   /** Fold append debris: rewrite `lists/` back to cid-partitioned,
     * (cid, vec_id)-sorted files, restoring the row-group skipping the
-    * probe's pushed filter relies on. Same two-rename swap window and
-    * single-owner contract as the BM25 compactor; probe results are
-    * unchanged (row ORDER is not part of any result — every output goes
-    * through rank windows with total tie orders). */
-  def annIndexCompact(spark: SparkSession, indexDir: String): Unit =
+    * probe's pushed filter relies on — and physically dropping retracted
+    * vectors ([[annIndexDelete]] registry, which itself only folds to
+    * distinct ids: it stays the replay guard). Same two-rename swap
+    * window and single-owner contract as the BM25 compactor; probe
+    * results are unchanged (row ORDER is not part of any result — every
+    * output goes through rank windows with total tie orders). */
+  def annIndexCompact(spark: SparkSession, indexDir: String): Unit = {
+    val delDir = s"$indexDir/deletes"
+    val hasDeletes = graft.io.Sinks.parquetExists(spark, delDir)
     graft.io.Sinks.rewriteParquetInPlace(spark, s"$indexDir/lists")(df =>
-      df.repartition(col("cid")).sortWithinPartitions(col("cid"), col("vec_id")))
+      (if (hasDeletes)
+        df.join(broadcast(spark.read.parquet(delDir)), Seq("vec_id"), "left_anti")
+      else df)
+        .repartition(col("cid")).sortWithinPartitions(col("cid"), col("vec_id")))
+    if (hasDeletes)
+      graft.io.Sinks.rewriteParquetInPlace(spark, delDir)(_.distinct())
+  }
 
   /** Threshold maintenance for an append loop: compact `lists/` past
     * `maxFiles` parquet files. Returns whether a compaction ran. */

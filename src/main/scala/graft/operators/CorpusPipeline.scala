@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -342,5 +342,65 @@ object CorpusPipeline {
     batchSigs.unpersist()
     Seq(corpusDir, sigDir, bucketDir).foreach(spark.catalog.refreshByPath)
     ()
+  }
+
+  /** Retract documents from every standing artifact the sinks maintain —
+    * the takedown path (the legal reality of crawl corpora). Deleted ids
+    * are registered in a sibling dir `<corpusDir>.deletes` (never inside
+    * the corpus — readers see only corpus rows), then the corpus, the
+    * signature table, and the band-bucket index are physically rewritten
+    * WITHOUT them, and the BM25 index (when the stream runs indexed)
+    * retracts through [[Search.bm25IndexDelete]]'s registry + negative
+    * increments.
+    *
+    * The signature/bucket rewrite is what makes retraction COMPLETE
+    * rather than cosmetic: a deleted doc's signatures would otherwise
+    * keep matching — suppressing every future near-twin of content that
+    * no longer exists, forever (CorpusPipelineSpec proves a post-delete
+    * twin survives ingestion). Physical rewrite over tombstone-masking
+    * is deliberate here: the dedup probe joins these tables inside every
+    * microbatch commit, and a mask would tax the ingest hot path on
+    * every batch to spare a rare maintenance verb.
+    *
+    * Idempotent by construction: every rewrite filters against the FULL
+    * registry, so a replayed call (or one resumed after a crash between
+    * rewrites) repairs any partially-applied state and converges to the
+    * same tables; re-registered ids are skipped, so the BM25 decrements
+    * never double-apply. Cost is one rewrite of each table per call —
+    * batch takedowns accordingly (the registry append is cheap; the
+    * rewrites amortize over any number of ids). Single-writer contract
+    * shared with compaction: do not run concurrently with the stream's
+    * own commits. Returns the number of NEWLY registered ids. */
+  def deleteDocs(spark: SparkSession, ids: DataFrame, corpusDir: String,
+      sigDir: String, indexDir: Option[String] = None,
+      idCol: String = "doc_id"): Long = {
+    require(graft.io.Sinks.parquetExists(spark, corpusDir),
+      s"no corpus at $corpusDir")
+    val delDir = corpusDir + ".deletes"
+    val bucketDir = sigDir + ".buckets"
+    val incoming = ids.select(col(idCol).as("doc_id")).distinct()
+    val fresh = if (graft.io.Sinks.parquetExists(spark, delDir))
+      incoming.join(spark.read.parquet(delDir), Seq("doc_id"), "left_anti")
+    else incoming
+    val n = fresh.persist().count()
+    if (n > 0) {
+      fresh.write.mode("append").parquet(delDir)
+      spark.catalog.refreshByPath(delDir)
+    }
+    fresh.unpersist()
+    def registry = broadcast(spark.read.parquet(delDir))
+    if (graft.io.Sinks.parquetExists(spark, delDir)) {
+      graft.io.Sinks.rewriteParquetInPlace(spark, corpusDir)(df =>
+        df.join(registry.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti"))
+      if (graft.io.Sinks.parquetExists(spark, sigDir))
+        graft.io.Sinks.rewriteParquetInPlace(spark, sigDir)(df =>
+          df.join(registry, Seq("doc_id"), "left_anti"))
+      if (graft.io.Sinks.parquetExists(spark, bucketDir))
+        graft.io.Sinks.rewriteParquetInPlace(spark, bucketDir)(df =>
+          df.join(registry, Seq("doc_id"), "left_anti"))
+      indexDir.foreach(idx =>
+        graft.operators.Search.bm25IndexDelete(spark, idx, incoming, "doc_id"))
+    }
+    n
   }
 }

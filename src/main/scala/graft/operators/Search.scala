@@ -203,25 +203,94 @@ object Search {
     }
   }
 
+  /** Retract documents from the standing index — the takedown path a
+    * crawl corpus legally needs. Deleted ids land in a `deletes/`
+    * registry at the index root (the probe's anti-join side and this
+    * call's replay guard: ids already registered are skipped, so a
+    * replayed delete batch is a no-op, not a double decrement), and the
+    * corpus-relative score inputs are corrected IMMEDIATELY with the
+    * same increment algebra appends use — negative `terms/` df rows and
+    * a negative `stats/` row derived from the victims' own postings.
+    * Probes therefore score the remaining corpus EXACTLY as a fresh
+    * build over it would (SearchSpec asserts bit-equality); the dead
+    * postings rows themselves are masked by the registry until
+    * [[bm25IndexCompact]] physically drops them.
+    *
+    * Crash window: registry-first means a crash before the decrements
+    * leaves deleted docs invisible but df/avdl slightly stale — scores
+    * drift in the last decimals, data never corrupts (the append crash
+    * window's mirror image). A doc whose indexed text had zero tokens
+    * has no postings to derive its `n_docs` decrement from; its count
+    * lingers in `stats/` as the same drift class.
+    *
+    * Returns the number of NEWLY retracted ids. Single-writer contract
+    * like every other maintenance verb. */
+  def bm25IndexDelete(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: DataFrame, idCol: String = "doc_id"): Long = {
+    require(graft.io.Sinks.parquetExists(spark, s"$indexDir/postings"),
+      s"no standing index at $indexDir (postings/ is empty or absent)")
+    val delDir = s"$indexDir/deletes"
+    val incoming = ids.select(col(idCol).as("doc_id")).distinct()
+    val fresh = (if (graft.io.Sinks.parquetExists(spark, delDir))
+      incoming.join(spark.read.parquet(delDir), Seq("doc_id"), "left_anti")
+    else incoming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0) {
+        fresh.write.mode("append").parquet(delDir)
+        val dead = spark.read.parquet(s"$indexDir/postings")
+          .join(broadcast(fresh), Seq("doc_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          dead.groupBy(col("term"))
+            .agg((-count(lit(1))).as("df"))
+            .write.mode("append").parquet(s"$indexDir/terms")
+          dead.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+            .agg((-count(lit(1))).as("n_docs"),
+              (-coalesce(sum(col("dl")), lit(0L))).as("total_tokens"))
+            .write.mode("append").parquet(s"$indexDir/stats")
+        } finally dead.unpersist()
+        Seq("deletes", "terms", "stats").foreach(d =>
+          spark.catalog.refreshByPath(s"$indexDir/$d"))
+      }
+      n
+    } finally fresh.unpersist()
+  }
+
   /** Fold the index's append debris in place. `terms/` and `stats/`
     * increment rows collapse to one row per key — probes SUM increments,
     * so folded probe results are bit-identical (integer sums reassociate
     * exactly; the double casts happen after summation). `postings/`
     * re-sorts into term-partitioned, term-sorted files: appends interleave
     * term runs across ever more files, eroding the row-group skipping the
-    * probe's pushed `term IN` filter relies on. Each dir rewrites through
-    * `Sinks.rewriteParquetInPlace` (dot-tmp + two-rename swap — same
-    * non-atomic window and single-owner contract as compaction; the batch
-    * marker lives at the index root, so swaps never touch it). */
+    * probe's pushed `term IN` filter relies on — and retracted docs'
+    * rows (already score-neutralized by [[bm25IndexDelete]]'s negative
+    * increments, masked by the registry) are physically dropped here.
+    * The registry itself only folds to distinct ids, never shrinks: it
+    * stays the replay guard, and post-compaction a replayed delete finds
+    * no postings to decrement, so it is naturally a no-op. Each dir
+    * rewrites through `Sinks.rewriteParquetInPlace` (dot-tmp +
+    * two-rename swap — same non-atomic window and single-owner contract
+    * as compaction; the batch marker lives at the index root, so swaps
+    * never touch it). */
   def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
+    val delDir = s"$indexDir/deletes"
+    val hasDeletes = graft.io.Sinks.parquetExists(spark, delDir)
     graft.io.Sinks.rewriteParquetInPlace(spark, s"$indexDir/postings")(df =>
-      df.repartition(col("term")).sortWithinPartitions(col("term"), col("doc_id")))
+      (if (hasDeletes)
+        df.join(broadcast(spark.read.parquet(delDir)), Seq("doc_id"), "left_anti")
+      else df)
+        .repartition(col("term")).sortWithinPartitions(col("term"), col("doc_id")))
     graft.io.Sinks.rewriteParquetInPlace(spark, s"$indexDir/terms")(df =>
-      df.groupBy(col("term")).agg(sum(col("df")).as("df")))
+      df.groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .filter(col("df") > 0))
     graft.io.Sinks.rewriteParquetInPlace(spark, s"$indexDir/stats")(df =>
       df.agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_tokens")).as("total_tokens")))
+    if (hasDeletes)
+      graft.io.Sinks.rewriteParquetInPlace(spark, delDir)(_.distinct())
   }
 
   /** Threshold maintenance for an append-loop: compact when any of the
@@ -297,8 +366,16 @@ object Search {
     val dfRow = spark.read.parquet(s"$indexDir/terms")
       .filter(col("term").isin(queryTerms: _*))
       .agg(dfCols.head, dfCols.tail: _*)
-    val perDoc = spark.read.parquet(s"$indexDir/postings")
+    // retracted docs (bm25IndexDelete registry) are masked before the
+    // gather — a broadcast anti-join over the term-pruned stream, gone
+    // entirely once compaction physically drops their rows
+    val matched = spark.read.parquet(s"$indexDir/postings")
       .filter(col("term").isin(queryTerms: _*)) // pushed to the parquet scan
+    val delDir = s"$indexDir/deletes"
+    val live = if (graft.io.Sinks.parquetExists(spark, delDir))
+      matched.join(broadcast(spark.read.parquet(delDir)), Seq("doc_id"), "left_anti")
+    else matched
+    val perDoc = live
       .groupBy(col("doc_id"))
       .agg(first(col("dl")).cast(DoubleType).as("dl"),
         map_from_entries(collect_list(struct(col("term"), col("tf")))).as("tfs"))

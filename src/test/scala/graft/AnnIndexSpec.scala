@@ -89,6 +89,33 @@ class AnnIndexSpec extends SparkSpec {
     assert(after == before, "compaction changed probe results")
   }
 
+  test("standing ANN index: retraction masks immediately, compaction applies physically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_del").toString
+    val truthDir = java.nio.file.Files.createTempDirectory("graft_annidx_del_t").toString
+    AnnIndex.annBuildIndex(emb, dir, nLists = 4, m = 8, kc = 8, iters = 2)
+    val victims = AnnIndex.annIndexProbe(spark, dir, queries, k = 3, nProbe = 2)
+      .select("neighbor_id").distinct().limit(4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(AnnIndex.annIndexDelete(spark, dir, victims.toDF("vec_id")) ==
+      victims.length.toLong)
+    // truth: same MODELS (trainOn = full corpus), remaining vectors only
+    AnnIndex.annBuildIndex(emb.filter(!$"vec_id".isin(victims: _*)), truthDir,
+      nLists = 4, m = 8, kc = 8, iters = 2, trainOn = Some(emb))
+    def probe(d: String) = AnnIndex.annIndexProbe(spark, d, queries, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val got = probe(dir)
+    assert(got == probe(truthDir),
+      "post-delete probe diverged from a same-model index without the victims")
+    assert(!got.exists(r => victims.contains(r._3)), "retracted vector surfaced")
+    // replay: registry guard — no-op
+    assert(AnnIndex.annIndexDelete(spark, dir, victims.toDF("vec_id")) == 0L)
+    // compaction drops the rows physically; probe unchanged
+    AnnIndex.annIndexCompact(spark, dir)
+    assert(spark.read.parquet(s"$dir/lists")
+      .filter($"vec_id".isin(victims: _*)).count() == 0)
+    assert(probe(dir) == got, "compaction changed post-delete probe results")
+  }
+
   test("codebook save/load round-trips the grid exactly") {
     val books = Array(
       Array(Array(1.0, 2.0), Array(3.0, 4.0)),

@@ -386,6 +386,61 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/corpus").count() == 3)
   }
 
+  test("deleteDocs: takedown across corpus/sigs/buckets/index; a later twin is NOT suppressed") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_del").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    val mem = MemoryStream[(Long, String)]
+    val query = CorpusPipeline.writeStreamIndexed(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/sigs", s"$dir/idx", s"$dir/ck", minJaccard = 0.5)
+    try {
+      mem.addData((1L, base), (2L, other))
+      query.processAllAvailable()
+      // control: while doc 1 stands, its twin IS suppressed
+      mem.addData((10L, base.replace("alpha ", "")))
+      query.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+
+      // the takedown
+      assert(CorpusPipeline.deleteDocs(spark, Seq(1L).toDF("doc_id"),
+        s"$dir/corpus", s"$dir/sigs", indexDir = Some(s"$dir/idx")) == 1L)
+      // absent from every standing artifact
+      assert(spark.read.parquet(s"$dir/corpus")
+        .filter(col("doc_id") === 1L).count() == 0)
+      assert(spark.read.parquet(s"$dir/sigs")
+        .filter(col("doc_id") === 1L).count() == 0)
+      assert(spark.read.parquet(s"$dir/sigs.buckets")
+        .filter(col("doc_id") === 1L).count() == 0)
+      assert(graft.operators.Search
+        .bm25IndexProbe(spark, s"$dir/idx", Seq("alpha", "beta"), k = 10)
+        .filter(col("doc_id") === 1L).count() == 0)
+      // replay of the same takedown: converges, registers nothing new
+      assert(CorpusPipeline.deleteDocs(spark, Seq(1L).toDF("doc_id"),
+        s"$dir/corpus", s"$dir/sigs", indexDir = Some(s"$dir/idx")) == 0L)
+
+      // a twin of the DELETED content arriving later must survive — its
+      // suppressor no longer exists (the whole point of rewriting sigs
+      // and buckets rather than only the corpus)
+      mem.addData((20L, base.replace("alpha ", "")))
+      query.processAllAvailable()
+      val ids = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(2L, 20L), s"post-delete twin suppressed: $ids")
+      // and it is searchable through the maintained index
+      val hits = graft.operators.Search
+        .bm25IndexProbe(spark, s"$dir/idx", Seq("beta", "gamma"), k = 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(hits == Set(20L), s"index after delete+reingest: $hits")
+    } finally query.stop()
+  }
+
   test("curateStream: redact/score/filter + sketch dedup over a MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp

@@ -177,6 +177,39 @@ class SearchSpec extends SparkSpec {
     assert(probe2 == probe, "compaction changed probe results")
   }
 
+  test("standing index: retraction scores the survivors exactly as a build without them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx_del").toString
+    Search.bm25BuildIndex(corpus, dir)
+    import org.apache.spark.sql.functions.col
+    // takedown of the high-tf doc and the dual-term doc
+    assert(Search.bm25IndexDelete(spark, dir, Seq(1L, 6L).toDF("doc_id")) == 2L)
+    val truthDir = java.nio.file.Files.createTempDirectory("graft_bm25idx_truth").toString
+    Search.bm25BuildIndex(corpus.filter(!col("doc_id").isin(1L, 6L)), truthDir)
+    def probeBoth(terms: Seq[String]) = (
+      Search.bm25IndexProbe(spark, dir, terms, k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      Search.bm25IndexProbe(spark, truthDir, terms, k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    for (terms <- Seq(Seq("spark", "quantum"), Seq("quantum"), Seq("filler"))) {
+      val (got, want) = probeBoth(terms)
+      // BIT-equality, scores included: the negative df/stats increments
+      // must restore the exact minus-corpus score inputs
+      assert(got == want, s"post-delete probe for $terms: $got vs $want")
+      assert(!got.exists(r => r._1 == 1L || r._1 == 6L))
+    }
+    // replayed delete: registry guard makes it a no-op, no double decrement
+    assert(Search.bm25IndexDelete(spark, dir, Seq(1L, 6L).toDF("doc_id")) == 0L)
+    // compaction physically drops the dead postings; probe unchanged
+    val before = probeBoth(Seq("spark", "quantum"))._1
+    Search.bm25IndexCompact(spark, dir)
+    assert(spark.read.parquet(s"$dir/postings")
+      .filter(col("doc_id").isin(1L, 6L)).count() == 0)
+    assert(probeBoth(Seq("spark", "quantum"))._1 == before)
+    // post-compaction replay finds no postings to decrement — still a no-op
+    assert(Search.bm25IndexDelete(spark, dir, Seq(1L).toDF("doc_id")) == 0L)
+    assert(probeBoth(Seq("spark", "quantum"))._1 == before)
+  }
+
   test("bm25TopK: k truncates after the full ordering; validations reject bad input") {
     val top2 = Search.bm25TopK(corpus, Seq("spark", "quantum"), k = 2)
       .collect().map(_.getLong(0)).toSeq
