@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * with typed metadata, processed by per-partition batch functions.
   *
   * The Spark-side plumbing here is real — schemas, partition-batch
-  * iteration, explode of frame samples — and THREE codecs are real too:
+  * iteration, explode of frame samples — and FOUR codecs are real too:
   * binary PPM (`image/ppm`, [[decodePpm]]), PNG (`image/png`,
   * [[decodePng]] — full 8-bit color-type matrix, all five scanline
-  * filters, `java.util.zip.Inflater` for the DEFLATE stream), and PCM
-  * WAV (`audio/wav`, [[decodeWav]]), all pure JVM byte arithmetic, no
-  * library. Remaining compressed kinds (JPEG/MP3/…) fall to the
+  * filters, `java.util.zip.Inflater` for the DEFLATE stream), GIF
+  * (`image/gif`, [[decodeGif]] — own LZW, interlace, transparency,
+  * disposal-composed animation frames; [[gifFrameSample]] makes frame
+  * sampling a real decode), and PCM WAV (`audio/wav`, [[decodeWav]]),
+  * all pure JVM byte arithmetic, no library. Remaining compressed kinds
+  * (JPEG/MP3/…) fall to the
   * clearly-marked STUB (this environment ships no such codecs); a
   * production deployment swaps `stubDecode` for a JNI/javacv call and
   * nothing else changes. In PySpark the same shape is `mapInPandas` with
@@ -346,6 +349,271 @@ object Multimodal {
     MediaFeatures(m.media_id, m.kind, b.length, w, h, feats)
   }
 
+  /** REAL GIF decoder (GIF87a/89a) — pure-JVM LZW with the full frame
+    * model: global/local color tables, per-frame sub-rectangles,
+    * interlacing, transparency, and disposal methods 0-3 composed onto
+    * the logical canvas exactly as an animation renderer would. This is
+    * the third real image codec and the one that makes FRAME sampling
+    * real: an animated GIF is the self-describing "video" this
+    * environment can actually hold, and [[gifFrameSample]] emits its
+    * composed frames as P6 PPM payloads that [[decodePpm]]/[[resizePpm]]
+    * consume directly. Malformed payloads fail loudly
+    * (IllegalArgumentException), same contract as every codec here; the
+    * sub-block and LZW walks are hostile-byte-hardened (every advance is
+    * bounds-checked and strictly positive — the WAV chunk-walk lesson).
+    *
+    * Returns (canvasW, canvasH, composed RGB frames row-major 3 B/px),
+    * at most `maxFrames` frames (bounds a hostile frame count). */
+  private def decodeGifCanvas(m: Media, maxFrames: Int): (Int, Int, Seq[Array[Byte]]) = {
+    val b = m.bytes
+    require(b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a',
+      s"media ${m.media_id}: not a GIF payload")
+    def u8(p: Int): Int = { require(p < b.length,
+      s"media ${m.media_id}: truncated GIF at byte $p"); b(p) & 0xff }
+    def u16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
+    val w = u16(6); val h = u16(8)
+    require(w > 0 && h > 0, s"media ${m.media_id}: degenerate GIF dims ${w}x$h")
+    require(w.toLong * h * 3 <= Int.MaxValue - 8,
+      s"media ${m.media_id}: GIF too large to compose (${w}x$h)")
+    val packed = u8(10)
+    val bgIdx = u8(11)
+    var p = 13
+    val gct: Array[Byte] = if ((packed & 0x80) != 0) {
+      val n = 3 * (2 << (packed & 7))
+      require(p + n <= b.length, s"media ${m.media_id}: truncated GIF GCT")
+      val t = java.util.Arrays.copyOfRange(b, p, p + n); p += n; t
+    } else null
+
+    val canvas = new Array[Byte](w * h * 3)
+    if (gct != null) {
+      val r = gct(bgIdx * 3); val g = gct(bgIdx * 3 + 1); val bl = gct(bgIdx * 3 + 2)
+      var i = 0
+      while (i < canvas.length) { canvas(i) = r; canvas(i + 1) = g; canvas(i + 2) = bl; i += 3 }
+    }
+    def restoreRect(left: Int, top: Int, fw: Int, fh: Int): Unit = {
+      var y = 0
+      while (y < fh) {
+        var x = 0
+        while (x < fw) {
+          val at = ((top + y) * w + left + x) * 3
+          if (gct != null) {
+            canvas(at) = gct(bgIdx * 3); canvas(at + 1) = gct(bgIdx * 3 + 1)
+            canvas(at + 2) = gct(bgIdx * 3 + 2)
+          } else { canvas(at) = 0; canvas(at + 1) = 0; canvas(at + 2) = 0 }
+          x += 1
+        }
+        y += 1
+      }
+    }
+    def skipSubBlocks(): Unit = {
+      var n = u8(p); p += 1
+      while (n != 0) { require(p + n <= b.length,
+        s"media ${m.media_id}: truncated GIF sub-blocks"); p += n; n = u8(p); p += 1 }
+    }
+
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var disposal = 0; var transIdx = -1
+    var done = false
+    while (!done && frames.length < maxFrames) {
+      u8(p) match {
+        case 0x3b => done = true
+        case 0x21 => // extension
+          val label = u8(p + 1); p += 2
+          if (label == 0xf9) { // graphic control
+            val n = u8(p)
+            require(n == 4, s"media ${m.media_id}: malformed GIF GCE size $n")
+            val gp = u8(p + 1)
+            disposal = (gp >> 2) & 7
+            transIdx = if ((gp & 1) != 0) u8(p + 4) else -1
+            p += 1 + n
+            require(u8(p) == 0, s"media ${m.media_id}: unterminated GIF GCE")
+            p += 1
+          } else skipSubBlocks() // comment / app / plain-text
+        case 0x2c => // image descriptor
+          val left = u16(p + 1); val top = u16(p + 3)
+          val fw = u16(p + 5); val fh = u16(p + 7)
+          val ip = u8(p + 9); p += 10
+          require(fw > 0 && fh > 0 && left + fw <= w && top + fh <= h,
+            s"media ${m.media_id}: GIF frame rect ${fw}x$fh@($left,$top) outside ${w}x$h")
+          val lct: Array[Byte] = if ((ip & 0x80) != 0) {
+            val n = 3 * (2 << (ip & 7))
+            require(p + n <= b.length, s"media ${m.media_id}: truncated GIF LCT")
+            val t = java.util.Arrays.copyOfRange(b, p, p + n); p += n; t
+          } else null
+          val pal = if (lct != null) lct else gct
+          require(pal != null, s"media ${m.media_id}: GIF frame has no color table")
+          val interlaced = (ip & 0x40) != 0
+
+          // LZW decode of exactly fw*fh pixel indices
+          val minCode = u8(p); p += 1
+          require(minCode >= 1 && minCode <= 11,
+            s"media ${m.media_id}: GIF LZW min code size $minCode invalid")
+          val clear = 1 << minCode; val end = clear + 1
+          val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
+          val stack = new Array[Byte](4097)
+          var dictSize = end + 1; var width = minCode + 1
+          var i = 0; while (i < clear) { suffix(i) = i.toByte; i += 1 }
+          val px = new Array[Byte](fw * fh)
+          var out = 0
+          var bits = 0; var acc = 0
+          var blockLeft = 0
+          var prev = -1
+          var eos = false
+          while (out < px.length && !eos) {
+            // refill
+            while (bits < width && !eos) {
+              if (blockLeft == 0) { blockLeft = u8(p); p += 1
+                require(blockLeft > 0,
+                  s"media ${m.media_id}: GIF pixel data ended at $out of ${px.length}") }
+              acc |= u8(p) << bits; bits += 8; p += 1; blockLeft -= 1
+            }
+            val code = acc & ((1 << width) - 1)
+            acc >>>= width; bits -= width
+            if (code == clear) {
+              dictSize = end + 1; width = minCode + 1; prev = -1
+            } else if (code == end) {
+              eos = true
+            } else {
+              require(code < dictSize || (code == dictSize && prev >= 0),
+                s"media ${m.media_id}: corrupt GIF LZW stream (code $code, dict $dictSize)")
+              var sp = 0
+              var cur = if (code == dictSize) { stack(sp) = firstOf(prefix, suffix, clear, prev); sp += 1; prev }
+                else code
+              while (cur >= clear) { stack(sp) = suffix(cur); sp += 1; cur = prefix(cur) }
+              stack(sp) = cur.toByte; sp += 1
+              // emit reversed
+              while (sp > 0 && out < px.length) { sp -= 1; px(out) = stack(sp); out += 1 }
+              require(sp == 0 || out == px.length,
+                s"media ${m.media_id}: GIF LZW emits past frame size")
+              if (prev >= 0 && dictSize < 4096) {
+                prefix(dictSize) = prev
+                suffix(dictSize) = firstOf(prefix, suffix, clear, code)
+                dictSize += 1
+                if (dictSize == (1 << width) && width < 12) width += 1
+              }
+              prev = code
+            }
+          }
+          require(out == px.length,
+            s"media ${m.media_id}: GIF frame short — $out of ${px.length} pixels")
+          // drain trailing sub-blocks (incl. the terminator)
+          if (!eos || blockLeft > 0) p += blockLeft
+          skipSubBlocks()
+
+          // deinterlace row order if needed
+          val rowOf: Int => Int = if (!interlaced) identity else {
+            val order = new Array[Int](fh)
+            var r = 0
+            for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- start until fh by step) {
+              order(r) = y; r += 1
+            }
+            val inv = new Array[Int](fh); for (k <- 0 until fh) inv(order(k)) = k
+            inv(_)
+          }
+          val saved = if (disposal == 3) canvas.clone() else null
+          var y = 0
+          while (y < fh) {
+            val srcRow = rowOf(y)
+            var x = 0
+            while (x < fw) {
+              val idx = px(srcRow * fw + x) & 0xff
+              if (idx != transIdx) {
+                require(idx * 3 + 2 < pal.length,
+                  s"media ${m.media_id}: GIF palette index $idx out of range")
+                val at = ((top + y) * w + left + x) * 3
+                canvas(at) = pal(idx * 3); canvas(at + 1) = pal(idx * 3 + 1)
+                canvas(at + 2) = pal(idx * 3 + 2)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          frames += canvas.clone()
+          disposal match {
+            case 0 | 1 => ()
+            case 2 => restoreRect(left, top, fw, fh)
+            case 3 => System.arraycopy(saved, 0, canvas, 0, canvas.length)
+            case d => throw new IllegalArgumentException(
+              s"media ${m.media_id}: GIF disposal method $d invalid")
+          }
+          disposal = 0; transIdx = -1
+        case other => throw new IllegalArgumentException(
+          s"media ${m.media_id}: unknown GIF block 0x${other.toHexString}")
+      }
+    }
+    require(frames.nonEmpty, s"media ${m.media_id}: GIF holds no image frames")
+    (w, h, frames.toSeq)
+  }
+
+  /** First byte of the LZW string for `code` (root suffix down the
+    * prefix chain) — the KwKwK case's appended byte. */
+  private def firstOf(prefix: Array[Int], suffix: Array[Byte],
+      clear: Int, code: Int): Byte = {
+    var c = code
+    while (c >= clear) c = prefix(c)
+    c.toByte
+  }
+
+  /** REAL codec for `image/gif`: first composed frame → the same 16-dim
+    * feature layout as [[decodePpm]]/[[decodePng]]. */
+  def decodeGif(m: Media): MediaFeatures = {
+    val (w, h, frames) = decodeGifCanvas(m, maxFrames = 1)
+    val img = frames.head
+    var sr = 0L; var sg = 0L; var sb2 = 0L
+    val hist = new Array[Long](12)
+    val nPix = w.toLong * h
+    var at = 0
+    while (at < img.length) {
+      val r = img(at) & 0xff; val g = img(at + 1) & 0xff; val bl = img(at + 2) & 0xff
+      sr += r; sg += g; sb2 += bl
+      hist(((r * 299 + g * 587 + bl * 114) / 1000 * 12) / 256) += 1
+      at += 3
+    }
+    val feats = new Array[Float](16)
+    feats(0) = (sr.toDouble / nPix / 255).toFloat
+    feats(1) = (sg.toDouble / nPix / 255).toFloat
+    feats(2) = (sb2.toDouble / nPix / 255).toFloat
+    feats(3) = w.toFloat / h
+    var k = 0
+    while (k < 12) { feats(4 + k) = (hist(k).toDouble / nPix).toFloat; k += 1 }
+    MediaFeatures(m.media_id, m.kind, m.bytes.length, w, h, feats)
+  }
+
+  /** A sampled media frame: the composed canvas at `frame_idx`, encoded
+    * as a P6 PPM payload ([[decodePpm]]-consumable). */
+  final case class MediaFrame(media_id: Long, kind: String,
+      frame_idx: Int, frame: Array[Byte])
+
+  /** REAL frame sampling for `image/gif`: every `every`-th COMPOSED
+    * animation frame (disposal/transparency applied) re-encoded as a P6
+    * PPM payload — the real-decode counterpart of the byte-window
+    * [[frameSample]], and the bridge into the rest of the image tier
+    * ([[decodeFeatures]] on the emitted frames, [[resizeMedia]], …).
+    * Non-GIF rows are REJECTED, not byte-windowed: sampling "frames"
+    * from a format without frames would be the silent fake this module
+    * refuses to be. Typed mapPartitions (per-partition codec
+    * amortization), `maxFrames` bounds hostile animations. */
+  def gifFrameSample(ds: Dataset[Media], every: Int = 1,
+      maxFrames: Int = 256): Dataset[MediaFrame] = {
+    require(every >= 1, s"every must be >= 1: $every")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap { m =>
+        require(m.kind == "image/gif",
+          s"media ${m.media_id}: gifFrameSample expects image/gif, got ${m.kind}")
+        val (w, h, frames) = decodeGifCanvas(m, maxFrames)
+        val header = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        frames.zipWithIndex.collect { case (f, i) if i % every == 0 =>
+          val out = new Array[Byte](header.length + f.length)
+          System.arraycopy(header, 0, out, 0, header.length)
+          System.arraycopy(f, 0, out, header.length, f.length)
+          MediaFrame(m.media_id, "image/ppm", i, out)
+        }
+      }
+    }
+  }
+
   /** RIFF chunk walk shared by [[decodeWav]] and [[resampleWav]]: chunks
     * are (4-byte id, 4-byte LE size, payload, pad to even). The declared
     * size is UNSIGNED 32-bit; a size that doesn't fit in the remaining
@@ -387,6 +655,7 @@ object Multimodal {
       rows.map {
         case m if m.kind == "image/ppm" => decodePpm(m)
         case m if m.kind == "image/png" => decodePng(m)
+        case m if m.kind == "image/gif" => decodeGif(m)
         case m if m.kind == "audio/wav" => decodeWav(m)
         case m => stubDecode(m)
       }

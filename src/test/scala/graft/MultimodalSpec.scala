@@ -256,6 +256,102 @@ class MultimodalSpec extends SparkSpec {
     assert(bad(valid.dropRight(6)).getMessage.toLowerCase.contains("truncated"))
   }
 
+  // palette: idx 0 black, 1 red, 2 green, 3 white
+  private val gifPal = Array(
+    0, 0, 0,  255, 0, 0,  0, 255, 0,  255, 255, 255).map(_.toByte)
+
+  /** Decode a gifFrameSample PPM payload back to (w, h, rgb bytes). */
+  private def ppmPixels(p: Array[Byte]): (Int, Int, Seq[Byte]) = {
+    val s = new String(p, "US-ASCII")
+    val m = "P6\\n(\\d+) (\\d+)\\n255\\n".r.findPrefixMatchOf(s).get
+    (m.group(1).toInt, m.group(2).toInt, p.drop(m.matched.length).toSeq)
+  }
+
+  test("decodeGif: planted frame round-trips through own-LZW decode — dims, means") {
+    // 4×2: row 0 = red red green white, row 1 = black ×4
+    val px = Array[Byte](1, 1, 2, 3, 0, 0, 0, 0)
+    val gif = Media(31L, "image/gif",
+      TestGif(4, 2, gifPal, Seq(TestGif.Frame(0, 0, 4, 2, px))))
+    val out = Multimodal.decodeFeatures(Seq(gif).toDS()).collect()(0)
+    assert(out.width == 4 && out.height == 2)
+    // means: R = (255+255+255)/8/255, G = (255+255)/8/255, B = 255/8/255
+    assert(math.abs(out.features(0) - 3f / 8) < 1e-6)
+    assert(math.abs(out.features(1) - 2f / 8) < 1e-6)
+    assert(math.abs(out.features(2) - 1f / 8) < 1e-6)
+    assert(out.features(3) == 2.0f)
+  }
+
+  test("gifFrameSample: animation frames compose (sub-rect, transparency, disposal)") {
+    // frame 0: full 4×2 red; frame 1: 2×1 sub-rect at (1,1), green with a
+    // transparent pixel (idx 1 marked transparent — red shows through);
+    // disposal 2 on frame 1 restores its rect to background (black) for
+    // frame 2, a full-white frame drawn only on row 0 sub-rect
+    val gif = Media(32L, "image/gif", TestGif(4, 2, gifPal, Seq(
+      TestGif.Frame(0, 0, 4, 2, Array[Byte](1, 1, 1, 1, 1, 1, 1, 1)),
+      TestGif.Frame(1, 1, 2, 1, Array[Byte](2, 1), disposal = 2, transparentIdx = 1),
+      TestGif.Frame(0, 0, 4, 1, Array[Byte](3, 3, 3, 3)))))
+    val frames = Multimodal.gifFrameSample(Seq(gif).toDS()).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.length == 3 && frames.forall(_.kind == "image/ppm"))
+    def rgbAt(f: Array[Byte], x: Int, y: Int): Seq[Int] = {
+      val (w, _, px) = ppmPixels(f)
+      px.slice((y * w + x) * 3, (y * w + x) * 3 + 3).map(_ & 0xff)
+    }
+    assert(rgbAt(frames(0).frame, 0, 0) == Seq(255, 0, 0))
+    // frame 1: green lands at (1,1); transparent pixel at (2,1) keeps red
+    assert(rgbAt(frames(1).frame, 1, 1) == Seq(0, 255, 0))
+    assert(rgbAt(frames(1).frame, 2, 1) == Seq(255, 0, 0))
+    // frame 2: disposal 2 restored (1,1)-(2,1) to background black, row 0 white
+    assert(rgbAt(frames(2).frame, 1, 1) == Seq(0, 0, 0))
+    assert(rgbAt(frames(2).frame, 2, 1) == Seq(0, 0, 0))
+    assert(rgbAt(frames(2).frame, 0, 0) == Seq(255, 255, 255))
+    // the emitted PPM payloads feed the real image tier directly
+    val refed = Multimodal.decodeFeatures(
+      Seq(Media(33L, "image/ppm", frames(2).frame)).toDS()).collect()(0)
+    assert(refed.width == 4 && refed.height == 2)
+    // every=2 samples frames 0 and 2
+    assert(Multimodal.gifFrameSample(Seq(gif).toDS(), every = 2)
+      .collect().map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+  }
+
+  test("decodeGif: interlace, local palettes, long-run LZW (KwKwK) all decode exactly") {
+    // 8×8 long-run image — runs drive the dictionary/KwKwK path
+    val runs = Array.tabulate(64)(i => (if (i < 30) 1 else if (i < 34) 2 else 3).toByte)
+    val plain = TestGif(8, 8, gifPal, Seq(TestGif.Frame(0, 0, 8, 8, runs)))
+    val inter = TestGif(8, 8, gifPal, Seq(TestGif.Frame(0, 0, 8, 8, runs, interlaced = true)))
+    val Seq(a, b) = Multimodal.gifFrameSample(
+      Seq(Media(40L, "image/gif", plain), Media(41L, "image/gif", inter)).toDS())
+      .collect().sortBy(_.media_id).toSeq
+    assert(a.frame.toSeq == b.frame.toSeq, "interlaced decode diverged")
+    val (_, _, px) = ppmPixels(a.frame)
+    assert(px.slice(0, 3).map(_ & 0xff) == Seq(255, 0, 0))
+    assert(px.slice(63 * 3, 64 * 3).map(_ & 0xff) == Seq(255, 255, 255))
+    // a local palette overrides the global one
+    val lct = Array(0, 0, 255, 0, 255, 255).map(_.toByte) // idx 0 blue, 1 cyan
+    val withLct = TestGif(2, 1, gifPal,
+      Seq(TestGif.Frame(0, 0, 2, 1, Array[Byte](0, 1), localPalette = lct)))
+    val f = Multimodal.gifFrameSample(
+      Seq(Media(42L, "image/gif", withLct)).toDS()).collect()(0)
+    assert(ppmPixels(f.frame)._3.map(_ & 0xff) == Seq(0, 0, 255, 0, 255, 255))
+  }
+
+  test("decodeGif: malformed payloads fail loudly, never fake features") {
+    val good = TestGif(2, 2, gifPal, Seq(TestGif.Frame(0, 0, 2, 2, Array[Byte](0, 1, 2, 3))))
+    def decodeAs(bytes: Array[Byte]): Unit =
+      Multimodal.decodeFeatures(Seq(Media(50L, "image/gif", bytes)).toDS()).collect()
+    decodeAs(good) // sanity: the base payload decodes
+    intercept[org.apache.spark.SparkException] { decodeAs(good.take(10)) }
+    intercept[org.apache.spark.SparkException] { decodeAs("NOTAGIF".getBytes) }
+    // frame rect escaping the canvas
+    val badRect = TestGif(2, 2, gifPal, Seq(TestGif.Frame(1, 1, 2, 2, Array[Byte](0, 1, 2, 3))))
+    intercept[org.apache.spark.SparkException] { decodeAs(badRect) }
+    // truncated mid-pixel-data
+    intercept[org.apache.spark.SparkException] { decodeAs(good.dropRight(4)) }
+    // unknown block type where a descriptor belongs
+    val junk = good.clone(); junk(13 + gifPal.length) = 0x7f
+    intercept[org.apache.spark.SparkException] { decodeAs(junk) }
+  }
+
   test("frameSample: frames reassemble to the original payload") {
     val frames = Multimodal.frameSample(media.toDF(), frameBytes = 256)
       .orderBy("media_id", "frame_idx").collect()
