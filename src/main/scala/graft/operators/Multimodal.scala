@@ -8,15 +8,18 @@ import org.apache.spark.sql.types._
   * with typed metadata, processed by per-partition batch functions.
   *
   * The Spark-side plumbing here is real — schemas, partition-batch
-  * iteration, explode of frame samples — and FOUR codecs are real too:
+  * iteration, explode of frame samples — and FIVE codecs are real too:
   * binary PPM (`image/ppm`, [[decodePpm]]), PNG (`image/png`,
   * [[decodePng]] — full 8-bit color-type matrix, all five scanline
   * filters, `java.util.zip.Inflater` for the DEFLATE stream), GIF
   * (`image/gif`, [[decodeGif]] — own LZW, interlace, transparency,
   * disposal-composed animation frames; [[gifFrameSample]] makes frame
-  * sampling a real decode), and PCM WAV (`audio/wav`, [[decodeWav]]),
-  * all pure JVM byte arithmetic, no library. Remaining compressed kinds
-  * (JPEG/MP3/…) fall to the
+  * sampling a real decode), baseline JPEG (`image/jpeg`, [[decodeJpeg]]
+  * — own Huffman entropy decode, dequant, IDCT, 4:2:0/4:2:2/4:4:4
+  * chroma, restart markers: the format that dominates real crawls), and
+  * PCM WAV (`audio/wav`, [[decodeWav]]), all pure JVM byte arithmetic,
+  * no library. Remaining compressed kinds (progressive JPEG, MP3/…)
+  * fall to the
   * clearly-marked STUB (this environment ships no such codecs); a
   * production deployment swaps `stubDecode` for a JNI/javacv call and
   * nothing else changes. In PySpark the same shape is `mapInPandas` with
@@ -614,6 +617,362 @@ object Multimodal {
     }
   }
 
+  /** REAL baseline JPEG decoder (ITU T.81 sequential DCT, the format that
+    * dominates any real crawl's media): marker parse, canonical Huffman
+    * entropy decode with byte-stuffing and restart markers, dequant +
+    * inverse zigzag, separable double-precision IDCT, generic Hi/Vi ≤ 2
+    * chroma upsampling (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB. 8-bit
+    * baseline only — progressive (SOF2), arithmetic coding, 12-bit, and
+    * hierarchical streams are REJECTED loudly, never half-decoded. Pure
+    * JVM, no library; the IDCT is the textbook O(8³) separable form (a
+    * production swap-point for an AAN fast path — the plumbing and
+    * bitstream layer stay identical).
+    *
+    * Returns (w, h, RGB row-major 3 B/px). */
+  private[graft] def decodeJpegCanvas(m: Media): (Int, Int, Array[Byte]) = {
+    val b = m.bytes
+    def u8(p: Int): Int = { require(p < b.length,
+      s"media ${m.media_id}: truncated JPEG at byte $p"); b(p) & 0xff }
+    def u16(p: Int): Int = (u8(p) << 8) | u8(p + 1)
+    require(b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8,
+      s"media ${m.media_id}: not a JPEG payload (no SOI)")
+
+    val qt = new Array[Array[Int]](4)
+    // per-table canonical Huffman: (maxcode/valptr/mincode per length, values)
+    final case class Huff(minCode: Array[Int], maxCode: Array[Int],
+      valPtr: Array[Int], values: Array[Int])
+    val dcTabs = new Array[Huff](4); val acTabs = new Array[Huff](4)
+    var w = 0; var h = 0
+    var nComp = 0
+    var compId: Array[Int] = null; var compHV: Array[Int] = null
+    var compQ: Array[Int] = null
+    var restartInterval = 0
+
+    def parseDht(at: Int, end: Int): Unit = {
+      var p = at
+      while (p < end) {
+        val tc = u8(p) >> 4; val th = u8(p) & 15
+        require(tc <= 1 && th <= 3, s"media ${m.media_id}: bad DHT id")
+        val counts = Array.tabulate(16)(i => u8(p + 1 + i))
+        val total = counts.sum
+        require(total <= 256 && p + 17 + total <= end,
+          s"media ${m.media_id}: malformed DHT")
+        val values = Array.tabulate(total)(i => u8(p + 17 + i))
+        val minCode = new Array[Int](17); val maxCode = new Array[Int](17)
+        val valPtr = new Array[Int](17)
+        var code = 0; var k = 0
+        for (l <- 1 to 16) {
+          valPtr(l) = k; minCode(l) = code
+          code += counts(l - 1); k += counts(l - 1)
+          maxCode(l) = code - 1
+          require(code <= (1 << l), s"media ${m.media_id}: overfull Huffman table")
+          code <<= 1
+        }
+        val t = Huff(minCode, maxCode, valPtr, values)
+        if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+        p += 17 + total
+      }
+    }
+
+    // ---- marker walk up to SOS ----
+    var p = 2
+    var sosAt = -1
+    while (sosAt < 0) {
+      require(u8(p) == 0xff, s"media ${m.media_id}: JPEG marker expected at $p")
+      val mk = u8(p + 1)
+      if (mk == 0xd8 || (mk >= 0xd0 && mk <= 0xd7)) { p += 2 } // stray SOI/RST
+      else {
+        val len = u16(p + 2)
+        require(len >= 2 && p + 2 + len <= b.length,
+          s"media ${m.media_id}: JPEG segment overruns payload")
+        val at = p + 4; val end = p + 2 + len
+        mk match {
+          case 0xdb => // DQT
+            var q = at
+            while (q < end) {
+              val prec = u8(q) >> 4; val id = u8(q) & 15
+              require(prec == 0, s"media ${m.media_id}: 16-bit DQT unsupported")
+              require(id <= 3 && q + 65 <= end, s"media ${m.media_id}: malformed DQT")
+              qt(id) = Array.tabulate(64)(i => u8(q + 1 + i))
+              q += 65
+            }
+          case 0xc4 => parseDht(at, end)
+          case 0xc0 | 0xc1 => // baseline / extended sequential SOF
+            require(u8(at) == 8, s"media ${m.media_id}: ${u8(at)}-bit JPEG unsupported")
+            h = u16(at + 1); w = u16(at + 3); nComp = u8(at + 5)
+            require(w > 0 && h > 0, s"media ${m.media_id}: degenerate JPEG dims ${w}x$h")
+            require(nComp == 1 || nComp == 3,
+              s"media ${m.media_id}: $nComp-component JPEG unsupported")
+            require(w.toLong * h * 3 <= Int.MaxValue - 8,
+              s"media ${m.media_id}: JPEG too large to decode (${w}x$h)")
+            compId = new Array[Int](nComp); compHV = new Array[Int](nComp)
+            compQ = new Array[Int](nComp)
+            for (c <- 0 until nComp) {
+              compId(c) = u8(at + 6 + c * 3)
+              compHV(c) = u8(at + 7 + c * 3)
+              compQ(c) = u8(at + 8 + c * 3)
+              val hi = compHV(c) >> 4; val vi = compHV(c) & 15
+              require(hi >= 1 && hi <= 2 && vi >= 1 && vi <= 2,
+                s"media ${m.media_id}: sampling ${hi}x$vi unsupported (1-2 only)")
+            }
+          case 0xc2 => throw new IllegalArgumentException(
+            s"media ${m.media_id}: progressive JPEG unsupported (baseline only)")
+          case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 =>
+            throw new IllegalArgumentException(
+              s"media ${m.media_id}: JPEG SOF${x - 0xc0} coding unsupported")
+          case 0xdd => restartInterval = u16(at)
+          case 0xda => sosAt = at
+          case 0xd9 => throw new IllegalArgumentException(
+            s"media ${m.media_id}: JPEG EOI before scan data")
+          case _ => () // APPn / COM / others: skipped
+        }
+        p = end
+      }
+    }
+    require(w > 0, s"media ${m.media_id}: JPEG scan before SOF header")
+
+    // ---- SOS header: component → table bindings ----
+    val ns = u8(sosAt)
+    require(ns == nComp, s"media ${m.media_id}: partial-scan JPEG unsupported")
+    val scanDc = new Array[Int](nComp); val scanAc = new Array[Int](nComp)
+    for (i <- 0 until ns) {
+      val cid = u8(sosAt + 1 + i * 2)
+      val c = compId.indexOf(cid)
+      require(c >= 0, s"media ${m.media_id}: JPEG scan names unknown component $cid")
+      scanDc(c) = u8(sosAt + 2 + i * 2) >> 4
+      scanAc(c) = u8(sosAt + 2 + i * 2) & 15
+    }
+    p = sosAt + 1 + ns * 2 + 3 // skip Ss/Se/AhAl
+
+    // ---- entropy-coded segment: bit reader with stuffing + RST ----
+    var acc = 0L; var bits = 0
+    def fillBits(): Unit = {
+      while (bits <= 56) {
+        if (p >= b.length) { acc |= 0L; bits += 8 } // pad past end; short read caught below
+        else {
+          val v = u8(p)
+          if (v == 0xff) {
+            val nx = if (p + 1 < b.length) u8(p + 1) else 0xd9
+            if (nx == 0x00) { acc |= 0xffL << (56 - bits); bits += 8; p += 2 }
+            else { acc |= 0L; bits += 8 } // marker: feed zeros, don't consume
+          } else { acc |= v.toLong << (56 - bits); bits += 8; p += 1 }
+        }
+      }
+    }
+    def readBit(): Int = {
+      if (bits == 0) fillBits()
+      val r = ((acc >>> 63) & 1).toInt
+      acc <<= 1; bits -= 1
+      r
+    }
+    def decodeHuff(t: Huff): Int = {
+      require(t != null, s"media ${m.media_id}: JPEG scan uses undefined Huffman table")
+      var code = 0
+      var l = 0
+      while (l < 16) {
+        code = (code << 1) | readBit()
+        l += 1
+        if (t.maxCode(l) >= t.minCode(l) && code <= t.maxCode(l) && code >= t.minCode(l))
+          return t.values(t.valPtr(l) + code - t.minCode(l))
+      }
+      throw new IllegalArgumentException(
+        s"media ${m.media_id}: corrupt JPEG Huffman stream")
+    }
+    def receiveExtend(s: Int): Int = {
+      if (s == 0) return 0
+      var v = 0
+      var i = 0
+      while (i < s) { v = (v << 1) | readBit(); i += 1 }
+      if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    }
+
+    val hMax = (0 until nComp).map(c => compHV(c) >> 4).max
+    val vMax = (0 until nComp).map(c => compHV(c) & 15).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    // per-component pixel planes at sampled resolution
+    val planeW = new Array[Int](nComp); val planeH = new Array[Int](nComp)
+    val planes = new Array[Array[Byte]](nComp)
+    for (c <- 0 until nComp) {
+      planeW(c) = mcusX * (compHV(c) >> 4) * 8
+      planeH(c) = mcusY * (compHV(c) & 15) * 8
+      planes(c) = new Array[Byte](planeW(c) * planeH(c))
+    }
+    val dcPred = new Array[Int](nComp)
+    val blk = new Array[Int](64)
+    val tmp = new Array[Double](64)
+
+    def idctToPlane(c: Int, bx: Int, by: Int): Unit = {
+      val q = qt(compQ(c))
+      require(q != null, s"media ${m.media_id}: JPEG uses undefined quant table")
+      // dequant + inverse zigzag into natural order
+      var i = 0
+      while (i < 64) { tmp(zigzagInv(i)) = blk(i).toDouble * q(i); i += 1 }
+      val out = planes(c); val pw = planeW(c)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var u = 0
+          while (u < 8) {
+            val cu = if (u == 0) 0.7071067811865476 else 1.0
+            var v = 0
+            while (v < 8) {
+              val cv = if (v == 0) 0.7071067811865476 else 1.0
+              s += cu * cv * tmp(u * 8 + v) * idctCos(x)(v) * idctCos(y)(u)
+              v += 1
+            }
+            u += 1
+          }
+          val px = (math.round(s / 4.0) + 128).toInt
+          out((by * 8 + y) * pw + bx * 8 + x) =
+            (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    var mcu = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          // byte-align, expect RSTn, reset predictors
+          acc = 0L; bits = 0
+          while (p + 1 < b.length && !(u8(p) == 0xff && u8(p + 1) >= 0xd0 && u8(p + 1) <= 0xd7))
+            p += 1
+          require(p + 1 < b.length, s"media ${m.media_id}: missing JPEG restart marker")
+          p += 2
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        var c = 0
+        while (c < nComp) {
+          val hi = compHV(c) >> 4; val vi = compHV(c) & 15
+          var by = 0
+          while (by < vi) {
+            var bx = 0
+            while (bx < hi) {
+              java.util.Arrays.fill(blk, 0)
+              val t = decodeHuff(dcTabs(scanDc(c)))
+              require(t <= 11, s"media ${m.media_id}: JPEG DC category $t invalid")
+              dcPred(c) += receiveExtend(t)
+              blk(0) = dcPred(c)
+              var k = 1
+              while (k < 64) {
+                val rs = decodeHuff(acTabs(scanAc(c)))
+                val r = rs >> 4; val s = rs & 15
+                if (s == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else k = 64 // EOB
+                } else {
+                  k += r
+                  require(k < 64, s"media ${m.media_id}: JPEG AC index past block end")
+                  blk(k) = receiveExtend(s)
+                  k += 1
+                }
+              }
+              idctToPlane(c, mx * hi + bx, my * vi + by)
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+
+    // a complete scan must still hold its EOI: the bit reader zero-pads
+    // past the payload end (standard tail behavior), so a TRUNCATED
+    // stream can reach here having decoded garbage — the missing EOI is
+    // what betrays it, and the fail-loudly contract wants it loud
+    var eoi = p
+    while (eoi + 1 < b.length && !(u8(eoi) == 0xff && u8(eoi + 1) == 0xd9)) eoi += 1
+    require(eoi + 1 < b.length,
+      s"media ${m.media_id}: truncated JPEG — no EOI after scan data")
+
+    // ---- color convert + crop to w×h ----
+    val rgb = new Array[Byte](w * h * 3)
+    if (nComp == 1) {
+      val pl = planes(0); val pw = planeW(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = pl(y * pw + x)
+          val at = (y * w + x) * 3
+          rgb(at) = v; rgb(at + 1) = v; rgb(at + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          def sample(c: Int): Int = {
+            val sx = x * (compHV(c) >> 4) / hMax
+            val sy = y * (compHV(c) & 15) / vMax
+            planes(c)(sy * planeW(c) + sx) & 0xff
+          }
+          val yy = sample(0).toDouble
+          val cb = sample(1) - 128.0
+          val cr = sample(2) - 128.0
+          def clamp(d: Double): Byte = {
+            val v = math.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          val at = (y * w + x) * 3
+          rgb(at) = clamp(yy + 1.402 * cr)
+          rgb(at + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          rgb(at + 2) = clamp(yy + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    (w, h, rgb)
+  }
+
+  private val zigzagInv: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  private val idctCos: Array[Array[Double]] = Array.tabulate(8, 8)((x, u) =>
+    math.cos((2 * x + 1) * u * math.Pi / 16))
+
+  /** REAL codec for `image/jpeg`: full baseline decode → the shared
+    * 16-dim feature layout ([[decodePpm]]/[[decodePng]]/[[decodeGif]]). */
+  def decodeJpeg(m: Media): MediaFeatures = {
+    val (w, h, img) = decodeJpegCanvas(m)
+    var sr = 0L; var sg = 0L; var sb2 = 0L
+    val hist = new Array[Long](12)
+    val nPix = w.toLong * h
+    var at = 0
+    while (at < img.length) {
+      val r = img(at) & 0xff; val g = img(at + 1) & 0xff; val bl = img(at + 2) & 0xff
+      sr += r; sg += g; sb2 += bl
+      hist(((r * 299 + g * 587 + bl * 114) / 1000 * 12) / 256) += 1
+      at += 3
+    }
+    val feats = new Array[Float](16)
+    feats(0) = (sr.toDouble / nPix / 255).toFloat
+    feats(1) = (sg.toDouble / nPix / 255).toFloat
+    feats(2) = (sb2.toDouble / nPix / 255).toFloat
+    feats(3) = w.toFloat / h
+    var k = 0
+    while (k < 12) { feats(4 + k) = (hist(k).toDouble / nPix).toFloat; k += 1 }
+    MediaFeatures(m.media_id, m.kind, m.bytes.length, w, h, feats)
+  }
+
   /** RIFF chunk walk shared by [[decodeWav]] and [[resampleWav]]: chunks
     * are (4-byte id, 4-byte LE size, payload, pad to even). The declared
     * size is UNSIGNED 32-bit; a size that doesn't fit in the remaining
@@ -656,6 +1015,7 @@ object Multimodal {
         case m if m.kind == "image/ppm" => decodePpm(m)
         case m if m.kind == "image/png" => decodePng(m)
         case m if m.kind == "image/gif" => decodeGif(m)
+        case m if m.kind == "image/jpeg" => decodeJpeg(m)
         case m if m.kind == "audio/wav" => decodeWav(m)
         case m => stubDecode(m)
       }

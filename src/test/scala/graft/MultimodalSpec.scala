@@ -352,6 +352,74 @@ class MultimodalSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] { decodeAs(junk) }
   }
 
+  test("decodeJpeg: flat blocks decode exactly; gradients within quantization error") {
+    // flat 128 grayscale: every FDCT coefficient is 0 → bit-exact recovery
+    val flat = Array.fill[Byte](16 * 16)(128.toByte)
+    val (w1, h1, px1) = Multimodal.decodeJpegCanvas(
+      Media(60L, "image/jpeg", TestJpeg(16, 16, flat, grayscale = true)))
+    assert(w1 == 16 && h1 == 16)
+    assert(px1.forall(_ == 128.toByte), "flat-128 grayscale must round-trip exactly")
+    // horizontal ramp: low-frequency content — per-pixel error bounded by
+    // the quantization step, nothing structural
+    val ramp = Array.tabulate[Byte](16 * 16)(i => (64 + (i % 16) * 8).toByte)
+    val (_, _, px2) = Multimodal.decodeJpegCanvas(
+      Media(61L, "image/jpeg", TestJpeg(16, 16, ramp, grayscale = true)))
+    val maxErr = px2.grouped(3).zipWithIndex.map { case (rgb, i) =>
+      math.abs((rgb(0) & 0xff) - (ramp(i) & 0xff)) }.max
+    assert(maxErr <= 8, s"gradient error $maxErr exceeds quantization bound")
+    // color: solid red through YCbCr and back, channel tolerance
+    val red = Array.tabulate[Byte](8 * 8 * 3)(i =>
+      if (i % 3 == 0) 255.toByte else 0.toByte)
+    val (_, _, px3) = Multimodal.decodeJpegCanvas(
+      Media(62L, "image/jpeg", TestJpeg(8, 8, red)))
+    px3.grouped(3).foreach { p =>
+      assert((p(0) & 0xff) >= 245 && (p(1) & 0xff) <= 12 && (p(2) & 0xff) <= 12,
+        s"solid red decoded to ${p.map(_ & 0xff).toSeq}")
+    }
+  }
+
+  test("decodeJpeg: 4:2:0 MCU geometry, restart markers, feature routing") {
+    // flat color: chroma constant, so 4:2:0 subsampling is lossless —
+    // the four-luma-block + averaged-chroma MCU path must agree with 4:4:4
+    val teal = Array.tabulate[Byte](24 * 16 * 3)(i =>
+      (i % 3 match { case 0 => 0; case 1 => 128; case _ => 128 }).toByte)
+    val (_, _, a) = Multimodal.decodeJpegCanvas(
+      Media(63L, "image/jpeg", TestJpeg(24, 16, teal, subsample = false)))
+    val (_, _, b) = Multimodal.decodeJpegCanvas(
+      Media(64L, "image/jpeg", TestJpeg(24, 16, teal, subsample = true)))
+    assert(a.toSeq == b.toSeq, "4:2:0 diverged from 4:4:4 on constant chroma")
+    // restart markers only reset DC predictors — decoded pixels identical
+    val ramp = Array.tabulate[Byte](32 * 8)(i => (32 + (i % 32) * 4).toByte)
+    val plain = Multimodal.decodeJpegCanvas(
+      Media(65L, "image/jpeg", TestJpeg(32, 8, ramp, grayscale = true)))._3
+    val rst = Multimodal.decodeJpegCanvas(
+      Media(66L, "image/jpeg", TestJpeg(32, 8, ramp, grayscale = true, restartEvery = 2)))._3
+    assert(plain.toSeq == rst.toSeq, "restart markers changed decoded pixels")
+    // decodeFeatures routes image/jpeg with real dims
+    val out = Multimodal.decodeFeatures(Seq(
+      Media(67L, "image/jpeg", TestJpeg(24, 16, teal))).toDS()).collect()(0)
+    assert(out.width == 24 && out.height == 16 && out.features(3) == 1.5f)
+  }
+
+  test("decodeJpeg: malformed payloads fail loudly, never fake features") {
+    val good = TestJpeg(8, 8, Array.fill[Byte](64)(100.toByte), grayscale = true)
+    def decodeAs(bytes: Array[Byte]): Unit =
+      Multimodal.decodeFeatures(Seq(Media(70L, "image/jpeg", bytes)).toDS()).collect()
+    decodeAs(good) // sanity
+    intercept[org.apache.spark.SparkException] { decodeAs("JFIFnope".getBytes) }
+    // truncated scan: EOI gone — must not silently zero-pad to completion
+    intercept[org.apache.spark.SparkException] { decodeAs(good.dropRight(6)) }
+    // progressive coding is rejected, not half-decoded
+    val prog = good.clone()
+    val sofAt = {
+      var i = 2
+      while (!((prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0)) i += 1
+      i
+    }
+    prog(sofAt + 1) = 0xc2.toByte
+    intercept[org.apache.spark.SparkException] { decodeAs(prog) }
+  }
+
   test("frameSample: frames reassemble to the original payload") {
     val frames = Multimodal.frameSample(media.toDF(), frameBytes = 256)
       .orderBy("media_id", "frame_idx").collect()
