@@ -666,18 +666,23 @@ object Dedup {
     // branches (an empty broadcast + two empty exchanges still cost
     // plan and stage overhead per call).
     //
-    // Only the PROBE side is keyed-repartitioned. Repartitioning both
-    // sides double-pays when the build side fits a broadcast: the user
-    // repartition cannot be elided, so the build side shuffles AND
-    // broadcasts the same rows (measured ~0.8 s/call on the minhash
-    // family at sf0.1). One-sided, the small-input plan is exactly one
-    // exchange + broadcast — probe widened to `width`, so pair
-    // generation never streams serially at the scan's split count — and
-    // past the broadcast threshold the planner completes the build side
-    // with the matching hashpartitioning(key, width) exchange, the
-    // co-partitioned shape the two-sided form produced.
+    // The probe side is keyed-repartitioned ONLY when the caller's
+    // predicted-volume width exceeds the session width — i.e. when pair
+    // generation genuinely needs more grain than any exchange the
+    // planner would produce anyway (jaccardPairs' regime). At
+    // width == session width the explicit exchange is pure constant: a
+    // small input loses the broadcast-only plan (the r7→r8 minhash
+    // regression, ~0.4-0.8 s/call at sf0.1), and a large one gets the
+    // identical conf-width co-partitioned SMJ from EnsureRequirements
+    // with no user exchange at all. When the widen DOES fire it stays
+    // one-sided: repartitioning both sides double-pays under a
+    // broadcast, and past the threshold the planner completes the build
+    // side with the matching hashpartitioning(key, width) exchange.
     if (saltThreshold == Long.MaxValue) {
-      return rows.repartition(width, col("key")).as("a")
+      val probe =
+        if (width > shufflePartitions(rows)) rows.repartition(width, col("key"))
+        else rows
+      return probe.as("a")
         .join(rows.as("b"),
           col("a.key") === col("b.key") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
