@@ -781,7 +781,9 @@ object ScaleBench {
       "kernel instead of a queries × centroid-table cross join through " +
       "a window sort — 160M intermediate rows at 50× became zero; plus " +
       "the scan-decoupling repartition of the coded corpus). Measured " +
-      "50×: 115 → ~16 s; the remaining cost is the single balanced rank " +
+      "50×: 115 → ~16-22 s across rounds (run-to-run; the ~2.6 GB rank-" +
+      "shuffle spill is the remaining lever); the cost left is the single " +
+      "balanced rank " +
       "shuffle over the candidate stream, linear in the corpus.\n\n" +
       "incremental_dedup times a FIXED-size ingest batch against the " +
       "GROWING corpus through the path writeStreamIncrementalDedup " +
