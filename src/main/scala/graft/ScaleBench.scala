@@ -511,6 +511,37 @@ object ScaleBench {
           rerankDepth = 100)
       }
 
+      // retraction: a FIXED 500-doc takedown against both standing
+      // indexes. BM25 derives its negative df/stats increments from the
+      // victims' own postings — one parallel postings scan, so the cost
+      // follows the INDEX (batch takedowns amortize it); the ANN side is
+      // a registry append, O(batch) whatever the corpus. The post-delete
+      // probe rides the same flat path plus one broadcast anti-join
+      // against the KB-scale registry.
+      locally {
+        spark.catalog.clearCache()
+        val s0 = metrics.snapshot()
+        val t0 = System.nanoTime()
+        val nDel = Search.bm25IndexDelete(spark, idxDir,
+          corpus.select(col("doc_id")).filter(col("doc_id") < 500))
+        val sec0 = (System.nanoTime() - t0) / 1e9
+        val s1 = metrics.snapshot()
+        results += Row("bm25_delete", scale, nDel, sec0,
+          (s1(0) - s0(0)) / 1e6, (s1(1) - s0(1)) / 1e6, (s1(2) - s0(2)) / 1e6)
+        println(f"""{"op":"bm25_delete","scale":$scale,"rows":$nDel,"sec":$sec0%.2f}""")
+        val t1 = System.nanoTime()
+        val nDelV = graft.operators.AnnIndex.annIndexDelete(spark, annDir,
+          embCorpus.select(col("vec_id")).filter(col("vec_id") < 500))
+        val sec1 = (System.nanoTime() - t1) / 1e9
+        val s2 = metrics.snapshot()
+        results += Row("ann_delete", scale, nDelV, sec1,
+          (s2(0) - s1(0)) / 1e6, (s2(1) - s1(1)) / 1e6, (s2(2) - s1(2)) / 1e6)
+        println(f"""{"op":"ann_delete","scale":$scale,"rows":$nDelV,"sec":$sec1%.2f}""")
+      }
+      measure("bm25_probe_after_delete", s"$scaleDir/out_bm25probe_del") {
+        Search.bm25IndexProbe(spark, idxDir, topTerms.take(4).toSeq, k = 100)
+      }
+
       // compaction: untimed prep scatters the corpus into per-scale-growing
       // small files; the timed region is the layout-preserving rewrite
       val smallDir = s"$scaleDir/small_files"
@@ -803,7 +834,15 @@ object ScaleBench {
       "probed by a fixed 20-query batch at fixed nProbe; its IO is two " +
       "column-pruned scans of the cid-sorted lists/ table behind a " +
       "pushed `cid IN (...)` filter — codes for the ADC pass, " +
-      "embeddings for the rerank — so probe time stays ~flat too.\n"
+      "embeddings for the rerank — so probe time stays ~flat too. " +
+      "The retraction rows take the SAME fixed 500-doc batch down at " +
+      "every scale: bm25_delete's cost is one parallel postings scan " +
+      "(the negative df/stats increments derive from the victims' own " +
+      "rows — linear in the index, so batch your takedowns), ann_delete " +
+      "is a registry append (O(batch), flat), and " +
+      "bm25_probe_after_delete shows the probe keeping its flat path " +
+      "with the registry mask on — one extra broadcast anti-join " +
+      "against a KB-scale table.\n"
     Files.write(Paths.get(mdOut), sb.toString.getBytes("UTF-8"))
   }
 }

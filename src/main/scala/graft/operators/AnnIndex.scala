@@ -215,6 +215,32 @@ object AnnIndex {
     over
   }
 
+  /** Streaming maintenance loop for the standing index — the vector
+    * analogue of `CorpusPipeline.writeStreamIndexed`'s BM25 leg: each
+    * embedding microbatch is coded against the STANDING models and
+    * appended at-most-once (root batch marker — recovery replays skip,
+    * not double-index), then the file-count threshold folds append
+    * debris back to the cid-sorted layout. The index must be BUILT
+    * before the stream starts (models never train inside a microbatch's
+    * latency budget — [[annBuildIndex]] on a bootstrap corpus or
+    * sample); the stream only ever appends and compacts. Single-writer
+    * contract shared with every maintenance verb. */
+  def writeStreamAnnIndexed(vecs: DataFrame, indexDir: String,
+      checkpointDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", maxFiles: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val commit = (batch: DataFrame, batchId: Long) => {
+      if (annIndexAppendIdempotent(batch, indexDir, batchId, idCol, vecCol))
+        annIndexMaintain(batch.sparkSession, indexDir, maxFiles)
+      ()
+    }
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(commit)
+      .start()
+  }
+
   /** Persist PQ codebooks as (block, cid, centroid) — the sub-block
     * analogue of `Similarity.saveCentroids`. */
   def saveCodebooks(spark: SparkSession,

@@ -116,6 +116,35 @@ class AnnIndexSpec extends SparkSpec {
     assert(probe(dir) == got, "compaction changed post-delete probe results")
   }
 
+  test("writeStreamAnnIndexed: embedding stream maintains the standing index") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_st").toString
+    // bootstrap build on the first third; the stream appends the rest
+    AnnIndex.annBuildIndex(emb.filter($"vec_id" < 16), dir,
+      nLists = 4, m = 8, kc = 8, iters = 2, trainOn = Some(emb))
+    val rows = emb.filter($"vec_id" >= 16 && $"vec_id" < 48)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val query = AnnIndex.writeStreamAnnIndexed(
+      mem.toDF().toDF("vec_id", "embedding")
+        .selectExpr("vec_id", "cast(embedding as array<float>) as embedding"),
+      dir, s"$dir/ck", maxFiles = 6)
+    try {
+      rows.grouped(8).foreach { g => mem.addData(g.toIndexedSeq); query.processAllAvailable() }
+    } finally query.stop()
+    assert(spark.read.parquet(s"$dir/lists").count() == 48)
+    assert(graft.io.Sinks.parquetFileCount(spark, s"$dir/lists") <= 6 + 4,
+      "maintenance loop let append debris accumulate")
+    // the streamed index answers exactly like a fresh same-model build
+    // over everything it holds
+    probeVsFresh(dir, emb.filter($"vec_id" < 48))
+    // recovery replay of an already-committed batch id is a no-op
+    assert(!AnnIndex.annIndexAppendIdempotent(
+      emb.filter($"vec_id" >= 16 && $"vec_id" < 24), dir, batchId = 0L))
+    assert(spark.read.parquet(s"$dir/lists").count() == 48)
+  }
+
   test("codebook save/load round-trips the grid exactly") {
     val books = Array(
       Array(Array(1.0, 2.0), Array(3.0, 4.0)),
