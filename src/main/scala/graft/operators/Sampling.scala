@@ -245,4 +245,41 @@ object Sampling {
       .crossJoin(broadcast(denom))
       .select(col(groupCol), col("tokens"), (pw / col("denom")).as("weight"))
   }
+
+  /** Deterministic epoch shuffle into training shards: every row gets a
+    * `shard` in [0, nShards) and a 1-based `pos` within its shard, both
+    * pure functions of (seed, id) — the global random-order pass a
+    * training run needs per epoch, without ever materializing a global
+    * sort. A new seed is a new, uncorrelated permutation (epoch 2 =
+    * different seed); the same seed reproduces the byte-identical order
+    * on any cluster, any partitioning, any engine (md5 is the
+    * cross-engine primitive — `md5Bucket`'s rationale).
+    *
+    * Shard = first 4 hex chars of md5(seed:id) mod nShards; order within
+    * a shard = the full md5 hex (id tiebreak for the astronomically
+    * unlikely collision). Because the order key is independent of the
+    * shard bits' use, consecutive positions in a shard are uniform draws
+    * from the corpus — the "shuffled shards" contract samplers and data
+    * loaders assume.
+    *
+    * Scale shape: one shuffle on `shard` + a per-shard sort (WindowExec;
+    * nShards at 100 TB is total/shardBytes, so each shard sorts
+    * shardBytes, not the corpus). The production write path is the same
+    * two steps as a write: `repartition(nShards, shard)`
+    * `.sortWithinPartitions(key)` straight into the sink — `pos` is for
+    * the manifest, and the window that computes it rides the exchange
+    * the write needs anyway. */
+  def epochShards(df: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0 && nShards <= 65536,
+      s"nShards must be in [1, 65536]: $nShards")
+    val key = md5(concat(lit(seed + ":"), col(idCol).cast(StringType)))
+    val shard = conv(substring(key, 1, 4), 16, 10).cast(LongType) % nShards
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__key").asc, col(idCol).asc)
+    df.withColumn("__key", key)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .drop("__key")
+  }
 }

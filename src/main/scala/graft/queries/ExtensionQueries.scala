@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.expressions.FreqSketch
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, UrlFilter}
+import graft.operators.{Dedup, Multimodal, Packing, QualityLm, Sampling, Similarity, UrlFilter}
 
 /** Training-data-pipeline extension operators as named queries
   * (deduplication, similarity search, text analysis, multimodal plumbing).
@@ -371,6 +371,17 @@ object ExtensionQueries {
       Sampling.assignSplit(t(s, dir, "documents").select("doc_id"), "doc_id")
         .orderBy("doc_id")),
 
+    // deterministic epoch shuffle into training shards: shard + in-shard
+    // position are pure functions of (seed, id) — the per-epoch global
+    // permutation data loaders assume, reproducible on any cluster or
+    // engine with no global sort (one shard-keyed exchange; each shard
+    // sorts only itself)
+    "q_epoch_shards" -> ((s, dir) =>
+      Sampling.epochShards(t(s, dir, "documents").select("doc_id"),
+          "doc_id", seed = "e1", nShards = 32)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")),
+
     // BM25 keyword search (rational idf, fixed-order IEEE sum — see
     // operators/Search.scala): top-100 docs for a 4-term query, one
     // narrow scan + a broadcast single-row stats frame + TakeOrdered
@@ -578,6 +589,72 @@ object ExtensionQueries {
           t(s, dir, "documents"), "source", TF.tokenCount(col("text")),
           alpha = 0.5)
         .orderBy("source")),
+
+    // CCNet-style LM quality scoring: add-one bigram LM trained on the
+    // doc_id%5==0 reference slice, every document scored under it. The
+    // oracle-compared columns are exact-rational (counts + value-sorted
+    // probability fold); true perplexity is gated by q_check_lm_ppl
+    // (QualityLm scaladoc has the ulp story)
+    "q_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val model = QualityLm.trainBigramLm(docs.filter(col("doc_id") % 5 === 0))
+      QualityLm.scoreBigramLm(model, docs)
+        .select("doc_id", "n_bigrams", "n_hit", "mean_prob")
+        .orderBy("doc_id")
+    }),
+
+    // the CCNet cut composed end-to-end: keep the best half by LM score —
+    // exact global rank over the bit-deterministic mean_prob, so the kept
+    // SET is engine-portable (QualityLm.lmKeepTopFraction scaladoc)
+    "q_lm_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      QualityLm.lmKeepTopFraction(docs.filter(col("doc_id") % 5 === 0), docs,
+          keepFraction = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // perplexity gate (ppl is ln/exp — not oracle-comparable): partition
+    // invariance of every score column, ppl range (>= 1 for a smoothed
+    // bigram model, finite), bigram-count exactness vs token counts, and
+    // the exact fully-OOV fixed point ppl == |V| on a planted document
+    // whose tokens cannot occur in the corpus
+    "q_check_lm_ppl" -> ((s, dir) => {
+      val docs = checkDocs(s, dir)
+      val ref = docs.filter(col("doc_id") % 5 === 0)
+      val model = QualityLm.trainBigramLm(ref)
+      val s1 = QualityLm.scoreBigramLm(model, docs)
+      val s32 = QualityLm.scoreBigramLm(model, docs.repartition(32))
+      val mismatches = s1.as("a").join(s32.as("b"), Seq("doc_id"), "full")
+        .filter(!(col("a.n_bigrams") <=> col("b.n_bigrams")) ||
+          !(col("a.n_hit") <=> col("b.n_hit")) ||
+          !(col("a.mean_prob") <=> col("b.mean_prob")) ||
+          !(col("a.sum_log_prob") <=> col("b.sum_log_prob")) ||
+          !(col("a.ppl") <=> col("b.ppl")))
+        .agg(count(lit(1)).as("partition_mismatches"))
+      val range = s1
+        .join(docs.select(col("doc_id"), TF.tokenCount(col("text")).as("nt")),
+          Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n_scored"),
+          sum(when(col("ppl") < 1.0 - 1e-9 || isnan(col("ppl")) ||
+            col("ppl") === Double.PositiveInfinity, 1L).otherwise(0L))
+            .as("range_violations"),
+          sum(when(col("n_hit") > col("n_bigrams") ||
+            col("n_bigrams") =!= col("nt") - 1L, 1L).otherwise(0L))
+            .as("count_violations"))
+      // planted fully-OOV doc: whitespace tokenization admits any
+      // non-space bytes, so these tokens are unhittable by the corpus
+      val oovDoc = docs.sparkSession.range(1).select(
+        lit(-1L).as("doc_id"),
+        lit("☃oov0 ☃oov1 ☃oov2 ☃oov3").as("text"))
+      val oov = QualityLm.scoreBigramLm(model, oovDoc)
+        .crossJoin(broadcast(model.vocab))
+        .select((abs(col("ppl") - col("vocab")) <= col("vocab") * 1e-9)
+          .as("oov_fixed_point"))
+      range.crossJoin(mismatches).crossJoin(oov)
+        .select("n_scored", "partition_mismatches", "range_violations",
+          "count_violations", "oov_fixed_point")
+    }),
 
     // per-document sliding-window chunking (64-token windows, stride 48 →
     // 16-token overlap): how long docs become training samples. A NARROW
@@ -1450,6 +1527,14 @@ object ExtensionQueries {
   private val tokensSql =
     """list_filter(string_split_regex(text, '\s+'), x -> x != '')"""
 
+  /** Shared DuckDB replay of the add-one bigram LM score (QualityLm):
+    * bigram/context counts off the doc_id%5==0 slice, vocabulary over the
+    * same token stream, per-doc TYPE rows (tf-weighted) through the two
+    * model joins, value-sorted probability fold. `finalSelect` runs over
+    * the `agg` CTE (doc_id, n_bigrams, n_hit, sum_p). */
+  private def lmScoreSql(finalSelect: String): String =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents WHERE len($tokensSql) >= 2), bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), i -> {'prev': toks[i], 'cur': toks[i + 1]})) AS b FROM tk), bgf AS (SELECT doc_id, b.prev AS prev, b.cur AS cur FROM bg), bc AS (SELECT prev, cur, CAST(COUNT(*) AS DOUBLE) AS c FROM bgf WHERE doc_id % 5 = 0 GROUP BY prev, cur), cc AS (SELECT prev, CAST(SUM(CAST(c AS BIGINT)) AS DOUBLE) AS cctx FROM bc GROUP BY prev), v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vocab FROM (SELECT unnest(toks) AS tok FROM tk WHERE doc_id % 5 = 0)), ty AS (SELECT doc_id, prev, cur, CAST(COUNT(*) AS BIGINT) AS tf FROM bgf GROUP BY doc_id, prev, cur), sc AS (SELECT ty.doc_id, ty.tf, bc.c, coalesce(cc.cctx, 0.0) AS cctx FROM ty LEFT JOIN bc USING (prev, cur) LEFT JOIN cc USING (prev)), p AS (SELECT doc_id, tf, c, CAST(tf AS DOUBLE) * ((coalesce(c, 0.0) + 1.0) / (cctx + vocab)) AS w FROM sc, v), agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams, CAST(SUM(CASE WHEN c IS NOT NULL THEN tf ELSE 0 END) AS BIGINT) AS n_hit, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY w)), (acc, x) -> acc + x) AS sum_p FROM p GROUP BY doc_id) $finalSelect"""
+
   /** DuckDB mirror of TextFunctions.langId, factored so every oracle that
     * groups or filters on the predicted language replays the IDENTICAL
     * stopword-hit-ratio scoring: `langScoresSql` emits per-doc per-language
@@ -1730,6 +1815,24 @@ object ExtensionQueries {
     // with a prepended 0.0 init == Spark's aggregate(array_sort(...), 0.0)
     "q_mixture_weights" ->
       s"""WITH per AS (SELECT source, CAST(SUM(len($tokensSql)) AS BIGINT) AS tokens FROM documents GROUP BY source), d AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sqrt(CAST(tokens AS DOUBLE)) ORDER BY source)), (acc, x) -> acc + x) AS denom FROM per) SELECT source, tokens, sqrt(CAST(tokens AS DOUBLE)) / denom AS weight FROM per, d ORDER BY source""",
+
+    // replays the identical add-one bigram LM: counts from the %5==0
+    // slice, P = (c+1)/(cctx+|V|) as one fixed expression tree, per-doc
+    // value-sorted probability fold == Spark's aggregate(array_sort(
+    // collect_list)) (the q_bm25_batch precedent)
+    "q_lm_score" -> lmScoreSql(
+      "SELECT doc_id, n_bigrams, n_hit, sum_p / CAST(n_bigrams AS DOUBLE) AS mean_prob FROM agg ORDER BY doc_id"),
+
+    "q_lm_filter" -> lmScoreSql(
+      "SELECT doc_id, CAST(row_number() OVER (ORDER BY sum_p / CAST(n_bigrams AS DOUBLE) DESC, doc_id) AS BIGINT) AS lm_rank, n_bigrams, n_hit, sum_p / CAST(n_bigrams AS DOUBLE) AS mean_prob FROM agg QUALIFY lm_rank <= CAST(ceil(0.5 * (SELECT CAST(count(*) AS DOUBLE) FROM agg)) AS BIGINT) ORDER BY doc_id"),
+
+    // invariant values the gate must produce when every check passes;
+    // n_scored from the same slice + token-count filter the engine uses
+    "q_check_lm_ppl" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_scored, CAST(0 AS BIGINT) AS partition_mismatches, CAST(0 AS BIGINT) AS range_violations, CAST(0 AS BIGINT) AS count_violations, true AS oov_fixed_point FROM documents WHERE doc_id < 1000 AND len($tokensSql) >= 2""",
+
+    "q_epoch_shards" ->
+      """WITH k AS (SELECT doc_id, md5('e1:' || CAST(doc_id AS VARCHAR)) AS key FROM documents), s AS (SELECT doc_id, key, ('0x' || substr(key, 1, 4))::BIGINT % 32 AS shard FROM k) SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos FROM s ORDER BY doc_id""",
 
     "q_chunk_stride" ->
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents), t2 AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0) SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id, CAST(s + 1 AS BIGINT) AS chunk_start, CAST(least(64, n - s) AS BIGINT) AS n_chunk_tokens, array_to_string(list_slice(tk, s + 1, s + 64), ' ') AS chunk_text FROM t2, unnest(generate_series(0, n - 1, 48)) AS u(s) ORDER BY doc_id, chunk_id""",

@@ -333,4 +333,28 @@ class PackingSamplingSpec extends SparkSpec {
       .collect()
     assert(tiny.length == 1)
   }
+
+  test("epochShards: total order, seed sensitivity, partition invariance") {
+    val docs = spark.range(500).select(col("id").as("doc_id"))
+    val e1 = Sampling.epochShards(docs, "doc_id", "e1", nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every row present once; positions within a shard are 1..size
+    assert(e1.map(_._1).toSet.size == 500)
+    e1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // a different seed is a different permutation (some doc moves shard
+    // or position) but the same coverage
+    val e2 = Sampling.epochShards(docs, "doc_id", "e2", nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e2.map(_._1).toSet.size == 500)
+    assert(e1.toSet != e2.toSet)
+    // partitioning of the input never changes the assignment
+    val e1b = Sampling.epochShards(docs.repartition(13), "doc_id", "e1", 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e1.toSet == e1b.toSet)
+  }
 }

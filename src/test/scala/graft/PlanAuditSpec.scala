@@ -32,7 +32,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_bm25_index_probe", "q_check_bm25_index", // same single-row stats shape
     "q_bm25_after_delete", // the probe shape over the retracted index
     "q_check_heavy_hitters", // single-row broadcast n_total frame
-    "q_mixture_weights") // single-row broadcast denominator frame
+    "q_mixture_weights", // single-row broadcast denominator frame
+    // LM scoring: single-row broadcast |V| frame (and, for the filter and
+    // gate, single-row count/fixed-point frames) — model-sized build
+    // sides; the bigram/context model tables ride EQUI-joins
+    "q_lm_score", "q_lm_filter", "q_check_lm_ppl")
 
   test("no accidental cartesian / nested-loop joins anywhere in the surface") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
