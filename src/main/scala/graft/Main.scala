@@ -257,6 +257,30 @@ object Main {
         .foreach(r => println(s"${r.getLong(0)}\t${r.getDouble(1)}"))
       spark.stop()
 
+    case "bpe-train" :: docs :: modelDir :: rest if rest.length <= 1 &&
+        rest.forall(_.toIntOption.exists(_ > 0)) =>
+      val spark = session("graft-bpe-train")
+      val numMerges = rest.headOption.map(_.toInt).getOrElse(256)
+      val model = graft.operators.BpeTokenizer.trainBpe(
+        spark.read.parquet(docs), numMerges)
+      graft.operators.BpeTokenizer.saveModel(model, modelDir)
+      val v = spark.read.parquet(s"$modelDir/vocab").count()
+      println(s"bpe model: ${model.merges.length} merges, $v vocab tokens -> $modelDir")
+      spark.stop()
+
+    case "bpe-encode" :: docs :: modelDir :: out :: Nil =>
+      val spark = session("graft-bpe-encode")
+      val merges = graft.operators.BpeTokenizer.loadMerges(spark, modelDir)
+      val vocab = graft.operators.BpeTokenizer.loadVocab(spark, modelDir)
+      val enc = graft.operators.BpeTokenizer.bpeEncodeIds(
+        spark.read.parquet(docs), merges, vocab)
+      enc.write.mode("overwrite").parquet(out)
+      val stats = spark.read.parquet(out)
+        .selectExpr("count(*)", "sum(n_tokens)", "sum(n_oov)").collect()(0)
+      println(s"encoded: ${stats.getLong(0)} docs, ${stats.getLong(1)} tokens, " +
+        s"${stats.getLong(2)} oov -> $out")
+      spark.stop()
+
     case "index-compact" :: idx :: Nil =>
       val spark = session("graft-index-compact")
       graft.operators.Search.bm25IndexCompact(spark, idx)
@@ -389,6 +413,8 @@ object Main {
            |  graft.Main index-build  <documentsParquetDir> <indexDir>
            |  graft.Main index-append <documentsParquetDir> <indexDir>
            |  graft.Main index-probe  <indexDir> <k> <term> [term...]
+           |  graft.Main bpe-train <documentsParquetDir> <modelDir> [numMerges]
+           |  graft.Main bpe-encode <documentsParquetDir> <modelDir> <outParquetDir>
            |  graft.Main index-compact <indexDir>
            |  graft.Main index-delete <indexDir> <id1,id2,...>
            |  graft.Main ann-build <embeddingsParquetDir> <indexDir> <nLists> <m>

@@ -340,6 +340,34 @@ object ScaleBench {
           avgTokens = 64, minTokens = 16, maxTokens = 256)
       }
 
+      // BPE training: the measured claim is that per-merge cost follows
+      // the WORD TABLE (one corpus-scale shuffle up front, then
+      // vocab-scale jobs), so with salted copies growing the distinct
+      // vocabulary linearly the whole train should grow ~linearly — and
+      // each merge's argmax moves ONE row to the driver. Fixed merge
+      // count: the model size is an operator parameter, not a function
+      // of corpus size.
+      measure("bpe_train", s"$scaleDir/out_bpetrain") {
+        graft.operators.BpeTokenizer
+          .trainBpe(corpus, numMerges = 16).mergesDf(spark)
+      }
+
+      // BPE id-encoding under a standing model (trained untimed — the
+      // persisted artifact): broadcast merges + vocab, zero-shuffle
+      // mapPartitions codec, cost linear in corpus bytes
+      // guard the untimed train with the same ops filter measure applies,
+      // so filtered iteration runs don't pay the model build
+      if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+          .exists(!_.exists("bpe_encode".contains))) {
+        val bpeModel = graft.operators.BpeTokenizer.trainBpe(
+          corpus, numMerges = 32)
+        val bpeVocab = graft.operators.BpeTokenizer.vocabMap(bpeModel)
+        measure("bpe_encode", s"$scaleDir/out_bpeenc") {
+          graft.operators.BpeTokenizer.bpeEncodeIds(
+            corpus, bpeModel.merges, bpeVocab)
+        }
+      }
+
       // WET ingestion: the corpus serialized to WET segment files
       // (untimed — production receives them from the crawler), timed
       // region = the full split-parallel parse back to a typed record

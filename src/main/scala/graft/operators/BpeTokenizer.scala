@@ -266,4 +266,94 @@ object BpeTokenizer {
     * Column-level so checks run in-plan. */
   def decodeTokens(tokens: Column): Column =
     array_join(transform(tokens, t => replace(t, lit(EOW), lit(""))), "")
+
+  /** Vocabulary of a trained model as (`token_id`, `token`): the training
+    * corpus's alphabet (every distinct code-point symbol plus [[EOW]])
+    * sorted lexicographically at ids `0..A-1`, then merge `r`'s product
+    * at id `A + r` — fully deterministic, so two engines handed the same
+    * model emit identical id maps. The table is vocab-scale (the model
+    * artifact, KBs–MBs at any corpus size); the id-assigning global sort
+    * runs on that artifact, never on the corpus. */
+  def vocabTable(model: BpeModel): DataFrame = {
+    val spark = model.words.sparkSession
+    import spark.implicits._
+    val alphabet = model.words
+      .select(explode(initialSyms(col("word"))).as("token"))
+      .distinct()
+    val nAlpha = alphabet.count()
+    val alphaIds = alphabet
+      .withColumn("token_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("token"))).cast(IntegerType) - 1)
+    val mergeIds = model.merges
+      .map(m => (m.left + m.right, nAlpha.toInt + m.rank))
+      .toDF("token", "token_id")
+    alphaIds.select(col("token_id"), col("token"))
+      .unionByName(mergeIds.select(col("token_id"), col("token")))
+  }
+
+  /** Encode a corpus straight to training-ready token ids:
+    * (`doc_id`, `token_ids`, `n_tokens`, `n_oov`). The vocabulary id map
+    * rides the same broadcast as the merges (both are the model
+    * artifact); symbols outside the vocabulary — code points never seen
+    * in training — emit id −1 and count in `n_oov`, so the caller
+    * decides between dropping, filtering, and an unk remap. Zero
+    * shuffle, linear in corpus bytes. */
+  def bpeEncodeIds(docs: DataFrame, merges: Seq[BpeMerge],
+      vocab: Map[String, Int], idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bcM = spark.sparkContext.broadcast(merges.toArray.sortBy(_.rank).toSeq)
+    val bcV = spark.sparkContext.broadcast(vocab)
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+        col(textCol).cast(StringType).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bcM.value
+        val v = bcV.value
+        val memo = mutable.HashMap.empty[String, Array[Int]]
+        it.map { case (id, text) =>
+          val words =
+            if (text == null) Array.empty[String]
+            else text.split("\\s+").filter(_.nonEmpty)
+          if (memo.size > encodeMemoCap) memo.clear()
+          val ids = words.flatMap(w => memo.getOrElseUpdate(w,
+            encodeWord(w, ms).map(v.getOrElse(_, -1))))
+          (id, ids, ids.length, ids.count(_ < 0))
+        }
+      }
+      .toDF("doc_id", "token_ids", "n_tokens", "n_oov")
+  }
+
+  /** Driver-side (token → id) map off [[vocabTable]] — the broadcastable
+    * model artifact `bpeEncodeIds` consumes. Vocab-scale collect (the
+    * same contract as the merge list itself). */
+  def vocabMap(model: BpeModel): Map[String, Int] =
+    vocabTable(model).collect()
+      .map(r => r.getString(1) -> r.getInt(0)).toMap
+
+  /** Persist a trained model under `dir` as two parquet tables —
+    * `merges` (rank, left, right, merged) and `vocab` (token_id, token).
+    * The artifact a training fleet ships alongside its shards. */
+  def saveModel(model: BpeModel, dir: String): Unit = {
+    val spark = model.words.sparkSession
+    model.mergesDf(spark).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/merges")
+    vocabTable(model).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** Load the ranked merge list of a [[saveModel]] artifact. */
+  def loadMerges(spark: SparkSession, dir: String): Seq[BpeMerge] =
+    spark.read.parquet(s"$dir/merges")
+      .select("rank", "left", "right").collect()
+      .map(r => BpeMerge(r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_.rank).toSeq
+
+  /** Load the (token → id) vocabulary of a [[saveModel]] artifact. */
+  def loadVocab(spark: SparkSession, dir: String): Map[String, Int] =
+    spark.read.parquet(s"$dir/vocab")
+      .select("token_id", "token").collect()
+      .map(r => r.getString(1) -> r.getInt(0)).toMap
 }

@@ -321,6 +321,18 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // training-ready id encoding: the learned tokens mapped through the
+    // deterministic vocab (sorted alphabet, then merges by rank) — the
+    // array a training fleet actually consumes. Rows-only (q_check_bpe
+    // pins id/token inversion and zero OOV on the training corpus).
+    "q_bpe_encode_ids" -> ((s, dir) => {
+      val (main, _) = bpeModel(s, dir)
+      BpeTokenizer.bpeEncodeIds(
+          t(s, dir, "documents").select("doc_id", "text"),
+          main.merges, BpeTokenizer.vocabMap(main))
+        .orderBy("doc_id")
+    }),
+
     // gate for the BPE pair: violation rows, oracle = empty set.
     //  structure   — merge count != bpeNumMerges, ranks not dense 0..n-1,
     //                or duplicate (left,right) pairs
@@ -330,6 +342,9 @@ object ExtensionQueries {
     //                whitespace-normalized text
     //  invariance  — a rank where the repartitioned-input model picked a
     //                different merge
+    //  vocab       — vocab ids not dense 0..V-1 or duplicate tokens
+    //  oov         — a training document whose id encoding has OOV ids
+    //                (the vocab must cover its own training corpus)
     "q_check_bpe" -> ((s, dir) => {
       val (main, alt) = bpeModel(s, dir)
       val mDf = main.mergesDf(s)
@@ -362,7 +377,20 @@ object ExtensionQueries {
           col("l1") =!= col("l2") || col("r1") =!= col("r2"))
         .select(lit("invariance").as("kind"),
           col("rank").cast(StringType).as("k"))
+      val vocabDf = BpeTokenizer.vocabTable(main)
+      val vocab = vocabDf.agg(
+          count(lit(1)).as("n"), countDistinct(col("token_id")).as("nid"),
+          countDistinct(col("token")).as("ntok"),
+          min(col("token_id")).as("mn"), max(col("token_id")).as("mx"))
+        .filter(col("nid") =!= col("n") || col("ntok") =!= col("n") ||
+          col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+        .select(lit("vocab").as("kind"), lit("table").as("k"))
+      val oov = BpeTokenizer.bpeEncodeIds(docs, main.merges,
+          BpeTokenizer.vocabMap(main))
+        .filter(col("n_oov") > 0)
+        .select(lit("oov").as("kind"), col("doc_id").cast(StringType).as("k"))
       structure.union(parity).union(roundtrip).union(invariance)
+        .union(vocab).union(oov)
         .orderBy("kind", "k")
     }),
 

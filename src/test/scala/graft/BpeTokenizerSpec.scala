@@ -137,6 +137,58 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(out(0)._2.isEmpty && out(1)._2.isEmpty && out(2)._2.nonEmpty)
   }
 
+  test("vocabTable: deterministic dense ids — sorted alphabet then merges by rank") {
+    val docs = corpus.toDF("doc_id", "text")
+    val model = BpeTokenizer.trainBpe(docs, numMerges = 20)
+    val vocab = BpeTokenizer.vocabTable(model).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    // dense 0..V-1, no duplicate tokens
+    assert(vocab.map(_._1).toSeq == vocab.indices)
+    assert(vocab.map(_._2).distinct.length == vocab.length)
+    val nAlpha = vocab.length - model.merges.length
+    // alphabet prefix is sorted and contains EOW; merge ids follow rank order
+    val alpha = vocab.take(nAlpha).map(_._2)
+    assert(alpha.sorted.toSeq == alpha.toSeq)
+    assert(alpha.contains(EOW))
+    for (m <- model.merges)
+      assert(vocab(nAlpha + m.rank)._2 == m.left + m.right)
+  }
+
+  test("bpeEncodeIds: ids invert through the vocab back to the token stream") {
+    val docs = corpus.toDF("doc_id", "text")
+    val model = BpeTokenizer.trainBpe(docs, numMerges = 20)
+    val vmap = BpeTokenizer.vocabMap(model)
+    val inv = vmap.map(_.swap)
+    val toks = BpeTokenizer.bpeEncode(docs, model.merges)
+      .orderBy("doc_id").as[(Long, Seq[String])].collect()
+    val ids = BpeTokenizer.bpeEncodeIds(docs, model.merges, vmap)
+      .orderBy("doc_id").as[(Long, Seq[Int], Int, Int)].collect()
+    assert(ids.forall(_._4 == 0), "training corpus must have zero OOV")
+    for (((_, ts), (_, is, n, _)) <- toks.zip(ids)) {
+      assert(n == is.length)
+      assert(is.map(inv) == ts)
+    }
+  }
+
+  test("bpeEncodeIds: out-of-alphabet code points count as OOV with id -1") {
+    val model = BpeTokenizer.trainBpe(Seq((1L, "ab ab")).toDF("doc_id", "text"), 5)
+    val vmap = BpeTokenizer.vocabMap(model)
+    val out = BpeTokenizer.bpeEncodeIds(
+        Seq((1L, "ab zz")).toDF("doc_id", "text"), model.merges, vmap)
+      .as[(Long, Seq[Int], Int, Int)].collect().head
+    assert(out._4 > 0)
+    assert(out._2.count(_ == -1) == out._4)
+  }
+
+  test("saveModel/loadMerges/loadVocab round-trip the artifact byte-exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_model").toString
+    val docs = corpus.toDF("doc_id", "text")
+    val model = BpeTokenizer.trainBpe(docs, numMerges = 15)
+    BpeTokenizer.saveModel(model, dir)
+    assert(BpeTokenizer.loadMerges(spark, dir) == model.merges)
+    assert(BpeTokenizer.loadVocab(spark, dir) == BpeTokenizer.vocabMap(model))
+  }
+
   test("non-BMP code points survive the Spark/JVM symbol split identically") {
     // U+1F600 is a surrogate pair in UTF-16; both halves must treat it
     // as ONE symbol or merges would corrupt it
