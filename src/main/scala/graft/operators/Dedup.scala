@@ -459,6 +459,23 @@ object Dedup {
     // running many corpora per session should clearCache between batches
     // (Bench does).
     val sigs = simhash(df, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    hash64NearDupPairs(sigs, maxHamming, maxBlockSize)
+  }
+
+  /** Banded Hamming-ball pairing core over ANY (`doc_id`, `simhash`)
+    * 64-bit signature frame — the engine shared by [[simhashNearDupPairs]]
+    * (text SimHash) and `Multimodal.imageNearDupPairs` (DCT perceptual
+    * hashes): chunk the 64 bits, bucket-join on chunk values (with the
+    * ≤ budget bit-flip mask explode when maxHamming exceeds the chunk
+    * count), guard hot blocks, verify with a codegen'd `bit_count` in the
+    * join projection. Callers persist `sigs` when it feeds both sides
+    * from a recomputed lineage (the SimHash caller's measured 4×-eval
+    * lesson); a parquet-backed signature frame needs no cache. */
+  private[graft] def hash64NearDupPairs(sigs: DataFrame,
+      maxHamming: Int, maxBlockSize: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming out of range [0, 15]: $maxHamming")
+    require(maxBlockSize > 1, s"maxBlockSize must exceed 1: $maxBlockSize")
     val (nChunks, budget) =
       if (maxHamming <= 3) (maxHamming + 1, 0) else (4, maxHamming / 4)
     def lo(c: Int) = c * 64 / nChunks
@@ -496,7 +513,7 @@ object Dedup {
     //    the narrow 4-rows/doc chunk stream, never the amplified probe
     //    stream. Chunk widths are uniform when budget > 0 (64/4 = 16),
     //    so one mask set serves all chunks.
-    val repartitioned = keptChunks.repartition(shufflePartitions(df))
+    val repartitioned = keptChunks.repartition(shufflePartitions(sigs))
     val probe =
       if (budget == 0) repartitioned
       else {

@@ -212,6 +212,14 @@ object Multimodal {
     * aspect, 12-bin Rec.601 luminance histogram; alpha ignored), so PNG
     * and PPM encodings of the same pixels produce the same features. */
   def decodePng(m: Media): MediaFeatures = {
+    val (w, h, rgb) = decodePngCanvas(m)
+    rgbFeatures(m, w, h, rgb)
+  }
+
+  /** [[decodePng]]'s pixel stage: full chunk walk, inflate, unfilter, and
+    * palette/alpha resolution to a row-major RGB canvas (3 B/px) — shared
+    * with the perceptual-hash path, which needs pixels, not features. */
+  private[graft] def decodePngCanvas(m: Media): (Int, Int, Array[Byte]) = {
     val b = m.bytes
     require(b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
       b(2) == 'N' && b(3) == 'G' && b(4) == '\r' && b(5) == '\n' &&
@@ -320,23 +328,43 @@ object Multimodal {
       }
       y += 1
     }
-    // feature pass — identical layout to decodePpm (maxv = 255)
+    // resolve palette/gray/alpha to a uniform RGB canvas (3 B/px)
+    val nPix = w.toLong * h
+    require(nPix * 3 <= Int.MaxValue - 8,
+      s"media ${m.media_id}: PNG too large for an RGB canvas (${w}x$h)")
+    val rgb = new Array[Byte](nPix.toInt * 3)
+    var pi = 0L
+    while (pi < nPix) {
+      val at = (pi * channels).toInt
+      val o = pi.toInt * 3
+      colorType match {
+        case 0 | 4 =>
+          val v = img(at); rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+        case 2 | 6 =>
+          rgb(o) = img(at); rgb(o + 1) = img(at + 1); rgb(o + 2) = img(at + 2)
+        case 3 =>
+          val idx = (img(at) & 0xff) * 3
+          require(idx + 2 < plte.length,
+            s"media ${m.media_id}: PNG palette index out of range")
+          rgb(o) = plte(idx); rgb(o + 1) = plte(idx + 1); rgb(o + 2) = plte(idx + 2)
+      }
+      pi += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** The shared feature pass over a row-major RGB canvas — identical
+    * layout to [[decodePpm]] (maxv = 255): channel means, aspect ratio,
+    * 12-bin integer-luminance histogram. */
+  private def rgbFeatures(m: Media, w: Int, h: Int,
+      rgb: Array[Byte]): MediaFeatures = {
     var sr = 0L; var sg = 0L; var sb2 = 0L
     val hist = new Array[Long](12)
     val nPix = w.toLong * h
     var pi = 0L
     while (pi < nPix) {
-      val at = (pi * channels).toInt
-      var r = 0; var g = 0; var bl = 0
-      colorType match {
-        case 0 | 4 => val v = img(at) & 0xff; r = v; g = v; bl = v
-        case 2 | 6 => r = img(at) & 0xff; g = img(at + 1) & 0xff; bl = img(at + 2) & 0xff
-        case 3 =>
-          val idx = (img(at) & 0xff) * 3
-          require(idx + 2 < plte.length,
-            s"media ${m.media_id}: PNG palette index out of range")
-          r = plte(idx) & 0xff; g = plte(idx + 1) & 0xff; bl = plte(idx + 2) & 0xff
-      }
+      val o = pi.toInt * 3
+      val r = rgb(o) & 0xff; val g = rgb(o + 1) & 0xff; val bl = rgb(o + 2) & 0xff
       sr += r; sg += g; sb2 += bl
       val lum = (r * 299 + g * 587 + bl * 114) / 1000
       hist((lum * 12) / 256) += 1
@@ -349,7 +377,7 @@ object Multimodal {
     feats(3) = w.toFloat / h
     var k = 0
     while (k < 12) { feats(4 + k) = (hist(k).toDouble / nPix).toFloat; k += 1 }
-    MediaFeatures(m.media_id, m.kind, b.length, w, h, feats)
+    MediaFeatures(m.media_id, m.kind, m.bytes.length, w, h, feats)
   }
 
   /** REAL GIF decoder (GIF87a/89a) — pure-JVM LZW with the full frame
@@ -1156,5 +1184,244 @@ object Multimodal {
       col("doc_id").as("media_id"),
       lit("fake/blob").as("kind"),
       col("text").cast(BinaryType).as("bytes")).as[Media]
+  }
+
+  /** Deterministic synthetic P6 scene keyed by `id` — the planted image
+    * corpus generator for the pHash queries and benches (TESTDATA.md has
+    * no image table). Four structurally distinct pattern families by
+    * `id % 4` (diagonal gradient, vertical stripes, checkerboard, radial)
+    * with per-id parameter jitter; `perturb` overlays small pixel noise
+    * (+3 on every 13th sample) — a planted near-duplicate that stays
+    * within a few pHash bits while remaining byte-distinct. Pure integer
+    * arithmetic: identical bytes on every JVM. */
+  def syntheticScenePpm(id: Long, w: Int = 48, h: Int = 48,
+      perturb: Boolean = false): Array[Byte] = {
+    val rgb = new Array[Byte](w * h * 3)
+    val fam = (id % 4).toInt
+    val p1 = (id / 4 % 7).toInt // small per-id structural jitter (pixels)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // strong LOW-frequency structure on purpose: a gradient plus one
+        // big family-positioned inverted region. Flat periodic textures
+        // (stripes, fine checkers) concentrate DCT energy near the AC
+        // median, where single-pixel noise flips hash bits — the planted
+        // twins would not reliably land inside the radius.
+        val g = fam match {
+          case 0 => (x * 220) / w
+          case 1 => (y * 220) / h
+          case 2 => ((x + y) * 220) / (w + h)
+          case _ =>
+            val dx = x - w / 2; val dy = y - h / 2
+            (math.sqrt(dx * dx + dy * dy) * 255 / (w / 2)).toInt.min(255)
+        }
+        val inRegion = fam match {
+          case 0 => x >= w / 8 + p1 && x < w / 2 + p1 && y >= h / 8 && y < h / 2
+          case 1 => x >= w / 2 - p1 && x < (7 * w) / 8 && y >= h / 2 && y < (7 * h) / 8
+          case 2 => y >= h / 3 + p1 && y < (2 * h) / 3 + p1
+          case _ => x >= w / 3 - p1 && x < (2 * w) / 3 - p1
+        }
+        val v = if (inRegion) 255 - g else g
+        val o = (y * w + x) * 3
+        rgb(o) = v.toByte
+        rgb(o + 1) = ((v * 3) / 4).toByte
+        rgb(o + 2) = (v / 2).toByte
+        x += 1
+      }
+      y += 1
+    }
+    if (perturb) {
+      var i = 0
+      while (i < rgb.length) {
+        rgb(i) = (((rgb(i) & 0xff) + 3).min(255)).toByte
+        i += 13
+      }
+    }
+    s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ rgb
+  }
+
+  // ---- perceptual hashing (image near-duplicate dedup) -----------------
+
+  /** Decode any supported image payload to its row-major RGB canvas
+    * (3 B/px) — the pixel-level bridge under [[perceptualHash64]]. GIF
+    * animations hash on their FIRST composed frame. Non-image kinds fail
+    * loudly: a perceptual hash of undecoded bytes would silently pair
+    * nothing. */
+  private[graft] def rgbCanvas(m: Media): (Int, Int, Array[Byte]) = m.kind match {
+    case "image/ppm" => decodePpmCanvas(m)
+    case "image/png" => decodePngCanvas(m)
+    case "image/jpeg" => decodeJpegCanvas(m)
+    case "image/gif" =>
+      val (w, h, frames) = decodeGifCanvas(m, maxFrames = 1)
+      (w, h, frames.head)
+    case other => throw new IllegalArgumentException(
+      s"media ${m.media_id}: no pixel decoder for kind '$other'")
+  }
+
+  /** [[decodePpm]]'s pixel stage: header parse + samples rescaled to the
+    * canonical 0-255 range (a non-255 maxval scales by round(v·255/maxv),
+    * so canvases are comparable across sources). */
+  private[graft] def decodePpmCanvas(m: Media): (Int, Int, Array[Byte]) = {
+    val b = m.bytes
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6',
+      s"media ${m.media_id}: not a binary PPM (P6) payload")
+    var i = 2
+    def skipSpace(): Unit = {
+      var go = true
+      while (go && i < b.length) {
+        val c = b(i)
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipSpace()
+      require(i < b.length && b(i) >= '0' && b(i) <= '9',
+        s"media ${m.media_id}: malformed PPM header")
+      var v = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    require(w > 0 && h > 0 && maxv > 0 && maxv < 256,
+      s"media ${m.media_id}: unsupported PPM ${w}x$h maxval $maxv")
+    i += 1
+    val nPix = w.toLong * h
+    require(nPix * 3 <= Int.MaxValue - 8,
+      s"media ${m.media_id}: PPM too large for an RGB canvas (${w}x$h)")
+    require(b.length - i >= nPix * 3,
+      s"media ${m.media_id}: truncated PPM — need ${nPix * 3} sample bytes, have ${b.length - i}")
+    if (maxv == 255) {
+      (w, h, java.util.Arrays.copyOfRange(b, i, i + nPix.toInt * 3))
+    } else {
+      val rgb = new Array[Byte](nPix.toInt * 3)
+      var p = 0
+      while (p < rgb.length) {
+        rgb(p) = (((b(i + p) & 0xff) * 255 + maxv / 2) / maxv).toByte
+        p += 1
+      }
+      (w, h, rgb)
+    }
+  }
+
+  /** Basis table for the 32-point DCT-II: cos((2x+1)·u·π/64) for
+    * x ∈ [0,32), u ∈ [0,8). `StrictMath` (fdlibm) so hashes are
+    * bit-identical across JVMs and architectures — a pHash that differs
+    * between executors would split identical images across buckets. */
+  private lazy val dctBasis: Array[Array[Double]] =
+    Array.tabulate(8, 32)((u, x) =>
+      StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 64.0))
+
+  /** 64-bit DCT perceptual hash (the classic pHash construction): decode
+    * to RGB, integer Rec.601 grayscale, box-average to a 32×32 canvas
+    * (area-true for any source size — nearest-neighbor sampling would
+    * alias high-frequency content into the low-frequency block), 2-D
+    * DCT-II, keep the top-left 8×8 low-frequency block, and set bit k−1
+    * for AC coefficient k above the AC median (63 AC bits; bit 63 is
+    * always 0). Robust to resizing, re-encoding (PNG↔PPM↔JPEG within
+    * quantization error), and small local edits; Hamming distance is the
+    * similarity measure. Deterministic everywhere: integer pixel path +
+    * StrictMath basis. */
+  def perceptualHash64(m: Media): Long = {
+    val (w, h, rgb) = rgbCanvas(m)
+    // grayscale box-average into 32×32: cell (i,j) averages the exact
+    // source rectangle [i·h/32,(i+1)·h/32) × [j·w/32,(j+1)·w/32) (never
+    // empty: bounds are forced strictly increasing for small sources)
+    val g = new Array[Double](32 * 32)
+    var i = 0
+    while (i < 32) {
+      val y0 = (i.toLong * h / 32).toInt
+      val y1 = math.max(y0 + 1, ((i + 1).toLong * h / 32).toInt)
+      var j = 0
+      while (j < 32) {
+        val x0 = (j.toLong * w / 32).toInt
+        val x1 = math.max(x0 + 1, ((j + 1).toLong * w / 32).toInt)
+        var sum = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          val row = y * w
+          while (x < math.min(x1, w)) {
+            val o = (row + x) * 3
+            sum += ((rgb(o) & 0xff) * 299 + (rgb(o + 1) & 0xff) * 587 +
+              (rgb(o + 2) & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        val cnt = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
+        g(i * 32 + j) = sum.toDouble / cnt
+        j += 1
+      }
+      i += 1
+    }
+    // top-left 8×8 of the 32×32 DCT-II (unnormalized — thresholding
+    // against the median makes scale factors irrelevant)
+    val coef = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 32) {
+          val bu = dctBasis(u)(y)
+          var x = 0
+          while (x < 32) {
+            s += g(y * 32 + x) * bu * dctBasis(v)(x)
+            x += 1
+          }
+          y += 1
+        }
+        coef(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+    val sorted = ac.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    var hash = 0L
+    var k = 0
+    while (k < 63) {
+      if (ac(k) > med) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** Perceptual hashes of an image corpus: (`media_id`, `kind`,
+    * `phash`). Narrow `mapPartitions` codec — zero shuffle, linear in
+    * corpus bytes, the signature table image dedup pairs on. */
+  def imagePHashes(ds: Dataset[Media]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(rows => rows.map(m =>
+        (m.media_id, m.kind, perceptualHash64(m))))
+      .toDF("media_id", "kind", "phash")
+  }
+
+  /** Image near-duplicate pairs over a perceptual-hash table
+    * ([[imagePHashes]] output or its parquet persistence): banded
+    * Hamming-ball candidate generation + exact `bit_count` verify via
+    * the shared [[Dedup.hash64NearDupPairs]] core — the same plan shape,
+    * hot-block guard, and scale contract as text SimHash dedup. Returns
+    * (`id_a`, `id_b`, `hamming`), `id_a < id_b`. Default radius 8: DCT
+    * pHashes of re-encodes/resizes land within a few bits, unrelated
+    * images differ by ~25-32. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 8,
+      maxBlockSize: Int = 1000): DataFrame = {
+    // persisted for the same reason simhashNearDupPairs persists its
+    // signature frame: the core feeds both join sides, and re-deriving
+    // this frame from a lazy imagePHashes lineage would re-DECODE the
+    // corpus once per side
+    val sigs = hashes
+      .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.hash64NearDupPairs(sigs, maxHamming, maxBlockSize)
   }
 }

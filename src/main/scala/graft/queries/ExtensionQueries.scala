@@ -242,6 +242,23 @@ object ExtensionQueries {
       (main, alt)
     })
 
+  /** Planted image corpus for the pHash queries: one deterministic P6
+    * scene per `doc_id < 64` (four structural families by id % 4) plus a
+    * pixel-perturbed near-duplicate twin at id + 1M — generated
+    * distributed off the documents ids (each task synthesizes its own
+    * rows; nothing ships from the driver). */
+  private def imageCorpus(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.Media] = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 64)
+      .as[Long]
+      .flatMap(id => Seq(
+        Multimodal.Media(id, "image/ppm",
+          Multimodal.syntheticScenePpm(id)),
+        Multimodal.Media(id + 1000000L, "image/ppm",
+          Multimodal.syntheticScenePpm(id, perturb = true))))
+  }
+
   /** Pre-build every session-scoped memo for `dir` — the IVF centroids,
     * PQ codebooks, standing BM25 index, and the staged WET corpus, with
     * exactly the parameters the queries use. Bench calls this in its
@@ -1627,6 +1644,57 @@ object ExtensionQueries {
         .orderBy("media_id")
     }),
 
+    // perceptual hashes over the planted image corpus: 64 base scenes
+    // (4 structural families) + their perturbed twins (id+1M), every
+    // payload a real P6 the codec decodes. Hash-based → rows-only;
+    // q_check_phash gates determinism, twin recall, cross-family
+    // precision, and pair ordering.
+    "q_image_phash" -> ((s, dir) =>
+      Multimodal.imagePHashes(imageCorpus(s, dir)).orderBy("media_id")),
+
+    // image near-duplicate pairs at radius 8 over the same corpus via the
+    // shared banded-Hamming core. Rows-only (gated by q_check_phash).
+    "q_image_near_dup" -> ((s, dir) =>
+      Multimodal.imageNearDupPairs(
+          Multimodal.imagePHashes(imageCorpus(s, dir)), maxHamming = 8)
+        .orderBy("id_a", "id_b")),
+
+    // gate for the pHash pair: violation rows, oracle = empty set.
+    //  determinism — hashing two independently generated instances of
+    //                the same corpus disagrees on any media_id
+    //  twin        — a planted perturbed twin (k, k+1M) missing from the
+    //                radius-8 pair set
+    //  family      — a pair of BASE scenes from different structural
+    //                families within radius 8 (unrelated images pairing)
+    //  order       — a pair row without id_a < id_b
+    "q_check_phash" -> ((s, dir) => {
+      val hashes = Multimodal.imagePHashes(imageCorpus(s, dir))
+      val again = Multimodal.imagePHashes(imageCorpus(s, dir))
+        .select(col("media_id"), col("phash").as("phash2"))
+      val determinism = hashes.join(again, Seq("media_id"), "full_outer")
+        .filter(col("phash").isNull || col("phash2").isNull ||
+          col("phash") =!= col("phash2"))
+        .select(lit("determinism").as("kind"),
+          col("media_id").cast(StringType).as("k"))
+      val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 8)
+      val twin = hashes.filter(col("media_id") < 1000000L)
+        .select(col("media_id"))
+        .join(pairs.filter(col("id_b") === col("id_a") + 1000000L)
+          .select(col("id_a").as("media_id")), Seq("media_id"), "left_anti")
+        .select(lit("twin").as("kind"),
+          col("media_id").cast(StringType).as("k"))
+      val family = pairs
+        .filter(col("id_a") < 1000000L && col("id_b") < 1000000L &&
+          col("id_a") % 4 =!= col("id_b") % 4)
+        .select(lit("family").as("kind"),
+          concat_ws("-", col("id_a"), col("id_b")).as("k"))
+      val order = pairs.filter(col("id_a") >= col("id_b"))
+        .select(lit("order").as("kind"),
+          concat_ws("-", col("id_a"), col("id_b")).as("k"))
+      determinism.union(twin).union(family).union(order)
+        .orderBy("kind", "k")
+    }),
+
     // WET ingestion round-trip: the documents table serialized to WET
     // files once per session (wetStage — multi-line payloads planted),
     // then read back through the full distributed path: record split on
@@ -1933,6 +2001,10 @@ object ExtensionQueries {
 
     "q_bpe_token_count" ->
       s"""SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_bpe_tokens, len($tokensSql) AS n_ws_tokens FROM documents ORDER BY doc_id""",
+
+    // pHash gate: image-dedup violations are rows, oracle = empty set
+    "q_check_phash" ->
+      """SELECT CAST(text AS VARCHAR) AS kind, CAST(text AS VARCHAR) AS k FROM documents WHERE 1 = 0 ORDER BY kind, k""",
 
     // BPE gate: training/encoding violations are rows, oracle = empty set
     "q_check_bpe" ->
