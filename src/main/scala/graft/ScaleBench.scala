@@ -368,6 +368,21 @@ object ScaleBench {
         }
       }
 
+      // image perceptual hashing: a planted P6 corpus ∝ scale, decoded
+      // and DCT-hashed in one narrow mapPartitions codec — the
+      // decode-bound linear regime (zero shuffle at every scale; the
+      // pairing that follows rides the same banded core the simhash rows
+      // measure). Each task synthesizes its own rows: the generator
+      // stands in for the archive scan, so the row times codec + DCT,
+      // not parquet IO of image blobs.
+      measure("image_phash", s"$scaleDir/out_phash") {
+        import spark.implicits._
+        val scenes = spark.range(2000L * scale).as[Long].map(id =>
+          graft.operators.Multimodal.Media(id, "image/ppm",
+            graft.operators.Multimodal.syntheticScenePpm(id)))
+        graft.operators.Multimodal.imagePHashes(scenes)
+      }
+
       // WET ingestion: the corpus serialized to WET segment files
       // (untimed — production receives them from the crawler), timed
       // region = the full split-parallel parse back to a typed record
