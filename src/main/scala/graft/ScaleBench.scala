@@ -383,6 +383,28 @@ object ScaleBench {
         graft.operators.Multimodal.imagePHashes(scenes)
       }
 
+      // audio fingerprinting: the WAV face of image_phash — Goertzel
+      // spectrogram + DCT hash in one narrow codec, zero shuffle;
+      // per-clip cost is 32 multiply-adds per sample. The planted clips
+      // are STAGED to parquet untimed (synthesis is 33 StrictMath.sin
+      // calls per sample — 5× the fingerprint's cost, and production
+      // receives bytes from the crawl, it doesn't synthesize them), so
+      // the row times decode + fingerprint off a real scan.
+      if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+          .exists(!_.exists("audio_fingerprint".contains))) {
+        import spark.implicits._
+        val audioPath = s"$scaleDir/audio.parquet"
+        spark.range(2000L * scale).as[Long].map(id =>
+            graft.operators.Multimodal.Media(id, "audio/wav",
+              graft.operators.Multimodal.syntheticToneWav(id)))
+          .write.mode("overwrite").parquet(audioPath)
+        measure("audio_fingerprint", s"$scaleDir/out_audiofp") {
+          graft.operators.Multimodal.audioHashes(
+            spark.read.parquet(audioPath)
+              .as[graft.operators.Multimodal.Media])
+        }
+      }
+
       // WET ingestion: the corpus serialized to WET segment files
       // (untimed — production receives them from the crawler), timed
       // region = the full split-parallel parse back to a typed record

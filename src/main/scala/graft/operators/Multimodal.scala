@@ -1359,8 +1359,14 @@ object Multimodal {
       }
       i += 1
     }
-    // top-left 8×8 of the 32×32 DCT-II (unnormalized — thresholding
-    // against the median makes scale factors irrelevant)
+    dctMedianBits(g)
+  }
+
+  /** The shared hash tail of [[perceptualHash64]] and [[audioHash64]]:
+    * top-left 8×8 of the 32×32 DCT-II of `g` (row-major 32×32,
+    * unnormalized — median thresholding makes scale factors irrelevant),
+    * bit k−1 set for AC coefficient k above the AC median. */
+  private def dctMedianBits(g: Array[Double]): Long = {
     val coef = new Array[Double](64)
     var u = 0
     while (u < 8) {
@@ -1393,6 +1399,201 @@ object Multimodal {
       k += 1
     }
     hash
+  }
+
+  /** Deterministic synthetic 16-bit PCM WAV keyed by `id` — the planted
+    * audio corpus generator for the fingerprint queries and benches (the
+    * audio face of [[syntheticScenePpm]]). Four tone-layout families by
+    * `id % 4` (distinct fundamental/mid/high triples, all inside the
+    * analysis band); per-id jitter moves AMPLITUDES only, so same-family
+    * clips stay mutually near while families stay ≥ the pairing radius
+    * apart. `perturb` remixes the tone levels ±10% — the planted
+    * near-duplicate (a re-levelled master). StrictMath synthesis:
+    * identical bytes on every JVM. */
+  def syntheticToneWav(id: Long, rate: Int = 8000, seconds: Double = 0.5,
+      perturb: Boolean = false): Array[Byte] = {
+    val fam = (id % 4).toInt
+    val p1 = (id / 4 % 5).toInt
+    val tones = Seq(
+      (250.0 + 125 * fam, 0.5 * (1 + 0.03 * p1)),
+      (875.0 + 250 * (fam % 3), 0.3 * (1 - 0.02 * p1)),
+      (1625.0 - 125 * ((fam + 1) % 5), 0.2))
+    val mix = if (!perturb) tones
+      else tones.zipWithIndex.map { case ((f, a), i) =>
+        (f, a * (if (i % 2 == 0) 1.1 else 0.9)) }
+    val n = (rate * seconds).toInt
+    val out = new java.io.ByteArrayOutputStream(44 + n * 2)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    out.write("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    w32(36 + n * 2)
+    out.write("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    w32(16); w16(1); w16(1); w32(rate); w32(rate * 2); w16(2); w16(16)
+    out.write("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    w32(n * 2)
+    var i = 0
+    while (i < n) {
+      val t = i.toDouble / rate
+      var v = 0.0
+      mix.foreach { case (f, a) =>
+        v += a * StrictMath.sin(2 * StrictMath.PI * f * t) }
+      // band-limited broadband bed (30 fixed faint sines, 63..1890 Hz),
+      // identical across ids: real audio is broadband, and a spectral
+      // fingerprint's empty bands need SIGNAL under them — without the
+      // bed those bins hold only window leakage, whose value shifts
+      // non-uniformly under remixing and flips near-median bits
+      var j = 1
+      while (j <= 30) {
+        v += 0.02 * StrictMath.sin(2 * StrictMath.PI * (63.0 * j) * t + 0.7 * j * j)
+        j += 1
+      }
+      w16((v.max(-0.999).min(0.999) * 32767).toInt)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  // ---- audio fingerprinting (WAV near-duplicate dedup) ------------------
+
+  /** [[decodeWav]]'s sample stage: header walk + channel-averaged mono
+    * mixdown to [-1, 1] doubles — the waveform bridge under
+    * [[audioHash64]]. Same format contract (PCM, 8/16-bit) and
+    * fail-loudly behavior as the feature codec. */
+  private[graft] def monoSamples(m: Media): (Int, Array[Double]) = {
+    val b = m.bytes
+    def u8(p: Int): Int = b(p) & 0xff
+    def u16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
+    def u32(p: Int): Long = (u16(p).toLong | (u16(p + 2).toLong << 16)) & 0xffffffffL
+    require(b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E',
+      s"media ${m.media_id}: not a RIFF/WAVE payload")
+    val (fmtAt, dataAt, dataLen) = walkRiffChunks(m)
+    require(fmtAt >= 0 && dataAt >= 0,
+      s"media ${m.media_id}: WAV missing fmt/data chunk")
+    val audioFormat = u16(fmtAt)
+    val nChannels = u16(fmtAt + 2)
+    val sampleRate = u32(fmtAt + 4)
+    val bitsPerSample = u16(fmtAt + 14)
+    require(audioFormat == 1,
+      s"media ${m.media_id}: non-PCM WAV (format $audioFormat) unsupported")
+    require(bitsPerSample == 8 || bitsPerSample == 16,
+      s"media ${m.media_id}: $bitsPerSample-bit PCM unsupported")
+    require(nChannels > 0 && sampleRate > 0,
+      s"media ${m.media_id}: degenerate WAV ($nChannels ch @ $sampleRate Hz)")
+    val bytesPerSample = bitsPerSample / 8
+    require(dataAt + dataLen <= b.length,
+      s"media ${m.media_id}: truncated WAV — data chunk claims $dataLen bytes")
+    val nSamples = (dataLen / (bytesPerSample * nChannels)).toInt
+    require(nSamples > 0, s"media ${m.media_id}: empty WAV data chunk")
+    val mono = new Array[Double](nSamples)
+    var s = 0
+    while (s < nSamples) {
+      var sum = 0.0
+      var c = 0
+      while (c < nChannels) {
+        val at = dataAt + ((s.toLong * nChannels + c) * bytesPerSample).toInt
+        sum +=
+          (if (bitsPerSample == 8) (u8(at) - 128) / 128.0
+           else u16(at).toShort / 32768.0)
+        c += 1
+      }
+      mono(s) = sum / nChannels
+      s += 1
+    }
+    (sampleRate.toInt, mono)
+  }
+
+  /** Frequency of spectrogram bin k (0-based): linear 60 Hz steps,
+    * 60..1920 Hz. Every bin sits strictly below the Nyquist of any
+    * ≥ 4 kHz stream ON PURPOSE: a bin that falls above Nyquist after
+    * decimation reads exactly zero where the original read spectral
+    * leakage, and log-scaling turns that into a fingerprint-wide bit
+    * flip — measured 30 bits of drift on a factor-2 decimation when the
+    * bins ran to 4 kHz. 0-2 kHz is also where speech/music energy
+    * concentrates, so the truncation costs little discrimination. */
+  private def binHz(k: Int): Double = 60.0 * (k + 1)
+
+  /** 64-bit audio fingerprint — the [[perceptualHash64]] construction on
+    * a SPECTROGRAM instead of an image: mono mixdown, 32 equal TIME
+    * slices of the whole clip (duration-normalized, so re-cuts of the
+    * same material at different rates align), 32 FREQUENCY bins at
+    * absolute 60 Hz..1.92 kHz via per-slice Goertzel (see [[binHz]] for
+    * why the bins stop below every plausible Nyquist), log energies,
+    * then the shared 8×8-DCT / AC-median bit tail. Robust to amplitude
+    * scaling (median threshold), channel layout (mono mixdown), and
+    * integer-factor resampling WHILE the decimated rate keeps Nyquist
+    * comfortably above the top analysis bin (rate ≥ ~8 kHz; at a 4 kHz
+    * output rate the real signal's conjugate-image leakage enters the
+    * 1.5-1.9 kHz bins non-uniformly — measured ~24 bits of drift — so
+    * telephone-rate audio should be fingerprinted BEFORE further
+    * decimation); Hamming distance is the similarity measure.
+    * StrictMath throughout — bit-identical on every JVM. */
+  def audioHash64(m: Media): Long = {
+    val (rate, x) = monoSamples(m)
+    val n = x.length
+    val g = new Array[Double](32 * 32)
+    val nyquist = rate / 2.0
+    var t = 0
+    while (t < 32) {
+      val s0 = (t.toLong * n / 32).toInt
+      val s1 = math.max(s0 + 1, ((t + 1).toLong * n / 32).toInt)
+      var k = 0
+      while (k < 32) {
+        val f = binHz(k)
+        val e =
+          if (f >= nyquist) 0.0
+          else {
+            // Hann-windowed Goertzel energy of the slice at absolute
+            // frequency f. The window is load-bearing: with a
+            // rectangular window, bins carrying no tone hold slow-decay
+            // (-13 dB sidelobe) leakage whose value shifts NON-uniformly
+            // under remixing/resampling — measured as family-dependent
+            // twin drift past the pairing radius. Hann's -31 dB
+            // sidelobes push empty bins toward the log floor, where
+            // they contribute stable bits.
+            val n_ = s1 - s0
+            val w = 2.0 * StrictMath.PI * f / rate
+            val coeff = 2.0 * StrictMath.cos(w)
+            val wStep = 2.0 * StrictMath.PI / (n_ - 1).max(1)
+            var s_1 = 0.0; var s_2 = 0.0
+            var i = s0
+            while (i < s1) {
+              val hann = 0.5 - 0.5 * StrictMath.cos(wStep * (i - s0))
+              val s = x(i) * hann + coeff * s_1 - s_2
+              s_2 = s_1; s_1 = s
+              i += 1
+            }
+            (s_1 * s_1 + s_2 * s_2 - coeff * s_1 * s_2) / n_
+          }
+        g(t * 32 + k) = StrictMath.log(1e-12 + e)
+        k += 1
+      }
+      t += 1
+    }
+    dctMedianBits(g)
+  }
+
+  /** Audio fingerprints of a WAV corpus: (`media_id`, `kind`, `ahash`).
+    * Narrow `mapPartitions` codec — zero shuffle, linear in corpus
+    * bytes (Goertzel is 32 multiply-adds per sample). */
+  def audioHashes(ds: Dataset[Media]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(rows => rows.map(m =>
+        (m.media_id, m.kind, audioHash64(m))))
+      .toDF("media_id", "kind", "ahash")
+  }
+
+  /** Audio near-duplicate pairs over an [[audioHashes]] table — the
+    * audio face of [[imageNearDupPairs]], riding the same shared banded
+    * Hamming core and hot-block guard. Returns (`id_a`, `id_b`,
+    * `hamming`), `id_a < id_b`. */
+  def audioNearDupPairs(hashes: DataFrame, maxHamming: Int = 8,
+      maxBlockSize: Int = 1000): DataFrame = {
+    val sigs = hashes
+      .select(col("media_id").as("doc_id"), col("ahash").as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.hash64NearDupPairs(sigs, maxHamming, maxBlockSize)
   }
 
   /** Perceptual hashes of an image corpus: (`media_id`, `kind`,

@@ -259,6 +259,22 @@ object ExtensionQueries {
           Multimodal.syntheticScenePpm(id, perturb = true))))
   }
 
+  /** Planted audio corpus for the fingerprint queries — the WAV face of
+    * [[imageCorpus]]: one deterministic tone-mixture clip per
+    * `doc_id < 64` (four layout families by id % 4) plus a re-levelled
+    * (±10% remix) near-duplicate twin at id + 1M. */
+  private def audioCorpus(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.Media] = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 64)
+      .as[Long]
+      .flatMap(id => Seq(
+        Multimodal.Media(id, "audio/wav",
+          Multimodal.syntheticToneWav(id)),
+        Multimodal.Media(id + 1000000L, "audio/wav",
+          Multimodal.syntheticToneWav(id, perturb = true))))
+  }
+
   /** Pre-build every session-scoped memo for `dir` — the IVF centroids,
     * PQ codebooks, standing BM25 index, and the staged WET corpus, with
     * exactly the parameters the queries use. Bench calls this in its
@@ -1695,6 +1711,50 @@ object ExtensionQueries {
         .orderBy("kind", "k")
     }),
 
+    // audio fingerprints over the planted tone corpus: the WAV face of
+    // q_image_phash (spectrogram pHash, shared DCT/median tail).
+    // Rows-only; q_check_audio gates the same four invariants.
+    "q_audio_fingerprint" -> ((s, dir) =>
+      Multimodal.audioHashes(audioCorpus(s, dir)).orderBy("media_id")),
+
+    // audio near-duplicate pairs at radius 8 via the shared banded core.
+    // Rows-only (gated by q_check_audio).
+    "q_audio_near_dup" -> ((s, dir) =>
+      Multimodal.audioNearDupPairs(
+          Multimodal.audioHashes(audioCorpus(s, dir)), maxHamming = 8)
+        .orderBy("id_a", "id_b")),
+
+    // gate for the audio pair: violation rows, oracle = empty set —
+    // the q_check_phash contract on the audio corpus (determinism,
+    // re-levelled twin recall, cross-family precision, ordering)
+    "q_check_audio" -> ((s, dir) => {
+      val hashes = Multimodal.audioHashes(audioCorpus(s, dir))
+      val again = Multimodal.audioHashes(audioCorpus(s, dir))
+        .select(col("media_id"), col("ahash").as("ahash2"))
+      val determinism = hashes.join(again, Seq("media_id"), "full_outer")
+        .filter(col("ahash").isNull || col("ahash2").isNull ||
+          col("ahash") =!= col("ahash2"))
+        .select(lit("determinism").as("kind"),
+          col("media_id").cast(StringType).as("k"))
+      val pairs = Multimodal.audioNearDupPairs(hashes, maxHamming = 8)
+      val twin = hashes.filter(col("media_id") < 1000000L)
+        .select(col("media_id"))
+        .join(pairs.filter(col("id_b") === col("id_a") + 1000000L)
+          .select(col("id_a").as("media_id")), Seq("media_id"), "left_anti")
+        .select(lit("twin").as("kind"),
+          col("media_id").cast(StringType).as("k"))
+      val family = pairs
+        .filter(col("id_a") < 1000000L && col("id_b") < 1000000L &&
+          col("id_a") % 4 =!= col("id_b") % 4)
+        .select(lit("family").as("kind"),
+          concat_ws("-", col("id_a"), col("id_b")).as("k"))
+      val order = pairs.filter(col("id_a") >= col("id_b"))
+        .select(lit("order").as("kind"),
+          concat_ws("-", col("id_a"), col("id_b")).as("k"))
+      determinism.union(twin).union(family).union(order)
+        .orderBy("kind", "k")
+    }),
+
     // WET ingestion round-trip: the documents table serialized to WET
     // files once per session (wetStage — multi-line payloads planted),
     // then read back through the full distributed path: record split on
@@ -2001,6 +2061,10 @@ object ExtensionQueries {
 
     "q_bpe_token_count" ->
       s"""SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_bpe_tokens, len($tokensSql) AS n_ws_tokens FROM documents ORDER BY doc_id""",
+
+    // audio gate: fingerprint violations are rows, oracle = empty set
+    "q_check_audio" ->
+      """SELECT CAST(text AS VARCHAR) AS kind, CAST(text AS VARCHAR) AS k FROM documents WHERE 1 = 0 ORDER BY kind, k""",
 
     // pHash gate: image-dedup violations are rows, oracle = empty set
     "q_check_phash" ->
