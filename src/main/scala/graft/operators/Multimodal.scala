@@ -1045,6 +1045,8 @@ object Multimodal {
         case m if m.kind == "image/gif" => decodeGif(m)
         case m if m.kind == "image/jpeg" => decodeJpeg(m)
         case m if m.kind == "audio/wav" => decodeWav(m)
+        case m if m.kind == "audio/flac" || m.kind == "audio/x-flac" =>
+          decodeFlacFeatures(m) // x-flac: the pre-registration MIME still in crawls
         case m => stubDecode(m)
       }
     }
@@ -1454,13 +1456,83 @@ object Multimodal {
     out.toByteArray
   }
 
-  // ---- audio fingerprinting (WAV near-duplicate dedup) ------------------
+  /** REAL codec for the common lossless compressed audio format: FLAC,
+    * decoded by [[Flac.decodeFlac]] (pure JVM — see its scaladoc for the
+    * supported subset and the verified-MD5 integrity contract). Feature
+    * layout is IDENTICAL to [[decodeWav]] — mean/RMS/zero-crossings/
+    * duration/|amplitude| histogram over the same normalization — so a
+    * FLAC and a WAV of the same PCM produce the same features, the
+    * cross-format property the PNG/PPM pair established for images. */
+  def decodeFlacFeatures(m: Media): MediaFeatures = {
+    val a = Flac.decodeFlac(m.bytes, m.media_id)
+    val norm = if (a.bits == 8) 128.0 else 32768.0
+    val nSamples = a.samples.length / a.channels
+    var sum = 0.0; var sumSq = 0.0; var crossings = 0L
+    val hist = new Array[Long](12)
+    var prevSign = 0
+    var s = 0
+    while (s < nSamples) {
+      var c = 0
+      while (c < a.channels) {
+        val raw = a.samples(s * a.channels + c)
+        // 8-bit FLAC is signed; WAV's 8-bit is offset — normalize the
+        // VALUE RANGE identically ([-1, 1]) so features agree
+        val v = raw / norm
+        sum += v; sumSq += v * v
+        val ab = math.abs(v)
+        hist(math.min(11, (ab * 12).toInt)) += 1
+        if (c == 0) {
+          val sign = if (v > 0) 1 else if (v < 0) -1 else 0
+          if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+          if (sign != 0) prevSign = sign
+        }
+        c += 1
+      }
+      s += 1
+    }
+    val total = nSamples.toLong * a.channels
+    val feats = new Array[Float](16)
+    feats(0) = ((sum / total + 1.0) / 2.0).toFloat
+    feats(1) = math.sqrt(sumSq / total).toFloat
+    feats(2) = (crossings.toDouble / nSamples).toFloat
+    feats(3) = (nSamples.toDouble / a.sampleRate).toFloat
+    var k = 0
+    while (k < 12) { feats(4 + k) = (hist(k).toDouble / total).toFloat; k += 1 }
+    MediaFeatures(m.media_id, m.kind, m.bytes.length, a.sampleRate, a.channels, feats)
+  }
+
+  // ---- audio fingerprinting (WAV/FLAC near-duplicate dedup) --------------
+
+  /** The waveform bridge under [[audioHash64]]: per-kind decode to a
+    * channel-averaged mono mixdown in [-1, 1]. WAV parses here
+    * (PCM 8/16-bit); FLAC rides [[Flac.decodeFlac]] — LOSSLESS, so a
+    * FLAC and a WAV of the same PCM fingerprint bit-identically. */
+  private[graft] def monoSamples(m: Media): (Int, Array[Double]) =
+    if (m.kind == "audio/flac" ||
+        (m.bytes.length >= 4 && m.bytes(0) == 'f' && m.bytes(1) == 'L' &&
+          m.bytes(2) == 'a' && m.bytes(3) == 'C')) {
+      val a = Flac.decodeFlac(m.bytes, m.media_id)
+      val norm = if (a.bits == 8) 128.0 else 32768.0
+      val nSamples = a.samples.length / a.channels
+      val mono = new Array[Double](nSamples)
+      var s = 0
+      while (s < nSamples) {
+        var sum = 0.0
+        var c = 0
+        while (c < a.channels) {
+          sum += a.samples(s * a.channels + c) / norm
+          c += 1
+        }
+        mono(s) = sum / a.channels
+        s += 1
+      }
+      (a.sampleRate, mono)
+    } else monoSamplesWav(m)
 
   /** [[decodeWav]]'s sample stage: header walk + channel-averaged mono
-    * mixdown to [-1, 1] doubles — the waveform bridge under
-    * [[audioHash64]]. Same format contract (PCM, 8/16-bit) and
-    * fail-loudly behavior as the feature codec. */
-  private[graft] def monoSamples(m: Media): (Int, Array[Double]) = {
+    * mixdown to [-1, 1] doubles. Same format contract (PCM, 8/16-bit)
+    * and fail-loudly behavior as the feature codec. */
+  private def monoSamplesWav(m: Media): (Int, Array[Double]) = {
     val b = m.bytes
     def u8(p: Int): Int = b(p) & 0xff
     def u16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
