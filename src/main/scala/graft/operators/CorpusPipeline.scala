@@ -403,4 +403,143 @@ object CorpusPipeline {
     }
     n
   }
+
+  // ---- streaming MEDIA dedup (perceptual hashes) -------------------------
+
+  /** Kinds the perceptual tier can hash. Everything else passes through
+    * the media sink UNDEDUPED (a payload without a pixel/waveform
+    * decoder cannot be perceptually compared; silently hashing its raw
+    * bytes would pair nothing and imply it was deduped). */
+  private val hashableKinds = Set(
+    "image/ppm", "image/png", "image/jpeg", "image/gif",
+    "audio/wav", "audio/flac", "audio/x-flac")
+
+  /** Perceptual signatures of a media batch: (`doc_id`, `modality`,
+    * `simhash`) — images through [[Multimodal.perceptualHash64]], audio
+    * through [[Multimodal.audioHash64]]. Only [[hashableKinds]] emit
+    * rows; malformed payloads of hashable kinds fail loudly (the codec
+    * contract). */
+  private def mediaSigs(batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch.select(col("media_id"), col("kind"), col("bytes"))
+      .as[Multimodal.Media]
+      .mapPartitions(_.flatMap { m =>
+        if (!hashableKinds.contains(m.kind)) None
+        else if (m.kind.startsWith("image/"))
+          Some((m.media_id, "image", Multimodal.perceptualHash64(m)))
+        else
+          Some((m.media_id, "audio", Multimodal.audioHash64(m)))
+      })
+      .toDF("doc_id", "modality", "simhash")
+  }
+
+  /** Streaming media ingest with standing perceptual dedup — the media
+    * face of [[writeStreamIncrementalDedup]]: each microbatch of
+    * (`media_id`, `kind`, `bytes`) rows is hashed (DCT pHash for
+    * images, spectrogram fingerprint for audio — so a re-encoded,
+    * re-levelled, or resized copy of already-kept media is a DUP, not a
+    * new row), deduped within the batch and against the STANDING
+    * signature table at Hamming radius `maxHamming`, and the survivors
+    * committed idempotently: corpus rows, then the chunk bucket index
+    * ([[Dedup.hash64BucketTable]], partitioned by modality so probes
+    * prune), then signatures LAST — the same self-healing
+    * fixed-order-commit proof as the text sink (the kept-set is a pure
+    * function of (batch, signature table)). Modalities never
+    * cross-match: probing and pairing run per modality.
+    *
+    * Unhashable kinds pass through to the corpus undeduped (see
+    * [[hashableKinds]]). Single-writer contract. */
+  def writeStreamMediaDedup(media: DataFrame, corpusDir: String,
+      sigDir: String, checkpointDir: String, maxHamming: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        mediaCommit(batch, batchId, corpusDir, sigDir, maxHamming))
+      .start()
+
+  /** One media-sink commit — package-visible so the spec drives replay,
+    * divergence-repair, and cross-modality scenarios directly. */
+  private[graft] def mediaCommit(batch: DataFrame, batchId: Long,
+      corpusDir: String, sigDir: String, maxHamming: Int): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val spark = batch.sparkSession
+    val bucketDir = sigDir + ".buckets"
+    val fs = new HPath(sigDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasParquet(dir: String): Boolean = {
+      val p = new HPath(dir)
+      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    }
+    val modalities = Seq("image", "audio")
+    val sigs = mediaSigs(batch).persist()
+    sigs.count() // materialize: exact stats → broadcast probes (see minhashDedupAgainst)
+    // intra-batch twins per modality — same min-id-keeper rule as text
+    val intraLosers = modalities.map(mod =>
+        Dedup.hash64NearDupPairs(sigs.filter(col("modality") === mod),
+          maxHamming, maxBlockSize = 1000)
+          .select(col("id_b").as("doc_id")))
+      .reduce(_ union _).distinct()
+    val keptSigs = sigs.join(intraLosers, Seq("doc_id"), "left_anti")
+    val fresh =
+      if (!hasParquet(sigDir)) keptSigs
+      else {
+        if (!hasParquet(bucketDir)) // pre-index table: backfill once
+          bucketRows(spark.read.parquet(sigDir))
+            .write.mode("overwrite").parquet(bucketDir)
+        else {
+          // partial-divergence repair: every commit backfills sig rows
+          // the bucket index is missing (the text sink's contract)
+          val unindexed = spark.read.parquet(sigDir)
+            .join(spark.read.parquet(bucketDir).select("doc_id").distinct(),
+              Seq("doc_id"), "left_anti")
+          if (!unindexed.isEmpty) {
+            bucketRows(unindexed)
+              .write.mode("append").parquet(bucketDir)
+            spark.catalog.refreshByPath(bucketDir)
+          }
+        }
+        modalities.map { mod =>
+          Dedup.hash64DedupAgainst(
+              keptSigs.filter(col("modality") === mod)
+                .select("doc_id", "simhash"),
+              spark.read.parquet(bucketDir)
+                .filter(col("modality") === mod)
+                .select("chunk", "v", "doc_id", "simhash"),
+              maxHamming)
+            .filter(col("is_new")).select("doc_id")
+        }.reduce(_ union _)
+          .join(keptSigs, Seq("doc_id")) // reattach modality + hash
+      }
+    // EAGER local checkpoint, not persist: the kept-set's plan reads
+    // bucketDir (the standing-index probe), and the commit's own bucket
+    // append below invalidates any cache keyed on that path — a
+    // persisted `fresh` would silently RECOMPUTE at the signature
+    // append, probe its own just-appended buckets, classify every fresh
+    // row as a dup of itself, and append an empty signature batch
+    // (observed exactly so). The checkpoint pins the kept-set before
+    // any directory is touched.
+    val freshP = fresh.localCheckpoint(true)
+    // corpus rows: fresh hashable media + every unhashable pass-through
+    val keepIds = freshP.select(col("doc_id").as("media_id"))
+      .union(batch.select(col("media_id"))
+        .join(sigs.select(col("doc_id").as("media_id")), Seq("media_id"), "left_anti"))
+    val corpusRows = batch.join(keepIds, Seq("media_id"), "left_semi")
+    // fixed order, one marker per dir; signatures LAST (see scaladoc)
+    graft.io.Sinks.appendBatchIdempotent(corpusRows, corpusDir, batchId)
+    graft.io.Sinks.appendBatchIdempotent(
+      bucketRows(freshP), bucketDir, batchId)
+    graft.io.Sinks.appendBatchIdempotent(freshP, sigDir, batchId)
+    sigs.unpersist()
+    Seq(corpusDir, sigDir, bucketDir).foreach(spark.catalog.refreshByPath)
+    ()
+  }
+
+  /** (`chunk`, `v`, `doc_id`, `simhash`, `modality`) bucket rows of a
+    * signature frame. */
+  private def bucketRows(sigs: DataFrame): DataFrame =
+    Dedup.hash64BucketTable(sigs.select("doc_id", "simhash"))
+      .join(sigs.select("doc_id", "modality"), Seq("doc_id"))
 }

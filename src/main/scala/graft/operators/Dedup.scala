@@ -534,6 +534,78 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Bucket index over a (`doc_id`, `simhash`) signature frame for
+    * batch-vs-reference Hamming probing: one row per 16-bit chunk value
+    * — (`chunk`, `v`, `doc_id`, `simhash`), the persisted artifact an
+    * incremental media-dedup stream maintains (the 64-bit analogue of
+    * [[minhashBucketTable]]). Multi-index hashing (Norouzi et al. 2012):
+    * any two hashes within Hamming distance h agree exactly on some
+    * chunk after at most ⌊h/4⌋ bit flips, so probing 4 chunk tables with
+    * a flip budget finds every neighbor. */
+  def hash64BucketTable(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))
+        }: _*)).as("cb"))
+      .select(col("cb.chunk").as("chunk"), col("cb.v").as("v"),
+        col("doc_id"), col("simhash"))
+
+  /** Batch-vs-reference Hamming dedup over 64-bit signatures — the
+    * incremental face of [[hash64NearDupPairs]], mirroring
+    * [[minhashDedupAgainst]]'s contract: a bounded batch probes the
+    * STANDING [[hash64BucketTable]] index (today's media against
+    * everything kept), O(batch × bucket occupancy), never pairs².
+    *
+    * The batch side explodes each signature's 4 chunks through the
+    * ≤ ⌊maxHamming/4⌋ bit-flip mask set and is broadcast BY HINT (the
+    * microbatch contract — same static-vs-AQE timing reason as the
+    * minhash probe); the reference index only ever streams through its
+    * column-pruned scan. Exact `bit_count` verify on the joined row.
+    *
+    * `maxBucketSize` drops over-cap REFERENCE buckets from candidate
+    * generation (with 16-bit chunks a billion-row index averages
+    * thousands per bucket — the cap bounds the pathological ones;
+    * documented recall tradeoff, same contract as the pairing core's
+    * hot-block guard).
+    *
+    * Returns one row per batch id: (`doc_id`, `dup_of_ref` = min
+    * matching ref id or null, `hamming` of that match or null,
+    * `is_new`). */
+  def hash64DedupAgainst(batchSigs: DataFrame, refBuckets: DataFrame,
+      maxHamming: Int = 8, maxBucketSize: Int = 100000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming out of range [0, 15]: $maxHamming")
+    val budget = maxHamming / 4
+    val masks: Seq[Long] = (0 to budget).flatMap(k =>
+      (0 until 16).combinations(k).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+    val kept =
+      if (maxBucketSize <= 0) refBuckets
+      else {
+        val hot = refBuckets.groupBy(col("chunk"), col("v"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucketSize)
+          .select("chunk", "v")
+        refBuckets.join(hot, Seq("chunk", "v"), "left_anti")
+      }
+    val probe = hash64BucketTable(batchSigs.select("doc_id", "simhash"))
+      .select(col("doc_id"), col("simhash"), col("chunk"),
+        explode(array(masks.map(m => col("v").bitwiseXOR(lit(m))): _*)).as("v"))
+    val matches = kept.as("o")
+      .join(broadcast(probe).as("n"),
+        col("n.chunk") === col("o.chunk") && col("n.v") === col("o.v"))
+      .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("ref_id"),
+        bit_count(col("n.simhash").bitwiseXOR(col("o.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("ref_id"), col("hamming"))).as("m"))
+      .select(col("doc_id"), col("m.ref_id").as("dup_of_ref"),
+        col("m.hamming").as("hamming"))
+    batchSigs.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .withColumn("is_new", col("dup_of_ref").isNull)
+  }
+
   /** Connected components over an undirected pair list — the step that
     * turns near-dup PAIRS (minhash/simhash/ngram/embedding output) into
     * dedup CLUSTERS with a canonical keeper (the component's min id).

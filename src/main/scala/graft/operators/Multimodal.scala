@@ -1197,7 +1197,7 @@ object Multimodal {
     * within a few pHash bits while remaining byte-distinct. Pure integer
     * arithmetic: identical bytes on every JVM. */
   def syntheticScenePpm(id: Long, w: Int = 48, h: Int = 48,
-      perturb: Boolean = false): Array[Byte] = {
+      perturb: Boolean = false, variant: Int = 0): Array[Byte] = {
     val rgb = new Array[Byte](w * h * 3)
     val fam = (id % 4).toInt
     val p1 = (id / 4 % 7).toInt // small per-id structural jitter (pixels)
@@ -1224,7 +1224,11 @@ object Multimodal {
           case 2 => y >= h / 3 + p1 && y < (2 * h) / 3 + p1
           case _ => x >= w / 3 - p1 && x < (2 * w) / 3 - p1
         }
-        val v = if (inRegion) 255 - g else g
+        // odd variants invert the tonal structure — a guaranteed-distant
+        // scene at the same (family, jitter), the "genuinely new
+        // content" the dedup gates plant (every AC coefficient negates)
+        val v0 = if (inRegion) 255 - g else g
+        val v = if (variant % 2 == 1) 255 - v0 else v0
         val o = (y * w + x) * 3
         rgb(o) = v.toByte
         rgb(o + 1) = ((v * 3) / 4).toByte
@@ -1413,13 +1417,17 @@ object Multimodal {
     * near-duplicate (a re-levelled master). StrictMath synthesis:
     * identical bytes on every JVM. */
   def syntheticToneWav(id: Long, rate: Int = 8000, seconds: Double = 0.5,
-      perturb: Boolean = false): Array[Byte] = {
+      perturb: Boolean = false, variant: Int = 0): Array[Byte] = {
     val fam = (id % 4).toInt
     val p1 = (id / 4 % 5).toInt
+    // variants shift every tone off the family grid (+90 Hz per step,
+    // between the 125 Hz family spacings) — guaranteed-distant new
+    // material at the same (family, jitter) for the dedup gates
+    val vs = 90.0 * variant
     val tones = Seq(
-      (250.0 + 125 * fam, 0.5 * (1 + 0.03 * p1)),
-      (875.0 + 250 * (fam % 3), 0.3 * (1 - 0.02 * p1)),
-      (1625.0 - 125 * ((fam + 1) % 5), 0.2))
+      (250.0 + 125 * fam + vs, 0.5 * (1 + 0.03 * p1)),
+      (875.0 + 250 * (fam % 3) + vs, 0.3 * (1 - 0.02 * p1)),
+      (1625.0 - 125 * ((fam + 1) % 5) + vs, 0.2))
     val mix = if (!perturb) tones
       else tones.zipWithIndex.map { case ((f, a), i) =>
         (f, a * (if (i % 2 == 0) 1.1 else 0.9)) }
