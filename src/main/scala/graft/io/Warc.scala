@@ -131,6 +131,64 @@ object Warc {
         col("html_text").as("text"))
   }
 
+  /** Serialize `(target_uri, content_type, payload)` rows as WARC
+    * `response` archives — one `segN.warc` per partition, each record a
+    * framed HTTP response with the payload bytes intact (binary-safe).
+    * The write counterpart of [[readWarc]]: a curated subset re-shared
+    * as WARC, or test/bench staging. Hadoop-FS streams, any scheme;
+    * parallelism = input partitions, zero shuffle. Round-trips through
+    * [[parseWarcBytes]] byte-exactly (WarcSpec). */
+  def writeWarcResponses(df: DataFrame, dir: String): Unit = {
+    val cols = df.select(col("target_uri"), col("content_type"), col("payload"))
+    cols.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(s"$dir/seg$pid.warc")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = new java.io.BufferedOutputStream(fs.create(path, true))
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        try it.foreach { r =>
+          val body = r.getAs[Array[Byte]](2)
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: ${r.getString(1)}\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii)
+          out.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: ${r.getString(0)}\r\n" +
+            s"Content-Length: ${http.length + body.length}\r\n\r\n").getBytes(ascii))
+          out.write(http); out.write(body)
+          out.write("\r\n\r\n".getBytes(ascii))
+        } finally out.close()
+      }
+    }
+  }
+
+  /** Curate-ready documents from `application/pdf` responses — the PDF
+    * face of [[toDocumentsHtml]]: payload through `Pdf.extractText`
+    * (pure-JVM FlateDecode + content-stream interpretation, fail-loudly),
+    * identity/lang-ID exactly as the HTML path — so the crawl's
+    * second-biggest text carrier feeds `CorpusPipeline.curate` without
+    * leaving Spark. The extraction is a typed mapPartitions codec (a
+    * binary format walk is imperative per-row work, the [[graft.operators.Multimodal]]
+    * codec rule), narrow and shuffle-free: parallelism follows the
+    * archive files, like every ingest path here. */
+  def toDocumentsPdf(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    import graft.functions.TextFunctions
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type")) === "application/pdf")
+      .select(
+        xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, url, bytes) =>
+        (id, url, graft.operators.Pdf.extractText(bytes, id)) })
+      .toDF("doc_id", "url", "text")
+      .select(col("doc_id"), col("url"),
+        TextFunctions.langId(col("text")).as("lang"), col("text"))
+  }
+
   /** Sequential record walk over one (decompressed) archive. Malformed
     * framing never throws: the offending record surfaces with
     * `framing_ok = false` and the walk stops (nothing after a framing

@@ -878,11 +878,22 @@ object Dedup {
     // predicted-volume width replaces that exchange (the distribution
     // satisfies the agg, so no second shuffle) and bounds each task's
     // hash table at ~pairsPerTask entries — flat grain at any scale.
-    val shared = saltedSelfPairs(
+    // …but only when the predicted width EXCEEDS the session width: at
+    // width == conf the agg's own exchange lands on the identical
+    // distribution anyway AND keeps map-side partial aggregation (pairs
+    // sharing several shingles pre-combine before the shuffle) — the
+    // explicit repartition there trades that compression for nothing
+    // (measured ~0.4 s/call at sf0.1, the same conditional-widen rule as
+    // saltedSelfPairs' probe side).
+    val rawPairs = saltedSelfPairs(
       kept.select(col("sh").as("key"), col("doc_id").as("id")),
       dfs.filter(col("df") <= maxDocFreq).select(col("sh").as("key"), col("df").as("n")),
       saltDocFreq, width)
-      .repartition(width, col("id_a"), col("id_b"))
+    val pairsKeyed =
+      if (width > shufflePartitions(df))
+        rawPairs.repartition(width, col("id_a"), col("id_b"))
+      else rawPairs
+    val shared = pairsKeyed
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
 

@@ -1,0 +1,525 @@
+package graft.operators
+
+import java.util.zip.Inflater
+
+/** Pure-JVM PDF text extraction — the `application/pdf` face of crawl
+  * ingestion. HTML responses flow through `TextFunctions.htmlToText` and
+  * media through the [[Multimodal]] codecs; PDF is the one remaining
+  * high-volume TEXT carrier in a real crawl (papers, reports, manuals),
+  * and this extractor turns those payloads into curate-ready documents
+  * with zero native dependencies: `java.util.zip.Inflater` for
+  * FlateDecode (the ubiquitous content-stream filter) and byte
+  * arithmetic for everything else, same as the PNG/FLAC codecs.
+  *
+  * Coverage — the format subset that dominates text-bearing PDFs in the
+  * wild (PDF 1.0–1.7 structural features, ISO 32000 is public):
+  *
+  *   - content streams stored raw or `/FlateDecode`-compressed,
+  *     direct OR indirect `/Length`;
+  *   - text-showing operators `Tj`, `'`, `"`, and `TJ` arrays (kerning
+  *     numbers skipped; a kern gap ≤ −180 text-space units — more than
+  *     half an em at any sane font size — reads as a synthesized space,
+  *     the standard heuristic for extractors without glyph metrics);
+  *   - literal strings with the full escape battery (`\n \r \t \b \f
+  *     \( \) \\`, octal `\ooo`, backslash line continuations, nested
+  *     parens) and hex strings (odd length zero-padded per spec);
+  *   - line structure from the text-positioning operators: `T*`, `'`,
+  *     `"`, and `Td`/`TD` with a non-zero vertical component emit a
+  *     newline between shows (the first positioning op of a text object
+  *     only PLACES the first line); separate `BT…ET` objects and
+  *     separate content streams join with a newline;
+  *   - inline images (`BI…ID…EI`) and embedded dictionaries are skipped
+  *     as opaque spans; streams whose dict declares a non-Flate filter
+  *     (`/DCTDecode` images, …) or a structural type (`/ObjStm`,
+  *     `/XRef`, `/Metadata`, font files) are not content and are never
+  *     text-scanned.
+  *
+  * String bytes accumulate raw and decode UTF-8 at the end (ASCII PDFs —
+  * the overwhelming majority — are unaffected; our own generator
+  * round-trips any UTF-8 text; other producers' non-ASCII simple-font
+  * PDFs degrade to replacement chars rather than throwing — mojibake
+  * degrades quality scores downstream, the same documented tradeoff as
+  * WET's UTF-8 decode). Composite-font (CID/Type0) PDFs shower two-byte
+  * codes through the same path: garbage-in-garbage-out TEXT but no crash
+  * — the quality gate is the downstream filter, per the curation design.
+  *
+  * Fail-loudly contract (the [[Multimodal]] codec rule): not-a-PDF and
+  * encrypted documents throw `IllegalArgumentException` — a silently
+  * empty text for an encrypted doc would read as "no text" and poison
+  * dedup statistics; a corrupt Flate stream surfaces the underlying
+  * `DataFormatException` wrapped with the media id.
+  */
+object Pdf {
+
+  /** Extracted text of one PDF payload. Empty string is a VALID result
+    * (a pure-image PDF has no text layer); malformed input throws. */
+  def extractText(bytes: Array[Byte], mediaId: Long = -1L): String = {
+    require(bytes.length >= 8 && startsWith(bytes, 0, "%PDF-"),
+      s"media $mediaId: not a PDF payload (missing %PDF- header)")
+    requireNotEncrypted(bytes, mediaId)
+    val out = new StringBuilder
+    var from = 0
+    var streamAt = indexOf(bytes, "stream", from)
+    while (streamAt >= 0) {
+      // `endstream`/`ObjStm` etc. also contain the letters "stream" —
+      // accept only the standalone keyword
+      val kwOk = isTokenBoundary(bytes, streamAt - 1) &&
+        !precededBy(bytes, streamAt, "end")
+      var next = streamAt + 6
+      if (kwOk) {
+        val dict = dictBefore(bytes, streamAt)
+        val dataStart = afterStreamKeyword(bytes, streamAt)
+        if (dataStart >= 0 && isTextCandidate(dict)) {
+          val len = declaredLength(bytes, dict)
+          val dataEnd = len match {
+            case Some(n) if dataStart + n <= bytes.length => dataStart + n
+            case _ => // damaged or indirect-unresolvable Length: scan
+              val e = indexOf(bytes, "endstream", dataStart)
+              if (e < 0) bytes.length else trimEol(bytes, e)
+          }
+          val data = decodeStream(bytes, dataStart, dataEnd, dict, mediaId)
+          if (hasBtToken(data)) {
+            val text = extractContentText(data, mediaId)
+            if (text.nonEmpty) {
+              if (out.nonEmpty) out.append('\n')
+              out.append(text)
+            }
+          }
+          next = math.max(next, dataEnd)
+        }
+      }
+      from = next
+      streamAt = indexOf(bytes, "stream", from)
+    }
+    out.toString
+  }
+
+  // ---------------------------------------------------------------------
+  // document-level scanning
+
+  /** Encryption check: `/Encrypt` inside a trailer dictionary (classic
+    * trailer keyword or a cross-reference stream's dict). Searching only
+    * dict regions keeps a content string containing the characters
+    * "/Encrypt" from false-positiving. */
+  private def requireNotEncrypted(bytes: Array[Byte], mediaId: Long): Unit = {
+    var at = indexOf(bytes, "trailer", 0)
+    while (at >= 0) {
+      val window = new String(bytes, at,
+        math.min(2048, bytes.length - at), java.nio.charset.StandardCharsets.ISO_8859_1)
+      require(!window.contains("/Encrypt"),
+        s"media $mediaId: encrypted PDF (cannot extract text without the key)")
+      at = indexOf(bytes, "trailer", at + 7)
+    }
+    // xref-stream PDFs have no `trailer` keyword; their /XRef dict carries
+    // /Encrypt instead — dictBefore finds it when the stream is scanned,
+    // so check every stream dict too (cheap: dicts only)
+    var s = indexOf(bytes, "stream", 0)
+    while (s >= 0) {
+      if (isTokenBoundary(bytes, s - 1) && !precededBy(bytes, s, "end")) {
+        val d = dictBefore(bytes, s)
+        require(!(d.contains("/XRef") && d.contains("/Encrypt")),
+          s"media $mediaId: encrypted PDF (cannot extract text without the key)")
+      }
+      s = indexOf(bytes, "stream", s + 6)
+    }
+  }
+
+  /** The dictionary text between the object header and the `stream`
+    * keyword — enough to read /Filter, /Length, /Type without a full
+    * object parser. Decoded latin-1 (dict tokens are ASCII). */
+  private def dictBefore(bytes: Array[Byte], streamAt: Int): String = {
+    val objAt = lastIndexOf(bytes, "obj", streamAt)
+    val from = if (objAt < 0) math.max(0, streamAt - 512) else objAt
+    new String(bytes, from, streamAt - from,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** Position right after `stream` + EOL (spec: CRLF or bare LF). −1 if
+    * the keyword isn't followed by an EOL (not a stream object). */
+  private def afterStreamKeyword(bytes: Array[Byte], streamAt: Int): Int = {
+    var p = streamAt + 6
+    if (p < bytes.length && bytes(p) == '\r') p += 1
+    if (p < bytes.length && bytes(p) == '\n') p + 1 else -1
+  }
+
+  /** Structural / binary stream types that must never be text-scanned —
+    * plus any filter this extractor can't decode (image codecs etc.):
+    * only no-filter and FlateDecode streams are candidates. */
+  private def isTextCandidate(dict: String): Boolean = {
+    val structural = Seq("/ObjStm", "/XRef", "/Metadata", "/EmbeddedFile",
+      "/FontFile", "/Image").exists(dict.contains)
+    val hasFilter = dict.contains("/Filter")
+    !structural && (!hasFilter || dict.contains("/FlateDecode"))
+  }
+
+  /** Direct `/Length 123` or indirect `/Length 6 0 R` resolved by
+    * scanning for `6 0 obj` and parsing the integer it wraps. */
+  private def declaredLength(bytes: Array[Byte], dict: String): Option[Int] = {
+    val direct = "/Length\\s+(\\d+)(?!\\s+\\d+\\s+R)".r
+    direct.findFirstMatchIn(dict).map(_.group(1).toInt).orElse {
+      "/Length\\s+(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(dict).flatMap { m =>
+        val at = indexOf(bytes, s"${m.group(1)} ${m.group(2)} obj", 0)
+        if (at < 0) None
+        else {
+          val tail = new String(bytes, at, math.min(64, bytes.length - at),
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          "obj\\s+(\\d+)".r.findFirstMatchIn(tail).map(_.group(1).toInt)
+        }
+      }
+    }
+  }
+
+  /** Walk back across the EOL that separates data from `endstream`. */
+  private def trimEol(bytes: Array[Byte], endstreamAt: Int): Int = {
+    var e = endstreamAt
+    if (e > 0 && bytes(e - 1) == '\n') e -= 1
+    if (e > 0 && bytes(e - 1) == '\r') e -= 1
+    e
+  }
+
+  private def decodeStream(bytes: Array[Byte], from: Int, until: Int,
+      dict: String, mediaId: Long): Array[Byte] = {
+    val raw = java.util.Arrays.copyOfRange(bytes, from, math.max(from, until))
+    if (!dict.contains("/FlateDecode")) raw
+    else try inflate(raw) catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"media $mediaId: corrupt FlateDecode stream (${e.getMessage})", e)
+    }
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val buf = new Array[Byte](16 * 1024)
+    while (!inf.finished() && !inf.needsInput()) {
+      val n = inf.inflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+      else if (n == 0 && !inf.finished()) {
+        require(!inf.needsDictionary(), "preset-dictionary zlib stream")
+        if (inf.needsInput()) // truncated input
+          throw new java.util.zip.DataFormatException("truncated Flate data")
+      }
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** Standalone `BT` token present? (ObjStm false-positives are already
+    * filtered by dict type; this keeps image/binary raw streams out.) */
+  private def hasBtToken(data: Array[Byte]): Boolean = {
+    var i = indexOf(data, "BT", 0)
+    while (i >= 0) {
+      if (isTokenBoundary(data, i - 1) && isTokenBoundary(data, i + 2)) return true
+      i = indexOf(data, "BT", i + 2)
+    }
+    false
+  }
+
+  // ---------------------------------------------------------------------
+  // content-stream interpretation
+
+  /** Kern gap (negative, thousandths of an em) at or past which a TJ
+    * number reads as a word space. */
+  private val SpaceKernThreshold = -180
+
+  /** One pass over a decoded content stream: tokenize, track the operand
+    * stack, assemble shown text with the line rules in the object doc. */
+  private[operators] def extractContentText(data: Array[Byte], mediaId: Long): String = {
+    val out = new StringBuilder
+    val strBytes = new java.io.ByteArrayOutputStream()
+    // operand stack: only what the text ops consume — last string, last
+    // array-of-strings, last two numbers
+    var lastStr: Array[Byte] = null
+    var lastArr: java.util.ArrayList[AnyRef] = null
+    var num1, num2 = 0.0 // two most recent numbers (num2 = newest)
+    var inText = false
+    var shownInObject = false
+    var pendingObjectBreak = false // a PRIOR text object already showed text
+
+    def flushString(b: Array[Byte]): Unit = {
+      if (!shownInObject && pendingObjectBreak) {
+        strBytes.write('\n'); pendingObjectBreak = false
+      }
+      strBytes.write(b, 0, b.length)
+    }
+    def newlineBeforeShow(): Unit =
+      if (shownInObject) strBytes.write('\n')
+
+    var i = 0
+    val n = data.length
+    while (i < n) {
+      val c = data(i)
+      if (c == '%') { // comment to EOL
+        while (i < n && data(i) != '\n' && data(i) != '\r') i += 1
+      } else if (c == '(') {
+        val (s, next) = parseLiteralString(data, i, mediaId)
+        lastStr = s; if (lastArr != null) lastArr.add(s)
+        i = next
+      } else if (c == '<' && i + 1 < n && data(i + 1) == '<') {
+        i = skipDict(data, i) // inline dict (e.g. BDC property lists)
+      } else if (c == '<') {
+        val (s, next) = parseHexString(data, i, mediaId)
+        lastStr = s; if (lastArr != null) lastArr.add(s)
+        i = next
+      } else if (c == '[') {
+        lastArr = new java.util.ArrayList[AnyRef](); i += 1
+      } else if (c == ']') {
+        i += 1
+      } else if (c == '/') { // name object: skip to delimiter
+        i += 1
+        while (i < n && !isDelimiter(data(i))) i += 1
+      } else if (isNumStart(c)) {
+        val start = i
+        i += 1
+        while (i < n && (data(i) >= '0' && data(i) <= '9' || data(i) == '.')) i += 1
+        val v = new String(data, start, i - start,
+          java.nio.charset.StandardCharsets.US_ASCII).toDouble
+        num1 = num2; num2 = v
+        if (lastArr != null) lastArr.add(java.lang.Double.valueOf(v))
+      } else if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == 0) {
+        i += 1
+      } else { // operator token
+        val start = i
+        while (i < n && !isDelimiter(data(i))) i += 1
+        val op = new String(data, start, i - start,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        op match {
+          case "BT" =>
+            inText = true
+            pendingObjectBreak = pendingObjectBreak || shownInObject
+            shownInObject = false
+          case "ET" => inText = false
+          case "Tj" if inText && lastStr != null =>
+            flushString(lastStr); shownInObject = true
+          case "'" if inText && lastStr != null =>
+            newlineBeforeShow(); flushString(lastStr); shownInObject = true
+          case "\"" if inText && lastStr != null =>
+            newlineBeforeShow(); flushString(lastStr); shownInObject = true
+          case "TJ" if inText && lastArr != null =>
+            val it = lastArr.iterator()
+            while (it.hasNext) it.next() match {
+              case b: Array[Byte] => flushString(b)
+              case d: java.lang.Double if d.doubleValue() <= SpaceKernThreshold =>
+                strBytes.write(' ')
+              case _ => ()
+            }
+            shownInObject = true
+          case "T*" if inText => newlineBeforeShow()
+          case "Td" | "TD" if inText =>
+            // num2 = ty (the newest operand): vertical move = new line
+            if (num2 != 0.0) newlineBeforeShow()
+          case "BI" =>
+            // inline image: binary data runs to the EI sentinel
+            val ei = indexOf(data, "EI", i)
+            i = if (ei < 0) n else ei + 2
+          case _ => () // every other operator: positioning/state/paint
+        }
+        // operators consume their operands
+        if (op != "[") { lastStr = null; lastArr = null }
+      }
+    }
+    new String(strBytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Literal string `(...)`: nesting, escapes, octal, continuations. */
+  private def parseLiteralString(data: Array[Byte], at: Int,
+      mediaId: Long): (Array[Byte], Int) = {
+    val out = new java.io.ByteArrayOutputStream()
+    var depth = 1
+    var i = at + 1
+    while (depth > 0) {
+      require(i < data.length, s"media $mediaId: unterminated PDF string literal")
+      val c = data(i)
+      if (c == '\\') {
+        require(i + 1 < data.length, s"media $mediaId: dangling escape in string")
+        val e = data(i + 1)
+        e match {
+          case 'n' => out.write('\n'); i += 2
+          case 'r' => out.write('\r'); i += 2
+          case 't' => out.write('\t'); i += 2
+          case 'b' => out.write('\b'); i += 2
+          case 'f' => out.write('\f'); i += 2
+          case '(' => out.write('('); i += 2
+          case ')' => out.write(')'); i += 2
+          case '\\' => out.write('\\'); i += 2
+          case '\r' => // line continuation: swallow CR or CRLF
+            i += 2; if (i < data.length && data(i) == '\n') i += 1
+          case '\n' => i += 2
+          case d if d >= '0' && d <= '7' => // up to 3 octal digits
+            var v = 0; var k = 0; i += 1
+            while (k < 3 && i < data.length &&
+                data(i) >= '0' && data(i) <= '7') {
+              v = v * 8 + (data(i) - '0'); i += 1; k += 1
+            }
+            out.write(v & 0xff)
+          case other => out.write(other); i += 2 // spec: drop the backslash
+        }
+      } else if (c == '(') { depth += 1; out.write(c); i += 1 }
+      else if (c == ')') {
+        depth -= 1
+        if (depth > 0) out.write(c)
+        i += 1
+      } else { out.write(c); i += 1 }
+    }
+    (out.toByteArray, i)
+  }
+
+  /** Hex string `<...>`: whitespace-tolerant, odd length padded with 0. */
+  private def parseHexString(data: Array[Byte], at: Int,
+      mediaId: Long): (Array[Byte], Int) = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = at + 1
+    var hi = -1
+    var closed = false
+    while (!closed) {
+      require(i < data.length, s"media $mediaId: unterminated PDF hex string")
+      val c = data(i)
+      if (c == '>') { closed = true; i += 1 }
+      else {
+        val v = Character.digit(c, 16)
+        if (v >= 0) {
+          if (hi < 0) hi = v
+          else { out.write((hi << 4) | v); hi = -1 }
+        } else require(c == ' ' || c == '\t' || c == '\r' || c == '\n',
+          s"media $mediaId: bad hex-string byte '${c.toChar}'")
+        i += 1
+      }
+    }
+    if (hi >= 0) out.write(hi << 4) // odd digit count: pad low nibble
+    (out.toByteArray, i)
+  }
+
+  private def skipDict(data: Array[Byte], at: Int): Int = {
+    var depth = 0
+    var i = at
+    while (i + 1 < data.length) {
+      if (data(i) == '<' && data(i + 1) == '<') { depth += 1; i += 2 }
+      else if (data(i) == '>' && data(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return i
+      } else i += 1
+    }
+    data.length
+  }
+
+  // ---------------------------------------------------------------------
+  // generator — the staging/spec counterpart (a REAL writer: valid xref,
+  // Flate-compressed content; any conforming reader opens its output)
+
+  /** Serialize `text` as a minimal one-page PDF: Helvetica, one text
+    * object, first line placed with `Td`, subsequent lines advanced with
+    * `T*` — so extraction exercises the leading-newline rules, not just
+    * `Tj`. Content stream is `/FlateDecode`-compressed with a direct
+    * `/Length`. Lines come from `\n` in `text`. */
+  def writeTextPdf(text: String): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+    val content = {
+      val sb = new StringBuilder("BT /F1 11 Tf 14 TL 72 720 Td ")
+      val lines = text.split("\n", -1)
+      lines.zipWithIndex.foreach { case (line, k) =>
+        if (k > 0) sb.append("T* ")
+        sb.append('(').append(escapeString(line)).append(") Tj ")
+      }
+      sb.append("ET")
+      deflate(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>".getBytes(ascii),
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(ascii),
+      ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>").getBytes(ascii),
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>".getBytes(ascii),
+      null) // placeholder: stream object assembled below
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ascii))
+    w("%PDF-1.4\n")
+    val offsets = new Array[Int](objs.length + 1)
+    objs.zipWithIndex.foreach { case (body, k) =>
+      offsets(k + 1) = out.size()
+      w(s"${k + 1} 0 obj\n")
+      if (body != null) { out.write(body, 0, body.length); w("\nendobj\n") }
+      else {
+        w(s"<< /Length ${content.length} /Filter /FlateDecode >>\nstream\n")
+        out.write(content, 0, content.length)
+        w("\nendstream\nendobj\n")
+      }
+    }
+    val xrefAt = out.size()
+    w(s"xref\n0 ${objs.length + 1}\n")
+    w("0000000000 65535 f \n")
+    (1 to objs.length).foreach(k => w(f"${offsets(k)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def escapeString(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '(' => "\\("
+      case ')' => "\\)"
+      case '\r' => "\\r"
+      case c => c.toString
+    }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](16 * 1024)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    d.end()
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------------
+  // byte-scan helpers
+
+  private def startsWith(b: Array[Byte], at: Int, s: String): Boolean = {
+    if (at < 0 || at + s.length > b.length) return false
+    var k = 0
+    while (k < s.length) {
+      if (b(at + k) != s.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  private def precededBy(b: Array[Byte], at: Int, s: String): Boolean =
+    startsWith(b, at - s.length, s)
+
+  private def isTokenBoundary(b: Array[Byte], at: Int): Boolean =
+    at < 0 || at >= b.length || isDelimiter(b(at))
+
+  private def isDelimiter(c: Byte): Boolean =
+    c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == 0 ||
+      c == '(' || c == ')' || c == '<' || c == '>' || c == '[' ||
+      c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
+
+  private def isNumStart(c: Byte): Boolean =
+    (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
+
+  private def indexOf(b: Array[Byte], s: String, from: Int): Int = {
+    val first = s.charAt(0).toByte
+    var i = math.max(0, from)
+    val limit = b.length - s.length
+    while (i <= limit) {
+      if (b(i) == first && startsWith(b, i, s)) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def lastIndexOf(b: Array[Byte], s: String, before: Int): Int = {
+    var i = math.min(before, b.length) - s.length
+    while (i >= 0) {
+      if (startsWith(b, i, s)) return i
+      i -= 1
+    }
+    -1
+  }
+}

@@ -214,6 +214,31 @@ object ExtensionQueries {
       out
     })
 
+  private val pdfStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped PDF staging for q_pdf_roundtrip: each document
+    * rendered as a real one-page PDF (sentence breaks planted as line
+    * breaks, so the extractor's T-star/Td line rules are on the oracle path)
+    * and framed into WARC response archives — the application/pdf face
+    * of [[wetStage]]. Generation is distributed (each task renders its
+    * partition's docs); nothing ships from the driver. */
+  private def pdfStage(s: SparkSession, dir: String): String =
+    pdfStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_pdf").toString
+      val media = t(s, dir, "documents")
+        .select(
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          regexp_replace(col("text"), "\\. ", "\n").as("x"))
+        .as[(String, String)]
+        .map { case (u, x) =>
+          (u, "application/pdf", graft.operators.Pdf.writeTextPdf(x)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   /** How many merges the session BPE tokenizer learns. Small enough that
     * training (numMerges word-table-scale jobs) stays a few seconds of
     * one-time memo cost; large enough that real multi-level merges
@@ -350,6 +375,7 @@ object ExtensionQueries {
     annDelIndex(s, dir)
     incDedupRef(s, dir)
     wetStage(s, dir)
+    pdfStage(s, dir)
     bpeModel(s, dir)
     mediaRef(s, dir)
     ()
@@ -1875,6 +1901,25 @@ object ExtensionQueries {
           col("record_id"), col("n_bytes"), col("framing_ok"),
           col("payload"))
         .orderBy("doc_id")
+    }),
+
+    // PDF ingestion round-trip: the documents table rendered to REAL
+    // one-page PDFs (Flate-compressed content streams) inside WARC
+    // response archives once per session (pdfStage), then read back
+    // through the full crawl path — binary WARC framing walk, HTTP head
+    // parse, pure-JVM Inflater + content-stream text interpretation
+    // (Pdf.extractText). The oracle recomputes the expected text from
+    // the documents table directly: any defect in the generator/
+    // extractor pair, the archive framing, or the line-structure rules
+    // is a hash mismatch. (Foreign-producer PDF features the generator
+    // never emits — TJ kerning, hex strings, octal escapes, indirect
+    // /Length, inline images — are gated byte-exactly in PdfSpec.)
+    "q_pdf_roundtrip" -> ((s, dir) => {
+      val docIdStr = regexp_extract(col("url"), "doc/(\\d+)$", 1)
+      graft.io.Warc.toDocumentsPdf(
+          graft.io.Warc.readWarc(s, pdfStage(s, dir)))
+        .select(docIdStr.cast(LongType).as("doc_id"), col("url"), col("text"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2156,6 +2201,9 @@ object ExtensionQueries {
     // the encoded payload equals the Content-Length the serializer wrote)
     "q_wet_roundtrip" ->
       """WITH p AS (SELECT doc_id, replace(text, '. ', chr(10)) AS payload FROM documents) SELECT doc_id, 'urn:graft:' || doc_id AS record_id, CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes, true AS framing_ok, payload FROM p ORDER BY doc_id""",
+
+    "q_pdf_roundtrip" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
 
     // frame windows recomputed with character substrings — the documents
     // text is pure ASCII (verified), so char slicing equals byte slicing
