@@ -214,12 +214,36 @@ object Main {
         s"${recs.filter(!col("framing_ok")).count()} framing violations) -> $out")
       spark.stop()
 
+    // application/pdf responses -> curate-ready documents (pure-JVM
+    // FlateDecode + content-stream text extraction)
+    case "warc-pdf" :: in :: out :: Nil =>
+      val spark = session("graft-warc-pdf")
+      graft.io.Warc.toDocumentsPdf(graft.io.Warc.readWarc(spark, in))
+        .write.mode("overwrite").parquet(out)
+      println(s"warc-pdf: ${spark.read.parquet(out).count()} documents -> $out")
+      spark.stop()
+
     case "warc-media" :: in :: out :: Nil =>
       val spark = session("graft-warc-media")
       graft.operators.Multimodal.decodeFeatures(
           graft.io.Warc.toMedia(graft.io.Warc.readWarc(spark, in)))
         .toDF().write.mode("overwrite").parquet(out)
       println(s"warc-media: ${spark.read.parquet(out).count()} media features -> $out")
+      spark.stop()
+
+    // dataset card + composition table for a curated corpus
+    //   graft.Main report <documentsParquetDir> <outDir> [dim1,dim2,...]
+    case "report" :: docs :: out :: rest if rest.length <= 1 =>
+      val spark = session("graft-report")
+      val dims = rest.headOption.map(_.split(",").toSeq)
+        .getOrElse(Seq("source", "lang"))
+      val df = spark.read.parquet(docs)
+      graft.operators.Report.datasetCard(df, dims)
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/card")
+      graft.operators.Report.corpusComposition(df, dims)
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/composition")
+      val card = spark.read.parquet(s"$out/card")
+      println(s"report: ${card.count()} card rows over ${dims.mkString(",")} -> $out")
       spark.stop()
 
     // ad-hoc keyword probe of a curated corpus: top-k docs by BM25
@@ -409,6 +433,8 @@ object Main {
            |  graft.Main wet      <wetPathOrGlob> <outParquetDir>
            |  graft.Main warc     <warcPathOrGlob> <outParquetDir>
            |  graft.Main warc-media <warcPathOrGlob> <outParquetDir>
+           |  graft.Main warc-pdf <warcPathOrGlob> <outParquetDir>
+           |  graft.Main report   <documentsParquetDir> <outDir> [dim1,dim2,...]
            |  graft.Main search   <documentsParquetDir> <k> <term> [term...]
            |  graft.Main index-build  <documentsParquetDir> <indexDir>
            |  graft.Main index-append <documentsParquetDir> <indexDir>

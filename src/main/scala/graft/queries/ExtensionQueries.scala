@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.expressions.FreqSketch
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{BpeTokenizer, Dedup, Multimodal, Packing, QualityLm, Sampling, Similarity, UrlFilter}
+import graft.operators.{BpeTokenizer, Dedup, Multimodal, Packing, QualityLm, Report, Sampling, Similarity, UrlFilter}
 
 /** Training-data-pipeline extension operators as named queries
   * (deduplication, similarity search, text analysis, multimodal plumbing).
@@ -1920,7 +1920,20 @@ object ExtensionQueries {
           graft.io.Warc.readWarc(s, pdfStage(s, dir)))
         .select(docIdStr.cast(LongType).as("doc_id"), col("url"), col("text"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // dataset card: all rollup levels (global / per-source /
+    // per-(source,lang)) in ONE Expand+shuffle pass; the oracle replays
+    // the literal ANSI GROUP BY ROLLUP — grouping_id bitmask included,
+    // so the level encoding is pinned, not just the numbers
+    "q_dataset_card" -> ((s, dir) =>
+      Report.datasetCard(t(s, dir, "documents"), Seq("source", "lang"))
+        .orderBy(col("gid"), col("source"), col("lang"))),
+
+    // composition table: leaf groups' doc/token share of the corpus —
+    // one card pass + a single-row broadcast of the global totals
+    "q_corpus_composition" -> ((s, dir) =>
+      Report.corpusComposition(t(s, dir, "documents"), Seq("source", "lang")))
   )
 
   private val enStopSql = enStop.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -2204,6 +2217,12 @@ object ExtensionQueries {
 
     "q_pdf_roundtrip" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    "q_dataset_card" ->
+      s"""WITH d AS (SELECT source, lang, len($tokensSql) AS nt, length(text) AS nc FROM documents) SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens, CAST(sum(nc) AS BIGINT) AS n_chars, min(nt) AS min_tokens, max(nt) AS max_tokens, CAST(sum(nt) AS DOUBLE) / count(*) AS mean_tokens, CAST(sum(nc) AS DOUBLE) / count(*) AS mean_chars FROM d GROUP BY ROLLUP(source, lang) ORDER BY gid, source, lang""",
+
+    "q_corpus_composition" ->
+      s"""WITH d AS (SELECT source, lang, len($tokensSql) AS nt FROM documents), leaf AS (SELECT source, lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens FROM d GROUP BY 1, 2), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td, CAST(sum(n_tokens) AS BIGINT) AS tt FROM leaf) SELECT source, lang, n_docs, n_tokens, CAST(n_docs AS DOUBLE) / td AS doc_share, CAST(n_tokens AS DOUBLE) / tt AS token_share FROM leaf, tot ORDER BY token_share DESC, source""",
 
     // frame windows recomputed with character substrings — the documents
     // text is pure ASCII (verified), so char slicing equals byte slicing
