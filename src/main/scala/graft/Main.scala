@@ -231,6 +231,26 @@ object Main {
       println(s"warc-media: ${spark.read.parquet(out).count()} media features -> $out")
       spark.stop()
 
+    // BPE-encode a corpus with a saved model and write binary token
+    // shards + manifest (the training-consumable artifact)
+    //   graft.Main shards <documentsParquetDir> <bpeModelDir> <outDir> [tokensPerShard]
+    case "shards" :: docs :: modelDir :: out :: rest if rest.length <= 1 &&
+        rest.forall(_.toLongOption.exists(_ > 0)) =>
+      val spark = session("graft-shards")
+      val perShard = rest.headOption.map(_.toLong).getOrElse(1L << 20)
+      val merges = graft.operators.BpeTokenizer.loadMerges(spark, modelDir)
+      val vocab = graft.operators.BpeTokenizer.loadVocab(spark, modelDir)
+      val eosId = vocab.size // one past the vocabulary, the doc separator
+      val manifest = graft.operators.TokenShards.writeTokenShards(
+        graft.operators.BpeTokenizer.bpeEncodeIds(
+          spark.read.parquet(docs).select("doc_id", "text"), merges, vocab),
+        out, perShard, vocabSize = eosId + 1, eosId = eosId)
+      val (ns, nt) = (manifest.count(),
+        manifest.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+          .head.getLong(0))
+      println(s"shards: $ns shard(s), $nt tokens (eos=$eosId) -> $out")
+      spark.stop()
+
     // dataset card + composition table for a curated corpus
     //   graft.Main report <documentsParquetDir> <outDir> [dim1,dim2,...]
     case "report" :: docs :: out :: rest if rest.length <= 1 =>
@@ -434,6 +454,7 @@ object Main {
            |  graft.Main warc     <warcPathOrGlob> <outParquetDir>
            |  graft.Main warc-media <warcPathOrGlob> <outParquetDir>
            |  graft.Main warc-pdf <warcPathOrGlob> <outParquetDir>
+           |  graft.Main shards   <documentsParquetDir> <bpeModelDir> <outDir> [tokensPerShard]
            |  graft.Main report   <documentsParquetDir> <outDir> [dim1,dim2,...]
            |  graft.Main search   <documentsParquetDir> <k> <term> [term...]
            |  graft.Main index-build  <documentsParquetDir> <indexDir>

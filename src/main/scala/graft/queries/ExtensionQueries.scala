@@ -239,6 +239,28 @@ object ExtensionQueries {
       out
     })
 
+  private val shardStages =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+
+  /** Session-scoped binary token shards for the q_token_shards queries:
+    * the documents table BPE-encoded with the session model and sharded
+    * once per sf dir ([[graft.operators.TokenShards.writeTokenShards]],
+    * 4096-token doc-aligned shards). Returns (shardDir, eosId) — eos is
+    * the id one past the model vocabulary. */
+  private def shardStage(s: SparkSession, dir: String): (String, Int) =
+    shardStages.computeIfAbsent(dir, _ => {
+      val (main, _) = bpeModel(s, dir)
+      val vocab = BpeTokenizer.vocabMap(main)
+      val eosId = vocab.size
+      val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+      graft.operators.TokenShards.writeTokenShards(
+        BpeTokenizer.bpeEncodeIds(
+          t(s, dir, "documents").select("doc_id", "text"),
+          main.merges, vocab),
+        out, tokensPerShard = 4096, vocabSize = eosId + 1, eosId = eosId)
+      (out, eosId)
+    })
+
   /** How many merges the session BPE tokenizer learns. Small enough that
     * training (numMerges word-table-scale jobs) stays a few seconds of
     * one-time memo cost; large enough that real multi-level merges
@@ -377,6 +399,7 @@ object ExtensionQueries {
     wetStage(s, dir)
     pdfStage(s, dir)
     bpeModel(s, dir)
+    shardStage(s, dir)
     mediaRef(s, dir)
     ()
   }
@@ -1933,7 +1956,71 @@ object ExtensionQueries {
     // composition table: leaf groups' doc/token share of the corpus —
     // one card pass + a single-row broadcast of the global totals
     "q_corpus_composition" -> ((s, dir) =>
-      Report.corpusComposition(t(s, dir, "documents"), Seq("source", "lang")))
+      Report.corpusComposition(t(s, dir, "documents"), Seq("source", "lang"))),
+
+    // binary token shards: the manifest of the session-staged shard dir
+    // (BPE ids → doc-aligned little-endian files). no_oracle (token
+    // counts ride the session BPE model); gated by q_check_token_shards
+    "q_token_shards" -> ((s, dir) => {
+      val (root, _) = shardStage(s, dir)
+      s.read.parquet(s"$root/manifest").orderBy("shard_id")
+    }),
+
+    // gate: the written shards, READ BACK as bytes and re-split on eos,
+    // reproduce every document's id sequence in order; token counts are
+    // conserved exactly; byte width matches the vocabulary. Oracle =
+    // the constant all-green row with the DuckDB-computable doc count.
+    "q_check_token_shards" -> ((s, dir) => {
+      import s.implicits._
+      val (root, eosId) = shardStage(s, dir)
+      val manifest = s.read.parquet(s"$root/manifest")
+      val (main, _) = bpeModel(s, dir)
+      val vocab = BpeTokenizer.vocabMap(main)
+      val enc = BpeTokenizer.bpeEncodeIds(
+        t(s, dir, "documents").select("doc_id", "text"), main.merges, vocab)
+      // shard stream → (shard, position-in-shard, ids) by splitting on eos
+      val backDocs = graft.operators.TokenShards.readTokenShards(s, root)
+        .as[(Long, Seq[Int])]
+        .flatMap { case (sid, ids) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Seq[Int])]
+          var cur = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var k = 0
+          ids.foreach { t =>
+            if (t == eosId) { out += ((sid, k, cur.toSeq)); k += 1
+              cur = scala.collection.mutable.ArrayBuffer.empty[Int] }
+            else cur += t
+          }
+          require(cur.isEmpty, s"shard $sid does not end on eos")
+          out
+        }.toDF("shard_id", "idx", "ids_back")
+      // input side: shard from the manifest's doc ranges (broadcast
+      // range probe — manifest is KB-scale), position by doc_id rank
+      val w = Window.partitionBy(col("shard_id")).orderBy(col("doc_id"))
+      val expect = enc
+        .join(broadcast(manifest.select(col("shard_id"),
+            col("first_doc"), col("last_doc"))),
+          col("doc_id").between(col("first_doc"), col("last_doc")))
+        .withColumn("idx", row_number().over(w) - 1)
+        .select(col("shard_id"), col("idx"), col("doc_id"),
+          col("token_ids"), col("n_tokens"))
+      val cmp = expect.join(backDocs, Seq("shard_id", "idx"), "full_outer")
+      val expectedWidth = if (vocab.size + 1 <= 0x10000) 2 else 4
+      val widthOk = manifest
+        .agg(min(col("byte_width") === expectedWidth)).head.getBoolean(0)
+      val manifestTokens = manifest.agg(coalesce(sum("n_tokens"), lit(0L)))
+        .head.getLong(0)
+      val encTokens = enc.agg(
+        coalesce(sum(col("n_tokens").cast(LongType)), lit(0L)), count(lit(1)))
+        .head
+      cmp.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("token_ids").isNull || col("ids_back").isNull ||
+          col("token_ids") =!= col("ids_back"), 1L).otherwise(0L))
+          .as("roundtrip_violations"),
+        lit(manifestTokens - (encTokens.getLong(0) + encTokens.getLong(1)))
+          .as("conservation_gap"),
+        lit(widthOk).as("width_ok"))
+    })
   )
 
   private val enStopSql = enStop.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -2220,6 +2307,9 @@ object ExtensionQueries {
 
     "q_dataset_card" ->
       s"""WITH d AS (SELECT source, lang, len($tokensSql) AS nt, length(text) AS nc FROM documents) SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens, CAST(sum(nc) AS BIGINT) AS n_chars, min(nt) AS min_tokens, max(nt) AS max_tokens, CAST(sum(nt) AS DOUBLE) / count(*) AS mean_tokens, CAST(sum(nc) AS DOUBLE) / count(*) AS mean_chars FROM d GROUP BY ROLLUP(source, lang) ORDER BY gid, source, lang""",
+
+    "q_check_token_shards" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS roundtrip_violations, CAST(0 AS BIGINT) AS conservation_gap, true AS width_ok FROM documents""",
 
     "q_corpus_composition" ->
       s"""WITH d AS (SELECT source, lang, len($tokensSql) AS nt FROM documents), leaf AS (SELECT source, lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens FROM d GROUP BY 1, 2), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td, CAST(sum(n_tokens) AS BIGINT) AS tt FROM leaf) SELECT source, lang, n_docs, n_tokens, CAST(n_docs AS DOUBLE) / td AS doc_share, CAST(n_tokens AS DOUBLE) / tt AS token_share FROM leaf, tot ORDER BY token_share DESC, source""",

@@ -34,6 +34,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_check_heavy_hitters", // single-row broadcast n_total frame
     "q_mixture_weights", // single-row broadcast denominator frame
     "q_corpus_composition", // single-row broadcast global-totals frame
+    "q_check_token_shards", // KB-scale broadcast manifest doc-range probe
     // LM scoring: single-row broadcast |V| frame (and, for the filter and
     // gate, single-row count/fixed-point frames) — model-sized build
     // sides; the bigram/context model tables ride EQUI-joins
