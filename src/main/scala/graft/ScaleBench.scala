@@ -449,6 +449,53 @@ object ScaleBench {
         graft.io.Warc.toDocumentsHtml(graft.io.Warc.readWarc(spark, warcDir))
       }
 
+      // PDF ingestion off full WARC: the corpus rendered as real
+      // Flate-compressed PDFs inside response archives (untimed writer —
+      // production archives come from the crawler); timed region = the
+      // framing walk + Inflater + content-stream text interpretation to
+      // curate-ready documents. Same per-FILE regime as warc_html_ingest
+      // (decode-bound narrow work, zero shuffle), higher per-byte compute
+      // (inflate + tokenizer-grade byte walk vs a regex strip).
+      if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+          .exists(!_.exists("warc_pdf_ingest".contains))) {
+        import spark.implicits._
+        val pdfWarcDir = s"$scaleDir/warc_pdf"
+        graft.io.Warc.writeWarcResponses(
+          corpus.select(
+              concat(lit("http://seg.test/doc/"), col("doc_id")).as("u"),
+              col("text"))
+            .as[(String, String)]
+            .map { case (u, x) =>
+              (u, "application/pdf", graft.operators.Pdf.writeTextPdf(x)) }
+            .toDF("target_uri", "content_type", "payload")
+            .repartition(cpus.toInt),
+          pdfWarcDir)
+        measure("warc_pdf_ingest", s"$scaleDir/out_warc_pdf") {
+          graft.io.Warc.toDocumentsPdf(graft.io.Warc.readWarc(spark, pdfWarcDir))
+        }
+      }
+
+      // binary token sharding under a standing BPE model (encode untimed
+      // and persisted — the measured claim is the SINK: one range shuffle
+      // for the doc_id total order, KB-scale driver prefix-sum traffic,
+      // one hash shuffle on shard_id, then a narrow streaming write whose
+      // parallelism follows the shard count ∝ corpus/tokensPerShard).
+      if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+          .exists(!_.exists("token_shards".contains))) {
+        val shModel = graft.operators.BpeTokenizer.trainBpe(corpus, numMerges = 16)
+        val shVocab = graft.operators.BpeTokenizer.vocabMap(shModel)
+        val shEnc = graft.operators.BpeTokenizer.bpeEncodeIds(
+            corpus, shModel.merges, shVocab)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        shEnc.count() // materialize outside the timed region
+        measure("token_shards", s"$scaleDir/out_shards") {
+          graft.operators.TokenShards.writeTokenShards(
+            shEnc, s"$scaleDir/shards", tokensPerShard = 1 << 18,
+            vocabSize = shVocab.size + 1, eosId = shVocab.size)
+        }
+        shEnc.unpersist()
+      }
+
       // skewed synthetic source: 70% of docs in one 'heavy' domain (always
       // over cap, grows linearly), the rest spread over 100 small sources
       // (they cross the cap/budget between scales — both plan branches are
