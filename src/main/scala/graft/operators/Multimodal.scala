@@ -1047,6 +1047,8 @@ object Multimodal {
         case m if m.kind == "audio/wav" => decodeWav(m)
         case m if m.kind == "audio/flac" || m.kind == "audio/x-flac" =>
           decodeFlacFeatures(m) // x-flac: the pre-registration MIME still in crawls
+        case m if m.kind == "video/avi" || m.kind == "video/x-msvideo" =>
+          Avi.decodeAvi(m) // MJPEG-in-AVI: first frame through the JPEG codec
         case m => stubDecode(m)
       }
     }
