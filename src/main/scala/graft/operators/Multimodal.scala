@@ -8,18 +8,21 @@ import org.apache.spark.sql.types._
   * with typed metadata, processed by per-partition batch functions.
   *
   * The Spark-side plumbing here is real — schemas, partition-batch
-  * iteration, explode of frame samples — and FIVE codecs are real too:
-  * binary PPM (`image/ppm`, [[decodePpm]]), PNG (`image/png`,
-  * [[decodePng]] — full 8-bit color-type matrix, all five scanline
-  * filters, `java.util.zip.Inflater` for the DEFLATE stream), GIF
-  * (`image/gif`, [[decodeGif]] — own LZW, interlace, transparency,
+  * iteration, explode of frame samples — and the codecs are real across
+  * all three modalities: binary PPM (`image/ppm`, [[decodePpm]]), PNG
+  * (`image/png`, [[decodePng]] — full 8-bit color-type matrix, all five
+  * scanline filters, `java.util.zip.Inflater` for the DEFLATE stream),
+  * GIF (`image/gif`, [[decodeGif]] — own LZW, interlace, transparency,
   * disposal-composed animation frames; [[gifFrameSample]] makes frame
-  * sampling a real decode), baseline JPEG (`image/jpeg`, [[decodeJpeg]]
-  * — own Huffman entropy decode, dequant, IDCT, 4:2:0/4:2:2/4:4:4
-  * chroma, restart markers: the format that dominates real crawls), and
-  * PCM WAV (`audio/wav`, [[decodeWav]]), all pure JVM byte arithmetic,
-  * no library. Remaining compressed kinds (progressive JPEG, MP3/…)
-  * fall to the
+  * sampling a real decode), JPEG (`image/jpeg`, [[decodeJpeg]] — own
+  * Huffman entropy decode, dequant, IDCT, 4:2:0/4:2:2/4:4:4 chroma,
+  * restart markers, BOTH sequential and progressive SOF2 streams with
+  * spectral selection + successive approximation: together the formats
+  * that dominate real crawls), PCM WAV (`audio/wav`, [[decodeWav]]),
+  * FLAC (`audio/flac`, [[graft.operators.Flac]]), and MJPEG-in-AVI video
+  * (`video/avi`, [[graft.operators.Avi]] — container walk + frame
+  * sampling through the JPEG codec), all pure JVM byte arithmetic, no
+  * library. Remaining compressed kinds (MP3/MP4/WebP/…) fall to the
   * clearly-marked STUB (this environment ships no such codecs); a
   * production deployment swaps `stubDecode` for a JNI/javacv call and
   * nothing else changes. In PySpark the same shape is `mapInPandas` with
@@ -645,13 +648,21 @@ object Multimodal {
     }
   }
 
-  /** REAL baseline JPEG decoder (ITU T.81 sequential DCT, the format that
-    * dominates any real crawl's media): marker parse, canonical Huffman
-    * entropy decode with byte-stuffing and restart markers, dequant +
-    * inverse zigzag, separable double-precision IDCT, generic Hi/Vi ≤ 2
-    * chroma upsampling (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB. 8-bit
-    * baseline only — progressive (SOF2), arithmetic coding, 12-bit, and
-    * hierarchical streams are REJECTED loudly, never half-decoded. Pure
+  /** REAL JPEG decoder (ITU T.81): baseline/extended sequential (SOF0/1)
+    * AND progressive (SOF2) — marker parse, canonical Huffman entropy
+    * decode with byte-stuffing and restart markers, spectral-selection +
+    * successive-approximation progressive scans (DC first/refine, AC
+    * first/refine with cross-block EOB runs, interleaved and
+    * single-component scan geometry), dequant + inverse zigzag,
+    * separable double-precision IDCT, generic Hi/Vi ≤ 2 chroma
+    * upsampling (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB. The
+    * architecture is coefficient-buffered: every scan accumulates into
+    * per-component DCT coefficient planes and one IDCT pass renders at
+    * the end — which is WHY progressive costs nothing extra (a baseline
+    * stream is just the one-scan special case). 8-bit only; arithmetic
+    * coding, 12-bit, lossless, and hierarchical streams are REJECTED
+    * loudly, never half-decoded. Progressive == sequential bit-identity
+    * over the same coefficients is asserted in MultimodalSpec. Pure
     * JVM, no library; the IDCT is the textbook O(8³) separable form (a
     * production swap-point for an AAN fast path — the plumbing and
     * bitstream layer stay identical).
@@ -672,6 +683,7 @@ object Multimodal {
     val dcTabs = new Array[Huff](4); val acTabs = new Array[Huff](4)
     var w = 0; var h = 0
     var nComp = 0
+    var progressive = false
     var compId: Array[Int] = null; var compHV: Array[Int] = null
     var compQ: Array[Int] = null
     var restartInterval = 0
@@ -702,14 +714,314 @@ object Multimodal {
       }
     }
 
-    // ---- marker walk up to SOS ----
+    // ---- coefficient planes (allocated at SOF) ----
+    // coeffs(c) holds every block's 64 values in ZIGZAG order (scans
+    // address the zigzag index; inverse zigzag happens at IDCT time)
+    var coeffs: Array[Array[Int]] = null
+    var blocksW: Array[Int] = null; var blocksH: Array[Int] = null // MCU-padded grid
+    var dataW: Array[Int] = null; var dataH: Array[Int] = null // component's real block dims
+    var mcusX = 0; var mcusY = 0
+    var hMax = 1; var vMax = 1
+
+    def allocAtSof(): Unit = {
+      hMax = (0 until nComp).map(c => compHV(c) >> 4).max
+      vMax = (0 until nComp).map(c => compHV(c) & 15).max
+      mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+      mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+      coeffs = new Array[Array[Int]](nComp)
+      blocksW = new Array[Int](nComp); blocksH = new Array[Int](nComp)
+      dataW = new Array[Int](nComp); dataH = new Array[Int](nComp)
+      for (c <- 0 until nComp) {
+        val hi = compHV(c) >> 4; val vi = compHV(c) & 15
+        blocksW(c) = mcusX * hi; blocksH(c) = mcusY * vi
+        dataW(c) = ((w * hi + hMax - 1) / hMax + 7) / 8
+        dataH(c) = ((h * vi + vMax - 1) / vMax + 7) / 8
+        require(blocksW(c).toLong * blocksH(c) * 64 <= Int.MaxValue - 8,
+          s"media ${m.media_id}: JPEG too large to decode (${w}x$h)")
+        coeffs(c) = new Array[Int](blocksW(c) * blocksH(c) * 64)
+      }
+    }
+
+    // ---- one entropy-coded scan ----
+    // Returns the byte position AFTER the scan's entropy data (at the
+    // next non-RST marker). `sosAt` points at the SOS payload (Ns byte).
+    def decodeScan(sosAt: Int): Int = {
+      val ns = u8(sosAt)
+      require(ns >= 1 && ns <= nComp,
+        s"media ${m.media_id}: JPEG scan with $ns components")
+      val scanComp = new Array[Int](ns)
+      val scanDc = new Array[Int](ns); val scanAc = new Array[Int](ns)
+      for (i <- 0 until ns) {
+        val cid = u8(sosAt + 1 + i * 2)
+        val c = compId.indexOf(cid)
+        require(c >= 0, s"media ${m.media_id}: JPEG scan names unknown component $cid")
+        scanComp(i) = c
+        scanDc(i) = u8(sosAt + 2 + i * 2) >> 4
+        scanAc(i) = u8(sosAt + 2 + i * 2) & 15
+      }
+      val ss = u8(sosAt + 1 + ns * 2)
+      val se = u8(sosAt + 2 + ns * 2)
+      val ahAl = u8(sosAt + 3 + ns * 2)
+      val ah = ahAl >> 4; val al = ahAl & 15
+      if (!progressive) {
+        require(ss == 0 && se == 63 && ah == 0 && al == 0,
+          s"media ${m.media_id}: sequential JPEG scan with progressive parameters")
+      } else {
+        require(se >= ss && se <= 63,
+          s"media ${m.media_id}: bad spectral band $ss..$se")
+        require(ss == 0 || ns == 1,
+          s"media ${m.media_id}: progressive AC scan must be single-component")
+        if (ss == 0) require(se == 0,
+          s"media ${m.media_id}: progressive DC scan band must be 0..0")
+      }
+
+      var p = sosAt + 1 + ns * 2 + 3
+
+      // bit reader with stuffing; markers feed zeros without consuming
+      var acc = 0L; var bits = 0
+      def fillBits(): Unit = {
+        while (bits <= 56) {
+          if (p >= b.length) { bits += 8 }
+          else {
+            val v = u8(p)
+            if (v == 0xff) {
+              val nx = if (p + 1 < b.length) u8(p + 1) else 0xd9
+              if (nx == 0x00) { acc |= 0xffL << (56 - bits); bits += 8; p += 2 }
+              else { bits += 8 } // marker: feed zeros, don't consume
+            } else { acc |= v.toLong << (56 - bits); bits += 8; p += 1 }
+          }
+        }
+      }
+      def readBit(): Int = {
+        if (bits == 0) fillBits()
+        val r = ((acc >>> 63) & 1).toInt
+        acc <<= 1; bits -= 1
+        r
+      }
+      def decodeHuff(t: Huff): Int = {
+        require(t != null, s"media ${m.media_id}: JPEG scan uses undefined Huffman table")
+        var code = 0
+        var l = 0
+        while (l < 16) {
+          code = (code << 1) | readBit()
+          l += 1
+          if (t.maxCode(l) >= t.minCode(l) && code <= t.maxCode(l) && code >= t.minCode(l))
+            return t.values(t.valPtr(l) + code - t.minCode(l))
+        }
+        throw new IllegalArgumentException(
+          s"media ${m.media_id}: corrupt JPEG Huffman stream")
+      }
+      def receive(s: Int): Int = {
+        var v = 0; var i = 0
+        while (i < s) { v = (v << 1) | readBit(); i += 1 }
+        v
+      }
+      def receiveExtend(s: Int): Int = {
+        if (s == 0) return 0
+        val v = receive(s)
+        if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+      }
+
+      val dcPred = new Array[Int](nComp)
+      var eobRun = 0
+
+      // ---- per-block decoders over the coefficient plane ----
+      def blockBase(c: Int, bx: Int, by: Int): Int = (by * blocksW(c) + bx) * 64
+
+      def decodeBlockSequential(si: Int, c: Int, bx: Int, by: Int): Unit = {
+        val base = blockBase(c, bx, by)
+        val t = decodeHuff(dcTabs(scanDc(si)))
+        require(t <= 11, s"media ${m.media_id}: JPEG DC category $t invalid")
+        dcPred(c) += receiveExtend(t)
+        coeffs(c)(base) = dcPred(c)
+        var k = 1
+        while (k < 64) {
+          val rs = decodeHuff(acTabs(scanAc(si)))
+          val r = rs >> 4; val s = rs & 15
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else k = 64 // EOB
+          } else {
+            k += r
+            require(k < 64, s"media ${m.media_id}: JPEG AC index past block end")
+            coeffs(c)(base + k) = receiveExtend(s)
+            k += 1
+          }
+        }
+      }
+
+      def decodeDcFirst(si: Int, c: Int, bx: Int, by: Int): Unit = {
+        val t = decodeHuff(dcTabs(scanDc(si)))
+        require(t <= 11, s"media ${m.media_id}: JPEG DC category $t invalid")
+        dcPred(c) += receiveExtend(t)
+        coeffs(c)(blockBase(c, bx, by)) = dcPred(c) << al
+      }
+
+      def decodeDcRefine(c: Int, bx: Int, by: Int): Unit = {
+        if (readBit() == 1) {
+          val base = blockBase(c, bx, by)
+          coeffs(c)(base) |= 1 << al
+        }
+      }
+
+      def decodeAcFirst(si: Int, c: Int, bx: Int, by: Int): Unit = {
+        val base = blockBase(c, bx, by)
+        if (eobRun > 0) { eobRun -= 1; return }
+        var k = ss
+        while (k <= se) {
+          val rs = decodeHuff(acTabs(scanAc(si)))
+          val r = rs >> 4; val s = rs & 15
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL: 16 zero coefficients
+            else { // EOBn: run of (1<<r) + receive(r) end-of-band blocks
+              eobRun = (1 << r) - 1 + (if (r > 0) receive(r) else 0)
+              k = se + 1
+            }
+          } else {
+            k += r
+            require(k <= se, s"media ${m.media_id}: JPEG AC index past band end")
+            coeffs(c)(base + k) = receiveExtend(s) << al
+            k += 1
+          }
+        }
+      }
+
+      def decodeAcRefine(si: Int, c: Int, bx: Int, by: Int): Unit = {
+        val base = blockBase(c, bx, by)
+        val cf = coeffs(c)
+        val p1 = 1 << al; val m1 = -1 << al
+        def refine(k: Int): Unit = { // correction bit for a nonzero-history coeff
+          if (readBit() == 1 && (cf(base + k) & p1) == 0)
+            cf(base + k) += (if (cf(base + k) >= 0) p1 else m1)
+        }
+        var k = ss
+        if (eobRun > 0) {
+          eobRun -= 1
+          while (k <= se) { if (cf(base + k) != 0) refine(k); k += 1 }
+          return
+        }
+        while (k <= se) {
+          val rs = decodeHuff(acTabs(scanAc(si)))
+          var r = rs >> 4; val s = rs & 15
+          var newVal = 0
+          if (s == 0) {
+            if (r != 15) { // EOBn: refine the rest of this band, then run
+              eobRun = (1 << r) - 1 + (if (r > 0) receive(r) else 0)
+              while (k <= se) { if (cf(base + k) != 0) refine(k); k += 1 }
+              return
+            }
+            // r == 15 (ZRL): pass 16 zero-history coefficients
+          } else {
+            require(s == 1, s"media ${m.media_id}: AC refinement magnitude $s")
+            newVal = if (readBit() == 1) p1 else m1
+          }
+          var placed = false
+          while (k <= se && !placed) {
+            if (cf(base + k) != 0) refine(k)
+            else {
+              if (r == 0) {
+                if (newVal != 0) cf(base + k) = newVal
+                placed = true
+              } else r -= 1
+            }
+            k += 1
+          }
+          if (!placed && newVal != 0)
+            throw new IllegalArgumentException(
+              s"media ${m.media_id}: JPEG AC refinement ran past the band")
+        }
+      }
+
+      def decodeBlock(si: Int, c: Int, bx: Int, by: Int): Unit = {
+        if (!progressive) decodeBlockSequential(si, c, bx, by)
+        else if (ss == 0) {
+          if (ah == 0) decodeDcFirst(si, c, bx, by) else decodeDcRefine(c, bx, by)
+        } else {
+          if (ah == 0) decodeAcFirst(si, c, bx, by) else decodeAcRefine(si, c, bx, by)
+        }
+      }
+
+      def restart(): Unit = {
+        acc = 0L; bits = 0
+        while (p + 1 < b.length && !(u8(p) == 0xff && u8(p + 1) >= 0xd0 && u8(p + 1) <= 0xd7))
+          p += 1
+        require(p + 1 < b.length, s"media ${m.media_id}: missing JPEG restart marker")
+        p += 2
+        java.util.Arrays.fill(dcPred, 0)
+        eobRun = 0
+      }
+
+      // ---- MCU walk: interleaved (ns > 1) or the component's own block
+      // grid (ns == 1 — the spec's non-interleaved geometry, which is NOT
+      // the MCU-padded grid for subsampled components) ----
+      var mcu = 0
+      if (ns == 1) {
+        val c = scanComp(0)
+        val bw = dataW(c); val bh = dataH(c)
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) restart()
+            decodeBlock(0, c, bx, by)
+            mcu += 1
+            bx += 1
+          }
+          by += 1
+        }
+      } else {
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) restart()
+            var si = 0
+            while (si < ns) {
+              val c = scanComp(si)
+              val hi = compHV(c) >> 4; val vi = compHV(c) & 15
+              var by = 0
+              while (by < vi) {
+                var bx = 0
+                while (bx < hi) {
+                  decodeBlock(si, c, mx * hi + bx, my * vi + by)
+                  bx += 1
+                }
+                by += 1
+              }
+              si += 1
+            }
+            mcu += 1
+            mx += 1
+          }
+          my += 1
+        }
+      }
+
+      // advance to the next true marker (skip any trailing RSTs)
+      var q = p
+      var atMarker = false
+      while (!atMarker) {
+        while (q + 1 < b.length && !(u8(q) == 0xff && u8(q + 1) != 0x00)) q += 1
+        require(q + 1 < b.length,
+          s"media ${m.media_id}: truncated JPEG — no marker after scan data")
+        if (u8(q + 1) >= 0xd0 && u8(q + 1) <= 0xd7) q += 2
+        else atMarker = true
+      }
+      q
+    }
+
+    // ---- marker walk: headers, tables, and every scan up to EOI ----
     var p = 2
-    var sosAt = -1
-    while (sosAt < 0) {
+    var sawEoi = false
+    var sawScan = false
+    while (!sawEoi) {
       require(u8(p) == 0xff, s"media ${m.media_id}: JPEG marker expected at $p")
       val mk = u8(p + 1)
       if (mk == 0xd8 || (mk >= 0xd0 && mk <= 0xd7)) { p += 2 } // stray SOI/RST
-      else {
+      else if (mk == 0xd9) {
+        require(sawScan, s"media ${m.media_id}: JPEG EOI before scan data")
+        sawEoi = true
+      } else {
         val len = u16(p + 2)
         require(len >= 2 && p + 2 + len <= b.length,
           s"media ${m.media_id}: JPEG segment overruns payload")
@@ -724,8 +1036,11 @@ object Multimodal {
               qt(id) = Array.tabulate(64)(i => u8(q + 1 + i))
               q += 65
             }
-          case 0xc4 => parseDht(at, end)
-          case 0xc0 | 0xc1 => // baseline / extended sequential SOF
+            p = end
+          case 0xc4 => parseDht(at, end); p = end
+          case 0xc0 | 0xc1 | 0xc2 => // sequential / extended / progressive SOF
+            require(w == 0, s"media ${m.media_id}: multiple JPEG frame headers")
+            progressive = mk == 0xc2
             require(u8(at) == 8, s"media ${m.media_id}: ${u8(at)}-bit JPEG unsupported")
             h = u16(at + 1); w = u16(at + 3); nComp = u8(at + 5)
             require(w > 0 && h > 0, s"media ${m.media_id}: degenerate JPEG dims ${w}x$h")
@@ -743,186 +1058,72 @@ object Multimodal {
               require(hi >= 1 && hi <= 2 && vi >= 1 && vi <= 2,
                 s"media ${m.media_id}: sampling ${hi}x$vi unsupported (1-2 only)")
             }
-          case 0xc2 => throw new IllegalArgumentException(
-            s"media ${m.media_id}: progressive JPEG unsupported (baseline only)")
+            allocAtSof()
+            p = end
           case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 =>
             throw new IllegalArgumentException(
               s"media ${m.media_id}: JPEG SOF${x - 0xc0} coding unsupported")
-          case 0xdd => restartInterval = u16(at)
-          case 0xda => sosAt = at
-          case 0xd9 => throw new IllegalArgumentException(
-            s"media ${m.media_id}: JPEG EOI before scan data")
-          case _ => () // APPn / COM / others: skipped
-        }
-        p = end
-      }
-    }
-    require(w > 0, s"media ${m.media_id}: JPEG scan before SOF header")
-
-    // ---- SOS header: component → table bindings ----
-    val ns = u8(sosAt)
-    require(ns == nComp, s"media ${m.media_id}: partial-scan JPEG unsupported")
-    val scanDc = new Array[Int](nComp); val scanAc = new Array[Int](nComp)
-    for (i <- 0 until ns) {
-      val cid = u8(sosAt + 1 + i * 2)
-      val c = compId.indexOf(cid)
-      require(c >= 0, s"media ${m.media_id}: JPEG scan names unknown component $cid")
-      scanDc(c) = u8(sosAt + 2 + i * 2) >> 4
-      scanAc(c) = u8(sosAt + 2 + i * 2) & 15
-    }
-    p = sosAt + 1 + ns * 2 + 3 // skip Ss/Se/AhAl
-
-    // ---- entropy-coded segment: bit reader with stuffing + RST ----
-    var acc = 0L; var bits = 0
-    def fillBits(): Unit = {
-      while (bits <= 56) {
-        if (p >= b.length) { acc |= 0L; bits += 8 } // pad past end; short read caught below
-        else {
-          val v = u8(p)
-          if (v == 0xff) {
-            val nx = if (p + 1 < b.length) u8(p + 1) else 0xd9
-            if (nx == 0x00) { acc |= 0xffL << (56 - bits); bits += 8; p += 2 }
-            else { acc |= 0L; bits += 8 } // marker: feed zeros, don't consume
-          } else { acc |= v.toLong << (56 - bits); bits += 8; p += 1 }
+          case 0xdd => restartInterval = u16(at); p = end
+          case 0xda =>
+            require(w > 0, s"media ${m.media_id}: JPEG scan before SOF header")
+            sawScan = true
+            p = decodeScan(at)
+          case _ => p = end // APPn / COM / others: skipped
         }
       }
     }
-    def readBit(): Int = {
-      if (bits == 0) fillBits()
-      val r = ((acc >>> 63) & 1).toInt
-      acc <<= 1; bits -= 1
-      r
-    }
-    def decodeHuff(t: Huff): Int = {
-      require(t != null, s"media ${m.media_id}: JPEG scan uses undefined Huffman table")
-      var code = 0
-      var l = 0
-      while (l < 16) {
-        code = (code << 1) | readBit()
-        l += 1
-        if (t.maxCode(l) >= t.minCode(l) && code <= t.maxCode(l) && code >= t.minCode(l))
-          return t.values(t.valPtr(l) + code - t.minCode(l))
-      }
-      throw new IllegalArgumentException(
-        s"media ${m.media_id}: corrupt JPEG Huffman stream")
-    }
-    def receiveExtend(s: Int): Int = {
-      if (s == 0) return 0
-      var v = 0
-      var i = 0
-      while (i < s) { v = (v << 1) | readBit(); i += 1 }
-      if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
-    }
 
-    val hMax = (0 until nComp).map(c => compHV(c) >> 4).max
-    val vMax = (0 until nComp).map(c => compHV(c) & 15).max
-    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
-    // per-component pixel planes at sampled resolution
+    // ---- render: dequant + inverse zigzag + IDCT every block ----
     val planeW = new Array[Int](nComp); val planeH = new Array[Int](nComp)
     val planes = new Array[Array[Byte]](nComp)
     for (c <- 0 until nComp) {
-      planeW(c) = mcusX * (compHV(c) >> 4) * 8
-      planeH(c) = mcusY * (compHV(c) & 15) * 8
+      planeW(c) = blocksW(c) * 8
+      planeH(c) = blocksH(c) * 8
       planes(c) = new Array[Byte](planeW(c) * planeH(c))
     }
-    val dcPred = new Array[Int](nComp)
-    val blk = new Array[Int](64)
     val tmp = new Array[Double](64)
-
-    def idctToPlane(c: Int, bx: Int, by: Int): Unit = {
+    var c = 0
+    while (c < nComp) {
       val q = qt(compQ(c))
       require(q != null, s"media ${m.media_id}: JPEG uses undefined quant table")
-      // dequant + inverse zigzag into natural order
-      var i = 0
-      while (i < 64) { tmp(zigzagInv(i)) = blk(i).toDouble * q(i); i += 1 }
+      val cf = coeffs(c)
       val out = planes(c); val pw = planeW(c)
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          var s = 0.0
-          var u = 0
-          while (u < 8) {
-            val cu = if (u == 0) 0.7071067811865476 else 1.0
-            var v = 0
-            while (v < 8) {
-              val cv = if (v == 0) 0.7071067811865476 else 1.0
-              s += cu * cv * tmp(u * 8 + v) * idctCos(x)(v) * idctCos(y)(u)
-              v += 1
-            }
-            u += 1
-          }
-          val px = (math.round(s / 4.0) + 128).toInt
-          out((by * 8 + y) * pw + bx * 8 + x) =
-            (if (px < 0) 0 else if (px > 255) 255 else px).toByte
-          x += 1
-        }
-        y += 1
-      }
-    }
-
-    var mcu = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          // byte-align, expect RSTn, reset predictors
-          acc = 0L; bits = 0
-          while (p + 1 < b.length && !(u8(p) == 0xff && u8(p + 1) >= 0xd0 && u8(p + 1) <= 0xd7))
-            p += 1
-          require(p + 1 < b.length, s"media ${m.media_id}: missing JPEG restart marker")
-          p += 2
-          java.util.Arrays.fill(dcPred, 0)
-        }
-        var c = 0
-        while (c < nComp) {
-          val hi = compHV(c) >> 4; val vi = compHV(c) & 15
-          var by = 0
-          while (by < vi) {
-            var bx = 0
-            while (bx < hi) {
-              java.util.Arrays.fill(blk, 0)
-              val t = decodeHuff(dcTabs(scanDc(c)))
-              require(t <= 11, s"media ${m.media_id}: JPEG DC category $t invalid")
-              dcPred(c) += receiveExtend(t)
-              blk(0) = dcPred(c)
-              var k = 1
-              while (k < 64) {
-                val rs = decodeHuff(acTabs(scanAc(c)))
-                val r = rs >> 4; val s = rs & 15
-                if (s == 0) {
-                  if (r == 15) k += 16 // ZRL
-                  else k = 64 // EOB
-                } else {
-                  k += r
-                  require(k < 64, s"media ${m.media_id}: JPEG AC index past block end")
-                  blk(k) = receiveExtend(s)
-                  k += 1
+      var by = 0
+      while (by < blocksH(c)) {
+        var bx = 0
+        while (bx < blocksW(c)) {
+          val base = (by * blocksW(c) + bx) * 64
+          var i = 0
+          while (i < 64) { tmp(zigzagInv(i)) = cf(base + i).toDouble * q(i); i += 1 }
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var s = 0.0
+              var u = 0
+              while (u < 8) {
+                val cu = if (u == 0) 0.7071067811865476 else 1.0
+                var v = 0
+                while (v < 8) {
+                  val cv = if (v == 0) 0.7071067811865476 else 1.0
+                  s += cu * cv * tmp(u * 8 + v) * idctCos(x)(v) * idctCos(y)(u)
+                  v += 1
                 }
+                u += 1
               }
-              idctToPlane(c, mx * hi + bx, my * vi + by)
-              bx += 1
+              val px = (math.round(s / 4.0) + 128).toInt
+              out((by * 8 + y) * pw + bx * 8 + x) =
+                (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+              x += 1
             }
-            by += 1
+            y += 1
           }
-          c += 1
+          bx += 1
         }
-        mcu += 1
-        mx += 1
+        by += 1
       }
-      my += 1
+      c += 1
     }
-
-    // a complete scan must still hold its EOI: the bit reader zero-pads
-    // past the payload end (standard tail behavior), so a TRUNCATED
-    // stream can reach here having decoded garbage — the missing EOI is
-    // what betrays it, and the fail-loudly contract wants it loud
-    var eoi = p
-    while (eoi + 1 < b.length && !(u8(eoi) == 0xff && u8(eoi + 1) == 0xd9)) eoi += 1
-    require(eoi + 1 < b.length,
-      s"media ${m.media_id}: truncated JPEG — no EOI after scan data")
 
     // ---- color convert + crop to w×h ----
     val rgb = new Array[Byte](w * h * 3)
@@ -944,10 +1145,10 @@ object Multimodal {
       while (y < h) {
         var x = 0
         while (x < w) {
-          def sample(c: Int): Int = {
-            val sx = x * (compHV(c) >> 4) / hMax
-            val sy = y * (compHV(c) & 15) / vMax
-            planes(c)(sy * planeW(c) + sx) & 0xff
+          def sample(ci: Int): Int = {
+            val sx = x * (compHV(ci) >> 4) / hMax
+            val sy = y * (compHV(ci) & 15) / vMax
+            planes(ci)(sy * planeW(ci) + sx) & 0xff
           }
           val yy = sample(0).toDouble
           val cb = sample(1) - 128.0
