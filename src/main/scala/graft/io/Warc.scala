@@ -255,6 +255,22 @@ object Warc {
                   l.substring("content-type:".length).trim
               }.orNull
               payload = java.util.Arrays.copyOfRange(block, he + 4, block.length)
+              // HTTP Content-Encoding: real crawls carry gzip/deflate
+              // bodies (the server compressed them; the crawler archived
+              // the wire bytes). Decode here so every bridge downstream
+              // (HTML strip, PDF extract, media codecs) sees entity
+              // bytes. A body that fails to decompress (truncated
+              // transfer) passes through RAW — the quality/codec gates
+              // downstream are the arbiters of garbage, and dropping
+              // bytes in the reader would be silent data loss.
+              val cenc = lines.tail.collectFirst {
+                case l if l.toLowerCase.startsWith("content-encoding:") =>
+                  l.substring("content-encoding:".length).trim.toLowerCase
+              }.getOrElse("")
+              if (cenc == "gzip" || cenc == "x-gzip")
+                payload = try gunzip(payload) catch { case _: Exception => payload }
+              else if (cenc == "deflate")
+                payload = try inflateHttp(payload) catch { case _: Exception => payload }
             }
           }
           // record terminator: two CRLFs (or clean end-of-file)
@@ -292,6 +308,27 @@ object Warc {
       i += 1
     }
     -1
+  }
+
+  /** HTTP `deflate` body: zlib-wrapped per the RFC, but some servers
+    * (historically IIS) send raw DEFLATE — try zlib first, fall back. */
+  private def inflateHttp(raw: Array[Byte]): Array[Byte] = {
+    def run(nowrap: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      inf.setInput(raw)
+      val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+      val buf = new Array[Byte](64 * 1024)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (!inf.finished())
+          throw new java.util.zip.DataFormatException("stalled inflate")
+      }
+      require(inf.finished(), "truncated deflate body")
+      inf.end()
+      out.toByteArray
+    }
+    try run(nowrap = false) catch { case _: Exception => run(nowrap = true) }
   }
 
   /** Concatenated-member gzip (the `.warc.gz` record-level layout —

@@ -13,10 +13,12 @@ package graft.operators
   *
   * Coverage: single-video-stream AVIs whose `##dc`/`##db` chunks carry
   * JPEG payloads (fccHandler `MJPG`/`mjpg`/`dmb1`). Frames that omit
-  * their Huffman tables (the MJPEG-without-DHT variant some hardware
-  * emits) fail loudly with a targeted message rather than mis-decoding
-  * — the documented boundary, same contract as progressive JPEG in the
-  * image codec. `idx1` indexes are ignored: the `movi` list is walked
+  * their Huffman tables (the DHT-less variant most hardware encoders
+  * emit) get the ITU T.81 Annex K "typical" tables spliced in before
+  * the SOS — which is what the MJPEG convention PRESCRIBES for such
+  * frames, so the splice is the spec'd decode, not a guess (AviSpec
+  * proves a stripped frame decodes bit-identically to its tabled
+  * original). `idx1` indexes are ignored: the `movi` list is walked
   * sequentially, which needs no index and cannot be lied to by one.
   *
   * Fail-loudly contract throughout ([[Multimodal]] codec rule):
@@ -80,9 +82,11 @@ object Avi {
   }
 
   /** A frame's bytes as a standalone JPEG payload. MJPEG frames that
-    * omit the DHT segment (hardware-encoder variant relying on the
-    * spec's example tables) are the documented unsupported boundary —
-    * detected and rejected loudly, never mis-decoded. */
+    * omit the DHT segment — the hardware-encoder variant, which the
+    * OpenDML/MJPEG convention defines as using the ITU T.81 Annex K
+    * "typical" tables — get those exact tables SPLICED in before the
+    * SOS, which is the convention's prescribed decode, not a guess. A
+    * frame with its own DHT passes through untouched. */
   private[graft] def frameJpeg(b: Array[Byte], at: Int, len: Int,
       mediaId: Long, idx: Int): Array[Byte] = {
     val f = java.util.Arrays.copyOfRange(b, at, at + len)
@@ -92,13 +96,13 @@ object Avi {
     // scan markers up to SOS for a DHT
     var p = 2
     var hasDht = false
-    var done = false
-    while (!done && p + 4 <= f.length) {
-      if ((f(p) & 0xff) != 0xff) { done = true }
+    var sosAt = -1
+    while (sosAt < 0 && p + 4 <= f.length) {
+      if ((f(p) & 0xff) != 0xff) { p = f.length }
       else {
         val marker = f(p + 1) & 0xff
         if (marker == 0xff) p += 1 // fill byte before a marker
-        else if (marker == 0xda) done = true
+        else if (marker == 0xda) sosAt = p
         else if (marker == 0xd8 || marker == 0x01 ||
             (marker >= 0xd0 && marker <= 0xd7)) p += 2 // length-less
         else {
@@ -108,10 +112,67 @@ object Avi {
         }
       }
     }
-    require(hasDht,
-      s"media $mediaId frame $idx: MJPEG frame omits its Huffman tables " +
-        "(DHT-less hardware variant) — unsupported, supply re-muxed input")
-    f
+    if (hasDht || sosAt < 0) f
+    else {
+      val out = new Array[Byte](f.length + StandardDht.length)
+      System.arraycopy(f, 0, out, 0, sosAt)
+      System.arraycopy(StandardDht, 0, out, sosAt, StandardDht.length)
+      System.arraycopy(f, sosAt, out, sosAt + StandardDht.length,
+        f.length - sosAt)
+      out
+    }
+  }
+
+  // ITU T.81 Annex K "typical" Huffman tables as one DHT segment
+  // (DC/AC luminance id 0, DC/AC chrominance id 1) — the tables the
+  // MJPEG convention mandates for DHT-less frames. Public spec data.
+  private val StandardDht: Array[Byte] = {
+    val dcL = (Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+      (0 to 11).toArray)
+    val dcC = (Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+      (0 to 11).toArray)
+    val acL = (Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125),
+      Array(
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+        0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+        0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+        0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+        0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+        0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+        0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa))
+    val acC = (Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119),
+      Array(
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+        0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+        0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+        0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+        0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+        0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+        0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+        0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa))
+    val tables = Seq((0x00, dcL), (0x10, acL), (0x01, dcC), (0x11, acC))
+    val body = tables.flatMap { case (id, (counts, values)) =>
+      id +: (counts ++ values)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xc4)
+    val len = body.length + 2
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    body.foreach(v => out.write(v & 0xff))
+    out.toByteArray
   }
 
   /** Every `every`-th video frame as an `image/jpeg`

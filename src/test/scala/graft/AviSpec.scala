@@ -73,9 +73,11 @@ class AviSpec extends SparkSpec {
     assert(e.getMessage.contains("overruns"))
   }
 
-  test("DHT-less MJPEG frame is rejected with the targeted message") {
+  test("DHT-less MJPEG decodes bit-identically via the Annex K splice") {
+    // TestJpeg codes with exactly the Annex K typical tables, so a frame
+    // with its DHT STRIPPED (the hardware-MJPEG convention) must decode
+    // to the very same pixels once the standard tables are spliced in
     val f = grayFrame(128)
-    // strip the DHT segments: rebuild without 0xFFC4 markers
     val out = new java.io.ByteArrayOutputStream()
     var p = 0
     out.write(f(0)); out.write(f(1)); p = 2
@@ -90,10 +92,11 @@ class AviSpec extends SparkSpec {
         out.write(f(p)); p += 1
       }
     }
-    val avi = TestAvi(16, 8, Seq(out.toByteArray))
-    val e = intercept[IllegalArgumentException] {
-      Avi.decodeAvi(media(avi, 5L))
-    }
-    assert(e.getMessage.contains("Huffman tables"))
+    val stripped = out.toByteArray
+    assert(stripped.length < f.length, "the strip must remove a DHT")
+    val tabled = Avi.decodeAvi(media(TestAvi(16, 8, Seq(f)), 4L))
+    val dhtless = Avi.decodeAvi(media(TestAvi(16, 8, Seq(stripped)), 5L))
+    assert(tabled.features.toSeq == dhtless.features.toSeq)
+    assert(dhtless.width == 16 && dhtless.height == 8)
   }
 }
