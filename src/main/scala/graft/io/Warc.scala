@@ -92,15 +92,24 @@ object Warc {
       "\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014\u02dc\u2122" +
       "\u0161\u203a\u0153\u017e\u0178"
 
-  /** Decode an HTTP payload honoring the `charset=` parameter already
-    * sitting in the parsed Content-Type: ISO-8859-1/latin1 and
-    * Windows-1252/cp1252 (still a real fraction of the web) decode
-    * exactly; everything else — including the no-parameter default —
-    * decodes UTF-8 as before. */
+  /** Decode an HTTP payload honoring the `charset=` parameter in the
+    * parsed Content-Type — and, when the header names none, the
+    * document's own `<meta charset=…>` / `http-equiv Content-Type`
+    * declaration (sniffed from the first 1024 bytes latin-1-decoded,
+    * the HTML5 prescan rule — header wins over meta per spec):
+    * ISO-8859-1/latin1 and Windows-1252/cp1252 (still a real fraction
+    * of the web) decode exactly; everything else — including the
+    * no-declaration default — decodes UTF-8. All codegen'd column
+    * expressions, no UDF. */
   private def decodePayload(payload: org.apache.spark.sql.Column,
       contentType: org.apache.spark.sql.Column) = {
-    val cs = lower(regexp_extract(contentType,
-      "(?i)charset\\s*=\\s*\"?([A-Za-z0-9_\\-]+)", 1))
+    val csPat = "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)"
+    val headerCs = lower(regexp_extract(contentType, csPat, 1))
+    // meta prescan: ASCII-compatible for every charset we distinguish
+    val metaCs = lower(regexp_extract(
+      substring(decode(payload, "ISO-8859-1"), 1, 1024),
+      "(?i)<meta[^>]*" + csPat, 1))
+    val cs = when(headerCs =!= "", headerCs).otherwise(metaCs)
     val latin1 = decode(payload, "ISO-8859-1")
     when(cs.isin("iso-8859-1", "latin1", "iso8859-1"), latin1)
       .when(cs.isin("windows-1252", "cp1252"),
@@ -188,6 +197,38 @@ object Warc {
       .select(col("doc_id"), col("url"),
         TextFunctions.langId(col("text")).as("lang"), col("text"))
   }
+
+  /** Curate-ready documents from `text/plain` responses: the payload IS
+    * the text (decoded with the same charset rules as HTML), no
+    * stripping — the third text carrier after HTML and PDF. */
+  def toDocumentsText(records: Dataset[WarcRecord]): DataFrame = {
+    import graft.functions.TextFunctions
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type")) === "text/plain")
+      .select(
+        xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        decodePayload(col("payload"), col("http_content_type")).as("text"))
+      .select(col("doc_id"), col("url"),
+        TextFunctions.langId(col("text")).as("lang"), col("text"))
+  }
+
+  /** ONE call from crawl archive to curate-ready documents: every
+    * text-bearing response routed to its extractor — `text/html` through
+    * the HTML strip, `application/pdf` through the pure-JVM PDF
+    * extractor, `text/plain` as-is — unioned into the shared
+    * (doc_id, url, lang, text) shape `CorpusPipeline.curate` consumes.
+    * Media-typed responses are [[toMedia]]'s business, not dropped here
+    * silently — this is the TEXT face only. Each branch filters the same
+    * record stream; callers bridging several faces of one archive scan
+    * should `records.persist()` first (three column-pruned passes over a
+    * cached record table beat three archive walks). */
+  def toDocuments(records: Dataset[WarcRecord]): DataFrame =
+    toDocumentsHtml(records)
+      .unionByName(toDocumentsPdf(records))
+      .unionByName(toDocumentsText(records))
 
   /** Sequential record walk over one (decompressed) archive. Malformed
     * framing never throws: the offending record surfaces with
