@@ -903,7 +903,21 @@ object ScaleBench {
       "is the same regime per ARCHIVE FILE (binary framing cannot " +
       "re-sync mid-split): sequential record walk + HTTP head parse + " +
       "htmlToText + lang-ID to curate-ready documents, parallel across " +
-      "segments, zero shuffle.\n\n"
+      "segments, zero shuffle. warc_pdf_ingest is the heavier-compute " +
+      "face of the same per-file regime: the framing walk plus a " +
+      "pure-JVM Inflater pass and the content-stream text interpreter " +
+      "per application/pdf response — more CPU per byte than the HTML " +
+      "regex strip, still zero shuffle, still linear in archive bytes " +
+      "(at 100 TB the analogue scales with executor count alone, like " +
+      "every decode-bound row here). token_shards is the LAST hop of " +
+      "the pipeline measured as a sink: BPE ids (encoded untimed under " +
+      "a standing model — tokenization's own row is bpe_encode) through " +
+      "the doc-aligned binary shard writer — one range shuffle for the " +
+      "doc_id total order, one long per partition of driver prefix-sum " +
+      "traffic, one hash shuffle on shard_id, then a narrow streaming " +
+      "write; shuffle bytes track the id volume (visible in the " +
+      "shuffle column), wall time follows the shard count ∝ " +
+      "corpus/tokensPerShard.\n\n"
     sb ++= "The curation samplers show their two-branch design directly: " +
       "source_cap/token_budget output grows SUB-linearly (the fixed caps " +
       "bite harder as the corpus grows) and only over-cap groups' rows " +
