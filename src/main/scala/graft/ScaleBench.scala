@@ -938,10 +938,19 @@ object ScaleBench {
       "kernel instead of a queries × centroid-table cross join through " +
       "a window sort — 160M intermediate rows at 50× became zero; plus " +
       "the scan-decoupling repartition of the coded corpus). Measured " +
-      "50×: 115 → ~16-22 s across rounds (run-to-run; the ~2.6 GB rank-" +
-      "shuffle spill is the remaining lever); the cost left is the single " +
-      "balanced rank " +
-      "shuffle over the candidate stream, linear in the corpus.\n\n" +
+      "50×: 115 → ~16-22 s across rounds, then → ~13 s when the rank " +
+      "WINDOWS became the bounded top_k_pairs aggregate (TopKPairs.scala " +
+      "— per-group TakeOrderedAndProject with map-side partials; " +
+      "bit-identical output, TopKPairsSpec): the full candidate-stream " +
+      "sort is gone and spill halved (2.8 → 1.3 GB). In the SELF-join " +
+      "shape the shuffle volume itself barely moves — each query's " +
+      "candidates are already spread thin across partitions, so partial " +
+      "top-k can't compress below their true count; the aggregate's big " +
+      "compression win is the SERVICE shape (ann_index_probe: a small " +
+      "query batch against the standing corpus reduces to k rows per " +
+      "query per partition before any exchange). The residual cost is " +
+      "the balanced per-query aggregation over the candidate stream, " +
+      "linear in the corpus.\n\n" +
       "incremental_dedup times a FIXED-size ingest batch against the " +
       "GROWING corpus through the path writeStreamIncrementalDedup " +
       "actually runs: the persisted band-bucket index (built untimed, as " +

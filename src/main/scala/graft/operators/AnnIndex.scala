@@ -132,30 +132,35 @@ object AnnIndex {
 
     val qTables = queries.select(col(idCol).as("query_id"),
       graft.expressions.PqAdcTable.pqAdcTable(col(vecCol), codebooks).as("qtable"))
-    val adcW = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    // bounded per-group top-k instead of rank windows, both stages —
+    // the ivfPqTopK swap (identical total orders, bit-identical output,
+    // map-side partial aggregation bounds the shuffle at k per query
+    // per partition; the probe stays bit-equal to ivfPqTopK because
+    // BOTH use the same aggregate now — AnnIndexSpec asserts it)
     val shortlist = prunedLists
       .select(col("cid"), col("vec_id").as("neighbor_id"), col("codes"))
       .join(probes, Seq("cid"))
       .join(qTables, Seq("query_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", graft.expressions.PqAdc.pqAdc(col("codes"), col("qtable")))
-      // narrow before the rank sort — the ivfPqTopK spill lesson
       .select(col("query_id"), col("neighbor_id"), col("adc"))
-      .withColumn("adc_rank", row_number().over(adcW))
-      .filter(col("adc_rank") <= rerankDepth)
-      .select("query_id", "neighbor_id")
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKPairs.topKPairs(
+        col("adc"), col("neighbor_id"), rerankDepth, smallest = true).as("short"))
+      .select(col("query_id"),
+        explode(col("short").getField("id")).as("neighbor_id"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
     shortlist
       .join(prunedLists.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("cv")), Seq("neighbor_id"))
       .join(qRaw, Seq("query_id"))
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKPairs.topKPairs(
+        col("cosine"), col("neighbor_id"), k, smallest = false).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("t.id").as("neighbor_id"), col("t.score").as("cosine"))
   }
 
   /** Retract vectors from the standing index: ids land in a `deletes/`

@@ -465,21 +465,26 @@ object Similarity {
       .repartition(corpus.sparkSession.conf
         .get("spark.sql.shuffle.partitions", "200").toInt)
 
-    val adcW = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    // bounded PER-GROUP top-k instead of a rank window: the window
+    // formulation shuffled + sorted the ENTIRE candidate stream on
+    // query_id (measured 2.6-2.8 GB of sort spill at ScaleBench 50× —
+    // the op's last super-linear term); the native aggregate reduces
+    // each partition to ≤ rerankDepth pairs per query BEFORE the
+    // exchange (map-side partial, TakeOrderedAndProject's trick per
+    // group), with the identical total order (adc asc, neighbor asc) —
+    // bit-identical shortlist, TopKPairsSpec proves it. The narrow
+    // projection before the agg is still load-bearing: the m·kc ADC
+    // table (KBs/row) must not ride into the aggregation buffers.
     val shortlist = coded.join(probes, Seq("cid"))
       .join(qTables, Seq("query_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", graft.expressions.PqAdc.pqAdc(col("codes"), col("qtable")))
-      // NARROW the stream before the rank sort: the m·kc ADC table
-      // (KBs/row) has done its job once `adc` is computed, and letting it
-      // ride through the per-query sort multiplies the sort's bytes by
-      // ~40× — measured as 5 GB of spill on the 50× self-join before
-      // this projection existed
       .select(col("query_id"), col("neighbor_id"), col("adc"))
-      .withColumn("adc_rank", row_number().over(adcW))
-      .filter(col("adc_rank") <= rerankDepth)
-      .select("query_id", "neighbor_id")
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKPairs.topKPairs(
+        col("adc"), col("neighbor_id"), rerankDepth, smallest = true).as("short"))
+      .select(col("query_id"),
+        explode(col("short").getField("id")).as("neighbor_id"))
 
     // NO forced broadcast on the query-vector rejoin: in the self-search
     // shape the query table IS the corpus, and a broadcast hint here ships
@@ -488,16 +493,20 @@ object Similarity {
     // probe sets at runtime; table-scale query sets ride the query_id
     // shuffle the shortlist already carries.
     val qVec = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
     shortlist
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
         Seq("neighbor_id"))
       .join(qVec, Seq("query_id"))
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+      // same bounded-aggregate swap as the shortlist: (cosine desc,
+      // neighbor asc) total order, k per query, rank from the emitted
+      // best-first position — row_number()-identical output
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKPairs.topKPairs(
+        col("cosine"), col("neighbor_id"), k, smallest = false).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("t.id").as("neighbor_id"), col("t.score").as("cosine"))
   }
 
   /** Embedding near-duplicate pairs: LSH candidates + exact cosine ≥
