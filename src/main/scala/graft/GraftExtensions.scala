@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{CosineSim, FreqSketch, HyperplaneBuckets, MinHashMerge, MinHashSignature, ShingleHashes, SimHash64, TokenHashes}
+import graft.expressions.{CosineSim, FreqSketch, HyperplaneBuckets, MinHashMerge, MinHashSignature, ShingleHashes, SimHash64, TokenHashes, TopKPairs}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions with the SQL function registry, so SQL-only users (and
@@ -31,6 +31,20 @@ object GraftExtensions {
   private def arity(name: String, children: Seq[Expression], n: Int): Unit =
     require(children.length == n,
       s"$name takes exactly $n argument(s), got ${children.length}")
+
+  /** Extract a compile-time boolean parameter, same contract as
+    * [[intArg]]. */
+  private def boolArg(name: String, e: Expression): Boolean = {
+    require(e.foldable,
+      s"$name expects a literal boolean parameter, got: $e")
+    val v = e.eval()
+    require(v != null, s"$name literal boolean parameter must not be NULL")
+    v match {
+      case b: java.lang.Boolean => b.booleanValue
+      case other => throw new IllegalArgumentException(
+        s"$name literal boolean parameter has type ${other.getClass.getSimpleName}")
+    }
+  }
 
   /** Extract a compile-time int parameter (k, n, bands...) from a SQL
     * argument — any FOLDABLE integral expression works: `3`, `3L`,
@@ -121,6 +135,19 @@ object GraftExtensions {
         "SELECT freq_sketch(term, 64) FROM (SELECT explode(split(text, ' ')) AS term FROM docs)"),
       (c: Seq[Expression]) => { arity("freq_sketch", c, 2)
         FreqSketch(c.head, intArg("freq_sketch", c(1))) }),
+
+    (new FunctionIdentifier("top_k_pairs"),
+      info(classOf[TopKPairs], "top_k_pairs",
+        "top_k_pairs(score double, id bigint, k, smallest boolean) - " +
+          "AGGREGATE: the k best (score, id) pairs per group under the " +
+          "total order (score asc|desc, id asc), best-first, as " +
+          "array<struct<score,id>>. Map-side partial top-k — the " +
+          "rank-window replacement whose shuffle is bounded at k rows " +
+          "per group per partition.",
+        "SELECT g, top_k_pairs(score, id, 10, false) FROM candidates GROUP BY g"),
+      (c: Seq[Expression]) => { arity("top_k_pairs", c, 4)
+        TopKPairs(c.head, c(1), intArg("top_k_pairs", c(2)),
+          boolArg("top_k_pairs", c(3))) }),
 
     (new FunctionIdentifier("hyperplane_buckets"),
       info(classOf[HyperplaneBuckets], "hyperplane_buckets",

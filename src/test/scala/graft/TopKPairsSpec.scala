@@ -77,6 +77,16 @@ class TopKPairsSpec extends SparkSpec {
     assert(out(1L) == 1 && out(2L) == 0)
   }
 
+  test("reachable from SQL via the registry") {
+    GraftExtensions.register(spark)
+    candidates.createOrReplaceTempView("topk_cands")
+    val rows = spark.sql(
+      "SELECT g, top_k_pairs(score, id, 3, false) AS top FROM topk_cands GROUP BY g")
+      .selectExpr("g", "size(top) AS n", "top[0].id AS best")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.length == 40 && rows.forall(_._2 == 3))
+  }
+
   test("the aggregation runs as ObjectHashAggregate with a partial pass") {
     val plan = viaAgg(candidates, 5, smallest = true)
       .queryExecution.executedPlan.toString
