@@ -148,6 +148,56 @@ object TokenShards {
     encoded.sparkSession.read.parquet(s"$dir/manifest")
   }
 
+  /** Streaming face of the sink: each microbatch of encoded docs becomes
+    * NEW shards appended at-most-once under `dir/batch-<id>/` (own
+    * manifest per batch — a training loader unions the per-batch
+    * manifests with one glob; global doc order holds WITHIN a batch,
+    * batches order by arrival, the only order a stream can promise).
+    * Replayed microbatch
+    * ids are skipped via the root batch marker, so crash recovery never
+    * double-writes tokens — the `Sinks.appendBatchIdempotent` contract.
+    * Single-writer, like every standing-artifact sink here. */
+  def writeStreamTokenShards(encoded: DataFrame, dir: String,
+      checkpointDir: String, tokensPerShard: Long, vocabSize: Int,
+      eosId: Int, idCol: String = "doc_id", idsCol: String = "token_ids")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val commit = (batch: DataFrame, batchId: Long) => {
+      writeTokenShardsIdempotent(batch, dir, batchId,
+        tokensPerShard, vocabSize, eosId, idCol, idsCol)
+      ()
+    }
+    encoded.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(commit)
+      .start()
+  }
+
+  /** At-most-once per-batch sharding, gated on the root batch marker —
+    * the commit [[writeStreamTokenShards]] runs, exposed for direct
+    * replay testing and manual batch loops. Returns whether the batch
+    * was written. */
+  def writeTokenShardsIdempotent(batch: DataFrame, dir: String,
+      batchId: Long, tokensPerShard: Long, vocabSize: Int, eosId: Int,
+      idCol: String = "doc_id", idsCol: String = "token_ids"): Boolean = {
+    val spark = batch.sparkSession
+    if (batchId <= graft.io.Sinks.lastCommittedBatch(spark, dir)) false
+    else {
+      // materialize before sharding: the writer's range partitioning
+      // SAMPLES its child (an extra evaluation a one-shot streaming
+      // batch does not support), and the prefix-sum makes two more
+      // passes — all of which must hit the cache, not the source
+      val local = batch.persist(StorageLevel.MEMORY_AND_DISK)
+      local.count()
+      try {
+        writeTokenShards(local, f"$dir%s/batch-$batchId%05d",
+          tokensPerShard, vocabSize, eosId, idCol, idsCol)
+        graft.io.Sinks.recordCommittedBatch(spark, dir, batchId)
+      } finally local.unpersist()
+      true
+    }
+  }
+
   /** Read shards back as (`shard_id`, `token_ids`) — the verification
     * face of the writer (a training loader mmaps the files directly).
     * Byte width comes from the manifest; a file whose length is not a

@@ -93,4 +93,45 @@ class TokenShardsSpec extends SparkSpec {
     assert(e.getMessage.contains("doc 42") || e.getCause != null &&
       String.valueOf(e.getCause.getMessage).contains("doc 42"))
   }
+
+  test("streaming sink: per-batch shards, replay skipped, tokens conserved") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_sh_stream").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_sh_ck").toString
+    val mem = MemoryStream[(Long, Seq[Int])]
+    val query = TokenShards.writeStreamTokenShards(
+      mem.toDF().toDF("doc_id", "token_ids"), dir, ck,
+      tokensPerShard = 8, vocabSize = 512, eosId = 0)
+    try {
+      mem.addData((1L, Seq(5, 6)), (2L, Seq(7)))
+      query.processAllAvailable()
+      mem.addData((3L, Seq(9, 10, 11)))
+      query.processAllAvailable()
+      val manifests = spark.read.parquet(s"$dir/batch-*/manifest")
+      assert(manifests.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+        .head.getLong(0) == (2 + 1) + (1 + 1) + (3 + 1))
+      // both batch dirs exist with their own shards
+      assert(new java.io.File(s"$dir").listFiles
+        .count(_.getName.startsWith("batch-")) == 2)
+      // read back batch 0 and re-split: both docs round-trip
+      val b0 = TokenShards.readTokenShards(spark, s"$dir/batch-00000")
+      val stream0 = b0.as[(Long, Seq[Int])].collect().sortBy(_._1).flatMap(_._2)
+      assert(stream0.toSeq == Seq(5, 6, 0, 7, 0))
+    } finally query.stop()
+    // crash-replay: re-delivering an ALREADY-COMMITTED batch id through
+    // the same commit path must be a no-op (the foreachBatch recovery
+    // contract), while a new id past the marker still lands
+    assert(!TokenShards.writeTokenShardsIdempotent(
+      enc(99L -> Seq(9)), dir, batchId = 1, 8, 512, 0),
+      "replayed batch id must be skipped")
+    assert(TokenShards.writeTokenShardsIdempotent(
+      enc(99L -> Seq(9)), dir, batchId = 2, 8, 512, 0))
+    val total = spark.read.parquet(s"$dir/batch-*/manifest")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).head.getLong(0)
+    // stream batches: (3 + 2) + 4 = 9 tokens; the admitted batch 2 adds
+    // doc 99 = 2 more; the SKIPPED replay of batch id 1 adds nothing
+    assert(total == 9 + 2, s"replay must not double-count: $total")
+  }
 }
