@@ -195,12 +195,14 @@ object Pdf {
     while (!inf.finished() && !inf.needsInput()) {
       val n = inf.inflate(buf)
       if (n > 0) out.write(buf, 0, n)
-      else if (n == 0 && !inf.finished()) {
+      else if (n == 0 && !inf.finished())
         require(!inf.needsDictionary(), "preset-dictionary zlib stream")
-        if (inf.needsInput()) // truncated input
-          throw new java.util.zip.DataFormatException("truncated Flate data")
-      }
     }
+    // a truncated stream exits the loop needing input without ever
+    // finishing — that must surface as corrupt, not as silent partial
+    // text (the fail-loudly contract)
+    if (!inf.finished())
+      throw new java.util.zip.DataFormatException("truncated Flate data")
     inf.end()
     out.toByteArray
   }
