@@ -236,7 +236,15 @@ object Warc {
     * break is trustworthy — a sequential reader would be lost too). */
   private[io] def parseWarcBytes(path: String, raw: Array[Byte]): Iterator[WarcRecord] = {
     val bytes =
-      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) gunzip(raw)
+      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
+        // a truncated/corrupt .warc.gz is malformed FRAMING, and the
+        // documented contract for that is a framing_ok = false row — not
+        // an executor exception killing the whole archive scan
+        try gunzip(raw) catch {
+          case _: Exception => return Iterator.single(WarcRecord(
+            path, 0, null, null, null, -1L, null, null,
+            Array.emptyByteArray, framing_ok = false))
+        }
       else raw
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
     var i = 0
