@@ -25,6 +25,51 @@ object UrlFilter {
     * block decisions). Bounds the explode fan-out per row. */
   val MaxLabels = 8
 
+  /** Canonical form of a URL for IDENTITY purposes — the dedup-key
+    * normalization every crawl pipeline needs because the same page
+    * arrives under many spellings: scheme and host lowercased, default
+    * ports dropped (`:80` http, `:443` https), the fragment removed
+    * (never sent to the server), tracking parameters stripped
+    * (`utm_*`, `fbclid`, `gclid`, `msclkid`, `ref` — the
+    * analytics-added noise that multiplies one page into dozens of
+    * "distinct" URLs), an emptied query's `?` dropped, and a trailing
+    * slash on a bare path removed. SURVIVING query parameters keep
+    * their original order (reordering them changes semantics on some
+    * servers — the conservative choice). Everything is one codegen'd
+    * regexp chain, no UDF; the same chain replays verbatim in the
+    * oracle. Use the result as the `xxhash64` identity input wherever
+    * `target_uri` is hashed today.
+    *
+    * Every pattern is RE2-safe (no lookaround, no backreference) — the
+    * htmlToText convention, so the DuckDB oracle replays the chain
+    * verbatim. */
+  def canonicalizeUrl(url: Column): Column = {
+    // scheme://host[:port] lowercased (path case is significant, kept)
+    val lowered = concat(
+      lower(regexp_extract(url, "^([^/?#]*://[^/?#]*)", 1)),
+      regexp_extract(url, "^[^/?#]*://[^/?#]*(.*)$", 1))
+    val noFragment = regexp_replace(lowered, "#.*$", "")
+    // default ports: captured-tail formulation (an unmatched optional
+    // group substitutes empty in both engines)
+    val noDefaultPort = regexp_replace(
+      regexp_replace(noFragment,
+        "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2"),
+      "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
+    // tracking params: each match CONSUMES its leading ?/& so adjacent
+    // trackers all match in one global pass ("?utm_a=1&utm_b=2&x=3"
+    // matches "?utm_a=1" then "&utm_b=2", leaving "&x=3"); the fix-ups
+    // restore the "?" on the first surviving parameter and drop an
+    // emptied query's leftover "?"
+    val trackers = "[?&](?:utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*"
+    val noTrackers = regexp_replace(noDefaultPort, trackers, "")
+    val tidyQuery = regexp_replace(
+      regexp_replace(noTrackers, "^([^?#]*)&", "$1?"),
+      "\\?$", "")
+    // bare "/" path (no query left) drops the slash: http://a.com/ == http://a.com
+    when(url.isNull, lit(null))
+      .otherwise(regexp_replace(tidyQuery, "^([a-z]+://[^/?#]*)/$", "$1"))
+  }
+
   /** Lowercased host of a URL, null when none parses: the authority
     * between `scheme://` (with optional userinfo) and the first
     * `/ : ? #`. Pure per-row expression — codegen'd, no UDF. */

@@ -57,4 +57,34 @@ class UrlFilterSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(2L))
   }
+
+  test("canonicalizeUrl: every rule, composed and individually") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercase, path case kept
+      ("HTTPS://WWW.Example.COM/Path/X", "https://www.example.com/Path/X"),
+      // fragment dropped
+      ("https://a.com/p#section-2", "https://a.com/p"),
+      // default ports
+      ("https://a.com:443/p", "https://a.com/p"),
+      ("http://a.com:80/p", "http://a.com/p"),
+      ("http://a.com:8080/p", "http://a.com:8080/p"), // non-default kept
+      // trackers stripped, survivors keep order, ? restored
+      ("https://a.com/p?utm_source=x&id=7&utm_campaign=y", "https://a.com/p?id=7"),
+      ("https://a.com/p?id=7&fbclid=abc", "https://a.com/p?id=7"),
+      ("https://a.com/p?utm_medium=z", "https://a.com/p"),
+      ("https://a.com/p?gclid=1&utm_a=2&ref=h", "https://a.com/p"),
+      ("https://a.com/p?b=2&a=1", "https://a.com/p?b=2&a=1"), // order kept
+      // bare trailing slash dropped; a real path keeps its slash
+      ("https://a.com/", "https://a.com"),
+      ("https://a.com/dir/", "https://a.com/dir/"),
+      // everything at once
+      ("HTTP://A.com:80/P?utm_x=1&q=2#f", "http://a.com/P?q=2"))
+    val out = cases.map(_._1).toDF("url")
+      .select(col("url"), UrlFilter.canonicalizeUrl(col("url")).as("canon"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(out(in) == want, s"$in -> ${out(in)}, wanted $want")
+    }
+  }
 }
