@@ -191,11 +191,20 @@ object Warc {
         col("target_uri").as("url"),
         col("payload"))
       .as[(Long, String, Array[Byte])]
+      // `Pdf.extractText` is deliberately strict (encrypted, truncated,
+      // or malformed input throws) — but ONE bad PDF in a crawl must not
+      // fail the whole archive job. The ingestion contract here is the
+      // same as WARC framing and Content-Encoding decode: degrade to a
+      // flagged row (`extract_ok = false`, null text) and let downstream
+      // filters arbitrate. Strictness stays in the codec, tolerance at
+      // the bridge.
       .mapPartitions(_.map { case (id, url, bytes) =>
-        (id, url, graft.operators.Pdf.extractText(bytes, id)) })
-      .toDF("doc_id", "url", "text")
+        try (id, url, graft.operators.Pdf.extractText(bytes, id), true)
+        catch { case _: Exception => (id, url, null: String, false) } })
+      .toDF("doc_id", "url", "text", "extract_ok")
       .select(col("doc_id"), col("url"),
-        TextFunctions.langId(col("text")).as("lang"), col("text"))
+        TextFunctions.langId(col("text")).as("lang"), col("text"),
+        col("extract_ok"))
   }
 
   /** Curate-ready documents from `text/plain` responses: the payload IS
@@ -227,7 +236,10 @@ object Warc {
     * cached record table beat three archive walks). */
   def toDocuments(records: Dataset[WarcRecord]): DataFrame =
     toDocumentsHtml(records)
-      .unionByName(toDocumentsPdf(records))
+      // failed extractions carry no text — nothing for curation; callers
+      // who need the failure rows use toDocumentsPdf directly
+      .unionByName(toDocumentsPdf(records)
+        .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsText(records))
 
   /** Sequential record walk over one (decompressed) archive. Malformed

@@ -153,9 +153,14 @@ object Pdf {
   }
 
   /** Direct `/Length 123` or indirect `/Length 6 0 R` resolved by
-    * scanning for `6 0 obj` and parsing the integer it wraps. */
+    * scanning for `6 0 obj` and parsing the integer it wraps.
+    *
+    * The direct-match digits carry a `\b` guard: without it, a
+    * multi-digit indirect ref like `/Length 10 0 R` backtracks — the
+    * engine retries with group(1)="1", the lookahead no longer sees
+    * `\s+\d+\s+R`, and the stream is "directly" 1 byte long. */
   private def declaredLength(bytes: Array[Byte], dict: String): Option[Int] = {
-    val direct = "/Length\\s+(\\d+)(?!\\s+\\d+\\s+R)".r
+    val direct = "/Length\\s+(\\d+)\\b(?!\\s+\\d+\\s+R)".r
     direct.findFirstMatchIn(dict).map(_.group(1).toInt).orElse {
       "/Length\\s+(\\d+)\\s+(\\d+)\\s+R".r.findFirstMatchIn(dict).flatMap { m =>
         val at = indexOf(bytes, s"${m.group(1)} ${m.group(2)} obj", 0)

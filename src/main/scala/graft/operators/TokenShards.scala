@@ -142,10 +142,21 @@ object TokenShards {
       }
       .toDF("shard_id", "file", "byte_width", "n_docs", "n_tokens",
         "first_doc", "last_doc")
-      .orderBy("shard_id")
-    manifest.coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    // NO orderBy/coalesce above the side-effecting writer: a global
+    // sort's range-partitioner SAMPLING job executes the shard-writer
+    // stage once before the write job executes it again (every shard
+    // file written twice — double I/O on the very sink being measured),
+    // and a narrow coalesce(1) would collapse the writer stage itself
+    // to one task. The manifest is KB-scale (one row per shard): ONE
+    // collect executes the writer exactly once at full parallelism,
+    // then the sorted rows land as a single parquet from a local
+    // relation.
+    val manifestRows = manifest.collect().sortBy(_.getLong(0))
+    spark.createDataFrame(
+        java.util.Arrays.asList(manifestRows: _*), manifest.schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
     sorted.unpersist()
-    encoded.sparkSession.read.parquet(s"$dir/manifest")
+    encoded.sparkSession.read.parquet(s"$dir/manifest").orderBy("shard_id")
   }
 
   /** Streaming face of the sink: each microbatch of encoded docs becomes

@@ -42,7 +42,15 @@ object UrlFilter {
     *
     * Every pattern is RE2-safe (no lookaround, no backreference) — the
     * htmlToText convention, so the DuckDB oracle replays the chain
-    * verbatim. */
+    * verbatim.
+    *
+    * URLs with no `scheme://` (relative refs, mailto:, plain garbage)
+    * pass through UNCHANGED: the extraction-based chain would collapse
+    * them all to `""`, merging every unparseable URL into one dedup
+    * identity — the opposite of conservative. And the `?`-restore
+    * fix-up fires only when the pre-strip URL actually HAD a query:
+    * otherwise a literal `&` in a query-less path would be rewritten
+    * into `?`. */
   def canonicalizeUrl(url: Column): Column = {
     // scheme://host[:port] lowercased (path case is significant, kept)
     val lowered = concat(
@@ -58,16 +66,20 @@ object UrlFilter {
     // tracking params: each match CONSUMES its leading ?/& so adjacent
     // trackers all match in one global pass ("?utm_a=1&utm_b=2&x=3"
     // matches "?utm_a=1" then "&utm_b=2", leaving "&x=3"); the fix-ups
-    // restore the "?" on the first surviving parameter and drop an
-    // emptied query's leftover "?"
+    // restore the "?" on the first surviving parameter — ONLY when a
+    // query existed before the strip — and drop an emptied query's
+    // leftover "?"
     val trackers = "[?&](?:utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*"
     val noTrackers = regexp_replace(noDefaultPort, trackers, "")
-    val tidyQuery = regexp_replace(
-      regexp_replace(noTrackers, "^([^?#]*)&", "$1?"),
-      "\\?$", "")
+    val restoredQ = when(noDefaultPort.contains("?"),
+        regexp_replace(noTrackers, "^([^?#]*)&", "$1?"))
+      .otherwise(noTrackers)
+    val tidyQuery = regexp_replace(restoredQ, "\\?$", "")
     // bare "/" path (no query left) drops the slash: http://a.com/ == http://a.com
-    when(url.isNull, lit(null))
-      .otherwise(regexp_replace(tidyQuery, "^([a-z]+://[^/?#]*)/$", "$1"))
+    when(url.isNull, lit(null).cast("string"))
+      .when(url.rlike("^[^/?#]*://"),
+        regexp_replace(tidyQuery, "^([a-z]+://[^/?#]*)/$", "$1"))
+      .otherwise(url)
   }
 
   /** Lowercased host of a URL, null when none parses: the authority

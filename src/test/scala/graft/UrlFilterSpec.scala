@@ -78,6 +78,16 @@ class UrlFilterSpec extends SparkSpec {
       // bare trailing slash dropped; a real path keeps its slash
       ("https://a.com/", "https://a.com"),
       ("https://a.com/dir/", "https://a.com/dir/"),
+      // unparseable (no scheme://) passes through UNCHANGED — collapsing
+      // all of these to "" would merge them into one dedup identity
+      ("not a url", "not a url"),
+      ("mailto:x@y.test", "mailto:x@y.test"),
+      ("/relative/path?q=1", "/relative/path?q=1"),
+      // a literal '&' in a query-less path is NOT rewritten to '?'
+      ("https://a.com/a&b/c", "https://a.com/a&b/c"),
+      // ...but with a real query consumed by the tracker strip, the
+      // survivor's '?' is restored even past a path '&'
+      ("https://a.com/p?utm_a=1&q=2", "https://a.com/p?q=2"),
       // everything at once
       ("HTTP://A.com:80/P?utm_x=1&q=2#f", "http://a.com/P?q=2"))
     val out = cases.map(_._1).toDF("url")
