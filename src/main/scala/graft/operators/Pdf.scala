@@ -39,9 +39,19 @@ import java.util.zip.Inflater
   * round-trips any UTF-8 text; other producers' non-ASCII simple-font
   * PDFs degrade to replacement chars rather than throwing — mojibake
   * degrades quality scores downstream, the same documented tradeoff as
-  * WET's UTF-8 decode). Composite-font (CID/Type0) PDFs shower two-byte
-  * codes through the same path: garbage-in-garbage-out TEXT but no crash
-  * — the quality gate is the downstream filter, per the curation design.
+  * WET's UTF-8 decode).
+  *
+  * Composite-font (CID/Type0) PDFs — most modern generators — carry a
+  * `/ToUnicode` CMap (ISO 32000 §9.10.3) precisely so extractors can
+  * recover text: before interpretation, every `/Font` resource name is
+  * resolved to its font object, and a Type0 font with a ToUnicode
+  * stream gets its `bfchar`/`bfrange` mappings parsed
+  * ([[parseToUnicodeCMap]]). The interpreter tracks the current font
+  * via `Tf`; strings shown under a mapped font decode code-by-code
+  * (width from the codespacerange, 2 bytes for Identity-H) to the
+  * mapped Unicode, unmapped codes to U+FFFD. Fonts WITHOUT a ToUnicode
+  * CMap keep the old path: garbage-in-garbage-out text but no crash —
+  * the quality gate is the downstream filter, per the curation design.
   *
   * Fail-loudly contract (the [[Multimodal]] codec rule): not-a-PDF and
   * encrypted documents throw `IllegalArgumentException` — a silently
@@ -57,6 +67,7 @@ object Pdf {
     require(bytes.length >= 8 && startsWith(bytes, 0, "%PDF-"),
       s"media $mediaId: not a PDF payload (missing %PDF- header)")
     requireNotEncrypted(bytes, mediaId)
+    val fonts = toUnicodeMaps(bytes, mediaId)
     val out = new StringBuilder
     var from = 0
     var streamAt = indexOf(bytes, "stream", from)
@@ -79,7 +90,7 @@ object Pdf {
           }
           val data = decodeStream(bytes, dataStart, dataEnd, dict, mediaId)
           if (hasBtToken(data)) {
-            val text = extractContentText(data, mediaId)
+            val text = extractContentText(data, mediaId, fonts)
             if (text.nonEmpty) {
               if (out.nonEmpty) out.append('\n')
               out.append(text)
@@ -224,6 +235,171 @@ object Pdf {
   }
 
   // ---------------------------------------------------------------------
+  // /ToUnicode CMap support (composite / Type0 fonts, ISO 32000 §9.10.3)
+
+  /** Parsed ToUnicode mapping: `codeBytes`-wide big-endian codes →
+    * Unicode strings (a code may map to several UTF-16 units, e.g.
+    * ligature expansions). */
+  private[graft] final case class ToUnicodeCMap(
+      codeBytes: Int, map: Map[Int, String]) {
+    /** Shown-string bytes → text: fixed-width code walk, unmapped codes
+      * and a trailing partial code degrade to U+FFFD (never throw — a
+      * missing mapping is a quality problem, not a framing one). */
+    def decode(b: Array[Byte]): String = {
+      val sb = new StringBuilder(b.length)
+      var i = 0
+      while (i + codeBytes <= b.length) {
+        var code = 0; var k = 0
+        while (k < codeBytes) { code = (code << 8) | (b(i + k) & 0xff); k += 1 }
+        sb.append(map.getOrElse(code, "\uFFFD"))
+        i += codeBytes
+      }
+      if (i < b.length) sb.append('\uFFFD')
+      sb.toString
+    }
+  }
+
+  /** Hostile-input bound: a CMap claiming more mappings than the full
+    * 2-byte code space is lying. */
+  private val MaxCMapEntries = 0x10000
+
+  /** Bounded `bfchar`/`bfrange` CMap parser over a decoded ToUnicode
+    * stream. Code width comes from the first codespacerange bound
+    * (1 or 2 bytes; Identity-H CMaps declare `<0000> <FFFF>` → 2, the
+    * default). Range entries support both forms: incrementing scalar
+    * destination and explicit destination array. */
+  private[graft] def parseToUnicodeCMap(data: Array[Byte]): ToUnicodeCMap = {
+    val s = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val codeBytes = "begincodespacerange\\s*<([0-9A-Fa-f]+)>".r
+      .findFirstMatchIn(s).map(_.group(1).length / 2)
+      .filter(n => n == 1 || n == 2).getOrElse(2)
+    def hexStr(h: String): String = {
+      // destination hex is UTF-16BE; odd digit counts pad low per the
+      // hex-string rule
+      val padded = if (h.length % 2 == 0) h else h + "0"
+      val b = new Array[Byte](padded.length / 2)
+      var k = 0
+      while (k < b.length) {
+        b(k) = Integer.parseInt(padded.substring(2 * k, 2 * k + 2), 16).toByte
+        k += 1
+      }
+      new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+    }
+    val map = scala.collection.mutable.HashMap.empty[Int, String]
+    for (sec <- "(?s)beginbfchar(.*?)endbfchar".r.findAllMatchIn(s);
+         m <- "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>".r
+           .findAllMatchIn(sec.group(1)) if map.size < MaxCMapEntries)
+      map(Integer.parseInt(m.group(1), 16)) = hexStr(m.group(2))
+    val rangeEntry =
+      "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*(<[0-9A-Fa-f]+>|\\[[^\\]]*\\])".r
+    for (sec <- "(?s)beginbfrange(.*?)endbfrange".r.findAllMatchIn(s);
+         m <- rangeEntry.findAllMatchIn(sec.group(1))) {
+      val lo = Integer.parseInt(m.group(1), 16)
+      val hi = math.min(Integer.parseInt(m.group(2), 16), lo + MaxCMapEntries)
+      val dst = m.group(3)
+      if (dst.startsWith("[")) {
+        val items = "<([0-9A-Fa-f]+)>".r.findAllMatchIn(dst)
+          .map(_.group(1)).toSeq
+        for ((h, k) <- items.zipWithIndex
+             if lo + k <= hi && map.size < MaxCMapEntries)
+          map(lo + k) = hexStr(h)
+      } else {
+        val base = hexStr(dst.substring(1, dst.length - 1))
+        var c = lo
+        while (c <= hi && map.size < MaxCMapEntries) {
+          if (base.isEmpty) map(c) = base
+          else {
+            // spec: the LAST UTF-16 code unit increments across the range
+            val arr = base.toCharArray
+            arr(arr.length - 1) = (arr(arr.length - 1) + (c - lo)).toChar
+            map(c) = new String(arr)
+          }
+          c += 1
+        }
+      }
+    }
+    ToUnicodeCMap(codeBytes, map.toMap)
+  }
+
+  /** Resolution bound: more named fonts than this and the rest keep the
+    * raw-bytes path (real documents have a handful). */
+  private val MaxFonts = 64
+
+  /** Every `/Font` resource name resolved to its ToUnicode CMap — only
+    * Type0 fonts carrying a `/ToUnicode N G R` stream ref land in the
+    * map; simple fonts (and Type0 without ToUnicode) keep the raw-bytes
+    * path. One latin-1 view of the document serves all the positional
+    * regex work (latin-1 is 1:1 with byte offsets). */
+  private[graft] def toUnicodeMaps(bytes: Array[Byte],
+      mediaId: Long): Map[String, ToUnicodeCMap] = {
+    val doc = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // 1. font-name → object number across every /Font resource dict
+    val refs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    var at = doc.indexOf("/Font")
+    while (at >= 0 && refs.size < MaxFonts) {
+      var p = at + 5
+      while (p < doc.length && (doc(p) == ' ' || doc(p) == '\t' ||
+        doc(p) == '\r' || doc(p) == '\n')) p += 1
+      if (p + 1 < doc.length && doc(p) == '<' && doc(p + 1) == '<') {
+        val end = skipDict(bytes, p)
+        val body = doc.substring(p, math.min(end, doc.length))
+        for (m <- "/([^\\s/<>\\[\\]()]+)\\s+(\\d+)\\s+\\d+\\s+R".r
+            .findAllMatchIn(body) if refs.size < MaxFonts)
+          refs(m.group(1)) = m.group(2).toInt
+      }
+      at = doc.indexOf("/Font", at + 5)
+    }
+    if (refs.isEmpty) return Map.empty
+    // 2. named font object → /Type0 with a /ToUnicode stream ref
+    val cmapCache = scala.collection.mutable.HashMap.empty[Int, Option[ToUnicodeCMap]]
+    refs.iterator.flatMap { case (name, objNum) =>
+      objBody(doc, objNum).filter(_.contains("/Type0")).flatMap { body =>
+        "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(body)
+          .flatMap { m =>
+            val tu = m.group(1).toInt
+            cmapCache.getOrElseUpdate(tu, cmapStreamOf(bytes, doc, tu, mediaId))
+          }
+      }.map(name -> _)
+    }.toMap
+  }
+
+  /** Body text of `num G obj … endobj` (first match; any generation). */
+  private def objBody(doc: String, num: Int): Option[String] =
+    ("(?s)(?<![0-9])" + num + "\\s+\\d+\\s+obj\\b(.*?)(?:endobj|$)").r
+      .findFirstMatchIn(doc).map(_.group(1))
+
+  /** Decode object `num`'s stream and parse it as a ToUnicode CMap.
+    * None when the object has no stream or the content has no bf
+    * sections; a corrupt Flate CMap degrades to None rather than
+    * failing the page text it only annotates. */
+  private def cmapStreamOf(bytes: Array[Byte], doc: String, num: Int,
+      mediaId: Long): Option[ToUnicodeCMap] = {
+    val header = ("(?<![0-9])" + num + "\\s+\\d+\\s+obj\\b").r
+      .findFirstMatchIn(doc).map(_.start).getOrElse(return None)
+    val endObj = doc.indexOf("endobj", header) match {
+      case -1 => doc.length
+      case e => e
+    }
+    val streamAt = doc.indexOf("stream", header)
+    if (streamAt < 0 || streamAt >= endObj) return None
+    val dict = doc.substring(header, streamAt)
+    val dataStart = afterStreamKeyword(bytes, streamAt)
+    if (dataStart < 0) return None
+    val dataEnd = declaredLength(bytes, dict) match {
+      case Some(n) if dataStart + n <= bytes.length => dataStart + n
+      case _ =>
+        val e = indexOf(bytes, "endstream", dataStart)
+        if (e < 0) bytes.length else trimEol(bytes, e)
+    }
+    val data =
+      try decodeStream(bytes, dataStart, dataEnd, dict, mediaId)
+      catch { case _: Exception => return None }
+    val text = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!text.contains("beginbfchar") && !text.contains("beginbfrange")) None
+    else Some(parseToUnicodeCMap(data))
+  }
+
+  // ---------------------------------------------------------------------
   // content-stream interpretation
 
   /** Kern gap (negative, thousandths of an em) at or past which a TJ
@@ -231,24 +407,35 @@ object Pdf {
   private val SpaceKernThreshold = -180
 
   /** One pass over a decoded content stream: tokenize, track the operand
-    * stack, assemble shown text with the line rules in the object doc. */
-  private[operators] def extractContentText(data: Array[Byte], mediaId: Long): String = {
+    * stack, assemble shown text with the line rules in the object doc.
+    * `fonts` maps resource font names to their ToUnicode CMaps; the
+    * current font follows `Tf` (graphics state — it persists across
+    * `BT`/`ET`), and strings shown under a mapped font decode through
+    * the CMap instead of the raw-bytes path. */
+  private[graft] def extractContentText(data: Array[Byte], mediaId: Long,
+      fonts: Map[String, ToUnicodeCMap] = Map.empty): String = {
     val out = new StringBuilder
     val strBytes = new java.io.ByteArrayOutputStream()
     // operand stack: only what the text ops consume — last string, last
-    // array-of-strings, last two numbers
+    // array-of-strings, last two numbers, last name (for Tf)
     var lastStr: Array[Byte] = null
     var lastArr: java.util.ArrayList[AnyRef] = null
+    var lastName: String = null
     var num1, num2 = 0.0 // two most recent numbers (num2 = newest)
     var inText = false
     var shownInObject = false
     var pendingObjectBreak = false // a PRIOR text object already showed text
+    var curCMap: ToUnicodeCMap = null
 
     def flushString(b: Array[Byte]): Unit = {
       if (!shownInObject && pendingObjectBreak) {
         strBytes.write('\n'); pendingObjectBreak = false
       }
-      strBytes.write(b, 0, b.length)
+      if (curCMap != null) {
+        val mapped = curCMap.decode(b)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        strBytes.write(mapped, 0, mapped.length)
+      } else strBytes.write(b, 0, b.length)
     }
     def newlineBeforeShow(): Unit =
       if (shownInObject) strBytes.write('\n')
@@ -273,9 +460,12 @@ object Pdf {
         lastArr = new java.util.ArrayList[AnyRef](); i += 1
       } else if (c == ']') {
         i += 1
-      } else if (c == '/') { // name object: skip to delimiter
+      } else if (c == '/') { // name object: remember for Tf
+        val start = i + 1
         i += 1
         while (i < n && !isDelimiter(data(i))) i += 1
+        lastName = new String(data, start, i - start,
+          java.nio.charset.StandardCharsets.US_ASCII)
       } else if (isNumStart(c)) {
         val start = i
         i += 1
@@ -312,6 +502,9 @@ object Pdf {
               case _ => ()
             }
             shownInObject = true
+          case "Tf" =>
+            curCMap = if (lastName == null) null
+              else fonts.getOrElse(lastName, null)
           case "T*" if inText => newlineBeforeShow()
           case "Td" | "TD" if inText =>
             // num2 = ty (the newest operand): vertical move = new line
@@ -458,6 +651,94 @@ object Pdf {
     (1 to objs.length).foreach(k => w(f"${offsets(k)}%010d 00000 n \n"))
     w(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\n" +
       s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Serialize `text` as a one-page COMPOSITE-font PDF: a `/Type0`
+    * font with `/Identity-H` encoding, 2-byte character codes assigned
+    * densely over the text's distinct UTF-16 units, and a
+    * `/ToUnicode` CMap stream (Flate-compressed) mapping codes back —
+    * consecutive code-point runs as `bfrange` entries, singletons as
+    * `bfchar`, blocks capped at the spec's 100 entries. The content
+    * stream shows hex strings of 2-byte codes, so NOTHING round-trips
+    * without the CMap path: extraction of this PDF pins
+    * [[parseToUnicodeCMap]], the font-resource resolution, and the `Tf`
+    * tracking end-to-end. Line structure matches [[writeTextPdf]]
+    * (`Td` first line, `T*` advances). */
+  def writeType0TextPdf(text: String): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+    // dense code assignment over sorted distinct UTF-16 units: runs of
+    // consecutive units become bfrange entries (codes are consecutive by
+    // construction), singletons bfchar
+    val chars = text.replace("\n", "").toCharArray.distinct.sorted
+    val code = chars.zipWithIndex.map { case (ch, k) => ch -> (k + 1) }.toMap
+    def hex4(v: Int): String = f"$v%04X"
+    val cmapBody = {
+      val bfchar = scala.collection.mutable.ArrayBuffer.empty[String]
+      val bfrange = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < chars.length) {
+        var j = i
+        while (j + 1 < chars.length && chars(j + 1) == chars(j) + 1) j += 1
+        if (j > i)
+          bfrange += s"<${hex4(code(chars(i)))}> <${hex4(code(chars(j)))}> " +
+            s"<${hex4(chars(i).toInt)}>"
+        else bfchar += s"<${hex4(code(chars(i)))}> <${hex4(chars(i).toInt)}>"
+        i = j + 1
+      }
+      def blocks(entries: Seq[String], kw: String): String =
+        entries.grouped(100).map(g =>
+          s"${g.length} begin$kw\n${g.mkString("\n")}\nend$kw\n").mkString
+      "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def\n" +
+        "/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n" +
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+        blocks(bfchar.toSeq, "bfchar") + blocks(bfrange.toSeq, "bfrange") +
+        "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
+    }
+    val cmap = deflate(cmapBody.getBytes(ascii))
+    val content = {
+      val sb = new StringBuilder("BT /F1 11 Tf 14 TL 72 720 Td ")
+      text.split("\n", -1).zipWithIndex.foreach { case (line, k) =>
+        if (k > 0) sb.append("T* ")
+        sb.append('<')
+        line.foreach(ch => sb.append(hex4(code(ch))))
+        sb.append("> Tj ")
+      }
+      sb.append("ET")
+      deflate(sb.toString.getBytes(ascii))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ascii))
+    val offsets = new Array[Int](8)
+    def obj(k: Int)(body: => Unit): Unit = {
+      offsets(k) = out.size()
+      w(s"$k 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.4\n")
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+    obj(2)(w("<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n"))
+    obj(3)(w("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>\n"))
+    obj(4)(w("<< /Type /Font /Subtype /Type0 /BaseFont /Graft-Identity " +
+      "/Encoding /Identity-H /DescendantFonts [6 0 R] /ToUnicode 7 0 R >>\n"))
+    obj(5) {
+      w(s"<< /Length ${content.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(content, 0, content.length)
+      w("\nendstream\n")
+    }
+    obj(6)(w("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Graft " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) " +
+      "/Supplement 0 >> /DW 500 >>\n"))
+    obj(7) {
+      w(s"<< /Length ${cmap.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(cmap, 0, cmap.length)
+      w("\nendstream\n")
+    }
+    val xrefAt = out.size()
+    w("xref\n0 8\n0000000000 65535 f \n")
+    (1 to 7).foreach(k => w(f"${offsets(k)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
   }
 

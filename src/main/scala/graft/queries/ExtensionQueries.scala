@@ -221,19 +221,26 @@ object ExtensionQueries {
     * rendered as a real one-page PDF (sentence breaks planted as line
     * breaks, so the extractor's T-star/Td line rules are on the oracle path)
     * and framed into WARC response archives — the application/pdf face
-    * of [[wetStage]]. Generation is distributed (each task renders its
-    * partition's docs); nothing ships from the driver. */
+    * of [[wetStage]]. Every third document renders as a COMPOSITE-font
+    * (Type0/Identity-H) PDF whose text is recoverable only through its
+    * /ToUnicode CMap — so the CMap parse, font resolution, and Tf
+    * tracking sit on the same oracle path as the simple-font battery.
+    * Generation is distributed (each task renders its partition's
+    * docs); nothing ships from the driver. */
   private def pdfStage(s: SparkSession, dir: String): String =
     pdfStages.computeIfAbsent(dir, _ => {
       import s.implicits._
       val out = java.nio.file.Files.createTempDirectory("graft_pdf").toString
       val media = t(s, dir, "documents")
-        .select(
+        .select(col("doc_id"),
           concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
           regexp_replace(col("text"), "\\. ", "\n").as("x"))
-        .as[(String, String)]
-        .map { case (u, x) =>
-          (u, "application/pdf", graft.operators.Pdf.writeTextPdf(x)) }
+        .as[(Long, String, String)]
+        .map { case (id, u, x) =>
+          val pdf =
+            if (id % 3 == 0) graft.operators.Pdf.writeType0TextPdf(x)
+            else graft.operators.Pdf.writeTextPdf(x)
+          (u, "application/pdf", pdf) }
         .toDF("target_uri", "content_type", "payload")
       graft.io.Warc.writeWarcResponses(media, out)
       out
