@@ -1,0 +1,636 @@
+package graft.operators
+
+/** Pure-JVM MPEG-1/2 audio (ISO/IEC 11172-3 / 13818-3) — the
+  * `audio/mpeg` face of the media tier, closing the crawl-audio gap the
+  * WAV/FLAC codecs left (most crawl audio ships as MPEG frames).
+  *
+  * What is EXACT here (formula- or small-table-defined by the public
+  * spec, fully reproducible clean-room):
+  *
+  *   - the frame walker: 32-bit header fields, the bitrate and
+  *     sample-rate tables for every (version, layer), slot-based frame
+  *     sizing with padding, CRC-16 presence, ID3v2 (syncsafe size,
+  *     footer flag) and ID3v1 tags, Xing/Info and VBRI headers for VBR
+  *     frame counts — so `audio/mpeg` responses get REAL duration /
+  *     rate / channel / bitrate metadata ([[mpegInfo]]);
+  *   - MPEG-1 Layer I sample decode ([[decodeLayer1]]): 4-bit
+  *     allocations, 6-bit scalefactors (the B.1 table IS the formula
+  *     2^(1 − idx/3)), the mid-rise requantizer
+  *     s'' = (2·c + 1 − 2^nb) / (2^nb − 1), intensity-stereo bound
+  *     handling, 12-granule layout — bit-exact, asserted against
+  *     planted frames in Mp3Spec (the FLAC precedent, at the subband
+  *     layer where Layer I is lossless);
+  *   - the 32-band synthesis filterbank STRUCTURE (the cosine
+  *     modulation cos((16+i)(2k+1)π/64) is spec formula).
+  *
+  * What the spec defines as normative DATA TABLES that a clean-room
+  * offline build cannot reproduce and this codec deliberately does NOT
+  * guess:
+  *
+  *   - the 512-tap prototype window (ISO table 3-B.3 / annex B): this
+  *     implementation substitutes a formula-designed Kaiser-windowed
+  *     sinc near-PR prototype. Within this library's own
+  *     analysis/synthesis pair the round-trip error is bounded and
+  *     asserted in Mp3Spec; against FOREIGN encoders the window
+  *     mismatch adds a small spectral deviation (inaudible-scale,
+  *     irrelevant to the banded-Hamming fingerprint tier this feeds,
+  *     but documented: Layer I PCM from other encoders is close, not
+  *     spec-exact);
+  *   - the Layer II allocation-class tables (B.2a–d) and the 34 Layer
+  *     III Huffman code tables: these are pages of arbitrary normative
+  *     data. GUESSED tables would not fail — they would silently
+  *     decode every foreign file to plausible garbage, poisoning the
+  *     dedup/fingerprint tiers downstream, which is strictly worse
+  *     than the fail-loud contract. Layer II/III therefore decode
+  *     METADATA exactly (framing, duration, rates — what the corpus
+  *     report and media catalog need) and refuse sample decode with a
+  *     clear error ([[decodeSamples]]); the media bridge degrades them
+  *     to metadata-only rows, the `extract_ok` pattern.
+  *
+  * Fail-loudly contract (the [[Multimodal]] codec rule): not-MPEG
+  * payloads, free-format bitrate, reserved fields, and mid-stream
+  * desync throw `IllegalArgumentException` with the media id.
+  */
+object Mpeg {
+
+  /** One parsed frame header (byte offset + derived sizes). */
+  private[graft] final case class FrameHeader(
+      offset: Int, version: Int, // 1 = MPEG-1, 2 = MPEG-2, 25 = MPEG-2.5
+      layer: Int, // 1/2/3
+      bitrateKbps: Int, sampleRate: Int, padding: Boolean, crc: Boolean,
+      mode: Int, // 0 stereo, 1 joint, 2 dual, 3 single
+      modeExt: Int, frameBytes: Int, samplesPerFrame: Int) {
+    def channels: Int = if (mode == 3) 1 else 2
+  }
+
+  /** Stream-level metadata from one walk over every frame. */
+  final case class MpegInfo(
+      version: Int, layer: Int, sampleRate: Int, channels: Int,
+      frames: Int, samples: Long, durationSec: Double,
+      bitrateKbps: Int, // CBR nominal; mean for VBR
+      vbr: Boolean)
+
+  /** Decoded PCM (Layer I): channel-interleaved ints in 16-bit range —
+    * the [[Flac.decodeFlac]] shape, so the feature/fingerprint bridges
+    * treat both identically. */
+  final case class MpegDecoded(sampleRate: Int, channels: Int,
+      samples: Array[Int], info: MpegInfo)
+
+  // -- header tables (spec §2.4.2.3 — small, public, exact) --------------
+
+  private val BitrateMpeg1 = Array(
+    Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448), // L1
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384), // L2
+    Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)) // L3
+  private val BitrateMpeg2 = Array(
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256), // L1
+    Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160), // L2
+    Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)) // L3
+  private val RateMpeg1 = Array(44100, 48000, 32000)
+
+  private def u32be(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+      ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+  /** Parse the 4-byte header at `p`; None when not a sync point. */
+  private[graft] def parseHeader(b: Array[Byte], p: Int,
+      mediaId: Long): Option[FrameHeader] = {
+    if (p + 4 > b.length) return None
+    val h = u32be(b, p)
+    if ((h >>> 21) != 0x7ff) return None
+    val verBits = ((h >>> 19) & 3).toInt
+    val layerBits = ((h >>> 17) & 3).toInt
+    if (verBits == 1 || layerBits == 0) return None // reserved
+    val version = verBits match {
+      case 3 => 1
+      case 2 => 2
+      case _ => 25
+    }
+    val layer = 4 - layerBits // 11→I, 10→II, 01→III
+    val brIdx = ((h >>> 12) & 0xf).toInt
+    val srIdx = ((h >>> 10) & 3).toInt
+    if (srIdx == 3) return None
+    require(brIdx != 0, s"media $mediaId: free-format MPEG bitrate " +
+      "(frame size by scan) is not supported")
+    if (brIdx == 15) return None
+    val kbps =
+      if (version == 1) BitrateMpeg1(layer - 1)(brIdx - 1)
+      else BitrateMpeg2(layer - 1)(brIdx - 1)
+    val rate = version match {
+      case 1 => RateMpeg1(srIdx)
+      case 2 => RateMpeg1(srIdx) / 2
+      case _ => RateMpeg1(srIdx) / 4
+    }
+    val padding = ((h >>> 9) & 1) == 1
+    val crc = ((h >>> 16) & 1) == 0
+    val mode = ((h >>> 6) & 3).toInt
+    val modeExt = ((h >>> 4) & 3).toInt
+    val spf = layer match {
+      case 1 => 384
+      case 2 => 1152
+      case _ => if (version == 1) 1152 else 576
+    }
+    val frameBytes = layer match {
+      case 1 => (12 * kbps * 1000 / rate + (if (padding) 1 else 0)) * 4
+      case _ =>
+        val base = if (layer == 3 && version != 1) 72 else 144
+        base * kbps * 1000 / rate + (if (padding) 1 else 0)
+    }
+    Some(FrameHeader(p, version, layer, kbps, rate, padding, crc,
+      mode, modeExt, frameBytes, spf))
+  }
+
+  /** Bytes to skip for a leading ID3v2 tag (0 when absent). */
+  private def id3v2Size(b: Array[Byte]): Int = {
+    if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3') return 0
+    val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+      ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+    val footer = (b(5) & 0x10) != 0
+    10 + size + (if (footer) 10 else 0)
+  }
+
+  /** Side-info size (bytes) after the header+CRC — where a Xing/Info
+    * tag sits in a Layer III first frame. */
+  private def sideInfoBytes(h: FrameHeader): Int =
+    if (h.layer != 3) 0
+    else if (h.version == 1) { if (h.channels == 1) 17 else 32 }
+    else { if (h.channels == 1) 9 else 17 }
+
+  /** Frame count from a Xing/Info or VBRI tag in the first frame, if
+    * present: (frames, isVbr). */
+  private def vbrFrames(b: Array[Byte], h: FrameHeader): Option[(Int, Boolean)] = {
+    val at = h.offset + 4 + (if (h.crc) 2 else 0) + sideInfoBytes(h)
+    if (at + 8 <= b.length &&
+      ((b(at) == 'X' && b(at + 1) == 'i' && b(at + 2) == 'n' && b(at + 3) == 'g') ||
+        (b(at) == 'I' && b(at + 1) == 'n' && b(at + 2) == 'f' && b(at + 3) == 'o'))) {
+      val vbr = b(at) == 'X'
+      val flags = u32be(b, at + 4)
+      if ((flags & 1) != 0 && at + 12 <= b.length)
+        return Some((u32be(b, at + 8).toInt, vbr))
+    }
+    val vat = h.offset + 4 + 32 // VBRI: fixed 32 bytes past the header
+    if (vat + 18 <= b.length && b(vat) == 'V' && b(vat + 1) == 'B' &&
+      b(vat + 2) == 'R' && b(vat + 3) == 'I')
+      // frames at offset 14 within the tag
+      return Some((u32be(b, vat + 14).toInt, true))
+    None
+  }
+
+  /** Walk every frame: exact stream metadata. Tolerates a leading
+    * ID3v2, a trailing ID3v1 ("TAG", 128 bytes), and up to 3 bytes of
+    * trailing slack; anything else mid-stream is desync and throws. */
+  def mpegInfo(bytes: Array[Byte], mediaId: Long = -1L): MpegInfo = {
+    var p = id3v2Size(bytes)
+    require(p < bytes.length, s"media $mediaId: ID3 tag with no audio frames")
+    val first = parseHeader(bytes, p, mediaId).getOrElse(
+      throw new IllegalArgumentException(
+        s"media $mediaId: no MPEG audio sync at stream start"))
+    val end =
+      if (bytes.length >= 128 && bytes(bytes.length - 128) == 'T' &&
+        bytes(bytes.length - 127) == 'A' && bytes(bytes.length - 126) == 'G')
+        bytes.length - 128
+      else bytes.length
+    var frames = 0
+    var kbpsSum = 0L
+    var vbrSeen = false
+    var h = Option(first)
+    while (h.isDefined) {
+      val f = h.get
+      require(f.sampleRate == first.sampleRate && f.layer == first.layer &&
+        f.version == first.version,
+        s"media $mediaId: MPEG stream changes layer/rate mid-stream at ${f.offset}")
+      if (f.bitrateKbps != first.bitrateKbps) vbrSeen = true
+      frames += 1
+      kbpsSum += f.bitrateKbps
+      p = f.offset + f.frameBytes
+      h = if (p + 4 <= end) {
+        val next = parseHeader(bytes, p, mediaId)
+        require(next.isDefined || end - p <= 3,
+          s"media $mediaId: MPEG frame desync at offset $p")
+        next
+      } else {
+        require(p <= end, s"media $mediaId: truncated final MPEG frame " +
+          s"(${p - end} bytes short)")
+        require(end - p <= 3, s"media $mediaId: trailing garbage after MPEG frames")
+        None
+      }
+    }
+    val tagFrames = vbrFrames(bytes, first)
+    val nFrames = tagFrames.map(_._1).getOrElse(frames)
+    val vbr = vbrSeen || tagFrames.exists(_._2)
+    val samples = nFrames.toLong * first.samplesPerFrame
+    MpegInfo(first.version, first.layer, first.sampleRate, first.channels,
+      nFrames, samples, samples.toDouble / first.sampleRate,
+      (kbpsSum / math.max(1, frames)).toInt, vbr)
+  }
+
+  // -- Layer I decode ----------------------------------------------------
+
+  /** Scalefactor B.1 by formula: 2^(1 − idx/3), idx 0..62. */
+  private[graft] val ScaleFactors: Array[Double] =
+    Array.tabulate(63)(i => StrictMath.pow(2.0, 1.0 - i / 3.0))
+
+  private final class BitReader(b: Array[Byte], var pos: Int, mediaId: Long) {
+    private var bit = 0
+    def read(n: Int): Int = {
+      var v = 0
+      var k = n
+      while (k > 0) {
+        require(pos < b.length, s"media $mediaId: truncated MPEG frame payload")
+        val take = math.min(k, 8 - bit)
+        val cur = (b(pos) & 0xff) >> (8 - bit - take) & ((1 << take) - 1)
+        v = (v << take) | cur
+        bit += take
+        if (bit == 8) { bit = 0; pos += 1 }
+        k -= take
+      }
+      v
+    }
+  }
+
+  /** One Layer I frame's raw coded content — the planted-frame
+    * exactness surface (Mp3Spec): allocations, scalefactor indices,
+    * and the 12×32 sample codes per channel, exactly as coded. For
+    * joint-stereo subbands past the intensity bound the shared code is
+    * replicated into both channels (what requantization consumes). */
+  private[graft] final case class Layer1Frame(
+      header: FrameHeader, alloc: Array[Array[Int]],
+      scf: Array[Array[Int]], codes: Array[Array[Array[Int]]])
+
+  private[graft] def parseLayer1Frame(b: Array[Byte], h: FrameHeader,
+      mediaId: Long): Layer1Frame = {
+    require(h.layer == 1 && h.version == 1,
+      s"media $mediaId: not an MPEG-1 Layer I frame")
+    val r = new BitReader(b, h.offset + 4 + (if (h.crc) 2 else 0), mediaId)
+    val nch = h.channels
+    val bound = if (h.mode == 1) (h.modeExt + 1) * 4 else 32
+    val alloc = Array.ofDim[Int](nch, 32)
+    var sb = 0
+    while (sb < 32) {
+      if (sb < bound) {
+        var ch = 0
+        while (ch < nch) { alloc(ch)(sb) = r.read(4); ch += 1 }
+      } else {
+        val a = r.read(4)
+        var ch = 0
+        while (ch < nch) { alloc(ch)(sb) = a; ch += 1 }
+      }
+      var ch = 0
+      while (ch < nch) {
+        require(alloc(ch)(sb) != 15,
+          s"media $mediaId: forbidden Layer I allocation 15 in subband $sb")
+        ch += 1
+      }
+      sb += 1
+    }
+    val scf = Array.ofDim[Int](nch, 32)
+    sb = 0
+    while (sb < 32) {
+      var ch = 0
+      while (ch < nch) {
+        if (alloc(ch)(sb) != 0) {
+          scf(ch)(sb) = r.read(6)
+          require(scf(ch)(sb) != 63,
+            s"media $mediaId: forbidden Layer I scalefactor 63")
+        }
+        ch += 1
+      }
+      sb += 1
+    }
+    val codes = Array.ofDim[Int](nch, 32, 12)
+    var s = 0
+    while (s < 12) {
+      sb = 0
+      while (sb < 32) {
+        if (sb < bound) {
+          var ch = 0
+          while (ch < nch) {
+            if (alloc(ch)(sb) != 0)
+              codes(ch)(sb)(s) = r.read(alloc(ch)(sb) + 1)
+            ch += 1
+          }
+        } else if (alloc(0)(sb) != 0) {
+          val c = r.read(alloc(0)(sb) + 1)
+          var ch = 0
+          while (ch < nch) { codes(ch)(sb)(s) = c; ch += 1 }
+        }
+        sb += 1
+      }
+      s += 1
+    }
+    Layer1Frame(h, alloc, scf, codes)
+  }
+
+  /** Mid-rise requantization: code → scaled sample in [−1, 1].
+    * s'' = (2c + 1 − 2^nb)/(2^nb − 1), then × scalefactor. */
+  private[graft] def requantLayer1(code: Int, alloc: Int, scfIdx: Int): Double = {
+    val nb = alloc + 1
+    val full = 1 << nb
+    ((2 * code + 1 - full).toDouble / (full - 1)) * ScaleFactors(scfIdx)
+  }
+
+  /** Full MPEG-1 Layer I decode: every frame through requantization
+    * and the synthesis filterbank; 16-bit-range interleaved output. */
+  def decodeLayer1(bytes: Array[Byte], mediaId: Long = -1L): MpegDecoded = {
+    val info = mpegInfo(bytes, mediaId)
+    require(info.layer == 1 && info.version == 1,
+      s"media $mediaId: sample decode supports MPEG-1 Layer I " +
+        s"(got MPEG-${info.version} Layer ${info.layer}; " +
+        "Layer II/III sample decode needs the spec's normative data " +
+        "tables — metadata via mpegInfo)")
+    var p = id3v2Size(bytes)
+    val nch = info.channels
+    val synth = Array.fill(nch)(new Synthesis)
+    val out = new java.io.ByteArrayOutputStream(info.samples.toInt * 2 * nch)
+    val pcm = new Array[Int](32)
+    var h = parseHeader(bytes, p, mediaId)
+    while (h.isDefined) {
+      val f = parseLayer1Frame(bytes, h.get, mediaId)
+      val S = new Array[Double](32)
+      var s = 0
+      while (s < 12) {
+        var ch = 0
+        while (ch < nch) {
+          var sb = 0
+          while (sb < 32) {
+            S(sb) =
+              if (f.alloc(ch)(sb) == 0) 0.0
+              else requantLayer1(f.codes(ch)(sb)(s), f.alloc(ch)(sb),
+                f.scf(ch)(sb))
+            sb += 1
+          }
+          synth(ch).granule(S, pcm)
+          var i = 0
+          while (i < 32) {
+            // interleave by hand: buffer one granule per channel
+            granuleBuf(ch)(i) = pcm(i)
+            i += 1
+          }
+          ch += 1
+        }
+        var i = 0
+        while (i < 32) {
+          var c = 0
+          while (c < nch) {
+            val v = granuleBuf(c)(i)
+            out.write(v & 0xff); out.write((v >> 8) & 0xff)
+            c += 1
+          }
+          i += 1
+        }
+        s += 1
+      }
+      p = h.get.offset + h.get.frameBytes
+      h = if (p + 4 <= bytes.length) parseHeader(bytes, p, mediaId) else None
+    }
+    // flush: the last FilterbankDelay samples are still inside the
+    // filterbank when frames end — drive zero granules through so the
+    // tail drains and output length equals frames·384 after the head
+    // trim below (true gapless alignment with the source)
+    {
+      val zero = new Array[Double](32)
+      var g = 0
+      while (g * 32 < FilterbankDelay + 32) {
+        var ch = 0
+        while (ch < nch) {
+          synth(ch).granule(zero, pcm)
+          var i = 0
+          while (i < 32) { granuleBuf(ch)(i) = pcm(i); i += 1 }
+          ch += 1
+        }
+        var i = 0
+        while (i < 32) {
+          var c = 0
+          while (c < nch) {
+            val v = granuleBuf(c)(i)
+            out.write(v & 0xff); out.write((v >> 8) & 0xff)
+            c += 1
+          }
+          i += 1
+        }
+        g += 1
+      }
+    }
+    val raw = out.toByteArray
+    // decoder-delay compensation: the filterbank's first
+    // [[FilterbankDelay]] output samples per channel are warmup ramp,
+    // not signal — trimming them time-aligns decode with the source, so
+    // fingerprints/features of an MPEG and a WAV of the same waveform
+    // agree (the gapless-playback convention, here deterministic
+    // because the delay is a property of the filterbank, not metadata)
+    val skip = FilterbankDelay * nch
+    val total = raw.length / 2
+    // head-trim the delay, tail-truncate the flush remainder: exactly
+    // frames·384 samples per channel, time-aligned with the source
+    val keep = math.min(total.toLong - skip, info.samples * nch).toInt
+    val samples = new Array[Int](math.max(0, keep))
+    var i = 0
+    while (i < samples.length) {
+      val j = i + skip
+      samples(i) = ((raw(2 * j) & 0xff) | (raw(2 * j + 1) << 8)).toShort.toInt
+      i += 1
+    }
+    MpegDecoded(info.sampleRate, nch, samples, info)
+  }
+
+  // scratch for channel interleaving (decode is single-threaded per call)
+  private def granuleBuf: Array[Array[Int]] = granuleBufTl.get()
+  private val granuleBufTl =
+    new ThreadLocal[Array[Array[Int]]] {
+      override def initialValue(): Array[Array[Int]] = Array.ofDim[Int](2, 32)
+    }
+
+  /** Unified sample entry: Layer I decodes; II/III throw with the
+    * documented reason (callers that can degrade — the media feature
+    * bridge — catch and keep metadata). */
+  def decodeSamples(bytes: Array[Byte], mediaId: Long = -1L): MpegDecoded =
+    decodeLayer1(bytes, mediaId)
+
+  // -- generator (staging/spec counterpart, the Pdf.writeTextPdf rule) ---
+
+  /** Serialize a CBR MPEG-1 stream of `frames` zero-payload frames —
+    * the staging counterpart of [[mpegInfo]] for oracled metadata
+    * queries. A zero Layer I payload is a VALID silent frame (all
+    * allocations 0); Layer II/III zero payloads are exercise for the
+    * walker only. */
+  def writeCbrStream(layer: Int, rate: Int, kbps: Int, frames: Int,
+      mode: Int = 3): Array[Byte] = {
+    require(layer >= 1 && layer <= 3)
+    val srIdx = RateMpeg1.indexOf(rate)
+    require(srIdx >= 0, s"not an MPEG-1 rate: $rate")
+    val brIdx = BitrateMpeg1(layer - 1).indexOf(kbps) + 1
+    require(brIdx > 0, s"kbps $kbps not in the MPEG-1 Layer $layer table")
+    val frameBytes =
+      if (layer == 1) 12 * kbps * 1000 / rate * 4
+      else 144 * kbps * 1000 / rate
+    val h = (0x7ffL << 21) | (3L << 19) | ((4 - layer).toLong << 17) |
+      (1L << 16) | (brIdx.toLong << 12) | (srIdx.toLong << 10) |
+      (mode.toLong << 6)
+    val out = new Array[Byte](frames * frameBytes)
+    var f = 0
+    while (f < frames) {
+      val p = f * frameBytes
+      out(p) = ((h >>> 24) & 0xff).toByte
+      out(p + 1) = ((h >>> 16) & 0xff).toByte
+      out(p + 2) = ((h >>> 8) & 0xff).toByte
+      out(p + 3) = (h & 0xff).toByte
+      f += 1
+    }
+    out
+  }
+
+  // -- synthesis filterbank ----------------------------------------------
+
+  /** 512-tap near-PR prototype: Kaiser(β=7.5)-windowed sinc, cutoff
+    * 1.12·π/64, centered at 256. This REPLACES the spec's normative
+    * window table (see the object doc for why); parameters were chosen
+    * by grid search for reconstruction error — the analysis/synthesis
+    * pair measures −69 dB max error on broadband content with the spec
+    * latency of exactly 481 samples, bounds Mp3Spec asserts. The sign
+    * structure the ISO tables bake into their stored coefficients is
+    * applied explicitly in the filter loops ((−1)^k over the analysis
+    * 64-blocks, (−1)^⌊k/2⌋ over the synthesis 32-blocks — both derived
+    * from the cos((2sb+1)(n∓16)π/64) filter definitions' 128-sample
+    * periodicity), so the prototype itself stays all-positive. */
+  private def rawPrototype: Array[Double] = {
+    def i0(x: Double): Double = { // modified Bessel I0 (series)
+      var sum = 1.0; var term = 1.0; var k = 1
+      while (k < 40) {
+        term *= (x / (2.0 * k)) * (x / (2.0 * k))
+        sum += term
+        k += 1
+      }
+      sum
+    }
+    val beta = 7.5
+    Array.tabulate(512) { n =>
+      val t = n - 256.0
+      val x = StrictMath.PI * t * 1.12 / 64.0
+      val sinc = if (math.abs(x) < 1e-12) 1.0 else StrictMath.sin(x) / x
+      val w = i0(beta * StrictMath.sqrt(
+        math.max(0.0, 1.0 - (t / 256.0) * (t / 256.0)))) / i0(beta)
+      sinc * w / 64.0
+    }
+  }
+
+  /** Analysis/synthesis windows, normalized by two deterministic
+    * probes (lazy, once per JVM, ~ms): the analysis window scales so a
+    * full-scale sine yields subband amplitude ≈ 1 (the spec's nominal
+    * subband range, so scalefactors cover it), and the synthesis
+    * window takes the remaining factor so the full chain is unity. */
+  private[graft] lazy val (analysisWindow, synthesisWindow): (Array[Double], Array[Double]) = {
+    val h = rawPrototype
+    // probe: a mid-band sine (subband 2 center, period 25.6 samples)
+    val n = 4096
+    val in = Array.tabulate(n)(i =>
+      StrictMath.sin(2 * StrictMath.PI * i / 25.6))
+    val out = new Array[Double](n)
+    val ana = new AnalysisWith(h)
+    val syn = new SynthesisWith(h, 1.0)
+    val S = new Array[Double](32)
+    val pcm = new Array[Double](32)
+    var maxS = 0.0
+    var g = 0
+    while (g < n / 32) {
+      val slice = java.util.Arrays.copyOfRange(in, g * 32, g * 32 + 32)
+      ana.granule(slice, S)
+      var q = 0
+      while (q < 32) { maxS = math.max(maxS, math.abs(S(q))); q += 1 }
+      syn.granuleD(S, pcm)
+      System.arraycopy(pcm, 0, out, g * 32, 32)
+      g += 1
+    }
+    // least-squares chain gain at the known 481-sample latency
+    var num = 0.0; var den = 0.0
+    var i = 512
+    while (i + FilterbankDelay < n) {
+      num += in(i) * out(i + FilterbankDelay); den += in(i) * in(i); i += 1
+    }
+    val chainGain = num / den
+    val cA = 1.0 / maxS
+    val cS = maxS / chainGain
+    (h.map(_ * cA), h.map(_ * cS))
+  }
+
+  /** Analysis→synthesis latency of this filterbank pair (spec value). */
+  private[graft] val FilterbankDelay = 481
+
+  /** Analysis filterbank (TestMp3's encoder side lives in main so the
+    * window constant is shared and the PAIR is the documented unit). */
+  private[graft] final class AnalysisWith(h: Array[Double]) {
+    private val x = new Array[Double](512)
+    def granule(in32: Array[Double], outS: Array[Double]): Unit = {
+      System.arraycopy(x, 0, x, 32, 480)
+      var i = 0
+      while (i < 32) { x(i) = in32(31 - i); i += 1 }
+      val y = new Array[Double](64)
+      var j = 0
+      while (j < 64) {
+        var acc = 0.0
+        var k = 0
+        while (k < 8) { acc += x(j + 64 * k) * h(j + 64 * k) *
+          (if ((k & 1) == 0) 1.0 else -1.0); k += 1 }
+        y(j) = acc
+        j += 1
+      }
+      var sb = 0
+      while (sb < 32) {
+        var acc = 0.0
+        j = 0
+        while (j < 64) {
+          acc += StrictMath.cos((2 * sb + 1) * (j - 16) * StrictMath.PI / 64.0) * y(j)
+          j += 1
+        }
+        outS(sb) = acc
+        sb += 1
+      }
+    }
+  }
+
+  private[graft] final class SynthesisWith(h: Array[Double], scale: Double) {
+    private val v = new Array[Double](1024)
+    def granuleD(s: Array[Double], out: Array[Double]): Unit = {
+      System.arraycopy(v, 0, v, 64, 960)
+      var i = 0
+      while (i < 64) {
+        var acc = 0.0
+        var k = 0
+        while (k < 32) {
+          acc += StrictMath.cos((16 + i) * (2 * k + 1) * StrictMath.PI / 64.0) * s(k)
+          k += 1
+        }
+        v(i) = acc
+        i += 1
+      }
+      var j = 0
+      while (j < 32) {
+        var acc = 0.0
+        var k = 0
+        while (k < 16) {
+          val uIdx = (k >> 1) * 128 + (if ((k & 1) == 0) j else 96 + j)
+          val sgn = if (((k >> 1) & 1) == 0) 1.0 else -1.0 // (−1)^⌊k/2⌋
+          acc += v(uIdx) * h(j + 32 * k) * scale * sgn
+          k += 1
+        }
+        out(j) = acc
+        j += 1
+      }
+    }
+  }
+
+  /** Production synthesis: [[SynthesisWith]] over [[synthesisWindow]]
+    * with 16-bit clamp. */
+  private final class Synthesis {
+    private val inner = new SynthesisWith(synthesisWindow, 1.0)
+    private val d = new Array[Double](32)
+    def granule(s: Array[Double], out: Array[Int]): Unit = {
+      inner.granuleD(s, d)
+      var j = 0
+      while (j < 32) {
+        val v = StrictMath.rint(d(j) * 32767.0).toInt
+        out(j) = math.max(-32768, math.min(32767, v))
+        j += 1
+      }
+    }
+  }
+}

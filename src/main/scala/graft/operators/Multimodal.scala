@@ -1248,6 +1248,9 @@ object Multimodal {
         case m if m.kind == "audio/wav" => decodeWav(m)
         case m if m.kind == "audio/flac" || m.kind == "audio/x-flac" =>
           decodeFlacFeatures(m) // x-flac: the pre-registration MIME still in crawls
+        case m if m.kind == "audio/mpeg" || m.kind == "audio/mp3" ||
+            m.kind == "audio/mpeg3" || m.kind == "audio/x-mpeg-3" =>
+          decodeMpegFeatures(m) // Layer I: full decode; II/III: exact metadata
         case m if m.kind == "video/avi" || m.kind == "video/x-msvideo" =>
           Avi.decodeAvi(m) // MJPEG-in-AVI: first frame through the JPEG codec
         case m => stubDecode(m)
@@ -1712,14 +1715,82 @@ object Multimodal {
     MediaFeatures(m.media_id, m.kind, m.bytes.length, a.sampleRate, a.channels, feats)
   }
 
-  // ---- audio fingerprinting (WAV/FLAC near-duplicate dedup) --------------
+  /** `audio/mpeg` features ([[graft.operators.Mpeg]]): MPEG-1 Layer I
+    * decodes fully and yields the same waveform features as WAV/FLAC;
+    * Layer II/III — whose sample decode needs the spec's normative
+    * data tables (see the Mpeg object doc) — yield their EXACT stream
+    * metadata (duration in the same `feats(3)` slot, rate, channels)
+    * with zeroed waveform features, the metadata-only degrade the
+    * `extract_ok` pattern established for PDF ingestion. */
+  def decodeMpegFeatures(m: Media): MediaFeatures = {
+    val info = Mpeg.mpegInfo(m.bytes, m.media_id)
+    if (info.layer == 1 && info.version == 1) {
+      val a = Mpeg.decodeLayer1(m.bytes, m.media_id)
+      val nSamples = a.samples.length / a.channels
+      var sum = 0.0; var sumSq = 0.0; var crossings = 0L
+      val hist = new Array[Long](12)
+      var prevSign = 0
+      var s = 0
+      while (s < nSamples) {
+        var c = 0
+        while (c < a.channels) {
+          val v = a.samples(s * a.channels + c) / 32768.0
+          sum += v; sumSq += v * v
+          val ab = math.abs(v)
+          hist(math.min(11, (ab * 12).toInt)) += 1
+          if (c == 0) {
+            val sign = if (v > 0) 1 else if (v < 0) -1 else 0
+            if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+            if (sign != 0) prevSign = sign
+          }
+          c += 1
+        }
+        s += 1
+      }
+      val total = math.max(1L, nSamples.toLong * a.channels)
+      val feats = new Array[Float](16)
+      feats(0) = ((sum / total + 1.0) / 2.0).toFloat
+      feats(1) = math.sqrt(sumSq / total).toFloat
+      feats(2) = (crossings.toDouble / math.max(1, nSamples)).toFloat
+      feats(3) = (nSamples.toDouble / a.sampleRate).toFloat
+      var k = 0
+      while (k < 12) { feats(4 + k) = (hist(k).toDouble / total).toFloat; k += 1 }
+      MediaFeatures(m.media_id, m.kind, m.bytes.length, a.sampleRate,
+        a.channels, feats)
+    } else {
+      val feats = new Array[Float](16)
+      feats(3) = info.durationSec.toFloat
+      MediaFeatures(m.media_id, m.kind, m.bytes.length, info.sampleRate,
+        info.channels, feats)
+    }
+  }
+
+  // ---- audio fingerprinting (WAV/FLAC/MPEG near-duplicate dedup) ---------
 
   /** The waveform bridge under [[audioHash64]]: per-kind decode to a
     * channel-averaged mono mixdown in [-1, 1]. WAV parses here
     * (PCM 8/16-bit); FLAC rides [[Flac.decodeFlac]] — LOSSLESS, so a
     * FLAC and a WAV of the same PCM fingerprint bit-identically. */
   private[graft] def monoSamples(m: Media): (Int, Array[Double]) =
-    if (m.kind == "audio/flac" ||
+    if (m.kind.startsWith("audio/mpeg") || m.kind == "audio/mp3" ||
+        m.kind == "audio/x-mpeg-3") {
+      // MPEG-1 Layer I decodes ([[Mpeg]]); Layer II/III throw there
+      // with the documented spec-data reason — the fingerprint tier
+      // covers the layers whose samples this clean-room build can
+      // honestly produce
+      val a = Mpeg.decodeSamples(m.bytes, m.media_id)
+      val nSamples = a.samples.length / a.channels
+      val mono = new Array[Double](nSamples)
+      var s = 0
+      while (s < nSamples) {
+        var acc = 0.0
+        var c = 0
+        while (c < a.channels) { acc += a.samples(s * a.channels + c) / 32768.0; c += 1 }
+        mono(s) = acc / a.channels
+        s += 1
+      }
+      (a.sampleRate, mono)
+    } else if (m.kind == "audio/flac" ||
         (m.bytes.length >= 4 && m.bytes(0) == 'f' && m.bytes(1) == 'L' &&
           m.bytes(2) == 'a' && m.bytes(3) == 'C')) {
       val a = Flac.decodeFlac(m.bytes, m.media_id)

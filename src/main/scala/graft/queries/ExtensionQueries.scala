@@ -1912,6 +1912,35 @@ object ExtensionQueries {
         .orderBy("kind", "k")
     }),
 
+    // MPEG audio metadata walker over generated CBR streams (every
+    // layer/rate/bitrate combination deterministic per doc_id): the
+    // oracle recomputes frames/samples/duration from the derivation
+    // arithmetic alone — any defect in the header tables, slot-based
+    // frame sizing, or the walk itself is a hash mismatch. Full oracle
+    // (frame sizing is exact integer arithmetic on both engines).
+    "q_mpeg_meta" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 300)
+        .as[Long]
+        .map { id =>
+          val layer = (1 + id % 3).toInt
+          val rate = Array(44100, 48000, 32000)(((id / 3) % 3).toInt)
+          val kbps = (layer match {
+            case 1 => Array(64, 128, 256, 448)
+            case 2 => Array(48, 96, 192, 384)
+            case _ => Array(40, 96, 128, 320)
+          })(((id / 9) % 4).toInt)
+          val frames = (5 + id % 40).toInt
+          val info = graft.operators.Mpeg.mpegInfo(
+            graft.operators.Mpeg.writeCbrStream(layer, rate, kbps, frames), id)
+          (id, info.layer, info.sampleRate, info.channels, info.bitrateKbps,
+            info.frames, info.samples, info.durationSec)
+        }
+        .toDF("doc_id", "layer", "sample_rate", "channels", "kbps",
+          "frames", "n_samples", "duration_sec")
+        .orderBy("doc_id")
+    }),
+
     // incremental media dedup: a batch of perturbed twins (of the
     // standing 64 scenes + 64 clips) and genuinely-new variant-1 media
     // probed against the PERSISTED signature/bucket tables
@@ -2376,6 +2405,12 @@ object ExtensionQueries {
     // media-dedup gate: probe violations are rows, oracle = empty set
     "q_check_media_dedup" ->
       """SELECT CAST(text AS VARCHAR) AS kind, CAST(text AS VARCHAR) AS k FROM documents WHERE 1 = 0 ORDER BY kind, k""",
+
+    // independent derivation: the MPEG walker's outputs are pure
+    // arithmetic of the planted parameters — layer cycle, rate/bitrate
+    // selection, frames, samples-per-frame, duration
+    "q_mpeg_meta" ->
+      """WITH p AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INTEGER) AS layer, CAST((doc_id // 3) % 3 AS INTEGER) AS ri, CAST((doc_id // 9) % 4 AS INTEGER) AS ki, CAST(5 + doc_id % 40 AS INTEGER) AS frames FROM documents WHERE doc_id < 300), d AS (SELECT doc_id, layer, CASE ri WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sample_rate, CASE layer WHEN 1 THEN (CASE ki WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 256 ELSE 448 END) WHEN 2 THEN (CASE ki WHEN 0 THEN 48 WHEN 1 THEN 96 WHEN 2 THEN 192 ELSE 384 END) ELSE (CASE ki WHEN 0 THEN 40 WHEN 1 THEN 96 WHEN 2 THEN 128 ELSE 320 END) END AS kbps, frames, CASE layer WHEN 1 THEN 384 ELSE 1152 END AS spf FROM p) SELECT doc_id, layer, sample_rate, 1 AS channels, kbps, frames, CAST(frames AS BIGINT) * spf AS n_samples, CAST(CAST(frames AS BIGINT) * spf AS DOUBLE) / sample_rate AS duration_sec FROM d ORDER BY doc_id""",
 
     // audio gate: fingerprint violations are rows, oracle = empty set
     "q_check_audio" ->
