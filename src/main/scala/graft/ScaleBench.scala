@@ -623,6 +623,46 @@ object ScaleBench {
           rerankDepth = 100)
       }
 
+      // growth maintenance: an index BUILT on a tenth of the corpus
+      // (nLists sized for that tenth) then grown 10× by appends — the
+      // service that outlives its sizing. Unmaintained, every list is
+      // ~10× fatter than built, and the probe reads whole probed lists,
+      // so probe time degrades ∝ growth; annIndexRebalance re-trains at
+      // corpus-proportional nLists and re-codes, after which the same
+      // probe returns to the flat ann_index_probe regime (the
+      // incdedup_noindex with/without presentation). Rebalance itself is
+      // timed: one sampled re-train + one full re-code pass, amortized
+      // over the growth that triggered it.
+      locally {
+        val grownDir = s"$scaleDir/annidx_grown"
+        graft.operators.AnnIndex.annBuildIndex(
+          embCorpus.filter(col("vec_id") % 10 === 0), grownDir,
+          nLists = math.max(4, (16 * scale) / 10), m = 8, kc = 16, iters = 1,
+          trainOn = Some(trainSet))
+        graft.operators.AnnIndex.annIndexAppend(
+          embCorpus.filter(col("vec_id") % 10 =!= 0), grownDir)
+        measure("ann_probe_grown_unmaintained", s"$scaleDir/out_anng_un") {
+          graft.operators.AnnIndex.annIndexProbe(spark, grownDir,
+            embCorpus.filter(col("vec_id") < 20), k = 10, nProbe = 4,
+            rerankDepth = 100)
+        }
+        spark.catalog.clearCache()
+        val s0 = metrics.snapshot()
+        val t0 = System.nanoTime()
+        graft.operators.AnnIndex.annIndexRebalance(spark, grownDir)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val s1 = metrics.snapshot()
+        val nl = graft.operators.AnnIndex.loadMeta(spark, grownDir).map(_.nLists).getOrElse(-1)
+        results += Row("ann_rebalance", scale, nl.toLong, sec,
+          (s1(0) - s0(0)) / 1e6, (s1(1) - s0(1)) / 1e6, (s1(2) - s0(2)) / 1e6)
+        println(f"""{"op":"ann_rebalance","scale":$scale,"rows":$nl,"sec":$sec%.2f}""")
+        measure("ann_probe_grown_rebalanced", s"$scaleDir/out_anng_re") {
+          graft.operators.AnnIndex.annIndexProbe(spark, grownDir,
+            embCorpus.filter(col("vec_id") < 20), k = 10, nProbe = 4,
+            rerankDepth = 100)
+        }
+      }
+
       // retraction: a FIXED 500-doc takedown against both standing
       // indexes. BM25 derives its negative df/stats increments from the
       // victims' own postings — one parallel postings scan, so the cost

@@ -37,7 +37,7 @@ object Sinks {
   /** Resolve the FileSystem owning `path` from the session's Hadoop conf —
     * `file:`, `hdfs:`, `s3a:` all dispatch off the path scheme (a bare path
     * resolves against `fs.defaultFS`). */
-  private def fsFor(spark: SparkSession, path: String): (FileSystem, HPath) = {
+  private[graft] def fsFor(spark: SparkSession, path: String): (FileSystem, HPath) = {
     val p = new HPath(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }

@@ -56,6 +56,7 @@ object AnnIndex {
     Similarity.saveCentroids(spark, centroids, s"$indexDir/centroids")
     saveCodebooks(spark, codebooks, s"$indexDir/codebooks")
     writeLists(corpus, indexDir, "overwrite", centroids, codebooks, idCol, vecCol)
+    saveMeta(spark, indexDir, corpus.count(), nLists, m, kc, iters)
   }
 
   /** Append a vector batch: coded against the standing models, no rewrite
@@ -211,13 +212,129 @@ object AnnIndex {
   }
 
   /** Threshold maintenance for an append loop: compact `lists/` past
-    * `maxFiles` parquet files. Returns whether a compaction ran. */
+    * `maxFiles` parquet files, and — when the corpus has grown past
+    * `growthFactor` × the size the models were trained at — re-balance
+    * the whole index ([[annIndexRebalance]]): appends code against
+    * STANDING centroids with nLists fixed at build time, so after the
+    * corpus grows several× past the build size every list is several×
+    * fatter and probe cost (which reads whole probed lists) grows with
+    * it. Re-balancing restores the built mean list size, so probe time
+    * returns to flat (SCALE.md rows ann_probe_grown_rebalanced vs
+    * _unmaintained). Returns whether any maintenance ran. */
   def annIndexMaintain(spark: SparkSession, indexDir: String,
-      maxFiles: Int = 64): Boolean = {
+      maxFiles: Int = 64, growthFactor: Double = 4.0): Boolean = {
     require(maxFiles > 0, s"maxFiles must be positive: $maxFiles")
-    val over = graft.io.Sinks.parquetFileCount(spark, s"$indexDir/lists") > maxFiles
-    if (over) annIndexCompact(spark, indexDir)
-    over
+    require(growthFactor > 1.0, s"growthFactor must exceed 1: $growthFactor")
+    val grown = loadMeta(spark, indexDir).exists { meta =>
+      val current = spark.read.parquet(s"$indexDir/lists")
+        .select("vec_id").count()
+      current > growthFactor * meta.builtVectors
+    }
+    if (grown) { annIndexRebalance(spark, indexDir); true }
+    else {
+      val over = graft.io.Sinks.parquetFileCount(spark, s"$indexDir/lists") > maxFiles
+      if (over) annIndexCompact(spark, indexDir)
+      over
+    }
+  }
+
+  /** Build-time model provenance: how many vectors the standing models
+    * were trained/sized for, and the training hyper-parameters — what
+    * the growth trigger and re-balance need to re-train faithfully. */
+  private[graft] final case class IndexMeta(
+      builtVectors: Long, nLists: Int, m: Int, kc: Int, iters: Int)
+
+  private def saveMeta(spark: SparkSession, indexDir: String,
+      builtVectors: Long, nLists: Int, m: Int, kc: Int, iters: Int): Unit =
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(builtVectors, nLists, m, kc, iters)),
+      StructType(Seq(
+        StructField("built_vectors", org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("n_lists", IntegerType, nullable = false),
+        StructField("m", IntegerType, nullable = false),
+        StructField("kc", IntegerType, nullable = false),
+        StructField("iters", IntegerType, nullable = false))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+
+  /** None for pre-meta indexes (built before growth tracking existed) —
+    * file-count compaction still runs for those; growth maintenance
+    * starts at their next rebuild. */
+  private[graft] def loadMeta(spark: SparkSession,
+      indexDir: String): Option[IndexMeta] =
+    if (!graft.io.Sinks.parquetExists(spark, s"$indexDir/meta")) None
+    else spark.read.parquet(s"$indexDir/meta").collect().headOption.map(r =>
+      IndexMeta(r.getAs[Long]("built_vectors"), r.getAs[Int]("n_lists"),
+        r.getAs[Int]("m"), r.getAs[Int]("kc"), r.getAs[Int]("iters")))
+
+  /** Re-balance the standing index for corpus growth: re-train the IVF
+    * centroids over a sample of the CURRENT corpus with nLists scaled
+    * to restore the built mean list size (nLists ∝ corpus, the sizing
+    * rule every scenario here uses), re-train the PQ codebooks on the
+    * same sample, re-code every surviving vector, and swap — the FAISS
+    * "retrain = rebuild" operating model, run in place. Retracted
+    * vectors are dropped physically and the delete registry cleared
+    * (the re-code only reads survivors). Deterministic: the training
+    * sample is seed-pinned.
+    *
+    * Crash contract: single-writer, same non-atomic dir-swap window as
+    * the BM25 compactor — and RE-RUNNABLE from any crash point: the
+    * rebuild reads only `lists/` + `meta/` (swapped LAST), so a
+    * half-swapped model set is repaired by running the verb again. */
+  def annIndexRebalance(spark: SparkSession, indexDir: String,
+      sampleCap: Long = 100000L): Unit = {
+    val meta = loadMeta(spark, indexDir).getOrElse(throw new IllegalStateException(
+      s"no meta/ at $indexDir — pre-meta index: rebuild with annBuildIndex"))
+    val delDir = s"$indexDir/deletes"
+    val hasDeletes = graft.io.Sinks.parquetExists(spark, delDir)
+    val survivors = {
+      val all = spark.read.parquet(s"$indexDir/lists")
+        .select(col("vec_id"), col("embedding"))
+      if (hasDeletes)
+        all.join(broadcast(spark.read.parquet(delDir)), Seq("vec_id"), "left_anti")
+      else all
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val current = survivors.count()
+    val targetListSize = math.max(1.0, meta.builtVectors.toDouble / meta.nLists)
+    val newNLists = math.max(meta.nLists,
+      math.ceil(current / targetListSize).toInt)
+    // model quality saturates long before the corpus: train on a
+    // seed-pinned sample capped at sampleCap vectors
+    val frac = math.min(1.0, sampleCap.toDouble / math.max(1L, current))
+    val train = if (frac >= 1.0) survivors else survivors.sample(frac, seed = 42L)
+    val centroids = Similarity.trainCentroids(train, newNLists, meta.iters)
+    val codebooks = Similarity.trainPqCodebooks(train, meta.m, meta.kc, meta.iters)
+    // stage the re-coded index, then swap piece by piece (re-runnable:
+    // nothing below mutates lists/ until its own swap, and meta goes last)
+    Similarity.saveCentroids(spark, centroids, s"$indexDir/.centroids.tmp")
+    saveCodebooks(spark, codebooks, s"$indexDir/.codebooks.tmp")
+    writeLists(survivors.select(col("vec_id"), col("embedding")),
+      s"$indexDir/.relists.tmp", "overwrite", centroids, codebooks,
+      "vec_id", "embedding")
+    survivors.unpersist()
+    swapDir(spark, s"$indexDir/.centroids.tmp", s"$indexDir/centroids")
+    swapDir(spark, s"$indexDir/.codebooks.tmp", s"$indexDir/codebooks")
+    swapDir(spark, s"$indexDir/.relists.tmp/lists", s"$indexDir/lists")
+    locally { // drop the emptied staging parent
+      val (fs, p) = graft.io.Sinks.fsFor(spark, s"$indexDir/.relists.tmp")
+      fs.delete(p, true)
+    }
+    if (hasDeletes) {
+      val (fs, p) = graft.io.Sinks.fsFor(spark, delDir)
+      fs.delete(p, true)
+    }
+    saveMeta(spark, indexDir, current, newNLists, meta.m, meta.kc, meta.iters)
+    spark.catalog.refreshByPath(s"$indexDir/lists")
+  }
+
+  private def swapDir(spark: SparkSession, tmp: String, dst: String): Unit = {
+    val (fs, dstP) = graft.io.Sinks.fsFor(spark, dst)
+    val (_, tmpP) = graft.io.Sinks.fsFor(spark, tmp)
+    val retired = new org.apache.hadoop.fs.Path(
+      dstP.getParent, s".${dstP.getName}.rebalance-old")
+    fs.delete(retired, true)
+    if (fs.exists(dstP)) require(fs.rename(dstP, retired), s"retire $dst failed")
+    require(fs.rename(tmpP, dstP), s"swap $tmp -> $dst failed")
+    fs.delete(retired, true)
   }
 
   /** Streaming maintenance loop for the standing index — the vector

@@ -155,4 +155,37 @@ class AnnIndexSpec extends SparkSpec {
     val loaded = AnnIndex.loadCodebooks(spark, p)
     assert(loaded.map(_.map(_.toSeq).toSeq).toSeq == books.map(_.map(_.toSeq).toSeq).toSeq)
   }
+
+  test("growth re-balance: nLists scales with the corpus, probe quality holds, registry drops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_grow").toString
+    // build small (10% of the corpus), with nLists sized for THAT corpus
+    val build = emb.filter($"vec_id" % 10 === 0)
+    AnnIndex.annBuildIndex(build, dir, nLists = 4, m = 8, kc = 8, iters = 2)
+    val meta0 = AnnIndex.loadMeta(spark, dir).get
+    assert(meta0.nLists == 4 && meta0.builtVectors == build.count())
+    // grow ~10x past build; retract a few so the re-code must drop them
+    AnnIndex.annIndexAppend(emb.filter($"vec_id" % 10 =!= 0), dir)
+    AnnIndex.annIndexDelete(spark, dir, emb.filter($"vec_id" >= 95 && $"vec_id" < 100)
+      .select($"vec_id"))
+    // growth trigger: maintain must choose REBALANCE, not just compaction
+    assert(AnnIndex.annIndexMaintain(spark, dir, growthFactor = 4.0))
+    val meta1 = AnnIndex.loadMeta(spark, dir).get
+    val total = emb.count()
+    assert(meta1.builtVectors == total - 5, "meta re-baselined to survivors")
+    val targetList = meta0.builtVectors.toDouble / meta0.nLists
+    assert(meta1.nLists == math.ceil((total - 5) / targetList).toInt,
+      s"nLists must restore the built mean list size (got ${meta1.nLists})")
+    assert(Similarity.loadCentroids(spark, s"$dir/centroids").length == meta1.nLists)
+    // retraction is now physical; registry cleared
+    assert(spark.read.parquet(s"$dir/lists")
+      .filter($"vec_id" >= 95 && $"vec_id" < 100).count() == 0)
+    assert(!graft.io.Sinks.parquetExists(spark, s"$dir/deletes"))
+    // probe quality: identical-twin planted queries must find their twins
+    val probe = AnnIndex.annIndexProbe(spark, dir,
+      emb.filter($"vec_id" < 5), k = 5, nProbe = 2, rerankDepth = 10)
+    assert(probe.filter($"rank" === 1).count() == 5)
+    // and a second maintain call with the SAME thresholds is a no-op
+    // (growth re-baselined): only file-count compaction could run
+    assert(!AnnIndex.annIndexMaintain(spark, dir, maxFiles = 64, growthFactor = 4.0))
+  }
 }
