@@ -194,7 +194,7 @@ object ScaleBench {
     val workDir = args.headOption.getOrElse("/tmp/graft_scale")
     val mdOut = if (args.length > 1) args(1) else "SCALE.md"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,10,50")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,10,50,100")
       .split(",").map(_.trim.toInt).toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
@@ -1017,7 +1017,33 @@ object ScaleBench {
       "is a registry append (O(batch), flat), and " +
       "bm25_probe_after_delete shows the probe keeping its flat path " +
       "with the registry mask on — one extra broadcast anti-join " +
-      "against a KB-scale table.\n"
+      "against a KB-scale table.\n\n" +
+      "The ann growth trio measures the index OUTLIVING its sizing: " +
+      "ann_probe_grown_unmaintained probes an index built on a tenth of " +
+      "the corpus then grown 10× by appends — appends code against the " +
+      "STANDING centroids, so every list is ~10× fatter than built and " +
+      "the probe (which reads whole probed lists) degrades with growth. " +
+      "ann_rebalance is the maintenance verb annIndexMaintain triggers " +
+      "past the growth threshold: one seed-pinned sampled re-train at " +
+      "nLists scaled back to the built mean list size plus one full " +
+      "re-code pass — its cost is linear in the corpus and amortizes " +
+      "over the 10× of appends that triggered it. " +
+      "ann_probe_grown_rebalanced re-runs the identical probe after " +
+      "maintenance: back in the flat ann_index_probe regime.\n\n" +
+      "compact history: through round 9 this row was the table's one " +
+      "super-linear ratio (w→5× = 1.93 — 0.6 → 6.0 s for 5× data). " +
+      "Attribution: the timed rewrite is `coalesce(nFiles)` with nFiles " +
+      "from the BYTE budget, and each of those tasks OPENS its share of " +
+      "the scattered input files sequentially — at 50× that was 800 " +
+      "files over 3 tasks (~267 opens/task), at 10× 160 over 1, so " +
+      "per-file open/footer latency (not bytes, not listing) was the " +
+      "growing term: files/task rose with the quantized task count. " +
+      "The fix floors the task count at inputFiles/64 " +
+      "(Sinks.MaxFilesPerCompactTask), bounding opens-per-task while " +
+      "staying a narrow shuffle-free rewrite; output files undershoot " +
+      "the byte target only in the mostly-empty regime, where the " +
+      "follow-up pass (few files) reaches it cheaply. At real scale the " +
+      "byte-based count dominates and the floor is inert.\n"
     Files.write(Paths.get(mdOut), sb.toString.getBytes("UTF-8"))
   }
 }

@@ -378,11 +378,29 @@ object Sinks {
 
   /** Rewrite one flat dir of parquet files to its byte-budget file count
     * and swap it in (two renames — see compactParquet's contract). */
+  /** Per-task file-open cap for [[compactLeaf]]: `coalesce(n)` gives the
+    * rewrite exactly n tasks, and each task OPENS its share of the input
+    * files sequentially — for a leaf whose byte budget wants few output
+    * files but whose file count is huge (the pathological small-file
+    * case compaction exists for), per-file open/footer latency, not
+    * bytes, dominates wall-clock and grows super-linearly as the scatter
+    * outpaces the byte-based task count (measured: the SCALE.md compact
+    * row's w→5× = 1.93 was exactly this — 800 files over 3 tasks).
+    * Flooring the task count at inputFiles/cap bounds opens-per-task;
+    * the output files undershoot the byte target only in that
+    * mostly-empty regime, where a follow-up compaction (now over few
+    * files) reaches it cheaply. At real scale the byte-based count
+    * dominates and this floor is inert. */
+  private val MaxFilesPerCompactTask = 64
+
   private def compactLeaf(spark: SparkSession, fs: FileSystem, source: HPath,
       targetFileBytes: Long): Int = {
-    val totalBytes = fs.listStatus(source).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val inputFiles = fs.listStatus(source).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val totalBytes = inputFiles.map(_.getLen).sum
+    val nFiles = math.max(
+      math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt),
+      math.ceil(inputFiles.size.toDouble / MaxFilesPerCompactTask).toInt)
     val parent = fs.makeQualified(source).getParent
     val tmp = new HPath(parent, s".${source.getName}.compact-tmp")
     fs.delete(tmp, true)

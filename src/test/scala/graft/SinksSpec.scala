@@ -78,6 +78,19 @@ class SinksSpec extends SparkSpec {
     assert(!parent.exists(_.contains("compact")))
   }
 
+  test("compactParquet: per-task open cap floors the task count on huge scatters") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-cap").toString + "/t"
+    spark.range(0, 2000).select(col("id")).repartition(200).write.parquet(dir)
+    // a generous byte budget alone would coalesce(1) — one task opening
+    // all 200 files sequentially; the cap keeps opens-per-task bounded
+    val n = graft.io.Sinks.compactParquet(spark, dir, targetFileBytes = 1L << 30)
+    assert(n == math.ceil(200.0 / 64).toInt, s"cap-floored task count, got $n")
+    assert(spark.read.parquet(dir).count() == 2000L)
+    // the follow-up pass (few files now) reaches the byte target
+    assert(graft.io.Sinks.compactParquet(spark, dir, targetFileBytes = 1L << 30) == 1)
+  }
+
   test("compactParquet: hive-partitioned dir compacts per leaf, layout preserved") {
     val dir = Files.createTempDirectory("graft-compact-part").toString + "/t"
     val df = spark.range(0, 9000)
