@@ -355,6 +355,7 @@ object Main {
     //   graft.Main ann-append  <embeddingsParquetDir> <indexDir>
     //   graft.Main ann-probe   <indexDir> <queriesParquetDir> <k> [nProbe]
     //   graft.Main ann-compact <indexDir>
+    //   graft.Main ann-rebalance <indexDir>
     case "ann-build" :: vecs :: idx :: nl :: m :: Nil
         if nl.toIntOption.exists(_ > 0) && m.toIntOption.exists(_ > 0) =>
       val spark = session("graft-ann-build")
@@ -384,6 +385,17 @@ object Main {
       val spark = session("graft-ann-compact")
       graft.operators.AnnIndex.annIndexCompact(spark, idx)
       println(s"compacted ann index: $idx")
+      spark.stop()
+
+    //   graft.Main ann-rebalance <indexDir>   (growth maintenance: re-train
+    //   at corpus-proportional nLists, re-code survivors, swap)
+    case "ann-rebalance" :: idx :: Nil =>
+      val spark = session("graft-ann-rebalance")
+      graft.operators.AnnIndex.annIndexRebalance(spark, idx)
+      val meta = graft.operators.AnnIndex.loadMeta(spark, idx)
+      println(s"rebalanced ann index: $idx -> " +
+        meta.map(m => s"${m.nLists} lists over ${m.builtVectors} vectors")
+          .getOrElse("?"))
       spark.stop()
 
     //   graft.Main ann-delete <indexDir> <id1,id2,...>

@@ -905,6 +905,44 @@ object ScaleBench {
         "pair-generating rows) are the VOLUME signal the prose above " +
         "describes: an internally balanced heavy stage, wide as its " +
         "predicted pair volume demands, not a straggler.\n\n"
+      sb ++= "skew_token_budget history: the 100× octave's first run " +
+        "measured a REAL 17.7× warm straggler — the budget operator's " +
+        "over-budget branch computed each group's running token sum " +
+        "through one per-group window, and cumulative sums admit no " +
+        "WindowGroupLimit pushdown (every row's prefix needs every " +
+        "earlier row), so the hot group's whole cumsum serialized into " +
+        "ONE task. Fixed with a bit-identical distributed prefix sum: " +
+        "the group splits into 256 sub-ranges on the md5 order's own " +
+        "first two hex chars (so (bucket, rest) IS the order), buckets " +
+        "cumsum in parallel, and bucket bases come from a groups×256-row " +
+        "aggregate — hot-group parallelism 256 instead of 1 " +
+        "(Sampling.tokenBudget).\n\n"
+      sb ++= "skew_simhash_pairs at the 100× octave: the w→2× step first " +
+        "measured 1.95 with a balanced (stage skew ≤ 2×) 32-task verify " +
+        "stage at ~11 s/task. Attribution by direct block-occupancy " +
+        "measurement on the skew corpora: candidate instances (Σ n² over " +
+        "kept (chunk,v) blocks) grew 158M → 372M for 2× data — below the " +
+        "1000-row hot-block cap, the boilerplate-shared blocks FILL as " +
+        "the corpus grows (near-cap blocks 77 → 171, dropped blocks " +
+        "4 → 29), a quadratic-in-occupancy regime that the cap makes " +
+        "self-limiting: blocks crossing the cap leave the candidate set " +
+        "entirely at the next octave. The structural fix is the " +
+        "jaccardPairs rule applied to the shared hash64 core: the probe " +
+        "width now follows the PREDICTED candidate volume (one " +
+        "single-row driver agg over the occupancy table the hot-block " +
+        "guard already computes), so the verify grain stays ~1M " +
+        "instances per task however full the blocks get, instead of " +
+        "funneling the grown stream through session width.\n\n"
+      sb ++= "ivfpq_selfjoin and semantic_dedup w→2× (1.3–1.5): the " +
+        "documented corpus-proportional sizing rule (nLists ∝ corpus, " +
+        "constant list/cluster size) makes centroid ASSIGNMENT " +
+        "O(n·√nLists) = O(n^1.5) with the pruned kernel — √2 ≈ 1.41 per " +
+        "octave is the predicted step, and both rows measure it. This is " +
+        "the self-join benchmark's own re-sizing, not a deployment " +
+        "property: a standing service pins nLists at build time for the " +
+        "TARGET corpus (the ann_index_probe regime, measured flat) and " +
+        "re-balances on growth (ann_rebalance), where assignment is " +
+        "O(n) per batch against fixed models.\n\n"
       sb ++= "skew_ngram_jaccard history: round 8 measured 52.8 s at 50× " +
         "with a 25.9 s max task — per-stage attribution traced it to the " +
         "pair CONSUMER (final n_shared hash-agg + verify joins + sink " +

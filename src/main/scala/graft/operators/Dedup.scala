@@ -489,10 +489,23 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("cb.chunk"), col("cb.v"))
       // hot-block guard (see scaladoc): occupancy rides the same
       // (chunk, v) keys; the over-cap set is AQE's to size, never forced
-    val hotBlocks = chunked.groupBy(col("chunk"), col("v"))
+    val occupancy = chunked.groupBy(col("chunk"), col("v"))
       .agg(count(lit(1)).as("__n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hotBlocks = occupancy
       .filter(col("__n") > maxBlockSize)
       .select("chunk", "v")
+    // predicted candidate volume (Σ n² over kept blocks) sizes the probe
+    // width — the jaccardPairs rule: below the cap, blocks FILL as the
+    // corpus grows (measured on the 100× skew corpus: 158M → 372M
+    // candidates for 2× data as boilerplate blocks approach the cap), so
+    // a session-width probe concentrates millions of candidate rows per
+    // task; width ∝ predicted volume keeps the verify grain constant.
+    // One single-row driver agg, the model-class collect.
+    val candidateInstances = occupancy
+      .filter(col("__n") <= maxBlockSize)
+      .agg(coalesce(sum(col("__n") * col("__n")), lit(0L)))
+      .head.getLong(0)
     val keptChunks = chunked.join(hotBlocks, Seq("chunk", "v"), "left_anti")
     // Pair-join scale guards (measured at sf0.1):
     //  - hamming is computed and filtered in the join projection — both
@@ -513,7 +526,12 @@ object Dedup {
     //    the narrow 4-rows/doc chunk stream, never the amplified probe
     //    stream. Chunk widths are uniform when budget > 0 (64/4 = 16),
     //    so one mask set serves all chunks.
-    val repartitioned = keptChunks.repartition(shufflePartitions(sigs))
+    // occupancy stays cached (the sigs-persist contract above): the
+    // result plan's anti-join reads it again — an eager unpersist here
+    // would force the main job to recompute the whole occupancy agg
+    val width = math.max(shufflePartitions(sigs),
+      math.min(16384L, candidateInstances / 1000000L + 1).toInt)
+    val repartitioned = keptChunks.repartition(width)
     val probe =
       if (budget == 0) repartitioned
       else {

@@ -176,12 +176,32 @@ object Sampling {
     val under = flagged.filter(col("__over").isNull)
       .drop("__over")
       .withColumn("cum_tokens", lit(null).cast(LongType))
-    val w = Window.partitionBy(col(groupCol)).orderBy(md5Order(idCol): _*)
+    // Cumulative sums admit no WindowGroupLimit pushdown (every row's
+    // prefix needs every earlier row), so a single per-group window
+    // would serialize a hot group's whole cumsum into ONE task — the
+    // 100× skew scenario measured a real 17.7× straggler from exactly
+    // that. Distributed prefix sum instead, bit-identical: the group
+    // splits into 256 sub-ranges keyed by the md5 order's OWN first two
+    // hex chars (so (bucket, rest-of-order) IS the md5 order), each
+    // bucket cumsums in parallel, and a bucket's base is the sum of
+    // earlier buckets — a groups×256-row aggregate, window-scanned at
+    // trivial size. Hot-group parallelism: 256 tasks instead of 1.
+    val ordMd5 = md5(col(idCol).cast(StringType))
+    val overRows = flagged.filter(col("__over")).drop("__over")
+      .withColumn("__bkt", substring(ordMd5, 1, 2))
+    val bases = overRows.groupBy(col(groupCol), col("__bkt"))
+      .agg(sum(toks).as("__bsum"))
+      .withColumn("__base", coalesce(sum(col("__bsum")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("__bkt"), col("__base"))
+    val wB = Window.partitionBy(col(groupCol), col("__bkt"))
+      .orderBy(md5Order(idCol): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val trimmed = flagged.filter(col("__over"))
-      .drop("__over")
-      .withColumn("cum_tokens", sum(toks).over(w))
+    val trimmed = overRows.join(bases, Seq(groupCol, "__bkt"))
+      .withColumn("cum_tokens", col("__base") + sum(toks).over(wB))
       .filter(col("cum_tokens") - toks < budget)
+      .drop("__bkt", "__base")
     under.unionByName(trimmed)
   }
 
