@@ -959,7 +959,11 @@ object ScaleBench {
         "column), which is the property that survives a 100× scale-up.\n"
     }
     sb ++= "\nTimings single-run on a shared box (±30% load " +
-      "noise on absolute seconds; the RATIOS are the signal — and the " +
+      "noise on absolute seconds, and the 1× column additionally absorbs " +
+      "whatever session warmup — codegen, file-listing, staging — its op " +
+      "hits first at the smallest scale, so a few 1× cells are " +
+      "warmup-dominated and the octave ratios are meaningful from 10× " +
+      "up; the RATIOS are the signal — and the " +
       "skew table's stage-skew column is a median of 3 warm re-runs). " +
       "A `w→` " +
       "near or below 1.0 across both steps means the operator's cost " +

@@ -137,6 +137,31 @@ object ExtensionQueries {
       out
     })
 
+  /** Standing ANN index memo GROWN 10× past its build sizing and then
+    * growth-maintained: built on the vec_id%10==0 tenth (nLists sized
+    * for that tenth), the rest appended against the standing models,
+    * then [[graft.operators.AnnIndex.annIndexMaintain]] with the growth
+    * trigger — which must choose REBALANCE (re-train at restored mean
+    * list size + full re-code). The state `q_check_ann_rebalance`
+    * gates. */
+  private val annGrownIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def annGrownIndex(s: SparkSession, dir: String): String =
+    annGrownIndexes.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_ann_grown").toString
+      val e = t(s, dir, "embeddings")
+      graft.operators.AnnIndex.annBuildIndex(
+        e.filter(col("vec_id") % 10 === 0), out,
+        nLists = 4, m = 8, kc = 16, iters = 1)
+      graft.operators.AnnIndex.annIndexAppend(
+        e.filter(col("vec_id") % 10 =!= 2 && col("vec_id") % 10 =!= 0), out)
+      graft.operators.AnnIndex.annIndexAppend(
+        e.filter(col("vec_id") % 10 === 2), out)
+      graft.operators.AnnIndex.annIndexMaintain(s, out, growthFactor = 4.0)
+      out
+    })
+
   /** BM25 index memo with a RETRACTION applied: full build, then
     * [[graft.operators.Search.bm25IndexDelete]] of the `doc_id % 7 == 3`
     * slice — the state `q_bm25_after_delete` oracles is the interesting
@@ -402,6 +427,7 @@ object ExtensionQueries {
     annIndex(s, dir)
     bm25DelIndex(s, dir)
     annDelIndex(s, dir)
+    annGrownIndex(s, dir)
     incDedupRef(s, dir)
     wetStage(s, dir)
     pdfStage(s, dir)
@@ -1713,6 +1739,33 @@ object ExtensionQueries {
             count(lit(1)).cast(DoubleType) * 0.4).as("recall_pass"))
     }),
 
+    // growth-maintenance gate: the annGrownIndex stage built on a TENTH
+    // of the corpus, grew 10× by appends, and ran annIndexMaintain — the
+    // growth trigger must have REBALANCED (meta re-baselined to the full
+    // corpus, nLists restoring the built mean list size: both recomputed
+    // from the embeddings table by the oracle), and the rebuilt index
+    // must clear the same brute-force recall floor as q_check_ann_index
+    "q_check_ann_rebalance" -> ((s, dir) => {
+      val idx = annGrownIndex(s, dir)
+      val meta = graft.operators.AnnIndex.loadMeta(s, idx).getOrElse(
+        throw new IllegalStateException("rebalance left no meta/"))
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val ann = graft.operators.AnnIndex.annIndexProbe(s, idx, q, k = 10,
+          nProbe = math.max(8, meta.nLists / 2), rerankDepth = 100)
+        .select("query_id", "neighbor_id")
+      val brute = Similarity.bruteForceTopK(q, e, k = 10)
+        .select("query_id", "neighbor_id")
+      brute.join(ann.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_brute"),
+          (coalesce(sum(col("hit")), lit(0L)) >=
+            count(lit(1)).cast(DoubleType) * 0.4).as("recall_pass"))
+        .select(lit(meta.nLists).as("n_lists"),
+          lit(meta.builtVectors).as("built_vectors"),
+          col("n_brute"), col("recall_pass"))
+    }),
+
     // retraction gate for the standing ANN index: probing the index with
     // the vec_id%11==5 slice deleted (registry mask, pre-compaction) must
     // (a) never surface a retracted vector and (b) keep recall vs brute
@@ -2250,6 +2303,14 @@ object ExtensionQueries {
     // engine side's recall floor makes the flag deterministic
     "q_check_ann_index" ->
       s"""WITH sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT count(*) AS n_brute, true AS recall_pass FROM ranked WHERE rank <= 10""",
+
+    // growth-maintenance gate: n_lists and built_vectors recomputed from
+    // the embeddings table via the rebalance sizing rule (target mean
+    // list size = build-slice count / 4 built lists; new nLists =
+    // ceil(corpus / target), floored at the built 4); recall vs the same
+    // brute-force truth as q_check_ann_index
+    "q_check_ann_rebalance" ->
+      s"""WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS total, CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0 FROM embeddings), sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}), 0) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id != b.vec_id), ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sims) SELECT CAST(greatest(4, CAST(ceil(total / greatest(1.0, n0 / 4)) AS BIGINT)) AS INTEGER) AS n_lists, CAST(total AS BIGINT) AS built_vectors, (SELECT count(*) FROM ranked WHERE rank <= 10) AS n_brute, true AS recall_pass FROM n""",
 
     // retraction gate: brute-force truth over the corpus MINUS the
     // deleted slice (deleted ids remain legal as queries)

@@ -23,6 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_check_ivfpq_recall", // brute-force arm of the recall gate
     "q_check_ann_index", // brute-force arm of the standing-index gate
     "q_check_ann_delete", // brute arm + single-row leak-count cross join
+    "q_check_ann_rebalance", // brute arm of the growth-maintenance gate
     // IVF probe-list derivation: queries × the KB-scale broadcast centroid
     // table (nLists rows — the build side is model-sized, never data-sized);
     // the corpus itself only ever rides cid/query_id EQUI-joins
