@@ -479,7 +479,8 @@ object CorpusPipeline {
     // intra-batch twins per modality — same min-id-keeper rule as text
     val intraLosers = modalities.map(mod =>
         Dedup.hash64NearDupPairs(sigs.filter(col("modality") === mod),
-          maxHamming, maxBlockSize = 1000)
+          maxHamming, maxBlockSize = 1000,
+          sizeByVolume = false) // microbatch-sized, decode-bound lineage
           .select(col("id_b").as("doc_id")))
       .reduce(_ union _).distinct()
     val keptSigs = sigs.join(intraLosers, Seq("doc_id"), "left_anti")

@@ -459,7 +459,7 @@ object Dedup {
     // running many corpora per session should clearCache between batches
     // (Bench does).
     val sigs = simhash(df, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
-    hash64NearDupPairs(sigs, maxHamming, maxBlockSize)
+    hash64NearDupPairs(sigs, maxHamming, maxBlockSize, sizeByVolume = true)
   }
 
   /** Banded Hamming-ball pairing core over ANY (`doc_id`, `simhash`)
@@ -472,7 +472,8 @@ object Dedup {
     * from a recomputed lineage (the SimHash caller's measured 4×-eval
     * lesson); a parquet-backed signature frame needs no cache. */
   private[graft] def hash64NearDupPairs(sigs: DataFrame,
-      maxHamming: Int, maxBlockSize: Int): DataFrame = {
+      maxHamming: Int, maxBlockSize: Int,
+      sizeByVolume: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming out of range [0, 15]: $maxHamming")
     require(maxBlockSize > 1, s"maxBlockSize must exceed 1: $maxBlockSize")
@@ -489,9 +490,11 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("cb.chunk"), col("cb.v"))
       // hot-block guard (see scaladoc): occupancy rides the same
       // (chunk, v) keys; the over-cap set is AQE's to size, never forced
-    val occupancy = chunked.groupBy(col("chunk"), col("v"))
+    val occupancyAgg = chunked.groupBy(col("chunk"), col("v"))
       .agg(count(lit(1)).as("__n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val occupancy =
+      if (sizeByVolume) occupancyAgg.persist(StorageLevel.MEMORY_AND_DISK)
+      else occupancyAgg
     val hotBlocks = occupancy
       .filter(col("__n") > maxBlockSize)
       .select("chunk", "v")
@@ -501,11 +504,20 @@ object Dedup {
     // candidates for 2× data as boilerplate blocks approach the cap), so
     // a session-width probe concentrates millions of candidate rows per
     // task; width ∝ predicted volume keeps the verify grain constant.
-    // One single-row driver agg, the model-class collect.
-    val candidateInstances = occupancy
-      .filter(col("__n") <= maxBlockSize)
-      .agg(coalesce(sum(col("__n") * col("__n")), lit(0L)))
-      .head.getLong(0)
+    // One single-row driver agg, the model-class collect — but an EXTRA
+    // ACTION, which re-executes whatever lineage `sigs` carries:
+    // callers whose signatures are cheap to (re)materialize — text
+    // SimHash over a cached projection, a parquet-backed signature
+    // table — turn it on; decode-bound in-line media pipelines leave it
+    // off (their production dedup shape is the streaming standing-index
+    // probe, not an all-pairs self-join — measured +1.6 s on the audio
+    // gate from the extra decode pass alone).
+    val candidateInstances =
+      if (!sizeByVolume) 0L
+      else occupancy
+        .filter(col("__n") <= maxBlockSize)
+        .agg(coalesce(sum(col("__n") * col("__n")), lit(0L)))
+        .head.getLong(0)
     val keptChunks = chunked.join(hotBlocks, Seq("chunk", "v"), "left_anti")
     // Pair-join scale guards (measured at sf0.1):
     //  - hamming is computed and filtered in the join projection — both
