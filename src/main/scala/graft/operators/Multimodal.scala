@@ -141,7 +141,18 @@ object Multimodal {
     * 3 = duration in seconds, 4-15 = 12-bin |amplitude| histogram as
     * sample fractions — a stable audio signature for downstream dedup
     * and filtering, the audio analogue of the PPM luminance histogram. */
-  def decodeWav(m: Media): MediaFeatures = {
+  /** Parsed WAV sampling parameters + a byte-offset sample reader in
+    * [-1, 1] — the format battery real crawls carry: integer PCM
+    * 8/16/24/32-bit (format 1), IEEE float 32/64-bit (format 3), and
+    * WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping either (the real format
+    * tag is the SubFormat GUID's first two bytes). 8-bit is offset
+    * binary per the RIFF spec; everything else is little-endian
+    * signed/IEEE. Shared by [[decodeWav]] and the fingerprint bridge so
+    * the two paths can never diverge on format handling. */
+  private final case class WavPcm(sampleRate: Int, channels: Int,
+      bytesPerSample: Int, dataAt: Int, nSamples: Long, read: Int => Double)
+
+  private def wavPcm(m: Media): WavPcm = {
     val b = m.bytes
     def u8(p: Int): Int = b(p) & 0xff
     def u16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
@@ -152,14 +163,26 @@ object Multimodal {
     val (fmtAt, dataAt, dataLen) = walkRiffChunks(m)
     require(fmtAt >= 0 && dataAt >= 0,
       s"media ${m.media_id}: WAV missing fmt/data chunk")
-    val audioFormat = u16(fmtAt)
+    val rawFormat = u16(fmtAt)
+    val audioFormat =
+      if (rawFormat != 0xfffe) rawFormat
+      else {
+        require(fmtAt + 26 <= b.length,
+          s"media ${m.media_id}: truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        u16(fmtAt + 24) // SubFormat GUID leads with the wrapped tag
+      }
     val nChannels = u16(fmtAt + 2)
     val sampleRate = u32(fmtAt + 4)
     val bitsPerSample = u16(fmtAt + 14)
-    require(audioFormat == 1,
-      s"media ${m.media_id}: non-PCM WAV (format $audioFormat) unsupported")
-    require(bitsPerSample == 8 || bitsPerSample == 16,
-      s"media ${m.media_id}: $bitsPerSample-bit PCM unsupported")
+    require(audioFormat == 1 || audioFormat == 3,
+      s"media ${m.media_id}: WAV format $audioFormat unsupported " +
+        "(PCM and IEEE float only)")
+    if (audioFormat == 1)
+      require(Seq(8, 16, 24, 32).contains(bitsPerSample),
+        s"media ${m.media_id}: $bitsPerSample-bit PCM unsupported")
+    else
+      require(bitsPerSample == 32 || bitsPerSample == 64,
+        s"media ${m.media_id}: $bitsPerSample-bit IEEE float unsupported")
     require(nChannels > 0 && sampleRate > 0,
       s"media ${m.media_id}: degenerate WAV ($nChannels ch @ $sampleRate Hz)")
     val bytesPerSample = bitsPerSample / 8
@@ -167,6 +190,27 @@ object Multimodal {
       s"media ${m.media_id}: truncated WAV — data chunk claims $dataLen bytes")
     val nSamples = dataLen / (bytesPerSample * nChannels)
     require(nSamples > 0, s"media ${m.media_id}: empty WAV data chunk")
+    val read: Int => Double = (audioFormat, bitsPerSample) match {
+      case (1, 8) => at => (u8(at) - 128) / 128.0
+      case (1, 16) => at => u16(at).toShort / 32768.0
+      case (1, 24) => at =>
+        ((u8(at) | (u8(at + 1) << 8) | (u8(at + 2) << 16)) << 8 >> 8) / 8388608.0
+      case (1, 32) => at =>
+        (u16(at) | (u16(at + 2) << 16)) / 2147483648.0
+      case (3, 32) => at =>
+        java.lang.Float.intBitsToFloat(u16(at) | (u16(at + 2) << 16)).toDouble
+      case _ => at =>
+        java.lang.Double.longBitsToDouble(
+          (u32(at) & 0xffffffffL) | (u32(at + 4) << 32))
+    }
+    WavPcm(sampleRate.toInt, nChannels, bytesPerSample, dataAt, nSamples, read)
+  }
+
+  def decodeWav(m: Media): MediaFeatures = {
+    val wav = wavPcm(m)
+    val nChannels = wav.channels
+    val sampleRate = wav.sampleRate
+    val nSamples = wav.nSamples
     // one pass: mean, RMS, per-frame first-channel zero crossings,
     // 12-bin |amplitude| histogram; samples normalized to [-1, 1]
     var sum = 0.0; var sumSq = 0.0; var crossings = 0L
@@ -176,10 +220,8 @@ object Multimodal {
     while (s < nSamples) {
       var c = 0
       while (c < nChannels) {
-        val at = dataAt + ((s * nChannels + c) * bytesPerSample).toInt
-        val v =
-          if (bitsPerSample == 8) (u8(at) - 128) / 128.0
-          else u16(at).toShort / 32768.0
+        val at = wav.dataAt + ((s * nChannels + c) * wav.bytesPerSample).toInt
+        val v = wav.read(at)
         sum += v; sumSq += v * v
         val a = math.abs(v)
         hist(math.min(11, (a * 12).toInt)) += 1
@@ -200,7 +242,7 @@ object Multimodal {
     feats(3) = (nSamples.toDouble / sampleRate).toFloat
     var k = 0
     while (k < 12) { feats(4 + k) = (hist(k).toDouble / total).toFloat; k += 1 }
-    MediaFeatures(m.media_id, m.kind, b.length, sampleRate.toInt, nChannels, feats)
+    MediaFeatures(m.media_id, m.kind, m.bytes.length, sampleRate, nChannels, feats)
   }
 
   /** REAL codec for the web's most common lossless image format: PNG,
@@ -1815,47 +1857,23 @@ object Multimodal {
     * mixdown to [-1, 1] doubles. Same format contract (PCM, 8/16-bit)
     * and fail-loudly behavior as the feature codec. */
   private def monoSamplesWav(m: Media): (Int, Array[Double]) = {
-    val b = m.bytes
-    def u8(p: Int): Int = b(p) & 0xff
-    def u16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
-    def u32(p: Int): Long = (u16(p).toLong | (u16(p + 2).toLong << 16)) & 0xffffffffL
-    require(b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
-      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E',
-      s"media ${m.media_id}: not a RIFF/WAVE payload")
-    val (fmtAt, dataAt, dataLen) = walkRiffChunks(m)
-    require(fmtAt >= 0 && dataAt >= 0,
-      s"media ${m.media_id}: WAV missing fmt/data chunk")
-    val audioFormat = u16(fmtAt)
-    val nChannels = u16(fmtAt + 2)
-    val sampleRate = u32(fmtAt + 4)
-    val bitsPerSample = u16(fmtAt + 14)
-    require(audioFormat == 1,
-      s"media ${m.media_id}: non-PCM WAV (format $audioFormat) unsupported")
-    require(bitsPerSample == 8 || bitsPerSample == 16,
-      s"media ${m.media_id}: $bitsPerSample-bit PCM unsupported")
-    require(nChannels > 0 && sampleRate > 0,
-      s"media ${m.media_id}: degenerate WAV ($nChannels ch @ $sampleRate Hz)")
-    val bytesPerSample = bitsPerSample / 8
-    require(dataAt + dataLen <= b.length,
-      s"media ${m.media_id}: truncated WAV — data chunk claims $dataLen bytes")
-    val nSamples = (dataLen / (bytesPerSample * nChannels)).toInt
-    require(nSamples > 0, s"media ${m.media_id}: empty WAV data chunk")
+    val wav = wavPcm(m) // same format battery as decodeWav, by sharing
+    val nChannels = wav.channels
+    val nSamples = wav.nSamples.toInt
     val mono = new Array[Double](nSamples)
     var s = 0
     while (s < nSamples) {
       var sum = 0.0
       var c = 0
       while (c < nChannels) {
-        val at = dataAt + ((s.toLong * nChannels + c) * bytesPerSample).toInt
-        sum +=
-          (if (bitsPerSample == 8) (u8(at) - 128) / 128.0
-           else u16(at).toShort / 32768.0)
+        val at = wav.dataAt + ((s.toLong * nChannels + c) * wav.bytesPerSample).toInt
+        sum += wav.read(at)
         c += 1
       }
       mono(s) = sum / nChannels
       s += 1
     }
-    (sampleRate.toInt, mono)
+    (wav.sampleRate, mono)
   }
 
   /** Frequency of spectrogram bin k (0-based): linear 60 Hz steps,

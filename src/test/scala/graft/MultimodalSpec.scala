@@ -103,14 +103,44 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(so.features(0) - 0.5f) < 1e-6 && so.features(1) == 0.0f)
   }
 
+  test("decodeWav: 24/32-bit int, float32/64, EXTENSIBLE — identical features and fingerprints") {
+    import spark.implicits._
+    // every variant encodes EXACTLY the same values (s/2^15 is exact in
+    // float32/64, s<<8 / 2^23 == s<<16 / 2^31 == s/2^15), so features
+    // and fingerprints must be BIT-identical across the format battery
+    val s16 = TestWav.toneSamples(8000, 0.4, Seq((500.0, 0.5), (1200.0, 0.25)))
+    def media(id: Long, b: Array[Byte]) = Media(id, "audio/wav", b)
+    val w16 = TestWav(8000, 1, 16, s16)
+    val variants = Seq(
+      "pcm24" -> TestWav(8000, 1, 24, s16.map(_ << 8)),
+      "pcm32" -> TestWav(8000, 1, 32, s16.map(_ << 16)),
+      "f32" -> TestWav.float32(8000, 1, s16.map(v => (v / 32768.0).toFloat)),
+      "f64" -> TestWav.float64(8000, 1, s16.map(_ / 32768.0)),
+      "extensible" -> TestWav.extensiblePcm16(8000, 1, s16))
+    val ref = Multimodal.decodeWav(media(1L, w16))
+    variants.foreach { case (name, b) =>
+      val f = Multimodal.decodeWav(media(2L, b))
+      assert(f.width == ref.width && f.height == ref.height, name)
+      assert(f.features.toSeq == ref.features.toSeq,
+        s"$name features diverged from 16-bit PCM")
+    }
+    val href = Multimodal.audioHash64(media(1L, w16))
+    variants.foreach { case (name, b) =>
+      assert(Multimodal.audioHash64(media(3L, b)) == href,
+        s"$name fingerprint diverged from 16-bit PCM")
+    }
+  }
+
   test("decodeWav: malformed payloads fail loudly, never fake features") {
     def bad(bytes: Array[Byte]) = intercept[IllegalArgumentException] {
       Multimodal.decodeWav(Media(1L, "audio/wav", bytes))
     }
     assert(bad("not audio at all, definitely not RIFF/WAVE bytes here"
       .getBytes("US-ASCII")).getMessage.contains("not a RIFF/WAVE"))
-    assert(bad(wavBytes(8000, 1, 16, Seq(1, 2, 3), fmtTag = 3)) // IEEE float
-      .getMessage.contains("non-PCM"))
+    assert(bad(wavBytes(8000, 1, 16, Seq(1, 2, 3), fmtTag = 3)) // 16-bit float: no such thing
+      .getMessage.contains("IEEE float unsupported"))
+    assert(bad(wavBytes(8000, 1, 16, Seq(1, 2, 3), fmtTag = 2)) // ADPCM
+      .getMessage.contains("format 2 unsupported"))
     val truncated = wavBytes(8000, 1, 16, Seq.fill(100)(5)).dropRight(40)
     assert(bad(truncated).getMessage.contains("truncated"))
     // hostile unsigned chunk size ≥ 2^31: 0xFFFFFFF8.toInt = -8 would make

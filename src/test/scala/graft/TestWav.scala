@@ -18,7 +18,73 @@ object TestWav {
     w16(fmtTag); w16(channels); w32(sampleRate)
     w32(sampleRate * channels * bps); w16(channels * bps); w16(bits)
     out.write("data".getBytes("US-ASCII")); w32(dataLen)
-    samples.foreach(s => if (bits == 8) out.write(s & 0xff) else w16(s))
+    samples.foreach { s =>
+      if (bits == 8) out.write(s & 0xff)
+      else if (bits == 16) w16(s)
+      else if (bits == 24) { out.write(s & 0xff); w16((s >> 8) & 0xffff) }
+      else w32(s)
+    }
+    out.toByteArray
+  }
+
+  /** IEEE float32 WAV (format tag 3) of unit-range samples. */
+  def float32(sampleRate: Int, channels: Int,
+      samples: Seq[Float]): Array[Byte] = {
+    val dataLen = samples.length * 4
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    out.write("RIFF".getBytes("US-ASCII")); w32(36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(16)
+    w16(3); w16(channels); w32(sampleRate)
+    w32(sampleRate * channels * 4); w16(channels * 4); w16(32)
+    out.write("data".getBytes("US-ASCII")); w32(dataLen)
+    samples.foreach(s => w32(java.lang.Float.floatToIntBits(s)))
+    out.toByteArray
+  }
+
+  /** IEEE float64 WAV (format tag 3, 64-bit). */
+  def float64(sampleRate: Int, channels: Int,
+      samples: Seq[Double]): Array[Byte] = {
+    val dataLen = samples.length * 8
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    out.write("RIFF".getBytes("US-ASCII")); w32(36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(16)
+    w16(3); w16(channels); w32(sampleRate)
+    w32(sampleRate * channels * 8); w16(channels * 8); w16(64)
+    out.write("data".getBytes("US-ASCII")); w32(dataLen)
+    samples.foreach { s =>
+      val bits = java.lang.Double.doubleToLongBits(s)
+      w32((bits & 0xffffffffL).toInt); w32((bits >>> 32).toInt)
+    }
+    out.toByteArray
+  }
+
+  /** WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapper: the 40-byte fmt chunk
+    * whose SubFormat GUID leads with the wrapped tag. 16-bit PCM body. */
+  def extensiblePcm16(sampleRate: Int, channels: Int,
+      samples: Seq[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    out.write("RIFF".getBytes("US-ASCII")); w32(60 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(40)
+    w16(0xfffe); w16(channels); w32(sampleRate)
+    w32(sampleRate * channels * 2); w16(channels * 2); w16(16)
+    w16(22) // cbSize
+    w16(16) // valid bits
+    w32(0)  // channel mask
+    // SubFormat GUID: KSDATAFORMAT_SUBTYPE_PCM = 00000001-0000-0010-...
+    w16(1); w16(0); w16(0); w16(0x10)
+    Seq(0x80, 0x00, 0x00, 0xaa, 0x00, 0x38, 0x9b, 0x71).foreach(out.write)
+    out.write("data".getBytes("US-ASCII")); w32(dataLen)
+    samples.foreach(w16)
     out.toByteArray
   }
 
