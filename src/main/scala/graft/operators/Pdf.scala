@@ -14,8 +14,11 @@ import java.util.zip.Inflater
   * Coverage — the format subset that dominates text-bearing PDFs in the
   * wild (PDF 1.0–1.7 structural features, ISO 32000 is public):
   *
-  *   - content streams stored raw or `/FlateDecode`-compressed,
-  *     direct OR indirect `/Length`;
+  *   - content streams stored raw or behind the text-stream filters of
+  *     §7.4 — `/FlateDecode`, `/LZWDecode` (TIFF variant, both
+  *     `/EarlyChange` settings), `/ASCIIHexDecode`, `/ASCII85Decode` —
+  *     singly or CHAINED (`[/ASCII85Decode /FlateDecode]`); direct OR
+  *     indirect `/Length`;
   *   - text-showing operators `Tj`, `'`, `"`, and `TJ` arrays (kerning
   *     numbers skipped; a kern gap ≤ −180 text-space units — more than
   *     half an em at any sane font size — reads as a synthesized space,
@@ -153,14 +156,34 @@ object Pdf {
     if (p < bytes.length && bytes(p) == '\n') p + 1 else -1
   }
 
+  /** Decode filters this extractor speaks, full names and the inline-
+    * image abbreviations: Flate, LZW (TIFF-variant, EarlyChange),
+    * ASCIIHex, ASCII85 — the text-stream filters of ISO 32000 §7.4.
+    * Image codecs (DCT/JPX/CCITT/JBIG2) and RunLength stay out: streams
+    * carrying them are never text candidates. */
+  private val SupportedFilters = Set(
+    "FlateDecode", "Fl", "LZWDecode", "LZW",
+    "ASCIIHexDecode", "AHx", "ASCII85Decode", "A85")
+
+  /** The stream's filter chain in application order: a bare name or an
+    * array of names ([/ASCII85Decode /FlateDecode] means 85-decode
+    * FIRST). Empty for unfiltered streams. */
+  private def filtersOf(dict: String): Seq[String] =
+    "/Filter\\s*(?:\\[([^\\]]*)\\]|/([A-Za-z0-9]+))".r
+      .findFirstMatchIn(dict).toSeq.flatMap { m =>
+        if (m.group(2) != null) Seq(m.group(2))
+        else "/([A-Za-z0-9]+)".r.findAllMatchIn(m.group(1))
+          .map(_.group(1)).toSeq
+      }
+
   /** Structural / binary stream types that must never be text-scanned —
-    * plus any filter this extractor can't decode (image codecs etc.):
-    * only no-filter and FlateDecode streams are candidates. */
+    * plus any filter chain this extractor can't decode (image codecs
+    * etc.): only chains made entirely of [[SupportedFilters]] are
+    * candidates. */
   private def isTextCandidate(dict: String): Boolean = {
     val structural = Seq("/ObjStm", "/XRef", "/Metadata", "/EmbeddedFile",
       "/FontFile", "/Image").exists(dict.contains)
-    val hasFilter = dict.contains("/Filter")
-    !structural && (!hasFilter || dict.contains("/FlateDecode"))
+    !structural && filtersOf(dict).forall(SupportedFilters)
   }
 
   /** Direct `/Length 123` or indirect `/Length 6 0 R` resolved by
@@ -196,11 +219,130 @@ object Pdf {
   private def decodeStream(bytes: Array[Byte], from: Int, until: Int,
       dict: String, mediaId: Long): Array[Byte] = {
     val raw = java.util.Arrays.copyOfRange(bytes, from, math.max(from, until))
-    if (!dict.contains("/FlateDecode")) raw
-    else try inflate(raw) catch {
-      case e: Exception => throw new IllegalArgumentException(
-        s"media $mediaId: corrupt FlateDecode stream (${e.getMessage})", e)
+    filtersOf(dict).foldLeft(raw) { (d, f) =>
+      try f match {
+        case "FlateDecode" | "Fl" => inflate(d)
+        case "LZWDecode" | "LZW" => lzwDecode(d, earlyChangeOf(dict))
+        case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
+        case "ASCII85Decode" | "A85" => ascii85Decode(d)
+        case other => throw new IllegalArgumentException(s"filter $other")
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"media $mediaId: corrupt $f stream (${e.getMessage})", e)
+      }
     }
+  }
+
+  /** LZW EarlyChange parameter (code width bumps one code early when 1,
+    * the default). */
+  private def earlyChangeOf(dict: String): Int =
+    "/EarlyChange\\s+(\\d+)".r.findFirstMatchIn(dict)
+      .map(_.group(1).toInt).getOrElse(1)
+
+  /** PDF/TIFF-variant LZW: MSB-first variable-width codes 9→12 bits,
+    * 256 = clear-table, 257 = EOD; the width bumps when the NEXT code
+    * could overflow, `earlyChange` codes early (spec default 1). The
+    * KwKwK case (code == next table slot) is the only legal
+    * forward-reference; anything else is corrupt and throws (the
+    * fail-loudly contract). */
+  private[graft] def lzwDecode(data: Array[Byte], earlyChange: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 3)
+    val table = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    def resetTable(): Unit = {
+      table.clear()
+      (0 until 256).foreach(b => table += Array(b.toByte))
+      table += null; table += null // 256 clear, 257 eod
+    }
+    resetTable()
+    var width = 9
+    var prev: Array[Byte] = null
+    var bitPos = 0
+    val nBits = data.length * 8
+    var done = false
+    while (!done && bitPos + width <= nBits) {
+      var code = 0
+      var k = 0
+      while (k < width) {
+        val p = bitPos + k
+        code = (code << 1) | ((data(p >> 3) >> (7 - (p & 7))) & 1)
+        k += 1
+      }
+      bitPos += width
+      if (code == 256) { resetTable(); width = 9; prev = null }
+      else if (code == 257) done = true
+      else {
+        val entry =
+          if (code < table.length && table(code) != null) table(code)
+          else if (code == table.length && prev != null) prev :+ prev(0)
+          else throw new IllegalArgumentException(
+            s"corrupt LZW code $code (table ${table.length})")
+        out.write(entry, 0, entry.length)
+        if (prev != null) table += prev :+ entry(0)
+        prev = entry
+        if (width < 12 && table.length + earlyChange >= (1 << width))
+          width += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** ASCIIHexDecode: hex pairs, whitespace-tolerant, `>` terminates,
+    * odd trailing digit pads low per spec. */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (!done && i < data.length) {
+      val c = data(i)
+      if (c == '>') done = true
+      else {
+        val v = Character.digit(c, 16)
+        if (v >= 0) {
+          if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 }
+        } else require(c == ' ' || c == '\t' || c == '\r' || c == '\n' ||
+          c == '\f' || c == 0, s"bad ASCIIHex byte '${c.toChar}'")
+        i += 1
+      }
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** ASCII85Decode: base-85 groups (`!`..`u`), the `z` zero-group
+    * shortcut, whitespace-tolerant, `~>` terminates; a partial final
+    * group of n chars yields n−1 bytes per spec. */
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5)
+    val group = new Array[Int](5)
+    var n = 0
+    def flush(count: Int): Unit = {
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < count) group(k) else 84); k += 1 }
+      require(v <= 0xffffffffL, "ASCII85 group overflow")
+      val nOut = count - 1
+      var b = 0
+      while (b < nOut) { out.write(((v >> (24 - 8 * b)) & 0xff).toInt); b += 1 }
+    }
+    var i = 0
+    var done = false
+    while (!done && i < data.length) {
+      val c = data(i)
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) {
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      }
+      else if (c >= '!' && c <= 'u') {
+        group(n) = c - '!'; n += 1
+        if (n == 5) { flush(5); n = 0 }
+      } else require(c == ' ' || c == '\t' || c == '\r' || c == '\n' ||
+        c == '\f' || c == 0, s"bad ASCII85 byte '${c.toChar}'")
+      i += 1
+    }
+    require(n != 1, "dangling single ASCII85 char")
+    if (n > 1) flush(n)
+    out.toByteArray
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
