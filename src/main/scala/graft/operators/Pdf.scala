@@ -32,10 +32,13 @@ import java.util.zip.Inflater
   *     only PLACES the first line); separate `BT…ET` objects and
   *     separate content streams join with a newline;
   *   - inline images (`BI…ID…EI`) and embedded dictionaries are skipped
-  *     as opaque spans; streams whose dict declares a non-Flate filter
-  *     (`/DCTDecode` images, …) or a structural type (`/ObjStm`,
-  *     `/XRef`, `/Metadata`, font files) are not content and are never
-  *     text-scanned.
+  *     as opaque spans; streams whose dict declares an image filter
+  *     (`/DCTDecode`, …) or a structural type (`/ObjStm`, `/XRef`,
+  *     `/Metadata`, font files) are not content and are never
+  *     text-scanned;
+  *   - simple-font shown strings carrying a UTF-16BE BOM (`FE FF` —
+  *     the §7.9.2.2 text-string convention some producers emit into
+  *     content) decode as UTF-16BE instead of mojibake.
   *
   * String bytes accumulate raw and decode UTF-8 at the end (ASCII PDFs —
   * the overwhelming majority — are unaffected; our own generator
@@ -158,12 +161,13 @@ object Pdf {
 
   /** Decode filters this extractor speaks, full names and the inline-
     * image abbreviations: Flate, LZW (TIFF-variant, EarlyChange),
-    * ASCIIHex, ASCII85 — the text-stream filters of ISO 32000 §7.4.
-    * Image codecs (DCT/JPX/CCITT/JBIG2) and RunLength stay out: streams
+    * ASCIIHex, ASCII85, RunLength — the text-stream filters of ISO
+    * 32000 §7.4. Image codecs (DCT/JPX/CCITT/JBIG2) stay out: streams
     * carrying them are never text candidates. */
   private val SupportedFilters = Set(
     "FlateDecode", "Fl", "LZWDecode", "LZW",
-    "ASCIIHexDecode", "AHx", "ASCII85Decode", "A85")
+    "ASCIIHexDecode", "AHx", "ASCII85Decode", "A85",
+    "RunLengthDecode", "RL")
 
   /** The stream's filter chain in application order: a bare name or an
     * array of names ([/ASCII85Decode /FlateDecode] means 85-decode
@@ -225,6 +229,7 @@ object Pdf {
         case "LZWDecode" | "LZW" => lzwDecode(d, earlyChangeOf(dict))
         case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
         case "ASCII85Decode" | "A85" => ascii85Decode(d)
+        case "RunLengthDecode" | "RL" => runLengthDecode(d)
         case other => throw new IllegalArgumentException(s"filter $other")
       } catch {
         case e: Exception => throw new IllegalArgumentException(
@@ -281,6 +286,30 @@ object Pdf {
         prev = entry
         if (width < 12 && table.length + earlyChange >= (1 << width))
           width += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** RunLengthDecode: length byte 0–127 copies the next n+1 literals,
+    * 129–255 repeats the next byte 257−n times, 128 ends the data. */
+  private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    var done = false
+    while (!done && i < data.length) {
+      val n = data(i) & 0xff
+      if (n == 128) done = true
+      else if (n < 128) {
+        require(i + 1 + n + 1 <= data.length, "truncated RunLength literal run")
+        out.write(data, i + 1, n + 1)
+        i += n + 2
+      } else {
+        require(i + 1 < data.length, "truncated RunLength repeat run")
+        val b = data(i + 1)
+        var k = 0
+        while (k < 257 - n) { out.write(b); k += 1 }
+        i += 2
       }
     }
     out.toByteArray
@@ -577,6 +606,12 @@ object Pdf {
         val mapped = curCMap.decode(b)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         strBytes.write(mapped, 0, mapped.length)
+      } else if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff) {
+        // BOM-prefixed UTF-16BE text string (§7.9.2.2)
+        val decoded = new String(b, 2, b.length - 2,
+          java.nio.charset.StandardCharsets.UTF_16BE)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        strBytes.write(decoded, 0, decoded.length)
       } else strBytes.write(b, 0, b.length)
     }
     def newlineBeforeShow(): Unit =
