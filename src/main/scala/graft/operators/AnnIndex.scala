@@ -56,7 +56,10 @@ object AnnIndex {
     Similarity.saveCentroids(spark, centroids, s"$indexDir/centroids")
     saveCodebooks(spark, codebooks, s"$indexDir/codebooks")
     writeLists(corpus, indexDir, "overwrite", centroids, codebooks, idCol, vecCol)
-    saveMeta(spark, indexDir, corpus.count(), nLists, m, kc, iters)
+    // count the JUST-WRITTEN lists (parquet footer metadata), not the
+    // corpus lineage — a non-trivial corpus plan would re-execute
+    val n = spark.read.parquet(s"$indexDir/lists").count()
+    saveMeta(spark, indexDir, IndexMeta(n, nLists, m, kc, iters, n))
   }
 
   /** Append a vector batch: coded against the standing models, no rewrite
@@ -69,6 +72,15 @@ object AnnIndex {
     val centroids = Similarity.loadCentroids(spark, s"$indexDir/centroids")
     val codebooks = loadCodebooks(spark, s"$indexDir/codebooks")
     writeLists(newVecs, indexDir, "append", centroids, codebooks, idCol, vecCol)
+    // keep the running count current so the growth trigger never has to
+    // scan the table: one footer-metadata count of the standing lists
+    // per append (single-writer; a crash before this line leaves the
+    // count LOW, which only delays the growth trigger — rebalance
+    // recomputes the exact figure)
+    loadMeta(spark, indexDir).foreach { meta =>
+      val n = spark.read.parquet(s"$indexDir/lists").count()
+      saveMeta(spark, indexDir, meta.copy(currentVectors = n))
+    }
   }
 
   /** At-most-once [[annIndexAppend]], gated on the root batch marker —
@@ -225,11 +237,8 @@ object AnnIndex {
       maxFiles: Int = 64, growthFactor: Double = 4.0): Boolean = {
     require(maxFiles > 0, s"maxFiles must be positive: $maxFiles")
     require(growthFactor > 1.0, s"growthFactor must exceed 1: $growthFactor")
-    val grown = loadMeta(spark, indexDir).exists { meta =>
-      val current = spark.read.parquet(s"$indexDir/lists")
-        .select("vec_id").count()
-      current > growthFactor * meta.builtVectors
-    }
+    val grown = loadMeta(spark, indexDir).exists(meta =>
+      meta.currentVectors > growthFactor * meta.builtVectors)
     if (grown) { annIndexRebalance(spark, indexDir); true }
     else {
       val over = graft.io.Sinks.parquetFileCount(spark, s"$indexDir/lists") > maxFiles
@@ -242,29 +251,39 @@ object AnnIndex {
     * were trained/sized for, and the training hyper-parameters — what
     * the growth trigger and re-balance need to re-train faithfully. */
   private[graft] final case class IndexMeta(
-      builtVectors: Long, nLists: Int, m: Int, kc: Int, iters: Int)
+      builtVectors: Long, nLists: Int, m: Int, kc: Int, iters: Int,
+      currentVectors: Long)
 
   private def saveMeta(spark: SparkSession, indexDir: String,
-      builtVectors: Long, nLists: Int, m: Int, kc: Int, iters: Int): Unit =
+      meta: IndexMeta): Unit =
     spark.createDataFrame(
-      java.util.Arrays.asList(Row(builtVectors, nLists, m, kc, iters)),
+      java.util.Arrays.asList(Row(meta.builtVectors, meta.nLists, meta.m,
+        meta.kc, meta.iters, meta.currentVectors)),
       StructType(Seq(
         StructField("built_vectors", org.apache.spark.sql.types.LongType, nullable = false),
         StructField("n_lists", IntegerType, nullable = false),
         StructField("m", IntegerType, nullable = false),
         StructField("kc", IntegerType, nullable = false),
-        StructField("iters", IntegerType, nullable = false))))
+        StructField("iters", IntegerType, nullable = false),
+        StructField("current_vectors", org.apache.spark.sql.types.LongType, nullable = false))))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
 
   /** None for pre-meta indexes (built before growth tracking existed) —
     * file-count compaction still runs for those; growth maintenance
-    * starts at their next rebuild. */
+    * starts at their next rebuild. A meta written before the running
+    * count existed reads current = built. */
   private[graft] def loadMeta(spark: SparkSession,
       indexDir: String): Option[IndexMeta] =
     if (!graft.io.Sinks.parquetExists(spark, s"$indexDir/meta")) None
-    else spark.read.parquet(s"$indexDir/meta").collect().headOption.map(r =>
-      IndexMeta(r.getAs[Long]("built_vectors"), r.getAs[Int]("n_lists"),
-        r.getAs[Int]("m"), r.getAs[Int]("kc"), r.getAs[Int]("iters")))
+    else spark.read.parquet(s"$indexDir/meta").collect().headOption.map { r =>
+      val built = r.getAs[Long]("built_vectors")
+      val current =
+        if (r.schema.fieldNames.contains("current_vectors"))
+          r.getAs[Long]("current_vectors")
+        else built
+      IndexMeta(built, r.getAs[Int]("n_lists"),
+        r.getAs[Int]("m"), r.getAs[Int]("kc"), r.getAs[Int]("iters"), current)
+    }
 
   /** Re-balance the standing index for corpus growth: re-train the IVF
     * centroids over a sample of the CURRENT corpus with nLists scaled
@@ -278,10 +297,21 @@ object AnnIndex {
     *
     * Crash contract: single-writer, same non-atomic dir-swap window as
     * the BM25 compactor — and RE-RUNNABLE from any crash point: the
-    * rebuild reads only `lists/` + `meta/` (swapped LAST), so a
-    * half-swapped model set is repaired by running the verb again. */
+    * rebuild reads only `lists/` + `meta/` (swapped LAST), and entry
+    * first restores any half-swapped dir from its retired twin (a crash
+    * BETWEEN swapDir's two renames leaves dst momentarily absent), so
+    * running the verb again always repairs. */
   def annIndexRebalance(spark: SparkSession, indexDir: String,
       sampleCap: Long = 100000L): Unit = {
+    // repair a half-swapped predecessor first: a crash between swapDir's
+    // two renames leaves dst missing with the retired dir still present
+    Seq("centroids", "codebooks", "lists").foreach { d =>
+      val (fs, dst) = graft.io.Sinks.fsFor(spark, s"$indexDir/$d")
+      val retired = new org.apache.hadoop.fs.Path(
+        dst.getParent, s".$d.rebalance-old")
+      if (!fs.exists(dst) && fs.exists(retired))
+        require(fs.rename(retired, dst), s"restore of half-swapped $d failed")
+    }
     val meta = loadMeta(spark, indexDir).getOrElse(throw new IllegalStateException(
       s"no meta/ at $indexDir — pre-meta index: rebuild with annBuildIndex"))
     val delDir = s"$indexDir/deletes"
@@ -322,7 +352,8 @@ object AnnIndex {
       val (fs, p) = graft.io.Sinks.fsFor(spark, delDir)
       fs.delete(p, true)
     }
-    saveMeta(spark, indexDir, current, newNLists, meta.m, meta.kc, meta.iters)
+    saveMeta(spark, indexDir,
+      IndexMeta(current, newNLists, meta.m, meta.kc, meta.iters, current))
     spark.catalog.refreshByPath(s"$indexDir/lists")
   }
 

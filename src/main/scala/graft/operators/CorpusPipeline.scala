@@ -409,16 +409,30 @@ object CorpusPipeline {
   /** Kinds the perceptual tier can hash. Everything else passes through
     * the media sink UNDEDUPED (a payload without a pixel/waveform
     * decoder cannot be perceptually compared; silently hashing its raw
-    * bytes would pair nothing and imply it was deduped). */
+    * bytes would pair nothing and imply it was deduped). `audio/mpeg`
+    * is hashable PER PAYLOAD: MPEG-1 Layer I decodes to samples and
+    * fingerprints like WAV/FLAC; Layer II/III — whose sample decode the
+    * clean-room build refuses (see [[graft.operators.Mpeg]]) — take the
+    * unhashable pass-through, decided by a header walk, never by an
+    * executor exception. */
   private val hashableKinds = Set(
     "image/ppm", "image/png", "image/jpeg", "image/gif",
-    "audio/wav", "audio/flac", "audio/x-flac")
+    "audio/wav", "audio/flac", "audio/x-flac",
+    "audio/mpeg", "audio/mp3", "audio/x-mpeg-3")
+
+  private def mpegHashable(m: Multimodal.Media): Boolean =
+    try {
+      val info = graft.operators.Mpeg.mpegInfo(m.bytes, m.media_id)
+      info.layer == 1 && info.version == 1
+    } catch { case _: IllegalArgumentException => false }
 
   /** Perceptual signatures of a media batch: (`doc_id`, `modality`,
     * `simhash`) — images through [[Multimodal.perceptualHash64]], audio
     * through [[Multimodal.audioHash64]]. Only [[hashableKinds]] emit
     * rows; malformed payloads of hashable kinds fail loudly (the codec
-    * contract). */
+    * contract), EXCEPT audio/mpeg where un-decodable means Layer II/III
+    * or framing damage — the documented metadata-only tier — and the
+    * payload falls back to pass-through. */
   private def mediaSigs(batch: DataFrame): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
@@ -428,6 +442,9 @@ object CorpusPipeline {
         if (!hashableKinds.contains(m.kind)) None
         else if (m.kind.startsWith("image/"))
           Some((m.media_id, "image", Multimodal.perceptualHash64(m)))
+        else if (m.kind != "audio/wav" && !m.kind.contains("flac") &&
+            !mpegHashable(m))
+          None // Layer II/III / damaged mpeg: metadata tier, pass through
         else
           Some((m.media_id, "audio", Multimodal.audioHash64(m)))
       })

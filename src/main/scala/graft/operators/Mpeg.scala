@@ -331,8 +331,14 @@ object Mpeg {
 
   /** Full MPEG-1 Layer I decode: every frame through requantization
     * and the synthesis filterbank; 16-bit-range interleaved output. */
-  def decodeLayer1(bytes: Array[Byte], mediaId: Long = -1L): MpegDecoded = {
-    val info = mpegInfo(bytes, mediaId)
+  def decodeLayer1(bytes: Array[Byte], mediaId: Long = -1L): MpegDecoded =
+    decodeLayer1With(mpegInfo(bytes, mediaId), bytes, mediaId)
+
+  /** [[decodeLayer1]] with the stream walk already done — callers that
+    * inspected the metadata first (the feature bridge) skip the second
+    * full-stream frame walk. */
+  private[graft] def decodeLayer1With(info: MpegInfo, bytes: Array[Byte],
+      mediaId: Long): MpegDecoded = {
     require(info.layer == 1 && info.version == 1,
       s"media $mediaId: sample decode supports MPEG-1 Layer I " +
         s"(got MPEG-${info.version} Layer ${info.layer}; " +

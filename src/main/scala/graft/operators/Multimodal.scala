@@ -1767,44 +1767,54 @@ object Multimodal {
   def decodeMpegFeatures(m: Media): MediaFeatures = {
     val info = Mpeg.mpegInfo(m.bytes, m.media_id)
     if (info.layer == 1 && info.version == 1) {
-      val a = Mpeg.decodeLayer1(m.bytes, m.media_id)
-      val nSamples = a.samples.length / a.channels
-      var sum = 0.0; var sumSq = 0.0; var crossings = 0L
-      val hist = new Array[Long](12)
-      var prevSign = 0
-      var s = 0
-      while (s < nSamples) {
-        var c = 0
-        while (c < a.channels) {
-          val v = a.samples(s * a.channels + c) / 32768.0
-          sum += v; sumSq += v * v
-          val ab = math.abs(v)
-          hist(math.min(11, (ab * 12).toInt)) += 1
-          if (c == 0) {
-            val sign = if (v > 0) 1 else if (v < 0) -1 else 0
-            if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
-            if (sign != 0) prevSign = sign
-          }
-          c += 1
-        }
-        s += 1
-      }
-      val total = math.max(1L, nSamples.toLong * a.channels)
-      val feats = new Array[Float](16)
-      feats(0) = ((sum / total + 1.0) / 2.0).toFloat
-      feats(1) = math.sqrt(sumSq / total).toFloat
-      feats(2) = (crossings.toDouble / math.max(1, nSamples)).toFloat
-      feats(3) = (nSamples.toDouble / a.sampleRate).toFloat
-      var k = 0
-      while (k < 12) { feats(4 + k) = (hist(k).toDouble / total).toFloat; k += 1 }
-      MediaFeatures(m.media_id, m.kind, m.bytes.length, a.sampleRate,
-        a.channels, feats)
+      val a = Mpeg.decodeLayer1With(info, m.bytes, m.media_id)
+      waveformFeatures(m, a.sampleRate, a.channels, a.samples, 32768.0)
     } else {
       val feats = new Array[Float](16)
       feats(3) = info.durationSec.toFloat
       MediaFeatures(m.media_id, m.kind, m.bytes.length, info.sampleRate,
         info.channels, feats)
     }
+  }
+
+  /** The shared waveform feature pass (mean / RMS / first-channel zero
+    * crossings / 12-bin |amplitude| histogram / duration) over decoded
+    * channel-interleaved integer samples — one definition for every
+    * codec that lands on in-memory PCM, so the FLAC/MPEG tiers can
+    * never drift apart. */
+  private def waveformFeatures(m: Media, sampleRate: Int, channels: Int,
+      samples: Array[Int], norm: Double): MediaFeatures = {
+    val nSamples = samples.length / channels
+    var sum = 0.0; var sumSq = 0.0; var crossings = 0L
+    val hist = new Array[Long](12)
+    var prevSign = 0
+    var s = 0
+    while (s < nSamples) {
+      var c = 0
+      while (c < channels) {
+        val v = samples(s * channels + c) / norm
+        sum += v; sumSq += v * v
+        val ab = math.abs(v)
+        hist(math.min(11, (ab * 12).toInt)) += 1
+        if (c == 0) {
+          val sign = if (v > 0) 1 else if (v < 0) -1 else 0
+          if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+          if (sign != 0) prevSign = sign
+        }
+        c += 1
+      }
+      s += 1
+    }
+    val total = math.max(1L, nSamples.toLong * channels)
+    val feats = new Array[Float](16)
+    feats(0) = ((sum / total + 1.0) / 2.0).toFloat
+    feats(1) = math.sqrt(sumSq / total).toFloat
+    feats(2) = (crossings.toDouble / math.max(1, nSamples)).toFloat
+    feats(3) = (nSamples.toDouble / sampleRate).toFloat
+    var k = 0
+    while (k < 12) { feats(4 + k) = (hist(k).toDouble / total).toFloat; k += 1 }
+    MediaFeatures(m.media_id, m.kind, m.bytes.length, sampleRate,
+      channels, feats)
   }
 
   // ---- audio fingerprinting (WAV/FLAC/MPEG near-duplicate dedup) ---------

@@ -187,7 +187,12 @@ object Pdf {
   private def isTextCandidate(dict: String): Boolean = {
     val structural = Seq("/ObjStm", "/XRef", "/Metadata", "/EmbeddedFile",
       "/FontFile", "/Image").exists(dict.contains)
-    !structural && filtersOf(dict).forall(SupportedFilters)
+    val fs = filtersOf(dict)
+    // a /Filter the parser could NOT read (an indirect ref like
+    // "/Filter 2 0 R") must exclude the stream — treating it as
+    // unfiltered would text-scan compressed bytes
+    !structural && (!dict.contains("/Filter") || fs.nonEmpty) &&
+      fs.forall(SupportedFilters)
   }
 
   /** Direct `/Length 123` or indirect `/Length 6 0 R` resolved by
@@ -503,9 +508,17 @@ object Pdf {
     * regex work (latin-1 is 1:1 with byte offsets). */
   private[graft] def toUnicodeMaps(bytes: Array[Byte],
       mediaId: Long): Map[String, ToUnicodeCMap] = {
+    // most PDFs carry no composite fonts: one byte-level probe skips the
+    // whole latin-1 view + regex resolution for them
+    if (indexOf(bytes, "/ToUnicode", 0) < 0) return Map.empty
     val doc = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     // 1. font-name → object number across every /Font resource dict
     val refs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // names bound to DIFFERENT font objects across pages (per-page /F1
+    // is the common naming) get no document-global CMap: decoding page
+    // 1's simple-font /F1 through page 2's Type0 CMap would turn clean
+    // text into U+FFFD — the conservative raw-bytes path wins ties
+    val ambiguous = scala.collection.mutable.HashSet.empty[String]
     var at = doc.indexOf("/Font")
     while (at >= 0 && refs.size < MaxFonts) {
       var p = at + 5
@@ -515,11 +528,15 @@ object Pdf {
         val end = skipDict(bytes, p)
         val body = doc.substring(p, math.min(end, doc.length))
         for (m <- "/([^\\s/<>\\[\\]()]+)\\s+(\\d+)\\s+\\d+\\s+R".r
-            .findAllMatchIn(body) if refs.size < MaxFonts)
-          refs(m.group(1)) = m.group(2).toInt
+            .findAllMatchIn(body) if refs.size < MaxFonts) {
+          val (name, obj) = (m.group(1), m.group(2).toInt)
+          if (refs.getOrElse(name, obj) != obj) ambiguous += name
+          else refs(name) = obj
+        }
       }
       at = doc.indexOf("/Font", at + 5)
     }
+    ambiguous.foreach(refs.remove)
     if (refs.isEmpty) return Map.empty
     // 2. named font object → /Type0 with a /ToUnicode stream ref
     val cmapCache = scala.collection.mutable.HashMap.empty[Int, Option[ToUnicodeCMap]]
@@ -567,7 +584,11 @@ object Pdf {
       catch { case _: Exception => return None }
     val text = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
     if (!text.contains("beginbfchar") && !text.contains("beginbfrange")) None
-    else Some(parseToUnicodeCMap(data))
+    else try Some(parseToUnicodeCMap(data)) catch {
+      // a hostile/broken CMap (e.g. a code past Int range) annotates the
+      // text, it must not fail it — same degrade as a corrupt Flate CMap
+      case _: Exception => None
+    }
   }
 
   // ---------------------------------------------------------------------

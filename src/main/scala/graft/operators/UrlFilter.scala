@@ -47,10 +47,11 @@ object UrlFilter {
     * URLs with no `scheme://` (relative refs, mailto:, plain garbage)
     * pass through UNCHANGED: the extraction-based chain would collapse
     * them all to `""`, merging every unparseable URL into one dedup
-    * identity — the opposite of conservative. And the `?`-restore
-    * fix-up fires only when the pre-strip URL actually HAD a query:
-    * otherwise a literal `&` in a query-less path would be rewritten
-    * into `?`. */
+    * identity — the opposite of conservative. And tracker stripping is
+    * ANCHORED (every pattern starts at a real `?` or at `&tracker=`),
+    * so a literal `&` in the path can never be touched — the earlier
+    * strip-then-restore formulation rewrote a path `&` into `?` when
+    * the query was consumed entirely. */
   def canonicalizeUrl(url: Column): Column = {
     // scheme://host[:port] lowercased (path case is significant, kept)
     val lowered = concat(
@@ -63,18 +64,23 @@ object UrlFilter {
       regexp_replace(noFragment,
         "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2"),
       "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
-    // tracking params: each match CONSUMES its leading ?/& so adjacent
-    // trackers all match in one global pass ("?utm_a=1&utm_b=2&x=3"
-    // matches "?utm_a=1" then "&utm_b=2", leaving "&x=3"); the fix-ups
-    // restore the "?" on the first surviving parameter — ONLY when a
-    // query existed before the strip — and drop an emptied query's
-    // leftover "?"
-    val trackers = "[?&](?:utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*"
-    val noTrackers = regexp_replace(noDefaultPort, trackers, "")
-    val restoredQ = when(noDefaultPort.contains("?"),
-        regexp_replace(noTrackers, "^([^?#]*)&", "$1?"))
-      .otherwise(noTrackers)
-    val tidyQuery = regexp_replace(restoredQ, "\\?$", "")
+    // tracking params, three anchored passes that can never touch a
+    // path byte (every pattern's match STARTS at a real '?' or at
+    // '&<tracker>=', so a literal '&' in a query-less path is
+    // untouchable by construction — the earlier strip-then-restore
+    // formulation rewrote "/a&b/p?utm=x" into "/a?b/p"):
+    //   1. every '&'-prefixed tracker anywhere in the query;
+    //   2. a LEADING tracker followed by a survivor keeps the '?' and
+    //      drops itself ("?utm=1&x=2" → "?x=2");
+    //   3. a query that was nothing but one tracker disappears
+    //      ("?utm=1" → "").
+    val trackerNames = "(?:utm_[a-z]+|fbclid|gclid|msclkid|ref)"
+    val noAmpTrackers = regexp_replace(noDefaultPort,
+      "&" + trackerNames + "=[^&#]*", "")
+    val noLeadTracker = regexp_replace(noAmpTrackers,
+      "\\?" + trackerNames + "=[^&#]*&", "?")
+    val tidyQuery = regexp_replace(noLeadTracker,
+      "\\?" + trackerNames + "=[^&#]*$", "")
     // bare "/" path (no query left) drops the slash: http://a.com/ == http://a.com
     when(url.isNull, lit(null).cast("string"))
       .when(url.rlike("^[^/?#]*://"),

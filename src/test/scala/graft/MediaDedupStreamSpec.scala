@@ -105,4 +105,25 @@ class MediaDedupStreamSpec extends SparkSpec {
     query.stop()
     assert(corpusIds(corpus) == Set(1L, 3L))
   }
+
+  test("mediaCommit: MPEG audio is hashable per payload — Layer I dedups, Layer III passes through") {
+    val corpus = tmp() + "/corpus"; val sigs = tmp() + "/sigs"
+    def pcm(freq: Double) = TestWav.toneSamples(32000, 0.3, Seq((freq, 0.5)))
+      .map(v => v) // IndexedSeq[Int]
+    val l1a = TestMp3.layer1(32000, 1, pcm(440.0).toArray, nb = 13)
+    val l1b = TestMp3.layer1(32000, 1, pcm(440.0).map(v => (v * 1.08).toInt).toArray, nb = 13)
+    val l3 = TestMp3.layerStub(3, 44100, 128, frames = 20)
+    val batch = Seq(
+      Media(1L, "audio/mpeg", l1a),
+      Media(2L, "audio/mpeg", l1b), // re-levelled Layer I twin: must dedup
+      Media(3L, "audio/mpeg", l3),  // Layer III: metadata tier, pass-through
+      Media(4L, "audio/mpeg", l3.clone())) // even its exact twin passes
+    CorpusPipeline.mediaCommit(batch.toDF(), 0L, corpus, sigs, maxHamming = 8)
+    assert(corpusIds(corpus) == Set(1L, 3L, 4L),
+      "Layer I twin suppressed; Layer III rows pass through undeduped")
+    val sigRows = spark.read.parquet(sigs)
+      .select("doc_id", "modality").as[(Long, String)].collect().toSet
+    assert(sigRows == Set((1L, "audio")),
+      "only the decodable Layer I payload entered the signature tier")
+  }
 }

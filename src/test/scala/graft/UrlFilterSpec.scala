@@ -85,6 +85,9 @@ class UrlFilterSpec extends SparkSpec {
       ("/relative/path?q=1", "/relative/path?q=1"),
       // a literal '&' in a query-less path is NOT rewritten to '?'
       ("https://a.com/a&b/c", "https://a.com/a&b/c"),
+      // ...nor when a tracker-only query is consumed entirely (the
+      // strip is anchored at '?'/'&tracker=', never a bare path '&')
+      ("https://a.com/a&b/p?utm_a=1", "https://a.com/a&b/p"),
       // ...but with a real query consumed by the tracker strip, the
       // survivor's '?' is restored even past a path '&'
       ("https://a.com/p?utm_a=1&q=2", "https://a.com/p?q=2"),
