@@ -1721,41 +1721,12 @@ object Multimodal {
     * cross-format property the PNG/PPM pair established for images. */
   def decodeFlacFeatures(m: Media): MediaFeatures = {
     val a = Flac.decodeFlac(m.bytes, m.media_id)
+    // 8-bit FLAC is signed; WAV's 8-bit is offset — normalize the VALUE
+    // RANGE identically ([-1, 1]) so features agree across formats
     val norm = if (a.bits == 8) 128.0 else 32768.0
-    val nSamples = a.samples.length / a.channels
-    var sum = 0.0; var sumSq = 0.0; var crossings = 0L
-    val hist = new Array[Long](12)
-    var prevSign = 0
-    var s = 0
-    while (s < nSamples) {
-      var c = 0
-      while (c < a.channels) {
-        val raw = a.samples(s * a.channels + c)
-        // 8-bit FLAC is signed; WAV's 8-bit is offset — normalize the
-        // VALUE RANGE identically ([-1, 1]) so features agree
-        val v = raw / norm
-        sum += v; sumSq += v * v
-        val ab = math.abs(v)
-        hist(math.min(11, (ab * 12).toInt)) += 1
-        if (c == 0) {
-          val sign = if (v > 0) 1 else if (v < 0) -1 else 0
-          if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
-          if (sign != 0) prevSign = sign
-        }
-        c += 1
-      }
-      s += 1
-    }
-    val total = nSamples.toLong * a.channels
-    val feats = new Array[Float](16)
-    feats(0) = ((sum / total + 1.0) / 2.0).toFloat
-    feats(1) = math.sqrt(sumSq / total).toFloat
-    feats(2) = (crossings.toDouble / nSamples).toFloat
-    feats(3) = (nSamples.toDouble / a.sampleRate).toFloat
-    var k = 0
-    while (k < 12) { feats(4 + k) = (hist(k).toDouble / total).toFloat; k += 1 }
-    MediaFeatures(m.media_id, m.kind, m.bytes.length, a.sampleRate, a.channels, feats)
+    waveformFeatures(m, a.sampleRate, a.channels, a.samples, norm)
   }
+
 
   /** `audio/mpeg` features ([[graft.operators.Mpeg]]): MPEG-1 Layer I
     * decodes fully and yields the same waveform features as WAV/FLAC;
