@@ -188,4 +188,31 @@ class AnnIndexSpec extends SparkSpec {
     // (growth re-baselined): only file-count compaction could run
     assert(!AnnIndex.annIndexMaintain(spark, dir, maxFiles = 64, growthFactor = 4.0))
   }
+
+  test("rebalance repairs a half-swapped predecessor; appends keep the meta count current") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_swap").toString
+    val build = emb.filter($"vec_id" % 10 === 0)
+    AnnIndex.annBuildIndex(build, dir, nLists = 4, m = 8, kc = 8, iters = 1)
+    assert(AnnIndex.loadMeta(spark, dir).get.currentVectors == build.count())
+    AnnIndex.annIndexAppend(emb.filter($"vec_id" % 10 =!= 0), dir)
+    // the running count followed the append without a rebalance
+    val metaAfterAppend = AnnIndex.loadMeta(spark, dir).get
+    assert(metaAfterAppend.currentVectors == emb.count())
+    assert(metaAfterAppend.builtVectors == build.count())
+    // simulate a crash between swapDir's two renames: lists/ retired,
+    // replacement never moved in
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/lists"),
+      new org.apache.hadoop.fs.Path(s"$dir/.lists.rebalance-old")))
+    // re-running the verb must repair and complete (the doc contract)
+    AnnIndex.annIndexRebalance(spark, dir)
+    val meta = AnnIndex.loadMeta(spark, dir).get
+    assert(meta.builtVectors == emb.count() && meta.currentVectors == emb.count())
+    assert(spark.read.parquet(s"$dir/lists").count() == emb.count())
+    val probe = AnnIndex.annIndexProbe(spark, dir,
+      emb.filter($"vec_id" < 5), k = 5, nProbe = math.max(2, meta.nLists / 2),
+      rerankDepth = 10)
+    assert(probe.filter($"rank" === 1).count() == 5)
+  }
 }
