@@ -254,8 +254,14 @@ object AnnIndex {
       builtVectors: Long, nLists: Int, m: Int, kc: Int, iters: Int,
       currentVectors: Long)
 
+  /** Meta is swapped in via the same two-rename pattern as
+    * centroids/codebooks/lists — a plain `mode("overwrite")` deletes
+    * the old meta before the new one commits, so a crash mid-write
+    * would leave `loadMeta` = None and silently disable growth
+    * maintenance (rebalance would then refuse as "pre-meta"). */
   private def saveMeta(spark: SparkSession, indexDir: String,
-      meta: IndexMeta): Unit =
+      meta: IndexMeta): Unit = {
+    val tmp = s"$indexDir/.meta.tmp"
     spark.createDataFrame(
       java.util.Arrays.asList(Row(meta.builtVectors, meta.nLists, meta.m,
         meta.kc, meta.iters, meta.currentVectors)),
@@ -266,14 +272,25 @@ object AnnIndex {
         StructField("kc", IntegerType, nullable = false),
         StructField("iters", IntegerType, nullable = false),
         StructField("current_vectors", org.apache.spark.sql.types.LongType, nullable = false))))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    swapDir(spark, tmp, s"$indexDir/meta")
+  }
 
   /** None for pre-meta indexes (built before growth tracking existed) —
     * file-count compaction still runs for those; growth maintenance
     * starts at their next rebuild. A meta written before the running
-    * count existed reads current = built. */
+    * count existed reads current = built. A meta left half-swapped by
+    * a crash between saveMeta's two renames is restored from its
+    * retired twin first, so every reader self-repairs. */
   private[graft] def loadMeta(spark: SparkSession,
-      indexDir: String): Option[IndexMeta] =
+      indexDir: String): Option[IndexMeta] = {
+    locally {
+      val (fs, dst) = graft.io.Sinks.fsFor(spark, s"$indexDir/meta")
+      val retired = new org.apache.hadoop.fs.Path(
+        dst.getParent, ".meta.rebalance-old")
+      if (!fs.exists(dst) && fs.exists(retired))
+        require(fs.rename(retired, dst), "restore of half-swapped meta failed")
+    }
     if (!graft.io.Sinks.parquetExists(spark, s"$indexDir/meta")) None
     else spark.read.parquet(s"$indexDir/meta").collect().headOption.map { r =>
       val built = r.getAs[Long]("built_vectors")
@@ -284,6 +301,7 @@ object AnnIndex {
       IndexMeta(built, r.getAs[Int]("n_lists"),
         r.getAs[Int]("m"), r.getAs[Int]("kc"), r.getAs[Int]("iters"), current)
     }
+  }
 
   /** Re-balance the standing index for corpus growth: re-train the IVF
     * centroids over a sample of the CURRENT corpus with nLists scaled

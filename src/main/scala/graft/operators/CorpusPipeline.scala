@@ -420,19 +420,16 @@ object CorpusPipeline {
     "audio/wav", "audio/flac", "audio/x-flac",
     "audio/mpeg", "audio/mp3", "audio/x-mpeg-3")
 
-  private def mpegHashable(m: Multimodal.Media): Boolean =
-    try {
-      val info = graft.operators.Mpeg.mpegInfo(m.bytes, m.media_id)
-      info.layer == 1 && info.version == 1
-    } catch { case _: IllegalArgumentException => false }
-
   /** Perceptual signatures of a media batch: (`doc_id`, `modality`,
     * `simhash`) — images through [[Multimodal.perceptualHash64]], audio
     * through [[Multimodal.audioHash64]]. Only [[hashableKinds]] emit
     * rows; malformed payloads of hashable kinds fail loudly (the codec
-    * contract), EXCEPT audio/mpeg where un-decodable means Layer II/III
-    * or framing damage — the documented metadata-only tier — and the
-    * payload falls back to pass-through. */
+    * contract), EXCEPT audio/mpeg where an unwalkable stream means
+    * framing damage — the documented metadata-only tier — and the
+    * payload falls back to pass-through. The MPEG hashability decision
+    * and the decode share ONE header walk: `mpegInfo` runs once and
+    * feeds [[Multimodal.audioHash64With]]; a Layer-I stream that walks
+    * clean but carries a corrupt payload still fails loudly there. */
   private def mediaSigs(batch: DataFrame): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
@@ -442,11 +439,15 @@ object CorpusPipeline {
         if (!hashableKinds.contains(m.kind)) None
         else if (m.kind.startsWith("image/"))
           Some((m.media_id, "image", Multimodal.perceptualHash64(m)))
-        else if (m.kind != "audio/wav" && !m.kind.contains("flac") &&
-            !mpegHashable(m))
-          None // Layer II/III / damaged mpeg: metadata tier, pass through
-        else
+        else if (m.kind == "audio/wav" || m.kind.contains("flac"))
           Some((m.media_id, "audio", Multimodal.audioHash64(m)))
+        else {
+          val walked = // framing damage: metadata tier, pass through
+            try Some(graft.operators.Mpeg.mpegInfo(m.bytes, m.media_id))
+            catch { case _: IllegalArgumentException => None }
+          walked.filter(i => i.layer == 1 && i.version == 1)
+            .map(i => (m.media_id, "audio", Multimodal.audioHash64With(m, i)))
+        }
       })
       .toDF("doc_id", "modality", "simhash")
   }

@@ -538,9 +538,17 @@ object Dedup {
     //    the narrow 4-rows/doc chunk stream, never the amplified probe
     //    stream. Chunk widths are uniform when budget > 0 (64/4 = 16),
     //    so one mask set serves all chunks.
-    // occupancy stays cached (the sigs-persist contract above): the
-    // result plan's anti-join reads it again — an eager unpersist here
-    // would force the main job to recompute the whole occupancy agg
+    // occupancy stays cached under the SAME release contract as the
+    // callers' sigs persist: the result plan's anti-join reads it again,
+    // so an eager unpersist here would force the main job to recompute
+    // the whole occupancy agg. Nothing in this function can release it
+    // (the handle dies with this scope while the plan still needs it) —
+    // so the CALLER owns the release: batch callers running many corpora
+    // per session clearCache between batches (Bench does; one cached agg
+    // per corpus otherwise accumulates for the session lifetime), and
+    // long-lived streaming maintain loops must pass sizeByVolume=false
+    // (the media sink does — its production shape is the standing-index
+    // probe, which never enters this path with a cache)
     val width = math.max(shufflePartitions(sigs),
       math.min(16384L, candidateInstances / 1000000L + 1).toInt)
     val repartitioned = keptChunks.repartition(width)

@@ -216,7 +216,15 @@ object Mpeg {
       }
     }
     val tagFrames = vbrFrames(bytes, first)
-    val nFrames = tagFrames.map(_._1).getOrElse(frames)
+    // The walker counted every frame, so the walked count is ground
+    // truth; a Xing/Info/VBRI declared count is honored only inside the
+    // one-frame ambiguity of whether the tag frame counts itself. A
+    // hostile/corrupt tag (negative after .toInt, zero, or merely lying)
+    // must not override the true count with silent garbage — durations
+    // would go negative/absurd, violating the fail-loud contract.
+    val nFrames = tagFrames.map(_._1)
+      .filter(n => n > 0 && math.abs(n - frames) <= 1)
+      .getOrElse(frames)
     val vbr = vbrSeen || tagFrames.exists(_._2)
     val samples = nFrames.toLong * first.samplesPerFrame
     MpegInfo(first.version, first.layer, first.sampleRate, first.channels,

@@ -1790,6 +1790,22 @@ object Multimodal {
 
   // ---- audio fingerprinting (WAV/FLAC/MPEG near-duplicate dedup) ---------
 
+  /** Channel-averaged mono mixdown of decoded MPEG PCM in [-1, 1] —
+    * shared by the per-kind bridge and the walk-once dedup entry. */
+  private def mpegMonoMixdown(a: Mpeg.MpegDecoded): (Int, Array[Double]) = {
+    val nSamples = a.samples.length / a.channels
+    val mono = new Array[Double](nSamples)
+    var s = 0
+    while (s < nSamples) {
+      var acc = 0.0
+      var c = 0
+      while (c < a.channels) { acc += a.samples(s * a.channels + c) / 32768.0; c += 1 }
+      mono(s) = acc / a.channels
+      s += 1
+    }
+    (a.sampleRate, mono)
+  }
+
   /** The waveform bridge under [[audioHash64]]: per-kind decode to a
     * channel-averaged mono mixdown in [-1, 1]. WAV parses here
     * (PCM 8/16-bit); FLAC rides [[Flac.decodeFlac]] — LOSSLESS, so a
@@ -1801,18 +1817,7 @@ object Multimodal {
       // with the documented spec-data reason — the fingerprint tier
       // covers the layers whose samples this clean-room build can
       // honestly produce
-      val a = Mpeg.decodeSamples(m.bytes, m.media_id)
-      val nSamples = a.samples.length / a.channels
-      val mono = new Array[Double](nSamples)
-      var s = 0
-      while (s < nSamples) {
-        var acc = 0.0
-        var c = 0
-        while (c < a.channels) { acc += a.samples(s * a.channels + c) / 32768.0; c += 1 }
-        mono(s) = acc / a.channels
-        s += 1
-      }
-      (a.sampleRate, mono)
+      mpegMonoMixdown(Mpeg.decodeSamples(m.bytes, m.media_id))
     } else if (m.kind == "audio/flac" ||
         (m.bytes.length >= 4 && m.bytes(0) == 'f' && m.bytes(1) == 'L' &&
           m.bytes(2) == 'a' && m.bytes(3) == 'C')) {
@@ -1884,6 +1889,20 @@ object Multimodal {
     * StrictMath throughout — bit-identical on every JVM. */
   def audioHash64(m: Media): Long = {
     val (rate, x) = monoSamples(m)
+    audioHash64Core(rate, x)
+  }
+
+  /** [[audioHash64]] for an MPEG payload whose stream walk is already
+    * done: the media-dedup sink decides hashability and decodes on ONE
+    * header walk ([[Mpeg.decodeLayer1With]]) instead of walking the
+    * frame headers twice per payload. */
+  private[graft] def audioHash64With(m: Media, info: Mpeg.MpegInfo): Long = {
+    val (rate, x) =
+      mpegMonoMixdown(Mpeg.decodeLayer1With(info, m.bytes, m.media_id))
+    audioHash64Core(rate, x)
+  }
+
+  private def audioHash64Core(rate: Int, x: Array[Double]): Long = {
     val n = x.length
     val g = new Array[Double](32 * 32)
     val nyquist = rate / 2.0

@@ -47,11 +47,12 @@ object UrlFilter {
     * URLs with no `scheme://` (relative refs, mailto:, plain garbage)
     * pass through UNCHANGED: the extraction-based chain would collapse
     * them all to `""`, merging every unparseable URL into one dedup
-    * identity — the opposite of conservative. And tracker stripping is
-    * ANCHORED (every pattern starts at a real `?` or at `&tracker=`),
-    * so a literal `&` in the path can never be touched — the earlier
-    * strip-then-restore formulation rewrote a path `&` into `?` when
-    * the query was consumed entirely. */
+    * identity — the opposite of conservative. And tracker stripping
+    * runs on the QUERY PART ONLY (the string is split at the first
+    * `?` and rejoined after), so a path byte — even a tracker-named
+    * segment like `/a&ref=home/` in a query-less URL — can never be
+    * touched; the earlier unanchored `&tracker=` pass deleted exactly
+    * that shape. */
   def canonicalizeUrl(url: Column): Column = {
     // scheme://host[:port] lowercased (path case is significant, kept)
     val lowered = concat(
@@ -64,23 +65,25 @@ object UrlFilter {
       regexp_replace(noFragment,
         "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2"),
       "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
-    // tracking params, three anchored passes that can never touch a
-    // path byte (every pattern's match STARTS at a real '?' or at
-    // '&<tracker>=', so a literal '&' in a query-less path is
-    // untouchable by construction — the earlier strip-then-restore
-    // formulation rewrote "/a&b/p?utm=x" into "/a?b/p"):
+    // tracking params: the string is first split at the FIRST '?' and
+    // the three passes run on the query part alone, so no path byte is
+    // reachable by any of them — including a tracker-NAMED path
+    // segment like "/a&ref=home/p" in a query-less URL, which the old
+    // '&tracker=' pass (unanchored to a '?') used to delete:
     //   1. every '&'-prefixed tracker anywhere in the query;
     //   2. a LEADING tracker followed by a survivor keeps the '?' and
     //      drops itself ("?utm=1&x=2" → "?x=2");
     //   3. a query that was nothing but one tracker disappears
     //      ("?utm=1" → "").
     val trackerNames = "(?:utm_[a-z]+|fbclid|gclid|msclkid|ref)"
-    val noAmpTrackers = regexp_replace(noDefaultPort,
+    val prePath = regexp_extract(noDefaultPort, "^([^?]*)", 1)
+    val rawQuery = regexp_extract(noDefaultPort, "^[^?]*(\\?.*)$", 1)
+    val noAmpTrackers = regexp_replace(rawQuery,
       "&" + trackerNames + "=[^&#]*", "")
     val noLeadTracker = regexp_replace(noAmpTrackers,
       "\\?" + trackerNames + "=[^&#]*&", "?")
-    val tidyQuery = regexp_replace(noLeadTracker,
-      "\\?" + trackerNames + "=[^&#]*$", "")
+    val tidyQuery = concat(prePath, regexp_replace(noLeadTracker,
+      "\\?" + trackerNames + "=[^&#]*$", ""))
     // bare "/" path (no query left) drops the slash: http://a.com/ == http://a.com
     when(url.isNull, lit(null).cast("string"))
       .when(url.rlike("^[^/?#]*://"),

@@ -1160,8 +1160,10 @@ object ExtensionQueries {
     // URL canonicalization for crawl identity: every doc_id gets a messy
     // deterministic variant exercising one rule (case, fragment, default
     // ports, tracker params in every position, bare trailing slash,
-    // unparseable strings passing through unchanged, literal path '&'
-    // NOT rewritten to '?' even when a tracker-only query is consumed); the oracle replays the derivation AND the
+    // unparseable strings passing through unchanged, a tracker-NAMED
+    // path segment '/a&ref=home/' in a query-less URL kept intact,
+    // literal path '&' NOT rewritten to '?' even when a tracker-only
+    // query is consumed); the oracle replays the derivation AND the
     // RE2-safe regexp chain verbatim, so the canonical form is pinned
     // cross-engine
     "q_url_canonical" -> ((s, dir) => {
@@ -1185,7 +1187,7 @@ object ExtensionQueries {
         .when(col("doc_id") % 10 === 6,
           concat(lit("not a url "), id))
         .when(col("doc_id") % 10 === 7,
-          concat(lit("https://"), host, lit("/a&b/"), id))
+          concat(lit("https://"), host, lit("/a&ref=home/"), id))
         .when(col("doc_id") % 10 === 8,
           concat(lit("https://"), host, lit("/a&b/"), id, lit("?utm_medium=z")))
         .otherwise(concat(lit("https://"), host, lit("/p/"), id))
@@ -2233,7 +2235,7 @@ object ExtensionQueries {
       """WITH u AS (SELECT doc_id, source, CASE WHEN doc_id % 97 = 0 THEN 'not a url' ELSE 'https://' || CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) END AS url FROM documents) SELECT doc_id, url FROM u WHERE doc_id % 97 = 0 OR source NOT IN ('src0', 'src7') ORDER BY doc_id""",
 
     "q_url_canonical" ->
-      """WITH u AS (SELECT doc_id, CASE CAST(doc_id % 10 AS INTEGER) WHEN 0 THEN 'HTTPS://' || upper(source) || '.Example.COM/p/' || CAST(doc_id AS VARCHAR) || '#sec' WHEN 1 THEN 'https://' || source || '.example.com:443/p/' || CAST(doc_id AS VARCHAR) WHEN 2 THEN 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=y' WHEN 3 THEN 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '?utm_medium=z' WHEN 4 THEN 'https://' || source || '.example.com/' WHEN 5 THEN 'http://' || source || '.example.com:80/p/' || CAST(doc_id AS VARCHAR) || '#x' WHEN 6 THEN 'not a url ' || CAST(doc_id AS VARCHAR) WHEN 7 THEN 'https://' || source || '.example.com/a&b/' || CAST(doc_id AS VARCHAR) WHEN 8 THEN 'https://' || source || '.example.com/a&b/' || CAST(doc_id AS VARCHAR) || '?utm_medium=z' ELSE 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) END AS url FROM documents), c1 AS (SELECT doc_id, url, lower(regexp_extract(url, '^([^/?#]*://[^/?#]*)', 1)) || regexp_extract(url, '^[^/?#]*://[^/?#]*(.*)$', 1) AS s FROM u), c2 AS (SELECT doc_id, url, regexp_replace(s, '#.*$', '') AS s FROM c1), c3 AS (SELECT doc_id, url, regexp_replace(regexp_replace(s, '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2'), '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2') AS s FROM c2), c4 AS (SELECT doc_id, url, regexp_replace(s, '&(?:utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*', '', 'g') AS s FROM c3), c5 AS (SELECT doc_id, url, regexp_replace(regexp_replace(s, '\?(?:utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*&', '?'), '\?(?:utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*$', '') AS s FROM c4) SELECT doc_id, url, CASE WHEN regexp_matches(url, '^[^/?#]*://') THEN regexp_replace(s, '^([a-z]+://[^/?#]*)/$', '\1') ELSE url END AS canon_url FROM c5 ORDER BY doc_id""",
+      """WITH u AS (SELECT doc_id, CASE CAST(doc_id % 10 AS INTEGER) WHEN 0 THEN 'HTTPS://' || upper(source) || '.Example.COM/p/' || CAST(doc_id AS VARCHAR) || '#sec' WHEN 1 THEN 'https://' || source || '.example.com:443/p/' || CAST(doc_id AS VARCHAR) WHEN 2 THEN 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=y' WHEN 3 THEN 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '?utm_medium=z' WHEN 4 THEN 'https://' || source || '.example.com/' WHEN 5 THEN 'http://' || source || '.example.com:80/p/' || CAST(doc_id AS VARCHAR) || '#x' WHEN 6 THEN 'not a url ' || CAST(doc_id AS VARCHAR) WHEN 7 THEN 'https://' || source || '.example.com/a&ref=home/' || CAST(doc_id AS VARCHAR) WHEN 8 THEN 'https://' || source || '.example.com/a&b/' || CAST(doc_id AS VARCHAR) || '?utm_medium=z' ELSE 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) END AS url FROM documents), c1 AS (SELECT doc_id, url, lower(regexp_extract(url, '^([^/?#]*://[^/?#]*)', 1)) || regexp_extract(url, '^[^/?#]*://[^/?#]*(.*)$', 1) AS s FROM u), c2 AS (SELECT doc_id, url, regexp_replace(s, '#.*$', '') AS s FROM c1), c3 AS (SELECT doc_id, url, regexp_replace(regexp_replace(s, '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2'), '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2') AS s FROM c2), c4 AS (SELECT doc_id, url, regexp_extract(s, '^([^?]*)', 1) AS pre, regexp_extract(s, '^[^?]*(\?.*)$', 1) AS qry FROM c3), c5 AS (SELECT doc_id, url, pre, regexp_replace(qry, '&(?:utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*', '', 'g') AS qry FROM c4), c6 AS (SELECT doc_id, url, pre || regexp_replace(regexp_replace(qry, '\?(?:utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*&', '?'), '\?(?:utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*$', '') AS s FROM c5) SELECT doc_id, url, CASE WHEN regexp_matches(url, '^[^/?#]*://') THEN regexp_replace(s, '^([a-z]+://[^/?#]*)/$', '\1') ELSE url END AS canon_url FROM c6 ORDER BY doc_id""",
     "q_jaccard_words" ->
       s"""WITH d AS (SELECT doc_id, list_distinct($tokensSql) AS toks FROM documents WHERE doc_id < 40) SELECT a.doc_id AS id_a, b.doc_id AS id_b, len(list_intersect(a.toks, b.toks)) AS n_shared, CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard FROM d a JOIN d b ON a.doc_id < b.doc_id ORDER BY id_a, id_b""",
     "q_embed_cosine" ->

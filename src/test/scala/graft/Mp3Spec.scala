@@ -25,16 +25,38 @@ class Mp3Spec extends SparkSpec {
     assert(math.abs(i.durationSec - 25.0 * 1152 / 44100) < 1e-9)
   }
 
-  test("mpegInfo: Xing tag overrides the walked frame count (VBR duration)") {
+  test("mpegInfo: Xing count honored only within the self-count ambiguity") {
+    // the walker counts every frame, so a declared count is accepted
+    // only within ±1 (does the tag frame count itself?); here the tag
+    // says the Xing frame does NOT count itself → 4 wins over walked 5
     val s = TestMp3.layerStub(3, 44100, 128, frames = 5,
-      xingFrames = Some(1000), xingVbr = true)
+      xingFrames = Some(4), xingVbr = true)
     val i = Mpeg.mpegInfo(s)
-    assert(i.frames == 1000 && i.vbr, "Xing frame count wins for duration")
-    assert(math.abs(i.durationSec - 1000.0 * 1152 / 44100) < 1e-9)
-    // stereo side-info offset variant
+    assert(i.frames == 4 && i.vbr, "plausible Xing count wins for duration")
+    assert(math.abs(i.durationSec - 4.0 * 1152 / 44100) < 1e-9)
+    // stereo side-info offset variant, exact agreement
     val st = TestMp3.layerStub(3, 44100, 128, frames = 5, mode = 0,
-      xingFrames = Some(77), xingVbr = false)
-    assert(Mpeg.mpegInfo(st).frames == 77)
+      xingFrames = Some(5), xingVbr = false)
+    assert(Mpeg.mpegInfo(st).frames == 5)
+  }
+
+  test("mpegInfo: lying/hostile Xing counts fall back to the walked count") {
+    // a wildly-off count must not produce absurd durations
+    val lying = TestMp3.layerStub(3, 44100, 128, frames = 5,
+      xingFrames = Some(1000), xingVbr = true)
+    val li = Mpeg.mpegInfo(lying)
+    assert(li.frames == 5, "lying tag count rejected, walked count wins")
+    assert(li.vbr, "tag NAME (Xing=VBR) is structural and still honored")
+    // u32 with the sign bit set reads negative after .toInt — must not
+    // yield negative samples/duration
+    val hostile = TestMp3.layerStub(3, 44100, 128, frames = 5,
+      xingFrames = Some(0x80000005), xingVbr = true)
+    val hi = Mpeg.mpegInfo(hostile)
+    assert(hi.frames == 5 && hi.samples > 0 && hi.durationSec > 0)
+    // zero is implausible too (there is at least the tag frame)
+    val zero = TestMp3.layerStub(3, 44100, 128, frames = 5,
+      xingFrames = Some(0), xingVbr = false)
+    assert(Mpeg.mpegInfo(zero).frames == 5)
   }
 
   test("mpegInfo: ID3v2 prefix and ID3v1 tail are skipped, not desync") {

@@ -85,6 +85,14 @@ class UrlFilterSpec extends SparkSpec {
       ("/relative/path?q=1", "/relative/path?q=1"),
       // a literal '&' in a query-less path is NOT rewritten to '?'
       ("https://a.com/a&b/c", "https://a.com/a&b/c"),
+      // ...even a tracker-NAMED path segment in a query-less URL is
+      // untouchable (strip runs on the query part only, split at the
+      // first '?'; the old unanchored '&tracker=' pass deleted it)
+      ("https://a.com/a&ref=home/p", "https://a.com/a&ref=home/p"),
+      // ...and with a query present, only the query's trackers go
+      ("https://a.com/a&ref=home/p?utm_a=1&q=2",
+        "https://a.com/a&ref=home/p?q=2"),
+      ("https://a.com/a&ref=home/p?ref=x", "https://a.com/a&ref=home/p"),
       // ...nor when a tracker-only query is consumed entirely (the
       // strip is anchored at '?'/'&tracker=', never a bare path '&')
       ("https://a.com/a&b/p?utm_a=1", "https://a.com/a&b/p"),
