@@ -733,17 +733,26 @@ object ExtensionQueries {
 
     // gate: the index probe (over the build+append index) must reproduce
     // the scan-side operator's exact top-20 ranking with scores within
-    // 1e-9 — emitted rows are violations, oracle = empty set
+    // 1e-9 — emitted rows are violations, oracle = empty set. The rank
+    // windows here (and in the two sibling gates) ride a constant
+    // single-group partitionBy — pmod(doc_id, 1), NOT lit(0), because
+    // EliminateWindowPartitions folds a literal partition back to empty
+    // and the warning returns. The input is an already-reduced top-k
+    // (≤100 rows), so one partition is the correct plan; the explicit
+    // partition just keeps Spark's single-partition WindowExec warning
+    // out of every bench log, where it would bury a REAL one.
     "q_check_bm25_index" -> ((s, dir) => {
       val terms = Seq("spark", "merge", "window", "stream")
       val scan = graft.operators.Search.bm25TopK(
           t(s, dir, "documents"), terms, k = 20)
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id"))))
+          Window.partitionBy(pmod(col("doc_id"), lit(1)))
+            .orderBy(col("bm25").desc, col("doc_id"))))
       val probe = graft.operators.Search.bm25IndexProbe(
           s, bm25Index(s, dir), terms, k = 20)
         .withColumn("idx_rank", row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id"))))
+          Window.partitionBy(pmod(col("doc_id"), lit(1)))
+            .orderBy(col("bm25").desc, col("doc_id"))))
         .select(col("doc_id"), col("bm25").as("idx_bm25"), col("idx_rank"))
       scan.join(probe, Seq("doc_id"), "full_outer")
         .filter(col("rank").isNull || col("idx_rank").isNull ||
@@ -762,7 +771,8 @@ object ExtensionQueries {
       val scan = graft.operators.Search.bm25TopK(
           t(s, dir, "documents"), terms, k = 20)
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id"))))
+          Window.partitionBy(pmod(col("doc_id"), lit(1)))
+            .orderBy(col("bm25").desc, col("doc_id"))))
       val batch = graft.operators.Search.bm25TopKBatch(
           t(s, dir, "documents"),
           terms.map(("q", _)).toDF("query_id", "term"), k = 20)
