@@ -1295,6 +1295,9 @@ object Multimodal {
           decodeMpegFeatures(m) // Layer I: full decode; II/III: exact metadata
         case m if m.kind == "video/avi" || m.kind == "video/x-msvideo" =>
           Avi.decodeAvi(m) // MJPEG-in-AVI: first frame through the JPEG codec
+        case m if m.kind == "video/mp4" || m.kind == "audio/mp4" ||
+            m.kind == "audio/x-m4a" =>
+          decodeMp4Features(m) // ISO-BMFF box walk: exact container metadata
         case m => stubDecode(m)
       }
     }
@@ -1746,6 +1749,28 @@ object Multimodal {
       MediaFeatures(m.media_id, m.kind, m.bytes.length, info.sampleRate,
         info.channels, feats)
     }
+  }
+
+  /** `video/mp4` (and m4a audio) features ([[graft.operators.Mp4]]):
+    * the ISO-BMFF box walk yields EXACT container metadata — movie
+    * duration (the same `feats(3)` slot the other timed media use),
+    * the first video track's presentation size in the width/height
+    * slots (or, for audio-only containers, the first audio track's
+    * rate/channels — the [[decodeMpegFeatures]] convention), with
+    * zeroed waveform/pixel features: the metadata-only tier, sample
+    * decode refused rather than guessed (the [[Mpeg]] adjudication —
+    * H.264/AAC entropy decode is out of clean-room scope, and the
+    * catalog value needs none of it). */
+  def decodeMp4Features(m: Media): MediaFeatures = {
+    val info = Mp4.mp4Info(m.bytes, m.media_id)
+    val feats = new Array[Float](16)
+    feats(3) = info.durationSec.toFloat
+    val video = info.tracks.find(_.handler == "vide")
+    val audio = info.tracks.find(_.handler == "soun")
+    val (w, h) = video.map(t => (t.width, t.height))
+      .orElse(audio.map(t => (t.sampleRate, t.channels)))
+      .getOrElse((0, 0))
+    MediaFeatures(m.media_id, m.kind, m.bytes.length, w, h, feats)
   }
 
   /** The shared waveform feature pass (mean / RMS / first-channel zero

@@ -1985,6 +1985,53 @@ object ExtensionQueries {
     // arithmetic alone — any defect in the header tables, slot-based
     // frame sizing, or the walk itself is a hash mismatch. Full oracle
     // (frame sizing is exact integer arithmetic on both engines).
+    // MP4/ISO-BMFF metadata: per doc_id a deterministic container is
+    // SERIALIZED (writeMp4 — box tree with ftyp/moov/mvhd/trak/tkhd/
+    // mdhd/hdlr/stbl/stsd/stts/stsz; version 0/1 time fields alternate
+    // by id, every 5th moov in the 64-bit largesize header form) and
+    // WALKED back (mp4Info); the oracle recomputes every emitted field
+    // from the planted parameters by pure arithmetic, so any defect in
+    // box sizing, the v0/v1 offsets, largesize handling, sample-entry
+    // layouts, or the duration quotients is a hash mismatch. One row
+    // per track: video always, audio on even ids.
+    "q_mp4_meta" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 300)
+        .as[Long]
+        .flatMap { id =>
+          val v = (id % 2).toInt
+          val mvTimescale = 600L * (1 + id % 3)
+          val mvDuration = mvTimescale * (3 + id % 7) + (id % 97)
+          val vidSamples = (24 + id % 50).toInt
+          val vcodec = Seq("avc1", "hvc1", "av01")((id % 3).toInt)
+          val video = graft.operators.Mp4.Mp4TrackSpec(1L, "vide", vcodec,
+            width = 160 + 16 * (id % 8).toInt,
+            height = 96 + 16 * (id % 5).toInt,
+            timescale = 12288L, duration = vidSamples * 512L,
+            sampleCount = vidSamples, version = v)
+          val audio =
+            if (id % 2 == 0) {
+              val rate = Array(44100, 48000, 32000)(((id / 2) % 3).toInt)
+              val n = (100 + id % 30).toInt
+              Seq(graft.operators.Mp4.Mp4TrackSpec(2L, "soun", "mp4a",
+                timescale = rate.toLong, duration = n * 1024L,
+                sampleCount = n, sampleRate = rate,
+                channels = (1 + (id / 2) % 2).toInt, version = v))
+            } else Seq.empty
+          val info = graft.operators.Mp4.mp4Info(
+            graft.operators.Mp4.writeMp4("isom", mvTimescale, mvDuration,
+              video +: audio, version = v, largesizeMoov = id % 5 == 0), id)
+          info.tracks.map(tr =>
+            (id, tr.trackId.toInt, tr.handler, tr.codec, tr.width, tr.height,
+              info.timescale, info.durationSec, tr.timescale, tr.durationSec,
+              tr.sampleCount, tr.sampleRate, tr.channels))
+        }
+        .toDF("doc_id", "track_id", "handler", "codec", "width", "height",
+          "mv_timescale", "mv_duration_sec", "tr_timescale",
+          "tr_duration_sec", "samples", "sample_rate", "channels")
+        .orderBy("doc_id", "track_id")
+    }),
+
     "q_mpeg_meta" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 300)
@@ -2480,6 +2527,12 @@ object ExtensionQueries {
     // media-dedup gate: probe violations are rows, oracle = empty set
     "q_check_media_dedup" ->
       """SELECT CAST(text AS VARCHAR) AS kind, CAST(text AS VARCHAR) AS k FROM documents WHERE 1 = 0 ORDER BY kind, k""",
+
+    // independent derivation: the MP4 walker's outputs are pure
+    // arithmetic of the planted parameters — codec cycle, dimension
+    // grids, timescales, sample counts, duration quotients
+    "q_mp4_meta" ->
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS ci, 600 * (1 + doc_id % 3) AS mvts, 600 * (1 + doc_id % 3) * (3 + doc_id % 7) + (doc_id % 97) AS mvdur, 24 + doc_id % 50 AS vs FROM documents WHERE doc_id < 300), v AS (SELECT doc_id, CAST(1 AS INTEGER) AS track_id, 'vide' AS handler, CASE ci WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1' ELSE 'av01' END AS codec, CAST(160 + 16 * (doc_id % 8) AS INTEGER) AS width, CAST(96 + 16 * (doc_id % 5) AS INTEGER) AS height, CAST(mvts AS BIGINT) AS mv_timescale, CAST(mvdur AS DOUBLE) / mvts AS mv_duration_sec, CAST(12288 AS BIGINT) AS tr_timescale, CAST(vs * 512 AS DOUBLE) / 12288 AS tr_duration_sec, CAST(vs AS BIGINT) AS samples, CAST(0 AS INTEGER) AS sample_rate, CAST(0 AS INTEGER) AS channels FROM p), ap AS (SELECT doc_id, mvts, mvdur, CASE CAST((doc_id // 2) % 3 AS INTEGER) WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS rate, 100 + doc_id % 30 AS ns FROM p WHERE doc_id % 2 = 0), a AS (SELECT doc_id, CAST(2 AS INTEGER) AS track_id, 'soun' AS handler, 'mp4a' AS codec, CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height, CAST(mvts AS BIGINT) AS mv_timescale, CAST(mvdur AS DOUBLE) / mvts AS mv_duration_sec, CAST(rate AS BIGINT) AS tr_timescale, CAST(ns * 1024 AS DOUBLE) / rate AS tr_duration_sec, CAST(ns AS BIGINT) AS samples, CAST(rate AS INTEGER) AS sample_rate, CAST(1 + (doc_id // 2) % 2 AS INTEGER) AS channels FROM ap) SELECT * FROM v UNION ALL SELECT * FROM a ORDER BY doc_id, track_id""",
 
     // independent derivation: the MPEG walker's outputs are pure
     // arithmetic of the planted parameters — layer cycle, rate/bitrate
