@@ -420,33 +420,52 @@ object CorpusPipeline {
     "audio/wav", "audio/flac", "audio/x-flac",
     "audio/mpeg", "audio/mp3", "audio/x-mpeg-3")
 
-  /** Perceptual signatures of a media batch: (`doc_id`, `modality`,
-    * `simhash`) — images through [[Multimodal.perceptualHash64]], audio
-    * through [[Multimodal.audioHash64]]. Only [[hashableKinds]] emit
-    * rows; malformed payloads of hashable kinds fail loudly (the codec
+  /** Perceptual + identity signatures of a media batch: (`doc_id`,
+    * `modality`, `simhash`) — images through
+    * [[Multimodal.perceptualHash64]], audio through
+    * [[Multimodal.audioHash64]]. Only [[hashableKinds]] emit rows;
+    * malformed payloads of hashable kinds fail loudly (the codec
     * contract), EXCEPT audio/mpeg where an unwalkable stream means
     * framing damage — the documented metadata-only tier — and the
-    * payload falls back to pass-through. The MPEG hashability decision
-    * and the decode share ONE header walk: `mpegInfo` runs once and
-    * feeds [[Multimodal.audioHash64With]]; a Layer-I stream that walks
-    * clean but carries a corrupt payload still fails loudly there. */
+    * payload falls back to pass-through.
+    *
+    * `audio/mpeg` emits up to TWO rows from ONE frame walk
+    * ([[graft.operators.Mpeg.walkFrames]]):
+    *  - `audio_stream` at EVERY layer: the tag-invariant
+    *    [[graft.operators.Mpeg.streamHash64]] over the ID3-stripped
+    *    coded stream — a re-tagged MP3 (different ID3, identical
+    *    audio) is an exact dup even where sample decode is refused
+    *    (Layer II/III), closing the no-fingerprint gap for the
+    *    dominant crawl audio format. A content hash avalanches, so at
+    *    the shared Hamming radius only equal hashes ever pair —
+    *    exact-dup semantics by construction.
+    *  - `audio` for MPEG-1 Layer I: the decoded spectrogram
+    *    fingerprint ([[Multimodal.audioHash64With]], fed by the SAME
+    *    walk; a stream that walks clean but carries a corrupt Layer-I
+    *    payload still fails loudly there). */
   private def mediaSigs(batch: DataFrame): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     batch.select(col("media_id"), col("kind"), col("bytes"))
       .as[Multimodal.Media]
       .mapPartitions(_.flatMap { m =>
-        if (!hashableKinds.contains(m.kind)) None
+        if (!hashableKinds.contains(m.kind)) Nil
         else if (m.kind.startsWith("image/"))
-          Some((m.media_id, "image", Multimodal.perceptualHash64(m)))
+          Seq((m.media_id, "image", Multimodal.perceptualHash64(m)))
         else if (m.kind == "audio/wav" || m.kind.contains("flac"))
-          Some((m.media_id, "audio", Multimodal.audioHash64(m)))
+          Seq((m.media_id, "audio", Multimodal.audioHash64(m)))
         else {
           val walked = // framing damage: metadata tier, pass through
-            try Some(graft.operators.Mpeg.mpegInfo(m.bytes, m.media_id))
+            try Some(graft.operators.Mpeg.walkFrames(m.bytes, m.media_id))
             catch { case _: IllegalArgumentException => None }
-          walked.filter(i => i.layer == 1 && i.version == 1)
-            .map(i => (m.media_id, "audio", Multimodal.audioHash64With(m, i)))
+          walked.toSeq.flatMap { fs =>
+            val stream = (m.media_id, "audio_stream",
+              graft.operators.Mpeg.streamHash64Of(m.bytes, fs))
+            if (fs.head.layer == 1 && fs.head.version == 1)
+              Seq(stream, (m.media_id, "audio", Multimodal.audioHash64With(
+                m, graft.operators.Mpeg.infoOf(m.bytes, fs))))
+            else Seq(stream)
+          }
         }
       })
       .toDF("doc_id", "modality", "simhash")
@@ -491,7 +510,7 @@ object CorpusPipeline {
       val p = new HPath(dir)
       fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
     }
-    val modalities = Seq("image", "audio")
+    val modalities = Seq("image", "audio", "audio_stream")
     val sigs = mediaSigs(batch).persist()
     sigs.count() // materialize: exact stats → broadcast probes (see minhashDedupAgainst)
     // intra-batch twins per modality — same min-id-keeper rule as text

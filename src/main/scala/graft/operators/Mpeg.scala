@@ -176,10 +176,13 @@ object Mpeg {
     None
   }
 
-  /** Walk every frame: exact stream metadata. Tolerates a leading
-    * ID3v2, a trailing ID3v1 ("TAG", 128 bytes), and up to 3 bytes of
-    * trailing slack; anything else mid-stream is desync and throws. */
-  def mpegInfo(bytes: Array[Byte], mediaId: Long = -1L): MpegInfo = {
+  /** Every frame of the stream, walked exactly — the shared core under
+    * [[mpegInfo]] and the tag-invariant identity functions. Tolerates a
+    * leading ID3v2, a trailing ID3v1 ("TAG", 128 bytes), and up to 3
+    * bytes of trailing slack; anything else mid-stream is desync and
+    * throws, as does a mid-stream layer/rate/version change. */
+  private[graft] def walkFrames(bytes: Array[Byte],
+      mediaId: Long): Vector[FrameHeader] = {
     var p = id3v2Size(bytes)
     require(p < bytes.length, s"media $mediaId: ID3 tag with no audio frames")
     val first = parseHeader(bytes, p, mediaId).getOrElse(
@@ -190,18 +193,14 @@ object Mpeg {
         bytes(bytes.length - 127) == 'A' && bytes(bytes.length - 126) == 'G')
         bytes.length - 128
       else bytes.length
-    var frames = 0
-    var kbpsSum = 0L
-    var vbrSeen = false
+    val out = Vector.newBuilder[FrameHeader]
     var h = Option(first)
     while (h.isDefined) {
       val f = h.get
       require(f.sampleRate == first.sampleRate && f.layer == first.layer &&
         f.version == first.version,
         s"media $mediaId: MPEG stream changes layer/rate mid-stream at ${f.offset}")
-      if (f.bitrateKbps != first.bitrateKbps) vbrSeen = true
-      frames += 1
-      kbpsSum += f.bitrateKbps
+      out += f
       p = f.offset + f.frameBytes
       h = if (p + 4 <= end) {
         val next = parseHeader(bytes, p, mediaId)
@@ -215,6 +214,22 @@ object Mpeg {
         None
       }
     }
+    out.result()
+  }
+
+  /** Walk every frame: exact stream metadata. */
+  def mpegInfo(bytes: Array[Byte], mediaId: Long = -1L): MpegInfo =
+    infoOf(bytes, walkFrames(bytes, mediaId))
+
+  /** [[mpegInfo]] with the frame walk already done — callers that also
+    * need the frame ranges (the media-dedup identity path) aggregate
+    * the walked vector instead of walking twice. */
+  private[graft] def infoOf(bytes: Array[Byte],
+      fs: Vector[FrameHeader]): MpegInfo = {
+    val first = fs.head
+    val frames = fs.length
+    val kbpsSum = fs.foldLeft(0L)(_ + _.bitrateKbps)
+    val vbrSeen = fs.exists(_.bitrateKbps != first.bitrateKbps)
     val tagFrames = vbrFrames(bytes, first)
     // The walker counted every frame, so the walked count is ground
     // truth; a Xing/Info/VBRI declared count is honored only inside the
@@ -230,6 +245,54 @@ object Mpeg {
     MpegInfo(first.version, first.layer, first.sampleRate, first.channels,
       nFrames, samples, samples.toDouble / first.sampleRate,
       (kbpsSum / math.max(1, frames)).toInt, vbr)
+  }
+
+  // -- tag-invariant identity --------------------------------------------
+
+  private val Fnv64Offset = 0xcbf29ce484222325L
+  private def fnv1a64(b: Array[Byte], from: Int, until: Int,
+      seed: Long): Long = {
+    var h = seed
+    var i = from
+    while (i < until) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** 64-bit content hash of the coded audio STREAM: FNV-1a chained over
+    * the frame byte ranges the walker produces — exactly the bytes
+    * between the ID3v2 prefix and the ID3v1 tail, so re-tagging (any
+    * ID3v2, any ID3v1, or none) cannot change it, while any change to
+    * the coded audio does. Works at EVERY layer with no sample decode,
+    * so the Layer II/III decode refusal (see the object doc) costs no
+    * exact-identity coverage: a re-tagged MP3 is an exact dup by this
+    * hash. Chaining across ranges is identical to hashing their
+    * concatenation (mid-stream the ranges are contiguous by the desync
+    * contract; the chain just documents that the ID3 bytes are OUT). */
+  def streamHash64(bytes: Array[Byte], mediaId: Long = -1L): Long =
+    streamHash64Of(bytes, walkFrames(bytes, mediaId))
+
+  private[graft] def streamHash64Of(bytes: Array[Byte],
+      fs: Vector[FrameHeader]): Long = {
+    var h = Fnv64Offset
+    fs.foreach(f => h = fnv1a64(bytes, f.offset, f.offset + f.frameBytes, h))
+    h
+  }
+
+  /** Per-frame 64-bit hash sequence (independent FNV-1a per frame),
+    * same tag-stripped framing: a truncated copy's sequence is a strict
+    * PREFIX of the original's, and a concatenation's is the two
+    * sequences appended — the overlap evidence truncation/concat
+    * detection joins on, again at every layer with no decode. */
+  def frameHashes64(bytes: Array[Byte], mediaId: Long = -1L): Array[Long] = {
+    val fs = walkFrames(bytes, mediaId)
+    val out = new Array[Long](fs.length)
+    var i = 0
+    while (i < fs.length) {
+      val f = fs(i)
+      out(i) = fnv1a64(bytes, f.offset, f.offset + f.frameBytes, Fnv64Offset)
+      i += 1
+    }
+    out
   }
 
   // -- Layer I decode ----------------------------------------------------
@@ -468,7 +531,7 @@ object Mpeg {
     * allocations 0); Layer II/III zero payloads are exercise for the
     * walker only. */
   def writeCbrStream(layer: Int, rate: Int, kbps: Int, frames: Int,
-      mode: Int = 3): Array[Byte] = {
+      mode: Int = 3, fill: Int = 0): Array[Byte] = {
     require(layer >= 1 && layer <= 3)
     val srIdx = RateMpeg1.indexOf(rate)
     require(srIdx >= 0, s"not an MPEG-1 rate: $rate")
@@ -488,9 +551,45 @@ object Mpeg {
       out(p + 1) = ((h >>> 16) & 0xff).toByte
       out(p + 2) = ((h >>> 8) & 0xff).toByte
       out(p + 3) = (h & 0xff).toByte
+      if (fill != 0) {
+        // deterministic per-(frame, byte) payload pattern for identity
+        // gates — writeCbrStream(..., k, fill) is byte-identical to the
+        // first k frames of writeCbrStream(..., n, fill) for k <= n,
+        // which is what the truncation-prefix property tests ride on.
+        // Only the frame WALK ever reads such streams (a nonzero
+        // Layer I payload is not meaningful coded audio).
+        var j = 4
+        while (j < frameBytes) {
+          out(p + j) = ((f * 131 + j * 31 + fill) & 0xff).toByte
+          j += 1
+        }
+      }
       f += 1
     }
     out
+  }
+
+  /** Wrap a coded stream in deterministic ID3v2 (syncsafe size, zeroed
+    * body) and ID3v1 tags — the staging counterpart for tag-invariance
+    * gates: the wrapped stream must hash identically under
+    * [[streamHash64]]/[[frameHashes64]]. */
+  def wrapId3(stream: Array[Byte], v2Bytes: Int = 200,
+      v1: Boolean = true): Array[Byte] = {
+    require(v2Bytes >= 0 && v2Bytes < (1 << 28), s"ID3v2 size $v2Bytes")
+    val v2 = new Array[Byte](10 + v2Bytes)
+    v2(0) = 'I'; v2(1) = 'D'; v2(2) = '3'; v2(3) = 4
+    v2(6) = ((v2Bytes >> 21) & 0x7f).toByte
+    v2(7) = ((v2Bytes >> 14) & 0x7f).toByte
+    v2(8) = ((v2Bytes >> 7) & 0x7f).toByte
+    v2(9) = (v2Bytes & 0x7f).toByte
+    val tail =
+      if (!v1) Array.empty[Byte]
+      else {
+        val t = new Array[Byte](128)
+        t(0) = 'T'; t(1) = 'A'; t(2) = 'G'
+        t
+      }
+    v2 ++ stream ++ tail
   }
 
   // -- synthesis filterbank ----------------------------------------------

@@ -2032,6 +2032,63 @@ object ExtensionQueries {
         .orderBy("doc_id", "track_id")
     }),
 
+    // tag-invariant MPEG identity gate: per doc_id a coded stream is
+    // planted at every (layer, rate, kbps, frames) cycle with a
+    // deterministic nonzero payload fill, then re-tagged (ID3v2 +
+    // ID3v1), truncated, and concatenated; violations are rows,
+    // oracle = empty set.
+    //  tag_variant  — re-tagged stream hashes differently (identity
+    //                 must see only the coded frames)
+    //  frame_count  — per-frame hash sequence length != planted frames
+    //  trunc_prefix — a truncated (and re-tagged) copy's frame hashes
+    //                 are not a strict prefix of the original's
+    //  concat       — A++B's frame hashes != A's ++ B's appended
+    //  collision    — two distinct planted streams share a stream hash
+    "q_check_mpeg_identity" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Mpeg => M}
+      val rows = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 120).as[Long]
+        .flatMap { id =>
+          val layer = (1 + id % 3).toInt
+          val rate = Seq(44100, 48000, 32000)(((id / 3) % 3).toInt)
+          val kbps = (layer match {
+            case 1 => Seq(64, 128, 256, 448)
+            case 2 => Seq(48, 96, 192, 384)
+            case _ => Seq(40, 96, 128, 320)
+          })(((id / 9) % 4).toInt)
+          val frames = (6 + id % 20).toInt
+          val fill = (1 + id % 251).toInt
+          val base = M.writeCbrStream(layer, rate, kbps, frames, fill = fill)
+          val tagged = M.wrapId3(base, 100 + (id % 7).toInt * 50)
+          val sh = M.streamHash64(base, id)
+          val fh = M.frameHashes64(base, id)
+          val viol = Seq.newBuilder[(String, Long, Long)]
+          if (M.streamHash64(tagged, id) != sh)
+            viol += (("tag_variant", id, 0L))
+          if (fh.length != frames) viol += (("frame_count", id, 0L))
+          val trunc = M.wrapId3(
+            M.writeCbrStream(layer, rate, kbps, 3, fill = fill), 64)
+          if (!java.util.Arrays.equals(M.frameHashes64(trunc, id), fh.take(3)))
+            viol += (("trunc_prefix", id, 0L))
+          val other = M.writeCbrStream(layer, rate, kbps, frames + 2,
+            fill = fill)
+          if (!java.util.Arrays.equals(M.frameHashes64(base ++ other, id),
+              fh ++ M.frameHashes64(other, id)))
+            viol += (("concat", id, 0L))
+          viol.result() :+ (("stream", id, sh))
+        }
+        .toDF("kind", "doc_id", "h")
+      val collisions = rows.filter(col("kind") === "stream")
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("doc_id"))
+        .filter(col("n") > 1)
+        .select(lit("collision").as("kind"), col("doc_id"))
+      rows.filter(col("kind") =!= "stream").select("kind", "doc_id")
+        .unionByName(collisions)
+        .orderBy("kind", "doc_id")
+    }),
+
     "q_mpeg_meta" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 300)
@@ -2533,6 +2590,10 @@ object ExtensionQueries {
     // grids, timescales, sample counts, duration quotients
     "q_mp4_meta" ->
       """WITH p AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS ci, 600 * (1 + doc_id % 3) AS mvts, 600 * (1 + doc_id % 3) * (3 + doc_id % 7) + (doc_id % 97) AS mvdur, 24 + doc_id % 50 AS vs FROM documents WHERE doc_id < 300), v AS (SELECT doc_id, CAST(1 AS INTEGER) AS track_id, 'vide' AS handler, CASE ci WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1' ELSE 'av01' END AS codec, CAST(160 + 16 * (doc_id % 8) AS INTEGER) AS width, CAST(96 + 16 * (doc_id % 5) AS INTEGER) AS height, CAST(mvts AS BIGINT) AS mv_timescale, CAST(mvdur AS DOUBLE) / mvts AS mv_duration_sec, CAST(12288 AS BIGINT) AS tr_timescale, CAST(vs * 512 AS DOUBLE) / 12288 AS tr_duration_sec, CAST(vs AS BIGINT) AS samples, CAST(0 AS INTEGER) AS sample_rate, CAST(0 AS INTEGER) AS channels FROM p), ap AS (SELECT doc_id, mvts, mvdur, CASE CAST((doc_id // 2) % 3 AS INTEGER) WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS rate, 100 + doc_id % 30 AS ns FROM p WHERE doc_id % 2 = 0), a AS (SELECT doc_id, CAST(2 AS INTEGER) AS track_id, 'soun' AS handler, 'mp4a' AS codec, CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height, CAST(mvts AS BIGINT) AS mv_timescale, CAST(mvdur AS DOUBLE) / mvts AS mv_duration_sec, CAST(rate AS BIGINT) AS tr_timescale, CAST(ns * 1024 AS DOUBLE) / rate AS tr_duration_sec, CAST(ns AS BIGINT) AS samples, CAST(rate AS INTEGER) AS sample_rate, CAST(1 + (doc_id // 2) % 2 AS INTEGER) AS channels FROM ap) SELECT * FROM v UNION ALL SELECT * FROM a ORDER BY doc_id, track_id""",
+
+    // MPEG identity gate: violations are rows, oracle = empty set
+    "q_check_mpeg_identity" ->
+      """SELECT CAST(text AS VARCHAR) AS kind, doc_id FROM documents WHERE 1 = 0 ORDER BY kind, doc_id""",
 
     // independent derivation: the MPEG walker's outputs are pure
     // arithmetic of the planted parameters — layer cycle, rate/bitrate

@@ -63,6 +63,40 @@ class MediaDedupStreamSpec extends SparkSpec {
     assert(spark.read.parquet(sigs).count() == 3)
   }
 
+  test("re-tagged MP3s dedup at every layer via the tag-invariant stream hash") {
+    import graft.operators.Mpeg
+    val corpus = tmp() + "/corpus"; val sigs = tmp() + "/sigs"
+    // Layer III — sample decode REFUSED, so only the audio_stream
+    // identity can catch these; distinct payload fills = distinct audio
+    val l3a = Mpeg.writeCbrStream(3, 44100, 128, 12, fill = 17)
+    val l3b = Mpeg.writeCbrStream(3, 44100, 128, 12, fill = 91)
+    // Layer II twin pair, and a Layer I stream (dual-signature path)
+    val l2 = Mpeg.writeCbrStream(2, 48000, 192, 9, fill = 33)
+    val l1 = Mpeg.writeCbrStream(1, 32000, 128, 8)
+    CorpusPipeline.mediaCommit(Seq(
+      Media(1L, "audio/mpeg", l3a),
+      Media(2L, "audio/mpeg", Mpeg.wrapId3(l3a, 150)), // re-tag: intra-batch dup
+      Media(3L, "audio/mpeg", l3b),                    // different audio: kept
+      Media(4L, "audio/mpeg", l2),
+      Media(5L, "audio/mpeg", l1)
+    ).toDF(), 0L, corpus, sigs, maxHamming = 8)
+    assert(corpusIds(corpus) == Set(1L, 3L, 4L, 5L),
+      "the re-tagged Layer III twin must be suppressed, distinct audio kept")
+    val sigRows = spark.read.parquet(sigs)
+      .select("doc_id", "modality").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(sigRows(1L) == Set("audio_stream"), "Layer III: stream identity only")
+    assert(sigRows(5L) == Set("audio_stream", "audio"),
+      "Layer I carries both the stream identity and the decoded fingerprint")
+    // cross-batch: a re-tag of the standing Layer II stream arrives later
+    CorpusPipeline.mediaCommit(Seq(
+      Media(10L, "audio/mpeg", Mpeg.wrapId3(l2, 80, v1 = false)),
+      Media(11L, "audio/mpeg", Mpeg.writeCbrStream(2, 48000, 192, 9, fill = 77))
+    ).toDF(), 1L, corpus, sigs, maxHamming = 8)
+    assert(corpusIds(corpus) == Set(1L, 3L, 4L, 5L, 11L),
+      "the re-tagged standing stream is a dup; genuinely new audio admitted")
+  }
+
   test("a deleted bucket index is rebuilt; dedup still holds") {
     val corpus = tmp() + "/corpus"; val sigs = tmp() + "/sigs"
     CorpusPipeline.mediaCommit(Seq(img(1L, 7L)).toDF(), 0L, corpus, sigs, 8)
@@ -106,24 +140,29 @@ class MediaDedupStreamSpec extends SparkSpec {
     assert(corpusIds(corpus) == Set(1L, 3L))
   }
 
-  test("mediaCommit: MPEG audio is hashable per payload — Layer I dedups, Layer III passes through") {
+  test("mediaCommit: MPEG audio — Layer I dedups perceptually, Layer III exactly") {
     val corpus = tmp() + "/corpus"; val sigs = tmp() + "/sigs"
     def pcm(freq: Double) = TestWav.toneSamples(32000, 0.3, Seq((freq, 0.5)))
       .map(v => v) // IndexedSeq[Int]
     val l1a = TestMp3.layer1(32000, 1, pcm(440.0).toArray, nb = 13)
     val l1b = TestMp3.layer1(32000, 1, pcm(440.0).map(v => (v * 1.08).toInt).toArray, nb = 13)
     val l3 = TestMp3.layerStub(3, 44100, 128, frames = 20)
+    val l3other = TestMp3.layerStub(3, 44100, 128, frames = 21)
     val batch = Seq(
       Media(1L, "audio/mpeg", l1a),
       Media(2L, "audio/mpeg", l1b), // re-levelled Layer I twin: must dedup
-      Media(3L, "audio/mpeg", l3),  // Layer III: metadata tier, pass-through
-      Media(4L, "audio/mpeg", l3.clone())) // even its exact twin passes
+      Media(3L, "audio/mpeg", l3),  // Layer III: stream identity only
+      Media(4L, "audio/mpeg", l3.clone()), // exact L3 twin: NOW a dup
+      Media(5L, "audio/mpeg", l3other))    // different audio: kept
     CorpusPipeline.mediaCommit(batch.toDF(), 0L, corpus, sigs, maxHamming = 8)
-    assert(corpusIds(corpus) == Set(1L, 3L, 4L),
-      "Layer I twin suppressed; Layer III rows pass through undeduped")
+    assert(corpusIds(corpus) == Set(1L, 3L, 5L),
+      "Layer I twin suppressed perceptually; exact Layer III twin by stream hash")
     val sigRows = spark.read.parquet(sigs)
-      .select("doc_id", "modality").as[(Long, String)].collect().toSet
-    assert(sigRows == Set((1L, "audio")),
-      "only the decodable Layer I payload entered the signature tier")
+      .select("doc_id", "modality").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(sigRows(1L) == Set("audio", "audio_stream"),
+      "decodable Layer I carries both the fingerprint and the stream identity")
+    assert(sigRows(3L) == Set("audio_stream") && sigRows(5L) == Set("audio_stream"),
+      "Layer III enters the signature tier with the stream identity alone")
   }
 }

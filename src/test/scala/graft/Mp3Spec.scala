@@ -59,6 +59,20 @@ class Mp3Spec extends SparkSpec {
     assert(Mpeg.mpegInfo(zero).frames == 5)
   }
 
+  test("streamHash64/frameHashes64: tag-invariant identity, all layers") {
+    // real coded Layer I audio: re-tagging must not move the hash
+    val pcm = Array.tabulate(2304)(i => (8000 * StrictMath.sin(i / 11.0)).toInt)
+    val s = TestMp3.layer1(32000, 1, pcm)
+    assert(Mpeg.streamHash64(TestMp3.withId3(s)) == Mpeg.streamHash64(s))
+    assert(Mpeg.frameHashes64(s).length == Mpeg.mpegInfo(s).frames)
+    // Layer III: sample decode is refused, but identity still exists —
+    // the no-fingerprint gap the stream hash closes
+    val l3 = TestMp3.layerStub(3, 44100, 128, frames = 7)
+    intercept[IllegalArgumentException] { Mpeg.decodeSamples(l3) }
+    assert(Mpeg.streamHash64(TestMp3.withId3(l3)) == Mpeg.streamHash64(l3))
+    assert(Mpeg.frameHashes64(l3).length == 7)
+  }
+
   test("mpegInfo: ID3v2 prefix and ID3v1 tail are skipped, not desync") {
     val s = TestMp3.withId3(TestMp3.layerStub(3, 44100, 96, frames = 7))
     val i = Mpeg.mpegInfo(s)
