@@ -207,6 +207,36 @@ object Warc {
         col("extract_ok"))
   }
 
+  /** Curate-ready documents from OOXML `.docx` responses — the fourth
+    * text carrier after HTML, PDF, and plain text
+    * ([[graft.operators.Docx]]: ZIP central-directory walk + bounded
+    * WordprocessingML strip). Same strict-codec / tolerant-bridge
+    * contract as [[toDocumentsPdf]]: one malformed package in a crawl
+    * degrades to a flagged row (`extract_ok = false`, null text), never
+    * fails the archive job. Legacy binary `.doc` (application/msword)
+    * is NOT claimed — it is a different (OLE2) container. */
+  def toDocumentsDocx(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    import graft.functions.TextFunctions
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type")) ===
+          "application/vnd.openxmlformats-officedocument.wordprocessingml.document")
+      .select(
+        xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, url, bytes) =>
+        try (id, url, graft.operators.Docx.extractText(bytes, id), true)
+        catch { case _: Exception => (id, url, null: String, false) } })
+      .toDF("doc_id", "url", "text", "extract_ok")
+      .select(col("doc_id"), col("url"),
+        TextFunctions.langId(col("text")).as("lang"), col("text"),
+        col("extract_ok"))
+  }
+
   /** Curate-ready documents from `text/plain` responses: the payload IS
     * the text (decoded with the same charset rules as HTML), no
     * stripping — the third text carrier after HTML and PDF. */
@@ -227,7 +257,8 @@ object Warc {
   /** ONE call from crawl archive to curate-ready documents: every
     * text-bearing response routed to its extractor — `text/html` through
     * the HTML strip, `application/pdf` through the pure-JVM PDF
-    * extractor, `text/plain` as-is — unioned into the shared
+    * extractor, OOXML `.docx` through the ZIP/WordprocessingML strip,
+    * `text/plain` as-is — unioned into the shared
     * (doc_id, url, lang, text) shape `CorpusPipeline.curate` consumes.
     * Media-typed responses are [[toMedia]]'s business, not dropped here
     * silently — this is the TEXT face only. Each branch filters the same
@@ -237,8 +268,10 @@ object Warc {
   def toDocuments(records: Dataset[WarcRecord]): DataFrame =
     toDocumentsHtml(records)
       // failed extractions carry no text — nothing for curation; callers
-      // who need the failure rows use toDocumentsPdf directly
+      // who need the failure rows use toDocumentsPdf/Docx directly
       .unionByName(toDocumentsPdf(records)
+        .filter(col("extract_ok")).drop("extract_ok"))
+      .unionByName(toDocumentsDocx(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsText(records))
 

@@ -1,0 +1,268 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Pure-JVM DOCX (OOXML, ECMA-376) text extraction — the fourth text
+  * carrier after HTML, PDF, and WET. A `.docx` is a ZIP package whose
+  * main part is `word/document.xml`; the visible text is the character
+  * content of `<w:t>` runs, with `</w:p>` as the paragraph boundary.
+  * Both layers are public layout: PKZIP's local-header/central-
+  * directory structure (APPNOTE.TXT) and the WordprocessingML element
+  * names. Same zero-native-deps rule as [[Pdf]]: `java.util.zip
+  * .Inflater` is the whole codec dependency.
+  *
+  * The ZIP walk reads the CENTRAL directory (located via the
+  * end-of-central-directory record), not the local headers alone — a
+  * streaming writer that used data descriptors leaves zero sizes in
+  * the local header, and only the central directory is authoritative.
+  *
+  * The XML strip is a bounded linear scan, not a general XML parser:
+  * `<w:t>` content accumulates (with the five named entities and
+  * numeric character references decoded), `</w:p>` appends a line
+  * break, `<w:br/>`/`<w:tab/>` map to newline/tab, everything else —
+  * attributes, formatting runs, section properties — is skipped by
+  * tag framing alone. That is exactly the fidelity a curation corpus
+  * needs, and nothing more.
+  *
+  * Fail-loudly contract ([[Multimodal]] codec rule): a payload without
+  * a ZIP end record, a missing/truncated `word/document.xml`, an
+  * unsupported compression method, or malformed entity syntax throws
+  * `IllegalArgumentException` with the media id — callers bridge to
+  * flagged rows at the ingestion boundary ([[graft.io.Warc
+  * .toDocumentsDocx]]), the PDF tolerance pattern. */
+object Docx {
+
+  /** Visible text of a `.docx` payload, paragraphs joined by `\n`. */
+  def extractText(bytes: Array[Byte], mediaId: Long = -1L): String =
+    stripDocumentXml(
+      new String(zipEntry(bytes, "word/document.xml", mediaId), UTF_8),
+      mediaId)
+
+  // -- ZIP package walk --------------------------------------------------
+
+  /** One named entry's uncompressed bytes, resolved through the central
+    * directory (authoritative sizes) and read at its local header. */
+  private[graft] def zipEntry(b: Array[Byte], name: String,
+      mediaId: Long): Array[Byte] = {
+    def u16(p: Int): Int = {
+      require(p + 2 <= b.length, s"media $mediaId: truncated ZIP at byte $p")
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    }
+    def u32(p: Int): Long = {
+      require(p + 4 <= b.length, s"media $mediaId: truncated ZIP at byte $p")
+      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    }
+    require(b.length >= 22, s"media $mediaId: not a ZIP payload (too short)")
+    // end-of-central-directory: PK\5\6, scanned back over a possible
+    // trailing comment (bounded at the format's 64 KiB comment cap)
+    var e = b.length - 22
+    val stop = math.max(0, b.length - 22 - 0xffff)
+    while (e >= stop && !(b(e) == 0x50 && b(e + 1) == 0x4b &&
+        b(e + 2) == 0x05 && b(e + 3) == 0x06)) e -= 1
+    require(e >= stop, s"media $mediaId: ZIP end-of-central-directory missing")
+    val nEntries = u16(e + 10)
+    var p = u32(e + 16).toInt
+    var i = 0
+    while (i < nEntries) {
+      require(u32(p) == 0x02014b50L,
+        s"media $mediaId: ZIP central-directory entry signature missing at $p")
+      val method = u16(p + 10)
+      val compSize = u32(p + 20)
+      val uncompSize = u32(p + 24)
+      val nameLen = u16(p + 28)
+      val extraLen = u16(p + 30)
+      val commentLen = u16(p + 32)
+      val lh = u32(p + 42).toInt
+      require(p + 46 + nameLen <= b.length,
+        s"media $mediaId: ZIP entry name overruns")
+      val entryName = new String(b, p + 46, nameLen, UTF_8)
+      if (entryName == name) {
+        require(u32(lh) == 0x04034b50L,
+          s"media $mediaId: ZIP local-header signature missing at $lh")
+        val dataAt = lh + 30 + u16(lh + 26) + u16(lh + 28)
+        require(dataAt + compSize <= b.length,
+          s"media $mediaId: ZIP entry '$name' data overruns the payload")
+        return method match {
+          case 0 =>
+            require(compSize == uncompSize,
+              s"media $mediaId: stored ZIP entry with mismatched sizes")
+            java.util.Arrays.copyOfRange(b, dataAt, dataAt + compSize.toInt)
+          case 8 => inflateRaw(b, dataAt, compSize.toInt, uncompSize.toInt,
+            mediaId)
+          case m => throw new IllegalArgumentException(
+            s"media $mediaId: unsupported ZIP compression method $m")
+        }
+      }
+      p += 46 + nameLen + extraLen + commentLen
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"media $mediaId: ZIP package without '$name' — not a DOCX")
+  }
+
+  private def inflateRaw(b: Array[Byte], at: Int, compLen: Int,
+      uncompLen: Int, mediaId: Long): Array[Byte] = {
+    val inf = new Inflater(true) // ZIP entries are headerless deflate
+    inf.setInput(b, at, compLen)
+    val out = new Array[Byte](uncompLen)
+    var got = 0
+    try {
+      while (got < uncompLen && !inf.finished()) {
+        val n = inf.inflate(out, got, uncompLen - got)
+        require(n > 0 || inf.finished(),
+          s"media $mediaId: ZIP deflate stream stalled (truncated entry)")
+        got += n
+      }
+    } finally inf.end()
+    require(got == uncompLen,
+      s"media $mediaId: ZIP entry inflated to $got of $uncompLen bytes")
+    out
+  }
+
+  // -- WordprocessingML text strip ---------------------------------------
+
+  /** Bounded text strip of a `document.xml` string (see object doc). */
+  private[graft] def stripDocumentXml(xml: String, mediaId: Long): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inText = false
+    while (i < xml.length) {
+      if (xml.charAt(i) == '<') {
+        val close = xml.indexOf('>', i)
+        require(close > i,
+          s"media $mediaId: unterminated tag in document.xml at $i")
+        val tag = xml.substring(i + 1, close)
+        if (inText && tag == "/w:t") inText = false
+        else if (!inText && (tag == "w:t" || tag.startsWith("w:t ")))
+          inText = !tag.endsWith("/") // self-closing = empty run
+        else if (tag == "/w:p") sb.append('\n')
+        else if (tag == "w:br" || tag == "w:br/" || tag.startsWith("w:br "))
+          sb.append('\n')
+        else if (tag == "w:tab" || tag == "w:tab/" || tag.startsWith("w:tab "))
+          sb.append('\t')
+        i = close + 1
+      } else if (inText) {
+        val c = xml.charAt(i)
+        if (c == '&') {
+          val semi = xml.indexOf(';', i)
+          require(semi > i && semi - i <= 10,
+            s"media $mediaId: malformed XML entity in document.xml at $i")
+          val ent = xml.substring(i + 1, semi)
+          sb.append(ent match {
+            case "amp" => "&"
+            case "lt" => "<"
+            case "gt" => ">"
+            case "quot" => "\""
+            case "apos" => "'"
+            case e if e.length > 2 && (e.charAt(0) == '#') &&
+                (e.charAt(1) == 'x' || e.charAt(1) == 'X') =>
+              new String(Character.toChars(Integer.parseInt(e.substring(2), 16)))
+            case e if e.length > 1 && e.charAt(0) == '#' =>
+              new String(Character.toChars(e.substring(1).toInt))
+            case e => throw new IllegalArgumentException(
+              s"media $mediaId: unknown XML entity &$e; in document.xml")
+          })
+          i = semi + 1
+        } else { sb.append(c); i += 1 }
+      } else i += 1
+    }
+    require(!inText,
+      s"media $mediaId: document.xml ends inside an open <w:t> run (truncated)")
+    // each </w:p> appended a break; the final paragraph's is not a
+    // separator — drop exactly one so n paragraphs join with n-1 breaks
+    val s = sb.result()
+    if (s.nonEmpty && s.charAt(s.length - 1) == '\n') s.substring(0, s.length - 1)
+    else s
+  }
+
+  // -- generator (staging/spec counterpart, the Pdf.writeTextPdf rule) ---
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case c => c.toString
+    }
+
+  /** Serialize a minimal VALID `.docx` for `text` (one `<w:p>` per
+    * `\n`-separated line, `xml:space="preserve"` runs) — the staging
+    * counterpart of [[extractText]] for oracled round-trip queries.
+    * Deterministic bytes: fixed timestamps, fixed entry order, real
+    * deflate + CRC-32 central directory. */
+  def writeDocx(text: String): Array[Byte] = {
+    val body = text.split("\n", -1).map(p =>
+      "<w:p><w:r><w:t xml:space=\"preserve\">" + xmlEscape(p) +
+        "</w:t></w:r></w:p>").mkString
+    val documentXml =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+        "<w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\">" +
+        "<w:body>" + body + "</w:body></w:document>"
+    val contentTypes =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+        "<Types xmlns=\"http://schemas.openxmlformats.org/package/2006/content-types\">" +
+        "<Default Extension=\"rels\" ContentType=\"application/vnd.openxmlformats-package.relationships+xml\"/>" +
+        "<Default Extension=\"xml\" ContentType=\"application/xml\"/>" +
+        "<Override PartName=\"/word/document.xml\" ContentType=\"application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml\"/>" +
+        "</Types>"
+    val rels =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+        "<Relationships xmlns=\"http://schemas.openxmlformats.org/package/2006/relationships\">" +
+        "<Relationship Id=\"rId1\" Type=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument\" Target=\"word/document.xml\"/>" +
+        "</Relationships>"
+    writeZip(Seq(
+      "[Content_Types].xml" -> contentTypes.getBytes(UTF_8),
+      "_rels/.rels" -> rels.getBytes(UTF_8),
+      "word/document.xml" -> documentXml.getBytes(UTF_8)))
+  }
+
+  /** Deterministic ZIP writer: deflated entries, local headers with
+    * real sizes (no data descriptors), central directory + EOCD. */
+  private[graft] def writeZip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    val central = new java.io.ByteArrayOutputStream()
+    def c16(v: Int): Unit = { central.write(v & 0xff); central.write((v >> 8) & 0xff) }
+    def c32(v: Long): Unit = {
+      central.write((v & 0xff).toInt); central.write(((v >> 8) & 0xff).toInt)
+      central.write(((v >> 16) & 0xff).toInt); central.write(((v >> 24) & 0xff).toInt)
+    }
+    entries.foreach { case (name, data) =>
+      val nameB = name.getBytes(UTF_8)
+      val crc = new CRC32(); crc.update(data)
+      val def_ = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+      def_.setInput(data); def_.finish()
+      val cbuf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!def_.finished()) cbuf.write(tmp, 0, def_.deflate(tmp))
+      def_.end()
+      val comp = cbuf.toByteArray
+      val lhOff = out.size().toLong
+      w32(0x04034b50L); w16(20); w16(0); w16(8) // sig, version, flags, deflate
+      w16(0); w16(0x21) // fixed mod time/date (determinism)
+      w32(crc.getValue); w32(comp.length.toLong); w32(data.length.toLong)
+      w16(nameB.length); w16(0)
+      out.write(nameB); out.write(comp)
+      c32(0x02014b50L); c16(20); c16(20); c16(0); c16(8)
+      c16(0); c16(0x21)
+      c32(crc.getValue); c32(comp.length.toLong); c32(data.length.toLong)
+      c16(nameB.length); c16(0); c16(0) // name, extra, comment lens
+      c16(0); c16(0); c32(0L) // disk, internal attrs, external attrs
+      c32(lhOff)
+      central.write(nameB)
+    }
+    val cdOff = out.size().toLong
+    val cd = central.toByteArray
+    out.write(cd)
+    w32(0x06054b50L); w16(0); w16(0)
+    w16(entries.length); w16(entries.length)
+    w32(cd.length.toLong); w32(cdOff); w16(0)
+    out.toByteArray
+  }
+}

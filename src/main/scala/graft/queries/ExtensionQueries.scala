@@ -271,6 +271,33 @@ object ExtensionQueries {
       out
     })
 
+  private val docxStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped DOCX staging for q_docx_roundtrip: each document
+    * serialized as a real OOXML package (sentence breaks planted as
+    * paragraph boundaries, so the `</w:p>` line rule is on the oracle
+    * path) and framed into WARC response archives — the `.docx` face of
+    * [[pdfStage]]. Generation is distributed; nothing ships from the
+    * driver. */
+  private def docxStage(s: SparkSession, dir: String): String =
+    docxStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_docx").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          regexp_replace(col("text"), "\\. ", "\n").as("x"))
+        .as[(Long, String, String)]
+        .map { case (_, u, x) =>
+          (u,
+            "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+            graft.operators.Docx.writeDocx(x)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val shardStages =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
 
@@ -2193,6 +2220,22 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // DOCX ingestion round-trip (the q_pdf_roundtrip pattern): every
+    // document serialized to a real OOXML package ONCE per session
+    // (docxStage — distributed generation, WARC framing), then read
+    // back through the full path: archive walk, MIME routing, ZIP
+    // central-directory resolution, raw-deflate entry decode, bounded
+    // WordprocessingML strip with entity decode. The oracle recomputes
+    // the text from the documents table directly, so a defect anywhere
+    // in the generator/extractor pair is a hash mismatch.
+    "q_docx_roundtrip" -> ((s, dir) => {
+      val docIdStr = regexp_extract(col("url"), "doc/(\\d+)$", 1)
+      graft.io.Warc.toDocumentsDocx(
+          graft.io.Warc.readWarc(s, docxStage(s, dir)))
+        .select(docIdStr.cast(LongType).as("doc_id"), col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // dataset card: all rollup levels (global / per-source /
     // per-(source,lang)) in ONE Expand+shuffle pass; the oracle replays
     // the literal ANSI GROUP BY ROLLUP — grouping_id bitmask included,
@@ -2562,6 +2605,9 @@ object ExtensionQueries {
       """WITH p AS (SELECT doc_id, replace(text, '. ', chr(10)) AS payload FROM documents) SELECT doc_id, 'urn:graft:' || doc_id AS record_id, CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes, true AS framing_ok, payload FROM p ORDER BY doc_id""",
 
     "q_pdf_roundtrip" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    "q_docx_roundtrip" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
 
     "q_dataset_card" ->
