@@ -50,16 +50,18 @@ object AnnIndex {
       trainOn: Option[DataFrame] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
-    val train = trainOn.getOrElse(corpus)
-    val centroids = Similarity.trainCentroids(train, nLists, iters, idCol, vecCol)
-    val codebooks = Similarity.trainPqCodebooks(train, m, kc, iters, idCol, vecCol)
-    Similarity.saveCentroids(spark, centroids, s"$indexDir/centroids")
-    saveCodebooks(spark, codebooks, s"$indexDir/codebooks")
-    writeLists(corpus, indexDir, "overwrite", centroids, codebooks, idCol, vecCol)
-    // count the JUST-WRITTEN lists (parquet footer metadata), not the
-    // corpus lineage — a non-trivial corpus plan would re-execute
-    val n = spark.read.parquet(s"$indexDir/lists").count()
-    saveMeta(spark, indexDir, IndexMeta(n, nLists, m, kc, iters, n))
+    IndexLock.withLock(spark, indexDir, "build") {
+      val train = trainOn.getOrElse(corpus)
+      val centroids = Similarity.trainCentroids(train, nLists, iters, idCol, vecCol)
+      val codebooks = Similarity.trainPqCodebooks(train, m, kc, iters, idCol, vecCol)
+      Similarity.saveCentroids(spark, centroids, s"$indexDir/centroids")
+      saveCodebooks(spark, codebooks, s"$indexDir/codebooks")
+      writeLists(corpus, indexDir, "overwrite", centroids, codebooks, idCol, vecCol)
+      // count the JUST-WRITTEN lists (parquet footer metadata), not the
+      // corpus lineage — a non-trivial corpus plan would re-execute
+      val n = spark.read.parquet(s"$indexDir/lists").count()
+      saveMeta(spark, indexDir, IndexMeta(n, nLists, m, kc, iters, n))
+    }
   }
 
   /** Append a vector batch: coded against the standing models, no rewrite
@@ -67,7 +69,13 @@ object AnnIndex {
     * maintenance pattern); from a stream use
     * [[annIndexAppendIdempotent]]. */
   def annIndexAppend(newVecs: DataFrame, indexDir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    IndexLock.withLock(newVecs.sparkSession, indexDir, "append") {
+      appendBody(newVecs, indexDir, idCol, vecCol)
+    }
+
+  private def appendBody(newVecs: DataFrame, indexDir: String,
+      idCol: String, vecCol: String): Unit = {
     val spark = newVecs.sparkSession
     val centroids = Similarity.loadCentroids(spark, s"$indexDir/centroids")
     val codebooks = loadCodebooks(spark, s"$indexDir/codebooks")
@@ -85,15 +93,19 @@ object AnnIndex {
 
   /** At-most-once [[annIndexAppend]], gated on the root batch marker —
     * a replayed microbatch id is skipped instead of double-indexing.
-    * Returns whether the batch was written. */
+    * Returns whether the batch was written. The marker check shares the
+    * append's lease, so a racing writer can't slip between the check
+    * and the write. */
   def annIndexAppendIdempotent(newVecs: DataFrame, indexDir: String,
       batchId: Long, idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
     val spark = newVecs.sparkSession
-    if (batchId <= graft.io.Sinks.lastCommittedBatch(spark, indexDir)) false
-    else {
-      annIndexAppend(newVecs, indexDir, idCol, vecCol)
-      graft.io.Sinks.recordCommittedBatch(spark, indexDir, batchId)
-      true
+    IndexLock.withLock(spark, indexDir, "append") {
+      if (batchId <= graft.io.Sinks.lastCommittedBatch(spark, indexDir)) false
+      else {
+        appendBody(newVecs, indexDir, idCol, vecCol)
+        graft.io.Sinks.recordCommittedBatch(spark, indexDir, batchId)
+        true
+      }
     }
   }
 
@@ -185,7 +197,7 @@ object AnnIndex {
     * [[annIndexCompact]] physically drops them. Returns the number of
     * NEWLY retracted ids. Single-writer contract. */
   def annIndexDelete(spark: SparkSession, indexDir: String, ids: DataFrame,
-      idCol: String = "vec_id"): Long = {
+      idCol: String = "vec_id"): Long = IndexLock.withLock(spark, indexDir, "delete") {
     require(graft.io.Sinks.parquetExists(spark, s"$indexDir/lists"),
       s"no standing ANN index at $indexDir (lists/ is empty or absent)")
     val delDir = s"$indexDir/deletes"
@@ -211,7 +223,12 @@ object AnnIndex {
     * window and single-owner contract as the BM25 compactor; probe
     * results are unchanged (row ORDER is not part of any result — every
     * output goes through rank windows with total tie orders). */
-  def annIndexCompact(spark: SparkSession, indexDir: String): Unit = {
+  def annIndexCompact(spark: SparkSession, indexDir: String): Unit =
+    IndexLock.withLock(spark, indexDir, "compact") {
+      compactBody(spark, indexDir)
+    }
+
+  private def compactBody(spark: SparkSession, indexDir: String): Unit = {
     val delDir = s"$indexDir/deletes"
     val hasDeletes = graft.io.Sinks.parquetExists(spark, delDir)
     graft.io.Sinks.rewriteParquetInPlace(spark, s"$indexDir/lists")(df =>
@@ -237,13 +254,17 @@ object AnnIndex {
       maxFiles: Int = 64, growthFactor: Double = 4.0): Boolean = {
     require(maxFiles > 0, s"maxFiles must be positive: $maxFiles")
     require(growthFactor > 1.0, s"growthFactor must exceed 1: $growthFactor")
-    val grown = loadMeta(spark, indexDir).exists(meta =>
-      meta.currentVectors > growthFactor * meta.builtVectors)
-    if (grown) { annIndexRebalance(spark, indexDir); true }
-    else {
-      val over = graft.io.Sinks.parquetFileCount(spark, s"$indexDir/lists") > maxFiles
-      if (over) annIndexCompact(spark, indexDir)
-      over
+    // one lease spans the decision AND the chosen action — a racing
+    // append can't interleave between the growth check and the rebuild
+    IndexLock.withLock(spark, indexDir, "maintain") {
+      val grown = loadMeta(spark, indexDir).exists(meta =>
+        meta.currentVectors > growthFactor * meta.builtVectors)
+      if (grown) { rebalanceBody(spark, indexDir, 100000L); true }
+      else {
+        val over = graft.io.Sinks.parquetFileCount(spark, s"$indexDir/lists") > maxFiles
+        if (over) compactBody(spark, indexDir)
+        over
+      }
     }
   }
 
@@ -320,7 +341,13 @@ object AnnIndex {
     * BETWEEN swapDir's two renames leaves dst momentarily absent), so
     * running the verb again always repairs. */
   def annIndexRebalance(spark: SparkSession, indexDir: String,
-      sampleCap: Long = 100000L): Unit = {
+      sampleCap: Long = 100000L): Unit =
+    IndexLock.withLock(spark, indexDir, "rebalance") {
+      rebalanceBody(spark, indexDir, sampleCap)
+    }
+
+  private def rebalanceBody(spark: SparkSession, indexDir: String,
+      sampleCap: Long): Unit = {
     // repair a half-swapped predecessor first: a crash between swapDir's
     // two renames leaves dst missing with the retired dir still present
     Seq("centroids", "codebooks", "lists").foreach { d =>

@@ -173,7 +173,9 @@ object Search {
   /** Build the standing index at `indexDir` (overwrites). */
   def bm25BuildIndex(docs: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit =
-    writeIndex(docs, indexDir, "overwrite", idCol, textCol)
+    IndexLock.withLock(docs.sparkSession, indexDir, "build") {
+      writeIndex(docs, indexDir, "overwrite", idCol, textCol)
+    }
 
   /** Append a document batch to an existing index — increments only, no
     * rewrite of standing postings (the signature-table maintenance
@@ -182,7 +184,9 @@ object Search {
     * [[bm25IndexAppendIdempotent]]). */
   def bm25IndexAppend(newDocs: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit =
-    writeIndex(newDocs, indexDir, "append", idCol, textCol)
+    IndexLock.withLock(newDocs.sparkSession, indexDir, "append") {
+      writeIndex(newDocs, indexDir, "append", idCol, textCol)
+    }
 
   /** At-most-once [[bm25IndexAppend]]: the three table appends are gated
     * on one batch marker at the index ROOT (`Sinks.lastCommittedBatch`),
@@ -195,11 +199,13 @@ object Search {
   def bm25IndexAppendIdempotent(newDocs: DataFrame, indexDir: String,
       batchId: Long, idCol: String = "doc_id", textCol: String = "text"): Boolean = {
     val spark = newDocs.sparkSession
-    if (batchId <= graft.io.Sinks.lastCommittedBatch(spark, indexDir)) false
-    else {
-      writeIndex(newDocs, indexDir, "append", idCol, textCol)
-      graft.io.Sinks.recordCommittedBatch(spark, indexDir, batchId)
-      true
+    IndexLock.withLock(spark, indexDir, "append") {
+      if (batchId <= graft.io.Sinks.lastCommittedBatch(spark, indexDir)) false
+      else {
+        writeIndex(newDocs, indexDir, "append", idCol, textCol)
+        graft.io.Sinks.recordCommittedBatch(spark, indexDir, batchId)
+        true
+      }
     }
   }
 
@@ -226,7 +232,8 @@ object Search {
     * Returns the number of NEWLY retracted ids. Single-writer contract
     * like every other maintenance verb. */
   def bm25IndexDelete(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, ids: DataFrame, idCol: String = "doc_id"): Long = {
+      indexDir: String, ids: DataFrame, idCol: String = "doc_id"): Long =
+      IndexLock.withLock(spark, indexDir, "delete") {
     require(graft.io.Sinks.parquetExists(spark, s"$indexDir/postings"),
       s"no standing index at $indexDir (postings/ is empty or absent)")
     val delDir = s"$indexDir/deletes"
@@ -275,6 +282,12 @@ object Search {
     * as compaction; the batch marker lives at the index root, so swaps
     * never touch it). */
   def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit =
+    IndexLock.withLock(spark, indexDir, "compact") {
+      compactBody(spark, indexDir)
+    }
+
+  private def compactBody(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
     val delDir = s"$indexDir/deletes"
     val hasDeletes = graft.io.Sinks.parquetExists(spark, delDir)
@@ -300,10 +313,12 @@ object Search {
   def bm25IndexMaintain(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, maxFiles: Int = 64): Boolean = {
     require(maxFiles > 0, s"maxFiles must be positive: $maxFiles")
-    val over = Seq("postings", "terms", "stats").exists(d =>
-      graft.io.Sinks.parquetFileCount(spark, s"$indexDir/$d") > maxFiles)
-    if (over) bm25IndexCompact(spark, indexDir)
-    over
+    IndexLock.withLock(spark, indexDir, "maintain") {
+      val over = Seq("postings", "terms", "stats").exists(d =>
+        graft.io.Sinks.parquetFileCount(spark, s"$indexDir/$d") > maxFiles)
+      if (over) compactBody(spark, indexDir)
+      over
+    }
   }
 
   private def writeIndex(docs: DataFrame, indexDir: String, mode: String,
