@@ -341,6 +341,14 @@ object Main {
       println(s"compacted index: $idx")
       spark.stop()
 
+    // operator recovery after a CRASHED (process-death) writer left its
+    // lease behind — works on BM25 and ANN indexes alike
+    case "index-unlock" :: idx :: Nil =>
+      val spark = session("graft-index-unlock")
+      graft.operators.IndexLock.forceUnlock(spark, idx)
+      println(s"cleared writer lease: $idx")
+      spark.stop()
+
     //   graft.Main index-delete <indexDir> <id1,id2,...>
     case "index-delete" :: idx :: idCsv :: Nil =>
       val spark = session("graft-index-delete")
@@ -486,6 +494,7 @@ object Main {
            |  graft.Main bpe-train <documentsParquetDir> <modelDir> [numMerges]
            |  graft.Main bpe-encode <documentsParquetDir> <modelDir> <outParquetDir>
            |  graft.Main index-compact <indexDir>
+           |  graft.Main index-unlock <indexDir>
            |  graft.Main index-delete <indexDir> <id1,id2,...>
            |  graft.Main ann-build <embeddingsParquetDir> <indexDir> <nLists> <m>
            |  graft.Main ann-append <embeddingsParquetDir> <indexDir>
