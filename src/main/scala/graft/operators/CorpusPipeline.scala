@@ -418,7 +418,8 @@ object CorpusPipeline {
   private val hashableKinds = Set(
     "image/ppm", "image/png", "image/jpeg", "image/gif",
     "audio/wav", "audio/flac", "audio/x-flac",
-    "audio/mpeg", "audio/mp3", "audio/x-mpeg-3")
+    "audio/mpeg", "audio/mp3", "audio/mpeg3", "audio/x-mpeg-3",
+    "video/mp4", "audio/mp4", "audio/x-m4a")
 
   /** Perceptual + identity signatures of a media batch: (`doc_id`,
     * `modality`, `simhash`) — images through
@@ -442,7 +443,13 @@ object CorpusPipeline {
     *  - `audio` for MPEG-1 Layer I: the decoded spectrogram
     *    fingerprint ([[Multimodal.audioHash64With]], fed by the SAME
     *    walk; a stream that walks clean but carries a corrupt Layer-I
-    *    payload still fails loudly there). */
+    *    payload still fails loudly there).
+    *
+    * MP4 containers (`video/mp4`, m4a audio) emit the `mp4_stream`
+    * identity — [[graft.operators.Mp4.contentHash64]] over the mdat
+    * payload ranges, so an edited-metadata copy of the same video is
+    * an exact dup; same avalanche-only-pairs-equal property as the
+    * audio stream hash. */
   private def mediaSigs(batch: DataFrame): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
@@ -454,7 +461,16 @@ object CorpusPipeline {
           Seq((m.media_id, "image", Multimodal.perceptualHash64(m)))
         else if (m.kind == "audio/wav" || m.kind.contains("flac"))
           Seq((m.media_id, "audio", Multimodal.audioHash64(m)))
-        else {
+        else if (m.kind == "video/mp4" || m.kind == "audio/mp4" ||
+            m.kind == "audio/x-m4a") {
+          // MP4: metadata-invariant mdat content hash ([[Mp4
+          // .contentHash64]]) — an edited-metadata copy is an exact dup;
+          // malformed containers take the metadata-tier pass-through,
+          // the audio/mpeg framing-damage contract
+          (try Some(graft.operators.Mp4.contentHash64(m.bytes, m.media_id))
+          catch { case _: IllegalArgumentException => None })
+            .map(h => (m.media_id, "mp4_stream", h)).toSeq
+        } else {
           val walked = // framing damage: metadata tier, pass through
             try Some(graft.operators.Mpeg.walkFrames(m.bytes, m.media_id))
             catch { case _: IllegalArgumentException => None }
@@ -510,7 +526,7 @@ object CorpusPipeline {
       val p = new HPath(dir)
       fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
     }
-    val modalities = Seq("image", "audio", "audio_stream")
+    val modalities = Seq("image", "audio", "audio_stream", "mp4_stream")
     val sigs = mediaSigs(batch).persist()
     sigs.count() // materialize: exact stats → broadcast probes (see minhashDedupAgainst)
     // intra-batch twins per modality — same min-id-keeper rule as text

@@ -204,6 +204,64 @@ object Mp4 {
       mvDuration.toDouble / mvTimescale, tracks)
   }
 
+  // -- metadata-invariant identity ---------------------------------------
+
+  private val Fnv64Offset = 0xcbf29ce484222325L
+  private def fnv1a64(b: Array[Byte], from: Int, until: Int,
+      seed: Long): Long = {
+    var h = seed
+    var i = from
+    while (i < until) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** 64-bit content hash of the MEDIA DATA: FNV-1a chained over the
+    * payload ranges of every top-level `mdat` box in file order — the
+    * MP4 face of [[Mpeg.streamHash64]]. Editing metadata (a rewritten
+    * `moov`/`udta`, different time-field versions, a largesize header,
+    * inserted `free` space) cannot change it, while any change to the
+    * coded samples does — so a metadata-edited copy of the same video
+    * is an exact dup in the media dedup sink. A REMUX that re-chunks
+    * the interleaving changes the mdat layout and hashes differently:
+    * exact identity covers the edited-copy case, the same honest scope
+    * as the MPEG stream hash (no sample decode, no guessing). Requires
+    * a well-formed box tree with at least one `mdat`; anything else
+    * throws (the fail-loud codec rule — the dedup bridge degrades to
+    * pass-through, [[graft.operators.CorpusPipeline]]). */
+  def contentHash64(b: Array[Byte], mediaId: Long = -1L): Long = {
+    def u32(p: Int): Long = {
+      require(p + 4 <= b.length, s"media $mediaId: truncated MP4 at byte $p")
+      ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    }
+    def u64(p: Int): Long = (u32(p) << 32) | u32(p + 4)
+    require(b.length >= 8, s"media $mediaId: not an MP4 payload (too short)")
+    require(new String(b, 4, 4, java.nio.charset.StandardCharsets.US_ASCII) == "ftyp",
+      s"media $mediaId: not an MP4 payload (first box is not ftyp)")
+    var h = Fnv64Offset
+    var sawMdat = false
+    var p = 0
+    while (p < b.length) {
+      val size32 = u32(p)
+      val typ = new String(b, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val (hdr, size) =
+        if (size32 == 1L) { val ls = u64(p + 8); require(ls >= 16,
+          s"media $mediaId: MP4 '$typ' largesize $ls < header"); (16, ls) }
+        else if (size32 == 0L) (8, (b.length - p).toLong)
+        else { require(size32 >= 8,
+          s"media $mediaId: MP4 '$typ' size $size32 < header"); (8, size32) }
+      require(size <= (b.length - p).toLong,
+        s"media $mediaId: MP4 box '$typ' size $size overruns the payload")
+      if (typ == "mdat") {
+        sawMdat = true
+        h = fnv1a64(b, p + hdr, p + size.toInt, h)
+      }
+      p += size.toInt
+    }
+    require(sawMdat, s"media $mediaId: MP4 without an mdat box — no media data")
+    h
+  }
+
   // -- generator (staging/spec counterpart, the Mpeg.writeCbrStream rule) --
 
   /** Track parameters for [[writeMp4]]: `handler` "vide" (uses
@@ -234,11 +292,12 @@ object Mp4 {
     * [[mp4Info]] for oracled metadata queries and specs. `version`
     * picks the mvhd time-field width; `largesizeMoov` writes moov in
     * the 64-bit `largesize` header form (byte-level variant, identical
-    * walk output). Ends with a small `mdat` so the tree has the shape
-    * real files have. */
+    * walk output); `mdatBytes` is the media payload (so identity gates
+    * can plant same-content/different-metadata twins). */
   def writeMp4(majorBrand: String, timescale: Long, duration: Long,
       tracks: Seq[Mp4TrackSpec], version: Int = 0,
-      largesizeMoov: Boolean = false): Array[Byte] = {
+      largesizeMoov: Boolean = false,
+      mdatBytes: Array[Byte] = Array.fill[Byte](16)(0)): Array[Byte] = {
     require(tracks.nonEmpty, "writeMp4 needs at least one track")
     val ftyp = box("ftyp",
       majorBrand.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
@@ -304,7 +363,7 @@ object Mp4 {
     }
     val moov = box("moov", mvhd ++ traks.reduce(_ ++ _),
       largesize = largesizeMoov)
-    val mdat = box("mdat", Array.fill[Byte](16)(0))
+    val mdat = box("mdat", mdatBytes)
     ftyp ++ moov ++ mdat
   }
 

@@ -2116,6 +2116,53 @@ object ExtensionQueries {
         .orderBy("kind", "doc_id")
     }),
 
+    // MP4 metadata-invariant identity gate (the q_check_mpeg_identity
+    // pattern for the container format): per doc_id an MP4 is planted
+    // with deterministic mdat content, then re-serialized with EDITED
+    // METADATA (v1 time fields, largesize moov, different brand) and
+    // with CHANGED content; violations are rows, oracle = empty set.
+    //  meta_variant — metadata-edited copy hashes differently
+    //  content_blind — changed mdat content hashes the same
+    //  collision — two distinct planted contents share a hash
+    "q_check_mp4_identity" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Mp4 => M4}
+      val rows = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 120).as[Long]
+        .flatMap { id =>
+          val mdat = Array.tabulate[Byte](64 + (id % 37).toInt)(j =>
+            ((id * 131 + j * 31 + 7) & 0xff).toByte)
+          val track = M4.Mp4TrackSpec(1L, "vide", "avc1", width = 320,
+            height = 240, timescale = 12288L, duration = 4096L,
+            sampleCount = 8)
+          val a = M4.writeMp4("isom", 1000L, 5000L, Seq(track),
+            mdatBytes = mdat)
+          val edited = M4.writeMp4("mp42", 1000L, 5000L,
+            Seq(track.copy(version = 1)), version = 1,
+            largesizeMoov = true, mdatBytes = mdat)
+          val changedMdat = mdat.clone()
+          changedMdat(3) = (changedMdat(3) ^ 1).toByte
+          val changed = M4.writeMp4("isom", 1000L, 5000L, Seq(track),
+            mdatBytes = changedMdat)
+          val ha = M4.contentHash64(a, id)
+          val viol = Seq.newBuilder[(String, Long, Long)]
+          if (M4.contentHash64(edited, id) != ha)
+            viol += (("meta_variant", id, 0L))
+          if (M4.contentHash64(changed, id) == ha)
+            viol += (("content_blind", id, 0L))
+          viol.result() :+ (("stream", id, ha))
+        }
+        .toDF("kind", "doc_id", "h")
+      val collisions = rows.filter(col("kind") === "stream")
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("doc_id"))
+        .filter(col("n") > 1)
+        .select(lit("collision").as("kind"), col("doc_id"))
+      rows.filter(col("kind") =!= "stream").select("kind", "doc_id")
+        .unionByName(collisions)
+        .orderBy("kind", "doc_id")
+    }),
+
     "q_mpeg_meta" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 300)
@@ -2636,6 +2683,10 @@ object ExtensionQueries {
     // grids, timescales, sample counts, duration quotients
     "q_mp4_meta" ->
       """WITH p AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS ci, 600 * (1 + doc_id % 3) AS mvts, 600 * (1 + doc_id % 3) * (3 + doc_id % 7) + (doc_id % 97) AS mvdur, 24 + doc_id % 50 AS vs FROM documents WHERE doc_id < 300), v AS (SELECT doc_id, CAST(1 AS INTEGER) AS track_id, 'vide' AS handler, CASE ci WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1' ELSE 'av01' END AS codec, CAST(160 + 16 * (doc_id % 8) AS INTEGER) AS width, CAST(96 + 16 * (doc_id % 5) AS INTEGER) AS height, CAST(mvts AS BIGINT) AS mv_timescale, CAST(mvdur AS DOUBLE) / mvts AS mv_duration_sec, CAST(12288 AS BIGINT) AS tr_timescale, CAST(vs * 512 AS DOUBLE) / 12288 AS tr_duration_sec, CAST(vs AS BIGINT) AS samples, CAST(0 AS INTEGER) AS sample_rate, CAST(0 AS INTEGER) AS channels FROM p), ap AS (SELECT doc_id, mvts, mvdur, CASE CAST((doc_id // 2) % 3 AS INTEGER) WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS rate, 100 + doc_id % 30 AS ns FROM p WHERE doc_id % 2 = 0), a AS (SELECT doc_id, CAST(2 AS INTEGER) AS track_id, 'soun' AS handler, 'mp4a' AS codec, CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height, CAST(mvts AS BIGINT) AS mv_timescale, CAST(mvdur AS DOUBLE) / mvts AS mv_duration_sec, CAST(rate AS BIGINT) AS tr_timescale, CAST(ns * 1024 AS DOUBLE) / rate AS tr_duration_sec, CAST(ns AS BIGINT) AS samples, CAST(rate AS INTEGER) AS sample_rate, CAST(1 + (doc_id // 2) % 2 AS INTEGER) AS channels FROM ap) SELECT * FROM v UNION ALL SELECT * FROM a ORDER BY doc_id, track_id""",
+
+    // MP4 identity gate: violations are rows, oracle = empty set
+    "q_check_mp4_identity" ->
+      """SELECT CAST(text AS VARCHAR) AS kind, doc_id FROM documents WHERE 1 = 0 ORDER BY kind, doc_id""",
 
     // MPEG identity gate: violations are rows, oracle = empty set
     "q_check_mpeg_identity" ->

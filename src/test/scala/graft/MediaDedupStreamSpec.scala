@@ -97,6 +97,33 @@ class MediaDedupStreamSpec extends SparkSpec {
       "the re-tagged standing stream is a dup; genuinely new audio admitted")
   }
 
+  test("edited-metadata MP4s dedup via the mdat content hash") {
+    import graft.operators.Mp4
+    import graft.operators.Mp4.Mp4TrackSpec
+    val corpus = tmp() + "/corpus"; val sigs = tmp() + "/sigs"
+    def mdat(seed: Int) =
+      Array.tabulate[Byte](96)(j => ((seed * 131 + j * 31) & 0xff).toByte)
+    val track = Mp4TrackSpec(1L, "vide", "avc1", width = 320, height = 240,
+      timescale = 600L, duration = 600L, sampleCount = 24)
+    val a = Mp4.writeMp4("isom", 1000L, 5000L, Seq(track), mdatBytes = mdat(1))
+    val aEdited = Mp4.writeMp4("mp42", 1000L, 5000L,
+      Seq(track.copy(version = 1)), version = 1, largesizeMoov = true,
+      mdatBytes = mdat(1))
+    val other = Mp4.writeMp4("isom", 1000L, 5000L, Seq(track),
+      mdatBytes = mdat(2))
+    CorpusPipeline.mediaCommit(Seq(
+      Media(1L, "video/mp4", a),
+      Media(2L, "video/mp4", aEdited),               // same media: dup
+      Media(3L, "video/mp4", other),                 // new media: kept
+      Media(4L, "video/mp4", Array[Byte](9, 9, 9))   // malformed: pass-through
+    ).toDF(), 0L, corpus, sigs, maxHamming = 8)
+    assert(corpusIds(corpus) == Set(1L, 3L, 4L),
+      "the edited-metadata twin is suppressed; malformed passes through")
+    val sigRows = spark.read.parquet(sigs)
+      .select("doc_id", "modality").as[(Long, String)].collect().toSet
+    assert(sigRows == Set((1L, "mp4_stream"), (3L, "mp4_stream")))
+  }
+
   test("a deleted bucket index is rebuilt; dedup still holds") {
     val corpus = tmp() + "/corpus"; val sigs = tmp() + "/sigs"
     CorpusPipeline.mediaCommit(Seq(img(1L, 7L)).toDF(), 0L, corpus, sigs, 8)

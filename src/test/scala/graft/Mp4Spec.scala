@@ -98,6 +98,34 @@ class Mp4Spec extends SparkSpec {
   private def indexOfSlice(b: Array[Byte], pat: Array[Byte]): Int =
     b.indexOfSlice(pat.toSeq)
 
+  test("contentHash64: metadata-invariant, content-sensitive, fail-loud") {
+    val mdat = Array.tabulate[Byte](80)(j => ((j * 37 + 5) & 0xff).toByte)
+    val track = Mp4TrackSpec(1L, "vide", "avc1", width = 320, height = 240,
+      timescale = 600L, duration = 600L, sampleCount = 24)
+    val a = Mp4.writeMp4("isom", 1000L, 5000L, Seq(track), mdatBytes = mdat)
+    // metadata edits: brand, v1 time fields, largesize moov — same media
+    val edited = Mp4.writeMp4("mp42", 1000L, 5000L,
+      Seq(track.copy(version = 1)), version = 1, largesizeMoov = true,
+      mdatBytes = mdat)
+    assert(Mp4.contentHash64(a, 1L) == Mp4.contentHash64(edited, 2L),
+      "an edited-metadata copy must hash identically")
+    // one flipped media byte moves the hash
+    val changed = mdat.clone(); changed(7) = (changed(7) ^ 1).toByte
+    assert(Mp4.contentHash64(a, 1L) != Mp4.contentHash64(
+      Mp4.writeMp4("isom", 1000L, 5000L, Seq(track), mdatBytes = changed), 3L))
+    // no mdat → no media data → loud
+    val ftypOnly = a.take(
+      ((a(0) & 0xff) << 24) | ((a(1) & 0xff) << 16) |
+        ((a(2) & 0xff) << 8) | (a(3) & 0xff))
+    val e = intercept[IllegalArgumentException] {
+      Mp4.contentHash64(ftypOnly, 4L)
+    }
+    assert(e.getMessage.contains("mdat"))
+    intercept[IllegalArgumentException] {
+      Mp4.contentHash64("junk bytes, no box tree".getBytes("US-ASCII"), 5L)
+    }
+  }
+
   test("decodeFeatures routes video/mp4 to the box walk (metadata tier)") {
     import spark.implicits._
     val m = Multimodal.Media(11L, "video/mp4", twoTrack(1))
