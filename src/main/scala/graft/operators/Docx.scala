@@ -63,7 +63,14 @@ object Docx {
         b(e + 2) == 0x05 && b(e + 3) == 0x06)) e -= 1
     require(e >= stop, s"media $mediaId: ZIP end-of-central-directory missing")
     val nEntries = u16(e + 10)
-    var p = u32(e + 16).toInt
+    val cdOff = u32(e + 16)
+    // a ZIP64 archive marks the 32-bit offset 0xFFFFFFFF — out of scope
+    // for document packages, but it must fail as a CONTRACT error, not
+    // an array bounds crash
+    require(cdOff < b.length,
+      s"media $mediaId: ZIP central-directory offset $cdOff out of range " +
+        "(ZIP64 archives are not supported)")
+    var p = cdOff.toInt
     var i = 0
     while (i < nEntries) {
       require(u32(p) == 0x02014b50L,
