@@ -130,18 +130,32 @@ object Docx {
 
   // -- WordprocessingML text strip ---------------------------------------
 
-  /** Bounded text strip of a `document.xml` string (see object doc). */
+  /** Bounded text strip of a `document.xml` string (see object doc).
+    * Two suppression regions keep foreign-writer markup honest:
+    * property blocks (`w:pPr`/`w:rPr` — a paragraph's TAB-STOP
+    * definitions are `<w:tab/>` elements inside `w:pPr/w:tabs`, which
+    * must not emit tab characters) and `mc:Fallback` (the
+    * AlternateContent fallback DUPLICATES its sibling Choice's runs —
+    * collecting both would double the text). */
   private[graft] def stripDocumentXml(xml: String, mediaId: Long): String = {
     val sb = new StringBuilder
     var i = 0
     var inText = false
+    var suppress = 0 // nesting depth of w:pPr / w:rPr / mc:Fallback
     while (i < xml.length) {
       if (xml.charAt(i) == '<') {
         val close = xml.indexOf('>', i)
         require(close > i,
           s"media $mediaId: unterminated tag in document.xml at $i")
         val tag = xml.substring(i + 1, close)
-        if (inText && tag == "/w:t") inText = false
+        def opens(name: String): Boolean =
+          (tag == name || tag.startsWith(name + " ")) && !tag.endsWith("/")
+        if (opens("w:pPr") || opens("w:rPr") || opens("mc:Fallback"))
+          suppress += 1
+        else if (tag == "/w:pPr" || tag == "/w:rPr" || tag == "/mc:Fallback")
+          suppress = math.max(0, suppress - 1)
+        else if (suppress > 0) () // nothing inside a suppressed region counts
+        else if (inText && tag == "/w:t") inText = false
         else if (!inText && (tag == "w:t" || tag.startsWith("w:t ")))
           inText = !tag.endsWith("/") // self-closing = empty run
         else if (tag == "/w:p") sb.append('\n')
@@ -150,7 +164,7 @@ object Docx {
         else if (tag == "w:tab" || tag == "w:tab/" || tag.startsWith("w:tab "))
           sb.append('\t')
         i = close + 1
-      } else if (inText) {
+      } else if (inText && suppress == 0) {
         val c = xml.charAt(i)
         if (c == '&') {
           val semi = xml.indexOf(';', i)

@@ -39,6 +39,30 @@ class DocxSpec extends SparkSpec {
     assert(Docx.extractText(docx, 5L) == "Hello world!\ntab\tthen\nbreak")
   }
 
+  test("tab-stop definitions and AlternateContent fallbacks don't leak text") {
+    // a paragraph's TAB-STOP definitions are <w:tab/> elements inside
+    // w:pPr/w:tabs — they define positions, they are not tab characters
+    val tabs =
+      """<w:document><w:body><w:p><w:pPr><w:tabs>""" +
+        """<w:tab w:val="left" w:pos="720"/><w:tab w:val="right" w:pos="9360"/>""" +
+        """</w:tabs></w:pPr><w:r><w:t>no tabs here</w:t></w:r></w:p>""" +
+        """</w:body></w:document>"""
+    assert(Docx.extractText(
+      Docx.writeZip(Seq("word/document.xml" -> tabs.getBytes("UTF-8"))), 20L)
+      == "no tabs here")
+    // mc:AlternateContent: the Fallback DUPLICATES the Choice's runs —
+    // collecting both would double the text
+    val alt =
+      """<w:document><w:body><w:p><w:r><w:t>before </w:t></w:r>""" +
+        """<mc:AlternateContent><mc:Choice Requires="wps">""" +
+        """<w:r><w:t>chosen</w:t></w:r></mc:Choice>""" +
+        """<mc:Fallback><w:r><w:t>chosen</w:t></w:r></mc:Fallback>""" +
+        """</mc:AlternateContent></w:p></w:body></w:document>"""
+    assert(Docx.extractText(
+      Docx.writeZip(Seq("word/document.xml" -> alt.getBytes("UTF-8"))), 21L)
+      == "before chosen")
+  }
+
   test("stored (method 0) entries read identically to deflated ones") {
     val xml = "<w:document><w:body><w:p><w:r><w:t>stored</w:t></w:r></w:p>" +
       "</w:body></w:document>"
