@@ -241,6 +241,15 @@ object Main {
       println(s"warc-media: ${spark.read.parquet(out).count()} media features -> $out")
       spark.stop()
 
+    // text-tag catalog rows (ID3v2 / MP4 ilst): media_id, kind, tag, value
+    case "warc-tags" :: in :: out :: Nil =>
+      val spark = session("graft-warc-tags")
+      graft.operators.Multimodal.mediaTags(
+          graft.io.Warc.toMedia(graft.io.Warc.readWarc(spark, in)))
+        .write.mode("overwrite").parquet(out)
+      println(s"warc-tags: ${spark.read.parquet(out).count()} tag rows -> $out")
+      spark.stop()
+
     // BPE-encode a corpus with a saved model and write binary token
     // shards + manifest (the training-consumable artifact)
     //   graft.Main shards <documentsParquetDir> <bpeModelDir> <outDir> [tokensPerShard]
@@ -493,6 +502,7 @@ object Main {
            |  graft.Main index-probe  <indexDir> <k> <term> [term...]
            |  graft.Main bpe-train <documentsParquetDir> <modelDir> [numMerges]
            |  graft.Main bpe-encode <documentsParquetDir> <modelDir> <outParquetDir>
+           |  graft.Main warc-tags <warcPathOrGlob> <outParquetDir>
            |  graft.Main index-compact <indexDir>
            |  graft.Main index-unlock <indexDir>
            |  graft.Main index-delete <indexDir> <id1,id2,...>

@@ -41,8 +41,9 @@ object Mp4 {
       majorBrand: String, timescale: Long, duration: Long,
       durationSec: Double, tracks: Vector[Mp4Track])
 
-  /** Walk the box tree: exact container metadata, no sample decode. */
-  def mp4Info(b: Array[Byte], mediaId: Long = -1L): Mp4Info = {
+  /** Byte/box readers over one payload — shared by [[mp4Info]] and
+    * [[ilstTags]] so the two walks cannot drift. */
+  private final class Boxes(b: Array[Byte], mediaId: Long) {
     def u16(p: Int): Int = {
       require(p + 2 <= b.length, s"media $mediaId: truncated MP4 at byte $p")
       ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
@@ -55,7 +56,7 @@ object Mp4 {
     def u64(p: Int): Long = (u32(p) << 32) | u32(p + 4)
     def fourcc(p: Int): String = {
       require(p + 4 <= b.length, s"media $mediaId: truncated MP4 at byte $p")
-      new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      new String(b, p, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
     }
     // One box header at p within [p, until): (type, dataStart, boxEnd).
     // size==1 → 64-bit largesize follows the type; size==0 → the box
@@ -80,6 +81,31 @@ object Mp4 {
     }
     // FullBox version+flags word; only the version byte matters here
     def version(dataAt: Int): Int = { u32(dataAt); b(dataAt) & 0xff }
+    // children of a container box as (type, dataStart, boxEnd) triples
+    def children(from: Int, until: Int): Vector[(String, Int, Int)] = {
+      val out = Vector.newBuilder[(String, Int, Int)]
+      var q = from
+      while (q < until) {
+        val c = boxAt(q, until)
+        out += c
+        q = c._3
+      }
+      out.result()
+    }
+    def child(cs: Vector[(String, Int, Int)], typ: String,
+        where: String): (Int, Int) =
+      cs.find(_._1 == typ).map(c => (c._2, c._3)).getOrElse(
+        throw new IllegalArgumentException(
+          s"media $mediaId: MP4 $where without a $typ box"))
+    def childOpt(cs: Vector[(String, Int, Int)],
+        typ: String): Option[(Int, Int)] =
+      cs.find(_._1 == typ).map(c => (c._2, c._3))
+  }
+
+  /** Walk the box tree: exact container metadata, no sample decode. */
+  def mp4Info(b: Array[Byte], mediaId: Long = -1L): Mp4Info = {
+    val bx = new Boxes(b, mediaId)
+    import bx.{u16, u32, u64, fourcc, boxAt, version, children, child}
 
     require(b.length >= 8, s"media $mediaId: not an MP4 payload (too short)")
     val (firstType, ftypData, ftypEnd) = boxAt(0, b.length)
@@ -101,23 +127,6 @@ object Mp4 {
     }
     val (moovAt, moovEnd) = moov.getOrElse(throw new IllegalArgumentException(
       s"media $mediaId: MP4 without a moov box"))
-
-    // children of a container box as (type, dataStart, boxEnd) triples
-    def children(from: Int, until: Int): Vector[(String, Int, Int)] = {
-      val out = Vector.newBuilder[(String, Int, Int)]
-      var q = from
-      while (q < until) {
-        val c = boxAt(q, until)
-        out += c
-        q = c._3
-      }
-      out.result()
-    }
-    def child(cs: Vector[(String, Int, Int)], typ: String,
-        where: String): (Int, Int) =
-      cs.find(_._1 == typ).map(c => (c._2, c._3)).getOrElse(
-        throw new IllegalArgumentException(
-          s"media $mediaId: MP4 $where without a $typ box"))
 
     val moovKids = children(moovAt, moovEnd)
     val (mvhdAt, _) = child(moovKids, "mvhd", "moov")
@@ -204,6 +213,49 @@ object Mp4 {
       mvDuration.toDouble / mvTimescale, tracks)
   }
 
+  /** iTunes-style text tags (the MP4 face of [[Mpeg.id3Frames]]): the
+    * `moov/udta/meta/ilst` item list, each item a box (`©nam` title,
+    * `©ART` artist, `©alb` album, …) holding a `data` box whose
+    * type-indicator 1 means UTF-8 text (other well-known types —
+    * artwork, integers — are skipped by size). Returns item-fourcc →
+    * text; empty when any level of the path is absent (untagged files
+    * are the common case, not an error). Structural damage inside a
+    * PRESENT ilst — a data box too short for its header, an overrun —
+    * throws with the media id: catalog fields are exact or absent,
+    * never guessed. */
+  def ilstTags(b: Array[Byte], mediaId: Long = -1L): Map[String, String] = {
+    val bx = new Boxes(b, mediaId)
+    import bx.{boxAt, children, childOpt, u32}
+    require(b.length >= 8, s"media $mediaId: not an MP4 payload (too short)")
+    val (firstType, _, ftypEnd) = boxAt(0, b.length)
+    require(firstType == "ftyp",
+      s"media $mediaId: not an MP4 payload (first box '$firstType', not ftyp)")
+    var moov: Option[(Int, Int)] = None
+    var p = ftypEnd
+    while (p < b.length) {
+      val (typ, dataAt, end) = boxAt(p, b.length)
+      if (typ == "moov") moov = Some((dataAt, end))
+      p = end
+    }
+    val tags = for {
+      (moovAt, moovEnd) <- moov
+      (udtaAt, udtaEnd) <- childOpt(children(moovAt, moovEnd), "udta")
+      (metaAt, metaEnd) <- childOpt(children(udtaAt, udtaEnd), "meta")
+      // meta is a FullBox: its children start past the version/flags word
+      (ilstAt, ilstEnd) <- childOpt(children(metaAt + 4, metaEnd), "ilst")
+    } yield children(ilstAt, ilstEnd).flatMap { case (item, iAt, iEnd) =>
+      childOpt(children(iAt, iEnd), "data").flatMap { case (dAt, dEnd) =>
+        require(dAt + 8 <= dEnd,
+          s"media $mediaId: MP4 ilst '$item' data box too short")
+        val typeIndicator = u32(dAt) & 0xffffff // byte 0 is the version
+        if (typeIndicator != 1L) None // not UTF-8 text (artwork, ints, …)
+        else Some(item -> new String(b, dAt + 8, dEnd - dAt - 8,
+          java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }.toMap
+    tags.getOrElse(Map.empty)
+  }
+
   // -- metadata-invariant identity ---------------------------------------
 
   private val Fnv64Offset = 0xcbf29ce484222325L
@@ -278,7 +330,8 @@ object Mp4 {
 
   private def box(typ: String, payload: Array[Byte],
       largesize: Boolean = false): Array[Byte] = {
-    val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    // latin-1, not ASCII: iTunes item fourccs carry © (0xA9)
+    val t = typ.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     require(t.length == 4, s"fourcc '$typ'")
     if (largesize)
       beBytes(1L, 4) ++ t ++ beBytes(16L + payload.length, 8) ++ payload
@@ -297,7 +350,8 @@ object Mp4 {
   def writeMp4(majorBrand: String, timescale: Long, duration: Long,
       tracks: Seq[Mp4TrackSpec], version: Int = 0,
       largesizeMoov: Boolean = false,
-      mdatBytes: Array[Byte] = Array.fill[Byte](16)(0)): Array[Byte] = {
+      mdatBytes: Array[Byte] = Array.fill[Byte](16)(0),
+      tags: Seq[(String, String)] = Nil): Array[Byte] = {
     require(tracks.nonEmpty, "writeMp4 needs at least one track")
     val ftyp = box("ftyp",
       majorBrand.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
@@ -361,7 +415,21 @@ object Mp4 {
       val mdia = box("mdia", mdhd ++ hdlr ++ minf)
       box("trak", tkhd ++ mdia)
     }
-    val moov = box("moov", mvhd ++ traks.reduce(_ ++ _),
+    val udta =
+      if (tags.isEmpty) Array.empty[Byte]
+      else {
+        val items = tags.map { case (item, text) =>
+          box(item, box("data",
+            beBytes(1L, 4) ++ beBytes(0L, 4) ++ // type 1 = UTF-8 text, locale
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }.reduce(_ ++ _)
+        box("udta", fullBox("meta", 0,
+          fullBox("hdlr", 0, beBytes(0L, 4) ++
+            "mdir".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+            beBytes(0L, 12) ++ Array(0.toByte)) ++
+          box("ilst", items)))
+      }
+    val moov = box("moov", mvhd ++ traks.reduce(_ ++ _) ++ udta,
       largesize = largesizeMoov)
     val mdat = box("mdat", mdatBytes)
     ftyp ++ moov ++ mdat

@@ -149,6 +149,116 @@ object Mpeg {
     10 + size + (if (footer) 10 else 0)
   }
 
+  /** ID3v2 TEXT-frame metadata (the media-catalog fields: TIT2 title,
+    * TPE1 artist, TALB album, …): a map from frame id to decoded text
+    * for every `T*` text frame in a leading ID3v2.3/2.4 tag — empty
+    * when no tag or an all-padding tag is present ([[wrapId3]]'s
+    * zeroed body IS valid padding). Frame sizes are plain u32 in v2.3
+    * and syncsafe in v2.4 (the versions' one structural difference
+    * here); text encodings 0 (latin-1), 1 (utf-16 with BOM),
+    * 2 (utf-16be), 3 (utf-8) all decode; trailing NULs strip.
+    * Non-text frames (APIC art, COMM comments, TXXX user frames whose
+    * key is free-form) are skipped by size. Fail-loudly contract for
+    * STRUCTURAL damage: a truncated frame, a frame overrunning the
+    * tag, an unsupported major version, or whole-tag unsynchronisation
+    * throws with the media id — catalog fields are exact or absent,
+    * never guessed. */
+  def id3Frames(bytes: Array[Byte], mediaId: Long = -1L): Map[String, String] = {
+    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' ||
+      bytes(2) != '3') return Map.empty
+    val major = bytes(3) & 0xff
+    require(major == 3 || major == 4,
+      s"media $mediaId: ID3v2.$major tag (only v2.3/v2.4 are parsed)")
+    require((bytes(5) & 0x80) == 0,
+      s"media $mediaId: whole-tag ID3 unsynchronisation is not supported")
+    val tagEnd = math.min(bytes.length,
+      10 + (((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)))
+    var p = 10
+    if ((bytes(5) & 0x40) != 0) { // extended header: length-prefixed, skip
+      require(p + 4 <= tagEnd, s"media $mediaId: truncated ID3 extended header")
+      val ehSize =
+        if (major == 4)
+          ((bytes(p) & 0x7f) << 21) | ((bytes(p + 1) & 0x7f) << 14) |
+            ((bytes(p + 2) & 0x7f) << 7) | (bytes(p + 3) & 0x7f)
+        else 4 + (((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+          ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff))
+      p += ehSize
+    }
+    val out = Map.newBuilder[String, String]
+    while (p + 10 <= tagEnd && bytes(p) != 0) {
+      val id = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      require(id.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')),
+        s"media $mediaId: malformed ID3 frame id '$id' at $p")
+      val size =
+        if (major == 4)
+          ((bytes(p + 4) & 0x7f) << 21) | ((bytes(p + 5) & 0x7f) << 14) |
+            ((bytes(p + 6) & 0x7f) << 7) | (bytes(p + 7) & 0x7f)
+        else ((bytes(p + 4) & 0xff) << 24) | ((bytes(p + 5) & 0xff) << 16) |
+          ((bytes(p + 6) & 0xff) << 8) | (bytes(p + 7) & 0xff)
+      require(size >= 0 && p + 10 + size <= tagEnd,
+        s"media $mediaId: ID3 frame '$id' size $size overruns the tag")
+      if (id.startsWith("T") && id != "TXXX" && size >= 1) {
+        val enc = bytes(p + 10) & 0xff
+        val raw = java.util.Arrays.copyOfRange(bytes, p + 11, p + 10 + size)
+        val text = enc match {
+          case 0 => new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
+          case 1 => new String(raw, java.nio.charset.StandardCharsets.UTF_16)
+          case 2 => new String(raw, java.nio.charset.StandardCharsets.UTF_16BE)
+          case 3 => new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+          case e => throw new IllegalArgumentException(
+            s"media $mediaId: ID3 frame '$id' with reserved text encoding $e")
+        }
+        out += id -> text.replaceAll("\\x00+$", "")
+      }
+      p += 10 + size
+    }
+    out.result()
+  }
+
+  /** Serialize an ID3v2.3 or v2.4 tag carrying real text frames around
+    * `stream` — the staging counterpart of [[id3Frames]] (wrapId3's
+    * zero-body form stays the padding-only variant). `encoding` plants
+    * the frames' text encoding byte (0/1/2/3). */
+  def wrapId3Frames(stream: Array[Byte], frames: Seq[(String, String)],
+      major: Int = 4, encoding: Int = 3): Array[Byte] = {
+    require(major == 3 || major == 4, s"ID3v2.$major")
+    val body = new java.io.ByteArrayOutputStream()
+    frames.foreach { case (id, text) =>
+      require(id.length == 4, s"frame id '$id'")
+      val payload = encoding match {
+        case 0 => text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        case 1 => Array[Byte](0xfe.toByte, 0xff.toByte) ++
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+        case 2 => text.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+        case 3 => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        case e => throw new IllegalArgumentException(s"encoding $e")
+      }
+      val size = 1 + payload.length
+      body.write(id.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      if (major == 4) {
+        body.write((size >> 21) & 0x7f); body.write((size >> 14) & 0x7f)
+        body.write((size >> 7) & 0x7f); body.write(size & 0x7f)
+      } else {
+        body.write((size >> 24) & 0xff); body.write((size >> 16) & 0xff)
+        body.write((size >> 8) & 0xff); body.write(size & 0xff)
+      }
+      body.write(0); body.write(0) // frame flags
+      body.write(encoding)
+      body.write(payload)
+    }
+    val b = body.toByteArray
+    val pad = 32
+    val total = b.length + pad
+    val hdr = new Array[Byte](10)
+    hdr(0) = 'I'; hdr(1) = 'D'; hdr(2) = '3'; hdr(3) = major.toByte
+    hdr(6) = ((total >> 21) & 0x7f).toByte
+    hdr(7) = ((total >> 14) & 0x7f).toByte
+    hdr(8) = ((total >> 7) & 0x7f).toByte
+    hdr(9) = (total & 0x7f).toByte
+    hdr ++ b ++ new Array[Byte](pad) ++ stream
+  }
+
   /** Side-info size (bytes) after the header+CRC — where a Xing/Info
     * tag sits in a Layer III first frame. */
   private def sideInfoBytes(h: FrameHeader): Int =

@@ -1815,6 +1815,28 @@ object Multimodal {
 
   // ---- audio fingerprinting (WAV/FLAC/MPEG near-duplicate dedup) ---------
 
+  /** Text-tag catalog rows of a media corpus: (`media_id`, `kind`,
+    * `tag`, `value`) — ID3v2 text frames ([[Mpeg.id3Frames]]: TIT2
+    * title, TPE1 artist, TALB album, …) for the MPEG audio family and
+    * iTunes-style ilst items ([[Mp4.ilstTags]]: ©nam/©ART/©alb) for
+    * MP4 containers. Untagged media contribute no rows; kinds without
+    * a tag walker contribute none either (absence, not error). Narrow
+    * `mapPartitions` — zero shuffle, linear in corpus bytes, the
+    * catalog join key is `media_id`. */
+  def mediaTags(ds: Dataset[Media]): DataFrame = {
+    import ds.sparkSession.implicits._
+    val mpegKinds = Set("audio/mpeg", "audio/mp3", "audio/mpeg3", "audio/x-mpeg-3")
+    val mp4Kinds = Set("video/mp4", "audio/mp4", "audio/x-m4a")
+    ds.mapPartitions(_.flatMap { m =>
+        val tags =
+          if (mpegKinds.contains(m.kind)) Mpeg.id3Frames(m.bytes, m.media_id)
+          else if (mp4Kinds.contains(m.kind)) Mp4.ilstTags(m.bytes, m.media_id)
+          else Map.empty[String, String]
+        tags.iterator.map { case (k, v) => (m.media_id, m.kind, k, v) }
+      })
+      .toDF("media_id", "kind", "tag", "value")
+  }
+
   /** Channel-averaged mono mixdown of decoded MPEG PCM in [-1, 1] —
     * shared by the per-kind bridge and the walk-once dedup entry. */
   private def mpegMonoMixdown(a: Mpeg.MpegDecoded): (Int, Array[Double]) = {

@@ -2163,6 +2163,42 @@ object ExtensionQueries {
         .orderBy("kind", "doc_id")
     }),
 
+    // media-catalog text tags, both formats through the ONE distributed
+    // surface (Multimodal.mediaTags): even ids serialize MPEG streams
+    // wrapped in real ID3v2 frames (v2.3/v2.4 alternating, all four
+    // text encodings cycling), odd ids MP4 containers with iTunes-style
+    // ilst items; the oracle recomputes every (tag, value) row from the
+    // planted derivation, so any defect in frame sizing (plain vs
+    // syncsafe), encoding decode, the udta/meta/ilst path, or the
+    // data-box type gate is a hash mismatch.
+    "q_media_tags" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Mpeg => M, Mp4 => M4}
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+        .map { id =>
+          val title = s"Title $id"
+          val artist = s"Artist ${id % 7}"
+          val album = s"Album ${id % 13}"
+          if (id % 2 == 0) {
+            val stream = M.writeCbrStream(3, 44100, 128, 6)
+            Multimodal.Media(id, "audio/mpeg", M.wrapId3Frames(stream,
+              Seq("TIT2" -> title, "TPE1" -> artist, "TALB" -> album),
+              major = 3 + ((id / 2) % 2).toInt,
+              encoding = ((id / 2) % 4).toInt))
+          } else {
+            val track = M4.Mp4TrackSpec(1L, "vide", "avc1", width = 320,
+              height = 240, timescale = 600L, duration = 600L,
+              sampleCount = 24)
+            Multimodal.Media(id, "video/mp4",
+              M4.writeMp4("isom", 1000L, 5000L, Seq(track),
+                tags = Seq("©nam" -> title, "©ART" -> artist,
+                  "©alb" -> album)))
+          }
+        }
+      Multimodal.mediaTags(media).orderBy("media_id", "tag")
+    }),
+
     "q_mpeg_meta" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 300)
@@ -2683,6 +2719,11 @@ object ExtensionQueries {
     // grids, timescales, sample counts, duration quotients
     "q_mp4_meta" ->
       """WITH p AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS ci, 600 * (1 + doc_id % 3) AS mvts, 600 * (1 + doc_id % 3) * (3 + doc_id % 7) + (doc_id % 97) AS mvdur, 24 + doc_id % 50 AS vs FROM documents WHERE doc_id < 300), v AS (SELECT doc_id, CAST(1 AS INTEGER) AS track_id, 'vide' AS handler, CASE ci WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1' ELSE 'av01' END AS codec, CAST(160 + 16 * (doc_id % 8) AS INTEGER) AS width, CAST(96 + 16 * (doc_id % 5) AS INTEGER) AS height, CAST(mvts AS BIGINT) AS mv_timescale, CAST(mvdur AS DOUBLE) / mvts AS mv_duration_sec, CAST(12288 AS BIGINT) AS tr_timescale, CAST(vs * 512 AS DOUBLE) / 12288 AS tr_duration_sec, CAST(vs AS BIGINT) AS samples, CAST(0 AS INTEGER) AS sample_rate, CAST(0 AS INTEGER) AS channels FROM p), ap AS (SELECT doc_id, mvts, mvdur, CASE CAST((doc_id // 2) % 3 AS INTEGER) WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS rate, 100 + doc_id % 30 AS ns FROM p WHERE doc_id % 2 = 0), a AS (SELECT doc_id, CAST(2 AS INTEGER) AS track_id, 'soun' AS handler, 'mp4a' AS codec, CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height, CAST(mvts AS BIGINT) AS mv_timescale, CAST(mvdur AS DOUBLE) / mvts AS mv_duration_sec, CAST(rate AS BIGINT) AS tr_timescale, CAST(ns * 1024 AS DOUBLE) / rate AS tr_duration_sec, CAST(ns AS BIGINT) AS samples, CAST(rate AS INTEGER) AS sample_rate, CAST(1 + (doc_id // 2) % 2 AS INTEGER) AS channels FROM ap) SELECT * FROM v UNION ALL SELECT * FROM a ORDER BY doc_id, track_id""",
+
+    // independent derivation: every planted (tag, value) row recomputed
+    // from the id cycles directly
+    "q_media_tags" ->
+      """WITH p AS (SELECT doc_id AS media_id, CASE WHEN doc_id % 2 = 0 THEN 'audio/mpeg' ELSE 'video/mp4' END AS kind, CAST(doc_id % 2 AS INTEGER) AS odd, 'Title ' || doc_id AS title, 'Artist ' || (doc_id % 7) AS artist, 'Album ' || (doc_id % 13) AS album FROM documents WHERE doc_id < 200) SELECT media_id, kind, tag, value FROM (SELECT media_id, kind, CASE WHEN odd = 0 THEN 'TIT2' ELSE '©nam' END AS tag, title AS value FROM p UNION ALL SELECT media_id, kind, CASE WHEN odd = 0 THEN 'TPE1' ELSE '©ART' END AS tag, artist AS value FROM p UNION ALL SELECT media_id, kind, CASE WHEN odd = 0 THEN 'TALB' ELSE '©alb' END AS tag, album AS value FROM p) ORDER BY media_id, tag""",
 
     // MP4 identity gate: violations are rows, oracle = empty set
     "q_check_mp4_identity" ->

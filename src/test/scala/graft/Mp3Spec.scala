@@ -73,6 +73,32 @@ class Mp3Spec extends SparkSpec {
     assert(Mpeg.frameHashes64(l3).length == 7)
   }
 
+  test("id3Frames: v2.3/v2.4, all text encodings, non-ASCII, boundaries") {
+    val s = TestMp3.layerStub(3, 44100, 128, frames = 5)
+    val tags = Seq("TIT2" -> "Café Récital — 夜曲", "TPE1" -> "Ärtist")
+    Seq((3, 0), (3, 1), (4, 2), (4, 3)).foreach { case (major, enc) =>
+      val planted = if (enc == 0) // latin-1 can't carry CJK
+        Seq("TIT2" -> "Café Récital", "TPE1" -> "Ärtist") else tags
+      val out = Mpeg.id3Frames(
+        Mpeg.wrapId3Frames(s, planted, major, enc), 1L)
+      assert(out == planted.toMap, s"v2.$major enc $enc")
+    }
+    // tagless and padding-only tags are empty, not errors
+    assert(Mpeg.id3Frames(s, 2L).isEmpty)
+    assert(Mpeg.id3Frames(TestMp3.withId3(s), 3L).isEmpty)
+    // the stream identity is invariant under REAL frames too
+    assert(Mpeg.streamHash64(Mpeg.wrapId3Frames(s, tags), 4L) ==
+      Mpeg.streamHash64(s, 4L))
+    // structural damage is loud: whole-tag unsynchronisation flag
+    val unsync = Mpeg.wrapId3Frames(s, tags)
+    unsync(5) = 0x80.toByte
+    intercept[IllegalArgumentException] { Mpeg.id3Frames(unsync, 5L) }
+    // a frame size overrunning the tag is loud
+    val evil = Mpeg.wrapId3Frames(s, Seq("TIT2" -> "x"), major = 3)
+    evil(14) = 0x7f.toByte // v2.3 plain u32 frame size goes huge
+    intercept[IllegalArgumentException] { Mpeg.id3Frames(evil, 6L) }
+  }
+
   test("mpegInfo: ID3v2 prefix and ID3v1 tail are skipped, not desync") {
     val s = TestMp3.withId3(TestMp3.layerStub(3, 44100, 96, frames = 7))
     val i = Mpeg.mpegInfo(s)

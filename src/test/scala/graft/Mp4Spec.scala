@@ -98,6 +98,27 @@ class Mp4Spec extends SparkSpec {
   private def indexOfSlice(b: Array[Byte], pat: Array[Byte]): Int =
     b.indexOfSlice(pat.toSeq)
 
+  test("ilstTags: iTunes item list round-trips; absence is empty, damage loud") {
+    val track = Mp4TrackSpec(1L, "vide", "avc1", width = 320, height = 240,
+      timescale = 600L, duration = 600L, sampleCount = 24)
+    val tags = Seq("©nam" -> "Clip — 夜", "©ART" -> "Ärtist", "©alb" -> "Album")
+    val tagged = Mp4.writeMp4("isom", 1000L, 5000L, Seq(track), tags = tags)
+    assert(Mp4.ilstTags(tagged, 1L) == tags.toMap)
+    // mp4Info is undisturbed by the udta subtree
+    assert(Mp4.mp4Info(tagged, 1L).tracks.head.codec == "avc1")
+    // untagged container: empty map, not an error
+    assert(Mp4.ilstTags(
+      Mp4.writeMp4("isom", 1000L, 5000L, Seq(track)), 2L).isEmpty)
+    // identity is invariant under tagging (udta is metadata)
+    assert(Mp4.contentHash64(tagged, 3L) == Mp4.contentHash64(
+      Mp4.writeMp4("isom", 1000L, 5000L, Seq(track)), 3L))
+    // a data box too short for its header inside a PRESENT ilst is loud
+    val idx = indexOfSlice(tagged, "data".getBytes("ISO-8859-1")) - 4
+    val evil = tagged.clone()
+    evil(idx + 3) = 9 // data box size 9 < 8-byte value header + 8 box hdr
+    intercept[IllegalArgumentException] { Mp4.ilstTags(evil, 4L) }
+  }
+
   test("contentHash64: metadata-invariant, content-sensitive, fail-loud") {
     val mdat = Array.tabulate[Byte](80)(j => ((j * 37 + 5) & 0xff).toByte)
     val track = Mp4TrackSpec(1L, "vide", "avc1", width = 320, height = 240,
