@@ -237,6 +237,32 @@ object Warc {
         col("extract_ok"))
   }
 
+  /** Curate-ready documents from OOXML `.xlsx` responses — the tabular
+    * text carrier ([[graft.operators.Xlsx]]: sheets flattened to
+    * TAB-joined cells, newline-joined rows). Same strict-codec /
+    * tolerant-bridge contract as the other binary carriers. */
+  def toDocumentsXlsx(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    import graft.functions.TextFunctions
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type")) ===
+          "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")
+      .select(
+        xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, url, bytes) =>
+        try (id, url, graft.operators.Xlsx.extractText(bytes, id), true)
+        catch { case _: Exception => (id, url, null: String, false) } })
+      .toDF("doc_id", "url", "text", "extract_ok")
+      .select(col("doc_id"), col("url"),
+        TextFunctions.langId(col("text")).as("lang"), col("text"),
+        col("extract_ok"))
+  }
+
   /** Curate-ready documents from `text/plain` responses: the payload IS
     * the text (decoded with the same charset rules as HTML), no
     * stripping — the third text carrier after HTML and PDF. */
@@ -272,6 +298,8 @@ object Warc {
       .unionByName(toDocumentsPdf(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsDocx(records)
+        .filter(col("extract_ok")).drop("extract_ok"))
+      .unionByName(toDocumentsXlsx(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsText(records))
 

@@ -41,19 +41,21 @@ object Docx {
 
   // -- ZIP package walk --------------------------------------------------
 
-  /** One named entry's uncompressed bytes, resolved through the central
-    * directory (authoritative sizes) and read at its local header. */
-  private[graft] def zipEntry(b: Array[Byte], name: String,
-      mediaId: Long): Array[Byte] = {
-    def u16(p: Int): Int = {
-      require(p + 2 <= b.length, s"media $mediaId: truncated ZIP at byte $p")
-      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
-    }
-    def u32(p: Int): Long = {
-      require(p + 4 <= b.length, s"media $mediaId: truncated ZIP at byte $p")
-      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
-        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
-    }
+  private def zu16(b: Array[Byte], p: Int, mediaId: Long): Int = {
+    require(p + 2 <= b.length, s"media $mediaId: truncated ZIP at byte $p")
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+  }
+  private def zu32(b: Array[Byte], p: Int, mediaId: Long): Long = {
+    require(p + 4 <= b.length, s"media $mediaId: truncated ZIP at byte $p")
+    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+  }
+
+  /** Central-directory entries as (name, entryOffset) in directory
+    * order — the shared resolution core of [[zipEntry]] and the
+    * sheet-listing the XLSX walk needs. */
+  private[graft] def zipEntryOffsets(b: Array[Byte],
+      mediaId: Long): Vector[(String, Int)] = {
     require(b.length >= 22, s"media $mediaId: not a ZIP payload (too short)")
     // end-of-central-directory: PK\5\6, scanned back over a possible
     // trailing comment (bounded at the format's 64 KiB comment cap)
@@ -62,52 +64,65 @@ object Docx {
     while (e >= stop && !(b(e) == 0x50 && b(e + 1) == 0x4b &&
         b(e + 2) == 0x05 && b(e + 3) == 0x06)) e -= 1
     require(e >= stop, s"media $mediaId: ZIP end-of-central-directory missing")
-    val nEntries = u16(e + 10)
-    val cdOff = u32(e + 16)
+    val nEntries = zu16(b, e + 10, mediaId)
+    val cdOff = zu32(b, e + 16, mediaId)
     // a ZIP64 archive marks the 32-bit offset 0xFFFFFFFF — out of scope
     // for document packages, but it must fail as a CONTRACT error, not
     // an array bounds crash
     require(cdOff < b.length,
       s"media $mediaId: ZIP central-directory offset $cdOff out of range " +
         "(ZIP64 archives are not supported)")
+    val out = Vector.newBuilder[(String, Int)]
     var p = cdOff.toInt
     var i = 0
     while (i < nEntries) {
-      require(u32(p) == 0x02014b50L,
+      require(zu32(b, p, mediaId) == 0x02014b50L,
         s"media $mediaId: ZIP central-directory entry signature missing at $p")
-      val method = u16(p + 10)
-      val compSize = u32(p + 20)
-      val uncompSize = u32(p + 24)
-      val nameLen = u16(p + 28)
-      val extraLen = u16(p + 30)
-      val commentLen = u16(p + 32)
-      val lh = u32(p + 42).toInt
+      val nameLen = zu16(b, p + 28, mediaId)
+      val extraLen = zu16(b, p + 30, mediaId)
+      val commentLen = zu16(b, p + 32, mediaId)
       require(p + 46 + nameLen <= b.length,
         s"media $mediaId: ZIP entry name overruns")
-      val entryName = new String(b, p + 46, nameLen, UTF_8)
-      if (entryName == name) {
-        require(u32(lh) == 0x04034b50L,
-          s"media $mediaId: ZIP local-header signature missing at $lh")
-        val dataAt = lh + 30 + u16(lh + 26) + u16(lh + 28)
-        require(dataAt + compSize <= b.length,
-          s"media $mediaId: ZIP entry '$name' data overruns the payload")
-        return method match {
-          case 0 =>
-            require(compSize == uncompSize,
-              s"media $mediaId: stored ZIP entry with mismatched sizes")
-            java.util.Arrays.copyOfRange(b, dataAt, dataAt + compSize.toInt)
-          case 8 => inflateRaw(b, dataAt, compSize.toInt, uncompSize.toInt,
-            mediaId)
-          case m => throw new IllegalArgumentException(
-            s"media $mediaId: unsupported ZIP compression method $m")
-        }
-      }
+      out += ((new String(b, p + 46, nameLen, UTF_8), p))
       p += 46 + nameLen + extraLen + commentLen
       i += 1
     }
-    throw new IllegalArgumentException(
-      s"media $mediaId: ZIP package without '$name' — not a DOCX")
+    out.result()
   }
+
+  /** One central-directory entry's uncompressed bytes, read at its
+    * local header with the directory's authoritative sizes. */
+  private[graft] def zipEntryAt(b: Array[Byte], cdPos: Int, name: String,
+      mediaId: Long): Array[Byte] = {
+    val method = zu16(b, cdPos + 10, mediaId)
+    val compSize = zu32(b, cdPos + 20, mediaId)
+    val uncompSize = zu32(b, cdPos + 24, mediaId)
+    val lh = zu32(b, cdPos + 42, mediaId).toInt
+    require(zu32(b, lh, mediaId) == 0x04034b50L,
+      s"media $mediaId: ZIP local-header signature missing at $lh")
+    val dataAt = lh + 30 + zu16(b, lh + 26, mediaId) + zu16(b, lh + 28, mediaId)
+    require(dataAt + compSize <= b.length,
+      s"media $mediaId: ZIP entry '$name' data overruns the payload")
+    method match {
+      case 0 =>
+        require(compSize == uncompSize,
+          s"media $mediaId: stored ZIP entry with mismatched sizes")
+        java.util.Arrays.copyOfRange(b, dataAt, dataAt + compSize.toInt)
+      case 8 => inflateRaw(b, dataAt, compSize.toInt, uncompSize.toInt, mediaId)
+      case m => throw new IllegalArgumentException(
+        s"media $mediaId: unsupported ZIP compression method $m")
+    }
+  }
+
+  /** One named entry's uncompressed bytes, resolved through the central
+    * directory (authoritative sizes) and read at its local header. */
+  private[graft] def zipEntry(b: Array[Byte], name: String,
+      mediaId: Long): Array[Byte] =
+    zipEntryOffsets(b, mediaId).find(_._1 == name)
+      .map { case (_, cdPos) => zipEntryAt(b, cdPos, name, mediaId) }
+      .getOrElse(throw new IllegalArgumentException(
+        s"media $mediaId: ZIP package without '$name' — not the " +
+          "expected OOXML package kind"))
 
   private def inflateRaw(b: Array[Byte], at: Int, compLen: Int,
       uncompLen: Int, mediaId: Long): Array[Byte] = {

@@ -298,6 +298,34 @@ object ExtensionQueries {
       out
     })
 
+  private val xlsxStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped XLSX staging for q_xlsx_roundtrip: each document
+    * serialized as a real spreadsheet — one row per sentence, two cells
+    * (the doc's source, then the sentence), so shared-string DEDUP (the
+    * repeated source collapses to one pool slot) and multi-cell rows
+    * are both on the oracle path — and framed into WARC archives. */
+  private def xlsxStage(s: SparkSession, dir: String): String =
+    xlsxStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("source"), col("text"))
+        .as[(Long, String, String, String)]
+        .map { case (_, u, src, text) =>
+          val rows = text.split(java.util.regex.Pattern.quote(". "), -1)
+            .toSeq.map(line => Seq(src, line))
+          (u,
+            "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+            graft.operators.Xlsx.writeXlsx(rows)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val shardStages =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
 
@@ -2303,6 +2331,20 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // XLSX ingestion round-trip: every document serialized to a real
+    // spreadsheet ONCE per session (xlsxStage — shared-string pool with
+    // planted dedup, two-cell rows) and read back through the full
+    // path: archive walk, MIME routing, ZIP resolution, sharedStrings
+    // parse, sheet cell/type scan, TAB/newline flattening. The oracle
+    // rebuilds the flattened text from the documents table directly.
+    "q_xlsx_roundtrip" -> ((s, dir) => {
+      val docIdStr = regexp_extract(col("url"), "doc/(\\d+)$", 1)
+      graft.io.Warc.toDocumentsXlsx(
+          graft.io.Warc.readWarc(s, xlsxStage(s, dir)))
+        .select(docIdStr.cast(LongType).as("doc_id"), col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // DOCX ingestion round-trip (the q_pdf_roundtrip pattern): every
     // document serialized to a real OOXML package ONCE per session
     // (docxStage — distributed generation, WARC framing), then read
@@ -2692,6 +2734,11 @@ object ExtensionQueries {
 
     "q_docx_roundtrip" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    // each sentence became a (source, sentence) spreadsheet row: the
+    // flattening is source TAB sentence per line
+    "q_xlsx_roundtrip" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, source || chr(9) || replace(text, '. ', chr(10) || source || chr(9)) AS text FROM documents ORDER BY doc_id""",
 
     "q_dataset_card" ->
       s"""WITH d AS (SELECT source, lang, len($tokensSql) AS nt, length(text) AS nc FROM documents) SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens, CAST(sum(nc) AS BIGINT) AS n_chars, min(nt) AS min_tokens, max(nt) AS max_tokens, CAST(sum(nt) AS DOUBLE) / count(*) AS mean_tokens, CAST(sum(nc) AS DOUBLE) / count(*) AS mean_chars FROM d GROUP BY ROLLUP(source, lang) ORDER BY gid, source, lang""",
