@@ -263,6 +263,32 @@ object Warc {
         col("extract_ok"))
   }
 
+  /** Curate-ready documents from OOXML `.pptx` responses — the
+    * presentation face of the trio ([[graft.operators.Pptx]]: slides in
+    * numeric part order, paragraphs newline-joined). Same strict-codec /
+    * tolerant-bridge contract as the other binary carriers. */
+  def toDocumentsPptx(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    import graft.functions.TextFunctions
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type")) ===
+          "application/vnd.openxmlformats-officedocument.presentationml.presentation")
+      .select(
+        xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, url, bytes) =>
+        try (id, url, graft.operators.Pptx.extractText(bytes, id), true)
+        catch { case _: Exception => (id, url, null: String, false) } })
+      .toDF("doc_id", "url", "text", "extract_ok")
+      .select(col("doc_id"), col("url"),
+        TextFunctions.langId(col("text")).as("lang"), col("text"),
+        col("extract_ok"))
+  }
+
   /** Curate-ready documents from `text/plain` responses: the payload IS
     * the text (decoded with the same charset rules as HTML), no
     * stripping — the third text carrier after HTML and PDF. */
@@ -283,8 +309,8 @@ object Warc {
   /** ONE call from crawl archive to curate-ready documents: every
     * text-bearing response routed to its extractor — `text/html` through
     * the HTML strip, `application/pdf` through the pure-JVM PDF
-    * extractor, OOXML `.docx` through the ZIP/WordprocessingML strip,
-    * `text/plain` as-is — unioned into the shared
+    * extractor, the OOXML trio (`.docx`/`.xlsx`/`.pptx`) through the
+    * ZIP central-directory strips, `text/plain` as-is — unioned into the shared
     * (doc_id, url, lang, text) shape `CorpusPipeline.curate` consumes.
     * Media-typed responses are [[toMedia]]'s business, not dropped here
     * silently — this is the TEXT face only. Each branch filters the same
@@ -300,6 +326,8 @@ object Warc {
       .unionByName(toDocumentsDocx(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsXlsx(records)
+        .filter(col("extract_ok")).drop("extract_ok"))
+      .unionByName(toDocumentsPptx(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsText(records))
 

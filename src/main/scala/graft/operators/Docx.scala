@@ -213,6 +213,38 @@ object Docx {
     else s
   }
 
+  /** One character of run text into `sb` with the shared OOXML entity
+    * rules (the five named entities plus decimal/hex character
+    * references; anything else fails loudly); returns the next scan
+    * position. The [[Pptx]] slide strip shares this decoder — the
+    * [[Xlsx]] scanner carries a structurally identical private copy
+    * predating it. */
+  private[graft] def appendEntityChar(xml: String, i: Int,
+      sb: StringBuilder, mediaId: Long): Int = {
+    val c = xml.charAt(i)
+    if (c == '&') {
+      val semi = xml.indexOf(';', i)
+      require(semi > i && semi - i <= 10,
+        s"media $mediaId: malformed XML entity at $i")
+      val ent = xml.substring(i + 1, semi)
+      sb.append(ent match {
+        case "amp" => "&"
+        case "lt" => "<"
+        case "gt" => ">"
+        case "quot" => "\""
+        case "apos" => "'"
+        case e if e.length > 2 && e.charAt(0) == '#' &&
+            (e.charAt(1) == 'x' || e.charAt(1) == 'X') =>
+          new String(Character.toChars(Integer.parseInt(e.substring(2), 16)))
+        case e if e.length > 1 && e.charAt(0) == '#' =>
+          new String(Character.toChars(e.substring(1).toInt))
+        case e => throw new IllegalArgumentException(
+          s"media $mediaId: unknown XML entity &$e;")
+      })
+      semi + 1
+    } else { sb.append(c); i + 1 }
+  }
+
   // -- generator (staging/spec counterpart, the Pdf.writeTextPdf rule) ---
 
   private def xmlEscape(s: String): String =

@@ -326,6 +326,33 @@ object ExtensionQueries {
       out
     })
 
+  private val pptxStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped PPTX staging for q_pptx_roundtrip: each document
+    * serialized as a real presentation — ONE SLIDE PER SENTENCE, so a
+    * long document exceeds nine slides and the numeric part ordering
+    * (`slide2` before `slide10`) is on the oracle path, not just
+    * spec'd — and framed into WARC archives. */
+  private def pptxStage(s: SparkSession, dir: String): String =
+    pptxStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_pptx").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"))
+        .as[(Long, String, String)]
+        .map { case (_, u, text) =>
+          val slides = text.split(java.util.regex.Pattern.quote(". "), -1).toSeq
+          (u,
+            "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+            graft.operators.Pptx.writePptx(slides)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val shardStages =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
 
@@ -2345,6 +2372,20 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // PPTX ingestion round-trip: every document serialized to a real
+    // presentation ONCE per session (pptxStage — one slide per
+    // sentence, so decks with 10+ slides pin the numeric part ordering)
+    // and read back through the full path: archive walk, MIME routing,
+    // ZIP resolution, per-slide DrawingML strip, newline join. The
+    // oracle rebuilds the flattened text from the documents table.
+    "q_pptx_roundtrip" -> ((s, dir) => {
+      val docIdStr = regexp_extract(col("url"), "doc/(\\d+)$", 1)
+      graft.io.Warc.toDocumentsPptx(
+          graft.io.Warc.readWarc(s, pptxStage(s, dir)))
+        .select(docIdStr.cast(LongType).as("doc_id"), col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // DOCX ingestion round-trip (the q_pdf_roundtrip pattern): every
     // document serialized to a real OOXML package ONCE per session
     // (docxStage — distributed generation, WARC framing), then read
@@ -2733,6 +2774,11 @@ object ExtensionQueries {
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
 
     "q_docx_roundtrip" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    // each sentence became one slide holding one paragraph; slides join
+    // with newline, so the flattening equals the sentence-split text
+    "q_pptx_roundtrip" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
 
     // each sentence became a (source, sentence) spreadsheet row: the
