@@ -419,7 +419,9 @@ object CorpusPipeline {
     "image/ppm", "image/png", "image/jpeg", "image/gif",
     "audio/wav", "audio/flac", "audio/x-flac",
     "audio/mpeg", "audio/mp3", "audio/mpeg3", "audio/x-mpeg-3",
-    "video/mp4", "audio/mp4", "audio/x-m4a")
+    "video/mp4", "audio/mp4", "audio/x-m4a",
+    "audio/ogg", "application/ogg", "audio/opus", "audio/vorbis",
+    "video/webm", "audio/webm", "video/x-matroska", "audio/x-matroska")
 
   /** Perceptual + identity signatures of a media batch: (`doc_id`,
     * `modality`, `simhash`) — images through
@@ -470,6 +472,24 @@ object CorpusPipeline {
           (try Some(graft.operators.Mp4.contentHash64(m.bytes, m.media_id))
           catch { case _: IllegalArgumentException => None })
             .map(h => (m.media_id, "mp4_stream", h)).toSeq
+        } else if (m.kind == "audio/ogg" || m.kind == "application/ogg" ||
+            m.kind == "audio/opus" || m.kind == "audio/vorbis") {
+          // Ogg: tag- AND page-layout-invariant audio-packet hash
+          // ([[graft.operators.Ogg.streamHash64]]) — a re-tagged or
+          // re-muxed copy of the same coded audio is an exact dup;
+          // framing damage takes the metadata-tier pass-through
+          (try Some(graft.operators.Ogg.streamHash64(m.bytes, m.media_id))
+          catch { case _: IllegalArgumentException => None })
+            .map(h => (m.media_id, "ogg_stream", h)).toSeq
+        } else if (m.kind == "video/webm" || m.kind == "audio/webm" ||
+            m.kind == "video/x-matroska" || m.kind == "audio/x-matroska") {
+          // Matroska/WebM: metadata-invariant Cluster content hash
+          // ([[graft.operators.Mkv.contentHash64]]) — a retitled or
+          // retagged copy of the same media is an exact dup; framing
+          // damage takes the metadata-tier pass-through
+          (try Some(graft.operators.Mkv.contentHash64(m.bytes, m.media_id))
+          catch { case _: IllegalArgumentException => None })
+            .map(h => (m.media_id, "mkv_stream", h)).toSeq
         } else {
           val walked = // framing damage: metadata tier, pass through
             try Some(graft.operators.Mpeg.walkFrames(m.bytes, m.media_id))
@@ -526,7 +546,8 @@ object CorpusPipeline {
       val p = new HPath(dir)
       fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
     }
-    val modalities = Seq("image", "audio", "audio_stream", "mp4_stream")
+    val modalities = Seq("image", "audio", "audio_stream", "mp4_stream",
+      "ogg_stream", "mkv_stream")
     val sigs = mediaSigs(batch).persist()
     sigs.count() // materialize: exact stats → broadcast probes (see minhashDedupAgainst)
     // intra-batch twins per modality — same min-id-keeper rule as text

@@ -1298,6 +1298,12 @@ object Multimodal {
         case m if m.kind == "video/mp4" || m.kind == "audio/mp4" ||
             m.kind == "audio/x-m4a" =>
           decodeMp4Features(m) // ISO-BMFF box walk: exact container metadata
+        case m if m.kind == "audio/ogg" || m.kind == "application/ogg" ||
+            m.kind == "audio/opus" || m.kind == "audio/vorbis" =>
+          decodeOggFeatures(m) // CRC-verified page walk: exact metadata
+        case m if m.kind == "video/webm" || m.kind == "audio/webm" ||
+            m.kind == "video/x-matroska" || m.kind == "audio/x-matroska" =>
+          decodeMkvFeatures(m) // EBML walk: exact container metadata
         case m => stubDecode(m)
       }
     }
@@ -1773,6 +1779,40 @@ object Multimodal {
     MediaFeatures(m.media_id, m.kind, m.bytes.length, w, h, feats)
   }
 
+  /** Ogg (Vorbis/Opus) features ([[graft.operators.Ogg]]): the
+    * CRC-verified page walk yields EXACT stream metadata — duration in
+    * the shared `feats(3)` slot, the codec's declared rate, channels —
+    * with zeroed waveform features: the metadata-only tier. Audio
+    * packet decode is refused rather than guessed (the [[Mpeg]]
+    * adjudication applied to the Vorbis codebook / Opus range-coder
+    * class), and the catalog value needs none of it. */
+  def decodeOggFeatures(m: Media): MediaFeatures = {
+    val info = Ogg.oggInfo(m.bytes, m.media_id)
+    val feats = new Array[Float](16)
+    feats(3) = info.durationSec.toFloat
+    MediaFeatures(m.media_id, m.kind, m.bytes.length, info.sampleRate,
+      info.channels, feats)
+  }
+
+  /** Matroska/WebM features ([[graft.operators.Mkv]]): the EBML walk
+    * yields EXACT container metadata — duration in the shared
+    * `feats(3)` slot, the first video track's pixel size in the
+    * width/height slots (or, for audio-only files, the first audio
+    * track's rate/channels — the [[decodeMp4Features]] convention) —
+    * with zeroed waveform/pixel features: the metadata-only tier,
+    * block decode refused rather than guessed. */
+  def decodeMkvFeatures(m: Media): MediaFeatures = {
+    val info = Mkv.mkvInfo(m.bytes, m.media_id)
+    val feats = new Array[Float](16)
+    feats(3) = info.durationSec.toFloat
+    val video = info.tracks.find(_.trackType == 1)
+    val audio = info.tracks.find(_.trackType == 2)
+    val (w, h) = video.map(t => (t.width, t.height))
+      .orElse(audio.map(t => (t.sampleRate.toInt, t.channels)))
+      .getOrElse((0, 0))
+    MediaFeatures(m.media_id, m.kind, m.bytes.length, w, h, feats)
+  }
+
   /** The shared waveform feature pass (mean / RMS / first-channel zero
     * crossings / 12-bin |amplitude| histogram / duration) over decoded
     * channel-interleaved integer samples — one definition for every
@@ -1819,7 +1859,10 @@ object Multimodal {
     * `tag`, `value`) — ID3v2 text frames ([[Mpeg.id3Frames]]: TIT2
     * title, TPE1 artist, TALB album, …) for the MPEG audio family and
     * iTunes-style ilst items ([[Mp4.ilstTags]]: ©nam/©ART/©alb) for
-    * MP4 containers. Untagged media contribute no rows; kinds without
+    * MP4 containers, Vorbis-comment user tags ([[Ogg.commentTags]]:
+    * TITLE/ARTIST/ALBUM, field names uppercased) for the Ogg family,
+    * and SimpleTag pairs ([[Mkv.mkvTags]]) for Matroska/WebM.
+    * Untagged media contribute no rows; kinds without
     * a tag walker contribute none either (absence, not error). Narrow
     * `mapPartitions` — zero shuffle, linear in corpus bytes, the
     * catalog join key is `media_id`. */
@@ -1827,10 +1870,15 @@ object Multimodal {
     import ds.sparkSession.implicits._
     val mpegKinds = Set("audio/mpeg", "audio/mp3", "audio/mpeg3", "audio/x-mpeg-3")
     val mp4Kinds = Set("video/mp4", "audio/mp4", "audio/x-m4a")
+    val oggKinds = Set("audio/ogg", "application/ogg", "audio/opus", "audio/vorbis")
+    val mkvKinds = Set("video/webm", "audio/webm", "video/x-matroska",
+      "audio/x-matroska")
     ds.mapPartitions(_.flatMap { m =>
         val tags =
           if (mpegKinds.contains(m.kind)) Mpeg.id3Frames(m.bytes, m.media_id)
           else if (mp4Kinds.contains(m.kind)) Mp4.ilstTags(m.bytes, m.media_id)
+          else if (oggKinds.contains(m.kind)) Ogg.commentTags(m.bytes, m.media_id)
+          else if (mkvKinds.contains(m.kind)) Mkv.mkvTags(m.bytes, m.media_id)
           else Map.empty[String, String]
         tags.iterator.map { case (k, v) => (m.media_id, m.kind, k, v) }
       })

@@ -2254,6 +2254,168 @@ object ExtensionQueries {
       Multimodal.mediaTags(media).orderBy("media_id", "tag")
     }),
 
+    // Matroska/WebM metadata: per doc_id a structurally-valid EBML file
+    // is serialized (header + Segment with Info/Tracks/Tags/Clusters,
+    // real VINT framing) and walked back (Mkv.mkvInfo) — one row per
+    // track, the q_mp4_meta shape. The oracle replays the planted
+    // derivation: duration = units·scale/1e9, the video row always,
+    // the audio row on even ids.
+    "q_mkv_meta" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 300)
+        .as[Long]
+        .flatMap { id =>
+          val docType = if (id % 2 == 0) "webm" else "matroska"
+          val scale = Array(1000000L, 100000L, 40000L)((id % 3).toInt)
+          val durationUnits = ((2 + id % 9) * 1000 + id % 7).toDouble
+          val video = graft.operators.Mkv.MkvTrackSpec(1L, 1,
+            Seq("V_VP9", "V_AV1", "V_MPEG4/ISO/AVC")((id % 3).toInt),
+            width = 320 + 16 * (id % 6).toInt,
+            height = 180 + 16 * (id % 4).toInt)
+          val audio =
+            if (id % 2 == 0)
+              Seq(graft.operators.Mkv.MkvTrackSpec(2L, 2,
+                Seq("A_OPUS", "A_VORBIS")(((id / 2) % 2).toInt),
+                channels = (1 + (id / 2) % 2).toInt,
+                sampleRate = Array(48000.0, 44100.0, 24000.0)(((id / 4) % 3).toInt)))
+            else Seq.empty
+          val nClusters = (3 + id % 20).toInt
+          val info = graft.operators.Mkv.mkvInfo(
+            graft.operators.Mkv.writeMkv(docType, scale, durationUnits,
+              video +: audio, nClusters), id)
+          info.tracks.map(tr =>
+            (id, tr.number, tr.trackType, tr.codecId, tr.width, tr.height,
+              tr.channels, tr.sampleRate, info.docType, info.timestampScale,
+              info.durationSec, info.nClusters))
+        }
+        .toDF("doc_id", "track_number", "track_type", "codec_id", "width",
+          "height", "channels", "sample_rate", "doc_type",
+          "timestamp_scale", "duration_sec", "n_clusters")
+        .orderBy("doc_id", "track_number")
+    }),
+
+    // Matroska identity gate (the q_check_mp4_identity pattern): per
+    // doc_id a file is planted, then re-serialized with EDITED METADATA
+    // (different title, added tags, the other DocType) and with CHANGED
+    // cluster content; violations are rows, oracle = empty set.
+    //  meta_variant  — metadata-edited copy hashes differently
+    //  content_blind — changed cluster bytes hash the same
+    //  collision     — two distinct planted files share a hash
+    "q_check_mkv_identity" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Mkv => K}
+      val rows = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 120).as[Long]
+        .flatMap { id =>
+          val tracks = Seq(K.MkvTrackSpec(1L, 1, "V_VP9",
+            width = 640, height = 360))
+          val nClusters = (2 + id % 13).toInt
+          val seed = 1 + id % 251
+          val a = K.writeMkv("webm", 1000000L, 5000.0, tracks, nClusters,
+            seed = seed)
+          val h = K.contentHash64(a, id)
+          val viol = Seq.newBuilder[(String, Long, Long)]
+          val edited = K.writeMkv("matroska", 1000000L, 5000.0, tracks,
+            nClusters, seed = seed, title = s"renamed $id",
+            tags = Seq("TITLE" -> "other", "ARTIST" -> "someone"))
+          if (K.contentHash64(edited, id) != h)
+            viol += (("meta_variant", id, 0L))
+          val changed = K.writeMkv("webm", 1000000L, 5000.0, tracks,
+            nClusters, seed = seed + 1000)
+          if (K.contentHash64(changed, id) == h)
+            viol += (("content_blind", id, 0L))
+          viol.result() :+ (("stream", id, h))
+        }
+        .toDF("kind", "doc_id", "h")
+      val collisions = rows.filter(col("kind") === "stream")
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("doc_id"))
+        .filter(col("n") > 1)
+        .select(lit("collision").as("kind"), col("doc_id"))
+      rows.filter(col("kind") =!= "stream").select("kind", "doc_id")
+        .unionByName(collisions)
+        .orderBy("kind", "doc_id")
+    }),
+
+    // Ogg (Vorbis/Opus) metadata: per doc_id a structurally-valid
+    // single-stream file is serialized (real page framing, real CRCs,
+    // correct granule positions, packets exceeding 255 bytes so
+    // 255-lacing continuation is on the oracle path) and walked back
+    // (Ogg.oggInfo — CRC-verified). The oracle replays the planted
+    // derivation arithmetic: Vorbis duration = packets·576/rate, Opus
+    // duration = packets·960/48000 (granules include the pre-skip),
+    // pages = 2 header pages + ceil(packets/2).
+    "q_ogg_meta" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 300)
+        .as[Long]
+        .map { id =>
+          val codec = if (id % 2 == 0) "vorbis" else "opus"
+          val channels = (1 + (id / 2) % 2).toInt
+          val rate =
+            if (codec == "vorbis") Array(44100, 48000, 32000)(((id / 4) % 3).toInt)
+            else Array(48000, 16000, 24000)(((id / 4) % 3).toInt)
+          val nPackets = (4 + id % 37).toInt
+          val info = graft.operators.Ogg.oggInfo(
+            graft.operators.Ogg.writeOgg(codec, channels, rate, nPackets), id)
+          (id, info.codec, info.channels, info.sampleRate, info.preSkip,
+            info.nPages, info.nAudioPackets, info.lastGranule,
+            info.durationSec)
+        }
+        .toDF("doc_id", "codec", "channels", "sample_rate", "pre_skip",
+          "n_pages", "n_audio_packets", "last_granule", "duration_sec")
+        .orderBy("doc_id")
+    }),
+
+    // Ogg identity gate (the q_check_mpeg_identity pattern): per doc_id
+    // a stream is planted, then re-serialized with DIFFERENT COMMENT
+    // TAGS, with a DIFFERENT PAGE LAYOUT (1 packet/page vs 2 — a muxer
+    // choice), and with CHANGED audio content; violations are rows,
+    // oracle = empty set.
+    //  tag_variant    — re-tagged copy hashes differently
+    //  repage_variant — re-muxed copy hashes differently
+    //  content_blind  — changed audio hashes the same
+    //  collision      — two distinct planted streams share a hash
+    "q_check_ogg_identity" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Ogg => O}
+      val rows = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 120).as[Long]
+        .flatMap { id =>
+          val codec = if (id % 2 == 0) "vorbis" else "opus"
+          val channels = (1 + (id / 2) % 2).toInt
+          val rate = if (codec == "vorbis") 44100 else 48000
+          val nPackets = (4 + id % 23).toInt
+          val seed = 1 + id % 251
+          val base = O.writeOgg(codec, channels, rate, nPackets, seed = seed)
+          val h = O.streamHash64(base, id)
+          val viol = Seq.newBuilder[(String, Long, Long)]
+          val tagged = O.writeOgg(codec, channels, rate, nPackets,
+            seed = seed, comments = Seq("TITLE" -> s"other $id",
+              "ARTIST" -> "somebody else"))
+          if (O.streamHash64(tagged, id) != h)
+            viol += (("tag_variant", id, 0L))
+          val repaged = O.writeOgg(codec, channels, rate, nPackets,
+            packetsPerPage = 1, seed = seed)
+          if (O.streamHash64(repaged, id) != h)
+            viol += (("repage_variant", id, 0L))
+          val changed = O.writeOgg(codec, channels, rate, nPackets,
+            seed = seed + 1000)
+          if (O.streamHash64(changed, id) == h)
+            viol += (("content_blind", id, 0L))
+          viol.result() :+ (("stream", id, h))
+        }
+        .toDF("kind", "doc_id", "h")
+      val collisions = rows.filter(col("kind") === "stream")
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("doc_id"))
+        .filter(col("n") > 1)
+        .select(lit("collision").as("kind"), col("doc_id"))
+      rows.filter(col("kind") =!= "stream").select("kind", "doc_id")
+        .unionByName(collisions)
+        .orderBy("kind", "doc_id")
+    }),
+
     "q_mpeg_meta" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 300)
@@ -2825,6 +2987,27 @@ object ExtensionQueries {
     // MPEG identity gate: violations are rows, oracle = empty set
     "q_check_mpeg_identity" ->
       """SELECT CAST(text AS VARCHAR) AS kind, doc_id FROM documents WHERE 1 = 0 ORDER BY kind, doc_id""",
+
+    // Matroska identity gate: violations are rows, oracle = empty set
+    "q_check_mkv_identity" ->
+      """SELECT CAST(text AS VARCHAR) AS kind, doc_id FROM documents WHERE 1 = 0 ORDER BY kind, doc_id""",
+
+    // the planted Matroska derivation replayed per track: the video row
+    // always, the audio row on even ids; duration = units·scale/1e9
+    "q_mkv_meta" ->
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 2 AS INTEGER) AS oc, CAST(doc_id % 3 AS INTEGER) AS si, CAST((doc_id // 2) % 2 AS INTEGER) AS ai, CAST((doc_id // 4) % 3 AS INTEGER) AS ri, CAST(doc_id % 6 AS INTEGER) AS wi, CAST(doc_id % 4 AS INTEGER) AS hi, CAST(3 + doc_id % 20 AS INTEGER) AS nc, (2 + doc_id % 9) * 1000 + doc_id % 7 AS du FROM documents WHERE doc_id < 300), d AS (SELECT doc_id, oc, CASE si WHEN 0 THEN 1000000 WHEN 1 THEN 100000 ELSE 40000 END AS scale, si, ai, ri, wi, hi, nc, du FROM p), v AS (SELECT doc_id, CAST(1 AS BIGINT) AS track_number, 1 AS track_type, CASE si WHEN 0 THEN 'V_VP9' WHEN 1 THEN 'V_AV1' ELSE 'V_MPEG4/ISO/AVC' END AS codec_id, 320 + 16 * wi AS width, 180 + 16 * hi AS height, 0 AS channels, CAST(0.0 AS DOUBLE) AS sample_rate, CASE oc WHEN 0 THEN 'webm' ELSE 'matroska' END AS doc_type, CAST(scale AS BIGINT) AS timestamp_scale, CAST(du AS DOUBLE) * scale / 1e9 AS duration_sec, nc AS n_clusters FROM d UNION ALL SELECT doc_id, CAST(2 AS BIGINT), 2, CASE ai WHEN 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END, 0, 0, 1 + ai, CASE ri WHEN 0 THEN 48000.0 WHEN 1 THEN 44100.0 ELSE 24000.0 END, CASE oc WHEN 0 THEN 'webm' ELSE 'matroska' END, CAST(scale AS BIGINT), CAST(du AS DOUBLE) * scale / 1e9, nc FROM d WHERE oc = 0) SELECT * FROM v ORDER BY doc_id, track_number""",
+
+    // Ogg identity gate: violations are rows, oracle = empty set
+    "q_check_ogg_identity" ->
+      """SELECT CAST(text AS VARCHAR) AS kind, doc_id FROM documents WHERE 1 = 0 ORDER BY kind, doc_id""",
+
+    // the planted Ogg derivation replayed: Vorbis (even ids) at 576
+    // samples/packet over the declared rate, Opus (odd ids) at 960
+    // samples/packet over the fixed 48 kHz granule domain with the
+    // generator's 312-sample pre-skip folded into the final granule;
+    // the writer lays 2 audio packets per page after the 2 header pages
+    "q_ogg_meta" ->
+      """WITH p AS (SELECT doc_id, doc_id % 2 AS oc, CAST((doc_id // 4) % 3 AS INTEGER) AS ri, CAST(4 + doc_id % 37 AS INTEGER) AS np, CAST(1 + (doc_id // 2) % 2 AS INTEGER) AS ch FROM documents WHERE doc_id < 300), d AS (SELECT doc_id, oc, ch, np, CASE WHEN oc = 0 THEN (CASE ri WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END) ELSE (CASE ri WHEN 0 THEN 48000 WHEN 1 THEN 16000 ELSE 24000 END) END AS rate FROM p) SELECT doc_id, CASE WHEN oc = 0 THEN 'vorbis' ELSE 'opus' END AS codec, ch AS channels, rate AS sample_rate, CAST(CASE WHEN oc = 0 THEN 0 ELSE 312 END AS INTEGER) AS pre_skip, CAST(2 + CAST(ceil(np / 2.0) AS INTEGER) AS INTEGER) AS n_pages, np AS n_audio_packets, CAST(CASE WHEN oc = 0 THEN np * 576 ELSE 312 + np * 960 END AS BIGINT) AS last_granule, CASE WHEN oc = 0 THEN CAST(np * 576 AS DOUBLE) / rate ELSE CAST(np * 960 AS DOUBLE) / 48000 END AS duration_sec FROM d ORDER BY doc_id""",
 
     // independent derivation: the MPEG walker's outputs are pure
     // arithmetic of the planted parameters — layer cycle, rate/bitrate

@@ -124,6 +124,53 @@ class MediaDedupStreamSpec extends SparkSpec {
     assert(sigRows == Set((1L, "mp4_stream"), (3L, "mp4_stream")))
   }
 
+  test("re-tagged and re-muxed Ogg streams dedup via the packet hash") {
+    import graft.operators.Ogg
+    val corpus = tmp() + "/corpus"; val sigs = tmp() + "/sigs"
+    val a = Ogg.writeOgg("opus", 2, 48000, 8, seed = 3)
+    val reTagged = Ogg.writeOgg("opus", 2, 48000, 8, seed = 3,
+      comments = Seq("TITLE" -> "renamed", "ARTIST" -> "someone"))
+    val reMuxed = Ogg.writeOgg("opus", 2, 48000, 8, seed = 3,
+      packetsPerPage = 1)
+    // NOTE seed 4: the generator's audio packets depend only on (seed,
+    // index), so a same-seed vorbis stream would carry the SAME coded
+    // bytes as `a` and correctly dedup against it
+    val other = Ogg.writeOgg("vorbis", 2, 44100, 8, seed = 4)
+    CorpusPipeline.mediaCommit(Seq(
+      Media(1L, "audio/opus", a),
+      Media(2L, "audio/opus", reTagged),            // same audio: dup
+      Media(3L, "audio/ogg", reMuxed),              // same audio: dup
+      Media(4L, "audio/ogg", other),                // new media: kept
+      Media(5L, "audio/ogg", Array[Byte](9, 9, 9))  // malformed: pass-through
+    ).toDF(), 0L, corpus, sigs, maxHamming = 8)
+    assert(corpusIds(corpus) == Set(1L, 4L, 5L),
+      "re-tagged AND re-muxed twins suppressed; malformed passes through")
+    val sigRows = spark.read.parquet(sigs)
+      .select("doc_id", "modality").as[(Long, String)].collect().toSet
+    assert(sigRows == Set((1L, "ogg_stream"), (4L, "ogg_stream")))
+  }
+
+  test("retitled/retagged Matroska files dedup via the cluster hash") {
+    import graft.operators.Mkv
+    val corpus = tmp() + "/corpus"; val sigs = tmp() + "/sigs"
+    val tracks = Seq(Mkv.MkvTrackSpec(1L, 1, "V_VP9", width = 320, height = 180))
+    val a = Mkv.writeMkv("webm", 1000000L, 4000.0, tracks, 3, seed = 11)
+    val edited = Mkv.writeMkv("matroska", 1000000L, 4000.0, tracks, 3,
+      seed = 11, title = "renamed", tags = Seq("ARTIST" -> "someone"))
+    val other = Mkv.writeMkv("webm", 1000000L, 4000.0, tracks, 3, seed = 12)
+    CorpusPipeline.mediaCommit(Seq(
+      Media(1L, "video/webm", a),
+      Media(2L, "video/x-matroska", edited),        // same media: dup
+      Media(3L, "video/webm", other),               // new media: kept
+      Media(4L, "video/webm", Array[Byte](9, 9, 9)) // malformed: pass-through
+    ).toDF(), 0L, corpus, sigs, maxHamming = 8)
+    assert(corpusIds(corpus) == Set(1L, 3L, 4L),
+      "the retitled/retagged twin is suppressed; malformed passes through")
+    val sigRows = spark.read.parquet(sigs)
+      .select("doc_id", "modality").as[(Long, String)].collect().toSet
+    assert(sigRows == Set((1L, "mkv_stream"), (3L, "mkv_stream")))
+  }
+
   test("a deleted bucket index is rebuilt; dedup still holds") {
     val corpus = tmp() + "/corpus"; val sigs = tmp() + "/sigs"
     CorpusPipeline.mediaCommit(Seq(img(1L, 7L)).toDF(), 0L, corpus, sigs, 8)
