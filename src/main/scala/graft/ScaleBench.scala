@@ -551,6 +551,43 @@ object ScaleBench {
           .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("members"))
       }
 
+      // container identity for the round-11 walkers: every 5th id is a
+      // re-tagged/re-muxed twin of its predecessor (Ogg) or a
+      // retitled/retagged copy (Matroska) — the same generate+hash+group
+      // shape as mpeg_stream_identity, per-byte linear and shuffle-light,
+      // alternating codecs so both walkers sit on the measured path
+      measure("container_identity", s"$scaleDir/out_contid") {
+        import spark.implicits._
+        corpus.select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val src = if (id % 5 == 1) id - 1 else id // twin of predecessor
+            val h =
+              if (src % 2 == 0) {
+                val codec = if (src % 4 == 0) "vorbis" else "opus"
+                val bytes = graft.operators.Ogg.writeOgg(codec,
+                  (1 + src % 2).toInt, 48000, (4 + src % 23).toInt,
+                  packetsPerPage = if (id % 5 == 1) 1 else 2,
+                  seed = 1 + src % 251,
+                  comments = if (id % 5 == 1) Seq("TITLE" -> "renamed")
+                    else Seq("TITLE" -> "planted"))
+                graft.operators.Ogg.streamHash64(bytes, id)
+              } else {
+                val tracks = Seq(graft.operators.Mkv.MkvTrackSpec(1L, 1,
+                  "V_VP9", width = 320, height = 180))
+                val bytes = graft.operators.Mkv.writeMkv(
+                  if (id % 5 == 1) "matroska" else "webm",
+                  1000000L, 4000.0, tracks, (2 + src % 13).toInt,
+                  seed = 1 + src % 251,
+                  title = if (id % 5 == 1) "renamed" else "planted")
+                graft.operators.Mkv.contentHash64(bytes, id)
+              }
+            (id, h)
+          })
+          .toDF("doc_id", "h")
+          .groupBy(col("h"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("members"))
+      }
+
       // incremental ingest dedup, steady state: the signature table is a
       // PERSISTED artifact (built untimed, as production loads it), the
       // timed region is one FIXED-size ingest batch (copy-0 re-ids, all
