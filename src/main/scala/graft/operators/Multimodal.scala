@@ -1304,6 +1304,8 @@ object Multimodal {
         case m if m.kind == "video/webm" || m.kind == "audio/webm" ||
             m.kind == "video/x-matroska" || m.kind == "audio/x-matroska" =>
           decodeMkvFeatures(m) // EBML walk: exact container metadata
+        case m if m.kind == "image/webp" =>
+          decodeWebpFeatures(m) // RIFF walk: exact dimensions/flags
         case m => stubDecode(m)
       }
     }
@@ -1811,6 +1813,20 @@ object Multimodal {
       .orElse(audio.map(t => (t.sampleRate.toInt, t.channels)))
       .getOrElse((0, 0))
     MediaFeatures(m.media_id, m.kind, m.bytes.length, w, h, feats)
+  }
+
+  /** `image/webp` features ([[graft.operators.Webp]]): the RIFF chunk
+    * walk yields EXACT dimensions (canvas size for VP8X) in the
+    * width/height slots and the alpha/animation flags in `feats(0)`/
+    * `feats(1)` (0/1), with zeroed pixel features: the metadata-only
+    * tier — VP8/VP8L pixel decode refused rather than guessed. */
+  def decodeWebpFeatures(m: Media): MediaFeatures = {
+    val info = Webp.webpInfo(m.bytes, m.media_id)
+    val feats = new Array[Float](16)
+    feats(0) = if (info.hasAlpha) 1f else 0f
+    feats(1) = if (info.hasAnimation) 1f else 0f
+    MediaFeatures(m.media_id, m.kind, m.bytes.length, info.width,
+      info.height, feats)
   }
 
   /** The shared waveform feature pass (mean / RMS / first-channel zero

@@ -2254,6 +2254,32 @@ object ExtensionQueries {
       Multimodal.mediaTags(media).orderBy("media_id", "tag")
     }),
 
+    // WebP metadata: per doc_id a structurally-valid WebP of the form
+    // cycle (lossy / lossless / extended, real RIFF framing, exact
+    // header dimensions, planted alpha/animation flags) is serialized
+    // and walked back (Webp.webpInfo). The oracle replays the planted
+    // derivation arithmetic directly.
+    "q_webp_meta" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 300)
+        .as[Long]
+        .map { id =>
+          val form = Seq("lossy", "lossless", "extended")((id % 3).toInt)
+          val w = (16 + id % 200).toInt
+          val h = (16 + id % 150).toInt
+          val alpha = form != "lossy" && id % 2 == 0
+          val anim = form == "extended" && id % 4 == 1
+          val info = graft.operators.Webp.webpInfo(
+            graft.operators.Webp.writeWebp(form, w, h, alpha, anim,
+              seed = 1 + id % 251), id)
+          (id, info.format, info.width, info.height, info.hasAlpha,
+            info.hasAnimation, info.nChunks)
+        }
+        .toDF("doc_id", "format", "width", "height", "has_alpha",
+          "has_anim", "n_chunks")
+        .orderBy("doc_id")
+    }),
+
     // Matroska/WebM metadata: per doc_id a structurally-valid EBML file
     // is serialized (header + Segment with Info/Tracks/Tags/Clusters,
     // real VINT framing) and walked back (Mkv.mkvInfo) — one row per
@@ -2987,6 +3013,12 @@ object ExtensionQueries {
     // MPEG identity gate: violations are rows, oracle = empty set
     "q_check_mpeg_identity" ->
       """SELECT CAST(text AS VARCHAR) AS kind, doc_id FROM documents WHERE 1 = 0 ORDER BY kind, doc_id""",
+
+    // the planted WebP derivation replayed: form cycle by id%3, alpha
+    // on even non-lossy ids, animation on extended ids%4==1; chunk
+    // count 1 for the stills, VP8X + optional ALPH + still for extended
+    "q_webp_meta" ->
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS f, doc_id % 2 AS a2, doc_id % 4 AS a4, CAST(16 + doc_id % 200 AS INTEGER) AS w, CAST(16 + doc_id % 150 AS INTEGER) AS h FROM documents WHERE doc_id < 300), d AS (SELECT doc_id, CASE f WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless' ELSE 'extended' END AS format, w, h, (f <> 0 AND a2 = 0) AS has_alpha, (f = 2 AND a4 = 1) AS has_anim FROM p) SELECT doc_id, format, w AS width, h AS height, has_alpha, has_anim, CAST(CASE WHEN format = 'extended' THEN 2 + CASE WHEN has_alpha THEN 1 ELSE 0 END ELSE 1 END AS INTEGER) AS n_chunks FROM d ORDER BY doc_id""",
 
     // Matroska identity gate: violations are rows, oracle = empty set
     "q_check_mkv_identity" ->
