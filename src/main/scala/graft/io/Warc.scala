@@ -289,6 +289,38 @@ object Warc {
         col("extract_ok"))
   }
 
+  /** Curate-ready documents from subtitle responses — `text/vtt`
+    * (WebVTT) and `application/x-subrip` (SRT), the video-transcript
+    * carriers ([[graft.operators.Subtitles]]: cue payload text, tags
+    * stripped, timing/framing dropped). Same strict-codec /
+    * tolerant-bridge contract as the binary carriers. */
+  def toDocumentsSubtitles(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    import graft.functions.TextFunctions
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type"))
+          .isin("text/vtt", "application/x-subrip"))
+      .select(
+        xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        mimeOf(col("http_content_type")).as("mime"),
+        col("payload"))
+      .as[(Long, String, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, url, mime, bytes) =>
+        try {
+          val doc =
+            if (mime == "text/vtt") graft.operators.Subtitles.extractVtt(bytes, id)
+            else graft.operators.Subtitles.extractSrt(bytes, id)
+          (id, url, doc.text, true)
+        } catch { case _: Exception => (id, url, null: String, false) } })
+      .toDF("doc_id", "url", "text", "extract_ok")
+      .select(col("doc_id"), col("url"),
+        TextFunctions.langId(col("text")).as("lang"), col("text"),
+        col("extract_ok"))
+  }
+
   /** Curate-ready documents from `text/plain` responses: the payload IS
     * the text (decoded with the same charset rules as HTML), no
     * stripping — the third text carrier after HTML and PDF. */
@@ -328,6 +360,8 @@ object Warc {
       .unionByName(toDocumentsXlsx(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsPptx(records)
+        .filter(col("extract_ok")).drop("extract_ok"))
+      .unionByName(toDocumentsSubtitles(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsText(records))
 

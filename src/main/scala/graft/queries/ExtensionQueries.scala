@@ -353,6 +353,32 @@ object ExtensionQueries {
       out
     })
 
+  private val subtitleStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped subtitle staging for q_subtitles_roundtrip: each
+    * document serialized as WebVTT (even ids) or SRT (odd ids), one
+    * 2-second cue per sentence, framed into WARC archives. */
+  private def subtitleStage(s: SparkSession, dir: String): String =
+    subtitleStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_subs").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, u, text) =>
+          val cues = text.split(java.util.regex.Pattern.quote(". "), -1).toSeq
+          if (id % 2 == 0)
+            (u, "text/vtt", graft.operators.Subtitles.writeVtt(cues))
+          else
+            (u, "application/x-subrip", graft.operators.Subtitles.writeSrt(cues)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val shardStages =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
 
@@ -2574,6 +2600,21 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // Subtitle ingestion round-trip: every document serialized ONCE per
+    // session as WebVTT (even ids — NOTE block planted, so the skip
+    // path is on the oracle) or SRT (odd ids — index lines), one cue
+    // per sentence, and read back through the full path: archive walk,
+    // MIME routing, cue/timing framing, tag strip. The oracle rebuilds
+    // the cue text and the derived cue count/duration from the
+    // documents table (2 s per cue by the generator's rule).
+    "q_subtitles_roundtrip" -> ((s, dir) => {
+      val docIdStr = regexp_extract(col("url"), "doc/(\\d+)$", 1)
+      graft.io.Warc.toDocumentsSubtitles(
+          graft.io.Warc.readWarc(s, subtitleStage(s, dir)))
+        .select(docIdStr.cast(LongType).as("doc_id"), col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // DOCX ingestion round-trip (the q_pdf_roundtrip pattern): every
     // document serialized to a real OOXML package ONCE per session
     // (docxStage — distributed generation, WARC framing), then read
@@ -2967,6 +3008,11 @@ object ExtensionQueries {
     // each sentence became one slide holding one paragraph; slides join
     // with newline, so the flattening equals the sentence-split text
     "q_pptx_roundtrip" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    // each sentence became one cue's payload line (VTT even / SRT odd —
+    // same extracted text either way)
+    "q_subtitles_roundtrip" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
 
     // each sentence became a (source, sentence) spreadsheet row: the
