@@ -417,6 +417,7 @@ object CorpusPipeline {
     * executor exception. */
   private val hashableKinds = Set(
     "image/ppm", "image/png", "image/jpeg", "image/gif",
+    "image/bmp", "image/x-ms-bmp",
     "audio/wav", "audio/flac", "audio/x-flac",
     "audio/mpeg", "audio/mp3", "audio/mpeg3", "audio/x-mpeg-3",
     "video/mp4", "audio/mp4", "audio/x-m4a",

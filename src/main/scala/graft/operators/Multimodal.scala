@@ -1306,6 +1306,8 @@ object Multimodal {
           decodeMkvFeatures(m) // EBML walk: exact container metadata
         case m if m.kind == "image/webp" =>
           decodeWebpFeatures(m) // RIFF walk: exact dimensions/flags
+        case m if m.kind == "image/bmp" || m.kind == "image/x-ms-bmp" =>
+          decodeBmp(m) // full DIB pixel decode
         case m => stubDecode(m)
       }
     }
@@ -1517,6 +1519,8 @@ object Multimodal {
     case "image/ppm" => decodePpmCanvas(m)
     case "image/png" => decodePngCanvas(m)
     case "image/jpeg" => decodeJpegCanvas(m)
+    case "image/bmp" | "image/x-ms-bmp" =>
+      Bmp.decodeBmpCanvas(m.bytes, m.media_id)
     case "image/gif" =>
       val (w, h, frames) = decodeGifCanvas(m, maxFrames = 1)
       (w, h, frames.head)
@@ -1813,6 +1817,15 @@ object Multimodal {
       .orElse(audio.map(t => (t.sampleRate.toInt, t.channels)))
       .getOrElse((0, 0))
     MediaFeatures(m.media_id, m.kind, m.bytes.length, w, h, feats)
+  }
+
+  /** `image/bmp` features ([[graft.operators.Bmp]]): a FULL pixel
+    * decode (24/32-bpp, 8-bpp palette, RLE8, both row orders) onto the
+    * shared RGB canvas — BMPs take the same real pixel features as
+    * PPM/PNG/GIF/JPEG and pair in perceptual-hash dedup. */
+  def decodeBmp(m: Media): MediaFeatures = {
+    val (w, h, rgb) = Bmp.decodeBmpCanvas(m.bytes, m.media_id)
+    rgbFeatures(m, w, h, rgb)
   }
 
   /** `image/webp` features ([[graft.operators.Webp]]): the RIFF chunk

@@ -2280,6 +2280,55 @@ object ExtensionQueries {
       Multimodal.mediaTags(media).orderBy("media_id", "tag")
     }),
 
+    // BMP decode gate: per doc_id a deterministic RGB canvas is
+    // serialized in all four supported forms (24-bpp bottom-up, 32-bpp
+    // top-down, 8-bpp palette, RLE8) and decoded back; any byte
+    // mismatch, or a perceptual hash differing from the PPM of the
+    // same pixels (format invariance), is a violation row. Oracle =
+    // empty set.
+    "q_check_bmp" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Bmp, Multimodal}
+      t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 120)
+        .as[Long]
+        .flatMap { id =>
+          val w = (16 + id % 17).toInt
+          val h = (16 + id % 13).toInt
+          val rgb = Array.tabulate[Byte](w * h * 3)(j =>
+            ((id * 131 + j * 7) & 0xff).toByte)
+          val nColors = 7
+          val palette = Array.tabulate[Byte](nColors * 3)(j =>
+            ((j * 37 + id) & 0xff).toByte)
+          val indices = Array.tabulate[Byte](w * h)(j =>
+            ((id + j * 3) % nColors).toByte)
+          val palRgb = Array.tabulate[Byte](w * h * 3) { j =>
+            palette((indices(j / 3) & 0xff) * 3 + j % 3)
+          }
+          def canvas(bytes: Array[Byte]) = Bmp.decodeBmpCanvas(bytes, id)._3
+          val viol = Seq.newBuilder[(String, Long)]
+          if (!java.util.Arrays.equals(canvas(Bmp.writeBmp(w, h, rgb)), rgb))
+            viol += (("roundtrip_24", id))
+          if (!java.util.Arrays.equals(
+              canvas(Bmp.writeBmp(w, h, rgb, bpp = 32, topDown = true)), rgb))
+            viol += (("roundtrip_32_topdown", id))
+          if (!java.util.Arrays.equals(
+              canvas(Bmp.writeBmp8(w, h, indices, palette)), palRgb))
+            viol += (("roundtrip_8_palette", id))
+          if (!java.util.Arrays.equals(
+              canvas(Bmp.writeBmp8(w, h, indices, palette, rle = true)), palRgb))
+            viol += (("roundtrip_rle8", id))
+          val ppm = ("P6\n" + w + " " + h + "\n255\n")
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ rgb
+          if (Multimodal.perceptualHash64(
+                Multimodal.Media(id, "image/bmp", Bmp.writeBmp(w, h, rgb))) !=
+              Multimodal.perceptualHash64(Multimodal.Media(id, "image/ppm", ppm)))
+            viol += (("phash_cross_format", id))
+          viol.result()
+        }
+        .toDF("kind", "doc_id")
+        .orderBy("kind", "doc_id")
+    }),
+
     // WebP metadata: per doc_id a structurally-valid WebP of the form
     // cycle (lossy / lossless / extended, real RIFF framing, exact
     // header dimensions, planted alpha/animation flags) is serialized
@@ -3058,6 +3107,10 @@ object ExtensionQueries {
 
     // MPEG identity gate: violations are rows, oracle = empty set
     "q_check_mpeg_identity" ->
+      """SELECT CAST(text AS VARCHAR) AS kind, doc_id FROM documents WHERE 1 = 0 ORDER BY kind, doc_id""",
+
+    // BMP decode gate: violations are rows, oracle = empty set
+    "q_check_bmp" ->
       """SELECT CAST(text AS VARCHAR) AS kind, doc_id FROM documents WHERE 1 = 0 ORDER BY kind, doc_id""",
 
     // the planted WebP derivation replayed: form cycle by id%3, alpha
