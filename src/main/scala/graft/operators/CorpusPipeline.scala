@@ -419,6 +419,7 @@ object CorpusPipeline {
     "image/ppm", "image/png", "image/jpeg", "image/gif",
     "image/bmp", "image/x-ms-bmp",
     "audio/wav", "audio/flac", "audio/x-flac",
+    "audio/aiff", "audio/x-aiff",
     "audio/mpeg", "audio/mp3", "audio/mpeg3", "audio/x-mpeg-3",
     "video/mp4", "audio/mp4", "audio/x-m4a",
     "audio/ogg", "application/ogg", "audio/opus", "audio/vorbis",
@@ -462,7 +463,8 @@ object CorpusPipeline {
         if (!hashableKinds.contains(m.kind)) Nil
         else if (m.kind.startsWith("image/"))
           Seq((m.media_id, "image", Multimodal.perceptualHash64(m)))
-        else if (m.kind == "audio/wav" || m.kind.contains("flac"))
+        else if (m.kind == "audio/wav" || m.kind.contains("flac") ||
+            m.kind == "audio/aiff" || m.kind == "audio/x-aiff")
           Seq((m.media_id, "audio", Multimodal.audioHash64(m)))
         else if (m.kind == "video/mp4" || m.kind == "audio/mp4" ||
             m.kind == "audio/x-m4a") {

@@ -1290,6 +1290,8 @@ object Multimodal {
         case m if m.kind == "audio/wav" => decodeWav(m)
         case m if m.kind == "audio/flac" || m.kind == "audio/x-flac" =>
           decodeFlacFeatures(m) // x-flac: the pre-registration MIME still in crawls
+        case m if m.kind == "audio/aiff" || m.kind == "audio/x-aiff" =>
+          decodeAiffFeatures(m) // big-endian PCM: full decode
         case m if m.kind == "audio/mpeg" || m.kind == "audio/mp3" ||
             m.kind == "audio/mpeg3" || m.kind == "audio/x-mpeg-3" =>
           decodeMpegFeatures(m) // Layer I: full decode; II/III: exact metadata
@@ -1819,6 +1821,17 @@ object Multimodal {
     MediaFeatures(m.media_id, m.kind, m.bytes.length, w, h, feats)
   }
 
+  /** `audio/aiff` features ([[graft.operators.Aiff]]): full PCM decode
+    * (AIFF big-endian and AIFF-C `sowt`, 8/16-bit) through the shared
+    * waveform pass — features and fingerprints are byte-compatible
+    * with the WAV/FLAC tier. AIFF 8-bit is SIGNED, so the norm is the
+    * signed 128, keeping cross-format parity. */
+  def decodeAiffFeatures(m: Media): MediaFeatures = {
+    val a = Aiff.decodeAiff(m.bytes, m.media_id)
+    waveformFeatures(m, a.sampleRate, a.channels, a.samples,
+      if (a.bits == 8) 128.0 else 32768.0)
+  }
+
   /** `image/bmp` features ([[graft.operators.Bmp]]): a FULL pixel
     * decode (24/32-bpp, 8-bpp palette, RLE8, both row orders) onto the
     * shared RGB canvas — BMPs take the same real pixel features as
@@ -1942,6 +1955,26 @@ object Multimodal {
       // covers the layers whose samples this clean-room build can
       // honestly produce
       mpegMonoMixdown(Mpeg.decodeSamples(m.bytes, m.media_id))
+    } else if (m.kind == "audio/aiff" || m.kind == "audio/x-aiff") {
+      // AIFF decodes to SIGNED samples at both depths — norm matches
+      // the feature pass, so an AIFF and a WAV of the same 16-bit PCM
+      // fingerprint bit-identically (the lossless-family property)
+      val a = Aiff.decodeAiff(m.bytes, m.media_id)
+      val norm = if (a.bits == 8) 128.0 else 32768.0
+      val nSamples = a.samples.length / a.channels
+      val mono = new Array[Double](nSamples)
+      var s = 0
+      while (s < nSamples) {
+        var sum = 0.0
+        var c = 0
+        while (c < a.channels) {
+          sum += a.samples(s * a.channels + c) / norm
+          c += 1
+        }
+        mono(s) = sum / a.channels
+        s += 1
+      }
+      (a.sampleRate, mono)
     } else if (m.kind == "audio/flac" ||
         (m.bytes.length >= 4 && m.bytes(0) == 'f' && m.bytes(1) == 'L' &&
           m.bytes(2) == 'a' && m.bytes(3) == 'C')) {

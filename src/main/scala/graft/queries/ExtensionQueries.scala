@@ -2280,6 +2280,62 @@ object ExtensionQueries {
       Multimodal.mediaTags(media).orderBy("media_id", "tag")
     }),
 
+    // AIFF decode gate: per doc_id deterministic 16-bit PCM is written
+    // as AIFF big-endian, AIFF-C sowt (little-endian), 8-bit AIFF, and
+    // a RIFF/WAVE of the SAME samples; violations — a round-trip
+    // mismatch at any form, or a spectrogram fingerprint differing
+    // between the AIFF and the WAV (the lossless-family property) —
+    // are rows. Oracle = empty set.
+    "q_check_aiff" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Aiff, Multimodal}
+      t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 120)
+        .as[Long]
+        .flatMap { id =>
+          val rate = Array(8000, 11025, 22050, 44100, 48000)((id % 5).toInt)
+          val channels = (1 + id % 2).toInt
+          val n = (800 + id % 200).toInt * channels
+          val pcm = Array.tabulate(n)(i =>
+            (((id * 31 + i * 173) % 32768L) - 16384L).toInt)
+          val viol = Seq.newBuilder[(String, Long)]
+          val be = Aiff.writeAiff(rate, channels, 16, pcm)
+          val beDec = Aiff.decodeAiff(be, id)
+          if (beDec.sampleRate != rate || beDec.channels != channels ||
+              !java.util.Arrays.equals(beDec.samples, pcm))
+            viol += (("roundtrip_be", id))
+          val sowt = Aiff.writeAiff(rate, channels, 16, pcm, sowt = true)
+          if (!java.util.Arrays.equals(Aiff.decodeAiff(sowt, id).samples, pcm))
+            viol += (("roundtrip_sowt", id))
+          val pcm8 = pcm.map(v => v >> 8)
+          if (!java.util.Arrays.equals(
+              Aiff.decodeAiff(Aiff.writeAiff(rate, channels, 8, pcm8), id).samples,
+              pcm8))
+            viol += (("roundtrip_8", id))
+          // a WAV of the same 16-bit PCM must fingerprint identically
+          val wav = {
+            val out = new java.io.ByteArrayOutputStream(44 + pcm.length * 2)
+            def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+            def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+            out.write("RIFF".getBytes("US-ASCII")); w32(36 + pcm.length * 2)
+            out.write("WAVE".getBytes("US-ASCII"))
+            out.write("fmt ".getBytes("US-ASCII"))
+            w32(16); w16(1); w16(channels); w32(rate)
+            w32(rate * 2 * channels); w16(2 * channels); w16(16)
+            out.write("data".getBytes("US-ASCII")); w32(pcm.length * 2)
+            pcm.foreach(w16)
+            out.toByteArray
+          }
+          val hw = Multimodal.audioHash64(Multimodal.Media(id, "audio/wav", wav))
+          if (Multimodal.audioHash64(Multimodal.Media(id, "audio/aiff", be)) != hw)
+            viol += (("wav_parity", id))
+          if (Multimodal.audioHash64(Multimodal.Media(id, "audio/x-aiff", sowt)) != hw)
+            viol += (("sowt_parity", id))
+          viol.result()
+        }
+        .toDF("kind", "doc_id")
+        .orderBy("kind", "doc_id")
+    }),
+
     // BMP decode gate: per doc_id a deterministic RGB canvas is
     // serialized in all four supported forms (24-bpp bottom-up, 32-bpp
     // top-down, 8-bpp palette, RLE8) and decoded back; any byte
@@ -3107,6 +3163,10 @@ object ExtensionQueries {
 
     // MPEG identity gate: violations are rows, oracle = empty set
     "q_check_mpeg_identity" ->
+      """SELECT CAST(text AS VARCHAR) AS kind, doc_id FROM documents WHERE 1 = 0 ORDER BY kind, doc_id""",
+
+    // AIFF decode gate: violations are rows, oracle = empty set
+    "q_check_aiff" ->
       """SELECT CAST(text AS VARCHAR) AS kind, doc_id FROM documents WHERE 1 = 0 ORDER BY kind, doc_id""",
 
     // BMP decode gate: violations are rows, oracle = empty set
