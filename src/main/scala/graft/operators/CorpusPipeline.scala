@@ -417,7 +417,7 @@ object CorpusPipeline {
     * executor exception. */
   private val hashableKinds = Set(
     "image/ppm", "image/png", "image/jpeg", "image/gif",
-    "image/bmp", "image/x-ms-bmp",
+    "image/bmp", "image/x-ms-bmp", "image/tiff",
     "audio/wav", "audio/flac", "audio/x-flac",
     "audio/aiff", "audio/x-aiff",
     "audio/mpeg", "audio/mp3", "audio/mpeg3", "audio/x-mpeg-3",

@@ -1310,6 +1310,8 @@ object Multimodal {
           decodeWebpFeatures(m) // RIFF walk: exact dimensions/flags
         case m if m.kind == "image/bmp" || m.kind == "image/x-ms-bmp" =>
           decodeBmp(m) // full DIB pixel decode
+        case m if m.kind == "image/tiff" =>
+          decodeTiff(m) // full baseline pixel decode
         case m => stubDecode(m)
       }
     }
@@ -1523,6 +1525,7 @@ object Multimodal {
     case "image/jpeg" => decodeJpegCanvas(m)
     case "image/bmp" | "image/x-ms-bmp" =>
       Bmp.decodeBmpCanvas(m.bytes, m.media_id)
+    case "image/tiff" => Tiff.decodeTiffCanvas(m.bytes, m.media_id)
     case "image/gif" =>
       val (w, h, frames) = decodeGifCanvas(m, maxFrames = 1)
       (w, h, frames.head)
@@ -1838,6 +1841,15 @@ object Multimodal {
     * PPM/PNG/GIF/JPEG and pair in perceptual-hash dedup. */
   def decodeBmp(m: Media): MediaFeatures = {
     val (w, h, rgb) = Bmp.decodeBmpCanvas(m.bytes, m.media_id)
+    rgbFeatures(m, w, h, rgb)
+  }
+
+  /** `image/tiff` features ([[graft.operators.Tiff]]): a FULL baseline
+    * pixel decode (RGB/gray/palette, None/LZW/PackBits strips, both
+    * byte orders, horizontal predictor) onto the shared RGB canvas —
+    * TIFFs take real pixel features and pair in perceptual-hash dedup. */
+  def decodeTiff(m: Media): MediaFeatures = {
+    val (w, h, rgb) = Tiff.decodeTiffCanvas(m.bytes, m.media_id)
     rgbFeatures(m, w, h, rgb)
   }
 

@@ -2280,6 +2280,90 @@ object ExtensionQueries {
       Multimodal.mediaTags(media).orderBy("media_id", "tag")
     }),
 
+    // TIFF metadata: per doc_id a baseline TIFF is serialized through
+    // the cycle of photometric x compression x byte-order x strip
+    // layouts and its IFD walked back (Tiff.tiffInfo — no pixel work).
+    // The oracle replays the planted derivation arithmetic.
+    "q_tiff_meta" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 300)
+        .as[Long]
+        .map { id =>
+          val w = (8 + id % 40).toInt
+          val h = (8 + id % 30).toInt
+          val photo = Seq("rgb", "gray", "palette")((id % 3).toInt)
+          val comp = Seq("none", "lzw", "packbits")(((id / 3) % 3).toInt)
+          val le = id % 2 == 0
+          val rps = (3 + id % 7).toInt
+          val rgb = Array.tabulate[Byte](w * h * 3)(j =>
+            ((id * 131 + j * 7) & 0xff).toByte)
+          val info = graft.operators.Tiff.tiffInfo(
+            graft.operators.Tiff.writeTiff(w, h, rgb, photo, comp,
+              littleEndian = le, rowsPerStrip = rps), id)
+          (id, info.byteOrder, info.width, info.height, info.bitsPerSample,
+            info.samplesPerPixel, info.compression, info.photometric,
+            info.nStrips)
+        }
+        .toDF("doc_id", "byte_order", "width", "height", "bits_per_sample",
+          "samples_per_pixel", "compression", "photometric", "n_strips")
+        .orderBy("doc_id")
+    }),
+
+    // TIFF decode gate: per doc_id the SAME canvas is serialized
+    // through every (photometric, compression, order, predictor)
+    // combination the decoder claims and decoded back; any byte
+    // mismatch, or a perceptual hash differing from the PPM of the
+    // same pixels, is a violation row. Oracle = empty set.
+    "q_check_tiff" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Tiff, Multimodal}
+      t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 120)
+        .as[Long]
+        .flatMap { id =>
+          val w = (9 + id % 24).toInt
+          val h = (7 + id % 18).toInt
+          val rgb = Array.tabulate[Byte](w * h * 3)(j =>
+            ((id * 131 + j * 7) & 0xff).toByte)
+          // what the gray/palette forms must decode to: gray replicates
+          // the red channel; palette maps it through the writer's map
+          val grayRgb = Array.tabulate[Byte](w * h * 3)(j => rgb(j / 3 * 3))
+          val palRgb = Array.tabulate[Byte](w * h * 3) { j =>
+            val idx = rgb(j / 3 * 3) & 0xff
+            (j % 3 match {
+              case 0 => idx
+              case 1 => 255 - idx
+              case _ => idx ^ 0x55
+            }).toByte
+          }
+          def canvas(bytes: Array[Byte]) = Tiff.decodeTiffCanvas(bytes, id)._3
+          val viol = Seq.newBuilder[(String, Long)]
+          for (comp <- Seq("none", "lzw", "packbits"); le <- Seq(true, false)) {
+            val tag = (if (le) "ii" else "mm") + "_" + comp
+            if (!java.util.Arrays.equals(canvas(
+                Tiff.writeTiff(w, h, rgb, "rgb", comp, le, rowsPerStrip = 5)), rgb))
+              viol += (("rgb_" + tag, id))
+          }
+          if (!java.util.Arrays.equals(canvas(Tiff.writeTiff(w, h, rgb,
+              "rgb", "lzw", littleEndian = true, predictor = true)), rgb))
+            viol += (("rgb_predictor", id))
+          if (!java.util.Arrays.equals(canvas(
+              Tiff.writeTiff(w, h, rgb, "gray", "packbits")), grayRgb))
+            viol += (("gray", id))
+          if (!java.util.Arrays.equals(canvas(
+              Tiff.writeTiff(w, h, rgb, "palette", "lzw")), palRgb))
+            viol += (("palette", id))
+          val ppm = ("P6\n" + w + " " + h + "\n255\n")
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ rgb
+          if (Multimodal.perceptualHash64(Multimodal.Media(id, "image/tiff",
+                Tiff.writeTiff(w, h, rgb, "rgb", "lzw"))) !=
+              Multimodal.perceptualHash64(Multimodal.Media(id, "image/ppm", ppm)))
+            viol += (("phash_cross_format", id))
+          viol.result()
+        }
+        .toDF("kind", "doc_id")
+        .orderBy("kind", "doc_id")
+    }),
+
     // AIFF decode gate: per doc_id deterministic 16-bit PCM is written
     // as AIFF big-endian, AIFF-C sowt (little-endian), 8-bit AIFF, and
     // a RIFF/WAVE of the SAME samples; violations — a round-trip
@@ -3164,6 +3248,16 @@ object ExtensionQueries {
     // MPEG identity gate: violations are rows, oracle = empty set
     "q_check_mpeg_identity" ->
       """SELECT CAST(text AS VARCHAR) AS kind, doc_id FROM documents WHERE 1 = 0 ORDER BY kind, doc_id""",
+
+    // TIFF decode gate: violations are rows, oracle = empty set
+    "q_check_tiff" ->
+      """SELECT CAST(text AS VARCHAR) AS kind, doc_id FROM documents WHERE 1 = 0 ORDER BY kind, doc_id""",
+
+    // the planted TIFF derivation replayed: photometric by id%3,
+    // compression by (id/3)%3, byte order by parity, strip count from
+    // the planted rows-per-strip
+    "q_tiff_meta" ->
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS ph, CAST((doc_id // 3) % 3 AS INTEGER) AS co, doc_id % 2 AS le, CAST(8 + doc_id % 40 AS INTEGER) AS w, CAST(8 + doc_id % 30 AS INTEGER) AS h, CAST(3 + doc_id % 7 AS INTEGER) AS rps FROM documents WHERE doc_id < 300) SELECT doc_id, CASE le WHEN 0 THEN 'II' ELSE 'MM' END AS byte_order, w AS width, h AS height, 8 AS bits_per_sample, CASE ph WHEN 0 THEN 3 ELSE 1 END AS samples_per_pixel, CASE co WHEN 0 THEN 'none' WHEN 1 THEN 'lzw' ELSE 'packbits' END AS compression, CASE ph WHEN 0 THEN 'rgb' WHEN 1 THEN 'black_is_zero' ELSE 'palette' END AS photometric, CAST(ceil(CAST(h AS DOUBLE) / rps) AS INTEGER) AS n_strips FROM p ORDER BY doc_id""",
 
     // AIFF decode gate: violations are rows, oracle = empty set
     "q_check_aiff" ->
