@@ -289,6 +289,35 @@ object Warc {
         col("extract_ok"))
   }
 
+  /** Curate-ready documents from `application/epub+zip` responses —
+    * the BOOK carrier ([[graft.operators.Epub]]): the JVM side only
+    * resolves the OCF/OPF spine and concatenates the chapters' raw
+    * XHTML; the heavy HTML→text strip is the SAME codegen'd
+    * `TextFunctions.htmlToText` column crawl HTML takes, so the plan
+    * stays in whole-stage codegen. Strict-codec / tolerant-bridge. */
+  def toDocumentsEpub(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    import graft.functions.TextFunctions
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type")) === "application/epub+zip")
+      .select(
+        xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, url, bytes) =>
+        try (id, url, graft.operators.Epub.spineHtml(bytes, id), true)
+        catch { case _: Exception => (id, url, null: String, false) } })
+      .toDF("doc_id", "url", "html", "extract_ok")
+      .select(col("doc_id"), col("url"),
+        TextFunctions.htmlToText(col("html")).as("text"), col("extract_ok"))
+      .select(col("doc_id"), col("url"),
+        TextFunctions.langId(col("text")).as("lang"), col("text"),
+        col("extract_ok"))
+  }
+
   /** Curate-ready documents from subtitle responses — `text/vtt`
     * (WebVTT) and `application/x-subrip` (SRT), the video-transcript
     * carriers ([[graft.operators.Subtitles]]: cue payload text, tags
@@ -362,6 +391,8 @@ object Warc {
       .unionByName(toDocumentsPptx(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsSubtitles(records)
+        .filter(col("extract_ok")).drop("extract_ok"))
+      .unionByName(toDocumentsEpub(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsText(records))
 

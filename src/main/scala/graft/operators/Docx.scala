@@ -287,8 +287,12 @@ object Docx {
   }
 
   /** Deterministic ZIP writer: deflated entries, local headers with
-    * real sizes (no data descriptors), central directory + EOCD. */
-  private[graft] def writeZip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    * real sizes (no data descriptors), central directory + EOCD.
+    * Entry names in `stored` are written UNCOMPRESSED (method 0) — the
+    * OCF rule for EPUB's `mimetype`, which must be stored so byte 30
+    * onward spells the media type for magic-sniffers. */
+  private[graft] def writeZip(entries: Seq[(String, Array[Byte])],
+      stored: Set[String] = Set.empty): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def w32(v: Long): Unit = {
@@ -304,20 +308,25 @@ object Docx {
     entries.foreach { case (name, data) =>
       val nameB = name.getBytes(UTF_8)
       val crc = new CRC32(); crc.update(data)
-      val def_ = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
-      def_.setInput(data); def_.finish()
-      val cbuf = new java.io.ByteArrayOutputStream()
-      val tmp = new Array[Byte](8192)
-      while (!def_.finished()) cbuf.write(tmp, 0, def_.deflate(tmp))
-      def_.end()
-      val comp = cbuf.toByteArray
+      val method = if (stored.contains(name)) 0 else 8
+      val comp =
+        if (method == 0) data
+        else {
+          val def_ = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+          def_.setInput(data); def_.finish()
+          val cbuf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          while (!def_.finished()) cbuf.write(tmp, 0, def_.deflate(tmp))
+          def_.end()
+          cbuf.toByteArray
+        }
       val lhOff = out.size().toLong
-      w32(0x04034b50L); w16(20); w16(0); w16(8) // sig, version, flags, deflate
+      w32(0x04034b50L); w16(20); w16(0); w16(method) // sig, version, flags
       w16(0); w16(0x21) // fixed mod time/date (determinism)
       w32(crc.getValue); w32(comp.length.toLong); w32(data.length.toLong)
       w16(nameB.length); w16(0)
       out.write(nameB); out.write(comp)
-      c32(0x02014b50L); c16(20); c16(20); c16(0); c16(8)
+      c32(0x02014b50L); c16(20); c16(20); c16(0); c16(method)
       c16(0); c16(0x21)
       c32(crc.getValue); c32(comp.length.toLong); c32(data.length.toLong)
       c16(nameB.length); c16(0); c16(0) // name, extra, comment lens

@@ -353,6 +353,29 @@ object ExtensionQueries {
       out
     })
 
+  private val epubStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped EPUB staging for q_epub_roundtrip: each document
+    * packaged as a real OCF book, one chapter per sentence. */
+  private def epubStage(s: SparkSession, dir: String): String =
+    epubStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_epub").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, u, text) =>
+          val chapters = text.split(java.util.regex.Pattern.quote(". "), -1).toSeq
+          (u, "application/epub+zip",
+            graft.operators.Epub.writeEpub(chapters, title = s"doc $id")) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val subtitleStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2804,6 +2827,21 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // EPUB ingestion round-trip: every document serialized ONCE per
+    // session as a real OCF package (stored mimetype, container.xml,
+    // OPF in a subdirectory so href resolution is exercised, ONE XHTML
+    // CHAPTER PER SENTENCE in spine order) and read back through the
+    // full path: archive walk, MIME routing, ZIP/OPF/spine resolution,
+    // then the SAME codegen'd htmlToText strip crawl HTML takes. The
+    // oracle rebuilds the text from the documents table.
+    "q_epub_roundtrip" -> ((s, dir) => {
+      val docIdStr = regexp_extract(col("url"), "doc/(\\d+)$", 1)
+      graft.io.Warc.toDocumentsEpub(
+          graft.io.Warc.readWarc(s, epubStage(s, dir)))
+        .select(docIdStr.cast(LongType).as("doc_id"), col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // DOCX ingestion round-trip (the q_pdf_roundtrip pattern): every
     // document serialized to a real OOXML package ONCE per session
     // (docxStage — distributed generation, WARC framing), then read
@@ -3202,6 +3240,11 @@ object ExtensionQueries {
     // each sentence became one cue's payload line (VTT even / SRT odd —
     // same extracted text either way)
     "q_subtitles_roundtrip" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    // each sentence became one spine chapter whose only block is one
+    // <p>; the htmlToText strip renders exactly one break per chapter
+    "q_epub_roundtrip" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
 
     // each sentence became a (source, sentence) spreadsheet row: the
