@@ -350,6 +350,89 @@ object Warc {
         col("extract_ok"))
   }
 
+  /** Curate-ready documents from ARCHIVE responses — `application/zip`
+    * (the [[graft.operators.Docx]] central-directory walk) and
+    * `application/x-tar` ([[graft.operators.Tar]]): every text-bearing
+    * entry becomes its OWN document row (`url` = archive url `#`
+    * entry name), routed by extension through the SAME extractors the
+    * top-level carriers use — .txt/.md raw, .html and .epub through
+    * the codegen'd HTML strip, .pdf/.docx/.xlsx/.pptx/.srt/.vtt
+    * through their codecs. Non-text entries (images, binaries) are
+    * skipped — absence, not error. A malformed ARCHIVE degrades to one
+    * flagged row; a malformed ENTRY degrades to its own flagged row,
+    * never failing the sibling entries. */
+  def toDocumentsArchive(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    import graft.functions.TextFunctions
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type"))
+          .isin("application/zip", "application/x-tar"))
+      .select(
+        col("target_uri").as("url"),
+        mimeOf(col("http_content_type")).as("mime"),
+        col("payload"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (url, mime, bytes) =>
+        val parsed: Option[Seq[(String, Array[Byte])]] =
+          try Some {
+            if (mime == "application/zip") {
+              val offs = graft.operators.Docx.zipEntryOffsets(bytes, -1L)
+              offs.map { case (name, cd) =>
+                name -> graft.operators.Docx.zipEntryAt(bytes, cd, name, -1L) }
+            } else graft.operators.Tar.entries(bytes, -1L)
+          } catch { case _: Exception => None }
+        if (parsed.isEmpty) // the whole archive is unreadable: ONE flagged row
+          Iterator((url + "#", null: String, null: String, false))
+        else parsed.get.iterator.flatMap { case (name, data) =>
+          val n = name.toLowerCase(java.util.Locale.ROOT)
+          def s = new String(data, java.nio.charset.StandardCharsets.UTF_8)
+          try {
+            if (n.endsWith(".txt") || n.endsWith(".md"))
+              Some((url + "#" + name, s, null: String, true))
+            else if (n.endsWith(".html") || n.endsWith(".htm") ||
+                n.endsWith(".xhtml"))
+              Some((url + "#" + name, null: String, s, true))
+            else if (n.endsWith(".pdf"))
+              Some((url + "#" + name,
+                graft.operators.Pdf.extractText(data), null: String, true))
+            else if (n.endsWith(".docx"))
+              Some((url + "#" + name,
+                graft.operators.Docx.extractText(data), null: String, true))
+            else if (n.endsWith(".xlsx"))
+              Some((url + "#" + name,
+                graft.operators.Xlsx.extractText(data), null: String, true))
+            else if (n.endsWith(".pptx"))
+              Some((url + "#" + name,
+                graft.operators.Pptx.extractText(data), null: String, true))
+            else if (n.endsWith(".srt"))
+              Some((url + "#" + name,
+                graft.operators.Subtitles.extractSrt(data).text, null: String, true))
+            else if (n.endsWith(".vtt"))
+              Some((url + "#" + name,
+                graft.operators.Subtitles.extractVtt(data).text, null: String, true))
+            else if (n.endsWith(".epub"))
+              Some((url + "#" + name, null: String,
+                graft.operators.Epub.spineHtml(data), true))
+            else None // non-text entry: skipped, not flagged
+          } catch {
+            case _: Exception =>
+              Some((url + "#" + name, null: String, null: String, false))
+          }
+        }
+      })
+      .toDF("url", "raw_text", "html", "extract_ok")
+      .select(
+        xxhash64(col("url")).as("doc_id"), col("url"),
+        coalesce(col("raw_text"),
+          TextFunctions.htmlToText(col("html"))).as("text"),
+        col("extract_ok"))
+      .select(col("doc_id"), col("url"),
+        TextFunctions.langId(col("text")).as("lang"), col("text"),
+        col("extract_ok"))
+  }
+
   /** Curate-ready documents from `text/plain` responses: the payload IS
     * the text (decoded with the same charset rules as HTML), no
     * stripping — the third text carrier after HTML and PDF. */
@@ -393,6 +476,8 @@ object Warc {
       .unionByName(toDocumentsSubtitles(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsEpub(records)
+        .filter(col("extract_ok")).drop("extract_ok"))
+      .unionByName(toDocumentsArchive(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsText(records))
 

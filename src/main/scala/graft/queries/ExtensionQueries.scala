@@ -353,6 +353,41 @@ object ExtensionQueries {
       out
     })
 
+  private val archiveStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped archive staging for q_archive_roundtrip: each
+    * document packed as a ZIP (even ids) or ustar TAR (odd ids)
+    * holding one `p<i>.txt` per sentence plus an `all.html` page of
+    * the whole text — so entry routing, both container walks, and the
+    * in-archive HTML path are all on the oracle. */
+  private def archiveStage(s: SparkSession, dir: String): String =
+    archiveStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_arch").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, u, text) =>
+          val sentences = text.split(java.util.regex.Pattern.quote(". "), -1)
+          val entries: Seq[(String, Array[Byte])] =
+            sentences.zipWithIndex.map { case (t, i) =>
+              s"p${i + 1}.txt" ->
+                t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            }.toSeq :+ ("all.html" ->
+              sentences.map(t => "<p>" + t + "</p>").mkString
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if (id % 2 == 0)
+            (u, "application/zip", graft.operators.Docx.writeZip(entries))
+          else
+            (u, "application/x-tar", graft.operators.Tar.writeTar(entries)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val epubStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2827,6 +2862,23 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // Archive-expansion round-trip: every document packed as a ZIP
+    // (even ids) or ustar TAR (odd ids) of per-sentence .txt entries
+    // plus an all.html page, then expanded back — every entry its own
+    // row, the in-archive HTML routed through the codegen strip. The
+    // oracle rebuilds (entry, text) rows by splitting the documents
+    // table's text.
+    "q_archive_roundtrip" -> ((s, dir) => {
+      graft.io.Warc.toDocumentsArchive(
+          graft.io.Warc.readWarc(s, archiveStage(s, dir)))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)#", 1)
+            .cast(LongType).as("doc_id"),
+          regexp_extract(col("url"), "#(.*)$", 1).as("entry"),
+          col("text"))
+        .orderBy("doc_id", "entry")
+    }),
+
     // EPUB ingestion round-trip: every document serialized ONCE per
     // session as a real OCF package (stored mimetype, container.xml,
     // OPF in a subdirectory so href resolution is exercised, ONE XHTML
@@ -3246,6 +3298,11 @@ object ExtensionQueries {
     // <p>; the htmlToText strip renders exactly one break per chapter
     "q_epub_roundtrip" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    // per-sentence .txt entries (1-based names) plus the stripped
+    // all.html page, replayed by splitting the same text
+    "q_archive_roundtrip" ->
+      """WITH s AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents), per AS (SELECT doc_id, 'p' || i || '.txt' AS entry, parts[CAST(i AS INTEGER)] AS text FROM s, unnest(generate_series(1, CAST(len(parts) AS BIGINT))) AS g(i)), h AS (SELECT doc_id, 'all.html' AS entry, replace(text, '. ', chr(10)) AS text FROM documents) SELECT doc_id, entry, text FROM (SELECT * FROM per UNION ALL SELECT * FROM h) ORDER BY doc_id, entry""",
 
     // each sentence became a (source, sentence) spreadsheet row: the
     // flattening is source TAB sentence per line
