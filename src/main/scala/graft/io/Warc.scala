@@ -368,7 +368,8 @@ object Warc {
       .filter(col("warc_type") === "response" && col("framing_ok") &&
         col("target_uri").isNotNull &&
         mimeOf(col("http_content_type"))
-          .isin("application/zip", "application/x-tar"))
+          .isin("application/zip", "application/x-tar",
+            "application/gzip", "application/x-gzip"))
       .select(
         col("target_uri").as("url"),
         mimeOf(col("http_content_type")).as("mime"),
@@ -381,7 +382,27 @@ object Warc {
               val offs = graft.operators.Docx.zipEntryOffsets(bytes, -1L)
               offs.map { case (name, cd) =>
                 name -> graft.operators.Docx.zipEntryAt(bytes, cd, name, -1L) }
-            } else graft.operators.Tar.entries(bytes, -1L)
+            } else if (mime == "application/x-tar")
+              graft.operators.Tar.entries(bytes, -1L)
+            else {
+              // gzip: decompress, then a .tar.gz walks as tar (ustar
+              // magic at 257) and a single-member file.txt.gz becomes
+              // one entry named from the url basename minus .gz
+              val raw = {
+                val in = new java.util.zip.GZIPInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                try in.readAllBytes() finally in.close()
+              }
+              val isTar = raw.length >= 262 &&
+                new String(raw, 257, 5,
+                  java.nio.charset.StandardCharsets.US_ASCII) == "ustar"
+              if (isTar) graft.operators.Tar.entries(raw, -1L)
+              else {
+                val base = url.split('/').last
+                  .replaceAll("(?i)\\.(gz|gzip)$", "")
+                Seq(base -> raw)
+              }
+            }
           } catch { case _: Exception => None }
         if (parsed.isEmpty) // the whole archive is unreadable: ONE flagged row
           Iterator((url + "#", null: String, null: String, false))

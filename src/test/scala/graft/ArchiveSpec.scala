@@ -27,6 +27,31 @@ class ArchiveSpec extends SparkSpec {
     }
   }
 
+  test("gzip: a .tar.gz walks as tar, a single-member .txt.gz is one entry") {
+    import spark.implicits._
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.GZIPOutputStream(bos)
+      z.write(b); z.close()
+      bos.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_tgz").toString
+    graft.io.Warc.writeWarcResponses(
+      Seq(
+        ("http://a.test/dump.tar.gz", "application/gzip",
+          gz(Tar.writeTar(Seq("in.txt" -> "from the tarball".getBytes("UTF-8"))))),
+        ("http://a.test/note.txt.gz", "application/gzip",
+          gz("just gzipped".getBytes("UTF-8"))))
+        .toDF("target_uri", "content_type", "payload"), dir)
+    val out = graft.io.Warc.toDocumentsArchive(
+        graft.io.Warc.readWarc(spark, dir))
+      .select("url", "text", "extract_ok")
+      .as[(String, String, Boolean)].collect().toList
+      .map(r => r._1.substring(r._1.indexOf('#') + 1) -> ((r._2, r._3))).toMap
+    assert(out("in.txt") == (("from the tarball", true)))
+    assert(out("note.txt") == (("just gzipped", true)))
+  }
+
   test("warc -> archive e2e: zip and tar entries land as documents") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
