@@ -318,6 +318,32 @@ object Warc {
         col("extract_ok"))
   }
 
+  /** Curate-ready documents from RTF responses (`application/rtf`,
+    * `text/rtf` — the legacy word-processor carrier;
+    * [[graft.operators.Rtf]]: bounded control-word strip, destination
+    * groups skipped, unicode escapes honored). Strict-codec /
+    * tolerant-bridge. */
+  def toDocumentsRtf(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    import graft.functions.TextFunctions
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type")).isin("application/rtf", "text/rtf"))
+      .select(
+        xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, url, bytes) =>
+        try (id, url, graft.operators.Rtf.extractText(bytes, id), true)
+        catch { case _: Exception => (id, url, null: String, false) } })
+      .toDF("doc_id", "url", "text", "extract_ok")
+      .select(col("doc_id"), col("url"),
+        TextFunctions.langId(col("text")).as("lang"), col("text"),
+        col("extract_ok"))
+  }
+
   /** Curate-ready documents from subtitle responses — `text/vtt`
     * (WebVTT) and `application/x-subrip` (SRT), the video-transcript
     * carriers ([[graft.operators.Subtitles]]: cue payload text, tags
@@ -499,6 +525,8 @@ object Warc {
       .unionByName(toDocumentsEpub(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsArchive(records)
+        .filter(col("extract_ok")).drop("extract_ok"))
+      .unionByName(toDocumentsRtf(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsText(records))
 

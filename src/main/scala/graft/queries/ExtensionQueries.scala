@@ -353,6 +353,29 @@ object ExtensionQueries {
       out
     })
 
+  private val rtfStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped RTF staging for q_rtf_roundtrip: each document
+    * serialized with sentence breaks as `\par` boundaries, a font
+    * table and a `{\*\generator}` destination planted so the skip
+    * paths are on the oracle path. */
+  private def rtfStage(s: SparkSession, dir: String): String =
+    rtfStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_rtf").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          regexp_replace(col("text"), "\\. ", "\n").as("x"))
+        .as[(Long, String, String)]
+        .map { case (_, u, x) =>
+          (u, "application/rtf", graft.operators.Rtf.writeRtf(x)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val archiveStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2862,6 +2885,19 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // RTF ingestion round-trip: every document serialized ONCE per
+    // session (rtfStage — \par sentence boundaries, planted skip
+    // destinations) and read back through the full path: archive walk,
+    // MIME routing, control-word strip. The oracle recomputes the text
+    // from the documents table directly.
+    "q_rtf_roundtrip" -> ((s, dir) => {
+      val docIdStr = regexp_extract(col("url"), "doc/(\\d+)$", 1)
+      graft.io.Warc.toDocumentsRtf(
+          graft.io.Warc.readWarc(s, rtfStage(s, dir)))
+        .select(docIdStr.cast(LongType).as("doc_id"), col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // Archive-expansion round-trip: every document packed as a ZIP
     // (even ids) or ustar TAR (odd ids) of per-sentence .txt entries
     // plus an all.html page, then expanded back — every entry its own
@@ -3297,6 +3333,10 @@ object ExtensionQueries {
     // each sentence became one spine chapter whose only block is one
     // <p>; the htmlToText strip renders exactly one break per chapter
     "q_epub_roundtrip" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    // sentence breaks planted as \par boundaries round-trip to newlines
+    "q_rtf_roundtrip" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
 
     // per-sentence .txt entries (1-based names) plus the stripped
