@@ -475,6 +475,49 @@ object ScaleBench {
         }
       }
 
+      // Bundled-carrier ingestion off full WARC: the corpus rendered as
+      // the round-11 carrier wave (doc_id cycle: DOCX, EPUB, RTF,
+      // WebVTT, ZIP-of-txt — untimed writer), timed region = the ONE
+      // combined text face (Warc.toDocuments) running every branch's
+      // MIME routing + extractor: ZIP/OPF resolution, control-word
+      // strip, cue walk, archive expansion, and the codegen HTML strip
+      // for the EPUB chapters. Same per-FILE regime as the html/pdf
+      // rows: decode-bound narrow work, zero shuffle.
+      if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+          .exists(!_.exists("warc_office_ingest".contains))) {
+        import spark.implicits._
+        val offWarcDir = s"$scaleDir/warc_office"
+        graft.io.Warc.writeWarcResponses(
+          corpus.select(col("doc_id"),
+              concat(lit("http://seg.test/doc/"), col("doc_id")).as("u"),
+              col("text"))
+            .as[(Long, String, String)]
+            .map { case (id, u, x) =>
+              val sentences = x.split(java.util.regex.Pattern.quote(". "), -1)
+              (id % 5) match {
+                case 0 => (u,
+                  "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+                  graft.operators.Docx.writeDocx(sentences.mkString("\n")))
+                case 1 => (u, "application/epub+zip",
+                  graft.operators.Epub.writeEpub(sentences.toSeq))
+                case 2 => (u, "application/rtf",
+                  graft.operators.Rtf.writeRtf(sentences.mkString("\n")))
+                case 3 => (u, "text/vtt",
+                  graft.operators.Subtitles.writeVtt(sentences.toSeq))
+                case _ => (u, "application/zip",
+                  graft.operators.Docx.writeZip(
+                    sentences.zipWithIndex.toSeq.map { case (t, i) =>
+                      s"p${i + 1}.txt" -> t.getBytes(
+                        java.nio.charset.StandardCharsets.UTF_8) }))
+              } }
+            .toDF("target_uri", "content_type", "payload")
+            .repartition(cpus.toInt),
+          offWarcDir)
+        measure("warc_office_ingest", s"$scaleDir/out_warc_office") {
+          graft.io.Warc.toDocuments(graft.io.Warc.readWarc(spark, offWarcDir))
+        }
+      }
+
       // binary token sharding under a standing BPE model (encode untimed
       // and persisted — the measured claim is the SINK: one range shuffle
       // for the doc_id total order, KB-scale driver prefix-sum traffic,
