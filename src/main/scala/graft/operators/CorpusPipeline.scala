@@ -418,6 +418,7 @@ object CorpusPipeline {
   private val hashableKinds = Set(
     "image/ppm", "image/png", "image/jpeg", "image/gif",
     "image/bmp", "image/x-ms-bmp", "image/tiff",
+    "image/x-icon", "image/vnd.microsoft.icon",
     "audio/wav", "audio/flac", "audio/x-flac",
     "audio/aiff", "audio/x-aiff",
     "audio/mpeg", "audio/mp3", "audio/mpeg3", "audio/x-mpeg-3",

@@ -1312,6 +1312,8 @@ object Multimodal {
           decodeBmp(m) // full DIB pixel decode
         case m if m.kind == "image/tiff" =>
           decodeTiff(m) // full baseline pixel decode
+        case m if m.kind == "image/x-icon" || m.kind == "image/vnd.microsoft.icon" =>
+          decodeIco(m) // favicon directory: largest image decodes fully
         case m => stubDecode(m)
       }
     }
@@ -1526,6 +1528,8 @@ object Multimodal {
     case "image/bmp" | "image/x-ms-bmp" =>
       Bmp.decodeBmpCanvas(m.bytes, m.media_id)
     case "image/tiff" => Tiff.decodeTiffCanvas(m.bytes, m.media_id)
+    case "image/x-icon" | "image/vnd.microsoft.icon" =>
+      Ico.decodeIcoCanvas(m.bytes, m.media_id)
     case "image/gif" =>
       val (w, h, frames) = decodeGifCanvas(m, maxFrames = 1)
       (w, h, frames.head)
@@ -1841,6 +1845,16 @@ object Multimodal {
     * PPM/PNG/GIF/JPEG and pair in perceptual-hash dedup. */
   def decodeBmp(m: Media): MediaFeatures = {
     val (w, h, rgb) = Bmp.decodeBmpCanvas(m.bytes, m.media_id)
+    rgbFeatures(m, w, h, rgb)
+  }
+
+  /** `image/x-icon` features ([[graft.operators.Ico]]): the LARGEST
+    * directory image decodes fully (PNG entries via the PNG codec,
+    * DIB entries re-headered through the BMP codec) onto the shared
+    * RGB canvas — favicons take real pixel features and pair in
+    * perceptual-hash dedup like any other image. */
+  def decodeIco(m: Media): MediaFeatures = {
+    val (w, h, rgb) = Ico.decodeIcoCanvas(m.bytes, m.media_id)
     rgbFeatures(m, w, h, rgb)
   }
 

@@ -2390,6 +2390,40 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // ICO decode gate: per doc_id a favicon directory holding a small
+    // decoy plus the real canvas (largest-selection on the path) is
+    // serialized and decoded back; any byte mismatch, directory
+    // metadata error, or perceptual hash differing from the PPM of
+    // the same pixels is a violation row. Oracle = empty set.
+    "q_check_ico" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Ico, Multimodal}
+      t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 120)
+        .as[Long]
+        .flatMap { id =>
+          val w = (16 + id % 48).toInt
+          val h = (16 + id % 32).toInt
+          val rgb = Array.tabulate[Byte](w * h * 3)(j =>
+            ((id * 131 + j * 7) & 0xff).toByte)
+          val decoy = Array.tabulate[Byte](8 * 8 * 3)(j => (j * 3).toByte)
+          val ico = Ico.writeIco(Seq((8, 8, decoy), (w, h, rgb)))
+          val viol = Seq.newBuilder[(String, Long)]
+          val info = Ico.icoInfo(ico, id)
+          if (info != Ico.IcoInfo(w, h, 2, "dib")) viol += (("info", id))
+          val (dw, dh, canvas) = Ico.decodeIcoCanvas(ico, id)
+          if (dw != w || dh != h || !java.util.Arrays.equals(canvas, rgb))
+            viol += (("roundtrip", id))
+          val ppm = ("P6\n" + w + " " + h + "\n255\n")
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ rgb
+          if (Multimodal.perceptualHash64(Multimodal.Media(id, "image/x-icon", ico)) !=
+              Multimodal.perceptualHash64(Multimodal.Media(id, "image/ppm", ppm)))
+            viol += (("phash_cross_format", id))
+          viol.result()
+        }
+        .toDF("kind", "doc_id")
+        .orderBy("kind", "doc_id")
+    }),
+
     // TIFF decode gate: per doc_id the SAME canvas is serialized
     // through every (photometric, compression, order, predictor)
     // combination the decoder claims and decoded back; any byte
@@ -3387,6 +3421,10 @@ object ExtensionQueries {
 
     // MPEG identity gate: violations are rows, oracle = empty set
     "q_check_mpeg_identity" ->
+      """SELECT CAST(text AS VARCHAR) AS kind, doc_id FROM documents WHERE 1 = 0 ORDER BY kind, doc_id""",
+
+    // ICO decode gate: violations are rows, oracle = empty set
+    "q_check_ico" ->
       """SELECT CAST(text AS VARCHAR) AS kind, doc_id FROM documents WHERE 1 = 0 ORDER BY kind, doc_id""",
 
     // TIFF decode gate: violations are rows, oracle = empty set
