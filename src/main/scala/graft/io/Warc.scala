@@ -480,6 +480,32 @@ object Warc {
         col("extract_ok"))
   }
 
+  /** Curate-ready documents from `text/csv` responses — RFC 4180
+    * parsed ([[graft.operators.Csv]]: quoted fields, embedded
+    * commas/CRLF, doubled-quote escapes) and flattened cells-by-TAB /
+    * records-by-newline, the [[toDocumentsXlsx]] rendering for plain-
+    * text tables. Strict-codec / tolerant-bridge. */
+  def toDocumentsCsv(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    import graft.functions.TextFunctions
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type")) === "text/csv")
+      .select(
+        xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, url, bytes) =>
+        try (id, url, graft.operators.Csv.extractText(bytes, id), true)
+        catch { case _: Exception => (id, url, null: String, false) } })
+      .toDF("doc_id", "url", "text", "extract_ok")
+      .select(col("doc_id"), col("url"),
+        TextFunctions.langId(col("text")).as("lang"), col("text"),
+        col("extract_ok"))
+  }
+
   /** Curate-ready documents from `text/plain` responses: the payload IS
     * the text (decoded with the same charset rules as HTML), no
     * stripping — the third text carrier after HTML and PDF. */
@@ -527,6 +553,8 @@ object Warc {
       .unionByName(toDocumentsArchive(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsRtf(records)
+        .filter(col("extract_ok")).drop("extract_ok"))
+      .unionByName(toDocumentsCsv(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsText(records))
 

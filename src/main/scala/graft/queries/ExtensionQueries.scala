@@ -353,6 +353,31 @@ object ExtensionQueries {
       out
     })
 
+  private val csvStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped CSV staging for q_csv_roundtrip: one record per
+    * sentence of (source, sentence, `v,<doc_id>`) — the third cell
+    * CONTAINS A COMMA, so RFC 4180 quoting is on the oracle path for
+    * every record, not just spec'd. */
+  private def csvStage(s: SparkSession, dir: String): String =
+    csvStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("source"), col("text"))
+        .as[(Long, String, String, String)]
+        .map { case (id, u, src, text) =>
+          val rows = text.split(java.util.regex.Pattern.quote(". "), -1)
+            .toSeq.map(line => Seq(src, line, s"v,$id"))
+          (u, "text/csv", graft.operators.Csv.writeCsv(rows)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val rtfStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2919,6 +2944,19 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // CSV ingestion round-trip: one record per sentence with a
+    // comma-bearing third cell, so every record exercises RFC 4180
+    // quoting through the full path: archive walk, MIME routing,
+    // quoted-field state walk, TAB/newline flattening. The oracle
+    // rebuilds the flattening from the documents table.
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val docIdStr = regexp_extract(col("url"), "doc/(\\d+)$", 1)
+      graft.io.Warc.toDocumentsCsv(
+          graft.io.Warc.readWarc(s, csvStage(s, dir)))
+        .select(docIdStr.cast(LongType).as("doc_id"), col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // RTF ingestion round-trip: every document serialized ONCE per
     // session (rtfStage — \par sentence boundaries, planted skip
     // destinations) and read back through the full path: archive walk,
@@ -3368,6 +3406,11 @@ object ExtensionQueries {
     // <p>; the htmlToText strip renders exactly one break per chapter
     "q_epub_roundtrip" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    // every record flattens to source TAB sentence TAB 'v,<id>' — the
+    // quoted third cell round-trips its comma
+    "q_csv_roundtrip" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, source || chr(9) || replace(text, '. ', chr(9) || 'v,' || doc_id || chr(10) || source || chr(9)) || chr(9) || 'v,' || doc_id AS text FROM documents ORDER BY doc_id""",
 
     // sentence breaks planted as \par boundaries round-trip to newlines
     "q_rtf_roundtrip" ->
