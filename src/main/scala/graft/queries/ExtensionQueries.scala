@@ -2350,37 +2350,53 @@ object ExtensionQueries {
         .orderBy("kind", "doc_id")
     }),
 
-    // media-catalog text tags, both formats through the ONE distributed
-    // surface (Multimodal.mediaTags): even ids serialize MPEG streams
-    // wrapped in real ID3v2 frames (v2.3/v2.4 alternating, all four
-    // text encodings cycling), odd ids MP4 containers with iTunes-style
-    // ilst items; the oracle recomputes every (tag, value) row from the
-    // planted derivation, so any defect in frame sizing (plain vs
-    // syncsafe), encoding decode, the udta/meta/ilst path, or the
-    // data-box type gate is a hash mismatch.
+    // media-catalog text tags, ALL FOUR tag systems through the ONE
+    // distributed surface (Multimodal.mediaTags), cycling by id%4:
+    // MPEG streams in real ID3v2 frames (v2.3/v2.4, all four text
+    // encodings), MP4 iTunes-style ilst items, Ogg Vorbis comments
+    // (mixed-case field names — the case-fold is on the path), and
+    // Matroska SimpleTags; the oracle recomputes every (tag, value)
+    // row from the planted derivation, so any defect in frame sizing,
+    // encoding decode, the udta/meta/ilst path, the comment-packet
+    // walk, or the EBML SimpleTag walk is a hash mismatch.
     "q_media_tags" -> ((s, dir) => {
       import s.implicits._
-      import graft.operators.{Mpeg => M, Mp4 => M4}
+      import graft.operators.{Mpeg => M, Mp4 => M4, Ogg => O, Mkv => K}
       val media = t(s, dir, "documents").select(col("doc_id"))
         .filter(col("doc_id") < 200).as[Long]
         .map { id =>
           val title = s"Title $id"
           val artist = s"Artist ${id % 7}"
           val album = s"Album ${id % 13}"
-          if (id % 2 == 0) {
-            val stream = M.writeCbrStream(3, 44100, 128, 6)
-            Multimodal.Media(id, "audio/mpeg", M.wrapId3Frames(stream,
-              Seq("TIT2" -> title, "TPE1" -> artist, "TALB" -> album),
-              major = 3 + ((id / 2) % 2).toInt,
-              encoding = ((id / 2) % 4).toInt))
-          } else {
-            val track = M4.Mp4TrackSpec(1L, "vide", "avc1", width = 320,
-              height = 240, timescale = 600L, duration = 600L,
-              sampleCount = 24)
-            Multimodal.Media(id, "video/mp4",
-              M4.writeMp4("isom", 1000L, 5000L, Seq(track),
-                tags = Seq("©nam" -> title, "©ART" -> artist,
-                  "©alb" -> album)))
+          (id % 4) match {
+            case 0 =>
+              val stream = M.writeCbrStream(3, 44100, 128, 6)
+              Multimodal.Media(id, "audio/mpeg", M.wrapId3Frames(stream,
+                Seq("TIT2" -> title, "TPE1" -> artist, "TALB" -> album),
+                major = 3 + ((id / 4) % 2).toInt,
+                encoding = ((id / 4) % 4).toInt))
+            case 1 =>
+              val track = M4.Mp4TrackSpec(1L, "vide", "avc1", width = 320,
+                height = 240, timescale = 600L, duration = 600L,
+                sampleCount = 24)
+              Multimodal.Media(id, "video/mp4",
+                M4.writeMp4("isom", 1000L, 5000L, Seq(track),
+                  tags = Seq("©nam" -> title, "©ART" -> artist,
+                    "©alb" -> album)))
+            case 2 =>
+              // mixed-case field names: the walker's case-fold is on
+              // the oracle path (Vorbis comments are case-insensitive)
+              Multimodal.Media(id, "audio/ogg",
+                O.writeOgg(if ((id / 4) % 2 == 0) "vorbis" else "opus",
+                  1, 48000, 4, comments = Seq("Title" -> title,
+                    "Artist" -> artist, "Album" -> album)))
+            case _ =>
+              Multimodal.Media(id, "video/webm",
+                K.writeMkv("webm", 1000000L, 1000.0,
+                  Seq(K.MkvTrackSpec(1L, 1, "V_VP9", width = 320,
+                    height = 180)), 2,
+                  tags = Seq("TITLE" -> title, "ARTIST" -> artist,
+                    "ALBUM" -> album)))
           }
         }
       Multimodal.mediaTags(media).orderBy("media_id", "tag")
@@ -3456,7 +3472,7 @@ object ExtensionQueries {
     // independent derivation: every planted (tag, value) row recomputed
     // from the id cycles directly
     "q_media_tags" ->
-      """WITH p AS (SELECT doc_id AS media_id, CASE WHEN doc_id % 2 = 0 THEN 'audio/mpeg' ELSE 'video/mp4' END AS kind, CAST(doc_id % 2 AS INTEGER) AS odd, 'Title ' || doc_id AS title, 'Artist ' || (doc_id % 7) AS artist, 'Album ' || (doc_id % 13) AS album FROM documents WHERE doc_id < 200) SELECT media_id, kind, tag, value FROM (SELECT media_id, kind, CASE WHEN odd = 0 THEN 'TIT2' ELSE '©nam' END AS tag, title AS value FROM p UNION ALL SELECT media_id, kind, CASE WHEN odd = 0 THEN 'TPE1' ELSE '©ART' END AS tag, artist AS value FROM p UNION ALL SELECT media_id, kind, CASE WHEN odd = 0 THEN 'TALB' ELSE '©alb' END AS tag, album AS value FROM p) ORDER BY media_id, tag""",
+      """WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 4 AS INTEGER) AS m, CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'audio/mpeg' WHEN 1 THEN 'video/mp4' WHEN 2 THEN 'audio/ogg' ELSE 'video/webm' END AS kind, 'Title ' || doc_id AS title, 'Artist ' || (doc_id % 7) AS artist, 'Album ' || (doc_id % 13) AS album FROM documents WHERE doc_id < 200) SELECT media_id, kind, tag, value FROM (SELECT media_id, kind, CASE m WHEN 0 THEN 'TIT2' WHEN 1 THEN '©nam' ELSE 'TITLE' END AS tag, title AS value FROM p UNION ALL SELECT media_id, kind, CASE m WHEN 0 THEN 'TPE1' WHEN 1 THEN '©ART' ELSE 'ARTIST' END AS tag, artist AS value FROM p UNION ALL SELECT media_id, kind, CASE m WHEN 0 THEN 'TALB' WHEN 1 THEN '©alb' ELSE 'ALBUM' END AS tag, album AS value FROM p) ORDER BY media_id, tag""",
 
     // MP4 identity gate: violations are rows, oracle = empty set
     "q_check_mp4_identity" ->
