@@ -477,12 +477,13 @@ object ScaleBench {
 
       // Bundled-carrier ingestion off full WARC: the corpus rendered as
       // the round-11 carrier wave (doc_id cycle: DOCX, EPUB, RTF,
-      // WebVTT, ZIP-of-txt — untimed writer), timed region = the ONE
-      // combined text face (Warc.toDocuments) running every branch's
-      // MIME routing + extractor: ZIP/OPF resolution, control-word
-      // strip, cue walk, archive expansion, and the codegen HTML strip
-      // for the EPUB chapters. Same per-FILE regime as the html/pdf
-      // rows: decode-bound narrow work, zero shuffle.
+      // WebVTT, ZIP-of-txt, EML, mbox — untimed writer), timed region =
+      // the ONE combined text face (Warc.toDocuments) running every
+      // branch's MIME routing + extractor: ZIP/OPF resolution,
+      // control-word strip, cue walk, archive expansion, the MIME tree
+      // walk with QP/base64 transfer decodes, mbox splitting, and the
+      // codegen HTML strip for the EPUB chapters. Same per-FILE regime
+      // as the html/pdf rows: decode-bound narrow work, zero shuffle.
       if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
           .exists(!_.exists("warc_office_ingest".contains))) {
         import spark.implicits._
@@ -494,7 +495,7 @@ object ScaleBench {
             .as[(Long, String, String)]
             .map { case (id, u, x) =>
               val sentences = x.split(java.util.regex.Pattern.quote(". "), -1)
-              (id % 5) match {
+              (id % 7) match {
                 case 0 => (u,
                   "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
                   graft.operators.Docx.writeDocx(sentences.mkString("\n")))
@@ -504,11 +505,22 @@ object ScaleBench {
                   graft.operators.Rtf.writeRtf(sentences.mkString("\n")))
                 case 3 => (u, "text/vtt",
                   graft.operators.Subtitles.writeVtt(sentences.toSeq))
-                case _ => (u, "application/zip",
+                case 4 => (u, "application/zip",
                   graft.operators.Docx.writeZip(
                     sentences.zipWithIndex.toSeq.map { case (t, i) =>
                       s"p${i + 1}.txt" -> t.getBytes(
                         java.nio.charset.StandardCharsets.UTF_8) }))
+                case 5 => (u, "message/rfc822",
+                  graft.operators.Eml.writeEml((id / 7 % 4).toInt,
+                    s"Subject $id", "a@seg.test", "b@seg.test",
+                    "Thu, 1 Jan 2026 00:00:00 +0000",
+                    sentences.mkString("\n")))
+                case _ => (u, "application/mbox",
+                  graft.operators.Eml.writeMbox(Seq(
+                    graft.operators.Eml.writeEml((id / 7 % 4).toInt,
+                      s"Subject $id", "a@seg.test", "b@seg.test",
+                      "Thu, 1 Jan 2026 00:00:00 +0000",
+                      sentences.mkString("\n")))))
               } }
             .toDF("target_uri", "content_type", "payload")
             .repartition(cpus.toInt),

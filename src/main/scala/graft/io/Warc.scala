@@ -506,6 +506,89 @@ object Warc {
         col("extract_ok"))
   }
 
+  // shared tail of the mail bridges: the decoded Subject becomes the
+  // document's first line (it IS content, the title of a mail thread),
+  // an HTML-only message routes through the SAME codegen htmlToText
+  // strip crawl HTML takes; failed rows keep a null text
+  private def emlDocRows(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextFunctions
+    rows
+      .select(col("doc_id"), col("url"),
+        when(col("extract_ok"),
+          concat_ws("\n", col("subject"),
+            coalesce(col("raw_text"),
+              TextFunctions.htmlToText(col("html"))))).as("text"),
+        col("extract_ok"))
+      .select(col("doc_id"), col("url"),
+        TextFunctions.langId(col("text")).as("lang"), col("text"),
+        col("extract_ok"))
+  }
+
+  /** Curate-ready documents from `message/rfc822` responses — mail
+    * messages ([[graft.operators.Eml]]: header unfold + RFC 2047
+    * decode, MIME tree walk, quoted-printable/base64 transfer
+    * decodings, attachment skip). Strict-codec / tolerant-bridge. */
+  def toDocumentsEml(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    emlDocRows(records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type")) === "message/rfc822")
+      .select(
+        xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, url, bytes) =>
+        try {
+          val m = graft.operators.Eml.parseEml(bytes, id)
+          (id, url, m.subject, m.text, m.html, true)
+        } catch {
+          case _: Exception =>
+            (id, url, null: String, null: String, null: String, false)
+        } })
+      .toDF("doc_id", "url", "subject", "raw_text", "html", "extract_ok"))
+  }
+
+  /** Curate-ready documents from `application/mbox` responses — each
+    * mailbox message its OWN document (`url#<index>`, the archive
+    * convention), the mbox framing walked by [[graft.operators.Eml
+    * .mboxMessages]] (mboxrd stuffing reversed) and each message
+    * through the same extraction as [[toDocumentsEml]]. An unreadable
+    * mailbox is ONE flagged row; a single malformed message flags only
+    * itself — failure isolation at the entry grain. */
+  def toDocumentsMbox(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    emlDocRows(records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type")) === "application/mbox")
+      .select(col("target_uri").as("url"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (url, bytes) =>
+        val msgs =
+          try Some(graft.operators.Eml.mboxMessages(bytes, -1L))
+          catch { case _: Exception => None }
+        msgs match {
+          case None =>
+            Iterator((url + "#", null: String, null: String,
+              null: String, false))
+          case Some(ms) => ms.iterator.zipWithIndex.map { case (m, i) =>
+            try {
+              val e = graft.operators.Eml.parseEml(m, i.toLong)
+              (url + "#" + i, e.subject, e.text, e.html, true)
+            } catch {
+              case _: Exception =>
+                (url + "#" + i, null: String, null: String,
+                  null: String, false)
+            }
+          }
+        }
+      })
+      .toDF("url", "subject", "raw_text", "html", "extract_ok")
+      .withColumn("doc_id", xxhash64(col("url"))))
+  }
+
   /** Curate-ready documents from `text/plain` responses: the payload IS
     * the text (decoded with the same charset rules as HTML), no
     * stripping — the third text carrier after HTML and PDF. */
@@ -555,6 +638,10 @@ object Warc {
       .unionByName(toDocumentsRtf(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsCsv(records)
+        .filter(col("extract_ok")).drop("extract_ok"))
+      .unionByName(toDocumentsEml(records)
+        .filter(col("extract_ok")).drop("extract_ok"))
+      .unionByName(toDocumentsMbox(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsText(records))
 

@@ -401,6 +401,64 @@ object ExtensionQueries {
       out
     })
 
+  private val emlStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped mail staging for q_eml_roundtrip: each document a
+    * `message/rfc822` response, cycling the four MIME shapes (plain
+    * 8bit / multipart-alternative QP / nested-multipart base64 with an
+    * attachment / HTML-only), subjects as RFC 2047 encoded-words — so
+    * header decode, every transfer decoding, the tree walk, the
+    * attachment skip, and the html fallback are all on the oracle. */
+  private def emlStage(s: SparkSession, dir: String): String =
+    emlStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_eml").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          regexp_replace(col("text"), "\\. ", "\n").as("x"))
+        .as[(Long, String, String)]
+        .map { case (id, u, x) =>
+          (u, "message/rfc822", graft.operators.Eml.writeEml(
+            (id % 4).toInt, s"Subject $id", s"alice$id@corpus.test",
+            s"bob$id@corpus.test", "Thu, 1 Jan 2026 00:00:00 +0000", x)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
+  private val mboxStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped mailbox staging for q_mbox_roundtrip: each document
+    * an `application/mbox` response of TWO messages — the document body
+    * and a short reply that plants a body line starting `From ` so the
+    * mboxrd stuffing round-trip is on the oracle path; the two slots
+    * cycle different MIME shapes. */
+  private def mboxStage(s: SparkSession, dir: String): String =
+    mboxStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_mbox").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          regexp_replace(col("text"), "\\. ", "\n").as("x"))
+        .as[(Long, String, String)]
+        .map { case (id, u, x) =>
+          val from = s"alice$id@corpus.test"; val to = s"bob$id@corpus.test"
+          val date = "Thu, 1 Jan 2026 00:00:00 +0000"
+          (u, "application/mbox", graft.operators.Eml.writeMbox(Seq(
+            graft.operators.Eml.writeEml((id % 4).toInt,
+              s"Subject $id", from, to, date, x),
+            graft.operators.Eml.writeEml(((id + 1) % 4).toInt,
+              s"Re: Subject $id", to, from, date,
+              s"ack $id\nFrom the archive")))) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val archiveStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2986,6 +3044,38 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // Mail round-trip: every document a message/rfc822 response cycling
+    // the four MIME shapes (8bit plain, multipart/alternative QP,
+    // nested multipart base64 + skipped attachment, HTML-only through
+    // the codegen strip), the subject an RFC 2047 encoded-word (B/Q
+    // alternating); the extracted document is Subject-line + body, and
+    // the oracle rebuilds both from the documents table — any defect in
+    // header unfolding, encoded-word decode, the boundary walk, a
+    // transfer decoding, or the attachment skip is a hash mismatch.
+    "q_eml_roundtrip" -> ((s, dir) => {
+      val docIdStr = regexp_extract(col("url"), "doc/(\\d+)$", 1)
+      graft.io.Warc.toDocumentsEml(
+          graft.io.Warc.readWarc(s, emlStage(s, dir)))
+        .select(docIdStr.cast(LongType).as("doc_id"), col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // Mailbox round-trip: each document an application/mbox of TWO
+    // messages (the body + a reply whose text plants a line starting
+    // "From " — the mboxrd stuffing round-trip is on the path); every
+    // message expands to its own url#<index> document.
+    "q_mbox_roundtrip" -> ((s, dir) => {
+      graft.io.Warc.toDocumentsMbox(
+          graft.io.Warc.readWarc(s, mboxStage(s, dir)))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)#", 1)
+            .cast(LongType).as("doc_id"),
+          regexp_extract(col("url"), "#(\\d+)$", 1)
+            .cast(IntegerType).as("msg"),
+          col("text"))
+        .orderBy("doc_id", "msg")
+    }),
+
     // Archive-expansion round-trip: every document packed as a ZIP
     // (even ids) or ustar TAR (odd ids) of per-sentence .txt entries
     // plus an all.html page, then expanded back — every entry its own
@@ -3431,6 +3521,17 @@ object ExtensionQueries {
     // sentence breaks planted as \par boundaries round-trip to newlines
     "q_rtf_roundtrip" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    // the decoded Subject line heads the document, the body follows
+    // with sentence breaks as lines — identical across all four staged
+    // MIME shapes, so every decode path folds into one hash
+    "q_eml_roundtrip" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, 'Subject ' || doc_id || chr(10) || replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    // message 0 is the document body, message 1 the planted reply
+    // (whose 'From the archive' line round-trips the mboxrd stuffing)
+    "q_mbox_roundtrip" ->
+      """WITH m0 AS (SELECT doc_id, 0 AS msg, 'Subject ' || doc_id || chr(10) || replace(text, '. ', chr(10)) AS text FROM documents), m1 AS (SELECT doc_id, 1 AS msg, 'Re: Subject ' || doc_id || chr(10) || 'ack ' || doc_id || chr(10) || 'From the archive' AS text FROM documents) SELECT doc_id, msg, text FROM (SELECT * FROM m0 UNION ALL SELECT * FROM m1) ORDER BY doc_id, msg""",
 
     // per-sentence .txt entries (1-based names) plus the stripped
     // all.html page, replayed by splitting the same text
