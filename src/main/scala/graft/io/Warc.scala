@@ -506,10 +506,10 @@ object Warc {
         col("extract_ok"))
   }
 
-  // shared tail of the mail bridges: the decoded Subject becomes the
-  // document's first line (it IS content, the title of a mail thread),
-  // an HTML-only message routes through the SAME codegen htmlToText
-  // strip crawl HTML takes; failed rows keep a null text
+  // shared tail of the mail and feed bridges: the decoded subject or
+  // item title becomes the document's first line (it IS content), an
+  // HTML payload routes through the SAME codegen htmlToText strip
+  // crawl HTML takes; failed rows keep a null text
   private def emlDocRows(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import graft.functions.TextFunctions
     rows
@@ -589,6 +589,68 @@ object Warc {
       .withColumn("doc_id", xxhash64(col("url"))))
   }
 
+  /** Curate-ready documents from LaTeX responses —
+    * `application/x-tex` / `text/x-tex`, the scientific-corpus
+    * carrier ([[graft.operators.Tex]]: bounded TeX-tokenized scan,
+    * preamble/math/float drop, structure commands surfaced).
+    * Strict-codec / tolerant-bridge. */
+  def toDocumentsTex(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    import graft.functions.TextFunctions
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type"))
+          .isin("application/x-tex", "text/x-tex", "application/x-latex"))
+      .select(
+        xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, url, bytes) =>
+        try (id, url, graft.operators.Tex.extractText(bytes, id), true)
+        catch { case _: Exception => (id, url, null: String, false) } })
+      .toDF("doc_id", "url", "text", "extract_ok")
+      .select(col("doc_id"), col("url"),
+        TextFunctions.langId(col("text")).as("lang"), col("text"),
+        col("extract_ok"))
+  }
+
+  /** Curate-ready documents from web-feed responses —
+    * `application/rss+xml` and `application/atom+xml`
+    * ([[graft.operators.Feed]]): every item/entry its OWN document
+    * (`url#<index>`, the feed IS many articles), the title heading the
+    * text and the payload routed through the SAME codegen `htmlToText`
+    * strip crawl HTML takes. An unreadable feed is ONE flagged row —
+    * the same failure-isolation contract as the mailbox bridge. */
+  def toDocumentsFeed(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    emlDocRows(records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type"))
+          .isin("application/rss+xml", "application/atom+xml"))
+      .select(col("target_uri").as("url"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (url, bytes) =>
+        val items =
+          try Some(graft.operators.Feed.parseFeed(bytes, -1L))
+          catch { case _: Exception => None }
+        items match {
+          case None =>
+            Iterator((url + "#", null: String, null: String,
+              null: String, false))
+          case Some(is) => is.iterator.zipWithIndex.map { case (it, i) =>
+            (url + "#" + i,
+              if (it.title.isEmpty) null else it.title,
+              null: String, it.content, true)
+          }
+        }
+      })
+      .toDF("url", "subject", "raw_text", "html", "extract_ok")
+      .withColumn("doc_id", xxhash64(col("url"))))
+  }
+
   /** Curate-ready documents from `text/plain` responses: the payload IS
     * the text (decoded with the same charset rules as HTML), no
     * stripping — the third text carrier after HTML and PDF. */
@@ -642,6 +704,10 @@ object Warc {
       .unionByName(toDocumentsEml(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsMbox(records)
+        .filter(col("extract_ok")).drop("extract_ok"))
+      .unionByName(toDocumentsFeed(records)
+        .filter(col("extract_ok")).drop("extract_ok"))
+      .unionByName(toDocumentsTex(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsText(records))
 

@@ -459,6 +459,65 @@ object ExtensionQueries {
       out
     })
 
+  private val texStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped LaTeX staging for q_tex_roundtrip: each document a
+    * real article source — preamble + comment (dropped), a `\section`
+    * head, one paragraph per sentence with cycling zero-text riders
+    * (display equation, `\emph` wrap, `\cite`+`\label`+comment) — so
+    * the preamble cut, math/metadata drops, the unwrap path, and the
+    * whitespace tokenization are all on the oracle. */
+  private def texStage(s: SparkSession, dir: String): String =
+    texStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_tex").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          regexp_replace(col("text"), "\\. ", "\n").as("x"))
+        .as[(Long, String, String)]
+        .map { case (id, u, x) =>
+          (u, "application/x-tex",
+            graft.operators.Tex.writeTex(s"Doc $id", x, (id % 3).toInt)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
+  private val feedStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped feed staging for q_feed_roundtrip: each document a
+    * syndication feed (RSS for even ids, Atom for odd) of THREE items
+    * (the text, a derived echo, a short tail — multi-item framing is
+    * genuinely on the oracle, not one-item-trivial), content
+    * HTML-wrapped with the alternating XML-escaped / CDATA rendering —
+    * so root routing, item framing, both character-data decodes, and
+    * the codegen HTML strip are all on the oracle. */
+  private def feedStage(s: SparkSession, dir: String): String =
+    feedStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_feed").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, u, text) =>
+          val items = Seq(
+            ("Item 0", "<p>" + text + "</p>"),
+            ("Item 1", "<p>echo " + text + "</p>"), // the CDATA slot
+            ("Item 2", s"<p>tail $id</p>"))
+          if (id % 2 == 0)
+            (u, "application/rss+xml", graft.operators.Feed.writeRss(items))
+          else
+            (u, "application/atom+xml", graft.operators.Feed.writeAtom(items)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val archiveStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3060,6 +3119,40 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // LaTeX round-trip: every document a real article source; the
+    // extracted text is the section title line + one line per
+    // paragraph, with every planted rider (preamble, comments, display
+    // and inline math, \cite/\label metadata, the \emph unwrap)
+    // contributing exactly nothing — the oracle rebuilds title + body
+    // from the documents table, so any rider leaking bytes or any
+    // tokenization defect is a hash mismatch.
+    "q_tex_roundtrip" -> ((s, dir) => {
+      val docIdStr = regexp_extract(col("url"), "doc/(\\d+)$", 1)
+      graft.io.Warc.toDocumentsTex(
+          graft.io.Warc.readWarc(s, texStage(s, dir)))
+        .select(docIdStr.cast(LongType).as("doc_id"), col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // Feed round-trip: each document a syndication feed (RSS even /
+    // Atom odd ids) of THREE items, content HTML alternating
+    // XML-escape and CDATA rendering; every item expands to its own
+    // url#<index> document whose text is title-line + stripped
+    // content. The oracle rebuilds every row from the documents table
+    // — any defect in root routing, item framing, entity/CDATA decode,
+    // or the strip is a hash mismatch.
+    "q_feed_roundtrip" -> ((s, dir) => {
+      graft.io.Warc.toDocumentsFeed(
+          graft.io.Warc.readWarc(s, feedStage(s, dir)))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)#", 1)
+            .cast(LongType).as("doc_id"),
+          regexp_extract(col("url"), "#(\\d+)$", 1)
+            .cast(IntegerType).as("item"),
+          col("text"))
+        .orderBy("doc_id", "item")
+    }),
+
     // Mailbox round-trip: each document an application/mbox of TWO
     // messages (the body + a reply whose text plants a line starting
     // "From " — the mboxrd stuffing round-trip is on the path); every
@@ -3527,6 +3620,15 @@ object ExtensionQueries {
     // MIME shapes, so every decode path folds into one hash
     "q_eml_roundtrip" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, 'Subject ' || doc_id || chr(10) || replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    // the section title heads the text; each sentence is a paragraph
+    "q_tex_roundtrip" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, 'Doc ' || doc_id || chr(10) || replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    // three items per feed: the text, its echo (the CDATA slot), and
+    // the id tail — every planted row recomputed from the derivation
+    "q_feed_roundtrip" ->
+      """WITH i0 AS (SELECT doc_id, 0 AS item, 'Item 0' || chr(10) || text AS text FROM documents), i1 AS (SELECT doc_id, 1 AS item, 'Item 1' || chr(10) || 'echo ' || text AS text FROM documents), i2 AS (SELECT doc_id, 2 AS item, 'Item 2' || chr(10) || 'tail ' || doc_id AS text FROM documents) SELECT doc_id, item, text FROM (SELECT * FROM i0 UNION ALL SELECT * FROM i1 UNION ALL SELECT * FROM i2) ORDER BY doc_id, item""",
 
     // message 0 is the document body, message 1 the planted reply
     // (whose 'From the archive' line round-trips the mboxrd stuffing)
