@@ -149,11 +149,14 @@ object Mpeg {
     10 + size + (if (footer) 10 else 0)
   }
 
-  /** ID3v2 TEXT-frame metadata (the media-catalog fields: TIT2 title,
-    * TPE1 artist, TALB album, …): a map from frame id to decoded text
-    * for every `T*` text frame in a leading ID3v2.3/2.4 tag — empty
-    * when no tag or an all-padding tag is present ([[wrapId3]]'s
-    * zeroed body IS valid padding). Frame sizes are plain u32 in v2.3
+  /** ID3 TEXT metadata (the media-catalog fields: TIT2 title, TPE1
+    * artist, TALB album, …): a map from frame id to decoded text
+    * for every `T*` text frame in a leading ID3v2.3/2.4 tag. When NO
+    * v2 tag leads the stream, a trailing ID3v1 block is the fallback
+    * ([[id3v1Fields]] — v2 supersedes v1, the standard precedence);
+    * empty when neither is present or the tag is all padding
+    * ([[wrapId3]]'s zeroed body IS valid padding, and its zeroed v1
+    * trailer is all-empty fields). Frame sizes are plain u32 in v2.3
     * and syncsafe in v2.4 (the versions' one structural difference
     * here); text encodings 0 (latin-1), 1 (utf-16 with BOM),
     * 2 (utf-16be), 3 (utf-8) all decode; trailing NULs strip.
@@ -165,7 +168,7 @@ object Mpeg {
     * never guessed. */
   def id3Frames(bytes: Array[Byte], mediaId: Long = -1L): Map[String, String] = {
     if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' ||
-      bytes(2) != '3') return Map.empty
+      bytes(2) != '3') return id3v1Fields(bytes, mediaId)
     val major = bytes(3) & 0xff
     require(major == 3 || major == 4,
       s"media $mediaId: ID3v2.$major tag (only v2.3/v2.4 are parsed)")
@@ -677,6 +680,52 @@ object Mpeg {
       f += 1
     }
     out
+  }
+
+  /** Trailing ID3v1 (128-byte "TAG") metadata under the SAME frame-id
+    * key space as [[id3Frames]] — TIT2/TPE1/TALB/TYER, plus TRCK for a
+    * v1.1 track number — so the catalog join sees one vocabulary
+    * regardless of tag generation. Fields are fixed-width latin-1,
+    * NUL/space padded; only non-empty fields surface (an absent year
+    * is absence, not a blank row). The genre byte is an index into a
+    * historic table this clean-room build does not carry — dropped.
+    * Empty map when no trailer is present. */
+  def id3v1Fields(bytes: Array[Byte], mediaId: Long = -1L): Map[String, String] = {
+    val at = bytes.length - 128
+    if (at < 0 || bytes(at) != 'T' || bytes(at + 1) != 'A' ||
+      bytes(at + 2) != 'G') return Map.empty
+    def field(off: Int, len: Int): String =
+      new String(bytes, at + off, len,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+        .takeWhile(_ != 0.toChar).trim
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def put(k: String, v: String): Unit = if (v.nonEmpty) out(k) = v
+    put("TIT2", field(3, 30))
+    put("TPE1", field(33, 30))
+    put("TALB", field(63, 30))
+    put("TYER", field(93, 4))
+    // v1.1: a zero byte at comment[28] marks comment[29] as the track
+    if (bytes(at + 125) == 0 && bytes(at + 126) != 0)
+      out("TRCK") = (bytes(at + 126) & 0xff).toString
+    out.toMap
+  }
+
+  /** Serialize a trailing ID3v1.1 block onto a coded stream — the
+    * staging counterpart for the [[id3v1Fields]] catalog fallback. */
+  def wrapId3v1(stream: Array[Byte], title: String, artist: String,
+      album: String, year: String = "", track: Int = 0): Array[Byte] = {
+    val t = new Array[Byte](128)
+    t(0) = 'T'; t(1) = 'A'; t(2) = 'G'
+    def put(s: String, off: Int, len: Int): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      require(b.length <= len, s"ID3v1 field overflow: '$s'")
+      System.arraycopy(b, 0, t, off, b.length)
+    }
+    put(title, 3, 30); put(artist, 33, 30); put(album, 63, 30)
+    put(year, 93, 4)
+    if (track > 0) { require(track < 256, s"ID3v1 track $track")
+      t(126) = track.toByte }
+    stream ++ t
   }
 
   /** Wrap a coded stream in deterministic ID3v2 (syncsafe size, zeroed

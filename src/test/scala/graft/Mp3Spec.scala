@@ -99,6 +99,32 @@ class Mp3Spec extends SparkSpec {
     intercept[IllegalArgumentException] { Mpeg.id3Frames(evil, 6L) }
   }
 
+  test("id3v1Fields: the legacy-trailer catalog fallback") {
+    val s = TestMp3.layerStub(3, 44100, 128, frames = 5)
+    val v1 = Mpeg.wrapId3v1(s, "Title One", "The Artist", "An Album",
+      year = "1999", track = 7)
+    // the fallback surfaces v1 fields under the v2 frame-id vocabulary
+    assert(Mpeg.id3Frames(v1, 1L) == Map("TIT2" -> "Title One",
+      "TPE1" -> "The Artist", "TALB" -> "An Album", "TYER" -> "1999",
+      "TRCK" -> "7"))
+    // empty fields are absence, not blank rows
+    assert(Mpeg.id3Frames(Mpeg.wrapId3v1(s, "Only Title", "", ""), 2L) ==
+      Map("TIT2" -> "Only Title"))
+    // v2 supersedes v1 when both are present
+    val both = Mpeg.wrapId3v1(
+      Mpeg.wrapId3Frames(s, Seq("TIT2" -> "v2 wins"), major = 4),
+      "v1 loses", "x", "y")
+    assert(Mpeg.id3Frames(both, 3L) == Map("TIT2" -> "v2 wins"))
+    // the zeroed identity-gate trailer is all-empty fields
+    assert(Mpeg.id3Frames(Mpeg.wrapId3(s, v2Bytes = 0, v1 = true)
+      .drop(10), 4L).isEmpty)
+    // the stream identity is invariant under a real v1 trailer
+    assert(Mpeg.streamHash64(v1, 5L) == Mpeg.streamHash64(s, 5L))
+    // a 30-byte field fits exactly; 31 overflows loudly
+    Mpeg.wrapId3v1(s, "x" * 30, "", "")
+    intercept[IllegalArgumentException] { Mpeg.wrapId3v1(s, "x" * 31, "", "") }
+  }
+
   test("mpegInfo: ID3v2 prefix and ID3v1 tail are skipped, not desync") {
     val s = TestMp3.withId3(TestMp3.layerStub(3, 44100, 96, frames = 7))
     val i = Mpeg.mpegInfo(s)
