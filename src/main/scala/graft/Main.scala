@@ -244,9 +244,14 @@ object Main {
     // text-tag catalog rows (ID3v2 / MP4 ilst): media_id, kind, tag, value
     case "warc-tags" :: in :: out :: Nil =>
       val spark = session("graft-warc-tags")
-      graft.operators.Multimodal.mediaTags(
-          graft.io.Warc.toMedia(graft.io.Warc.readWarc(spark, in)))
+      // one catalog: audio/video text tags ∪ image EXIF provenance —
+      // the same (media_id, kind, tag, value) shape, one archive scan
+      val media = graft.io.Warc.toMedia(graft.io.Warc.readWarc(spark, in))
+        .persist()
+      graft.operators.Multimodal.mediaTags(media)
+        .unionByName(graft.operators.Multimodal.imageExif(media))
         .write.mode("overwrite").parquet(out)
+      media.unpersist()
       println(s"warc-tags: ${spark.read.parquet(out).count()} tag rows -> $out")
       spark.stop()
 

@@ -1,0 +1,216 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Pure-JVM EXIF metadata extraction — the camera-catalog face of the
+  * image tier (provenance fields a multimodal curation pipeline
+  * filters and reports on: camera make/model, orientation, capture
+  * timestamps, exposure, the declared pixel dimensions).
+  *
+  * EXIF is a TIFF structure: byte-order magic, IFD0 entries, and an
+  * Exif sub-IFD behind the 0x8769 pointer. [[exifTags]] walks that
+  * structure directly (a `.tif` file whose IFD0 carries the fields IS
+  * valid EXIF carriage); [[jpegExif]] walks JPEG marker segments to
+  * the `APP1` payload prefixed `Exif\0\0` and hands the rest to the
+  * same walk — one decoder, two carriers. A curated tag set decodes
+  * (ASCII NUL-trimmed, SHORT/LONG as decimals, RATIONAL as `n/d`);
+  * unknown tags skip by size, the TIFF discipline.
+  *
+  * Fail-loudly contract: bad byte-order or marker framing, an entry
+  * overrunning the payload, or an unsupported field type on a known
+  * tag throws `IllegalArgumentException` naming the media id; absence
+  * of APP1 or of any known tag is an empty map, not an error. */
+object Exif {
+
+  private val Ifd0Names = Map(
+    0x010F -> "Make", 0x0110 -> "Model", 0x0112 -> "Orientation",
+    0x0132 -> "DateTime", 0x011A -> "XResolution", 0x011B -> "YResolution")
+
+  private val ExifIfdNames = Map(
+    0x9003 -> "DateTimeOriginal", 0x829A -> "ExposureTime",
+    0x829D -> "FNumber", 0x8827 -> "ISO",
+    0xA002 -> "PixelXDimension", 0xA003 -> "PixelYDimension")
+
+  private val ExifPointerTag = 0x8769
+
+  /** Decoded (name → value) pairs of a TIFF-structured EXIF block:
+    * IFD0's curated tags plus the Exif sub-IFD's. */
+  def exifTags(b: Array[Byte], mediaId: Long = -1L): Map[String, String] = {
+    require(b.length >= 8, s"media $mediaId: EXIF block too short")
+    val le = b(0) == 'I' && b(1) == 'I'
+    require(le || (b(0) == 'M' && b(1) == 'M'),
+      s"media $mediaId: EXIF byte-order magic missing")
+    def u16(p: Int): Int = {
+      require(p >= 0 && p + 2 <= b.length,
+        s"media $mediaId: EXIF read past end")
+      if (le) (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    }
+    def u32(p: Int): Long = {
+      require(p >= 0 && p + 4 <= b.length,
+        s"media $mediaId: EXIF read past end")
+      if (le) (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+      else ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    }
+    require(u16(2) == 42, s"media $mediaId: EXIF TIFF magic 42 missing")
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    def walk(ifdAt: Int, names: Map[Int, String]): Unit = {
+      val n = u16(ifdAt)
+      var k = 0
+      while (k < n) {
+        val e = ifdAt + 2 + k * 12
+        val tag = u16(e)
+        val typ = u16(e + 2)
+        val count = u32(e + 4)
+        require(count >= 0 && count < (1 << 24),
+          s"media $mediaId: absurd EXIF count $count for tag $tag")
+        if (tag == ExifPointerTag) {
+          require(typ == 4 && count == 1,
+            s"media $mediaId: malformed Exif IFD pointer")
+          walk(u32(e + 8).toInt, ExifIfdNames)
+        } else names.get(tag).foreach { name =>
+          val value = typ match {
+            case 2 => // ASCII, count includes the NUL
+              val at = if (count <= 4) e + 8 else u32(e + 8).toInt
+              require(at >= 0 && at + count <= b.length,
+                s"media $mediaId: EXIF ASCII value overruns")
+              new String(b, at, count.toInt, US_ASCII)
+                .takeWhile(_ != 0.toChar)
+            case 3 => u16(if (count <= 2) e + 8 else u32(e + 8).toInt).toString
+            case 4 => (if (count == 1) u32(e + 8)
+              else u32(u32(e + 8).toInt)).toString
+            case 5 =>
+              val at = u32(e + 8).toInt
+              s"${u32(at)}/${u32(at + 4)}"
+            case t => throw new IllegalArgumentException(
+              s"media $mediaId: EXIF type $t on known tag $tag")
+          }
+          out(name) = value
+        }
+        k += 1
+      }
+    }
+    walk(u32(4).toInt, Ifd0Names)
+    out.toMap
+  }
+
+  /** EXIF tags of a JPEG: marker-segment walk (SOI, then length-framed
+    * segments, stopping at SOS/EOI — metadata precedes the scan) to
+    * the `APP1` payload prefixed `Exif\0\0`; no APP1 is an empty map. */
+  def jpegExif(b: Array[Byte], mediaId: Long = -1L): Map[String, String] = {
+    require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
+      s"media $mediaId: JPEG SOI missing")
+    var p = 2
+    while (p + 4 <= b.length) {
+      require((b(p) & 0xff) == 0xff, s"media $mediaId: JPEG marker desync at $p")
+      val mk = b(p + 1) & 0xff
+      if (mk == 0xd9 || mk == 0xda) return Map.empty // EOI / scan: no APP1
+      val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      require(len >= 2 && p + 2 + len <= b.length,
+        s"media $mediaId: JPEG segment overruns")
+      if (mk == 0xe1 && len >= 8 &&
+        new String(b, p + 4, 4, US_ASCII) == "Exif" &&
+        b(p + 8) == 0 && b(p + 9) == 0)
+        return exifTags(
+          java.util.Arrays.copyOfRange(b, p + 10, p + 2 + len), mediaId)
+      p += 2 + len
+    }
+    Map.empty
+  }
+
+  // -- generator (staging/spec counterpart) ---------------------------------
+
+  /** One field to serialize: (tag, type, value). */
+  private final case class Entry(tag: Int, typ: Int, count: Int,
+      inline: Array[Byte], data: Array[Byte])
+
+  /** Serialize a VALID EXIF block (TIFF header, IFD0 with the camera
+    * fields and the Exif-IFD pointer, the sub-IFD with capture
+    * fields) in either byte order — the staging counterpart. */
+  def writeExifBlock(make: String, model: String, orientation: Int,
+      dateTime: String, exposureDen: Long, iso: Int,
+      pixelX: Long, pixelY: Long, dateTimeOriginal: String,
+      littleEndian: Boolean = true): Array[Byte] = {
+    def b16(v: Int): Array[Byte] =
+      if (littleEndian) Array(v.toByte, (v >> 8).toByte)
+      else Array((v >> 8).toByte, v.toByte)
+    def b32(v: Long): Array[Byte] =
+      if (littleEndian) Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+        (v >> 24).toByte)
+      else Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte,
+        v.toByte)
+    def ascii(s: String): Entry = {
+      val bytes = s.getBytes(US_ASCII) :+ 0.toByte
+      if (bytes.length <= 4) Entry(0, 2, bytes.length,
+        bytes.padTo(4, 0.toByte), null)
+      else Entry(0, 2, bytes.length, null, bytes)
+    }
+    def short(v: Int): Entry = Entry(0, 3, 1, b16(v) ++ b16(0), null)
+    def long(v: Long): Entry = Entry(0, 4, 1, b32(v), null)
+    def rational(n: Long, d: Long): Entry =
+      Entry(0, 5, 1, null, b32(n) ++ b32(d))
+
+    val ifd0 = ArrayBuffer(
+      0x010F -> ascii(make), 0x0110 -> ascii(model),
+      0x0112 -> short(orientation), 0x0132 -> ascii(dateTime))
+    val exifIfd = ArrayBuffer(
+      0x829A -> rational(1L, exposureDen), 0x8827 -> short(iso),
+      0x9003 -> ascii(dateTimeOriginal), 0xA002 -> long(pixelX),
+      0xA003 -> long(pixelY))
+
+    // layout: header(8) | IFD0 | Exif IFD | data area
+    val ifd0At = 8
+    val ifd0Size = 2 + (ifd0.length + 1) * 12 + 4 // + the pointer entry
+    val exifAt = ifd0At + ifd0Size
+    val exifSize = 2 + exifIfd.length * 12 + 4
+    var dataAt = exifAt + exifSize
+    val data = new java.io.ByteArrayOutputStream
+
+    def render(entries: Seq[(Int, Entry)]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream
+      out.write(b16(entries.length))
+      for ((tag, e) <- entries.sortBy(_._1)) {
+        out.write(b16(tag)); out.write(b16(e.typ)); out.write(b32(e.count))
+        if (e.data == null) out.write(e.inline)
+        else { out.write(b32(dataAt)); data.write(e.data)
+          dataAt += e.data.length }
+      }
+      out.write(b32(0)) // next-IFD terminator
+      out.toByteArray
+    }
+
+    val ifd0All = (ifd0 :+ (ExifPointerTag -> long(exifAt))).toSeq
+    val ifd0Bytes = render(ifd0All)
+    val exifBytes = render(exifIfd.toSeq)
+    val header =
+      (if (littleEndian) "II" else "MM").getBytes(US_ASCII) ++
+        b16(42) ++ b32(ifd0At)
+    header ++ ifd0Bytes ++ exifBytes ++ data.toByteArray
+  }
+
+  /** Wrap an EXIF block as a metadata-bearing JPEG: SOI, a JFIF APP0
+    * and a COM segment (real skip work for the walk), the `Exif\0\0`
+    * APP1, EOI — the segment-framing counterpart for the catalog
+    * gates (pixel-bearing JPEGs carry APP1 identically). */
+  def writeJpegExif(exifBlock: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    def seg(marker: Int, payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xe0, ("JFIF".getBytes(US_ASCII) :+ 0.toByte) ++
+      Array[Byte](1, 2, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xfe, "planted comment".getBytes(US_ASCII))
+    seg(0xe1, ("Exif".getBytes(US_ASCII) ++ Array[Byte](0, 0)) ++ exifBlock)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+}

@@ -1953,6 +1953,29 @@ object Multimodal {
       .toDF("media_id", "kind", "tag", "value")
   }
 
+  /** Camera-provenance catalog rows of an image corpus: (`media_id`,
+    * `kind`, `tag`, `value`) — EXIF fields ([[Exif]]: Make, Model,
+    * Orientation, DateTime/DateTimeOriginal, ExposureTime, ISO, the
+    * declared pixel dimensions) from JPEG APP1 segments and from
+    * TIFF-structured files directly (one walker, two carriers).
+    * Images without EXIF contribute no rows; kinds without a carrier
+    * contribute none either (absence, not error). Narrow
+    * `mapPartitions` — zero shuffle, linear in corpus bytes, the
+    * catalog join key is `media_id`. */
+  def imageExif(ds: Dataset[Media]): DataFrame = {
+    import ds.sparkSession.implicits._
+    val jpegKinds = Set("image/jpeg", "image/jpg")
+    val tiffKinds = Set("image/tiff", "image/tiff-fx")
+    ds.mapPartitions(_.flatMap { m =>
+        val tags =
+          if (jpegKinds.contains(m.kind)) Exif.jpegExif(m.bytes, m.media_id)
+          else if (tiffKinds.contains(m.kind)) Exif.exifTags(m.bytes, m.media_id)
+          else Map.empty[String, String]
+        tags.iterator.map { case (k, v) => (m.media_id, m.kind, k, v) }
+      })
+      .toDF("media_id", "kind", "tag", "value")
+  }
+
   /** Channel-averaged mono mixdown of decoded MPEG PCM in [-1, 1] —
     * shared by the per-kind bridge and the walk-once dedup entry. */
   private def mpegMonoMixdown(a: Mpeg.MpegDecoded): (Int, Array[Double]) = {

@@ -2527,6 +2527,33 @@ object ExtensionQueries {
       Multimodal.mediaTags(media).orderBy("media_id", "tag")
     }),
 
+    // camera-provenance catalog: per doc_id a planted EXIF block
+    // (both byte orders cycling) travels as a JPEG APP1 segment (even
+    // ids — the marker walk skips a JFIF APP0 and a COM first) or as a
+    // TIFF-structured file (odd ids), and Multimodal.imageExif walks
+    // every field back; the oracle recomputes all nine (tag, value)
+    // rows from the id derivation, so any defect in the marker walk,
+    // the IFD entry framing, the Exif-pointer recursion, a type decode
+    // (ASCII/SHORT/LONG/RATIONAL), or endianness is a hash mismatch.
+    "q_image_exif" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Exif => E}
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+        .map { id =>
+          val block = E.writeExifBlock(
+            s"Cam ${id % 5}", s"Model ${id % 7}", (1 + id % 8).toInt,
+            s"2026:01:0${1 + id % 9} 12:00:00", 125 + id % 100,
+            (100 * (1 + id % 4)).toInt, 320 + id % 16, 240 + id % 9,
+            s"2026:01:0${1 + id % 9} 00:00:00",
+            littleEndian = id % 4 < 2)
+          if (id % 2 == 0)
+            Multimodal.Media(id, "image/jpeg", E.writeJpegExif(block))
+          else Multimodal.Media(id, "image/tiff", block)
+        }
+      Multimodal.imageExif(media).orderBy("media_id", "tag")
+    }),
+
     // TIFF metadata: per doc_id a baseline TIFF is serialized through
     // the cycle of photometric x compression x byte-order x strip
     // layouts and its IFD walked back (Tiff.tiffInfo — no pixel work).
@@ -3679,6 +3706,10 @@ object ExtensionQueries {
     // grids, timescales, sample counts, duration quotients
     "q_mp4_meta" ->
       """WITH p AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS ci, 600 * (1 + doc_id % 3) AS mvts, 600 * (1 + doc_id % 3) * (3 + doc_id % 7) + (doc_id % 97) AS mvdur, 24 + doc_id % 50 AS vs FROM documents WHERE doc_id < 300), v AS (SELECT doc_id, CAST(1 AS INTEGER) AS track_id, 'vide' AS handler, CASE ci WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1' ELSE 'av01' END AS codec, CAST(160 + 16 * (doc_id % 8) AS INTEGER) AS width, CAST(96 + 16 * (doc_id % 5) AS INTEGER) AS height, CAST(mvts AS BIGINT) AS mv_timescale, CAST(mvdur AS DOUBLE) / mvts AS mv_duration_sec, CAST(12288 AS BIGINT) AS tr_timescale, CAST(vs * 512 AS DOUBLE) / 12288 AS tr_duration_sec, CAST(vs AS BIGINT) AS samples, CAST(0 AS INTEGER) AS sample_rate, CAST(0 AS INTEGER) AS channels FROM p), ap AS (SELECT doc_id, mvts, mvdur, CASE CAST((doc_id // 2) % 3 AS INTEGER) WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS rate, 100 + doc_id % 30 AS ns FROM p WHERE doc_id % 2 = 0), a AS (SELECT doc_id, CAST(2 AS INTEGER) AS track_id, 'soun' AS handler, 'mp4a' AS codec, CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height, CAST(mvts AS BIGINT) AS mv_timescale, CAST(mvdur AS DOUBLE) / mvts AS mv_duration_sec, CAST(rate AS BIGINT) AS tr_timescale, CAST(ns * 1024 AS DOUBLE) / rate AS tr_duration_sec, CAST(ns AS BIGINT) AS samples, CAST(rate AS INTEGER) AS sample_rate, CAST(1 + (doc_id // 2) % 2 AS INTEGER) AS channels FROM ap) SELECT * FROM v UNION ALL SELECT * FROM a ORDER BY doc_id, track_id""",
+
+    // every planted EXIF field recomputed from the id derivation
+    "q_image_exif" ->
+      """WITH p AS (SELECT doc_id AS media_id, CASE WHEN doc_id % 2 = 0 THEN 'image/jpeg' ELSE 'image/tiff' END AS kind FROM documents WHERE doc_id < 200) SELECT media_id, kind, tag, value FROM (SELECT media_id, kind, 'Make' AS tag, 'Cam ' || (media_id % 5) AS value FROM p UNION ALL SELECT media_id, kind, 'Model', 'Model ' || (media_id % 7) FROM p UNION ALL SELECT media_id, kind, 'Orientation', CAST(1 + media_id % 8 AS VARCHAR) FROM p UNION ALL SELECT media_id, kind, 'DateTime', '2026:01:0' || (1 + media_id % 9) || ' 12:00:00' FROM p UNION ALL SELECT media_id, kind, 'ExposureTime', '1/' || (125 + media_id % 100) FROM p UNION ALL SELECT media_id, kind, 'ISO', CAST(100 * (1 + media_id % 4) AS VARCHAR) FROM p UNION ALL SELECT media_id, kind, 'DateTimeOriginal', '2026:01:0' || (1 + media_id % 9) || ' 00:00:00' FROM p UNION ALL SELECT media_id, kind, 'PixelXDimension', CAST(320 + media_id % 16 AS VARCHAR) FROM p UNION ALL SELECT media_id, kind, 'PixelYDimension', CAST(240 + media_id % 9 AS VARCHAR) FROM p) ORDER BY media_id, tag""",
 
     // independent derivation: every planted (tag, value) row recomputed
     // from the id cycles directly
