@@ -71,6 +71,33 @@ object Warc {
       .as[graft.operators.Multimodal.Media]
   }
 
+  /** Media types that say nothing: sniffing fills these, never a
+    * declared specific type. */
+  private val GenericTypes = Set("application/octet-stream",
+    "binary/octet-stream", "application/binary", "application/x-download",
+    "application/unknown", "unknown/unknown", "")
+
+  /** The crawl-reality shim: rewrite ONLY generic/absent Content-Type
+    * headers with [[graft.operators.Sniff.sniffMime]]'s magic-byte
+    * detection, so the MIME-dispatching faces ([[toDocuments]],
+    * [[toMedia]]) see through `application/octet-stream` lies. A
+    * declared specific type always wins; an unsniffable payload keeps
+    * its header. One narrow pass — compose as
+    * `toDocuments(sniffTypes(records))`. */
+  def sniffTypes(records: Dataset[WarcRecord]): Dataset[WarcRecord] = {
+    import records.sparkSession.implicits._
+    records.map { r =>
+      val declared = Option(r.http_content_type)
+        .map(_.split(";")(0).trim.toLowerCase(java.util.Locale.ROOT))
+        .getOrElse("")
+      if (r.warc_type == "response" && r.framing_ok &&
+          r.payload != null && GenericTypes.contains(declared))
+        graft.operators.Sniff.sniffMime(r.payload)
+          .map(m => r.copy(http_content_type = m)).getOrElse(r)
+      else r
+    }
+  }
+
   /** HTTP media type, normalized: parameters stripped, trimmed,
     * lowercased — media types are case-insensitive per RFC 9110, and real
     * crawls carry `Text/HTML` and `text/html ; charset=...` variants. */

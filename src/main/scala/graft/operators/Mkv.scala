@@ -137,7 +137,7 @@ object Mkv {
   }
 
   /** DocType of the EBML header; fails loudly unless matroska/webm. */
-  private def docTypeOf(b: Array[Byte], mediaId: Long): (String, Int) = {
+  private[operators] def docTypeOf(b: Array[Byte], mediaId: Long): (String, Int) = {
     val (id, idLen) = readId(b, 0, mediaId)
     require(id == IdEbml, s"media $mediaId: not an EBML payload")
     val (size, szLen) = readSize(b, idLen, mediaId)

@@ -1,0 +1,176 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Locale
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** robots.txt parsing and URL-frontier filtering — the crawl-politeness
+  * operator a 100 TB ingestion pipeline runs BEFORE fetching: which of
+  * these ten billion frontier URLs may this agent crawl, given the
+  * per-host rule files already on hand.
+  *
+  * The grammar is the REP (RFC 9309) subset crawlers agree on: `#`
+  * comments, `user-agent` group headers (several per group, values
+  * case-insensitive, substring product-token match with `*` as the
+  * catch-all), `allow`/`disallow` rules with `*` wildcards and the `$`
+  * end anchor. Decision for a path: the group whose agent line matches
+  * MOST SPECIFICALLY (longest matching token; `*` is specificity 0),
+  * then the matching rule with the LONGEST pattern wins, allow winning
+  * length ties — the published RFC 9309 semantics. No matching rule
+  * (or no matching group, or an empty disallow value) is allow: REP is
+  * deny-by-exception.
+  *
+  * [[filterAllowed]] is the distributed face: frontier ⋈ rule files on
+  * host (hash join — rule files are per-host and small, the frontier
+  * is the big side; AQE handles host skew), then a narrow
+  * per-partition decision pass that parses each host's rules ONCE per
+  * partition (memoized — the join co-locates a host's URLs, so the
+  * parse amortizes across them). URLs whose host carries no rule file
+  * pass allowed, the crawl default; a rule file that fails to parse
+  * denies its whole host (fail-closed — a host whose policy cannot be
+  * read should not be crawled). */
+object Robots {
+
+  /** One rule: allow/deny + its pattern (`*` wildcards, optional `$`
+    * anchor); specificity is the pattern's length. */
+  final case class Rule(allow: Boolean, pattern: String) {
+    @transient lazy val rx: java.util.regex.Pattern = compile(pattern)
+  }
+
+  /** One user-agent group: agent tokens and rules, in file order. */
+  final case class Group(agents: Seq[String], rules: Seq[Rule])
+
+  /** A rule pattern as a compiled prefix matcher: literal chunks
+    * between `*`s, `$` forcing end-of-path; used via `lookingAt` so an
+    * unanchored pattern matches any path PREFIX. */
+  private[graft] def compile(pattern: String): java.util.regex.Pattern = {
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val rx = p.split("\\*", -1)
+      .map(c => if (c.isEmpty) "" else java.util.regex.Pattern.quote(c))
+      .mkString(".*") + (if (anchored) "$" else "")
+    java.util.regex.Pattern.compile(rx)
+  }
+
+  /** Parse a robots.txt payload into groups. Unknown directives
+    * (crawl-delay, sitemap, …) are extensions, not access rules —
+    * skipped; a rule line before any user-agent line, or a line
+    * without a colon, is a framing error (fail loudly, the codec
+    * contract — the distributed face maps that to fail-closed). */
+  def parseRobots(bytes: Array[Byte], mediaId: Long = -1L): Seq[Group] = {
+    val groups = ArrayBuffer.empty[(ArrayBuffer[String], ArrayBuffer[Rule])]
+    var openAgents = false // consecutive user-agent lines extend one group
+    for (raw <- new String(bytes, UTF_8).split("\n", -1)) {
+      val line = { val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw }.trim
+      if (line.nonEmpty) {
+        val c = line.indexOf(':')
+        require(c > 0, s"media $mediaId: malformed robots.txt line")
+        val key = line.substring(0, c).trim.toLowerCase(Locale.ROOT)
+        val value = line.substring(c + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!openAgents) groups += ((ArrayBuffer.empty, ArrayBuffer.empty))
+            groups(groups.length - 1)._1 += value.toLowerCase(Locale.ROOT)
+            openAgents = true
+          case "allow" | "disallow" =>
+            require(groups.nonEmpty,
+              s"media $mediaId: robots.txt rule before any user-agent line")
+            openAgents = false
+            // an empty disallow means "allow everything": a no-op rule
+            // under deny-by-exception, recorded as nothing
+            if (value.nonEmpty)
+              groups(groups.length - 1)._2 += Rule(key == "allow", value)
+          case _ => openAgents = false // extension directive: skipped
+        }
+      }
+    }
+    groups.map { case (a, r) => Group(a.toSeq, r.toSeq) }.toSeq
+  }
+
+  /** True when the rule pattern matches a prefix of `path`. */
+  private[graft] def patternMatches(pattern: String, path: String): Boolean =
+    compile(pattern).matcher(path).lookingAt()
+
+  /** The decision for one path: the most-specific matching agent
+    * group's longest-pattern rule; allow wins ties and no-match. */
+  def isAllowed(groups: Seq[Group], agent: String, path: String): Boolean = {
+    val a = agent.toLowerCase(Locale.ROOT)
+    var bestSpec = -1
+    var bestGroup: Group = null
+    for (g <- groups; tok <- g.agents) {
+      val spec =
+        if (tok == "*") 0
+        else if (a.contains(tok)) tok.length
+        else -1
+      if (spec > bestSpec) { bestSpec = spec; bestGroup = g }
+    }
+    if (bestGroup == null) return true
+    var verdict = true // no matching rule → allow
+    var bestLen = -1
+    for (r <- bestGroup.rules if r.rx.matcher(path).lookingAt()) {
+      val len = r.pattern.length
+      if (len > bestLen || (len == bestLen && r.allow)) {
+        bestLen = len; verdict = r.allow
+      }
+    }
+    verdict
+  }
+
+  /** The path (+query) component a rule applies to. */
+  private[graft] def pathOf(url: String): String = {
+    val schemeAt = url.indexOf("://")
+    val from = if (schemeAt < 0) 0 else schemeAt + 3
+    val slash = url.indexOf('/', from)
+    if (slash < 0) "/" else url.substring(slash)
+  }
+
+  /** The host component a rule file is keyed by (lowercased, port
+    * kept — REP scopes rules to the authority). */
+  private[graft] def hostOf(url: String): String = {
+    val schemeAt = url.indexOf("://")
+    val from = if (schemeAt < 0) 0 else schemeAt + 3
+    val slash = url.indexOf('/', from)
+    val end = if (slash < 0) url.length else slash
+    url.substring(from, end).toLowerCase(Locale.ROOT)
+  }
+
+  /** Distributed frontier filter: every row of `urls` (must carry a
+    * `url` column) gains an `allowed` flag for `agent` under the
+    * per-host `robots` rule files (host → robots.txt bytes). */
+  def filterAllowed(urls: DataFrame, robots: Dataset[(String, Array[Byte])],
+      agent: String): DataFrame = {
+    val outCols = urls.columns
+    val hostCol = lower(regexp_extract(col("url"),
+      "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/]+)", 1))
+    val projected = urls.withColumn("__host", hostCol)
+      .join(robots.toDF("robots_host", "robots_bytes"),
+        col("__host") === col("robots_host"), "left")
+      .select(outCols.map(col).toIndexedSeq :+ col("robots_bytes"): _*)
+    val schema = StructType(projected.schema.fields.dropRight(1) :+
+      StructField("allowed", BooleanType, nullable = false))
+    val urlIdx = outCols.indexOf("url")
+    val bytesIdx = outCols.length
+    projected.mapPartitions { it =>
+      val memo = scala.collection.mutable.HashMap
+        .empty[String, Option[Seq[Group]]]
+      it.map { row =>
+        val url = row.getString(urlIdx)
+        val allowed =
+          if (row.isNullAt(bytesIdx)) true // no rule file: crawl default
+          else memo.getOrElseUpdate(hostOf(url),
+            try Some(parseRobots(row.getAs[Array[Byte]](bytesIdx)))
+            catch { case _: Exception => None }) match {
+            case Some(gs) => isAllowed(gs, agent, pathOf(url))
+            case None => false // unreadable policy: fail closed
+          }
+        Row.fromSeq(row.toSeq.dropRight(1) :+ allowed)
+      }
+    }(Encoders.row(schema))
+  }
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, US_ASCII}
+import java.util.Locale
+
+/** Content-type sniffing — the crawl-reality shim in front of every
+  * carrier extractor: real archives serve PDFs as
+  * `application/octet-stream`, EPUBs as `binary/octet-stream`, and
+  * whole mail spools with no Content-Type at all. The MIME routing the
+  * text/media faces dispatch on is only as good as the header, so
+  * [[sniffMime]] detects the type from leading magic bytes (and a few
+  * text-shaped heuristics), and [[graft.io.Warc.sniffTypes]] rewrites
+  * ONLY the generic/absent headers with the sniffed type — a declared
+  * specific type always wins; sniffing fills silence, it does not
+  * overrule.
+  *
+  * The ZIP family dispatches by central-directory content (the OOXML
+  * trio by their part roots, EPUB by its stored `mimetype` entry), the
+  * EBML family by DocType, RIFF by its form tag — each reusing the
+  * SAME walkers the extractors run, so a payload sniffed as a type
+  * will actually parse as that type downstream. Detection is
+  * best-effort by contract: None means "no idea", never an error. */
+object Sniff {
+
+  private def ascii(b: Array[Byte], at: Int, len: Int): String =
+    if (at + len > b.length) ""
+    else new String(b, at, len, US_ASCII)
+
+  /** The sniffed media type of a payload, or None when nothing
+    * matches. Never throws. */
+  def sniffMime(b: Array[Byte]): Option[String] = {
+    if (b == null || b.length < 4) return None
+    val m4 = ascii(b, 0, 4)
+    // -- containers ----------------------------------------------------
+    if (m4 == "%PDF") return Some("application/pdf")
+    if (b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4)
+      return Some(zipFamily(b))
+    if ((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
+      return Some("application/gzip")
+    if (b.length >= 262 && ascii(b, 257, 5) == "ustar")
+      return Some("application/x-tar")
+    if (ascii(b, 0, 5) == "WARC/") return Some("application/warc")
+    // -- images --------------------------------------------------------
+    if ((b(0) & 0xff) == 0x89 && ascii(b, 1, 3) == "PNG")
+      return Some("image/png")
+    if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff) return Some("image/jpeg")
+    if (ascii(b, 0, 4) == "GIF8") return Some("image/gif")
+    if (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0)
+      return Some("image/tiff")
+    if (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)
+      return Some("image/tiff")
+    if (b(0) == 0 && b(1) == 0 && b(2) == 1 && b(3) == 0 &&
+      b.length >= 6 && ((b(4) & 0xff) | ((b(5) & 0xff) << 8)) > 0)
+      return Some("image/x-icon")
+    if (b(0) == 'B' && b(1) == 'M' && b.length >= 14)
+      return Some("image/bmp")
+    // -- RIFF / IFF families -------------------------------------------
+    if (m4 == "RIFF" && b.length >= 12) ascii(b, 8, 4) match {
+      case "WAVE" => return Some("audio/wav")
+      case "WEBP" => return Some("image/webp")
+      case "AVI " => return Some("video/avi")
+      case _ => ()
+    }
+    if (m4 == "FORM" && b.length >= 12 &&
+      (ascii(b, 8, 4) == "AIFF" || ascii(b, 8, 4) == "AIFC"))
+      return Some("audio/aiff")
+    // -- audio / video streams -----------------------------------------
+    if (m4 == "fLaC") return Some("audio/flac")
+    if (m4 == "OggS") return Some("audio/ogg")
+    if ((b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+      (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3)
+      return Some(
+        try if (Mkv.docTypeOf(b, -1L)._1 == "webm") "video/webm"
+          else "video/x-matroska"
+        catch { case _: Exception => "video/x-matroska" })
+    if (b.length >= 12 && ascii(b, 4, 4) == "ftyp")
+      return Some("video/mp4")
+    if (ascii(b, 0, 3) == "ID3") return Some("audio/mpeg")
+    if ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0 &&
+      Mpeg.parseHeader(b, 0, -1L).isDefined) return Some("audio/mpeg")
+    // -- text shapes ---------------------------------------------------
+    if (ascii(b, 0, 5) == "{\\rtf") return Some("application/rtf")
+    textShape(b)
+  }
+
+  /** ZIP dispatch by central-directory content — the same walk the
+    * extractors run. An unreadable directory is still a ZIP (the
+    * archive branch will flag it). */
+  private def zipFamily(b: Array[Byte]): String =
+    try {
+      val names = Docx.zipEntryOffsets(b, -1L)
+      def epubMime = names.collectFirst { case ("mimetype", cd) =>
+        new String(Docx.zipEntryAt(b, cd, "mimetype", -1L), US_ASCII).trim }
+      if (epubMime.contains("application/epub+zip")) "application/epub+zip"
+      else if (names.exists(_._1.startsWith("word/")))
+        "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+      else if (names.exists(_._1.startsWith("xl/")))
+        "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+      else if (names.exists(_._1.startsWith("ppt/")))
+        "application/vnd.openxmlformats-officedocument.presentationml.presentation"
+      else "application/zip"
+    } catch { case _: Exception => "application/zip" }
+
+  /** Heuristics over the leading text (UTF-8-agnostic byte view):
+    * markup roots, WebVTT/SRT cue shapes, mbox separators, RFC 5322
+    * header blocks, LaTeX preambles; printable-majority falls back to
+    * text/plain, anything else is unknown. */
+  private def textShape(b: Array[Byte]): Option[String] = {
+    val head = new String(b, 0, math.min(b.length, 4096), ISO_8859_1)
+    val t = head.replace("\uFEFF", "").dropWhile(c => c == ' ' || c == '\t' ||
+      c == '\r' || c == '\n')
+    val lower = t.take(256).toLowerCase(Locale.ROOT)
+    if (lower.startsWith("<?xml") || lower.startsWith("<")) {
+      // markup: route by the first recognized root
+      if (lower.contains("<rss")) return Some("application/rss+xml")
+      if (lower.contains("<feed")) return Some("application/atom+xml")
+      if (lower.contains("<urlset") || lower.contains("<sitemapindex"))
+        return Some("application/xml")
+      if (lower.contains("<!doctype html") || lower.contains("<html"))
+        return Some("text/html")
+      if (lower.startsWith("<?xml")) return Some("application/xml")
+      return Some("text/html") // bare markup: the html strip degrades well
+    }
+    if (t.startsWith("WEBVTT")) return Some("text/vtt")
+    if (t.matches("(?s)\\d+\\r?\\n\\d\\d:\\d\\d:\\d\\d[,.]\\d\\d\\d.*"))
+      return Some("application/x-subrip")
+    if (head.startsWith("From ") && head.contains("\n\n"))
+      return Some("application/mbox")
+    if (lower.startsWith("\\documentclass") ||
+      lower.contains("\\begin{document}")) return Some("application/x-tex")
+    // a mail header block: colon-lines incl. the canonical fields
+    val headerBlock = head.split("\n\n", 2)(0)
+    val lines = headerBlock.split("\n").takeWhile(l =>
+      l.nonEmpty && (l.contains(':') || l.startsWith(" ") || l.startsWith("\t")))
+    if (lines.length >= 3 && {
+      val keys = lines.filter(_.contains(':'))
+        .map(_.split(":", 2)(0).trim.toLowerCase(Locale.ROOT)).toSet
+      keys.contains("subject") && (keys.contains("from") ||
+        keys.contains("received") || keys.contains("message-id"))
+    }) return Some("message/rfc822")
+    // printable-majority text
+    val probe = math.min(b.length, 4096)
+    var printable = 0
+    var i = 0
+    while (i < probe) {
+      val c = b(i) & 0xff
+      if (c == 9 || c == 10 || c == 13 || (c >= 32 && c < 127) || c >= 128)
+        printable += 1
+      i += 1
+    }
+    if (probe > 0 && printable.toDouble / probe >= 0.97) Some("text/plain")
+    else None
+  }
+}

@@ -459,6 +459,40 @@ object ExtensionQueries {
       out
     })
 
+  private val sniffStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_sniff_roundtrip: six carrier formats
+    * cycling by id — PDF, DOCX, RTF, HTML, EML, EPUB — every one
+    * served as `application/octet-stream`, the crawl-reality lie the
+    * sniffing shim exists to see through. */
+  private def sniffStage(s: SparkSession, dir: String): String =
+    sniffStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_sniff").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          regexp_replace(col("text"), "\\. ", "\n").as("x"))
+        .as[(Long, String, String)]
+        .map { case (id, u, x) =>
+          val payload = (id % 6) match {
+            case 0 => graft.operators.Pdf.writeTextPdf(x)
+            case 1 => graft.operators.Docx.writeDocx(x)
+            case 2 => graft.operators.Rtf.writeRtf(x)
+            case 3 => x.split("\n", -1).map(l => "<p>" + l + "</p>")
+              .mkString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case 4 => graft.operators.Eml.writeEml(1, s"Subject $id",
+              s"a$id@corpus.test", s"b$id@corpus.test",
+              "Thu, 1 Jan 2026 00:00:00 +0000", x)
+            case _ => graft.operators.Epub.writeEpub(x.split("\n", -1).toSeq)
+          }
+          (u, "application/octet-stream", payload) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val texStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3154,6 +3188,90 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // Crawl politeness: a planted URL frontier (ten hosts, five path
+    // classes) joined against per-host robots.txt files through the
+    // distributed Robots.filterAllowed face. The rule files plant the
+    // full REP decision battery — group specificity (a graftbot group
+    // shadowing a deny-all * group), longest-match precedence (Allow
+    // /private/ok over Disallow /private), * wildcards with $ anchors,
+    // comments and extension directives, one host with NO rule file
+    // (crawl default) and one with an unreadable one (fail-closed) —
+    // and the oracle recomputes every verdict from the id derivation.
+    "q_robots_frontier" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Robots
+      val pc = col("doc_id") % 5
+      val urls = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", concat(lit("http://h"), col("doc_id") % 10,
+          lit(".test"),
+          when(pc === 0, concat(lit("/public/page"), col("doc_id")))
+            .when(pc === 1, concat(lit("/private/page"), col("doc_id")))
+            .when(pc === 2, concat(lit("/private/ok/page"), col("doc_id")))
+            .when(pc === 3, concat(lit("/media/file"), col("doc_id"),
+              lit(".jpg")))
+            .otherwise(lit("/tmp"))))
+      val robots = s.range(0, 9).as[Long].map { i =>
+        val txt =
+          if (i == 8) "this host's policy is not parseable"
+          else {
+            val sb = new StringBuilder
+            sb.append("# planted rules\n")
+              .append("User-agent: graftbot\n")
+              .append("Crawl-delay: 2\n") // extension: skipped
+              .append("Disallow: /private\n")
+              .append("Allow: /private/ok\n")
+            if (i % 4 == 0) sb.append("Disallow: /media\n")
+            if (i % 2 == 1) sb.append("Disallow: /*.jpg$\n")
+            if (i % 3 == 0) sb.append("Disallow: /tmp$\n")
+            sb.append("\nUser-agent: *\nDisallow: /\n")
+            sb.result()
+          }
+        (s"h$i.test", txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      Robots.filterAllowed(urls, robots, "graftbot/1.0")
+        .orderBy("doc_id")
+    }),
+
+    // Frontier expansion: planted sitemaps (urlset for even ids, a
+    // sitemapindex of children for odd) through the distributed
+    // Sitemap.expand face — every entry its own row with verbatim
+    // freshness metadata, recomputed by the oracle.
+    "q_sitemap_frontier" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Sitemap => SM}
+      val fetched = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 300).as[Long]
+        .map { id =>
+          val src = s"http://s$id.test/sitemap.xml"
+          if (id % 2 == 0)
+            (src, SM.writeUrlset((0 until 3).map { k =>
+              (s"http://s$id.test/p$k", s"2026-01-0${1 + (id + k) % 9}",
+                if (k == 0) "daily" else "", s"0.$k") }))
+          else
+            (src, SM.writeIndex((0 until 2).map(k =>
+              s"http://s$id.test/sitemap-$k.xml")))
+        }
+      SM.expand(fetched)
+        .select(regexp_extract(col("source"), "s(\\d+)\\.test", 1)
+          .cast(LongType).as("doc_id"), col("kind"), col("loc"),
+          col("lastmod"), col("changefreq"), col("priority"))
+        .orderBy("doc_id", "loc")
+    }),
+
+    // Content-sniffing round-trip: six carrier formats, every response
+    // served under the octet-stream lie, the full text face composed
+    // behind the sniffing shim (toDocuments ∘ sniffTypes) — magic-byte
+    // detection, the ZIP-family central-directory dispatch, the
+    // text-shape heuristics (HTML root, mail header block), and every
+    // downstream extractor are all on ONE oracle.
+    "q_sniff_roundtrip" -> ((s, dir) => {
+      val docIdStr = regexp_extract(col("url"), "doc/(\\d+)$", 1)
+      graft.io.Warc.toDocuments(graft.io.Warc.sniffTypes(
+          graft.io.Warc.readWarc(s, sniffStage(s, dir))))
+        .select(docIdStr.cast(LongType).as("doc_id"), col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // LaTeX round-trip: every document a real article source; the
     // extracted text is the section title line + one line per
     // paragraph, with every planted rider (preamble, comments, display
@@ -3655,6 +3773,23 @@ object ExtensionQueries {
     // MIME shapes, so every decode path folds into one hash
     "q_eml_roundtrip" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, 'Subject ' || doc_id || chr(10) || replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    // every REP verdict recomputed: public allowed (group specificity
+    // beats the deny-all * group), /private denied, /private/ok allowed
+    // (longest match), media by the host's prefix/wildcard cycle, /tmp
+    // by the anchor cycle; host 9 has no rule file (allow), host 8 an
+    // unreadable one (deny)
+    "q_robots_frontier" ->
+      """WITH u AS (SELECT doc_id, doc_id % 10 AS h, CAST(doc_id % 5 AS INTEGER) AS pc, 'http://h' || (doc_id % 10) || '.test' || CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN '/public/page' || doc_id WHEN 1 THEN '/private/page' || doc_id WHEN 2 THEN '/private/ok/page' || doc_id WHEN 3 THEN '/media/file' || doc_id || '.jpg' ELSE '/tmp' END AS url FROM documents) SELECT doc_id, url, CASE WHEN h = 9 THEN TRUE WHEN h = 8 THEN FALSE WHEN pc = 0 THEN TRUE WHEN pc = 1 THEN FALSE WHEN pc = 2 THEN TRUE WHEN pc = 3 THEN NOT (h % 4 = 0 OR h % 2 = 1) ELSE NOT (h % 3 = 0) END AS allowed FROM u ORDER BY doc_id""",
+
+    // urlset entries and index children recomputed from the id cycles
+    "q_sitemap_frontier" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300), u AS (SELECT doc_id, 'url' AS kind, 'http://s' || doc_id || '.test/p' || k AS loc, '2026-01-0' || (1 + (doc_id + k) % 9) AS lastmod, CASE WHEN k = 0 THEN 'daily' ELSE '' END AS changefreq, '0.' || k AS priority FROM d, unnest([0, 1, 2]) AS t(k) WHERE doc_id % 2 = 0), i AS (SELECT doc_id, 'sitemap' AS kind, 'http://s' || doc_id || '.test/sitemap-' || k || '.xml' AS loc, '' AS lastmod, '' AS changefreq, '' AS priority FROM d, unnest([0, 1]) AS t(k) WHERE doc_id % 2 = 1) SELECT doc_id, kind, loc, lastmod, changefreq, priority FROM (SELECT * FROM u UNION ALL SELECT * FROM i) ORDER BY doc_id, loc""",
+
+    // the mail carrier prepends its subject line; every other carrier
+    // extracts the sentence-per-line body exactly
+    "q_sniff_roundtrip" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, CASE WHEN doc_id % 6 = 4 THEN 'Subject ' || doc_id || chr(10) ELSE '' END || replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
 
     // the section title heads the text; each sentence is a paragraph
     "q_tex_roundtrip" ->

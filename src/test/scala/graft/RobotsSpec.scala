@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.operators.Robots
+
+/** robots.txt: grammar, group specificity, longest-match precedence,
+  * wildcards and anchors, fail-loud framing, and the distributed
+  * frontier filter. */
+class RobotsSpec extends SparkSpec {
+
+  private def groups(txt: String): Seq[Robots.Group] =
+    Robots.parseRobots(txt.getBytes(UTF_8), 1L)
+
+  private val standard = groups(
+    """# comment line
+      |User-agent: graftbot
+      |Crawl-delay: 2
+      |Disallow: /private
+      |Allow: /private/ok
+      |Disallow: /*.pdf$
+      |Disallow: /tmp$
+      |
+      |User-agent: *
+      |Disallow: /
+      |""".stripMargin)
+
+  test("grammar: comments, extensions, groups, empty disallow") {
+    assert(standard.length == 2)
+    assert(standard(0).agents == Seq("graftbot") &&
+      standard(0).rules.length == 4)
+    assert(standard(1).agents == Seq("*"))
+    // several user-agent lines extend ONE group
+    val multi = groups("User-agent: a\nUser-agent: b\nDisallow: /x")
+    assert(multi.length == 1 && multi(0).agents == Seq("a", "b"))
+    // an empty disallow is allow-everything: a no-op rule
+    assert(groups("User-agent: *\nDisallow:").head.rules.isEmpty)
+    intercept[IllegalArgumentException] { groups("Disallow: /x") }
+    intercept[IllegalArgumentException] { groups("not a directive line") }
+  }
+
+  test("decision: specificity, longest match, wildcards, anchors") {
+    def allowed(path: String, agent: String = "graftbot/1.0") =
+      Robots.isAllowed(standard, agent, path)
+    assert(allowed("/public/page")) // no graftbot rule matches
+    assert(!allowed("/private/x")) // prefix disallow
+    assert(allowed("/private/ok/x")) // longer allow wins
+    assert(!allowed("/docs/a.pdf")) // * wildcard + $ anchor
+    assert(allowed("/docs/a.pdfx")) // the anchor is real
+    assert(!allowed("/tmp")) // exact anchor
+    assert(allowed("/tmpx")) // anchored /tmp$ does not prefix-match
+    // an unmatched agent falls to the * group: everything denied
+    assert(!allowed("/public/page", agent = "otherbot"))
+    // no groups at all: allow
+    assert(Robots.isAllowed(Nil, "graftbot", "/anything"))
+    // allow wins a length tie
+    val tie = groups("User-agent: *\nDisallow: /a/b\nAllow: /a/c")
+    assert(!Robots.isAllowed(tie, "x", "/a/b") &&
+      Robots.isAllowed(tie, "x", "/a/c"))
+  }
+
+  test("pattern matching: wildcard segments in order, prefix semantics") {
+    assert(Robots.patternMatches("/a/*/c", "/a/b/c/d"))
+    assert(!Robots.patternMatches("/a/*/c", "/a/b"))
+    assert(Robots.patternMatches("/", "/anything"))
+    assert(Robots.patternMatches("/p*q$", "/pxxq"))
+    assert(!Robots.patternMatches("/p*q$", "/pxxqtail"))
+    // regex metacharacters in patterns are literal
+    assert(!Robots.patternMatches("/a.c", "/abc"))
+  }
+
+  test("url components: host lowered with port, path with query") {
+    assert(Robots.hostOf("http://Host.Test:8080/a/b?q=1") == "host.test:8080")
+    assert(Robots.pathOf("http://host.test/a/b?q=1") == "/a/b?q=1")
+    assert(Robots.pathOf("http://host.test") == "/")
+  }
+
+  test("filterAllowed: join + decision, crawl default, fail-closed") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "http://a.test/private/x"),
+      (2L, "http://a.test/private/ok/x"),
+      (3L, "http://a.test/open"),
+      (4L, "http://norules.test/anything"),
+      (5L, "http://broken.test/anything"))
+      .toDF("id", "url")
+    val robots = Seq(
+      ("a.test",
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok"
+          .getBytes(UTF_8)),
+      ("broken.test", "unparseable policy".getBytes(UTF_8)),
+      ("quiet.test", "User-agent: *\nDisallow: /".getBytes(UTF_8))).toDS()
+    val out = Robots.filterAllowed(urls, robots, "graftbot")
+      .select("id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> true, 5L -> false))
+    // the caller's columns survive the pass
+    assert(Robots.filterAllowed(urls, robots, "graftbot").columns.toSeq ==
+      Seq("id", "url", "allowed"))
+  }
+}
