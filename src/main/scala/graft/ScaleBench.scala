@@ -575,6 +575,42 @@ object ScaleBench {
           .select(explode(col("m")).as(Seq("term", "est")))
       }
 
+      // crawl-politeness frontier filter at scale: the corpus as a URL
+      // frontier over 1000 hosts (five path classes cycling), per-host
+      // robots.txt rule files with the full REP battery (specificity,
+      // longest-match, wildcards/anchors). The expected plan is
+      // frontier ⋈ broadcast(rules) then a narrow decision pass whose
+      // per-partition parse memo amortizes across each host's URLs —
+      // linear seconds in frontier rows, shuffle bytes bounded by the
+      // final sink, never by the join (the rules side broadcasts).
+      if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+          .exists(!_.exists("robots_frontier".contains))) {
+        import spark.implicits._
+        val rules = spark.range(0, 1000).as[Long].map { i =>
+          val sb = new StringBuilder
+          sb.append("User-agent: graftbot\n")
+            .append("Disallow: /private\n")
+            .append("Allow: /private/ok\n")
+          if (i % 4 == 0) sb.append("Disallow: /media\n")
+          if (i % 2 == 1) sb.append("Disallow: /*.jpg$\n")
+          sb.append("User-agent: *\nDisallow: /\n")
+          (s"h$i.test", sb.result()
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        measure("robots_frontier", s"$scaleDir/out_robots") {
+          val pc = col("doc_id") % 5
+          val frontier = corpus.select(col("doc_id"),
+            concat(lit("http://h"), col("doc_id") % 1000, lit(".test"),
+              when(pc === 0, concat(lit("/public/p"), col("doc_id")))
+                .when(pc === 1, concat(lit("/private/p"), col("doc_id")))
+                .when(pc === 2, concat(lit("/private/ok/p"), col("doc_id")))
+                .when(pc === 3, concat(lit("/media/f"), col("doc_id"),
+                  lit(".jpg")))
+                .otherwise(lit("/tmp"))).as("url"))
+          graft.operators.Robots.filterAllowed(frontier, rules, "graftbot/1.0")
+        }
+      }
+
       // tag-invariant MPEG stream identity at scale: every doc carries a
       // coded stream on its id's (layer, rate, kbps, frames) cycle — ids
       // with id%5==1 are RE-TAGGED twins of id-1's audio — and the media
