@@ -250,6 +250,60 @@ object TextFunctions {
     trim(regexp_replace(folded, "^\\n+|\\n+$", ""))
   }
 
+  /** Page-level HTML metadata as a struct — `title`, `description`
+    * (the `<meta name="description">` content), and `canonical` (the
+    * `<link rel="canonical">` href): the curation signals a crawl
+    * pipeline filters and dedups on BEFORE stripping body text. A
+    * codegen'd regexp chain like [[htmlToText]] (RE2-compatible —
+    * inline flags, non-greedy, no lookaround), so a DuckDB oracle
+    * replays it verbatim; title whitespace collapses and the standard
+    * entities decode (titles are rendered text), attribute values stay
+    * verbatim (they are URLs/content attributes, not rendered text).
+    * Absent elements are empty strings — absence, not null, so the
+    * struct compares exactly. */
+  def htmlMeta(html: Column): Column = {
+    val title = regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)
+    val decodedTitle =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(title, "&lt;", "<"),
+                "&gt;", ">"),
+              "&quot;", "\""),
+            "&#39;", "'"),
+          "&nbsp;", " "),
+        "&amp;", "&")
+    val tidyTitle = trim(regexp_replace(decodedTitle, "[ \\t\\r\\n]+", " "))
+    val description = regexp_extract(html,
+      "(?is)<meta\\s[^>]*name\\s*=\\s*[\"']description[\"'][^>]*" +
+        "content\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val canonical = regexp_extract(html,
+      "(?is)<link\\s[^>]*rel\\s*=\\s*[\"']canonical[\"'][^>]*" +
+        "href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    struct(tidyTitle.as("title"), description.as("description"),
+      canonical.as("canonical"))
+  }
+
+  /** Outgoing links of an HTML page as an array of (href, anchor)
+    * structs — the frontier-seeding / anchor-text-corpus signal
+    * (anchor text is what the web calls the target page; a classic
+    * relevance corpus). Two aligned `regexp_extract_all` passes over
+    * the same double-quoted `<a href="...">...</a>` pattern zipped
+    * positionally — codegen'd, RE2-compatible, DuckDB-replayable. The
+    * anchor side is tag-stripped and whitespace-collapsed (it renders
+    * as text); hrefs stay verbatim. */
+  def htmlLinks(html: Column): Column = {
+    val pat = lit("(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>")
+    val hrefs = regexp_extract_all(html, pat, lit(1))
+    val anchors = regexp_extract_all(html, pat, lit(2))
+    val cleanAnchors = transform(anchors, a =>
+      trim(regexp_replace(
+        regexp_replace(a, "(?s)<[^>]*>", " "), "[ \\t\\r\\n]+", " ")))
+    arrays_zip(hrefs.as("href"), cleanAnchors.as("anchor"))
+  }
+
   /** Pre-redaction PII hit counts per kind (audit signal: which documents
     * carry how much PII, independent of the rewrite). */
   def piiCounts(text: Column): Column = struct(

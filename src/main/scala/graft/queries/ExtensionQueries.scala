@@ -3258,6 +3258,46 @@ object ExtensionQueries {
         .orderBy("doc_id", "loc")
     }),
 
+    // Page-metadata extraction, fully codegen'd (the Column-function
+    // tier, not a byte walker): title through the entity decode +
+    // whitespace collapse, meta description and canonical link
+    // verbatim — the oracle recomputes all three fields from the
+    // planted derivation.
+    "q_html_meta" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title> Doc &amp;\n"), col("doc_id"),
+        lit(" </title><meta name=\"description\" content=\"about "),
+        col("doc_id"),
+        lit("\"><link rel=\"canonical\" href=\"http://c.test/"),
+        col("doc_id"),
+        lit("\"></head><body>body</body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.htmlMeta(html).as("m"))
+        .select(col("doc_id"), col("m.title").as("title"),
+          col("m.description").as("description"),
+          col("m.canonical").as("canonical"))
+        .orderBy("doc_id")
+    }),
+
+    // Anchor-text extraction (frontier seeding / relevance corpus):
+    // two planted links per page — attribute noise around href, markup
+    // inside the anchor — exploded to (pos, href, anchor) rows the
+    // oracle recomputes.
+    "q_html_links" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><body><p>pre</p><a href=\"http://l.test/"),
+        col("doc_id"), lit("/a\" class=\"x\">first <b>link</b> "),
+        col("doc_id"),
+        lit("</a> mid <a title=\"t\" href=\"http://l.test/"),
+        col("doc_id"), lit("/b\">second</a></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TF.htmlLinks(html)).as(Seq("pos", "link")))
+        .select(col("doc_id"), col("pos"),
+          col("link.href").as("href"), col("link.anchor").as("anchor"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // Content-sniffing round-trip: six carrier formats, every response
     // served under the octet-stream lie, the full text face composed
     // behind the sniffing shim (toDocuments ∘ sniffTypes) — magic-byte
@@ -3785,6 +3825,14 @@ object ExtensionQueries {
     // urlset entries and index children recomputed from the id cycles
     "q_sitemap_frontier" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300), u AS (SELECT doc_id, 'url' AS kind, 'http://s' || doc_id || '.test/p' || k AS loc, '2026-01-0' || (1 + (doc_id + k) % 9) AS lastmod, CASE WHEN k = 0 THEN 'daily' ELSE '' END AS changefreq, '0.' || k AS priority FROM d, unnest([0, 1, 2]) AS t(k) WHERE doc_id % 2 = 0), i AS (SELECT doc_id, 'sitemap' AS kind, 'http://s' || doc_id || '.test/sitemap-' || k || '.xml' AS loc, '' AS lastmod, '' AS changefreq, '' AS priority FROM d, unnest([0, 1]) AS t(k) WHERE doc_id % 2 = 1) SELECT doc_id, kind, loc, lastmod, changefreq, priority FROM (SELECT * FROM u UNION ALL SELECT * FROM i) ORDER BY doc_id, loc""",
+
+    // title decoded + collapsed, attributes verbatim
+    "q_html_meta" ->
+      """SELECT doc_id, 'Doc & ' || doc_id AS title, 'about ' || doc_id AS description, 'http://c.test/' || doc_id AS canonical FROM documents ORDER BY doc_id""",
+
+    // both planted links per page, markup stripped from the anchor
+    "q_html_links" ->
+      """SELECT doc_id, pos, href, anchor FROM (SELECT doc_id, 0 AS pos, 'http://l.test/' || doc_id || '/a' AS href, 'first link ' || doc_id AS anchor FROM documents UNION ALL SELECT doc_id, 1 AS pos, 'http://l.test/' || doc_id || '/b' AS href, 'second' AS anchor FROM documents) ORDER BY doc_id, pos""",
 
     // the mail carrier prepends its subject line; every other carrier
     // extracts the sentence-per-line body exactly

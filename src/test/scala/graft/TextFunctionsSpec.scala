@@ -183,4 +183,30 @@ class TextFunctionsSpec extends SparkSpec {
       .collect()(0).getSeq[String](0)
     assert(short.isEmpty)
   }
+
+  test("htmlMeta: title decoded/collapsed, attributes verbatim, absence empty") {
+    val page = "<html><head><title> A &amp;\n B </title>" +
+      """<meta charset="utf-8"><meta name="description" content="a page">""" +
+      """<link rel="stylesheet" href="s.css">""" +
+      """<link rel="canonical" href="http://c.test/x?a=1&amp;b=2">""" +
+      """</head><body>t</body></html>"""
+    val m = Seq(page, "<html><body>no head</body></html>").toDF("html")
+      .select(TF.htmlMeta($"html").as("m"))
+      .select($"m.title", $"m.description", $"m.canonical")
+      .as[(String, String, String)].collect()
+    assert(m(0) == (("A & B", "a page", "http://c.test/x?a=1&amp;b=2")))
+    assert(m(1) == (("", "", ""))) // absence, not null
+  }
+
+  test("htmlLinks: aligned (href, anchor) pairs, markup-stripped anchors") {
+    val page = """<p>x</p><a href="http://a/1" id="l">one <i>two</i></a>""" +
+      """ mid <a rel="nofollow" href="http://a/2">three</a><a name="no-href">skip</a>"""
+    val out = Seq(page).toDF("html")
+      .select(explode(TF.htmlLinks($"html")).as("l"))
+      .select($"l.href", $"l.anchor").as[(String, String)].collect().toSeq
+    assert(out == Seq(("http://a/1", "one two"), ("http://a/2", "three")))
+    assert(Seq("no links at all").toDF("html")
+      .select(TF.htmlLinks($"html")).as[Seq[(String, String)]]
+      .collect().head.isEmpty)
+  }
 }
