@@ -422,7 +422,8 @@ object Warc {
         col("target_uri").isNotNull &&
         mimeOf(col("http_content_type"))
           .isin("application/zip", "application/x-tar",
-            "application/gzip", "application/x-gzip"))
+            "application/gzip", "application/x-gzip",
+            "application/x-xz", "application/zstd", "application/x-lz4"))
       .select(
         col("target_uri").as("url"),
         mimeOf(col("http_content_type")).as("mime"),
@@ -438,21 +439,20 @@ object Warc {
             } else if (mime == "application/x-tar")
               graft.operators.Tar.entries(bytes, -1L)
             else {
-              // gzip: decompress, then a .tar.gz walks as tar (ustar
-              // magic at 257) and a single-member file.txt.gz becomes
-              // one entry named from the url basename minus .gz
-              val raw = {
-                val in = new java.util.zip.GZIPInputStream(
-                  new java.io.ByteArrayInputStream(bytes))
-                try in.readAllBytes() finally in.close()
-              }
+              // codec layer (gzip/xz/zstd/lz4): peel it, then a
+              // .tar.<codec> walks as tar (ustar magic at 257) and a
+              // single-member file.txt.<codec> becomes one entry named
+              // from the url basename minus the codec suffix
+              // bomb guard: a member expanding past 1 GiB degrades to
+              // one flagged row instead of OOMing the task
+              val raw = graft.operators.Codec.decompress(
+                bytes, mime, maxOut = 1L << 30)
               val isTar = raw.length >= 262 &&
                 new String(raw, 257, 5,
                   java.nio.charset.StandardCharsets.US_ASCII) == "ustar"
               if (isTar) graft.operators.Tar.entries(raw, -1L)
               else {
-                val base = url.split('/').last
-                  .replaceAll("(?i)\\.(gz|gzip)$", "")
+                val base = graft.operators.Codec.stripSuffix(url.split('/').last)
                 Seq(base -> raw)
               }
             }

@@ -37,6 +37,14 @@ object Sniff {
       return Some(zipFamily(b))
     if ((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
       return Some("application/gzip")
+    if (b.length >= 6 && (b(0) & 0xff) == 0xfd && ascii(b, 1, 4) == "7zXZ" &&
+      b(5) == 0) return Some("application/x-xz")
+    if ((b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+      (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd)
+      return Some("application/zstd")
+    if ((b(0) & 0xff) == 0x04 && (b(1) & 0xff) == 0x22 &&
+      (b(2) & 0xff) == 0x4d && (b(3) & 0xff) == 0x18)
+      return Some("application/x-lz4")
     if (b.length >= 262 && ascii(b, 257, 5) == "ustar")
       return Some("application/x-tar")
     if (ascii(b, 0, 5) == "WARC/") return Some("application/warc")

@@ -587,6 +587,49 @@ object ExtensionQueries {
       out
     })
 
+  private val codecStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped compressed-payload staging for q_archive_codecs:
+    * each document rides ONE codec of the gzip/xz/zstd/lz4 cycle
+    * (id % 4) under ONE container shape ((id / 4) % 2 — a single
+    * `body.txt.<ext>` member, or a `.tar.<ext>` of per-sentence
+    * entries plus an `all.html` page) — all eight codec × container
+    * combinations are on the oracle. */
+  private def codecStage(s: SparkSession, dir: String): String =
+    codecStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_codec").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.operators.{Codec => C}
+          val (mime, ext) = (id % 4) match {
+            case 0 => (C.Gzip, "gz")
+            case 1 => (C.Xz, "xz")
+            case 2 => (C.Zstd, "zst")
+            case _ => (C.Lz4, "lz4")
+          }
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          if ((id / 4) % 2 == 0)
+            (s"http://corpus.test/doc/$id/body.txt.$ext", mime,
+              C.compress(text.getBytes(utf8), mime))
+          else {
+            val sentences = text.split(java.util.regex.Pattern.quote(". "), -1)
+            val entries: Seq[(String, Array[Byte])] =
+              sentences.zipWithIndex.map { case (t, i) =>
+                s"p${i + 1}.txt" -> t.getBytes(utf8)
+              }.toSeq :+ ("all.html" ->
+                sentences.map(t => "<p>" + t + "</p>").mkString.getBytes(utf8))
+            (s"http://corpus.test/doc/$id/arch.tar.$ext", mime,
+              C.compress(graft.operators.Tar.writeTar(entries), mime))
+          } }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val epubStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3379,6 +3422,22 @@ object ExtensionQueries {
         .orderBy("doc_id", "entry")
     }),
 
+    // compressed-payload round-trip: the codec layer (gzip/xz/zstd/
+    // lz4 — the jars Spark itself ships) peeled under both container
+    // shapes (single member, tar-behind-codec), every combination on
+    // the oracle; the oracle rebuilds entry names and text from the
+    // id cycles alone
+    "q_archive_codecs" -> ((s, dir) => {
+      graft.io.Warc.toDocumentsArchive(
+          graft.io.Warc.readWarc(s, codecStage(s, dir)))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)/", 1)
+            .cast(LongType).as("doc_id"),
+          regexp_extract(col("url"), "#(.*)$", 1).as("entry"),
+          col("text"))
+        .orderBy("doc_id", "entry")
+    }),
+
     // EPUB ingestion round-trip: every document serialized ONCE per
     // session as a real OCF package (stored mimetype, container.xml,
     // OPF in a subdirectory so href resolution is exercised, ONE XHTML
@@ -3857,6 +3916,9 @@ object ExtensionQueries {
     // all.html page, replayed by splitting the same text
     "q_archive_roundtrip" ->
       """WITH s AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents), per AS (SELECT doc_id, 'p' || i || '.txt' AS entry, parts[CAST(i AS INTEGER)] AS text FROM s, unnest(generate_series(1, CAST(len(parts) AS BIGINT))) AS g(i)), h AS (SELECT doc_id, 'all.html' AS entry, replace(text, '. ', chr(10)) AS text FROM documents) SELECT doc_id, entry, text FROM (SELECT * FROM per UNION ALL SELECT * FROM h) ORDER BY doc_id, entry""",
+
+    "q_archive_codecs" ->
+      """WITH s AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents), single AS (SELECT doc_id, 'body.txt' AS entry, text FROM documents WHERE (doc_id // 4) % 2 = 0), per AS (SELECT doc_id, 'p' || i || '.txt' AS entry, parts[CAST(i AS INTEGER)] AS text FROM s, unnest(generate_series(1, CAST(len(parts) AS BIGINT))) AS g(i) WHERE (doc_id // 4) % 2 = 1), h AS (SELECT doc_id, 'all.html' AS entry, replace(text, '. ', chr(10)) AS text FROM documents WHERE (doc_id // 4) % 2 = 1) SELECT doc_id, entry, text FROM (SELECT * FROM single UNION ALL SELECT * FROM per UNION ALL SELECT * FROM h) ORDER BY doc_id, entry""",
 
     // each sentence became a (source, sentence) spreadsheet row: the
     // flattening is source TAB sentence per line
