@@ -408,9 +408,9 @@ object Warc {
     * `application/x-tar` ([[graft.operators.Tar]]): every text-bearing
     * entry becomes its OWN document row (`url` = archive url `#`
     * entry name), routed by extension through the SAME extractors the
-    * top-level carriers use — .txt/.md raw, .html and .epub through
-    * the codegen'd HTML strip, .pdf/.docx/.xlsx/.pptx/.srt/.vtt
-    * through their codecs. Non-text entries (images, binaries) are
+    * top-level carriers use — .txt raw, .md through the markdown
+    * strip, .html and .epub through the codegen'd HTML strip,
+    * .pdf/.docx/.xlsx/.pptx/.srt/.vtt through their codecs. Non-text entries (images, binaries) are
     * skipped — absence, not error. A malformed ARCHIVE degrades to one
     * flagged row; a malformed ENTRY degrades to its own flagged row,
     * never failing the sibling entries. */
@@ -463,8 +463,11 @@ object Warc {
           val n = name.toLowerCase(java.util.Locale.ROOT)
           def s = new String(data, java.nio.charset.StandardCharsets.UTF_8)
           try {
-            if (n.endsWith(".txt") || n.endsWith(".md"))
+            if (n.endsWith(".txt"))
               Some((url + "#" + name, s, null: String, true))
+            else if (n.endsWith(".md") || n.endsWith(".markdown"))
+              Some((url + "#" + name,
+                graft.operators.Markdown.extractText(data), null: String, true))
             else if (n.endsWith(".html") || n.endsWith(".htm") ||
                 n.endsWith(".xhtml"))
               Some((url + "#" + name, null: String, s, true))
@@ -678,6 +681,33 @@ object Warc {
       .withColumn("doc_id", xxhash64(col("url"))))
   }
 
+  /** Curate-ready documents from markdown responses —
+    * `text/markdown` / `text/x-markdown`, the README/static-site
+    * carrier ([[graft.operators.Markdown]]: front matter dropped,
+    * CommonMark-shaped block+inline strip). Strict-codec /
+    * tolerant-bridge. */
+  def toDocumentsMarkdown(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    import graft.functions.TextFunctions
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type"))
+          .isin("text/markdown", "text/x-markdown"))
+      .select(
+        xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, url, bytes) =>
+        try (id, url, graft.operators.Markdown.extractText(bytes, id), true)
+        catch { case _: Exception => (id, url, null: String, false) } })
+      .toDF("doc_id", "url", "text", "extract_ok")
+      .select(col("doc_id"), col("url"),
+        TextFunctions.langId(col("text")).as("lang"), col("text"),
+        col("extract_ok"))
+  }
+
   /** Curate-ready documents from `text/plain` responses: the payload IS
     * the text (decoded with the same charset rules as HTML), no
     * stripping — the third text carrier after HTML and PDF. */
@@ -735,6 +765,8 @@ object Warc {
       .unionByName(toDocumentsFeed(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsTex(records)
+        .filter(col("extract_ok")).drop("extract_ok"))
+      .unionByName(toDocumentsMarkdown(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsText(records))
 

@@ -119,6 +119,15 @@ object Sniff {
     val t = head.replace("\uFEFF", "").dropWhile(c => c == ' ' || c == '\t' ||
       c == '\r' || c == '\n')
     val lower = t.take(256).toLowerCase(Locale.ROOT)
+    // YAML front matter (--- then colon lines then ---) is the
+    // static-site markdown signature
+    if (t.startsWith("---\n") || t.startsWith("---\r\n")) {
+      val body = t.substring(t.indexOf('\n') + 1)
+      val close = body.indexOf("\n---")
+      if (close > 0 && body.substring(0, close).split("\r?\n")
+        .forall(l => l.contains(':') || l.trim.isEmpty))
+        return Some("text/markdown")
+    }
     if (lower.startsWith("<?xml") || lower.startsWith("<")) {
       // markup: route by the first recognized root
       if (lower.contains("<rss")) return Some("application/rss+xml")

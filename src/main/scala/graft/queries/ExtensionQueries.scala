@@ -587,6 +587,34 @@ object ExtensionQueries {
       out
     })
 
+  private val markdownStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped markdown staging for q_markdown_roundtrip /
+    * q_markdown_frontmatter: each document rendered through the full
+    * construct cycle (heading, bold, bullet, quote, link, fence,
+    * italic, ordered — one block per sentence) under a YAML
+    * front-matter header carrying (title, source, lang). */
+  private def markdownStage(s: SparkSession, dir: String): String =
+    markdownStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_md").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"), col("source"), col("lang"))
+        .as[(Long, String, String, String, String)]
+        .map { case (id, u, text, source, lang) =>
+          val sentences = text.split(java.util.regex.Pattern.quote(". "), -1).toSeq
+          (u, "text/markdown",
+            graft.operators.Markdown.writeMarkdown(sentences,
+              Seq("title" -> s"doc $id", "source" -> source, "lang" -> lang))
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val codecStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3422,6 +3450,40 @@ object ExtensionQueries {
         .orderBy("doc_id", "entry")
     }),
 
+    // markdown ingestion round-trip: every document rendered through
+    // the construct cycle + YAML front matter, read back through the
+    // CommonMark-shaped strip — the oracle rebuilds the prose from the
+    // documents table (front matter must NOT leak into the text)
+    "q_markdown_roundtrip" -> ((s, dir) => {
+      graft.io.Warc.toDocumentsMarkdown(
+          graft.io.Warc.readWarc(s, markdownStage(s, dir)))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // front-matter catalog: the YAML header of every staged markdown
+    // page as (tag, value) provenance rows, the q_image_exif shape;
+    // the oracle recomputes all three planted keys from the table
+    "q_markdown_frontmatter" -> ((s, dir) => {
+      import s.implicits._
+      graft.io.Warc.readWarc(s, markdownStage(s, dir)).toDF()
+        .filter(col("warc_type") === "response" && col("framing_ok"))
+        .select(col("target_uri"), col("payload"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (u, b) =>
+          graft.operators.Markdown.frontMatter(b)
+            .map { case (k, v) => (u, k, v) } }
+        .toDF("url", "tag", "value")
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("tag"), col("value"))
+        .orderBy("doc_id", "tag")
+    }),
+
     // compressed-payload round-trip: the codec layer (gzip/xz/zstd/
     // lz4 — the jars Spark itself ships) peeled under both container
     // shapes (single member, tar-behind-codec), every combination on
@@ -3916,6 +3978,12 @@ object ExtensionQueries {
     // all.html page, replayed by splitting the same text
     "q_archive_roundtrip" ->
       """WITH s AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents), per AS (SELECT doc_id, 'p' || i || '.txt' AS entry, parts[CAST(i AS INTEGER)] AS text FROM s, unnest(generate_series(1, CAST(len(parts) AS BIGINT))) AS g(i)), h AS (SELECT doc_id, 'all.html' AS entry, replace(text, '. ', chr(10)) AS text FROM documents) SELECT doc_id, entry, text FROM (SELECT * FROM per UNION ALL SELECT * FROM h) ORDER BY doc_id, entry""",
+
+    "q_markdown_roundtrip" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    "q_markdown_frontmatter" ->
+      """SELECT doc_id, tag, value FROM (SELECT doc_id, 'title' AS tag, 'doc ' || doc_id AS value FROM documents UNION ALL SELECT doc_id, 'source', source FROM documents UNION ALL SELECT doc_id, 'lang', lang FROM documents) ORDER BY doc_id, tag""",
 
     "q_archive_codecs" ->
       """WITH s AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents), single AS (SELECT doc_id, 'body.txt' AS entry, text FROM documents WHERE (doc_id // 4) % 2 = 0), per AS (SELECT doc_id, 'p' || i || '.txt' AS entry, parts[CAST(i AS INTEGER)] AS text FROM s, unnest(generate_series(1, CAST(len(parts) AS BIGINT))) AS g(i) WHERE (doc_id // 4) % 2 = 1), h AS (SELECT doc_id, 'all.html' AS entry, replace(text, '. ', chr(10)) AS text FROM documents WHERE (doc_id // 4) % 2 = 1) SELECT doc_id, entry, text FROM (SELECT * FROM single UNION ALL SELECT * FROM per UNION ALL SELECT * FROM h) ORDER BY doc_id, entry""",
