@@ -681,6 +681,39 @@ object Warc {
       .withColumn("doc_id", xxhash64(col("url"))))
   }
 
+  /** Curate-ready documents from calendar responses — `text/calendar`
+    * (RFC 5545, [[graft.operators.Vobject]]): every VEVENT its OWN
+    * document (`url#<index>` — a calendar IS many events), the summary
+    * heading the description, the [[toDocumentsFeed]] contract. An
+    * unreadable calendar is ONE flagged row. */
+  def toDocumentsIcs(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    emlDocRows(records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type")) === "text/calendar")
+      .select(col("target_uri").as("url"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (url, bytes) =>
+        val events =
+          try Some(graft.operators.Vobject.extractIcs(bytes, -1L))
+          catch { case _: Exception => None }
+        events match {
+          case None =>
+            Iterator((url + "#", null: String, null: String,
+              null: String, false))
+          case Some(evs) => evs.iterator.zipWithIndex.map { case (ev, i) =>
+            (url + "#" + i,
+              if (ev.summary.isEmpty) null else ev.summary,
+              if (ev.description.isEmpty) null else ev.description,
+              null: String, true)
+          }
+        }
+      })
+      .toDF("url", "subject", "raw_text", "html", "extract_ok")
+      .withColumn("doc_id", xxhash64(col("url"))))
+  }
+
   /** Curate-ready documents from markdown responses —
     * `text/markdown` / `text/x-markdown`, the README/static-site
     * carrier ([[graft.operators.Markdown]]: front matter dropped,
@@ -767,6 +800,8 @@ object Warc {
       .unionByName(toDocumentsTex(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsMarkdown(records)
+        .filter(col("extract_ok")).drop("extract_ok"))
+      .unionByName(toDocumentsIcs(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsText(records))
 

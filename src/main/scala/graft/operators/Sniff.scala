@@ -139,6 +139,8 @@ object Sniff {
       if (lower.startsWith("<?xml")) return Some("application/xml")
       return Some("text/html") // bare markup: the html strip degrades well
     }
+    if (t.startsWith("BEGIN:VCALENDAR")) return Some("text/calendar")
+    if (t.startsWith("BEGIN:VCARD")) return Some("text/vcard")
     if (t.startsWith("WEBVTT")) return Some("text/vtt")
     if (t.matches("(?s)\\d+\\r?\\n\\d\\d:\\d\\d:\\d\\d[,.]\\d\\d\\d.*"))
       return Some("application/x-subrip")

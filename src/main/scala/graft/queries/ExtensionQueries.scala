@@ -587,6 +587,70 @@ object ExtensionQueries {
       out
     })
 
+  private val icsStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped calendar staging for q_ics_roundtrip: each
+    * document serialized as one VCALENDAR, one VEVENT per sentence
+    * (`Event <i>` summary, the sentence as description — escaped and
+    * 75-octet folded, so unfolding and TEXT unescape are on the
+    * oracle). */
+  private def icsStage(s: SparkSession, dir: String): String =
+    icsStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_ics").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, u, text) =>
+          val events = text.split(java.util.regex.Pattern.quote(". "), -1)
+            .zipWithIndex.map { case (t, i) => (s"Event ${i + 1}", t) }.toSeq
+          (u, "text/calendar",
+            graft.operators.Vobject.writeIcs(events)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
+  private val vcfStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped contact staging for q_vcf_contacts: each document
+    * carries one VCF export — card 0 (FN/EMAIL/ORG from id cycles plus
+    * a NOTE holding the first sentence, commas/semicolons escaped),
+    * and on even ids a second card (FN/TEL) — multi-card walks and
+    * repeated-tag ordering are on the oracle. */
+  private def vcfStage(s: SparkSession, dir: String): String =
+    vcfStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_vcf").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, u, text) =>
+          val s1 = text.split(java.util.regex.Pattern.quote(". "), -1).head
+          val card0 = Seq(
+            "FN" -> s"Person ${id % 7}",
+            "EMAIL" -> s"p${id % 7}@ex.test",
+            "ORG" -> s"Org ${id % 5}",
+            "NOTE" -> s1)
+          val cards = if (id % 2 == 0)
+            Seq(card0, Seq("FN" -> s"Alt ${id % 3}",
+              "TEL" -> s"+1-555-0${100 + id % 100}"))
+          else Seq(card0)
+          (u, "text/vcard",
+            graft.operators.Vobject.writeVcf(cards)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val markdownStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3450,6 +3514,41 @@ object ExtensionQueries {
         .orderBy("doc_id", "entry")
     }),
 
+    // calendar ingestion round-trip: every sentence a VEVENT (summary
+    // heads the description, the feed contract), read back through
+    // unfold + TEXT unescape; the oracle rebuilds both from the table
+    "q_ics_roundtrip" -> ((s, dir) => {
+      graft.io.Warc.toDocumentsIcs(
+          graft.io.Warc.readWarc(s, icsStage(s, dir)))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)#", 1)
+            .cast(LongType).as("doc_id"),
+          regexp_extract(col("url"), "#(\\d+)$", 1)
+            .cast(LongType).as("ev_idx"),
+          col("text"))
+        .orderBy("doc_id", "ev_idx")
+    }),
+
+    // contact catalog: every vCard's (tag, value) rows — multi-card
+    // files, repeated tags, escaped NOTE text; the oracle recomputes
+    // every planted row from the id cycles and the first sentence
+    "q_vcf_contacts" -> ((s, dir) => {
+      import s.implicits._
+      graft.io.Warc.readWarc(s, vcfStage(s, dir)).toDF()
+        .filter(col("warc_type") === "response" && col("framing_ok"))
+        .select(col("target_uri"), col("payload"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (u, b) =>
+          graft.operators.Vobject.extractVcf(b).zipWithIndex.flatMap {
+            case (props, ci) => props.map { case (k, v) => (u, ci, k, v) } } }
+        .toDF("url", "card_idx", "tag", "value")
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("card_idx"), col("tag"), col("value"))
+        .orderBy("doc_id", "card_idx", "tag")
+    }),
+
     // markdown ingestion round-trip: every document rendered through
     // the construct cycle + YAML front matter, read back through the
     // CommonMark-shaped strip — the oracle rebuilds the prose from the
@@ -3978,6 +4077,12 @@ object ExtensionQueries {
     // all.html page, replayed by splitting the same text
     "q_archive_roundtrip" ->
       """WITH s AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents), per AS (SELECT doc_id, 'p' || i || '.txt' AS entry, parts[CAST(i AS INTEGER)] AS text FROM s, unnest(generate_series(1, CAST(len(parts) AS BIGINT))) AS g(i)), h AS (SELECT doc_id, 'all.html' AS entry, replace(text, '. ', chr(10)) AS text FROM documents) SELECT doc_id, entry, text FROM (SELECT * FROM per UNION ALL SELECT * FROM h) ORDER BY doc_id, entry""",
+
+    "q_ics_roundtrip" ->
+      """WITH s AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents) SELECT doc_id, CAST(i - 1 AS BIGINT) AS ev_idx, 'Event ' || i || chr(10) || parts[CAST(i AS INTEGER)] AS text FROM s, unnest(generate_series(1, CAST(len(parts) AS BIGINT))) AS g(i) ORDER BY doc_id, ev_idx""",
+
+    "q_vcf_contacts" ->
+      """WITH f AS (SELECT doc_id, string_split(text, '. ')[1] AS s1 FROM documents) SELECT doc_id, card_idx, tag, value FROM (SELECT doc_id, CAST(0 AS INTEGER) AS card_idx, 'FN' AS tag, 'Person ' || (doc_id % 7) AS value FROM f UNION ALL SELECT doc_id, CAST(0 AS INTEGER), 'EMAIL', 'p' || (doc_id % 7) || '@ex.test' FROM f UNION ALL SELECT doc_id, CAST(0 AS INTEGER), 'ORG', 'Org ' || (doc_id % 5) FROM f UNION ALL SELECT doc_id, CAST(0 AS INTEGER), 'NOTE', s1 FROM f UNION ALL SELECT doc_id, CAST(1 AS INTEGER), 'FN', 'Alt ' || (doc_id % 3) FROM f WHERE doc_id % 2 = 0 UNION ALL SELECT doc_id, CAST(1 AS INTEGER), 'TEL', '+1-555-0' || (100 + doc_id % 100) FROM f WHERE doc_id % 2 = 0) ORDER BY doc_id, card_idx, tag""",
 
     "q_markdown_roundtrip" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
