@@ -492,6 +492,10 @@ object Warc {
             else if (n.endsWith(".epub"))
               Some((url + "#" + name, null: String,
                 graft.operators.Epub.spineHtml(data), true))
+            else if (n.endsWith(".odt") || n.endsWith(".ods") ||
+                n.endsWith(".odp"))
+              Some((url + "#" + name,
+                graft.operators.Odf.extractText(data), null: String, true))
             else None // non-text entry: skipped, not flagged
           } catch {
             case _: Exception =>
@@ -681,6 +685,34 @@ object Warc {
       .withColumn("doc_id", xxhash64(col("url"))))
   }
 
+  /** Curate-ready documents from OpenDocument responses — the ODF
+    * trio (`.odt`/`.ods`/`.odp`, [[graft.operators.Odf]]): one
+    * `content.xml` walk dispatched on the body root (paragraph strip /
+    * TAB-flattened tables / per-page text). Strict-codec /
+    * tolerant-bridge. */
+  def toDocumentsOdf(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    import graft.functions.TextFunctions
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type")).isin(
+          graft.operators.Odf.OdtMime, graft.operators.Odf.OdsMime,
+          graft.operators.Odf.OdpMime))
+      .select(
+        xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, url, bytes) =>
+        try (id, url, graft.operators.Odf.extractText(bytes, id), true)
+        catch { case _: Exception => (id, url, null: String, false) } })
+      .toDF("doc_id", "url", "text", "extract_ok")
+      .select(col("doc_id"), col("url"),
+        TextFunctions.langId(col("text")).as("lang"), col("text"),
+        col("extract_ok"))
+  }
+
   /** Curate-ready documents from calendar responses — `text/calendar`
     * (RFC 5545, [[graft.operators.Vobject]]): every VEVENT its OWN
     * document (`url#<index>` — a calendar IS many events), the summary
@@ -802,6 +834,8 @@ object Warc {
       .unionByName(toDocumentsMarkdown(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsIcs(records)
+        .filter(col("extract_ok")).drop("extract_ok"))
+      .unionByName(toDocumentsOdf(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsText(records))
 

@@ -98,9 +98,11 @@ object Sniff {
   private def zipFamily(b: Array[Byte]): String =
     try {
       val names = Docx.zipEntryOffsets(b, -1L)
-      def epubMime = names.collectFirst { case ("mimetype", cd) =>
+      def pkgMime = names.collectFirst { case ("mimetype", cd) =>
         new String(Docx.zipEntryAt(b, cd, "mimetype", -1L), US_ASCII).trim }
-      if (epubMime.contains("application/epub+zip")) "application/epub+zip"
+      if (pkgMime.contains("application/epub+zip")) "application/epub+zip"
+      else if (pkgMime.exists(_.startsWith("application/vnd.oasis.opendocument.")))
+        pkgMime.get
       else if (names.exists(_._1.startsWith("word/")))
         "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
       else if (names.exists(_._1.startsWith("xl/")))

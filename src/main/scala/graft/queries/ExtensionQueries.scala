@@ -587,6 +587,37 @@ object ExtensionQueries {
       out
     })
 
+  private val odfStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped OpenDocument staging for q_odf_roundtrip: each
+    * document packaged as its id%3 kind — `.odt` (one paragraph per
+    * sentence, heading/span/plain cycle), `.ods` (one (source,
+    * sentence) row per sentence — the [[Xlsx]] TAB flattening), or
+    * `.odp` (one page per sentence). */
+  private def odfStage(s: SparkSession, dir: String): String =
+    odfStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_odf").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"), col("source"))
+        .as[(Long, String, String, String)]
+        .map { case (id, u, text, source) =>
+          val sentences = text.split(java.util.regex.Pattern.quote(". "), -1).toSeq
+          import graft.operators.Odf
+          (id % 3) match {
+            case 0 => (u, Odf.OdtMime, Odf.writeOdt(sentences))
+            case 1 => (u, Odf.OdsMime,
+              Odf.writeOds(sentences.map(t => Seq(source, t))))
+            case _ => (u, Odf.OdpMime, Odf.writeOdp(sentences))
+          } }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val icsStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3514,6 +3545,20 @@ object ExtensionQueries {
         .orderBy("doc_id", "entry")
     }),
 
+    // OpenDocument ingestion round-trip: the ODF trio (odt/ods/odp by
+    // id%3) through the one content.xml walk — paragraph strip, TAB
+    // table flattening, per-page text; the oracle rebuilds each kind's
+    // flattening from the documents table
+    "q_odf_roundtrip" -> ((s, dir) => {
+      graft.io.Warc.toDocumentsOdf(
+          graft.io.Warc.readWarc(s, odfStage(s, dir)))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // calendar ingestion round-trip: every sentence a VEVENT (summary
     // heads the description, the feed contract), read back through
     // unfold + TEXT unescape; the oracle rebuilds both from the table
@@ -4077,6 +4122,11 @@ object ExtensionQueries {
     // all.html page, replayed by splitting the same text
     "q_archive_roundtrip" ->
       """WITH s AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents), per AS (SELECT doc_id, 'p' || i || '.txt' AS entry, parts[CAST(i AS INTEGER)] AS text FROM s, unnest(generate_series(1, CAST(len(parts) AS BIGINT))) AS g(i)), h AS (SELECT doc_id, 'all.html' AS entry, replace(text, '. ', chr(10)) AS text FROM documents) SELECT doc_id, entry, text FROM (SELECT * FROM per UNION ALL SELECT * FROM h) ORDER BY doc_id, entry""",
+
+    // odt/odp flatten sentences by newline; ods rows are source TAB
+    // sentence (the xlsx rendering)
+    "q_odf_roundtrip" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, CASE CAST(doc_id % 3 AS INTEGER) WHEN 1 THEN source || chr(9) || replace(text, '. ', chr(10) || source || chr(9)) ELSE replace(text, '. ', chr(10)) END AS text FROM documents ORDER BY doc_id""",
 
     "q_ics_roundtrip" ->
       """WITH s AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents) SELECT doc_id, CAST(i - 1 AS BIGINT) AS ev_idx, 'Event ' || i || chr(10) || parts[CAST(i AS INTEGER)] AS text FROM s, unnest(generate_series(1, CAST(len(parts) AS BIGINT))) AS g(i) ORDER BY doc_id, ev_idx""",
