@@ -362,4 +362,13 @@ object TextFunctions {
     * `transform(tokens(text), xxhash64)` (parity test). */
   def tokenHashes(text: Column): Column =
     graft.expressions.NativeText.tokenHashes(text)
+
+  /** Mojibake repair: UTF-8 text damaged by a wrong cp1252/latin-1
+    * decode is exactly invertible — re-encode under cp1252, strictly
+    * re-decode as UTF-8, accept only when valid AND changed (healthy
+    * text passes through; two-round cap heals double damage). Native
+    * codegen'd kernel with an all-ASCII fast path
+    * ([[graft.expressions.MojibakeKernels]]). */
+  def fixMojibake(text: Column): Column =
+    graft.expressions.NativeMojibake.fixMojibake(text)
 }

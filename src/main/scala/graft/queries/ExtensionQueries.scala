@@ -3545,6 +3545,32 @@ object ExtensionQueries {
         .orderBy("doc_id", "entry")
     }),
 
+    // mojibake repair round-trip: ASCII corpus text + a non-ASCII
+    // suffix, damaged in-query by 1 + id%2 wrong cp1252 decodes, then
+    // healed by the codegen'd fix_mojibake kernel — the oracle is the
+    // UNDAMAGED text, so both the corruption model and the repair are
+    // pinned (single and double damage on one path)
+    "q_mojibake_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      // chars chosen so BOTH damage rounds stay on defined cp1252
+      // bytes (— “ ” would hit the undefined 0x9D on some round and
+      // real-world decoders turn that into U+FFFD — unrecoverable)
+      val suffix = " ’s café naïve™ for €5 «ok»"
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          def damage(x: String): String = new String(
+            x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.charset.Charset.forName("windows-1252"))
+          val once = damage(text + suffix)
+          (id, if (id % 2 == 0) once else damage(once)) }
+        .toDF("doc_id", "corrupt")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.fixMojibake(col("corrupt")).as("text"))
+        .orderBy("doc_id")
+    }),
+
     // OpenDocument ingestion round-trip: the ODF trio (odt/ods/odp by
     // id%3) through the one content.xml walk — paragraph strip, TAB
     // table flattening, per-page text; the oracle rebuilds each kind's
@@ -4122,6 +4148,9 @@ object ExtensionQueries {
     // all.html page, replayed by splitting the same text
     "q_archive_roundtrip" ->
       """WITH s AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents), per AS (SELECT doc_id, 'p' || i || '.txt' AS entry, parts[CAST(i AS INTEGER)] AS text FROM s, unnest(generate_series(1, CAST(len(parts) AS BIGINT))) AS g(i)), h AS (SELECT doc_id, 'all.html' AS entry, replace(text, '. ', chr(10)) AS text FROM documents) SELECT doc_id, entry, text FROM (SELECT * FROM per UNION ALL SELECT * FROM h) ORDER BY doc_id, entry""",
+
+    "q_mojibake_roundtrip" ->
+      """SELECT doc_id, text || ' ’s café naïve™ for €5 «ok»' AS text FROM documents ORDER BY doc_id""",
 
     // odt/odp flatten sentences by newline; ods rows are source TAB
     // sentence (the xlsx rendering)
