@@ -496,6 +496,10 @@ object Warc {
                 n.endsWith(".odp"))
               Some((url + "#" + name,
                 graft.operators.Odf.extractText(data), null: String, true))
+            else if (n.endsWith(".sqlite") || n.endsWith(".sqlite3") ||
+                (n.endsWith(".db") && graft.operators.Sqlite.isSqlite(data)))
+              Some((url + "#" + name,
+                graft.operators.Sqlite.extractText(data), null: String, true))
             else None // non-text entry: skipped, not flagged
           } catch {
             case _: Exception =>
@@ -685,6 +689,33 @@ object Warc {
       .withColumn("doc_id", xxhash64(col("url"))))
   }
 
+  /** Curate-ready documents from SQLite responses —
+    * `application/vnd.sqlite3` ([[graft.operators.Sqlite]]): the
+    * catalog walk over every user table, rows flattened like XLSX
+    * (cells by TAB, rows/tables by newline). Strict-codec /
+    * tolerant-bridge. */
+  def toDocumentsSqlite(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    import graft.functions.TextFunctions
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type"))
+          .isin("application/vnd.sqlite3", "application/x-sqlite3"))
+      .select(
+        xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, url, bytes) =>
+        try (id, url, graft.operators.Sqlite.extractText(bytes, id), true)
+        catch { case _: Exception => (id, url, null: String, false) } })
+      .toDF("doc_id", "url", "text", "extract_ok")
+      .select(col("doc_id"), col("url"),
+        TextFunctions.langId(col("text")).as("lang"), col("text"),
+        col("extract_ok"))
+  }
+
   /** Curate-ready documents from OpenDocument responses — the ODF
     * trio (`.odt`/`.ods`/`.odp`, [[graft.operators.Odf]]): one
     * `content.xml` walk dispatched on the body root (paragraph strip /
@@ -836,6 +867,8 @@ object Warc {
       .unionByName(toDocumentsIcs(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsOdf(records)
+        .filter(col("extract_ok")).drop("extract_ok"))
+      .unionByName(toDocumentsSqlite(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsText(records))
 

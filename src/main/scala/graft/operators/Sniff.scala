@@ -48,6 +48,7 @@ object Sniff {
     if (b.length >= 262 && ascii(b, 257, 5) == "ustar")
       return Some("application/x-tar")
     if (ascii(b, 0, 5) == "WARC/") return Some("application/warc")
+    if (Sqlite.isSqlite(b)) return Some("application/vnd.sqlite3")
     // -- images --------------------------------------------------------
     if ((b(0) & 0xff) == 0x89 && ascii(b, 1, 3) == "PNG")
       return Some("image/png")

@@ -587,6 +587,33 @@ object ExtensionQueries {
       out
     })
 
+  private val sqliteStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped SQLite staging for q_sqlite_roundtrip: each
+    * document becomes one real single-table database — a `docs(source
+    * TEXT, body TEXT)` table, one row per sentence — read back through
+    * the catalog + b-tree walk and the XLSX flattening. */
+  private def sqliteStage(s: SparkSession, dir: String): String =
+    sqliteStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_sqlite").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"), col("source"))
+        .as[(Long, String, String, String)]
+        .map { case (id, u, text, source) =>
+          val rows = text.split(java.util.regex.Pattern.quote(". "), -1)
+            .map(t => Seq(source, t)).toSeq
+          (u, graft.operators.Sqlite.Mime,
+            graft.operators.Sqlite.writeSqlite("docs",
+              Seq("source", "body"), rows)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val odfStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3545,6 +3572,20 @@ object ExtensionQueries {
         .orderBy("doc_id", "entry")
     }),
 
+    // SQLite ingestion round-trip: every document a real single-table
+    // database (catalog row, b-tree leaves, overflow chains for long
+    // rows) read back through the page walk; the oracle rebuilds the
+    // TAB flattening from the documents table
+    "q_sqlite_roundtrip" -> ((s, dir) => {
+      graft.io.Warc.toDocumentsSqlite(
+          graft.io.Warc.readWarc(s, sqliteStage(s, dir)))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // mojibake repair round-trip: ASCII corpus text + a non-ASCII
     // suffix, damaged in-query by 1 + id%2 wrong cp1252 decodes, then
     // healed by the codegen'd fix_mojibake kernel — the oracle is the
@@ -4148,6 +4189,9 @@ object ExtensionQueries {
     // all.html page, replayed by splitting the same text
     "q_archive_roundtrip" ->
       """WITH s AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents), per AS (SELECT doc_id, 'p' || i || '.txt' AS entry, parts[CAST(i AS INTEGER)] AS text FROM s, unnest(generate_series(1, CAST(len(parts) AS BIGINT))) AS g(i)), h AS (SELECT doc_id, 'all.html' AS entry, replace(text, '. ', chr(10)) AS text FROM documents) SELECT doc_id, entry, text FROM (SELECT * FROM per UNION ALL SELECT * FROM h) ORDER BY doc_id, entry""",
+
+    "q_sqlite_roundtrip" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, source || chr(9) || replace(text, '. ', chr(10) || source || chr(9)) AS text FROM documents ORDER BY doc_id""",
 
     "q_mojibake_roundtrip" ->
       """SELECT doc_id, text || ' ’s café naïve™ for €5 «ok»' AS text FROM documents ORDER BY doc_id""",
