@@ -213,4 +213,152 @@ object Exif {
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
+
+  // ---- PNG textual metadata (the third provenance carrier) ----------
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG textual metadata as (keyword, text) rows, chunk order — the
+    * three spec forms on one walk: `tEXt` (Latin-1), `zTXt` (deflated
+    * Latin-1), `iTXt` (UTF-8, optionally deflated; the language tag
+    * and translated keyword are routing metadata, not text, and are
+    * skipped). CRCs verified like the pixel decoder's walk; a
+    * non-text chunk is framing to skip, a malformed TEXT chunk
+    * throws. */
+  def pngText(b: Array[Byte], mediaId: Long = -1L): Vector[(String, String)] = {
+    require(b.length >= 8 && java.util.Arrays.equals(
+      java.util.Arrays.copyOf(b, 8), PngSig),
+      s"media $mediaId: not a PNG")
+    val out = Vector.newBuilder[(String, String)]
+    var i = 8
+    var continue = true
+    while (continue) {
+      require(i + 8 <= b.length, s"media $mediaId: truncated PNG chunk header")
+      val len = ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      require(len <= b.length - i - 12,
+        s"media $mediaId: PNG chunk claims $len bytes past end")
+      val ctype = new String(b, i + 4, 4, US_ASCII)
+      val dataAt = i + 8
+      val n = len.toInt
+      if (ctype == "tEXt" || ctype == "zTXt" || ctype == "iTXt") {
+        val crc = new java.util.zip.CRC32()
+        crc.update(b, i + 4, 4 + n)
+        val stored = ((b(dataAt + n) & 0xffL) << 24) |
+          ((b(dataAt + n + 1) & 0xffL) << 16) |
+          ((b(dataAt + n + 2) & 0xffL) << 8) | (b(dataAt + n + 3) & 0xffL)
+        require(crc.getValue == stored,
+          s"media $mediaId: PNG chunk $ctype CRC mismatch")
+        val nul = {
+          var j = dataAt
+          while (j < dataAt + n && b(j) != 0) j += 1
+          require(j < dataAt + n, s"media $mediaId: $ctype without keyword NUL")
+          j
+        }
+        val keyword = new String(b, dataAt, nul - dataAt,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val text = ctype match {
+          case "tEXt" =>
+            new String(b, nul + 1, dataAt + n - nul - 1,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+          case "zTXt" =>
+            require(nul + 1 < dataAt + n && b(nul + 1) == 0,
+              s"media $mediaId: zTXt with unknown compression method")
+            new String(inflate(b, nul + 2, dataAt + n - nul - 2, mediaId),
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+          case _ => // iTXt: compFlag compMethod lang\0 translated\0 text
+            require(nul + 3 <= dataAt + n, s"media $mediaId: truncated iTXt")
+            val compFlag = b(nul + 1) & 0xff
+            require(compFlag <= 1 && (compFlag == 0 || b(nul + 2) == 0),
+              s"media $mediaId: iTXt with unknown compression")
+            var j = nul + 3
+            while (j < dataAt + n && b(j) != 0) j += 1 // language tag
+            require(j < dataAt + n, s"media $mediaId: iTXt missing language NUL")
+            j += 1
+            while (j < dataAt + n && b(j) != 0) j += 1 // translated keyword
+            require(j < dataAt + n, s"media $mediaId: iTXt missing keyword NUL")
+            j += 1
+            if (compFlag == 1)
+              new String(inflate(b, j, dataAt + n - j, mediaId),
+                java.nio.charset.StandardCharsets.UTF_8)
+            else new String(b, j, dataAt + n - j,
+              java.nio.charset.StandardCharsets.UTF_8)
+        }
+        out += ((keyword, text))
+      }
+      if (ctype == "IEND") continue = false
+      i = dataAt + n + 4
+    }
+    out.result()
+  }
+
+  private def inflate(b: Array[Byte], at: Int, n: Int,
+      mediaId: Long): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(b, at, n)
+    val out = new java.io.ByteArrayOutputStream(n * 4 + 64)
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val got = inf.inflate(buf)
+        require(got > 0 || inf.finished(),
+          s"media $mediaId: truncated deflate stream in text chunk")
+        out.write(buf, 0, got)
+        require(out.size() <= (1 << 26),
+          s"media $mediaId: text chunk inflates past 64 MiB (bomb guard)")
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(
+          s"media $mediaId: malformed deflate stream in text chunk", e)
+    } finally inf.end()
+    out.toByteArray
+  }
+
+  /** Round-trip twin: a valid 1×1 grayscale PNG carrying the given
+    * text chunks — kind 0 = `tEXt`, 1 = `zTXt`, 2 = `iTXt` plain,
+    * 3 = `iTXt` deflated. */
+  def writeTextPng(texts: Seq[(Int, String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write((len >> 24) & 0xff); out.write((len >> 16) & 0xff)
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      val tb = ctype.getBytes(US_ASCII)
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      val v = crc.getValue
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val o = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end()
+      o.toByteArray
+    }
+    chunk("IHDR", Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 8, 0, 0, 0, 0))
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    texts.foreach { case (kind, keyword, text) =>
+      val kw = keyword.getBytes(latin1) :+ 0.toByte
+      kind match {
+        case 0 => chunk("tEXt", kw ++ text.getBytes(latin1))
+        case 1 => chunk("zTXt", (kw :+ 0.toByte) ++ deflate(text.getBytes(latin1)))
+        case 2 => chunk("iTXt", kw ++ Array[Byte](0, 0, 0, 0) ++
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case _ => chunk("iTXt", kw ++ Array[Byte](1, 0, 0, 0) ++
+          deflate(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
+    }
+    // 1x1 gray pixel: one scanline, filter 0, value 0x55
+    chunk("IDAT", deflate(Array[Byte](0, 0x55)))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
 }

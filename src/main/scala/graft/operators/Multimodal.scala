@@ -1967,11 +1967,15 @@ object Multimodal {
     val jpegKinds = Set("image/jpeg", "image/jpg")
     val tiffKinds = Set("image/tiff", "image/tiff-fx")
     ds.mapPartitions(_.flatMap { m =>
-        val tags =
-          if (jpegKinds.contains(m.kind)) Exif.jpegExif(m.bytes, m.media_id)
-          else if (tiffKinds.contains(m.kind)) Exif.exifTags(m.bytes, m.media_id)
-          else Map.empty[String, String]
-        tags.iterator.map { case (k, v) => (m.media_id, m.kind, k, v) }
+        val tags: Iterator[(String, String)] =
+          if (jpegKinds.contains(m.kind))
+            Exif.jpegExif(m.bytes, m.media_id).iterator
+          else if (tiffKinds.contains(m.kind))
+            Exif.exifTags(m.bytes, m.media_id).iterator
+          else if (m.kind == "image/png")
+            Exif.pngText(m.bytes, m.media_id).iterator
+          else Iterator.empty
+        tags.map { case (k, v) => (m.media_id, m.kind, k, v) }
       })
       .toDF("media_id", "kind", "tag", "value")
   }

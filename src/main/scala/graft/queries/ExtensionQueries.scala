@@ -2781,6 +2781,24 @@ object ExtensionQueries {
       Multimodal.imageExif(media).orderBy("media_id", "tag")
     }),
 
+    // PNG textual metadata: per doc_id a real 1x1 PNG planted with all
+    // four text-chunk forms (tEXt / zTXt / iTXt plain / iTXt deflated
+    // by id%4 on the Comment row) through the same provenance catalog
+    // face as EXIF; the oracle replays the id cycles
+    "q_png_text" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Exif => E}
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+        .map { id =>
+          Multimodal.Media(id, "image/png", E.writeTextPng(Seq(
+            (0, "Title", s"Title ${id}"),
+            (1, "Description", s"Desc ${id % 13} for page ${id % 7}"),
+            ((id % 4).toInt, "Comment", s"café note ${id % 5}"))))
+        }
+      Multimodal.imageExif(media).orderBy("media_id", "tag")
+    }),
+
     // TIFF metadata: per doc_id a baseline TIFF is serialized through
     // the cycle of photometric x compression x byte-order x strip
     // layouts and its IFD walked back (Tiff.tiffInfo — no pixel work).
@@ -4251,6 +4269,10 @@ object ExtensionQueries {
     // every planted EXIF field recomputed from the id derivation
     "q_image_exif" ->
       """WITH p AS (SELECT doc_id AS media_id, CASE WHEN doc_id % 2 = 0 THEN 'image/jpeg' ELSE 'image/tiff' END AS kind FROM documents WHERE doc_id < 200) SELECT media_id, kind, tag, value FROM (SELECT media_id, kind, 'Make' AS tag, 'Cam ' || (media_id % 5) AS value FROM p UNION ALL SELECT media_id, kind, 'Model', 'Model ' || (media_id % 7) FROM p UNION ALL SELECT media_id, kind, 'Orientation', CAST(1 + media_id % 8 AS VARCHAR) FROM p UNION ALL SELECT media_id, kind, 'DateTime', '2026:01:0' || (1 + media_id % 9) || ' 12:00:00' FROM p UNION ALL SELECT media_id, kind, 'ExposureTime', '1/' || (125 + media_id % 100) FROM p UNION ALL SELECT media_id, kind, 'ISO', CAST(100 * (1 + media_id % 4) AS VARCHAR) FROM p UNION ALL SELECT media_id, kind, 'DateTimeOriginal', '2026:01:0' || (1 + media_id % 9) || ' 00:00:00' FROM p UNION ALL SELECT media_id, kind, 'PixelXDimension', CAST(320 + media_id % 16 AS VARCHAR) FROM p UNION ALL SELECT media_id, kind, 'PixelYDimension', CAST(240 + media_id % 9 AS VARCHAR) FROM p) ORDER BY media_id, tag""",
+
+    // every planted PNG text chunk recomputed from the id cycles
+    "q_png_text" ->
+      """WITH p AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200) SELECT media_id, 'image/png' AS kind, tag, value FROM (SELECT media_id, 'Title' AS tag, 'Title ' || media_id AS value FROM p UNION ALL SELECT media_id, 'Description', 'Desc ' || (media_id % 13) || ' for page ' || (media_id % 7) FROM p UNION ALL SELECT media_id, 'Comment', 'café note ' || (media_id % 5) FROM p) ORDER BY media_id, tag""",
 
     // independent derivation: every planted (tag, value) row recomputed
     // from the id cycles directly

@@ -61,11 +61,53 @@ class ExifSpec extends SparkSpec {
     val media = Seq(
       Multimodal.Media(1L, "image/jpeg", Exif.writeJpegExif(block(le = true))),
       Multimodal.Media(2L, "image/tiff", block(le = false)),
-      Multimodal.Media(3L, "image/png", Array[Byte](1, 2, 3))).toDS()
+      Multimodal.Media(3L, "image/gif", Array[Byte](1, 2, 3)),
+      Multimodal.Media(4L, "image/png", Exif.writeTextPng(Nil))).toDS()
     val out = Multimodal.imageExif(media)
       .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3)))
     assert(out.count(_._1 == 1L) == 9 && out.count(_._1 == 2L) == 9)
-    assert(!out.exists(_._1 == 3L)) // no carrier: absence, not error
+    // no carrier kind / text-free PNG: absence, not error
+    assert(!out.exists(t => t._1 == 3L || t._1 == 4L))
     assert(out.filter(_._1 == 2L).map(t => t._2 -> t._3).toMap == expected)
+  }
+
+  test("pngText: all four text-chunk forms round-trip in chunk order") {
+    val texts = Seq(
+      (0, "Title", "A tEXt title"),
+      (1, "Description", "deflated zTXt text with café"),
+      (2, "Comment", "plain iTXt — unicode ’ fine"),
+      (3, "Software", "deflated iTXt € body"))
+    val png = Exif.writeTextPng(texts)
+    assert(Exif.pngText(png) ==
+      texts.map { case (_, k, v) => (k, v) }.toVector)
+    // the carrier is still a REAL PNG: the pixel decoder accepts it
+    val feats = Multimodal.decodePng(
+      Multimodal.Media(9L, "image/png", png))
+    assert(feats.width == 1 && feats.height == 1)
+    // no text chunks → empty, not an error
+    assert(Exif.pngText(Exif.writeTextPng(Nil)).isEmpty)
+  }
+
+  test("pngText fail-loud: bad signature, CRC damage, keyword NUL") {
+    intercept[IllegalArgumentException] {
+      Exif.pngText("GIF89a not a png pad".getBytes("US-ASCII"))
+    }
+    val png = Exif.writeTextPng(Seq((0, "Title", "x")))
+    // flip one byte inside the tEXt payload: CRC must object
+    val at = {
+      val probe = "tEXt".getBytes("US-ASCII")
+      (0 until png.length - 4).find(i => probe.indices.forall(j =>
+        png(i + j) == probe(j))).get + 4
+    }
+    val bad = png.clone(); bad(at) = 'X'.toByte
+    val e = intercept[IllegalArgumentException] { Exif.pngText(bad) }
+    assert(e.getMessage.contains("CRC"))
+    // imageExif surfaces the PNG carrier next to JPEG/TIFF
+    import spark.implicits._
+    val rows = Multimodal.imageExif(
+      Seq(Multimodal.Media(5L, "image/png",
+        Exif.writeTextPng(Seq((0, "Author", "ada"))))).toDS())
+      .as[(Long, String, String, String)].collect().toList
+    assert(rows == List((5L, "image/png", "Author", "ada")))
   }
 }
