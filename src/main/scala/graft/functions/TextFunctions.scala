@@ -304,6 +304,53 @@ object TextFunctions {
     arrays_zip(hrefs.as("href"), cleanAnchors.as("anchor"))
   }
 
+  /** Usage-rights and crawl-directive signals of an HTML page — the
+    * filter surface a training-data pipeline applies BEFORE any text
+    * work: `robots` (the `<meta name="robots">` content, lowercased —
+    * directive tokens are case-insensitive), the four directive flags
+    * a curation policy keys on (`noindex`/`nofollow`/`noarchive`/
+    * `noai`, token-boundary matched so `noindexing` does not trip),
+    * `license_href` (the `rel="license"` target, the `<link>` form
+    * preferred over the in-body `<a>` form), `license_id` (Creative
+    * Commons hrefs normalized to an SPDX-shaped id — `CC-BY-SA-4.0`,
+    * `CC0-1.0`, `PDM-1.0` — empty for absent or non-CC targets), and
+    * `tdm_reservation` (the W3C TDM-Rep opt-out meta, verbatim).
+    * Codegen'd regexp chain like [[htmlMeta]] (RE2-compatible,
+    * DuckDB-replayable); absence is the empty string / false, never
+    * null, so the struct compares exactly. */
+  def htmlRights(html: Column): Column = {
+    def metaContent(name: String): Column = regexp_extract(html,
+      "(?is)<meta\\s[^>]*name\\s*=\\s*[\"']" + name + "[\"'][^>]*" +
+        "content\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val robots = lower(metaContent("robots"))
+    def relLicense(elem: String): Column = regexp_extract(html,
+      "(?is)<" + elem + "\\s[^>]*rel\\s*=\\s*[\"']license[\"'][^>]*" +
+        "href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val linkHref = relLicense("link")
+    val aHref = relLicense("a")
+    val href = when(linkHref =!= "", linkHref).otherwise(aHref)
+    val ccPat = "creativecommons\\.org/licenses/([a-z][a-z-]*)/([0-9]\\.[0-9])"
+    val ccFam = regexp_extract(href, ccPat, 1)
+    val licenseId =
+      when(ccFam =!= "",
+        concat_ws("-", lit("CC"), upper(ccFam),
+          regexp_extract(href, ccPat, 2)))
+        .when(href.rlike("creativecommons\\.org/publicdomain/zero/1\\.0"),
+          lit("CC0-1.0"))
+        .when(href.rlike("creativecommons\\.org/publicdomain/mark/1\\.0"),
+          lit("PDM-1.0"))
+        .otherwise(lit(""))
+    def directive(name: String): Column =
+      robots.rlike("(^|[ ,])" + name + "($|[ ,])")
+    struct(robots.as("robots"),
+      directive("noindex").as("noindex"),
+      directive("nofollow").as("nofollow"),
+      directive("noarchive").as("noarchive"),
+      directive("noai").as("noai"),
+      href.as("license_href"), licenseId.as("license_id"),
+      metaContent("tdm-reservation").as("tdm_reservation"))
+  }
+
   /** Pre-redaction PII hit counts per kind (audit signal: which documents
     * carry how much PII, independent of the rewrite). */
   def piiCounts(text: Column): Column = struct(

@@ -87,8 +87,16 @@ object Codec {
     val bos = new ByteArrayOutputStream(b.length / 2 + 64)
     val out: java.io.OutputStream = mime match {
       case Gzip | "application/x-gzip" => new java.util.zip.GZIPOutputStream(bos)
-      case Xz   => new org.tukaani.xz.XZOutputStream(bos,
-        new org.tukaani.xz.LZMA2Options())
+      case Xz   => new org.tukaani.xz.XZOutputStream(bos, {
+        // dictionary capped at the payload size (≥ the 4 KiB floor):
+        // a dict larger than the input buys zero ratio but pays its
+        // full allocation+init per call — the default 8 MiB preset
+        // made per-record staging of small members encoder-bound
+        val o = new org.tukaani.xz.LZMA2Options()
+        o.setDictSize(math.max(org.tukaani.xz.LZMA2Options.DICT_SIZE_MIN,
+          math.min(b.length, o.getDictSize)))
+        o
+      })
       case Zstd => new com.github.luben.zstd.ZstdOutputStream(bos)
       case Lz4  => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
       case other => throw new IllegalArgumentException(

@@ -992,6 +992,10 @@ object ExtensionQueries {
     bpeModel(s, dir)
     shardStage(s, dir)
     mediaRef(s, dir)
+    // the compressed-payload stage is the one carrier stage whose
+    // build is encoder-bound (XZ), not IO-bound — a one-time build,
+    // not query work, so it warms with the session models
+    codecStage(s, dir)
     ()
   }
 
@@ -3509,6 +3513,48 @@ object ExtensionQueries {
         .orderBy("doc_id", "pos")
     }),
 
+    // Usage-rights signals (the pre-filter face of curation): robots
+    // meta directives cycle in mixed case, the rel="license" target
+    // cycles across both carrier elements and all three CC shapes,
+    // the TDM-Rep opt-out cycles present/absent — the oracle
+    // recomputes every field and flag from the id cycles directly.
+    "q_html_rights" -> ((s, dir) => {
+      val id = col("doc_id")
+      val robotsMeta = when(id % 4 === 0,
+          lit("<META name='robots' content='NoIndex, NoFollow'>"))
+        .when(id % 4 === 1,
+          lit("<meta name=\"robots\" content=\"index, follow\">"))
+        .when(id % 4 === 2,
+          lit("<meta name=\"robots\" content=\"noai,noarchive\">"))
+        .otherwise(lit(""))
+      val lic = when(id % 5 === 0, lit("<link rel=\"license\" " +
+          "href=\"https://creativecommons.org/licenses/by-sa/4.0/\">"))
+        .when(id % 5 === 1, lit("<a rel=\"license\" href=\"https://" +
+          "creativecommons.org/licenses/by-nc-nd/3.0/\">terms</a>"))
+        .when(id % 5 === 2, lit("<link rel=\"license\" href=\"https://" +
+          "creativecommons.org/publicdomain/zero/1.0/\">"))
+        .when(id % 5 === 3, lit("<a rel=\"license\" href=\"https://" +
+          "creativecommons.org/publicdomain/mark/1.0/\">pd</a>"))
+        .otherwise(lit(""))
+      val tdmMeta = when(id % 3 === 0,
+          lit("<meta name=\"tdm-reservation\" content=\"1\">"))
+        .when(id % 3 === 1,
+          lit("<meta name=\"tdm-reservation\" content=\"0\">"))
+        .otherwise(lit(""))
+      val html = concat(lit("<html><head><title>t</title>"), robotsMeta,
+        tdmMeta, lit("</head><body>"), lic, lit("</body></html>"))
+      t(s, dir, "documents")
+        .select(id, TF.htmlRights(html).as("r"))
+        .select(id, col("r.robots").as("robots"),
+          col("r.noindex").as("noindex"),
+          col("r.nofollow").as("nofollow"),
+          col("r.noarchive").as("noarchive"), col("r.noai").as("noai"),
+          col("r.license_href").as("license_href"),
+          col("r.license_id").as("license_id"),
+          col("r.tdm_reservation").as("tdm_reservation"))
+        .orderBy("doc_id")
+    }),
+
     // Content-sniffing round-trip: six carrier formats, every response
     // served under the octet-stream lie, the full text face composed
     // behind the sniffing shim (toDocuments ∘ sniffTypes) — magic-byte
@@ -4179,6 +4225,12 @@ object ExtensionQueries {
     // title decoded + collapsed, attributes verbatim
     "q_html_meta" ->
       """SELECT doc_id, 'Doc & ' || doc_id AS title, 'about ' || doc_id AS description, 'http://c.test/' || doc_id AS canonical FROM documents ORDER BY doc_id""",
+
+    // every rights field and directive flag recomputed from the id
+    // cycles (the lowercasing and the link-over-a preference are part
+    // of the planted derivation)
+    "q_html_rights" ->
+      """SELECT doc_id, CASE doc_id % 4 WHEN 0 THEN 'noindex, nofollow' WHEN 1 THEN 'index, follow' WHEN 2 THEN 'noai,noarchive' ELSE '' END AS robots, doc_id % 4 = 0 AS noindex, doc_id % 4 = 0 AS nofollow, doc_id % 4 = 2 AS noarchive, doc_id % 4 = 2 AS noai, CASE doc_id % 5 WHEN 0 THEN 'https://creativecommons.org/licenses/by-sa/4.0/' WHEN 1 THEN 'https://creativecommons.org/licenses/by-nc-nd/3.0/' WHEN 2 THEN 'https://creativecommons.org/publicdomain/zero/1.0/' WHEN 3 THEN 'https://creativecommons.org/publicdomain/mark/1.0/' ELSE '' END AS license_href, CASE doc_id % 5 WHEN 0 THEN 'CC-BY-SA-4.0' WHEN 1 THEN 'CC-BY-NC-ND-3.0' WHEN 2 THEN 'CC0-1.0' WHEN 3 THEN 'PDM-1.0' ELSE '' END AS license_id, CASE doc_id % 3 WHEN 0 THEN '1' WHEN 1 THEN '0' ELSE '' END AS tdm_reservation FROM documents ORDER BY doc_id""",
 
     // both planted links per page, markup stripped from the anchor
     "q_html_links" ->

@@ -209,4 +209,33 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TF.htmlLinks($"html")).as[Seq[(String, String)]]
       .collect().head.isEmpty)
   }
+
+  test("htmlRights: directives, license classification, TDM opt-out") {
+    def rights(page: String) = Seq(page).toDF("html")
+      .select(TF.htmlRights($"html").as("r"))
+      .select($"r.robots", $"r.noindex", $"r.nofollow", $"r.noarchive",
+        $"r.noai", $"r.license_href", $"r.license_id", $"r.tdm_reservation")
+      .as[(String, Boolean, Boolean, Boolean, Boolean,
+        String, String, String)].collect().head
+    // mixed case lowers; token-boundary: "noindexing" must NOT trip noindex
+    val a = rights("<head><META name='robots' content='NoArchive, noindexing'>" +
+      "<meta name=\"tdm-reservation\" content=\"1\"></head>")
+    assert(a == (("noarchive, noindexing", false, false, true, false,
+      "", "", "1")))
+    // link form wins over the in-body a form; CC id normalizes
+    val b = rights("<head><link rel=\"license\" href=\"https://" +
+      "creativecommons.org/licenses/by-nc/2.0/\"></head><body>" +
+      "<a rel=\"license\" href=\"http://other.test/l\">l</a></body>")
+    assert(b._6 == "https://creativecommons.org/licenses/by-nc/2.0/" &&
+      b._7 == "CC-BY-NC-2.0")
+    // a-only form still found; non-CC target classifies empty
+    val c = rights("<body><a rel=\"license\" " +
+      "href=\"http://example.test/terms\">t</a></body>")
+    assert(c._6 == "http://example.test/terms" && c._7 == "")
+    // public-domain shapes; absence is empty/false everywhere
+    assert(rights("<a rel=\"license\" href=\"https://creativecommons.org/" +
+      "publicdomain/zero/1.0/\">z</a>")._7 == "CC0-1.0")
+    assert(rights("<p>plain page</p>") ==
+      (("", false, false, false, false, "", "", "")))
+  }
 }
