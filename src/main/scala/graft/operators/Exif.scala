@@ -33,7 +33,15 @@ object Exif {
     0x829D -> "FNumber", 0x8827 -> "ISO",
     0xA002 -> "PixelXDimension", 0xA003 -> "PixelYDimension")
 
+  /** The GPS sub-IFD's curated tags — the geo-provenance surface (a
+    * location-bearing photo is a governance signal a curation policy
+    * filters on before anything else touches the pixels). */
+  private val GpsIfdNames = Map(
+    1 -> "GPSLatitudeRef", 2 -> "GPSLatitude",
+    3 -> "GPSLongitudeRef", 4 -> "GPSLongitude", 6 -> "GPSAltitude")
+
   private val ExifPointerTag = 0x8769
+  private val GpsPointerTag = 0x8825
 
   /** Decoded (name → value) pairs of a TIFF-structured EXIF block:
     * IFD0's curated tags plus the Exif sub-IFD's. */
@@ -69,10 +77,11 @@ object Exif {
         val count = u32(e + 4)
         require(count >= 0 && count < (1 << 24),
           s"media $mediaId: absurd EXIF count $count for tag $tag")
-        if (tag == ExifPointerTag) {
+        if (tag == ExifPointerTag || tag == GpsPointerTag) {
           require(typ == 4 && count == 1,
-            s"media $mediaId: malformed Exif IFD pointer")
-          walk(u32(e + 8).toInt, ExifIfdNames)
+            s"media $mediaId: malformed sub-IFD pointer")
+          walk(u32(e + 8).toInt,
+            if (tag == ExifPointerTag) ExifIfdNames else GpsIfdNames)
         } else names.get(tag).foreach { name =>
           val value = typ match {
             case 2 => // ASCII, count includes the NUL
@@ -84,9 +93,10 @@ object Exif {
             case 3 => u16(if (count <= 2) e + 8 else u32(e + 8).toInt).toString
             case 4 => (if (count == 1) u32(e + 8)
               else u32(u32(e + 8).toInt)).toString
-            case 5 =>
+            case 5 => // count > 1 = D/M/S triples: space-joined pairs
               val at = u32(e + 8).toInt
-              s"${u32(at)}/${u32(at + 4)}"
+              (0 until count.toInt).map(j =>
+                s"${u32(at + j * 8)}/${u32(at + j * 8 + 4)}").mkString(" ")
             case t => throw new IllegalArgumentException(
               s"media $mediaId: EXIF type $t on known tag $tag")
           }
@@ -97,6 +107,23 @@ object Exif {
     }
     walk(u32(4).toInt, Ifd0Names)
     out.toMap
+  }
+
+  /** Signed decimal degrees from a walked GPS coordinate — `dms` is
+    * the space-joined rational form [[exifTags]] emits (1-3 pairs:
+    * degrees, minutes, seconds), `ref` the hemisphere letter (S/W
+    * negate). The governance consumer's arithmetic, kept next to the
+    * walker so the two can never drift. */
+  def gpsDecimal(dms: String, ref: String): Double = {
+    val parts = dms.split(" ").map { p =>
+      val s = p.split("/")
+      require(s.length == 2 && s(1).toLong != 0, s"malformed rational '$p'")
+      s(0).toLong.toDouble / s(1).toLong
+    }
+    require(parts.nonEmpty && parts.length <= 3,
+      s"GPS coordinate with ${parts.length} components")
+    val v = parts.zip(Seq(1.0, 60.0, 3600.0)).map { case (x, s) => x / s }.sum
+    if (ref == "S" || ref == "W") -v else v
   }
 
   /** EXIF tags of a JPEG: marker-segment walk (SOI, then length-framed
@@ -129,13 +156,19 @@ object Exif {
   private final case class Entry(tag: Int, typ: Int, count: Int,
       inline: Array[Byte], data: Array[Byte])
 
+  /** GPS fields to plant: hemisphere refs, 1-3 rational pairs per
+    * coordinate (degrees/minutes/seconds), one altitude rational. */
+  final case class Gps(latRef: String, lat: Seq[(Long, Long)],
+      lonRef: String, lon: Seq[(Long, Long)], alt: (Long, Long))
+
   /** Serialize a VALID EXIF block (TIFF header, IFD0 with the camera
     * fields and the Exif-IFD pointer, the sub-IFD with capture
-    * fields) in either byte order — the staging counterpart. */
+    * fields, optionally a GPS sub-IFD behind the 0x8825 pointer) in
+    * either byte order — the staging counterpart. */
   def writeExifBlock(make: String, model: String, orientation: Int,
       dateTime: String, exposureDen: Long, iso: Int,
       pixelX: Long, pixelY: Long, dateTimeOriginal: String,
-      littleEndian: Boolean = true): Array[Byte] = {
+      littleEndian: Boolean = true, gps: Option[Gps] = None): Array[Byte] = {
     def b16(v: Int): Array[Byte] =
       if (littleEndian) Array(v.toByte, (v >> 8).toByte)
       else Array((v >> 8).toByte, v.toByte)
@@ -154,6 +187,9 @@ object Exif {
     def long(v: Long): Entry = Entry(0, 4, 1, b32(v), null)
     def rational(n: Long, d: Long): Entry =
       Entry(0, 5, 1, null, b32(n) ++ b32(d))
+    def rationals(rs: Seq[(Long, Long)]): Entry =
+      Entry(0, 5, rs.length,
+        null, rs.flatMap { case (n, d) => b32(n) ++ b32(d) }.toArray)
 
     val ifd0 = ArrayBuffer(
       0x010F -> ascii(make), 0x0110 -> ascii(model),
@@ -163,12 +199,19 @@ object Exif {
       0x9003 -> ascii(dateTimeOriginal), 0xA002 -> long(pixelX),
       0xA003 -> long(pixelY))
 
-    // layout: header(8) | IFD0 | Exif IFD | data area
+    val gpsIfd = gps.map(g => Seq(
+      1 -> ascii(g.latRef), 2 -> rationals(g.lat),
+      3 -> ascii(g.lonRef), 4 -> rationals(g.lon),
+      6 -> rationals(Seq(g.alt))))
+
+    // layout: header(8) | IFD0 | Exif IFD | GPS IFD | data area
     val ifd0At = 8
-    val ifd0Size = 2 + (ifd0.length + 1) * 12 + 4 // + the pointer entry
+    val nPointers = 1 + gpsIfd.size // Exif always, GPS when planted
+    val ifd0Size = 2 + (ifd0.length + nPointers) * 12 + 4
     val exifAt = ifd0At + ifd0Size
     val exifSize = 2 + exifIfd.length * 12 + 4
-    var dataAt = exifAt + exifSize
+    val gpsAt = exifAt + exifSize
+    var dataAt = gpsAt + gpsIfd.fold(0)(g => 2 + g.length * 12 + 4)
     val data = new java.io.ByteArrayOutputStream
 
     def render(entries: Seq[(Int, Entry)]): Array[Byte] = {
@@ -184,13 +227,15 @@ object Exif {
       out.toByteArray
     }
 
-    val ifd0All = (ifd0 :+ (ExifPointerTag -> long(exifAt))).toSeq
-    val ifd0Bytes = render(ifd0All)
+    val ifd0All = (ifd0 :+ (ExifPointerTag -> long(exifAt))) ++
+      gpsIfd.map(_ => GpsPointerTag -> long(gpsAt))
+    val ifd0Bytes = render(ifd0All.toSeq)
     val exifBytes = render(exifIfd.toSeq)
+    val gpsBytes = gpsIfd.fold(Array.emptyByteArray)(render)
     val header =
       (if (littleEndian) "II" else "MM").getBytes(US_ASCII) ++
         b16(42) ++ b32(ifd0At)
-    header ++ ifd0Bytes ++ exifBytes ++ data.toByteArray
+    header ++ ifd0Bytes ++ exifBytes ++ gpsBytes ++ data.toByteArray
   }
 
   /** Wrap an EXIF block as a metadata-bearing JPEG: SOI, a JFIF APP0

@@ -2785,6 +2785,35 @@ object ExtensionQueries {
       Multimodal.imageExif(media).orderBy("media_id", "tag")
     }),
 
+    // GPS provenance: per doc_id a GPS sub-IFD (hemisphere refs, D/M/S
+    // rational triples, altitude) rides the same EXIF block and both
+    // carriers as q_image_exif; camera fields are constants so the
+    // oracle replays the five GPS cycles plus nine constant tags
+    "q_gps_exif" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Exif => E}
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+        .map { id =>
+          val gps = E.Gps(
+            if (id % 2 == 0) "N" else "S",
+            Seq((10 + id % 80, 1L), (id % 60, 1L),
+              ((id % 59) * 100 + 25, 100L)),
+            if (id % 2 == 0) "E" else "W",
+            Seq((id % 170, 1L), ((id * 7) % 60, 1L),
+              (((id * 13) % 59) * 100 + 50, 100L)),
+            (1000 + id % 4000, 10L))
+          val block = E.writeExifBlock("GeoCam", "G1", 1,
+            "2026:02:01 00:00:00", 100L, 200, 320L, 240L,
+            "2026:02:01 00:00:01", littleEndian = id % 2 == 0,
+            gps = Some(gps))
+          if (id % 2 == 0)
+            Multimodal.Media(id, "image/jpeg", E.writeJpegExif(block))
+          else Multimodal.Media(id, "image/tiff", block)
+        }
+      Multimodal.imageExif(media).orderBy("media_id", "tag")
+    }),
+
     // PNG textual metadata: per doc_id a real 1x1 PNG planted with all
     // four text-chunk forms (tEXt / zTXt / iTXt plain / iTXt deflated
     // by id%4 on the Comment row) through the same provenance catalog
@@ -4321,6 +4350,11 @@ object ExtensionQueries {
     // every planted EXIF field recomputed from the id derivation
     "q_image_exif" ->
       """WITH p AS (SELECT doc_id AS media_id, CASE WHEN doc_id % 2 = 0 THEN 'image/jpeg' ELSE 'image/tiff' END AS kind FROM documents WHERE doc_id < 200) SELECT media_id, kind, tag, value FROM (SELECT media_id, kind, 'Make' AS tag, 'Cam ' || (media_id % 5) AS value FROM p UNION ALL SELECT media_id, kind, 'Model', 'Model ' || (media_id % 7) FROM p UNION ALL SELECT media_id, kind, 'Orientation', CAST(1 + media_id % 8 AS VARCHAR) FROM p UNION ALL SELECT media_id, kind, 'DateTime', '2026:01:0' || (1 + media_id % 9) || ' 12:00:00' FROM p UNION ALL SELECT media_id, kind, 'ExposureTime', '1/' || (125 + media_id % 100) FROM p UNION ALL SELECT media_id, kind, 'ISO', CAST(100 * (1 + media_id % 4) AS VARCHAR) FROM p UNION ALL SELECT media_id, kind, 'DateTimeOriginal', '2026:01:0' || (1 + media_id % 9) || ' 00:00:00' FROM p UNION ALL SELECT media_id, kind, 'PixelXDimension', CAST(320 + media_id % 16 AS VARCHAR) FROM p UNION ALL SELECT media_id, kind, 'PixelYDimension', CAST(240 + media_id % 9 AS VARCHAR) FROM p) ORDER BY media_id, tag""",
+
+    // the five GPS cycles plus the nine constant camera tags, per
+    // carrier kind, all recomputed from the id arithmetic
+    "q_gps_exif" ->
+      """WITH p AS (SELECT doc_id AS media_id, CASE WHEN doc_id % 2 = 0 THEN 'image/jpeg' ELSE 'image/tiff' END AS kind FROM documents WHERE doc_id < 200) SELECT media_id, kind, tag, value FROM (SELECT media_id, kind, 'Make' AS tag, 'GeoCam' AS value FROM p UNION ALL SELECT media_id, kind, 'Model', 'G1' FROM p UNION ALL SELECT media_id, kind, 'Orientation', '1' FROM p UNION ALL SELECT media_id, kind, 'DateTime', '2026:02:01 00:00:00' FROM p UNION ALL SELECT media_id, kind, 'ExposureTime', '1/100' FROM p UNION ALL SELECT media_id, kind, 'ISO', '200' FROM p UNION ALL SELECT media_id, kind, 'DateTimeOriginal', '2026:02:01 00:00:01' FROM p UNION ALL SELECT media_id, kind, 'PixelXDimension', '320' FROM p UNION ALL SELECT media_id, kind, 'PixelYDimension', '240' FROM p UNION ALL SELECT media_id, kind, 'GPSLatitudeRef', CASE WHEN media_id % 2 = 0 THEN 'N' ELSE 'S' END FROM p UNION ALL SELECT media_id, kind, 'GPSLongitudeRef', CASE WHEN media_id % 2 = 0 THEN 'E' ELSE 'W' END FROM p UNION ALL SELECT media_id, kind, 'GPSLatitude', CAST(10 + media_id % 80 AS VARCHAR) || '/1 ' || (media_id % 60) || '/1 ' || ((media_id % 59) * 100 + 25) || '/100' FROM p UNION ALL SELECT media_id, kind, 'GPSLongitude', CAST(media_id % 170 AS VARCHAR) || '/1 ' || ((media_id * 7) % 60) || '/1 ' || (((media_id * 13) % 59) * 100 + 50) || '/100' FROM p UNION ALL SELECT media_id, kind, 'GPSAltitude', CAST(1000 + media_id % 4000 AS VARCHAR) || '/10' FROM p) ORDER BY media_id, tag""",
 
     // every planted PNG text chunk recomputed from the id cycles
     "q_png_text" ->

@@ -71,6 +71,35 @@ class ExifSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).map(t => t._2 -> t._3).toMap == expected)
   }
 
+  test("GPS sub-IFD: D/M/S triples round-trip both orders, decimal math") {
+    val gps = Exif.Gps("N", Seq((10L, 1L), (30L, 1L), (0L, 100L)),
+      "W", Seq((74L, 1L), (0L, 1L), (2150L, 100L)), (125L, 10L))
+    for (le <- Seq(true, false)) {
+      val tags = Exif.exifTags(
+        Exif.writeExifBlock("CamCo", "X100", 6, "2026:01:02 12:00:00",
+          250L, 400, 1024L, 768L, "2026:01:02 11:59:59",
+          littleEndian = le, gps = Some(gps)), 1L)
+      assert(tags("GPSLatitudeRef") == "N" &&
+        tags("GPSLatitude") == "10/1 30/1 0/100")
+      assert(tags("GPSLongitudeRef") == "W" &&
+        tags("GPSLongitude") == "74/1 0/1 2150/100")
+      assert(tags("GPSAltitude") == "125/10")
+      assert(tags("Make") == "CamCo") // camera fields unharmed
+      // the governance consumer's arithmetic
+      assert(Exif.gpsDecimal(tags("GPSLatitude"),
+        tags("GPSLatitudeRef")) == 10.5)
+      assert(Exif.gpsDecimal(tags("GPSLongitude"),
+        tags("GPSLongitudeRef")) == -(74.0 + 21.5 / 3600))
+    }
+    // a GPS-free block stays GPS-free; short forms and guards
+    assert(!Exif.exifTags(block(le = true), 2L).contains("GPSLatitude"))
+    assert(Exif.gpsDecimal("1/2", "S") == -0.5)
+    intercept[IllegalArgumentException] { Exif.gpsDecimal("1/0", "N") }
+    intercept[IllegalArgumentException] {
+      Exif.gpsDecimal("1/1 2/1 3/1 4/1", "N")
+    }
+  }
+
   test("pngText: all four text-chunk forms round-trip in chunk order") {
     val texts = Seq(
       (0, "Title", "A tEXt title"),
