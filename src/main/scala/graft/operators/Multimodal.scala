@@ -1980,6 +1980,30 @@ object Multimodal {
       .toDF("media_id", "kind", "tag", "value")
   }
 
+  /** XMP provenance/rights catalog over a media column — one surface,
+    * per-carrier packet location ([[Xmp]]): JPEG `APP1` under the xap
+    * header, PNG `iTXt` under the `XML:com.adobe.xmp` keyword. Output
+    * rows `(media_id, kind, prop, value)` in packet document order; a
+    * carrier without a packet contributes nothing, a kind with no XMP
+    * carriage contributes nothing (absence, not error). Narrow
+    * `mapPartitions` like [[imageExif]] — zero shuffle. */
+  def imageXmp(ds: Dataset[Media]): DataFrame = {
+    import ds.sparkSession.implicits._
+    val jpegKinds = Set("image/jpeg", "image/jpg")
+    ds.mapPartitions(_.flatMap { m =>
+        val props: Iterator[(String, String)] =
+          if (jpegKinds.contains(m.kind))
+            Xmp.jpegXmp(m.bytes, m.media_id).iterator
+          else if (m.kind == "image/png")
+            Exif.pngText(m.bytes, m.media_id).iterator
+              .filter(_._1 == Xmp.PngKeyword)
+              .flatMap(kv => Xmp.props(kv._2, m.media_id))
+          else Iterator.empty
+        props.map { case (k, v) => (m.media_id, m.kind, k, v) }
+      })
+      .toDF("media_id", "kind", "prop", "value")
+  }
+
   /** Channel-averaged mono mixdown of decoded MPEG PCM in [-1, 1] —
     * shared by the per-kind bridge and the walk-once dedup entry. */
   private def mpegMonoMixdown(a: Mpeg.MpegDecoded): (Int, Array[Double]) = {

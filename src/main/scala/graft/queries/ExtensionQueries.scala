@@ -2832,6 +2832,37 @@ object ExtensionQueries {
       Multimodal.imageExif(media).orderBy("media_id", "tag")
     }),
 
+    // XMP provenance/rights: per doc_id one packet (Dublin Core Alt/
+    // Seq containers, a direct-text rights line, CreatorTool cycling
+    // between element and attribute serialization, cc:license in
+    // attribute form on even ids) rides the JPEG APP1 carrier on even
+    // ids and the PNG iTXt carrier on odd — the oracle replays the
+    // cycles, both serialization forms landing on identical values
+    "q_xmp_meta" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Exif => E, Xmp => X}
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+        .map { id =>
+          val ps = Seq[X.Prop](
+            X.Items("dc:title", "Alt", Seq(s"Title $id")),
+            X.Items("dc:creator", "Seq",
+              Seq(s"author ${id % 7}", s"author ${(id + 1) % 7}")),
+            X.Text("dc:rights", s"© ${2000 + id % 26} Corp ${id % 5}")) ++
+            (if (id % 3 == 0)
+              Seq(X.Attr("xmp:CreatorTool", s"Tool ${id % 4}"))
+            else Seq(X.Text("xmp:CreatorTool", s"Tool ${id % 4}"))) ++
+            (if (id % 2 == 0) Seq(X.Attr("cc:license",
+              "https://creativecommons.org/licenses/by/4.0/")) else Nil)
+          val packet = X.writePacket(ps)
+          if (id % 2 == 0)
+            Multimodal.Media(id, "image/jpeg", X.writeXmpJpeg(packet))
+          else Multimodal.Media(id, "image/png",
+            E.writeTextPng(Seq((2, X.PngKeyword, packet))))
+        }
+      Multimodal.imageXmp(media).orderBy("media_id", "prop")
+    }),
+
     // TIFF metadata: per doc_id a baseline TIFF is serialized through
     // the cycle of photometric x compression x byte-order x strip
     // layouts and its IFD walked back (Tiff.tiffInfo — no pixel work).
@@ -4355,6 +4386,11 @@ object ExtensionQueries {
     // carrier kind, all recomputed from the id arithmetic
     "q_gps_exif" ->
       """WITH p AS (SELECT doc_id AS media_id, CASE WHEN doc_id % 2 = 0 THEN 'image/jpeg' ELSE 'image/tiff' END AS kind FROM documents WHERE doc_id < 200) SELECT media_id, kind, tag, value FROM (SELECT media_id, kind, 'Make' AS tag, 'GeoCam' AS value FROM p UNION ALL SELECT media_id, kind, 'Model', 'G1' FROM p UNION ALL SELECT media_id, kind, 'Orientation', '1' FROM p UNION ALL SELECT media_id, kind, 'DateTime', '2026:02:01 00:00:00' FROM p UNION ALL SELECT media_id, kind, 'ExposureTime', '1/100' FROM p UNION ALL SELECT media_id, kind, 'ISO', '200' FROM p UNION ALL SELECT media_id, kind, 'DateTimeOriginal', '2026:02:01 00:00:01' FROM p UNION ALL SELECT media_id, kind, 'PixelXDimension', '320' FROM p UNION ALL SELECT media_id, kind, 'PixelYDimension', '240' FROM p UNION ALL SELECT media_id, kind, 'GPSLatitudeRef', CASE WHEN media_id % 2 = 0 THEN 'N' ELSE 'S' END FROM p UNION ALL SELECT media_id, kind, 'GPSLongitudeRef', CASE WHEN media_id % 2 = 0 THEN 'E' ELSE 'W' END FROM p UNION ALL SELECT media_id, kind, 'GPSLatitude', CAST(10 + media_id % 80 AS VARCHAR) || '/1 ' || (media_id % 60) || '/1 ' || ((media_id % 59) * 100 + 25) || '/100' FROM p UNION ALL SELECT media_id, kind, 'GPSLongitude', CAST(media_id % 170 AS VARCHAR) || '/1 ' || ((media_id * 7) % 60) || '/1 ' || (((media_id * 13) % 59) * 100 + 50) || '/100' FROM p UNION ALL SELECT media_id, kind, 'GPSAltitude', CAST(1000 + media_id % 4000 AS VARCHAR) || '/10' FROM p) ORDER BY media_id, tag""",
+
+    // every planted XMP property recomputed from the id cycles (the
+    // element/attribute serialization split is invisible by design)
+    "q_xmp_meta" ->
+      """WITH p AS (SELECT doc_id AS media_id, CASE WHEN doc_id % 2 = 0 THEN 'image/jpeg' ELSE 'image/png' END AS kind FROM documents WHERE doc_id < 200) SELECT media_id, kind, prop, value FROM (SELECT media_id, kind, 'dc:title' AS prop, 'Title ' || media_id AS value FROM p UNION ALL SELECT media_id, kind, 'dc:creator', 'author ' || (media_id % 7) || '; author ' || ((media_id + 1) % 7) FROM p UNION ALL SELECT media_id, kind, 'dc:rights', '© ' || (2000 + media_id % 26) || ' Corp ' || (media_id % 5) FROM p UNION ALL SELECT media_id, kind, 'xmp:CreatorTool', 'Tool ' || (media_id % 4) FROM p UNION ALL SELECT media_id, kind, 'cc:license', 'https://creativecommons.org/licenses/by/4.0/' FROM p WHERE media_id % 2 = 0) ORDER BY media_id, prop""",
 
     // every planted PNG text chunk recomputed from the id cycles
     "q_png_text" ->
