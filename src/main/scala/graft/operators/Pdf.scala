@@ -111,6 +111,104 @@ object Pdf {
     out.toString
   }
 
+  /** Document metadata — the provenance face of the PDF tier: curated
+    * `/Info` dictionary keys (Title/Author/Subject/Keywords/Creator/
+    * Producer/CreationDate/ModDate) plus `PageCount` from the root
+    * page tree. Both string forms decode (literal with the full
+    * escape set, hex), BOM-prefixed UTF-16BE honored, everything else
+    * PDFDocEncoding-as-Latin-1 (the printable range coincides). PDF
+    * date strings (`D:YYYYMMDDHHMMSS` with optional `Z`/`±HH'mm'`
+    * offset, shorter prefixes zero-padded per spec defaults)
+    * normalize to ISO-8601; a non-`D:` date stays verbatim (Info
+    * dates are producer-written free text in the wild). The LAST
+    * `/Info` reference wins (incremental updates append). A PDF
+    * without `/Info` yields just `PageCount` — absence, not error; a
+    * dangling reference or malformed string framing throws. */
+  def pdfInfo(bytes: Array[Byte], mediaId: Long = -1L): Map[String, String] = {
+    require(bytes.length >= 8 && startsWith(bytes, 0, "%PDF-"),
+      s"media $mediaId: not a PDF payload (missing %PDF- header)")
+    requireNotEncrypted(bytes, mediaId)
+    val doc = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val infoRef = "/Info\\s+(\\d+)\\s+\\d+\\s+R".r
+      .findAllMatchIn(doc).toSeq.lastOption
+    infoRef.foreach { m =>
+      val num = m.group(1).toInt
+      val body = objBody(doc, num).getOrElse(throw new IllegalArgumentException(
+        s"media $mediaId: dangling /Info reference to object $num"))
+      val bb = body.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      for (key <- InfoKeys) {
+        val kAt = "/" + key + "(?![A-Za-z])"
+        kAt.r.findFirstMatchIn(body).foreach { km =>
+          var i = km.end
+          while (i < bb.length && (bb(i) == ' ' || bb(i) == '\r' ||
+            bb(i) == '\n' || bb(i) == '\t')) i += 1
+          require(i < bb.length, s"media $mediaId: /Info $key without value")
+          val raw = bb(i) match {
+            case '(' => parseLiteralString(bb, i, mediaId)._1
+            case '<' if i + 1 < bb.length && bb(i + 1) != '<' =>
+              parseHexString(bb, i, mediaId)._1
+            case _ => throw new IllegalArgumentException(
+              s"media $mediaId: /Info $key is not a string")
+          }
+          val s =
+            if (raw.length >= 2 && (raw(0) & 0xff) == 0xfe &&
+              (raw(1) & 0xff) == 0xff)
+              new String(raw, 2, raw.length - 2,
+                java.nio.charset.StandardCharsets.UTF_16BE)
+            else new String(raw,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+          out(key) =
+            if (key == "CreationDate" || key == "ModDate") normDate(s)
+            else s
+        }
+      }
+    }
+    out("PageCount") = pageCount(doc, mediaId).toString
+    out.toMap
+  }
+
+  private val InfoKeys = Seq("Title", "Author", "Subject", "Keywords",
+    "Creator", "Producer", "CreationDate", "ModDate")
+
+  /** `D:`-prefixed date → ISO-8601 (missing trailing fields default to
+    * 01/00 per §7.9.4); anything else verbatim. */
+  private def normDate(s: String): String = {
+    val m = ("^D:(\\d{4})(\\d{2})?(\\d{2})?(\\d{2})?(\\d{2})?(\\d{2})?" +
+      "(Z|[+-]\\d{2}'\\d{2}'?)?$").r.findFirstMatchIn(s)
+    m match {
+      case None => s
+      case Some(g) =>
+        def p(k: Int, dflt: String) = Option(g.group(k)).getOrElse(dflt)
+        val off = Option(g.group(7)).map {
+          case "Z" => "Z"
+          case o => o.substring(0, 3) + ":" + o.substring(4, 6)
+        }.getOrElse("")
+        s"${g.group(1)}-${p(2, "01")}-${p(3, "01")}T" +
+          s"${p(4, "00")}:${p(5, "00")}:${p(6, "00")}$off"
+    }
+  }
+
+  /** Root page tree's `/Count` (the trailer's LAST `/Root`, its
+    * `/Pages` child). */
+  private def pageCount(doc: String, mediaId: Long): Int = {
+    val root = "/Root\\s+(\\d+)\\s+\\d+\\s+R".r
+      .findAllMatchIn(doc).toSeq.lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"media $mediaId: PDF without /Root")).group(1).toInt
+    val cat = objBody(doc, root).getOrElse(throw new IllegalArgumentException(
+      s"media $mediaId: dangling /Root reference to object $root"))
+    val pages = "/Pages\\s+(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(cat)
+      .getOrElse(throw new IllegalArgumentException(
+        s"media $mediaId: catalog without /Pages")).group(1).toInt
+    val tree = objBody(doc, pages).getOrElse(
+      throw new IllegalArgumentException(
+        s"media $mediaId: dangling /Pages reference to object $pages"))
+    "/Count\\s+(\\d+)".r.findFirstMatchIn(tree).getOrElse(
+      throw new IllegalArgumentException(
+        s"media $mediaId: page tree without /Count")).group(1).toInt
+  }
+
   // ---------------------------------------------------------------------
   // document-level scanning
 
@@ -810,7 +908,8 @@ object Pdf {
     * `T*` — so extraction exercises the leading-newline rules, not just
     * `Tj`. Content stream is `/FlateDecode`-compressed with a direct
     * `/Length`. Lines come from `\n` in `text`. */
-  def writeTextPdf(text: String): Array[Byte] = {
+  def writeTextPdf(text: String,
+      info: Seq[(String, String)] = Nil): Array[Byte] = {
     val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
     val content = {
       val sb = new StringBuilder("BT /F1 11 Tf 14 TL 72 720 Td ")
@@ -822,13 +921,24 @@ object Pdf {
       sb.append("ET")
       deflate(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+    // Info values: Latin-1-expressible as literal strings (escape
+    // path), anything wider as BOM-prefixed UTF-16BE hex strings —
+    // both reader forms exercised by real plants
+    val infoObj =
+      if (info.isEmpty) None
+      else Some(info.map { case (k, v) =>
+        val s =
+          if (v.forall(_ < 256)) "(" + escapeString(v) + ")"
+          else "<FEFF" + v.flatMap(c => f"${c.toInt}%04X") + ">"
+        s"/$k $s"
+      }.mkString("<< ", " ", " >>").getBytes(ascii))
     val objs = Seq(
       "<< /Type /Catalog /Pages 2 0 R >>".getBytes(ascii),
       "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(ascii),
       ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>").getBytes(ascii),
       "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>".getBytes(ascii),
-      null) // placeholder: stream object assembled below
+      null) ++ infoObj // null: stream object assembled below
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(ascii))
     w("%PDF-1.4\n")
@@ -847,8 +957,9 @@ object Pdf {
     w(s"xref\n0 ${objs.length + 1}\n")
     w("0000000000 65535 f \n")
     (1 to objs.length).foreach(k => w(f"${offsets(k)}%010d 00000 n \n"))
-    w(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\n" +
-      s"startxref\n$xrefAt\n%%EOF\n")
+    w(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R" +
+      (if (infoObj.isDefined) s" /Info ${objs.length} 0 R" else "") +
+      s" >>\nstartxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
   }
 

@@ -2832,6 +2832,39 @@ object ExtensionQueries {
       Multimodal.imageExif(media).orderBy("media_id", "tag")
     }),
 
+    // PDF document metadata: per doc_id an /Info dictionary planted
+    // through both string forms (Latin-1 literals with the escape
+    // path, BOM UTF-16BE hex for the em-dash authors) and the PDF
+    // date grammar across all three offset shapes; Subject cycles
+    // present/absent; PageCount walks the root page tree — the
+    // oracle replays every cycle
+    "q_pdf_meta" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Pdf => P}
+      t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 300).as[Long]
+        .flatMap { id =>
+          val off = (id % 3) match {
+            case 0 => "Z"
+            case 1 => "+02'00'"
+            case _ => "-05'30'"
+          }
+          val date = f"D:2026${1 + id % 12}%02d${1 + id % 28}%02d" +
+            f"${id % 24}%02d${id % 60}%02d${id % 60}%02d$off"
+          val info = Seq(
+            "Title" -> s"Doc (Title) $id",
+            "Author" -> (if (id % 2 == 0) s"Author ${id % 7}"
+            else s"Author — ${id % 7}"),
+            "Producer" -> s"graft ${id % 4}.0",
+            "CreationDate" -> date) ++
+            (if (id % 3 == 0) Seq("Subject" -> s"Subject ${id % 11}")
+            else Nil)
+          P.pdfInfo(P.writeTextPdf(s"body $id", info), id)
+            .map { case (k, v) => (id, k, v) }
+        }
+        .toDF("doc_id", "key", "value").orderBy("doc_id", "key")
+    }),
+
     // XMP provenance/rights: per doc_id one packet (Dublin Core Alt/
     // Seq containers, a direct-text rights line, CreatorTool cycling
     // between element and attribute serialization, cc:license in
@@ -4386,6 +4419,11 @@ object ExtensionQueries {
     // carrier kind, all recomputed from the id arithmetic
     "q_gps_exif" ->
       """WITH p AS (SELECT doc_id AS media_id, CASE WHEN doc_id % 2 = 0 THEN 'image/jpeg' ELSE 'image/tiff' END AS kind FROM documents WHERE doc_id < 200) SELECT media_id, kind, tag, value FROM (SELECT media_id, kind, 'Make' AS tag, 'GeoCam' AS value FROM p UNION ALL SELECT media_id, kind, 'Model', 'G1' FROM p UNION ALL SELECT media_id, kind, 'Orientation', '1' FROM p UNION ALL SELECT media_id, kind, 'DateTime', '2026:02:01 00:00:00' FROM p UNION ALL SELECT media_id, kind, 'ExposureTime', '1/100' FROM p UNION ALL SELECT media_id, kind, 'ISO', '200' FROM p UNION ALL SELECT media_id, kind, 'DateTimeOriginal', '2026:02:01 00:00:01' FROM p UNION ALL SELECT media_id, kind, 'PixelXDimension', '320' FROM p UNION ALL SELECT media_id, kind, 'PixelYDimension', '240' FROM p UNION ALL SELECT media_id, kind, 'GPSLatitudeRef', CASE WHEN media_id % 2 = 0 THEN 'N' ELSE 'S' END FROM p UNION ALL SELECT media_id, kind, 'GPSLongitudeRef', CASE WHEN media_id % 2 = 0 THEN 'E' ELSE 'W' END FROM p UNION ALL SELECT media_id, kind, 'GPSLatitude', CAST(10 + media_id % 80 AS VARCHAR) || '/1 ' || (media_id % 60) || '/1 ' || ((media_id % 59) * 100 + 25) || '/100' FROM p UNION ALL SELECT media_id, kind, 'GPSLongitude', CAST(media_id % 170 AS VARCHAR) || '/1 ' || ((media_id * 7) % 60) || '/1 ' || (((media_id * 13) % 59) * 100 + 50) || '/100' FROM p UNION ALL SELECT media_id, kind, 'GPSAltitude', CAST(1000 + media_id % 4000 AS VARCHAR) || '/10' FROM p) ORDER BY media_id, tag""",
+
+    // every planted /Info key recomputed from the id cycles, the date
+    // re-derived in ISO form with all three offsets
+    "q_pdf_meta" ->
+      """WITH p AS (SELECT doc_id FROM documents WHERE doc_id < 300) SELECT doc_id, key, value FROM (SELECT doc_id, 'Title' AS key, 'Doc (Title) ' || doc_id AS value FROM p UNION ALL SELECT doc_id, 'Author', CASE WHEN doc_id % 2 = 0 THEN 'Author ' || (doc_id % 7) ELSE 'Author — ' || (doc_id % 7) END FROM p UNION ALL SELECT doc_id, 'Producer', 'graft ' || (doc_id % 4) || '.0' FROM p UNION ALL SELECT doc_id, 'CreationDate', '2026-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || 'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || CASE doc_id % 3 WHEN 0 THEN 'Z' WHEN 1 THEN '+02:00' ELSE '-05:30' END FROM p UNION ALL SELECT doc_id, 'Subject', 'Subject ' || (doc_id % 11) FROM p WHERE doc_id % 3 = 0 UNION ALL SELECT doc_id, 'PageCount', '1' FROM p) ORDER BY doc_id, key""",
 
     // every planted XMP property recomputed from the id cycles (the
     // element/attribute serialization split is invisible by design)
