@@ -66,8 +66,18 @@ object Exif {
     }
     require(u16(2) == 42, s"media $mediaId: EXIF TIFF magic 42 missing")
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Sub-IFD pointers (0x8769/0x8825) are offsets into the same block:
+    // a crafted payload can point an IFD back at itself (or a cycle).
+    // That would recurse to StackOverflowError — an Error the tolerant
+    // bridges' Exception degrade does not catch — so a revisited IFD
+    // offset fails loudly here instead.
+    val visited = scala.collection.mutable.Set.empty[Int]
 
-    def walk(ifdAt: Int, names: Map[Int, String]): Unit = {
+    def walk(ifdAt: Int, names: Map[Int, String], depth: Int): Unit = {
+      require(visited.add(ifdAt),
+        s"media $mediaId: EXIF IFD cycle at offset $ifdAt")
+      require(depth < 4, // real EXIF nests 2 deep (IFD0 → Exif/GPS)
+        s"media $mediaId: EXIF sub-IFD nesting exceeds 4")
       val n = u16(ifdAt)
       var k = 0
       while (k < n) {
@@ -81,7 +91,8 @@ object Exif {
           require(typ == 4 && count == 1,
             s"media $mediaId: malformed sub-IFD pointer")
           walk(u32(e + 8).toInt,
-            if (tag == ExifPointerTag) ExifIfdNames else GpsIfdNames)
+            if (tag == ExifPointerTag) ExifIfdNames else GpsIfdNames,
+            depth + 1)
         } else names.get(tag).foreach { name =>
           val value = typ match {
             case 2 => // ASCII, count includes the NUL
@@ -105,7 +116,7 @@ object Exif {
         k += 1
       }
     }
-    walk(u32(4).toInt, Ifd0Names)
+    walk(u32(4).toInt, Ifd0Names, 0)
     out.toMap
   }
 

@@ -98,22 +98,34 @@ object Robots {
     compile(pattern).matcher(path).lookingAt()
 
   /** The decision for one path: the most-specific matching agent
-    * group's longest-pattern rule; allow wins ties and no-match. */
+    * groups' longest-pattern rule; allow wins ties and no-match.
+    *
+    * RFC 9309 §2.2.1 requires MERGING all groups that match the same
+    * user-agent at the winning specificity — repeated `User-agent: *`
+    * blocks are common in the wild, and honoring only the first would
+    * fail OPEN on the later blocks' disallow rules. So the combined
+    * rule set of every group whose best-matching token ties the
+    * winning specificity is evaluated, in file order. */
   def isAllowed(groups: Seq[Group], agent: String, path: String): Boolean = {
     val a = agent.toLowerCase(Locale.ROOT)
-    var bestSpec = -1
-    var bestGroup: Group = null
-    for (g <- groups; tok <- g.agents) {
-      val spec =
-        if (tok == "*") 0
-        else if (a.contains(tok)) tok.length
-        else -1
-      if (spec > bestSpec) { bestSpec = spec; bestGroup = g }
+    def groupSpec(g: Group): Int = {
+      var best = -1
+      for (tok <- g.agents) {
+        val spec =
+          if (tok == "*") 0
+          else if (a.contains(tok)) tok.length
+          else -1
+        if (spec > best) best = spec
+      }
+      best
     }
-    if (bestGroup == null) return true
+    val specs = groups.map(groupSpec)
+    val bestSpec = if (specs.isEmpty) -1 else specs.max
+    if (bestSpec < 0) return true
     var verdict = true // no matching rule → allow
     var bestLen = -1
-    for (r <- bestGroup.rules if r.rx.matcher(path).lookingAt()) {
+    for ((g, spec) <- groups.zip(specs) if spec == bestSpec;
+         r <- g.rules if r.rx.matcher(path).lookingAt()) {
       val len = r.pattern.length
       if (len > bestLen || (len == bestLen && r.allow)) {
         bestLen = len; verdict = r.allow

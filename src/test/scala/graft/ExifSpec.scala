@@ -139,4 +139,20 @@ class ExifSpec extends SparkSpec {
       .as[(Long, String, String, String)].collect().toList
     assert(rows == List((5L, "image/png", "Author", "ada")))
   }
+  test("a sub-IFD pointer cycle fails loudly, not StackOverflowError") {
+    // hand-built LE TIFF: IFD0's single entry is the Exif pointer
+    // (0x8769) aimed back at IFD0 itself — a hostile payload shape
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val cyc = Array('I'.toByte, 'I'.toByte) ++ le16(42) ++ le32(8) ++
+      le16(1) ++ // one entry at IFD offset 8
+      le16(0x8769) ++ le16(4) ++ le32(1) ++ le32(8) ++ // points at itself
+      le32(0) // next-IFD terminator
+    val e = intercept[IllegalArgumentException] { Exif.exifTags(cyc, 7L) }
+    assert(e.getMessage.contains("cycle"))
+    // the Warc/Multimodal bridges degrade on Exception — an Error would
+    // have killed the task; this asserts the guard fires as an Exception
+    assert(e.isInstanceOf[Exception])
+  }
 }

@@ -156,4 +156,63 @@ class IndexLockSpec extends SparkSpec {
     }
     IndexLock.forceUnlock(spark, dir)
   }
+  test("expired-lease break is single-winner; a displaced writer's release spares the new lock") {
+    // N waiters all observe the same expired lease and race to break
+    // it: the rename-based break admits AT MOST ONE holder at a time
+    // (the old delete-then-create race let two through)
+    val dir = tmp("graft_lock_break")
+    plantLock(dir, "died", ageMs = 86400000L)
+    val inCritical = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlaps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        start.await()
+        try {
+          IndexLock.withLock(spark, dir, s"breaker$i", leaseMs = 60000L) {
+            if (inCritical.incrementAndGet() > 1) overlaps.incrementAndGet()
+            Thread.sleep(30)
+            inCritical.decrementAndGet()
+          }
+          wins.incrementAndGet()
+        } catch { case _: IllegalStateException => () }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(overlaps.get() == 0, "two writers held the lease at once")
+    assert(wins.get() >= 1, "no waiter managed to break the expired lease")
+
+    // a slow writer whose lease was broken must NOT delete the
+    // breaker's fresh lock on its way out (token-verified release)
+    val dir2 = tmp("graft_lock_spare")
+    val slowStarted = new java.util.concurrent.CountDownLatch(1)
+    val slow = new Thread(() => {
+      IndexLock.withLock(spark, dir2, "slow") {
+        slowStarted.countDown()
+        Thread.sleep(600)
+      }
+    })
+    slow.start(); slowStarted.await()
+    Thread.sleep(100)
+    // breaker treats the 100ms-old lease as expired under a 50ms TTL
+    // and holds PAST the slow writer's exit
+    val breakerHolding = new java.util.concurrent.CountDownLatch(1)
+    val breakerDone = new java.util.concurrent.CountDownLatch(1)
+    val breaker = new Thread(() => {
+      IndexLock.withLock(spark, dir2, "breaker", leaseMs = 50L) {
+        breakerHolding.countDown()
+        slow.join() // outlive the displaced writer's release
+        breakerDone.countDown()
+      }
+    })
+    breaker.start(); breakerHolding.await(); slow.join()
+    // the displaced writer has exited: the breaker's lock must survive
+    val lockFile = new java.io.File(dir2, ".writer-lock")
+    assert(lockFile.exists(), "displaced writer deleted the breaker's lock")
+    val body = java.nio.file.Files.readString(lockFile.toPath)
+    assert(body.contains("verb=breaker"))
+    breaker.join(); breakerDone.await()
+    assert(!lockFile.exists()) // the breaker's own release clears it
+  }
 }

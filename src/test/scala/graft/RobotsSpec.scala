@@ -98,4 +98,26 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.filterAllowed(urls, robots, "graftbot").columns.toSeq ==
       Seq("id", "url", "allowed"))
   }
+  test("repeated groups at the same specificity MERGE (RFC 9309 \u00a72.2.1)") {
+    // two separate `User-agent: *` blocks — the later block's disallow
+    // must be honored, not silently ignored (fail-open otherwise)
+    val gs = Robots.parseRobots(
+      ("User-agent: *\nDisallow: /a\n\n" +
+        "User-agent: other\nDisallow: /\n\n" +
+        "User-agent: *\nDisallow: /b\nAllow: /b/ok\n").getBytes("UTF-8"))
+    assert(!Robots.isAllowed(gs, "graftbot", "/a/x"))
+    assert(!Robots.isAllowed(gs, "graftbot", "/b/x")) // the merged rule
+    assert(Robots.isAllowed(gs, "graftbot", "/b/ok/y")) // merged allow
+    assert(Robots.isAllowed(gs, "graftbot", "/c"))
+    // merging happens at the WINNING specificity only: the named group
+    // beats *, and the * blocks' rules do not leak into its decision
+    val named = Robots.parseRobots(
+      ("User-agent: *\nDisallow: /\n\n" +
+        "User-agent: graftbot\nDisallow: /private\n\n" +
+        "User-agent: graftbot\nDisallow: /tmp\n").getBytes("UTF-8"))
+    assert(Robots.isAllowed(named, "graftbot", "/public"))
+    assert(!Robots.isAllowed(named, "graftbot", "/private/x"))
+    assert(!Robots.isAllowed(named, "graftbot", "/tmp/x")) // merged named
+    assert(!Robots.isAllowed(named, "otherbot", "/public")) // * still binds
+  }
 }

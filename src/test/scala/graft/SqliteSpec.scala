@@ -126,4 +126,21 @@ class SqliteSpec extends SparkSpec {
     assert(graft.io.Warc.toDocuments(recs).select("url").as[String]
       .collect().toSet.contains("http://a.test/export.sqlite"))
   }
+  test("a b-tree page cycle fails loudly, not StackOverflowError") {
+    val n = 600
+    val rows = (1 to n).map(i => Seq(s"src$i", s"row number $i " + "x" * 40))
+    val db = Sqlite.writeSqlite("big", Seq("source", "body"), rows)
+    val tab = Sqlite.tables(db).head
+    assert(tab.rootPage > 2) // interior root exists
+    // patch the interior root's right-most child pointer to itself
+    val bad = db.clone()
+    val hdr = ((tab.rootPage - 1) * 4096).toInt
+    val rp = tab.rootPage.toInt
+    bad(hdr + 8) = ((rp >> 24) & 0xff).toByte
+    bad(hdr + 9) = ((rp >> 16) & 0xff).toByte
+    bad(hdr + 10) = ((rp >> 8) & 0xff).toByte
+    bad(hdr + 11) = (rp & 0xff).toByte
+    val e = intercept[IllegalArgumentException] { Sqlite.rows(bad, tab, 3L) }
+    assert(e.getMessage.contains("cycle") && e.getMessage.contains("media 3"))
+  }
 }
