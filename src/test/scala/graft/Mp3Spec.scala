@@ -99,6 +99,39 @@ class Mp3Spec extends SparkSpec {
     intercept[IllegalArgumentException] { Mpeg.id3Frames(evil, 6L) }
   }
 
+  test("id3Frames: v2.2 three-byte frames surface under the v2.3 names") {
+    val s = TestMp3.layerStub(3, 44100, 128, frames = 5)
+    // both v2.2 encodings (0 latin-1, 1 UCS-2 with BOM) round-trip,
+    // ids mapped onto the v2.3 vocabulary
+    Seq(0, 1).foreach { enc =>
+      val planted =
+        if (enc == 0) Seq("TT2" -> "Caf\u00e9 R\u00e9cital", "TP1" -> "\u00c4rtist",
+          "TAL" -> "Album 3", "TRK" -> "7")
+        else Seq("TT2" -> "Caf\u00e9 \u591c\u66f2", "TP1" -> "\u00c4rtist",
+          "TAL" -> "Album 3", "TRK" -> "7")
+      val out = Mpeg.id3Frames(
+        Mpeg.wrapId3Frames(s, planted, major = 2, encoding = enc), 1L)
+      assert(out == Map("TIT2" -> planted(0)._2, "TPE1" -> planted(1)._2,
+        "TALB" -> "Album 3", "TRCK" -> "7"), s"v2.2 enc $enc")
+    }
+    // the stream identity is invariant under a v2.2 tag too
+    val tagged = Mpeg.wrapId3Frames(s, Seq("TT2" -> "t"), major = 2,
+      encoding = 0)
+    assert(Mpeg.streamHash64(tagged, 2L) == Mpeg.streamHash64(s, 2L))
+    // v2.2 reserved encodings and frame overruns are loud
+    intercept[IllegalArgumentException] {
+      Mpeg.wrapId3Frames(s, Seq("TT2" -> "x"), major = 2, encoding = 3)
+    }
+    val evil = Mpeg.wrapId3Frames(s, Seq("TT2" -> "x"), major = 2,
+      encoding = 0)
+    evil(13) = 0x7f.toByte // 3-byte big-endian size goes huge
+    intercept[IllegalArgumentException] { Mpeg.id3Frames(evil, 6L) }
+    // an unparsed major (v2.5) still fails loudly
+    val v25 = Mpeg.wrapId3Frames(s, Seq("TIT2" -> "x"), major = 3)
+    v25(3) = 5
+    intercept[IllegalArgumentException] { Mpeg.id3Frames(v25, 7L) }
+  }
+
   test("id3v1Fields: the legacy-trailer catalog fallback") {
     val s = TestMp3.layerStub(3, 44100, 128, frames = 5)
     val v1 = Mpeg.wrapId3v1(s, "Title One", "The Artist", "An Album",
