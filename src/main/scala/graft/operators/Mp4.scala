@@ -43,7 +43,7 @@ object Mp4 {
 
   /** Byte/box readers over one payload — shared by [[mp4Info]] and
     * [[ilstTags]] so the two walks cannot drift. */
-  private final class Boxes(b: Array[Byte], mediaId: Long) {
+  private[operators] final class Boxes(val b: Array[Byte], val mediaId: Long) {
     def u16(p: Int): Int = {
       require(p + 2 <= b.length, s"media $mediaId: truncated MP4 at byte $p")
       ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
@@ -325,10 +325,10 @@ object Mp4 {
       timescale: Long = 0L, duration: Long = 0L, sampleCount: Int = 0,
       sampleRate: Int = 0, channels: Int = 0, version: Int = 0)
 
-  private def beBytes(v: Long, n: Int): Array[Byte] =
+  private[operators] def beBytes(v: Long, n: Int): Array[Byte] =
     Array.tabulate(n)(i => ((v >>> (8 * (n - 1 - i))) & 0xff).toByte)
 
-  private def box(typ: String, payload: Array[Byte],
+  private[operators] def box(typ: String, payload: Array[Byte],
       largesize: Boolean = false): Array[Byte] = {
     // latin-1, not ASCII: iTunes item fourccs carry © (0xA9)
     val t = typ.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -337,7 +337,7 @@ object Mp4 {
       beBytes(1L, 4) ++ t ++ beBytes(16L + payload.length, 8) ++ payload
     else beBytes(8L + payload.length, 4) ++ t ++ payload
   }
-  private def fullBox(typ: String, version: Int,
+  private[operators] def fullBox(typ: String, version: Int,
       payload: Array[Byte]): Array[Byte] =
     box(typ, beBytes(version.toLong << 24, 4) ++ payload)
 

@@ -1308,6 +1308,9 @@ object Multimodal {
           decodeMkvFeatures(m) // EBML walk: exact container metadata
         case m if m.kind == "image/webp" =>
           decodeWebpFeatures(m) // RIFF walk: exact dimensions/flags
+        case m if m.kind == "image/heic" || m.kind == "image/heif" ||
+            m.kind == "image/avif" =>
+          decodeHeifFeatures(m) // ISO-BMFF meta walk: exact ispe dims
         case m if m.kind == "image/bmp" || m.kind == "image/x-ms-bmp" =>
           decodeBmp(m) // full DIB pixel decode
         case m if m.kind == "image/tiff" =>
@@ -1828,6 +1831,20 @@ object Multimodal {
     MediaFeatures(m.media_id, m.kind, m.bytes.length, w, h, feats)
   }
 
+  /** HEIF-family (`image/heic`/`image/heif`/`image/avif`) features
+    * ([[graft.operators.Heif]]): the ISO-BMFF `meta` walk yields EXACT
+    * still-image metadata — the primary item's `ispe` pixel dimensions
+    * in the width/height slots — with zeroed pixel features: the
+    * metadata-only tier. HEVC/AV1 sample decode is refused rather than
+    * guessed (the [[Mpeg]] adjudication applied to the entropy-coder
+    * class); the provenance value ([[imageExif]]'s Exif-item branch)
+    * needs none of it. */
+  def decodeHeifFeatures(m: Media): MediaFeatures = {
+    val info = Heif.heifInfo(m.bytes, m.media_id)
+    MediaFeatures(m.media_id, m.kind, m.bytes.length, info.width,
+      info.height, new Array[Float](16))
+  }
+
   /** `audio/aiff` features ([[graft.operators.Aiff]]): full PCM decode
     * (AIFF big-endian and AIFF-C `sowt`, 8/16-bit) through the shared
     * waveform pass — features and fingerprints are byte-compatible
@@ -1966,12 +1983,16 @@ object Multimodal {
     import ds.sparkSession.implicits._
     val jpegKinds = Set("image/jpeg", "image/jpg")
     val tiffKinds = Set("image/tiff", "image/tiff-fx")
+    val heifKinds = Set("image/heic", "image/heif", "image/avif")
     ds.mapPartitions(_.flatMap { m =>
         val tags: Iterator[(String, String)] =
           if (jpegKinds.contains(m.kind))
             Exif.jpegExif(m.bytes, m.media_id).iterator
           else if (tiffKinds.contains(m.kind))
             Exif.exifTags(m.bytes, m.media_id).iterator
+          else if (heifKinds.contains(m.kind))
+            // the Exif metadata item, through the same TIFF-IFD walker
+            Heif.heifInfo(m.bytes, m.media_id).exif.iterator
           else if (m.kind == "image/png")
             Exif.pngText(m.bytes, m.media_id).iterator
           else Iterator.empty

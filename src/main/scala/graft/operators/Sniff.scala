@@ -83,8 +83,16 @@ object Sniff {
         try if (Mkv.docTypeOf(b, -1L)._1 == "webm") "video/webm"
           else "video/x-matroska"
         catch { case _: Exception => "video/x-matroska" })
-    if (b.length >= 12 && ascii(b, 4, 4) == "ftyp")
-      return Some("video/mp4")
+    if (b.length >= 12 && ascii(b, 4, 4) == "ftyp") {
+      // HEIF-family still images share the ISO-BMFF magic with movies;
+      // the major brand separates them (checked BEFORE the movie rule)
+      val brand = ascii(b, 8, 4)
+      return Some(
+        if (Heif.HeicBrands(brand)) "image/heic"
+        else if (Heif.AvifBrands(brand)) "image/avif"
+        else if (brand == "mif1") "image/heif"
+        else "video/mp4")
+    }
     if (ascii(b, 0, 3) == "ID3") return Some("audio/mpeg")
     if ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0 &&
       Mpeg.parseHeader(b, 0, -1L).isDefined) return Some("audio/mpeg")

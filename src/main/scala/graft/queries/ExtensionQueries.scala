@@ -2594,6 +2594,55 @@ object ExtensionQueries {
         .orderBy("doc_id", "track_id")
     }),
 
+    // HEIF/AVIF still-image metadata (the q_mp4_meta derivation-replay
+    // pattern on the same ISO-BMFF machinery): per doc_id a
+    // deterministic HEIF is SERIALIZED (writeHeif — meta/hdlr/pitm/
+    // iinf/iprp/ipco/ispe/ipma/iloc; brand cycling heic/heix/mif1/avif,
+    // item data in mdat via absolute offsets or in idat via iloc
+    // construction method 1 by parity, 8- vs 15-bit ipma indexes,
+    // infe versions 2/3, iloc versions 0/1/2, an Exif item on two of
+    // three ids in BOTH ExifDataBlock offset forms) and WALKED back
+    // (heifInfo — the Exif item through the shared TIFF-IFD walker);
+    // the oracle recomputes every field from the planted parameters,
+    // so any defect in the meta walk, the property association, the
+    // extent arithmetic, or the Exif hand-off is a hash mismatch.
+    "q_heic_meta" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 300)
+        .as[Long]
+        .map { id =>
+          import graft.operators.{Heif => H, Exif => E}
+          val brand = Seq("heic", "heix", "mif1", "avif")((id % 4).toInt)
+          val w = 320 + 16 * (id % 8).toInt
+          val h = 240 + 16 * (id % 5).toInt
+          val coded = Array.tabulate[Byte](48 + (id % 23).toInt)(j =>
+            ((id * 131 + j * 31 + 7) & 0xff).toByte)
+          val exif =
+            if (id % 3 == 2) None
+            else Some(E.writeExifBlock(
+              s"Cam ${id % 5}", s"Model ${id % 7}", (1 + id % 8).toInt,
+              s"2026:02:0${1 + id % 9} 10:00:00", 125 + id % 100,
+              (100 * (1 + id % 4)).toInt, w.toLong, h.toLong,
+              s"2026:02:0${1 + id % 9} 01:00:00",
+              littleEndian = id % 2 == 0))
+          val useIdat = id % 2 == 1
+          val info = H.heifInfo(H.writeHeif(brand, w, h, coded,
+            exifBlock = exif, exifHeaderPrefix = id % 6 == 0,
+            useIdat = useIdat,
+            wideIpma = (id / 2) % 2 == 1,
+            ilocVersion =
+              if (useIdat) (1 + (id / 4) % 2).toInt else ((id / 4) % 3).toInt,
+            infeVersion = (2 + (id / 3) % 2).toInt), id)
+          (id, info.majorBrand, info.primaryType, info.width, info.height,
+            info.itemCount,
+            info.exif.get("Make"), info.exif.get("Model"),
+            info.exif.get("Orientation"), info.exif.get("DateTimeOriginal"))
+        }
+        .toDF("doc_id", "brand", "primary_type", "width", "height",
+          "n_items", "make", "model", "orientation", "dt_original")
+        .orderBy("doc_id")
+    }),
+
     // tag-invariant MPEG identity gate: per doc_id a coded stream is
     // planted at every (layer, rate, kbps, frames) cycle with a
     // deterministic nonzero payload fill, then re-tagged (ID3v2 +
@@ -4420,6 +4469,11 @@ object ExtensionQueries {
     // grids, timescales, sample counts, duration quotients
     "q_mp4_meta" ->
       """WITH p AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS ci, 600 * (1 + doc_id % 3) AS mvts, 600 * (1 + doc_id % 3) * (3 + doc_id % 7) + (doc_id % 97) AS mvdur, 24 + doc_id % 50 AS vs FROM documents WHERE doc_id < 300), v AS (SELECT doc_id, CAST(1 AS INTEGER) AS track_id, 'vide' AS handler, CASE ci WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1' ELSE 'av01' END AS codec, CAST(160 + 16 * (doc_id % 8) AS INTEGER) AS width, CAST(96 + 16 * (doc_id % 5) AS INTEGER) AS height, CAST(mvts AS BIGINT) AS mv_timescale, CAST(mvdur AS DOUBLE) / mvts AS mv_duration_sec, CAST(12288 AS BIGINT) AS tr_timescale, CAST(vs * 512 AS DOUBLE) / 12288 AS tr_duration_sec, CAST(vs AS BIGINT) AS samples, CAST(0 AS INTEGER) AS sample_rate, CAST(0 AS INTEGER) AS channels FROM p), ap AS (SELECT doc_id, mvts, mvdur, CASE CAST((doc_id // 2) % 3 AS INTEGER) WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS rate, 100 + doc_id % 30 AS ns FROM p WHERE doc_id % 2 = 0), a AS (SELECT doc_id, CAST(2 AS INTEGER) AS track_id, 'soun' AS handler, 'mp4a' AS codec, CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height, CAST(mvts AS BIGINT) AS mv_timescale, CAST(mvdur AS DOUBLE) / mvts AS mv_duration_sec, CAST(rate AS BIGINT) AS tr_timescale, CAST(ns * 1024 AS DOUBLE) / rate AS tr_duration_sec, CAST(ns AS BIGINT) AS samples, CAST(rate AS INTEGER) AS sample_rate, CAST(1 + (doc_id // 2) % 2 AS INTEGER) AS channels FROM ap) SELECT * FROM v UNION ALL SELECT * FROM a ORDER BY doc_id, track_id""",
+
+    // the planted HEIF derivation replayed: brand by id%4, ispe dims,
+    // the Exif item on two of three ids with each field recomputed
+    "q_heic_meta" ->
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS br, CAST(doc_id % 3 AS INTEGER) AS ex FROM documents WHERE doc_id < 300) SELECT doc_id, CASE br WHEN 0 THEN 'heic' WHEN 1 THEN 'heix' WHEN 2 THEN 'mif1' ELSE 'avif' END AS brand, CASE br WHEN 3 THEN 'av01' ELSE 'hvc1' END AS primary_type, CAST(320 + 16 * (doc_id % 8) AS INTEGER) AS width, CAST(240 + 16 * (doc_id % 5) AS INTEGER) AS height, CAST(CASE WHEN ex = 2 THEN 1 ELSE 2 END AS INTEGER) AS n_items, CASE WHEN ex = 2 THEN NULL ELSE 'Cam ' || (doc_id % 5) END AS make, CASE WHEN ex = 2 THEN NULL ELSE 'Model ' || (doc_id % 7) END AS model, CASE WHEN ex = 2 THEN NULL ELSE CAST(1 + doc_id % 8 AS VARCHAR) END AS orientation, CASE WHEN ex = 2 THEN NULL ELSE '2026:02:0' || (1 + doc_id % 9) || ' 01:00:00' END AS dt_original FROM p ORDER BY doc_id""",
 
     // every planted EXIF field recomputed from the id derivation
     "q_image_exif" ->
