@@ -69,9 +69,13 @@ object Pdf {
 
   /** Extracted text of one PDF payload. Empty string is a VALID result
     * (a pure-image PDF has no text layer); malformed input throws. */
-  def extractText(bytes: Array[Byte], mediaId: Long = -1L): String = {
-    require(bytes.length >= 8 && startsWith(bytes, 0, "%PDF-"),
+  def extractText(bytes0: Array[Byte], mediaId: Long = -1L): String = {
+    require(bytes0.length >= 8 && startsWith(bytes0, 0, "%PDF-"),
       s"media $mediaId: not a PDF payload (missing %PDF- header)")
+    // the standard-handler empty-user-password class decrypts to a
+    // plaintext equivalent ([[PdfCrypt]]); everything else encrypted
+    // stays the loud failure below
+    val bytes = PdfCrypt.decryptStandard(bytes0, mediaId)
     requireNotEncrypted(bytes, mediaId)
     val fonts = toUnicodeMaps(bytes, mediaId)
     val out = new StringBuilder
@@ -124,9 +128,10 @@ object Pdf {
     * `/Info` reference wins (incremental updates append). A PDF
     * without `/Info` yields just `PageCount` — absence, not error; a
     * dangling reference or malformed string framing throws. */
-  def pdfInfo(bytes: Array[Byte], mediaId: Long = -1L): Map[String, String] = {
-    require(bytes.length >= 8 && startsWith(bytes, 0, "%PDF-"),
+  def pdfInfo(bytes0: Array[Byte], mediaId: Long = -1L): Map[String, String] = {
+    require(bytes0.length >= 8 && startsWith(bytes0, 0, "%PDF-"),
       s"media $mediaId: not a PDF payload (missing %PDF- header)")
+    val bytes = PdfCrypt.decryptStandard(bytes0, mediaId)
     requireNotEncrypted(bytes, mediaId)
     val doc = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -251,7 +256,7 @@ object Pdf {
 
   /** Position right after `stream` + EOL (spec: CRLF or bare LF). −1 if
     * the keyword isn't followed by an EOL (not a stream object). */
-  private def afterStreamKeyword(bytes: Array[Byte], streamAt: Int): Int = {
+  private[operators] def afterStreamKeyword(bytes: Array[Byte], streamAt: Int): Int = {
     var p = streamAt + 6
     if (p < bytes.length && bytes(p) == '\r') p += 1
     if (p < bytes.length && bytes(p) == '\n') p + 1 else -1
@@ -650,7 +655,7 @@ object Pdf {
   }
 
   /** Body text of `num G obj … endobj` (first match; any generation). */
-  private def objBody(doc: String, num: Int): Option[String] =
+  private[operators] def objBody(doc: String, num: Int): Option[String] =
     ("(?s)(?<![0-9])" + num + "\\s+\\d+\\s+obj\\b(.*?)(?:endobj|$)").r
       .findFirstMatchIn(doc).map(_.group(1))
 
@@ -819,7 +824,7 @@ object Pdf {
   }
 
   /** Literal string `(...)`: nesting, escapes, octal, continuations. */
-  private def parseLiteralString(data: Array[Byte], at: Int,
+  private[operators] def parseLiteralString(data: Array[Byte], at: Int,
       mediaId: Long): (Array[Byte], Int) = {
     val out = new java.io.ByteArrayOutputStream()
     var depth = 1
@@ -862,7 +867,7 @@ object Pdf {
   }
 
   /** Hex string `<...>`: whitespace-tolerant, odd length padded with 0. */
-  private def parseHexString(data: Array[Byte], at: Int,
+  private[operators] def parseHexString(data: Array[Byte], at: Int,
       mediaId: Long): (Array[Byte], Int) = {
     val out = new java.io.ByteArrayOutputStream()
     var i = at + 1
@@ -1086,10 +1091,10 @@ object Pdf {
     true
   }
 
-  private def precededBy(b: Array[Byte], at: Int, s: String): Boolean =
+  private[operators] def precededBy(b: Array[Byte], at: Int, s: String): Boolean =
     startsWith(b, at - s.length, s)
 
-  private def isTokenBoundary(b: Array[Byte], at: Int): Boolean =
+  private[operators] def isTokenBoundary(b: Array[Byte], at: Int): Boolean =
     at < 0 || at >= b.length || isDelimiter(b(at))
 
   private def isDelimiter(c: Byte): Boolean =
@@ -1100,7 +1105,7 @@ object Pdf {
   private def isNumStart(c: Byte): Boolean =
     (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
 
-  private def indexOf(b: Array[Byte], s: String, from: Int): Int = {
+  private[operators] def indexOf(b: Array[Byte], s: String, from: Int): Int = {
     val first = s.charAt(0).toByte
     var i = math.max(0, from)
     val limit = b.length - s.length

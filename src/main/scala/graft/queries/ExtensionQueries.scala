@@ -250,8 +250,12 @@ object ExtensionQueries {
     * (Type0/Identity-H) PDF whose text is recoverable only through its
     * /ToUnicode CMap — so the CMap parse, font resolution, and Tf
     * tracking sit on the same oracle path as the simple-font battery.
-    * Generation is distributed (each task renders its partition's
-    * docs); nothing ships from the driver. */
+    * Every OTHER third document is ENCRYPTED under the standard
+    * security handler with an empty user password, the revision
+    * cycling RC4-40 / RC4-128 / AESV2-128 / AESV3-256 — so the key
+    * derivation, the /U check, and the per-object decrypt sit on the
+    * oracle path too (PdfCrypt). Generation is distributed (each task
+    * renders its partition's docs); nothing ships from the driver. */
   private def pdfStage(s: SparkSession, dir: String): String =
     pdfStages.computeIfAbsent(dir, _ => {
       import s.implicits._
@@ -264,6 +268,9 @@ object ExtensionQueries {
         .map { case (id, u, x) =>
           val pdf =
             if (id % 3 == 0) graft.operators.Pdf.writeType0TextPdf(x)
+            else if (id % 3 == 1) graft.operators.PdfCrypt.encryptStandard(
+              graft.operators.Pdf.writeTextPdf(x),
+              revision = Seq(2, 3, 4, 6)(((id / 3) % 4).toInt), seed = id)
             else graft.operators.Pdf.writeTextPdf(x)
           (u, "application/pdf", pdf) }
         .toDF("target_uri", "content_type", "payload")
