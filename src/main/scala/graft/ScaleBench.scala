@@ -530,6 +530,56 @@ object ScaleBench {
         }
       }
 
+      // codec-layer archive expansion off full WARC: the corpus as
+      // compressed crawl payloads cycling all four codecs (gzip, xz,
+      // zstd, lz4) × two shapes (a bare .txt.<codec> member and a
+      // .tar.<codec> of per-sentence entries + an all.html page —
+      // encode untimed), timed region = toDocumentsArchive running the
+      // sniff-free mime routing, the codec peel (xz is the known-slow
+      // decode — cost is codec-dependent BY DESIGN, the reason this row
+      // exists), the ustar walk, and the per-entry text/html extracts.
+      // Same per-FILE regime as the other ingest rows: decode-bound
+      // narrow work on executors, zero shuffle.
+      if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+          .exists(!_.exists("archive_codecs".contains))) {
+        import spark.implicits._
+        val codecWarcDir = s"$scaleDir/warc_codecs"
+        graft.io.Warc.writeWarcResponses(
+          corpus.select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .map { case (id, text) =>
+              import graft.operators.{Codec => C}
+              val (mime, ext) = (id % 4) match {
+                case 0 => (C.Gzip, "gz")
+                case 1 => (C.Xz, "xz")
+                case 2 => (C.Zstd, "zst")
+                case _ => (C.Lz4, "lz4")
+              }
+              val utf8 = java.nio.charset.StandardCharsets.UTF_8
+              if ((id / 4) % 2 == 0)
+                (s"http://seg.test/doc/$id/body.txt.$ext", mime,
+                  C.compress(text.getBytes(utf8), mime))
+              else {
+                val sentences =
+                  text.split(java.util.regex.Pattern.quote(". "), -1)
+                val entries: Seq[(String, Array[Byte])] =
+                  sentences.zipWithIndex.map { case (t, i) =>
+                    s"p${i + 1}.txt" -> t.getBytes(utf8)
+                  }.toSeq :+ ("all.html" ->
+                    sentences.map(t => "<p>" + t + "</p>").mkString
+                      .getBytes(utf8))
+                (s"http://seg.test/doc/$id/arch.tar.$ext", mime,
+                  C.compress(graft.operators.Tar.writeTar(entries), mime))
+              } }
+            .toDF("target_uri", "content_type", "payload")
+            .repartition(cpus.toInt),
+          codecWarcDir)
+        measure("archive_codecs", s"$scaleDir/out_archive_codecs") {
+          graft.io.Warc.toDocumentsArchive(
+            graft.io.Warc.readWarc(spark, codecWarcDir))
+        }
+      }
+
       // binary token sharding under a standing BPE model (encode untimed
       // and persisted — the measured claim is the SINK: one range shuffle
       // for the doc_id total order, KB-scale driver prefix-sum traffic,

@@ -500,6 +500,93 @@ object ExtensionQueries {
       out
     })
 
+  private val ingestStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_ingest_matrix: EVERY
+    * `toDocuments`-routable carrier, cycling by `doc_id % 19` — html,
+    * pdf (plain/Type0/encrypted thirds), docx, xlsx, pptx, epub, rtf,
+    * subtitles (vtt/srt), archive (zip/ustar), csv, eml (all four MIME
+    * shapes), mbox, tex, feed (rss/atom), sqlite, odf (odt/ods/odp),
+    * ics, markdown, text — all but CSV served under the octet-stream
+    * lie (CSV has no magic bytes and sniffs as `text/plain`, so it
+    * keeps its declared type — the declared-specific-type-wins half of
+    * the [[graft.operators.Sniff]] contract is on the oracle too).
+    * Sub-variants cycle on `doc_id / 19` so they decorrelate from the
+    * format lane. Generation is distributed (Dataset.map on
+    * executors); nothing ships from the driver. */
+  private def ingestStage(s: SparkSession, dir: String): String =
+    ingestStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("source"), col("text"))
+        .as[(Long, String, String, String)]
+        .map { case (id, u, src, text) =>
+          import graft.operators._
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          val sentences =
+            text.split(java.util.regex.Pattern.quote(". "), -1).toSeq
+          val x = sentences.mkString("\n")
+          val k = id / 19
+          val octet = "application/octet-stream"
+          val (ct, payload) = (id % 19).toInt match {
+            case 0 => (octet,
+              sentences.map(l => "<p>" + l + "</p>").mkString.getBytes(utf8))
+            case 1 => (octet, (k % 3).toInt match {
+              case 0 => Pdf.writeTextPdf(x)
+              case 1 => Pdf.writeType0TextPdf(x)
+              case _ => PdfCrypt.encryptStandard(Pdf.writeTextPdf(x),
+                revision = Seq(2, 3, 4, 6)((k % 4).toInt), seed = id)
+            })
+            case 2 => (octet, Docx.writeDocx(x))
+            case 3 => (octet, Xlsx.writeXlsx(sentences.map(l => Seq(src, l))))
+            case 4 => (octet, Pptx.writePptx(sentences))
+            case 5 => (octet, Epub.writeEpub(sentences, title = s"doc $id"))
+            case 6 => (octet, Rtf.writeRtf(x))
+            case 7 => (octet,
+              if (k % 2 == 0) Subtitles.writeVtt(sentences)
+              else Subtitles.writeSrt(sentences))
+            case 8 =>
+              val entries = Seq("p1.txt" -> x.getBytes(utf8))
+              (octet,
+                if (k % 2 == 0) Docx.writeZip(entries)
+                else Tar.writeTar(entries))
+            case 9 => ("text/csv",
+              Csv.writeCsv(sentences.map(l => Seq(src, l, s"v,$id"))))
+            case 10 => (octet, Eml.writeEml((k % 4).toInt, s"Subject $id",
+              s"a$id@corpus.test", s"b$id@corpus.test",
+              "Thu, 1 Jan 2026 00:00:00 +0000", x))
+            case 11 => (octet, Eml.writeMbox(Seq(
+              Eml.writeEml((k % 4).toInt, s"Subject $id",
+                s"a$id@corpus.test", s"b$id@corpus.test",
+                "Thu, 1 Jan 2026 00:00:00 +0000", x))))
+            case 12 => (octet, Tex.writeTex(s"Doc $id", x, (k % 3).toInt))
+            case 13 =>
+              val items = Seq(("Item 0", "<p>" + text + "</p>"))
+              (octet,
+                if (k % 2 == 0) Feed.writeRss(items) else Feed.writeAtom(items))
+            case 14 => (octet, Sqlite.writeSqlite("docs",
+              Seq("source", "body"), sentences.map(l => Seq(src, l))))
+            case 15 => (k % 3).toInt match {
+              case 0 => (octet, Odf.writeOdt(sentences))
+              case 1 => (octet, Odf.writeOds(sentences.map(l => Seq(src, l))))
+              case _ => (octet, Odf.writeOdp(sentences))
+            }
+            case 16 => (octet,
+              Vobject.writeIcs(Seq(("Event 1", text))).getBytes(utf8))
+            case 17 => (octet, Markdown.writeMarkdown(sentences,
+              Seq("title" -> s"doc $id", "source" -> src)).getBytes(utf8))
+            case _ => (octet, x.getBytes(utf8))
+          }
+          (u, ct, payload) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val texStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3728,6 +3815,29 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // The whole routing table on ONE oracle: every toDocuments-routable
+    // carrier (19 format lanes cycling by id, sub-variants cycling on
+    // id/19 — PDF crypt thirds, all four MIME mail shapes, vtt/srt,
+    // zip/ustar, rss/atom, odt/ods/odp), all but CSV served under the
+    // octet-stream lie so magic-byte + text-shape sniffing, the
+    // declared-type-wins rule (CSV), the ZIP-family central-directory
+    // dispatch, and every downstream extractor are pinned together —
+    // a format silently falling out of the dispatcher is a row-count
+    // mismatch, a routing swap is a text mismatch.
+    "q_ingest_matrix" -> ((s, dir) => {
+      val lanes = Seq("html", "pdf", "docx", "xlsx", "pptx", "epub", "rtf",
+        "subtitles", "archive", "csv", "eml", "mbox", "tex", "feed",
+        "sqlite", "odf", "ics", "markdown", "text")
+      graft.io.Warc.toDocuments(graft.io.Warc.sniffTypes(
+          graft.io.Warc.readWarc(s, ingestStage(s, dir))))
+        .select(regexp_extract(col("url"), "doc/(\\d+)", 1)
+          .cast(LongType).as("doc_id"), col("url"), col("text"))
+        .withColumn("fmt", element_at(typedlit(lanes),
+          (col("doc_id") % 19).cast(IntegerType) + 1))
+        .select("doc_id", "fmt", "url", "text")
+        .orderBy("doc_id")
+    }),
+
     // LaTeX round-trip: every document a real article source; the
     // extracted text is the section title line + one line per
     // paragraph, with every planted rider (preamble, comments, display
@@ -4399,6 +4509,14 @@ object ExtensionQueries {
     // extracts the sentence-per-line body exactly
     "q_sniff_roundtrip" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, CASE WHEN doc_id % 6 = 4 THEN 'Subject ' || doc_id || chr(10) ELSE '' END || replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    // every lane's text recomputed from its planted derivation: the
+    // spreadsheet-shaped lanes (xlsx/sqlite/ods) TAB-render, CSV adds
+    // the quoted comma cell, mail lanes prepend the subject, tex its
+    // section title, feed/ics their single item/event head; fragment
+    // urls (#p1.txt, #0) follow the per-entry archive convention
+    "q_ingest_matrix" ->
+      """WITH d AS (SELECT doc_id, source, text, CAST(doc_id % 19 AS INTEGER) AS m, doc_id // 19 AS k, replace(text, '. ', chr(10)) AS x FROM documents) SELECT doc_id, (['html','pdf','docx','xlsx','pptx','epub','rtf','subtitles','archive','csv','eml','mbox','tex','feed','sqlite','odf','ics','markdown','text'])[m + 1] AS fmt, 'http://corpus.test/doc/' || doc_id || CASE WHEN m = 8 THEN '#p1.txt' WHEN m IN (11, 13, 16) THEN '#0' ELSE '' END AS url, CASE WHEN m IN (3, 14) OR (m = 15 AND k % 3 = 1) THEN source || chr(9) || replace(text, '. ', chr(10) || source || chr(9)) WHEN m = 9 THEN source || chr(9) || replace(text, '. ', chr(9) || 'v,' || doc_id || chr(10) || source || chr(9)) || chr(9) || 'v,' || doc_id WHEN m IN (10, 11) THEN 'Subject ' || doc_id || chr(10) || x WHEN m = 12 THEN 'Doc ' || doc_id || chr(10) || x WHEN m = 13 THEN 'Item 0' || chr(10) || text WHEN m = 16 THEN 'Event 1' || chr(10) || text ELSE x END AS text FROM d ORDER BY doc_id""",
 
     // the section title heads the text; each sentence is a paragraph
     "q_tex_roundtrip" ->
