@@ -197,6 +197,91 @@ object Warc {
     }
   }
 
+  /** The chunked-framing counterpart of [[writeWarcResponses]]: every
+    * response body travels `Transfer-Encoding: chunked` (RFC 9112 §7.1)
+    * — the 4th column `chunk_bytes` sets the data-chunk size, the first
+    * chunk carries a planted chunk extension and the terminator a
+    * trailer section, so the reader's size-line parse, extension drop,
+    * and trailer skip are all exercised by staged archives. No
+    * Content-Length header (a chunked message must not carry one). */
+  def writeWarcResponsesChunked(df: DataFrame, dir: String): Unit = {
+    val cols = df.select(col("target_uri"), col("content_type"),
+      col("payload"), col("chunk_bytes"))
+    cols.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(s"$dir/seg$pid.warc")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = new java.io.BufferedOutputStream(fs.create(path, true))
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        try it.foreach { r =>
+          val body = r.getAs[Array[Byte]](2)
+          val n = math.max(1, r.getInt(3))
+          val framed = new java.io.ByteArrayOutputStream(body.length + 64)
+          var off = 0
+          var first = true
+          while (off < body.length) {
+            val take = math.min(n, body.length - off)
+            val ext = if (first) ";planted=ext" else ""
+            framed.write((java.lang.Long.toHexString(take.toLong) + ext +
+              "\r\n").getBytes(ascii))
+            framed.write(body, off, take)
+            framed.write("\r\n".getBytes(ascii))
+            off += take
+            first = false
+          }
+          framed.write("0\r\nX-Planted-Trailer: t\r\n\r\n".getBytes(ascii))
+          val fb = framed.toByteArray
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: ${r.getString(1)}\r\n" +
+            "Transfer-Encoding: chunked\r\n\r\n").getBytes(ascii)
+          out.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: ${r.getString(0)}\r\n" +
+            s"Content-Length: ${http.length + fb.length}\r\n\r\n").getBytes(ascii))
+          out.write(http); out.write(fb)
+          out.write("\r\n\r\n".getBytes(ascii))
+        } finally out.close()
+      }
+    }
+  }
+
+  /** Reverse RFC 9112 §7.1 chunked framing: hex size line (chunk
+    * extensions after `;` dropped), data, CRLF, repeated to the 0-size
+    * last chunk; the trailer section is skipped unread. Output is by
+    * construction never larger than the input (chunks are substrings),
+    * so no bomb guard is needed. Malformed framing fails loudly — the
+    * caller's tolerant passthrough is the degrade path. */
+  private[io] def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var i = 0
+    while (true) {
+      val eol = indexOfCrlf(b, i)
+      require(eol >= 0, "chunked: missing size line")
+      var line = new String(b, i, eol - i,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val semi = line.indexOf(';')
+      if (semi >= 0) line = line.substring(0, semi)
+      val size = java.lang.Long.parseLong(line.trim, 16)
+      require(size >= 0 && size <= Int.MaxValue, "chunked: bad size")
+      i = eol + 2
+      if (size == 0) return out.toByteArray // trailers skipped unread
+      require(i + size + 2 <= b.length, "chunked: truncated chunk")
+      out.write(b, i, size.toInt)
+      i += size.toInt
+      require(b(i) == '\r' && b(i + 1) == '\n', "chunked: missing data CRLF")
+      i += 2
+    }
+    out.toByteArray // unreachable
+  }
+
+  private def indexOfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 2 <= b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
   /** Curate-ready documents from `application/pdf` responses — the PDF
     * face of [[toDocumentsHtml]]: payload through `Pdf.extractText`
     * (pure-JVM FlateDecode + content-stream interpretation, fail-loudly),
@@ -946,6 +1031,43 @@ object Warc {
                   l.substring("content-type:".length).trim
               }.orNull
               payload = java.util.Arrays.copyOfRange(block, he + 4, block.length)
+              // HTTP Transfer-Encoding: crawlers archive the WIRE bytes,
+              // so a `Transfer-Encoding: chunked` response's body still
+              // carries the chunk framing (hex size lines, extensions,
+              // trailers — RFC 9112 §7.1). Reverse the transfer codings
+              // FIRST (they were applied last on the wire), then the
+              // entity's Content-Encoding below. Malformed chunk framing
+              // passes through RAW — same contract as a truncated gzip:
+              // downstream gates arbitrate garbage, the reader never
+              // silently drops bytes.
+              val tenc = lines.tail.collectFirst {
+                case l if l.toLowerCase.startsWith("transfer-encoding:") =>
+                  l.substring("transfer-encoding:".length).trim.toLowerCase
+              }.getOrElse("")
+              if (tenc.nonEmpty) {
+                val codings = tenc.split(",").map(_.trim).filter(_.nonEmpty)
+                var rest = codings
+                if (codings.lastOption.contains("chunked")) {
+                  payload = try dechunk(payload)
+                    catch { case _: Exception => payload }
+                  rest = codings.dropRight(1)
+                }
+                // remaining transfer codings, reverse application order;
+                // an unknown coding stops the peel (bytes stay as-is)
+                var k = rest.length - 1
+                var stop = false
+                while (k >= 0 && !stop) {
+                  rest(k) match {
+                    case "gzip" | "x-gzip" => payload =
+                      try gunzip(payload) catch { case _: Exception => payload }
+                    case "deflate" => payload =
+                      try inflateHttp(payload) catch { case _: Exception => payload }
+                    case "identity" => ()
+                    case _ => stop = true
+                  }
+                  k -= 1
+                }
+              }
               // HTTP Content-Encoding: real crawls carry gzip/deflate
               // bodies (the server compressed them; the crawler archived
               // the wire bytes). Decode here so every bridge downstream

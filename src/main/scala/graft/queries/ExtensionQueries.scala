@@ -587,6 +587,37 @@ object ExtensionQueries {
       out
     })
 
+  private val chunkedStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped chunked-transfer staging for q_http_chunked: each
+    * document a `Transfer-Encoding: chunked` response — HTML on even
+    * ids, PDF on odd (binary-safe chunking is on the oracle, not just
+    * text) — with the data-chunk size cycling 1/7/64/1024 bytes on
+    * `doc_id/2` (the 1-byte lane maximizes size-line traffic), the
+    * first chunk carrying a chunk extension and the terminator a
+    * trailer section. */
+  private def chunkedStage(s: SparkSession, dir: String): String =
+    chunkedStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          regexp_replace(col("text"), "\\. ", "\n").as("x"))
+        .as[(Long, String, String)]
+        .map { case (id, u, x) =>
+          val (ct, payload) =
+            if (id % 2 == 0)
+              ("text/html", x.split("\n", -1).map(l => "<p>" + l + "</p>")
+                .mkString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            else ("application/pdf", graft.operators.Pdf.writeTextPdf(x))
+          (u, ct, payload, Seq(1, 7, 64, 1024)(((id / 2) % 4).toInt)) }
+        .toDF("target_uri", "content_type", "payload", "chunk_bytes")
+      graft.io.Warc.writeWarcResponsesChunked(media, out)
+      out
+    })
+
   private val texStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3815,6 +3846,21 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // Chunked-transfer round-trip: every response body travels with
+    // RFC 9112 chunk framing (hex size lines incl. a 1-byte lane,
+    // extensions, trailers) over both a text and a binary carrier —
+    // the reader's de-chunk must reassemble entity bytes exactly or
+    // the HTML strip / PDF extract hash-mismatches.
+    "q_http_chunked" -> ((s, dir) => {
+      val docIdStr = regexp_extract(col("url"), "doc/(\\d+)$", 1)
+      val recs = graft.io.Warc.readWarc(s, chunkedStage(s, dir))
+      graft.io.Warc.toDocumentsHtml(recs)
+        .unionByName(graft.io.Warc.toDocumentsPdf(recs)
+          .filter(col("extract_ok")).drop("extract_ok"))
+        .select(docIdStr.cast(LongType).as("doc_id"), col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // The whole routing table on ONE oracle: every toDocuments-routable
     // carrier (19 format lanes cycling by id, sub-variants cycling on
     // id/19 — PDF crypt thirds, all four MIME mail shapes, vtt/srt,
@@ -4509,6 +4555,11 @@ object ExtensionQueries {
     // extracts the sentence-per-line body exactly
     "q_sniff_roundtrip" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, CASE WHEN doc_id % 6 = 4 THEN 'Subject ' || doc_id || chr(10) ELSE '' END || replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    // both carriers extract the sentence-per-line body exactly —
+    // chunk framing contributes nothing to the entity
+    "q_http_chunked" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
 
     // every lane's text recomputed from its planted derivation: the
     // spreadsheet-shaped lanes (xlsx/sqlite/ods) TAB-render, CSV adds
