@@ -39,7 +39,8 @@ object Warc {
       path: String, record_idx: Int, warc_type: String,
       target_uri: String, warc_date: String, content_length: Long,
       http_status: Integer, http_content_type: String,
-      payload: Array[Byte], framing_ok: Boolean)
+      payload: Array[Byte], framing_ok: Boolean,
+      payload_digest: String = null)
 
   /** Read a WARC file / directory / glob (plain or record-gzipped
     * `.warc.gz`) as one row per record. */
@@ -242,6 +243,101 @@ object Warc {
         } finally out.close()
       }
     }
+  }
+
+  /** The revisit-bearing counterpart of [[writeWarcResponses]]: every
+    * response record carries its `WARC-Payload-Digest` (sha1, base32 —
+    * the WARC 1.1 §5.9 convention real crawlers write), and a row with
+    * a non-null 4th column `revisit_uri` is followed by a `revisit`
+    * record at that URI — identical-payload-digest profile, HTTP
+    * head-only block, no body (the crawl-time dedup shape: the crawler
+    * saw the same payload at another URL and stored only the pointer). */
+  def writeWarcResponsesWithRevisits(df: DataFrame, dir: String): Unit = {
+    val cols = df.select(col("target_uri"), col("content_type"),
+      col("payload"), col("revisit_uri"))
+    cols.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(s"$dir/seg$pid.warc")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = new java.io.BufferedOutputStream(fs.create(path, true))
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        try it.foreach { r =>
+          val body = r.getAs[Array[Byte]](2)
+          val digest = warcSha1Digest(body)
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: ${r.getString(1)}\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii)
+          out.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: ${r.getString(0)}\r\n" +
+            s"WARC-Payload-Digest: $digest\r\n" +
+            s"Content-Length: ${http.length + body.length}\r\n\r\n").getBytes(ascii))
+          out.write(http); out.write(body)
+          out.write("\r\n\r\n".getBytes(ascii))
+          if (!r.isNullAt(3)) {
+            val head = ("HTTP/1.1 200 OK\r\n" +
+              s"Content-Type: ${r.getString(1)}\r\n\r\n").getBytes(ascii)
+            out.write((s"WARC/1.0\r\nWARC-Type: revisit\r\n" +
+              s"WARC-Target-URI: ${r.getString(3)}\r\n" +
+              "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/identical-payload-digest\r\n" +
+              s"WARC-Payload-Digest: $digest\r\n" +
+              s"Content-Length: ${head.length}\r\n\r\n").getBytes(ascii))
+            out.write(head)
+            out.write("\r\n\r\n".getBytes(ascii))
+          }
+        } finally out.close()
+      }
+    }
+  }
+
+  /** `sha1:<base32>` of the payload bytes — the WARC 1.1 §5.9 digest
+    * notation (RFC 4648 base32; 160 bits is exactly 32 characters, no
+    * padding). */
+  private[graft] def warcSha1Digest(b: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(b)
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new StringBuilder(32)
+    var buf = 0L
+    var bits = 0
+    for (x <- d) {
+      buf = (buf << 8) | (x & 0xffL); bits += 8
+      while (bits >= 5) {
+        bits -= 5; sb.append(alphabet(((buf >> bits) & 31).toInt))
+      }
+    }
+    "sha1:" + sb.result()
+  }
+
+  /** Resolve `revisit` records against the archive's `response`
+    * records by payload digest — the crawl-time dedup join: a crawler
+    * that saw an identical payload at another URL stored only a
+    * digest pointer, and this recovers the entity for the revisit URI
+    * without a refetch. One original per digest (deterministic
+    * min-URI pick when several responses share a payload); output one
+    * row per resolved revisit: `(payload_digest, url, warc_date,
+    * orig_uri, http_content_type, payload)`.
+    *
+    * Scale shape: an inner equi-join keyed on the sha1 digest — a
+    * high-cardinality, uniformly distributed key (identical payloads
+    * collapse in the one-original aggregate first, so no key carries
+    * more than the distinct-revisit fan-in of one payload). Both sides
+    * are corpus-scale: a plain shuffled hash join, no broadcast, no
+    * skew term. */
+  def resolveRevisits(records: Dataset[WarcRecord]): DataFrame = {
+    val resp = records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("payload_digest").isNotNull && col("target_uri").isNotNull)
+      .groupBy(col("payload_digest"))
+      .agg(min(struct(col("target_uri").as("orig_uri"),
+        col("http_content_type"), col("payload"))).as("o"))
+      .select(col("payload_digest"), col("o.orig_uri").as("orig_uri"),
+        col("o.http_content_type").as("http_content_type"),
+        col("o.payload").as("payload"))
+    records.toDF()
+      .filter(col("warc_type") === "revisit" && col("framing_ok") &&
+        col("payload_digest").isNotNull && col("target_uri").isNotNull)
+      .select(col("payload_digest"), col("target_uri").as("url"),
+        col("warc_date"))
+      .join(resp, Seq("payload_digest"), "inner")
   }
 
   /** Reverse RFC 9112 §7.1 chunked framing: hex size line (chunk
@@ -998,6 +1094,9 @@ object Warc {
         val wtype = h("WARC-Type")
         val uri = h("WARC-Target-URI")
         val date = h("WARC-Date")
+        // the crawl-time payload identity (`sha1:<base32>`, WARC 1.1
+        // §5.9) — what revisit records point at; carried verbatim
+        val digest = h("WARC-Payload-Digest")
         val clen = Option(h("Content-Length")).flatMap(_.toLongOption).getOrElse(-1L)
         val blockStart = hdrEnd + 4
         // clen must fit an Int BEFORE any arithmetic: a hostile header near
@@ -1014,11 +1113,13 @@ object Warc {
           val block = java.util.Arrays.copyOfRange(bytes, blockStart,
             blockStart + clen.toInt)
           // response records embed an HTTP message: status line + headers
-          // + CRLF CRLF + body
+          // + CRLF CRLF + body. Revisit records (WARC 1.1 §6.7.2,
+          // identical-payload-digest profile) carry the re-fetch's HTTP
+          // headers with NO body — same head parse, empty payload.
           var status: Integer = null
           var ctype: String = null
           var payload = block
-          if (wtype == "response") {
+          if (wtype == "response" || wtype == "revisit") {
             val he = indexOfCrlfCrlf(block, 0)
             if (he >= 0 && startsWith(block, 0, "HTTP/")) {
               val head = new String(block, 0, he,
@@ -1093,7 +1194,7 @@ object Warc {
               bytes(termAt + 1) == '\n' && bytes(termAt + 2) == '\r' &&
               bytes(termAt + 3) == '\n')
           out += WarcRecord(path, idx, wtype, uri, date, clen, status, ctype,
-            payload, framing_ok = term)
+            payload, framing_ok = term, payload_digest = digest)
           if (!term) broken = true
           i = termAt + 4
         }

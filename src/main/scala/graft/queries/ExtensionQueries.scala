@@ -618,6 +618,35 @@ object ExtensionQueries {
       out
     })
 
+  private val revisitStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped revisit staging for q_warc_revisit: every document
+    * a digest-bearing HTML response at `corpus.test`, and every
+    * `doc_id % 3 == 0` document ALSO a `revisit` record at a
+    * `mirror.test` URI carrying only the original's payload digest
+    * (identical-payload-digest profile, no body) — the crawl-time
+    * dedup shape [[graft.io.Warc.resolveRevisits]] exists to undo. */
+  private def revisitStage(s: SparkSession, dir: String): String =
+    revisitStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_revisit").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          regexp_replace(col("text"), "\\. ", "\n").as("x"))
+        .as[(Long, String, String)]
+        .map { case (id, u, x) =>
+          val html = x.split("\n", -1).map(l => "<p>" + l + "</p>")
+            .mkString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val mirror =
+            if (id % 3 == 0) s"http://mirror.test/doc/$id" else null
+          (u, "text/html", html, mirror) }
+        .toDF("target_uri", "content_type", "payload", "revisit_uri")
+      graft.io.Warc.writeWarcResponsesWithRevisits(media, out)
+      out
+    })
+
   private val texStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3861,6 +3890,25 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // Revisit resolution round-trip: every third document's archive
+    // carries a body-less revisit record at a mirror URI pointing at
+    // the original's sha1 payload digest; the digest join must recover
+    // the mirror's entity bytes exactly (its stripped text equals the
+    // original's), while non-revisited documents contribute exactly
+    // one row — a digest mismatch, a dropped revisit, or a duplicated
+    // original is a row or hash mismatch.
+    "q_warc_revisit" -> ((s, dir) => {
+      val recs = graft.io.Warc.readWarc(s, revisitStage(s, dir))
+      val docId = regexp_extract(col("url"), "doc/(\\d+)$", 1)
+        .cast(LongType).as("doc_id")
+      val originals = graft.io.Warc.toDocumentsHtml(recs)
+        .select(docId, col("url"), col("text"))
+      val mirrors = graft.io.Warc.resolveRevisits(recs)
+        .select(docId, col("url"),
+          TF.htmlToText(col("payload").cast(StringType)).as("text"))
+      originals.unionByName(mirrors).orderBy("doc_id", "url")
+    }),
+
     // The whole routing table on ONE oracle: every toDocuments-routable
     // carrier (19 format lanes cycling by id, sub-variants cycling on
     // id/19 — PDF crypt thirds, all four MIME mail shapes, vtt/srt,
@@ -4560,6 +4608,11 @@ object ExtensionQueries {
     // chunk framing contributes nothing to the entity
     "q_http_chunked" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    // one row per response plus one per resolved revisit (every third
+    // id), the mirror's text identical to the original's
+    "q_warc_revisit" ->
+      """WITH x AS (SELECT doc_id, replace(text, '. ', chr(10)) AS text FROM documents) SELECT doc_id, url, text FROM (SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, text FROM x UNION ALL SELECT doc_id, 'http://mirror.test/doc/' || doc_id AS url, text FROM x WHERE doc_id % 3 = 0) ORDER BY doc_id, url""",
 
     // every lane's text recomputed from its planted derivation: the
     // spreadsheet-shaped lanes (xlsx/sqlite/ods) TAB-render, CSV adds
