@@ -3909,6 +3909,31 @@ object ExtensionQueries {
       originals.unionByName(mirrors).orderBy("doc_id", "url")
     }),
 
+    // URL canonicalization (RFC 3986 §6.2): eight planted lanes —
+    // case folding, default-port drop, dot-segments, percent decode of
+    // unreserved octets + hex uppercasing (incl. %2E entering the
+    // dot-segment pass and %2F NOT splitting a segment), empty-path
+    // slash, userinfo/explicit-port preservation, IPv6 literals, and
+    // the non-hierarchical passthrough — the codegen'd kernel's output
+    // recomputed literally by the oracle.
+    "q_url_canonical" -> ((s, dir) => {
+      val d = col("doc_id")
+      val m = (d % 8).cast(IntegerType)
+      val raw = when(m === 0,
+          concat(lit("HTTP://Example"), d, lit(".COM/a/b/../c#frag")))
+        .when(m === 1, concat(lit("http://ex"), d, lit(".test:80/%7euser/%41bc")))
+        .when(m === 2, concat(lit("https://Ex"), d, lit(".test:443/a/./b/?q=%2fx%7e")))
+        .when(m === 3, concat(lit("http://ex"), d, lit(".test")))
+        .when(m === 4, concat(lit("http://u:P@Ex"), d, lit(".test:8080//a//b/.")))
+        .when(m === 5, concat(lit("http://[2001:DB8::"), (d % 9) + 1, lit("]:80/x")))
+        .when(m === 6, concat(lit("mailto:a"), d, lit("@b.test")))
+        .otherwise(concat(lit("https://ex"), d, lit(".test/%61%2F%2e%2e/safe")))
+      t(s, dir, "documents")
+        .select(d, raw.as("url_raw"),
+          graft.expressions.NativeUrl.canonicalizeUrl(raw).as("url_canonical"))
+        .orderBy("doc_id")
+    }),
+
     // The whole routing table on ONE oracle: every toDocuments-routable
     // carrier (19 format lanes cycling by id, sub-variants cycling on
     // id/19 — PDF crypt thirds, all four MIME mail shapes, vtt/srt,
@@ -4613,6 +4638,11 @@ object ExtensionQueries {
     // id), the mirror's text identical to the original's
     "q_warc_revisit" ->
       """WITH x AS (SELECT doc_id, replace(text, '. ', chr(10)) AS text FROM documents) SELECT doc_id, url, text FROM (SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, text FROM x UNION ALL SELECT doc_id, 'http://mirror.test/doc/' || doc_id AS url, text FROM x WHERE doc_id % 3 = 0) ORDER BY doc_id, url""",
+
+    // both the raw spelling and its canonical form recomputed from the
+    // id cycles — every normalization rule is a literal expectation
+    "q_url_canonical" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS m FROM documents) SELECT doc_id, CASE m WHEN 0 THEN 'HTTP://Example' || doc_id || '.COM/a/b/../c#frag' WHEN 1 THEN 'http://ex' || doc_id || '.test:80/%7euser/%41bc' WHEN 2 THEN 'https://Ex' || doc_id || '.test:443/a/./b/?q=%2fx%7e' WHEN 3 THEN 'http://ex' || doc_id || '.test' WHEN 4 THEN 'http://u:P@Ex' || doc_id || '.test:8080//a//b/.' WHEN 5 THEN 'http://[2001:DB8::' || (doc_id % 9 + 1) || ']:80/x' WHEN 6 THEN 'mailto:a' || doc_id || '@b.test' ELSE 'https://ex' || doc_id || '.test/%61%2F%2e%2e/safe' END AS url_raw, CASE m WHEN 0 THEN 'http://example' || doc_id || '.com/a/c' WHEN 1 THEN 'http://ex' || doc_id || '.test/~user/Abc' WHEN 2 THEN 'https://ex' || doc_id || '.test/a/b/?q=%2Fx~' WHEN 3 THEN 'http://ex' || doc_id || '.test/' WHEN 4 THEN 'http://u:P@ex' || doc_id || '.test:8080//a//b/' WHEN 5 THEN 'http://[2001:db8::' || (doc_id % 9 + 1) || ']/x' WHEN 6 THEN 'mailto:a' || doc_id || '@b.test' ELSE 'https://ex' || doc_id || '.test/a%2F../safe' END AS url_canonical FROM d ORDER BY doc_id""",
 
     // every lane's text recomputed from its planted derivation: the
     // spreadsheet-shaped lanes (xlsx/sqlite/ods) TAB-render, CSV adds

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{NativeUrl, UrlKernels}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** RFC 3986 §6.2 URL canonicalization: every normalization rule, the
+  * tolerant passthroughs, and interpreted-vs-codegen agreement. */
+class UrlCanonicalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def c(s: String): String =
+    UrlKernels.canonicalizeUrlKernel(UTF8String.fromString(s)).toString
+
+  test("case folding: scheme and host only, never userinfo/path/query") {
+    assert(c("HTTP://ExAmPlE.CoM/Path?Q=V") == "http://example.com/Path?Q=V")
+    assert(c("http://U:Pw@HOST.test/x") == "http://U:Pw@host.test/x")
+  }
+
+  test("default ports drop; explicit and empty ports handled") {
+    assert(c("http://a.test:80/x") == "http://a.test/x")
+    assert(c("https://a.test:443/x") == "https://a.test/x")
+    assert(c("http://a.test:443/x") == "http://a.test:443/x")
+    assert(c("http://a.test:8080/x") == "http://a.test:8080/x")
+    assert(c("http://a.test:/x") == "http://a.test/x")
+  }
+
+  test("dot-segments removed by the RFC algorithm, empty segments kept") {
+    assert(c("http://a.test/a/b/../c") == "http://a.test/a/c")
+    assert(c("http://a.test/a/./b/") == "http://a.test/a/b/")
+    assert(c("http://a.test/../../x") == "http://a.test/x")
+    assert(c("http://a.test/a/..") == "http://a.test/")
+    assert(c("http://a.test//a//b/.") == "http://a.test//a//b/")
+  }
+
+  test("percent normalization: unreserved decode, hex uppercase, %2E/%2F semantics") {
+    assert(c("http://a.test/%7euser/%41bc") == "http://a.test/~user/Abc")
+    assert(c("http://a.test/a?q=%2fx%7e") == "http://a.test/a?q=%2Fx~")
+    // %2E decodes to '.' BEFORE dot-segment removal (RFC order)
+    assert(c("http://a.test/%2e%2e/x") == "http://a.test/x")
+    // %2F never splits a segment: 'a%2F..' is one segment, not 'a/../'
+    assert(c("http://a.test/%61%2F%2e%2e/safe") == "http://a.test/a%2F../safe")
+    // dangling '%' passes through untouched
+    assert(c("http://a.test/x%2") == "http://a.test/x%2")
+    assert(c("http://a.test/x%zz") == "http://a.test/x%zz")
+  }
+
+  test("empty path gains '/', fragment drops, IPv6 hosts lowercase") {
+    assert(c("http://a.test") == "http://a.test/")
+    assert(c("http://a.test?q=1") == "http://a.test/?q=1")
+    assert(c("http://a.test/x#frag") == "http://a.test/x")
+    assert(c("http://a.test#frag") == "http://a.test/")
+    assert(c("http://[2001:DB8::1]:80/x") == "http://[2001:db8::1]/x")
+    assert(c("http://[2001:db8::1]:8443/x") == "http://[2001:db8::1]:8443/x")
+  }
+
+  test("non-hierarchical and malformed inputs pass through unchanged") {
+    for (s <- Seq("mailto:a@b.test", "not a url", "", "x",
+      "://nohost/x", "http://", "http://[broken/x", "ftp:relative"))
+      assert(c(s) == s, s)
+    // generic schemes canonicalize syntax but keep their ports
+    assert(c("FTP://Host.test:21/A/../b") == "ftp://host.test:21/b")
+  }
+
+  test("already-canonical URLs return the same instance (fast path)") {
+    val u = UTF8String.fromString("http://a.test/path/to/x?q=v")
+    assert(UrlKernels.canonicalizeUrlKernel(u) eq u)
+    val noPath = UTF8String.fromString("http://a.test")
+    assert(UrlKernels.canonicalizeUrlKernel(noPath).toString == "http://a.test/")
+  }
+
+  test("column form agrees with the kernel and stays codegen (no UDF)") {
+    val urls = Seq("HTTP://Example.COM/a/b/../c#f", "http://ex.test:80/%7ex",
+      "mailto:z@y", "http://a.test//raw//kept/")
+    val df = urls.toDF("u")
+      .select(col("u"), NativeUrl.canonicalizeUrl(col("u")).as("cu"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    urls.foreach(u => assert(got(u) == c(u), u))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
+  test("null in, null out") {
+    val df = Seq[Option[String]](Some("http://A.test"), None).toDF("u")
+      .select(NativeUrl.canonicalizeUrl(col("u")).as("cu"))
+    val rows = df.collect().map(r => Option(r.getString(0)))
+    assert(rows.contains(None) && rows.contains(Some("http://a.test/")))
+  }
+}
