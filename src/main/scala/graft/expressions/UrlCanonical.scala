@@ -159,6 +159,9 @@ object UrlKernels {
     sb.result()
   }
 
+  private[expressions] def removeDots(p: String): String =
+    removeDotSegments(p)
+
   /** §5.2.4 remove_dot_segments, verbatim (empty segments preserved). */
   private def removeDotSegments(p: String): String = {
     var in = p
@@ -188,6 +191,85 @@ object UrlKernels {
   }
 }
 
+/** Relative-reference resolution — RFC 3986 §5.2, the other half of
+  * frontier identity: a crawl's outlinks are overwhelmingly relative
+  * (`../g`, `/abs`, `//host/x`, `?y`), and an edge list is only as
+  * good as the absolutization. The kernel runs the §5.2.2
+  * transform-references algorithm verbatim (parse by the RFC's own
+  * Appendix B regex, §5.2.3 merge, §5.2.4 dot-segment removal) and
+  * pipes the recomposed target through [[UrlKernels
+  * .canonicalizeUrlKernel]] so resolve and canonicalize agree on one
+  * spelling (which also drops the fragment — fetch identity). A base
+  * that is not an absolute hierarchical URL resolves to null (no
+  * identity can be derived), matching the tolerant-null convention of
+  * the frontier joins downstream. */
+object UrlResolveKernels {
+
+  // RFC 3986 Appendix B — the grammar's own decomposition regex
+  private val UriRe = java.util.regex.Pattern.compile(
+    "^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\\?([^#]*))?(#(.*))?$")
+
+  def resolveUrlKernel(base: UTF8String, ref: UTF8String): UTF8String = {
+    val out = resolve(base.toString, ref.toString)
+    if (out == null) null
+    else UrlKernels.canonicalizeUrlKernel(UTF8String.fromString(out))
+  }
+
+  private def resolve(base: String, ref: String): String = {
+    val bm = UriRe.matcher(base)
+    if (!bm.matches()) return null
+    val bScheme = bm.group(2)
+    val bAuth = bm.group(4)
+    // frontier bases are fetched URLs: absolute + hierarchical only
+    if (bScheme == null || bAuth == null) return null
+    val bPath = bm.group(5)
+    val bQuery = bm.group(7)
+    val rm = UriRe.matcher(ref)
+    if (!rm.matches()) return null
+    val rScheme = rm.group(2)
+    val rAuth = rm.group(4)
+    val rPath = rm.group(5)
+    val rQuery = rm.group(7)
+    var tScheme: String = null
+    var tAuth: String = null
+    var tPath: String = null
+    var tQuery: String = null
+    if (rScheme != null) {
+      tScheme = rScheme; tAuth = rAuth
+      tPath = UrlKernels.removeDots(rPath); tQuery = rQuery
+    } else {
+      tScheme = bScheme
+      if (rAuth != null) {
+        tAuth = rAuth; tPath = UrlKernels.removeDots(rPath); tQuery = rQuery
+      } else {
+        tAuth = bAuth
+        if (rPath.isEmpty) {
+          tPath = bPath
+          tQuery = if (rQuery != null) rQuery else bQuery
+        } else {
+          tPath =
+            if (rPath.startsWith("/")) UrlKernels.removeDots(rPath)
+            else UrlKernels.removeDots(merge(bAuth, bPath, rPath))
+          tQuery = rQuery
+        }
+      }
+    }
+    if (tAuth == null) return null // e.g. ref "mailto:x" — not an edge
+    val sb = new StringBuilder(base.length + ref.length)
+    sb.append(tScheme).append("://").append(tAuth).append(tPath)
+    if (tQuery != null) sb.append('?').append(tQuery)
+    sb.result()
+  }
+
+  /** §5.2.3: merge the reference path into the base path. */
+  private def merge(bAuth: String, bPath: String, rPath: String): String =
+    if (bAuth != null && bPath.isEmpty) "/" + rPath
+    else {
+      val cut = bPath.lastIndexOf('/')
+      if (cut < 0) rPath else bPath.substring(0, cut + 1) + rPath
+    }
+}
+
 /** `canonicalize_url(string)` → string: see [[UrlKernels]]. */
 case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -206,7 +288,36 @@ case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `resolve_url(base, ref)` → string (null when no fetch identity can
+  * be derived): see [[UrlResolveKernels]]. */
+case class ResolveUrl(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"resolve_url requires (string, string), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "resolve_url"
+  override def nullSafeEval(base: Any, ref: Any): Any =
+    UrlResolveKernels.resolveUrlKernel(
+      base.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, r) => s"""
+      ${ev.value} = graft.expressions.UrlResolveKernels.resolveUrlKernel($b, $r);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ResolveUrl =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeUrl {
   def canonicalizeUrl(url: Column): Column =
     GraftColumnBridge.column(CanonicalizeUrl(GraftColumnBridge.expression(url)))
+  def resolveUrl(base: Column, ref: Column): Column =
+    GraftColumnBridge.column(ResolveUrl(
+      GraftColumnBridge.expression(base), GraftColumnBridge.expression(ref)))
 }

@@ -40,7 +40,7 @@ object Warc {
       target_uri: String, warc_date: String, content_length: Long,
       http_status: Integer, http_content_type: String,
       payload: Array[Byte], framing_ok: Boolean,
-      payload_digest: String = null)
+      payload_digest: String = null, http_location: String = null)
 
   /** Read a WARC file / directory / glob (plain or record-gzipped
     * `.warc.gz`) as one row per record. */
@@ -338,6 +338,96 @@ object Warc {
       .select(col("payload_digest"), col("target_uri").as("url"),
         col("warc_date"))
       .join(resp, Seq("payload_digest"), "inner")
+  }
+
+  /** The crawl's redirect graph: `response` records whose HTTP status
+    * is a 3xx and which carry a `Location` header become edges
+    * `(from_url, to_url, status)` — the fetched URI canonicalized, the
+    * Location target resolved against it (RFC 9110 §10.2.2 allows
+    * relative Locations) and canonicalized by the same kernels, so
+    * redirect edges, outlink edges, and revisit joins share ONE URL
+    * identity. An unresolvable Location (no derivable fetch identity)
+    * drops the edge. Narrow codegen'd column work over the record
+    * scan: zero shuffle, parallelism follows the archive files. */
+  def redirectEdges(records: Dataset[WarcRecord]): DataFrame = {
+    import graft.expressions.NativeUrl
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull && col("http_location").isNotNull &&
+        col("http_status").isin(301, 302, 303, 307, 308))
+      .select(
+        NativeUrl.canonicalizeUrl(col("target_uri")).as("from_url"),
+        NativeUrl.resolveUrl(col("target_uri"), col("http_location"))
+          .as("to_url"),
+        col("http_status").as("status"))
+      .filter(col("to_url").isNotNull)
+  }
+
+  /** The crawl's outlink graph: every `text/html` response's anchors
+    * ([[graft.functions.TextFunctions.htmlLinks]]) absolutized against
+    * the page URL — honoring an in-page `<base href>` (itself resolved
+    * against the fetched URI first, the HTML living-standard rule) —
+    * and canonicalized, one `(from_url, to_url, anchor)` row per
+    * resolvable link. Authority-less targets (`mailto:`, `javascript:`)
+    * resolve to null and drop: an edge list is fetch identities only.
+    * All codegen'd expressions over the record scan plus one explode —
+    * zero shuffle; at 100 TB the edge list partitions with the archive
+    * files and feeds the frontier/rank joins downstream. */
+  def frontierLinks(records: Dataset[WarcRecord]): DataFrame = {
+    import graft.expressions.NativeUrl
+    import graft.functions.TextFunctions
+    val html = col("html")
+    val baseHref = regexp_extract(html,
+      "(?is)<base\\s[^>]*href\\s*=\\s*\"([^\"]*)\"", 1)
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type")) === "text/html")
+      .select(col("target_uri").as("url"),
+        decodePayload(col("payload"), col("http_content_type")).as("html"))
+      .select(col("url"),
+        when(baseHref =!= "", NativeUrl.resolveUrl(col("url"), baseHref))
+          .otherwise(col("url")).as("base"),
+        explode(TextFunctions.htmlLinks(html)).as("link"))
+      .select(
+        NativeUrl.canonicalizeUrl(col("url")).as("from_url"),
+        NativeUrl.resolveUrl(coalesce(col("base"), col("url")),
+          col("link.href")).as("to_url"),
+        col("link.anchor").as("anchor"))
+      .filter(col("to_url").isNotNull)
+  }
+
+  /** Staging writer for redirect archives: a row with a non-null
+    * `location` becomes a head-only 3xx response carrying it; a null
+    * `location` becomes a plain 200 with a one-line HTML body (the
+    * no-edge lane). */
+  def writeWarcRedirects(df: DataFrame, dir: String): Unit = {
+    val cols = df.select(col("target_uri"), col("status"), col("location"))
+    cols.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(s"$dir/seg$pid.warc")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = new java.io.BufferedOutputStream(fs.create(path, true))
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        try it.foreach { r =>
+          val http =
+            if (r.isNullAt(2)) {
+              val body = "<p>ok</p>".getBytes(ascii)
+              (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+                s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii) ++ body
+            } else
+              (s"HTTP/1.1 ${r.getInt(1)} Redirect\r\n" +
+                s"Location: ${r.getString(2)}\r\n" +
+                "Content-Length: 0\r\n\r\n").getBytes(ascii)
+          out.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: ${r.getString(0)}\r\n" +
+            s"Content-Length: ${http.length}\r\n\r\n").getBytes(ascii))
+          out.write(http)
+          out.write("\r\n\r\n".getBytes(ascii))
+        } finally out.close()
+      }
+    }
   }
 
   /** Reverse RFC 9112 §7.1 chunked framing: hex size line (chunk
@@ -1118,6 +1208,7 @@ object Warc {
           // headers with NO body — same head parse, empty payload.
           var status: Integer = null
           var ctype: String = null
+          var location: String = null
           var payload = block
           if (wtype == "response" || wtype == "revisit") {
             val he = indexOfCrlfCrlf(block, 0)
@@ -1131,6 +1222,13 @@ object Warc {
                 case l if l.toLowerCase.startsWith("content-type:") =>
                   l.substring("content-type:".length).trim
               }.orNull
+              // 3xx responses carry the redirect target — a frontier
+              // edge the crawler followed; surfaced verbatim (resolution
+              // against the fetched URI is redirectEdges' business)
+              location = lines.tail.collectFirst {
+                case l if l.toLowerCase.startsWith("location:") =>
+                  l.substring("location:".length).trim
+              }.filter(_.nonEmpty).orNull
               payload = java.util.Arrays.copyOfRange(block, he + 4, block.length)
               // HTTP Transfer-Encoding: crawlers archive the WIRE bytes,
               // so a `Transfer-Encoding: chunked` response's body still
@@ -1194,7 +1292,8 @@ object Warc {
               bytes(termAt + 1) == '\n' && bytes(termAt + 2) == '\r' &&
               bytes(termAt + 3) == '\n')
           out += WarcRecord(path, idx, wtype, uri, date, clen, status, ctype,
-            payload, framing_ok = term, payload_digest = digest)
+            payload, framing_ok = term, payload_digest = digest,
+            http_location = location)
           if (!term) broken = true
           i = termAt + 4
         }

@@ -647,6 +647,66 @@ object ExtensionQueries {
       out
     })
 
+  private val redirectStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped redirect staging for q_warc_redirects: per
+    * `doc_id % 4` — a 301 to an absolute mirror, a 302 to a RELATIVE
+    * `../` target (RFC 9110 allows it; resolution is on the oracle), a
+    * 307 to a protocol-relative `//host` target, and a plain 200 (the
+    * no-edge lane). */
+  private def redirectStage(s: SparkSession, dir: String): String =
+    redirectStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_redir").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"))
+        .as[(Long, String)]
+        .map { case (id, u) =>
+          (id % 4).toInt match {
+            case 0 => (u, 301, s"http://mirror$id.test/M")
+            case 1 => (u, 302, s"../r$id")
+            case 2 => (u, 307, s"//cdn$id.test/c")
+            case _ => (u, 200, null: String)
+          } }
+        .toDF("target_uri", "status", "location")
+      graft.io.Warc.writeWarcRedirects(media, out)
+      out
+    })
+
+  private val linkStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped outlink staging for q_frontier_links: each
+    * document an HTML page with a relative link, an absolute link,
+    * and an authority-less `mailto:` link (dropped by resolution);
+    * even ids ALSO carry a `<base href>` to another host, so the
+    * base-tag override of the resolution base is on the oracle. */
+  private def linkStage(s: SparkSession, dir: String): String =
+    linkStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_links").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"))
+        .as[(Long, String)]
+        .map { case (id, u) =>
+          val base =
+            if (id % 2 == 0) s"""<base href="http://b$id.test/dir/">"""
+            else ""
+          val html = "<html><head>" + base + "</head><body>" +
+            s"""<a href="../rel$id">rel link</a>""" +
+            s"""<a href="http://abs$id.test/P">abs link</a>""" +
+            """<a href="mailto:x@y.test">mail</a>""" +
+            "<p>body</p></body></html>"
+          (u, "text/html",
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val texStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3934,6 +3994,77 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // Reference resolution (RFC 3986 §5.2): eight planted lanes over a
+    // per-document base — relative path, query-form, network-path
+    // (//host), absolute path with an escape, empty ref, fragment-only,
+    // absolute ref needing canonicalization, and the authority-less
+    // non-edge (resolves to null, surfaced as '') — resolve ∘
+    // canonicalize recomputed literally by the oracle.
+    "q_url_resolve" -> ((s, dir) => {
+      val d = col("doc_id")
+      val m = (d % 8).cast(IntegerType)
+      val base = concat(lit("http://h"), d, lit(".test/b/c/d;p?q"))
+      val ref = when(m === 0, lit("../g"))
+        .when(m === 1, lit("g?y"))
+        .when(m === 2, concat(lit("//mirror"), d, lit(".test/x")))
+        .when(m === 3, lit("/R/%7ea"))
+        .when(m === 4, lit(""))
+        .when(m === 5, lit("#frag"))
+        .when(m === 6, concat(lit("HTTPS://Other"), d, lit(".TEST:443/a/../z")))
+        .otherwise(lit("mailto:x@y.test"))
+      t(s, dir, "documents")
+        .select(d, base.as("base"), ref.as("ref"),
+          coalesce(graft.expressions.NativeUrl.resolveUrl(base, ref), lit(""))
+            .as("resolved"))
+        .orderBy("doc_id")
+    }),
+
+    // Redirect graph off the archive: 301-absolute, 302-relative (the
+    // Location resolved against the fetched URI), 307-protocol-relative
+    // each become an edge sharing the canonical URL identity; the 200
+    // lane contributes nothing.
+    "q_warc_redirects" -> ((s, dir) => {
+      graft.io.Warc.redirectEdges(
+          graft.io.Warc.readWarc(s, redirectStage(s, dir)))
+        .select(regexp_extract(col("from_url"), "doc/(\\d+)$", 1)
+          .cast(LongType).as("doc_id"),
+          col("from_url"), col("to_url"), col("status"))
+        .orderBy("doc_id")
+    }),
+
+    // Outlink graph off the archive: anchors absolutized against the
+    // page URL — or the page's <base href>, itself resolved first —
+    // and canonicalized; authority-less links drop. Two edges per
+    // page, every resolution lane recomputed by the oracle.
+    "q_frontier_links" -> ((s, dir) => {
+      graft.io.Warc.frontierLinks(
+          graft.io.Warc.readWarc(s, linkStage(s, dir)))
+        .select(regexp_extract(col("from_url"), "doc/(\\d+)$", 1)
+          .cast(LongType).as("doc_id"),
+          col("from_url"), col("to_url"), col("anchor"))
+        .orderBy("doc_id", "to_url")
+    }),
+
+    // Link rank over a planted 32-node multigraph (two edges per doc,
+    // parallel edges counting with multiplicity), TWO surfer
+    // iterations — the oracle replays both join-aggregate rounds in
+    // SQL, and the Q20 fixed-point output (the q_embed_centroid trick)
+    // makes the double sums engine-portable.
+    "q_link_rank" -> ((s, dir) => {
+      val d = col("doc_id")
+      val docs = t(s, dir, "documents").select("doc_id").filter(d < 256)
+      val edges = docs.select(
+          concat(lit("n"), d % 32).as("from_url"),
+          concat(lit("n"), (d + 1) % 32).as("to_url"))
+        .unionAll(docs.select(
+          concat(lit("n"), d % 32).as("from_url"),
+          concat(lit("n"), (d * 5 + 3) % 32).as("to_url")))
+      graft.operators.LinkRank.pageRank(edges, iters = 2)
+        .select(col("url"),
+          round(col("rank") * (1 << 20)).cast(LongType).as("rank_q20"))
+        .orderBy("url")
+    }),
+
     // The whole routing table on ONE oracle: every toDocuments-routable
     // carrier (19 format lanes cycling by id, sub-variants cycling on
     // id/19 — PDF crypt thirds, all four MIME mail shapes, vtt/srt,
@@ -4643,6 +4774,27 @@ object ExtensionQueries {
     // id cycles — every normalization rule is a literal expectation
     "q_url_canonical" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS m FROM documents) SELECT doc_id, CASE m WHEN 0 THEN 'HTTP://Example' || doc_id || '.COM/a/b/../c#frag' WHEN 1 THEN 'http://ex' || doc_id || '.test:80/%7euser/%41bc' WHEN 2 THEN 'https://Ex' || doc_id || '.test:443/a/./b/?q=%2fx%7e' WHEN 3 THEN 'http://ex' || doc_id || '.test' WHEN 4 THEN 'http://u:P@Ex' || doc_id || '.test:8080//a//b/.' WHEN 5 THEN 'http://[2001:DB8::' || (doc_id % 9 + 1) || ']:80/x' WHEN 6 THEN 'mailto:a' || doc_id || '@b.test' ELSE 'https://ex' || doc_id || '.test/%61%2F%2e%2e/safe' END AS url_raw, CASE m WHEN 0 THEN 'http://example' || doc_id || '.com/a/c' WHEN 1 THEN 'http://ex' || doc_id || '.test/~user/Abc' WHEN 2 THEN 'https://ex' || doc_id || '.test/a/b/?q=%2Fx~' WHEN 3 THEN 'http://ex' || doc_id || '.test/' WHEN 4 THEN 'http://u:P@ex' || doc_id || '.test:8080//a//b/' WHEN 5 THEN 'http://[2001:db8::' || (doc_id % 9 + 1) || ']/x' WHEN 6 THEN 'mailto:a' || doc_id || '@b.test' ELSE 'https://ex' || doc_id || '.test/a%2F../safe' END AS url_canonical FROM d ORDER BY doc_id""",
+
+    // resolve ∘ canonicalize recomputed from the id cycles; the
+    // non-edge lane surfaces as '' (the query's coalesce)
+    "q_url_resolve" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS m FROM documents) SELECT doc_id, 'http://h' || doc_id || '.test/b/c/d;p?q' AS base, CASE m WHEN 0 THEN '../g' WHEN 1 THEN 'g?y' WHEN 2 THEN '//mirror' || doc_id || '.test/x' WHEN 3 THEN '/R/%7ea' WHEN 4 THEN '' WHEN 5 THEN '#frag' WHEN 6 THEN 'HTTPS://Other' || doc_id || '.TEST:443/a/../z' ELSE 'mailto:x@y.test' END AS ref, CASE m WHEN 0 THEN 'http://h' || doc_id || '.test/b/g' WHEN 1 THEN 'http://h' || doc_id || '.test/b/c/g?y' WHEN 2 THEN 'http://mirror' || doc_id || '.test/x' WHEN 3 THEN 'http://h' || doc_id || '.test/R/~a' WHEN 4 THEN 'http://h' || doc_id || '.test/b/c/d;p?q' WHEN 5 THEN 'http://h' || doc_id || '.test/b/c/d;p?q' WHEN 6 THEN 'https://other' || doc_id || '.test/z' ELSE '' END AS resolved FROM d ORDER BY doc_id""",
+
+    // three edge lanes recomputed (absolute verbatim, ../ resolved
+    // against /doc/, //host adopting the base scheme); 200s drop
+    "q_warc_redirects" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS m FROM documents WHERE doc_id % 4 < 3) SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS from_url, CASE m WHEN 0 THEN 'http://mirror' || doc_id || '.test/M' WHEN 1 THEN 'http://corpus.test/r' || doc_id ELSE 'http://cdn' || doc_id || '.test/c' END AS to_url, CASE m WHEN 0 THEN 301 WHEN 1 THEN 302 ELSE 307 END AS status FROM d ORDER BY doc_id""",
+
+    // two edges per page: the relative link resolved against the base
+    // tag (even ids) or the page (odd ids), the absolute link verbatim;
+    // the mailto link resolves to nothing
+    "q_frontier_links" ->
+      """WITH d AS (SELECT doc_id FROM documents), rel AS (SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS from_url, CASE WHEN doc_id % 2 = 0 THEN 'http://b' || doc_id || '.test/rel' || doc_id ELSE 'http://corpus.test/rel' || doc_id END AS to_url, 'rel link' AS anchor FROM d), ab AS (SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS from_url, 'http://abs' || doc_id || '.test/P' AS to_url, 'abs link' AS anchor FROM d) SELECT doc_id, from_url, to_url, anchor FROM (SELECT * FROM rel UNION ALL SELECT * FROM ab) ORDER BY doc_id, to_url""",
+
+    // both surfer iterations replayed: contributions rank/outdeg
+    // summed over in-edges, damped, Q20-quantized
+    "q_link_rank" ->
+      """WITH e AS (SELECT 'n' || (doc_id % 32) AS src, 'n' || ((doc_id + 1) % 32) AS dst FROM documents WHERE doc_id < 256 UNION ALL SELECT 'n' || (doc_id % 32), 'n' || ((doc_id * 5 + 3) % 32) FROM documents WHERE doc_id < 256), nodes AS (SELECT DISTINCT src AS url FROM e UNION SELECT DISTINCT dst FROM e), od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src), r0 AS (SELECT url, 1.0 AS rank FROM nodes), c1 AS (SELECT e.dst AS url, SUM(r0.rank / od.outdeg) AS i FROM e JOIN r0 ON e.src = r0.url JOIN od ON e.src = od.src GROUP BY e.dst), r1 AS (SELECT n.url, 0.15 + 0.85 * COALESCE(c1.i, 0) AS rank FROM nodes n LEFT JOIN c1 ON n.url = c1.url), c2 AS (SELECT e.dst AS url, SUM(r1.rank / od.outdeg) AS i FROM e JOIN r1 ON e.src = r1.url JOIN od ON e.src = od.src GROUP BY e.dst), r2 AS (SELECT n.url, 0.15 + 0.85 * COALESCE(c2.i, 0) AS rank FROM nodes n LEFT JOIN c2 ON n.url = c2.url) SELECT url, CAST(ROUND(rank * 1048576) AS BIGINT) AS rank_q20 FROM r2 ORDER BY url""",
 
     // every lane's text recomputed from its planted derivation: the
     // spreadsheet-shaped lanes (xlsx/sqlite/ods) TAB-render, CSV adds

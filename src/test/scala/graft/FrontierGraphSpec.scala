@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Warc
+import graft.operators.LinkRank
+
+/** The crawl's frontier graph: redirect edges off 3xx Location
+  * headers, outlink edges off anchors (base-tag override, identity
+  * canonicalization, authority-less drops), and the surfer rank over
+  * the resulting edge list. */
+class FrontierGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redirectEdges: absolute, relative, and protocol-relative Locations") {
+    val df = Seq(
+      ("http://a.test/old", 301, "http://b.test/new"),
+      ("http://a.test/dir/x", 302, "../r"),
+      ("http://a.test/p", 307, "//cdn.test/c"),
+      ("http://a.test/ok", 200, null.asInstanceOf[String]))
+      .toDF("target_uri", "status", "location")
+    val dir = Files.createTempDirectory("graft_redir_s").toString
+    Warc.writeWarcRedirects(df, dir)
+    val recs = Warc.readWarc(spark, dir)
+    // the reader surfaces Location verbatim on 3xx and null on 200
+    val byUri = recs.collect().map(r => r.target_uri -> r).toMap
+    assert(byUri("http://a.test/old").http_location == "http://b.test/new")
+    assert(byUri("http://a.test/ok").http_location == null)
+    assert(byUri("http://a.test/ok").http_status == 200)
+    val edges = Warc.redirectEdges(recs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(edges == Set(
+      ("http://a.test/old", "http://b.test/new", 301),
+      ("http://a.test/dir/x", "http://a.test/r", 302),
+      ("http://a.test/p", "http://cdn.test/c", 307)))
+  }
+
+  test("redirectEdges: unresolvable Location drops the edge, not the job") {
+    val df = Seq(("http://a.test/x", 301, "mailto:gone@b.test"))
+      .toDF("target_uri", "status", "location")
+    val dir = Files.createTempDirectory("graft_redir_m").toString
+    Warc.writeWarcRedirects(df, dir)
+    assert(Warc.redirectEdges(Warc.readWarc(spark, dir)).isEmpty)
+  }
+
+  test("frontierLinks: base-tag override, relative resolution, mailto drop") {
+    val pageWithBase = """<html><head><base href="http://b.test/dir/">""" +
+      """</head><body><a href="../rel">r</a>""" +
+      """<a href="http://abs.test/P">a</a>""" +
+      """<a href="mailto:x@y">m</a></body></html>"""
+    val pageNoBase = """<html><body><a href="sub/page">s</a></body></html>"""
+    val df = Seq(
+      ("http://h.test/doc/1", "text/html", pageWithBase.getBytes("UTF-8")),
+      ("http://h.test/doc/2", "text/html", pageNoBase.getBytes("UTF-8")))
+      .toDF("target_uri", "content_type", "payload")
+    val dir = Files.createTempDirectory("graft_links_s").toString
+    Warc.writeWarcResponses(df, dir)
+    val got = Warc.frontierLinks(Warc.readWarc(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("http://h.test/doc/1", "http://b.test/rel", "r"),
+      ("http://h.test/doc/1", "http://abs.test/P", "a"),
+      ("http://h.test/doc/2", "http://h.test/doc/sub/page", "s")))
+  }
+
+  test("pageRank: two hand-computed iterations, dangling node included") {
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("b", "a")).toDF("from_url", "to_url")
+    val got = LinkRank.pageRank(edges, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // iter1: a=0.15+0.85*1=1.0, b=c=0.15+0.85*0.5=0.575
+    // iter2: a=0.15+0.85*0.575=0.63875, b=c=0.15+0.85*0.5=0.575
+    assert(math.abs(got("a") - 0.63875) < 1e-12)
+    assert(math.abs(got("b") - 0.575) < 1e-12)
+    assert(math.abs(got("c") - 0.575) < 1e-12)
+  }
+
+  test("pageRank: parallel edges vote with multiplicity") {
+    val edges = Seq(
+      ("a", "b"), ("a", "b"), ("a", "c")).toDF("from_url", "to_url")
+    val got = LinkRank.pageRank(edges, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("b") - (0.15 + 0.85 * 2.0 / 3)) < 1e-12)
+    assert(math.abs(got("c") - (0.15 + 0.85 * 1.0 / 3)) < 1e-12)
+    assert(math.abs(got("a") - 0.15) < 1e-12) // no in-edges
+  }
+
+  test("pageRank: zero iterations returns the uniform start") {
+    val edges = Seq(("a", "b")).toDF("from_url", "to_url")
+    val got = LinkRank.pageRank(edges, iters = 0).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 1.0, "b" -> 1.0))
+  }
+}

@@ -87,4 +87,91 @@ class UrlCanonicalSpec extends SparkSpec {
     val rows = df.collect().map(r => Option(r.getString(0)))
     assert(rows.contains(None) && rows.contains(Some("http://a.test/")))
   }
+
+  private def r(base: String, ref: String): String = {
+    val out = graft.expressions.UrlResolveKernels.resolveUrlKernel(
+      UTF8String.fromString(base), UTF8String.fromString(ref))
+    if (out == null) null else out.toString
+  }
+
+  test("resolve_url: the RFC 3986 §5.4.1 normal examples (canonicalized, fragments dropped)") {
+    val base = "http://a/b/c/d;p?q"
+    val cases = Seq(
+      "g" -> "http://a/b/c/g",
+      "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g",
+      "//g" -> "http://g/", // canonicalization spells the empty path /
+      "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y",
+      "#s" -> "http://a/b/c/d;p?q", // fetch identity: fragment dropped
+      "g#s" -> "http://a/b/c/g",
+      "g?y#s" -> "http://a/b/c/g?y",
+      ";x" -> "http://a/b/c/;x",
+      "g;x" -> "http://a/b/c/g;x",
+      "g;x?y#s" -> "http://a/b/c/g;x?y",
+      "" -> "http://a/b/c/d;p?q",
+      "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/",
+      "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g",
+      "../.." -> "http://a/",
+      "../../" -> "http://a/",
+      "../../g" -> "http://a/g")
+    cases.foreach { case (ref, want) => assert(r(base, ref) == want, ref) }
+  }
+
+  test("resolve_url: the RFC 3986 §5.4.2 abnormal examples") {
+    val base = "http://a/b/c/d;p?q"
+    val cases = Seq(
+      "../../../g" -> "http://a/g",
+      "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g",
+      "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.",
+      ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..",
+      "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g",
+      "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h",
+      "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      "g?y/./x" -> "http://a/b/c/g?y/./x",
+      "g?y/../x" -> "http://a/b/c/g?y/../x",
+      "g#s/./x" -> "http://a/b/c/g")
+    cases.foreach { case (ref, want) => assert(r(base, ref) == want, ref) }
+  }
+
+  test("resolve_url: no fetch identity resolves to null, not garbage") {
+    val base = "http://a/b/c/d;p?q"
+    // authority-less targets are not frontier edges
+    assert(r(base, "mailto:x@y.test") == null)
+    assert(r(base, "g:h") == null)
+    assert(r(base, "http:g") == null) // strict RFC parser shape
+    // a base that is itself relative or non-hierarchical derives nothing
+    assert(r("/just/a/path", "g") == null)
+    assert(r("mailto:x@y.test", "g") == null)
+    // and an absolute hierarchical ref works from any usable base
+    assert(r(base, "HTTPS://Other.TEST:443/a/../z") == "https://other.test/z")
+  }
+
+  test("resolve_url column form: codegen agreement incl. null lanes") {
+    val df = Seq(
+      ("http://a/b/c/d", "../g"),
+      ("http://a/b/c/d", "mailto:x@y"),
+      ("http://A.test:80/", "%7ex"))
+      .toDF("base", "ref")
+      .select(col("base"), col("ref"),
+        NativeUrl.resolveUrl(col("base"), col("ref")).as("out"))
+    val got = df.collect().map(x => (x.getString(0), x.getString(1),
+      Option(x.getString(2))))
+    assert(got.contains(("http://a/b/c/d", "../g", Some("http://a/b/g"))))
+    assert(got.contains(("http://a/b/c/d", "mailto:x@y", None)))
+    assert(got.contains(("http://A.test:80/", "%7ex", Some("http://a.test/~x"))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
 }
