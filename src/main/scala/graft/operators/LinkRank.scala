@@ -44,4 +44,32 @@ object LinkRank {
     }
     ranks
   }
+
+  /** Anchor-text corpus over the outlink edge list: what the web CALLS
+    * each target page — the classic relevance/description signal, one
+    * document per URL built from the DISTINCT anchors pointing at it
+    * (sorted, capped, newline-joined — fully deterministic). The cap
+    * is applied BEFORE any per-key collection: anchors dedup in a
+    * (url, anchor) aggregate first (the hot-URL reality — a million
+    * "Home" links is ONE distinct anchor), then a per-URL rank window
+    * keeps the first `maxAnchors` in sort order, so no key ever
+    * collects an unbounded list. Residual exposure is a URL with
+    * millions of DISTINCT anchors — rare by construction of anchor
+    * text, and bounded by the window's spill path, never the
+    * aggregate's heap. */
+  def anchorTexts(edges: DataFrame, maxAnchors: Int = 32): DataFrame = {
+    require(maxAnchors > 0, "maxAnchors must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("url").orderBy("anchor")
+    edges
+      .filter(col("anchor").isNotNull && col("anchor") =!= "")
+      .select(col("to_url").as("url"), col("anchor")).distinct()
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= maxAnchors)
+      .groupBy("url")
+      .agg(
+        array_join(sort_array(collect_list(col("anchor"))), "\n")
+          .as("anchor_text"),
+        count(lit(1)).cast("int").as("n_anchors"))
+  }
 }

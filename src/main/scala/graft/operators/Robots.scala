@@ -152,6 +152,46 @@ object Robots {
     url.substring(from, end).toLowerCase(Locale.ROOT)
   }
 
+  /** The `Sitemap:` lines of one robots.txt — the sitemaps.org
+    * discovery convention: group-independent (they apply file-wide, so
+    * the scan ignores user-agent framing), value taken verbatim after
+    * the colon (the protocol requires an absolute URL; relative values
+    * are the publisher's error and surface as-is for the caller's
+    * resolver to judge). Tolerant by contract — a malformed FILE is
+    * the distributed face's business; this never throws on directive
+    * lines it does not understand. */
+  def sitemapsOf(bytes: Array[Byte]): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    for (raw <- new String(bytes, UTF_8).split("\n", -1)) {
+      val line = { val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw }.trim
+      val c = line.indexOf(':')
+      if (c > 0 &&
+        line.substring(0, c).trim.toLowerCase(Locale.ROOT) == "sitemap") {
+        val v = line.substring(c + 1).trim
+        if (v.nonEmpty) out += v
+      }
+    }
+    out.toSeq
+  }
+
+  /** Distributed sitemap discovery: per-host robots.txt files →
+    * `(host, sitemap_url)` seed rows, each URL canonicalized (the
+    * frontier identity shared with every edge list); unreadable or
+    * sitemap-less files contribute nothing. One narrow pass over the
+    * rule corpus — zero shuffle, seeds-scale output. */
+  def sitemapSeeds(robots: Dataset[(String, Array[Byte])]): DataFrame = {
+    import robots.sparkSession.implicits._
+    import graft.expressions.NativeUrl
+    robots
+      .flatMap { case (host, bytes) =>
+        (try sitemapsOf(bytes) catch { case _: Exception => Seq.empty })
+          .map(host -> _) }
+      .toDF("host", "sitemap_url")
+      .select(col("host"),
+        NativeUrl.canonicalizeUrl(col("sitemap_url")).as("sitemap_url"))
+  }
+
   /** Distributed frontier filter: every row of `urls` (must carry a
     * `url` column) gains an `allowed` flag for `agent` under the
     * per-host `robots` rule files (host → robots.txt bytes). */

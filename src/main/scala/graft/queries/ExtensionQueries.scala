@@ -4065,6 +4065,43 @@ object ExtensionQueries {
         .orderBy("url")
     }),
 
+    // Sitemap discovery off robots.txt: the group-independent Sitemap
+    // lines (case-insensitive key, comments stripped) surface as
+    // canonicalized per-host seeds — one, two, or zero per host by the
+    // id cycle.
+    "q_robots_sitemaps" -> ((s, dir) => {
+      import s.implicits._
+      val rules = t(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { d =>
+          val base = "User-agent: *\nDisallow: /private\n"
+          val extra = (d % 3).toInt match {
+            case 0 => s"Sitemap: HTTP://h$d.test:80/Sitemap.xml\n"
+            case 1 => s"Sitemap: http://h$d.test/s1.xml\n" +
+              s"sitemap: http://cdn$d.test/s2.xml.gz\n"
+            case _ => ""
+          }
+          (s"h$d.test", (base + extra)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+      graft.operators.Robots.sitemapSeeds(rules)
+        .select(regexp_extract(col("host"), "^h(\\d+)", 1)
+          .cast(LongType).as("doc_id"), col("host"), col("sitemap_url"))
+        .orderBy("doc_id", "sitemap_url")
+    }),
+
+    // Anchor-text corpus: what the web calls each target — distinct
+    // anchors per URL, sorted, capped at five, newline-joined; the
+    // dedup-then-rank shape (never an unbounded per-key collect) is
+    // the operator under test, the oracle replays it exactly.
+    "q_anchor_text" -> ((s, dir) => {
+      val d = col("doc_id")
+      val edges = t(s, dir, "documents")
+        .select(concat(lit("http://t"), d % 10, lit(".test/")).as("to_url"),
+          concat(lit("anchor "), d % 37).as("anchor"))
+      graft.operators.LinkRank.anchorTexts(edges, maxAnchors = 5)
+        .orderBy("url")
+    }),
+
     // The whole routing table on ONE oracle: every toDocuments-routable
     // carrier (19 format lanes cycling by id, sub-variants cycling on
     // id/19 — PDF crypt thirds, all four MIME mail shapes, vtt/srt,
@@ -4795,6 +4832,16 @@ object ExtensionQueries {
     // summed over in-edges, damped, Q20-quantized
     "q_link_rank" ->
       """WITH e AS (SELECT 'n' || (doc_id % 32) AS src, 'n' || ((doc_id + 1) % 32) AS dst FROM documents WHERE doc_id < 256 UNION ALL SELECT 'n' || (doc_id % 32), 'n' || ((doc_id * 5 + 3) % 32) FROM documents WHERE doc_id < 256), nodes AS (SELECT DISTINCT src AS url FROM e UNION SELECT DISTINCT dst FROM e), od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src), r0 AS (SELECT url, 1.0 AS rank FROM nodes), c1 AS (SELECT e.dst AS url, SUM(r0.rank / od.outdeg) AS i FROM e JOIN r0 ON e.src = r0.url JOIN od ON e.src = od.src GROUP BY e.dst), r1 AS (SELECT n.url, 0.15 + 0.85 * COALESCE(c1.i, 0) AS rank FROM nodes n LEFT JOIN c1 ON n.url = c1.url), c2 AS (SELECT e.dst AS url, SUM(r1.rank / od.outdeg) AS i FROM e JOIN r1 ON e.src = r1.url JOIN od ON e.src = od.src GROUP BY e.dst), r2 AS (SELECT n.url, 0.15 + 0.85 * COALESCE(c2.i, 0) AS rank FROM nodes n LEFT JOIN c2 ON n.url = c2.url) SELECT url, CAST(ROUND(rank * 1048576) AS BIGINT) AS rank_q20 FROM r2 ORDER BY url""",
+
+    // seeds per host recomputed from the cycle: the uppercase-scheme
+    // default-port lane canonicalizes, the two-line lane keeps both,
+    // the bare lane contributes nothing
+    "q_robots_sitemaps" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS m FROM documents) SELECT doc_id, 'h' || doc_id || '.test' AS host, sitemap_url FROM (SELECT doc_id, 'http://h' || doc_id || '.test/Sitemap.xml' AS sitemap_url FROM d WHERE m = 0 UNION ALL SELECT doc_id, 'http://h' || doc_id || '.test/s1.xml' FROM d WHERE m = 1 UNION ALL SELECT doc_id, 'http://cdn' || doc_id || '.test/s2.xml.gz' FROM d WHERE m = 1) ORDER BY doc_id, sitemap_url""",
+
+    // distinct → rank ≤ 5 → sorted newline join, replayed exactly
+    "q_anchor_text" ->
+      """WITH e AS (SELECT DISTINCT 'http://t' || (doc_id % 10) || '.test/' AS url, 'anchor ' || (doc_id % 37) AS anchor FROM documents), r AS (SELECT url, anchor, row_number() OVER (PARTITION BY url ORDER BY anchor) AS rn FROM e) SELECT url, string_agg(anchor, chr(10) ORDER BY anchor) AS anchor_text, CAST(COUNT(*) AS INTEGER) AS n_anchors FROM r WHERE rn <= 5 GROUP BY url ORDER BY url""",
 
     // every lane's text recomputed from its planted derivation: the
     // spreadsheet-shaped lanes (xlsx/sqlite/ods) TAB-render, CSV adds

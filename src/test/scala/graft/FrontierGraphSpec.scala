@@ -93,4 +93,36 @@ class FrontierGraphSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got == Map("a" -> 1.0, "b" -> 1.0))
   }
+
+  test("anchorTexts: dedup before cap, sorted join, empty anchors dropped") {
+    val edges = Seq(
+      ("p1", "t", "Home"), ("p2", "t", "Home"), ("p3", "t", "Home"),
+      ("p4", "t", "docs"), ("p5", "t", "About us"), ("p6", "t", "blog"),
+      ("p7", "t", ""), ("p8", "u", "only one"))
+      .toDF("from_url", "to_url", "anchor")
+    val got = LinkRank.anchorTexts(edges, maxAnchors = 3).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    // t's distinct anchors sorted: About us, Home, blog, docs → cap 3
+    assert(got("t") == (("About us\nHome\nblog", 3)))
+    assert(got("u") == (("only one", 1)))
+  }
+
+  test("sitemapsOf: case-insensitive key, comments stripped, group-independent") {
+    val robots = ("# top comment\nUser-agent: a\nDisallow: /x\n" +
+      "Sitemap: http://h.test/s1.xml\nUser-agent: b\nAllow: /\n" +
+      "SITEMAP: http://h.test/s2.xml # trailing comment\n" +
+      "Crawl-delay: 3\nsitemap:\n").getBytes("UTF-8")
+    assert(graft.operators.Robots.sitemapsOf(robots) ==
+      Seq("http://h.test/s1.xml", "http://h.test/s2.xml"))
+  }
+
+  test("sitemapSeeds: canonicalized seeds, unreadable files contribute nothing") {
+    val rules = Seq(
+      ("a.test", "Sitemap: HTTP://A.test:80/S.xml\n".getBytes("UTF-8")),
+      ("b.test", "User-agent: *\nDisallow: /\n".getBytes("UTF-8")))
+      .toDS()
+    val got = graft.operators.Robots.sitemapSeeds(rules).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("a.test", "http://a.test/S.xml")))
+  }
 }
