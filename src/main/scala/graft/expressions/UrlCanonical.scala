@@ -64,8 +64,10 @@ object UrlKernels {
         slashes = 0
       }
       if (!authorityDone) {
-        // scheme or authority: uppercase and explicit ports rewrite
+        // scheme or authority: uppercase, explicit ports, and
+        // non-ASCII (IDN hosts — negative bytes in UTF-8) rewrite
         if (c >= 'A' && c <= 'Z') return false
+        if (c < 0) return false
         if (c == ':' && inAuthority) return false
       }
       i += 1
@@ -105,7 +107,9 @@ object UrlKernels {
       else host = hostport
     }
     if (host.isEmpty) return null
-    val hostLc = host.toLowerCase(Locale.ROOT)
+    val hostLc =
+      if (host.exists(_ >= 0x80)) idnaHost(host)
+      else host.toLowerCase(Locale.ROOT)
     val defPort = schemeLc match {
       case "http" => "80"
       case "https" => "443"
@@ -128,6 +132,82 @@ object UrlKernels {
     sb.append(if (path.isEmpty) "/" else path)
     if (query != null) sb.append('?').append(pctNormalize(query))
     sb.result()
+  }
+
+  /** Internationalized hostname → ASCII form: NFC-normalize (JDK
+    * `java.text.Normalizer` — public API), lowercase, and
+    * punycode-encode each non-ASCII label under the `xn--` ACE prefix.
+    * Punycode is RFC 3492's bootstring — formula-complete, zero
+    * normative tables — so the transform is exact; what this
+    * deliberately does NOT implement is UTS-46's mapping/validation
+    * TABLES (deviation-character mapping, disallowed-codepoint
+    * classes), which are normative Unicode data a clean-room build
+    * cannot embed — a host needing them encodes by the simplified
+    * NFC+lowercase rule and is documented as such. A label that fails
+    * to encode (overflow) returns the input unchanged. */
+  private[expressions] def idnaHost(host: String): String = {
+    if (host.forall(_ < 0x80)) return host
+    val norm = java.text.Normalizer
+      .normalize(host, java.text.Normalizer.Form.NFC)
+      .toLowerCase(Locale.ROOT)
+    try norm.split("\\.", -1).map { label =>
+      if (label.forall(_ < 0x80)) label else "xn--" + punycode(label)
+    }.mkString(".")
+    catch { case _: Exception => host }
+  }
+
+  /** RFC 3492 §6.3 encode, verbatim (base 36, tmin 1, tmax 26,
+    * skew 38, damp 700, initial bias 72, initial n 128). */
+  private def punycode(label: String): String = {
+    val cps = label.codePoints().toArray
+    val out = new StringBuilder
+    cps.foreach(c => if (c < 0x80) out.append(c.toChar))
+    val b = out.length
+    if (b > 0) out.append('-')
+    def digit(d: Int): Char =
+      (if (d < 26) 'a' + d else '0' + d - 26).toChar
+    def adapt(d0: Int, numPoints: Int, first: Boolean): Int = {
+      var d = if (first) d0 / 700 else d0 / 2
+      d += d / numPoints
+      var k = 0
+      while (d > ((36 - 1) * 26) / 2) { d /= 36 - 1; k += 36 }
+      k + (36 * d) / (d + 38)
+    }
+    var n = 128
+    var delta = 0
+    var bias = 72
+    var h = b
+    while (h < cps.length) {
+      var m = Int.MaxValue
+      cps.foreach(c => if (c >= n && c < m) m = c)
+      require(m - n <= (Int.MaxValue - delta) / (h + 1), "punycode overflow")
+      delta += (m - n) * (h + 1)
+      n = m
+      cps.foreach { c =>
+        if (c < n) { delta += 1; require(delta > 0, "punycode overflow") }
+        if (c == n) {
+          var q = delta
+          var k = 36
+          var done = false
+          while (!done) {
+            val t = if (k <= bias) 1 else if (k >= bias + 26) 26 else k - bias
+            if (q < t) done = true
+            else {
+              out.append(digit(t + (q - t) % (36 - t)))
+              q = (q - t) / (36 - t)
+              k += 36
+            }
+          }
+          out.append(digit(q))
+          bias = adapt(delta, h + 1, h == b)
+          delta = 0
+          h += 1
+        }
+      }
+      delta += 1
+      n += 1
+    }
+    out.result()
   }
 
   private def isHex(c: Char): Boolean =

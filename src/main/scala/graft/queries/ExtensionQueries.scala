@@ -4065,6 +4065,25 @@ object ExtensionQueries {
         .orderBy("url")
     }),
 
+    // IDN hosts: non-ASCII hostnames NFC-lowercased and
+    // punycode-encoded (RFC 3492) under xn--; the varying id rides an
+    // ASCII label so the unicode labels stay constant (punycode output
+    // depends on every code point's position) — expected ACE forms
+    // cross-checked against an independent punycode implementation.
+    "q_url_idn" -> ((s, dir) => {
+      val d = col("doc_id")
+      val m = (d % 4).cast(IntegerType)
+      val raw = when(m === 0,
+          concat(lit("http://MÜNCHEN.d"), d, lit(".test/x")))
+        .when(m === 1, concat(lit("http://bücher.d"), d, lit(".test/")))
+        .when(m === 2, concat(lit("http://ascii"), d, lit(".TEST/x")))
+        .otherwise(concat(lit("http://мир.d"), d, lit(".test/x")))
+      t(s, dir, "documents")
+        .select(d, raw.as("url_raw"),
+          graft.expressions.NativeUrl.canonicalizeUrl(raw).as("url_ace"))
+        .orderBy("doc_id")
+    }),
+
     // Sitemap discovery off robots.txt: the group-independent Sitemap
     // lines (case-insensitive key, comments stripped) surface as
     // canonicalized per-host seeds — one, two, or zero per host by the
@@ -4832,6 +4851,11 @@ object ExtensionQueries {
     // summed over in-edges, damped, Q20-quantized
     "q_link_rank" ->
       """WITH e AS (SELECT 'n' || (doc_id % 32) AS src, 'n' || ((doc_id + 1) % 32) AS dst FROM documents WHERE doc_id < 256 UNION ALL SELECT 'n' || (doc_id % 32), 'n' || ((doc_id * 5 + 3) % 32) FROM documents WHERE doc_id < 256), nodes AS (SELECT DISTINCT src AS url FROM e UNION SELECT DISTINCT dst FROM e), od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src), r0 AS (SELECT url, 1.0 AS rank FROM nodes), c1 AS (SELECT e.dst AS url, SUM(r0.rank / od.outdeg) AS i FROM e JOIN r0 ON e.src = r0.url JOIN od ON e.src = od.src GROUP BY e.dst), r1 AS (SELECT n.url, 0.15 + 0.85 * COALESCE(c1.i, 0) AS rank FROM nodes n LEFT JOIN c1 ON n.url = c1.url), c2 AS (SELECT e.dst AS url, SUM(r1.rank / od.outdeg) AS i FROM e JOIN r1 ON e.src = r1.url JOIN od ON e.src = od.src GROUP BY e.dst), r2 AS (SELECT n.url, 0.15 + 0.85 * COALESCE(c2.i, 0) AS rank FROM nodes n LEFT JOIN c2 ON n.url = c2.url) SELECT url, CAST(ROUND(rank * 1048576) AS BIGINT) AS rank_q20 FROM r2 ORDER BY url""",
+
+    // the ACE forms as literals (the oracle does not re-derive
+    // punycode — it pins the exact expected spelling)
+    "q_url_idn" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS m FROM documents) SELECT doc_id, CASE m WHEN 0 THEN 'http://MÜNCHEN.d' || doc_id || '.test/x' WHEN 1 THEN 'http://bücher.d' || doc_id || '.test/' WHEN 2 THEN 'http://ascii' || doc_id || '.TEST/x' ELSE 'http://мир.d' || doc_id || '.test/x' END AS url_raw, CASE m WHEN 0 THEN 'http://xn--mnchen-3ya.d' || doc_id || '.test/x' WHEN 1 THEN 'http://xn--bcher-kva.d' || doc_id || '.test/' WHEN 2 THEN 'http://ascii' || doc_id || '.test/x' ELSE 'http://xn--h1ahn.d' || doc_id || '.test/x' END AS url_ace FROM d ORDER BY doc_id""",
 
     // seeds per host recomputed from the cycle: the uppercase-scheme
     // default-port lane canonicalizes, the two-line lane keeps both,

@@ -88,6 +88,19 @@ class UrlCanonicalSpec extends SparkSpec {
     assert(rows.contains(None) && rows.contains(Some("http://a.test/")))
   }
 
+  test("IDN hosts: NFC + lowercase + RFC 3492 punycode under xn--") {
+    // vectors cross-checked against Python's punycode codec
+    assert(c("http://MÜNCHEN.test/x") == "http://xn--mnchen-3ya.test/x")
+    assert(c("http://bücher.de/") == "http://xn--bcher-kva.de/")
+    assert(c("http://ελ.gr/") == "http://xn--qxam.gr/")
+    assert(c("http://例え.jp/") == "http://xn--r8jz45g.jp/")
+    assert(c("http://мир.test/") == "http://xn--h1ahn.test/")
+    // only the non-ASCII label encodes; ASCII labels pass as-is
+    assert(c("http://мир.Sub1.TEST/p") == "http://xn--h1ahn.sub1.test/p")
+    // non-ASCII in the PATH is untouched (host identity only)
+    assert(c("http://a.test/ü") == "http://a.test/ü")
+  }
+
   private def r(base: String, ref: String): String = {
     val out = graft.expressions.UrlResolveKernels.resolveUrlKernel(
       UTF8String.fromString(base), UTF8String.fromString(ref))
