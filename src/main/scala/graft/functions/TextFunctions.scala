@@ -418,4 +418,33 @@ object TextFunctions {
     * ([[graft.expressions.MojibakeKernels]]). */
   def fixMojibake(text: Column): Column =
     graft.expressions.NativeMojibake.fixMojibake(text)
+
+  /** Intra-document navigation/boilerplate line removal — the
+    * line-level rule battery of the RefinedWeb recipe (Penedo et al.
+    * 2023 §3.1 line-wise filtering; the per-line complement of the
+    * corpus-frequency removal `CorpusPipeline.curate` already runs):
+    * a line DROPS when it is (a) empty after trim, (b) caps-dominant —
+    * uppercase > 60% of its ≥4 alphabetic chars (nav bars, section
+    * headers), (c) a short bullet/enumeration item (≤3 tokens behind a
+    * `-`/`*`/`•`/`1.`-style prefix), or (d) a stray ≤2-token fragment
+    * with no terminal punctuation ("Read more", "Copyright"). Ratios
+    * are integer cross-multiplications (`upper·10 > alpha·6`), never
+    * doubles, so the verdicts replay bit-exactly in any engine. Pure
+    * higher-order-function plan (split → filter → array_join), fully
+    * codegen'd, zero UDFs — a narrow map at any corpus size. */
+  def dropNavLines(text: Column): Column = {
+    val kept = filter(split(text, "\n"), l => {
+      val t = trim(l)
+      val alpha = length(regexp_replace(t, "[^A-Za-z]", ""))
+      val upper = length(regexp_replace(t, "[^A-Z]", ""))
+      val ntok = size(split(t, " +"))
+      val terminal = t.rlike("[.!?\"”]$")
+      val bullet = t.rlike("^([-*•]|[0-9]+[.)]) ")
+      (t =!= "") &&
+        !(upper * lit(10) > alpha * lit(6) && alpha >= 4) &&
+        !(bullet && ntok <= 3) &&
+        !(ntok <= 2 && !terminal)
+    })
+    array_join(kept, "\n")
+  }
 }

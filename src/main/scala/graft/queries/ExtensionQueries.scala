@@ -4065,6 +4065,30 @@ object ExtensionQueries {
         .orderBy("url")
     }),
 
+    // Line-level boilerplate removal (the RefinedWeb line rules): six
+    // planted lines per document — a terminal-punctuated body line
+    // (kept), a caps-dominant nav bar (dropped), a short bullet
+    // (dropped), a long numbered item (kept — bullets only drop when
+    // short), and two stray fragments (dropped) — the filtered text
+    // and both counts recomputed literally.
+    "q_line_filter" -> ((s, dir) => {
+      val d = col("doc_id")
+      val raw = concat_ws("\n",
+        concat(col("text"), lit(".")),
+        lit("HOME | ABOUT | CONTACT"),
+        concat(lit("- item "), d),
+        lit("Read more"),
+        concat(lit("1. A numbered list item with plenty of words "), d),
+        concat(lit("Copyright "), d))
+      val clean = TF.dropNavLines(raw)
+      t(s, dir, "documents")
+        .select(d,
+          size(split(raw, "\n")).as("n_in"),
+          size(split(clean, "\n")).as("n_kept"),
+          clean.as("text_clean"))
+        .orderBy("doc_id")
+    }),
+
     // IDN hosts: non-ASCII hostnames NFC-lowercased and
     // punycode-encoded (RFC 3492) under xn--; the varying id rides an
     // ASCII label so the unicode labels stay constant (punycode output
@@ -4851,6 +4875,10 @@ object ExtensionQueries {
     // summed over in-edges, damped, Q20-quantized
     "q_link_rank" ->
       """WITH e AS (SELECT 'n' || (doc_id % 32) AS src, 'n' || ((doc_id + 1) % 32) AS dst FROM documents WHERE doc_id < 256 UNION ALL SELECT 'n' || (doc_id % 32), 'n' || ((doc_id * 5 + 3) % 32) FROM documents WHERE doc_id < 256), nodes AS (SELECT DISTINCT src AS url FROM e UNION SELECT DISTINCT dst FROM e), od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src), r0 AS (SELECT url, 1.0 AS rank FROM nodes), c1 AS (SELECT e.dst AS url, SUM(r0.rank / od.outdeg) AS i FROM e JOIN r0 ON e.src = r0.url JOIN od ON e.src = od.src GROUP BY e.dst), r1 AS (SELECT n.url, 0.15 + 0.85 * COALESCE(c1.i, 0) AS rank FROM nodes n LEFT JOIN c1 ON n.url = c1.url), c2 AS (SELECT e.dst AS url, SUM(r1.rank / od.outdeg) AS i FROM e JOIN r1 ON e.src = r1.url JOIN od ON e.src = od.src GROUP BY e.dst), r2 AS (SELECT n.url, 0.15 + 0.85 * COALESCE(c2.i, 0) AS rank FROM nodes n LEFT JOIN c2 ON n.url = c2.url) SELECT url, CAST(ROUND(rank * 1048576) AS BIGINT) AS rank_q20 FROM r2 ORDER BY url""",
+
+    // the two surviving lines reassembled literally
+    "q_line_filter" ->
+      """SELECT doc_id, 6 AS n_in, 2 AS n_kept, text || '.' || chr(10) || '1. A numbered list item with plenty of words ' || doc_id AS text_clean FROM documents ORDER BY doc_id""",
 
     // the ACE forms as literals (the oracle does not re-derive
     // punycode — it pins the exact expected spelling)

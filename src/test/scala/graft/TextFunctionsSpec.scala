@@ -238,4 +238,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rights("<p>plain page</p>") ==
       (("", false, false, false, false, "", "", "")))
   }
+
+  test("dropNavLines: the RefinedWeb line rules, kept lines verbatim") {
+    import spark.implicits._
+    def clean(s: String): String =
+      Seq(s).toDF("t").select(TF.dropNavLines($"t")).collect()(0).getString(0)
+    // each rule in isolation
+    assert(clean("A real sentence stays here.") == "A real sentence stays here.")
+    assert(clean("HOME | ABOUT | CONTACT") == "")          // caps-dominant
+    assert(clean("- item") == "")                          // short bullet
+    assert(clean("Read more") == "")                       // stray fragment
+    assert(clean("Copyright") == "")                       // 1-token fragment
+    assert(clean("ok.") == "ok.")                          // short BUT terminal
+    assert(clean("1. A numbered item with plenty of words") ==
+      "1. A numbered item with plenty of words")           // long bullet kept
+    assert(clean("NASA confirmed the launch today.") ==
+      "NASA confirmed the launch today.")                  // acronym ≠ nav bar
+    // composition: drops interleave, kept lines keep their bytes
+    assert(clean("Body text one.\n\nMENU ITEMS HERE\n  indented keeps spaces.  \n* go") ==
+      "Body text one.\n  indented keeps spaces.  ")
+    // empty input
+    assert(clean("") == "")
+  }
 }
