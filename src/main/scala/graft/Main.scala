@@ -128,7 +128,8 @@ object Main {
     // Writes parquet: <outDir>/documents (curated + split) and
     // <outDir>/pack-manifest (train-split context-window map).
     case "corpus" :: rest if rest.filterNot(f => f == "--near-dup" ||
-        f == "--gopher" || f == "--wet" || f.startsWith("--cap=") ||
+        f == "--gopher" || f == "--wet" || f == "--nav-lines" ||
+        f.startsWith("--cap=") ||
         f.startsWith("--budget=") || f.startsWith("--block=") ||
         f.startsWith("--drop-lines=")).length == 2 =>
       val nearDup = rest.contains("--near-dup")
@@ -165,7 +166,8 @@ object Main {
         .map(v => v.toLongOption.filter(_ > 1)
           .getOrElse(sys.error(s"--drop-lines expects an integer > 1, got: $v")))
       val (in :: out :: Nil) = rest.filterNot(f => f == "--near-dup" ||
-        f == "--gopher" || f == "--wet" || f.startsWith("--cap=") ||
+        f == "--gopher" || f == "--wet" || f == "--nav-lines" ||
+        f.startsWith("--cap=") ||
         f.startsWith("--budget=") || f.startsWith("--block=") ||
         f.startsWith("--drop-lines=")): @unchecked
       val spark = session("graft-corpus")
@@ -182,7 +184,9 @@ object Main {
           spark.read.textFile(f).toDF("host")
             .select(trim(col("host")).as("host"))
             .filter(length(col("host")) > 0 && !col("host").startsWith("#"))),
-        dropLinesMinDocFreq = dropLines)
+        dropLinesMinDocFreq = dropLines,
+        // --nav-lines: the per-page RefinedWeb line rules
+        navLineRules = rest.contains("--nav-lines"))
       curated.documents.write.mode("overwrite").parquet(s"$out/documents")
       curated.packManifest.write.mode("overwrite").parquet(s"$out/pack-manifest")
       println(s"curated: ${spark.read.parquet(s"$out/documents").count()} docs, " +

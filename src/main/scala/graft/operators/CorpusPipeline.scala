@@ -78,7 +78,8 @@ object CorpusPipeline {
       sourceCap: Option[(String, Int)] = None,
       tokenBudgets: Option[(String, Map[String, Long], Long)] = None,
       blockedHosts: Option[DataFrame] = None,
-      dropLinesMinDocFreq: Option[Long] = None): CuratedCorpus = {
+      dropLinesMinDocFreq: Option[Long] = None,
+      navLineRules: Boolean = false): CuratedCorpus = {
     val unblocked = blockedHosts.fold(raw)(b =>
       UrlFilter.dropBlockedHosts(raw, "url", b))
     val lineClean = dropLinesMinDocFreq.fold(unblocked) { n =>
@@ -87,7 +88,16 @@ object CorpusPipeline {
       val cleaned = Dedup.dropFrequentLines(unblocked, "doc_id", "text", n)
       unblocked.drop("text").join(cleaned, Seq("doc_id"))
     }
-    val scored = scoreAndFilter(lineClean, minTokens, maxDupNgramRatio, gopherRules)
+    // navLineRules: the per-page RefinedWeb line battery
+    // (TF.dropNavLines) after the corpus-frequency pass — same
+    // ordering rationale: boilerplate never inflates quality scores,
+    // and the exact dedup sees cleaned text. A narrow codegen'd map,
+    // no extra pass.
+    val navClean =
+      if (navLineRules)
+        lineClean.withColumn("text", TF.dropNavLines(col("text")))
+      else lineClean
+    val scored = scoreAndFilter(navClean, minTokens, maxDupNgramRatio, gopherRules)
     val kept = maxDupSpanFraction.fold(scored) { f =>
       val heavy = Dedup.dupSpanStats(scored, "doc_id", "text")
         .filter(col("dup_fraction") > f)

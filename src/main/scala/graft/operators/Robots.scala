@@ -42,8 +42,12 @@ object Robots {
     @transient lazy val rx: java.util.regex.Pattern = compile(pattern)
   }
 
-  /** One user-agent group: agent tokens and rules, in file order. */
-  final case class Group(agents: Seq[String], rules: Seq[Rule])
+  /** One user-agent group: agent tokens and rules, in file order;
+    * `crawlDelay` carries the group's de-facto `Crawl-delay:` seconds
+    * when present (not part of RFC 9309, but the politeness extension
+    * large crawlers honor). */
+  final case class Group(agents: Seq[String], rules: Seq[Rule],
+      crawlDelay: Option[Double] = None)
 
   /** A rule pattern as a compiled prefix matcher: literal chunks
     * between `*`s, `$` forcing end-of-path; used via `lookingAt` so an
@@ -64,6 +68,7 @@ object Robots {
     * contract — the distributed face maps that to fail-closed). */
   def parseRobots(bytes: Array[Byte], mediaId: Long = -1L): Seq[Group] = {
     val groups = ArrayBuffer.empty[(ArrayBuffer[String], ArrayBuffer[Rule])]
+    val delays = ArrayBuffer.empty[Option[Double]]
     var openAgents = false // consecutive user-agent lines extend one group
     for (raw <- new String(bytes, UTF_8).split("\n", -1)) {
       val line = { val h = raw.indexOf('#')
@@ -75,7 +80,10 @@ object Robots {
         val value = line.substring(c + 1).trim
         key match {
           case "user-agent" =>
-            if (!openAgents) groups += ((ArrayBuffer.empty, ArrayBuffer.empty))
+            if (!openAgents) {
+              groups += ((ArrayBuffer.empty, ArrayBuffer.empty))
+              delays += None
+            }
             groups(groups.length - 1)._1 += value.toLowerCase(Locale.ROOT)
             openAgents = true
           case "allow" | "disallow" =>
@@ -86,11 +94,84 @@ object Robots {
             // under deny-by-exception, recorded as nothing
             if (value.nonEmpty)
               groups(groups.length - 1)._2 += Rule(key == "allow", value)
+          case "crawl-delay" =>
+            // politeness extension: kept on the group when parseable
+            // and positive; nonsense values are skipped like any other
+            // unknown directive, never an error
+            openAgents = false
+            if (groups.nonEmpty)
+              value.toDoubleOption.filter(d => d > 0 && d.isFinite)
+                .foreach(d => delays(delays.length - 1) = Some(d))
           case _ => openAgents = false // extension directive: skipped
         }
       }
     }
-    groups.map { case (a, r) => Group(a.toSeq, r.toSeq) }.toSeq
+    groups.zip(delays)
+      .map { case ((a, r), d) => Group(a.toSeq, r.toSeq, d) }.toSeq
+  }
+
+  /** The `Crawl-delay` seconds that apply to `agent` — from the
+    * group(s) matching at the winning specificity (the SAME group
+    * selection as [[isAllowed]]); when several merged groups carry
+    * delays, the MAXIMUM wins (the conservative politeness read).
+    * None when no matching group declares one. */
+  def crawlDelay(groups: Seq[Group], agent: String): Option[Double] = {
+    val a = agent.toLowerCase(Locale.ROOT)
+    def groupSpec(g: Group): Int = {
+      var best = -1
+      for (tok <- g.agents) {
+        val spec =
+          if (tok == "*") 0
+          else if (a.contains(tok)) tok.length
+          else -1
+        if (spec > best) best = spec
+      }
+      best
+    }
+    val specs = groups.map(groupSpec)
+    val bestSpec = if (specs.isEmpty) -1 else specs.max
+    if (bestSpec < 0) return None
+    val ds = groups.zip(specs)
+      .collect { case (g, s) if s == bestSpec => g.crawlDelay }
+      .flatten
+    if (ds.isEmpty) None else Some(ds.max)
+  }
+
+  /** Per-host politeness delays for `agent` over the rule corpus —
+    * one `(host, delay_s)` row per rule file, `defaultDelayS` when the
+    * file declares none for this agent or fails to parse (scheduling
+    * assumes the ALLOWED filter already ran; politeness needs a delay
+    * either way). One narrow pass, hosts-scale output. */
+  def hostDelays(robots: Dataset[(String, Array[Byte])], agent: String,
+      defaultDelayS: Double = 1.0): DataFrame = {
+    import robots.sparkSession.implicits._
+    robots.map { case (h, b) =>
+      val d =
+        try crawlDelay(parseRobots(b), agent)
+        catch { case _: Exception => None }
+      (h, d.getOrElse(defaultDelayS))
+    }.toDF("host", "delay_s")
+  }
+
+  /** Politeness schedule over a frontier: every URL gains its host's
+    * `delay_s` and a `fetch_at_s` slot — (per-host fetch rank − 1) ×
+    * delay, URLs ranked in URL order (deterministic). The plan is the
+    * frontier joined to the hosts-scale delay table (broadcastable;
+    * AQE picks the shuffled join past that) plus ONE host-partitioned
+    * rank window — the same per-host grain a real fetcher schedules
+    * at; a pathologically hot host is one window partition, the
+    * documented skew defense being the upstream per-host frontier cap. */
+  def fetchSchedule(urls: DataFrame, robots: Dataset[(String, Array[Byte])],
+      agent: String, defaultDelayS: Double = 1.0): DataFrame = {
+    val hostCol = lower(regexp_extract(col("url"),
+      "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/]+)", 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("url")
+    urls.withColumn("host", hostCol)
+      .join(hostDelays(robots, agent, defaultDelayS), Seq("host"), "left")
+      .withColumn("delay_s", coalesce(col("delay_s"), lit(defaultDelayS)))
+      .withColumn("fetch_at_s",
+        (row_number().over(w) - 1).cast("double") * col("delay_s"))
   }
 
   /** True when the rule pattern matches a prefix of `path`. */

@@ -4108,6 +4108,33 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // Politeness schedule: per-host Crawl-delay (the specific-agent
+    // group beating the catch-all, the fractional form, and the
+    // declare-nothing default) × per-host URL-ordered fetch slots —
+    // every (delay, slot, fetch_at) recomputed; the power-of-two
+    // delays keep the double products engine-exact.
+    "q_fetch_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val rules = s.range(0, 10).as[Long].map { h =>
+        val body = (h % 3) match {
+          case 0 => "User-agent: graftbot\nCrawl-delay: 2\n" +
+            "User-agent: *\nCrawl-delay: 9\n"
+          case 1 => "User-agent: *\nDisallow: /x\nCrawl-delay: 0.5\n"
+          case _ => "User-agent: *\nDisallow: /x\n"
+        }
+        (s"h$h.test",
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      val frontier = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://h"), col("doc_id") % 10, lit(".test/p"),
+            col("doc_id")).as("url"))
+      graft.operators.Robots.fetchSchedule(frontier, rules, "graftbot/1.0")
+        .select(col("doc_id"), col("host"), col("url"),
+          col("delay_s"), col("fetch_at_s"))
+        .orderBy("doc_id")
+    }),
+
     // Sitemap discovery off robots.txt: the group-independent Sitemap
     // lines (case-insensitive key, comments stripped) surface as
     // canonicalized per-host seeds — one, two, or zero per host by the
@@ -4884,6 +4911,11 @@ object ExtensionQueries {
     // punycode — it pins the exact expected spelling)
     "q_url_idn" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS m FROM documents) SELECT doc_id, CASE m WHEN 0 THEN 'http://MÜNCHEN.d' || doc_id || '.test/x' WHEN 1 THEN 'http://bücher.d' || doc_id || '.test/' WHEN 2 THEN 'http://ascii' || doc_id || '.TEST/x' ELSE 'http://мир.d' || doc_id || '.test/x' END AS url_raw, CASE m WHEN 0 THEN 'http://xn--mnchen-3ya.d' || doc_id || '.test/x' WHEN 1 THEN 'http://xn--bcher-kva.d' || doc_id || '.test/' WHEN 2 THEN 'http://ascii' || doc_id || '.test/x' ELSE 'http://xn--h1ahn.d' || doc_id || '.test/x' END AS url_ace FROM d ORDER BY doc_id""",
+
+    // delays from the host cycle, slots from the same per-host
+    // URL-order rank
+    "q_fetch_schedule" ->
+      """WITH f AS (SELECT doc_id, doc_id % 10 AS h, 'http://h' || (doc_id % 10) || '.test/p' || doc_id AS url FROM documents), r AS (SELECT doc_id, h, url, CAST(row_number() OVER (PARTITION BY h ORDER BY url) - 1 AS DOUBLE) AS slot, CASE CAST(h % 3 AS INTEGER) WHEN 0 THEN 2.0 WHEN 1 THEN 0.5 ELSE 1.0 END AS delay_s FROM f) SELECT doc_id, 'h' || h || '.test' AS host, url, delay_s, slot * delay_s AS fetch_at_s FROM r ORDER BY doc_id""",
 
     // seeds per host recomputed from the cycle: the uppercase-scheme
     // default-port lane canonicalizes, the two-line lane keeps both,

@@ -79,6 +79,24 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(docs(1L).getAs[Long]("n_tokens") == 3L)
   }
 
+  test("curate: navLineRules strips per-page nav lines before scoring") {
+    val raw = Seq(
+      (1L, "A real paragraph of body text.\nHOME | ABOUT | CONTACT\nRead more"),
+      (2L, "Another body paragraph entirely.\n- go"))
+      .toDF("doc_id", "text")
+    val docs = CorpusPipeline.curate(raw, navLineRules = true)
+      .documents.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(docs(1L).getAs[String]("text") == "A real paragraph of body text.")
+    assert(docs(2L).getAs[String]("text") == "Another body paragraph entirely.")
+    // scored on the cleaned text: nav tokens never inflate n_tokens
+    assert(docs(1L).getAs[Long]("n_tokens") == 6L)
+    // and OFF by default — the raw text flows untouched
+    val off = CorpusPipeline.curate(raw).documents.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(off(1L).contains("HOME | ABOUT | CONTACT"))
+  }
+
   test("curate with near-dup stage: token-preserving mutants collapse to min id") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"

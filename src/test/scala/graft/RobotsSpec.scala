@@ -120,4 +120,46 @@ class RobotsSpec extends SparkSpec {
     assert(!Robots.isAllowed(named, "graftbot", "/tmp/x")) // merged named
     assert(!Robots.isAllowed(named, "otherbot", "/public")) // * still binds
   }
+
+  test("crawl-delay: group selection, max-merge, nonsense skipped") {
+    // the specific agent's delay beats the catch-all's
+    assert(Robots.crawlDelay(standard, "graftbot/1.0") == Some(2.0))
+    // the * group declares none → None for other agents
+    assert(Robots.crawlDelay(standard, "otherbot") == None)
+    // fractional values parse; merged same-specificity groups take MAX
+    val merged = groups(
+      "User-agent: a\nCrawl-delay: 0.5\nDisallow: /x\n" +
+        "User-agent: a\nCrawl-delay: 3\nDisallow: /y\n")
+    assert(Robots.crawlDelay(merged, "a") == Some(3.0))
+    // nonsense / non-positive values are skipped like unknown directives
+    assert(Robots.crawlDelay(groups(
+      "User-agent: a\nCrawl-delay: soon\nDisallow: /x"), "a") == None)
+    assert(Robots.crawlDelay(groups(
+      "User-agent: a\nCrawl-delay: -1\nDisallow: /x"), "a") == None)
+    // no matching group at all
+    assert(Robots.crawlDelay(Seq.empty, "a") == None)
+  }
+
+  test("fetchSchedule: per-host slots × delays, defaults for silent hosts") {
+    import spark.implicits._
+    val rules = Seq(
+      ("slow.test", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"
+        .getBytes(UTF_8)),
+      ("quiet.test", "User-agent: *\nDisallow: /x\n".getBytes(UTF_8)))
+      .toDS()
+    val frontier = Seq(
+      "http://slow.test/a", "http://slow.test/b", "http://slow.test/c",
+      "http://quiet.test/a", "http://norules.test/a",
+      "http://norules.test/b").toDF("url")
+    val got = Robots.fetchSchedule(frontier, rules, "bot", defaultDelayS = 1.0)
+      .collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[Double]("delay_s"), r.getAs[Double]("fetch_at_s")))).toMap
+    assert(got("http://slow.test/a") == ((2.0, 0.0)))
+    assert(got("http://slow.test/b") == ((2.0, 2.0)))
+    assert(got("http://slow.test/c") == ((2.0, 4.0)))
+    assert(got("http://quiet.test/a") == ((1.0, 0.0))) // file, no delay
+    assert(got("http://norules.test/a") == ((1.0, 0.0))) // no file at all
+    assert(got("http://norules.test/b") == ((1.0, 1.0)))
+  }
 }
