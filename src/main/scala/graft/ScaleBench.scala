@@ -661,6 +661,72 @@ object ScaleBench {
         }
       }
 
+      // outlink extraction at scale: the corpus as HTML pages of TEN
+      // links each (relative and absolute alternating, a <base href>
+      // on every other page — untimed writer), timed region =
+      // frontierLinks running the codegen html-links extraction, the
+      // base-tag override, RFC 3986 resolution, and canonicalization
+      // per anchor. One explode over the record scan, zero shuffle:
+      // linear seconds, 10 edges out per page.
+      if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+          .exists(!_.exists("frontier_links".contains))) {
+        import spark.implicits._
+        val linksWarcDir = s"$scaleDir/warc_links"
+        graft.io.Warc.writeWarcResponses(
+          corpus.select(col("doc_id"),
+              concat(lit("http://seg.test/doc/"), col("doc_id")).as("u"))
+            .as[(Long, String)]
+            .map { case (id, u) =>
+              val base =
+                if (id % 2 == 0) s"""<base href="http://b${id % 1000}.test/dir/">"""
+                else ""
+              val links = (0 until 10).map { k =>
+                if (k % 2 == 0) s"""<a href="../rel$id-$k">anchor $id $k</a>"""
+                else s"""<a href="http://abs${(id + k) % 1000}.test/P$k">anchor $k</a>"""
+              }.mkString
+              (u, "text/html",
+                ("<html><head>" + base + "</head><body>" + links +
+                  "<p>body</p></body></html>")
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+            .toDF("target_uri", "content_type", "payload")
+            .repartition(cpus.toInt),
+          linksWarcDir)
+        measure("frontier_links", s"$scaleDir/out_frontier_links") {
+          graft.io.Warc.frontierLinks(graft.io.Warc.readWarc(spark, linksWarcDir))
+        }
+        // anchor-text corpus over the extracted edges (persisted
+        // untimed): the dedup-then-rank-then-join shape — one distinct
+        // aggregate, one host-partitioned rank window, one final
+        // aggregate, all keyed on the target URL. Targets grow with
+        // the corpus (rel links are per-doc-unique), so per-key volume
+        // stays constant and the expected shape is linear.
+        val fl = graft.io.Warc
+          .frontierLinks(graft.io.Warc.readWarc(spark, linksWarcDir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fl.count()
+        measure("anchor_texts", s"$scaleDir/out_anchor_texts") {
+          graft.operators.LinkRank.anchorTexts(fl, maxAnchors = 8)
+        }
+        fl.unpersist()
+      }
+
+      // link rank at scale: a planted multigraph whose NODE space is
+      // fixed (10,007 urls) while edges grow linearly with the corpus
+      // (two per doc), TWO surfer iterations — per iteration one
+      // src-keyed join of edges to ranks plus one dst-keyed aggregate;
+      // the rank side stays nodes-sized at every scale, so the
+      // expected shape is linear in edges with constant per-key
+      // volume (the prime modulus spreads both endpoints).
+      measure("link_rank", s"$scaleDir/out_link_rank") {
+        val edges = corpus.select(
+            concat(lit("n"), col("doc_id") % 10007).as("from_url"),
+            concat(lit("n"), (col("doc_id") * 7 + 1) % 10007).as("to_url"))
+          .unionAll(corpus.select(
+            concat(lit("n"), col("doc_id") % 10007).as("from_url"),
+            concat(lit("n"), (col("doc_id") * 13 + 5) % 10007).as("to_url")))
+        graft.operators.LinkRank.pageRank(edges, iters = 2)
+      }
+
       // tag-invariant MPEG stream identity at scale: every doc carries a
       // coded stream on its id's (layer, rate, kbps, frames) cycle — ids
       // with id%5==1 are RE-TAGGED twins of id-1's audio — and the media
