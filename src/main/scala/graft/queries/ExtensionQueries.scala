@@ -3969,14 +3969,16 @@ object ExtensionQueries {
       originals.unionByName(mirrors).orderBy("doc_id", "url")
     }),
 
-    // URL canonicalization (RFC 3986 §6.2): eight planted lanes —
-    // case folding, default-port drop, dot-segments, percent decode of
-    // unreserved octets + hex uppercasing (incl. %2E entering the
-    // dot-segment pass and %2F NOT splitting a segment), empty-path
-    // slash, userinfo/explicit-port preservation, IPv6 literals, and
-    // the non-hierarchical passthrough — the codegen'd kernel's output
+    // RFC 3986 §6.2 canonicalization (the FRONTIER-identity kernel —
+    // distinct from q_url_canonical's dedup-identity chain, which adds
+    // tracker stripping on top): eight planted lanes — case folding,
+    // default-port drop, dot-segments, percent decode of unreserved
+    // octets + hex uppercasing (incl. %2E entering the dot-segment
+    // pass and %2F NOT splitting a segment), empty-path slash,
+    // userinfo/explicit-port preservation, IPv6 literals, and the
+    // non-hierarchical passthrough — the codegen'd kernel's output
     // recomputed literally by the oracle.
-    "q_url_canonical" -> ((s, dir) => {
+    "q_url_rfc3986" -> ((s, dir) => {
       val d = col("doc_id")
       val m = (d % 8).cast(IntegerType)
       val raw = when(m === 0,
@@ -4879,7 +4881,7 @@ object ExtensionQueries {
 
     // both the raw spelling and its canonical form recomputed from the
     // id cycles — every normalization rule is a literal expectation
-    "q_url_canonical" ->
+    "q_url_rfc3986" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS m FROM documents) SELECT doc_id, CASE m WHEN 0 THEN 'HTTP://Example' || doc_id || '.COM/a/b/../c#frag' WHEN 1 THEN 'http://ex' || doc_id || '.test:80/%7euser/%41bc' WHEN 2 THEN 'https://Ex' || doc_id || '.test:443/a/./b/?q=%2fx%7e' WHEN 3 THEN 'http://ex' || doc_id || '.test' WHEN 4 THEN 'http://u:P@Ex' || doc_id || '.test:8080//a//b/.' WHEN 5 THEN 'http://[2001:DB8::' || (doc_id % 9 + 1) || ']:80/x' WHEN 6 THEN 'mailto:a' || doc_id || '@b.test' ELSE 'https://ex' || doc_id || '.test/%61%2F%2e%2e/safe' END AS url_raw, CASE m WHEN 0 THEN 'http://example' || doc_id || '.com/a/c' WHEN 1 THEN 'http://ex' || doc_id || '.test/~user/Abc' WHEN 2 THEN 'https://ex' || doc_id || '.test/a/b/?q=%2Fx~' WHEN 3 THEN 'http://ex' || doc_id || '.test/' WHEN 4 THEN 'http://u:P@ex' || doc_id || '.test:8080//a//b/' WHEN 5 THEN 'http://[2001:db8::' || (doc_id % 9 + 1) || ']/x' WHEN 6 THEN 'mailto:a' || doc_id || '@b.test' ELSE 'https://ex' || doc_id || '.test/a%2F../safe' END AS url_canonical FROM d ORDER BY doc_id""",
 
     // resolve ∘ canonicalize recomputed from the id cycles; the
