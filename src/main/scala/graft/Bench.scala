@@ -65,8 +65,12 @@ object Bench {
     // self-arbitration: a snapshot started on a busy box (load above
     // an eighth of the core count) is flagged loaded=true — such runs
     // carry phantom per-query regressions and must be re-run idle
-    // before publishing, never read round-over-round
-    val loaded = loadStart > cpus.toDouble / 8.0
+    // before publishing, never read round-over-round. The threshold is
+    // the MACHINE's core count (what /proc/loadavg measures), not the
+    // session's `local[n]` parallelism — a 32-core box at load 0.75 is
+    // idle no matter how many threads this session was given.
+    val machineCores = Runtime.getRuntime.availableProcessors()
+    val loaded = loadStart > machineCores.toDouble / 8.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpus":$cpus,"loaded":$loaded}""")
     spark.stop()
   }
