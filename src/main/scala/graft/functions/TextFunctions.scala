@@ -419,6 +419,28 @@ object TextFunctions {
   def fixMojibake(text: Column): Column =
     graft.expressions.NativeMojibake.fixMojibake(text)
 
+  /** Writing-system profile (dominant script, dominance ratio, script
+    * count) via the JDK's Unicode script property — the multilingual
+    * routing signal in front of any per-language pipeline. Codegen'd
+    * native kernel ([[graft.expressions.ScriptKernels]]). */
+  def scriptProfile(text: Column): Column =
+    graft.expressions.NativeScript.scriptProfile(text)
+
+  /** Encoding-damage counters — the complement of [[fixMojibake]] for
+    * damage that is NOT invertible: U+FFFD replacement characters (a
+    * decoder already gave up) and C0 control bytes other than
+    * tab/newline/CR (binary junk in a "text" payload). `clean` is the
+    * zero-damage verdict a curation policy keys on. Pure codegen'd
+    * length/replace arithmetic, engine-replayable. */
+  def encodingQuality(text: Column): Column = {
+    val n = length(text)
+    val nRepl = n - length(regexp_replace(text, "�", ""))
+    val nCtrl = n - length(regexp_replace(text,
+      "[\u0000-\u0008\u000B\u000C\u000E-\u001F]", ""))
+    struct(nRepl.as("n_replacement"), nCtrl.as("n_control"),
+      (nRepl + nCtrl === 0).as("clean"))
+  }
+
   /** Intra-document navigation/boilerplate line removal — the
     * line-level rule battery of the RefinedWeb recipe (Penedo et al.
     * 2023 §3.1 line-wise filtering; the per-line complement of the

@@ -4067,6 +4067,50 @@ object ExtensionQueries {
         .orderBy("url")
     }),
 
+    // Writing-system profile: six planted lanes — the corpus text
+    // (pure Latin: ratio exactly 1.0, n_chars = its alpha count),
+    // single-script Cyrillic/Greek/Han constants, a mixed Latin+
+    // Cyrillic lane whose dominance ratio is an exact small-integer
+    // division, and a scriptless lane — every struct field recomputed
+    // literally (the JDK Unicode script property is the kernel; the
+    // oracle pins its outputs, it does not re-derive them).
+    "q_script_profile" -> ((s, dir) => {
+      val d = col("doc_id")
+      val m = (d % 6).cast(IntegerType)
+      val sample = when(m === 0, col("text"))
+        .when(m === 1, lit("привет мир пример текста"))
+        .when(m === 2, lit("καλημέρα κόσμε"))
+        .when(m === 3, lit("漢字文本示例"))
+        .when(m === 4, lit("word слово word"))
+        .otherwise(lit("12345 !!! ..."))
+      val p = TF.scriptProfile(sample)
+      t(s, dir, "documents")
+        .select(d, p.getField("script").as("script"),
+          p.getField("script_ratio").as("script_ratio"),
+          p.getField("n_scripts").as("n_scripts"),
+          p.getField("n_chars").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Encoding-damage counters: a clean lane, a lane with two planted
+    // U+FFFD replacement characters, and a lane with one C0 control —
+    // counts and the zero-damage verdict recomputed literally.
+    "q_encoding_quality" -> ((s, dir) => {
+      val d = col("doc_id")
+      val m = (d % 3).cast(IntegerType)
+      val sample = when(m === 0, col("text"))
+        .when(m === 1, concat(col("text"), lit(" bad ��")))
+        // a BEL (0x07) planted between text and tail — built in Scala
+        // so the source stays free of literal control bytes
+        .otherwise(concat(col("text"), lit(7.toChar.toString + "tail")))
+      val q = TF.encodingQuality(sample)
+      t(s, dir, "documents")
+        .select(d, q.getField("n_replacement").as("n_replacement"),
+          q.getField("n_control").as("n_control"),
+          q.getField("clean").as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // Line-level boilerplate removal (the RefinedWeb line rules): six
     // planted lines per document — a terminal-punctuated body line
     // (kept), a caps-dominant nav bar (dropped), a short bullet
@@ -4904,6 +4948,16 @@ object ExtensionQueries {
     // summed over in-edges, damped, Q20-quantized
     "q_link_rank" ->
       """WITH e AS (SELECT 'n' || (doc_id % 32) AS src, 'n' || ((doc_id + 1) % 32) AS dst FROM documents WHERE doc_id < 256 UNION ALL SELECT 'n' || (doc_id % 32), 'n' || ((doc_id * 5 + 3) % 32) FROM documents WHERE doc_id < 256), nodes AS (SELECT DISTINCT src AS url FROM e UNION SELECT DISTINCT dst FROM e), od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src), r0 AS (SELECT url, 1.0 AS rank FROM nodes), c1 AS (SELECT e.dst AS url, SUM(r0.rank / od.outdeg) AS i FROM e JOIN r0 ON e.src = r0.url JOIN od ON e.src = od.src GROUP BY e.dst), r1 AS (SELECT n.url, 0.15 + 0.85 * COALESCE(c1.i, 0) AS rank FROM nodes n LEFT JOIN c1 ON n.url = c1.url), c2 AS (SELECT e.dst AS url, SUM(r1.rank / od.outdeg) AS i FROM e JOIN r1 ON e.src = r1.url JOIN od ON e.src = od.src GROUP BY e.dst), r2 AS (SELECT n.url, 0.15 + 0.85 * COALESCE(c2.i, 0) AS rank FROM nodes n LEFT JOIN c2 ON n.url = c2.url) SELECT url, CAST(ROUND(rank * 1048576) AS BIGINT) AS rank_q20 FROM r2 ORDER BY url""",
+
+    // the Latin lane's n_chars is its alpha count (digits/punct are
+    // COMMON, excluded); the mixed lane's ratio is the exact division
+    // 8/13; the scriptless lane is the empty profile
+    "q_script_profile" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS m, length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha FROM documents) SELECT doc_id, CASE m WHEN 0 THEN 'LATIN' WHEN 1 THEN 'CYRILLIC' WHEN 2 THEN 'GREEK' WHEN 3 THEN 'HAN' WHEN 4 THEN 'LATIN' ELSE '' END AS script, CASE m WHEN 4 THEN CAST(8 AS DOUBLE) / 13 WHEN 5 THEN 0.0 ELSE 1.0 END AS script_ratio, CASE m WHEN 4 THEN 2 WHEN 5 THEN 0 ELSE 1 END AS n_scripts, CASE m WHEN 0 THEN alpha WHEN 1 THEN 21 WHEN 2 THEN 13 WHEN 3 THEN 6 WHEN 4 THEN 13 ELSE 0 END AS n_chars FROM d ORDER BY doc_id""",
+
+    // two planted U+FFFDs on lane 1, one planted C0 control on lane 2
+    "q_encoding_quality" ->
+      """SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER) WHEN 1 THEN 2 ELSE 0 END AS n_replacement, CASE CAST(doc_id % 3 AS INTEGER) WHEN 2 THEN 1 ELSE 0 END AS n_control, doc_id % 3 = 0 AS clean FROM documents ORDER BY doc_id""",
 
     // the two surviving lines reassembled literally
     "q_line_filter" ->
