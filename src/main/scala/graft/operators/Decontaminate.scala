@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Benchmark decontamination — the eval-integrity pass every serious
+  * training pipeline runs (the GPT-3 appendix-C recipe, since adopted
+  * by PaLM/Llama and the open reproductions): a training document that
+  * shares ANY verbatim token n-gram with an evaluation benchmark is
+  * flagged (or dropped), because models memorize, and a contaminated
+  * eval score is not a measurement. The match is exact-token overlap —
+  * `TF.shingles` n-grams (distinct windows, the ≤n whole-text
+  * fallback) on BOTH sides, so the operator is deterministic and the
+  * oracle replays the identical gram algebra in SQL.
+  *
+  * Scale shape (the reason this is two asymmetric joins, not one):
+  * the benchmark side is EVAL-scale — thousands of documents, a gram
+  * set in the tens of MB — so its distinct grams BROADCAST, and the
+  * corpus side's exploded grams left-semi-join against them without a
+  * corpus-scale shuffle; the surviving contaminated ids are rare by
+  * construction, so the distinct and the flag-back join are both
+  * small-side broadcasts too. Nothing in the plan shuffles the corpus.
+  * A benchmark too large to broadcast flips the semi-join to a
+  * shuffled hash join via AQE — correctness unchanged. */
+object Decontaminate {
+
+  /** Every row of `docs` plus a `contaminated` flag: true when the
+    * document shares at least one verbatim token n-gram with any
+    * `bench` row's text. */
+  def flagContaminated(docs: DataFrame, bench: DataFrame, n: Int = 13,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, "n must be positive")
+    val benchGrams = bench
+      .select(explode(TF.shingles(col(textCol), n)).as("gram")).distinct()
+    val contaminated = docs
+      .select(col(idCol), explode(TF.shingles(col(textCol), n)).as("gram"))
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("__contaminated", lit(true))
+    docs.join(contaminated, Seq(idCol), "left")
+      .withColumn("contaminated",
+        coalesce(col("__contaminated"), lit(false)))
+      .drop("__contaminated")
+  }
+
+  /** The keep-side of [[flagContaminated]]: `docs` minus every
+    * contaminated row — the form a training-data build calls. */
+  def dropContaminated(docs: DataFrame, bench: DataFrame, n: Int = 13,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    flagContaminated(docs, bench, n, textCol, idCol)
+      .filter(!col("contaminated")).drop("contaminated")
+}

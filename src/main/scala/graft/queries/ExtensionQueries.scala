@@ -4067,6 +4067,20 @@ object ExtensionQueries {
         .orderBy("url")
     }),
 
+    // Benchmark decontamination: every tenth document IS the planted
+    // benchmark; the 5-gram overlap join must flag exactly the
+    // documents sharing a verbatim window with it — the oracle replays
+    // the identical gram algebra (windows, distinct, the ≤n fallback)
+    // in SQL, so incidental cross-document shared 5-grams are matched
+    // by BOTH engines, not assumed away.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 10 === 0).select("text")
+      graft.operators.Decontaminate.flagContaminated(docs, bench, n = 5)
+        .select("doc_id", "contaminated")
+        .orderBy("doc_id")
+    }),
+
     // Writing-system profile: six planted lanes — the corpus text
     // (pure Latin: ratio exactly 1.0, n_chars = its alpha count),
     // single-script Cyrillic/Greek/Han constants, a mixed Latin+
@@ -4948,6 +4962,12 @@ object ExtensionQueries {
     // summed over in-edges, damped, Q20-quantized
     "q_link_rank" ->
       """WITH e AS (SELECT 'n' || (doc_id % 32) AS src, 'n' || ((doc_id + 1) % 32) AS dst FROM documents WHERE doc_id < 256 UNION ALL SELECT 'n' || (doc_id % 32), 'n' || ((doc_id * 5 + 3) % 32) FROM documents WHERE doc_id < 256), nodes AS (SELECT DISTINCT src AS url FROM e UNION SELECT DISTINCT dst FROM e), od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src), r0 AS (SELECT url, 1.0 AS rank FROM nodes), c1 AS (SELECT e.dst AS url, SUM(r0.rank / od.outdeg) AS i FROM e JOIN r0 ON e.src = r0.url JOIN od ON e.src = od.src GROUP BY e.dst), r1 AS (SELECT n.url, 0.15 + 0.85 * COALESCE(c1.i, 0) AS rank FROM nodes n LEFT JOIN c1 ON n.url = c1.url), c2 AS (SELECT e.dst AS url, SUM(r1.rank / od.outdeg) AS i FROM e JOIN r1 ON e.src = r1.url JOIN od ON e.src = od.src GROUP BY e.dst), r2 AS (SELECT n.url, 0.15 + 0.85 * COALESCE(c2.i, 0) AS rank FROM nodes n LEFT JOIN c2 ON n.url = c2.url) SELECT url, CAST(ROUND(rank * 1048576) AS BIGINT) AS rank_q20 FROM r2 ORDER BY url""",
+
+    // the same gram algebra replayed: per-doc distinct 5-token windows
+    // (whole text when ≤ 5 tokens), benchmark = every tenth doc's
+    // grams, contamination = any shared gram
+    "q_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents), g AS (SELECT doc_id, unnest(CASE WHEN len(t) <= 5 THEN [array_to_string(t, ' ')] ELSE list_distinct([array_to_string(list_slice(t, i, i + 4), ' ') FOR i IN generate_series(1, len(t) - 4)]) END) AS gram FROM tok), bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0), c AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram)) SELECT d.doc_id, c.doc_id IS NOT NULL AS contaminated FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id ORDER BY d.doc_id""",
 
     // the Latin lane's n_chars is its alpha count (digits/punct are
     // COMMON, excluded); the mixed lane's ratio is the exact division
