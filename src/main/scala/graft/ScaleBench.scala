@@ -710,6 +710,27 @@ object ScaleBench {
         fl.unpersist()
       }
 
+      // benchmark decontamination at scale: the benchmark is FIXED
+      // (copy-0's first 500 docs — eval sets do not grow with the
+      // training corpus) while the corpus scales; flagged docs are
+      // exactly copy 0's benchmark rows (salted copies share no
+      // vocabulary, so cross-copy grams cannot collide). Expected
+      // shape: the benchmark gram set broadcasts, the corpus side is
+      // a narrow explode + broadcast semi join — linear seconds,
+      // shuffle bounded by the rare contaminated-id set, never the
+      // corpus.
+      if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+          .exists(!_.exists("decontaminate".contains))) {
+        val benchFixed = corpus
+          .filter(col("doc_id") >= 0 && col("doc_id") < 500)
+          .select("text")
+        measure("decontaminate", s"$scaleDir/out_decontaminate") {
+          graft.operators.Decontaminate.flagContaminated(
+              corpus.select("doc_id", "text"), benchFixed, n = 5)
+            .filter(col("contaminated"))
+        }
+      }
+
       // link rank at scale: a planted multigraph whose NODE space is
       // fixed (10,007 urls) while edges grow linearly with the corpus
       // (two per doc), TWO surfer iterations — per iteration one

@@ -22,8 +22,16 @@ import graft.functions.{TextFunctions => TF}
   * corpus-scale shuffle; the surviving contaminated ids are rare by
   * construction, so the distinct and the flag-back join are both
   * small-side broadcasts too. Nothing in the plan shuffles the corpus.
-  * A benchmark too large to broadcast flips the semi-join to a
-  * shuffled hash join via AQE — correctness unchanged. */
+  *
+  * Both small sides carry an EXPLICIT broadcast hint, not a prayer to
+  * the planner: their size estimates derive from the CORPUS relation
+  * (a filter/aggregate over it), which without column statistics stays
+  * corpus-sized, and the measured 100× octave showed the planner
+  * flipping the semi join to a 1.3 GB corpus-side shuffle exactly
+  * because of that. The hint encodes the operator's contract — the
+  * benchmark is eval-scale and contamination is rare; a benchmark
+  * genuinely too large to broadcast should be split and the operator
+  * run per shard (the flag is a union-friendly boolean). */
 object Decontaminate {
 
   /** Every row of `docs` plus a `contaminated` flag: true when the
@@ -36,10 +44,10 @@ object Decontaminate {
       .select(explode(TF.shingles(col(textCol), n)).as("gram")).distinct()
     val contaminated = docs
       .select(col(idCol), explode(TF.shingles(col(textCol), n)).as("gram"))
-      .join(benchGrams, Seq("gram"), "left_semi")
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
       .select(col(idCol)).distinct()
       .withColumn("__contaminated", lit(true))
-    docs.join(contaminated, Seq(idCol), "left")
+    docs.join(broadcast(contaminated), Seq(idCol), "left")
       .withColumn("contaminated",
         coalesce(col("__contaminated"), lit(false)))
       .drop("__contaminated")
