@@ -36,45 +36,84 @@ object IndexLock {
   def withLock[T](spark: SparkSession, indexDir: String, verb: String,
       leaseMs: Long = Long.MaxValue)(body: => T): T = {
     val token = acquire(spark, indexDir, verb, leaseMs)
-    try body finally release(spark, indexDir, token)
+    try body finally release(spark, indexDir, token, leaseMs)
   }
 
-  /** Operator recovery after a crashed (process-death) writer: clears
-    * the lock unconditionally. Never called by the verbs themselves. */
+  /** Operator recovery after a crashed (process-death) writer or
+    * breaker: clears the lock AND any break ticket unconditionally.
+    * Never called by the verbs themselves. */
   def forceUnlock(spark: SparkSession, indexDir: String): Unit = {
     val (fs, p) = lockPath(spark, indexDir)
     fs.delete(p, false)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      p.getParent, s"$LockName.break"), false)
   }
 
-  private def lockPath(spark: SparkSession, indexDir: String) =
-    graft.io.Sinks.fsFor(spark, s"$indexDir/$LockName")
+  private def lockPath(spark: SparkSession, indexDir: String) = {
+    val (fs0, p) = graft.io.Sinks.fsFor(spark, s"$indexDir/$LockName")
+    // lock files live on the RAW filesystem: the checksum wrapper's
+    // non-atomic create can leave a stale .crc sidecar behind a LOSING
+    // create attempt, after which the WINNER's own lock reads as
+    // corrupt (ChecksumException → unreadable) and its release cannot
+    // verify ownership — observed as a leaked lease under the thread
+    // race. A one-line lease file needs no checksum; HDFS and object
+    // stores are not ChecksumFileSystems, so this only affects local.
+    val fs = fs0 match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+    (fs, p)
+  }
 
   /** Acquire the lease; returns this writer's ownership token.
     *
-    * The opt-in expired-lease break is RENAME-based, not
-    * delete-then-create: two waiters that both observe an expired
-    * holder and both blind-`delete(p)` race — the slower delete
-    * removes the faster waiter's FRESH lock and both end up holding.
-    * Renaming the specific observed file is atomic (exactly one
-    * waiter's rename succeeds; the loser sees the source gone and
-    * takes the error path), and the winner verifies the renamed
-    * content is the holder it observed as expired before creating —
-    * a content mismatch means a fresh lock was stolen, which is
-    * restored and reported loudly. */
+    * The opt-in expired-lease break is TICKETED: a breaker must first
+    * win `.writer-lock.break` by atomic create — so at most ONE
+    * breaker exists — then re-read the lock, and only if it still
+    * carries the holder it observed as expired delete + re-create it.
+    * Why not rename-based? Rename is atomic but UNCONDITIONAL: a
+    * waiter holding a stale observation can rename a FRESH lock away,
+    * and in the window before the restore another waiter's create
+    * succeeds — two holders (observed under a thread-race test, not
+    * hypothetical). With the ticket, the lock file can only be removed
+    * by (a) its own unexpired holder's release — an EXPIRED holder's
+    * release self-forfeits, see [[release]] — or (b) the single ticket
+    * holder after content verification, so a fresh lock is never
+    * touched and single-holder is by construction, not by luck. A
+    * breaker that dies holding the ticket wedges future breaks (never
+    * correctness); the wedge self-identifies once the ticket itself
+    * ages past the lease and the message names [[forceUnlock]], which
+    * clears both files. */
   private def acquire(spark: SparkSession, indexDir: String, verb: String,
       leaseMs: Long): String = {
     val (fs, p) = lockPath(spark, indexDir)
     val token = java.util.UUID.randomUUID().toString
-    def tryCreate(): Boolean =
-      try {
-        val out = fs.create(p, false)
-        out.write(
-          (s"verb=$verb\nacquired_ms=${System.currentTimeMillis()}\n" +
-            s"token=$token\n")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+    def tryCreate(path: org.apache.hadoop.fs.Path): Boolean = {
+      val body =
+        (s"verb=$verb\nacquired_ms=${System.currentTimeMillis()}\n" +
+          s"token=$token\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      fs match {
+        // HDFS/object stores: create(overwrite = false) is atomic by
+        // contract. The LOCAL filesystem's is check-then-act — two
+        // racing creates can both "succeed" (observed as a double
+        // hold under the thread-race spec) — so local locks go
+        // through NIO's CREATE_NEW, which is O_EXCL at the OS level.
+        case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          try {
+            val local = java.nio.file.Paths.get(path.toUri.getPath)
+            val out = java.nio.file.Files.newOutputStream(local,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            out.write(body); out.close(); true
+          } catch { case _: java.io.IOException => false }
+        case _ =>
+          try {
+            val out = fs.create(path, false)
+            out.write(body); out.close(); true
+          } catch { case _: java.io.IOException => false }
+      }
+    }
     def fail(holder: Option[(String, Long, String)]): Nothing = {
       val desc = holder
         .map { case (v, ms, _) => s"verb '$v' since epoch-ms $ms" }
@@ -86,33 +125,34 @@ object IndexLock {
           "IndexLock.forceUnlock and re-run; the verbs are re-runnable " +
           "from any crash point.")
     }
-    if (tryCreate()) return token
+    if (tryCreate(p)) return token
     val holder = readHolder(fs, p)
-    val expired = leaseMs != Long.MaxValue && holder.exists {
-      case (_, ms, _) => System.currentTimeMillis() - ms > leaseMs
-    }
-    if (expired) {
-      val break = new org.apache.hadoop.fs.Path(
-        p.getParent, s"$LockName.break-$token")
-      val renamed = try fs.rename(p, break)
-        catch { case _: java.io.IOException => false }
-      if (renamed) {
-        if (readHolder(fs, break) == holder) {
-          fs.delete(break, false)
-          if (tryCreate()) return token
-        } else {
-          // A fresh lock slid in between observation and rename:
-          // put it back and refuse; if the restore itself loses a
-          // race, say so loudly rather than leave two holders.
-          val restored = try fs.rename(break, p)
-            catch { case _: java.io.IOException => false }
-          if (!restored) throw new IllegalStateException(
-            s"index $indexDir: lease-break race detected and the " +
-              s"displaced fresh lock could not be restored (see " +
-              s"$break) — resolve with IndexLock.forceUnlock after " +
-              "confirming no writer is live.")
-        }
+    def expiredAt(h: Option[(String, Long, String)]): Boolean =
+      leaseMs != Long.MaxValue && h.exists {
+        case (_, ms, _) => System.currentTimeMillis() - ms > leaseMs
       }
+    if (expiredAt(holder)) {
+      val ticket = new org.apache.hadoop.fs.Path(
+        p.getParent, s"$LockName.break")
+      if (!tryCreate(ticket)) {
+        // another break is in progress — or a crashed breaker's wedge,
+        // which self-identifies once the ticket ages past the lease
+        if (expiredAt(readHolder(fs, ticket))) throw new IllegalStateException(
+          s"index $indexDir: a lease breaker died holding the break " +
+            s"ticket ($ticket) — clear it with IndexLock.forceUnlock " +
+            "after confirming no writer is live.")
+        fail(holder)
+      }
+      try {
+        // single ticketed breaker, and releases of expired leases
+        // self-forfeit: the lock file cannot change under us, so a
+        // content match proves we delete exactly the expired holder
+        if (readHolder(fs, p) == holder) {
+          fs.delete(p, false)
+          if (tryCreate(p)) return token
+        }
+        fail(holder) // a fresh writer slid in (or won the re-create)
+      } finally fs.delete(ticket, false)
     }
     fail(holder)
   }
@@ -136,16 +176,23 @@ object IndexLock {
         yield (v, ms.toLong, kv.getOrElse("token", ""))
     } catch { case _: Exception => None }
 
-  /** Token-verified release: only the writer whose token is in the
-    * file may delete it — a writer whose lease was broken must not
-    * delete the breaker's fresh lock on its way out. */
+  /** Token-verified, self-forfeiting release: only the writer whose
+    * token is in the file may delete it — a writer whose lease was
+    * broken must not delete the breaker's fresh lock on its way out —
+    * and a TTL writer finishing PAST its own lease forfeits the file
+    * instead of deleting it (a ticketed breaker may be mid-break on
+    * the stability guarantee that expired locks only change under the
+    * ticket). An unreadable file is likewise not ours to clear
+    * (forceUnlock is the recovery tool), never a best-effort delete. */
   private def release(spark: SparkSession, indexDir: String,
-      token: String): Unit = {
+      token: String, leaseMs: Long): Unit = {
     val (fs, p) = lockPath(spark, indexDir)
     readHolder(fs, p) match {
-      case Some((_, _, t)) if t == token => fs.delete(p, false)
-      case None => fs.delete(p, false) // unreadable/absent: best effort
-      case Some(_) => // broken-and-reacquired lease: not ours to clear
+      case Some((_, ms, t)) if t == token =>
+        val forfeited = leaseMs != Long.MaxValue &&
+          System.currentTimeMillis() - ms > leaseMs
+        if (!forfeited) fs.delete(p, false)
+      case _ => // not ours (broken-and-reacquired), or unreadable
     }
   }
 }

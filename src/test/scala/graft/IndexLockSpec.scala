@@ -158,8 +158,10 @@ class IndexLockSpec extends SparkSpec {
   }
   test("expired-lease break is single-winner; a displaced writer's release spares the new lock") {
     // N waiters all observe the same expired lease and race to break
-    // it: the rename-based break admits AT MOST ONE holder at a time
-    // (the old delete-then-create race let two through)
+    // it: the TICKETED break admits AT MOST ONE holder at a time —
+    // the earlier rename-based break let a stale observer rename a
+    // FRESH lock away (this very test caught it under load), and the
+    // original delete-then-create let two through
     val dir = tmp("graft_lock_break")
     plantLock(dir, "died", ageMs = 86400000L)
     val inCritical = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -213,6 +215,39 @@ class IndexLockSpec extends SparkSpec {
     val body = java.nio.file.Files.readString(lockFile.toPath)
     assert(body.contains("verb=breaker"))
     breaker.join(); breakerDone.await()
-    assert(!lockFile.exists()) // the breaker's own release clears it
+    // the breaker outlived its OWN 50ms lease, so its release
+    // FORFEITS the file (expired locks may only change under the
+    // break ticket — the stability guarantee single-holder rests on);
+    // the self-expired leftover is broken cleanly by the next TTL
+    // acquire, so forfeiture costs one break, never an operator
+    assert(lockFile.exists(), "a forfeited lease file should remain")
+    assert(IndexLock.withLock(spark, dir2, "next", leaseMs = 50L) { 9 } == 9)
+    assert(!lockFile.exists())
+  }
+
+  test("a crashed breaker's ticket wedges breaks loudly; forceUnlock clears it") {
+    val dir = tmp("graft_lock_wedge")
+    plantLock(dir, "died", ageMs = 86400000L)
+    // plant a crashed breaker's ticket, itself long past any lease
+    val ticket = new java.io.File(dir, ".writer-lock.break")
+    java.nio.file.Files.writeString(ticket.toPath,
+      s"verb=deadbreaker\nacquired_ms=${System.currentTimeMillis() - 86400000L}\ntoken=x\n")
+    val e = intercept[IllegalStateException] {
+      IndexLock.withLock(spark, dir, "w", leaseMs = 60000L) { 1 }
+    }
+    assert(e.getMessage.contains("forceUnlock") &&
+      e.getMessage.contains("break"))
+    // a FRESH ticket (live breaker) fails with the ordinary holder
+    // message instead — no false wedge alarm
+    java.nio.file.Files.writeString(ticket.toPath,
+      s"verb=livebreaker\nacquired_ms=${System.currentTimeMillis()}\ntoken=y\n")
+    val e2 = intercept[IllegalStateException] {
+      IndexLock.withLock(spark, dir, "w2", leaseMs = 60000L) { 1 }
+    }
+    assert(e2.getMessage.contains("concurrent writer"))
+    // recovery clears BOTH files and the index is writable again
+    IndexLock.forceUnlock(spark, dir)
+    assert(!ticket.exists() && !new java.io.File(dir, ".writer-lock").exists())
+    assert(IndexLock.withLock(spark, dir, "after") { 3 } == 3)
   }
 }
