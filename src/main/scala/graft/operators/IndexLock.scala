@@ -102,6 +102,10 @@ object IndexLock {
         case _: org.apache.hadoop.fs.RawLocalFileSystem =>
           try {
             val local = java.nio.file.Paths.get(path.toUri.getPath)
+            // Hadoop's create makes parent dirs; CREATE_NEW does not —
+            // the first verb on a FRESH index locks before the dir
+            // exists, and a parent-miss must not read as "lock held"
+            java.nio.file.Files.createDirectories(local.getParent)
             val out = java.nio.file.Files.newOutputStream(local,
               java.nio.file.StandardOpenOption.CREATE_NEW,
               java.nio.file.StandardOpenOption.WRITE)
