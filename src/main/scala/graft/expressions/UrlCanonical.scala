@@ -54,6 +54,11 @@ object UrlKernels {
     while (i < n) {
       val c = b(i)
       if (c == '%' || c == '#') return false
+      // '?' before any path slash: the URL has an empty path and gains
+      // the trailing '/' (http://ex.com?x → http://ex.com/?x). Without
+      // this, a '/' INSIDE the query would satisfy the empty-path
+      // guard below and the two spellings would fracture identity.
+      if (c == '?' && !authorityDone) return false
       if (c == '/') {
         slashes += 1
         if (inAuthority && !authorityDone) authorityDone = true

@@ -212,17 +212,23 @@ object Heif {
           s"media $mediaId: item $id has no iloc entry"))
       val out = new java.io.ByteArrayOutputStream()
       extents.foreach { case (off, len) =>
+        // u64 iloc fields are attacker-controlled: a wrapped Long sum
+        // (base+off, at+len) could pass an additive bound and turn the
+        // fail-loud contract into a raw IndexOutOfBounds — so bounds
+        // are non-negativity plus SUBTRACTED comparisons, never sums
+        require(off >= 0 && len >= 0,
+          s"media $mediaId: item $id extent field wraps a 64-bit sum")
         val at = method match {
           case 0 => off
           case 1 =>
             val (iAt, iEnd) = idat.getOrElse(
               throw new IllegalArgumentException(
                 s"media $mediaId: iloc method 1 without an idat box"))
-            require(off + len <= iEnd - iAt,
+            require(off <= (iEnd - iAt) - len,
               s"media $mediaId: item $id extent overruns idat")
             iAt + off
         }
-        require(at >= 0 && at + len <= b.length,
+        require(at >= 0 && len <= b.length - at,
           s"media $mediaId: item $id extent overruns the payload")
         out.write(b, at.toInt, len.toInt)
       }

@@ -76,10 +76,10 @@ object IndexLock {
     * and in the window before the restore another waiter's create
     * succeeds — two holders (observed under a thread-race test, not
     * hypothetical). With the ticket, the lock file can only be removed
-    * by (a) its own unexpired holder's release — an EXPIRED holder's
-    * release self-forfeits, see [[release]] — or (b) the single ticket
-    * holder after content verification, so a fresh lock is never
-    * touched and single-holder is by construction, not by luck. A
+    * UNDER the ticket after content verification — by its holder's
+    * release (see [[release]]) or by the single breaker — so a fresh
+    * lock is never touched and single-holder is by construction, not
+    * by luck. A
     * breaker that dies holding the ticket wedges future breaks (never
     * correctness); the wedge self-identifies once the ticket itself
     * ages past the lease and the message names [[forceUnlock]], which
@@ -88,36 +88,10 @@ object IndexLock {
       leaseMs: Long): String = {
     val (fs, p) = lockPath(spark, indexDir)
     val token = java.util.UUID.randomUUID().toString
-    def tryCreate(path: org.apache.hadoop.fs.Path): Boolean = {
-      val body =
-        (s"verb=$verb\nacquired_ms=${System.currentTimeMillis()}\n" +
+    def tryCreate(path: org.apache.hadoop.fs.Path): Boolean =
+      atomicCreate(fs, path,
+        s"verb=$verb\nacquired_ms=${System.currentTimeMillis()}\n" +
           s"token=$token\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      fs match {
-        // HDFS/object stores: create(overwrite = false) is atomic by
-        // contract. The LOCAL filesystem's is check-then-act — two
-        // racing creates can both "succeed" (observed as a double
-        // hold under the thread-race spec) — so local locks go
-        // through NIO's CREATE_NEW, which is O_EXCL at the OS level.
-        case _: org.apache.hadoop.fs.RawLocalFileSystem =>
-          try {
-            val local = java.nio.file.Paths.get(path.toUri.getPath)
-            // Hadoop's create makes parent dirs; CREATE_NEW does not —
-            // the first verb on a FRESH index locks before the dir
-            // exists, and a parent-miss must not read as "lock held"
-            java.nio.file.Files.createDirectories(local.getParent)
-            val out = java.nio.file.Files.newOutputStream(local,
-              java.nio.file.StandardOpenOption.CREATE_NEW,
-              java.nio.file.StandardOpenOption.WRITE)
-            out.write(body); out.close(); true
-          } catch { case _: java.io.IOException => false }
-        case _ =>
-          try {
-            val out = fs.create(path, false)
-            out.write(body); out.close(); true
-          } catch { case _: java.io.IOException => false }
-      }
-    }
     def fail(holder: Option[(String, Long, String)]): Nothing = {
       val desc = holder
         .map { case (v, ms, _) => s"verb '$v' since epoch-ms $ms" }
@@ -148,8 +122,8 @@ object IndexLock {
         fail(holder)
       }
       try {
-        // single ticketed breaker, and releases of expired leases
-        // self-forfeit: the lock file cannot change under us, so a
+        // single ticketed breaker, and releases verify+delete under
+        // this same ticket: the lock file cannot change under us, so a
         // content match proves we delete exactly the expired holder
         if (readHolder(fs, p) == holder) {
           fs.delete(p, false)
@@ -159,6 +133,36 @@ object IndexLock {
       } finally fs.delete(ticket, false)
     }
     fail(holder)
+  }
+
+  /** One atomic create-if-absent of `path` with `body`, the lock and
+    * ticket primitive. HDFS/object stores: create(overwrite = false)
+    * is atomic by contract. The LOCAL filesystem's is check-then-act —
+    * two racing creates can both "succeed" (observed as a double hold
+    * under the thread-race spec) — so local creates go through NIO's
+    * CREATE_NEW, which is O_EXCL at the OS level. */
+  private def atomicCreate(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, bodyStr: String): Boolean = {
+    val body = bodyStr.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    fs match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try {
+          val local = java.nio.file.Paths.get(path.toUri.getPath)
+          // Hadoop's create makes parent dirs; CREATE_NEW does not —
+          // the first verb on a FRESH index locks before the dir
+          // exists, and a parent-miss must not read as "lock held"
+          java.nio.file.Files.createDirectories(local.getParent)
+          val out = java.nio.file.Files.newOutputStream(local,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          out.write(body); out.close(); true
+        } catch { case _: java.io.IOException => false }
+      case _ =>
+        try {
+          val out = fs.create(path, false)
+          out.write(body); out.close(); true
+        } catch { case _: java.io.IOException => false }
+    }
   }
 
   private def readHolder(fs: org.apache.hadoop.fs.FileSystem,
@@ -180,23 +184,42 @@ object IndexLock {
         yield (v, ms.toLong, kv.getOrElse("token", ""))
     } catch { case _: Exception => None }
 
-  /** Token-verified, self-forfeiting release: only the writer whose
-    * token is in the file may delete it — a writer whose lease was
-    * broken must not delete the breaker's fresh lock on its way out —
-    * and a TTL writer finishing PAST its own lease forfeits the file
-    * instead of deleting it (a ticketed breaker may be mid-break on
-    * the stability guarantee that expired locks only change under the
-    * ticket). An unreadable file is likewise not ours to clear
-    * (forceUnlock is the recovery tool), never a best-effort delete. */
+  /** Token-verified release UNDER THE BREAK TICKET: the verify-then-
+    * delete must be atomic with respect to lease breaks, or a lease
+    * expiring exactly between the read and the delete can be ticket-
+    * broken and re-created by a waiter, and this writer then deletes
+    * the waiter's FRESH lock — the two-holder scenario the ticket
+    * protocol exists to prevent (it is also reachable when callers mix
+    * leaseMs values on one index, so a self-forfeit keyed on our OWN
+    * leaseMs is not sufficient). Holding the ticket excludes the
+    * single breaker, so a token match proves the file is still this
+    * writer's and the delete frees waiters even past the lease. If the
+    * ticket cannot be won after a brief retry, a breaker is live on
+    * our expired lease (or a crashed breaker wedged it — forceUnlock
+    * recovers): the lock is no longer ours to clear, so forfeit. An
+    * unreadable file is likewise left alone, never best-effort
+    * deleted. */
   private def release(spark: SparkSession, indexDir: String,
       token: String, leaseMs: Long): Unit = {
     val (fs, p) = lockPath(spark, indexDir)
-    readHolder(fs, p) match {
-      case Some((_, ms, t)) if t == token =>
-        val forfeited = leaseMs != Long.MaxValue &&
-          System.currentTimeMillis() - ms > leaseMs
-        if (!forfeited) fs.delete(p, false)
-      case _ => // not ours (broken-and-reacquired), or unreadable
+    val ticket = new org.apache.hadoop.fs.Path(
+      p.getParent, s"$LockName.break")
+    // a live breaker holds the ticket for milliseconds (read, delete,
+    // create, delete ticket) — retry briefly before forfeiting
+    var won = false
+    var attempt = 0
+    while (!won && attempt < 5) {
+      won = atomicCreate(fs, ticket,
+        s"verb=release\nacquired_ms=${System.currentTimeMillis()}\n" +
+          s"token=$token\n")
+      if (!won) { attempt += 1; Thread.sleep(10L * attempt) }
     }
+    if (!won) return // breaker live or wedged: not ours to clear
+    try {
+      readHolder(fs, p) match {
+        case Some((_, _, t)) if t == token => fs.delete(p, false)
+        case _ => // not ours (broken-and-reacquired), or unreadable
+      }
+    } finally fs.delete(ticket, false)
   }
 }

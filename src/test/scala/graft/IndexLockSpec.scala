@@ -215,12 +215,12 @@ class IndexLockSpec extends SparkSpec {
     val body = java.nio.file.Files.readString(lockFile.toPath)
     assert(body.contains("verb=breaker"))
     breaker.join(); breakerDone.await()
-    // the breaker outlived its OWN 50ms lease, so its release
-    // FORFEITS the file (expired locks may only change under the
-    // break ticket — the stability guarantee single-holder rests on);
-    // the self-expired leftover is broken cleanly by the next TTL
-    // acquire, so forfeiture costs one break, never an operator
-    assert(lockFile.exists(), "a forfeited lease file should remain")
+    // the breaker outlived its OWN 50ms lease, but release runs UNDER
+    // the break ticket (verify+delete atomic wrt breaks), so deleting
+    // its still-token-matching lock is safe even past the lease — no
+    // forfeited leftover, and the next acquire needs no break
+    assert(!lockFile.exists(), "ticketed release should clear an " +
+      "expired-but-unbroken holder's own lock")
     assert(IndexLock.withLock(spark, dir2, "next", leaseMs = 50L) { 9 } == 9)
     assert(!lockFile.exists())
   }

@@ -49,6 +49,10 @@ class UrlCanonicalSpec extends SparkSpec {
   test("empty path gains '/', fragment drops, IPv6 hosts lowercase") {
     assert(c("http://a.test") == "http://a.test/")
     assert(c("http://a.test?q=1") == "http://a.test/?q=1")
+    // a '/' INSIDE the query must not satisfy the fast path's
+    // empty-path check (it once did — two spellings of one fetch)
+    assert(c("http://a.test?next=/a") == "http://a.test/?next=/a")
+    assert(c("http://a.test/?next=/a") == "http://a.test/?next=/a")
     assert(c("http://a.test/x#frag") == "http://a.test/x")
     assert(c("http://a.test#frag") == "http://a.test/")
     assert(c("http://[2001:DB8::1]:80/x") == "http://[2001:db8::1]/x")
