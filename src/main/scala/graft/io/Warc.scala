@@ -730,51 +730,69 @@ object Warc {
           } catch { case _: Exception => None }
         if (parsed.isEmpty) // the whole archive is unreadable: ONE flagged row
           Iterator((url + "#", null: String, null: String, false))
-        else parsed.get.iterator.flatMap { case (name, data) =>
+        else parsed.get.iterator.flatMap { case (name0, data0) =>
+          // a codec-suffixed MEMBER (x.jsonl.gz inside a tar) peels its
+          // one codec layer and re-routes under the stripped name —
+          // exactly once (a .gz.gz is hostile nesting, not a lane)
+          val (name, data) =
+            try {
+              val peel = name0.toLowerCase(java.util.Locale.ROOT)
+                .matches(".*\\.(gz|gzip|xz|zst|zstd|lz4)$")
+              if (peel)
+                (graft.operators.Codec.stripSuffix(name0),
+                  graft.operators.Codec.decompressAuto(data0, maxOut = 1L << 30))
+              else (name0, data0)
+            } catch { case _: Exception => (name0, data0) }
           val n = name.toLowerCase(java.util.Locale.ROOT)
           def s = new String(data, java.nio.charset.StandardCharsets.UTF_8)
           try {
             if (n.endsWith(".txt"))
-              Some((url + "#" + name, s, null: String, true))
+              List((url + "#" + name, s, null: String, true))
+            else if (n.endsWith(".json") || n.endsWith(".jsonl") ||
+                n.endsWith(".ndjson"))
+              // one row per contained document, the response-face grain
+              graft.operators.Json.extractDocs(data).map { case (idx, text) =>
+                (url + "#" + name + (if (idx < 0) "" else s"#$idx"),
+                  text, null: String, true) }
             else if (n.endsWith(".md") || n.endsWith(".markdown"))
-              Some((url + "#" + name,
+              List((url + "#" + name,
                 graft.operators.Markdown.extractText(data), null: String, true))
             else if (n.endsWith(".html") || n.endsWith(".htm") ||
                 n.endsWith(".xhtml"))
-              Some((url + "#" + name, null: String, s, true))
+              List((url + "#" + name, null: String, s, true))
             else if (n.endsWith(".pdf"))
-              Some((url + "#" + name,
+              List((url + "#" + name,
                 graft.operators.Pdf.extractText(data), null: String, true))
             else if (n.endsWith(".docx"))
-              Some((url + "#" + name,
+              List((url + "#" + name,
                 graft.operators.Docx.extractText(data), null: String, true))
             else if (n.endsWith(".xlsx"))
-              Some((url + "#" + name,
+              List((url + "#" + name,
                 graft.operators.Xlsx.extractText(data), null: String, true))
             else if (n.endsWith(".pptx"))
-              Some((url + "#" + name,
+              List((url + "#" + name,
                 graft.operators.Pptx.extractText(data), null: String, true))
             else if (n.endsWith(".srt"))
-              Some((url + "#" + name,
+              List((url + "#" + name,
                 graft.operators.Subtitles.extractSrt(data).text, null: String, true))
             else if (n.endsWith(".vtt"))
-              Some((url + "#" + name,
+              List((url + "#" + name,
                 graft.operators.Subtitles.extractVtt(data).text, null: String, true))
             else if (n.endsWith(".epub"))
-              Some((url + "#" + name, null: String,
+              List((url + "#" + name, null: String,
                 graft.operators.Epub.spineHtml(data), true))
             else if (n.endsWith(".odt") || n.endsWith(".ods") ||
                 n.endsWith(".odp"))
-              Some((url + "#" + name,
+              List((url + "#" + name,
                 graft.operators.Odf.extractText(data), null: String, true))
             else if (n.endsWith(".sqlite") || n.endsWith(".sqlite3") ||
                 (n.endsWith(".db") && graft.operators.Sqlite.isSqlite(data)))
-              Some((url + "#" + name,
+              List((url + "#" + name,
                 graft.operators.Sqlite.extractText(data), null: String, true))
-            else None // non-text entry: skipped, not flagged
+            else Nil // non-text entry: skipped, not flagged
           } catch {
             case _: Exception =>
-              Some((url + "#" + name, null: String, null: String, false))
+              List((url + "#" + name, null: String, null: String, false))
           }
         }
       })
@@ -1075,6 +1093,42 @@ object Warc {
         col("extract_ok"))
   }
 
+  /** Curate-ready documents from JSON / JSONL responses
+    * (`application/json`, NDJSON's `application/x-ndjson` and
+    * `application/jsonlines`) — the API-response and training-dump
+    * carrier. Shape contract is [[graft.operators.Json.extractDocs]]:
+    * a single top-level object is ONE document at the response url; a
+    * top-level array or a JSONL body yields one document PER
+    * object/line at `url#<index>` (the per-line grain is the dump
+    * grain — a 1M-line dump must become 1M curate rows, not one);
+    * the text is the object's `text`/`content` string field. STRICT
+    * codec / tolerant bridge: a malformed payload (or one violating
+    * the field contract) degrades to a single flagged row for ITS url,
+    * never failing the partition. */
+  def toDocumentsJson(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    import graft.functions.TextFunctions
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type"))
+          .isin("application/json", "application/x-ndjson",
+            "application/jsonlines"))
+      .select(col("target_uri").as("url"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (url, bytes) =>
+        try graft.operators.Json.extractDocs(bytes).map { case (idx, text) =>
+          (if (idx < 0) url else s"$url#$idx", text, true)
+        } catch {
+          case _: Exception => Seq((url, null: String, false))
+        } })
+      .toDF("url", "text", "extract_ok")
+      .select(
+        xxhash64(col("url")).as("doc_id"), col("url"),
+        TextFunctions.langId(col("text")).as("lang"), col("text"),
+        col("extract_ok"))
+  }
+
   /** Curate-ready documents from `text/plain` responses: the payload IS
     * the text (decoded with the same charset rules as HTML), no
     * stripping — the third text carrier after HTML and PDF. */
@@ -1096,7 +1150,8 @@ object Warc {
     * text-bearing response routed to its extractor — `text/html` through
     * the HTML strip, `application/pdf` through the pure-JVM PDF
     * extractor, the OOXML trio (`.docx`/`.xlsx`/`.pptx`) through the
-    * ZIP central-directory strips, `text/plain` as-is — unioned into the shared
+    * ZIP central-directory strips, JSON/JSONL through the
+    * text-field contract, `text/plain` as-is — unioned into the shared
     * (doc_id, url, lang, text) shape `CorpusPipeline.curate` consumes.
     * Media-typed responses are [[toMedia]]'s business, not dropped here
     * silently — this is the TEXT face only. Each branch filters the same
@@ -1140,6 +1195,8 @@ object Warc {
       .unionByName(toDocumentsOdf(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsSqlite(records)
+        .filter(col("extract_ok")).drop("extract_ok"))
+      .unionByName(toDocumentsJson(records)
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsText(records))
 

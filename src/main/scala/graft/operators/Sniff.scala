@@ -150,6 +150,11 @@ object Sniff {
       if (lower.startsWith("<?xml")) return Some("application/xml")
       return Some("text/html") // bare markup: the html strip degrades well
     }
+    // JSON has no magic: claim only a COMPLETE parse (first JSONL line
+    // or whole head) — same strict grammar the extractor runs, so a
+    // payload sniffed json will parse as json downstream
+    if ((t.startsWith("{") || t.startsWith("[")) && Json.sniffJson(b))
+      return Some("application/json")
     if (t.startsWith("BEGIN:VCALENDAR")) return Some("text/calendar")
     if (t.startsWith("BEGIN:VCARD")) return Some("text/vcard")
     if (t.startsWith("WEBVTT")) return Some("text/vtt")

@@ -504,17 +504,19 @@ object ExtensionQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Session-scoped staging for q_ingest_matrix: EVERY
-    * `toDocuments`-routable carrier, cycling by `doc_id % 19` — html,
+    * `toDocuments`-routable carrier, cycling by `doc_id % 20` — html,
     * pdf (plain/Type0/encrypted thirds), docx, xlsx, pptx, epub, rtf,
     * subtitles (vtt/srt), archive (zip/ustar), csv, eml (all four MIME
     * shapes), mbox, tex, feed (rss/atom), sqlite, odf (odt/ods/odp),
-    * ics, markdown, text — all but CSV served under the octet-stream
-    * lie (CSV has no magic bytes and sniffs as `text/plain`, so it
-    * keeps its declared type — the declared-specific-type-wins half of
-    * the [[graft.operators.Sniff]] contract is on the oracle too).
-    * Sub-variants cycle on `doc_id / 19` so they decorrelate from the
-    * format lane. Generation is distributed (Dataset.map on
-    * executors); nothing ships from the driver. */
+    * ics, markdown, text, json — all but CSV served under the
+    * octet-stream lie (CSV has no magic bytes and sniffs as
+    * `text/plain`, so it keeps its declared type — the
+    * declared-specific-type-wins half of the [[graft.operators.Sniff]]
+    * contract is on the oracle too; JSON has no magic either, but its
+    * strict-parse sniff claims it from octet-stream). Sub-variants
+    * cycle on `doc_id / 20` so they decorrelate from the format lane.
+    * Generation is distributed (Dataset.map on executors); nothing
+    * ships from the driver. */
   private def ingestStage(s: SparkSession, dir: String): String =
     ingestStages.computeIfAbsent(dir, _ => {
       import s.implicits._
@@ -530,9 +532,9 @@ object ExtensionQueries {
           val sentences =
             text.split(java.util.regex.Pattern.quote(". "), -1).toSeq
           val x = sentences.mkString("\n")
-          val k = id / 19
+          val k = id / 20
           val octet = "application/octet-stream"
-          val (ct, payload) = (id % 19).toInt match {
+          val (ct, payload) = (id % 20).toInt match {
             case 0 => (octet,
               sentences.map(l => "<p>" + l + "</p>").mkString.getBytes(utf8))
             case 1 => (octet, (k % 3).toInt match {
@@ -579,9 +581,59 @@ object ExtensionQueries {
               Vobject.writeIcs(Seq(("Event 1", text))).getBytes(utf8))
             case 17 => (octet, Markdown.writeMarkdown(sentences,
               Seq("title" -> s"doc $id", "source" -> src)).getBytes(utf8))
-            case _ => (octet, x.getBytes(utf8))
+            case 18 => (octet, x.getBytes(utf8))
+            case _ => (octet, // json: single object, both serializations
+              ("{\"text\":" + Json.quote(x, asciiOnly = k % 2 == 0) +
+                ",\"n\":" + id + "}").getBytes(utf8))
           }
           (u, ct, payload) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
+  private val jsonStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_json_roundtrip: each document one
+    * `application/json` response cycling the THREE shape lanes on
+    * `doc_id % 3` — JSONL of three objects (the text, its `echo`, the
+    * id `tail` — derived items, the feed-stage pattern, because the
+    * corpus text is single-sentence at small SF), a single top-level
+    * object, and a top-level array of the same three objects. The
+    * middle item carries its text under `"content"` (with a nested-
+    * object decoy) while the others use `"text"` NEXT TO non-string
+    * `"content"`/number/boolean decoys — the preference order and the
+    * full value grammar (exponents, nulls, nested arrays) are on the
+    * oracle. Every text value carries the escape-battery rider (quote,
+    * backslash, solidus, €, ☃, tab, newline) and serialization
+    * alternates ASCII-only `\\uXXXX` escaping with literal UTF-8 on
+    * `doc_id % 2` — both must decode to the SAME oracle text. */
+  private def jsonStage(s: SparkSession, dir: String): String =
+    jsonStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, u, text) =>
+          import graft.operators.Json.quote
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          val rider = " r\"q\" \\ / € ☃\t\nz"
+          val ascii = id % 2 == 0
+          def items: Seq[String] = Seq(
+            s"""{"id":$id,"content":-1.5e-3,"text":${quote(text + rider, ascii)}}""",
+            s"""{"meta":{"a":[1,true,null]},"content":${quote("echo " + text + rider, ascii)}}""",
+            s"""{"text":${quote(s"tail $id" + rider, ascii)},"ok":true}""")
+          val body = (id % 3) match {
+            case 0 => items.mkString("\n")
+            case 1 =>
+              s"""{"title":${quote(s"Doc $id")},"text":${quote(text + rider, ascii)},"content":false,"tags":["a","b"],"n":0}"""
+            case _ => items.mkString("[", ",\n ", "]")
+          }
+          (u, "application/json", body.getBytes(utf8)) }
         .toDF("target_uri", "content_type", "payload")
       graft.io.Warc.writeWarcResponses(media, out)
       out
@@ -1210,6 +1262,11 @@ object ExtensionQueries {
     // build is encoder-bound (XZ), not IO-bound — a one-time build,
     // not query work, so it warms with the session models
     codecStage(s, dir)
+    // the 20-format matrix stage is likewise one-time generation
+    // (every carrier encoder runs once per doc): warming it makes
+    // q_ingest_matrix time ROUTING, not staging — the same hygiene
+    // split as codecStage, so the bench number means one thing
+    ingestStage(s, dir)
     ()
   }
 
@@ -4241,16 +4298,36 @@ object ExtensionQueries {
     // dispatch, and every downstream extractor are pinned together —
     // a format silently falling out of the dispatcher is a row-count
     // mismatch, a routing swap is a text mismatch.
+    // JSON/JSONL round-trip: the three shape lanes (JSONL / single
+    // object / array), the text-vs-content preference, the full escape
+    // battery under BOTH serializations, and every decoy field
+    // contributing nothing — the oracle rebuilds all rows from the
+    // documents table, so any grammar or contract defect is a hash
+    // mismatch. `item` is the within-payload document index (-1 for
+    // the single-object shape, whose url carries no fragment).
+    "q_json_roundtrip" -> ((s, dir) => {
+      val idx = regexp_extract(col("url"), "#(\\d+)$", 1)
+      graft.io.Warc.toDocumentsJson(
+          graft.io.Warc.readWarc(s, jsonStage(s, dir)))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)", 1)
+            .cast(LongType).as("doc_id"),
+          when(idx === "", lit(-1))
+            .otherwise(idx.cast(IntegerType)).as("item"),
+          col("text"))
+        .orderBy("doc_id", "item")
+    }),
+
     "q_ingest_matrix" -> ((s, dir) => {
       val lanes = Seq("html", "pdf", "docx", "xlsx", "pptx", "epub", "rtf",
         "subtitles", "archive", "csv", "eml", "mbox", "tex", "feed",
-        "sqlite", "odf", "ics", "markdown", "text")
+        "sqlite", "odf", "ics", "markdown", "text", "json")
       graft.io.Warc.toDocuments(graft.io.Warc.sniffTypes(
           graft.io.Warc.readWarc(s, ingestStage(s, dir))))
         .select(regexp_extract(col("url"), "doc/(\\d+)", 1)
           .cast(LongType).as("doc_id"), col("url"), col("text"))
         .withColumn("fmt", element_at(typedlit(lanes),
-          (col("doc_id") % 19).cast(IntegerType) + 1))
+          (col("doc_id") % 20).cast(IntegerType) + 1))
         .select("doc_id", "fmt", "url", "text")
         .orderBy("doc_id")
     }),
@@ -5008,8 +5085,15 @@ object ExtensionQueries {
     // the quoted comma cell, mail lanes prepend the subject, tex its
     // section title, feed/ics their single item/event head; fragment
     // urls (#p1.txt, #0) follow the per-entry archive convention
+    // the three shape lanes replayed from the documents table: JSONL
+    // and array lanes one row per sentence (0-based item), the
+    // single-object lane one row at item -1; every text carries the
+    // escape-battery rider verbatim
+    "q_json_roundtrip" ->
+      ("""WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS v, text FROM documents), multi AS (SELECT doc_id, CAST(0 AS INTEGER) AS item, text AS t FROM d WHERE v <> 1 UNION ALL SELECT doc_id, CAST(1 AS INTEGER), 'echo ' || text FROM d WHERE v <> 1 UNION ALL SELECT doc_id, CAST(2 AS INTEGER), 'tail ' || doc_id FROM d WHERE v <> 1), single AS (SELECT doc_id, CAST(-1 AS INTEGER) AS item, text AS t FROM d WHERE v = 1) SELECT doc_id, item, t || ' r"q" \ / € ☃' || chr(9) || chr(10) || 'z' AS text FROM (SELECT * FROM multi UNION ALL SELECT * FROM single) ORDER BY doc_id, item"""),
+
     "q_ingest_matrix" ->
-      """WITH d AS (SELECT doc_id, source, text, CAST(doc_id % 19 AS INTEGER) AS m, doc_id // 19 AS k, replace(text, '. ', chr(10)) AS x FROM documents) SELECT doc_id, (['html','pdf','docx','xlsx','pptx','epub','rtf','subtitles','archive','csv','eml','mbox','tex','feed','sqlite','odf','ics','markdown','text'])[m + 1] AS fmt, 'http://corpus.test/doc/' || doc_id || CASE WHEN m = 8 THEN '#p1.txt' WHEN m IN (11, 13, 16) THEN '#0' ELSE '' END AS url, CASE WHEN m IN (3, 14) OR (m = 15 AND k % 3 = 1) THEN source || chr(9) || replace(text, '. ', chr(10) || source || chr(9)) WHEN m = 9 THEN source || chr(9) || replace(text, '. ', chr(9) || 'v,' || doc_id || chr(10) || source || chr(9)) || chr(9) || 'v,' || doc_id WHEN m IN (10, 11) THEN 'Subject ' || doc_id || chr(10) || x WHEN m = 12 THEN 'Doc ' || doc_id || chr(10) || x WHEN m = 13 THEN 'Item 0' || chr(10) || text WHEN m = 16 THEN 'Event 1' || chr(10) || text ELSE x END AS text FROM d ORDER BY doc_id""",
+      """WITH d AS (SELECT doc_id, source, text, CAST(doc_id % 20 AS INTEGER) AS m, doc_id // 20 AS k, replace(text, '. ', chr(10)) AS x FROM documents) SELECT doc_id, (['html','pdf','docx','xlsx','pptx','epub','rtf','subtitles','archive','csv','eml','mbox','tex','feed','sqlite','odf','ics','markdown','text','json'])[m + 1] AS fmt, 'http://corpus.test/doc/' || doc_id || CASE WHEN m = 8 THEN '#p1.txt' WHEN m IN (11, 13, 16) THEN '#0' ELSE '' END AS url, CASE WHEN m IN (3, 14) OR (m = 15 AND k % 3 = 1) THEN source || chr(9) || replace(text, '. ', chr(10) || source || chr(9)) WHEN m = 9 THEN source || chr(9) || replace(text, '. ', chr(9) || 'v,' || doc_id || chr(10) || source || chr(9)) || chr(9) || 'v,' || doc_id WHEN m IN (10, 11) THEN 'Subject ' || doc_id || chr(10) || x WHEN m = 12 THEN 'Doc ' || doc_id || chr(10) || x WHEN m = 13 THEN 'Item 0' || chr(10) || text WHEN m = 16 THEN 'Event 1' || chr(10) || text ELSE x END AS text FROM d ORDER BY doc_id""",
 
     // the section title heads the text; each sentence is a paragraph
     "q_tex_roundtrip" ->
