@@ -198,6 +198,36 @@ object Warc {
     }
   }
 
+  /** The Content-Encoding counterpart of [[writeWarcResponses]]: rows
+    * are `(target_uri, content_type, content_encoding, payload)` with
+    * the payload ALREADY encoded under that coding (the staging side
+    * encodes; this writer only frames and declares) — how real crawls
+    * archive `gzip`/`br` entity bodies: wire bytes plus the header. */
+  def writeWarcResponsesEncoded(df: DataFrame, dir: String): Unit = {
+    val cols = df.select(col("target_uri"), col("content_type"),
+      col("content_encoding"), col("payload"))
+    cols.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(s"$dir/seg$pid.warc")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = new java.io.BufferedOutputStream(fs.create(path, true))
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        try it.foreach { r =>
+          val body = r.getAs[Array[Byte]](3)
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: ${r.getString(1)}\r\n" +
+            s"Content-Encoding: ${r.getString(2)}\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii)
+          out.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: ${r.getString(0)}\r\n" +
+            s"Content-Length: ${http.length + body.length}\r\n\r\n").getBytes(ascii))
+          out.write(http); out.write(body)
+          out.write("\r\n\r\n".getBytes(ascii))
+        } finally out.close()
+      }
+    }
+  }
+
   /** The chunked-framing counterpart of [[writeWarcResponses]]: every
     * response body travels `Transfer-Encoding: chunked` (RFC 9112 §7.1)
     * — the 4th column `chunk_bytes` sets the data-chunk size, the first
@@ -694,7 +724,8 @@ object Warc {
         mimeOf(col("http_content_type"))
           .isin("application/zip", "application/x-tar",
             "application/gzip", "application/x-gzip",
-            "application/x-xz", "application/zstd", "application/x-lz4"))
+            "application/x-xz", "application/zstd", "application/x-lz4",
+            "application/x-brotli"))
       .select(
         col("target_uri").as("url"),
         mimeOf(col("http_content_type")).as("mime"),
@@ -736,11 +767,14 @@ object Warc {
           // exactly once (a .gz.gz is hostile nesting, not a lane)
           val (name, data) =
             try {
-              val peel = name0.toLowerCase(java.util.Locale.ROOT)
-                .matches(".*\\.(gz|gzip|xz|zst|zstd|lz4)$")
-              if (peel)
+              val n0 = name0.toLowerCase(java.util.Locale.ROOT)
+              if (n0.matches(".*\\.(gz|gzip|xz|zst|zstd|lz4)$"))
                 (graft.operators.Codec.stripSuffix(name0),
                   graft.operators.Codec.decompressAuto(data0, maxOut = 1L << 30))
+              else if (n0.endsWith(".br")) // brotli has no magic: by suffix
+                (graft.operators.Codec.stripSuffix(name0),
+                  graft.operators.Codec.decompress(data0,
+                    graft.operators.Codec.Br, maxOut = 1L << 30))
               else (name0, data0)
             } catch { case _: Exception => (name0, data0) }
           val n = name.toLowerCase(java.util.Locale.ROOT)
@@ -1340,6 +1374,11 @@ object Warc {
                 payload = try gunzip(payload) catch { case _: Exception => payload }
               else if (cenc == "deflate")
                 payload = try inflateHttp(payload) catch { case _: Exception => payload }
+              else if (cenc == "br")
+                // RFC 7932 via the pure-JVM decoder; 1 GiB bomb guard
+                // (the per-record degrade contract of the codec layer)
+                payload = try graft.operators.Brotli.decompress(payload, 1L << 30)
+                  catch { case _: Exception => payload }
             }
           }
           // record terminator: two CRLFs (or clean end-of-file)

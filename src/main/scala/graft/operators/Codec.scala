@@ -32,10 +32,14 @@ object Codec {
   val Xz   = "application/x-xz"
   val Zstd = "application/zstd"
   val Lz4  = "application/x-lz4"
+  val Br   = "application/x-brotli"
 
-  /** Every MIME this layer peels (both gzip spellings). */
+  /** Every MIME this layer peels (both gzip spellings). Brotli is the
+    * one codec with NO magic bytes (RFC 7932 streams start with raw
+    * window bits), so [[sniffCodec]] can never claim it — `.br`
+    * routing is by suffix/header only, loudly wrong otherwise. */
   val mimes: Set[String] =
-    Set(Gzip, "application/x-gzip", Xz, Zstd, Lz4)
+    Set(Gzip, "application/x-gzip", Xz, Zstd, Lz4, Br)
 
   /** The codec MIME of a payload from leading magic bytes, or None. */
   def sniffCodec(b: Array[Byte]): Option[String] = {
@@ -54,7 +58,7 @@ object Codec {
   /** Strip ONE codec suffix from a file name (`a.txt.xz` → `a.txt`).
     * Names without a codec suffix pass through. */
   def stripSuffix(name: String): String =
-    name.replaceAll("(?i)\\.(gz|gzip|xz|zst|zstd|lz4)$", "")
+    name.replaceAll("(?i)\\.(gz|gzip|xz|zst|zstd|lz4|br)$", "")
 
   /** Peel one codec layer, bounded at `maxOut` decompressed bytes
     * (-1 = unbounded). Unknown MIME or corrupt stream throws — the
@@ -68,6 +72,7 @@ object Codec {
       case Xz   => new org.tukaani.xz.XZInputStream(bis)
       case Zstd => new com.github.luben.zstd.ZstdInputStream(bis)
       case Lz4  => new net.jpountz.lz4.LZ4FrameInputStream(bis)
+      case Br   => return Brotli.decompress(b, maxOut) // pure-JVM RFC 7932
       case other => throw new IllegalArgumentException(
         s"decompress: unknown codec mime '$other'")
     }
@@ -99,6 +104,7 @@ object Codec {
       })
       case Zstd => new com.github.luben.zstd.ZstdOutputStream(bos)
       case Lz4  => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      case Br   => return Brotli.compress(b) // the staging/oracle twin
       case other => throw new IllegalArgumentException(
         s"compress: unknown codec mime '$other'")
     }

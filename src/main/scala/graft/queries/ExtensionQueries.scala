@@ -639,6 +639,40 @@ object ExtensionQueries {
       out
     })
 
+  private val brotliStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped Content-Encoding staging for q_http_brotli: each
+    * document one `Content-Encoding: br` response — HTML on even ids,
+    * PDF on odd (binary payloads are on the oracle, not just text) —
+    * with the stream's meta-block shape cycling on `doc_id / 2`
+    * (compressed path / uncompressed-meta-block path, both valid RFC
+    * 7932 emitted by [[graft.operators.Brotli.compress]] and validated
+    * against the reference decoder). The reader must reverse the
+    * coding before any extractor sees bytes. */
+  private def brotliStage(s: SparkSession, dir: String): String =
+    brotliStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_brotli").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          regexp_replace(col("text"), "\\. ", "\n").as("x"))
+        .as[(Long, String, String)]
+        .map { case (id, u, x) =>
+          val (ct, payload) =
+            if (id % 2 == 0)
+              ("text/html", x.split("\n", -1).map(l => "<p>" + l + "</p>")
+                .mkString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            else ("application/pdf", graft.operators.Pdf.writeTextPdf(x))
+          (u, ct, "br",
+            graft.operators.Brotli.compress(payload,
+              viaUncompressed = (id / 2) % 2 == 1)) }
+        .toDF("target_uri", "content_type", "content_encoding", "payload")
+      graft.io.Warc.writeWarcResponsesEncoded(media, out)
+      out
+    })
+
   private val chunkedStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3997,6 +4031,21 @@ object ExtensionQueries {
     // extensions, trailers) over both a text and a binary carrier —
     // the reader's de-chunk must reassemble entity bytes exactly or
     // the HTML strip / PDF extract hash-mismatches.
+    // Brotli Content-Encoding round-trip: every response body is an
+    // RFC 7932 stream (text and binary carriers, both meta-block
+    // shapes); the reader's `br` reversal must hand every extractor
+    // entity bytes — the oracle replays the decoded derivation, so a
+    // single mis-decoded bit anywhere is a hash mismatch.
+    "q_http_brotli" -> ((s, dir) => {
+      val docIdStr = regexp_extract(col("url"), "doc/(\\d+)$", 1)
+      val recs = graft.io.Warc.readWarc(s, brotliStage(s, dir))
+      graft.io.Warc.toDocumentsHtml(recs)
+        .unionByName(graft.io.Warc.toDocumentsPdf(recs)
+          .filter(col("extract_ok")).drop("extract_ok"))
+        .select(docIdStr.cast(LongType).as("doc_id"), col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     "q_http_chunked" -> ((s, dir) => {
       val docIdStr = regexp_extract(col("url"), "doc/(\\d+)$", 1)
       val recs = graft.io.Warc.readWarc(s, chunkedStage(s, dir))
@@ -5007,6 +5056,9 @@ object ExtensionQueries {
     // both carriers extract the sentence-per-line body exactly —
     // chunk framing contributes nothing to the entity
     "q_http_chunked" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    "q_http_brotli" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
 
     // one row per response plus one per resolved revisit (every third
