@@ -40,7 +40,8 @@ object Warc {
       target_uri: String, warc_date: String, content_length: Long,
       http_status: Integer, http_content_type: String,
       payload: Array[Byte], framing_ok: Boolean,
-      payload_digest: String = null, http_location: String = null)
+      payload_digest: String = null, http_location: String = null,
+      record_id: String = null, concurrent_to: String = null)
 
   /** Read a WARC file / directory / glob (plain or record-gzipped
     * `.warc.gz`) as one row per record. */
@@ -368,6 +369,167 @@ object Warc {
       .select(col("payload_digest"), col("target_uri").as("url"),
         col("warc_date"))
       .join(resp, Seq("payload_digest"), "inner")
+  }
+
+  /** `application/warc-fields` block (WARC 1.1 §8): colon-separated
+    * name/value lines with RFC 5322-style continuation (leading
+    * whitespace folds into the previous value). Names lowercase in the
+    * result (field names are case-insensitive); first occurrence wins.
+    * Tolerant by the catalog contract: junk lines are skipped, never
+    * thrown — provenance is advisory metadata, not payload. */
+  def warcFields(b: Array[Byte]): Map[String, String] = {
+    if (b == null) return Map.empty
+    val text = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var lastKey: String = null
+    text.split("\r?\n", -1).foreach { line =>
+      if (line.nonEmpty && (line.charAt(0) == ' ' || line.charAt(0) == '\t')) {
+        if (lastKey != null) out(lastKey) = out(lastKey) + " " + line.trim
+      } else {
+        val c = line.indexOf(':')
+        if (c > 0) {
+          val k = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+          val v = line.substring(c + 1).trim
+          if (!out.contains(k)) { out(k) = v; lastKey = k }
+          else lastKey = null
+        } else lastKey = null
+      }
+    }
+    out.toMap
+  }
+
+  /** The crawl-provenance catalog: one row per `response`, annotated
+    * with WHO fetched it and HOW — the file's `warcinfo` fields
+    * (software, hostname, operator, isPartOf: WARC 1.1 §6.2), the
+    * linked `request` record's method and User-Agent, and the linked
+    * `metadata` record's crawler annotations (fetchTimeMs, charset —
+    * §6.9) — the same provenance tier as the EXIF/XMP catalogs, at the
+    * crawl grain. Links are `WARC-Concurrent-To` → the response's
+    * `WARC-Record-ID` (§5.7), both carried verbatim by the reader.
+    *
+    * Scale shape: warcinfo is one record per ARCHIVE FILE — a
+    * files-scale table, broadcast to every response row (never a
+    * shuffle); request/metadata links join on record-ID UUIDs —
+    * uniform keys by construction (no skew term), one partial-agg-free
+    * equi-join each. All three faces are column-pruned passes over the
+    * same record scan; callers bridging several should persist the
+    * records first (the [[toDocuments]] guidance). */
+  def crawlProvenance(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    val resp = records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull)
+      .select(col("path"), col("record_id"), col("target_uri").as("url"),
+        col("warc_date"))
+    val info = records
+      .filter(r => r.warc_type == "warcinfo" && r.framing_ok)
+      .map { r =>
+        val f = warcFields(r.payload)
+        (r.path, f.getOrElse("software", null), f.getOrElse("hostname", null),
+          f.getOrElse("operator", null), f.getOrElse("ispartof", null))
+      }
+      .toDF("path", "software", "hostname", "operator", "is_part_of")
+      // one warcinfo per file is the norm; a rewritten archive may
+      // carry several — the FIRST (min by field tuple) is the file's
+      .groupBy("path")
+      .agg(min(struct(col("software"), col("hostname"), col("operator"),
+        col("is_part_of"))).as("o"))
+      .select(col("path"), col("o.software").as("software"),
+        col("o.hostname").as("hostname"), col("o.operator").as("operator"),
+        col("o.is_part_of").as("is_part_of"))
+    val reqs = records
+      .filter(r => r.warc_type == "request" && r.framing_ok &&
+        r.concurrent_to != null && r.payload != null)
+      .map { r =>
+        val head = new String(r.payload,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val lines = head.split("\r\n")
+        val method = lines.headOption.map(_.split(" ")(0)).orNull
+        val ua = lines.tail.collectFirst {
+          case l if l.toLowerCase(java.util.Locale.ROOT)
+            .startsWith("user-agent:") =>
+            l.substring("user-agent:".length).trim
+        }.orNull
+        (r.concurrent_to, method, ua)
+      }
+      .toDF("concurrent_to", "request_method", "request_user_agent")
+    val metas = records
+      .filter(r => r.warc_type == "metadata" && r.framing_ok &&
+        r.concurrent_to != null)
+      .map { r =>
+        val f = warcFields(r.payload)
+        (r.concurrent_to,
+          f.get("fetchtimems").flatMap(_.toLongOption)
+            .map(java.lang.Long.valueOf).orNull,
+          f.getOrElse("charset", null))
+      }
+      .toDF("concurrent_to", "fetch_time_ms", "charset")
+    resp
+      .join(broadcast(info), Seq("path"), "left")
+      .join(reqs, resp("record_id") === reqs("concurrent_to"), "left")
+      .drop(reqs("concurrent_to"))
+      .join(metas, resp("record_id") === metas("concurrent_to"), "left")
+      .drop(metas("concurrent_to"))
+      .drop("path", "record_id")
+  }
+
+  /** The provenance-bearing counterpart of [[writeWarcResponses]]: the
+    * archive opens with a `warcinfo` record (constant staging fields),
+    * and each `(target_uri, content_type, payload, user_agent,
+    * fetch_time_ms, charset)` row becomes the real crawl triple —
+    * `request` (Concurrent-To the response), `response` (with a
+    * deterministic WARC-Record-ID), `metadata` (fetchTimeMs/charset
+    * warc-fields) — the record layout Common Crawl style crawlers
+    * write. */
+  def writeWarcResponsesWithProvenance(df: DataFrame, dir: String): Unit = {
+    val cols = df.select(col("target_uri"), col("content_type"),
+      col("payload"), col("user_agent"), col("fetch_time_ms"), col("charset"))
+    cols.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(s"$dir/seg$pid.warc")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = new java.io.BufferedOutputStream(fs.create(path, true))
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        def rec(headers: String, body: Array[Byte]): Unit = {
+          out.write((s"WARC/1.0\r\n$headers" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii))
+          out.write(body)
+          out.write("\r\n\r\n".getBytes(ascii))
+        }
+        try {
+          val infoBody = ("software: graft-staging/1.0\r\n" +
+            "hostname: stage.test\r\noperator: graft\r\n" +
+            "isPartOf: corpus-stage\r\n").getBytes(ascii)
+          rec("WARC-Type: warcinfo\r\n" +
+            "Content-Type: application/warc-fields\r\n", infoBody)
+          it.foreach { r =>
+            val uri = r.getString(0)
+            val body = r.getAs[Array[Byte]](2)
+            val respId = "<urn:uuid:" +
+              java.util.UUID.nameUUIDFromBytes(
+                uri.getBytes(java.nio.charset.StandardCharsets.UTF_8)) + ">"
+            val reqBody = (s"GET $uri HTTP/1.1\r\nHost: stage.test\r\n" +
+              s"User-Agent: ${r.getString(3)}\r\n\r\n").getBytes(ascii)
+            rec("WARC-Type: request\r\n" +
+              s"WARC-Target-URI: $uri\r\n" +
+              s"WARC-Concurrent-To: $respId\r\n" +
+              "Content-Type: application/http;msgtype=request\r\n", reqBody)
+            val http = (s"HTTP/1.1 200 OK\r\nContent-Type: ${r.getString(1)}\r\n" +
+              s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii)
+            rec("WARC-Type: response\r\n" +
+              s"WARC-Record-ID: $respId\r\n" +
+              s"WARC-Target-URI: $uri\r\n", http ++ body)
+            val metaBody = (s"fetchTimeMs: ${r.getLong(4)}\r\n" +
+              s"charset: ${r.getString(5)}\r\n").getBytes(ascii)
+            rec("WARC-Type: metadata\r\n" +
+              s"WARC-Target-URI: $uri\r\n" +
+              s"WARC-Concurrent-To: $respId\r\n" +
+              "Content-Type: application/warc-fields\r\n", metaBody)
+          }
+        } finally out.close()
+      }
+    }
   }
 
   /** The crawl's redirect graph: `response` records whose HTTP status
@@ -1278,6 +1440,10 @@ object Warc {
         // the crawl-time payload identity (`sha1:<base32>`, WARC 1.1
         // §5.9) — what revisit records point at; carried verbatim
         val digest = h("WARC-Payload-Digest")
+        // record identity + the request/metadata → response link
+        // (WARC 1.1 §5.1/§5.7) — the provenance catalog's join keys
+        val recordId = h("WARC-Record-ID")
+        val concurrentTo = h("WARC-Concurrent-To")
         val clen = Option(h("Content-Length")).flatMap(_.toLongOption).getOrElse(-1L)
         val blockStart = hdrEnd + 4
         // clen must fit an Int BEFORE any arithmetic: a hostile header near
@@ -1389,7 +1555,8 @@ object Warc {
               bytes(termAt + 3) == '\n')
           out += WarcRecord(path, idx, wtype, uri, date, clen, status, ctype,
             payload, framing_ok = term, payload_digest = digest,
-            http_location = location)
+            http_location = location, record_id = recordId,
+            concurrent_to = concurrentTo)
           if (!term) broken = true
           i = termAt + 4
         }

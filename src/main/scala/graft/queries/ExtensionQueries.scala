@@ -639,6 +639,34 @@ object ExtensionQueries {
       out
     })
 
+  private val provenanceStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_warc_provenance: each document the
+    * full crawl triple — `request` / `response` / `metadata`, linked
+    * by WARC-Concurrent-To — under a constant-field `warcinfo` header
+    * record, with the request's User-Agent cycling on `doc_id % 5`,
+    * fetchTimeMs on `doc_id % 997`, charset on parity. */
+  private def provenanceStage(s: SparkSession, dir: String): String =
+    provenanceStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_prov").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          regexp_replace(col("text"), "\\. ", "\n").as("x"))
+        .as[(Long, String, String)]
+        .map { case (id, u, x) =>
+          val html = x.split("\n", -1).map(l => "<p>" + l + "</p>")
+            .mkString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (u, "text/html", html, s"agent/${id % 5}", id % 997,
+            if (id % 2 == 0) "utf-8" else "iso-8859-1") }
+        .toDF("target_uri", "content_type", "payload", "user_agent",
+          "fetch_time_ms", "charset")
+      graft.io.Warc.writeWarcResponsesWithProvenance(media, out)
+      out
+    })
+
   private val brotliStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -4031,6 +4059,23 @@ object ExtensionQueries {
     // extensions, trailers) over both a text and a binary carrier —
     // the reader's de-chunk must reassemble entity bytes exactly or
     // the HTML strip / PDF extract hash-mismatches.
+    // Crawl-provenance catalog: every response row annotated with its
+    // file's warcinfo fields and its linked request/metadata records —
+    // the WARC-Concurrent-To join, the §6.2 field parse, and the
+    // request-head parse are all on the oracle (every planted field
+    // recomputed from the id cycles).
+    "q_warc_provenance" -> ((s, dir) => {
+      graft.io.Warc.crawlProvenance(
+          graft.io.Warc.readWarc(s, provenanceStage(s, dir)))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("software"), col("hostname"), col("operator"),
+          col("is_part_of"), col("request_method"),
+          col("request_user_agent"), col("fetch_time_ms"), col("charset"))
+        .orderBy("doc_id")
+    }),
+
     // Brotli Content-Encoding round-trip: every response body is an
     // RFC 7932 stream (text and binary carriers, both meta-block
     // shapes); the reader's `br` reversal must hand every extractor
@@ -5060,6 +5105,11 @@ object ExtensionQueries {
 
     "q_http_brotli" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    // every provenance column replayed from the staging constants and
+    // the id cycles
+    "q_warc_provenance" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, 'graft-staging/1.0' AS software, 'stage.test' AS hostname, 'graft' AS operator, 'corpus-stage' AS is_part_of, 'GET' AS request_method, 'agent/' || (doc_id % 5) AS request_user_agent, CAST(doc_id % 997 AS BIGINT) AS fetch_time_ms, CASE WHEN doc_id % 2 = 0 THEN 'utf-8' ELSE 'iso-8859-1' END AS charset FROM documents ORDER BY doc_id""",
 
     // one row per response plus one per resolved revisit (every third
     // id), the mirror's text identical to the original's
