@@ -748,6 +748,23 @@ object ScaleBench {
         graft.operators.LinkRank.pageRank(edges, iters = 2)
       }
 
+      // the TENS-of-iterations regime the checkpoint knob exists for:
+      // 10 rounds with lineage truncation every 3 (plus persisted
+      // edge/outdeg/node sides). Without the knob the logical plan
+      // nests 10 join+agg rounds and the optimizer walk dominates;
+      // with it, per-iteration cost is flat and the octave should step
+      // ~linearly in rows like the 2-iter row.
+      measure("link_rank_deep", s"$scaleDir/out_link_rank_deep") {
+        val edges = corpus.select(
+            concat(lit("n"), col("doc_id") % 10007).as("from_url"),
+            concat(lit("n"), (col("doc_id") * 7 + 1) % 10007).as("to_url"))
+          .unionAll(corpus.select(
+            concat(lit("n"), col("doc_id") % 10007).as("from_url"),
+            concat(lit("n"), (col("doc_id") * 13 + 5) % 10007).as("to_url")))
+        graft.operators.LinkRank.pageRank(edges, iters = 10,
+          checkpointEvery = 3)
+      }
+
       // tag-invariant MPEG stream identity at scale: every doc carries a
       // coded stream on its id's (layer, rate, kbps, frames) cycle — ids
       // with id%5==1 are RE-TAGGED twins of id-1's audio — and the media
@@ -1073,6 +1090,24 @@ object ScaleBench {
                 lit("\nall rights reserved\nsubscribe to our newsletter")))
               .otherwise(col("text")).as("text")),
           "doc_id", "text", minDocFreq = 1000L)
+      }
+      // politeness schedule under the Zipfian frontier: dom0 holds 30%
+      // of all URLs — uncapped, its rank window is one straggler
+      // partition; the IN-OPERATOR per-host cap (maxPerHost) bounds
+      // every host's frontier before the window, so out-rows shrink to
+      // ~ hosts×cap at scale and the stage skew stays flat. The robots
+      // side stays hosts-scale (one rule file per domain).
+      measure("skew_fetch_schedule", s"$scaleDir/out_sk_fetch", warmReps = 3) {
+        import spark.implicits._
+        val frontier = skewed.select(
+          concat(lit("http://"), col("source"), lit(".test/p/"),
+            col("doc_id")).as("url"))
+        val robots = skewed.select(concat(col("source"), lit(".test")))
+          .distinct().as[String]
+          .map(h => (h, "User-agent: *\nCrawl-delay: 2\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        graft.operators.Robots.fetchSchedule(frontier, robots,
+          agent = "graftbot", maxPerHost = 1000)
       }
       measure("skew_salted_agg", s"$scaleDir/out_sk_sagg", warmReps = 3) {
         SkewOps.saltedSum(skewSourced, Seq("source"), "n_tokens", saltFactor = 32)

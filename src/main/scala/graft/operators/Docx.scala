@@ -51,6 +51,19 @@ object Docx {
       ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
   }
 
+  private def zu64(b: Array[Byte], p: Int, mediaId: Long): Long = {
+    require(p + 8 <= b.length, s"media $mediaId: truncated ZIP at byte $p")
+    zu32(b, p, mediaId) | (zu32(b, p + 4, mediaId) << 32)
+  }
+
+  /** A ZIP64 64-bit value that must address THIS in-memory payload:
+    * anything past Int range cannot be a valid offset/size here. */
+  private def z64Int(v: Long, what: String, mediaId: Long): Long = {
+    require(v >= 0 && v <= Int.MaxValue,
+      s"media $mediaId: ZIP64 $what $v exceeds the in-memory payload range")
+    v
+  }
+
   /** Central-directory entries as (name, entryOffset) in directory
     * order — the shared resolution core of [[zipEntry]] and the
     * sheet-listing the XLSX walk needs. */
@@ -64,14 +77,26 @@ object Docx {
     while (e >= stop && !(b(e) == 0x50 && b(e + 1) == 0x4b &&
         b(e + 2) == 0x05 && b(e + 3) == 0x06)) e -= 1
     require(e >= stop, s"media $mediaId: ZIP end-of-central-directory missing")
-    val nEntries = zu16(b, e + 10, mediaId)
-    val cdOff = zu32(b, e + 16, mediaId)
-    // a ZIP64 archive marks the 32-bit offset 0xFFFFFFFF — out of scope
-    // for document packages, but it must fail as a CONTRACT error, not
-    // an array bounds crash
+    var nEntries: Long = zu16(b, e + 10, mediaId)
+    var cdOff: Long = zu32(b, e + 16, mediaId)
+    // ZIP64 (APPNOTE §4.3.14/§4.3.15): an EOCD whose entry count or
+    // offset saturates its field defers to the ZIP64 EOCD record,
+    // located by the 20-byte locator immediately before the EOCD —
+    // the >65,535-entries dump archives the crawl path actually meets
+    if (nEntries == 0xffff || cdOff == 0xffffffffL) {
+      val loc = e - 20
+      require(loc >= 0 && zu32(b, loc, mediaId) == 0x07064b50L,
+        s"media $mediaId: ZIP64 EOCD locator missing before the EOCD")
+      val z = z64Int(zu64(b, loc + 8, mediaId), "EOCD offset", mediaId).toInt
+      require(zu32(b, z, mediaId) == 0x06064b50L,
+        s"media $mediaId: ZIP64 EOCD signature missing at $z")
+      nEntries = zu64(b, z + 32, mediaId)
+      require(nEntries <= Int.MaxValue,
+        s"media $mediaId: ZIP64 entry count $nEntries out of range")
+      cdOff = z64Int(zu64(b, z + 48, mediaId), "central-dir offset", mediaId)
+    }
     require(cdOff < b.length,
-      s"media $mediaId: ZIP central-directory offset $cdOff out of range " +
-        "(ZIP64 archives are not supported)")
+      s"media $mediaId: ZIP central-directory offset $cdOff out of range")
     val out = Vector.newBuilder[(String, Int)]
     var p = cdOff.toInt
     var i = 0
@@ -95,9 +120,44 @@ object Docx {
   private[graft] def zipEntryAt(b: Array[Byte], cdPos: Int, name: String,
       mediaId: Long): Array[Byte] = {
     val method = zu16(b, cdPos + 10, mediaId)
-    val compSize = zu32(b, cdPos + 20, mediaId)
-    val uncompSize = zu32(b, cdPos + 24, mediaId)
-    val lh = zu32(b, cdPos + 42, mediaId).toInt
+    var compSize = zu32(b, cdPos + 20, mediaId)
+    var uncompSize = zu32(b, cdPos + 24, mediaId)
+    var lhOff = zu32(b, cdPos + 42, mediaId)
+    // ZIP64 extended-information extra field (id 0x0001): carries, in
+    // order, replacement values for exactly the directory fields that
+    // saturated their 32-bit slots (APPNOTE §4.5.3)
+    if (compSize == 0xffffffffL || uncompSize == 0xffffffffL ||
+        lhOff == 0xffffffffL) {
+      val nameLen = zu16(b, cdPos + 28, mediaId)
+      val extraLen = zu16(b, cdPos + 30, mediaId)
+      var x = cdPos + 46 + nameLen
+      val xEnd = x + extraLen
+      var found = false
+      while (x + 4 <= xEnd && !found) {
+        val id = zu16(b, x, mediaId)
+        val sz = zu16(b, x + 2, mediaId)
+        if (id == 0x0001) {
+          var f = x + 4
+          if (uncompSize == 0xffffffffL) {
+            uncompSize = z64Int(zu64(b, f, mediaId), "uncompressed size",
+              mediaId); f += 8
+          }
+          if (compSize == 0xffffffffL) {
+            compSize = z64Int(zu64(b, f, mediaId), "compressed size",
+              mediaId); f += 8
+          }
+          if (lhOff == 0xffffffffL) {
+            lhOff = z64Int(zu64(b, f, mediaId), "local-header offset",
+              mediaId); f += 8
+          }
+          found = true
+        } else x += 4 + sz
+      }
+      require(found,
+        s"media $mediaId: ZIP entry '$name' saturates 32-bit fields " +
+          "but carries no ZIP64 extra field")
+    }
+    val lh = lhOff.toInt
     require(zu32(b, lh, mediaId) == 0x04034b50L,
       s"media $mediaId: ZIP local-header signature missing at $lh")
     val dataAt = lh + 30 + zu16(b, lh + 26, mediaId) + zu16(b, lh + 28, mediaId)
@@ -340,6 +400,63 @@ object Docx {
     w32(0x06054b50L); w16(0); w16(0)
     w16(entries.length); w16(entries.length)
     w32(cd.length.toLong); w32(cdOff); w16(0)
+    out.toByteArray
+  }
+
+  /** ZIP64-forced staging twin of [[writeZip]]: every central entry
+    * saturates its 32-bit size/offset slots (0xFFFFFFFF) and carries
+    * the real values in the 0x0001 extended-information extra field,
+    * and the EOCD saturates its count/offset slots deferring to a
+    * ZIP64 EOCD record + locator — the layout dump writers emit for
+    * >4 GiB archives and >65,535-member dumps, exercised here at small
+    * sizes (the markers, not the magnitudes, are what the walker must
+    * honor). Data stays STORED so entry bytes round-trip verbatim. */
+  private[graft] def writeZip64(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def w64(v: Long): Unit = { w32(v & 0xffffffffL); w32(v >>> 32) }
+    val central = new java.io.ByteArrayOutputStream()
+    def c16(v: Int): Unit = { central.write(v & 0xff); central.write((v >> 8) & 0xff) }
+    def c32(v: Long): Unit = {
+      central.write((v & 0xff).toInt); central.write(((v >> 8) & 0xff).toInt)
+      central.write(((v >> 16) & 0xff).toInt); central.write(((v >> 24) & 0xff).toInt)
+    }
+    def c64(v: Long): Unit = { c32(v & 0xffffffffL); c32(v >>> 32) }
+    entries.foreach { case (name, data) =>
+      val nameB = name.getBytes(UTF_8)
+      val crc = new CRC32(); crc.update(data)
+      val lhOff = out.size().toLong
+      w32(0x04034b50L); w16(45); w16(0); w16(0) // version 4.5, stored
+      w16(0); w16(0x21)
+      w32(crc.getValue); w32(data.length.toLong); w32(data.length.toLong)
+      w16(nameB.length); w16(0)
+      out.write(nameB); out.write(data)
+      c32(0x02014b50L); c16(45); c16(45); c16(0); c16(0)
+      c16(0); c16(0x21)
+      c32(crc.getValue); c32(0xffffffffL); c32(0xffffffffL) // → extra
+      c16(nameB.length); c16(4 + 24); c16(0)
+      c16(0); c16(0); c32(0L)
+      c32(0xffffffffL) // local-header offset → extra
+      central.write(nameB)
+      c16(0x0001); c16(24) // ZIP64 extra: uncomp, comp, lhOff
+      c64(data.length.toLong); c64(data.length.toLong); c64(lhOff)
+    }
+    val cdOff = out.size().toLong
+    val cd = central.toByteArray
+    out.write(cd)
+    val z64At = out.size().toLong
+    w32(0x06064b50L); w64(44L) // ZIP64 EOCD, size of remainder
+    w16(45); w16(45); w32(0L); w32(0L)
+    w64(entries.length.toLong); w64(entries.length.toLong)
+    w64(cd.length.toLong); w64(cdOff)
+    w32(0x07064b50L); w32(0L); w64(z64At); w32(1L) // locator
+    w32(0x06054b50L); w16(0); w16(0)
+    w16(0xffff); w16(0xffff)
+    w32(0xffffffffL); w32(0xffffffffL); w16(0)
     out.toByteArray
   }
 }

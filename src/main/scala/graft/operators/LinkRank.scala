@@ -18,20 +18,34 @@ import org.apache.spark.sql.functions._
   * so a cluster co-partitions edges once and reuses the partitioning
   * across iterations; the rank side is nodes-sized, edges-sized work
   * never re-reads the archive. For a handful of iterations the plan
-  * lineage is fine as-is; callers running tens of iterations should
-  * checkpoint/persist `ranks` between rounds (lineage depth, not
-  * correctness). */
+  * lineage is fine as-is; TENS of iterations need `checkpointEvery`:
+  * without it the logical plan nests one join+agg per round and both
+  * the optimizer walk and the physical lineage grow superlinearly —
+  * the measured failure mode is planner time, long before executor
+  * time (SCALE.md's link_rank_deep octave). With the knob on, the
+  * edge/outdeg/node sides persist once (they are re-read every round
+  * otherwise) and `ranks` is eagerly localCheckpoint'ed every k
+  * rounds, truncating lineage; the result is bit-identical — the
+  * checkpoint changes WHEN work happens, never what. Clusters running
+  * with dynamic executor loss should swap the local checkpoint for a
+  * reliable one (a checkpoint dir) — same knob, same cadence. */
 object LinkRank {
 
   def pageRank(edges: DataFrame, iters: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
-    val e = edges.select(col("from_url").as("src"), col("to_url").as("dst"))
-    val nodes = e.select(col("src").as("url"))
+    var e = edges.select(col("from_url").as("src"), col("to_url").as("dst"))
+    var nodes = e.select(col("src").as("url"))
       .union(e.select(col("dst").as("url"))).distinct()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val deep = checkpointEvery > 0 && iters > checkpointEvery
+    if (deep) {
+      // every iteration re-reads all three otherwise
+      e = e.persist(); nodes = nodes.persist(); outdeg = outdeg.persist()
+    }
     var ranks = nodes.withColumn("rank", lit(1.0))
-    for (_ <- 1 to iters) {
+    var prevCp: DataFrame = null
+    for (i <- 1 to iters) {
       val contribs = e
         .join(ranks.withColumnRenamed("url", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
@@ -41,7 +55,16 @@ object LinkRank {
         .select(col("url"),
           (lit(1 - damping) +
             lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+      if (deep && (i % checkpointEvery == 0 || i == iters)) {
+        // eager: the new checkpoint materializes BEFORE the previous
+        // round's blocks (which it read) are released
+        val cp = ranks.localCheckpoint(true)
+        if (prevCp != null) prevCp.unpersist()
+        prevCp = cp
+        ranks = cp
+      }
     }
+    if (deep) { e.unpersist(); nodes.unpersist(); outdeg.unpersist() }
     ranks
   }
 

@@ -159,15 +159,32 @@ object Robots {
     * frontier joined to the hosts-scale delay table (broadcastable;
     * AQE picks the shuffled join past that) plus ONE host-partitioned
     * rank window — the same per-host grain a real fetcher schedules
-    * at; a pathologically hot host is one window partition, the
-    * documented skew defense being the upstream per-host frontier cap. */
+    * at.
+    *
+    * `maxPerHost > 0` is the hot-host defense, IN the operator:
+    * [[Sampling.capPerGroup]] bounds every host's frontier BEFORE the
+    * rank window, so a pathologically hot host (one domain holding a
+    * third of the frontier — the Zipfian reality) contributes at most
+    * `maxPerHost` rows to its window partition instead of serializing
+    * the stage. The cap is also the POLITENESS truth: a host with a
+    * 1 s delay yields at most 86,400 fetches/day, so scheduling
+    * millions of its URLs in one cycle is wasted frontier — cap at
+    * the crawl cycle's per-host fetch budget. 0 = uncapped (the
+    * caller owns frontier shaping). */
   def fetchSchedule(urls: DataFrame, robots: Dataset[(String, Array[Byte])],
-      agent: String, defaultDelayS: Double = 1.0): DataFrame = {
+      agent: String, defaultDelayS: Double = 1.0,
+      maxPerHost: Int = 0): DataFrame = {
     val hostCol = lower(regexp_extract(col("url"),
       "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/]+)", 1))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("host").orderBy("url")
-    urls.withColumn("host", hostCol)
+    val hosted = urls.withColumn("host", hostCol)
+    val capped =
+      if (maxPerHost > 0)
+        Sampling.capPerGroup(hosted, "host", "url", maxPerHost)
+          .drop("cap_rank")
+      else hosted
+    capped
       .join(hostDelays(robots, agent, defaultDelayS), Seq("host"), "left")
       .withColumn("delay_s", coalesce(col("delay_s"), lit(defaultDelayS)))
       .withColumn("fetch_at_s",

@@ -27,6 +27,90 @@ class ArchiveSpec extends SparkSpec {
     }
   }
 
+  test("tar: PAX 'x' path overrides, global 'g', GNU 'L' longnames") {
+    def named(b: Array[Byte], id: Long): Vector[(String, String)] =
+      Tar.entries(b, id).map { case (n, d) => (n, new String(d, "UTF-8")) }
+    val longName = ("deep/" * 30) + "leaf-" + ("n" * 40) + ".txt"
+    assert(longName.getBytes("UTF-8").length > 100)
+    // writeTar auto-emits the PAX 'x' record for over-long names
+    val paxed = Tar.writeTar(Seq(
+      longName -> "pax body".getBytes("UTF-8"),
+      "short.txt" -> "s".getBytes("UTF-8")))
+    assert(named(paxed, 1L) ==
+      Vector((longName, "pax body"), ("short.txt", "s")))
+    // GNU 'L' longname layout
+    val gnu = Tar.writeTarGnuLongNames(Seq(
+      longName -> "gnu body".getBytes("UTF-8")))
+    assert(named(gnu, 2L) == Vector((longName, "gnu body")))
+    // a PAX-free archive built by splicing: one 'g' GLOBAL header whose
+    // path applies to the later member that has no 'x' of its own
+    def retyped(name: String, body: Array[Byte], flag: Char): Array[Byte] = {
+      val one = Tar.writeTar(Seq(name -> body))
+      val h = java.util.Arrays.copyOfRange(one, 0, one.length - 1024)
+      h(156) = flag.toByte
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0L
+      for (i <- 0 until 512) sum += h(i) & 0xff
+      val cs = java.lang.Long.toOctalString(sum)
+      System.arraycopy((("0" * (6 - cs.length)) + cs).getBytes("US-ASCII"),
+        0, h, 148, 6)
+      h(154) = 0; h(155) = ' '
+      h
+    }
+    val g = "31 path=from/global/header.txt\n".getBytes("UTF-8")
+    assert(g.length == 31)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(retyped("pax_global", g, 'g'))
+    out.write(Tar.writeTar(Seq("plain.txt" -> "p".getBytes("UTF-8"))))
+    assert(named(out.toByteArray, 3L) ==
+      Vector(("from/global/header.txt", "p")))
+    // malformed PAX framing is loud
+    val badPax = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(retyped("bad", "999 path=x\n".getBytes("UTF-8"), 'x'))
+      o.write(new Array[Byte](1024))
+      o.toByteArray
+    }
+    intercept[IllegalArgumentException] { Tar.entries(badPax, 4L) }
+  }
+
+  test("zip64: saturated EOCD/entry fields resolve through the ZIP64 records") {
+    val in = Seq(
+      "a.txt" -> "zip64 alpha".getBytes("UTF-8"),
+      "dir/b.txt" -> Array.tabulate(700)(i => (i * 3).toByte))
+    val bytes = Docx.writeZip64(in)
+    val offs = Docx.zipEntryOffsets(bytes, 1L)
+    assert(offs.map(_._1) == Vector("a.txt", "dir/b.txt"))
+    in.foreach { case (n, d) =>
+      val cd = offs.find(_._1 == n).get._2
+      assert(java.util.Arrays.equals(Docx.zipEntryAt(bytes, cd, n, 1L), d))
+    }
+    // the sniffer still sees a zip family through the ZIP64 framing
+    assert(graft.operators.Sniff.sniffMime(bytes).contains("application/zip"))
+    // saturated fields WITHOUT the 0x0001 extra are loud, not a crash
+    val broken = bytes.clone()
+    // blank the extra field id of the first central entry (0x0001 → 0x0099)
+    val cd0 = offs.head._2
+    val nameLen = (broken(cd0 + 28) & 0xff) | ((broken(cd0 + 29) & 0xff) << 8)
+    broken(cd0 + 46 + nameLen) = 0x99.toByte
+    val e = intercept[IllegalArgumentException] {
+      Docx.zipEntryAt(broken, cd0, "a.txt", 2L)
+    }
+    assert(e.getMessage.contains("ZIP64"))
+    // and a walker e2e: the archive face extracts zip64 members
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zip64").toString
+    graft.io.Warc.writeWarcResponses(
+      Seq(("http://a.test/big.zip", "application/zip",
+        Docx.writeZip64(Seq("p1.txt" -> "member text".getBytes("UTF-8")))))
+        .toDF("target_uri", "content_type", "payload"), dir)
+    val rows = graft.io.Warc.toDocumentsArchive(
+        graft.io.Warc.readWarc(spark, dir))
+      .filter($"extract_ok").select("url", "text").as[(String, String)]
+      .collect().toSet
+    assert(rows == Set(("http://a.test/big.zip#p1.txt", "member text")))
+  }
+
   test("gzip: a .tar.gz walks as tar, a single-member .txt.gz is one entry") {
     import spark.implicits._
     def gz(b: Array[Byte]): Array[Byte] = {

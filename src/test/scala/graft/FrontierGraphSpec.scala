@@ -94,6 +94,18 @@ class FrontierGraphSpec extends SparkSpec {
     assert(got == Map("a" -> 1.0, "b" -> 1.0))
   }
 
+  test("pageRank: checkpointEvery is bit-identical to the straight plan") {
+    val edges = (0 until 400).map(i =>
+      (s"n${i % 37}", s"n${(i * 7 + 1) % 37}")).toDF("from_url", "to_url")
+    val plain = LinkRank.pageRank(edges, iters = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val deep = LinkRank.pageRank(edges, iters = 10, checkpointEvery = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(plain.keySet == deep.keySet)
+    // bit-identical: the checkpoint changes WHEN work happens, not what
+    plain.foreach { case (k, v) => assert(deep(k) == v, k) }
+  }
+
   test("anchorTexts: dedup before cap, sorted join, empty anchors dropped") {
     val edges = Seq(
       ("p1", "t", "Home"), ("p2", "t", "Home"), ("p3", "t", "Home"),

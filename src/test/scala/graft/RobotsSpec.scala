@@ -162,4 +162,25 @@ class RobotsSpec extends SparkSpec {
     assert(got("http://norules.test/a") == ((1.0, 0.0))) // no file at all
     assert(got("http://norules.test/b") == ((1.0, 1.0)))
   }
+
+  test("fetchSchedule maxPerHost: the hot host is capped, others intact") {
+    import spark.implicits._
+    val rules = spark.emptyDataset[(String, Array[Byte])]
+    val frontier = ((0 until 50).map(i => f"http://hot.test/p$i%02d") ++
+      Seq("http://cold.test/a", "http://cold.test/b")).toDF("url")
+    val got = Robots.fetchSchedule(frontier, rules, "bot",
+      defaultDelayS = 1.0, maxPerHost = 5).collect()
+    val byHost = got.groupBy(_.getAs[String]("host"))
+    assert(byHost("hot.test").length == 5, "hot host capped")
+    assert(byHost("cold.test").length == 2, "under-cap host intact")
+    // slots stay dense AFTER the cap: ranks 0..4 × delay
+    assert(byHost("hot.test").map(_.getAs[Double]("fetch_at_s")).sorted
+      .toSeq == Seq(0.0, 1.0, 2.0, 3.0, 4.0))
+    // the capped subset is the deterministic md5-order sample
+    val again = Robots.fetchSchedule(frontier, rules, "bot",
+      defaultDelayS = 1.0, maxPerHost = 5)
+      .filter($"host" === "hot.test").select("url").as[String]
+      .collect().toSet
+    assert(again == byHost("hot.test").map(_.getAs[String]("url")).toSet)
+  }
 }
