@@ -1289,6 +1289,38 @@ object Warc {
         col("extract_ok"))
   }
 
+  /** Curate-ready documents from MHTML aggregates (`multipart/related`
+    * and the `application/x-mimearchive` spelling browsers save under)
+    * — RFC 2557 saved pages: the root part's HTML through the same
+    * codegen'd strip as live `text/html`, plus the aggregate's
+    * resource count (the asset-manifest signal). Strict-codec /
+    * tolerant-bridge. */
+  def toDocumentsMhtml(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    import graft.functions.TextFunctions
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type"))
+          .isin("multipart/related", "application/x-mimearchive",
+            "message/x-mht"))
+      .select(col("target_uri").as("url"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (url, bytes) =>
+        try {
+          val d = graft.operators.Mhtml.parse(bytes)
+          (url, d.rootHtml, d.resources.length, true)
+        } catch { case _: Exception => (url, null: String, -1, false) } })
+      .toDF("url", "html", "n_resources", "extract_ok")
+      .select(
+        xxhash64(col("url")).as("doc_id"), col("url"),
+        TextFunctions.htmlToText(col("html")).as("text"),
+        col("n_resources"), col("extract_ok"))
+      .select(col("doc_id"), col("url"),
+        TextFunctions.langId(col("text")).as("lang"), col("text"),
+        col("n_resources"), col("extract_ok"))
+  }
+
   /** Curate-ready documents from JSON / JSONL responses
     * (`application/json`, NDJSON's `application/x-ndjson` and
     * `application/jsonlines`) — the API-response and training-dump
@@ -1394,6 +1426,8 @@ object Warc {
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsJson(records)
         .filter(col("extract_ok")).drop("extract_ok"))
+      .unionByName(toDocumentsMhtml(records)
+        .filter(col("extract_ok")).drop("extract_ok").drop("n_resources"))
       .unionByName(toDocumentsText(records))
 
   /** Sequential record walk over one (decompressed) archive. Malformed

@@ -61,7 +61,7 @@ object Eml {
 
   /** Header block / body split at the first blank line (a message with
     * no blank line is all headers, RFC 5322 allows an absent body). */
-  private def splitMessage(t: String, mediaId: Long): (Seq[(String, String)], String) = {
+  private[operators] def splitMessage(t: String, mediaId: Long): (Seq[(String, String)], String) = {
     val at = t.indexOf("\n\n")
     if (at < 0) (parseHeaders(t, mediaId), "")
     else (parseHeaders(t.substring(0, at), mediaId), t.substring(at + 2))
@@ -89,19 +89,19 @@ object Eml {
     out.toSeq
   }
 
-  private def hdr(headers: Seq[(String, String)], name: String): Option[String] =
+  private[operators] def hdr(headers: Seq[(String, String)], name: String): Option[String] =
     headers.collectFirst { case (n, v) if n == name => v }
 
   /** The media type of a Content-Type value (parameters dropped,
     * lowercased); an absent header is `text/plain` (RFC 2045 §5.2). */
-  private def mimeTypeOf(headers: Seq[(String, String)]): String =
+  private[operators] def mimeTypeOf(headers: Seq[(String, String)]): String =
     hdr(headers, "content-type")
       .map(_.split(";")(0).trim.toLowerCase(Locale.ROOT))
       .getOrElse("text/plain")
 
   /** A `name=value` parameter of a structured header value, quoting
     * honored, name case-insensitive. */
-  private def paramOf(value: String, name: String): Option[String] =
+  private[operators] def paramOf(value: String, name: String): Option[String] =
     value.split(";").iterator.drop(1).map(_.trim).collectFirst {
       case p if p.toLowerCase(Locale.ROOT).startsWith(name + "=") =>
         val v = p.substring(name.length + 1).trim
@@ -152,7 +152,7 @@ object Eml {
     * lines, closed by `--boundary--` (preamble and epilogue dropped;
     * an unterminated body is a framing error — a sequential reader
     * cannot tell a lost part from a truncated archive). */
-  private def splitParts(body: String, boundary: String, mediaId: Long): Seq[String] = {
+  private[operators] def splitParts(body: String, boundary: String, mediaId: Long): Seq[String] = {
     val delim = "--" + boundary
     val parts = ArrayBuffer.empty[ArrayBuffer[String]]
     var cur: ArrayBuffer[String] = null
@@ -172,7 +172,7 @@ object Eml {
 
   // -- transfer encodings -------------------------------------------------
 
-  private def transferDecode(body: String, cte: String, mediaId: Long): Array[Byte] =
+  private[operators] def transferDecode(body: String, cte: String, mediaId: Long): Array[Byte] =
     cte match {
       case "7bit" | "8bit" | "binary" | "" =>
         body.getBytes(StandardCharsets.ISO_8859_1)
@@ -215,7 +215,7 @@ object Eml {
     out.toByteArray
   }
 
-  private def charsetOf(name: String, mediaId: Long): Charset =
+  private[operators] def charsetOf(name: String, mediaId: Long): Charset =
     name.trim.toLowerCase(Locale.ROOT) match {
       case "utf-8" | "utf8" => StandardCharsets.UTF_8
       case "us-ascii" | "ascii" | "iso-8859-1" | "latin1" | "latin-1" |

@@ -166,6 +166,12 @@ object Sniff {
       lower.contains("\\begin{document}")) return Some("application/x-tex")
     // a mail header block: colon-lines incl. the canonical fields
     val headerBlock = head.split("\n\n", 2)(0)
+    // MHTML (saved web page): a MIME head declaring multipart/related
+    // — checked BEFORE the rfc822 rule (browser saves carry From/
+    // Subject lines too, and the aggregate face owns the format)
+    if (headerBlock.toLowerCase(Locale.ROOT).replaceAll("[ \t]", "")
+      .contains("content-type:multipart/related"))
+      return Some("multipart/related")
     val lines = headerBlock.split("\n").takeWhile(l =>
       l.nonEmpty && (l.contains(':') || l.startsWith(" ") || l.startsWith("\t")))
     if (lines.length >= 3 && {

@@ -639,6 +639,40 @@ object ExtensionQueries {
       out
     })
 
+  private val mhtmlStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_mhtml_roundtrip: each document a
+    * browser-style saved page — root HTML quoted-printable (the save
+    * encoding), TWO base64 resource parts (png magic + css), root
+    * FIRST on even ids and named via the `start` Content-ID on odd
+    * (both §4.1 selection paths on the oracle) — served as
+    * octet-stream through the sniff shim (the saved-file reality). */
+  private def mhtmlStage(s: SparkSession, dir: String): String =
+    mhtmlStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_mhtml").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          regexp_replace(col("text"), "\\. ", "\n").as("x"))
+        .as[(Long, String, String)]
+        .map { case (id, u, x) =>
+          val html = x.split("\n", -1).map(l => "<p>" + l + "</p>").mkString
+          val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++
+            Array.tabulate(16)(i => ((id + i) % 251).toByte)
+          val bytes = graft.operators.Mhtml.writeMhtml(html, u,
+            resources = Seq(
+              (s"$u/img.png", "image/png", png),
+              (s"$u/style.css", "text/css",
+                s"body{margin:${id % 9}px}".getBytes("UTF-8"))),
+            rootFirst = id % 2 == 0)
+          (u, "application/octet-stream", bytes) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val tarPaxStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -4106,6 +4140,20 @@ object ExtensionQueries {
     // extensions, trailers) over both a text and a binary carrier —
     // the reader's de-chunk must reassemble entity bytes exactly or
     // the HTML strip / PDF extract hash-mismatches.
+    // MHTML round-trip: the saved-page aggregate under the
+    // octet-stream lie — the sniff rule, the boundary framing, the QP
+    // decode, BOTH root-selection paths (first part / start
+    // Content-ID), and the resource inventory are all on the oracle.
+    "q_mhtml_roundtrip" -> ((s, dir) => {
+      graft.io.Warc.toDocumentsMhtml(graft.io.Warc.sniffTypes(
+          graft.io.Warc.readWarc(s, mhtmlStage(s, dir))))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("text"), col("n_resources"))
+        .orderBy("doc_id")
+    }),
+
     // Long-name tar members round-trip: even ids travel the PAX 'x'
     // path record, odd ids the GNU 'L' longname record — either way
     // the >100-byte member path must surface VERBATIM in the document
@@ -4293,6 +4341,29 @@ object ExtensionQueries {
         .select(col("url"),
           round(col("rank") * (1 << 20)).cast(LongType).as("rank_q20"))
         .orderBy("url")
+    }),
+
+    // Host-level authority: page edges collapse to the lowercased host
+    // graph, intra-host edges drop, multiplicity survives — the case
+    // folding (https://H….TEST), the self-edge drop, and two surfer
+    // iterations are all replayed in the oracle's CTE chain.
+    "q_host_rank" -> ((s, dir) => {
+      val d = col("doc_id")
+      val docs = t(s, dir, "documents").select("doc_id").filter(d < 512)
+      val edges = docs.select(
+          concat(lit("http://h"), d % 24, lit(".test/p/"), d).as("from_url"),
+          concat(lit("https://H"), (d * 7 + 3) % 24, lit(".TEST/x"))
+            .as("to_url"))
+        .unionAll(docs.select( // intra-host navigation: must drop
+          concat(lit("http://h"), d % 24, lit(".test/a")).as("from_url"),
+          concat(lit("http://h"), d % 24, lit(".test/b")).as("to_url")))
+        .unionAll(docs.filter(d % 2 === 0).select(
+          concat(lit("http://h"), d % 24, lit(".test/c")).as("from_url"),
+          concat(lit("http://h"), (d + 5) % 24, lit(".test/y")).as("to_url")))
+      graft.operators.LinkRank.hostRank(edges, iters = 2)
+        .select(col("host"),
+          round(col("rank") * (1 << 20)).cast(LongType).as("rank_q20"))
+        .orderBy("host")
     }),
 
     // Benchmark decontamination: every tenth document IS the planted
@@ -5183,6 +5254,9 @@ object ExtensionQueries {
     "q_http_brotli" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
 
+    "q_mhtml_roundtrip" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text, CAST(2 AS INTEGER) AS n_resources FROM documents ORDER BY doc_id""",
+
     // the full >100-byte member path rebuilt per id — a truncated
     // name anywhere is a hash mismatch
     "q_tar_pax" ->
@@ -5224,6 +5298,11 @@ object ExtensionQueries {
 
     // both surfer iterations replayed: contributions rank/outdeg
     // summed over in-edges, damped, Q20-quantized
+    // the host collapse (lowercase, inter-host only, multiplicity)
+    // and two surfer iterations replayed over the derived edges
+    "q_host_rank" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 512), e AS (SELECT 'h' || (doc_id % 24) || '.test' AS src, 'h' || ((doc_id * 7 + 3) % 24) || '.test' AS dst FROM d UNION ALL SELECT 'h' || (doc_id % 24) || '.test', 'h' || ((doc_id + 5) % 24) || '.test' FROM d WHERE doc_id % 2 = 0), nodes AS (SELECT DISTINCT src AS host FROM e UNION SELECT DISTINCT dst FROM e), od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src), r0 AS (SELECT host, 1.0 AS rank FROM nodes), c1 AS (SELECT e.dst AS host, SUM(r0.rank / od.outdeg) AS i FROM e JOIN r0 ON e.src = r0.host JOIN od ON e.src = od.src GROUP BY e.dst), r1 AS (SELECT n.host, 0.15 + 0.85 * COALESCE(c1.i, 0) AS rank FROM nodes n LEFT JOIN c1 ON n.host = c1.host), c2 AS (SELECT e.dst AS host, SUM(r1.rank / od.outdeg) AS i FROM e JOIN r1 ON e.src = r1.host JOIN od ON e.src = od.src GROUP BY e.dst), r2 AS (SELECT n.host, 0.15 + 0.85 * COALESCE(c2.i, 0) AS rank FROM nodes n LEFT JOIN c2 ON n.host = c2.host) SELECT host, CAST(ROUND(rank * 1048576) AS BIGINT) AS rank_q20 FROM r2 ORDER BY host""",
+
     "q_link_rank" ->
       """WITH e AS (SELECT 'n' || (doc_id % 32) AS src, 'n' || ((doc_id + 1) % 32) AS dst FROM documents WHERE doc_id < 256 UNION ALL SELECT 'n' || (doc_id % 32), 'n' || ((doc_id * 5 + 3) % 32) FROM documents WHERE doc_id < 256), nodes AS (SELECT DISTINCT src AS url FROM e UNION SELECT DISTINCT dst FROM e), od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src), r0 AS (SELECT url, 1.0 AS rank FROM nodes), c1 AS (SELECT e.dst AS url, SUM(r0.rank / od.outdeg) AS i FROM e JOIN r0 ON e.src = r0.url JOIN od ON e.src = od.src GROUP BY e.dst), r1 AS (SELECT n.url, 0.15 + 0.85 * COALESCE(c1.i, 0) AS rank FROM nodes n LEFT JOIN c1 ON n.url = c1.url), c2 AS (SELECT e.dst AS url, SUM(r1.rank / od.outdeg) AS i FROM e JOIN r1 ON e.src = r1.url JOIN od ON e.src = od.src GROUP BY e.dst), r2 AS (SELECT n.url, 0.15 + 0.85 * COALESCE(c2.i, 0) AS rank FROM nodes n LEFT JOIN c2 ON n.url = c2.url) SELECT url, CAST(ROUND(rank * 1048576) AS BIGINT) AS rank_q20 FROM r2 ORDER BY url""",
 

@@ -106,6 +106,21 @@ class FrontierGraphSpec extends SparkSpec {
     plain.foreach { case (k, v) => assert(deep(k) == v, k) }
   }
 
+  test("hostRank: lowercase collapse, intra-host drop, port-insensitive") {
+    val edges = Seq(
+      ("http://A.test/p1", "https://b.test:8443/x"), // case + port fold
+      ("http://a.test/p2", "http://b.test/y"),       // multiplicity
+      ("http://a.test/nav", "http://a.test/other"),  // intra-host: drop
+      ("http://b.test/q", "http://a.test/z"))
+      .toDF("from_url", "to_url")
+    val got = LinkRank.hostRank(edges, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // a.test: 2 out-edges (both to b.test), b.test: 1 out-edge to a.test
+    assert(math.abs(got("a.test") - (0.15 + 0.85 * 1.0)) < 1e-12)
+    assert(math.abs(got("b.test") - (0.15 + 0.85 * (0.5 + 0.5))) < 1e-12)
+    assert(got.size == 2)
+  }
+
   test("anchorTexts: dedup before cap, sorted join, empty anchors dropped") {
     val edges = Seq(
       ("p1", "t", "Home"), ("p2", "t", "Home"), ("p3", "t", "Home"),
