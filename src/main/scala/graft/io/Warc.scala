@@ -41,7 +41,9 @@ object Warc {
       http_status: Integer, http_content_type: String,
       payload: Array[Byte], framing_ok: Boolean,
       payload_digest: String = null, http_location: String = null,
-      record_id: String = null, concurrent_to: String = null)
+      record_id: String = null, concurrent_to: String = null,
+      http_disposition: String = null, http_etag: String = null,
+      http_last_modified: String = null)
 
   /** Read a WARC file / directory / glob (plain or record-gzipped
     * `.warc.gz`) as one row per record. */
@@ -93,10 +95,20 @@ object Warc {
         .map(_.split(";")(0).trim.toLowerCase(java.util.Locale.ROOT))
         .getOrElse("")
       if (r.warc_type == "response" && r.framing_ok &&
-          r.payload != null && GenericTypes.contains(declared))
-        graft.operators.Sniff.sniffMime(r.payload)
-          .map(m => r.copy(http_content_type = m)).getOrElse(r)
-      else r
+          r.payload != null && GenericTypes.contains(declared)) {
+        // magic/structural sniff first; when it returns nothing or
+        // only the weak printable-majority text/plain, a
+        // Content-Disposition FILENAME's more specific claim wins —
+        // the csv/markdown/tex class has no magic for bytes to carry
+        val sniffed = graft.operators.Sniff.sniffMime(r.payload)
+        val resolved = sniffed match {
+          case Some(m) if m != "text/plain" => sniffed
+          case weak =>
+            graft.operators.Sniff.filenameMime(r.http_disposition)
+              .orElse(weak)
+        }
+        resolved.map(m => r.copy(http_content_type = m)).getOrElse(r)
+      } else r
     }
   }
 
@@ -191,6 +203,38 @@ object Warc {
             s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii)
           out.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
             s"WARC-Target-URI: ${r.getString(0)}\r\n" +
+            s"Content-Length: ${http.length + body.length}\r\n\r\n").getBytes(ascii))
+          out.write(http); out.write(body)
+          out.write("\r\n\r\n".getBytes(ascii))
+        } finally out.close()
+      }
+    }
+  }
+
+  /** The extra-headers counterpart of [[writeWarcResponses]]: rows are
+    * `(target_uri, content_type, extra_headers, payload)` with
+    * `extra_headers` spliced verbatim into the HTTP head (one or more
+    * CRLF-joined header lines, no trailing CRLF) — the staging twin
+    * for Content-Disposition / ETag / Last-Modified batteries. */
+  def writeWarcResponsesWithHeaders(df: DataFrame, dir: String): Unit = {
+    val cols = df.select(col("target_uri"), col("content_type"),
+      col("extra_headers"), col("payload"))
+    cols.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(s"$dir/seg$pid.warc")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = new java.io.BufferedOutputStream(fs.create(path, true))
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        try it.foreach { r =>
+          val body = r.getAs[Array[Byte]](3)
+          val extra = Option(r.getString(2)).filter(_.nonEmpty)
+            .map(_ + "\r\n").getOrElse("")
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: ${r.getString(1)}\r\n" +
+            extra + s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii)
+          out.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: ${r.getString(0)}\r\n" +
+            "WARC-Date: 2026-03-01T00:00:00Z\r\n" + // the staged fetch time
             s"Content-Length: ${http.length + body.length}\r\n\r\n").getBytes(ascii))
           out.write(http); out.write(body)
           out.write("\r\n\r\n".getBytes(ascii))
@@ -1500,6 +1544,9 @@ object Warc {
           var status: Integer = null
           var ctype: String = null
           var location: String = null
+          var disposition: String = null
+          var etag: String = null
+          var lastModified: String = null
           var payload = block
           if (wtype == "response" || wtype == "revisit") {
             val he = indexOfCrlfCrlf(block, 0)
@@ -1520,6 +1567,16 @@ object Warc {
                 case l if l.toLowerCase.startsWith("location:") =>
                   l.substring("location:".length).trim
               }.filter(_.nonEmpty).orNull
+              // routing + recrawl headers, verbatim: Content-Disposition
+              // (the filename hint sniffTypes falls back to), ETag and
+              // Last-Modified (the conditional-refetch validators)
+              def h1(name: String): String = lines.tail.collectFirst {
+                case l if l.toLowerCase.startsWith(name + ":") =>
+                  l.substring(name.length + 1).trim
+              }.filter(_.nonEmpty).orNull
+              disposition = h1("content-disposition")
+              etag = h1("etag")
+              lastModified = h1("last-modified")
               payload = java.util.Arrays.copyOfRange(block, he + 4, block.length)
               // HTTP Transfer-Encoding: crawlers archive the WIRE bytes,
               // so a `Transfer-Encoding: chunked` response's body still
@@ -1590,7 +1647,8 @@ object Warc {
           out += WarcRecord(path, idx, wtype, uri, date, clen, status, ctype,
             payload, framing_ok = term, payload_digest = digest,
             http_location = location, record_id = recordId,
-            concurrent_to = concurrentTo)
+            concurrent_to = concurrentTo, http_disposition = disposition,
+            http_etag = etag, http_last_modified = lastModified)
           if (!term) broken = true
           i = termAt + 4
         }

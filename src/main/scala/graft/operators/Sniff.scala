@@ -101,6 +101,50 @@ object Sniff {
     textShape(b)
   }
 
+  /** The media type a Content-Disposition FILENAME declares — the
+    * third routing signal after the declared type and the magic
+    * sniff, for the text formats magic can't claim: a CSV served
+    * `application/octet-stream; filename="data.csv"` is printable
+    * text to the byte sniffer, but the server told us exactly what it
+    * is. RFC 6266 grammar: `filename*` (RFC 5987 ext-value,
+    * `charset''percent-encoded`) wins over `filename`; quoted and
+    * token forms both accepted. Only extensions with NO reliable
+    * magic/structure are mapped — anything the byte sniffer can claim
+    * stays its business (a lying filename must not overrule bytes). */
+  def filenameMime(disposition: String): Option[String] = {
+    if (disposition == null) return None
+    val params = disposition.split(";").map(_.trim)
+    def valueOf(key: String): Option[String] = params.collectFirst {
+      case p if p.toLowerCase(Locale.ROOT).startsWith(key + "=") =>
+        p.substring(key.length + 1).trim
+    }
+    val name = valueOf("filename*").flatMap { ext =>
+      // RFC 5987: charset'[lang]'value with %-escapes
+      val parts = ext.split("'", 3)
+      if (parts.length != 3) None
+      else try {
+        val cs = if (parts(0).isEmpty) "UTF-8" else parts(0)
+        Some(java.net.URLDecoder.decode(parts(2), cs))
+      } catch { case _: Exception => None }
+    }.orElse(valueOf("filename").map(_.stripPrefix("\"").stripSuffix("\"")))
+    name.map(_.toLowerCase(Locale.ROOT)).flatMap { n =>
+      val ext = n.substring(n.lastIndexOf('.') + 1)
+      ext match {
+        case "csv" => Some("text/csv")
+        case "md" | "markdown" => Some("text/markdown")
+        case "tex" => Some("application/x-tex")
+        case "jsonl" | "ndjson" => Some("application/json")
+        case "mht" | "mhtml" => Some("multipart/related")
+        case "eml" => Some("message/rfc822")
+        case "ics" => Some("text/calendar")
+        case "vcf" => Some("text/vcard")
+        case "vtt" => Some("text/vtt")
+        case "srt" => Some("application/x-subrip")
+        case _ => None
+      }
+    }
+  }
+
   /** ZIP dispatch by central-directory content — the same walk the
     * extractors run. An unreadable directory is still a ZIP (the
     * archive branch will flag it). */

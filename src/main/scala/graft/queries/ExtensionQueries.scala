@@ -639,6 +639,94 @@ object ExtensionQueries {
       out
     })
 
+  private val recrawlStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_recrawl_plan: responses fetched at a
+    * constant staged WARC-Date (2026-03-01T00:00:00Z, the
+    * [[graft.io.Warc.writeWarcResponsesWithHeaders]] stamp) carrying
+    * validator batteries — ETag on three of four ids; Last-Modified
+    * absent on `id % 5 == 4`, SECONDS-old on `id % 5 == 0` (the
+    * min-clamp lane), and weeks-old January dates otherwise (some of
+    * which cross the max clamp at the query's alpha) — IMF-fixdate
+    * formatted with the true weekday (both engines parse strictly). */
+  private def recrawlStage(s: SparkSession, dir: String): String =
+    recrawlStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_recrawl").toString
+      val fetchEpoch = java.time.Instant.parse("2026-03-01T00:00:00Z")
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, u, text) =>
+          val lm: java.time.Instant = (id % 5) match {
+            case 4 => null
+            case 0 => fetchEpoch.minusSeconds(60 + id % 3600)
+            case _ => java.time.ZonedDateTime.of(2026, 1,
+              (1 + id % 28).toInt, (id % 24).toInt, 0, 0, 0,
+              java.time.ZoneOffset.UTC).toInstant
+          }
+          val headers = Seq(
+            if (id % 4 == 3) None else Some("ETag: \"e" + id + "\""),
+            Option(lm).map(i => "Last-Modified: " +
+              // IMF-fixdate (RFC 7231 §7.1.1.1): 2-digit day — the
+              // RFC_1123 formatter would emit "1 Jan", not "01 Jan"
+              java.time.format.DateTimeFormatter.ofPattern(
+                "EEE, dd MMM yyyy HH:mm:ss 'GMT'", java.util.Locale.US)
+                .withZone(java.time.ZoneOffset.UTC).format(i)))
+            .flatten.mkString("\r\n")
+          (u, "text/plain", headers,
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+        .toDF("target_uri", "content_type", "extra_headers", "payload")
+      graft.io.Warc.writeWarcResponsesWithHeaders(media, out)
+      out
+    })
+
+  private val dispositionStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_disposition_routing: magic-less text
+    * carriers served as `application/octet-stream` where ONLY the
+    * Content-Disposition filename says what they are — CSV under the
+    * plain `filename="…"` form (`doc_id % 3 == 0`), CSV under the RFC
+    * 5987 `filename*=UTF-8''…` form with a percent-escaped name (1),
+    * and emphasis-wrapped markdown (2, whose `**bold**` riders the
+    * markdown strip removes — so a mis-route to the text lane is a
+    * hash mismatch, not a coincidence). */
+  private def dispositionStage(s: SparkSession, dir: String): String =
+    dispositionStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_dispo").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("source"), col("text"))
+        .as[(Long, String, String, String)]
+        .map { case (id, u, src, text) =>
+          import graft.operators.{Csv, Markdown}
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          val sentences =
+            text.split(java.util.regex.Pattern.quote(". "), -1).toSeq
+          val (payload, headers) = (id % 3) match {
+            case 0 =>
+              (Csv.writeCsv(sentences.map(l => Seq(src, l, s"v,$id"))),
+                s"""Content-Disposition: attachment; filename="data$id.csv"""")
+            case 1 =>
+              (Csv.writeCsv(sentences.map(l => Seq(src, l, s"v,$id"))),
+                s"Content-Disposition: attachment; filename*=UTF-8''da%20ta$id.csv")
+            case _ =>
+              (Markdown.writeMarkdown(sentences.map(l => s"**$l**"), Nil)
+                .getBytes(utf8),
+                s"""Content-Disposition: inline; filename="notes$id.md"""")
+          }
+          (u, "application/octet-stream", headers, payload) }
+        .toDF("target_uri", "content_type", "extra_headers", "payload")
+      graft.io.Warc.writeWarcResponsesWithHeaders(media, out)
+      out
+    })
+
   private val mhtmlStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -4140,6 +4228,39 @@ object ExtensionQueries {
     // extensions, trailers) over both a text and a binary carrier —
     // the reader's de-chunk must reassemble entity bytes exactly or
     // the HTML strip / PDF extract hash-mismatches.
+    // Recrawl planning: the age-proportional revisit policy over the
+    // staged validator batteries — IMF-fixdate parsing, both clamp
+    // edges, the absent-validator default, and the epoch arithmetic
+    // all recomputed independently in DuckDB.
+    "q_recrawl_plan" -> ((s, dir) => {
+      graft.operators.Recrawl.recrawlPlan(
+          graft.io.Warc.readWarc(s, recrawlStage(s, dir)),
+          alpha = 0.5, minHours = 1.0, maxHours = 720.0, defaultDays = 7.0)
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("if_none_match"), col("age_s"), col("interval_s"),
+          col("next_fetch_s"))
+        .orderBy("doc_id")
+    }),
+
+    // Content-Disposition routing: octet-stream payloads whose ONLY
+    // type signal is the filename — both RFC 6266 forms — must reach
+    // their carrier lanes (csv flatten / markdown strip), not the text
+    // lane; the oracle's per-lane derivations make a mis-route a hash
+    // mismatch.
+    "q_disposition_routing" -> ((s, dir) => {
+      val lanes = Seq("csv", "csv", "markdown")
+      graft.io.Warc.toDocuments(graft.io.Warc.sniffTypes(
+          graft.io.Warc.readWarc(s, dispositionStage(s, dir))))
+        .select(regexp_extract(col("url"), "doc/(\\d+)$", 1)
+          .cast(LongType).as("doc_id"), col("text"))
+        .withColumn("fmt", element_at(typedlit(lanes),
+          (col("doc_id") % 3).cast(IntegerType) + 1))
+        .select("doc_id", "fmt", "text")
+        .orderBy("doc_id")
+    }),
+
     // MHTML round-trip: the saved-page aggregate under the
     // octet-stream lie — the sniff rule, the boundary framing, the QP
     // decode, BOTH root-selection paths (first part / start
@@ -5256,6 +5377,16 @@ object ExtensionQueries {
 
     "q_mhtml_roundtrip" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text, CAST(2 AS INTEGER) AS n_resources FROM documents ORDER BY doc_id""",
+
+    // the staged validator lanes replayed: fetch epoch constant, the
+    // three Last-Modified derivations, alpha/clamp arithmetic verbatim
+    "q_recrawl_plan" ->
+      ("""WITH p AS (SELECT doc_id, CAST(epoch(TIMESTAMP '2026-03-01 00:00:00') AS BIGINT) AS f, CASE WHEN doc_id % 5 = 4 THEN NULL WHEN doc_id % 5 = 0 THEN CAST(epoch(TIMESTAMP '2026-03-01 00:00:00') AS BIGINT) - (60 + doc_id % 3600) ELSE CAST(epoch(make_timestamp(2026, 1, CAST(1 + doc_id % 28 AS BIGINT), CAST(doc_id % 24 AS BIGINT), 0, 0)) AS BIGINT) END AS lm FROM documents), q AS (SELECT doc_id, f, lm, CASE WHEN lm IS NULL THEN 604800 ELSE LEAST(GREATEST(CAST(ROUND(0.5 * (f - lm)) AS BIGINT), 3600), 2592000) END AS iv FROM p) SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN NULL ELSE '"e' || doc_id || '"' END AS if_none_match, f - lm AS age_s, iv AS interval_s, f + iv AS next_fetch_s FROM q ORDER BY doc_id"""),
+
+    // csv lanes flatten source TAB cell TAB v,id; the markdown lane's
+    // **bold** riders strip away — exactly the matrix derivations
+    "q_disposition_routing" ->
+      """SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN 'markdown' ELSE 'csv' END AS fmt, CASE WHEN doc_id % 3 = 2 THEN replace(text, '. ', chr(10)) ELSE source || chr(9) || replace(text, '. ', chr(9) || 'v,' || doc_id || chr(10) || source || chr(9)) || chr(9) || 'v,' || doc_id END AS text FROM documents ORDER BY doc_id""",
 
     // the full >100-byte member path rebuilt per id — a truncated
     // name anywhere is a hash mismatch
