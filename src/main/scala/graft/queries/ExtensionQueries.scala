@@ -504,17 +504,17 @@ object ExtensionQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Session-scoped staging for q_ingest_matrix: EVERY
-    * `toDocuments`-routable carrier, cycling by `doc_id % 20` — html,
+    * `toDocuments`-routable carrier, cycling by `doc_id % 21` — html,
     * pdf (plain/Type0/encrypted thirds), docx, xlsx, pptx, epub, rtf,
     * subtitles (vtt/srt), archive (zip/ustar), csv, eml (all four MIME
     * shapes), mbox, tex, feed (rss/atom), sqlite, odf (odt/ods/odp),
-    * ics, markdown, text, json — all but CSV served under the
+    * ics, markdown, text, json, mhtml — all but CSV served under the
     * octet-stream lie (CSV has no magic bytes and sniffs as
     * `text/plain`, so it keeps its declared type — the
     * declared-specific-type-wins half of the [[graft.operators.Sniff]]
     * contract is on the oracle too; JSON has no magic either, but its
     * strict-parse sniff claims it from octet-stream). Sub-variants
-    * cycle on `doc_id / 20` so they decorrelate from the format lane.
+    * cycle on `doc_id / 21` so they decorrelate from the format lane.
     * Generation is distributed (Dataset.map on executors); nothing
     * ships from the driver. */
   private def ingestStage(s: SparkSession, dir: String): String =
@@ -532,9 +532,9 @@ object ExtensionQueries {
           val sentences =
             text.split(java.util.regex.Pattern.quote(". "), -1).toSeq
           val x = sentences.mkString("\n")
-          val k = id / 20
+          val k = id / 21
           val octet = "application/octet-stream"
-          val (ct, payload) = (id % 20).toInt match {
+          val (ct, payload) = (id % 21).toInt match {
             case 0 => (octet,
               sentences.map(l => "<p>" + l + "</p>").mkString.getBytes(utf8))
             case 1 => (octet, (k % 3).toInt match {
@@ -582,9 +582,13 @@ object ExtensionQueries {
             case 17 => (octet, Markdown.writeMarkdown(sentences,
               Seq("title" -> s"doc $id", "source" -> src)).getBytes(utf8))
             case 18 => (octet, x.getBytes(utf8))
-            case _ => (octet, // json: single object, both serializations
+            case 19 => (octet, // json: single object, both serializations
               ("{\"text\":" + Json.quote(x, asciiOnly = k % 2 == 0) +
                 ",\"n\":" + id + "}").getBytes(utf8))
+            case _ => (octet, // mhtml: QP-encoded saved page, both roots
+              Mhtml.writeMhtml(
+                x.split("\n", -1).map(l => "<p>" + l + "</p>").mkString,
+                u, rootFirst = k % 2 == 0))
           }
           (u, ct, payload) }
         .toDF("target_uri", "content_type", "payload")
@@ -4684,13 +4688,13 @@ object ExtensionQueries {
     "q_ingest_matrix" -> ((s, dir) => {
       val lanes = Seq("html", "pdf", "docx", "xlsx", "pptx", "epub", "rtf",
         "subtitles", "archive", "csv", "eml", "mbox", "tex", "feed",
-        "sqlite", "odf", "ics", "markdown", "text", "json")
+        "sqlite", "odf", "ics", "markdown", "text", "json", "mhtml")
       graft.io.Warc.toDocuments(graft.io.Warc.sniffTypes(
           graft.io.Warc.readWarc(s, ingestStage(s, dir))))
         .select(regexp_extract(col("url"), "doc/(\\d+)", 1)
           .cast(LongType).as("doc_id"), col("url"), col("text"))
         .withColumn("fmt", element_at(typedlit(lanes),
-          (col("doc_id") % 20).cast(IntegerType) + 1))
+          (col("doc_id") % 21).cast(IntegerType) + 1))
         .select("doc_id", "fmt", "url", "text")
         .orderBy("doc_id")
     }),
@@ -5490,7 +5494,7 @@ object ExtensionQueries {
       ("""WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS v, text FROM documents), multi AS (SELECT doc_id, CAST(0 AS INTEGER) AS item, text AS t FROM d WHERE v <> 1 UNION ALL SELECT doc_id, CAST(1 AS INTEGER), 'echo ' || text FROM d WHERE v <> 1 UNION ALL SELECT doc_id, CAST(2 AS INTEGER), 'tail ' || doc_id FROM d WHERE v <> 1), single AS (SELECT doc_id, CAST(-1 AS INTEGER) AS item, text AS t FROM d WHERE v = 1) SELECT doc_id, item, t || ' r"q" \ / € ☃' || chr(9) || chr(10) || 'z' AS text FROM (SELECT * FROM multi UNION ALL SELECT * FROM single) ORDER BY doc_id, item"""),
 
     "q_ingest_matrix" ->
-      """WITH d AS (SELECT doc_id, source, text, CAST(doc_id % 20 AS INTEGER) AS m, doc_id // 20 AS k, replace(text, '. ', chr(10)) AS x FROM documents) SELECT doc_id, (['html','pdf','docx','xlsx','pptx','epub','rtf','subtitles','archive','csv','eml','mbox','tex','feed','sqlite','odf','ics','markdown','text','json'])[m + 1] AS fmt, 'http://corpus.test/doc/' || doc_id || CASE WHEN m = 8 THEN '#p1.txt' WHEN m IN (11, 13, 16) THEN '#0' ELSE '' END AS url, CASE WHEN m IN (3, 14) OR (m = 15 AND k % 3 = 1) THEN source || chr(9) || replace(text, '. ', chr(10) || source || chr(9)) WHEN m = 9 THEN source || chr(9) || replace(text, '. ', chr(9) || 'v,' || doc_id || chr(10) || source || chr(9)) || chr(9) || 'v,' || doc_id WHEN m IN (10, 11) THEN 'Subject ' || doc_id || chr(10) || x WHEN m = 12 THEN 'Doc ' || doc_id || chr(10) || x WHEN m = 13 THEN 'Item 0' || chr(10) || text WHEN m = 16 THEN 'Event 1' || chr(10) || text ELSE x END AS text FROM d ORDER BY doc_id""",
+      """WITH d AS (SELECT doc_id, source, text, CAST(doc_id % 21 AS INTEGER) AS m, doc_id // 21 AS k, replace(text, '. ', chr(10)) AS x FROM documents) SELECT doc_id, (['html','pdf','docx','xlsx','pptx','epub','rtf','subtitles','archive','csv','eml','mbox','tex','feed','sqlite','odf','ics','markdown','text','json','mhtml'])[m + 1] AS fmt, 'http://corpus.test/doc/' || doc_id || CASE WHEN m = 8 THEN '#p1.txt' WHEN m IN (11, 13, 16) THEN '#0' ELSE '' END AS url, CASE WHEN m IN (3, 14) OR (m = 15 AND k % 3 = 1) THEN source || chr(9) || replace(text, '. ', chr(10) || source || chr(9)) WHEN m = 9 THEN source || chr(9) || replace(text, '. ', chr(9) || 'v,' || doc_id || chr(10) || source || chr(9)) || chr(9) || 'v,' || doc_id WHEN m IN (10, 11) THEN 'Subject ' || doc_id || chr(10) || x WHEN m = 12 THEN 'Doc ' || doc_id || chr(10) || x WHEN m = 13 THEN 'Item 0' || chr(10) || text WHEN m = 16 THEN 'Event 1' || chr(10) || text ELSE x END AS text FROM d ORDER BY doc_id""",
 
     // the section title heads the text; each sentence is a paragraph
     "q_tex_roundtrip" ->

@@ -21,7 +21,7 @@ class IngestMatrixSpec extends SparkSpec {
     val lanes = rows.map(_._2).toSet
     assert(lanes == Set("html", "pdf", "docx", "xlsx", "pptx", "epub",
       "rtf", "subtitles", "archive", "csv", "eml", "mbox", "tex", "feed",
-      "sqlite", "odf", "ics", "markdown", "text", "json"))
+      "sqlite", "odf", "ics", "markdown", "text", "json", "mhtml"))
   }
 
   test("one document in, one document out — no lane multiplies or drops") {
@@ -56,7 +56,7 @@ class IngestMatrixSpec extends SparkSpec {
           .mkString("\n" + source + "\t")
       val expected = fmt match {
         case "xlsx" | "sqlite" => tabR
-        case "odf" => if ((id / 20) % 3 == 1) tabR else x
+        case "odf" => if ((id / 21) % 3 == 1) tabR else x
         case "csv" => orig.split(java.util.regex.Pattern.quote(". "), -1)
           .map(l => s"$source\t$l\tv,$id").mkString("\n")
         case "eml" | "mbox" => s"Subject $id\n" + x
