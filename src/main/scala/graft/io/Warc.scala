@@ -55,6 +55,31 @@ object Warc {
       .flatMap { case (p, bytes) => parseWarcBytes(p, bytes) }
   }
 
+  /** Streaming [[readWarc]]: new archive segments landing in `dir`
+    * parse through the identical record walk — a continuous crawl's
+    * output flows straight into the `toDocuments*` faces and the
+    * incremental-dedup/curate sinks without a batch re-scan. One task
+    * per NEW file per micro-batch (the file-source contract); same
+    * framing semantics as batch. The binaryFile source's schema is
+    * fixed, supplied explicitly (streaming file sources do not
+    * infer). */
+  def readWarcStream(spark: SparkSession, dir: String): Dataset[WarcRecord] = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile").schema(schema).load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) => parseWarcBytes(p, bytes) }
+  }
+
   /** Media-typed `response` payloads as `Multimodal.Media` rows —
     * crawl archive → typed media features without leaving Spark:
     * `Multimodal.decodeFeatures(Warc.toMedia(Warc.readWarc(...)))`.
@@ -187,13 +212,21 @@ object Warc {
     * The write counterpart of [[readWarc]]: a curated subset re-shared
     * as WARC, or test/bench staging. Hadoop-FS streams, any scheme;
     * parallelism = input partitions, zero shuffle. Round-trips through
-    * [[parseWarcBytes]] byte-exactly (WarcSpec). */
-  def writeWarcResponses(df: DataFrame, dir: String): Unit = {
+    * [[parseWarcBytes]] byte-exactly (WarcSpec).
+    *
+    * `gzipPerRecord = true` writes the Common Crawl interchange layout
+    * instead: `segN.warc.gz` with EVERY record its own concatenated
+    * gzip member (the WARC 1.1 Annex D convention that lets indexers
+    * seek to a record and inflate it alone); [[readWarc]]'s
+    * multi-member gunzip reads both layouts identically. */
+  def writeWarcResponses(df: DataFrame, dir: String,
+      gzipPerRecord: Boolean = false): Unit = {
     val cols = df.select(col("target_uri"), col("content_type"), col("payload"))
     cols.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val path = new org.apache.hadoop.fs.Path(s"$dir/seg$pid.warc")
+        val ext = if (gzipPerRecord) "warc.gz" else "warc"
+        val path = new org.apache.hadoop.fs.Path(s"$dir/seg$pid.$ext")
         val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
         val out = new java.io.BufferedOutputStream(fs.create(path, true))
         val ascii = java.nio.charset.StandardCharsets.US_ASCII
@@ -201,11 +234,18 @@ object Warc {
           val body = r.getAs[Array[Byte]](2)
           val http = (s"HTTP/1.1 200 OK\r\nContent-Type: ${r.getString(1)}\r\n" +
             s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii)
-          out.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          val rec = new java.io.ByteArrayOutputStream()
+          rec.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
             s"WARC-Target-URI: ${r.getString(0)}\r\n" +
             s"Content-Length: ${http.length + body.length}\r\n\r\n").getBytes(ascii))
-          out.write(http); out.write(body)
-          out.write("\r\n\r\n".getBytes(ascii))
+          rec.write(http); rec.write(body)
+          rec.write("\r\n\r\n".getBytes(ascii))
+          if (gzipPerRecord) {
+            val gz = new java.util.zip.GZIPOutputStream(out) {
+              def finishOnly(): Unit = finish() // keep `out` open
+            }
+            gz.write(rec.toByteArray); gz.finishOnly(); gz.flush()
+          } else out.write(rec.toByteArray)
         } finally out.close()
       }
     }

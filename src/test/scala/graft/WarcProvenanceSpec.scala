@@ -47,6 +47,60 @@ class WarcProvenanceSpec extends SparkSpec {
       ("http://a.test/bare", null, null, null, -1L, null)))
   }
 
+  test("readWarcStream: segments landing in a watched dir parse as in batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_stream")
+    val stream = graft.io.Warc.readWarcStream(spark, dir.toString)
+    assert(stream.isStreaming)
+    val docs = graft.io.Warc.toDocumentsHtml(stream)
+    val query = docs.writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append").start()
+    def land(seg: String, uri: String, body: String, gz: Boolean): Unit = {
+      val sub = java.nio.file.Files.createTempDirectory("graft_warc_seg")
+      graft.io.Warc.writeWarcResponses(
+        Seq((uri, "text/html", body.getBytes("UTF-8")))
+          .toDF("target_uri", "content_type", "payload"),
+        sub.toString, gzipPerRecord = gz)
+      val src = java.nio.file.Files.list(sub).findFirst().get()
+      java.nio.file.Files.move(src, java.nio.file.Paths.get(dir.toString, seg))
+    }
+    try {
+      land("seg0.warc", "http://s.test/a", "<p>first batch</p>", gz = false)
+      query.processAllAvailable()
+      // the second segment arrives LATER and gzip-per-record (both
+      // layouts through one watched dir, the crawl-output reality)
+      land("seg1.warc.gz", "http://s.test/b", "<p>second batch</p>", gz = true)
+      query.processAllAvailable()
+      val got = spark.table("warc_stream")
+        .select("url", "text").as[(String, String)].collect().toSet
+      assert(got == Set(
+        ("http://s.test/a", "first batch"),
+        ("http://s.test/b", "second batch")))
+    } finally query.stop()
+  }
+
+  test("gzipPerRecord: the member-per-record layout round-trips") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_gzpr").toString
+    graft.io.Warc.writeWarcResponses(
+      Seq(("http://a.test/1", "text/html", "<p>one</p>".getBytes("UTF-8")),
+        ("http://a.test/2", "application/pdf",
+          graft.operators.Pdf.writeTextPdf("two")))
+        .toDF("target_uri", "content_type", "payload").coalesce(1),
+      dir, gzipPerRecord = true)
+    val f = new java.io.File(dir).listFiles().head
+    assert(f.getName.endsWith(".warc.gz"))
+    // two independent gzip members: a second magic beyond offset 0
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val members = bytes.indices.count(i => i + 1 < bytes.length &&
+      (bytes(i) & 0xff) == 0x1f && (bytes(i + 1) & 0xff) == 0x8b)
+    assert(members >= 2, s"expected concatenated members, saw $members magic(s)")
+    val recs = graft.io.Warc.readWarc(spark, dir).collect()
+    assert(recs.length == 2 && recs.forall(_.framing_ok))
+    assert(recs.map(_.target_uri).toSet ==
+      Set("http://a.test/1", "http://a.test/2"))
+  }
+
   test("record types surface with ids; request heads parse methods") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_prov_ids").toString
