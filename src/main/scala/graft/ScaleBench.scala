@@ -580,6 +580,34 @@ object ScaleBench {
         }
       }
 
+      // brotli Content-Encoding at scale: html bodies under `br`, both
+      // meta-block shapes, through the reader's decode into the html
+      // strip — per-record CPU over generated archives (the staging
+      // write is untimed), expected linear seconds and flat skew like
+      // every decode-bound row here
+      if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+          .exists(!_.exists("http_brotli".contains))) {
+        import spark.implicits._
+        val brWarcDir = s"$scaleDir/warc_brotli"
+        graft.io.Warc.writeWarcResponsesEncoded(
+          corpus.select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .map { case (id, text) =>
+              val html = text.split(java.util.regex.Pattern.quote(". "), -1)
+                .map(t => "<p>" + t + "</p>").mkString
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              (s"http://seg.test/doc/$id", "text/html", "br",
+                graft.operators.Brotli.compress(html,
+                  viaUncompressed = id % 2 == 1)) }
+            .toDF("target_uri", "content_type", "content_encoding", "payload")
+            .repartition(cpus.toInt),
+          brWarcDir)
+        measure("http_brotli", s"$scaleDir/out_http_brotli") {
+          graft.io.Warc.toDocumentsHtml(
+            graft.io.Warc.readWarc(spark, brWarcDir))
+        }
+      }
+
       // binary token sharding under a standing BPE model (encode untimed
       // and persisted — the measured claim is the SINK: one range shuffle
       // for the doc_id total order, KB-scale driver prefix-sum traffic,
