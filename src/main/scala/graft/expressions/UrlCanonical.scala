@@ -139,6 +139,55 @@ object UrlKernels {
     sb.result()
   }
 
+  /** SURT form (Sort-friendly URI Reordering Transform) — the key
+    * every web-archive index sorts by, so one host's pages (and one
+    * registrable domain's hosts) are CONTIGUOUS under a plain string
+    * sort: canonicalize first (the §6.2.2 kernel above), then drop
+    * the scheme and userinfo, reverse the host labels comma-joined,
+    * keep a non-default port after the labels, close with `)` and the
+    * path+query LOWERCASED (the web-archive convention — index keys
+    * trade path case for match recall; the original-case URL rides in
+    * the CDX payload). A single leading `www.` label is dropped (the
+    * alias every archive canonicalizer folds). IPv6 literal hosts
+    * keep their bracket form un-reversed (no labels to reorder).
+    * Non-hierarchical inputs (no derivable fetch identity) → null. */
+  def surtUrlKernel(u: UTF8String): UTF8String = {
+    val canon = canonicalizeUrlKernel(u).toString
+    val ss = canon.indexOf("://")
+    if (ss <= 0) return null
+    val as = ss + 3
+    var ae = as
+    while (ae < canon.length && canon.charAt(ae) != '/' &&
+      canon.charAt(ae) != '?') ae += 1
+    var auth = canon.substring(as, ae)
+    val at = auth.lastIndexOf('@')
+    if (at >= 0) auth = auth.substring(at + 1)
+    var host = auth
+    var port = ""
+    if (host.startsWith("[")) {
+      val cb = host.indexOf(']')
+      if (cb < 0) return null
+      if (cb + 1 < host.length && host.charAt(cb + 1) == ':')
+        port = host.substring(cb + 2)
+      host = host.substring(0, cb + 1)
+    } else {
+      val c = host.indexOf(':')
+      if (c >= 0) { port = host.substring(c + 1); host = host.substring(0, c) }
+    }
+    if (host.isEmpty) return null
+    // strip the www alias only when a multi-label host remains —
+    // "www.com" IS a registrable host, not an alias of "com"
+    if (host.startsWith("www.") && host.indexOf('.', 4) >= 0)
+      host = host.substring(4)
+    val key =
+      if (host.startsWith("[")) host // v6 literal: nothing to reorder
+      else host.split("\\.", -1).reverse.mkString(",")
+    val rest = canon.substring(ae).toLowerCase(Locale.ROOT)
+    UTF8String.fromString(
+      key + (if (port.nonEmpty) ":" + port else "") + ")" +
+        (if (rest.isEmpty) "/" else rest))
+  }
+
   /** Internationalized hostname → ASCII form: NFC-normalize (JDK
     * `java.text.Normalizer` — public API), lowercase, and
     * punycode-encode each non-ASCII label under the `xn--` ACE prefix.
@@ -399,9 +448,32 @@ case class ResolveUrl(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `surt_url(url)` → string (null when no fetch identity can be
+  * derived): see [[UrlKernels.surtUrlKernel]]. */
+case class SurtUrl(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"surt_url requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "surt_url"
+  override def nullSafeEval(input: Any): Any =
+    UrlKernels.surtUrlKernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.UrlKernels.surtUrlKernel($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): SurtUrl =
+    copy(child = newChild)
+}
+
 object NativeUrl {
   def canonicalizeUrl(url: Column): Column =
     GraftColumnBridge.column(CanonicalizeUrl(GraftColumnBridge.expression(url)))
+  def surtUrl(url: Column): Column =
+    GraftColumnBridge.column(SurtUrl(GraftColumnBridge.expression(url)))
   def resolveUrl(base: Column, ref: Column): Column =
     GraftColumnBridge.column(ResolveUrl(
       GraftColumnBridge.expression(base), GraftColumnBridge.expression(ref)))

@@ -43,7 +43,7 @@ object Warc {
       payload_digest: String = null, http_location: String = null,
       record_id: String = null, concurrent_to: String = null,
       http_disposition: String = null, http_etag: String = null,
-      http_last_modified: String = null)
+      http_last_modified: String = null, offset: Long = -1L)
 
   /** Read a WARC file / directory / glob (plain or record-gzipped
     * `.warc.gz`) as one row per record. */
@@ -140,7 +140,7 @@ object Warc {
   /** HTTP media type, normalized: parameters stripped, trimmed,
     * lowercased — media types are case-insensitive per RFC 9110, and real
     * crawls carry `Text/HTML` and `text/html ; charset=...` variants. */
-  private def mimeOf(contentType: org.apache.spark.sql.Column) =
+  private[io] def mimeOf(contentType: org.apache.spark.sql.Column) =
     lower(trim(substring_index(contentType, ";", 1)))
 
   /** Windows-1252 is ISO-8859-1 with the C1 control range 0x80–0x9F
@@ -1538,6 +1538,7 @@ object Warc {
       // skip inter-record CRLFs
       while (i < bytes.length && (bytes(i) == '\r' || bytes(i) == '\n')) i += 1
       if (i >= bytes.length) return out.iterator
+      val recStart = i.toLong
       val hdrEnd = indexOfCrlfCrlf(bytes, i)
       val versionOk = startsWith(bytes, i, "WARC/")
       if (!versionOk || hdrEnd < 0) {
@@ -1688,7 +1689,10 @@ object Warc {
             payload, framing_ok = term, payload_digest = digest,
             http_location = location, record_id = recordId,
             concurrent_to = concurrentTo, http_disposition = disposition,
-            http_etag = etag, http_last_modified = lastModified)
+            http_etag = etag, http_last_modified = lastModified,
+            // record start in the DECOMPRESSED archive byte stream —
+            // the CDX offset at the member grain this reader works at
+            offset = recStart)
           if (!term) broken = true
           i = termAt + 4
         }

@@ -643,6 +643,37 @@ object ExtensionQueries {
       out
     })
 
+  private val cdxStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_cdx_roundtrip: a WARC archive whose
+    * target URIs exercise the SURT battery (www-stripped vs subdomain
+    * hosts, mixed case everywhere, non-default ports on every third
+    * id, cased query strings), indexed by [[graft.io.Cdx.cdxFromWarc]]
+    * and round-tripped THROUGH THE SORTED CDXJ TEXT
+    * (writeCdxj → readCdxj) — so the key derivation, the json payload
+    * framing, and the parse-back are all under the oracle. */
+  private def cdxStage(s: SparkSession, dir: String): String =
+    cdxStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val warcOut = java.nio.file.Files.createTempDirectory("graft_cdx_warc").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val host = if (id % 2 == 0) "WWW.Corpus.TEST" else "sub.Corpus.TEST"
+          val port = if (id % 3 == 0) ":8080" else ""
+          (s"http://$host$port/Doc/$id?B=2", "text/html", "",
+            ("<p>" + text + "</p>")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+        .toDF("target_uri", "content_type", "extra_headers", "payload")
+      graft.io.Warc.writeWarcResponsesWithHeaders(media, warcOut)
+      val cdxOut = java.nio.file.Files.createTempDirectory("graft_cdx_idx").toString
+      graft.io.Cdx.writeCdxj(
+        graft.io.Cdx.cdxFromWarc(graft.io.Warc.readWarc(s, warcOut)), cdxOut)
+      cdxOut
+    })
+
   private val recrawlStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -4232,6 +4263,20 @@ object ExtensionQueries {
     // extensions, trailers) over both a text and a binary carrier —
     // the reader's de-chunk must reassemble entity bytes exactly or
     // the HTML strip / PDF extract hash-mismatches.
+    // CDXJ crawl index round-trip: SURT keys (www strip, label
+    // reversal, port keep, full lowercase) derived from hostile-case
+    // staged URIs, written as sorted CDXJ text and parsed BACK — the
+    // key kernel, the json framing, and the reader all on one oracle.
+    "q_cdx_roundtrip" -> ((s, dir) => {
+      graft.io.Cdx.readCdxj(s, cdxStage(s, dir))
+        .filter(col("ok"))
+        .select(
+          regexp_extract(col("url"), "Doc/(\\d+)", 1)
+            .cast(LongType).as("doc_id"),
+          col("surt"), col("ts"), col("url"), col("mime"), col("status"))
+        .orderBy("doc_id")
+    }),
+
     // Recrawl planning: the age-proportional revisit policy over the
     // staged validator batteries — IMF-fixdate parsing, both clamp
     // edges, the absent-validator default, and the epoch arithmetic
@@ -5381,6 +5426,11 @@ object ExtensionQueries {
 
     "q_mhtml_roundtrip" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text, CAST(2 AS INTEGER) AS n_resources FROM documents ORDER BY doc_id""",
+
+    // every SURT key rebuilt from the id cycles: www strip, reversed
+    // labels, the kept non-default port, the lowercased path+query
+    "q_cdx_roundtrip" ->
+      """SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'test,corpus' ELSE 'test,corpus,sub' END || CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END || ')/doc/' || doc_id || '?b=2' AS surt, '20260301000000' AS ts, 'http://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.Corpus.TEST' ELSE 'sub.Corpus.TEST' END || CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END || '/Doc/' || doc_id || '?B=2' AS url, 'text/html' AS mime, CAST(200 AS INTEGER) AS status FROM documents ORDER BY doc_id""",
 
     // the staged validator lanes replayed: fetch epoch constant, the
     // three Last-Modified derivations, alpha/clamp arithmetic verbatim

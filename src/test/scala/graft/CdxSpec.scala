@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SURT keys and the CDXJ index: kernel battery, global sortedness,
+  * offset fidelity against the raw archive bytes, malformed-line
+  * degrade. */
+class CdxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def surt(u: String): String =
+    Seq(u).toDF("u")
+      .select(graft.expressions.NativeUrl.surtUrl($"u").as("s"))
+      .collect()(0).getString(0)
+
+  test("surt kernel: reversal, www strip, ports, case, v6, non-urls") {
+    assert(surt("http://WWW.Example.COM/A/B?C=1") == "com,example)/a/b?c=1")
+    assert(surt("https://sub.d.example.com:8443/x") ==
+      "com,example,d,sub:8443)/x")
+    assert(surt("http://example.com:80/x") == "com,example)/x") // default drops
+    assert(surt("http://user:p@example.com/x") == "com,example)/x")
+    assert(surt("http://example.com") == "com,example)/")
+    assert(surt("http://www.com/") == "com,www)/") // lone www is a host
+    assert(surt("http://[2001:DB8::1]/x") == "[2001:db8::1])/x")
+    assert(surt("not a url") == null)
+    assert(surt("mailto:a@b.test") == null)
+  }
+
+  test("cdxFromWarc offsets address the record in the raw archive bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_off").toString
+    graft.io.Warc.writeWarcResponses(
+      Seq(("http://a.test/1", "text/html", "<p>one</p>".getBytes("UTF-8")),
+        ("http://a.test/2", "text/html", "<p>two</p>".getBytes("UTF-8")))
+        .toDF("target_uri", "content_type", "payload").coalesce(1), dir)
+    val idx = graft.io.Cdx.cdxFromWarc(graft.io.Warc.readWarc(spark, dir))
+      .select("url", "offset", "filename").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toList
+    assert(idx.map(_._1).toSet == Set("http://a.test/1", "http://a.test/2"))
+    val raw = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir).listFiles().head.toPath)
+    idx.foreach { case (url, off, _) =>
+      val tail = java.util.Arrays.copyOfRange(raw, off.toInt, raw.length)
+      val d2 = java.nio.file.Files.createTempDirectory("graft_cdx_tail")
+      java.nio.file.Files.write(d2.resolve("t.warc"), tail)
+      val rec = graft.io.Warc.readWarc(spark, d2.toString).head()
+      assert(rec.target_uri == url, s"offset $off")
+    }
+  }
+
+  test("writeCdxj sorts globally; readCdxj round-trips; malformed flags") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_rt").toString
+    val idx = Seq(
+      ("com,zzz)/a", "20260102000000", "http://zzz.com/a", "text/html",
+        Integer.valueOf(200), "sha1:AAAA", java.lang.Long.valueOf(10L),
+        java.lang.Long.valueOf(0L), "seg0.warc"),
+      ("com,aaa)/b", "20260101000000", "http://aaa.com/b", null,
+        null: Integer, null: String, null: java.lang.Long,
+        java.lang.Long.valueOf(7L), "seg0.warc"))
+      .toDF("surt", "ts", "url", "mime", "status", "digest", "length",
+        "offset", "filename")
+    graft.io.Cdx.writeCdxj(idx, dir)
+    val lines = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sorted
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toList).toList
+    assert(lines.map(_.split(" ")(0)) == lines.map(_.split(" ")(0)).sorted)
+    assert(lines.head.startsWith("com,aaa)/b 20260101000000 {"))
+    val back = graft.io.Cdx.readCdxj(spark, dir)
+    val ok = back.filter($"ok").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getAs[Any]("status"),
+        r.getAs[Any]("length"))).toSet
+    assert(ok == Set(
+      ("com,zzz)/a", "http://zzz.com/a", 200, 10L),
+      ("com,aaa)/b", "http://aaa.com/b", null, null)))
+    // a malformed line degrades to its own flagged row
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "junk.cdxj"), "garbage-without-fields\n")
+    val flagged = graft.io.Cdx.readCdxj(spark, dir).filter(!$"ok").collect()
+    assert(flagged.length == 1 &&
+      flagged(0).getString(8) == "garbage-without-fields")
+  }
+}
