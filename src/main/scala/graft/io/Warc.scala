@@ -242,9 +242,13 @@ object Warc {
           rec.write("\r\n\r\n".getBytes(ascii))
           if (gzipPerRecord) {
             val gz = new java.util.zip.GZIPOutputStream(out) {
-              def finishOnly(): Unit = finish() // keep `out` open
+              // finish() (not close) keeps `out` open for the next
+              // member; end() releases the native zlib state a bare
+              // finish() leaks until GC — one live Deflater per record
+              // in flight, not per record written
+              def finishAndEnd(): Unit = { finish(); `def`.end() }
             }
-            gz.write(rec.toByteArray); gz.finishOnly(); gz.flush()
+            gz.write(rec.toByteArray); gz.finishAndEnd()
           } else out.write(rec.toByteArray)
         } finally out.close()
       }

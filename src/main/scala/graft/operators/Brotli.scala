@@ -141,6 +141,11 @@ object Brotli {
   private final class Reader(b: Array[Byte]) {
     private val nBits: Long = b.length.toLong * 8
     var pos: Long = 0
+    /** set when any CONSUMED bit lay past the last real byte — the
+      * zero-padding peek() supplies can then have silently completed a
+      * symbol a truncated final byte should have failed; atCleanEnd
+      * rejects such a decode even when it "succeeded" */
+    private var overran = false
 
     /** Peek up to 24 bits (virtual zero-padding past the end — the
       * final position check catches actual overruns). */
@@ -157,13 +162,15 @@ object Brotli {
     }
     def skip(n: Int): Unit = {
       pos += n
+      if (pos > nBits) overran = true
       if (pos > nBits + 7) err("read past end of stream")
     }
     def read(n: Int): Int = { val v = peek(n); skip(n); v }
     def alignByte(): Unit = { pos = (pos + 7) & ~7L }
-    /** true when only zero filler bits remain in the final byte */
-    def atCleanEnd: Boolean = pos >= nBits ||
-      ((pos + 7) & ~7L) >= nBits && peek((nBits - pos).toInt) == 0
+    /** true when nothing was consumed past the last byte and only zero
+      * filler bits remain in the final byte */
+    def atCleanEnd: Boolean = !overran && (pos >= nBits ||
+      ((pos + 7) & ~7L) >= nBits && peek((nBits - pos).toInt) == 0)
     def byteAt(i: Long): Byte =
       if (i < b.length) b(i.toInt) else err("read past end of stream")
   }

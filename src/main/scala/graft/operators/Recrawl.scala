@@ -38,10 +38,15 @@ object Recrawl {
     val defaultS = math.round(defaultDays * 86400)
     // Spark's datetime pattern dialect refuses day-name fields (EEE)
     // for PARSING, so the IMF-fixdate weekday prefix is stripped
-    // first — it is redundant with the date anyway
+    // first — it is redundant with the date anyway. The zone token is
+    // PARSED (zzz), not a quoted literal: a quoted 'GMT' would land
+    // the wall-clock fields in the session time zone, skewing age_s by
+    // the zone offset under a non-UTC spark.sql.session.timeZone
+    // (warc_date, ISO-8601 with an explicit offset, never had the
+    // problem).
     val lmTs = try_to_timestamp(
       regexp_replace(col("if_modified_since"), "^[A-Za-z]{3}, ", ""),
-      lit("dd MMM yyyy HH:mm:ss 'GMT'"))
+      lit("dd MMM yyyy HH:mm:ss zzz"))
     records.toDF()
       .filter(col("warc_type") === "response" && col("framing_ok") &&
         col("target_uri").isNotNull && col("warc_date").isNotNull)

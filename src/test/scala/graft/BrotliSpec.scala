@@ -74,6 +74,33 @@ class BrotliSpec extends SparkSpec {
     intercept[java.io.IOException] { Brotli.decompress(big, maxOut = 1024) }
   }
 
+  test("fail-loud: a truncated final byte is rejected even when the missing bits are zeros") {
+    // construct the one truncation the bit reader's zero-padding used to
+    // forgive: a stream whose FINAL byte is 0x00 but meaningful (the
+    // trailing literals' all-zero code bits). Dropping it leaves peek()'s
+    // virtual padding supplying identical bits, so the decode "succeeds"
+    // — the overread flag must reject it at the final clean-end check.
+    val candidate = (1 to 256).iterator.map { n =>
+      new Array[Byte](n) -> Brotli.compress(new Array[Byte](n))
+    }.find { case (_, br) => br.length > 1 && br.last == 0 }
+    assert(candidate.nonEmpty, "no all-zero-final-byte stream found")
+    val (raw, br) = candidate.get
+    assert(java.util.Arrays.equals(Brotli.decompress(br), raw))
+    intercept[IllegalArgumentException] {
+      Brotli.decompress(java.util.Arrays.copyOfRange(br, 0, br.length - 1))
+    }
+    // and the blanket property on reference-encoder streams: any 1-byte
+    // truncation throws, never silently succeeds (a vector whose final
+    // byte the encoder emitted carries meaningful bits by construction)
+    for (kind <- 0 to 6; q <- Seq(5, 11)) {
+      val v = vector(s"in${kind}_q${q}_w18.br")
+      if (v.length > 1)
+        intercept[Exception] {
+          Brotli.decompress(java.util.Arrays.copyOfRange(v, 0, v.length - 1))
+        }
+    }
+  }
+
   test("warc e2e: Content-Encoding br reverses; .br archive members peel") {
     import spark.implicits._
     val html = "<p>brotli entity</p>".getBytes("UTF-8")

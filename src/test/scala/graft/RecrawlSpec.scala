@@ -85,5 +85,22 @@ class RecrawlSpec extends SparkSpec {
       alpha = 0.5).filter($"url" === "http://a.test/fresh")
       .select("next_fetch_s").as[Long].head()
     assert(next == fetch + 3600L)
+
+    // session-time-zone invariance: Last-Modified's 'GMT' is a quoted
+    // pattern literal, so without the to_utc_timestamp re-read a +09:00
+    // session would shift lm_s by the offset (and push the fresh lane's
+    // lm past fetch, silently falling back to the default interval)
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val shifted = Recrawl.recrawlPlan(graft.io.Warc.readWarc(spark, dir),
+        alpha = 0.5, minHours = 1.0, maxHours = 720.0, defaultDays = 7.0)
+        .collect().map(r => r.getAs[String]("url") ->
+          ((r.getAs[Any]("age_s"), r.getLong(r.fieldIndex("interval_s")))))
+        .toMap
+      assert(shifted("http://a.test/fresh") == ((100L, 3600L)))
+      assert(shifted("http://a.test/ancient")._2 == 720L * 3600)
+      assert(shifted("http://a.test/future")._1 == null)
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
   }
 }
