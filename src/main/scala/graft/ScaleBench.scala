@@ -608,6 +608,63 @@ object ScaleBench {
         }
       }
 
+      // the CDXJ selection layer's two claims under measurement. BUILD:
+      // one archive scan (member walk + key derivation, linear) feeding
+      // ONE range shuffle over index-scale rows — the sort is the
+      // product; the host mix plants a 30%-hot host to show the range
+      // partitioner subdividing its contiguous surt run by path (hot
+      // hosts cluster in a sorted index BY DESIGN — the question is
+      // whether that serializes the sort, and sampled range bounds say
+      // no). FETCH: a FIXED 256-record slice fetched from every octave's
+      // corpus — cost follows the SELECTION (one seek + one member
+      // inflate per record over the record-per-member layout), so the
+      // row must stay FLAT while the corpus grows 100×: the number that
+      // justifies the index over scanning 100 TB of WARC.
+      if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+          .exists(!_.exists(s =>
+            "cdx_build".contains(s) || "cdx_fetch".contains(s)))) {
+        import spark.implicits._
+        val cdxWarcDir = s"$scaleDir/warc_cdx"
+        graft.io.Warc.writeWarcResponses(
+          corpus.select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .map { case (id, text) =>
+              val host = if (id % 10 < 3) "hot.test" else s"h${id % 97}.test"
+              (s"http://$host/doc/$id", "text/html",
+                ("<p>" + text + "</p>")
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                s"2026-0${1 + id % 9}-01T00:00:00Z") }
+            .toDF("target_uri", "content_type", "payload", "warc_date")
+            .repartition(cpus.toInt),
+          cdxWarcDir, gzipPerRecord = true)
+        val cdxIdxDir = s"$scaleDir/cdx_idx"
+        measure("cdx_build", s"$scaleDir/out_cdx_build") {
+          graft.io.Cdx.writeCdxj(
+            graft.io.Cdx.cdxFromWarc(
+              graft.io.Warc.readWarc(spark, cdxWarcDir)), cdxIdxDir)
+          // read-back parse (index-scale, rides in the timed region) —
+          // the reported rows are the index's
+          graft.io.Cdx.readCdxj(spark, cdxIdxDir)
+            .select("surt", "ts", "offset", "gz_offset")
+        }
+        // fixed-size selection, MATERIALIZED untimed (measure clears the
+        // cache, and the index scan that picks the slice grows with the
+        // corpus — the fetch row's claim is about the fetch alone): the
+        // first 256 index rows in global key order — same SIZE at every
+        // scale
+        val slicePath = s"$scaleDir/cdx_slice"
+        graft.io.Cdx.readCdxj(spark, cdxIdxDir)
+          .filter(col("ok")).orderBy("surt", "ts").limit(256)
+          .select("filename", "offset", "gz_offset")
+          .write.mode("overwrite").parquet(slicePath)
+        measure("cdx_fetch", s"$scaleDir/out_cdx_fetch") {
+          graft.io.Warc.readWarcRecordsAt(spark,
+              spark.read.parquet(slicePath))
+            .select(col("target_uri"), col("warc_date"),
+              length(col("payload")).as("n_bytes"), col("framing_ok"))
+        }
+      }
+
       // binary token sharding under a standing BPE model (encode untimed
       // and persisted — the measured claim is the SINK: one range shuffle
       // for the doc_id total order, KB-scale driver prefix-sum traffic,

@@ -19,8 +19,14 @@ import org.apache.spark.sql.functions._
   * sorted and globally range-partitioned (how CC shards its index);
   * [[readCdxj]] parses lines back strict-per-line with the house
   * tolerant-bridge flag (a malformed line degrades to its own flagged
-  * row). Offsets are byte positions in the DECOMPRESSED archive
-  * stream — the member grain [[Warc.readWarc]] works at. */
+  * row); [[fetchRecords]] closes the loop — index rows back to the
+  * records they name, by offset, without scanning
+  * ([[Warc.readWarcRecordsAt]]).
+  *
+  * Addressing follows the [[Warc.WarcRecord]] contract: for gzipped
+  * archives `gz_offset` is the record's member's compressed offset and
+  * `offset` member-relative (0 in the record-per-member layout); for
+  * bare archives `offset` is the file offset and `gz_offset` absent. */
 object Cdx {
 
   /** Index rows from a record scan: framing-clean responses with a
@@ -41,12 +47,14 @@ object Cdx {
         col("payload_digest").as("digest"),
         col("content_length").as("length"),
         col("offset"),
+        when(col("gz_offset") >= 0, col("gz_offset")).as("gz_offset"),
         col("path").as("filename"))
       .filter(col("surt").isNotNull)
   }
 
   /** Write `(surt, ts, url, mime, status, digest, length, offset,
-    * filename)` rows as CDXJ text, globally sorted by (surt, ts). */
+    * gz_offset, filename)` rows as CDXJ text, globally sorted by
+    * (surt, ts). */
   def writeCdxj(index: DataFrame, dir: String): Unit = {
     import graft.operators.Json.quote
     import index.sparkSession.implicits._
@@ -54,16 +62,30 @@ object Cdx {
       .orderBy("surt", "ts")
       .select(col("surt"), col("ts"), col("url"), col("mime"),
         col("status"), col("digest"), col("length"), col("offset"),
-        col("filename"))
+        col("gz_offset"), col("filename"))
       .map { r =>
         def s(i: Int, key: String): String =
           if (r.isNullAt(i)) "" else s"""${quote(key)}:${quote(r.get(i).toString)},"""
         val json = ("{" + s(2, "url") + s(3, "mime") + s(4, "status") +
           s(5, "digest") + s(6, "length") + s(7, "offset") +
-          s(8, "filename")).stripSuffix(",") + "}"
+          s(8, "gz_offset") + s(9, "filename")).stripSuffix(",") + "}"
         s"${r.getString(0)} ${Option(r.getString(1)).getOrElse("-")} $json"
       }
       .write.mode("overwrite").text(dir)
+  }
+
+  /** Fetch the records an index slice names — the whole reason the
+    * index exists: `readCdxj(...).filter(<surt prefix, ts range>)`
+    * then this, and only the selected records' bytes are ever read.
+    * Cost follows the SELECTION (one range read + one member inflate
+    * per record over the record-per-member layout), flat in corpus
+    * size. Rows flagged `ok = false` by the reader are dropped here —
+    * a malformed index line names nothing. */
+  def fetchRecords(spark: SparkSession, index: DataFrame): Dataset[Warc.WarcRecord] = {
+    val rows =
+      if (index.columns.contains("ok")) index.filter(col("ok")) else index
+    Warc.readWarcRecordsAt(spark,
+      rows.select(col("filename"), col("offset"), col("gz_offset")))
   }
 
   /** Parse CDXJ lines back to typed rows; `ok = false` flags a
@@ -97,16 +119,16 @@ object Cdx {
           (surt, ts, str("url"), str("mime"),
             Option(str("status")).flatMap(_.toIntOption)
               .map(java.lang.Integer.valueOf).orNull,
-            str("digest"), num("length"), num("offset"), str("filename"),
-            true)
+            str("digest"), num("length"), num("offset"), num("gz_offset"),
+            str("filename"), true)
         } catch {
           case _: Exception =>
             (null: String, null: String, null: String, null: String,
               null: Integer, null: String, null: java.lang.Long,
-              null: java.lang.Long, line, false)
+              null: java.lang.Long, null: java.lang.Long, line, false)
         }
       }
       .toDF("surt", "ts", "url", "mime", "status", "digest", "length",
-        "offset", "filename", "ok")
+        "offset", "gz_offset", "filename", "ok")
   }
 }

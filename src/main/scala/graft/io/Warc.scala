@@ -34,7 +34,16 @@ object Warc {
     * otherwise); `payload` is the HTTP BODY for responses, the raw
     * content block for every other type. `framing_ok` = the declared
     * Content-Length fit inside the file and the record terminator
-    * followed — sequential framing, exact per record. */
+    * followed — sequential framing, exact per record.
+    *
+    * Addressing (the CDX convention Common Crawl indexes use): for a
+    * gzipped archive, `gz_offset` is the COMPRESSED byte offset of the
+    * gzip member holding the record and `offset` the record's start
+    * within that member's DECOMPRESSED bytes (0 in the Annex D
+    * record-per-member layout — a range read + one member inflate is
+    * the whole fetch); for a bare archive `gz_offset` is -1 and
+    * `offset` is the plain file offset. Either pair re-addresses the
+    * record without scanning ([[readWarcRecordsAt]]). */
   final case class WarcRecord(
       path: String, record_idx: Int, warc_type: String,
       target_uri: String, warc_date: String, content_length: Long,
@@ -43,7 +52,8 @@ object Warc {
       payload_digest: String = null, http_location: String = null,
       record_id: String = null, concurrent_to: String = null,
       http_disposition: String = null, http_etag: String = null,
-      http_last_modified: String = null, offset: Long = -1L)
+      http_last_modified: String = null, offset: Long = -1L,
+      gz_offset: Long = -1L)
 
   /** Read a WARC file / directory / glob (plain or record-gzipped
     * `.warc.gz`) as one row per record. */
@@ -78,6 +88,97 @@ object Warc {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) => parseWarcBytes(p, bytes) }
+  }
+
+  /** Offset-addressed record fetch — the payoff of the CDX selection
+    * layer: given index rows `(filename, offset, gz_offset)` (what
+    * [[Cdx.cdxFromWarc]] emits and [[Cdx.readCdxj]] parses back), read
+    * ONLY the named records instead of scanning the archives. A
+    * gz-addressed row seeks to its gzip member and inflates THAT member
+    * (the Annex D record-per-member layout, [[writeWarcResponses]]
+    * `gzipPerRecord` — true random access); a bare-archive row seeks to
+    * the file offset directly. Parsing is the same
+    * header-walk-and-Content-Length framing as the sequential reader,
+    * read progressively from the stream — never the whole file.
+    *
+    * Scale shape: the SELECTION shuffles on filename (index-scale, not
+    * corpus-scale), one task per addressed archive, fetches seek-sorted
+    * within it. Cost is proportional to the records SELECTED — flat in
+    * corpus size, which is the number that justifies building the
+    * index at 100 TB. A row whose offsets don't address a record (a
+    * stale index against a rewritten archive) degrades to its own
+    * `framing_ok = false` row, never failing sibling fetches. */
+  def readWarcRecordsAt(spark: SparkSession, selection: DataFrame): Dataset[WarcRecord] = {
+    import spark.implicits._
+    selection
+      .select(col("filename").cast("string"),
+        coalesce(col("offset"), lit(0L)).cast("long"),
+        coalesce(col("gz_offset"), lit(-1L)).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (file, rows) =>
+        // forward seek order; duplicate index rows fetch once
+        val wants = rows.map(r => (r._3, r._2)).toArray.distinct.sorted
+        val p = new org.apache.hadoop.fs.Path(file)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(p)
+        val recs =
+          try wants.map { case (gz, off) =>
+            try {
+              if (gz >= 0) {
+                in.seek(gz)
+                val s = new java.util.zip.GZIPInputStream(
+                  new java.io.BufferedInputStream(in, 64 * 1024), 64 * 1024)
+                var toSkip = off
+                while (toSkip > 0) {
+                  val k = s.skip(toSkip)
+                  require(k > 0, "warc fetch: member shorter than offset")
+                  toSkip -= k
+                }
+                readRecordFrom(file, s, off, gz)
+              } else {
+                in.seek(off)
+                readRecordFrom(file,
+                  new java.io.BufferedInputStream(in, 64 * 1024), off, gz)
+              }
+            } catch {
+              case _: Exception => WarcRecord(file, -1, null, null, null,
+                -1L, null, null, Array.emptyByteArray, framing_ok = false,
+                offset = off, gz_offset = gz)
+            }
+          } finally in.close()
+        recs.iterator
+      }
+  }
+
+  /** One record read progressively from `in` (positioned at its first
+    * byte): header bytes to the CRLFCRLF, then exactly Content-Length
+    * block bytes, then the 4-byte terminator (absent at EOF — the
+    * sequential walk's clean-end rule). Shares [[parseWarcBuffer]] so a
+    * fetched record decodes (HTTP head, transfer/content codings)
+    * byte-identically to a scanned one. */
+  private def readRecordFrom(path: String, in: java.io.InputStream,
+      off: Long, gz: Long): WarcRecord = {
+    val head = new java.io.ByteArrayOutputStream(512)
+    var tail = 0
+    while (tail != 0x0d0a0d0a) {
+      val b = in.read()
+      require(b >= 0, "warc fetch: no header terminator before EOF")
+      require(head.size < (1 << 20), "warc fetch: unterminated header")
+      head.write(b)
+      tail = (tail << 8) | b
+    }
+    val hdr = head.toByteArray
+    val text = new String(hdr, java.nio.charset.StandardCharsets.UTF_8)
+    require(text.startsWith("WARC/"), "warc fetch: offset is not a record start")
+    val clen = "(?mi)^Content-Length: *([0-9]+)".r.findFirstMatchIn(text)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    require(clen >= 0 && clen <= Int.MaxValue, "warc fetch: bad Content-Length")
+    val block = in.readNBytes(clen.toInt)
+    require(block.length == clen, "warc fetch: truncated record block")
+    val term = in.readNBytes(4)
+    val rec = parseWarcBuffer(path, hdr ++ block ++ term).next()
+    rec.copy(offset = off, gz_offset = gz)
   }
 
   /** Media-typed `response` payloads as `Multimodal.Media` rows —
@@ -167,7 +268,7 @@ object Warc {
     * of the web) decode exactly; everything else — including the
     * no-declaration default — decodes UTF-8. All codegen'd column
     * expressions, no UDF. */
-  private def decodePayload(payload: org.apache.spark.sql.Column,
+  private[io] def decodePayload(payload: org.apache.spark.sql.Column,
       contentType: org.apache.spark.sql.Column) = {
     val csPat = "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)"
     val headerCs = lower(regexp_extract(contentType, csPat, 1))
@@ -221,7 +322,13 @@ object Warc {
     * multi-member gunzip reads both layouts identically. */
   def writeWarcResponses(df: DataFrame, dir: String,
       gzipPerRecord: Boolean = false): Unit = {
-    val cols = df.select(col("target_uri"), col("content_type"), col("payload"))
+    // rows may carry an optional `warc_date` column (ISO-8601) stamped
+    // as each record's WARC-Date — the capture-time axis a CDX index
+    // slices on; absent, no date header is written (a staging archive)
+    val hasDate = df.columns.contains("warc_date")
+    val base = Seq(col("target_uri"), col("content_type"), col("payload"))
+    val cols = df.select(
+      (if (hasDate) base :+ col("warc_date") else base): _*)
     cols.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -232,11 +339,14 @@ object Warc {
         val ascii = java.nio.charset.StandardCharsets.US_ASCII
         try it.foreach { r =>
           val body = r.getAs[Array[Byte]](2)
+          val date =
+            if (hasDate && !r.isNullAt(3)) s"WARC-Date: ${r.getString(3)}\r\n"
+            else ""
           val http = (s"HTTP/1.1 200 OK\r\nContent-Type: ${r.getString(1)}\r\n" +
             s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii)
           val rec = new java.io.ByteArrayOutputStream()
           rec.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
-            s"WARC-Target-URI: ${r.getString(0)}\r\n" +
+            s"WARC-Target-URI: ${r.getString(0)}\r\n" + date +
             s"Content-Length: ${http.length + body.length}\r\n\r\n").getBytes(ascii))
           rec.write(http); rec.write(body)
           rec.write("\r\n\r\n".getBytes(ascii))
@@ -401,6 +511,61 @@ object Warc {
               s"WARC-Payload-Digest: $digest\r\n" +
               s"Content-Length: ${head.length}\r\n\r\n").getBytes(ascii))
             out.write(head)
+            out.write("\r\n\r\n".getBytes(ascii))
+          }
+        } finally out.close()
+      }
+    }
+  }
+
+  /** The conditional-refetch staging writer — what a crawler's SECOND
+    * pass over known URLs produces. Rows are `(target_uri,
+    * content_type, payload, status, revisit_digest, warc_date)`:
+    * a non-null `revisit_digest` writes a body-less `revisit` record
+    * (identical-payload-digest profile) pointing at a PRIOR crawl's
+    * payload; `status = 304` writes a head-only `304 Not Modified`
+    * response (the raw conditional-GET outcome, no Content-Type — the
+    * server sent none); anything else a full 200 response with its
+    * payload and the §5.9 sha1 digest stamped. All three refetch
+    * outcomes [[graft.operators.Recrawl.mergeRefetch]] consumes. */
+  def writeWarcConditional(df: DataFrame, dir: String): Unit = {
+    val cols = df.select(col("target_uri"), col("content_type"),
+      col("payload"), col("status"), col("revisit_digest"), col("warc_date"))
+    cols.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(s"$dir/seg$pid.warc")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = new java.io.BufferedOutputStream(fs.create(path, true))
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        try it.foreach { r =>
+          val uri = r.getString(0)
+          val date = s"WARC-Date: ${r.getString(5)}\r\n"
+          if (!r.isNullAt(4)) {
+            val head = "HTTP/1.1 304 Not Modified\r\n\r\n".getBytes(ascii)
+            out.write((s"WARC/1.0\r\nWARC-Type: revisit\r\n" +
+              s"WARC-Target-URI: $uri\r\n" + date +
+              "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/identical-payload-digest\r\n" +
+              s"WARC-Payload-Digest: ${r.getString(4)}\r\n" +
+              s"Content-Length: ${head.length}\r\n\r\n").getBytes(ascii))
+            out.write(head)
+            out.write("\r\n\r\n".getBytes(ascii))
+          } else if (r.getInt(3) == 304) {
+            val head = "HTTP/1.1 304 Not Modified\r\n\r\n".getBytes(ascii)
+            out.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: $uri\r\n" + date +
+              s"Content-Length: ${head.length}\r\n\r\n").getBytes(ascii))
+            out.write(head)
+            out.write("\r\n\r\n".getBytes(ascii))
+          } else {
+            val body = r.getAs[Array[Byte]](2)
+            val http = (s"HTTP/1.1 200 OK\r\nContent-Type: ${r.getString(1)}\r\n" +
+              s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii)
+            out.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: $uri\r\n" + date +
+              s"WARC-Payload-Digest: ${warcSha1Digest(body)}\r\n" +
+              s"Content-Length: ${http.length + body.length}\r\n\r\n").getBytes(ascii))
+            out.write(http); out.write(body)
             out.write("\r\n\r\n".getBytes(ascii))
           }
         } finally out.close()
@@ -1518,22 +1683,67 @@ object Warc {
         .filter(col("extract_ok")).drop("extract_ok").drop("n_resources"))
       .unionByName(toDocumentsText(records))
 
-  /** Sequential record walk over one (decompressed) archive. Malformed
-    * framing never throws: the offending record surfaces with
-    * `framing_ok = false` and the walk stops (nothing after a framing
-    * break is trustworthy — a sequential reader would be lost too). */
+  /** Sequential record walk over one archive. Malformed framing never
+    * throws: the offending record surfaces with `framing_ok = false`
+    * and the walk stops (nothing after a framing break is trustworthy —
+    * a sequential reader would be lost too).
+    *
+    * Gzipped archives walk their members explicitly so every record
+    * carries its member's COMPRESSED offset (`gz_offset`) and its
+    * member-relative decompressed `offset` — the (filename, offset)
+    * pair a CDX index needs for true random access over the Annex D
+    * record-per-member layout. Members are still CONCATENATED before
+    * the record walk (a rewritten archive may span a record across
+    * members; the walk must not care), then each record's global
+    * position maps back to its containing member. */
   private[io] def parseWarcBytes(path: String, raw: Array[Byte]): Iterator[WarcRecord] = {
-    val bytes =
-      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
-        // a truncated/corrupt .warc.gz is malformed FRAMING, and the
-        // documented contract for that is a framing_ok = false row — not
-        // an executor exception killing the whole archive scan
-        try gunzip(raw) catch {
+    if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) {
+      // a truncated/corrupt .warc.gz is malformed FRAMING, and the
+      // documented contract for that is a framing_ok = false row — not
+      // an executor exception killing the whole archive scan
+      val members =
+        try gunzipMembers(raw) catch {
           case _: Exception => return Iterator.single(WarcRecord(
             path, 0, null, null, null, -1L, null, null,
             Array.emptyByteArray, framing_ok = false))
         }
-      else raw
+      val total = members.iterator.map(_._2.length.toLong).sum
+      if (total > Int.MaxValue) return Iterator.single(WarcRecord(
+        path, 0, null, null, null, -1L, null, null,
+        Array.emptyByteArray, framing_ok = false))
+      val buf = new Array[Byte](total.toInt)
+      val compStarts = new Array[Long](members.length)
+      val decompStarts = new Array[Long](members.length)
+      var at = 0
+      var m = 0
+      while (m < members.length) {
+        compStarts(m) = members(m)._1
+        decompStarts(m) = at.toLong
+        System.arraycopy(members(m)._2, 0, buf, at, members(m)._2.length)
+        at += members(m)._2.length
+        m += 1
+      }
+      parseWarcBuffer(path, buf).map { r =>
+        if (r.offset < 0) r
+        else {
+          // the member whose decompressed span contains the record start
+          var lo = 0
+          var hi = members.length - 1
+          while (lo < hi) {
+            val mid = (lo + hi + 1) >>> 1
+            if (decompStarts(mid) <= r.offset) lo = mid else hi = mid - 1
+          }
+          r.copy(offset = r.offset - decompStarts(lo),
+            gz_offset = compStarts(lo))
+        }
+      }
+    } else parseWarcBuffer(path, raw)
+  }
+
+  /** The record walk proper, over already-decompressed bytes; `offset`
+    * is buffer-relative, `gz_offset` always -1 (the gzip wrapper above
+    * remaps both). */
+  private def parseWarcBuffer(path: String, bytes: Array[Byte]): Iterator[WarcRecord] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
     var i = 0
     var idx = 0
@@ -1757,5 +1967,56 @@ object Warc {
     var n = in.read(buf)
     while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
     out.toByteArray
+  }
+
+  /** Walk a concatenated-member gzip stream (RFC 1952) keeping MEMBER
+    * boundaries: one `(compressed member start, inflated bytes)` per
+    * member, CRC32 and ISIZE verified like GZIPInputStream would.
+    * Boundaries are what make the Annex D record-per-member layout
+    * randomly addressable — the whole point of the interchange format. */
+  private[io] def gunzipMembers(raw: Array[Byte]): IndexedSeq[(Long, Array[Byte])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    var i = 0
+    while (i < raw.length) {
+      val start = i
+      require(i + 10 <= raw.length && (raw(i) & 0xff) == 0x1f &&
+        (raw(i + 1) & 0xff) == 0x8b, "gzip: bad member magic")
+      require(raw(i + 2) == 8, "gzip: unsupported compression method")
+      val flg = raw(i + 3) & 0xff
+      i += 10
+      if ((flg & 4) != 0) { // FEXTRA
+        require(i + 2 <= raw.length, "gzip: truncated FEXTRA")
+        i += 2 + ((raw(i) & 0xff) | ((raw(i + 1) & 0xff) << 8))
+      }
+      if ((flg & 8) != 0) { while (i < raw.length && raw(i) != 0) i += 1; i += 1 }
+      if ((flg & 16) != 0) { while (i < raw.length && raw(i) != 0) i += 1; i += 1 }
+      if ((flg & 2) != 0) i += 2 // FHCRC
+      require(i <= raw.length, "gzip: truncated member header")
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(raw, i, raw.length - i)
+      val bos = new java.io.ByteArrayOutputStream(64 * 1024)
+      val buf = new Array[Byte](64 * 1024)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n > 0) bos.write(buf, 0, n)
+        else if (!inf.finished())
+          throw new java.util.zip.DataFormatException("gzip: stalled inflate")
+      }
+      i += (raw.length - i) - inf.getRemaining
+      inf.end()
+      require(i + 8 <= raw.length, "gzip: truncated member trailer")
+      val data = bos.toByteArray
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      def le32(at: Int): Long =
+        (raw(at) & 0xffL) | ((raw(at + 1) & 0xffL) << 8) |
+          ((raw(at + 2) & 0xffL) << 16) | ((raw(at + 3) & 0xffL) << 24)
+      require(le32(i) == crc.getValue, "gzip: member CRC mismatch")
+      require(le32(i + 4) == (data.length.toLong & 0xffffffffL),
+        "gzip: member ISIZE mismatch")
+      i += 8
+      out += ((start.toLong, data))
+    }
+    out.toIndexedSeq
   }
 }

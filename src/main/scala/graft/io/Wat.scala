@@ -1,0 +1,187 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WAT metadata sidecars — the third leg of the Common Crawl triple
+  * (WARC + WAT + WET): one JSON envelope per record describing the
+  * capture WITHOUT its payload — the WARC headers, the parsed HTTP
+  * response headers, and (for HTML) the page's raw outlinks — so a
+  * metadata-only consumer (link-graph builds, header analytics, crawl
+  * accounting) fetches the kilobyte sidecar and never touches the
+  * payload archive. The envelope follows the Common Crawl WAT shape:
+  * `Envelope.WARC-Header-Metadata`, `Envelope.Payload-Metadata
+  * .HTTP-Response-Metadata.{Headers, HTML-Metadata.Links}` (links as
+  * `{url, text}` objects, hrefs RAW as written in the page — resolution
+  * is the consumer's business, [[Warc.frontierLinks]]' job when wanted),
+  * and `Container.{Filename, Offset, Gz-Offset}` carrying the
+  * [[Warc.WarcRecord]] addressing pair so a WAT row can fetch its
+  * record back through [[Warc.readWarcRecordsAt]].
+  *
+  * Scale shape: [[watFromWarc]] is a narrow pass over the record scan —
+  * header columns plus the codegen'd link extraction, zero shuffle,
+  * parallelism follows the archive files; [[writeWat]] serializes
+  * per-partition through the strict RFC 8259 kernel's
+  * [[graft.operators.Json.quote]]; [[readWat]] parses back strict
+  * PER LINE with the house tolerant-bridge flag (a malformed line
+  * degrades to its own `ok = false` row carrying the raw line, never
+  * failing siblings — the [[Cdx.readCdxj]] contract). */
+object Wat {
+
+  /** One extracted link, Common Crawl field names. */
+  final case class WatLink(url: String, text: String)
+
+  /** The typed row [[readWat]] yields (public: generated code must
+    * reach the field accessors). */
+  final case class WatRow(
+      warc_type: String, url: String, warc_date: String,
+      content_length: java.lang.Long, status: Integer,
+      content_type: String, location: String, links: Seq[WatLink],
+      filename: String, offset: java.lang.Long,
+      gz_offset: java.lang.Long, ok: Boolean)
+
+  /** Metadata rows from a record scan: every framing-clean record (the
+    * triple's request/metadata/warcinfo records describe the crawl too,
+    * so they are NOT filtered to responses); HTML responses carry their
+    * raw outlink list, everything else a null `links`. */
+  def watFromWarc(records: Dataset[Warc.WarcRecord]): DataFrame = {
+    import graft.functions.TextFunctions
+    val isHtml = Warc.mimeOf(col("http_content_type")) === "text/html"
+    records.toDF()
+      .filter(col("framing_ok") && col("warc_type").isNotNull)
+      .select(
+        col("warc_type"),
+        col("target_uri").as("url"),
+        col("warc_date"),
+        when(col("content_length") >= 0, col("content_length"))
+          .as("content_length"),
+        col("http_status").as("status"),
+        col("http_content_type").as("content_type"),
+        col("http_location").as("location"),
+        when(col("warc_type") === "response" && isHtml,
+          TextFunctions.htmlLinks(
+            Warc.decodePayload(col("payload"), col("http_content_type"))))
+          .as("links"),
+        col("path").as("filename"),
+        col("offset"),
+        when(col("gz_offset") >= 0, col("gz_offset")).as("gz_offset"))
+  }
+
+  /** Serialize [[watFromWarc]] rows as WAT JSON lines. Null fields are
+    * OMITTED (the envelope describes what the record had, not a fixed
+    * schema); `Headers` / `HTML-Metadata` appear only when the record
+    * carried an HTTP head / extracted links. */
+  def writeWat(records: Dataset[Warc.WarcRecord], dir: String): Unit = {
+    import records.sparkSession.implicits._
+    import graft.operators.Json.quote
+    watFromWarc(records)
+      .map { r =>
+        def kv(k: String, v: String): String = s"${quote(k)}:$v"
+        val warcHdr = Seq(
+          Option(r.getString(0)).map(v => kv("WARC-Type", quote(v))),
+          Option(r.getString(1)).map(v => kv("WARC-Target-URI", quote(v))),
+          Option(r.getString(2)).map(v => kv("WARC-Date", quote(v))),
+          (if (r.isNullAt(3)) None
+           else Some(kv("Content-Length", r.getLong(3).toString))))
+          .flatten.mkString("{", ",", "}")
+        val headers = Seq(
+          (if (r.isNullAt(4)) None
+           else Some(kv("Status", r.getInt(4).toString))),
+          Option(r.getString(5)).map(v => kv("Content-Type", quote(v))),
+          Option(r.getString(6)).map(v => kv("Location", quote(v)))).flatten
+        val links =
+          if (r.isNullAt(7)) None
+          else Some(r.getSeq[org.apache.spark.sql.Row](7).map { l =>
+            Seq(Option(l.getString(0)).map(v => kv("url", quote(v))),
+              Option(l.getString(1)).map(v => kv("text", quote(v))))
+              .flatten.mkString("{", ",", "}")
+          }.mkString("[", ",", "]"))
+        val respParts = scala.collection.mutable.ArrayBuffer.empty[String]
+        if (headers.nonEmpty)
+          respParts += kv("Headers", headers.mkString("{", ",", "}"))
+        links.foreach(ls =>
+          respParts += kv("HTML-Metadata", s"{${kv("Links", ls)}}"))
+        val payloadMeta =
+          if (respParts.isEmpty) ""
+          else "," + kv("Payload-Metadata", s"{${kv("HTTP-Response-Metadata",
+            respParts.mkString("{", ",", "}"))}}")
+        val container = Seq(
+          Option(r.getString(8)).map(v => kv("Filename", quote(v))),
+          (if (r.isNullAt(9)) None
+           else Some(kv("Offset", r.getLong(9).toString))),
+          (if (r.isNullAt(10)) None
+           else Some(kv("Gz-Offset", r.getLong(10).toString))))
+          .flatten.mkString("{", ",", "}")
+        s"{${kv("Envelope",
+          s"{${kv("WARC-Header-Metadata", warcHdr)}$payloadMeta}")}," +
+          s"${kv("Container", container)}}"
+      }
+      .write.mode("overwrite").text(dir)
+  }
+
+  /** Parse WAT lines back to typed rows; `ok = false` flags a malformed
+    * line (bad JSON, missing envelope, mis-typed field) without failing
+    * siblings — the flagged row carries the raw line in `filename`. */
+  def readWat(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Json
+    import graft.operators.Json.{JArr, JNum, JObj, JStr, JVal}
+    spark.read.textFile(path)
+      .map { line =>
+        try {
+          def asObj(v: Option[JVal], what: String): Map[String, JVal] =
+            v match {
+              case Some(JObj(fs)) => fs.toMap
+              case None => Map.empty
+              case _ => throw new IllegalArgumentException(s"$what not an object")
+            }
+          def str(m: Map[String, JVal], k: String): String = m.get(k) match {
+            case Some(JStr(v)) => v
+            case None => null
+            case _ => throw new IllegalArgumentException(s"$k not a string")
+          }
+          def num(m: Map[String, JVal], k: String): java.lang.Long =
+            m.get(k) match {
+              case Some(JNum(v)) =>
+                v.toLongOption.map(java.lang.Long.valueOf).getOrElse(
+                  throw new IllegalArgumentException(s"$k not integral"))
+              case None => null
+              case _ => throw new IllegalArgumentException(s"$k not a number")
+            }
+          val root = Json.parse(line) match {
+            case JObj(fs) => fs.toMap
+            case _ => throw new IllegalArgumentException("line not an object")
+          }
+          val env = asObj(root.get("Envelope"), "Envelope")
+          require(env.nonEmpty, "missing Envelope")
+          val wh = asObj(env.get("WARC-Header-Metadata"), "WARC-Header-Metadata")
+          val resp = asObj(asObj(env.get("Payload-Metadata"), "Payload-Metadata")
+            .get("HTTP-Response-Metadata"), "HTTP-Response-Metadata")
+          val hdrs = asObj(resp.get("Headers"), "Headers")
+          val links = asObj(resp.get("HTML-Metadata"), "HTML-Metadata")
+            .get("Links") match {
+              case Some(JArr(items)) => items.map {
+                case JObj(fs) =>
+                  val m = fs.toMap
+                  WatLink(str(m, "url"), str(m, "text"))
+                case _ => throw new IllegalArgumentException("link not an object")
+              }
+              case None => null
+              case _ => throw new IllegalArgumentException("Links not an array")
+            }
+          val cont = asObj(root.get("Container"), "Container")
+          WatRow(str(wh, "WARC-Type"), str(wh, "WARC-Target-URI"),
+            str(wh, "WARC-Date"), num(wh, "Content-Length"),
+            Option(num(hdrs, "Status")).map(v => Integer.valueOf(v.toInt))
+              .orNull,
+            str(hdrs, "Content-Type"), str(hdrs, "Location"), links,
+            str(cont, "Filename"), num(cont, "Offset"),
+            num(cont, "Gz-Offset"), ok = true)
+        } catch {
+          case _: Exception => WatRow(null, null, null, null, null, null,
+            null, null, line, null, null, ok = false)
+        }
+      }
+      .toDF()
+  }
+}

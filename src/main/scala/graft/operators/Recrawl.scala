@@ -66,4 +66,97 @@ object Recrawl {
       .withColumn("next_fetch_s", col("fetch_s") + col("interval_s"))
       .drop("lm_s")
   }
+
+  /** The recrawl loop's SECOND half — merge a conditional refetch crawl
+    * into the prior corpus, producing ONE current capture per URL
+    * (`url, warc_date, content_type, payload, source`):
+    *
+    *   - a refetched `200` REPLACES the prior capture (`source =
+    *     'refetch'`);
+    *   - a `304 Not Modified` response — the raw conditional-GET
+    *     outcome — resolves to the PRIOR body at the same canonical
+    *     URL, validated as current at the refetch time (`'revisit'`);
+    *   - a `revisit` record (what a crawler that rewrites 304s as WARC
+    *     revisit records emits, identical-payload-digest profile)
+    *     resolves to the prior body by its sha1 digest — the
+    *     [[graft.io.Warc.resolveRevisits]] machinery across crawls
+    *     (`'revisit'`);
+    *   - a prior URL the refetch never touched carries forward with its
+    *     original capture time (`'prior'`).
+    *
+    * A 304/revisit naming nothing in the prior crawl (stale index, lost
+    * archive) degrades to a flagged `source = 'orphan'` row with a null
+    * payload — loud in the data, never an exception.
+    *
+    * Scale shape: every join is an equi-join on the canonical URL or
+    * the sha1 digest — high-cardinality, uniform keys (identical
+    * payloads collapse in the one-capture-per-key aggregates first), so
+    * plain shuffled hash joins with no skew term; both sides are
+    * corpus-scale, the honest cost of reconciling two crawls. The
+    * carry-forward is one anti-join on the same URL key. */
+  def mergeRefetch(prior: Dataset[graft.io.Warc.WarcRecord],
+      refetch: Dataset[graft.io.Warc.WarcRecord]): DataFrame = {
+    import graft.expressions.NativeUrl
+    val curl = NativeUrl.canonicalizeUrl(col("target_uri")).as("url")
+    val p0 = prior.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull && col("http_status") === 200)
+    // latest prior capture per canonical URL is the one a refetch
+    // validates (an archive may hold several generations)
+    val priorByUrl = p0
+      .select(curl, col("warc_date"),
+        col("http_content_type").as("content_type"), col("payload"))
+      .filter(col("url").isNotNull)
+      .groupBy("url")
+      .agg(max(struct(col("warc_date"), col("content_type"),
+        col("payload"))).as("o"))
+      .select(col("url"), col("o.warc_date").as("warc_date"),
+        col("o.content_type").as("content_type"),
+        col("o.payload").as("payload"))
+    val priorByDigest = p0
+      .filter(col("payload_digest").isNotNull)
+      .groupBy(col("payload_digest"))
+      .agg(min(struct(col("http_content_type").as("content_type"),
+        col("payload"))).as("o"))
+      .select(col("payload_digest"),
+        col("o.content_type").as("content_type"),
+        col("o.payload").as("payload"))
+    val r0 = refetch.toDF()
+      .filter(col("framing_ok") && col("target_uri").isNotNull)
+    val fresh = r0
+      .filter(col("warc_type") === "response" && col("http_status") === 200)
+      .select(curl, col("warc_date"),
+        col("http_content_type").as("content_type"), col("payload"),
+        lit("refetch").as("source"))
+      .filter(col("url").isNotNull)
+    val notModified = r0
+      .filter(col("warc_type") === "response" && col("http_status") === 304)
+      .select(curl, col("warc_date"))
+      .filter(col("url").isNotNull)
+      .join(priorByUrl.select(col("url"), col("content_type"),
+        col("payload")), Seq("url"), "left")
+      .select(col("url"), col("warc_date"), col("content_type"),
+        col("payload"),
+        when(col("payload").isNotNull, lit("revisit"))
+          .otherwise(lit("orphan")).as("source"))
+    val revisits = r0
+      .filter(col("warc_type") === "revisit" &&
+        col("payload_digest").isNotNull)
+      .select(curl, col("warc_date"), col("payload_digest"))
+      .filter(col("url").isNotNull)
+      .join(priorByDigest, Seq("payload_digest"), "left")
+      .select(col("url"), col("warc_date"), col("content_type"),
+        col("payload"),
+        when(col("payload").isNotNull, lit("revisit"))
+          .otherwise(lit("orphan")).as("source"))
+    val claimed = fresh.select("url")
+      .union(notModified.select("url"))
+      .union(revisits.select("url"))
+    val carried = priorByUrl
+      .join(claimed, Seq("url"), "left_anti")
+      .select(col("url"), col("warc_date"), col("content_type"),
+        col("payload"), lit("prior").as("source"))
+    fresh.unionByName(notModified).unionByName(revisits)
+      .unionByName(carried)
+  }
 }

@@ -674,6 +674,81 @@ object ExtensionQueries {
       cdxOut
     })
 
+  private val cdxFetchStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_cdx_fetch: the corpus split across
+    * TEN hosts (`h<id%10>.corpus.test`) and BOTH archive layouts —
+    * per-record-gzip members for even ids, a bare `.warc` for odd (the
+    * two addressing modes, both on the oracle) — each record stamped a
+    * WARC-Date cycling on `id % 3` (January for 0, February otherwise:
+    * the time axis the slice cuts). The stage builds the CDXJ index
+    * over the whole corpus and returns `<stage>/idx`; the archives sit
+    * under `<stage>/{gz,bare}`. */
+  private def cdxFetchStage(s: SparkSession, dir: String): String =
+    cdxFetchStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_cdx_fetch").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://h"), col("doc_id") % 10,
+            lit(".corpus.test/doc/"), col("doc_id")).as("u"),
+          regexp_replace(col("text"), "\\. ", "\n").as("x"))
+        .as[(Long, String, String)]
+        .map { case (id, u, x) =>
+          val html = x.split("\n", -1).map(l => "<p>" + l + "</p>").mkString
+          val date =
+            if (id % 3 == 0) "2026-01-01T00:00:00Z" else "2026-02-01T00:00:00Z"
+          (id, u, "text/html", date,
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+        .toDF("doc_id", "target_uri", "content_type", "warc_date", "payload")
+      graft.io.Warc.writeWarcResponses(
+        media.filter(col("doc_id") % 2 === 0).drop("doc_id"),
+        s"$out/gz", gzipPerRecord = true)
+      graft.io.Warc.writeWarcResponses(
+        media.filter(col("doc_id") % 2 === 1).drop("doc_id"), s"$out/bare")
+      graft.io.Cdx.writeCdxj(
+        graft.io.Cdx.cdxFromWarc(
+          graft.io.Warc.readWarc(s, s"$out/gz")
+            .union(graft.io.Warc.readWarc(s, s"$out/bare"))), s"$out/idx")
+      s"$out/idx"
+    })
+
+  private val watStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_wat_roundtrip: each document an HTML
+    * response (constant staged WARC-Date, per-record-gzip layout — so
+    * the Container addressing pair is live) carrying two planted links
+    * (one relative raw href, one absolute with an id-bearing anchor);
+    * the stage writes the archive, derives the WAT sidecar
+    * ([[graft.io.Wat.writeWat]]), and returns the sidecar dir — the
+    * query reads the TEXT back, so the envelope framing, the quote
+    * round-trip, and the reader are all under the oracle. */
+  private def watStage(s: SparkSession, dir: String): String =
+    watStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_wat").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"))
+        .as[(Long, String)]
+        .map { case (id, u) =>
+          val html = "<html><body>" +
+            s"""<a href="/r$id">rel link</a>""" +
+            s"""<a href="http://abs$id.test/P">second $id</a>""" +
+            s"<p>body $id</p></body></html>"
+          (u, "text/html",
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            "2026-03-01T00:00:00Z") }
+        .toDF("target_uri", "content_type", "payload", "warc_date")
+      graft.io.Warc.writeWarcResponses(media, s"$out/warc",
+        gzipPerRecord = true)
+      graft.io.Wat.writeWat(
+        graft.io.Warc.readWarc(s, s"$out/warc"), s"$out/wat")
+      s"$out/wat"
+    })
+
   private val recrawlStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -716,6 +791,52 @@ object ExtensionQueries {
             text.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
         .toDF("target_uri", "content_type", "extra_headers", "payload")
       graft.io.Warc.writeWarcResponsesWithHeaders(media, out)
+      out
+    })
+
+  private val recrawlMergeStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_recrawl_merge: a PRIOR crawl of every
+    * document (`v1` bodies, 2026-03-01, sha1 digests stamped) and a
+    * REFETCH crawl a week later covering four of the five `id % 5`
+    * lanes — changed 200s with `v2` bodies (0, 1), a raw `304 Not
+    * Modified` (2), a digest-bearing revisit record (3) — lane 4 is
+    * never refetched (the carry-forward). Returns the stage root with
+    * `prior/` and `refetch/` underneath. */
+  private def recrawlMergeStage(s: SparkSession, dir: String): String =
+    recrawlMergeStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_remerge").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"))
+        .as[(Long, String, String)]
+      graft.io.Warc.writeWarcConditional(
+        docs.map { case (_, u, text) =>
+          (u, "text/plain",
+            ("v1 " + text).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            200, null: String, "2026-03-01T00:00:00Z") }
+          .toDF("target_uri", "content_type", "payload", "status",
+            "revisit_digest", "warc_date"),
+        s"$out/prior")
+      graft.io.Warc.writeWarcConditional(
+        docs.filter(_._1 % 5 != 4).map { case (id, u, text) =>
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          val date = "2026-03-08T00:00:00Z"
+          (id % 5) match {
+            case 2 => (u, null: String, null: Array[Byte], 304,
+              null: String, date)
+            case 3 => (u, null: String, null: Array[Byte], 200,
+              graft.io.Warc.warcSha1Digest(("v1 " + text).getBytes(utf8)),
+              date)
+            case _ => (u, "text/plain", ("v2 " + text).getBytes(utf8),
+              200, null: String, date)
+          } }
+          .toDF("target_uri", "content_type", "payload", "status",
+            "revisit_digest", "warc_date"),
+        s"$out/refetch")
       out
     })
 
@@ -4282,6 +4403,47 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // The CDX selection loop CLOSED: a surt-prefix + time slice of the
+    // index fetches ONLY the records it names — by compressed member
+    // offset over the per-record-gzip layout (h4, even ids) and by
+    // file offset over the bare archive (h3, odd ids) — and the
+    // fetched documents must hash-match the planted derivation; a
+    // mis-addressed member, a wrong member-relative offset, or a slice
+    // leak anywhere is a row or hash mismatch.
+    "q_cdx_fetch" -> ((s, dir) => {
+      val idx = graft.io.Cdx.readCdxj(s, cdxFetchStage(s, dir))
+        .filter(col("ok") &&
+          (col("surt").startsWith("test,corpus,h3)") ||
+            col("surt").startsWith("test,corpus,h4)")) &&
+          col("ts") < "20260201")
+      graft.io.Warc.toDocumentsHtml(graft.io.Cdx.fetchRecords(s, idx))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // WAT sidecar round-trip: every response's metadata envelope —
+    // WARC headers, HTTP headers, the RAW outlink list with stripped
+    // anchors — serialized as JSON lines and parsed BACK; a framing,
+    // quoting, or link-extraction defect anywhere is a hash mismatch
+    // (the Container addressing pair is exercised by WatSpec's
+    // fetch-back, which SQL cannot replay).
+    "q_wat_roundtrip" -> ((s, dir) => {
+      graft.io.Wat.readWat(s, watStage(s, dir))
+        .filter(col("ok") && col("warc_type") === "response")
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("warc_date"), col("status"),
+          col("content_type"), posexplode(col("links")))
+        .select(col("doc_id"), col("url"), col("warc_date"), col("status"),
+          col("content_type"), col("pos"), col("col.url").as("href"),
+          col("col.text").as("anchor"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // Recrawl planning: the age-proportional revisit policy over the
     // staged validator batteries — IMF-fixdate parsing, both clamp
     // edges, the absent-validator default, and the epoch arithmetic
@@ -4295,6 +4457,24 @@ object ExtensionQueries {
             .cast(LongType).as("doc_id"),
           col("if_none_match"), col("age_s"), col("interval_s"),
           col("next_fetch_s"))
+        .orderBy("doc_id")
+    }),
+
+    // Conditional-refetch merge: one current corpus from two crawls —
+    // refetched 200s replace, raw 304s resolve to prior bodies by URL,
+    // revisit records by digest, untouched URLs carry forward with
+    // their original capture time; every lane's body, date, and source
+    // tag recomputed independently in DuckDB.
+    "q_recrawl_merge" -> ((s, dir) => {
+      val root = recrawlMergeStage(s, dir)
+      graft.operators.Recrawl.mergeRefetch(
+          graft.io.Warc.readWarc(s, s"$root/prior"),
+          graft.io.Warc.readWarc(s, s"$root/refetch"))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("warc_date"), col("content_type"),
+          col("payload").cast(StringType).as("text"), col("source"))
         .orderBy("doc_id")
     }),
 
@@ -5437,10 +5617,27 @@ object ExtensionQueries {
     "q_cdx_roundtrip" ->
       """SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'test,corpus' ELSE 'test,corpus,sub' END || CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END || ')/doc/' || doc_id || '?b=2' AS surt, '20260301000000' AS ts, 'http://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.Corpus.TEST' ELSE 'sub.Corpus.TEST' END || CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END || '/Doc/' || doc_id || '?B=2' AS url, 'text/html' AS mime, CAST(200 AS INTEGER) AS status FROM documents ORDER BY doc_id""",
 
+    // the slice membership recomputed from the id cycles (hosts 3 and
+    // 4 of the %10 split, January captures only), the fetched text
+    // from the same sentence derivation as every html carrier
+    "q_cdx_fetch" ->
+      """SELECT doc_id, 'http://h' || (doc_id % 10) || '.corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents WHERE doc_id % 10 IN (3, 4) AND doc_id % 3 = 0 ORDER BY doc_id""",
+
+    // both planted links per page replayed from the id cycles, headers
+    // from the staging constants
+    "q_wat_roundtrip" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, '2026-03-01T00:00:00Z' AS warc_date, CAST(200 AS INTEGER) AS status, 'text/html' AS content_type, pos, CASE pos WHEN 0 THEN '/r' || doc_id ELSE 'http://abs' || doc_id || '.test/P' END AS href, CASE pos WHEN 0 THEN 'rel link' ELSE 'second ' || doc_id END AS anchor FROM documents, unnest([0, 1]) AS t(pos) ORDER BY doc_id, pos""",
+
     // the staged validator lanes replayed: fetch epoch constant, the
     // three Last-Modified derivations, alpha/clamp arithmetic verbatim
     "q_recrawl_plan" ->
       ("""WITH p AS (SELECT doc_id, CAST(epoch(TIMESTAMP '2026-03-01 00:00:00') AS BIGINT) AS f, CASE WHEN doc_id % 5 = 4 THEN NULL WHEN doc_id % 5 = 0 THEN CAST(epoch(TIMESTAMP '2026-03-01 00:00:00') AS BIGINT) - (60 + doc_id % 3600) ELSE CAST(epoch(make_timestamp(2026, 1, CAST(1 + doc_id % 28 AS BIGINT), CAST(doc_id % 24 AS BIGINT), 0, 0)) AS BIGINT) END AS lm FROM documents), q AS (SELECT doc_id, f, lm, CASE WHEN lm IS NULL THEN 604800 ELSE LEAST(GREATEST(CAST(ROUND(0.5 * (f - lm)) AS BIGINT), 3600), 2592000) END AS iv FROM p) SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN NULL ELSE '"e' || doc_id || '"' END AS if_none_match, f - lm AS age_s, iv AS interval_s, f + iv AS next_fetch_s FROM q ORDER BY doc_id"""),
+
+    // the five staged lanes replayed: v2 bodies and the refetch date on
+    // the changed lanes, v1 bodies on 304/revisit/carry-forward, the
+    // prior date only where nothing was refetched
+    "q_recrawl_merge" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS m, text FROM documents) SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, CASE WHEN m = 4 THEN '2026-03-01T00:00:00Z' ELSE '2026-03-08T00:00:00Z' END AS warc_date, 'text/plain' AS content_type, CASE WHEN m IN (0, 1) THEN 'v2 ' || text ELSE 'v1 ' || text END AS text, CASE WHEN m IN (0, 1) THEN 'refetch' WHEN m = 4 THEN 'prior' ELSE 'revisit' END AS source FROM d ORDER BY doc_id""",
 
     // csv lanes flatten source TAB cell TAB v,id; the markdown lane's
     // **bold** riders strip away — exactly the matrix derivations

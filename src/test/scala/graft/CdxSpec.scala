@@ -52,12 +52,12 @@ class CdxSpec extends SparkSpec {
     val idx = Seq(
       ("com,zzz)/a", "20260102000000", "http://zzz.com/a", "text/html",
         Integer.valueOf(200), "sha1:AAAA", java.lang.Long.valueOf(10L),
-        java.lang.Long.valueOf(0L), "seg0.warc"),
+        java.lang.Long.valueOf(0L), java.lang.Long.valueOf(123L), "seg0.warc.gz"),
       ("com,aaa)/b", "20260101000000", "http://aaa.com/b", null,
         null: Integer, null: String, null: java.lang.Long,
-        java.lang.Long.valueOf(7L), "seg0.warc"))
+        java.lang.Long.valueOf(7L), null: java.lang.Long, "seg0.warc"))
       .toDF("surt", "ts", "url", "mime", "status", "digest", "length",
-        "offset", "filename")
+        "offset", "gz_offset", "filename")
     graft.io.Cdx.writeCdxj(idx, dir)
     val lines = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("part-")).sorted
@@ -67,15 +67,59 @@ class CdxSpec extends SparkSpec {
     val back = graft.io.Cdx.readCdxj(spark, dir)
     val ok = back.filter($"ok").collect()
       .map(r => (r.getString(0), r.getString(2), r.getAs[Any]("status"),
-        r.getAs[Any]("length"))).toSet
+        r.getAs[Any]("length"), r.getAs[Any]("gz_offset"))).toSet
     assert(ok == Set(
-      ("com,zzz)/a", "http://zzz.com/a", 200, 10L),
-      ("com,aaa)/b", "http://aaa.com/b", null, null)))
+      ("com,zzz)/a", "http://zzz.com/a", 200, 10L, 123L),
+      ("com,aaa)/b", "http://aaa.com/b", null, null, null)))
     // a malformed line degrades to its own flagged row
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "junk.cdxj"), "garbage-without-fields\n")
     val flagged = graft.io.Cdx.readCdxj(spark, dir).filter(!$"ok").collect()
     assert(flagged.length == 1 &&
-      flagged(0).getString(8) == "garbage-without-fields")
+      flagged(0).getAs[String]("filename") == "garbage-without-fields")
+  }
+
+  test("per-record-gzip members carry compressed offsets; fetch is addressed") {
+    import org.apache.spark.sql.functions.{lit => flit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_gz").toString
+    graft.io.Warc.writeWarcResponses(
+      (0 until 8).map(i =>
+        (s"http://h$i.test/p", "text/html", s"<p>body $i</p>".getBytes("UTF-8")))
+        .toDF("target_uri", "content_type", "payload").coalesce(1),
+      dir, gzipPerRecord = true)
+    val recs = graft.io.Warc.readWarc(spark, dir).collect()
+    assert(recs.length == 8 && recs.forall(_.framing_ok))
+    // Annex D: every record its own member → member-relative offset 0,
+    // strictly increasing compressed member offsets, first at byte 0
+    assert(recs.forall(_.offset == 0L))
+    val gz = recs.sortBy(_.record_idx).map(_.gz_offset)
+    assert(gz.head == 0L && gz.sliding(2).forall(w => w(0) < w(1)))
+    // index → slice → fetch: only the named records come back
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_cdx_gzi").toString
+    graft.io.Cdx.writeCdxj(
+      graft.io.Cdx.cdxFromWarc(graft.io.Warc.readWarc(spark, dir)), idxDir)
+    val slice = graft.io.Cdx.readCdxj(spark, idxDir)
+      .filter($"surt".startsWith("test,h3)") || $"surt".startsWith("test,h6)"))
+    val fetched = graft.io.Cdx.fetchRecords(spark, slice).collect()
+    assert(fetched.map(_.target_uri).toSet ==
+      Set("http://h3.test/p", "http://h6.test/p"))
+    assert(fetched.forall(r => r.framing_ok &&
+      new String(r.payload, "UTF-8").startsWith("<p>body ")))
+    // bare-archive addressing fetches by file offset through the same call
+    val bare = java.nio.file.Files.createTempDirectory("graft_cdx_bare").toString
+    graft.io.Warc.writeWarcResponses(
+      (0 until 4).map(i =>
+        (s"http://b$i.test/p", "text/plain", s"plain $i".getBytes("UTF-8")))
+        .toDF("target_uri", "content_type", "payload").coalesce(1), bare)
+    val bi = graft.io.Cdx.cdxFromWarc(graft.io.Warc.readWarc(spark, bare))
+    val got = graft.io.Cdx.fetchRecords(spark, bi.filter($"url".contains("b2")))
+      .collect()
+    assert(got.length == 1 && new String(got(0).payload, "UTF-8") == "plain 2")
+    // a stale offset degrades to its own flagged row, not a job failure
+    val stale = bi.filter($"url".contains("b1"))
+      .withColumn("offset", $"offset" + flit(3L))
+    val bad = graft.io.Warc.readWarcRecordsAt(spark,
+      stale.select($"filename", $"offset", $"gz_offset")).collect()
+    assert(bad.length == 1 && !bad(0).framing_ok)
   }
 }

@@ -103,4 +103,49 @@ class RecrawlSpec extends SparkSpec {
       assert(shifted("http://a.test/future")._1 == null)
     } finally spark.conf.set("spark.sql.session.timeZone", tz0)
   }
+
+  test("mergeRefetch: latest prior wins, orphan flags, all four sources") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_merge_spec").toString
+    def b(s: String) = s.getBytes("UTF-8")
+    // prior crawl: /a captured TWICE (the newer v1b must win), /b, /c, /d
+    graft.io.Warc.writeWarcConditional(Seq(
+      ("http://x.test/a", "text/plain", b("a-v1a"), 200, null, "2026-01-01T00:00:00Z"),
+      ("http://x.test/a", "text/plain", b("a-v1b"), 200, null, "2026-02-01T00:00:00Z"),
+      ("http://x.test/b", "text/plain", b("b-v1"), 200, null, "2026-01-01T00:00:00Z"),
+      ("http://x.test/c", "text/plain", b("c-v1"), 200, null, "2026-01-01T00:00:00Z"),
+      ("http://x.test/d", "text/plain", b("d-v1"), 200, null, "2026-01-01T00:00:00Z"))
+      .toDF("target_uri", "content_type", "payload", "status",
+        "revisit_digest", "warc_date"), s"$root/prior")
+    // refetch: /a 304 (→ the NEWER prior body), /b changed 200, /e a 304
+    // with no prior capture (orphan), /c revisit by digest; /d untouched
+    graft.io.Warc.writeWarcConditional(Seq(
+      ("http://x.test/a", null, null, 304, null, "2026-03-01T00:00:00Z"),
+      ("http://x.test/b", "text/plain", b("b-v2"), 200, null, "2026-03-01T00:00:00Z"),
+      ("http://x.test/e", null, null, 304, null, "2026-03-01T00:00:00Z"),
+      ("http://x.test/c", null, null, 200,
+        graft.io.Warc.warcSha1Digest(b("c-v1")), "2026-03-01T00:00:00Z"))
+      .toDF("target_uri", "content_type", "payload", "status",
+        "revisit_digest", "warc_date"), s"$root/refetch")
+    val merged = graft.operators.Recrawl.mergeRefetch(
+        graft.io.Warc.readWarc(spark, s"$root/prior"),
+        graft.io.Warc.readWarc(spark, s"$root/refetch"))
+      .collect().map { r =>
+        r.getAs[String]("url") ->
+          ((Option(r.getAs[Array[Byte]]("payload"))
+            .map(new String(_, "UTF-8")).orNull,
+            r.getAs[String]("source"), r.getAs[String]("warc_date")))
+      }.toMap
+    assert(merged.size == 5)
+    assert(merged("http://x.test/a") ==
+      (("a-v1b", "revisit", "2026-03-01T00:00:00Z")))
+    assert(merged("http://x.test/b") ==
+      (("b-v2", "refetch", "2026-03-01T00:00:00Z")))
+    assert(merged("http://x.test/c") ==
+      (("c-v1", "revisit", "2026-03-01T00:00:00Z")))
+    assert(merged("http://x.test/d") ==
+      (("d-v1", "prior", "2026-01-01T00:00:00Z")))
+    assert(merged("http://x.test/e") ==
+      ((null, "orphan", "2026-03-01T00:00:00Z")))
+  }
 }

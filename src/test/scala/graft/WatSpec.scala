@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** WAT sidecar: envelope shape, null-field omission, tolerant-bridge
+  * degrade, and the Container addressing pair closing back to the
+  * record it names. */
+class WatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stage(gz: Boolean): (String, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_wat_spec").toString
+    val media = Seq(
+      ("http://a.test/page", "text/html",
+        ("""<a href="/one">first</a><a href="http://b.test/x">se<b>cond</b></a>""" +
+          "<p>body</p>").getBytes("UTF-8"), "2026-03-01T00:00:00Z"),
+      ("http://a.test/plain", "text/plain",
+        "no links here".getBytes("UTF-8"), "2026-03-01T00:00:00Z"))
+      .toDF("target_uri", "content_type", "payload", "warc_date").coalesce(1)
+    graft.io.Warc.writeWarcResponses(media, s"$root/warc", gzipPerRecord = gz)
+    graft.io.Wat.writeWat(
+      graft.io.Warc.readWarc(spark, s"$root/warc"), s"$root/wat")
+    (s"$root/warc", s"$root/wat")
+  }
+
+  test("envelope round-trips: headers, links with stripped anchors, null omission") {
+    val (_, wat) = stage(gz = true)
+    val rows = graft.io.Wat.readWat(spark, wat).filter($"ok").collect()
+      .map(r => r.getAs[String]("url") -> r).toMap
+    assert(rows.size == 2)
+    val page = rows("http://a.test/page")
+    assert(page.getAs[String]("warc_type") == "response")
+    assert(page.getAs[Int]("status") == 200)
+    assert(page.getAs[String]("content_type") == "text/html")
+    val links = page.getSeq[org.apache.spark.sql.Row](page.fieldIndex("links"))
+      .map(l => (l.getString(0), l.getString(1))).toList
+    // markup inside the anchor strips to a space (the htmlLinks rule)
+    assert(links == List(("/one", "first"), ("http://b.test/x", "se cond")))
+    // the text/plain record has NO HTML-Metadata: links is null, and the
+    // raw line carries no "Links" key at all (omission, not empty array)
+    assert(rows("http://a.test/plain").isNullAt(
+      rows("http://a.test/plain").fieldIndex("links")))
+    val rawLines = new java.io.File(wat).listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toList)
+    assert(rawLines.count(_.contains("\"Links\"")) == 1)
+    assert(rawLines.forall(_.contains("\"Gz-Offset\"")))
+    // a malformed line degrades to its own flagged row
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(wat, "junk.wat"), "{\"Envelope\":42}\n")
+    val flagged = graft.io.Wat.readWat(spark, wat).filter(!$"ok").collect()
+    assert(flagged.length == 1 &&
+      flagged(0).getAs[String]("filename") == "{\"Envelope\":42}")
+  }
+
+  test("Container addressing fetches the described record back, both layouts") {
+    for (gz <- Seq(true, false)) {
+      val (_, wat) = stage(gz)
+      val sel = graft.io.Wat.readWat(spark, wat)
+        .filter($"ok" && $"url" === "http://a.test/plain")
+        .select($"filename", $"offset", $"gz_offset")
+      val recs = graft.io.Warc.readWarcRecordsAt(spark, sel).collect()
+      assert(recs.length == 1, s"gz=$gz")
+      assert(recs(0).framing_ok && recs(0).target_uri == "http://a.test/plain")
+      assert(new String(recs(0).payload, "UTF-8") == "no links here", s"gz=$gz")
+    }
+  }
+}
