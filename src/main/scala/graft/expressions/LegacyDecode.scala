@@ -1,0 +1,53 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernel behind [[DecodeLegacy]] (codegen calls it by name). */
+object LegacyDecodeKernel {
+  def decode(payload: Array[Byte], label: UTF8String): UTF8String =
+    UTF8String.fromString(
+      graft.operators.LegacyCharset.decode(payload, label.toString))
+}
+
+/** `decode_legacy(binary, charset_label)` → string: the WHATWG legacy
+  * CJK decode ([[graft.operators.LegacyCharset]] — shift_jis, euc-jp,
+  * gbk, big5, euc-kr and their label aliases), as a native codegen'd
+  * expression so the HTML/text carriers' charset routing stays inside
+  * whole-stage codegen (the same shape as the URL kernels; Spark's
+  * built-in `decode` stops at ISO-8859-1). The caller routes only
+  * labels the decoder claims; an unclaimed label throws — routing is
+  * `decodePayload`'s contract, not silently absorbed here. */
+case class DecodeLegacy(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"decode_legacy requires (binary, string), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "decode_legacy"
+  override def nullSafeEval(payload: Any, label: Any): Any =
+    LegacyDecodeKernel.decode(
+      payload.asInstanceOf[Array[Byte]], label.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, l) =>
+      s"${ev.value} = graft.expressions.LegacyDecodeKernel.decode($p, $l);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DecodeLegacy =
+    copy(left = newLeft, right = newRight)
+}
+
+object NativeCharset {
+  def decodeLegacy(payload: Column, label: Column): Column =
+    GraftColumnBridge.column(DecodeLegacy(
+      GraftColumnBridge.expression(payload),
+      GraftColumnBridge.expression(label)))
+}

@@ -264,10 +264,16 @@ object Warc {
     * document's own `<meta charset=…>` / `http-equiv Content-Type`
     * declaration (sniffed from the first 1024 bytes latin-1-decoded,
     * the HTML5 prescan rule — header wins over meta per spec):
-    * ISO-8859-1/latin1 and Windows-1252/cp1252 (still a real fraction
-    * of the web) decode exactly; everything else — including the
-    * no-declaration default — decodes UTF-8. All codegen'd column
-    * expressions, no UDF. */
+    * ISO-8859-1/latin1 and Windows-1252/cp1252 decode exactly; the
+    * legacy CJK set (shift_jis, euc-jp, gbk, big5, euc-kr and their
+    * WHATWG label aliases — still a real fraction of the crawlable
+    * web) decodes through the native
+    * [[graft.expressions.NativeCharset.decodeLegacy]] state machines;
+    * everything else — including the no-declaration default — decodes
+    * UTF-8, the documented LOUD fallback (a charset outside the claimed
+    * set mis-decodes visibly to U+FFFD-bearing text that the
+    * encoding-quality gates downstream count, never a silent drop).
+    * All codegen'd column expressions, no UDF. */
   private[io] def decodePayload(payload: org.apache.spark.sql.Column,
       contentType: org.apache.spark.sql.Column) = {
     val csPat = "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)"
@@ -281,6 +287,8 @@ object Warc {
     when(cs.isin("iso-8859-1", "latin1", "iso8859-1"), latin1)
       .when(cs.isin("windows-1252", "cp1252"),
         translate(latin1, c1Range, cp1252Chars))
+      .when(cs.isin(graft.operators.LegacyCharset.labels: _*),
+        graft.expressions.NativeCharset.decodeLegacy(payload, cs))
       .otherwise(payload.cast("string"))
   }
 

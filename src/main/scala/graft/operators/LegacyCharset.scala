@@ -1,0 +1,224 @@
+package graft.operators
+
+/** Legacy CJK charset decode — the WHATWG Encoding Standard's
+  * shift_jis / euc-jp / gbk / big5 / euc-kr DECODE state machines over
+  * the standard's index tables, the charsets a real fraction of the
+  * crawlable web still declares. The index content is checked in under
+  * `resources/charsets/` — published spec data dumped from the system
+  * JDK's own charset implementations by the checked-in generator
+  * `tools/CharsetIndexGen.java` through the public `java.nio.charset`
+  * API (the Brotli-dictionary resource pattern; see that file's header
+  * for the source charset of each table).
+  *
+  * Decode semantics follow the WHATWG algorithms: ASCII bytes pass
+  * through, each charset's lead/trail ranges walk its pointer space,
+  * and — this is the web-platform contract, distinct from the archive
+  * codecs' fail-loud rule — a malformed or unmapped sequence emits
+  * U+FFFD and CONTINUES (an ASCII byte that broke a pair is reprocessed
+  * as itself, the standard's prepend rule): browsers render broken
+  * pages, they do not refuse them, and downstream encoding-quality
+  * gates count the U+FFFDs.
+  *
+  * Known divergences, documented loudly: the `gbk` label decodes the
+  * TWO-byte GBK plane only — gb18030 four-byte sequences surface as
+  * replacement characters, not codepoints; big5 pointers that the
+  * WHATWG index maps to two-codepoint compositions (four HKSCS
+  * pointers) follow the JDK table's single-codepoint choice or U+FFFD.
+  * Charset labels OUTSIDE [[labels]] are not routed here at all — the
+  * reader's documented fallback is a UTF-8 decode
+  * ([[graft.io.Warc]] `decodePayload`). */
+object LegacyCharset {
+
+  private def load(name: String, pointers: Int): Array[Int] = {
+    val in = getClass.getResourceAsStream(s"/charsets/$name")
+    require(in != null, s"charsets/$name missing from resources")
+    val bytes = try in.readAllBytes() finally in.close()
+    require(bytes.length == pointers * 4,
+      s"charsets/$name: ${bytes.length} bytes, expected ${pointers * 4}")
+    val t = new Array[Int](pointers)
+    var i = 0
+    while (i < pointers) {
+      t(i) = ((bytes(4 * i) & 0xff) << 24) | ((bytes(4 * i + 1) & 0xff) << 16) |
+        ((bytes(4 * i + 2) & 0xff) << 8) | (bytes(4 * i + 3) & 0xff)
+      i += 1
+    }
+    t
+  }
+
+  private lazy val sjisTab = load("sjis.tab", 60 * 188)
+  private lazy val jis0208Tab = load("jis0208.tab", 94 * 94)
+  private lazy val jis0212Tab = load("jis0212.tab", 94 * 94)
+  private lazy val gbkTab = load("gbk.tab", 126 * 190)
+  private lazy val big5Tab = load("big5.tab", 126 * 157)
+  private lazy val euckrTab = load("euckr.tab", 126 * 190)
+
+  private val Sjis = "sjis"
+  private val EucJp = "eucjp"
+  private val Gbk = "gbk"
+  private val Big5 = "big5"
+  private val EucKr = "euckr"
+
+  /** WHATWG label → decoder key (labels lowercase; the header/meta
+    * extraction lowercases before lookup). */
+  private val labelKey: Map[String, String] = Map(
+    "shift_jis" -> Sjis, "shift-jis" -> Sjis, "sjis" -> Sjis,
+    "x-sjis" -> Sjis, "ms_kanji" -> Sjis, "ms932" -> Sjis,
+    "windows-31j" -> Sjis, "csshiftjis" -> Sjis,
+    "euc-jp" -> EucJp, "x-euc-jp" -> EucJp,
+    "cseucpkdfmtjapanese" -> EucJp,
+    "gbk" -> Gbk, "gb2312" -> Gbk, "gb_2312" -> Gbk, "gb_2312-80" -> Gbk,
+    "chinese" -> Gbk, "csgb2312" -> Gbk, "csiso58gb231280" -> Gbk,
+    "iso-ir-58" -> Gbk, "x-gbk" -> Gbk,
+    "big5" -> Big5, "big5-hkscs" -> Big5, "cn-big5" -> Big5,
+    "csbig5" -> Big5, "x-x-big5" -> Big5,
+    "euc-kr" -> EucKr, "windows-949" -> EucKr, "ks_c_5601-1987" -> EucKr,
+    "ks_c_5601-1989" -> EucKr, "ksc_5601" -> EucKr, "ksc5601" -> EucKr,
+    "korean" -> EucKr, "csksc56011987" -> EucKr, "cseuckr" -> EucKr,
+    "iso-ir-149" -> EucKr)
+
+  /** Every charset label this decoder claims (the `decodePayload`
+    * routing set). */
+  val labels: Seq[String] = labelKey.keys.toSeq.sorted
+
+  def supports(label: String): Boolean =
+    labelKey.contains(label.toLowerCase(java.util.Locale.ROOT))
+
+  /** Decode `bytes` under a claimed label; throws on a label outside
+    * [[labels]] (the caller routes, this decodes). */
+  def decode(bytes: Array[Byte], label: String): String = {
+    val key = labelKey.getOrElse(label.toLowerCase(java.util.Locale.ROOT),
+      throw new IllegalArgumentException(s"unsupported legacy charset: $label"))
+    val sb = new java.lang.StringBuilder(bytes.length)
+    key match {
+      case Sjis => decodeSjis(bytes, sb)
+      case EucJp => decodeEucJp(bytes, sb)
+      case Gbk => decodeTwoByte(bytes, sb, gbkTab,
+        trailLo = 0x40, trailHi = 0xFE, skip7F = true, width = 190,
+        trailOff2 = 0x41)
+      case Big5 => decodeBig5(bytes, sb)
+      case EucKr => decodeTwoByte(bytes, sb, euckrTab,
+        trailLo = 0x41, trailHi = 0xFE, skip7F = false, width = 190,
+        trailOff2 = 0x41)
+    }
+    sb.toString
+  }
+
+  private val Repl = 0xFFFD
+
+  /** shift_jis decoder (WHATWG §12.2.1 shape): single-byte katakana
+    * lane 0xA1–0xDF, 0x80 → U+0080, EUDC and JIS rows via the pointer
+    * table, ASCII-reprocess on a broken pair. */
+  private def decodeSjis(b: Array[Byte], sb: java.lang.StringBuilder): Unit = {
+    var lead = 0
+    var i = 0
+    while (i < b.length) {
+      val x = b(i) & 0xff
+      if (lead != 0) {
+        val leadOff = if (lead < 0xA0) 0x81 else 0xC1
+        if (x >= 0x40 && x <= 0xFC && x != 0x7F) {
+          val p = (lead - leadOff) * 188 + x - (if (x < 0x7F) 0x40 else 0x41)
+          val cp = sjisTab(p)
+          sb.appendCodePoint(if (cp != 0) cp else Repl)
+          lead = 0
+        } else {
+          sb.appendCodePoint(Repl)
+          lead = 0
+          if (x <= 0x7F) i -= 1 // the prepend rule: reprocess ASCII
+        }
+      } else if (x <= 0x7F) sb.append(x.toChar)
+      else if (x == 0x80) sb.append(0x80.toChar)
+      else if (x >= 0xA1 && x <= 0xDF) sb.appendCodePoint(0xFF61 + x - 0xA1)
+      else if ((x >= 0x81 && x <= 0x9F) || (x >= 0xE0 && x <= 0xFC)) lead = x
+      else sb.appendCodePoint(Repl)
+      i += 1
+    }
+    if (lead != 0) sb.appendCodePoint(Repl)
+  }
+
+  /** euc-jp decoder: 0x8E katakana lane, 0x8F jis0212 triple-byte
+    * lane, jis0208 pairs. */
+  private def decodeEucJp(b: Array[Byte], sb: java.lang.StringBuilder): Unit = {
+    var lead = 0
+    var in0212 = false
+    var i = 0
+    while (i < b.length) {
+      val x = b(i) & 0xff
+      if (lead == 0x8E && x >= 0xA1 && x <= 0xDF) {
+        sb.appendCodePoint(0xFF61 + x - 0xA1)
+        lead = 0
+      } else if (lead == 0x8F && x >= 0xA1 && x <= 0xFE) {
+        in0212 = true
+        lead = x
+      } else if (lead != 0) {
+        if (lead >= 0xA1 && lead <= 0xFE && x >= 0xA1 && x <= 0xFE) {
+          val p = (lead - 0xA1) * 94 + x - 0xA1
+          val cp = (if (in0212) jis0212Tab else jis0208Tab)(p)
+          sb.appendCodePoint(if (cp != 0) cp else Repl)
+        } else {
+          sb.appendCodePoint(Repl)
+          if (x <= 0x7F) i -= 1
+        }
+        lead = 0
+        in0212 = false
+      } else if (x <= 0x7F) sb.append(x.toChar)
+      else if (x == 0x8E || x == 0x8F || (x >= 0xA1 && x <= 0xFE)) lead = x
+      else sb.appendCodePoint(Repl)
+      i += 1
+    }
+    if (lead != 0) sb.appendCodePoint(Repl)
+  }
+
+  /** The shared two-byte machine (gbk, euc-kr): lead 0x81–0xFE, one
+    * contiguous-ish trail range, split trail offset for gbk's 0x7F
+    * hole. */
+  private def decodeTwoByte(b: Array[Byte], sb: java.lang.StringBuilder,
+      tab: Array[Int], trailLo: Int, trailHi: Int, skip7F: Boolean,
+      width: Int, trailOff2: Int): Unit = {
+    var lead = 0
+    var i = 0
+    while (i < b.length) {
+      val x = b(i) & 0xff
+      if (lead != 0) {
+        if (x >= trailLo && x <= trailHi && !(skip7F && x == 0x7F)) {
+          val off = if (skip7F && x < 0x7F) 0x40 else trailOff2
+          val cp = tab((lead - 0x81) * width + x - off)
+          sb.appendCodePoint(if (cp != 0) cp else Repl)
+          lead = 0
+        } else {
+          sb.appendCodePoint(Repl)
+          lead = 0
+          if (x <= 0x7F) i -= 1
+        }
+      } else if (x <= 0x7F) sb.append(x.toChar)
+      else if (x >= 0x81 && x <= 0xFE) lead = x
+      else sb.appendCodePoint(Repl)
+      i += 1
+    }
+    if (lead != 0) sb.appendCodePoint(Repl)
+  }
+
+  /** big5 decoder: the two disjoint trail ranges 0x40–0x7E / 0xA1–0xFE. */
+  private def decodeBig5(b: Array[Byte], sb: java.lang.StringBuilder): Unit = {
+    var lead = 0
+    var i = 0
+    while (i < b.length) {
+      val x = b(i) & 0xff
+      if (lead != 0) {
+        if ((x >= 0x40 && x <= 0x7E) || (x >= 0xA1 && x <= 0xFE)) {
+          val p = (lead - 0x81) * 157 + x - (if (x < 0x7F) 0x40 else 0x62)
+          val cp = big5Tab(p)
+          sb.appendCodePoint(if (cp != 0) cp else Repl)
+          lead = 0
+        } else {
+          sb.appendCodePoint(Repl)
+          lead = 0
+          if (x <= 0x7F) i -= 1
+        }
+      } else if (x <= 0x7F) sb.append(x.toChar)
+      else if (x >= 0x81 && x <= 0xFE) lead = x
+      else sb.appendCodePoint(Repl)
+      i += 1
+    }
+    if (lead != 0) sb.appendCodePoint(Repl)
+  }
+}

@@ -794,6 +794,49 @@ object ExtensionQueries {
       out
     })
 
+  private val charsetStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_charset_legacy: each document served
+    * in one of the five legacy CJK charsets (`doc_id % 5` → shift_jis /
+    * euc-jp / gbk / big5 / euc-kr), the page text carrying a
+    * charset-native rider (kanji + half-width katakana for the
+    * Japanese lanes — the single-byte 0xA1–0xDF and 0x8E side lanes
+    * are on the oracle), ENCODED by the JDK's encoder for the same
+    * table the checked-in index was generated from. Route cycles on
+    * `doc_id % 2`: even ids declare the charset in the Content-Type
+    * header over `text/plain`; odd ids serve `text/html` with an
+    * in-page `<meta charset=…>` (the HTML5 prescan route). */
+  private def charsetStage(s: SparkSession, dir: String): String =
+    charsetStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_cjk").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, u, text) =>
+          val (label, enc, rider) = (id % 5) match {
+            case 0 => ("Shift_JIS", "windows-31j", "日本語テスト ｶﾅ")
+            case 1 => ("EUC-JP", "EUC-JP", "日本語テスト ｶﾅ")
+            case 2 => ("GBK", "GBK", "中文测试汉字")
+            case 3 => ("Big5", "Big5", "中文測試漢字")
+            case _ => ("EUC-KR", "x-windows-949", "한국어시험")
+          }
+          val body = text + " " + rider
+          val cs = java.nio.charset.Charset.forName(enc)
+          if (id % 2 == 0)
+            (u, s"text/plain; charset=$label", body.getBytes(cs))
+          else
+            (u, "text/html",
+              (s"""<html><head><meta charset="$label"></head>""" +
+                s"<body><p>$body</p></body></html>").getBytes(cs)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val recrawlMergeStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -4460,6 +4503,22 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // Legacy CJK charset decode: five charsets, both declaration
+    // routes (Content-Type header / meta prescan), charset-native
+    // riders including the shift_jis and euc-jp half-width-katakana
+    // side lanes — a single mis-decoded byte anywhere is a hash
+    // mismatch against the oracle's verbatim expectation.
+    "q_charset_legacy" -> ((s, dir) => {
+      val recs = graft.io.Warc.readWarc(s, charsetStage(s, dir))
+      val docId = regexp_extract(col("url"), "doc/(\\d+)$", 1)
+        .cast(LongType).as("doc_id")
+      graft.io.Warc.toDocumentsText(recs)
+        .select(docId, lit("header").as("route"), col("text"))
+        .unionByName(graft.io.Warc.toDocumentsHtml(recs)
+          .select(docId, lit("meta").as("route"), col("text")))
+        .orderBy("doc_id")
+    }),
+
     // Conditional-refetch merge: one current corpus from two crawls —
     // refetched 200s replace, raw 304s resolve to prior bodies by URL,
     // revisit records by digest, untouched URLs carry forward with
@@ -5632,6 +5691,11 @@ object ExtensionQueries {
     // three Last-Modified derivations, alpha/clamp arithmetic verbatim
     "q_recrawl_plan" ->
       ("""WITH p AS (SELECT doc_id, CAST(epoch(TIMESTAMP '2026-03-01 00:00:00') AS BIGINT) AS f, CASE WHEN doc_id % 5 = 4 THEN NULL WHEN doc_id % 5 = 0 THEN CAST(epoch(TIMESTAMP '2026-03-01 00:00:00') AS BIGINT) - (60 + doc_id % 3600) ELSE CAST(epoch(make_timestamp(2026, 1, CAST(1 + doc_id % 28 AS BIGINT), CAST(doc_id % 24 AS BIGINT), 0, 0)) AS BIGINT) END AS lm FROM documents), q AS (SELECT doc_id, f, lm, CASE WHEN lm IS NULL THEN 604800 ELSE LEAST(GREATEST(CAST(ROUND(0.5 * (f - lm)) AS BIGINT), 3600), 2592000) END AS iv FROM p) SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN NULL ELSE '"e' || doc_id || '"' END AS if_none_match, f - lm AS age_s, iv AS interval_s, f + iv AS next_fetch_s FROM q ORDER BY doc_id"""),
+
+    // the charset riders replayed verbatim per lane, the route from
+    // the parity cycle
+    "q_charset_legacy" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS m, CAST(doc_id % 2 AS INTEGER) AS r, text FROM documents) SELECT doc_id, CASE r WHEN 0 THEN 'header' ELSE 'meta' END AS route, text || ' ' || CASE m WHEN 0 THEN '日本語テスト ｶﾅ' WHEN 1 THEN '日本語テスト ｶﾅ' WHEN 2 THEN '中文测试汉字' WHEN 3 THEN '中文測試漢字' ELSE '한국어시험' END AS text FROM d ORDER BY doc_id""",
 
     // the five staged lanes replayed: v2 bodies and the refetch date on
     // the changed lanes, v1 bodies on 304/revisit/carry-forward, the

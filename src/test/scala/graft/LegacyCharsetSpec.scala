@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.LegacyCharset
+
+/** WHATWG legacy CJK decoders over the checked-in index blobs: anchor
+  * pointers, JVM-encoder round-trips, the katakana/EUDC/jis0212 side
+  * lanes, U+FFFD-and-continue error semantics with the ASCII prepend
+  * rule, and the WARC header/meta routing end-to-end. */
+class LegacyCharsetSpec extends SparkSpec {
+
+  private def jvm(name: String, s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.Charset.forName(name))
+
+  test("anchor pointers: one known cell per table") {
+    assert(LegacyCharset.decode(Array(0x88, 0x9F).map(_.toByte), "Shift_JIS") == "亜")
+    assert(LegacyCharset.decode(Array(0xB0, 0xA1).map(_.toByte), "euc-kr") == "가")
+    assert(LegacyCharset.decode(Array(0xD6, 0xD0).map(_.toByte), "GBK") == "中")
+    assert(LegacyCharset.decode(Array(0xA4, 0xA4).map(_.toByte), "Big5") == "中")
+    assert(LegacyCharset.decode(Array(0xB0, 0xA1).map(_.toByte), "EUC-JP") == "亜")
+    // shift_jis EUDC lane (PUA): 0xF040 -> U+E000
+    assert(LegacyCharset.decode(Array(0xF0, 0x40).map(_.toByte), "sjis") == "\uE000")
+  }
+
+  test("JVM-encoder round-trips per charset, mixed with ASCII") {
+    val cases = Seq(
+      ("windows-31j", "Shift_JIS", "abc 日本語テスト、ｶﾀｶﾅ half-width! 0x80:"),
+      ("EUC-JP", "euc-jp", "abc 日本語テスト、ｶﾀｶﾅ lanes"),
+      ("GBK", "gbk", "abc 中文测试汉字，标点。"),
+      ("Big5", "big5", "abc 中文測試漢字，標點。"),
+      ("x-windows-949", "euc-kr", "abc 한국어 시험 조각"))
+    for ((enc, label, text) <- cases)
+      assert(LegacyCharset.decode(jvm(enc, text), label) == text,
+        s"$label via $enc")
+  }
+
+  test("jis0212 triple-byte lane round-trips what EUC-JP puts there") {
+    // find a codepoint the JVM encoder sends through the 0x8F plane
+    val probe = (0x4E00 to 0x9FFF).iterator.map(cp => new String(Character.toChars(cp)))
+      .find(s => jvm("EUC-JP", s).headOption.contains(0x8F.toByte))
+    assert(probe.nonEmpty, "no jis0212 char found")
+    val s = probe.get
+    assert(LegacyCharset.decode(jvm("EUC-JP", s), "EUC-JP") == s)
+  }
+
+  test("errors emit U+FFFD and continue; broken-pair ASCII reprocesses") {
+    // sjis lead + space: replacement, then the space itself
+    assert(LegacyCharset.decode(Array(0x82, 0x20).map(_.toByte), "sjis") ==
+      "\uFFFD ")
+    // dangling lead at EOF
+    assert(LegacyCharset.decode(Array('a'.toByte, 0x82.toByte), "sjis") ==
+      "a\uFFFD")
+    // euc-kr: 0xFF is no lead
+    assert(LegacyCharset.decode(Array(0xFF, 0x41).map(_.toByte), "euc-kr") ==
+      "\uFFFDA")
+    // gbk 0x7F trail hole: replacement + reprocessed DEL
+    assert(LegacyCharset.decode(Array(0x81, 0x7F).map(_.toByte), "gbk") ==
+      "\uFFFD\u007F")
+    // unmapped but well-formed pointer: one replacement, stream continues
+    assert(LegacyCharset.decode(
+      Array(0x81.toByte, 0x40.toByte, 'z'.toByte), "euc-kr").endsWith("z"))
+    // unsupported label is the CALLER's bug: loud
+    intercept[IllegalArgumentException] {
+      LegacyCharset.decode(Array(0x41.toByte), "koi8-r")
+    }
+  }
+
+  test("warc e2e: header charset= and meta prescan both route, utf-8 fallback loud") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cjk_warc").toString
+    val sjisText = "見出し テスト ｶﾅ"
+    val krText = "한국어 시험"
+    graft.io.Warc.writeWarcResponses(Seq(
+      // header route: text/plain with an explicit charset parameter
+      ("http://a.test/h", "text/plain; charset=Shift_JIS",
+        jvm("windows-31j", sjisText)),
+      // meta-prescan route: no header charset, the page declares itself
+      ("http://a.test/m", "text/html",
+        jvm("x-windows-949",
+          s"""<html><head><meta charset="euc-kr"></head><body><p>$krText</p></body></html>""")),
+      // outside the claimed set: falls back to UTF-8, visibly garbled
+      ("http://a.test/f", "text/plain; charset=koi8-r",
+        Array[Byte](0xC4.toByte, 0xCF.toByte)))
+      .toDF("target_uri", "content_type", "payload"), dir)
+    val recs = graft.io.Warc.readWarc(spark, dir)
+    val texts = graft.io.Warc.toDocumentsText(recs)
+      .select("url", "text").as[(String, String)].collect().toMap
+    assert(texts("http://a.test/h") == sjisText)
+    assert(texts("http://a.test/f").contains("\uFFFD")) // loud, not silent
+    val htmls = graft.io.Warc.toDocumentsHtml(recs)
+      .select("url", "text").as[(String, String)].collect().toMap
+    assert(htmls("http://a.test/m") == krText)
+  }
+}
