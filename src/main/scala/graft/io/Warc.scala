@@ -53,7 +53,8 @@ object Warc {
       record_id: String = null, concurrent_to: String = null,
       http_disposition: String = null, http_etag: String = null,
       http_last_modified: String = null, offset: Long = -1L,
-      gz_offset: Long = -1L)
+      gz_offset: Long = -1L, seg_number: Integer = null,
+      seg_origin_id: String = null, seg_total_length: java.lang.Long = null)
 
   /** Read a WARC file / directory / glob (plain or record-gzipped
     * `.warc.gz`) as one row per record. */
@@ -284,7 +285,20 @@ object Warc {
       "(?i)<meta[^>]*" + csPat, 1))
     val cs = when(headerCs =!= "", headerCs).otherwise(metaCs)
     val latin1 = decode(payload, "ISO-8859-1")
-    when(cs.isin("iso-8859-1", "latin1", "iso8859-1"), latin1)
+    // a BOM beats EVERY declaration (the WHATWG "BOM sniff" step —
+    // the byte mark is the document's own first-hand testimony, and
+    // real servers mislabel BOM'd payloads constantly). The JVM UTF-16
+    // charset consumes the 16-bit marks itself; the UTF-8 mark decodes
+    // to one U+FEFF dropped explicitly.
+    val bom16 =
+      substring(payload, 1, 2) === lit(Array(0xFF.toByte, 0xFE.toByte)) ||
+        substring(payload, 1, 2) === lit(Array(0xFE.toByte, 0xFF.toByte))
+    val bom8 =
+      substring(payload, 1, 3) ===
+        lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+    when(bom8, substring(payload.cast("string"), 2, Int.MaxValue))
+      .when(bom16, decode(payload, "UTF-16"))
+      .when(cs.isin("iso-8859-1", "latin1", "iso8859-1"), latin1)
       .when(cs.isin("windows-1252", "cp1252"),
         translate(latin1, c1Range, cp1252Chars))
       .when(cs.isin(graft.operators.LegacyCharset.labels: _*),
@@ -632,6 +646,130 @@ object Warc {
       .join(resp, Seq("payload_digest"), "inner")
   }
 
+  /** Reassemble segmented records (WARC 1.1 §5.18) — how archives
+    * carry a logical record too large for one file: the FIRST segment
+    * keeps the original record type with `WARC-Segment-Number: 1` and
+    * its `WARC-Record-ID`; later segments are `continuation` records
+    * whose `WARC-Segment-Origin-ID` names it, the last also declaring
+    * `WARC-Segment-Total-Length`. This operator concatenates each
+    * chain's blocks in segment order and re-parses the LOGICAL record
+    * through the same machinery as an unsegmented one (HTTP head,
+    * transfer/content codings — all deferred while segments were
+    * opaque), passing every unsegmented record through untouched.
+    *
+    * Failure isolation: a chain with a gap in its segment numbers, a
+    * total-length mismatch, or a framing-broken member degrades to the
+    * head record flagged `framing_ok = false`; an orphan continuation
+    * (no head in the scan) flags itself. Scale shape: one equi-keyed
+    * group per chain on the head's record-ID UUID — uniform keys, a
+    * records-scale shuffle of segment payloads; unsegmented records
+    * (the overwhelming majority of any real crawl) never shuffle. */
+  def reassembleSegments(records: Dataset[WarcRecord]): Dataset[WarcRecord] = {
+    import records.sparkSession.implicits._
+    val plain = records.filter(r =>
+      r.seg_number == null && r.warc_type != "continuation")
+    val heads = records
+      .filter(r => r.seg_number != null && r.seg_number.intValue == 1 &&
+        r.record_id != null)
+      .groupByKey(_.record_id)
+    val conts = records
+      .filter(r => r.warc_type == "continuation" && r.seg_origin_id != null)
+      .groupByKey(_.seg_origin_id)
+    val chains = heads.cogroup(conts) { (_, hs, cs) =>
+      val head = if (hs.hasNext) hs.next() else null
+      val parts = cs.toArray.sortBy(r =>
+        Option(r.seg_number).map(_.intValue).getOrElse(Int.MaxValue))
+      if (head == null)
+        // orphan continuations: unusable without their head — flagged
+        parts.iterator.map(_.copy(framing_ok = false))
+      else {
+        val contiguous = parts.iterator.zipWithIndex.forall {
+          case (p, i) => p.seg_number != null && p.seg_number.intValue == i + 2
+        }
+        val total = head.payload.length.toLong +
+          parts.iterator.map(_.payload.length.toLong).sum
+        val declared = parts.lastOption.flatMap(p => Option(p.seg_total_length))
+        val ok = contiguous && head.framing_ok && parts.forall(_.framing_ok) &&
+          declared.forall(_.longValue == total) && total <= Int.MaxValue
+        if (!ok) Iterator.single(head.copy(framing_ok = false))
+        else {
+          val block = new java.io.ByteArrayOutputStream(total.toInt)
+          block.write(head.payload)
+          parts.foreach(p => block.write(p.payload))
+          val ascii = java.nio.charset.StandardCharsets.US_ASCII
+          def hl(k: String, v: String): String =
+            if (v == null) "" else s"$k: $v\r\n"
+          val hdr = (s"WARC/1.0\r\nWARC-Type: ${head.warc_type}\r\n" +
+            hl("WARC-Target-URI", head.target_uri) +
+            hl("WARC-Date", head.warc_date) +
+            hl("WARC-Record-ID", head.record_id) +
+            hl("WARC-Payload-Digest", head.payload_digest) +
+            s"Content-Length: ${block.size}\r\n\r\n").getBytes(ascii)
+          val rec = parseWarcBuffer(head.path,
+            hdr ++ block.toByteArray ++ "\r\n\r\n".getBytes(ascii)).next()
+          Iterator.single(rec.copy(record_idx = head.record_idx,
+            offset = head.offset, gz_offset = head.gz_offset))
+        }
+      }
+    }
+    plain.union(chains)
+  }
+
+  /** Staging writer for segmented archives: each `(target_uri,
+    * content_type, payload)` row's framed HTTP response splits into
+    * `segmentBytes`-sized WARC segments per §5.18 (a row whose record
+    * fits in one segment writes a plain response — the pass-through
+    * lane on the same oracle). */
+  def writeWarcSegmented(df: DataFrame, dir: String, segmentBytes: Int): Unit = {
+    val cols = df.select(col("target_uri"), col("content_type"), col("payload"))
+    cols.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(s"$dir/seg$pid.warc")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = new java.io.BufferedOutputStream(fs.create(path, true))
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        def rec(headers: String, body: Array[Byte], off: Int, len: Int): Unit = {
+          out.write((s"WARC/1.0\r\n$headers" +
+            s"Content-Length: $len\r\n\r\n").getBytes(ascii))
+          out.write(body, off, len)
+          out.write("\r\n\r\n".getBytes(ascii))
+        }
+        try it.foreach { r =>
+          val uri = r.getString(0)
+          val body = r.getAs[Array[Byte]](2)
+          val full = (s"HTTP/1.1 200 OK\r\nContent-Type: ${r.getString(1)}\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii) ++ body
+          if (full.length <= segmentBytes)
+            rec("WARC-Type: response\r\n" +
+              s"WARC-Target-URI: $uri\r\n", full, 0, full.length)
+          else {
+            val originId = "<urn:uuid:" + java.util.UUID.nameUUIDFromBytes(
+              uri.getBytes(java.nio.charset.StandardCharsets.UTF_8)) + ">"
+            rec("WARC-Type: response\r\n" +
+              s"WARC-Record-ID: $originId\r\n" +
+              s"WARC-Target-URI: $uri\r\n" +
+              "WARC-Segment-Number: 1\r\n", full, 0, segmentBytes)
+            var off = segmentBytes
+            var n = 2
+            while (off < full.length) {
+              val take = math.min(segmentBytes, full.length - off)
+              val last = off + take >= full.length
+              rec("WARC-Type: continuation\r\n" +
+                s"WARC-Segment-Origin-ID: $originId\r\n" +
+                s"WARC-Target-URI: $uri\r\n" +
+                s"WARC-Segment-Number: $n\r\n" +
+                (if (last) s"WARC-Segment-Total-Length: ${full.length}\r\n"
+                 else ""), full, off, take)
+              off += take
+              n += 1
+            }
+          }
+        } finally out.close()
+      }
+    }
+  }
+
   /** `application/warc-fields` block (WARC 1.1 §8): colon-separated
     * name/value lines with RFC 5322-style continuation (leading
     * whitespace folds into the previous value). Names lowercase in the
@@ -847,6 +985,44 @@ object Warc {
         NativeUrl.resolveUrl(coalesce(col("base"), col("url")),
           col("link.href")).as("to_url"),
         col("link.anchor").as("anchor"))
+      .filter(col("to_url").isNotNull)
+  }
+
+  /** The in-page redirect lane of [[redirectEdges]]: `<meta
+    * http-equiv="refresh" content="N; url=…">` pages (the HTML-living-
+    * standard client-side redirect crawlers must follow — parked pages,
+    * moved sites, and meta-only hosting redirect THIS way, invisible to
+    * the 3xx edge list). Both attribute orders parse; the target
+    * resolves against the page URL and canonicalizes through the same
+    * kernels as every other edge, so the three redirect sources (3xx
+    * Location, meta refresh, frontier links) share ONE URL identity. A
+    * content value without a url= clause is a self-reload, not an edge.
+    * Narrow codegen'd column work over the record scan: zero shuffle. */
+  def refreshEdges(records: Dataset[WarcRecord]): DataFrame = {
+    import graft.expressions.NativeUrl
+    val html = decodePayload(col("payload"), col("http_content_type"))
+    val p1 = regexp_extract(html,
+      "(?is)<meta[^>]*http-equiv\\s*=\\s*[\"']?refresh[\"']?[^>]*" +
+        "content\\s*=\\s*[\"']([^\"'>]*)", 1)
+    val p2 = regexp_extract(html,
+      "(?is)<meta[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"'][^>]*" +
+        "http-equiv\\s*=\\s*[\"']?refresh", 1)
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type")) === "text/html")
+      .select(col("target_uri").as("url"),
+        when(p1 =!= "", p1).otherwise(p2).as("refresh"))
+      .filter(col("refresh") =!= "")
+      .select(col("url"), col("refresh"),
+        regexp_extract(col("refresh"), "^\\s*([0-9]+)", 1).as("delay"),
+        regexp_extract(col("refresh"),
+          "(?i)url\\s*=\\s*['\"]?([^'\"\\s>]+)", 1).as("target"))
+      .filter(col("target") =!= "")
+      .select(
+        NativeUrl.canonicalizeUrl(col("url")).as("from_url"),
+        NativeUrl.resolveUrl(col("url"), col("target")).as("to_url"),
+        coalesce(col("delay").cast("int"), lit(0)).as("delay_s"))
       .filter(col("to_url").isNotNull)
   }
 
@@ -1778,6 +1954,16 @@ object Warc {
         val wtype = h("WARC-Type")
         val uri = h("WARC-Target-URI")
         val date = h("WARC-Date")
+        // record segmentation (WARC 1.1 §5.18): the first segment keeps
+        // the original type with WARC-Segment-Number: 1; later segments
+        // are `continuation` records pointing at it; the LAST carries
+        // the logical block's total length. Carried verbatim —
+        // reassembly is [[reassembleSegments]]' business.
+        val segNumber = Option(h("WARC-Segment-Number"))
+          .flatMap(_.toIntOption).map(Integer.valueOf).orNull
+        val segOrigin = h("WARC-Segment-Origin-ID")
+        val segTotal = Option(h("WARC-Segment-Total-Length"))
+          .flatMap(_.toLongOption).map(java.lang.Long.valueOf).orNull
         // the crawl-time payload identity (`sha1:<base32>`, WARC 1.1
         // §5.9) — what revisit records point at; carried verbatim
         val digest = h("WARC-Payload-Digest")
@@ -1811,7 +1997,11 @@ object Warc {
           var etag: String = null
           var lastModified: String = null
           var payload = block
-          if (wtype == "response" || wtype == "revisit") {
+          // a SEGMENTED record's block is a partial slice of the
+          // logical block — parsing an HTTP head or reversing codings
+          // over a fragment would corrupt it; segments stay opaque
+          // until reassembly
+          if (segNumber == null && (wtype == "response" || wtype == "revisit")) {
             val he = indexOfCrlfCrlf(block, 0)
             if (he >= 0 && startsWith(block, 0, "HTTP/")) {
               val head = new String(block, 0, he,
@@ -1914,7 +2104,8 @@ object Warc {
             http_etag = etag, http_last_modified = lastModified,
             // record start in the DECOMPRESSED archive byte stream —
             // the CDX offset at the member grain this reader works at
-            offset = recStart)
+            offset = recStart, seg_number = segNumber,
+            seg_origin_id = segOrigin, seg_total_length = segTotal)
           if (!term) broken = true
           i = termAt + 4
         }

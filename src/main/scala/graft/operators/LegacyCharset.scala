@@ -57,6 +57,7 @@ object LegacyCharset {
   private val Gbk = "gbk"
   private val Big5 = "big5"
   private val EucKr = "euckr"
+  private val Iso2022Jp = "iso2022jp"
 
   /** WHATWG label → decoder key (labels lowercase; the header/meta
     * extraction lowercases before lookup). */
@@ -74,7 +75,8 @@ object LegacyCharset {
     "euc-kr" -> EucKr, "windows-949" -> EucKr, "ks_c_5601-1987" -> EucKr,
     "ks_c_5601-1989" -> EucKr, "ksc_5601" -> EucKr, "ksc5601" -> EucKr,
     "korean" -> EucKr, "csksc56011987" -> EucKr, "cseuckr" -> EucKr,
-    "iso-ir-149" -> EucKr)
+    "iso-ir-149" -> EucKr,
+    "iso-2022-jp" -> Iso2022Jp, "csiso2022jp" -> Iso2022Jp)
 
   /** Every charset label this decoder claims (the `decodePayload`
     * routing set). */
@@ -99,6 +101,7 @@ object LegacyCharset {
       case EucKr => decodeTwoByte(bytes, sb, euckrTab,
         trailLo = 0x41, trailHi = 0xFE, skip7F = false, width = 190,
         trailOff2 = 0x41)
+      case Iso2022Jp => decodeIso2022Jp(bytes, sb)
     }
     sb.toString
   }
@@ -192,6 +195,58 @@ object LegacyCharset {
       } else if (x <= 0x7F) sb.append(x.toChar)
       else if (x >= 0x81 && x <= 0xFE) lead = x
       else sb.appendCodePoint(Repl)
+      i += 1
+    }
+    if (lead != 0) sb.appendCodePoint(Repl)
+  }
+
+  /** iso-2022-jp decoder: the escape-switched mail/legacy-web charset.
+    * Modes: ASCII (`ESC ( B`), JIS X 0201 Roman (`ESC ( J` — 0x5C → ¥,
+    * 0x7E → ‾), half-width katakana (`ESC ( I`), and jis0208 two-byte
+    * rows (`ESC $ @` / `ESC $ B`, the SAME index the euc-jp lane uses —
+    * the 0x21-based pointer space is the euc space shifted by 0x80).
+    * Unknown escapes and out-of-mode bytes emit U+FFFD and continue,
+    * the WHATWG replacement contract. */
+  private def decodeIso2022Jp(b: Array[Byte], sb: java.lang.StringBuilder): Unit = {
+    val ModeAscii = 0; val ModeRoman = 1; val ModeKatakana = 2; val ModeJis = 3
+    var mode = ModeAscii
+    var lead = 0
+    var i = 0
+    while (i < b.length) {
+      val x = b(i) & 0xff
+      if (x == 0x1B) {
+        // escape sequence: two more bytes pick the mode
+        if (lead != 0) { sb.appendCodePoint(Repl); lead = 0 }
+        if (i + 2 < b.length) {
+          val a = b(i + 1) & 0xff
+          val c = b(i + 2) & 0xff
+          (a, c) match {
+            case (0x28, 0x42) => mode = ModeAscii; i += 2
+            case (0x28, 0x4A) => mode = ModeRoman; i += 2
+            case (0x28, 0x49) => mode = ModeKatakana; i += 2
+            case (0x24, 0x40) | (0x24, 0x42) => mode = ModeJis; i += 2
+            case _ => sb.appendCodePoint(Repl) // unknown escape, ESC dropped
+          }
+        } else sb.appendCodePoint(Repl)
+      } else if (mode == ModeJis) {
+        if (lead == 0) {
+          if (x >= 0x21 && x <= 0x7E) lead = x
+          else sb.appendCodePoint(Repl)
+        } else {
+          if (x >= 0x21 && x <= 0x7E) {
+            val cp = jis0208Tab((lead - 0x21) * 94 + x - 0x21)
+            sb.appendCodePoint(if (cp != 0) cp else Repl)
+          } else sb.appendCodePoint(Repl)
+          lead = 0
+        }
+      } else if (mode == ModeKatakana) {
+        if (x >= 0x21 && x <= 0x5F) sb.appendCodePoint(0xFF61 + x - 0x21)
+        else sb.appendCodePoint(Repl)
+      } else if (x <= 0x7F) {
+        if (mode == ModeRoman && x == 0x5C) sb.append('¥')
+        else if (mode == ModeRoman && x == 0x7E) sb.append('‾')
+        else sb.append(x.toChar)
+      } else sb.appendCodePoint(Repl)
       i += 1
     }
     if (lead != 0) sb.appendCodePoint(Repl)

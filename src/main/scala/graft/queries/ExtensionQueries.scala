@@ -798,13 +798,13 @@ object ExtensionQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Session-scoped staging for q_charset_legacy: each document served
-    * in one of the five legacy CJK charsets (`doc_id % 5` → shift_jis /
-    * euc-jp / gbk / big5 / euc-kr), the page text carrying a
-    * charset-native rider (kanji + half-width katakana for the
-    * Japanese lanes — the single-byte 0xA1–0xDF and 0x8E side lanes
-    * are on the oracle), ENCODED by the JDK's encoder for the same
-    * table the checked-in index was generated from. Route cycles on
-    * `doc_id % 2`: even ids declare the charset in the Content-Type
+    * in one of the six legacy CJK charsets (`doc_id % 6` → shift_jis /
+    * euc-jp / gbk / big5 / euc-kr / iso-2022-jp), the page text
+    * carrying a charset-native rider (kanji + half-width katakana for
+    * the sjis/euc-jp lanes — the single-byte 0xA1–0xDF and 0x8E side
+    * lanes are on the oracle), ENCODED by the JDK's encoder for the
+    * same table the checked-in index was generated from. Route cycles
+    * on `doc_id % 2`: even ids declare the charset in the Content-Type
     * header over `text/plain`; odd ids serve `text/html` with an
     * in-page `<meta charset=…>` (the HTML5 prescan route). */
   private def charsetStage(s: SparkSession, dir: String): String =
@@ -817,12 +817,13 @@ object ExtensionQueries {
           col("text"))
         .as[(Long, String, String)]
         .map { case (id, u, text) =>
-          val (label, enc, rider) = (id % 5) match {
+          val (label, enc, rider) = (id % 6) match {
             case 0 => ("Shift_JIS", "windows-31j", "日本語テスト ｶﾅ")
             case 1 => ("EUC-JP", "EUC-JP", "日本語テスト ｶﾅ")
             case 2 => ("GBK", "GBK", "中文测试汉字")
             case 3 => ("Big5", "Big5", "中文測試漢字")
-            case _ => ("EUC-KR", "x-windows-949", "한국어시험")
+            case 4 => ("EUC-KR", "x-windows-949", "한국어시험")
+            case _ => ("ISO-2022-JP", "ISO-2022-JP", "日本語テスト")
           }
           val body = text + " " + rider
           val cs = java.nio.charset.Charset.forName(enc)
@@ -832,6 +833,97 @@ object ExtensionQueries {
             (u, "text/html",
               (s"""<html><head><meta charset="$label"></head>""" +
                 s"<body><p>$body</p></body></html>").getBytes(cs)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
+  private val segmentStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_warc_segmented: each document's HTML
+    * response written through the §5.18 segmenting writer at a
+    * 300-byte segment size — most records split into several
+    * continuation chains, genuinely short ones stay unsegmented (the
+    * pass-through lane on the same oracle). */
+  private def segmentStage(s: SparkSession, dir: String): String =
+    segmentStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_seg").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          regexp_replace(col("text"), "\\. ", "\n").as("x"))
+        .as[(Long, String, String)]
+        .map { case (_, u, x) =>
+          val html = x.split("\n", -1).map(l => "<p>" + l + "</p>").mkString
+          (u, "text/html",
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcSegmented(media, out, segmentBytes = 300)
+      out
+    })
+
+  private val refreshStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_meta_refresh: three page lanes on
+    * `doc_id % 3` — a zero-delay relative refresh with http-equiv
+    * FIRST, a five-second absolute refresh with content FIRST (both
+    * attribute orders on the oracle), and a plain page with no refresh
+    * (contributes no edge). */
+  private def refreshStage(s: SparkSession, dir: String): String =
+    refreshStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_refresh").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"))
+        .as[(Long, String)]
+        .map { case (id, u) =>
+          val head = (id % 3) match {
+            case 0 => s"""<meta http-equiv="refresh" content="0; url=/moved$id">"""
+            case 1 => s"""<meta content="5; URL=http://next$id.test/N" http-equiv=refresh>"""
+            case _ => ""
+          }
+          val html = s"<html><head>$head</head><body><p>page $id</p></body></html>"
+          (u, "text/html",
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
+  private val bomStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_charset_bom: each document BOM'd in
+    * one of the three mark forms (`doc_id % 3` → UTF-8 / UTF-16LE /
+    * UTF-16BE) with a non-ASCII rider; `doc_id % 2` routes between NO
+    * charset declaration (the BOM is the only signal) and a LYING
+    * `charset=gbk` header the BOM must beat (the WHATWG precedence). */
+  private def bomStage(s: SparkSession, dir: String): String =
+    bomStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_bom").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, u, text) =>
+          val body = text + " bøm ☃ 日本"
+          val payload = (id % 3) match {
+            case 0 => Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+              body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case 1 => Array(0xFF.toByte, 0xFE.toByte) ++
+              body.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+            case _ => Array(0xFE.toByte, 0xFF.toByte) ++
+              body.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+          }
+          val ct =
+            if (id % 2 == 0) "text/plain" else "text/plain; charset=gbk"
+          (u, ct, payload) }
         .toDF("target_uri", "content_type", "payload")
       graft.io.Warc.writeWarcResponses(media, out)
       out
@@ -4519,6 +4611,51 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // Segmented-record reassembly (§5.18): every page split into
+    // 300-byte continuation chains must reassemble to the SAME decoded
+    // document an unsegmented write yields — a mis-ordered segment, a
+    // lost chunk, or a premature HTTP parse is a hash mismatch.
+    "q_warc_segmented" -> ((s, dir) => {
+      graft.io.Warc.toDocumentsHtml(
+          graft.io.Warc.reassembleSegments(
+            graft.io.Warc.readWarc(s, segmentStage(s, dir))))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // Meta-refresh redirect edges: both attribute orders, relative
+    // resolution against the page, the no-refresh lane contributing
+    // nothing.
+    "q_meta_refresh" -> ((s, dir) => {
+      graft.io.Warc.refreshEdges(
+          graft.io.Warc.readWarc(s, refreshStage(s, dir)))
+        .select(
+          regexp_extract(col("from_url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("from_url"), col("to_url"), col("delay_s"))
+        .orderBy("doc_id")
+    }),
+
+    // BOM sniffing: the byte mark beats every declaration — all three
+    // marks (UTF-8 / UTF-16LE / UTF-16BE) decode to the same rider
+    // text, including the lane whose header LIES charset=gbk.
+    "q_charset_bom" -> ((s, dir) => {
+      graft.io.Warc.toDocumentsText(
+          graft.io.Warc.readWarc(s, bomStage(s, dir)))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          when(col("url").isNotNull,
+            element_at(typedlit(Seq("silent", "lying")),
+              (regexp_extract(col("url"), "doc/(\\d+)$", 1)
+                .cast(LongType) % 2).cast(IntegerType) + 1)).as("route"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
+
     // Conditional-refetch merge: one current corpus from two crawls —
     // refetched 200s replace, raw 304s resolve to prior bodies by URL,
     // revisit records by digest, untouched URLs carry forward with
@@ -5695,7 +5832,21 @@ object ExtensionQueries {
     // the charset riders replayed verbatim per lane, the route from
     // the parity cycle
     "q_charset_legacy" ->
-      """WITH d AS (SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS m, CAST(doc_id % 2 AS INTEGER) AS r, text FROM documents) SELECT doc_id, CASE r WHEN 0 THEN 'header' ELSE 'meta' END AS route, text || ' ' || CASE m WHEN 0 THEN '日本語テスト ｶﾅ' WHEN 1 THEN '日本語テスト ｶﾅ' WHEN 2 THEN '中文测试汉字' WHEN 3 THEN '中文測試漢字' ELSE '한국어시험' END AS text FROM d ORDER BY doc_id""",
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS m, CAST(doc_id % 2 AS INTEGER) AS r, text FROM documents) SELECT doc_id, CASE r WHEN 0 THEN 'header' ELSE 'meta' END AS route, text || ' ' || CASE m WHEN 0 THEN '日本語テスト ｶﾅ' WHEN 1 THEN '日本語テスト ｶﾅ' WHEN 2 THEN '中文测试汉字' WHEN 3 THEN '中文測試漢字' WHEN 4 THEN '한국어시험' ELSE '日本語テスト' END AS text FROM d ORDER BY doc_id""",
+
+    // the reassembled text equals the plain sentence derivation — the
+    // segmentation is invisible by construction
+    "q_warc_segmented" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    // both attribute orders replayed; the bare lane contributes no edge
+    "q_meta_refresh" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS m FROM documents WHERE doc_id % 3 < 2) SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS from_url, CASE m WHEN 0 THEN 'http://corpus.test/moved' || doc_id ELSE 'http://next' || doc_id || '.test/N' END AS to_url, CASE m WHEN 0 THEN 0 ELSE 5 END AS delay_s FROM d ORDER BY doc_id""",
+
+    // the BOM beats every declaration: all three marks replayed to the
+    // same rider text, the lying-header lane included
+    "q_charset_bom" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 2 AS INTEGER) AS r, text FROM documents) SELECT doc_id, CASE r WHEN 0 THEN 'silent' ELSE 'lying' END AS route, text || ' bøm ☃ 日本' AS text FROM d ORDER BY doc_id""",
 
     // the five staged lanes replayed: v2 bodies and the refetch date on
     // the changed lanes, v1 bodies on 304/revisit/carry-forward, the

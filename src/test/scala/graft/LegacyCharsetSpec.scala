@@ -42,6 +42,23 @@ class LegacyCharsetSpec extends SparkSpec {
     assert(LegacyCharset.decode(jvm("EUC-JP", s), "EUC-JP") == s)
   }
 
+  test("iso-2022-jp: escape modes, Roman overrides, katakana lane") {
+    // JVM-encoder round-trip through the jis0208 escape mode
+    val text = "plain then \u65e5\u672c\u8a9e\u30c6\u30b9\u30c8 then ascii again"
+    assert(LegacyCharset.decode(jvm("ISO-2022-JP", text), "ISO-2022-JP") == text)
+    def esc(s: String): Array[Byte] =
+      s.replace('%', '\u001b').getBytes("ISO-8859-1")
+    // Roman mode: 0x5C is yen, 0x7E is overline; ASCII mode keeps both
+    assert(LegacyCharset.decode(esc("%(Ja\\~%(Ba\\~"), "iso-2022-jp") ==
+      "a\u00a5\u203ea\\~")
+    // katakana mode: 0x21..0x5F maps to the half-width block
+    assert(LegacyCharset.decode(esc("%(I6E%(Bok"), "iso-2022-jp") ==
+      "\uff76\uff85ok")
+    // unknown escape and dangling lead are loud, not silent
+    assert(LegacyCharset.decode(esc("%(Xa"), "iso-2022-jp") == "\uFFFD(Xa")
+    assert(LegacyCharset.decode(esc("%$B!"), "iso-2022-jp") == "\uFFFD")
+  }
+
   test("errors emit U+FFFD and continue; broken-pair ASCII reprocesses") {
     // sjis lead + space: replacement, then the space itself
     assert(LegacyCharset.decode(Array(0x82, 0x20).map(_.toByte), "sjis") ==
