@@ -608,6 +608,31 @@ object ScaleBench {
         }
       }
 
+      // legacy CJK charset decode at scale: shift_jis pages (header
+      // charset= route) through the native decode_legacy expression
+      // into the text carrier — per-record byte-walk CPU over staged
+      // archives (the http_brotli regime: zero shuffle, linear rows,
+      // scales with executor count at 100 TB)
+      if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+          .exists(!_.exists("charset_decode".contains))) {
+        import spark.implicits._
+        val cjkWarcDir = s"$scaleDir/warc_cjk"
+        graft.io.Warc.writeWarcResponses(
+          corpus.select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .map { case (id, text) =>
+              (s"http://seg.test/doc/$id", "text/plain; charset=Shift_JIS",
+                (text + " 日本語テスト ｶﾅ").getBytes(
+                  java.nio.charset.Charset.forName("windows-31j"))) }
+            .toDF("target_uri", "content_type", "payload")
+            .repartition(cpus.toInt),
+          cjkWarcDir)
+        measure("charset_decode", s"$scaleDir/out_charset") {
+          graft.io.Warc.toDocumentsText(
+            graft.io.Warc.readWarc(spark, cjkWarcDir))
+        }
+      }
+
       // the CDXJ selection layer's two claims under measurement. BUILD:
       // one archive scan (member walk + key derivation, linear) feeding
       // ONE range shuffle over index-scale rows — the sort is the

@@ -304,6 +304,26 @@ object TextFunctions {
     arrays_zip(hrefs.as("href"), cleanAnchors.as("anchor"))
   }
 
+  /** `<link rel="alternate" hreflang="…" href="…">` clusters — the
+    * multilingual-site signal a corpus builder groups on (one logical
+    * document, N language editions; `x-default` marks the selector
+    * page). Both attribute orders parse (hreflang-first and
+    * href-first, rel leading — the forms generators emit); output is
+    * an array of (hreflang, href) structs, hrefs verbatim. Two aligned
+    * `regexp_extract_all` zips per order, codegen'd, RE2-compatible,
+    * DuckDB-replayable like every html kernel here. */
+  def htmlAlternates(html: Column): Column = {
+    val p1 = lit("(?is)<link\\s[^>]*rel\\s*=\\s*\"alternate\"[^>]*" +
+      "hreflang\\s*=\\s*\"([^\"]*)\"[^>]*href\\s*=\\s*\"([^\"]*)\"")
+    val p2 = lit("(?is)<link\\s[^>]*rel\\s*=\\s*\"alternate\"[^>]*" +
+      "href\\s*=\\s*\"([^\"]*)\"[^>]*hreflang\\s*=\\s*\"([^\"]*)\"")
+    concat(
+      arrays_zip(regexp_extract_all(html, p1, lit(1)).as("hreflang"),
+        regexp_extract_all(html, p1, lit(2)).as("href")),
+      arrays_zip(regexp_extract_all(html, p2, lit(2)).as("hreflang"),
+        regexp_extract_all(html, p2, lit(1)).as("href")))
+  }
+
   /** Usage-rights and crawl-directive signals of an HTML page — the
     * filter surface a training-data pipeline applies BEFORE any text
     * work: `robots` (the `<meta name="robots">` content, lowercased —

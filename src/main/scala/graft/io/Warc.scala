@@ -54,7 +54,9 @@ object Warc {
       http_disposition: String = null, http_etag: String = null,
       http_last_modified: String = null, offset: Long = -1L,
       gz_offset: Long = -1L, seg_number: Integer = null,
-      seg_origin_id: String = null, seg_total_length: java.lang.Long = null)
+      seg_origin_id: String = null, seg_total_length: java.lang.Long = null,
+      http_cache_control: String = null, http_expires: String = null,
+      http_date: String = null, truncated: String = null)
 
   /** Read a WARC file / directory / glob (plain or record-gzipped
     * `.warc.gz`) as one row per record. */
@@ -391,7 +393,9 @@ object Warc {
     * `(target_uri, content_type, extra_headers, payload)` with
     * `extra_headers` spliced verbatim into the HTTP head (one or more
     * CRLF-joined header lines, no trailing CRLF) — the staging twin
-    * for Content-Disposition / ETag / Last-Modified batteries. */
+    * for Content-Disposition / ETag / Last-Modified / Cache-Control
+    * batteries. Lines whose name starts `WARC-` go into the WARC
+    * header block instead (the `WARC-Truncated` staging lane). */
   def writeWarcResponsesWithHeaders(df: DataFrame, dir: String): Unit = {
     val cols = df.select(col("target_uri"), col("content_type"),
       col("extra_headers"), col("payload"))
@@ -404,13 +408,19 @@ object Warc {
         val ascii = java.nio.charset.StandardCharsets.US_ASCII
         try it.foreach { r =>
           val body = r.getAs[Array[Byte]](3)
-          val extra = Option(r.getString(2)).filter(_.nonEmpty)
-            .map(_ + "\r\n").getOrElse("")
+          val lines = Option(r.getString(2)).filter(_.nonEmpty)
+            .map(_.split("\r\n").toSeq).getOrElse(Nil)
+          val (warcLines, httpLines) = lines.partition(
+            _.regionMatches(true, 0, "WARC-", 0, 5))
+          def block(ls: Seq[String]): String =
+            ls.map(_ + "\r\n").mkString
           val http = (s"HTTP/1.1 200 OK\r\nContent-Type: ${r.getString(1)}\r\n" +
-            extra + s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii)
+            block(httpLines) +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii)
           out.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
             s"WARC-Target-URI: ${r.getString(0)}\r\n" +
             "WARC-Date: 2026-03-01T00:00:00Z\r\n" + // the staged fetch time
+            block(warcLines) +
             s"Content-Length: ${http.length + body.length}\r\n\r\n").getBytes(ascii))
           out.write(http); out.write(body)
           out.write("\r\n\r\n".getBytes(ascii))
@@ -1964,6 +1974,10 @@ object Warc {
         val segOrigin = h("WARC-Segment-Origin-ID")
         val segTotal = Option(h("WARC-Segment-Total-Length"))
           .flatMap(_.toLongOption).map(java.lang.Long.valueOf).orNull
+        // §5.13: a crawler that cut the capture short says so and why
+        // (length/time/disconnect/unspecified) — carried verbatim, the
+        // partial-payload warning every consumer can filter on
+        val truncated = h("WARC-Truncated")
         // the crawl-time payload identity (`sha1:<base32>`, WARC 1.1
         // §5.9) — what revisit records point at; carried verbatim
         val digest = h("WARC-Payload-Digest")
@@ -1996,6 +2010,9 @@ object Warc {
           var disposition: String = null
           var etag: String = null
           var lastModified: String = null
+          var cacheControl: String = null
+          var expires: String = null
+          var httpDate: String = null
           var payload = block
           // a SEGMENTED record's block is a partial slice of the
           // logical block — parsing an HTTP head or reversing codings
@@ -2030,6 +2047,12 @@ object Warc {
               disposition = h1("content-disposition")
               etag = h1("etag")
               lastModified = h1("last-modified")
+              // RFC 9111 freshness inputs, verbatim: explicit lifetime
+              // (Cache-Control max-age / Expires anchored at Date)
+              // beats the recrawl heuristic downstream
+              cacheControl = h1("cache-control")
+              expires = h1("expires")
+              httpDate = h1("date")
               payload = java.util.Arrays.copyOfRange(block, he + 4, block.length)
               // HTTP Transfer-Encoding: crawlers archive the WIRE bytes,
               // so a `Transfer-Encoding: chunked` response's body still
@@ -2105,7 +2128,9 @@ object Warc {
             // record start in the DECOMPRESSED archive byte stream —
             // the CDX offset at the member grain this reader works at
             offset = recStart, seg_number = segNumber,
-            seg_origin_id = segOrigin, seg_total_length = segTotal)
+            seg_origin_id = segOrigin, seg_total_length = segTotal,
+            http_cache_control = cacheControl, http_expires = expires,
+            http_date = httpDate, truncated = truncated)
           if (!term) broken = true
           i = termAt + 4
         }

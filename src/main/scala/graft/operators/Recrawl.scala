@@ -20,6 +20,18 @@ import org.apache.spark.sql.types.LongType
   * with a flat `default_days` interval when the server sent no
   * `Last-Modified` (no age signal — neither eager nor never).
   *
+  * EXPLICIT freshness beats the heuristic (RFC 9111: the server said
+  * how long the response is good for): `Cache-Control: s-maxage` (a
+  * crawler is a shared cache) then `max-age` give the lifetime
+  * directly; `no-store`/`no-cache` mean zero; an `Expires` anchored at
+  * the response `Date` (or the fetch time when Date is absent) gives
+  * it by subtraction, and an unparseable Expires value (`0`, `-1` —
+  * the idiomatic "already expired") also means zero. The lifetime
+  * clamps through the same [min_hours, max_hours] window — an eager
+  * server never hammers the fetcher, a lazy one never sleeps forever.
+  * The output's nullable `freshness_s` column carries the raw explicit
+  * lifetime for auditability.
+  *
   * Scale shape: a pure narrow codegen projection over the record scan
   * — date parses, one clamp, zero shuffle; output feeds the frontier
   * scheduler ([[Robots.fetchSchedule]]) as its candidate set. Epoch
@@ -44,27 +56,48 @@ object Recrawl {
     // the zone offset under a non-UTC spark.sql.session.timeZone
     // (warc_date, ISO-8601 with an explicit offset, never had the
     // problem).
-    val lmTs = try_to_timestamp(
-      regexp_replace(col("if_modified_since"), "^[A-Za-z]{3}, ", ""),
-      lit("dd MMM yyyy HH:mm:ss zzz"))
+    def httpTs(c: org.apache.spark.sql.Column) = unix_timestamp(
+      try_to_timestamp(regexp_replace(c, "^[A-Za-z]{3}, ", ""),
+        lit("dd MMM yyyy HH:mm:ss zzz")))
+    def dirNum(name: String) = {
+      val v = regexp_extract(col("cache_control"),
+        "(?i)\\b" + name + "\\s*=\\s*\"?([0-9]+)", 1)
+      when(v =!= "", v.cast(LongType))
+    }
     records.toDF()
       .filter(col("warc_type") === "response" && col("framing_ok") &&
         col("target_uri").isNotNull && col("warc_date").isNotNull)
       .select(col("target_uri").as("url"),
         col("http_etag").as("if_none_match"),
         col("http_last_modified").as("if_modified_since"),
+        col("http_cache_control").as("cache_control"),
+        col("http_expires").as("expires"),
+        col("http_date").as("http_date"),
         unix_timestamp(to_timestamp(col("warc_date"))).as("fetch_s"))
-      .withColumn("lm_s", unix_timestamp(lmTs))
+      .withColumn("lm_s", httpTs(col("if_modified_since")))
       .withColumn("age_s",
         when(col("lm_s").isNotNull && col("lm_s") <= col("fetch_s"),
           col("fetch_s") - col("lm_s")))
+      .withColumn("freshness_s",
+        when(col("cache_control")
+            .rlike("(?i)\\b(no-store|no-cache)\\b"), lit(0L))
+          .when(dirNum("s-maxage").isNotNull, dirNum("s-maxage"))
+          .when(dirNum("max-age").isNotNull, dirNum("max-age"))
+          .when(col("expires").isNotNull,
+            // Expires anchors at Date (absent: the fetch time); an
+            // unparseable value is the idiomatic already-expired
+            coalesce(greatest(httpTs(col("expires")) -
+              coalesce(httpTs(col("http_date")), col("fetch_s")), lit(0L)),
+              lit(0L))))
       .withColumn("interval_s",
-        when(col("age_s").isNotNull,
-          least(greatest(round(col("age_s") * alpha).cast(LongType),
-            lit(minS)), lit(maxS)))
+        when(col("freshness_s").isNotNull,
+          least(greatest(col("freshness_s"), lit(minS)), lit(maxS)))
+          .when(col("age_s").isNotNull,
+            least(greatest(round(col("age_s") * alpha).cast(LongType),
+              lit(minS)), lit(maxS)))
           .otherwise(lit(defaultS)))
       .withColumn("next_fetch_s", col("fetch_s") + col("interval_s"))
-      .drop("lm_s")
+      .drop("lm_s", "cache_control", "expires", "http_date")
   }
 
   /** The recrawl loop's SECOND half — merge a conditional refetch crawl

@@ -975,6 +975,44 @@ object ExtensionQueries {
       out
     })
 
+  private val freshnessStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_recrawl_freshness + q_warc_truncated:
+    * six explicit-freshness lanes on `doc_id % 6` (bare max-age;
+    * s-maxage beating max-age; Expires anchored at Date; no-cache; the
+    * idiomatic invalid `Expires: 0`; no freshness at all — the
+    * heuristic lane with a constant Last-Modified), and independently
+    * every third id carries `WARC-Truncated: length` (the §5.13 flag,
+    * routed into the WARC block by the writer). */
+  private def freshnessStage(s: SparkSession, dir: String): String =
+    freshnessStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_fresh").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, u, text) =>
+          val fresh = (id % 6) match {
+            case 0 => Seq("Cache-Control: max-age=7200")
+            case 1 => Seq("Cache-Control: public, s-maxage=3600, max-age=7200")
+            case 2 => Seq("Date: Sun, 01 Mar 2026 00:00:00 GMT",
+              "Expires: Mon, 02 Mar 2026 00:00:00 GMT")
+            case 3 => Seq("Cache-Control: no-cache")
+            case 4 => Seq("Expires: 0")
+            case _ => Seq("Last-Modified: Thu, 01 Jan 2026 00:00:00 GMT")
+          }
+          val trunc =
+            if (id % 3 == 0) Seq("WARC-Truncated: length") else Nil
+          (u, "text/plain", (fresh ++ trunc).mkString("\r\n"),
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+        .toDF("target_uri", "content_type", "extra_headers", "payload")
+      graft.io.Warc.writeWarcResponsesWithHeaders(media, out)
+      out
+    })
+
   private val dispositionStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -4611,6 +4649,56 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // hreflang alternate clusters: both attribute orders, the
+    // x-default lane on even ids only — every (hreflang, href) pair
+    // recomputed from the id cycles.
+    "q_html_hreflang" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><link rel=\"alternate\" hreflang=\"en\" href=\"http://en"),
+        col("doc_id"),
+        lit(".test/p\"><link rel=\"alternate\" href=\"http://fr"),
+        col("doc_id"),
+        lit(".test/p\" hreflang=\"fr-CA\">"),
+        when(col("doc_id") % 2 === 0,
+          lit("<link rel=\"alternate\" hreflang=\"x-default\" href=\"http://x.test/\">"))
+          .otherwise(lit("")),
+        lit("</head><body>b</body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TF.htmlAlternates(html)).as("alt"))
+        .select(col("doc_id"), col("alt.hreflang").as("hreflang"),
+          col("alt.href").as("href"))
+        .orderBy("doc_id", "hreflang")
+    }),
+
+    // RFC 9111 explicit freshness beats the age heuristic: s-maxage >
+    // max-age > Expires-minus-Date, no-cache and invalid Expires mean
+    // zero (min-clamped), and the bare lane falls back to the
+    // Last-Modified policy — every lifetime and clamp recomputed in
+    // DuckDB.
+    "q_recrawl_freshness" -> ((s, dir) => {
+      graft.operators.Recrawl.recrawlPlan(
+          graft.io.Warc.readWarc(s, freshnessStage(s, dir)),
+          alpha = 0.5, minHours = 1.0, maxHours = 720.0, defaultDays = 7.0)
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("freshness_s"), col("interval_s"), col("next_fetch_s"))
+        .orderBy("doc_id")
+    }),
+
+    // WARC-Truncated (§5.13): the partial-capture flag carried
+    // verbatim off the record header.
+    "q_warc_truncated" -> ((s, dir) => {
+      graft.io.Warc.readWarc(s, freshnessStage(s, dir)).toDF()
+        .filter(col("warc_type") === "response" && col("framing_ok"))
+        .select(
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("truncated"))
+        .orderBy("doc_id")
+    }),
+
     // Segmented-record reassembly (§5.18): every page split into
     // 300-byte continuation chains must reassemble to the SAME decoded
     // document an unsegmented write yields — a mis-ordered segment, a
@@ -5833,6 +5921,19 @@ object ExtensionQueries {
     // the parity cycle
     "q_charset_legacy" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS m, CAST(doc_id % 2 AS INTEGER) AS r, text FROM documents) SELECT doc_id, CASE r WHEN 0 THEN 'header' ELSE 'meta' END AS route, text || ' ' || CASE m WHEN 0 THEN '日本語テスト ｶﾅ' WHEN 1 THEN '日本語テスト ｶﾅ' WHEN 2 THEN '中文测试汉字' WHEN 3 THEN '中文測試漢字' WHEN 4 THEN '한국어시험' ELSE '日本語テスト' END AS text FROM d ORDER BY doc_id""",
+
+    // both attribute orders' pairs plus the even-id x-default lane
+    "q_html_hreflang" ->
+      """WITH d AS (SELECT doc_id FROM documents), a AS (SELECT doc_id, 'en' AS hreflang, 'http://en' || doc_id || '.test/p' AS href FROM d UNION ALL SELECT doc_id, 'fr-CA', 'http://fr' || doc_id || '.test/p' FROM d UNION ALL SELECT doc_id, 'x-default', 'http://x.test/' FROM d WHERE doc_id % 2 = 0) SELECT doc_id, hreflang, href FROM a ORDER BY doc_id, hreflang""",
+
+    // the six freshness lanes replayed: explicit lifetimes, zero lanes
+    // min-clamped, the bare lane's heuristic from the constant dates
+    "q_recrawl_freshness" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS m FROM documents), q AS (SELECT doc_id, m, CASE m WHEN 0 THEN 7200 WHEN 1 THEN 3600 WHEN 2 THEN 86400 WHEN 3 THEN 0 WHEN 4 THEN 0 END AS f, CASE m WHEN 0 THEN 7200 WHEN 1 THEN 3600 WHEN 2 THEN 86400 WHEN 3 THEN 3600 WHEN 4 THEN 3600 ELSE 2548800 END AS iv FROM d) SELECT doc_id, CAST(f AS BIGINT) AS freshness_s, CAST(iv AS BIGINT) AS interval_s, CAST(epoch(TIMESTAMP '2026-03-01 00:00:00') AS BIGINT) + iv AS next_fetch_s FROM q ORDER BY doc_id""",
+
+    // the §5.13 flag on every third id, null elsewhere
+    "q_warc_truncated" ->
+      """SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'length' END AS truncated FROM documents ORDER BY doc_id""",
 
     // the reassembled text equals the plain sentence derivation — the
     // segmentation is invisible by construction

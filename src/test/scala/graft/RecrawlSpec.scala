@@ -104,6 +104,30 @@ class RecrawlSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", tz0)
   }
 
+  test("recrawlPlan: explicit freshness beats the age heuristic when both present") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fresh_spec").toString
+    graft.io.Warc.writeWarcResponsesWithHeaders(Seq(
+      // an OLD page the heuristic would schedule far out, but the server
+      // says 2 hours — the explicit lifetime wins
+      ("http://a.test/cc", "text/plain",
+        "Cache-Control: max-age=7200\r\n" +
+          "Last-Modified: Mon, 04 Jan 2016 00:00:00 GMT",
+        "x".getBytes("UTF-8")),
+      // quoted directive value parses too
+      ("http://a.test/q", "text/plain",
+        "Cache-Control: max-age=\"5400\"", "x".getBytes("UTF-8")))
+      .toDF("target_uri", "content_type", "extra_headers", "payload"), dir)
+    val plan = graft.operators.Recrawl.recrawlPlan(
+        graft.io.Warc.readWarc(spark, dir),
+        alpha = 0.5, minHours = 1.0, maxHours = 720.0, defaultDays = 7.0)
+      .collect().map(r => r.getAs[String]("url") ->
+        ((r.getAs[Any]("freshness_s"), r.getLong(r.fieldIndex("interval_s")))))
+      .toMap
+    assert(plan("http://a.test/cc") == ((7200L, 7200L)))
+    assert(plan("http://a.test/q") == ((5400L, 5400L)))
+  }
+
   test("mergeRefetch: latest prior wins, orphan flags, all four sources") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_merge_spec").toString
