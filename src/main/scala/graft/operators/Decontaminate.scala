@@ -59,4 +59,58 @@ object Decontaminate {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     flagContaminated(docs, bench, n, textCol, idCol)
       .filter(!col("contaminated")).drop("contaminated")
+
+  /** NEAR-duplicate decontamination — the leak vector exact n-grams
+    * miss: a benchmark item that reached the training set paraphrased,
+    * re-wrapped, or lightly edited shares high shingle overlap but not
+    * necessarily one verbatim 13-gram. Same MinHash+LSH machinery as
+    * the dedup tier ([[Dedup.minhashSignatureTable]] /
+    * [[Dedup.minhashBucketTable]]), exact shingle-hash Jaccard verify
+    * on every candidate (bucket collisions never produce a false
+    * positive), flag ids deterministic given (k, bands, shingleN).
+    *
+    * Scale shape — the MIRROR of [[Dedup.minhashDedupAgainst]]'s
+    * asymmetry: there the BATCH broadcasts against a corpus-scale
+    * index; here the BENCHMARK side is eval-scale, so ITS buckets and
+    * signature rows broadcast (explicit hints, the [[flagContaminated]]
+    * contract) and the corpus streams ONCE through the narrow
+    * signature/bucket derivation — no corpus-scale shuffle anywhere.
+    * The verify recomputes shingle hashes only for the rare candidate
+    * docs (a broadcast semi-join prune of the raw corpus), so the wide
+    * hs arrays never materialize corpus-wide. */
+  def flagNearContaminated(docs: DataFrame, bench: DataFrame,
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      minJaccard: Double = 0.8, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val benchSigs = Dedup.minhashSignatureTable(bench, idCol, textCol,
+        k, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    benchSigs.count() // materialize: exact stats, one compute for both uses
+    val docBuckets = Dedup.minhashBucketTable(
+      Dedup.minhashSignatureTable(docs, idCol, textCol, k, shingleN),
+      k, bands)
+    val candidates = docBuckets.as("d")
+      .join(broadcast(Dedup.minhashBucketTable(benchSigs, k, bands).as("b")),
+        col("d.band") === col("b.band") && col("d.bucket") === col("b.bucket"))
+      .select(col("d.doc_id").as("doc_id"), col("b.doc_id").as("bench_id"))
+      .distinct()
+    val docNeeded = Dedup.minhashSignatureTable(
+        docs.join(broadcast(candidates.select(col("doc_id").as(idCol))
+          .distinct()), Seq(idCol), "left_semi"),
+        idCol, textCol, k, shingleN)
+      .select(col("doc_id"), col("hs").as("hs_d"))
+    val flagged = candidates
+      .join(docNeeded, Seq("doc_id"))
+      .join(broadcast(benchSigs.select(col("doc_id").as("bench_id"),
+        col("hs").as("hs_b"))), Seq("bench_id"))
+      .withColumn("n_shared", size(array_intersect(col("hs_d"), col("hs_b"))))
+      .filter(col("n_shared").cast("double") /
+        (size(col("hs_d")) + size(col("hs_b")) - col("n_shared"))
+          .cast("double") >= minJaccard)
+      .select(col("doc_id").as(idCol)).distinct()
+      .withColumn("__near", lit(true))
+    docs.join(broadcast(flagged), Seq(idCol), "left")
+      .withColumn("near_contaminated", coalesce(col("__near"), lit(false)))
+      .drop("__near")
+  }
 }

@@ -1820,6 +1820,17 @@ object ExtensionQueries {
     // sniff-and-route work, the same staged-vs-routed line the README
     // timing bullet draws
     dispositionStage(s, dir)
+    // every r14 stage warms under the same rule — the timed rows
+    // measure the OPERATOR (fetch, parse-back, merge, decode, route),
+    // never the one-time archive/index generation
+    cdxFetchStage(s, dir)
+    watStage(s, dir)
+    recrawlMergeStage(s, dir)
+    charsetStage(s, dir)
+    bomStage(s, dir)
+    segmentStage(s, dir)
+    refreshStage(s, dir)
+    freshnessStage(s, dir)
     // ONE tiny untimed probe against each standing index: the first
     // probe of a session pays the index's first-read (file listing,
     // parquet footers, probe-plan codegen) — measured 1.94 s first vs
@@ -4649,6 +4660,25 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // Near-duplicate decontamination: every tenth document leaks into
+    // the benchmark with a one-token tail (J = (T-2)/(T-1) ≥ 0.9 on
+    // this corpus — bucketed with near-certainty, deterministically),
+    // and the exact-Jaccard verify keeps precision exact. The oracle
+    // replays the FULL shingle-Jaccard algebra against every benchmark
+    // item (the q_decontaminate rule: incidental near-dups between
+    // unplanted docs and leaked items are MATCHED, never assumed away
+    // — this corpus has six of them).
+    "q_near_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zulu")).as("text"))
+      graft.operators.Decontaminate.flagNearContaminated(docs, bench,
+          minJaccard = 0.8)
+        .select(col("doc_id"), col("near_contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // hreflang alternate clusters: both attribute orders, the
     // x-default lane on even ids only — every (hreflang, href) pair
     // recomputed from the id cycles.
@@ -5921,6 +5951,12 @@ object ExtensionQueries {
     // the parity cycle
     "q_charset_legacy" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS m, CAST(doc_id % 2 AS INTEGER) AS r, text FROM documents) SELECT doc_id, CASE r WHEN 0 THEN 'header' ELSE 'meta' END AS route, text || ' ' || CASE m WHEN 0 THEN '日本語テスト ｶﾅ' WHEN 1 THEN '日本語テスト ｶﾅ' WHEN 2 THEN '中文测试汉字' WHEN 3 THEN '中文測試漢字' WHEN 4 THEN '한국어시험' ELSE '日本語テスト' END AS text FROM d ORDER BY doc_id""",
+
+    // the same 3-shingle Jaccard algebra replayed against every leaked
+    // item: distinct windows, whole-text fallback, the 0.8 threshold —
+    // incidental corpus-vs-benchmark near-dups matched, never assumed
+    "q_near_decontaminate" ->
+      ("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents), sh AS (SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')] ELSE list_distinct([array_to_string(list_slice(t, i, i + 2), ' ') FOR i IN generate_series(1, len(t) - 2)]) END AS s FROM tok), btok AS (SELECT doc_id, string_split_regex(trim(text || ' zulu'), '\s+') AS t FROM documents WHERE doc_id % 10 = 0), bsh AS (SELECT CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')] ELSE list_distinct([array_to_string(list_slice(t, i, i + 2), ' ') FOR i IN generate_series(1, len(t) - 2)]) END AS s FROM btok), c AS (SELECT DISTINCT d.doc_id FROM sh d, bsh b WHERE CAST(len(list_intersect(d.s, b.s)) AS DOUBLE) / (len(d.s) + len(b.s) - len(list_intersect(d.s, b.s))) >= 0.8) SELECT doc_id, c.doc_id IS NOT NULL AS near_contaminated FROM documents LEFT JOIN c USING (doc_id) ORDER BY doc_id"""),
 
     // both attribute orders' pairs plus the even-id x-default lane
     "q_html_hreflang" ->

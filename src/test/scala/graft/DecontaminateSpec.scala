@@ -53,4 +53,41 @@ class DecontaminateSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"))
   }
+
+  test("flagNearContaminated catches a paraphrase exact n-grams miss") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra tango"
+    val corpus = Seq(
+      (1L, base),
+      // the leak: ONE middle word swapped — no verbatim 8-gram survives
+      // on either side of the swap at n=8? (it does on the long side —
+      // so exact is tested at n=13 where none survives)
+      (2L, base.replace("india", "JULIET")),
+      (3L, "completely unrelated words one two three four five six seven " +
+        "eight nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+    val benchDf = Seq((100L, base)).toDF("doc_id", "text")
+    // exact 13-gram decontamination MISSES the one-word swap
+    val exact = Decontaminate.flagContaminated(corpus, benchDf, n = 13)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("contaminated"))
+      .toMap
+    assert(exact(1L) && !exact(2L) && !exact(3L))
+    // the fuzzy pass catches it; the unrelated doc stays clean
+    val near = Decontaminate.flagNearContaminated(corpus, benchDf,
+        minJaccard = 0.6)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("near_contaminated")).toMap
+    assert(near(1L) && near(2L) && !near(3L))
+  }
+
+  test("flagNearContaminated: bench sides broadcast, corpus never shuffles") {
+    import spark.implicits._
+    val corpus = (1L to 50L).map(i => (i, s"doc $i body words " + ("w" * 5)))
+      .toDF("doc_id", "text")
+    val benchDf = Seq((100L, "doc 7 body words wwwww")).toDF("doc_id", "text")
+    val plan = Decontaminate.flagNearContaminated(corpus, benchDf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"))
+  }
 }
