@@ -304,6 +304,12 @@ object TextFunctions {
     arrays_zip(hrefs.as("href"), cleanAnchors.as("anchor"))
   }
 
+  /** Unicode NFC normalization (canonical composition) — the
+    * text-identity pass before hashing/dedup/tokenization; see
+    * [[graft.expressions.NfcNormalize]]. */
+  def normalizeNfc(text: Column): Column =
+    graft.expressions.NativeUnicode.nfcNormalize(text)
+
   /** `<link rel="alternate" hreflang="…" href="…">` clusters — the
     * multilingual-site signal a corpus builder groups on (one logical
     * document, N language editions; `x-default` marks the selector

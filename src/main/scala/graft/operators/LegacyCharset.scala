@@ -59,6 +59,38 @@ object LegacyCharset {
   private val EucKr = "euckr"
   private val Iso2022Jp = "iso2022jp"
 
+  /** The WHATWG single-byte family: 128-pointer tables (0x80–0xFF;
+    * 0x00–0x7F is ASCII in every single-byte encoding the standard
+    * defines), same blob pattern. iso-8859-10 / -14 are REFUSED (this
+    * JDK carries no table to dump) — their labels fall to the reader's
+    * loud UTF-8 default like any unclaimed charset. */
+  private val singleByteTabs: Map[String, String] = Map(
+    "sb:windows874" -> "sb_windows874.tab",
+    "sb:windows1250" -> "sb_windows1250.tab",
+    "sb:windows1251" -> "sb_windows1251.tab",
+    "sb:windows1253" -> "sb_windows1253.tab",
+    "sb:windows1254" -> "sb_windows1254.tab",
+    "sb:windows1255" -> "sb_windows1255.tab",
+    "sb:windows1256" -> "sb_windows1256.tab",
+    "sb:windows1257" -> "sb_windows1257.tab",
+    "sb:windows1258" -> "sb_windows1258.tab",
+    "sb:koi8r" -> "sb_koi8r.tab",
+    "sb:koi8u" -> "sb_koi8u.tab",
+    "sb:iso88592" -> "sb_iso88592.tab",
+    "sb:iso88593" -> "sb_iso88593.tab",
+    "sb:iso88594" -> "sb_iso88594.tab",
+    "sb:iso88595" -> "sb_iso88595.tab",
+    "sb:iso88596" -> "sb_iso88596.tab",
+    "sb:iso88597" -> "sb_iso88597.tab",
+    "sb:iso88598" -> "sb_iso88598.tab",
+    "sb:iso885913" -> "sb_iso885913.tab",
+    "sb:iso885915" -> "sb_iso885915.tab",
+    "sb:iso885916" -> "sb_iso885916.tab",
+    "sb:maccyrillic" -> "sb_maccyrillic.tab")
+
+  private lazy val singleByteTables: Map[String, Array[Int]] =
+    singleByteTabs.map { case (k, f) => k -> load(f, 128) }
+
   /** WHATWG label → decoder key (labels lowercase; the header/meta
     * extraction lowercases before lookup). */
   private val labelKey: Map[String, String] = Map(
@@ -76,7 +108,46 @@ object LegacyCharset {
     "ks_c_5601-1989" -> EucKr, "ksc_5601" -> EucKr, "ksc5601" -> EucKr,
     "korean" -> EucKr, "csksc56011987" -> EucKr, "cseuckr" -> EucKr,
     "iso-ir-149" -> EucKr,
-    "iso-2022-jp" -> Iso2022Jp, "csiso2022jp" -> Iso2022Jp)
+    "iso-2022-jp" -> Iso2022Jp, "csiso2022jp" -> Iso2022Jp,
+    // the single-byte family, WHATWG label groups (iso-8859-9 IS
+    // windows-1254 and iso-8859-11/tis-620 ARE windows-874 per the
+    // standard's label table — the windows supersets are what the web
+    // means by those labels)
+    "windows-874" -> "sb:windows874", "dos-874" -> "sb:windows874",
+    "tis-620" -> "sb:windows874", "iso-8859-11" -> "sb:windows874",
+    "windows-1250" -> "sb:windows1250", "x-cp1250" -> "sb:windows1250",
+    "windows-1251" -> "sb:windows1251", "x-cp1251" -> "sb:windows1251",
+    "windows-1253" -> "sb:windows1253", "x-cp1253" -> "sb:windows1253",
+    "windows-1254" -> "sb:windows1254", "x-cp1254" -> "sb:windows1254",
+    "iso-8859-9" -> "sb:windows1254", "latin5" -> "sb:windows1254",
+    "windows-1255" -> "sb:windows1255", "x-cp1255" -> "sb:windows1255",
+    "windows-1256" -> "sb:windows1256", "x-cp1256" -> "sb:windows1256",
+    "windows-1257" -> "sb:windows1257", "x-cp1257" -> "sb:windows1257",
+    "windows-1258" -> "sb:windows1258", "x-cp1258" -> "sb:windows1258",
+    "koi8-r" -> "sb:koi8r", "koi8" -> "sb:koi8r", "koi" -> "sb:koi8r",
+    "cskoi8r" -> "sb:koi8r",
+    "koi8-u" -> "sb:koi8u", "koi8-ru" -> "sb:koi8u",
+    "iso-8859-2" -> "sb:iso88592", "iso8859-2" -> "sb:iso88592",
+    "latin2" -> "sb:iso88592", "csisolatin2" -> "sb:iso88592",
+    "iso-ir-101" -> "sb:iso88592", "l2" -> "sb:iso88592",
+    "iso-8859-3" -> "sb:iso88593", "latin3" -> "sb:iso88593",
+    "iso-8859-4" -> "sb:iso88594", "latin4" -> "sb:iso88594",
+    "iso-8859-5" -> "sb:iso88595", "cyrillic" -> "sb:iso88595",
+    "iso-ir-144" -> "sb:iso88595",
+    "iso-8859-6" -> "sb:iso88596", "arabic" -> "sb:iso88596",
+    "asmo-708" -> "sb:iso88596",
+    "iso-8859-7" -> "sb:iso88597", "greek" -> "sb:iso88597",
+    "elot_928" -> "sb:iso88597", "iso-ir-126" -> "sb:iso88597",
+    "sun_eu_greek" -> "sb:iso88597",
+    "iso-8859-8" -> "sb:iso88598", "hebrew" -> "sb:iso88598",
+    "visual" -> "sb:iso88598", "iso-8859-8-i" -> "sb:iso88598",
+    "iso-8859-13" -> "sb:iso885913", "latin7" -> "sb:iso885913",
+    "iso-8859-15" -> "sb:iso885915", "iso8859-15" -> "sb:iso885915",
+    "latin-9" -> "sb:iso885915", "l9" -> "sb:iso885915",
+    "csisolatin9" -> "sb:iso885915",
+    "iso-8859-16" -> "sb:iso885916",
+    "x-mac-cyrillic" -> "sb:maccyrillic",
+    "x-mac-ukrainian" -> "sb:maccyrillic")
 
   /** Every charset label this decoder claims (the `decodePayload`
     * routing set). */
@@ -102,8 +173,25 @@ object LegacyCharset {
         trailLo = 0x41, trailHi = 0xFE, skip7F = false, width = 190,
         trailOff2 = 0x41)
       case Iso2022Jp => decodeIso2022Jp(bytes, sb)
+      case k => decodeSingleByte(bytes, sb, singleByteTables(k))
     }
     sb.toString
+  }
+
+  /** The WHATWG single-byte decoder: ASCII passes, a high byte maps
+    * through its 128-pointer table, an unmapped pointer is U+FFFD. */
+  private def decodeSingleByte(b: Array[Byte],
+      sb: java.lang.StringBuilder, tab: Array[Int]): Unit = {
+    var i = 0
+    while (i < b.length) {
+      val x = b(i) & 0xff
+      if (x <= 0x7F) sb.append(x.toChar)
+      else {
+        val cp = tab(x - 0x80)
+        sb.appendCodePoint(if (cp != 0) cp else Repl)
+      }
+      i += 1
+    }
   }
 
   private val Repl = 0xFFFD

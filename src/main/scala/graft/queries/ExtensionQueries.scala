@@ -894,6 +894,49 @@ object ExtensionQueries {
       out
     })
 
+  private val singleByteStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_charset_singlebyte: eight lanes of
+    * the WHATWG single-byte family on `doc_id % 8` (windows-1251 /
+    * koi8-r / iso-8859-7 / windows-1256 / windows-1254 via its
+    * iso-8859-9 alias / iso-8859-2 / windows-1255 / windows-874),
+    * charset-native riders, ENCODED by the JDK encoder each table was
+    * generated from; the header/meta route cycles on `doc_id % 2`
+    * like the CJK battery. */
+  private def singleByteStage(s: SparkSession, dir: String): String =
+    singleByteStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_sb").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, u, text) =>
+          val (label, enc, rider) = (id % 8) match {
+            case 0 => ("windows-1251", "windows-1251", "Русский текст Ёж")
+            case 1 => ("KOI8-R", "KOI8-R", "Привет мир")
+            case 2 => ("ISO-8859-7", "ISO-8859-7", "Ελληνικά δοκιμή")
+            case 3 => ("windows-1256", "windows-1256", "اختبار عربي")
+            case 4 => ("ISO-8859-9", "windows-1254", "Türkçe deneme ĞŞı")
+            case 5 => ("ISO-8859-2", "ISO-8859-2", "Čeština zkouška ěščř")
+            case 6 => ("windows-1255", "windows-1255", "עברית בדיקה")
+            case _ => ("TIS-620", "x-windows-874", "ทดสอบไทย")
+          }
+          val body = text + " " + rider
+          val cs = java.nio.charset.Charset.forName(enc)
+          if (id % 2 == 0)
+            (u, s"text/plain; charset=$label", body.getBytes(cs))
+          else
+            (u, "text/html",
+              (s"""<html><head><meta charset="$label"></head>""" +
+                s"<body><p>$body</p></body></html>").getBytes(cs)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val bomStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -4757,6 +4800,40 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // Single-byte legacy family: eight charsets across both
+    // declaration routes, riders verbatim — the windows-supersets
+    // behind the iso-8859-9/tis-620 labels included (the WHATWG label
+    // table's rule).
+    "q_charset_singlebyte" -> ((s, dir) => {
+      val recs = graft.io.Warc.readWarc(s, singleByteStage(s, dir))
+      val docId = regexp_extract(col("url"), "doc/(\\d+)$", 1)
+        .cast(LongType).as("doc_id")
+      graft.io.Warc.toDocumentsText(recs)
+        .select(docId, lit("header").as("route"), col("text"))
+        .unionByName(graft.io.Warc.toDocumentsHtml(recs)
+          .select(docId, lit("meta").as("route"), col("text")))
+        .orderBy("doc_id")
+    }),
+
+    // Unicode NFC: decomposed sequences (combining acute, ring,
+    // diaeresis, Hangul jamo) compose canonically; the already-NFC
+    // lane round-trips untouched — DuckDB's own nfc_normalize is the
+    // independent implementation on the other side.
+    "q_unicode_nfc" -> ((s, dir) => {
+      // riders DECOMPOSED on purpose (combining acute / ring above /
+      // diaeresis / conjoining jamo); the last lane is already NFC
+      val rider = element_at(typedlit(Seq(
+        "e\u0301chec re\u0301ussi",
+        "A\u030Angstro\u0308m",
+        "\u1112\u1161\u11AB",
+        "caf\u00e9 ok")),
+        (col("doc_id") % 4).cast(IntegerType) + 1)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.normalizeNfc(concat(col("text"), lit(" "), rider)).as("text"))
+        .orderBy("doc_id")
+    }),
+
     // BOM sniffing: the byte mark beats every declaration — all three
     // marks (UTF-8 / UTF-16LE / UTF-16BE) decode to the same rider
     // text, including the lane whose header LIES charset=gbk.
@@ -5979,6 +6056,19 @@ object ExtensionQueries {
     // both attribute orders replayed; the bare lane contributes no edge
     "q_meta_refresh" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS m FROM documents WHERE doc_id % 3 < 2) SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS from_url, CASE m WHEN 0 THEN 'http://corpus.test/moved' || doc_id ELSE 'http://next' || doc_id || '.test/N' END AS to_url, CASE m WHEN 0 THEN 0 ELSE 5 END AS delay_s FROM d ORDER BY doc_id""",
+
+    // the eight riders verbatim, the route from the parity cycle
+    "q_charset_singlebyte" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS m, CAST(doc_id % 2 AS INTEGER) AS r, text FROM documents) SELECT doc_id, CASE r WHEN 0 THEN 'header' ELSE 'meta' END AS route, text || ' ' || CASE m WHEN 0 THEN 'Русский текст Ёж' WHEN 1 THEN 'Привет мир' WHEN 2 THEN 'Ελληνικά δοκιμή' WHEN 3 THEN 'اختبار عربي' WHEN 4 THEN 'Türkçe deneme ĞŞı' WHEN 5 THEN 'Čeština zkouška ěščř' WHEN 6 THEN 'עברית בדיקה' ELSE 'ทดสอบไทย' END AS text FROM d ORDER BY doc_id""",
+
+    // DuckDB's own nfc_normalize recomposes the same decomposed riders
+    // — two independent Unicode implementations must agree
+    "q_unicode_nfc" ->
+      ("""SELECT doc_id, nfc_normalize(text || ' ' || CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN '""" +
+        "e\u0301chec re\u0301ussi" + """' WHEN 1 THEN '""" +
+        "A\u030Angstro\u0308m" + """' WHEN 2 THEN '""" +
+        "\u1112\u1161\u11AB" + """' ELSE '""" + "caf\u00e9 ok" +
+        """' END) AS text FROM documents ORDER BY doc_id"""),
 
     // the BOM beats every declaration: all three marks replayed to the
     // same rider text, the lying-header lane included

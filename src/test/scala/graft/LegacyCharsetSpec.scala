@@ -59,6 +59,44 @@ class LegacyCharsetSpec extends SparkSpec {
     assert(LegacyCharset.decode(esc("%$B!"), "iso-2022-jp") == "\uFFFD")
   }
 
+  test("single-byte family: JVM round-trips, label aliases, unmapped FFFD") {
+    val cases = Seq(
+      ("windows-1251", "windows-1251", "abc Русский текст Ёж №"),
+      ("KOI8-R", "koi8-r", "abc Привет мир"),
+      ("ISO-8859-7", "greek", "abc Ελληνικά δοκιμή"),
+      ("windows-1256", "windows-1256", "abc اختبار عربي"),
+      // iso-8859-9 label means windows-1254 on the web
+      ("windows-1254", "iso-8859-9", "abc Türkçe ĞŞı"),
+      ("ISO-8859-2", "latin2", "abc Čeština ěščř"),
+      ("windows-1255", "windows-1255", "abc עברית בדיקה"),
+      ("x-windows-874", "tis-620", "abc ทดสอบไทย"),
+      ("ISO-8859-15", "latin-9", "abc € œuvre Ÿ"),
+      ("x-MacCyrillic", "x-mac-cyrillic", "abc Привет"))
+    for ((enc, label, text) <- cases)
+      assert(LegacyCharset.decode(jvm(enc, text), label) == text,
+        s"$label via $enc")
+    // an unmapped high pointer is one replacement, stream continues
+    // (0x81 is unmapped in windows-1251's table per the JDK)
+    val out = LegacyCharset.decode(
+      Array('a'.toByte, 0x98.toByte, 'z'.toByte), "windows-1251")
+    assert(out.length == 3 && out.startsWith("a") && out.endsWith("z"))
+    // iso-8859-10 / -14 are documented refusals: unclaimed labels
+    assert(!LegacyCharset.supports("iso-8859-10"))
+    assert(!LegacyCharset.supports("iso-8859-14"))
+  }
+
+  test("nfc_normalize: decomposed riders compose; NFC input returns as-is") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val rows = Seq(
+      "échec", "Ångström", "한",
+      "café plain ascii").toDF("t")
+      .select(TF.normalizeNfc(org.apache.spark.sql.functions.col("t")).as("n"))
+      .as[String].collect().toList
+    assert(rows == List("échec", "Ångström", "한",
+      "café plain ascii"))
+  }
+
   test("errors emit U+FFFD and continue; broken-pair ASCII reprocesses") {
     // sjis lead + space: replacement, then the space itself
     assert(LegacyCharset.decode(Array(0x82, 0x20).map(_.toByte), "sjis") ==
@@ -77,7 +115,7 @@ class LegacyCharsetSpec extends SparkSpec {
       Array(0x81.toByte, 0x40.toByte, 'z'.toByte), "euc-kr").endsWith("z"))
     // unsupported label is the CALLER's bug: loud
     intercept[IllegalArgumentException] {
-      LegacyCharset.decode(Array(0x41.toByte), "koi8-r")
+      LegacyCharset.decode(Array(0x41.toByte), "iso-8859-10")
     }
   }
 
@@ -95,7 +133,7 @@ class LegacyCharsetSpec extends SparkSpec {
         jvm("x-windows-949",
           s"""<html><head><meta charset="euc-kr"></head><body><p>$krText</p></body></html>""")),
       // outside the claimed set: falls back to UTF-8, visibly garbled
-      ("http://a.test/f", "text/plain; charset=koi8-r",
+      ("http://a.test/f", "text/plain; charset=iso-8859-10",
         Array[Byte](0xC4.toByte, 0xCF.toByte)))
       .toDF("target_uri", "content_type", "payload"), dir)
     val recs = graft.io.Warc.readWarc(spark, dir)

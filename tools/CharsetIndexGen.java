@@ -141,5 +141,41 @@ public final class CharsetIndexGen {
         }
       write(dir, "euckr.tab", t);
     }
+
+    // the WHATWG single-byte family: 128 pointers each (0x80-0xFF;
+    // 0x00-0x7F is ASCII in every single-byte encoding the standard
+    // defines). iso-8859-10 and -14 are NOT emitted: this JDK carries
+    // no table for them, and the runtime documents the refusal.
+    String[][] single = {
+      {"sb_windows874.tab", "x-windows-874"},
+      {"sb_windows1250.tab", "windows-1250"},
+      {"sb_windows1251.tab", "windows-1251"},
+      {"sb_windows1253.tab", "windows-1253"},
+      {"sb_windows1254.tab", "windows-1254"},
+      {"sb_windows1255.tab", "windows-1255"},
+      {"sb_windows1256.tab", "windows-1256"},
+      {"sb_windows1257.tab", "windows-1257"},
+      {"sb_windows1258.tab", "windows-1258"},
+      {"sb_koi8r.tab", "KOI8-R"},
+      {"sb_koi8u.tab", "KOI8-U"},
+      {"sb_iso88592.tab", "ISO-8859-2"},
+      {"sb_iso88593.tab", "ISO-8859-3"},
+      {"sb_iso88594.tab", "ISO-8859-4"},
+      {"sb_iso88595.tab", "ISO-8859-5"},
+      {"sb_iso88596.tab", "ISO-8859-6"},
+      {"sb_iso88597.tab", "ISO-8859-7"},
+      {"sb_iso88598.tab", "ISO-8859-8"},
+      {"sb_iso885913.tab", "ISO-8859-13"},
+      {"sb_iso885915.tab", "ISO-8859-15"},
+      {"sb_iso885916.tab", "ISO-8859-16"},
+      {"sb_maccyrillic.tab", "x-MacCyrillic"},
+    };
+    for (String[] sc : single) {
+      CharsetDecoder d = dec(sc[1]);
+      int[] t = new int[128];
+      for (int b = 0x80; b <= 0xFF; b++)
+        t[b - 0x80] = probe(d, new byte[]{(byte) b});
+      write(dir, sc[0], t);
+    }
   }
 }
