@@ -19,13 +19,15 @@ package graft.operators
   * pages, they do not refuse them, and downstream encoding-quality
   * gates count the U+FFFDs.
   *
-  * Known divergences, documented loudly: the `gbk` label decodes the
-  * TWO-byte GBK plane only — gb18030 four-byte sequences surface as
-  * replacement characters, not codepoints; big5 pointers that the
-  * WHATWG index maps to two-codepoint compositions (four HKSCS
-  * pointers) follow the JDK table's single-codepoint choice or U+FFFD.
-  * Charset labels OUTSIDE [[labels]] are not routed here at all — the
-  * reader's documented fallback is a UTF-8 decode
+  * The `gbk` label decodes as gb18030 (the WHATWG rule): the two-byte
+  * GBK plane through its pointer table AND the four-byte plane through
+  * the ranges table — full coverage including supplementary planes.
+  * Known divergences, documented loudly: big5 pointers that the WHATWG
+  * index maps to two-codepoint compositions (four HKSCS pointers)
+  * follow the JDK table's single-codepoint choice or U+FFFD;
+  * iso-8859-10 / -14 are refused (no JDK table to dump). Charset
+  * labels OUTSIDE [[labels]] are not routed here at all — the reader's
+  * documented fallback is a UTF-8 decode
   * ([[graft.io.Warc]] `decodePayload`). */
 object LegacyCharset {
 
@@ -90,6 +92,41 @@ object LegacyCharset {
 
   private lazy val singleByteTables: Map[String, Array[Int]] =
     singleByteTabs.map { case (k, f) => k -> load(f, 128) }
+
+  /** The gb18030 four-byte RANGES table: (pointer, codepoint) anchors
+    * of the linear runs (a zero codepoint anchors an unmapped gap) —
+    * the WHATWG "gb18030 ranges" structure, derived by the generator
+    * from the JDK's GB18030 decoder. */
+  private lazy val gb18030Ranges: Array[Int] = {
+    val in = getClass.getResourceAsStream("/charsets/gb18030_ranges.tab")
+    require(in != null, "charsets/gb18030_ranges.tab missing from resources")
+    val bytes = try in.readAllBytes() finally in.close()
+    require(bytes.length % 8 == 0 && bytes.length > 0,
+      s"gb18030_ranges.tab: bad length ${bytes.length}")
+    val t = new Array[Int](bytes.length / 4)
+    var i = 0
+    while (i < t.length) {
+      t(i) = ((bytes(4 * i) & 0xff) << 24) | ((bytes(4 * i + 1) & 0xff) << 16) |
+        ((bytes(4 * i + 2) & 0xff) << 8) | (bytes(4 * i + 3) & 0xff)
+      i += 1
+    }
+    t
+  }
+
+  /** Greatest anchor ≤ pointer, linear offset within its run; 0 for a
+    * gap or a pointer before the first run. */
+  private def gb18030RangeLookup(p: Int): Int = {
+    val t = gb18030Ranges
+    var lo = 0
+    var hi = t.length / 2 - 1
+    if (p < t(0)) return 0
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (t(2 * mid) <= p) lo = mid else hi = mid - 1
+    }
+    val cp = t(2 * lo + 1)
+    if (cp == 0) 0 else cp + (p - t(2 * lo))
+  }
 
   /** WHATWG label → decoder key (labels lowercase; the header/meta
     * extraction lowercases before lookup). */
@@ -165,9 +202,7 @@ object LegacyCharset {
     key match {
       case Sjis => decodeSjis(bytes, sb)
       case EucJp => decodeEucJp(bytes, sb)
-      case Gbk => decodeTwoByte(bytes, sb, gbkTab,
-        trailLo = 0x40, trailHi = 0xFE, skip7F = true, width = 190,
-        trailOff2 = 0x41)
+      case Gbk => decodeGbk(bytes, sb)
       case Big5 => decodeBig5(bytes, sb)
       case EucKr => decodeTwoByte(bytes, sb, euckrTab,
         trailLo = 0x41, trailHi = 0xFE, skip7F = false, width = 190,
@@ -259,9 +294,61 @@ object LegacyCharset {
     if (lead != 0) sb.appendCodePoint(Repl)
   }
 
-  /** The shared two-byte machine (gbk, euc-kr): lead 0x81–0xFE, one
-    * contiguous-ish trail range, split trail offset for gbk's 0x7F
-    * hole. */
+  /** The gb18030 decoder (what the web's `gbk` label means on decode,
+    * per WHATWG): the two-byte GBK plane through the pointer table,
+    * the FOUR-byte plane (lead, digit, lead, digit) through the ranges
+    * table — full Unicode coverage including supplementary planes —
+    * the 0x80 euro, and the standard's multi-byte prepend rules on
+    * broken sequences. */
+  private def decodeGbk(b: Array[Byte], sb: java.lang.StringBuilder): Unit = {
+    var first = 0
+    var second = 0
+    var third = 0
+    var i = 0
+    while (i < b.length) {
+      val x = b(i) & 0xff
+      if (third != 0) {
+        if (x >= 0x30 && x <= 0x39) {
+          val p = ((first - 0x81) * 10 + second - 0x30) * 1260 +
+            (third - 0x81) * 10 + x - 0x30
+          val cp = gb18030RangeLookup(p)
+          sb.appendCodePoint(if (cp != 0) cp else Repl)
+        } else {
+          sb.appendCodePoint(Repl)
+          i -= 3 // prepend (second, third, byte): reprocess all three
+        }
+        first = 0; second = 0; third = 0
+      } else if (second != 0) {
+        if (x >= 0x81 && x <= 0xFE) third = x
+        else {
+          sb.appendCodePoint(Repl)
+          first = 0; second = 0
+          i -= 2 // prepend (second, byte)
+        }
+      } else if (first != 0) {
+        if (x >= 0x30 && x <= 0x39) second = x
+        else if (x >= 0x40 && x <= 0xFE && x != 0x7F) {
+          val off = if (x < 0x7F) 0x40 else 0x41
+          val cp = gbkTab((first - 0x81) * 190 + x - off)
+          sb.appendCodePoint(if (cp != 0) cp else Repl)
+          first = 0
+        } else {
+          sb.appendCodePoint(Repl)
+          first = 0
+          if (x <= 0x7F) i -= 1
+        }
+      } else if (x <= 0x7F) sb.append(x.toChar)
+      else if (x == 0x80) sb.append('€') // the gbk euro
+      else if (x >= 0x81 && x <= 0xFE) first = x
+      else sb.appendCodePoint(Repl)
+      i += 1
+    }
+    if (first != 0 || second != 0 || third != 0) sb.appendCodePoint(Repl)
+  }
+
+  /** The shared two-byte machine (euc-kr): lead 0x81–0xFE, one
+    * contiguous-ish trail range, split trail offset for the 0x7F
+    * hole when present. */
   private def decodeTwoByte(b: Array[Byte], sb: java.lang.StringBuilder,
       tab: Array[Int], trailLo: Int, trailHi: Int, skip7F: Boolean,
       width: Int, trailOff2: Int): Unit = {

@@ -59,6 +59,20 @@ class LegacyCharsetSpec extends SparkSpec {
     assert(LegacyCharset.decode(esc("%$B!"), "iso-2022-jp") == "\uFFFD")
   }
 
+  test("gb18030 four-byte plane: ranges lookup, euro, broken-sequence prepend") {
+    // chars OUTSIDE the two-byte GBK plane: the 4-byte form (incl. a
+    // supplementary-plane char) must round-trip through the ranges table
+    val texts = Seq("mḿ ok", "𠀀 tail", "éh0")
+    for (t <- texts)
+      assert(LegacyCharset.decode(jvm("GB18030", t), "gbk") == t, t)
+    // the gbk euro: single byte 0x80
+    assert(LegacyCharset.decode(
+      Array('x'.toByte, 0x80.toByte), "gbk") == "x€")
+    // a broken 4-byte sequence replays its tail bytes (the prepend rule)
+    assert(LegacyCharset.decode(
+      Array(0x81.toByte, 0x30.toByte, 0x20.toByte), "gbk") == "\uFFFD0 ")
+  }
+
   test("single-byte family: JVM round-trips, label aliases, unmapped FFFD") {
     val cases = Seq(
       ("windows-1251", "windows-1251", "abc Русский текст Ёж №"),

@@ -102,9 +102,11 @@ public final class CharsetIndexGen {
 
     // gbk (gb18030 two-byte plane): lead 0x81-0xFE, trail 0x40-0xFE
     // minus 0x7F; pointer = (lead-0x81)*190 + trail
-    // - (trail<0x7F?0x40:0x41) -> 126*190
+    // - (trail<0x7F?0x40:0x41) -> 126*190. Probed through GB18030, not
+    // GBK: the 2000 revision moved a handful of cells (e.g. 0xA8BC ḿ)
+    // off the PUA, and the WHATWG index means the revised plane.
     {
-      CharsetDecoder d = dec("GBK");
+      CharsetDecoder d = dec("GB18030");
       int[] t = new int[126 * 190];
       for (int lead = 0x81; lead <= 0xFE; lead++)
         for (int trail = 0x40; trail <= 0xFE; trail++) {
@@ -140,6 +142,46 @@ public final class CharsetIndexGen {
           t[p] = probe(d, new byte[]{(byte) lead, (byte) trail});
         }
       write(dir, "euckr.tab", t);
+    }
+
+    // gb18030 FOUR-byte plane: the WHATWG "gb18030 ranges" table —
+    // (pointer, codepoint) anchors of the linear runs that map the
+    // 4-byte pointer space onto the unmapped-codepoint space. Derived
+    // by probing every 4-byte sequence through the JDK's GB18030
+    // decoder and emitting a new anchor wherever (codepoint - pointer)
+    // changes; runtime decode is a binary search + add. Pointer =
+    // ((b1-0x81)*10 + b2-0x30)*1260 + (b3-0x81)*10 + b4-0x30.
+    {
+      CharsetDecoder d = dec("GB18030");
+      java.util.ArrayList<int[]> anchors = new java.util.ArrayList<>();
+      long lastDelta = Long.MIN_VALUE; // MIN_VALUE = currently unmapped
+      for (int b1 = 0x81; b1 <= 0xFE; b1++)
+        for (int b2 = 0x30; b2 <= 0x39; b2++)
+          for (int b3 = 0x81; b3 <= 0xFE; b3++)
+            for (int b4 = 0x30; b4 <= 0x39; b4++) {
+              int p = ((b1 - 0x81) * 10 + b2 - 0x30) * 1260
+                + (b3 - 0x81) * 10 + b4 - 0x30;
+              int cp = probe(d, new byte[]{(byte) b1, (byte) b2,
+                (byte) b3, (byte) b4});
+              if (cp == 0) {
+                // a gap gets its own zero anchor so the runtime's
+                // binary search never extends the previous run into it
+                if (lastDelta != Long.MIN_VALUE) anchors.add(new int[]{p, 0});
+                lastDelta = Long.MIN_VALUE;
+                continue;
+              }
+              long delta = (long) cp - p;
+              if (delta != lastDelta) {
+                anchors.add(new int[]{p, cp});
+                lastDelta = delta;
+              }
+            }
+      int[] flat = new int[anchors.size() * 2];
+      for (int i = 0; i < anchors.size(); i++) {
+        flat[2 * i] = anchors.get(i)[0];
+        flat[2 * i + 1] = anchors.get(i)[1];
+      }
+      write(dir, "gb18030_ranges.tab", flat);
     }
 
     // the WHATWG single-byte family: 128 pointers each (0x80-0xFF;
