@@ -633,6 +633,61 @@ object ScaleBench {
         }
       }
 
+      // statistical charset detection at scale: UNDECLARED pages (bare
+      // text/plain, four encodings rotating by id) through the
+      // detector cascade + routed decode — the detect-and-score pass
+      // decodes a capped 8 KiB prefix under each of 16 candidates, so
+      // per-record CPU is a bounded multiple of charset_decode's one
+      // decode; same regime otherwise (zero shuffle, linear rows,
+      // scales with executor count)
+      if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+          .exists(!_.exists("charset_detect".contains))) {
+        import spark.implicits._
+        val detWarcDir = s"$scaleDir/warc_det"
+        graft.io.Warc.writeWarcResponses(
+          corpus.select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .map { case (id, text) =>
+              val (enc, rider) = (id % 4) match {
+                case 0 => ("windows-31j", "日本語のテストです。")
+                case 1 => ("GBK", "这是简体中文的测试了。")
+                case 2 => ("windows-1251", "это русский текст для проверки.")
+                case _ => ("UTF-8", "utf-8 page 日本語")
+              }
+              (s"http://seg.test/doc/$id", "text/plain",
+                (rider + " " + text).getBytes(
+                  java.nio.charset.Charset.forName(enc))) }
+            .toDF("target_uri", "content_type", "payload")
+            .repartition(cpus.toInt),
+          detWarcDir)
+        measure("charset_detect", s"$scaleDir/out_charset_det") {
+          graft.io.Warc.toDocumentsTextDetected(
+            graft.io.Warc.readWarc(spark, detWarcDir))
+        }
+      }
+
+      // URL alias clusters at scale: the planted chain/canonical
+      // topology (a->b always, b->c on evens, c->canon on %3) grows
+      // linearly with the corpus while every component stays a
+      // bounded handful of hops — so the min-label iteration's ROUND
+      // COUNT is constant and each round is one edges-sized shuffle:
+      // seconds should track edges (linear), never rounds
+      if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+          .exists(!_.exists("url_alias".contains))) {
+        val d = corpus.select(col("doc_id"))
+        def u(p: String) =
+          concat(lit("http://h"), col("doc_id"), lit(".test/" + p))
+        val redirects = d
+          .select(u("a").as("from_url"), u("b").as("to_url"))
+          .unionByName(d.filter(col("doc_id") % 2 === 0)
+            .select(u("b").as("from_url"), u("c").as("to_url")))
+        val canonicals = d.filter(col("doc_id") % 3 === 0)
+          .select(u("c").as("url"), u("canon").as("canonical_url"))
+        measure("url_alias", s"$scaleDir/out_url_alias") {
+          graft.operators.LinkRank.urlAliasClusters(redirects, canonicals)
+        }
+      }
+
       // the CDXJ selection layer's two claims under measurement. BUILD:
       // one archive scan (member walk + key derivation, linear) feeding
       // ONE range shuffle over index-scale rows — the sort is the

@@ -45,9 +45,70 @@ case class DecodeLegacy(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernels behind [[DetectCharset]] / [[DecodeDetected]]. */
+object CharsetDetectKernel {
+  def detect(payload: Array[Byte]): UTF8String =
+    UTF8String.fromString(graft.operators.LegacyCharset.detect(payload))
+  def decodeDetected(payload: Array[Byte]): UTF8String =
+    UTF8String.fromString(
+      graft.operators.LegacyCharset.decodeDetected(payload))
+}
+
+/** `detect_charset(binary)` → string label: the statistical detector
+  * for UNDECLARED payloads ([[graft.operators.LegacyCharset.detect]] —
+  * ISO-2022 escape scan, strict UTF-8 structural validation, then
+  * decode-and-score with anchor disambiguation; "windows-1252" is the
+  * documented below-threshold fallback). Codegen'd so the
+  * no-declaration read path stays inside whole-stage codegen. */
+case class DetectCharset(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"detect_charset requires binary, got ${t.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "detect_charset"
+  override def nullSafeEval(payload: Any): Any =
+    CharsetDetectKernel.detect(payload.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, p =>
+      s"graft.expressions.CharsetDetectKernel.detect($p)")
+  override protected def withNewChildInternal(
+      newChild: Expression): DetectCharset = copy(child = newChild)
+}
+
+/** `decode_detected(binary)` → string: detect-then-decode in one
+  * kernel call (detection and decode share the sampled prefix work;
+  * one expression keeps the payload from crossing the codegen boundary
+  * twice). */
+case class DecodeDetected(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"decode_detected requires binary, got ${t.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "decode_detected"
+  override def nullSafeEval(payload: Any): Any =
+    CharsetDetectKernel.decodeDetected(payload.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, p =>
+      s"graft.expressions.CharsetDetectKernel.decodeDetected($p)")
+  override protected def withNewChildInternal(
+      newChild: Expression): DecodeDetected = copy(child = newChild)
+}
+
 object NativeCharset {
   def decodeLegacy(payload: Column, label: Column): Column =
     GraftColumnBridge.column(DecodeLegacy(
       GraftColumnBridge.expression(payload),
       GraftColumnBridge.expression(label)))
+  def detectCharset(payload: Column): Column =
+    GraftColumnBridge.column(DetectCharset(
+      GraftColumnBridge.expression(payload)))
+  def decodeDetected(payload: Column): Column =
+    GraftColumnBridge.column(DecodeDetected(
+      GraftColumnBridge.expression(payload)))
 }

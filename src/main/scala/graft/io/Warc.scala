@@ -278,7 +278,19 @@ object Warc {
     * encoding-quality gates downstream count, never a silent drop).
     * All codegen'd column expressions, no UDF. */
   private[io] def decodePayload(payload: org.apache.spark.sql.Column,
-      contentType: org.apache.spark.sql.Column) = {
+      contentType: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    decodePayload(payload, contentType, detect = false)
+
+  /** `detect = true` replaces the blind UTF-8 default on the
+    * NO-declaration path (no BOM, no header charset, no meta prescan
+    * hit) with the statistical detector
+    * ([[graft.operators.LegacyCharset.detect]]): the page's bytes pick
+    * their own charset from the claimed set, with windows-1252 as the
+    * below-threshold web default. DECLARED charsets still win —
+    * detection never overrides testimony, it only fills silence (the
+    * detector cascade's documented place in the WHATWG order). */
+  private[io] def decodePayload(payload: org.apache.spark.sql.Column,
+      contentType: org.apache.spark.sql.Column, detect: Boolean) = {
     val csPat = "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)"
     val headerCs = lower(regexp_extract(contentType, csPat, 1))
     // meta prescan: ASCII-compatible for every charset we distinguish
@@ -305,7 +317,67 @@ object Warc {
         translate(latin1, c1Range, cp1252Chars))
       .when(cs.isin(graft.operators.LegacyCharset.labels: _*),
         graft.expressions.NativeCharset.decodeLegacy(payload, cs))
-      .otherwise(payload.cast("string"))
+      .otherwise(
+        if (detect) when(cs === "",
+          graft.expressions.NativeCharset.decodeDetected(payload))
+          .otherwise(payload.cast("string"))
+        else payload.cast("string"))
+  }
+
+  /** The charset label [[decodePayload]] actually ROUTES on, as a
+    * column — the provenance face of the decode (BOM > header > meta >
+    * detection-or-default, mirroring the routing order exactly): the
+    * curation layer keys encoding-quality gates and recode audits on
+    * it. An unclaimed declared label reports "utf-8" (the loud
+    * fallback that decode takes), never the unhonored claim. */
+  private[io] def charsetOf(payload: org.apache.spark.sql.Column,
+      contentType: org.apache.spark.sql.Column, detect: Boolean) = {
+    val csPat = "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)"
+    val headerCs = lower(regexp_extract(contentType, csPat, 1))
+    val metaCs = lower(regexp_extract(
+      substring(decode(payload, "ISO-8859-1"), 1, 1024),
+      "(?i)<meta[^>]*" + csPat, 1))
+    val cs = when(headerCs =!= "", headerCs).otherwise(metaCs)
+    val bom16 =
+      substring(payload, 1, 2) === lit(Array(0xFF.toByte, 0xFE.toByte)) ||
+        substring(payload, 1, 2) === lit(Array(0xFE.toByte, 0xFF.toByte))
+    val bom8 =
+      substring(payload, 1, 3) ===
+        lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+    val claimed = Seq("iso-8859-1", "latin1", "iso8859-1",
+      "windows-1252", "cp1252") ++ graft.operators.LegacyCharset.labels
+    when(bom8, lit("utf-8"))
+      .when(bom16, lit("utf-16"))
+      .when(cs.isin(claimed: _*), cs)
+      .otherwise(
+        if (detect) when(cs === "",
+          graft.expressions.NativeCharset.detectCharset(payload))
+          .otherwise(lit("utf-8"))
+        else lit("utf-8"))
+  }
+
+  /** [[toDocumentsText]] with the statistical charset detector on the
+    * NO-declaration path and the routed label carried as a `charset`
+    * column — the reader for pre-standards captures where servers sent
+    * bare `text/plain` and pages carried no meta (detection fills the
+    * silence; declarations still win). Same narrow zero-shuffle
+    * projection; the detector is one codegen'd kernel call per
+    * record over a capped 8 KiB sample. */
+  def toDocumentsTextDetected(records: Dataset[WarcRecord]): DataFrame = {
+    import graft.functions.TextFunctions
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type")) === "text/plain")
+      .select(
+        xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        charsetOf(col("payload"), col("http_content_type"),
+          detect = true).as("charset"),
+        decodePayload(col("payload"), col("http_content_type"),
+          detect = true).as("text"))
+      .select(col("doc_id"), col("url"), col("charset"),
+        TextFunctions.langId(col("text")).as("lang"), col("text"))
   }
 
   /** Curate-ready documents from `text/html` responses: payload decoded
@@ -327,6 +399,33 @@ object Warc {
         TextFunctions.htmlToText(
           decodePayload(col("payload"), col("http_content_type"))).as("html_text"))
       .select(col("doc_id"), col("url"),
+        TextFunctions.langId(col("html_text")).as("lang"),
+        col("html_text").as("text"))
+  }
+
+  /** [[toDocumentsHtml]] with the statistical charset detector on the
+    * NO-declaration path and the routed label as a `charset` column —
+    * same contract as [[toDocumentsTextDetected]]: a BOM, a header
+    * charset, or a meta prescan hit still wins (detection never
+    * overrides testimony); only the silent remainder — real in
+    * pre-standards HTML, where pages declared nothing and servers sent
+    * bare `text/html` — routes through the detector instead of the
+    * blind UTF-8 default. */
+  def toDocumentsHtmlDetected(records: Dataset[WarcRecord]): DataFrame = {
+    import graft.functions.TextFunctions
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type")) === "text/html")
+      .select(
+        xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        charsetOf(col("payload"), col("http_content_type"),
+          detect = true).as("charset"),
+        TextFunctions.htmlToText(
+          decodePayload(col("payload"), col("http_content_type"),
+            detect = true)).as("html_text"))
+      .select(col("doc_id"), col("url"), col("charset"),
         TextFunctions.langId(col("html_text")).as("lang"),
         col("html_text").as("text"))
   }

@@ -427,6 +427,336 @@ object LegacyCharset {
     if (lead != 0) sb.appendCodePoint(Repl)
   }
 
+  // ------------------------------------------------------------------
+  // Statistical charset detection — the NO-declaration path.
+  //
+  // `decodePayload` routes on the header/meta/BOM testimony; a page
+  // with none of the three (a real fraction of the crawlable web,
+  // especially pre-2010 captures) previously fell to the blind UTF-8
+  // default. [[detect]] closes that gap with the classic detector
+  // cascade (the Mozilla universalchardet / ICU shape, re-derived from
+  // first principles — no tables copied):
+  //
+  //   1. ISO-2022-JP escape scan: a 7-bit stream carrying `ESC $ @/B`
+  //      or `ESC ( I/J` designators IS iso-2022-jp (no other claimed
+  //      charset uses them; UTF-8 text never contains bare ESC).
+  //   2. Strict UTF-8 structural validation: a byte stream that parses
+  //      as well-formed multi-byte UTF-8 is UTF-8 — the probability of
+  //      legacy two-byte text forming only valid UTF-8 sequences decays
+  //      geometrically with length (the standard detector precision
+  //      argument). Pure ASCII also returns "utf-8" (every claimed
+  //      charset decodes ASCII identically).
+  //   3. Decode-and-score: the capped sample is decoded under each
+  //      CANDIDATE charset and scored on the decoded code points. An
+  //      ADJACENCY gate runs first: when most high bytes touch an
+  //      ASCII letter the text is Latin-script by construction
+  //      (accents live inside ASCII words; non-Latin words are wholly
+  //      high bytes) — only the Latin family (windows-1252/1250/1254)
+  //      competes for it, because every non-Latin single-byte plane
+  //      covers the 1252 accent positions with plausible letters
+  //      (é → ι under windows-1253, č → и under windows-1251). Scoring:
+  //      structural errors (U+FFFD) penalize hard, letters of the
+  //      candidate's expected script earn weight (LOWERCASE above
+  //      uppercase: running text is overwhelmingly lowercase, and the
+  //      Cyrillic family's layouts differ exactly by case planes —
+  //      koi8-r lower 0xC0–0xDF vs cp1251 lower 0xE0–0xFF, so the
+  //      case-weighted score separates them structurally), letters
+  //      outside any expected script penalize mildly. A small ANCHOR
+  //      set per language — the highest-frequency function-word
+  //      characters (的/了/是 simplified, 這/個/們 traditional,
+  //      の/に/は kana particles, 이/다/는 Hangul particles; the same
+  //      public-linguistic-fact class as the n-gram langId heuristic
+  //      already in TextFunctions) — disambiguates WITHIN the EUC
+  //      structural family, where e.g. Korean-as-gbk decodes to
+  //      structurally perfect hanzi and only the anchor layer can
+  //      tell; for the Latin single-byte family the anchors are the
+  //      letters at byte positions where the candidate's layout
+  //      DIFFERS from windows-1252 (ě/ř/ů/ą/ł/ż for windows-1250,
+  //      ğ/ş/ı for windows-1254).
+  //   4. Fallback: below threshold (or fewer than 4 non-ASCII bytes —
+  //      nothing to measure) the answer is windows-1252, the web's
+  //      de-facto default for undeclared 8-bit content (the WHATWG
+  //      default for most locales).
+  //
+  // Deterministic by construction: fixed candidate order, integer-free
+  // scoring on a capped prefix, ties broken by list position (the
+  // web-dominant flavor first). Cost is O(candidates × min(len, cap))
+  // per record, executor-side, zero shuffle.
+  // ------------------------------------------------------------------
+
+  /** Candidate labels in priority order (ties break to the EARLIER
+    * entry — the web-dominant flavor of each script family first). */
+  private[graft] val detectCandidates: Seq[String] = Seq(
+    "shift_jis", "euc-jp", "gbk", "big5", "euc-kr",
+    "windows-1253", "windows-1255", "windows-1256", "windows-874",
+    "windows-1251", "koi8-r", "iso-8859-5", "x-mac-cyrillic",
+    "windows-1252", "windows-1250", "windows-1254")
+
+  /** Per-language anchor characters (see the cascade note above) —
+    * top-frequency letters of each candidate's language (public
+    * linguistic facts, the stopword/langId resource class). The
+    * single-byte families NEED them: the Cyrillic/Greek/Hebrew/Arabic
+    * lowercase planes occupy the SAME byte ranges, so e.g. Greek text
+    * decodes under windows-1251 to structurally perfect lowercase
+    * Cyrillic — only the frequency anchors (≈half the letters of real
+    * text in the true language, accidental hits far rarer) give the
+    * true candidate its margin. The Latin-family anchors are
+    * restricted to byte positions where windows-1252 carries a symbol
+    * or a rare letter (ą/ł/ż sit on ¹/³/¿) so French/Spanish text
+    * never earns them by coincidence. */
+  private val anchorJa = "のにはをがたでてとしも。、い"
+  private val anchorZhS = "的了是在不和有这个们为没说"
+  private val anchorZhT = "的是不了在這個們有和為沒說"
+  private val anchorKo = "이다의에는은을를가고하지"
+  private val anchorRu = "оеаинтс"
+  // top vowels/consonants + tonos forms + final sigma: the plain Greek
+  // vowels share the byte plane with windows-1252's accented Latin
+  // (é→ι), but the ADJACENCY gate keeps Latin pages out of this
+  // candidate's reach — within the non-Latin field the full set gives
+  // real Greek its margin over accidental Cyrillic-anchor hits
+  // (ε→е, ν→н under the mac-cyrillic plane)
+  private val anchorEl = "αοιετσνηάέήίόύώς"
+  private val anchorHe = "יהולארתמ"
+  private val anchorAr = "اليمونهر"
+  private val anchorTh = "านรอเกมิ"
+  // no ů: its byte position is French ù ("où"), a real 1252 tenant
+  private val anchor1250 = "ěřąłżś"
+  private val anchor1254 = "ğşıİ"
+
+  /** True iff the sample carries an ISO-2022-JP designator escape. */
+  private def hasIso2022Escape(b: Array[Byte], n: Int): Boolean = {
+    var i = 0
+    while (i + 2 < n) {
+      if ((b(i) & 0xff) == 0x1B) {
+        val a = b(i + 1) & 0xff; val c = b(i + 2) & 0xff
+        if ((a == 0x24 && (c == 0x40 || c == 0x42)) ||
+          (a == 0x28 && (c == 0x49 || c == 0x4A))) return true
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Strict UTF-8 structural validation over the sample prefix; also
+    * reports whether any non-ASCII byte appeared. A multi-byte
+    * sequence that would CROSS the cap boundary is not held against
+    * the stream (the cap truncates mid-character by construction). */
+  private def utf8Shape(b: Array[Byte], n: Int): (Boolean, Boolean) = {
+    var i = 0
+    var hasHigh = false
+    while (i < n) {
+      val x = b(i) & 0xff
+      if (x < 0x80) i += 1
+      else {
+        hasHigh = true
+        val need =
+          if (x >= 0xC2 && x <= 0xDF) 1
+          else if (x >= 0xE0 && x <= 0xEF) 2
+          else if (x >= 0xF0 && x <= 0xF4) 3
+          else return (false, true)
+        if (i + need >= n && n == b.length) return (false, true)
+        var j = 1
+        while (j <= need && i + j < n) {
+          val t = b(i + j) & 0xff
+          if (t < 0x80 || t > 0xBF) return (false, true)
+          // the constrained second bytes (surrogate/overlong exclusion)
+          if (j == 1 && ((x == 0xE0 && t < 0xA0) || (x == 0xED && t > 0x9F) ||
+            (x == 0xF0 && t < 0x90) || (x == 0xF4 && t > 0x8F)))
+            return (false, true)
+          j += 1
+        }
+        i += need + 1
+      }
+    }
+    (true, hasHigh)
+  }
+
+  /** Score one candidate's decode of the sample. Only non-ASCII code
+    * points enter the denominator — ASCII decodes identically under
+    * every claimed charset and carries no signal. */
+  private def scoreDecode(decoded: String, key: String,
+      anchors: String): Double = {
+    var n = 0; var score = 0.0; var anchorHits = 0
+    var i = 0
+    val isCjk = key == Sjis || key == EucJp || key == Gbk ||
+      key == Big5 || key == EucKr
+    val isLatin = key == "sb:windows1250" || key == "sb:windows1254" ||
+      key == "cp1252"
+    while (i < decoded.length) {
+      val cp = decoded.codePointAt(i)
+      i += Character.charCount(cp)
+      if (cp > 0x7F) {
+        n += 1
+        if (anchors.indexOf(cp) >= 0) anchorHits += 1
+        score +=
+          (if (cp == Repl) -2.0
+          else if (cp >= 0x3040 && cp <= 0x30FF) // kana
+            (if (key == Sjis || key == EucJp) 1.0
+            else if (isCjk) 0.3 else -0.5)
+          else if ((cp >= 0x4E00 && cp <= 0x9FFF) ||
+            (cp >= 0x3400 && cp <= 0x4DBF)) // han
+            (if (key == Gbk || key == Big5) 1.0
+            else if (key == Sjis || key == EucJp) 0.8
+            else if (key == EucKr) 0.2 else -0.5)
+          else if (cp >= 0xAC00 && cp <= 0xD7A3) // hangul syllables
+            (if (key == EucKr) 1.0 else if (isCjk) 0.1 else -0.5)
+          else if ((cp >= 0x1100 && cp <= 0x11FF) ||
+            (cp >= 0x3130 && cp <= 0x318F)) // jamo
+            (if (key == EucKr) 0.2 else -0.5)
+          else if (cp >= 0xFF61 && cp <= 0xFF9F) // half-width katakana
+            (if (key == Sjis || key == EucJp) 0.3
+            else if (isCjk) 0.0 else -0.5)
+          else if ((cp >= 0x3000 && cp <= 0x303F) ||
+            (cp >= 0xFF00 && cp <= 0xFF60)) // CJK punct / fullwidth
+            (if (isCjk) 0.6 else -0.3)
+          else if (cp >= 0x0400 && cp <= 0x04FF) { // cyrillic
+            val lower = (cp >= 0x0430 && cp <= 0x045F)
+            if (key == "sb:windows1251" || key == "sb:koi8r" ||
+              key == "sb:koi8u" || key == "sb:iso88595" ||
+              key == "sb:maccyrillic") (if (lower) 1.0 else 0.35)
+            else -0.5
+          } else if (cp >= 0x0370 && cp <= 0x03FF) { // greek
+            // lowercase INCLUDING the tonos vowels (ά-ώ, 0x3AC-0x3CE)
+            val lower = (cp >= 0x03AC && cp <= 0x03CE)
+            if (key == "sb:windows1253")
+              (if (lower) 1.0 else 0.35) else -0.5
+          } else if (cp >= 0x0590 && cp <= 0x05FF)
+            (if (key == "sb:windows1255") 1.0 else -0.5)
+          else if ((cp >= 0x0600 && cp <= 0x06FF) ||
+            (cp >= 0xFB50 && cp <= 0xFDFF))
+            (if (key == "sb:windows1256") 1.0 else -0.5)
+          else if (cp >= 0x0E00 && cp <= 0x0E7F)
+            (if (key == "sb:windows874") 1.0 else -0.5)
+          else if (Character.isLetter(cp))
+            (if (isLatin) 1.0 else if (isCjk) -0.3 else 0.2)
+          else if (isLatin) -0.3 // symbols where letters should be
+          else -0.1)
+      }
+    }
+    if (n == 0) Double.NegativeInfinity
+    else score / n + (if (n > 0) 1.0 * anchorHits / n else 0.0)
+  }
+
+  /** Detect the charset of an UNDECLARED payload (see the cascade note
+    * above). Returns a WHATWG label routable by `decodePayload` —
+    * "utf-8", "iso-2022-jp", one of [[detectCandidates]], or the
+    * "windows-1252" fallback. Deterministic; samples at most
+    * `maxBytes`. */
+  def detect(bytes: Array[Byte], maxBytes: Int = 8192): String = {
+    val n = math.min(bytes.length, maxBytes)
+    if (hasIso2022Escape(bytes, n)) return "iso-2022-jp"
+    val (utf8Ok, hasHigh) = utf8Shape(bytes, n)
+    if (utf8Ok || !hasHigh) return "utf-8"
+    val sample = if (n == bytes.length) bytes
+      else java.util.Arrays.copyOf(bytes, n)
+    // fewer than 4 high bytes: nothing to measure, take the default
+    var high = 0
+    var i = 0
+    while (i < n) { if ((sample(i) & 0xff) > 0x7F) high += 1; i += 1 }
+    if (high < 4) return "windows-1252"
+    // the Latin-vs-non-Latin ADJACENCY gate: in Latin-script text the
+    // high bytes are accents INSIDE ASCII-letter words (café, příliš —
+    // nearly every high byte touches an ASCII letter); in every
+    // non-Latin script whole words are high bytes, so a high byte's
+    // neighbors are high bytes or word boundaries, almost never ASCII
+    // letters. A Latin page must not be claimed by a non-Latin
+    // candidate whose letter plane happens to cover the accent
+    // positions (é decodes to a perfectly plausible ι under
+    // windows-1253, č to a plausible и under windows-1251) — above the
+    // gate only the Latin family competes, and the anchor layer picks
+    // the flavor. Works at every accent density, unlike a ratio gate:
+    // dense Czech and sparse French both read ≈ 1.0 here.
+    def asciiLetter(j: Int): Boolean = j >= 0 && j < n && {
+      val x = sample(j) & 0xff
+      (x >= 'a' && x <= 'z') || (x >= 'A' && x <= 'Z')
+    }
+    var adj = 0
+    i = 0
+    while (i < n) {
+      if ((sample(i) & 0xff) > 0x7F &&
+        (asciiLetter(i - 1) || asciiLetter(i + 1))) adj += 1
+      i += 1
+    }
+    val latinish = adj.toDouble / high > 0.5
+    val latinOnly = Set("windows-1252", "windows-1250", "windows-1254")
+    var best = "windows-1252"
+    var bestScore = 0.40 // the claim threshold
+    detectCandidates.iterator
+      .filter(l => !latinish || latinOnly(l))
+      .foreach { label =>
+      val (decoded, key, anchors) = label match {
+        case "windows-1252" =>
+          // latin1 + the C1 remap, exactly decodePayload's cp1252 lane
+          val lat = new String(sample,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          val sb = new java.lang.StringBuilder(lat.length)
+          var j = 0
+          while (j < lat.length) {
+            val c = lat.charAt(j)
+            val k = Cp1252Map.indexOf(c)
+            sb.append(if (k >= 0) Cp1252To(k) else c)
+            j += 1
+          }
+          (sb.toString, "cp1252", "")
+        case l =>
+          val k = labelKey(l)
+          val anch = k match {
+            case Sjis | EucJp => anchorJa
+            case Gbk => anchorZhS
+            case Big5 => anchorZhT
+            case EucKr => anchorKo
+            case "sb:windows1251" | "sb:koi8r" | "sb:iso88595" |
+              "sb:maccyrillic" => anchorRu
+            case "sb:windows1253" => anchorEl
+            case "sb:windows1255" => anchorHe
+            case "sb:windows1256" => anchorAr
+            case "sb:windows874" => anchorTh
+            case "sb:windows1250" => anchor1250
+            case "sb:windows1254" => anchor1254
+            case _ => ""
+          }
+          (decode(sample, l), k, anch)
+      }
+      val sc = scoreDecode(decoded, key, anchors)
+      if (sc > bestScore) { bestScore = sc; best = label }
+    }
+    best
+  }
+
+  // the cp1252 C1 remap pair (kept in sync with Warc.decodePayload's
+  // translate lane — 27 defined positions, 5 pass through)
+  private val Cp1252Map: String =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008a\u008b" +
+      "\u008c\u008e\u0091\u0092\u0093\u0094\u0095\u0096\u0097\u0098\u0099" +
+      "\u009a\u009b\u009c\u009e\u009f"
+  private val Cp1252To: String =
+    "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160\u2039" +
+      "\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014\u02dc\u2122" +
+      "\u0161\u203a\u0153\u017e\u0178"
+
+  /** Decode under the DETECTED charset: the one-call composition the
+    * no-declaration read path uses ([[detect]] → route — utf-8 and the
+    * windows-1252 fallback decoded here, legacy labels through
+    * [[decode]]). */
+  def decodeDetected(bytes: Array[Byte]): String =
+    detect(bytes) match {
+      case "utf-8" =>
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      case "windows-1252" =>
+        val lat = new String(bytes,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val sb = new java.lang.StringBuilder(lat.length)
+        var j = 0
+        while (j < lat.length) {
+          val c = lat.charAt(j)
+          val k = Cp1252Map.indexOf(c)
+          sb.append(if (k >= 0) Cp1252To(k) else c)
+          j += 1
+        }
+        sb.toString
+      case l => decode(bytes, l)
+    }
+
   /** big5 decoder: the two disjoint trail ranges 0x40–0x7E / 0xA1–0xFE. */
   private def decodeBig5(b: Array[Byte], sb: java.lang.StringBuilder): Unit = {
     var lead = 0

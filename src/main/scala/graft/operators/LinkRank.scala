@@ -104,6 +104,75 @@ object LinkRank {
     * millions of DISTINCT anchors — rare by construction of anchor
     * text, and bounded by the window's spill path, never the
     * aggregate's heap. */
+  /** One URL identity from every alias mechanism the crawl records:
+    * redirect edges (3xx Location — [[graft.io.Warc.redirectEdges]],
+    * meta-refresh edges qualify identically) and `rel=canonical`
+    * declarations ([[graft.functions.TextFunctions.htmlMeta]]) union
+    * into one undirected alias graph, components resolve by
+    * [[Dedup.connectedComponents]], and each cluster elects a
+    * REPRESENTATIVE by role preference: a canonical target (the page's
+    * own first-person testimony) beats a redirect target (the server's
+    * testimony) beats a plain member, a URL that aliases AWAY (any
+    * out-edge) is demoted, and ties fall to the lexicographically
+    * smallest URL — total and deterministic. This is the capstone over
+    * the alias machinery: fetch dedup, recrawl planning, and link-rank
+    * all key on `representative` instead of treble-counting the same
+    * page behind its redirect shell and its declared canonical.
+    *
+    * Input schemas: `redirects` carries (from_url, to_url);
+    * `canonicals` carries (url, canonical_url) — empty-string and
+    * self-canonical rows are ignored here (htmlMeta's absence
+    * convention). hreflang alternates are deliberately NOT aliases —
+    * they name different-language versions, a grouping, not an
+    * identity — feed them in as extra `redirects`-shaped edges only if
+    * the deployment wants language clusters collapsed.
+    *
+    * Output: (url, representative, cluster_size) for every URL in the
+    * alias graph. URLs with no alias edge are absent — the identity
+    * cluster of an unaliased URL is itself, and materializing a row
+    * per corpus URL would dwarf the signal.
+    *
+    * Scale shape: component resolution is the iterated min-label
+    * propagation (shuffle per round keyed on the URL, rounds =
+    * longest chain, real alias chains are a handful of hops); roles,
+    * sizes, and the keeper argmax are single map-side-partial
+    * aggregates riding the component exchange. Nothing quadratic in
+    * cluster size; hot superclusters (a URL the whole web redirects
+    * into) cost one agg row each. */
+  def urlAliasClusters(redirects: DataFrame, canonicals: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val redir = redirects
+      .select(col("from_url").as("a"), col("to_url").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val canon = canonicals
+      .filter(col("canonical_url").isNotNull && col("canonical_url") =!= "" &&
+        col("canonical_url") =!= col("url"))
+      .select(col("url").as("a"), col("canonical_url").as("b"))
+    val edges = redir.unionByName(canon).distinct()
+    // role preference per URL: best inbound role minus the source demotion
+    val scores = canon.select(col("b").as("url"), lit(2).as("r"))
+      .unionByName(redir.select(col("b").as("url"), lit(1).as("r")))
+      .unionByName(edges.select(col("a").as("url"), lit(-10).as("r")))
+      .groupBy("url")
+      .agg((greatest(max(when(col("r") > 0, col("r"))), lit(0)) +
+        min(when(col("r") === -10, lit(-1)).otherwise(lit(0)))).as("score"))
+    val ids = edges.select(col("a").as("url"))
+      .union(edges.select(col("b").as("url"))).distinct()
+      .select(xxhash64(col("url")).as("id"), col("url"))
+    val comp = Dedup.connectedComponents(
+      edges.select(xxhash64(col("a")).as("id_a"), xxhash64(col("b")).as("id_b")),
+      ids.select("id"), maxIter = maxIter)
+    val membership = ids.join(comp, Seq("id"))
+      .join(scores, Seq("url"), "left")
+      .na.fill(0, Seq("score"))
+    val sizes = membership.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    Dedup.clusterKeepers(membership, "url", "component", "score")
+      .join(sizes, Seq("component"))
+      .select(col("url"), col("keeper_id").as("representative"),
+        col("cluster_size"))
+  }
+
   def anchorTexts(edges: DataFrame, maxAnchors: Int = 32): DataFrame = {
     require(maxAnchors > 0, "maxAnchors must be positive")
     val w = org.apache.spark.sql.expressions.Window

@@ -972,6 +972,45 @@ object ExtensionQueries {
       out
     })
 
+  private val detectStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_charset_detect: every page served as
+    * BARE `text/plain` — no header charset, no meta, no BOM — in one of
+    * ten encodings on `doc_id % 10`, with a charset-native rider
+    * PREPENDED (the detector samples a capped prefix; a rider ahead of
+    * an arbitrarily long ASCII body is always inside it). The bytes
+    * are the only signal: detection must name the lane. */
+  private def detectStage(s: SparkSession, dir: String): String =
+    detectStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_det").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, u, text) =>
+          val (enc, rider) = (id % 10) match {
+            case 0 => ("windows-31j", "日本語のテストです。ひらがなも多い文章。")
+            case 1 => ("EUC-JP", "日本語のテストです。ひらがなも多い文章。")
+            case 2 => ("GBK", "这是简体中文的测试了,有很多的汉字。")
+            case 3 => ("Big5", "這是繁體中文的測試了,有很多的漢字。")
+            case 4 => ("x-windows-949", "이것은 한국어 시험입니다. 감지되어야 하는 문서가 있다.")
+            case 5 => ("windows-1251", "это русский текст строчными буквами для проверки.")
+            case 6 => ("KOI8-R", "это русский текст строчными буквами для проверки.")
+            case 7 => ("windows-1253", "αυτή είναι μια δοκιμή ελληνικού κειμένου.")
+            case 8 => ("windows-1254", "türkçe sınav: ağaç, şeker, ığdır, iğne.")
+            case _ => ("UTF-8", "utf-8 page 日本語 и кириллица")
+          }
+          val body = rider + " " + text
+          (u, "text/plain",
+            body.getBytes(java.nio.charset.Charset.forName(enc))) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val recrawlMergeStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1871,6 +1910,7 @@ object ExtensionQueries {
     recrawlMergeStage(s, dir)
     charsetStage(s, dir)
     bomStage(s, dir)
+    detectStage(s, dir)
     segmentStage(s, dir)
     refreshStage(s, dir)
     freshnessStage(s, dir)
@@ -4851,6 +4891,39 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // Statistical charset detection — the NO-declaration path: ten
+    // encodings served as bare text/plain (no header, no meta, no
+    // BOM); the detector cascade must name every lane from the bytes
+    // alone and the decode must round-trip the rider + body verbatim.
+    "q_charset_detect" -> ((s, dir) => {
+      graft.io.Warc.toDocumentsTextDetected(
+          graft.io.Warc.readWarc(s, detectStage(s, dir)))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("charset"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // URL alias clusters: redirect chains and rel=canonical testimony
+    // resolve to one representative per identity cluster — the role
+    // preference (canonical target > redirect target > member, sources
+    // demoted, lexicographic ties) and every cluster size replayed
+    // from the planted id cycles.
+    "q_url_alias" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      def u(p: String) =
+        concat(lit("http://h"), col("doc_id"), lit(".test/" + p))
+      val redirects = d
+        .select(u("a").as("from_url"), u("b").as("to_url"))
+        .unionByName(d.filter(col("doc_id") % 2 === 0)
+          .select(u("b").as("from_url"), u("c").as("to_url")))
+      val canonicals = d.filter(col("doc_id") % 3 === 0)
+        .select(u("c").as("url"), u("canon").as("canonical_url"))
+      graft.operators.LinkRank.urlAliasClusters(redirects, canonicals)
+        .orderBy("url")
+    }),
+
     // Conditional-refetch merge: one current corpus from two crawls —
     // refetched 200s replace, raw 304s resolve to prior bodies by URL,
     // revisit records by digest, untouched URLs carry forward with
@@ -6074,6 +6147,17 @@ object ExtensionQueries {
     // same rider text, the lying-header lane included
     "q_charset_bom" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 2 AS INTEGER) AS r, text FROM documents) SELECT doc_id, CASE r WHEN 0 THEN 'silent' ELSE 'lying' END AS route, text || ' bøm ☃ 日本' AS text FROM d ORDER BY doc_id""",
+
+    // the ten undeclared lanes: the detector must name each charset
+    // from the bytes alone, and the decode round-trips rider + body
+    "q_charset_detect" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 10 AS INTEGER) AS m, text FROM documents) SELECT doc_id, CASE m WHEN 0 THEN 'shift_jis' WHEN 1 THEN 'euc-jp' WHEN 2 THEN 'gbk' WHEN 3 THEN 'big5' WHEN 4 THEN 'euc-kr' WHEN 5 THEN 'windows-1251' WHEN 6 THEN 'koi8-r' WHEN 7 THEN 'windows-1253' WHEN 8 THEN 'windows-1254' ELSE 'utf-8' END AS charset, CASE m WHEN 0 THEN '日本語のテストです。ひらがなも多い文章。' WHEN 1 THEN '日本語のテストです。ひらがなも多い文章。' WHEN 2 THEN '这是简体中文的测试了,有很多的汉字。' WHEN 3 THEN '這是繁體中文的測試了,有很多的漢字。' WHEN 4 THEN '이것은 한국어 시험입니다. 감지되어야 하는 문서가 있다.' WHEN 5 THEN 'это русский текст строчными буквами для проверки.' WHEN 6 THEN 'это русский текст строчными буквами для проверки.' WHEN 7 THEN 'αυτή είναι μια δοκιμή ελληνικού κειμένου.' WHEN 8 THEN 'türkçe sınav: ağaç, şeker, ığdır, iğne.' ELSE 'utf-8 page 日本語 и кириллица' END || ' ' || text AS text FROM d ORDER BY doc_id""",
+
+    // each id's chain/canonical topology replayed: the a->b edge
+    // always, b->c on evens, c->canon declared on multiples of 3 —
+    // reps and sizes from the same cycles
+    "q_url_alias" ->
+      """WITH d AS (SELECT doc_id, 'http://h' || doc_id || '.test/' AS b0, doc_id % 2 = 0 AS ev, doc_id % 3 = 0 AS c3 FROM documents), rows AS (SELECT b0 || 'a' AS url, CASE WHEN ev AND c3 THEN b0 || 'canon' WHEN ev THEN b0 || 'c' ELSE b0 || 'b' END AS representative, CASE WHEN ev AND c3 THEN 4 WHEN ev THEN 3 ELSE 2 END AS cluster_size FROM d UNION ALL SELECT b0 || 'b', CASE WHEN ev AND c3 THEN b0 || 'canon' WHEN ev THEN b0 || 'c' ELSE b0 || 'b' END, CASE WHEN ev AND c3 THEN 4 WHEN ev THEN 3 ELSE 2 END FROM d UNION ALL SELECT b0 || 'c', CASE WHEN c3 THEN b0 || 'canon' ELSE b0 || 'c' END, CASE WHEN ev AND c3 THEN 4 WHEN c3 THEN 2 ELSE 3 END FROM d WHERE ev OR c3 UNION ALL SELECT b0 || 'canon', b0 || 'canon', CASE WHEN ev THEN 4 ELSE 2 END FROM d WHERE c3) SELECT url, representative, CAST(cluster_size AS BIGINT) AS cluster_size FROM rows ORDER BY url""",
 
     // the five staged lanes replayed: v2 bodies and the refetch date on
     // the changed lanes, v1 bodies on 304/revisit/carry-forward, the

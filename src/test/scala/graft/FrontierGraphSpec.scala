@@ -152,4 +152,35 @@ class FrontierGraphSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)))
     assert(got.toSeq == Seq(("a.test", "http://a.test/S.xml")))
   }
+
+  test("urlAliasClusters: role preference elects representatives") {
+    // chain a->b->c, c declares canonical d: one cluster, d wins (role 2)
+    // pair e->f: f wins (redirect target); f also redirects to e?
+    // no — keep f clean. g->h->g would be a cycle: both sources, tie
+    // falls to the lexicographic min.
+    val redirects = Seq(
+      ("http://x.test/a", "http://x.test/b"),
+      ("http://x.test/b", "http://x.test/c"),
+      ("http://y.test/e", "http://y.test/f"),
+      ("http://z.test/g", "http://z.test/h"),
+      ("http://z.test/h", "http://z.test/g"))
+      .toDF("from_url", "to_url")
+    val canonicals = Seq(
+      ("http://x.test/c", "http://x.test/d"),
+      // self-canonical and empty declarations are ignored
+      ("http://y.test/f", "http://y.test/f"),
+      ("http://q.test/p", ""))
+      .toDF("url", "canonical_url")
+    val got = LinkRank.urlAliasClusters(redirects, canonicals)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got.size == 8) // q.test/p has no edge: absent
+    for (u <- Seq("a", "b", "c", "d"))
+      assert(got(s"http://x.test/$u") == (("http://x.test/d", 4L)), u)
+    assert(got("http://y.test/e") == (("http://y.test/f", 2L)))
+    assert(got("http://y.test/f") == (("http://y.test/f", 2L)))
+    // the cycle: both are targets AND sources (score 0), lexicographic min
+    assert(got("http://z.test/g") == (("http://z.test/g", 2L)))
+    assert(got("http://z.test/h") == (("http://z.test/g", 2L)))
+  }
 }

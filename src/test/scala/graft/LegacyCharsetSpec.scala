@@ -133,6 +133,76 @@ class LegacyCharsetSpec extends SparkSpec {
     }
   }
 
+  test("detect: structural lanes — utf-8, ascii, iso-2022-jp escapes") {
+    assert(LegacyCharset.detect("plain ascii only".getBytes("US-ASCII")) == "utf-8")
+    assert(LegacyCharset.detect("日本語 UTF-8 ページ".getBytes("UTF-8")) == "utf-8")
+    assert(LegacyCharset.detect("кириллица в utf-8".getBytes("UTF-8")) == "utf-8")
+    assert(LegacyCharset.detect(jvm("ISO-2022-JP",
+      "日本語テスト ascii too")) == "iso-2022-jp")
+    // short high-byte tails stay on the web default, not a wild guess
+    assert(LegacyCharset.detect("mostly ascii é".getBytes("windows-1252"))
+      == "windows-1252")
+  }
+
+  test("detect: each CJK charset claims its own encoder's bytes") {
+    val ja = "日本語のテストです。これは長めの文章で、ひらがなとカタカナと漢字が混ざっています。"
+    val zhS = "这是一个简体中文的测试页面，包含了很多常用的汉字和标点符号。我们的引擎需要正确识别它。"
+    val zhT = "這是一個繁體中文的測試頁面,包含了很多常用的漢字和標點符號。我們的引擎需要正確識別它。"
+    val ko = "이것은 한국어 테스트 페이지입니다. 엔진은 이 문서의 문자 집합을 올바르게 감지해야 합니다."
+    assert(LegacyCharset.detect(jvm("windows-31j", ja)) == "shift_jis")
+    assert(LegacyCharset.detect(jvm("EUC-JP", ja)) == "euc-jp")
+    assert(LegacyCharset.detect(jvm("GBK", zhS)) == "gbk")
+    assert(LegacyCharset.detect(jvm("Big5", zhT)) == "big5")
+    assert(LegacyCharset.detect(jvm("x-windows-949", ko)) == "euc-kr")
+  }
+
+  test("detect: the Cyrillic case-plane split separates 1251 from koi8-r") {
+    val ru = "это проверка русского текста, написанного преимущественно строчными буквами как обычно."
+    assert(LegacyCharset.detect(jvm("windows-1251", ru)) == "windows-1251")
+    assert(LegacyCharset.detect(jvm("KOI8-R", ru)) == "koi8-r")
+    assert(LegacyCharset.detect(jvm("ISO-8859-5", ru)) == "iso-8859-5")
+  }
+
+  test("detect: script-unique single-byte families") {
+    val el = "αυτή είναι μια δοκιμή ελληνικού κειμένου με πεζά γράμματα κυρίως."
+    val he = "זוהי בדיקה של טקסט בעברית עם אותיות רבות כדי שהמנוע יזהה נכון."
+    val ar = "هذا اختبار لنص عربي يحتوي على حروف كثيرة ليتعرف المحرك عليه بشكل صحيح."
+    val th = "นี่คือการทดสอบข้อความภาษาไทยที่มีตัวอักษรจำนวนมากเพื่อการตรวจจับ"
+    assert(LegacyCharset.detect(jvm("windows-1253", el)) == "windows-1253")
+    assert(LegacyCharset.detect(jvm("windows-1255", he)) == "windows-1255")
+    assert(LegacyCharset.detect(jvm("windows-1256", ar)) == "windows-1256")
+    assert(LegacyCharset.detect(jvm("x-windows-874", th)) == "windows-874")
+  }
+
+  test("detect: the Latin family — anchors beat the 1252 default, ties fall to it") {
+    val fr = "le café était déjà fermé, à côté de l'hôtel où nous étions arrivés après minuit."
+    val cz = "příliš žluťoučký kůň úpěl ďábelské ódy, čeští řidiči věří světlům."
+    val tr = "türkçe sınav metni: ağaç, şeker, ırmak, iğne, çiçek, gölge, yığın."
+    assert(LegacyCharset.detect(jvm("windows-1252", fr)) == "windows-1252")
+    assert(LegacyCharset.detect(jvm("windows-1250", cz)) == "windows-1250")
+    assert(LegacyCharset.detect(jvm("windows-1254", tr)) == "windows-1254")
+  }
+
+  test("decodeDetected: detect-then-decode round-trips every claimed lane") {
+    val cases = Seq(
+      ("windows-31j", "日本語のテストです。ひらがなが多い文章ですよ。"),
+      ("GBK", "这是简体中文的测试，我们有很多的汉字了。"),
+      ("x-windows-949", "이것은 한국어 문서입니다. 감지가 되어야 합니다."),
+      ("windows-1251", "проверка строчного русского текста на месте."),
+      ("windows-1252", "le café déjà fermé à côté de l'hôtel coûte cher."),
+      ("UTF-8", "plain utf-8 with 日本語 and кириллица"))
+    for ((enc, text) <- cases)
+      assert(LegacyCharset.decodeDetected(jvm(enc, text)) == text, enc)
+  }
+
+  test("detect: deterministic on the capped sample") {
+    val ja = "日本語のテストです。これは長い文章で繰り返します。" * 2000
+    val b = jvm("windows-31j", ja)
+    assert(b.length > 8192)
+    assert(LegacyCharset.detect(b) == "shift_jis")
+    assert(LegacyCharset.detect(b) == LegacyCharset.detect(b.clone))
+  }
+
   test("warc e2e: header charset= and meta prescan both route, utf-8 fallback loud") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cjk_warc").toString
@@ -158,5 +228,49 @@ class LegacyCharsetSpec extends SparkSpec {
     val htmls = graft.io.Warc.toDocumentsHtml(recs)
       .select("url", "text").as[(String, String)].collect().toMap
     assert(htmls("http://a.test/m") == krText)
+  }
+
+  test("warc e2e: toDocumentsTextDetected fills silence, honors testimony") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_det_warc").toString
+    val ja = "日本語のテストです。これは長めの文章で、ひらがなが混ざっています。"
+    val ru = "это проверка русского текста строчными буквами для движка."
+    graft.io.Warc.writeWarcResponses(Seq(
+      // silence: bare text/plain, bytes must pick their own charset
+      ("http://d.test/sjis", "text/plain", jvm("windows-31j", ja)),
+      ("http://d.test/1251", "text/plain", jvm("windows-1251", ru)),
+      ("http://d.test/utf8", "text/plain", ja.getBytes("UTF-8")),
+      // testimony: a DECLARED charset wins over what detection would say
+      ("http://d.test/decl", "text/plain; charset=euc-jp", jvm("EUC-JP", ja)))
+      .toDF("target_uri", "content_type", "payload"), dir)
+    val out = graft.io.Warc.toDocumentsTextDetected(
+        graft.io.Warc.readWarc(spark, dir))
+      .select("url", "charset", "text").as[(String, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("http://d.test/sjis") == (("shift_jis", ja)))
+    assert(out("http://d.test/1251") == (("windows-1251", ru)))
+    assert(out("http://d.test/utf8") == (("utf-8", ja)))
+    assert(out("http://d.test/decl") == (("euc-jp", ja)))
+  }
+
+  test("warc e2e: toDocumentsHtmlDetected — silent page detected, meta wins") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_deth_warc").toString
+    val ja = "日本語のテストです。ひらがなが多めの本文ですよ。"
+    graft.io.Warc.writeWarcResponses(Seq(
+      // pre-standards page: bare text/html, no meta, no BOM
+      ("http://d.test/silent", "text/html",
+        jvm("windows-31j", s"<html><body><p>$ja</p></body></html>")),
+      // a meta declaration still wins over detection
+      ("http://d.test/meta", "text/html",
+        jvm("EUC-JP", "<html><head><meta charset=\"euc-jp\"></head>" +
+          s"<body><p>$ja</p></body></html>")))
+      .toDF("target_uri", "content_type", "payload"), dir)
+    val out = graft.io.Warc.toDocumentsHtmlDetected(
+        graft.io.Warc.readWarc(spark, dir))
+      .select("url", "charset", "text").as[(String, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("http://d.test/silent") == (("shift_jis", ja)))
+    assert(out("http://d.test/meta") == (("euc-jp", ja)))
   }
 }
