@@ -245,6 +245,42 @@ object Main {
       println(s"warc-media: ${spark.read.parquet(out).count()} media features -> $out")
       spark.stop()
 
+    // charset-provenance catalog: text+html responses decoded with the
+    // statistical detector on the no-declaration path, the routed
+    // label carried per document (the encoding-audit product)
+    case "warc-charset" :: in :: out :: Nil =>
+      val spark = session("graft-warc-charset")
+      val recs = graft.io.Warc.readWarc(spark, in)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.io.Warc.toDocumentsTextDetected(recs)
+        .unionByName(graft.io.Warc.toDocumentsHtmlDetected(recs))
+        .write.mode("overwrite").parquet(out)
+      recs.unpersist()
+      val docs = spark.read.parquet(out)
+      println(s"warc-charset: ${docs.count()} documents, " +
+        s"${docs.select("charset").distinct().count()} charsets -> $out")
+      spark.stop()
+
+    // URL identity clusters off one archive scan: redirect + meta-
+    // refresh edges ∪ rel=canonical declarations -> representative per
+    // alias cluster (LinkRank.urlAliasClusters)
+    case "alias-clusters" :: in :: out :: Nil =>
+      val spark = session("graft-alias-clusters")
+      val recs = graft.io.Warc.readWarc(spark, in)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val redirects = graft.io.Warc.redirectEdges(recs)
+        .select("from_url", "to_url")
+        .unionByName(graft.io.Warc.refreshEdges(recs)
+          .select("from_url", "to_url"))
+      val canonicals = graft.io.Warc.canonicalDeclarations(recs)
+      graft.operators.LinkRank.urlAliasClusters(redirects, canonicals)
+        .write.mode("overwrite").parquet(out)
+      recs.unpersist()
+      val cl = spark.read.parquet(out)
+      println(s"alias-clusters: ${cl.count()} aliased urls, " +
+        s"${cl.select("representative").distinct().count()} clusters -> $out")
+      spark.stop()
+
     // text-tag catalog rows (ID3v2 / MP4 ilst): media_id, kind, tag, value
     case "warc-tags" :: in :: out :: Nil =>
       val spark = session("graft-warc-tags")
@@ -512,6 +548,8 @@ object Main {
            |  graft.Main bpe-train <documentsParquetDir> <modelDir> [numMerges]
            |  graft.Main bpe-encode <documentsParquetDir> <modelDir> <outParquetDir>
            |  graft.Main warc-tags <warcPathOrGlob> <outParquetDir>
+           |  graft.Main warc-charset <warcPathOrGlob> <outParquetDir>
+           |  graft.Main alias-clusters <warcPathOrGlob> <outParquetDir>
            |  graft.Main index-compact <indexDir>
            |  graft.Main index-unlock <indexDir>
            |  graft.Main index-delete <indexDir> <id1,id2,...>

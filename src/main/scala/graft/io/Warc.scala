@@ -1135,6 +1135,32 @@ object Warc {
       .filter(col("to_url").isNotNull)
   }
 
+  /** `rel=canonical` declarations off the crawl's HTML responses, in
+    * [[graft.operators.LinkRank.urlAliasClusters]]'s `canonicals`
+    * shape: `(url, canonical_url)` — the page URL canonicalized, the
+    * declared href RESOLVED against it (canonical hrefs are commonly
+    * relative) and canonicalized by the same kernel, self-declarations
+    * dropped (a page naming itself canonical asserts no alias). Same
+    * narrow codegen projection as [[refreshEdges]]; one archive scan,
+    * zero shuffle. */
+  def canonicalDeclarations(records: Dataset[WarcRecord]): DataFrame = {
+    import graft.expressions.NativeUrl
+    import graft.functions.TextFunctions
+    val html = decodePayload(col("payload"), col("http_content_type"))
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mimeOf(col("http_content_type")) === "text/html")
+      .select(col("target_uri").as("page"),
+        TextFunctions.htmlMeta(html).getField("canonical").as("decl"))
+      .filter(col("decl") =!= "")
+      .select(
+        NativeUrl.canonicalizeUrl(col("page")).as("url"),
+        NativeUrl.resolveUrl(col("page"), col("decl")).as("canonical_url"))
+      .filter(col("canonical_url").isNotNull &&
+        col("canonical_url") =!= col("url"))
+  }
+
   /** Staging writer for redirect archives: a row with a non-null
     * `location` becomes a head-only 3xx response carrying it; a null
     * `location` becomes a plain 200 with a one-line HTML body (the

@@ -639,12 +639,31 @@ object LegacyCharset {
 
   /** Detect the charset of an UNDECLARED payload (see the cascade note
     * above). Returns a WHATWG label routable by `decodePayload` —
-    * "utf-8", "iso-2022-jp", one of [[detectCandidates]], or the
+    * "utf-8", "utf-16le"/"utf-16be" (the BOM-less NUL-alternation
+    * lane), "iso-2022-jp", one of [[detectCandidates]], or the
     * "windows-1252" fallback. Deterministic; samples at most
     * `maxBytes`. */
   def detect(bytes: Array[Byte], maxBytes: Int = 8192): String = {
     val n = math.min(bytes.length, maxBytes)
     if (hasIso2022Escape(bytes, n)) return "iso-2022-jp"
+    // BOM-less UTF-16 (servers strip marks; real in crawls): mostly-
+    // Latin UTF-16 text has a NUL in nearly every code unit — on the
+    // high-byte side for LE, low-byte side for BE. No other claimed
+    // charset emits NUL runs (NUL is not text in any of them), so a
+    // clear one-sided majority of NULs at even/odd positions is
+    // decisive; require enough units to not misread binary junk.
+    if (n >= 16) {
+      var zEven = 0; var zOdd = 0
+      var j = 0
+      while (j + 1 < n) {
+        if (bytes(j) == 0) zEven += 1
+        if (bytes(j + 1) == 0) zOdd += 1
+        j += 2
+      }
+      val units = n / 2
+      if (zOdd > units * 2 / 3 && zEven < units / 8) return "utf-16le"
+      if (zEven > units * 2 / 3 && zOdd < units / 8) return "utf-16be"
+    }
     val (utf8Ok, hasHigh) = utf8Shape(bytes, n)
     if (utf8Ok || !hasHigh) return "utf-8"
     val sample = if (n == bytes.length) bytes
@@ -742,6 +761,10 @@ object LegacyCharset {
     detect(bytes) match {
       case "utf-8" =>
         new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      case "utf-16le" =>
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_16LE)
+      case "utf-16be" =>
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE)
       case "windows-1252" =>
         val lat = new String(bytes,
           java.nio.charset.StandardCharsets.ISO_8859_1)

@@ -153,6 +153,30 @@ class FrontierGraphSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a.test", "http://a.test/S.xml")))
   }
 
+  test("canonicalDeclarations: relative resolution, self-declarations drop") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_canon_warc").toString
+    def page(canon: String) =
+      (s"<html><head><link rel=\"canonical\" href=\"$canon\"></head>" +
+        "<body>b</body></html>").getBytes("UTF-8")
+    Warc.writeWarcResponses(Seq(
+      ("http://a.test/page?b=2&a=1", "text/html", page("/clean")),
+      ("http://b.test/dup", "text/html", page("http://b.test/orig")),
+      // self-canonical (after canonicalization): no alias asserted
+      ("http://c.test/self", "text/html", page("http://C.test:80/self")),
+      // no declaration at all
+      ("http://d.test/none", "text/html",
+        "<html><body>plain</body></html>".getBytes("UTF-8")))
+      .toDF("target_uri", "content_type", "payload"), dir)
+    val got = Warc.canonicalDeclarations(Warc.readWarc(spark, dir))
+      .as[(String, String)].collect().toMap
+    assert(got.size == 2)
+    // page url canonicalized (query verbatim — RFC 3986 §6.2.2, no key
+    // sort; SURT is the sorting layer), relative href resolved
+    assert(got("http://a.test/page?b=2&a=1") == "http://a.test/clean")
+    assert(got("http://b.test/dup") == "http://b.test/orig")
+  }
+
   test("urlAliasClusters: role preference elects representatives") {
     // chain a->b->c, c declares canonical d: one cluster, d wins (role 2)
     // pair e->f: f wins (redirect target); f also redirects to e?

@@ -144,6 +144,20 @@ class LegacyCharsetSpec extends SparkSpec {
       == "windows-1252")
   }
 
+  test("detect: BOM-less UTF-16 via the NUL-alternation lane") {
+    val t = "Latin text served as UTF-16 with the mark stripped"
+    assert(LegacyCharset.detect(t.getBytes("UTF-16LE")) == "utf-16le")
+    assert(LegacyCharset.detect(t.getBytes("UTF-16BE")) == "utf-16be")
+    assert(LegacyCharset.decodeDetected(t.getBytes("UTF-16LE")) == t)
+    assert(LegacyCharset.decodeDetected(t.getBytes("UTF-16BE")) == t)
+    // CJK-heavy UTF-16 has few NULs — it must NOT claim the lane, and
+    // short payloads never do
+    val ja = "日本語のテストです。これは長めの文章になっています。"
+    assert(LegacyCharset.detect(ja.getBytes("UTF-16LE")) != "utf-16be")
+    // too short for the lane (< 16 bytes): falls through the cascade
+    assert(LegacyCharset.detect("ab".getBytes("UTF-16LE")) == "utf-8")
+  }
+
   test("detect: each CJK charset claims its own encoder's bytes") {
     val ja = "日本語のテストです。これは長めの文章で、ひらがなとカタカナと漢字が混ざっています。"
     val zhS = "这是一个简体中文的测试页面，包含了很多常用的汉字和标点符号。我们的引擎需要正确识别它。"
