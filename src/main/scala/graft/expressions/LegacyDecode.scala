@@ -45,13 +45,30 @@ case class DecodeLegacy(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Static kernels behind [[DetectCharset]] / [[DecodeDetected]]. */
+/** Static kernels behind [[DetectCharset]] / [[DecodeDetected]] /
+  * [[DetectAndDecode]]. */
 object CharsetDetectKernel {
   def detect(payload: Array[Byte]): UTF8String =
     UTF8String.fromString(graft.operators.LegacyCharset.detect(payload))
   def decodeDetected(payload: Array[Byte]): UTF8String =
     UTF8String.fromString(
       graft.operators.LegacyCharset.decodeDetected(payload))
+  def detectAndDecode(payload: Array[Byte])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val label = graft.operators.LegacyCharset.detect(payload)
+    val text = label match {
+      case "utf-8" =>
+        new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      case "utf-16le" =>
+        new String(payload, java.nio.charset.StandardCharsets.UTF_16LE)
+      case "utf-16be" =>
+        new String(payload, java.nio.charset.StandardCharsets.UTF_16BE)
+      case "windows-1252" => graft.operators.LegacyCharset.decodeCp1252(payload)
+      case l => graft.operators.LegacyCharset.decode(payload, l)
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(label), UTF8String.fromString(text))
+  }
 }
 
 /** `detect_charset(binary)` → string label: the statistical detector
@@ -100,6 +117,35 @@ case class DecodeDetected(child: Expression)
       newChild: Expression): DecodeDetected = copy(child = newChild)
 }
 
+/** `detect_and_decode(binary)` → struct<charset, text>: ONE cascade
+  * run serving both the label and the routed decode — the shape
+  * [[graft.io.Warc.toDocumentsTextDetected]] projects, where separate
+  * `detect_charset` + `decode_detected` columns would run the
+  * 16-candidate scoring pass twice per record (and whole-stage
+  * codegen's subexpression elimination dedups the two `getField`
+  * accesses to this one call). */
+case class DetectAndDecode(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"detect_and_decode requires binary, got ${t.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("charset", StringType,
+      nullable = false),
+      org.apache.spark.sql.types.StructField("text", StringType,
+        nullable = false)))
+  override def prettyName: String = "detect_and_decode"
+  override def nullSafeEval(payload: Any): Any =
+    CharsetDetectKernel.detectAndDecode(payload.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, p =>
+      s"graft.expressions.CharsetDetectKernel.detectAndDecode($p)")
+  override protected def withNewChildInternal(
+      newChild: Expression): DetectAndDecode = copy(child = newChild)
+}
+
 object NativeCharset {
   def decodeLegacy(payload: Column, label: Column): Column =
     GraftColumnBridge.column(DecodeLegacy(
@@ -110,5 +156,8 @@ object NativeCharset {
       GraftColumnBridge.expression(payload)))
   def decodeDetected(payload: Column): Column =
     GraftColumnBridge.column(DecodeDetected(
+      GraftColumnBridge.expression(payload)))
+  def detectAndDecode(payload: Column): Column =
+    GraftColumnBridge.column(DetectAndDecode(
       GraftColumnBridge.expression(payload)))
 }

@@ -363,8 +363,30 @@ object Warc {
     * silence; declarations still win). Same narrow zero-shuffle
     * projection; the detector is one codegen'd kernel call per
     * record over a capped 8 KiB sample. */
+  /** True when the payload carries NO charset testimony at all — no
+    * BOM, no header `charset=`, no meta-prescan hit: the routing
+    * predicate of the detected faces (detection fills exactly this
+    * silence, never overriding a declaration). */
+  private[io] def declarationSilent(payload: org.apache.spark.sql.Column,
+      contentType: org.apache.spark.sql.Column) = {
+    val csPat = "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)"
+    val headerCs = regexp_extract(contentType, csPat, 1)
+    val metaCs = regexp_extract(
+      substring(decode(payload, "ISO-8859-1"), 1, 1024),
+      "(?i)<meta[^>]*" + csPat, 1)
+    headerCs === "" && metaCs === "" &&
+      substring(payload, 1, 2) =!= lit(Array(0xFF.toByte, 0xFE.toByte)) &&
+      substring(payload, 1, 2) =!= lit(Array(0xFE.toByte, 0xFF.toByte)) &&
+      substring(payload, 1, 3) =!=
+        lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+  }
+
   def toDocumentsTextDetected(records: Dataset[WarcRecord]): DataFrame = {
     import graft.functions.TextFunctions
+    // the detect-and-decode struct is computed in its OWN projection:
+    // one 16-candidate cascade per silent record serves both the
+    // charset and text columns (CollapseProject keeps a non-cheap
+    // multi-referenced alias in place, so the call is not duplicated)
     records.toDF()
       .filter(col("warc_type") === "response" && col("framing_ok") &&
         col("target_uri").isNotNull &&
@@ -372,10 +394,17 @@ object Warc {
       .select(
         xxhash64(col("target_uri")).as("doc_id"),
         col("target_uri").as("url"),
-        charsetOf(col("payload"), col("http_content_type"),
-          detect = true).as("charset"),
-        decodePayload(col("payload"), col("http_content_type"),
-          detect = true).as("text"))
+        col("payload"), col("http_content_type"),
+        when(declarationSilent(col("payload"), col("http_content_type")),
+          graft.expressions.NativeCharset.detectAndDecode(col("payload")))
+          .as("dd"))
+      .select(col("doc_id"), col("url"),
+        when(col("dd").isNotNull, col("dd.charset"))
+          .otherwise(charsetOf(col("payload"), col("http_content_type"),
+            detect = false)).as("charset"),
+        when(col("dd").isNotNull, col("dd.text"))
+          .otherwise(decodePayload(col("payload"), col("http_content_type")))
+          .as("text"))
       .select(col("doc_id"), col("url"), col("charset"),
         TextFunctions.langId(col("text")).as("lang"), col("text"))
   }
@@ -413,6 +442,7 @@ object Warc {
     * blind UTF-8 default. */
   def toDocumentsHtmlDetected(records: Dataset[WarcRecord]): DataFrame = {
     import graft.functions.TextFunctions
+    // same one-cascade-per-record shape as [[toDocumentsTextDetected]]
     records.toDF()
       .filter(col("warc_type") === "response" && col("framing_ok") &&
         col("target_uri").isNotNull &&
@@ -420,11 +450,18 @@ object Warc {
       .select(
         xxhash64(col("target_uri")).as("doc_id"),
         col("target_uri").as("url"),
-        charsetOf(col("payload"), col("http_content_type"),
-          detect = true).as("charset"),
+        col("payload"), col("http_content_type"),
+        when(declarationSilent(col("payload"), col("http_content_type")),
+          graft.expressions.NativeCharset.detectAndDecode(col("payload")))
+          .as("dd"))
+      .select(col("doc_id"), col("url"),
+        when(col("dd").isNotNull, col("dd.charset"))
+          .otherwise(charsetOf(col("payload"), col("http_content_type"),
+            detect = false)).as("charset"),
         TextFunctions.htmlToText(
-          decodePayload(col("payload"), col("http_content_type"),
-            detect = true)).as("html_text"))
+          when(col("dd").isNotNull, col("dd.text"))
+            .otherwise(decodePayload(col("payload"),
+              col("http_content_type")))).as("html_text"))
       .select(col("doc_id"), col("url"), col("charset"),
         TextFunctions.langId(col("html_text")).as("lang"),
         col("html_text").as("text"))

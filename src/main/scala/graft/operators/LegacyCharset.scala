@@ -765,20 +765,24 @@ object LegacyCharset {
         new String(bytes, java.nio.charset.StandardCharsets.UTF_16LE)
       case "utf-16be" =>
         new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE)
-      case "windows-1252" =>
-        val lat = new String(bytes,
-          java.nio.charset.StandardCharsets.ISO_8859_1)
-        val sb = new java.lang.StringBuilder(lat.length)
-        var j = 0
-        while (j < lat.length) {
-          val c = lat.charAt(j)
-          val k = Cp1252Map.indexOf(c)
-          sb.append(if (k >= 0) Cp1252To(k) else c)
-          j += 1
-        }
-        sb.toString
+      case "windows-1252" => decodeCp1252(bytes)
       case l => decode(bytes, l)
     }
+
+  /** Exact windows-1252 decode: latin-1 plus the 27-position C1 remap
+    * (kept in sync with `Warc.decodePayload`'s translate lane). */
+  def decodeCp1252(bytes: Array[Byte]): String = {
+    val lat = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val sb = new java.lang.StringBuilder(lat.length)
+    var j = 0
+    while (j < lat.length) {
+      val c = lat.charAt(j)
+      val k = Cp1252Map.indexOf(c)
+      sb.append(if (k >= 0) Cp1252To(k) else c)
+      j += 1
+    }
+    sb.toString
+  }
 
   /** big5 decoder: the two disjoint trail ranges 0x40–0x7E / 0xA1–0xFE. */
   private def decodeBig5(b: Array[Byte], sb: java.lang.StringBuilder): Unit = {
