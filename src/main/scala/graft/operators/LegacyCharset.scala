@@ -489,7 +489,7 @@ object LegacyCharset {
   private[graft] val detectCandidates: Seq[String] = Seq(
     "shift_jis", "euc-jp", "gbk", "big5", "euc-kr",
     "windows-1253", "windows-1255", "windows-1256", "windows-874",
-    "windows-1251", "koi8-r", "iso-8859-5", "x-mac-cyrillic",
+    "windows-1251", "koi8-r", "koi8-u", "iso-8859-5", "x-mac-cyrillic",
     "windows-1252", "windows-1250", "windows-1254")
 
   /** Per-language anchor characters (see the cascade note above) —
@@ -509,6 +509,10 @@ object LegacyCharset {
   private val anchorZhT = "的是不了在這個們有和為沒說"
   private val anchorKo = "이다의에는은을를가고하지"
   private val anchorRu = "оеаинтс"
+  // Ukrainian: the shared Cyrillic core plus і/ї/є — the letters whose
+  // koi8-u positions are box-drawing symbols in koi8-r, the pair's
+  // only separation (ties on pure-shared-range text fall to koi8-r)
+  private val anchorUk = "оаніивтсїє"
   // top vowels/consonants + tonos forms + final sigma: the plain Greek
   // vowels share the byte plane with windows-1252's accented Latin
   // (é→ι), but the ADJACENCY gate keeps Latin pages out of this
@@ -726,6 +730,7 @@ object LegacyCharset {
             case EucKr => anchorKo
             case "sb:windows1251" | "sb:koi8r" | "sb:iso88595" |
               "sb:maccyrillic" => anchorRu
+            case "sb:koi8u" => anchorUk
             case "sb:windows1253" => anchorEl
             case "sb:windows1255" => anchorHe
             case "sb:windows1256" => anchorAr

@@ -1011,6 +1011,38 @@ object ExtensionQueries {
       out
     })
 
+  private val aliasWarcStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_alias_from_warc: per document a 301
+    * redirect record `/r -> /p` (under `redir/`) and an HTML page `/p`
+    * declaring `<link rel=canonical>` to `/c` (under `pages/`) — the
+    * two alias mechanisms in ARCHIVE form, so the query exercises the
+    * full extraction path (redirectEdges + canonicalDeclarations)
+    * before clustering. */
+  private def aliasWarcStage(s: SparkSession, dir: String): String =
+    aliasWarcStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_alias").toString
+      val d = t(s, dir, "documents")
+        .select(concat(lit("http://h"), col("doc_id"), lit(".test/"))
+          .as("b"))
+      graft.io.Warc.writeWarcRedirects(
+        d.select(concat(col("b"), lit("r")).as("target_uri"),
+          lit(301).as("status"),
+          concat(col("b"), lit("p")).as("location")),
+        s"$out/redir")
+      graft.io.Warc.writeWarcResponses(
+        d.as[String].map { b =>
+          (b + "p", "text/html",
+            (s"""<html><head><link rel="canonical" href="${b}c"></head>""" +
+              "<body>page</body></html>")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+          .toDF("target_uri", "content_type", "payload"),
+        s"$out/pages")
+      out
+    })
+
   private val recrawlMergeStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1911,6 +1943,7 @@ object ExtensionQueries {
     charsetStage(s, dir)
     bomStage(s, dir)
     detectStage(s, dir)
+    aliasWarcStage(s, dir)
     segmentStage(s, dir)
     refreshStage(s, dir)
     freshnessStage(s, dir)
@@ -4924,6 +4957,22 @@ object ExtensionQueries {
         .orderBy("url")
     }),
 
+    // Alias clusters from ARCHIVES: the same identity algebra driven
+    // through the extraction path — redirect records via
+    // redirectEdges, canonical declarations parsed out of the HTML
+    // pages — one {r, p, c} cluster per document, the canonical
+    // target elected everywhere.
+    "q_alias_from_warc" -> ((s, dir) => {
+      val root = aliasWarcStage(s, dir)
+      val redirects = graft.io.Warc.redirectEdges(
+          graft.io.Warc.readWarc(s, s"$root/redir"))
+        .select("from_url", "to_url")
+      val canonicals = graft.io.Warc.canonicalDeclarations(
+        graft.io.Warc.readWarc(s, s"$root/pages"))
+      graft.operators.LinkRank.urlAliasClusters(redirects, canonicals)
+        .orderBy("url")
+    }),
+
     // Conditional-refetch merge: one current corpus from two crawls —
     // refetched 200s replace, raw 304s resolve to prior bodies by URL,
     // revisit records by digest, untouched URLs carry forward with
@@ -6158,6 +6207,11 @@ object ExtensionQueries {
     // reps and sizes from the same cycles
     "q_url_alias" ->
       """WITH d AS (SELECT doc_id, 'http://h' || doc_id || '.test/' AS b0, doc_id % 2 = 0 AS ev, doc_id % 3 = 0 AS c3 FROM documents), rows AS (SELECT b0 || 'a' AS url, CASE WHEN ev AND c3 THEN b0 || 'canon' WHEN ev THEN b0 || 'c' ELSE b0 || 'b' END AS representative, CASE WHEN ev AND c3 THEN 4 WHEN ev THEN 3 ELSE 2 END AS cluster_size FROM d UNION ALL SELECT b0 || 'b', CASE WHEN ev AND c3 THEN b0 || 'canon' WHEN ev THEN b0 || 'c' ELSE b0 || 'b' END, CASE WHEN ev AND c3 THEN 4 WHEN ev THEN 3 ELSE 2 END FROM d UNION ALL SELECT b0 || 'c', CASE WHEN c3 THEN b0 || 'canon' ELSE b0 || 'c' END, CASE WHEN ev AND c3 THEN 4 WHEN c3 THEN 2 ELSE 3 END FROM d WHERE ev OR c3 UNION ALL SELECT b0 || 'canon', b0 || 'canon', CASE WHEN ev THEN 4 ELSE 2 END FROM d WHERE c3) SELECT url, representative, CAST(cluster_size AS BIGINT) AS cluster_size FROM rows ORDER BY url""",
+
+    // every document's {r, p, c} triple: redirect source, canonical
+    // declarer, canonical target — rep always the target, size 3
+    "q_alias_from_warc" ->
+      """WITH d AS (SELECT 'http://h' || doc_id || '.test/' AS b FROM documents), r AS (SELECT b || 'r' AS url, b || 'c' AS representative, 3 AS cluster_size FROM d UNION ALL SELECT b || 'p', b || 'c', 3 FROM d UNION ALL SELECT b || 'c', b || 'c', 3 FROM d) SELECT url, representative, CAST(cluster_size AS BIGINT) AS cluster_size FROM r ORDER BY url""",
 
     // the five staged lanes replayed: v2 bodies and the refetch date on
     // the changed lanes, v1 bodies on 304/revisit/carry-forward, the

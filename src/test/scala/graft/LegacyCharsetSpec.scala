@@ -177,6 +177,13 @@ class LegacyCharsetSpec extends SparkSpec {
     assert(LegacyCharset.detect(jvm("ISO-8859-5", ru)) == "iso-8859-5")
   }
 
+  test("detect: koi8-u claims Ukrainian via і/ї/є, koi8-r keeps Russian") {
+    val uk = "це перевірка українського тексту, її літери і слова є важливі."
+    val ru = "это проверка русского текста строчными буквами как обычно."
+    assert(LegacyCharset.detect(jvm("KOI8-U", uk)) == "koi8-u")
+    assert(LegacyCharset.detect(jvm("KOI8-R", ru)) == "koi8-r")
+  }
+
   test("detect: script-unique single-byte families") {
     val el = "αυτή είναι μια δοκιμή ελληνικού κειμένου με πεζά γράμματα κυρίως."
     val he = "זוהי בדיקה של טקסט בעברית עם אותיות רבות כדי שהמנוע יזהה נכון."
