@@ -122,6 +122,29 @@ object Wat {
   /** Parse WAT lines back to typed rows; `ok = false` flags a malformed
     * line (bad JSON, missing envelope, mis-typed field) without failing
     * siblings — the flagged row carries the raw line in `filename`. */
+  /** Frontier edges from the WAT sidecar ALONE — the metadata-only
+    * consumer path: link analytics (pageRank / hostRank / anchorTexts)
+    * that fetches the link-scale WAT instead of the payload-scale
+    * WARC, the reason Common Crawl publishes the sidecar at all. Raw
+    * hrefs resolve against the page URL and canonicalize through the
+    * same kernels as [[graft.io.Warc.frontierLinks]], so WARC-derived
+    * and WAT-derived edges share one URL identity. One documented
+    * divergence: a `<base href>` override is visible only on the WARC
+    * path — the WAT envelope stores the page URI and raw hrefs (the
+    * Common Crawl shape), so base-tagged pages' relative links resolve
+    * against the page URL here. Narrow per-row work, zero shuffle. */
+  def watOutlinks(wat: DataFrame): DataFrame = {
+    import graft.expressions.NativeUrl
+    wat.filter(col("ok") && col("warc_type") === "response" &&
+        col("links").isNotNull && col("url").isNotNull)
+      .select(col("url"), explode(col("links")).as("link"))
+      .select(
+        NativeUrl.canonicalizeUrl(col("url")).as("from_url"),
+        NativeUrl.resolveUrl(col("url"), col("link.url")).as("to_url"),
+        col("link.text").as("anchor"))
+      .filter(col("to_url").isNotNull)
+  }
+
   def readWat(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     import graft.operators.Json

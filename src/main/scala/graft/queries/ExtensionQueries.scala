@@ -4744,6 +4744,16 @@ object ExtensionQueries {
         .orderBy("doc_id", "pos")
     }),
 
+    // Link analytics off the WAT sidecar ALONE (the metadata-only
+    // consumer): raw hrefs resolved against the page URL and
+    // canonicalized through the same kernels as the WARC path — the
+    // relative and absolute lanes both replayed.
+    "q_wat_outlinks" -> ((s, dir) => {
+      graft.io.Wat.watOutlinks(
+          graft.io.Wat.readWat(s, watStage(s, dir)))
+        .orderBy("from_url", "to_url")
+    }),
+
     // Recrawl planning: the age-proportional revisit policy over the
     // staged validator batteries — IMF-fixdate parsing, both clamp
     // edges, the absent-validator default, and the epoch arithmetic
@@ -6140,6 +6150,11 @@ object ExtensionQueries {
     // from the staging constants
     "q_wat_roundtrip" ->
       """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, '2026-03-01T00:00:00Z' AS warc_date, CAST(200 AS INTEGER) AS status, 'text/html' AS content_type, pos, CASE pos WHEN 0 THEN '/r' || doc_id ELSE 'http://abs' || doc_id || '.test/P' END AS href, CASE pos WHEN 0 THEN 'rel link' ELSE 'second ' || doc_id END AS anchor FROM documents, unnest([0, 1]) AS t(pos) ORDER BY doc_id, pos""",
+
+    // the relative lane resolves against the page, the absolute lane
+    // passes through — both canonicalized, replayed from the cycles
+    "q_wat_outlinks" ->
+      """WITH d AS (SELECT doc_id FROM documents), e AS (SELECT 'http://corpus.test/doc/' || doc_id AS from_url, 'http://corpus.test/r' || doc_id AS to_url, 'rel link' AS anchor FROM d UNION ALL SELECT 'http://corpus.test/doc/' || doc_id, 'http://abs' || doc_id || '.test/P', 'second ' || doc_id FROM d) SELECT from_url, to_url, anchor FROM e ORDER BY from_url, to_url""",
 
     // the staged validator lanes replayed: fetch epoch constant, the
     // three Last-Modified derivations, alpha/clamp arithmetic verbatim

@@ -53,6 +53,17 @@ class WatSpec extends SparkSpec {
       flagged(0).getAs[String]("filename") == "{\"Envelope\":42}")
   }
 
+  test("watOutlinks: bit-parity with the WARC frontierLinks path") {
+    val (warc, wat) = stage(gz = true)
+    val fromWat = graft.io.Wat.watOutlinks(graft.io.Wat.readWat(spark, wat))
+      .orderBy("from_url", "to_url").collect().toSeq
+    val fromWarc = graft.io.Warc.frontierLinks(
+        graft.io.Warc.readWarc(spark, warc))
+      .orderBy("from_url", "to_url").collect().toSeq
+    // no <base> tag staged: the two paths must agree edge-for-edge
+    assert(fromWat == fromWarc && fromWat.length == 2)
+  }
+
   test("Container addressing fetches the described record back, both layouts") {
     for (gz <- Seq(true, false)) {
       val (_, wat) = stage(gz)
