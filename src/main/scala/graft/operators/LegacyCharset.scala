@@ -527,6 +527,9 @@ object LegacyCharset {
   private val anchor1250 = "ěřąłżś"
   private val anchor1254 = "ğşıİ"
 
+  private val latinOnly: Set[String] =
+    Set("windows-1252", "windows-1250", "windows-1254")
+
   /** True iff the sample carries an ISO-2022-JP designator escape. */
   private def hasIso2022Escape(b: Array[Byte], n: Int): Boolean = {
     var i = 0
@@ -543,11 +546,20 @@ object LegacyCharset {
 
   /** Strict UTF-8 structural validation over the sample prefix; also
     * reports whether any non-ASCII byte appeared. A multi-byte
-    * sequence that would CROSS the cap boundary is not held against
-    * the stream (the cap truncates mid-character by construction). */
+    * sequence that would CROSS the end is not held against the
+    * stream — whether the end is the sample cap (truncates
+    * mid-character by construction) or the payload's own end (a
+    * WARC-Truncated partial capture of genuine UTF-8 must still
+    * detect as UTF-8, not fall through to the legacy scoring): the
+    * available trail bytes are validated, the missing ones excused —
+    * but ONLY when the stream already produced a COMPLETE multi-byte
+    * sequence (a lone trailing 0xE9 is a cp1252 page ending in é, not
+    * truncated UTF-8; a genuine partial capture has whole characters
+    * before the cut). */
   private def utf8Shape(b: Array[Byte], n: Int): (Boolean, Boolean) = {
     var i = 0
     var hasHigh = false
+    var completed = 0
     while (i < n) {
       val x = b(i) & 0xff
       if (x < 0x80) i += 1
@@ -558,7 +570,7 @@ object LegacyCharset {
           else if (x >= 0xE0 && x <= 0xEF) 2
           else if (x >= 0xF0 && x <= 0xF4) 3
           else return (false, true)
-        if (i + need >= n && n == b.length) return (false, true)
+        if (i + need >= n && completed == 0) return (false, true)
         var j = 1
         while (j <= need && i + j < n) {
           val t = b(i + j) & 0xff
@@ -569,6 +581,7 @@ object LegacyCharset {
             return (false, true)
           j += 1
         }
+        if (i + need < n) completed += 1
         i += need + 1
       }
     }
@@ -701,7 +714,6 @@ object LegacyCharset {
       i += 1
     }
     val latinish = adj.toDouble / high > 0.5
-    val latinOnly = Set("windows-1252", "windows-1250", "windows-1254")
     var best = "windows-1252"
     var bestScore = 0.40 // the claim threshold
     detectCandidates.iterator

@@ -144,6 +144,16 @@ class LegacyCharsetSpec extends SparkSpec {
       == "windows-1252")
   }
 
+  test("detect: truncated UTF-8 (partial capture) still reads as UTF-8") {
+    val full = "日本語のテストです。truncated capture".getBytes("UTF-8")
+    // cut INSIDE a multi-byte sequence near the front
+    val cut = java.util.Arrays.copyOf(full, 7)
+    assert(LegacyCharset.detect(cut) == "utf-8")
+    // an actually-invalid trail byte still fails the structural check
+    val bad = full.clone; bad(1) = 'x'.toByte
+    assert(LegacyCharset.detect(bad) != "utf-8")
+  }
+
   test("detect: BOM-less UTF-16 via the NUL-alternation lane") {
     val t = "Latin text served as UTF-16 with the mark stripped"
     assert(LegacyCharset.detect(t.getBytes("UTF-16LE")) == "utf-16le")
