@@ -141,18 +141,26 @@ object LinkRank {
     * into) cost one agg row each. */
   def urlAliasClusters(redirects: DataFrame, canonicals: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    val redir = redirects
-      .select(col("from_url").as("a"), col("to_url").as("b"))
+    // ONE materialization of the (possibly archive-scan-derived) edge
+    // inputs: the role tag rides along so redirect/canonical unions
+    // are never re-derived — without this, an archive-backed caller
+    // (alias-clusters over WARC) re-scans the archive once per
+    // downstream reference (edges, roles, vertex list)
+    val tagged = redirects
+      .select(col("from_url").as("a"), col("to_url").as("b"),
+        lit(1).as("role"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-    val canon = canonicals
-      .filter(col("canonical_url").isNotNull && col("canonical_url") =!= "" &&
-        col("canonical_url") =!= col("url"))
-      .select(col("url").as("a"), col("canonical_url").as("b"))
-    val edges = redir.unionByName(canon).distinct()
+      .unionByName(canonicals
+        .filter(col("canonical_url").isNotNull &&
+          col("canonical_url") =!= "" &&
+          col("canonical_url") =!= col("url"))
+        .select(col("url").as("a"), col("canonical_url").as("b"),
+          lit(2).as("role")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = tagged.select(col("a"), col("b")).distinct()
     // role preference per URL: best inbound role minus the source demotion
-    val scores = canon.select(col("b").as("url"), lit(2).as("r"))
-      .unionByName(redir.select(col("b").as("url"), lit(1).as("r")))
-      .unionByName(edges.select(col("a").as("url"), lit(-10).as("r")))
+    val scores = tagged.select(col("b").as("url"), col("role").as("r"))
+      .unionByName(tagged.select(col("a").as("url"), lit(-10).as("r")))
       .groupBy("url")
       .agg((greatest(max(when(col("r") > 0, col("r"))), lit(0)) +
         min(when(col("r") === -10, lit(-1)).otherwise(lit(0)))).as("score"))
@@ -162,9 +170,15 @@ object LinkRank {
     val comp = Dedup.connectedComponents(
       edges.select(xxhash64(col("a")).as("id_a"), xxhash64(col("b")).as("id_b")),
       ids.select("id"), maxIter = maxIter)
+    // node-scale eager checkpoint: everything downstream (sizes, the
+    // keeper argmax, the join-back) derives from membership alone, so
+    // the tagged edge cache can be released before returning the
+    // still-lazy result
     val membership = ids.join(comp, Seq("id"))
       .join(scores, Seq("url"), "left")
       .na.fill(0, Seq("score"))
+      .localCheckpoint(true)
+    tagged.unpersist()
     val sizes = membership.groupBy("component")
       .agg(count(lit(1)).as("cluster_size"))
     Dedup.clusterKeepers(membership, "url", "component", "score")
