@@ -440,13 +440,22 @@ object LegacyCharset {
   //   1. ISO-2022-JP escape scan: a 7-bit stream carrying `ESC $ @/B`
   //      or `ESC ( I/J` designators IS iso-2022-jp (no other claimed
   //      charset uses them; UTF-8 text never contains bare ESC).
-  //   2. Strict UTF-8 structural validation: a byte stream that parses
+  //   2. BOM-less UTF-16 (servers strip marks): mostly-Latin UTF-16
+  //      has a NUL in nearly every code unit, on the high-byte side
+  //      for LE and the low-byte side for BE — no other claimed
+  //      charset emits NUL runs, so a clear one-sided even/odd
+  //      majority is decisive (≥16 bytes required, so binary junk
+  //      and short tails never claim the lane).
+  //   3. Strict UTF-8 structural validation: a byte stream that parses
   //      as well-formed multi-byte UTF-8 is UTF-8 — the probability of
   //      legacy two-byte text forming only valid UTF-8 sequences decays
   //      geometrically with length (the standard detector precision
   //      argument). Pure ASCII also returns "utf-8" (every claimed
-  //      charset decodes ASCII identically).
-  //   3. Decode-and-score: the capped sample is decoded under each
+  //      charset decodes ASCII identically). A sequence truncated by
+  //      end-of-data is excused ONLY behind a completed-multi-byte
+  //      witness: partial captures of real UTF-8 pass, a cp1252 page
+  //      ending in é does not.
+  //   4. Decode-and-score: the capped sample is decoded under each
   //      CANDIDATE charset and scored on the decoded code points. An
   //      ADJACENCY gate runs first: when most high bytes touch an
   //      ASCII letter the text is Latin-script by construction
@@ -471,9 +480,11 @@ object LegacyCharset {
   //      structurally perfect hanzi and only the anchor layer can
   //      tell; for the Latin single-byte family the anchors are the
   //      letters at byte positions where the candidate's layout
-  //      DIFFERS from windows-1252 (ě/ř/ů/ą/ł/ż for windows-1250,
-  //      ğ/ş/ı for windows-1254).
-  //   4. Fallback: below threshold (or fewer than 4 non-ASCII bytes —
+  //      DIFFERS from windows-1252 (ě/ř/ą/ł/ż/ś for
+  //      windows-1250 — no ů, its byte is French ù — ğ/ş/ı for
+  //      windows-1254); і/ї/є split koi8-u from koi8-r, whose
+  //      positions for them are box-drawing symbols.
+  //   5. Fallback: below threshold (or fewer than 4 non-ASCII bytes —
   //      nothing to measure) the answer is windows-1252, the web's
   //      de-facto default for undeclared 8-bit content (the WHATWG
   //      default for most locales).
