@@ -218,12 +218,16 @@ object Main {
         s"${recs.filter(!col("framing_ok")).count()} framing violations) -> $out")
       spark.stop()
 
-    // EVERY text-bearing response (html/pdf/plain) -> curate-ready docs
-    case "warc-docs" :: in :: out :: Nil =>
+    // EVERY text-bearing response (html/pdf/plain) -> curate-ready docs;
+    // --detect routes undeclared-charset html/plain through the detector
+    case "warc-docs" :: rest if rest.filterNot(_ == "--detect").length == 2 =>
+      val detect = rest.contains("--detect")
+      val (in :: out :: Nil) = rest.filterNot(_ == "--detect"): @unchecked
       val spark = session("graft-warc-docs")
       val recs = graft.io.Warc.readWarc(spark, in)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.io.Warc.toDocuments(recs).write.mode("overwrite").parquet(out)
+      graft.io.Warc.toDocuments(recs, detectCharsets = detect)
+        .write.mode("overwrite").parquet(out)
       recs.unpersist()
       println(s"warc-docs: ${spark.read.parquet(out).count()} documents -> $out")
       spark.stop()
@@ -538,7 +542,7 @@ object Main {
            |  graft.Main warc     <warcPathOrGlob> <outParquetDir>
            |  graft.Main warc-media <warcPathOrGlob> <outParquetDir>
            |  graft.Main warc-pdf <warcPathOrGlob> <outParquetDir>
-           |  graft.Main warc-docs <warcPathOrGlob> <outParquetDir>
+           |  graft.Main warc-docs [--detect] <warcPathOrGlob> <outParquetDir>
            |  graft.Main shards   <documentsParquetDir> <bpeModelDir> <outDir> [tokensPerShard]
            |  graft.Main report   <documentsParquetDir> <outDir> [dim1,dim2,...]
            |  graft.Main search   <documentsParquetDir> <k> <term> [term...]

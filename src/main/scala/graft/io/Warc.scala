@@ -1996,7 +1996,19 @@ object Warc {
     * should `records.persist()` first (three column-pruned passes over a
     * cached record table beat three archive walks). */
   def toDocuments(records: Dataset[WarcRecord]): DataFrame =
-    toDocumentsHtml(records)
+    toDocuments(records, detectCharsets = false)
+
+  /** `detectCharsets = true` swaps the html and plain-text faces for
+    * their detected variants ([[toDocumentsHtmlDetected]] /
+    * [[toDocumentsTextDetected]], charset column dropped to keep the
+    * shared curate shape): the silent-declaration remainder routes
+    * through the statistical detector instead of the blind UTF-8
+    * default — the switch a pre-standards-heavy crawl flips. All the
+    * byte-carrier faces (pdf/docx/…) are charset-free and unchanged. */
+  def toDocuments(records: Dataset[WarcRecord],
+      detectCharsets: Boolean): DataFrame =
+    (if (detectCharsets) toDocumentsHtmlDetected(records).drop("charset")
+    else toDocumentsHtml(records))
       // failed extractions carry no text — nothing for curation; callers
       // who need the failure rows use toDocumentsPdf/Docx directly
       .unionByName(toDocumentsPdf(records)
@@ -2037,7 +2049,9 @@ object Warc {
         .filter(col("extract_ok")).drop("extract_ok"))
       .unionByName(toDocumentsMhtml(records)
         .filter(col("extract_ok")).drop("extract_ok").drop("n_resources"))
-      .unionByName(toDocumentsText(records))
+      .unionByName(
+        if (detectCharsets) toDocumentsTextDetected(records).drop("charset")
+        else toDocumentsText(records))
 
   /** Sequential record walk over one archive. Malformed framing never
     * throws: the offending record surfaces with `framing_ok = false`
