@@ -45,76 +45,18 @@ case class DecodeLegacy(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Static kernels behind [[DetectCharset]] / [[DecodeDetected]] /
-  * [[DetectAndDecode]]. */
+/** Static kernel behind [[DetectAndDecode]] — ONE cascade run, the
+  * label routed through the shared
+  * [[graft.operators.LegacyCharset.decodeAs]] switch. */
 object CharsetDetectKernel {
-  def detect(payload: Array[Byte]): UTF8String =
-    UTF8String.fromString(graft.operators.LegacyCharset.detect(payload))
-  def decodeDetected(payload: Array[Byte]): UTF8String =
-    UTF8String.fromString(
-      graft.operators.LegacyCharset.decodeDetected(payload))
   def detectAndDecode(payload: Array[Byte])
       : org.apache.spark.sql.catalyst.InternalRow = {
     val label = graft.operators.LegacyCharset.detect(payload)
-    val text = label match {
-      case "utf-8" =>
-        new String(payload, java.nio.charset.StandardCharsets.UTF_8)
-      case "utf-16le" =>
-        new String(payload, java.nio.charset.StandardCharsets.UTF_16LE)
-      case "utf-16be" =>
-        new String(payload, java.nio.charset.StandardCharsets.UTF_16BE)
-      case "windows-1252" => graft.operators.LegacyCharset.decodeCp1252(payload)
-      case l => graft.operators.LegacyCharset.decode(payload, l)
-    }
     org.apache.spark.sql.catalyst.InternalRow(
-      UTF8String.fromString(label), UTF8String.fromString(text))
+      UTF8String.fromString(label),
+      UTF8String.fromString(
+        graft.operators.LegacyCharset.decodeAs(payload, label)))
   }
-}
-
-/** `detect_charset(binary)` → string label: the statistical detector
-  * for UNDECLARED payloads ([[graft.operators.LegacyCharset.detect]] —
-  * ISO-2022 escape scan, strict UTF-8 structural validation, then
-  * decode-and-score with anchor disambiguation; "windows-1252" is the
-  * documented below-threshold fallback). Codegen'd so the
-  * no-declaration read path stays inside whole-stage codegen. */
-case class DetectCharset(child: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"detect_charset requires binary, got ${t.catalogString}")
-  }
-  override def dataType: DataType = StringType
-  override def prettyName: String = "detect_charset"
-  override def nullSafeEval(payload: Any): Any =
-    CharsetDetectKernel.detect(payload.asInstanceOf[Array[Byte]])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, p =>
-      s"graft.expressions.CharsetDetectKernel.detect($p)")
-  override protected def withNewChildInternal(
-      newChild: Expression): DetectCharset = copy(child = newChild)
-}
-
-/** `decode_detected(binary)` → string: detect-then-decode in one
-  * kernel call (detection and decode share the sampled prefix work;
-  * one expression keeps the payload from crossing the codegen boundary
-  * twice). */
-case class DecodeDetected(child: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"decode_detected requires binary, got ${t.catalogString}")
-  }
-  override def dataType: DataType = StringType
-  override def prettyName: String = "decode_detected"
-  override def nullSafeEval(payload: Any): Any =
-    CharsetDetectKernel.decodeDetected(payload.asInstanceOf[Array[Byte]])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, p =>
-      s"graft.expressions.CharsetDetectKernel.decodeDetected($p)")
-  override protected def withNewChildInternal(
-      newChild: Expression): DecodeDetected = copy(child = newChild)
 }
 
 /** `detect_and_decode(binary)` → struct<charset, text>: ONE cascade
@@ -151,12 +93,6 @@ object NativeCharset {
     GraftColumnBridge.column(DecodeLegacy(
       GraftColumnBridge.expression(payload),
       GraftColumnBridge.expression(label)))
-  def detectCharset(payload: Column): Column =
-    GraftColumnBridge.column(DetectCharset(
-      GraftColumnBridge.expression(payload)))
-  def decodeDetected(payload: Column): Column =
-    GraftColumnBridge.column(DecodeDetected(
-      GraftColumnBridge.expression(payload)))
   def detectAndDecode(payload: Column): Column =
     GraftColumnBridge.column(DetectAndDecode(
       GraftColumnBridge.expression(payload)))

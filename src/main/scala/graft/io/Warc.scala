@@ -277,20 +277,15 @@ object Warc {
     * set mis-decodes visibly to U+FFFD-bearing text that the
     * encoding-quality gates downstream count, never a silent drop).
     * All codegen'd column expressions, no UDF. */
-  private[io] def decodePayload(payload: org.apache.spark.sql.Column,
-      contentType: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    decodePayload(payload, contentType, detect = false)
-
-  /** `detect = true` replaces the blind UTF-8 default on the
-    * NO-declaration path (no BOM, no header charset, no meta prescan
-    * hit) with the statistical detector
-    * ([[graft.operators.LegacyCharset.detect]]): the page's bytes pick
-    * their own charset from the claimed set, with windows-1252 as the
-    * below-threshold web default. DECLARED charsets still win —
-    * detection never overrides testimony, it only fills silence (the
-    * detector cascade's documented place in the WHATWG order). */
-  private[io] def decodePayload(payload: org.apache.spark.sql.Column,
-      contentType: org.apache.spark.sql.Column, detect: Boolean) = {
+  /** The testimony probe — ONE definition of how a record declares
+    * its charset, shared by [[decodePayload]] (the decode routing),
+    * [[charsetOf]] (the provenance label), and [[declarationSilent]]
+    * (the detector gate), so the three can never disagree on what a
+    * record claimed. Returns (cs, bom16, bom8): the lowercased
+    * header-beats-meta charset label (empty = silence) and the two
+    * BOM predicates. */
+  private def testimony(payload: org.apache.spark.sql.Column,
+      contentType: org.apache.spark.sql.Column) = {
     val csPat = "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)"
     val headerCs = lower(regexp_extract(contentType, csPat, 1))
     // meta prescan: ASCII-compatible for every charset we distinguish
@@ -298,18 +293,24 @@ object Warc {
       substring(decode(payload, "ISO-8859-1"), 1, 1024),
       "(?i)<meta[^>]*" + csPat, 1))
     val cs = when(headerCs =!= "", headerCs).otherwise(metaCs)
-    val latin1 = decode(payload, "ISO-8859-1")
-    // a BOM beats EVERY declaration (the WHATWG "BOM sniff" step —
-    // the byte mark is the document's own first-hand testimony, and
-    // real servers mislabel BOM'd payloads constantly). The JVM UTF-16
-    // charset consumes the 16-bit marks itself; the UTF-8 mark decodes
-    // to one U+FEFF dropped explicitly.
     val bom16 =
       substring(payload, 1, 2) === lit(Array(0xFF.toByte, 0xFE.toByte)) ||
         substring(payload, 1, 2) === lit(Array(0xFE.toByte, 0xFF.toByte))
     val bom8 =
       substring(payload, 1, 3) ===
         lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+    (cs, bom16, bom8)
+  }
+
+  private[io] def decodePayload(payload: org.apache.spark.sql.Column,
+      contentType: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val (cs, bom16, bom8) = testimony(payload, contentType)
+    val latin1 = decode(payload, "ISO-8859-1")
+    // a BOM beats EVERY declaration (the WHATWG "BOM sniff" step —
+    // the byte mark is the document's own first-hand testimony, and
+    // real servers mislabel BOM'd payloads constantly). The JVM UTF-16
+    // charset consumes the 16-bit marks itself; the UTF-8 mark decodes
+    // to one U+FEFF dropped explicitly.
     when(bom8, substring(payload.cast("string"), 2, Int.MaxValue))
       .when(bom16, decode(payload, "UTF-16"))
       .when(cs.isin("iso-8859-1", "latin1", "iso8859-1"), latin1)
@@ -317,43 +318,35 @@ object Warc {
         translate(latin1, c1Range, cp1252Chars))
       .when(cs.isin(graft.operators.LegacyCharset.labels: _*),
         graft.expressions.NativeCharset.decodeLegacy(payload, cs))
-      .otherwise(
-        if (detect) when(cs === "",
-          graft.expressions.NativeCharset.decodeDetected(payload))
-          .otherwise(payload.cast("string"))
-        else payload.cast("string"))
+      .otherwise(payload.cast("string"))
   }
 
   /** The charset label [[decodePayload]] actually ROUTES on, as a
     * column — the provenance face of the decode (BOM > header > meta >
-    * detection-or-default, mirroring the routing order exactly): the
-    * curation layer keys encoding-quality gates and recode audits on
-    * it. An unclaimed declared label reports "utf-8" (the loud
-    * fallback that decode takes), never the unhonored claim. */
+    * default, mirroring the routing order exactly): the curation layer
+    * keys encoding-quality gates and recode audits on it. An unclaimed
+    * declared label reports "utf-8" (the loud fallback that decode
+    * takes), never the unhonored claim; the DETECTED faces override
+    * the silent lane with the detector's verdict themselves. */
   private[io] def charsetOf(payload: org.apache.spark.sql.Column,
-      contentType: org.apache.spark.sql.Column, detect: Boolean) = {
-    val csPat = "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)"
-    val headerCs = lower(regexp_extract(contentType, csPat, 1))
-    val metaCs = lower(regexp_extract(
-      substring(decode(payload, "ISO-8859-1"), 1, 1024),
-      "(?i)<meta[^>]*" + csPat, 1))
-    val cs = when(headerCs =!= "", headerCs).otherwise(metaCs)
-    val bom16 =
-      substring(payload, 1, 2) === lit(Array(0xFF.toByte, 0xFE.toByte)) ||
-        substring(payload, 1, 2) === lit(Array(0xFE.toByte, 0xFF.toByte))
-    val bom8 =
-      substring(payload, 1, 3) ===
-        lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+      contentType: org.apache.spark.sql.Column) = {
+    val (cs, bom16, bom8) = testimony(payload, contentType)
     val claimed = Seq("iso-8859-1", "latin1", "iso8859-1",
       "windows-1252", "cp1252") ++ graft.operators.LegacyCharset.labels
     when(bom8, lit("utf-8"))
       .when(bom16, lit("utf-16"))
       .when(cs.isin(claimed: _*), cs)
-      .otherwise(
-        if (detect) when(cs === "",
-          graft.expressions.NativeCharset.detectCharset(payload))
-          .otherwise(lit("utf-8"))
-        else lit("utf-8"))
+      .otherwise(lit("utf-8"))
+  }
+
+  /** True when the payload carries NO charset testimony at all — no
+    * BOM, no header `charset=`, no meta-prescan hit: the routing
+    * predicate of the detected faces (detection fills exactly this
+    * silence, never overriding a declaration). */
+  private[io] def declarationSilent(payload: org.apache.spark.sql.Column,
+      contentType: org.apache.spark.sql.Column) = {
+    val (cs, bom16, bom8) = testimony(payload, contentType)
+    cs === "" && !bom16 && !bom8
   }
 
   /** [[toDocumentsText]] with the statistical charset detector on the
@@ -363,24 +356,6 @@ object Warc {
     * silence; declarations still win). Same narrow zero-shuffle
     * projection; the detector is one codegen'd kernel call per
     * record over a capped 8 KiB sample. */
-  /** True when the payload carries NO charset testimony at all — no
-    * BOM, no header `charset=`, no meta-prescan hit: the routing
-    * predicate of the detected faces (detection fills exactly this
-    * silence, never overriding a declaration). */
-  private[io] def declarationSilent(payload: org.apache.spark.sql.Column,
-      contentType: org.apache.spark.sql.Column) = {
-    val csPat = "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)"
-    val headerCs = regexp_extract(contentType, csPat, 1)
-    val metaCs = regexp_extract(
-      substring(decode(payload, "ISO-8859-1"), 1, 1024),
-      "(?i)<meta[^>]*" + csPat, 1)
-    headerCs === "" && metaCs === "" &&
-      substring(payload, 1, 2) =!= lit(Array(0xFF.toByte, 0xFE.toByte)) &&
-      substring(payload, 1, 2) =!= lit(Array(0xFE.toByte, 0xFF.toByte)) &&
-      substring(payload, 1, 3) =!=
-        lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
-  }
-
   def toDocumentsTextDetected(records: Dataset[WarcRecord]): DataFrame = {
     import graft.functions.TextFunctions
     // the detect-and-decode struct is computed in its OWN projection:
@@ -400,8 +375,8 @@ object Warc {
           .as("dd"))
       .select(col("doc_id"), col("url"),
         when(col("dd").isNotNull, col("dd.charset"))
-          .otherwise(charsetOf(col("payload"), col("http_content_type"),
-            detect = false)).as("charset"),
+          .otherwise(charsetOf(col("payload"), col("http_content_type")))
+          .as("charset"),
         when(col("dd").isNotNull, col("dd.text"))
           .otherwise(decodePayload(col("payload"), col("http_content_type")))
           .as("text"))
@@ -456,8 +431,8 @@ object Warc {
           .as("dd"))
       .select(col("doc_id"), col("url"),
         when(col("dd").isNotNull, col("dd.charset"))
-          .otherwise(charsetOf(col("payload"), col("http_content_type"),
-            detect = false)).as("charset"),
+          .otherwise(charsetOf(col("payload"), col("http_content_type")))
+          .as("charset"),
         TextFunctions.htmlToText(
           when(col("dd").isNotNull, col("dd.text"))
             .otherwise(decodePayload(col("payload"),

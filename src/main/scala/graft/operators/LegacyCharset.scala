@@ -581,7 +581,12 @@ object LegacyCharset {
           else if (x >= 0xE0 && x <= 0xEF) 2
           else if (x >= 0xF0 && x <= 0xF4) 3
           else return (false, true)
-        if (i + need >= n && completed == 0) return (false, true)
+        // the completed-sequence witness applies only at the payload's
+        // TRUE end — at the sample cap, bytes beyond n prove the
+        // sequence continues (a >cap page whose first non-ASCII char
+        // straddles the cap must not misroute to windows-1252)
+        if (i + need >= n && n == b.length && completed == 0)
+          return (false, true)
         var j = 1
         while (j <= need && i + j < n) {
           val t = b(i + j) & 0xff
@@ -733,17 +738,7 @@ object LegacyCharset {
       val (decoded, key, anchors) = label match {
         case "windows-1252" =>
           // latin1 + the C1 remap, exactly decodePayload's cp1252 lane
-          val lat = new String(sample,
-            java.nio.charset.StandardCharsets.ISO_8859_1)
-          val sb = new java.lang.StringBuilder(lat.length)
-          var j = 0
-          while (j < lat.length) {
-            val c = lat.charAt(j)
-            val k = Cp1252Map.indexOf(c)
-            sb.append(if (k >= 0) Cp1252To(k) else c)
-            j += 1
-          }
-          (sb.toString, "cp1252", "")
+          (decodeCp1252(sample), "cp1252", "")
         case l =>
           val k = labelKey(l)
           val anch = k match {
@@ -781,21 +776,24 @@ object LegacyCharset {
       "\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014\u02dc\u2122" +
       "\u0161\u203a\u0153\u017e\u0178"
 
+  /** Route a DETECTOR label to its decoder — the single label switch
+    * both [[decodeDetected]] and the detect-and-decode struct kernel
+    * share (one place to extend when a detector lane is added). */
+  def decodeAs(bytes: Array[Byte], label: String): String = label match {
+    case "utf-8" =>
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    case "utf-16le" =>
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_16LE)
+    case "utf-16be" =>
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE)
+    case "windows-1252" => decodeCp1252(bytes)
+    case l => decode(bytes, l)
+  }
+
   /** Decode under the DETECTED charset: the one-call composition the
-    * no-declaration read path uses ([[detect]] → route — utf-8 and the
-    * windows-1252 fallback decoded here, legacy labels through
-    * [[decode]]). */
+    * no-declaration read path uses ([[detect]] → [[decodeAs]]). */
   def decodeDetected(bytes: Array[Byte]): String =
-    detect(bytes) match {
-      case "utf-8" =>
-        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      case "utf-16le" =>
-        new String(bytes, java.nio.charset.StandardCharsets.UTF_16LE)
-      case "utf-16be" =>
-        new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE)
-      case "windows-1252" => decodeCp1252(bytes)
-      case l => decode(bytes, l)
-    }
+    decodeAs(bytes, detect(bytes))
 
   /** Exact windows-1252 decode: latin-1 plus the 27-position C1 remap
     * (kept in sync with `Warc.decodePayload`'s translate lane). */
@@ -805,8 +803,12 @@ object LegacyCharset {
     var j = 0
     while (j < lat.length) {
       val c = lat.charAt(j)
-      val k = Cp1252Map.indexOf(c)
-      sb.append(if (k >= 0) Cp1252To(k) else c)
+      // only the C1 range remaps — everything else (all ASCII, all
+      // latin letters) passes with one comparison, no table scan
+      if (c >= '\u0080' && c <= '\u009f') {
+        val k = Cp1252Map.indexOf(c)
+        sb.append(if (k >= 0) Cp1252To(k) else c)
+      } else sb.append(c)
       j += 1
     }
     sb.toString
