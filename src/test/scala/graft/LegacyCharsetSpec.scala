@@ -154,6 +154,14 @@ class LegacyCharsetSpec extends SparkSpec {
     assert(LegacyCharset.detect(bad) != "utf-8")
   }
 
+  test("detect: first multi-byte char straddling the sample cap stays UTF-8") {
+    // 8191 ASCII bytes, then é (0xC3 0xA9) with its trail byte at 8192:
+    // the sequence crosses the cap, bytes beyond prove continuation
+    val b = ("a" * 8191 + "é déjà vu, plus 日本語 later").getBytes("UTF-8")
+    assert(b.length > 8192)
+    assert(LegacyCharset.detect(b) == "utf-8")
+  }
+
   test("detect: BOM-less UTF-16 via the NUL-alternation lane") {
     val t = "Latin text served as UTF-16 with the mark stripped"
     assert(LegacyCharset.detect(t.getBytes("UTF-16LE")) == "utf-16le")
