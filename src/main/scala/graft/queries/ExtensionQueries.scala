@@ -977,7 +977,8 @@ object ExtensionQueries {
 
   /** Session-scoped staging for q_charset_detect: every page served as
     * BARE `text/plain` — no header charset, no meta, no BOM — in one of
-    * ten encodings on `doc_id % 10`, with a charset-native rider
+    * twelve encodings on `doc_id % 12` (the BOM-less UTF-16LE lane and
+    * the koi8-u Ukrainian lane included), with a charset-native rider
     * PREPENDED (the detector samples a capped prefix; a rider ahead of
     * an arbitrarily long ASCII body is always inside it). The bytes
     * are the only signal: detection must name the lane. */
@@ -991,7 +992,7 @@ object ExtensionQueries {
           col("text"))
         .as[(Long, String, String)]
         .map { case (id, u, text) =>
-          val (enc, rider) = (id % 10) match {
+          val (enc, rider) = (id % 12) match {
             case 0 => ("windows-31j", "日本語のテストです。ひらがなも多い文章。")
             case 1 => ("EUC-JP", "日本語のテストです。ひらがなも多い文章。")
             case 2 => ("GBK", "这是简体中文的测试了,有很多的汉字。")
@@ -1001,6 +1002,8 @@ object ExtensionQueries {
             case 6 => ("KOI8-R", "это русский текст строчными буквами для проверки.")
             case 7 => ("windows-1253", "αυτή είναι μια δοκιμή ελληνικού κειμένου.")
             case 8 => ("windows-1254", "türkçe sınav: ağaç, şeker, ığdır, iğne.")
+            case 9 => ("KOI8-U", "це перевірка українського тексту, її літери і слова є важливі.")
+            case 10 => ("UTF-16LE", "utf-16 page with the mark stripped by the server")
             case _ => ("UTF-8", "utf-8 page 日本語 и кириллица")
           }
           val body = rider + " " + text
@@ -4934,10 +4937,11 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
-    // Statistical charset detection — the NO-declaration path: ten
+    // Statistical charset detection — the NO-declaration path: twelve
     // encodings served as bare text/plain (no header, no meta, no
-    // BOM); the detector cascade must name every lane from the bytes
-    // alone and the decode must round-trip the rider + body verbatim.
+    // BOM — the UTF-16LE lane genuinely markless); the detector
+    // cascade must name every lane from the bytes alone and the
+    // decode must round-trip the rider + body verbatim.
     "q_charset_detect" -> ((s, dir) => {
       graft.io.Warc.toDocumentsTextDetected(
           graft.io.Warc.readWarc(s, detectStage(s, dir)))
@@ -6212,10 +6216,10 @@ object ExtensionQueries {
     "q_charset_bom" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 2 AS INTEGER) AS r, text FROM documents) SELECT doc_id, CASE r WHEN 0 THEN 'silent' ELSE 'lying' END AS route, text || ' bøm ☃ 日本' AS text FROM d ORDER BY doc_id""",
 
-    // the ten undeclared lanes: the detector must name each charset
+    // the twelve undeclared lanes: the detector must name each charset
     // from the bytes alone, and the decode round-trips rider + body
     "q_charset_detect" ->
-      """WITH d AS (SELECT doc_id, CAST(doc_id % 10 AS INTEGER) AS m, text FROM documents) SELECT doc_id, CASE m WHEN 0 THEN 'shift_jis' WHEN 1 THEN 'euc-jp' WHEN 2 THEN 'gbk' WHEN 3 THEN 'big5' WHEN 4 THEN 'euc-kr' WHEN 5 THEN 'windows-1251' WHEN 6 THEN 'koi8-r' WHEN 7 THEN 'windows-1253' WHEN 8 THEN 'windows-1254' ELSE 'utf-8' END AS charset, CASE m WHEN 0 THEN '日本語のテストです。ひらがなも多い文章。' WHEN 1 THEN '日本語のテストです。ひらがなも多い文章。' WHEN 2 THEN '这是简体中文的测试了,有很多的汉字。' WHEN 3 THEN '這是繁體中文的測試了,有很多的漢字。' WHEN 4 THEN '이것은 한국어 시험입니다. 감지되어야 하는 문서가 있다.' WHEN 5 THEN 'это русский текст строчными буквами для проверки.' WHEN 6 THEN 'это русский текст строчными буквами для проверки.' WHEN 7 THEN 'αυτή είναι μια δοκιμή ελληνικού κειμένου.' WHEN 8 THEN 'türkçe sınav: ağaç, şeker, ığdır, iğne.' ELSE 'utf-8 page 日本語 и кириллица' END || ' ' || text AS text FROM d ORDER BY doc_id""",
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 12 AS INTEGER) AS m, text FROM documents) SELECT doc_id, CASE m WHEN 0 THEN 'shift_jis' WHEN 1 THEN 'euc-jp' WHEN 2 THEN 'gbk' WHEN 3 THEN 'big5' WHEN 4 THEN 'euc-kr' WHEN 5 THEN 'windows-1251' WHEN 6 THEN 'koi8-r' WHEN 7 THEN 'windows-1253' WHEN 8 THEN 'windows-1254' WHEN 9 THEN 'koi8-u' WHEN 10 THEN 'utf-16le' ELSE 'utf-8' END AS charset, CASE m WHEN 0 THEN '日本語のテストです。ひらがなも多い文章。' WHEN 1 THEN '日本語のテストです。ひらがなも多い文章。' WHEN 2 THEN '这是简体中文的测试了,有很多的汉字。' WHEN 3 THEN '這是繁體中文的測試了,有很多的漢字。' WHEN 4 THEN '이것은 한국어 시험입니다. 감지되어야 하는 문서가 있다.' WHEN 5 THEN 'это русский текст строчными буквами для проверки.' WHEN 6 THEN 'это русский текст строчными буквами для проверки.' WHEN 7 THEN 'αυτή είναι μια δοκιμή ελληνικού κειμένου.' WHEN 8 THEN 'türkçe sınav: ağaç, şeker, ığdır, iğne.' WHEN 9 THEN 'це перевірка українського тексту, її літери і слова є важливі.' WHEN 10 THEN 'utf-16 page with the mark stripped by the server' ELSE 'utf-8 page 日本語 и кириллица' END || ' ' || text AS text FROM d ORDER BY doc_id""",
 
     // each id's chain/canonical topology replayed: the a->b edge
     // always, b->c on evens, c->canon declared on multiples of 3 —
