@@ -666,6 +666,45 @@ object ScaleBench {
         }
       }
 
+      // WAT sidecar at scale, both faces. BUILD: the envelope
+      // extraction (WARC headers + HTTP head + raw outlinks) off the
+      // full archive scan — narrow per-record work, the
+      // warc_html_ingest regime. OUTLINKS: frontier edges from the
+      // SIDECAR alone (readWat strict parse + resolve/canonicalize),
+      // whose input is link-scale, not payload-scale — the row pair
+      // quantifies the metadata-only consumer's bargain: outlinks
+      // seconds track the (much smaller) sidecar, and neither face
+      // shuffles.
+      if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+          .exists(!_.exists(s =>
+            "wat_build".contains(s) || "wat_outlinks".contains(s)))) {
+        import spark.implicits._
+        val watRoot = s"$scaleDir/wat_stage"
+        graft.io.Warc.writeWarcResponses(
+          corpus.select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .map { case (id, text) =>
+              val html = s"""<html><body><a href="/r$id">rel link</a>""" +
+                s"""<a href="http://abs$id.test/p">out $id</a>""" +
+                s"<p>$text</p></body></html>"
+              (s"http://seg.test/doc/$id", "text/html",
+                html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                "2026-03-01T00:00:00Z") }
+            .toDF("target_uri", "content_type", "payload", "warc_date")
+            .repartition(cpus.toInt),
+          s"$watRoot/warc")
+        measure("wat_build", s"$scaleDir/out_wat_build") {
+          graft.io.Wat.watFromWarc(
+            graft.io.Warc.readWarc(spark, s"$watRoot/warc"))
+        }
+        graft.io.Wat.writeWat(
+          graft.io.Warc.readWarc(spark, s"$watRoot/warc"), s"$watRoot/wat")
+        measure("wat_outlinks", s"$scaleDir/out_wat_outlinks") {
+          graft.io.Wat.watOutlinks(
+            graft.io.Wat.readWat(spark, s"$watRoot/wat"))
+        }
+      }
+
       // URL alias clusters at scale: the planted chain/canonical
       // topology (a->b always, b->c on evens, c->canon on %3) grows
       // linearly with the corpus while every component stays a
