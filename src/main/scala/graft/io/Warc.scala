@@ -56,7 +56,8 @@ object Warc {
       gz_offset: Long = -1L, seg_number: Integer = null,
       seg_origin_id: String = null, seg_total_length: java.lang.Long = null,
       http_cache_control: String = null, http_expires: String = null,
-      http_date: String = null, truncated: String = null)
+      http_date: String = null, truncated: String = null,
+      http_retry_after: String = null)
 
   /** Read a WARC file / directory / glob (plain or record-gzipped
     * `.warc.gz`) as one row per record. */
@@ -506,10 +507,15 @@ object Warc {
     * CRLF-joined header lines, no trailing CRLF) — the staging twin
     * for Content-Disposition / ETag / Last-Modified / Cache-Control
     * batteries. Lines whose name starts `WARC-` go into the WARC
-    * header block instead (the `WARC-Truncated` staging lane). */
+    * header block instead (the `WARC-Truncated` staging lane). An
+    * optional `status` column stamps the response status line (absent:
+    * 200) — the 429/503 Retry-After staging lane. */
   def writeWarcResponsesWithHeaders(df: DataFrame, dir: String): Unit = {
-    val cols = df.select(col("target_uri"), col("content_type"),
+    val hasStatus = df.columns.contains("status")
+    val base = Seq(col("target_uri"), col("content_type"),
       col("extra_headers"), col("payload"))
+    val cols = df.select(
+      (if (hasStatus) base :+ col("status") else base): _*)
     cols.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -525,7 +531,14 @@ object Warc {
             _.regionMatches(true, 0, "WARC-", 0, 5))
           def block(ls: Seq[String]): String =
             ls.map(_ + "\r\n").mkString
-          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: ${r.getString(1)}\r\n" +
+          val st = if (hasStatus) r.getInt(4) else 200
+          val reason = st match {
+            case 200 => "OK"
+            case 429 => "Too Many Requests"
+            case 503 => "Service Unavailable"
+            case _ => "Status"
+          }
+          val http = (s"HTTP/1.1 $st $reason\r\nContent-Type: ${r.getString(1)}\r\n" +
             block(httpLines) +
             s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii)
           out.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
@@ -2164,6 +2177,7 @@ object Warc {
           var cacheControl: String = null
           var expires: String = null
           var httpDate: String = null
+          var retryAfter: String = null
           var payload = block
           // a SEGMENTED record's block is a partial slice of the
           // logical block — parsing an HTTP head or reversing codings
@@ -2204,6 +2218,9 @@ object Warc {
               cacheControl = h1("cache-control")
               expires = h1("expires")
               httpDate = h1("date")
+              // RFC 9110 §10.2.3: the server's own backoff hint on
+              // 429/503 — the politeness scheduler honors it
+              retryAfter = h1("retry-after")
               payload = java.util.Arrays.copyOfRange(block, he + 4, block.length)
               // HTTP Transfer-Encoding: crawlers archive the WIRE bytes,
               // so a `Transfer-Encoding: chunked` response's body still
@@ -2281,7 +2298,8 @@ object Warc {
             offset = recStart, seg_number = segNumber,
             seg_origin_id = segOrigin, seg_total_length = segTotal,
             http_cache_control = cacheControl, http_expires = expires,
-            http_date = httpDate, truncated = truncated)
+            http_date = httpDate, truncated = truncated,
+            http_retry_after = retryAfter)
           if (!term) broken = true
           i = termAt + 4
         }

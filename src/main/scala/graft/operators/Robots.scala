@@ -171,6 +171,56 @@ object Robots {
     * millions of its URLs in one cycle is wasted frontier — cap at
     * the crawl cycle's per-host fetch budget. 0 = uncapped (the
     * caller owns frontier shaping). */
+  /** Per-host backoff horizons from the PRIOR crawl's rate-limit
+    * answers — RFC 9110 §10.2.3: a 429 (Too Many Requests) or 503
+    * (Service Unavailable) response's `Retry-After` is the server's
+    * own politeness instruction, in either published form (delta
+    * seconds, or an IMF-fixdate the backoff derives from by
+    * subtracting the capture time — the Recrawl zone-parsed pattern,
+    * clock-skew-safe: a date in the past floors at 0). A rate-limit
+    * response WITHOUT the header still means "slow down":
+    * `defaultBackoffS`. One max per host — the most conservative hint
+    * wins. Narrow projection + one host-keyed partial-agg shuffle over
+    * only the 429/503 rows (a vanishing fraction of a healthy crawl). */
+  def backoffHosts(records: org.apache.spark.sql.Dataset[graft.io.Warc.WarcRecord],
+      defaultBackoffS: Double = 60.0): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    def httpTs(c: org.apache.spark.sql.Column) = unix_timestamp(
+      try_to_timestamp(regexp_replace(c, "^[A-Za-z]{3}, ", ""),
+        lit("dd MMM yyyy HH:mm:ss zzz")))
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        col("http_status").isin(429, 503))
+      .select(
+        lower(regexp_extract(col("target_uri"),
+          "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/]+)", 1)).as("host"),
+        col("http_retry_after").as("ra"),
+        unix_timestamp(to_timestamp(col("warc_date"))).as("fetch_s"))
+      .withColumn("backoff_s",
+        when(col("ra").rlike("^[0-9]+$"),
+          col("ra").cast(LongType).cast(DoubleType))
+          .when(httpTs(col("ra")).isNotNull && col("fetch_s").isNotNull,
+            greatest(httpTs(col("ra")) - col("fetch_s"), lit(0L))
+              .cast(DoubleType))
+          .otherwise(lit(defaultBackoffS)))
+      .groupBy("host").agg(max(col("backoff_s")).as("backoff_s"))
+  }
+
+  /** Shift a [[fetchSchedule]] past each host's [[backoffHosts]]
+    * horizon: every slot of a backed-off host moves by its backoff
+    * (the whole queue waits out the server's hint; slot spacing —
+    * the crawl-delay contract — is preserved). The backoff side is
+    * hosts-scale against a URLs-scale schedule, and the broadcast
+    * hint encodes that contract explicitly (the Decontaminate
+    * pattern: a filter-derived small side whose size estimate the
+    * planner cannot see). */
+  def applyBackoff(schedule: DataFrame, backoff: DataFrame): DataFrame =
+    schedule.join(broadcast(backoff), Seq("host"), "left")
+      .withColumn("fetch_at_s",
+        col("fetch_at_s") + coalesce(col("backoff_s"), lit(0.0)))
+      .drop("backoff_s")
+
   def fetchSchedule(urls: DataFrame, robots: Dataset[(String, Array[Byte])],
       agent: String, defaultDelayS: Double = 1.0,
       maxPerHost: Int = 0): DataFrame = {

@@ -153,6 +153,45 @@ class FrontierGraphSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a.test", "http://a.test/S.xml")))
   }
 
+  test("backoffHosts: both Retry-After forms, max per host, default lane") {
+    val dir = Files.createTempDirectory("graft_backoff_s").toString
+    val body = "x".getBytes("UTF-8")
+    graft.io.Warc.writeWarcResponsesWithHeaders(Seq(
+      ("http://a.test/1", "text/plain", "Retry-After: 120", body, 429),
+      ("http://a.test/2", "text/plain", "Retry-After: 30", body, 429),
+      // date form: 5 min past the writer's staged 2026-03-01T00:00:00Z
+      ("http://b.test/1", "text/plain",
+        "Retry-After: Sun, 01 Mar 2026 00:05:00 GMT", body, 503),
+      // a date in the PAST floors at zero (clock skew, never negative)
+      ("http://c.test/1", "text/plain",
+        "Retry-After: Sat, 28 Feb 2026 00:00:00 GMT", body, 429),
+      // rate-limited without the header: the default backoff
+      ("http://d.test/1", "text/plain", "", body, 503),
+      // clean responses contribute nothing
+      ("http://e.test/1", "text/plain", "", body, 200))
+      .toDF("target_uri", "content_type", "extra_headers", "payload",
+        "status"), dir)
+    val got = graft.operators.Robots.backoffHosts(
+        graft.io.Warc.readWarc(spark, dir), defaultBackoffS = 60.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a.test" -> 120.0, "b.test" -> 300.0,
+      "c.test" -> 0.0, "d.test" -> 60.0))
+  }
+
+  test("applyBackoff: the host's whole queue shifts, spacing preserved") {
+    val schedule = Seq(
+      ("a.test", "http://a.test/1", 1.0, 0.0),
+      ("a.test", "http://a.test/2", 1.0, 1.0),
+      ("b.test", "http://b.test/1", 1.0, 0.0))
+      .toDF("host", "url", "delay_s", "fetch_at_s")
+    val backoff = Seq(("a.test", 120.0)).toDF("host", "backoff_s")
+    val got = graft.operators.Robots.applyBackoff(schedule, backoff)
+      .select("url", "fetch_at_s").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("http://a.test/1" -> 120.0,
+      "http://a.test/2" -> 121.0, "http://b.test/1" -> 0.0))
+  }
+
   test("canonicalDeclarations: relative resolution, self-declarations drop") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_canon_warc").toString
