@@ -114,6 +114,14 @@ object Warc {
     * `framing_ok = false` row, never failing sibling fetches. */
   def readWarcRecordsAt(spark: SparkSession, selection: DataFrame): Dataset[WarcRecord] = {
     import spark.implicits._
+    // the SESSION's Hadoop configuration rides to the fetch task (the
+    // standard datasource pattern): a bare executor-side Configuration
+    // would silently drop every spark.hadoop.* setting — object-store
+    // credentials, filesystem impls, timeouts — exactly on the remote
+    // stores the offset-addressed fetch exists for
+    val hadoopConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     selection
       .select(col("filename").cast("string"),
         coalesce(col("offset"), lit(0L)).cast("long"),
@@ -124,7 +132,7 @@ object Warc {
         // forward seek order; duplicate index rows fetch once
         val wants = rows.map(r => (r._3, r._2)).toArray.distinct.sorted
         val p = new org.apache.hadoop.fs.Path(file)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(hadoopConf.value.value)
         val in = fs.open(p)
         val recs =
           try wants.map { case (gz, off) =>
@@ -514,8 +522,12 @@ object Warc {
     val hasStatus = df.columns.contains("status")
     val base = Seq(col("target_uri"), col("content_type"),
       col("extra_headers"), col("payload"))
+    // cast in the projection so any integral status column works — a
+    // LongType status (the natural type of Scala integer literals
+    // through some DF constructions) must not ClassCastException at
+    // the row accessor
     val cols = df.select(
-      (if (hasStatus) base :+ col("status") else base): _*)
+      (if (hasStatus) base :+ col("status").cast("int") else base): _*)
     cols.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()

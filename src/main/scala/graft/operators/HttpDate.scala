@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTTP-date parsing (RFC 9110 §5.6.7) — the ONE kernel every header
+  * that carries a date routes through (`Last-Modified`, `Expires`,
+  * `Date`, `Retry-After`), so the recrawl planner and the politeness
+  * backoff read the same calendar. A recipient MUST accept all three
+  * published forms:
+  *
+  *   - IMF-fixdate (the preferred form): `Sun, 06 Nov 1994 08:49:37 GMT`
+  *   - obsolete RFC 850:                 `Sunday, 06-Nov-94 08:49:37 GMT`
+  *   - obsolete asctime():               `Sun Nov  6 08:49:37 1994`
+  *
+  * Spark's datetime dialect refuses day-name fields (EEE/EEEE) for
+  * PARSING, so each lane strips its weekday prefix first — the name is
+  * redundant with the date. Zones PARSE (`zzz`, never a quoted
+  * literal): a quoted 'GMT' would land the wall-clock fields in the
+  * session time zone, skewing every derived age by the zone offset
+  * under a non-UTC `spark.sql.session.timeZone`. asctime carries no
+  * zone — the RFC fixes it at GMT, appended before the parse so the
+  * lane stays session-zone-invariant too. RFC 850's two-digit year
+  * resolves into 2000–2099 (the Java `yy` reduced-year base); RFC
+  * 9110's more-than-50-years-in-the-future caveat cannot trigger on
+  * crawl-era data inside that window and is documented away rather
+  * than guessed at.
+  *
+  * Each lane's strip pattern is disjoint from the other forms (fixdate
+  * needs exactly `LLL, `; RFC 850 a longer name; asctime no comma), so
+  * the coalesce never mis-routes — a value is parsed by at most one
+  * lane, and an unparseable value is NULL for the caller's own default
+  * policy. Pure narrow column work, codegen-friendly. */
+object HttpDate {
+
+  /** Epoch seconds of an HTTP-date column under any of the three RFC
+    * 9110 forms; NULL when none parse. */
+  def httpTs(c: Column): Column = {
+    val fixdate = try_to_timestamp(
+      regexp_replace(c, "^[A-Za-z]{3}, ", ""),
+      lit("dd MMM yyyy HH:mm:ss zzz"))
+    val rfc850 = try_to_timestamp(
+      regexp_replace(c, "^[A-Za-z]{4,}, ", ""),
+      lit("dd-MMM-yy HH:mm:ss zzz"))
+    val asctime = try_to_timestamp(
+      concat(regexp_replace(
+        regexp_replace(c, "^[A-Za-z]{3} ", ""), "  +", " "), lit(" GMT")),
+      lit("MMM d HH:mm:ss yyyy zzz"))
+    unix_timestamp(coalesce(fixdate, rfc850, asctime))
+  }
+}

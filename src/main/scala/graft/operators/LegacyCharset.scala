@@ -557,16 +557,18 @@ object LegacyCharset {
 
   /** Strict UTF-8 structural validation over the sample prefix; also
     * reports whether any non-ASCII byte appeared. A multi-byte
-    * sequence that would CROSS the end is not held against the
-    * stream — whether the end is the sample cap (truncates
-    * mid-character by construction) or the payload's own end (a
-    * WARC-Truncated partial capture of genuine UTF-8 must still
-    * detect as UTF-8, not fall through to the legacy scoring): the
-    * available trail bytes are validated, the missing ones excused —
-    * but ONLY when the stream already produced a COMPLETE multi-byte
-    * sequence (a lone trailing 0xE9 is a cp1252 page ending in é, not
-    * truncated UTF-8; a genuine partial capture has whole characters
-    * before the cut). */
+    * sequence straddling the SAMPLE CAP is validated against the trail
+    * bytes that exist past the cap (the array is in memory — only
+    * scoring is capped, never correctness), so a lead-shaped byte at
+    * the cap edge of a legacy page cannot buy a blind excuse. A
+    * sequence crossing the payload's TRUE end (a WARC-Truncated
+    * partial capture of genuine UTF-8 must still detect as UTF-8, not
+    * fall through to the legacy scoring) has its available trail
+    * bytes validated and the missing ones excused — but ONLY when the
+    * stream already produced a COMPLETE multi-byte sequence (a lone
+    * trailing 0xE9 is a cp1252 page ending in é, not truncated UTF-8;
+    * a genuine partial capture has whole characters before the
+    * cut). */
   private def utf8Shape(b: Array[Byte], n: Int): (Boolean, Boolean) = {
     var i = 0
     var hasHigh = false
@@ -581,14 +583,19 @@ object LegacyCharset {
           else if (x >= 0xE0 && x <= 0xEF) 2
           else if (x >= 0xF0 && x <= 0xF4) 3
           else return (false, true)
-        // the completed-sequence witness applies only at the payload's
-        // TRUE end — at the sample cap, bytes beyond n prove the
-        // sequence continues (a >cap page whose first non-ASCII char
-        // straddles the cap must not misroute to windows-1252)
-        if (i + need >= n && n == b.length && completed == 0)
-          return (false, true)
+        // validate every trail byte that EXISTS IN MEMORY — beyond the
+        // sample cap the array is still at hand, so a lead-shaped byte
+        // at the cap edge is checked against its real continuation
+        // instead of excused blindly (a >8 KiB legacy page whose
+        // sampled prefix is ASCII except one lead-shaped byte at the
+        // cap must not misdetect as utf-8). Only a sequence crossing
+        // the payload's TRUE end is excused, and only behind the
+        // completed-sequence witness (a lone trailing 0xE9 is a cp1252
+        // page ending in é, not truncated UTF-8; a genuine partial
+        // capture has whole characters before the cut).
+        val avail = math.min(need, b.length - 1 - i)
         var j = 1
-        while (j <= need && i + j < n) {
+        while (j <= avail) {
           val t = b(i + j) & 0xff
           if (t < 0x80 || t > 0xBF) return (false, true)
           // the constrained second bytes (surrogate/overlong exclusion)
@@ -597,7 +604,9 @@ object LegacyCharset {
             return (false, true)
           j += 1
         }
-        if (i + need < n) completed += 1
+        if (avail < need) { // crosses the payload's true end
+          if (completed == 0) return (false, true)
+        } else completed += 1
         i += need + 1
       }
     }

@@ -167,6 +167,19 @@ object LinkRank {
     val ids = edges.select(col("a").as("url"))
       .union(edges.select(col("b").as("url"))).distinct()
       .select(xxhash64(col("url")).as("id"), col("url"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 64-bit collision guard: component identity rides xxhash64(url),
+    // and a collision between any two alias-graph URLs would SILENTLY
+    // merge unrelated clusters and elect one representative for both —
+    // quiet corruption in an identity-defining product. Detect and fail
+    // loudly instead (node-scale agg riding the persisted ids; the
+    // astronomically-rare hit re-keys offline, it never ships merged).
+    val collided = ids.groupBy("id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    require(collided == 0,
+      s"urlAliasClusters: $collided xxhash64 collision(s) across alias-graph " +
+        "URLs — component identity would merge unrelated clusters; re-key " +
+        "the graph (e.g. salt the hash) before clustering")
     val comp = Dedup.connectedComponents(
       edges.select(xxhash64(col("a")).as("id_a"), xxhash64(col("b")).as("id_b")),
       ids.select("id"), maxIter = maxIter)
@@ -179,6 +192,7 @@ object LinkRank {
       .na.fill(0, Seq("score"))
       .localCheckpoint(true)
     tagged.unpersist()
+    ids.unpersist()
     val sizes = membership.groupBy("component")
       .agg(count(lit(1)).as("cluster_size"))
     Dedup.clusterKeepers(membership, "url", "component", "score")

@@ -48,17 +48,11 @@ object Recrawl {
     val minS = math.round(minHours * 3600)
     val maxS = math.round(maxHours * 3600)
     val defaultS = math.round(defaultDays * 86400)
-    // Spark's datetime pattern dialect refuses day-name fields (EEE)
-    // for PARSING, so the IMF-fixdate weekday prefix is stripped
-    // first — it is redundant with the date anyway. The zone token is
-    // PARSED (zzz), not a quoted literal: a quoted 'GMT' would land
-    // the wall-clock fields in the session time zone, skewing age_s by
-    // the zone offset under a non-UTC spark.sql.session.timeZone
-    // (warc_date, ISO-8601 with an explicit offset, never had the
-    // problem).
-    def httpTs(c: org.apache.spark.sql.Column) = unix_timestamp(
-      try_to_timestamp(regexp_replace(c, "^[A-Za-z]{3}, ", ""),
-        lit("dd MMM yyyy HH:mm:ss zzz")))
+    // the shared RFC 9110 HTTP-date kernel: all three published forms
+    // (IMF-fixdate, obsolete RFC 850, asctime), zone PARSED so age_s is
+    // session-timezone-invariant (warc_date, ISO-8601 with an explicit
+    // offset, never had the problem)
+    def httpTs(c: org.apache.spark.sql.Column) = HttpDate.httpTs(c)
     def dirNum(name: String) = {
       val v = regexp_extract(col("cache_control"),
         "(?i)\\b" + name + "\\s*=\\s*\"?([0-9]+)", 1)

@@ -175,8 +175,9 @@ object Robots {
     * answers — RFC 9110 §10.2.3: a 429 (Too Many Requests) or 503
     * (Service Unavailable) response's `Retry-After` is the server's
     * own politeness instruction, in either published form (delta
-    * seconds, or an IMF-fixdate the backoff derives from by
-    * subtracting the capture time — the Recrawl zone-parsed pattern,
+    * seconds, or an HTTP-date the backoff derives from by subtracting
+    * the capture time — [[HttpDate.httpTs]], all three RFC 9110 forms
+    * including the obsolete RFC 850 and asctime dates, zone-parsed and
     * clock-skew-safe: a date in the past floors at 0). A rate-limit
     * response WITHOUT the header still means "slow down":
     * `defaultBackoffS`. One max per host — the most conservative hint
@@ -185,9 +186,7 @@ object Robots {
   def backoffHosts(records: org.apache.spark.sql.Dataset[graft.io.Warc.WarcRecord],
       defaultBackoffS: Double = 60.0): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType}
-    def httpTs(c: org.apache.spark.sql.Column) = unix_timestamp(
-      try_to_timestamp(regexp_replace(c, "^[A-Za-z]{3}, ", ""),
-        lit("dd MMM yyyy HH:mm:ss zzz")))
+    def httpTs(c: org.apache.spark.sql.Column) = HttpDate.httpTs(c)
     records.toDF()
       .filter(col("warc_type") === "response" && col("framing_ok") &&
         col("target_uri").isNotNull &&

@@ -1018,11 +1018,15 @@ object ExtensionQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Session-scoped staging for q_fetch_backoff: one host per document
-    * with its rate-limit answer cycling on `doc_id % 4` — two 429s
+    * with its rate-limit answer cycling on `doc_id % 6` — two 429s
     * with delta-seconds Retry-After (120 and 30: the max must win), a
     * 503 with the IMF-fixdate form five minutes past the staged
-    * capture time, a header-less 429 (the default-backoff lane), and a
-    * clean 200 that contributes nothing. */
+    * capture time, a header-less 429 (the default-backoff lane), a
+    * clean 200 that contributes nothing, and the two OBSOLETE RFC 9110
+    * date forms a recipient must accept — an RFC 850 two-digit-year
+    * date ten minutes out (503) and a zone-less asctime date two
+    * minutes out (429; GMT per the RFC). 2026-03-01 really is a
+    * Sunday. */
   private def backoffStage(s: SparkSession, dir: String): String =
     backoffStages.computeIfAbsent(dir, _ => {
       import s.implicits._
@@ -1034,14 +1038,18 @@ object ExtensionQueries {
           val u = s"http://h$id.test"
           val body = "slow down".getBytes(
             java.nio.charset.StandardCharsets.UTF_8)
-          (id % 4) match {
+          (id % 6) match {
             case 0 => Seq(
               (s"$u/a", "text/plain", "Retry-After: 120", body, 429),
               (s"$u/b", "text/plain", "Retry-After: 30", body, 429))
             case 1 => Seq((s"$u/a", "text/plain",
               "Retry-After: Sun, 01 Mar 2026 00:05:00 GMT", body, 503))
             case 2 => Seq((s"$u/a", "text/plain", "", body, 429))
-            case _ => Seq((s"$u/a", "text/plain", "", body, 200))
+            case 3 => Seq((s"$u/a", "text/plain", "", body, 200))
+            case 4 => Seq((s"$u/a", "text/plain",
+              "Retry-After: Sunday, 01-Mar-26 00:10:00 GMT", body, 503))
+            case _ => Seq((s"$u/a", "text/plain",
+              "Retry-After: Sun Mar  1 00:02:00 2026", body, 429))
           } }
         .toDF("target_uri", "content_type", "extra_headers", "payload",
           "status")
@@ -5007,9 +5015,10 @@ object ExtensionQueries {
         .orderBy("url")
     }),
 
-    // Retry-After backoff horizons (RFC 9110 §10.2.3): both published
-    // forms, the per-host max, the header-less default lane, and the
-    // clean-host absence — every backoff recomputed in DuckDB.
+    // Retry-After backoff horizons (RFC 9110 §10.2.3): delta seconds
+    // plus all THREE HTTP-date forms (IMF-fixdate, obsolete RFC 850,
+    // asctime), the per-host max, the header-less default lane, and
+    // the clean-host absence — every backoff recomputed in DuckDB.
     "q_fetch_backoff" -> ((s, dir) => {
       graft.operators.Robots.backoffHosts(
           graft.io.Warc.readWarc(s, backoffStage(s, dir)),
@@ -6273,10 +6282,12 @@ object ExtensionQueries {
     "q_url_alias" ->
       """WITH d AS (SELECT doc_id, 'http://h' || doc_id || '.test/' AS b0, doc_id % 2 = 0 AS ev, doc_id % 3 = 0 AS c3 FROM documents), rows AS (SELECT b0 || 'a' AS url, CASE WHEN ev AND c3 THEN b0 || 'canon' WHEN ev THEN b0 || 'c' ELSE b0 || 'b' END AS representative, CASE WHEN ev AND c3 THEN 4 WHEN ev THEN 3 ELSE 2 END AS cluster_size FROM d UNION ALL SELECT b0 || 'b', CASE WHEN ev AND c3 THEN b0 || 'canon' WHEN ev THEN b0 || 'c' ELSE b0 || 'b' END, CASE WHEN ev AND c3 THEN 4 WHEN ev THEN 3 ELSE 2 END FROM d UNION ALL SELECT b0 || 'c', CASE WHEN c3 THEN b0 || 'canon' ELSE b0 || 'c' END, CASE WHEN ev AND c3 THEN 4 WHEN c3 THEN 2 ELSE 3 END FROM d WHERE ev OR c3 UNION ALL SELECT b0 || 'canon', b0 || 'canon', CASE WHEN ev THEN 4 ELSE 2 END FROM d WHERE c3) SELECT url, representative, CAST(cluster_size AS BIGINT) AS cluster_size FROM rows ORDER BY url""",
 
-    // the three contributing lanes replayed: the 120/30 max, the
-    // date-minus-capture arithmetic, the default; the 200 lane absent
+    // the five contributing lanes replayed: the 120/30 max, the
+    // date-minus-capture arithmetic for all THREE RFC 9110 date forms
+    // (fixdate +5 min, RFC 850 +10 min, asctime +2 min), the default;
+    // the 200 lane absent
     "q_fetch_backoff" ->
-      """WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS m FROM documents WHERE doc_id % 4 < 3) SELECT 'h' || doc_id || '.test' AS host, CAST(CASE m WHEN 0 THEN 120 WHEN 1 THEN 300 ELSE 60 END AS DOUBLE) AS backoff_s FROM d ORDER BY host""",
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS m FROM documents WHERE doc_id % 6 <> 3) SELECT 'h' || doc_id || '.test' AS host, CAST(CASE m WHEN 0 THEN 120 WHEN 1 THEN 300 WHEN 2 THEN 60 WHEN 4 THEN 600 ELSE 120 END AS DOUBLE) AS backoff_s FROM d ORDER BY host""",
 
     // every document's {r, p, c} triple: redirect source, canonical
     // declarer, canonical target — rep always the target, size 3

@@ -122,4 +122,31 @@ class CdxSpec extends SparkSpec {
       stale.select($"filename", $"offset", $"gz_offset")).collect()
     assert(bad.length == 1 && !bad(0).framing_ok)
   }
+
+  test("fetch path carries the session Hadoop configuration (spark.hadoop.*)") {
+    // a filesystem scheme ONLY the session conf declares: with a bare
+    // executor-side `new Configuration()` the fetch would die with
+    // "No FileSystem for scheme graftfs" — the session's spark.hadoop.*
+    // settings (object-store credentials, fs impls) must reach the task
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_fs").toString
+    graft.io.Warc.writeWarcResponses(
+      Seq(("http://c.test/p", "text/plain", "conf carried".getBytes("UTF-8")))
+        .toDF("target_uri", "content_type", "payload").coalesce(1), dir)
+    val idx = graft.io.Cdx.cdxFromWarc(graft.io.Warc.readWarc(spark, dir))
+      .withColumn("filename",
+        concat(lit("graftfs:"), regexp_replace($"filename", "^file:", "")))
+    val got = graft.io.Cdx.fetchRecords(spark, idx).collect()
+    assert(got.length == 1 && got(0).framing_ok &&
+      new String(got(0).payload, "UTF-8") == "conf carried")
+  }
+}
+
+/** A local filesystem under a scheme only the SESSION configuration
+  * maps — the probe CdxSpec uses to prove `spark.hadoop.*` settings
+  * reach the offset-addressed fetch task. */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfs"
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
 }

@@ -162,6 +162,21 @@ class LegacyCharsetSpec extends SparkSpec {
     assert(LegacyCharset.detect(b) == "utf-8")
   }
 
+  test("detect: a lead-shaped byte at the cap edge of a LEGACY page is not excused") {
+    // >8 KiB cp1252 page, ASCII except one é whose single byte (0xE9,
+    // lead-shaped for a 3-byte sequence) lands exactly at the cap edge;
+    // its real continuation bytes exist in memory and are NOT valid
+    // UTF-8 trails, so the page must not misdetect as utf-8
+    val b = ("a" * 8191 + "é and ascii continues well past the cap")
+      .getBytes("windows-1252")
+    assert(b.length > 8192 && (b(8191) & 0xff) == 0xE9)
+    assert(LegacyCharset.detect(b) == "windows-1252")
+    // the same byte at the TRUE end of a payload keeps the old excuse
+    // semantics: no completed witness → cp1252, not truncated UTF-8
+    assert(LegacyCharset.detect("mostly ascii é".getBytes("windows-1252"))
+      == "windows-1252")
+  }
+
   test("detect: BOM-less UTF-16 via the NUL-alternation lane") {
     val t = "Latin text served as UTF-16 with the mark stripped"
     assert(LegacyCharset.detect(t.getBytes("UTF-16LE")) == "utf-16le")

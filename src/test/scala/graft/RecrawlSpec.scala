@@ -104,6 +104,38 @@ class RecrawlSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", tz0)
   }
 
+  test("recrawlPlan: obsolete RFC 850 and asctime Last-Modified forms parse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_httpdate").toString
+    graft.io.Warc.writeWarcResponsesWithHeaders(Seq(
+      // RFC 850 (full weekday, dd-MMM-yy): 100 s before the staged fetch
+      ("http://a.test/r850", "text/plain",
+        "Last-Modified: Saturday, 28-Feb-26 23:58:20 GMT",
+        "x".getBytes("UTF-8")),
+      // asctime (no zone → GMT per RFC 9110): same instant
+      ("http://a.test/asctime", "text/plain",
+        "Last-Modified: Sat Feb 28 23:58:20 2026",
+        "x".getBytes("UTF-8")),
+      // asctime's space-padded single-digit day form
+      ("http://a.test/padded", "text/plain",
+        "Last-Modified: Sun Feb  1 00:00:00 2026",
+        "x".getBytes("UTF-8")))
+      .toDF("target_uri", "content_type", "extra_headers", "payload"), dir)
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // parsed under a non-UTC session: both zone-less/obsolete lanes
+      // must still anchor at GMT
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val plan = Recrawl.recrawlPlan(graft.io.Warc.readWarc(spark, dir),
+        alpha = 0.5, minHours = 1.0, maxHours = 720.0, defaultDays = 7.0)
+        .collect().map(r => r.getAs[String]("url") ->
+          r.getAs[Any]("age_s")).toMap
+      assert(plan("http://a.test/r850") == 100L)
+      assert(plan("http://a.test/asctime") == 100L)
+      assert(plan("http://a.test/padded") == 28L * 86400)
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+  }
+
   test("recrawlPlan: explicit freshness beats the age heuristic when both present") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_fresh_spec").toString
