@@ -749,6 +749,23 @@ object ExtensionQueries {
       s"$out/wat"
     })
 
+  private val watRequestStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_wat_request: the WAT sidecar of the
+    * PROVENANCE archive (request + response + metadata per document,
+    * [[graft.io.Warc.writeWarcResponsesWithProvenance]]) — so the
+    * request lane carries a real embedded HTTP request head (method,
+    * per-id User-Agent) and a `WARC-Concurrent-To` response link, the
+    * crawl-accounting half of the sidecar. */
+  private def watRequestStage(s: SparkSession, dir: String): String =
+    watRequestStages.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_watreq").toString
+      graft.io.Wat.writeWat(
+        graft.io.Warc.readWarc(s, provenanceStage(s, dir)), out)
+      out
+    })
+
   private val recrawlStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -4801,6 +4818,23 @@ object ExtensionQueries {
         .orderBy("from_url", "to_url")
     }),
 
+    // WAT request-record fidelity: the sidecar's crawl-accounting half
+    // — method and User-Agent parsed from the embedded request head,
+    // serialized as HTTP-Request-Metadata, parsed BACK; the
+    // Concurrent-To response link must survive the round-trip on every
+    // request and metadata record (WatSpec pins its VALUE against the
+    // record reader's; SQL pins presence per type).
+    "q_wat_request" -> ((s, dir) => {
+      graft.io.Wat.readWat(s, watRequestStage(s, dir))
+        .filter(col("ok") && col("warc_type").isin("request", "metadata"))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("warc_type"), col("url"), col("method"), col("user_agent"),
+          col("concurrent_to").isNotNull.as("linked"))
+        .orderBy("doc_id", "warc_type")
+    }),
+
     // Recrawl planning: the age-proportional revisit policy over the
     // staged validator batteries — IMF-fixdate parsing, both clamp
     // edges, the absent-validator default, and the epoch arithmetic
@@ -6214,6 +6248,11 @@ object ExtensionQueries {
     // passes through — both canonicalized, replayed from the cycles
     "q_wat_outlinks" ->
       """WITH d AS (SELECT doc_id FROM documents), e AS (SELECT 'http://corpus.test/doc/' || doc_id AS from_url, 'http://corpus.test/r' || doc_id AS to_url, 'rel link' AS anchor FROM d UNION ALL SELECT 'http://corpus.test/doc/' || doc_id, 'http://abs' || doc_id || '.test/P', 'second ' || doc_id FROM d) SELECT from_url, to_url, anchor FROM e ORDER BY from_url, to_url""",
+
+    // the request lane's method/agent replayed from the staging
+    // constants; the metadata lane carries the link but no request head
+    "q_wat_request" ->
+      """WITH d AS (SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url FROM documents) SELECT doc_id, warc_type, url, method, user_agent, TRUE AS linked FROM (SELECT doc_id, 'request' AS warc_type, url, 'GET' AS method, 'agent/' || (doc_id % 5) AS user_agent FROM d UNION ALL SELECT doc_id, 'metadata', url, NULL, NULL FROM d) ORDER BY doc_id, warc_type""",
 
     // the staged validator lanes replayed: fetch epoch constant, the
     // three Last-Modified derivations, alpha/clamp arithmetic verbatim

@@ -64,6 +64,35 @@ class WatSpec extends SparkSpec {
     assert(fromWat == fromWarc && fromWat.length == 2)
   }
 
+  test("request records round-trip method, User-Agent, and Concurrent-To verbatim") {
+    val root = java.nio.file.Files.createTempDirectory("graft_wat_req").toString
+    graft.io.Warc.writeWarcResponsesWithProvenance(
+      Seq(("http://a.test/doc", "text/html", "<p>b</p>".getBytes("UTF-8"),
+        "graftbot/1.0", 41L, "utf-8"))
+        .toDF("target_uri", "content_type", "payload", "user_agent",
+          "fetch_time_ms", "charset").coalesce(1), s"$root/warc")
+    val recs = graft.io.Warc.readWarc(spark, s"$root/warc")
+    graft.io.Wat.writeWat(recs, s"$root/wat")
+    val back = graft.io.Wat.readWat(spark, s"$root/wat").filter($"ok")
+      .collect().map(r => r.getAs[String]("warc_type") -> r).toMap
+    // the request face: method + agent parsed from the embedded head
+    assert(back("request").getAs[String]("method") == "GET")
+    assert(back("request").getAs[String]("user_agent") == "graftbot/1.0")
+    // the §5.7 link survives the round-trip BYTE-IDENTICAL to what the
+    // record reader saw, on both record types that bear it; the
+    // response carries none
+    val readerLinks = recs.collect()
+      .filter(_.concurrent_to != null)
+      .map(r => r.warc_type -> r.concurrent_to).toMap
+    assert(readerLinks.keySet == Set("request", "metadata"))
+    for (t <- Seq("request", "metadata"))
+      assert(back(t).getAs[String]("concurrent_to") == readerLinks(t))
+    assert(back("response").isNullAt(back("response").fieldIndex("concurrent_to")))
+    assert(back("response").isNullAt(back("response").fieldIndex("method")))
+    // the warcinfo record carries no request face either
+    assert(back("warcinfo").isNullAt(back("warcinfo").fieldIndex("method")))
+  }
+
   test("Container addressing fetches the described record back, both layouts") {
     for (gz <- Seq(true, false)) {
       val (_, wat) = stage(gz)
