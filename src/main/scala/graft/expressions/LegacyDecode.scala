@@ -51,20 +51,26 @@ case class DecodeLegacy(left: Expression, right: Expression)
 object CharsetDetectKernel {
   def detectAndDecode(payload: Array[Byte])
       : org.apache.spark.sql.catalyst.InternalRow = {
-    val label = graft.operators.LegacyCharset.detect(payload)
+    val (label, margin) =
+      graft.operators.LegacyCharset.detectScored(payload)
     org.apache.spark.sql.catalyst.InternalRow(
       UTF8String.fromString(label),
       UTF8String.fromString(
-        graft.operators.LegacyCharset.decodeAs(payload, label)))
+        graft.operators.LegacyCharset.decodeAs(payload, label)),
+      margin)
   }
 }
 
-/** `detect_and_decode(binary)` → struct<charset, text>: ONE cascade
-  * run serving both the label and the routed decode — the shape
+/** `detect_and_decode(binary)` → struct<charset, text, margin>: ONE
+  * cascade run serving the label, the routed decode, AND the
+  * confidence margin ([[graft.operators.LegacyCharset.detectScored]] —
+  * +∞ for structural lanes, winner-minus-runner-up for scored claims,
+  * 0 for the unclaimed fallback, so encoding-quality gates can
+  * threshold a coin-flip winner) — the shape
   * [[graft.io.Warc.toDocumentsTextDetected]] projects, where separate
   * `detect_charset` + `decode_detected` columns would run the
   * 16-candidate scoring pass twice per record (and whole-stage
-  * codegen's subexpression elimination dedups the two `getField`
+  * codegen's subexpression elimination dedups the `getField`
   * accesses to this one call). */
 case class DetectAndDecode(child: Expression)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -77,7 +83,9 @@ case class DetectAndDecode(child: Expression)
     Seq(org.apache.spark.sql.types.StructField("charset", StringType,
       nullable = false),
       org.apache.spark.sql.types.StructField("text", StringType,
-        nullable = false)))
+        nullable = false),
+      org.apache.spark.sql.types.StructField("margin",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
   override def prettyName: String = "detect_and_decode"
   override def nullSafeEval(payload: Any): Any =
     CharsetDetectKernel.detectAndDecode(payload.asInstanceOf[Array[Byte]])

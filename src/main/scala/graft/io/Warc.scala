@@ -386,10 +386,16 @@ object Warc {
         when(col("dd").isNotNull, col("dd.charset"))
           .otherwise(charsetOf(col("payload"), col("http_content_type")))
           .as("charset"),
+        // detection confidence (null where a DECLARATION routed the
+        // decode — testimony is not a guess and carries no margin):
+        // +∞ structural, winner-minus-runner-up scored, 0 fallback —
+        // the column encoding_quality gates threshold
+        when(col("dd").isNotNull, col("dd.margin")).as("charset_margin"),
         when(col("dd").isNotNull, col("dd.text"))
           .otherwise(decodePayload(col("payload"), col("http_content_type")))
           .as("text"))
       .select(col("doc_id"), col("url"), col("charset"),
+        col("charset_margin"),
         TextFunctions.langId(col("text")).as("lang"), col("text"))
   }
 
@@ -442,11 +448,14 @@ object Warc {
         when(col("dd").isNotNull, col("dd.charset"))
           .otherwise(charsetOf(col("payload"), col("http_content_type")))
           .as("charset"),
+        // same confidence contract as [[toDocumentsTextDetected]]
+        when(col("dd").isNotNull, col("dd.margin")).as("charset_margin"),
         TextFunctions.htmlToText(
           when(col("dd").isNotNull, col("dd.text"))
             .otherwise(decodePayload(col("payload"),
               col("http_content_type")))).as("html_text"))
       .select(col("doc_id"), col("url"), col("charset"),
+        col("charset_margin"),
         TextFunctions.langId(col("html_text")).as("lang"),
         col("html_text").as("text"))
   }
@@ -2007,7 +2016,8 @@ object Warc {
     * byte-carrier faces (pdf/docx/…) are charset-free and unchanged. */
   def toDocuments(records: Dataset[WarcRecord],
       detectCharsets: Boolean): DataFrame =
-    (if (detectCharsets) toDocumentsHtmlDetected(records).drop("charset")
+    (if (detectCharsets) toDocumentsHtmlDetected(records)
+      .drop("charset", "charset_margin")
     else toDocumentsHtml(records))
       // failed extractions carry no text — nothing for curation; callers
       // who need the failure rows use toDocumentsPdf/Docx directly
@@ -2050,7 +2060,8 @@ object Warc {
       .unionByName(toDocumentsMhtml(records)
         .filter(col("extract_ok")).drop("extract_ok").drop("n_resources"))
       .unionByName(
-        if (detectCharsets) toDocumentsTextDetected(records).drop("charset")
+        if (detectCharsets) toDocumentsTextDetected(records)
+          .drop("charset", "charset_margin")
         else toDocumentsText(records))
 
   /** Sequential record walk over one archive. Malformed framing never

@@ -685,9 +685,34 @@ object LegacyCharset {
     * lane), "iso-2022-jp", one of [[detectCandidates]], or the
     * "windows-1252" fallback. Deterministic; samples at most
     * `maxBytes`. */
-  def detect(bytes: Array[Byte], maxBytes: Int = 8192): String = {
+  def detect(bytes: Array[Byte], maxBytes: Int = 8192): String =
+    detectScored(bytes, maxBytes)._1
+
+  /** [[detect]] plus its CONFIDENCE — the winning score's margin, so an
+    * encoding-quality gate can threshold a coin-flip winner instead of
+    * trusting it. Semantics:
+    *
+    *   - STRUCTURAL lanes (an ISO-2022-JP designator escape, the
+    *     BOM-less UTF-16 NUL-alternation majority, structurally-valid
+    *     UTF-8 / pure ASCII) are categorical, not scored: margin =
+    *     `Double.PositiveInfinity` — any finite threshold passes them.
+    *   - A SCORED claim's margin is the winner's lead over the best
+    *     DISAGREEING candidate — one whose decode of the sample
+    *     differs from the winner's. Candidates that decode the sample
+    *     byte-identically (cp1251 vs mac-cyrillic on plain Russian
+    *     prose, the three windows Latin pages on French accents) are
+    *     not evidence against the claim: the TEXT is right under
+    *     either label, and a gate must not discard a perfect decode
+    *     over a label coin-flip. The lead floors at the 0.40 claim
+    *     threshold when no disagreeing candidate cleared it.
+    *   - The windows-1252 FALLBACK (no candidate cleared the threshold,
+    *     or fewer than 4 high bytes to measure) has margin 0.0: the
+    *     label is a default, not a finding.
+    *
+    * Deterministic like [[detect]]; one cascade run serves both. */
+  def detectScored(bytes: Array[Byte], maxBytes: Int = 8192): (String, Double) = {
     val n = math.min(bytes.length, maxBytes)
-    if (hasIso2022Escape(bytes, n)) return "iso-2022-jp"
+    if (hasIso2022Escape(bytes, n)) return ("iso-2022-jp", Double.PositiveInfinity)
     // BOM-less UTF-16 (servers strip marks; real in crawls): mostly-
     // Latin UTF-16 text has a NUL in nearly every code unit — on the
     // high-byte side for LE, low-byte side for BE. No other claimed
@@ -703,18 +728,20 @@ object LegacyCharset {
         j += 2
       }
       val units = n / 2
-      if (zOdd > units * 2 / 3 && zEven < units / 8) return "utf-16le"
-      if (zEven > units * 2 / 3 && zOdd < units / 8) return "utf-16be"
+      if (zOdd > units * 2 / 3 && zEven < units / 8)
+        return ("utf-16le", Double.PositiveInfinity)
+      if (zEven > units * 2 / 3 && zOdd < units / 8)
+        return ("utf-16be", Double.PositiveInfinity)
     }
     val (utf8Ok, hasHigh) = utf8Shape(bytes, n)
-    if (utf8Ok || !hasHigh) return "utf-8"
+    if (utf8Ok || !hasHigh) return ("utf-8", Double.PositiveInfinity)
     val sample = if (n == bytes.length) bytes
       else java.util.Arrays.copyOf(bytes, n)
     // fewer than 4 high bytes: nothing to measure, take the default
     var high = 0
     var i = 0
     while (i < n) { if ((sample(i) & 0xff) > 0x7F) high += 1; i += 1 }
-    if (high < 4) return "windows-1252"
+    if (high < 4) return ("windows-1252", 0.0)
     // the Latin-vs-non-Latin ADJACENCY gate: in Latin-script text the
     // high bytes are accents INSIDE ASCII-letter words (café, příliš —
     // nearly every high byte touches an ASCII letter); in every
@@ -741,6 +768,11 @@ object LegacyCharset {
     val latinish = adj.toDouble / high > 0.5
     var best = "windows-1252"
     var bestScore = 0.40 // the claim threshold
+    var bestHash = 0
+    var claimed = false
+    // every candidate's (score, decode hash) — the margin compares the
+    // winner against the best candidate that DISAGREES on the decode
+    val runners = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
     detectCandidates.iterator
       .filter(l => !latinish || latinOnly(l))
       .foreach { label =>
@@ -769,9 +801,17 @@ object LegacyCharset {
           (decode(sample, l), k, anch)
       }
       val sc = scoreDecode(decoded, key, anchors)
-      if (sc > bestScore) { bestScore = sc; best = label }
+      val h = decoded.hashCode
+      runners += ((sc, h))
+      if (sc > bestScore) {
+        bestScore = sc; best = label; bestHash = h; claimed = true
+      }
     }
-    best
+    if (!claimed) return (best, 0.0) // unclaimed: the default, not a finding
+    val second = runners.iterator
+      .collect { case (sc, h) if h != bestHash => sc }
+      .foldLeft(0.40)(math.max)
+    (best, bestScore - second)
   }
 
   // the cp1252 C1 remap pair (kept in sync with Warc.decodePayload's

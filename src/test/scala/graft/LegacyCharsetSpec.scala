@@ -249,6 +249,35 @@ class LegacyCharsetSpec extends SparkSpec {
       assert(LegacyCharset.decodeDetected(jvm(enc, text)) == text, enc)
   }
 
+  test("detectScored: the margin separates confident claims, near-ties, and defaults") {
+    // structural lanes are categorical — any finite threshold passes
+    assert(LegacyCharset.detectScored("plain ascii".getBytes("US-ASCII"))
+      ._2.isPosInfinity)
+    assert(LegacyCharset.detectScored(
+      "Latin text served as UTF-16 with the mark stripped".getBytes("UTF-16LE"))
+      ._2.isPosInfinity)
+    // a confidently-CJK page wins by a clear disagreeing-runner-up lead
+    val ja = "日本語のテストです。これは長めの文章で、ひらがなとカタカナと漢字が混ざっています。"
+    val (l1, m1) = LegacyCharset.detectScored(jvm("windows-31j", ja))
+    assert(l1 == "shift_jis" && m1 > 0.15)
+    // agreeing candidates are NOT evidence against a claim: cp1251 and
+    // mac-cyrillic decode plain lowercase Russian identically, so the
+    // margin measures the lead over koi8-r (which disagrees), not zero
+    val ru = "это проверка русского текста, написанного преимущественно строчными буквами как обычно."
+    val (l2, m2) = LegacyCharset.detectScored(jvm("windows-1251", ru))
+    assert(l2 == "windows-1251" && m2 > 0.15)
+    // the unclaimed fallback is a default, not a finding: margin 0
+    val (l3, m3) = LegacyCharset.detectScored(
+      "mostly ascii é".getBytes("windows-1252"))
+    assert(l3 == "windows-1252" && m3 == 0.0)
+    // a genuine near-tie: French accents score identically under every
+    // windows Latin page and hit no flavor anchors — the label is a
+    // positional preference and the margin says so
+    val (l4, m4) = LegacyCharset.detectScored(
+      "déjà vu café résumé naïve façade crème brûlée".getBytes("windows-1252"))
+    assert(l4 == "windows-1252" && m4 == 0.0)
+  }
+
   test("detect: deterministic on the capped sample") {
     val ja = "日本語のテストです。これは長い文章で繰り返します。" * 2000
     val b = jvm("windows-31j", ja)
