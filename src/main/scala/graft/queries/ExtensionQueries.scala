@@ -749,6 +749,44 @@ object ExtensionQueries {
       s"$out/wat"
     })
 
+  private val frontierStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_frontier_plan: the prior crawl a
+    * frontier is planned FROM — every document a response at
+    * `http://h<id%10>.test/p<id>` (even ids explicitly fresh for two
+    * hours via max-age; odd ids validator-less, the default lane); on
+    * `id % 5 == 0` an ADDITIONAL `/a<id>` alias page whose `no-cache`
+    * makes it the cluster's most eager member (the collapse lane); and
+    * on `id % 10 == 7` a `/z<id>` 429 with `Retry-After: 120` (the
+    * backoff lane — every such id lands on host h7). */
+  private def frontierStage(s: SparkSession, dir: String): String =
+    frontierStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_frontier").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .flatMap { id =>
+          val h = s"http://h${id % 10}.test"
+          val body = "x".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Seq((s"$h/p$id", "text/plain",
+            if (id % 2 == 0) "Cache-Control: max-age=7200" else "",
+            body, 200)) ++
+            (if (id % 5 == 0)
+              Seq((s"$h/a$id", "text/plain", "Cache-Control: no-cache",
+                body, 200))
+            else Nil) ++
+            (if (id % 10 == 7)
+              Seq((s"$h/z$id", "text/plain", "Retry-After: 120", body, 429))
+            else Nil)
+        }
+        .toDF("target_uri", "content_type", "extra_headers", "payload",
+          "status")
+      graft.io.Warc.writeWarcResponsesWithHeaders(media, out)
+      out
+    })
+
   private val watRequestStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -4818,6 +4856,43 @@ object ExtensionQueries {
         .orderBy("from_url", "to_url")
     }),
 
+    // The frontier capstone: freshness due-times (max-age / no-cache /
+    // default lanes), alias-representative collapse (each /a page
+    // folds into its /p cluster and donates its eager due-time),
+    // robots Crawl-delay slot spacing, and the Retry-After host shift
+    // — all four layers composed in ONE plan and replayed in DuckDB.
+    "q_frontier_plan" -> ((s, dir) => {
+      import s.implicits._
+      val recs = graft.io.Warc.readWarc(s, frontierStage(s, dir))
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      def u(p: String) = concat(lit("http://h"), col("doc_id") % 10,
+        lit(".test/" + p), col("doc_id"))
+      val redirects = d.filter(col("doc_id") % 5 === 0)
+        .select(u("a").as("from_url"), u("p").as("to_url"))
+      val canonicals = redirects.filter(lit(false))
+        .select(col("from_url").as("url"), col("to_url").as("canonical_url"))
+      val rules = s.range(0, 10).as[Long].map { h =>
+        val body = (h % 3) match {
+          case 0 => "User-agent: graftbot\nCrawl-delay: 2\n"
+          case 1 => "User-agent: *\nCrawl-delay: 0.5\n"
+          case _ => "User-agent: *\nDisallow:\n"
+        }
+        (s"h$h.test",
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      graft.operators.Frontier.frontierPlan(recs,
+          graft.operators.LinkRank.urlAliasClusters(redirects, canonicals),
+          rules, "graftbot/1.0",
+          alpha = 0.5, minHours = 1.0, maxHours = 720.0, defaultDays = 7.0,
+          defaultDelayS = 1.0, defaultBackoffS = 60.0)
+        .select(
+          regexp_extract(col("url"), "/[pz](\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("host"), col("next_fetch_s"), col("delay_s"),
+          col("fetch_at_s"))
+        .orderBy("url")
+    }),
+
     // WAT request-record fidelity: the sidecar's crawl-accounting half
     // — method and User-Agent parsed from the embedded request head,
     // serialized as HTTP-Request-Metadata, parsed BACK; the
@@ -6248,6 +6323,16 @@ object ExtensionQueries {
     // passes through — both canonicalized, replayed from the cycles
     "q_wat_outlinks" ->
       """WITH d AS (SELECT doc_id FROM documents), e AS (SELECT 'http://corpus.test/doc/' || doc_id AS from_url, 'http://corpus.test/r' || doc_id AS to_url, 'rel link' AS anchor FROM d UNION ALL SELECT 'http://corpus.test/doc/' || doc_id, 'http://abs' || doc_id || '.test/P', 'second ' || doc_id FROM d) SELECT from_url, to_url, anchor FROM e ORDER BY from_url, to_url""",
+
+    // all four frontier layers replayed: the collapse folds every /a
+    // row into its /p cluster (the a-lane's 3600 s no-cache due-time
+    // wins the min), slots rank urls per host times the per-host
+    // crawl-delay, and host 7's queue shifts by the staged Retry-After
+    "q_frontier_plan" ->
+      ("""WITH d AS (SELECT doc_id, doc_id % 10 AS h FROM documents), """ +
+        """rows AS (SELECT doc_id, h, 'http://h' || h || '.test/p' || doc_id AS url, CASE WHEN doc_id % 5 = 0 THEN 3600 WHEN doc_id % 2 = 0 THEN 7200 ELSE 604800 END AS iv FROM d UNION ALL SELECT doc_id, h, 'http://h' || h || '.test/z' || doc_id, 604800 FROM d WHERE doc_id % 10 = 7), """ +
+        """r AS (SELECT doc_id, h, url, CAST(epoch(TIMESTAMP '2026-03-01 00:00:00') AS BIGINT) + iv AS nf, CAST(row_number() OVER (PARTITION BY h ORDER BY url) - 1 AS DOUBLE) AS slot, CASE CAST(h % 3 AS INTEGER) WHEN 0 THEN 2.0 WHEN 1 THEN 0.5 ELSE 1.0 END AS delay_s, CASE WHEN h = 7 THEN 120.0 ELSE 0.0 END AS backoff FROM rows) """ +
+        """SELECT doc_id, url, 'h' || h || '.test' AS host, nf AS next_fetch_s, delay_s, slot * delay_s + backoff AS fetch_at_s FROM r ORDER BY url"""),
 
     // the request lane's method/agent replayed from the staging
     // constants; the metadata lane carries the link but no request head
