@@ -741,7 +741,8 @@ object ScaleBench {
       // justifies the index over scanning 100 TB of WARC.
       if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
           .exists(!_.exists(s =>
-            "cdx_build".contains(s) || "cdx_fetch".contains(s)))) {
+            "cdx_build".contains(s) || "cdx_fetch".contains(s) ||
+              "cdx_merge".contains(s)))) {
         import spark.implicits._
         val cdxWarcDir = s"$scaleDir/warc_cdx"
         graft.io.Warc.writeWarcResponses(
@@ -770,17 +771,50 @@ object ScaleBench {
         // cache, and the index scan that picks the slice grows with the
         // corpus — the fetch row's claim is about the fetch alone): the
         // first 256 index rows in global key order — same SIZE at every
-        // scale
-        val slicePath = s"$scaleDir/cdx_slice"
-        graft.io.Cdx.readCdxj(spark, cdxIdxDir)
-          .filter(col("ok")).orderBy("surt", "ts").limit(256)
-          .select("filename", "offset", "gz_offset")
-          .write.mode("overwrite").parquet(slicePath)
-        measure("cdx_fetch", s"$scaleDir/out_cdx_fetch") {
-          graft.io.Warc.readWarcRecordsAt(spark,
-              spark.read.parquet(slicePath))
-            .select(col("target_uri"), col("warc_date"),
-              length(col("payload")).as("n_bytes"), col("framing_ok"))
+        // scale. (Guarded like its measure: the slice staging reads the
+        // cdx_build output, which a filtered run may not have built.)
+        if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+            .exists(!_.exists("cdx_fetch".contains))) {
+          val slicePath = s"$scaleDir/cdx_slice"
+          graft.io.Cdx.readCdxj(spark, cdxIdxDir)
+            .filter(col("ok")).orderBy("surt", "ts").limit(256)
+            .select("filename", "offset", "gz_offset")
+            .write.mode("overwrite").parquet(slicePath)
+          measure("cdx_fetch", s"$scaleDir/out_cdx_fetch") {
+            graft.io.Warc.readWarcRecordsAt(spark,
+                spark.read.parquet(slicePath))
+              .select(col("target_uri"), col("warc_date"),
+                length(col("payload")).as("n_bytes"), col("framing_ok"))
+          }
+        }
+
+        // MERGE: a FIXED 2048-row, locality-bearing delta (one
+        // recrawled site — its SURT keys share a prefix, the shape a
+        // real recrawl produces) sorted-merged into a standing index
+        // whose shards are held at constant SIZE by growing the shard
+        // COUNT with the corpus (the writeCdxj shards knob — the CC
+        // layout convention). Cost = delta + the touched shards' bytes,
+        // so the row must stay FLAT while the standing index grows
+        // 100× — the incremental-maintenance claim under measurement.
+        // The standing build is untimed staging; cdx_build times the
+        // full sort separately.
+        val mergeIdxDir = s"$scaleDir/cdx_idx_merge"
+        graft.io.Cdx.writeCdxj(
+          graft.io.Cdx.cdxFromWarc(
+            graft.io.Warc.readWarc(spark, cdxWarcDir)),
+          mergeIdxDir, shards = 8 * scale)
+        val mergeDelta = spark.range(2048).select(
+          concat(lit("test,delta)/doc/"),
+            lpad(col("id").cast("string"), 6, "0")).as("surt"),
+          lit("20260301000000").as("ts"),
+          concat(lit("http://delta.test/doc/"), col("id")).as("url"),
+          lit("text/html").as("mime"), lit(200).cast("int").as("status"),
+          lit(null).cast("string").as("digest"), lit(100L).as("length"),
+          lit(0L).as("offset"), lit(null).cast("long").as("gz_offset"),
+          lit("delta-seg0.warc.gz").as("filename"))
+        measure("cdx_merge", s"$scaleDir/out_cdx_merge") {
+          graft.io.Cdx.mergeCdxj(spark, mergeIdxDir, mergeDelta)
+          mergeDelta.select("surt", "ts") // fixed-size sink; the merge is the cost
         }
       }
 

@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   * tolerant-bridge flag (a malformed line degrades to its own flagged
   * row); [[fetchRecords]] closes the loop — index rows back to the
   * records they name, by offset, without scanning
-  * ([[Warc.readWarcRecordsAt]]).
+  * ([[Warc.readWarcRecordsAt]]); [[mergeCdxj]] maintains the standing
+  * index incrementally — a delta sorted-merges into only the shards
+  * whose ranges it touches, never re-sorting the corpus-scale side.
   *
   * Addressing follows the [[Warc.WarcRecord]] contract: for gzipped
   * archives `gz_offset` is the record's member's compressed offset and
@@ -52,26 +54,175 @@ object Cdx {
       .filter(col("surt").isNotNull)
   }
 
+  /** One CDXJ line from a `(surt, ts, url, mime, status, digest,
+    * length, offset, gz_offset, filename)` row — the single format
+    * kernel [[writeCdxj]] and [[mergeCdxj]] share. */
+  private def formatLine(r: org.apache.spark.sql.Row): String = {
+    import graft.operators.Json.quote
+    def s(i: Int, key: String): String =
+      if (r.isNullAt(i)) "" else s"""${quote(key)}:${quote(r.get(i).toString)},"""
+    val json = ("{" + s(2, "url") + s(3, "mime") + s(4, "status") +
+      s(5, "digest") + s(6, "length") + s(7, "offset") +
+      s(8, "gz_offset") + s(9, "filename")).stripSuffix(",") + "}"
+    s"${r.getString(0)} ${Option(r.getString(1)).getOrElse("-")} $json"
+  }
+
+  private def indexCols(index: DataFrame): DataFrame =
+    index.select(col("surt"), col("ts"), col("url"), col("mime"),
+      col("status"), col("digest"), col("length"), col("offset"),
+      col("gz_offset"), col("filename"))
+
+  /** The sort key of a CDXJ line: its `<surt> <ts>` prefix. String
+    * order of the prefix equals (surt, ts) column order: SURT keys are
+    * space-free by construction (the line format's own framing), every
+    * SURT byte is ≥ 0x20 so a prefix SURT sorts before its extensions
+    * under both orders, and the absent-ts `-` (0x2D) sorts before any
+    * digit — matching the column sort's nulls-first. */
+  private def keyOf(line: String): String = {
+    val sp2 = line.indexOf(' ', line.indexOf(' ') + 1)
+    require(sp2 > 0, s"malformed cdxj line: ${line.take(80)}")
+    line.substring(0, sp2)
+  }
+
   /** Write `(surt, ts, url, mime, status, digest, length, offset,
     * gz_offset, filename)` rows as CDXJ text, globally sorted by
-    * (surt, ts). */
-  def writeCdxj(index: DataFrame, dir: String): Unit = {
-    import graft.operators.Json.quote
+    * (surt, ts). `shards > 0` pins the range-partition count — the
+    * layout knob that holds SHARD SIZE constant as the corpus grows
+    * (the Common Crawl convention: shard count ∝ index size), which is
+    * what keeps [[mergeCdxj]]'s touched-shard cost flat; 0 leaves the
+    * session's parallelism in charge. */
+  def writeCdxj(index: DataFrame, dir: String, shards: Int = 0): Unit = {
     import index.sparkSession.implicits._
-    index
-      .orderBy("surt", "ts")
-      .select(col("surt"), col("ts"), col("url"), col("mime"),
-        col("status"), col("digest"), col("length"), col("offset"),
-        col("gz_offset"), col("filename"))
-      .map { r =>
-        def s(i: Int, key: String): String =
-          if (r.isNullAt(i)) "" else s"""${quote(key)}:${quote(r.get(i).toString)},"""
-        val json = ("{" + s(2, "url") + s(3, "mime") + s(4, "status") +
-          s(5, "digest") + s(6, "length") + s(7, "offset") +
-          s(8, "gz_offset") + s(9, "filename")).stripSuffix(",") + "}"
-        s"${r.getString(0)} ${Option(r.getString(1)).getOrElse("-")} $json"
-      }
+    val arranged =
+      if (shards > 0)
+        indexCols(index)
+          .repartitionByRange(shards, col("surt"), col("ts"))
+          .sortWithinPartitions("surt", "ts")
+      else indexCols(index).orderBy("surt", "ts")
+    arranged
+      .map(formatLine)
       .write.mode("overwrite").text(dir)
+  }
+
+  /** Incremental index maintenance — the `index-append` analogue for
+    * the selection layer: sorted-merge a DELTA (new crawl segments'
+    * [[cdxFromWarc]] rows) into a STANDING [[writeCdxj]] index WITHOUT
+    * re-sorting the standing side. A continuous crawl
+    * ([[graft.io.Warc.readWarcStream]] → [[graft.operators.Recrawl
+    * .mergeRefetch]]) re-sorts nothing: the standing shards are each
+    * internally sorted and globally range-partitioned, so the merge
+    *
+    *   1. reads each shard's FIRST line (driver-side, shards-scale —
+    *      the range bounds ARE the index's own layout, no manifest);
+    *   2. routes every delta row to the one shard whose range owns its
+    *      key (broadcast bounds, binary search — keys below the first
+    *      shard go to it, keys past the last to the last);
+    *   3. rewrites ONLY the shards that received delta rows: one
+    *      streaming two-iterator merge per touched shard (standing
+    *      lines win ties — stable), dot-tmp + rename replace.
+    *
+    * Cost is the delta plus the standing bytes of TOUCHED shards —
+    * flat in standing-index size for the locality-bearing deltas a
+    * real recrawl produces (a re-fetched site's captures share SURT
+    * prefixes and land in few shards); a delta scattered across every
+    * shard honestly pays every shard, which is what periodic
+    * [[writeCdxj]] re-sharding (compaction) is for. Shard COUNT is
+    * preserved — a merge never splits; rebalancing is the compaction
+    * pass's job. Single-writer contract, like every standing-artifact
+    * maintainer here; the per-shard replace is atomic-rename, so a
+    * reader sees old or new, never half.
+    *
+    * An empty standing dir degrades to [[writeCdxj]] (the bootstrap). */
+  def mergeCdxj(spark: SparkSession, standingDir: String,
+      delta: DataFrame): Unit = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val fs = new Path(standingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // empty part files (a range partitioner's empty tails) own no
+    // range — they are not merge targets
+    val parts =
+      if (!fs.exists(new Path(standingDir))) Array.empty[Path]
+      else fs.listStatus(new Path(standingDir))
+        .filter(st => st.getPath.getName.startsWith("part-") && st.getLen > 0)
+        .map(_.getPath).sortBy(_.getName)
+    if (parts.isEmpty) { writeCdxj(delta, standingDir); return }
+    val firstKeys = parts.map { p =>
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(p), utf8))
+      try {
+        val l = in.readLine()
+        require(l != null, s"mergeCdxj: empty standing shard $p")
+        keyOf(l)
+      } finally in.close()
+    }
+    // shard i owns [firstKeys(i), firstKeys(i+1)); bounds = the upper
+    // edges, so the routed shard = count of bounds <= key
+    val bounds = spark.sparkContext.broadcast(firstKeys.drop(1))
+    val shardPaths = spark.sparkContext.broadcast(parts.map(_.toString))
+    val hconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val rewritten = indexCols(delta)
+      .map(r => (formatLine(r): String))
+      .map { line =>
+        val k = keyOf(line)
+        val b = bounds.value
+        var lo = 0; var hi = b.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (b(mid) <= k) lo = mid + 1 else hi = mid
+        }
+        (lo, k, line)
+      }
+      .toDF("shard", "key", "line")
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "key")
+      .as[(Int, String, String)]
+      .mapPartitions { it =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val conf = hconf.value.value
+        val done = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        val buffered = it.buffered
+        while (buffered.hasNext) {
+          val shard = buffered.head._1
+          val target = new Path(shardPaths.value(shard))
+          val sfs = target.getFileSystem(conf)
+          val tmp = new Path(target.getParent, s".${target.getName}.merge.tmp")
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sfs.open(target), utf8))
+          val out = new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(sfs.create(tmp, true), utf8))
+          var added = 0L
+          try {
+            var standing = in.readLine()
+            while (buffered.hasNext && buffered.head._1 == shard) {
+              val (_, k, line) = buffered.next()
+              // drain standing lines up to the delta key (ties: standing
+              // first — a stable merge)
+              while (standing != null && keyOf(standing) <= k) {
+                out.write(standing); out.write('\n')
+                standing = in.readLine()
+              }
+              out.write(line); out.write('\n')
+              added += 1
+            }
+            while (standing != null) {
+              out.write(standing); out.write('\n')
+              standing = in.readLine()
+            }
+          } finally { out.close(); in.close() }
+          // atomic replace: a reader sees the old shard or the new one
+          sfs.delete(target, false)
+          require(sfs.rename(tmp, target),
+            s"mergeCdxj: rename $tmp -> $target failed")
+          done += ((shard, added))
+        }
+        done.iterator
+      }
+      .collect()
+    val _ = rewritten // shards-scale action forces the side effects
   }
 
   /** Fetch the records an index slice names — the whole reason the

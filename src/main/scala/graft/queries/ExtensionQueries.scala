@@ -714,6 +714,49 @@ object ExtensionQueries {
       s"$out/idx"
     })
 
+  private val cdxMergeStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_cdx_merge: the STANDING index built
+    * over the `id % 3 != 1` two-thirds of the corpus (both archive
+    * layouts — per-record gzip for even ids, bare for odd, the
+    * cdxFetchStage convention), then the remaining third's index rows
+    * merged in through [[graft.io.Cdx.mergeCdxj]] as the DELTA crawl.
+    * Returns the merged index dir; archives live beside it so the
+    * query can fetch every named record back. */
+  private def cdxMergeStage(s: SparkSession, dir: String): String =
+    cdxMergeStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_cdx_merge").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://h"), col("doc_id") % 10,
+            lit(".corpus.test/doc/"), col("doc_id")).as("u"),
+          regexp_replace(col("text"), "\\. ", "\n").as("x"))
+        .as[(Long, String, String)]
+        .map { case (id, u, x) =>
+          val html = x.split("\n", -1).map(l => "<p>" + l + "</p>").mkString
+          (id, u, "text/html",
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+        .toDF("doc_id", "target_uri", "content_type", "payload")
+      def write(rows: org.apache.spark.sql.DataFrame, sub: String): Unit = {
+        graft.io.Warc.writeWarcResponses(
+          rows.filter(col("doc_id") % 2 === 0).drop("doc_id"),
+          s"$out/$sub/gz", gzipPerRecord = true)
+        graft.io.Warc.writeWarcResponses(
+          rows.filter(col("doc_id") % 2 === 1).drop("doc_id"),
+          s"$out/$sub/bare")
+      }
+      write(media.filter(col("doc_id") % 3 =!= 1), "standing")
+      write(media.filter(col("doc_id") % 3 === 1), "delta")
+      def idx(sub: String) = graft.io.Cdx.cdxFromWarc(
+        graft.io.Warc.readWarc(s, s"$out/$sub/gz")
+          .union(graft.io.Warc.readWarc(s, s"$out/$sub/bare")))
+      graft.io.Cdx.writeCdxj(idx("standing"), s"$out/idx")
+      graft.io.Cdx.mergeCdxj(s, s"$out/idx", idx("delta"))
+      s"$out/idx"
+    })
+
   private val watStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -4826,6 +4869,23 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental index maintenance CLOSED: a delta crawl sorted-merges
+    // into the standing CDXJ shards (only touched ranges rewritten,
+    // the standing side never re-sorted) and the MERGED index fetches
+    // every record — standing and delta alike — back hash-identical to
+    // the planted derivation; a dropped line, broken sort, or
+    // mis-routed shard anywhere is a row or hash mismatch.
+    "q_cdx_merge" -> ((s, dir) => {
+      val idx = graft.io.Cdx.readCdxj(s, cdxMergeStage(s, dir))
+        .filter(col("ok"))
+      graft.io.Warc.toDocumentsHtml(graft.io.Cdx.fetchRecords(s, idx))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // WAT sidecar round-trip: every response's metadata envelope —
     // WARC headers, HTTP headers, the RAW outlink list with stripped
     // anchors — serialized as JSON lines and parsed BACK; a framing,
@@ -6313,6 +6373,11 @@ object ExtensionQueries {
     // from the same sentence derivation as every html carrier
     "q_cdx_fetch" ->
       """SELECT doc_id, 'http://h' || (doc_id % 10) || '.corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents WHERE doc_id % 10 IN (3, 4) AND doc_id % 3 = 0 ORDER BY doc_id""",
+
+    // EVERY document fetches back through the merged index — the
+    // standing two-thirds and the delta third alike, hash-identical
+    "q_cdx_merge" ->
+      """SELECT doc_id, 'http://h' || (doc_id % 10) || '.corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
 
     // both planted links per page replayed from the id cycles, headers
     // from the staging constants

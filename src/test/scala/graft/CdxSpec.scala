@@ -123,6 +123,58 @@ class CdxSpec extends SparkSpec {
     assert(bad.length == 1 && !bad(0).framing_ok)
   }
 
+  test("mergeCdxj: delta merges into only the touched shards, order preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_merge")
+    def shard(name: String, surts: String*): java.nio.file.Path = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.writeString(p,
+        surts.map(s => s"""$s 20260101000000 {"url":"http://x.test/"}""")
+          .mkString("", "\n", "\n"))
+      p
+    }
+    shard("part-00000", "com,aaa)/1", "com,bbb)/1")
+    shard("part-00001", "com,mmm)/1", "com,nnn)/1")
+    val untouched = shard("part-00002", "com,ttt)/1", "com,zzz)/1")
+    val untouchedBytes = java.nio.file.Files.readAllBytes(untouched)
+    val delta = Seq(
+      // below the first shard's first key: routes to shard 0
+      ("com,aa)/0", "20260101000000", "http://aa.com/0", null: String,
+        null: Integer, null: String, null: java.lang.Long,
+        java.lang.Long.valueOf(0L), null: java.lang.Long, "d.warc"),
+      // inside shard 1's range
+      ("com,mzz)/9", "20260201000000", "http://mzz.com/9", null,
+        null: Integer, null, null: java.lang.Long,
+        java.lang.Long.valueOf(7L), null: java.lang.Long, "d.warc"),
+      // a key-tie with a standing line: standing wins the tie (stable)
+      ("com,mmm)/1", "20260101000000", "http://mmm.com/1-delta", null,
+        null: Integer, null, null: java.lang.Long,
+        java.lang.Long.valueOf(9L), null: java.lang.Long, "d.warc"))
+      .toDF("surt", "ts", "url", "mime", "status", "digest", "length",
+        "offset", "gz_offset", "filename")
+    graft.io.Cdx.mergeCdxj(spark, dir.toString, delta)
+    // the untouched shard's bytes never moved
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(untouched), untouchedBytes))
+    // the merged index is one globally-sorted, fully-parseable whole
+    val lines = Seq("part-00000", "part-00001", "part-00002")
+      .flatMap(n => scala.io.Source.fromFile(dir.resolve(n).toFile)
+        .getLines().toList)
+    assert(lines.length == 9)
+    val keys = lines.map(l => l.substring(0, l.indexOf(' ', l.indexOf(' ') + 1)))
+    assert(keys == keys.sorted)
+    // the tie kept the standing line first
+    val mmm = lines.filter(_.startsWith("com,mmm)/1 "))
+    assert(mmm.length == 2 && mmm.head.contains("http://x.test/") &&
+      mmm(1).contains("1-delta"))
+    assert(graft.io.Cdx.readCdxj(spark, dir.toString)
+      .filter(!$"ok").isEmpty)
+    // bootstrap: merging into an empty dir IS the initial write
+    val fresh = java.nio.file.Files.createTempDirectory("graft_cdx_boot")
+    graft.io.Cdx.mergeCdxj(spark, fresh.toString, delta)
+    assert(graft.io.Cdx.readCdxj(spark, fresh.toString)
+      .filter($"ok").count() == 3)
+  }
+
   test("fetch path carries the session Hadoop configuration (spark.hadoop.*)") {
     // a filesystem scheme ONLY the session conf declares: with a bare
     // executor-side `new Configuration()` the fetch would die with
