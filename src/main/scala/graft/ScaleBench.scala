@@ -558,16 +558,16 @@ object ScaleBench {
               val utf8 = java.nio.charset.StandardCharsets.UTF_8
               if ((id / 4) % 2 == 0)
                 (s"http://seg.test/doc/$id/body.txt.$ext", mime,
-                  C.compress(text.getBytes(utf8), mime))
+                  C.compress(text.getBytes("UTF-8"), mime))
               else {
                 val sentences =
                   text.split(java.util.regex.Pattern.quote(". "), -1)
                 val entries: Seq[(String, Array[Byte])] =
                   sentences.zipWithIndex.map { case (t, i) =>
-                    s"p${i + 1}.txt" -> t.getBytes(utf8)
+                    s"p${i + 1}.txt" -> t.getBytes("UTF-8")
                   }.toSeq :+ ("all.html" ->
                     sentences.map(t => "<p>" + t + "</p>").mkString
-                      .getBytes(utf8))
+                      .getBytes("UTF-8"))
                 (s"http://seg.test/doc/$id/arch.tar.$ext", mime,
                   C.compress(graft.operators.Tar.writeTar(entries), mime))
               } }
@@ -815,6 +815,54 @@ object ScaleBench {
         measure("cdx_merge", s"$scaleDir/out_cdx_merge") {
           graft.io.Cdx.mergeCdxj(spark, mergeIdxDir, mergeDelta)
           mergeDelta.select("surt", "ts") // fixed-size sink; the merge is the cost
+        }
+      }
+
+      // Conditional-refetch merge at scale: a prior crawl of the whole
+      // corpus reconciled with a refetch wave covering all the lanes
+      // (changed 200s, raw 304s, digest-bearing revisits, the
+      // untouched fifth carrying forward). Every join is an equi-join
+      // on canonical URL / sha1 digest with one-capture-per-key
+      // aggregates FIRST, so the claim under measurement is linear
+      // growth with the two crawls and no skew term — the
+      // payload-bearing max(struct(...)) aggregates move full bodies
+      // through the exchange, the honest cost of reconciling crawls.
+      if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+          .exists(!_.exists("recrawl_merge".contains))) {
+        import spark.implicits._
+        val rmRoot = s"$scaleDir/recrawl_merge"
+        val rmDocs = corpus.select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+        graft.io.Warc.writeWarcConditional(
+          rmDocs.map { case (id, text) =>
+            (s"http://seg.test/doc/$id", "text/plain",
+              ("v1 " + text).getBytes("UTF-8"), 200, null: String,
+              "2026-03-01T00:00:00Z") }
+            .toDF("target_uri", "content_type", "payload", "status",
+              "revisit_digest", "warc_date")
+            .repartition(cpus.toInt),
+          s"$rmRoot/prior")
+        graft.io.Warc.writeWarcConditional(
+          rmDocs.filter(_._1 % 5 != 4).map { case (id, text) =>
+            val u = s"http://seg.test/doc/$id"
+            val date = "2026-03-08T00:00:00Z"
+            (id % 5) match {
+              case 2 => (u, null: String, null: Array[Byte], 304,
+                null: String, date)
+              case 3 => (u, null: String, null: Array[Byte], 200,
+                graft.io.Warc.warcSha1Digest(("v1 " + text).getBytes("UTF-8")),
+                date)
+              case _ => (u, "text/plain", ("v2 " + text).getBytes("UTF-8"),
+                200, null: String, date)
+            } }
+            .toDF("target_uri", "content_type", "payload", "status",
+              "revisit_digest", "warc_date")
+            .repartition(cpus.toInt),
+          s"$rmRoot/refetch")
+        measure("recrawl_merge", s"$scaleDir/out_recrawl_merge") {
+          graft.operators.Recrawl.mergeRefetch(
+            graft.io.Warc.readWarc(spark, s"$rmRoot/prior"),
+            graft.io.Warc.readWarc(spark, s"$rmRoot/refetch"))
         }
       }
 
@@ -1347,6 +1395,62 @@ object ScaleBench {
         graft.operators.Robots.fetchSchedule(frontier, robots,
           agent = "graftbot", maxPerHost = 1000)
       }
+      // conditional-refetch merge under a Zipfian archive: ONE URL
+      // holds 10% of all prior captures (generations of a hot page —
+      // the one-capture-per-key max(struct) must collapse them in the
+      // partial aggregate, map-side, before any exchange), and ONE
+      // digest is named by 10% of all refetch records (the digest
+      // join's hot key: N revisit rows hash to one partition against a
+      // single prior row — the probe adjudicates whether that
+      // serializes the stage). Archives staged untimed.
+      if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+          .exists(!_.exists("skew_recrawl_merge".contains))) {
+        import spark.implicits._
+        val srmRoot = s"$scaleDir/skew_recrawl_merge"
+        val hotBody = "the hot page body every revisit names".getBytes("UTF-8")
+        val hotDigest = graft.io.Warc.warcSha1Digest(hotBody)
+        val srmDocs = skewed.select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+        graft.io.Warc.writeWarcConditional(
+          srmDocs.map { case (id, text) =>
+            // ids %10==0 are GENERATIONS of one hot URL; 1 is the hot
+            // body's own capture; the rest a normal prior corpus
+            if (id % 10 == 0)
+              ("http://dom0.test/hot", "text/plain",
+                (s"gen $id " + text).getBytes("UTF-8"), 200, null: String,
+                f"2026-02-${1 + id % 28}%02dT00:00:00Z")
+            else if (id % 10 == 1)
+              (s"http://dom0.test/hotbody/$id", "text/plain", hotBody,
+                200, null: String, "2026-03-01T00:00:00Z")
+            else
+              (s"http://seg.test/doc/$id", "text/plain",
+                ("v1 " + text).getBytes("UTF-8"), 200, null: String,
+                "2026-03-01T00:00:00Z") }
+            .toDF("target_uri", "content_type", "payload", "status",
+              "revisit_digest", "warc_date")
+            .repartition(cpus.toInt),
+          s"$srmRoot/prior")
+        graft.io.Warc.writeWarcConditional(
+          srmDocs.map { case (id, text) =>
+            val date = "2026-03-08T00:00:00Z"
+            if (id % 10 == 1) // 10% of the refetch names ONE digest
+              (s"http://dom0.test/hotbody/$id", null: String,
+                null: Array[Byte], 200, hotDigest, date)
+            else
+              (s"http://seg.test/doc/$id", "text/plain",
+                ("v2 " + text).getBytes("UTF-8"), 200, null: String, date) }
+            .toDF("target_uri", "content_type", "payload", "status",
+              "revisit_digest", "warc_date")
+            .repartition(cpus.toInt),
+          s"$srmRoot/refetch")
+        measure("skew_recrawl_merge", s"$scaleDir/out_sk_remerge",
+            warmReps = 3) {
+          graft.operators.Recrawl.mergeRefetch(
+            graft.io.Warc.readWarc(spark, s"$srmRoot/prior"),
+            graft.io.Warc.readWarc(spark, s"$srmRoot/refetch"))
+        }
+      }
+
       measure("skew_salted_agg", s"$scaleDir/out_sk_sagg", warmReps = 3) {
         SkewOps.saltedSum(skewSourced, Seq("source"), "n_tokens", saltFactor = 32)
       }
