@@ -193,6 +193,50 @@ object Main {
         s"${spark.read.parquet(s"$out/pack-manifest").count()} manifest rows")
       spark.stop()
 
+    // The curate capstone: raw WARC archives to the training-ready
+    // artifact as ONE composed flow — charset detect/decode (one
+    // archive scan), quality floor, near-dup dedup, optional benchmark
+    // decontamination, then BPE train + binary token shards.
+    //   graft.Main curate-e2e <warcPathOrGlob> <outDir>
+    //     [--bench=<parquetDir>] [--merges=<n>] [--shard-tokens=<n>]
+    // Writes <outDir>/documents (survivors + provenance columns),
+    // <outDir>/bpe (the trained model), <outDir>/shards (binary id
+    // files + manifest).
+    case "curate-e2e" :: rest if rest.filterNot(f =>
+        f.startsWith("--bench=") || f.startsWith("--merges=") ||
+          f.startsWith("--shard-tokens=")).length == 2 =>
+      val bench = rest.find(_.startsWith("--bench="))
+        .map(_.stripPrefix("--bench="))
+      val merges = rest.find(_.startsWith("--merges="))
+        .map(f => f.stripPrefix("--merges=").toIntOption
+          .filter(_ > 0).getOrElse(sys.error(s"bad --merges: $f")))
+        .getOrElse(256)
+      val shardTokens = rest.find(_.startsWith("--shard-tokens="))
+        .map(f => f.stripPrefix("--shard-tokens=").toLongOption
+          .filter(_ > 0).getOrElse(sys.error(s"bad --shard-tokens: $f")))
+        .getOrElse(1L << 22)
+      val (in :: out :: Nil) = rest.filterNot(_.startsWith("--")): @unchecked
+      val spark = session("graft-curate-e2e")
+      val docs = graft.operators.CorpusPipeline.curateArchive(
+          graft.io.Warc.readWarc(spark, in),
+          bench.map(b => spark.read.parquet(b)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.write.mode("overwrite").parquet(s"$out/documents")
+      val model = graft.operators.BpeTokenizer.trainBpe(
+        docs.select("doc_id", "text"), numMerges = merges)
+      graft.operators.BpeTokenizer.saveModel(model, s"$out/bpe")
+      val vocab = graft.operators.BpeTokenizer.vocabMap(model)
+      val manifest = graft.operators.TokenShards.writeTokenShards(
+        graft.operators.BpeTokenizer.bpeEncodeIds(
+          docs.select("doc_id", "text"), model.merges, vocab),
+        s"$out/shards", shardTokens,
+        vocabSize = vocab.size + 1, eosId = vocab.size)
+      println(s"curated: ${docs.count()} docs, ${manifest.count()} shard(s), " +
+        manifest.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+          .head.getLong(0) + " tokens -> " + out)
+      docs.unpersist()
+      spark.stop()
+
     // WET/WARC ingestion: parse a Common Crawl-style WET segment dir
     // (plain or .gz) to a parquet record table — the entry point feeding
     // the `corpus` curation stage at web scale

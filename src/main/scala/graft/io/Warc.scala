@@ -460,6 +460,49 @@ object Warc {
         col("html_text").as("text"))
   }
 
+  /** The two TEXT faces ([[toDocumentsTextDetected]] +
+    * [[toDocumentsHtmlDetected]]) in ONE pass over the record scan —
+    * what an end-to-end curate flow reads, where two separate faces
+    * would walk the archive twice (the double-scan seam an e2e
+    * pipeline cannot afford at 100 TB). Same detection contract:
+    * declarations win, the silent remainder routes through ONE
+    * codegen'd detect-and-decode cascade per record, the label and its
+    * confidence ride as `charset` / `charset_margin`; html strips
+    * through the codegen kernel, text/plain passes decoded. Narrow,
+    * zero shuffle, parallelism follows the archive files. */
+  def toDocumentsDetected(records: Dataset[WarcRecord]): DataFrame = {
+    import graft.functions.TextFunctions
+    val mime = mimeOf(col("http_content_type"))
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull &&
+        mime.isin("text/plain", "text/html"))
+      .select(
+        xxhash64(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        (mime === "text/html").as("is_html"),
+        col("payload"), col("http_content_type"),
+        when(declarationSilent(col("payload"), col("http_content_type")),
+          graft.expressions.NativeCharset.detectAndDecode(col("payload")))
+          .as("dd"))
+      .select(col("doc_id"), col("url"),
+        when(col("dd").isNotNull, col("dd.charset"))
+          .otherwise(charsetOf(col("payload"), col("http_content_type")))
+          .as("charset"),
+        when(col("dd").isNotNull, col("dd.margin")).as("charset_margin"),
+        col("is_html"),
+        when(col("dd").isNotNull, col("dd.text"))
+          .otherwise(decodePayload(col("payload"), col("http_content_type")))
+          .as("decoded"))
+      .select(col("doc_id"), col("url"), col("charset"),
+        col("charset_margin"),
+        when(col("is_html"), TextFunctions.htmlToText(col("decoded")))
+          .otherwise(col("decoded")).as("text"))
+      .select(col("doc_id"), col("url"), col("charset"),
+        col("charset_margin"),
+        TextFunctions.langId(col("text")).as("lang"), col("text"))
+  }
+
   /** Serialize `(target_uri, content_type, payload)` rows as WARC
     * `response` archives — one `segN.warc` per partition, each record a
     * framed HTTP response with the payload bytes intact (binary-safe).

@@ -127,6 +127,56 @@ object CorpusPipeline {
     CuratedCorpus(split, manifest)
   }
 
+  /** The curate CAPSTONE — raw archive to training-ready survivors as
+    * ONE composed flow, every stage an operator the engine already
+    * ships:
+    *
+    *   readWarc → charset detect/decode ([[graft.io.Warc
+    *   .toDocumentsDetected]] — both text faces in ONE archive scan)
+    *   → quality floor ([[scoreAndFilter]]: PII redaction, token
+    *   count, duplicate-3-gram boilerplate cut) → near-dup dedup
+    *   (MinHash LSH candidates + exact shingle-hash Jaccard verify)
+    *   → benchmark decontamination ([[Decontaminate
+    *   .flagNearContaminated]]).
+    *
+    * The DEDUP KEEPER is the greedy pairwise rule the streaming sink's
+    * intra-batch dedup uses ([[indexedCommit]]): a document drops iff
+    * it near-duplicates one with a lexicographically SMALLER URL — the
+    * only stable identity an archive carries. Deterministic, total,
+    * and replayable by an independent engine (no iterative component
+    * resolution in the oracle's way); like the greedy min-keeper it
+    * can over-drop a chain's tail (A~B~C with A≁C drops both B and C),
+    * the documented trade there.
+    *
+    * Scale shape — the reason this is one operator and not a script of
+    * four: the archive is scanned ONCE (detection, decode, strip, and
+    * the quality scores are a single narrow codegen pass over it);
+    * dedup is the bounded-candidate LSH shape (banded buckets, id-only
+    * pair shuffles, exact verify on the rare candidates); the
+    * benchmark side of decontamination broadcasts (eval-scale by
+    * contract); nothing re-reads the archive downstream of the scan.
+    * Feed the survivors to [[graft.operators.BpeTokenizer]] +
+    * [[graft.operators.TokenShards.writeTokenShards]] for the binary
+    * training artifact (the `curate-e2e` CLI verb does exactly that).
+    *
+    * Output: the surviving documents with their provenance columns —
+    * (doc_id, url, charset, charset_margin, lang, text, n_tokens,
+    * dup_ngram_ratio, lang_pred). */
+  def curateArchive(records: org.apache.spark.sql.Dataset[graft.io.Warc.WarcRecord],
+      bench: Option[DataFrame] = None,
+      minTokens: Long = 1, maxDupNgramRatio: Double = 0.9,
+      minJaccard: Double = 0.8): DataFrame = {
+    val scored = scoreAndFilter(graft.io.Warc.toDocumentsDetected(records),
+      minTokens, maxDupNgramRatio)
+    val losers = Dedup.minhashNearDupPairs(scored, "url", "text",
+        minJaccard = minJaccard)
+      .select(col("id_b").as("url")).distinct()
+    val deduped = scored.join(losers, Seq("url"), "left_anti")
+    bench.fold(deduped)(b =>
+      Decontaminate.flagNearContaminated(deduped, b, minJaccard = minJaccard)
+        .filter(!col("near_contaminated")).drop("near_contaminated"))
+  }
+
   /** The stateless front of the flow — redact, score, filter — one narrow
     * codegen'd pass, shared verbatim by batch `curate` and the streaming
     * face below (same plan, same columns, same cuts). With `gopherRules`

@@ -714,6 +714,50 @@ object ExtensionQueries {
       s"$out/idx"
     })
 
+  private val curateE2eStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_curate_e2e: one archive planting a
+    * lane per curate stage on `doc_id % 7` — a bare windows-1251 page
+    * the detector must decode (0), a boilerplate page the
+    * duplicate-3-gram floor must drop (1), a page shipping with a
+    * one-token-tail near-dup TWIN under `twin/` the dedup must fold
+    * (2, the keeper is the lexicographically-smaller `doc/` URL), a
+    * page leaked into the benchmark the decontamination must drop (3 —
+    * the bench side is built by the query), an html page the strip
+    * lane must flatten (4), and two plain survivors (5, 6). */
+  private def curateE2eStage(s: SparkSession, dir: String): String =
+    curateE2eStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_curate").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val u = s"http://corpus.test/doc/$id"
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          val main = (id % 7) match {
+            case 0 => (u, "text/plain",
+              ("это русский текст строчными буквами для проверки. " + text)
+                .getBytes(java.nio.charset.Charset.forName("windows-1251")))
+            case 1 => (u, "text/plain",
+              Array.fill(40)("spam").mkString(" ").getBytes(utf8))
+            case 4 => (u, "text/html",
+              text.split(java.util.regex.Pattern.quote(". "), -1)
+                .map(l => "<p>" + l + "</p>").mkString.getBytes(utf8))
+            case _ => (u, "text/plain", text.getBytes(utf8))
+          }
+          Seq(main) ++
+            (if (id % 7 == 2)
+              Seq((s"http://corpus.test/twin/$id", "text/plain",
+                (text + " zulu").getBytes(utf8)))
+            else Nil)
+        }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val cdxMergeStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -4869,6 +4913,29 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // The curate CAPSTONE end to end: raw archive -> detect/decode ->
+    // quality floor -> near-dup dedup -> decontaminate, as ONE
+    // composed operator — every stage's effect on the survivor set is
+    // a planted lane, and the oracle replays the WHOLE flow (the
+    // detector's decode verbatim, the duplicate-3-gram cut, the full
+    // pairwise shingle-Jaccard dedup algebra under the min-URL greedy
+    // keeper incl. incidental corpus near-dups, and the
+    // benchmark-overlap drop) independently in DuckDB.
+    "q_curate_e2e" -> ((s, dir) => {
+      val bench = t(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zulu")).as("text"))
+      graft.operators.CorpusPipeline.curateArchive(
+          graft.io.Warc.readWarc(s, curateE2eStage(s, dir)),
+          bench = Some(bench))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("charset"), col("text"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental index maintenance CLOSED: a delta crawl sorted-merges
     // into the standing CDXJ shards (only touched ranges rewritten,
     // the standing side never re-sorted) and the MERGED index fetches
@@ -6373,6 +6440,29 @@ object ExtensionQueries {
     // from the same sentence derivation as every html carrier
     "q_cdx_fetch" ->
       """SELECT doc_id, 'http://h' || (doc_id % 10) || '.corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents WHERE doc_id % 10 IN (3, 4) AND doc_id % 3 = 0 ORDER BY doc_id""",
+
+    // the whole curate flow replayed: the detector's decode verbatim
+    // (lane 0's rider round-trips through windows-1251), the
+    // duplicate-3-gram floor (lane 1's 40-token boilerplate: ratio
+    // 1 - 1/38 > 0.9), the FULL pairwise shingle-Jaccard dedup under
+    // the greedy min-URL keeper (planted twins and incidental corpus
+    // near-dups alike — never assumed away), and the benchmark-overlap
+    // drop (lane 3 leaks with a one-token tail, J >= 0.9)
+    "q_curate_e2e" ->
+      ("""WITH d AS (SELECT doc_id, CAST(doc_id % 7 AS INTEGER) AS m, text FROM documents), """ +
+        """docs AS (SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, CASE WHEN m = 0 THEN 'windows-1251' ELSE 'utf-8' END AS charset, CASE WHEN m = 0 THEN '""" +
+        "это русский текст строчными буквами для проверки. " +
+        """' || text WHEN m = 1 THEN repeat('spam ', 39) || 'spam' WHEN m = 4 THEN replace(text, '. ', chr(10)) ELSE text END AS text FROM d UNION ALL SELECT doc_id, 'http://corpus.test/twin/' || doc_id, 'utf-8', text || ' zulu' FROM d WHERE m = 2), """ +
+        """tok AS (SELECT doc_id, url, charset, text, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks FROM docs), """ +
+        """q AS (SELECT doc_id, url, charset, text, toks, len(toks) AS n_tokens, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')] ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks) - 2, 1) + 1)] END AS grams FROM tok), """ +
+        """keep AS (SELECT doc_id, url, charset, text, toks, n_tokens FROM q WHERE n_tokens >= 1 AND 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE) <= 0.9), """ +
+        """sh AS (SELECT doc_id, url, charset, text, n_tokens, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')] ELSE list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ') FOR i IN generate_series(1, len(toks) - 2)]) END AS s FROM keep), """ +
+        """losers AS (SELECT DISTINCT b.url AS url FROM sh a, sh b WHERE a.url < b.url AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8), """ +
+        """dd AS (SELECT * FROM sh WHERE url NOT IN (SELECT url FROM losers)), """ +
+        """btok AS (SELECT list_filter(string_split_regex(text || ' zulu', '\s+'), x -> x != '') AS t FROM documents WHERE doc_id % 7 = 3), """ +
+        """bsh AS (SELECT CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')] ELSE list_distinct([array_to_string(list_slice(t, i, i + 2), ' ') FOR i IN generate_series(1, len(t) - 2)]) END AS s FROM btok), """ +
+        """flagged AS (SELECT DISTINCT d.url AS url FROM dd d, bsh b WHERE CAST(len(list_intersect(d.s, b.s)) AS DOUBLE) / (len(d.s) + len(b.s) - len(list_intersect(d.s, b.s))) >= 0.8) """ +
+        """SELECT doc_id, url, charset, text, CAST(n_tokens AS BIGINT) AS n_tokens FROM dd WHERE url NOT IN (SELECT url FROM flagged) ORDER BY doc_id"""),
 
     // EVERY document fetches back through the merged index — the
     // standing two-thirds and the delta third alike, hash-identical
