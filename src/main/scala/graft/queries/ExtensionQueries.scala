@@ -2136,6 +2136,16 @@ object ExtensionQueries {
     segmentStage(s, dir)
     refreshStage(s, dir)
     freshnessStage(s, dir)
+    // the r15 stages warm under the same rule: the timed rows measure
+    // the OPERATOR (the composed curate flow, the frontier plan, the
+    // merged-index fetch, the sidecar parse-back), never the one-time
+    // archive/index generation — q_cdx_merge's stage includes the
+    // standing-index build AND the delta merge (the query times the
+    // fetch-back), q_wat_request's the sidecar write
+    curateE2eStage(s, dir)
+    frontierStage(s, dir)
+    cdxMergeStage(s, dir)
+    watRequestStage(s, dir)
     // ONE tiny untimed probe against each standing index: the first
     // probe of a session pays the index's first-read (file listing,
     // parquet footers, probe-plan codegen) — measured 1.94 s first vs
