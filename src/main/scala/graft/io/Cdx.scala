@@ -239,6 +239,57 @@ object Cdx {
       rows.select(col("filename"), col("offset"), col("gz_offset")))
   }
 
+  /** The "current web" view of an index: ONE capture per SURT key —
+    * the latest by timestamp (ties and the remaining columns resolve
+    * through one deterministic max-struct; null-ts rows, a staging
+    * archive's, carry no time axis and are excluded). Compose with
+    * [[fetchRecords]] and the corpus of record is every page's newest
+    * capture WITHOUT re-crawling or scanning — the selection the
+    * conditional-refetch loop maintains, read back out of the index.
+    * One map-side-partial aggregate on the surt; index-scale, never
+    * corpus-scale. */
+  def latestCaptures(index: DataFrame): DataFrame = {
+    val rows =
+      if (index.columns.contains("ok")) index.filter(col("ok")) else index
+    rows.filter(col("ts").isNotNull)
+      .groupBy("surt")
+      .agg(max(struct(col("ts"), col("url"), col("mime"), col("status"),
+        col("digest"), col("length"), col("offset"), col("gz_offset"),
+        col("filename"))).as("o"))
+      .select(col("surt"), col("o.ts").as("ts"), col("o.url").as("url"),
+        col("o.mime").as("mime"), col("o.status").as("status"),
+        col("o.digest").as("digest"), col("o.length").as("length"),
+        col("o.offset").as("offset"), col("o.gz_offset").as("gz_offset"),
+        col("o.filename").as("filename"))
+  }
+
+  /** Time travel — the wayback replay semantic: per SURT key, the
+    * capture CLOSEST to `atTs` (a 14-digit CDX timestamp), nearest
+    * absolute time distance winning and the EARLIER capture breaking
+    * exact ties (replay convention: never show newer than asked when
+    * equidistant). Distance is computed in epoch seconds parsed from
+    * the timestamp14 (calendar-correct — two captures straddling a
+    * month boundary compare by real elapsed time, not digit
+    * arithmetic). Same single-aggregate shape as [[latestCaptures]]. */
+  def closestCaptures(index: DataFrame, atTs: String): DataFrame = {
+    require(atTs.matches("[0-9]{14}"), s"atTs must be a 14-digit CDX timestamp: $atTs")
+    val rows =
+      if (index.columns.contains("ok")) index.filter(col("ok")) else index
+    def epochOf(c: org.apache.spark.sql.Column) =
+      unix_timestamp(to_timestamp(c, "yyyyMMddHHmmss"))
+    val dist = abs(epochOf(col("ts")) - epochOf(lit(atTs)))
+    rows.filter(col("ts").isNotNull)
+      .groupBy("surt")
+      .agg(min(struct(dist.as("d"), col("ts"), col("url"), col("mime"),
+        col("status"), col("digest"), col("length"), col("offset"),
+        col("gz_offset"), col("filename"))).as("o"))
+      .select(col("surt"), col("o.ts").as("ts"), col("o.url").as("url"),
+        col("o.mime").as("mime"), col("o.status").as("status"),
+        col("o.digest").as("digest"), col("o.length").as("length"),
+        col("o.offset").as("offset"), col("o.gz_offset").as("gz_offset"),
+        col("o.filename").as("filename"))
+  }
+
   /** Parse CDXJ lines back to typed rows; `ok = false` flags a
     * malformed line (bad framing or JSON) without failing siblings. */
   def readCdxj(spark: SparkSession, path: String): DataFrame = {

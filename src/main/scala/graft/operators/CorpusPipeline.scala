@@ -149,12 +149,16 @@ object CorpusPipeline {
     * the documented trade there.
     *
     * Scale shape — the reason this is one operator and not a script of
-    * four: the archive is scanned ONCE (detection, decode, strip, and
-    * the quality scores are a single narrow codegen pass over it);
-    * dedup is the bounded-candidate LSH shape (banded buckets, id-only
-    * pair shuffles, exact verify on the rare candidates); the
-    * benchmark side of decontamination broadcasts (eval-scale by
-    * contract); nothing re-reads the archive downstream of the scan.
+    * four: the archive is scanned ONCE — the post-floor document frame
+    * PERSISTS (text-scale, far below archive-scale), so the dedup
+    * machinery's several consumers (signature table, pair sides, the
+    * decontamination verify, the survivor output) read the cache
+    * instead of re-walking 100 TB of WARC per reference; dedup is the
+    * bounded-candidate LSH shape (banded buckets, id-only pair
+    * shuffles, exact verify on the rare candidates); the benchmark
+    * side of decontamination broadcasts (eval-scale by contract).
+    * The cache releases with the session (the one-shot flow's
+    * lifetime) or the caller's `clearCache`.
     * Feed the survivors to [[graft.operators.BpeTokenizer]] +
     * [[graft.operators.TokenShards.writeTokenShards]] for the binary
     * training artifact (the `curate-e2e` CLI verb does exactly that).
@@ -167,7 +171,8 @@ object CorpusPipeline {
       minTokens: Long = 1, maxDupNgramRatio: Double = 0.9,
       minJaccard: Double = 0.8): DataFrame = {
     val scored = scoreAndFilter(graft.io.Warc.toDocumentsDetected(records),
-      minTokens, maxDupNgramRatio)
+        minTokens, maxDupNgramRatio)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val losers = Dedup.minhashNearDupPairs(scored, "url", "text",
         minJaccard = minJaccard)
       .select(col("id_b").as("url")).distinct()

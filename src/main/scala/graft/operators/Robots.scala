@@ -220,6 +220,43 @@ object Robots {
         col("fetch_at_s") + coalesce(col("backoff_s"), lit(0.0)))
       .drop("backoff_s")
 
+  /** Politeness AUDIT — the loop's verification face: given the crawl
+    * that actually ran (its archive) and the rule files it ran under,
+    * did every host's fetch spacing honor its `Crawl-delay`? Per host:
+    * fetch count, the MINIMUM achieved gap between consecutive
+    * captures (the violation metric — one burst convicts), the delay
+    * the rules demanded (the [[crawlDelay]]/[[hostDelays]] selection,
+    * `defaultDelayS` where none), and the verdict. A single-capture
+    * host has no gap and audits compliant.
+    *
+    * Scale shape: one narrow projection over the record scan, ONE
+    * host-partitioned window (the fetchSchedule grain — consecutive
+    * gaps need the per-host time order; a pathologically hot host
+    * sorts in one partition, the honest cost of auditing it), a
+    * hosts-scale aggregate, and the hosts-scale delay join. */
+  def auditPoliteness(records: org.apache.spark.sql.Dataset[graft.io.Warc.WarcRecord],
+      robots: Dataset[(String, Array[Byte])], agent: String,
+      defaultDelayS: Double = 1.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("fetch_s", "url")
+    records.toDF()
+      .filter(col("warc_type") === "response" && col("framing_ok") &&
+        col("target_uri").isNotNull && col("warc_date").isNotNull)
+      .select(
+        lower(regexp_extract(col("target_uri"),
+          "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/]+)", 1)).as("host"),
+        col("target_uri").as("url"),
+        unix_timestamp(to_timestamp(col("warc_date"))).as("fetch_s"))
+      .withColumn("gap_s", col("fetch_s") - lag(col("fetch_s"), 1).over(w))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_fetches"), min(col("gap_s")).as("min_gap_s"))
+      .join(hostDelays(robots, agent, defaultDelayS), Seq("host"), "left")
+      .withColumn("delay_s", coalesce(col("delay_s"), lit(defaultDelayS)))
+      .withColumn("compliant",
+        col("min_gap_s").isNull ||
+          col("min_gap_s").cast("double") >= col("delay_s"))
+  }
+
   def fetchSchedule(urls: DataFrame, robots: Dataset[(String, Array[Byte])],
       agent: String, defaultDelayS: Double = 1.0,
       maxPerHost: Int = 0): DataFrame = {

@@ -714,6 +714,67 @@ object ExtensionQueries {
       s"$out/idx"
     })
 
+  private val generationsStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_cdx_latest / q_cdx_closest: every
+    * document captured `1 + id % 3` TIMES (generation bodies `g1`/`g2`/
+    * `g3`, capture dates Jan/Feb/Mar 15), indexed once — the
+    * multi-capture index the latest-view and time-travel selections
+    * cut. Returns the stage root; the index lives at `<root>/idx`. */
+  private def generationsStage(s: SparkSession, dir: String): String =
+    generationsStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_gens").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"))
+        .as[(Long, String, String)]
+        .flatMap { case (id, u, text) =>
+          val dates = Seq("2026-01-15T00:00:00Z", "2026-02-15T00:00:00Z",
+            "2026-03-15T00:00:00Z")
+          (0 to (id % 3).toInt).map { g =>
+            (u, "text/plain",
+              (s"g${g + 1} " + text)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              dates(g)) } }
+        .toDF("target_uri", "content_type", "payload", "warc_date")
+      graft.io.Warc.writeWarcResponses(media, s"$out/warc",
+        gzipPerRecord = true)
+      graft.io.Cdx.writeCdxj(
+        graft.io.Cdx.cdxFromWarc(graft.io.Warc.readWarc(s, s"$out/warc")),
+        s"$out/idx")
+      out
+    })
+
+  private val auditStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_crawl_audit: the crawl that actually
+    * ran — host `h<id%10>.test`, consecutive fetches `id/10` apart in
+    * per-host rank, spaced ONE second on `h % 3 == 0` hosts (whose
+    * rules demand 2 s: the planted violation) and three seconds
+    * elsewhere (compliant under the 0.5 s rule and the 1 s default). */
+  private def auditStage(s: SparkSession, dir: String): String =
+    auditStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_audit").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val h = id % 10
+          val gap = if (h % 3 == 0) 1L else 3L
+          val at = java.time.Instant
+            .ofEpochSecond(1772323200L + (id / 10) * gap).toString
+          (s"http://h$h.test/p$id", "text/plain",
+            "x".getBytes(java.nio.charset.StandardCharsets.UTF_8), at) }
+        .toDF("target_uri", "content_type", "payload", "warc_date")
+      graft.io.Warc.writeWarcResponses(media, out)
+      out
+    })
+
   private val curateE2eStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2146,6 +2207,8 @@ object ExtensionQueries {
     frontierStage(s, dir)
     cdxMergeStage(s, dir)
     watRequestStage(s, dir)
+    generationsStage(s, dir)
+    auditStage(s, dir)
     // ONE tiny untimed probe against each standing index: the first
     // probe of a session pays the index's first-read (file listing,
     // parquet footers, probe-plan codegen) — measured 1.94 s first vs
@@ -4923,6 +4986,64 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // The "current web" view off the index ALONE: one capture per SURT
+    // (latest by timestamp), fetched back by offset — each document
+    // returns its NEWEST generation's body, every older generation
+    // invisible; a wrong max, a dropped capture, or a stale offset is
+    // a row or hash mismatch.
+    "q_cdx_latest" -> ((s, dir) => {
+      val root = generationsStage(s, dir)
+      graft.io.Warc.toDocumentsText(
+          graft.io.Cdx.fetchRecords(s,
+            graft.io.Cdx.latestCaptures(
+              graft.io.Cdx.readCdxj(s, s"$root/idx"))))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // Time travel — the wayback replay semantic: per SURT the capture
+    // CLOSEST to the asked instant (2026-02-10), earlier winning exact
+    // ties; single-generation docs fall back to their only capture,
+    // multi-generation docs pick the Feb one — dates and bodies both
+    // fetched back and replayed.
+    "q_cdx_closest" -> ((s, dir) => {
+      val root = generationsStage(s, dir)
+      graft.io.Warc.toDocumentsText(
+          graft.io.Cdx.fetchRecords(s,
+            graft.io.Cdx.closestCaptures(
+              graft.io.Cdx.readCdxj(s, s"$root/idx"), "20260210000000")))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // Politeness audit — the loop's verification face: per host the
+    // achieved MINIMUM fetch gap against the Crawl-delay its rules
+    // demanded; the h%3==0 hosts burst at 1 s under a 2 s rule (the
+    // planted violation), everyone else clears — counts, gaps, delays,
+    // and verdicts all recomputed in DuckDB.
+    "q_crawl_audit" -> ((s, dir) => {
+      import s.implicits._
+      val rules = s.range(0, 10).as[Long].map { h =>
+        val body = (h % 3) match {
+          case 0 => "User-agent: graftbot\nCrawl-delay: 2\n"
+          case 1 => "User-agent: *\nCrawl-delay: 0.5\n"
+          case _ => "User-agent: *\nDisallow:\n"
+        }
+        (s"h$h.test",
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      graft.operators.Robots.auditPoliteness(
+          graft.io.Warc.readWarc(s, auditStage(s, dir)), rules,
+          "graftbot/1.0", defaultDelayS = 1.0)
+        .orderBy("host")
+    }),
+
     // The curate CAPSTONE end to end: raw archive -> detect/decode ->
     // quality floor -> near-dup dedup -> decontaminate, as ONE
     // composed operator — every stage's effect on the survivor set is
@@ -6450,6 +6571,21 @@ object ExtensionQueries {
     // from the same sentence derivation as every html carrier
     "q_cdx_fetch" ->
       """SELECT doc_id, 'http://h' || (doc_id % 10) || '.corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents WHERE doc_id % 10 IN (3, 4) AND doc_id % 3 = 0 ORDER BY doc_id""",
+
+    // the newest generation per document replayed from the id cycle
+    // (1 + id%3 captures → body g1/g2/g3)
+    "q_cdx_latest" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, 'g' || (1 + doc_id % 3) || ' ' || text AS text FROM documents ORDER BY doc_id""",
+
+    // the capture closest to 2026-02-10: single-generation docs keep
+    // their only (Jan) capture, everyone else picks the Feb one
+    "q_cdx_closest" ->
+      """SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, CASE WHEN doc_id % 3 = 0 THEN 'g1 ' ELSE 'g2 ' END || text AS text FROM documents ORDER BY doc_id""",
+
+    // hosts-scale audit: counts from the id split, the planted 1 s / 3 s
+    // gaps, the rules-cycle delays, verdicts from the comparison
+    "q_crawl_audit" ->
+      """WITH g AS (SELECT doc_id % 10 AS h, COUNT(*) AS n FROM documents GROUP BY doc_id % 10) SELECT 'h' || h || '.test' AS host, CAST(n AS BIGINT) AS n_fetches, CASE WHEN n > 1 THEN CAST(CASE WHEN h % 3 = 0 THEN 1 ELSE 3 END AS BIGINT) END AS min_gap_s, CAST(CASE CAST(h % 3 AS INTEGER) WHEN 0 THEN 2.0 WHEN 1 THEN 0.5 ELSE 1.0 END AS DOUBLE) AS delay_s, (n <= 1 OR CAST(CASE WHEN h % 3 = 0 THEN 1 ELSE 3 END AS DOUBLE) >= CASE CAST(h % 3 AS INTEGER) WHEN 0 THEN 2.0 WHEN 1 THEN 0.5 ELSE 1.0 END) AS compliant FROM g ORDER BY host""",
 
     // the whole curate flow replayed: the detector's decode verbatim
     // (lane 0's rider round-trips through windows-1251), the

@@ -175,6 +175,39 @@ class CdxSpec extends SparkSpec {
       .filter($"ok").count() == 3)
   }
 
+  test("latestCaptures / closestCaptures: the index's time axis cuts correctly") {
+    val idx = Seq(
+      ("com,a)/p", "20260115000000", "http://a.com/p", 0L),
+      ("com,a)/p", "20260215000000", "http://a.com/p", 100L),
+      ("com,a)/p", "20260315000000", "http://a.com/p", 200L),
+      ("com,b)/q", "20260101000000", "http://b.com/q", 0L))
+      .toDF("surt", "ts", "url", "offset")
+      .withColumn("mime", lit("text/html"))
+      .withColumn("status", lit(200))
+      .withColumn("digest", lit(null).cast("string"))
+      .withColumn("length", lit(10L))
+      .withColumn("gz_offset", lit(null).cast("long"))
+      .withColumn("filename", lit("seg0.warc"))
+    val latest = graft.io.Cdx.latestCaptures(idx).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(latest == Map("com,a)/p" -> "20260315000000",
+      "com,b)/q" -> "20260101000000"))
+    // closest to Feb 10: the Feb capture wins on a (5 days), b keeps
+    // its only capture however far
+    val closest = graft.io.Cdx.closestCaptures(idx, "20260210000000")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(closest == Map("com,a)/p" -> "20260215000000",
+      "com,b)/q" -> "20260101000000"))
+    // exact tie (equidistant): the EARLIER capture wins — replay never
+    // shows newer than asked when equidistant
+    val tied = graft.io.Cdx.closestCaptures(idx, "20260215000000")
+      .filter($"surt" === "com,a)/p").head().getString(1)
+    assert(tied == "20260215000000")
+    val mid = graft.io.Cdx.closestCaptures(idx, "20260301000000")
+      .filter($"surt" === "com,a)/p").head().getString(1)
+    assert(mid == "20260215000000") // 14 days back vs 14 days forward: earlier
+  }
+
   test("fetch path carries the session Hadoop configuration (spark.hadoop.*)") {
     // a filesystem scheme ONLY the session conf declares: with a bare
     // executor-side `new Configuration()` the fetch would die with

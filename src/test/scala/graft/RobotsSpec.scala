@@ -183,4 +183,36 @@ class RobotsSpec extends SparkSpec {
       .collect().toSet
     assert(again == byHost("hot.test").map(_.getAs[String]("url")).toSet)
   }
+  test("auditPoliteness: burst hosts convict, spaced hosts clear, singletons pass") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_audit_spec").toString
+    def at(s: Long) = java.time.Instant.ofEpochSecond(1772323200L + s).toString
+    graft.io.Warc.writeWarcResponses(Seq(
+      // burst.test fetches 1 s apart under a 2 s rule: violation
+      ("http://burst.test/a", "text/plain", "x".getBytes("UTF-8"), at(0)),
+      ("http://burst.test/b", "text/plain", "x".getBytes("UTF-8"), at(1)),
+      ("http://burst.test/c", "text/plain", "x".getBytes("UTF-8"), at(2)),
+      // calm.test spaced 5 s under the same rule: compliant
+      ("http://calm.test/a", "text/plain", "x".getBytes("UTF-8"), at(0)),
+      ("http://calm.test/b", "text/plain", "x".getBytes("UTF-8"), at(5)),
+      // one capture: no gap, audits compliant
+      ("http://lone.test/a", "text/plain", "x".getBytes("UTF-8"), at(0)))
+      .toDF("target_uri", "content_type", "payload", "warc_date")
+      .coalesce(1), dir)
+    val rules = Seq(
+      ("burst.test", "User-agent: *\nCrawl-delay: 2\n".getBytes("UTF-8")),
+      ("calm.test", "User-agent: *\nCrawl-delay: 2\n".getBytes("UTF-8")))
+      .toDS()
+    val audit = Robots.auditPoliteness(
+        graft.io.Warc.readWarc(spark, dir), rules, "bot", defaultDelayS = 1.0)
+      .collect().map(r => r.getAs[String]("host") -> r).toMap
+    assert(audit("burst.test").getAs[Long]("min_gap_s") == 1L)
+    assert(!audit("burst.test").getAs[Boolean]("compliant"))
+    assert(audit("calm.test").getAs[Long]("min_gap_s") == 5L)
+    assert(audit("calm.test").getAs[Boolean]("compliant"))
+    assert(audit("lone.test").isNullAt(
+      audit("lone.test").fieldIndex("min_gap_s")))
+    assert(audit("lone.test").getAs[Boolean]("compliant"))
+    assert(audit("lone.test").getAs[Double]("delay_s") == 1.0)
+  }
 }
