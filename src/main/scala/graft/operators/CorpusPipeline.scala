@@ -176,7 +176,13 @@ object CorpusPipeline {
     val losers = Dedup.minhashNearDupPairs(scored, "url", "text",
         minJaccard = minJaccard)
       .select(col("id_b").as("url")).distinct()
+    // persisted: decontamination reads the dedup SURVIVORS three ways
+    // (bucket derivation, the candidate-pruned verify probe, the
+    // flagged join-back) — uncached, each consumer would re-run the
+    // whole LSH pair pipeline behind `losers` (measured 4× the flow's
+    // cost at sf0.1 before this persist)
     val deduped = scored.join(losers, Seq("url"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bench.fold(deduped)(b =>
       Decontaminate.flagNearContaminated(deduped, b, minJaccard = minJaccard)
         .filter(!col("near_contaminated")).drop("near_contaminated"))
@@ -191,26 +197,40 @@ object CorpusPipeline {
       minTokens: Long = 1, maxDupNgramRatio: Double = 0.9,
       gopherRules: Boolean = false): DataFrame = {
     val redacted = raw.withColumn("text", TF.redactPii(col("text")))
-    // token array staged once — every downstream score reads the
+    // token/gram arrays staged once — every downstream score reads the
     // materialized column (lambda-bearing expressions defeat Catalyst
     // subexpression elimination)
     val scored = redacted
       .withColumn("toks", TF.tokens(col("text")))
-      .withColumn("n_tokens", size(col("toks")).cast(LongType))
       .withColumn("grams", TF.ngramsAll(col("toks"), 3))
-      .withColumn("dup_ngram_ratio", lit(1.0) -
+    // every score packs into ONE generated struct behind a
+    // single-element explode. The Generate is the pushdown fence:
+    // PushPredicateThroughNonJoin SUBSTITUTES staged aliases into any
+    // deterministic predicate it pushes below a Project — the quality
+    // cut was re-evaluating the tokenize/ngram kernels 3-4x PER ROW
+    // (Catalyst cannot subexpression-eliminate lambda-bearing
+    // expressions; measured 10.7 s → ~2 s at sf0.1) — but a filter
+    // referencing a generator's OUTPUT cannot cross the Generate, so
+    // every kernel runs exactly once and the filter reads fields. The
+    // explode of a one-element array is a codegen'd row-wise no-op;
+    // deterministic, streaming-safe.
+    val qExpr = struct(
+      size(col("toks")).cast(LongType).as("n_tokens"),
+      (lit(1.0) -
         size(array_distinct(col("grams"))).cast(DoubleType) /
-          size(col("grams")).cast(DoubleType))
-      .withColumn("lang_pred", TF.langIdFromTokens(col("toks")))
-    val gated =
-      if (gopherRules)
-        scored.withColumn("gopher_keep",
-            TF.gopherQualityFromTokens(col("toks")).getField("keep"))
-          .filter(col("gopher_keep"))
-          .drop("gopher_keep")
-      else scored
-    gated.drop("toks", "grams").filter(
-      col("n_tokens") >= minTokens && col("dup_ngram_ratio") <= maxDupNgramRatio)
+          size(col("grams")).cast(DoubleType)).as("dup_ngram_ratio"),
+      TF.langIdFromTokens(col("toks")).as("lang_pred"),
+      (if (gopherRules)
+        TF.gopherQualityFromTokens(col("toks")).getField("keep")
+      else lit(true)).as("keep_gopher"))
+    scored.select(col("*"), explode(array(qExpr)).as("__q"))
+      .filter(col("__q.n_tokens") >= minTokens &&
+        col("__q.dup_ngram_ratio") <= maxDupNgramRatio &&
+        col("__q.keep_gopher"))
+      .withColumn("n_tokens", col("__q.n_tokens"))
+      .withColumn("dup_ngram_ratio", col("__q.dup_ngram_ratio"))
+      .withColumn("lang_pred", col("__q.lang_pred"))
+      .drop("toks", "grams", "__q")
   }
 
   /** Incremental-ingest face: the same redact → score → filter pass over a
