@@ -329,6 +329,47 @@ object Main {
         s"${cl.select("representative").distinct().count()} clusters -> $out")
       spark.stop()
 
+    // the CDXJ selection layer's lifecycle, the index-*/ann-* analogue:
+    //   graft.Main cdx-build  <warcPathOrGlob> <idxDir> [shards]
+    //   graft.Main cdx-merge  <warcPathOrGlob> <idxDir>
+    //   graft.Main cdx-delete <idxDir> <url1,url2,...>
+    case "cdx-build" :: in :: idx :: rest if rest.length <= 1 &&
+        rest.forall(_.toIntOption.exists(_ > 0)) =>
+      val spark = session("graft-cdx-build")
+      graft.io.Cdx.writeCdxj(
+        graft.io.Cdx.cdxFromWarc(graft.io.Warc.readWarc(spark, in)), idx,
+        shards = rest.headOption.map(_.toInt).getOrElse(0))
+      println(s"cdx-build: ${graft.io.Cdx.readCdxj(spark, idx).count()} " +
+        s"index lines -> $idx")
+      spark.stop()
+
+    case "cdx-merge" :: in :: idx :: Nil =>
+      val spark = session("graft-cdx-merge")
+      graft.io.Cdx.mergeCdxj(spark, idx,
+        graft.io.Cdx.cdxFromWarc(graft.io.Warc.readWarc(spark, in)))
+      println(s"cdx-merge: standing index now " +
+        s"${graft.io.Cdx.readCdxj(spark, idx).count()} lines -> $idx")
+      spark.stop()
+
+    //   graft.Main cdx-compact <idxDir> [shards]
+    case "cdx-compact" :: idx :: rest if rest.length <= 1 &&
+        rest.forall(_.toIntOption.exists(_ > 0)) =>
+      val spark = session("graft-cdx-compact")
+      val (kept, dropped) = graft.io.Cdx.compactCdxj(spark, idx,
+        shards = rest.headOption.map(_.toInt).getOrElse(0))
+      println(s"cdx-compact: $kept lines re-sharded" +
+        (if (dropped > 0) s", $dropped flagged line(s) DROPPED" else "") +
+        s" -> $idx")
+      spark.stop()
+
+    case "cdx-delete" :: idx :: urlCsv :: Nil =>
+      val spark = session("graft-cdx-delete")
+      import spark.implicits._
+      val n = graft.io.Cdx.deleteFromCdxj(spark, idx,
+        urlCsv.split(",").map(_.trim).toSeq.toDF("url"))
+      println(s"cdx-delete: $n capture(s) un-indexed from $idx")
+      spark.stop()
+
     // text-tag catalog rows (ID3v2 / MP4 ilst): media_id, kind, tag, value
     case "warc-tags" :: in :: out :: Nil =>
       val spark = session("graft-warc-tags")
@@ -598,6 +639,10 @@ object Main {
            |  graft.Main warc-tags <warcPathOrGlob> <outParquetDir>
            |  graft.Main warc-charset <warcPathOrGlob> <outParquetDir>
            |  graft.Main alias-clusters <warcPathOrGlob> <outParquetDir>
+           |  graft.Main cdx-build <warcPathOrGlob> <idxDir> [shards]
+           |  graft.Main cdx-merge <warcPathOrGlob> <idxDir>
+           |  graft.Main cdx-delete <idxDir> <url1,url2,...>
+           |  graft.Main cdx-compact <idxDir> [shards]
            |  graft.Main index-compact <indexDir>
            |  graft.Main index-unlock <indexDir>
            |  graft.Main index-delete <indexDir> <id1,id2,...>

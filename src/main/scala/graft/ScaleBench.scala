@@ -742,7 +742,7 @@ object ScaleBench {
       if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
           .exists(!_.exists(s =>
             "cdx_build".contains(s) || "cdx_fetch".contains(s) ||
-              "cdx_merge".contains(s)))) {
+              "cdx_merge".contains(s) || "cdx_delete".contains(s)))) {
         import spark.implicits._
         val cdxWarcDir = s"$scaleDir/warc_cdx"
         graft.io.Warc.writeWarcResponses(
@@ -815,6 +815,18 @@ object ScaleBench {
         measure("cdx_merge", s"$scaleDir/out_cdx_merge") {
           graft.io.Cdx.mergeCdxj(spark, mergeIdxDir, mergeDelta)
           mergeDelta.select("surt", "ts") // fixed-size sink; the merge is the cost
+        }
+        // DELETE: take the just-merged site back DOWN — the takedown
+        // face of the same locality claim: a fixed 2048-URL, one-site
+        // selection rewrites only the shards whose ranges own it, so
+        // the row must stay flat while the standing index grows 100×.
+        measure("cdx_delete", s"$scaleDir/out_cdx_delete") {
+          val removed = graft.io.Cdx.deleteFromCdxj(spark, mergeIdxDir,
+            spark.range(2048).select(
+              concat(lit("http://delta.test/doc/"), col("id")).as("url")))
+          require(removed == 2048,
+            s"cdx_delete octave: removed $removed of 2048")
+          mergeDelta.select("surt") // fixed-size sink; the delete is the cost
         }
       }
 
@@ -1864,6 +1876,11 @@ object ScaleBench {
       "per crawl cycle (cdx_build, linear) exists to avoid. A delta " +
       "scattered across every shard honestly pays every shard; that " +
       "regime is what periodic re-sharding compaction is for. " +
+      "cdx_delete is the takedown face of the same locality claim: the " +
+      "just-merged site's 2048 URLs taken back down through " +
+      "deleteFromCdxj — routing by broadcast shard bounds, rewriting " +
+      "only the owning shards — so it rides the merge's flatness for " +
+      "host-local selections, which is what real takedowns are. " +
       "recrawl_merge is the reconciliation row: all-equi-join shapes " +
       "on canonical URL / sha1 digest with one-capture-per-key " +
       "aggregates first — linear in the two crawls, with the honest " +

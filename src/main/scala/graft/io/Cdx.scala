@@ -225,6 +225,176 @@ object Cdx {
     val _ = rewritten // shards-scale action forces the side effects
   }
 
+  /** Re-sharding compaction — the maintenance pass [[mergeCdxj]] and
+    * [[deleteFromCdxj]] defer to: merges grow shards they touch and
+    * never split, deletes shrink and may remove shards, so a standing
+    * index drifts away from the constant-shard-SIZE layout that keeps
+    * touched-shard costs flat. Compaction re-sorts the whole index
+    * into `shards` fresh range partitions (0 = session parallelism) —
+    * corpus-scale by design, scheduled rarely, exactly like the BM25
+    * `index-compact` verb. Lines the reader flags malformed cannot be
+    * re-sharded typed; they are dropped LOUDLY (the returned second
+    * count — a caller that must not lose them fixes the index first).
+    * The rewrite stages beside the live index and swaps in two
+    * renames; single-writer contract, readers between the renames see
+    * the index mid-swap — schedule compaction in the same maintenance
+    * window as every other standing-artifact rewrite here. Returns
+    * (lines kept, flagged lines dropped). */
+  def compactCdxj(spark: SparkSession, dir: String,
+      shards: Int = 0): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val rows = readCdxj(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dropped = rows.filter(!col("ok")).count()
+      val kept = rows.filter(col("ok")).count()
+      val tmp = dir.stripSuffix("/") + ".compact.tmp"
+      writeCdxj(rows.filter(col("ok")), tmp, shards)
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.delete(new Path(dir), true),
+        s"compactCdxj: removing old index $dir failed")
+      require(fs.rename(new Path(tmp), new Path(dir)),
+        s"compactCdxj: swap $tmp -> $dir failed")
+      (kept, dropped)
+    } finally { val _ = rows.unpersist() }
+  }
+
+  /** Takedown maintenance — the `index-delete` analogue for the
+    * selection layer: remove EVERY capture of the given URLs from a
+    * standing [[writeCdxj]] index, rewriting only the shards whose
+    * ranges own them. The index is the archive's visibility gate
+    * (WARC segments are immutable, append-only media): un-indexing a
+    * URL makes it unfetchable through [[fetchRecords]] /
+    * [[latestCaptures]] / [[closestCaptures]], which is what a
+    * takedown or robots-revocation pass needs NOW; reclaiming the
+    * bytes is the corpus layer's job
+    * ([[graft.operators.CorpusPipeline.deleteDocs]]) and archive
+    * rewrite/compaction's schedule.
+    *
+    * Keys are SURT ([[graft.expressions.NativeUrl.surtUrl]] of the
+    * `url` column — a row with no derivable SURT names nothing and is
+    * ignored). A key's captures can straddle a range boundary (shards
+    * split WITHIN a SURT's timestamp run), so each key routes to the
+    * full shard span its `<surt> <ts>` range can reach — `"<surt> "`
+    * through `"<surt> :"` (ts bytes are `-` and digits, all < `:`) —
+    * and each touched shard drops its matching lines in one streaming
+    * walk, dot-tmp + atomic rename like [[mergeCdxj]]. A shard
+    * deleted down to zero lines is REMOVED (an empty file owns no
+    * range and would poison the merge's bounds probe). Deleting an
+    * absent key is a no-op. Returns the number of index lines
+    * removed.
+    *
+    * Scale shape: the delete set distincts and routes through
+    * broadcast shard bounds (takedown lists are small against a
+    * corpus; the shuffle is delete-scale), and cost is the standing
+    * bytes of TOUCHED shards only — flat in standing-index size for
+    * the host-local selections real takedowns are. Single-writer
+    * contract, per-shard atomic replace. */
+  def deleteFromCdxj(spark: SparkSession, standingDir: String,
+      urls: DataFrame): Long = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.expressions.NativeUrl
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val fs = new Path(standingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (!fs.exists(new Path(standingDir))) Array.empty[Path]
+      else fs.listStatus(new Path(standingDir))
+        .filter(st => st.getPath.getName.startsWith("part-") && st.getLen > 0)
+        .map(_.getPath).sortBy(_.getName)
+    if (parts.isEmpty) return 0L
+    val firstKeys = parts.map { p =>
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(p), utf8))
+      try {
+        val l = in.readLine()
+        require(l != null, s"deleteFromCdxj: empty standing shard $p")
+        keyOf(l)
+      } finally in.close()
+    }
+    val bounds = spark.sparkContext.broadcast(firstKeys.drop(1))
+    val shardPaths = spark.sparkContext.broadcast(parts.map(_.toString))
+    val hconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val removedPerShard = urls
+      .select(NativeUrl.surtUrl(col("url")).as("surt"))
+      .filter(col("surt").isNotNull)
+      .distinct()
+      .as[String]
+      .flatMap { surt =>
+        def route(k: String): Int = {
+          val b = bounds.value
+          var lo = 0; var hi = b.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (b(mid) <= k) lo = mid + 1 else hi = mid
+          }
+          lo
+        }
+        // a SURT's captures span ["<surt> ", "<surt> :") in line order
+        (route(surt + " ") to route(surt + " :")).map(sh => (sh, surt))
+      }
+      .toDF("shard", "surt")
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "surt")
+      .as[(Int, String)]
+      .mapPartitions { it =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val conf = hconf.value.value
+        def surtOf(line: String): String =
+          line.substring(0, line.indexOf(' '))
+        val done = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        val buffered = it.buffered
+        while (buffered.hasNext) {
+          val shard = buffered.head._1
+          val target = new Path(shardPaths.value(shard))
+          val sfs = target.getFileSystem(conf)
+          val tmp = new Path(target.getParent, s".${target.getName}.del.tmp")
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sfs.open(target), utf8))
+          val out = new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(sfs.create(tmp, true), utf8))
+          var removed = 0L
+          var kept = 0L
+          try {
+            var standing = in.readLine()
+            while (buffered.hasNext && buffered.head._1 == shard) {
+              val (_, key) = buffered.next()
+              while (standing != null && surtOf(standing) < key) {
+                out.write(standing); out.write('\n'); kept += 1
+                standing = in.readLine()
+              }
+              while (standing != null && surtOf(standing) == key) {
+                removed += 1
+                standing = in.readLine()
+              }
+            }
+            while (standing != null) {
+              out.write(standing); out.write('\n'); kept += 1
+              standing = in.readLine()
+            }
+          } finally { out.close(); in.close() }
+          if (kept == 0L) {
+            // a fully-deleted shard is removed, not left empty: an
+            // empty part owns no range and must not anchor bounds
+            require(sfs.delete(tmp, false) && sfs.delete(target, false),
+              s"deleteFromCdxj: removing emptied shard $target failed")
+          } else {
+            sfs.delete(target, false)
+            require(sfs.rename(tmp, target),
+              s"deleteFromCdxj: rename $tmp -> $target failed")
+          }
+          done += ((shard, removed))
+        }
+        done.iterator
+      }
+      .collect()
+    removedPerShard.map(_._2).sum
+  }
+
   /** Fetch the records an index slice names — the whole reason the
     * index exists: `readCdxj(...).filter(<surt prefix, ts range>)`
     * then this, and only the selected records' bytes are ever read.

@@ -48,4 +48,26 @@ object HttpDate {
       lit("MMM d HH:mm:ss yyyy zzz"))
     unix_timestamp(coalesce(fixdate, rfc850, asctime))
   }
+
+  /** Epoch seconds of a W3C-datetime column — the sitemaps protocol's
+    * `lastmod` dialect (sitemaps.org, "W3C Datetime"): a full ISO 8601
+    * date-time with a MANDATORY zone designator (`Z` or `±hh:mm`,
+    * optional fractional seconds, minutes-precision allowed), or a
+    * bare `yyyy-MM-dd` date. Zones PARSE for the same reason as
+    * [[httpTs]]; the date-only form carries no zone by design and
+    * anchors at UTC midnight — the deterministic reading, and the one
+    * that never schedules a fetch EARLIER than the publisher could
+    * have meant by more than a day. The profile's year / year-month
+    * reduced forms (never seen in sitemaps) and anything else
+    * unparseable are NULL — a hint that says nothing. */
+  def w3cTs(c: Column): Column = {
+    def p(fmt: String, v: Column) = try_to_timestamp(v, lit(fmt))
+    unix_timestamp(coalesce(
+      p("yyyy-MM-dd'T'HH:mm:ssXXX", c),
+      p("yyyy-MM-dd'T'HH:mm:ss.SSSXXX", c),
+      p("yyyy-MM-dd'T'HH:mmXXX", c),
+      // date-only: the concat can only parse when c IS a bare date —
+      // a full datetime turns into garbage and falls out as null
+      p("yyyy-MM-dd'T'HH:mm:ssXXX", concat(c, lit("T00:00:00+00:00")))))
+  }
 }

@@ -94,6 +94,95 @@ object Recrawl {
       .drop("lm_s", "cache_control", "expires", "http_date")
   }
 
+  /** Sitemap-informed recrawl — fold a site's OWN change claims (the
+    * sitemaps protocol: `lastmod`, `changefreq`) into a
+    * [[recrawlPlan]]. The protocol makes both fields HINTS, and the
+    * precedence here keeps every stronger signal in charge:
+    *
+    *   - a `lastmod` NEWER than the archived capture means our copy is
+    *     out of date no matter what any heuristic says — the row is
+    *     flagged `stale` and its `next_fetch_s` pulls to the capture
+    *     time (due immediately);
+    *   - `changefreq` CAPS the revisit interval when the server gave
+    *     no explicit RFC 9111 freshness (`always` → the min-hours
+    *     clamp, `hourly`/`daily`/`weekly`/`monthly`/`yearly` → their
+    *     literal seconds); explicit `Cache-Control`/`Expires`
+    *     freshness beats the XML hint — the server's own protocol
+    *     statement outranks a sidecar file. `never` and unrecognized
+    *     values impose NO cap (servers lie; a "never" page keeps the
+    *     archive's own revisit policy rather than being dropped);
+    *   - a sitemap URL with NO archived capture is DISCOVERY: a row
+    *     with null validators, `source = 'discovered'`, `stale`
+    *     (never fetched is out of date by definition),
+    *     `next_fetch_s = 0` (due since forever), and the hint — or
+    *     the default interval — as its cycle.
+    *
+    * Join identity is the canonical URL on both sides (the
+    * [[Frontier]] convention); a `loc` with no derivable identity
+    * hints at nothing. A URL listed by several sitemaps collapses to
+    * its newest `lastmod` and most eager `changefreq` first, so the
+    * join never fans out plan rows. Output = the plan's columns plus
+    * `stale` and `source` (`'archive'` | `'discovered'`).
+    *
+    * Scale shape: one map-side-partial aggregate on the sitemap side
+    * (sitemap-scale), one equi-join on the canonical URL against the
+    * plan, narrow column work everywhere else — no windows, no skew
+    * terms. */
+  def applySitemapHints(plan: DataFrame, sitemaps: DataFrame,
+      minHours: Double = 1.0, maxHours: Double = 24 * 30.0,
+      defaultDays: Double = 7.0): DataFrame = {
+    import graft.expressions.NativeUrl
+    val minS = math.round(minHours * 3600)
+    val maxS = math.round(maxHours * 3600)
+    val defaultS = math.round(defaultDays * 86400)
+    val sm = (if (sitemaps.columns.contains("kind"))
+        sitemaps.filter(col("kind") === "url") else sitemaps)
+      // the canonical kernel is pass-through-tolerant by contract, so
+      // fetch-identity derivability is witnessed by the SURT kernel
+      // (null on non-URLs): a junk loc must not become a discovery row
+      .filter(NativeUrl.surtUrl(col("loc")).isNotNull)
+      .select(NativeUrl.canonicalizeUrl(col("loc")).as("k"),
+        HttpDate.w3cTs(col("lastmod")).as("sm_lastmod_s"),
+        lower(trim(col("changefreq"))).as("cf"))
+      .withColumn("hint_s",
+        when(col("cf") === "always", lit(0L))
+          .when(col("cf") === "hourly", lit(3600L))
+          .when(col("cf") === "daily", lit(86400L))
+          .when(col("cf") === "weekly", lit(604800L))
+          .when(col("cf") === "monthly", lit(2592000L))
+          .when(col("cf") === "yearly", lit(31536000L)))
+      .groupBy("k")
+      .agg(max(col("sm_lastmod_s")).as("sm_lastmod_s"),
+        min(col("hint_s")).as("hint_s"))
+    val p = plan.withColumn("k", NativeUrl.canonicalizeUrl(col("url")))
+      .filter(col("k").isNotNull)
+    p.join(sm, Seq("k"), "full_outer")
+      .withColumn("archived", col("fetch_s").isNotNull)
+      .withColumn("interval2",
+        when(!col("archived"),
+          coalesce(least(greatest(col("hint_s"), lit(minS)), lit(maxS)),
+            lit(defaultS)))
+          .when(col("freshness_s").isNull && col("hint_s").isNotNull,
+            least(greatest(least(col("interval_s"), col("hint_s")),
+              lit(minS)), lit(maxS)))
+          .otherwise(col("interval_s")))
+      .withColumn("stale",
+        when(!col("archived"), lit(true))
+          .otherwise(coalesce(col("sm_lastmod_s") > col("fetch_s"),
+            lit(false))))
+      .select(
+        coalesce(col("url"), col("k")).as("url"),
+        col("if_none_match"), col("if_modified_since"),
+        col("fetch_s"), col("age_s"), col("freshness_s"),
+        col("interval2").as("interval_s"),
+        when(!col("archived"), lit(0L))
+          .when(col("stale"), col("fetch_s"))
+          .otherwise(col("fetch_s") + col("interval2")).as("next_fetch_s"),
+        col("stale"),
+        when(col("archived"), lit("archive")).otherwise(lit("discovered"))
+          .as("source"))
+  }
+
   /** The recrawl loop's SECOND half — merge a conditional refetch crawl
     * into the prior corpus, producing ONE current capture per URL
     * (`url, warc_date, content_type, payload, source`):

@@ -997,6 +997,81 @@ object ExtensionQueries {
       out
     })
 
+  private val sitemapRecrawlStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_sitemap_recrawl: the archive side of
+    * a sitemap-informed replan — every document a response at
+    * `http://corpus.test/doc/<id>` fetched at the constant staged
+    * WARC-Date with `Last-Modified: Thu, 01 Jan 2026 00:00:00 GMT`
+    * (the shared heuristic-age anchor), the `id % 6 == 4` lane
+    * additionally explicitly fresh for two hours (`Cache-Control:
+    * max-age=7200` — the lane whose sitemap hint must NOT cap). The
+    * sitemap side is built by the query, so the XML parse path sits
+    * under the oracle too. */
+  private def sitemapRecrawlStage(s: SparkSession, dir: String): String =
+    sitemapRecrawlStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_sm_recrawl").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://corpus.test/doc/"), col("doc_id")).as("u"),
+          col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, u, text) =>
+          val headers = Seq(
+            Some("Last-Modified: Thu, 01 Jan 2026 00:00:00 GMT"),
+            if (id % 6 == 4) Some("Cache-Control: max-age=7200") else None)
+            .flatten.mkString("\r\n")
+          (u, "text/plain", headers,
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+        .toDF("target_uri", "content_type", "extra_headers", "payload")
+      graft.io.Warc.writeWarcResponsesWithHeaders(media, out)
+      out
+    })
+
+  private val cdxDeleteStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_cdx_delete: the corpus archived
+    * (per-record gzip) and indexed into EIGHT range shards, then every
+    * `doc_id % 5 == 2` URL taken down through
+    * [[graft.io.Cdx.deleteFromCdxj]] — survivors must still fetch back
+    * hash-identical through both rewritten and untouched shards, and
+    * the victims must name nothing anywhere. Returns the index dir. */
+  private def cdxDeleteStage(s: SparkSession, dir: String): String =
+    cdxDeleteStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_cdx_del").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://h"), col("doc_id") % 10,
+            lit(".corpus.test/doc/"), col("doc_id")).as("u"),
+          regexp_replace(col("text"), "\\. ", "\n").as("x"))
+        .as[(Long, String, String)]
+        .map { case (id, u, x) =>
+          val html = x.split("\n", -1).map(l => "<p>" + l + "</p>").mkString
+          (u, "text/html",
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+        .toDF("target_uri", "content_type", "payload")
+      graft.io.Warc.writeWarcResponses(media, s"$out/warc",
+        gzipPerRecord = true)
+      graft.io.Cdx.writeCdxj(
+        graft.io.Cdx.cdxFromWarc(graft.io.Warc.readWarc(s, s"$out/warc")),
+        s"$out/idx", shards = 8)
+      val victims = t(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 2)
+        .select(concat(lit("http://h"), col("doc_id") % 10,
+          lit(".corpus.test/doc/"), col("doc_id")).as("url"))
+      val removed = graft.io.Cdx.deleteFromCdxj(s, s"$out/idx", victims)
+      val asked = victims.count()
+      require(removed == asked,
+        s"cdxDeleteStage: removed $removed of $asked takedowns")
+      s"$out/idx"
+    })
+
   private val charsetStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2209,6 +2284,11 @@ object ExtensionQueries {
     watRequestStage(s, dir)
     generationsStage(s, dir)
     auditStage(s, dir)
+    // q_cdx_delete's stage includes the eight-shard build and the
+    // takedown pass (the query times the survivor fetch-back);
+    // q_sitemap_recrawl's the validator-bearing archive write
+    cdxDeleteStage(s, dir)
+    sitemapRecrawlStage(s, dir)
     // ONE tiny untimed probe against each standing index: the first
     // probe of a session pays the index's first-read (file listing,
     // parquet footers, probe-plan codegen) — measured 1.94 s first vs
@@ -5084,6 +5164,22 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // Takedown through the index: every `doc_id % 5 == 2` URL deleted
+    // from the standing shards (eight-way ranged, so routing and the
+    // per-shard rewrite both exercise); the survivors fetch back
+    // through rewritten and untouched shards hash-identical, the
+    // victims name nothing anywhere.
+    "q_cdx_delete" -> ((s, dir) => {
+      val idx = graft.io.Cdx.readCdxj(s, cdxDeleteStage(s, dir))
+        .filter(col("ok"))
+      graft.io.Warc.toDocumentsHtml(graft.io.Cdx.fetchRecords(s, idx))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // WAT sidecar round-trip: every response's metadata envelope —
     // WARC headers, HTTP headers, the RAW outlink list with stripped
     // anchors — serialized as JSON lines and parsed BACK; a framing,
@@ -5182,6 +5278,43 @@ object ExtensionQueries {
           col("if_none_match"), col("age_s"), col("interval_s"),
           col("next_fetch_s"))
         .orderBy("doc_id")
+    }),
+
+    // Sitemap-informed replan: the site's OWN lastmod/changefreq
+    // claims folded into the validator plan — the stale pull-forward
+    // (lane 0), the changefreq interval cap (1), the ignored "never"
+    // (2), the unlisted passthrough (3), explicit RFC 9111 freshness
+    // outranking the XML hint (4), and pure discovery (5) — all six
+    // lanes replayed in DuckDB, the sitemap side built through the
+    // real urlset writer + XML parser.
+    "q_sitemap_recrawl" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Sitemap => SM}
+      val plan = graft.operators.Recrawl.recrawlPlan(
+        graft.io.Warc.readWarc(s, sitemapRecrawlStage(s, dir)),
+        alpha = 0.1, minHours = 1.0, maxHours = 720.0, defaultDays = 7.0)
+      val fetched = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val doc = s"http://corpus.test/doc/$id"
+          val entry = (id % 6) match {
+            case 0 => Some((doc, "2026-03-15T00:00:00Z", "", ""))
+            case 1 => Some((doc, "2026-02-01", "daily", ""))
+            case 2 => Some((doc, "2026-02-01", "never", ""))
+            case 4 => Some((doc, "2026-02-01", "hourly", ""))
+            case 5 => Some((s"http://corpus.test/new$id", "", "weekly", ""))
+            case _ => None
+          }
+          entry.map(e => (s"http://corpus.test/sm$id.xml",
+            SM.writeUrlset(Seq(e))))
+        }
+      graft.operators.Recrawl.applySitemapHints(plan, SM.expand(fetched),
+          minHours = 1.0, maxHours = 720.0, defaultDays = 7.0)
+        .select(
+          regexp_extract(col("url"), "(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("interval_s"), col("next_fetch_s"),
+          col("stale"), col("source"))
+        .orderBy("url")
     }),
 
     // Legacy CJK charset decode: five charsets, both declaration
@@ -6609,6 +6742,22 @@ object ExtensionQueries {
         """bsh AS (SELECT CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')] ELSE list_distinct([array_to_string(list_slice(t, i, i + 2), ' ') FOR i IN generate_series(1, len(t) - 2)]) END AS s FROM btok), """ +
         """flagged AS (SELECT DISTINCT d.url AS url FROM dd d, bsh b WHERE CAST(len(list_intersect(d.s, b.s)) AS DOUBLE) / (len(d.s) + len(b.s) - len(list_intersect(d.s, b.s))) >= 0.8) """ +
         """SELECT doc_id, url, charset, text, CAST(n_tokens AS BIGINT) AS n_tokens FROM dd WHERE url NOT IN (SELECT url FROM flagged) ORDER BY doc_id"""),
+
+    // the survivors fetch back, the takedowns are absent — the whole
+    // takedown contract in one set difference
+    "q_cdx_delete" ->
+      """SELECT doc_id, 'http://h' || (doc_id % 10) || '.corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents WHERE doc_id % 5 != 2 ORDER BY doc_id""",
+
+    // all six sitemap lanes replayed: the heuristic interval from the
+    // shared Last-Modified anchor, the daily cap, the ignored "never",
+    // the max-age lane the hint must not touch, the stale
+    // pull-forward, and the discovered row's epoch-0 due time
+    "q_sitemap_recrawl" ->
+      ("""WITH d AS (SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS l, CAST(epoch(TIMESTAMP '2026-03-01 00:00:00') AS BIGINT) AS f FROM documents), """ +
+        """ih AS (SELECT doc_id, l, f, CAST(LEAST(GREATEST(CAST(ROUND(0.1 * (f - epoch(TIMESTAMP '2026-01-01 00:00:00'))) AS BIGINT), 3600), 2592000) AS BIGINT) AS h FROM d), """ +
+        """arch AS (SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, CAST(CASE WHEN l = 4 THEN 7200 WHEN l = 1 THEN 86400 ELSE h END AS BIGINT) AS interval_s, CAST(CASE WHEN l = 0 THEN f WHEN l = 4 THEN f + 7200 WHEN l = 1 THEN f + 86400 ELSE f + h END AS BIGINT) AS next_fetch_s, l = 0 AS stale, 'archive' AS source FROM ih), """ +
+        """disc AS (SELECT doc_id, 'http://corpus.test/new' || doc_id AS url, CAST(604800 AS BIGINT) AS interval_s, CAST(0 AS BIGINT) AS next_fetch_s, TRUE AS stale, 'discovered' AS source FROM d WHERE l = 5) """ +
+        """SELECT * FROM (SELECT * FROM arch UNION ALL SELECT * FROM disc) ORDER BY url"""),
 
     // EVERY document fetches back through the merged index — the
     // standing two-thirds and the delta third alike, hash-identical

@@ -226,6 +226,58 @@ class CdxSpec extends SparkSpec {
     assert(got.length == 1 && got(0).framing_ok &&
       new String(got(0).payload, "UTF-8") == "conf carried")
   }
+
+  test("deleteFromCdxj: straddling surt, emptied shards, no-op, merge after") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_del").toString
+    def row(host: String, i: Int) =
+      (s"test,$host)/p", f"202601010000$i%02d", s"http://$host.test/p",
+        "text/html", Integer.valueOf(200), s"sha1:$host$i",
+        java.lang.Long.valueOf(10L), java.lang.Long.valueOf(i.toLong),
+        null: java.lang.Long, "seg0.warc")
+    val idx = (for (h <- Seq("a", "b", "c"); i <- 0 until 8) yield row(h, i))
+      .toDF("surt", "ts", "url", "mime", "status", "digest", "length",
+        "offset", "gz_offset", "filename")
+    // six range shards over 24 lines: b's 8-capture run straddles
+    // shard boundaries, so the delete must route to a shard SPAN
+    graft.io.Cdx.writeCdxj(idx, dir, shards = 6)
+    def lines() = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.length > 0).sorted
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toList).toList
+    assert(lines().size == 24)
+    // absent key: no-op, zero count
+    assert(graft.io.Cdx.deleteFromCdxj(spark, dir,
+      Seq("http://zz.test/p").toDF("url")) == 0L)
+    assert(lines().size == 24)
+    // the straddler: every one of b's captures goes, a and c intact
+    val removed = graft.io.Cdx.deleteFromCdxj(spark, dir,
+      Seq("http://b.test/p").toDF("url"))
+    assert(removed == 8L)
+    val after = lines()
+    assert(after.size == 16 && !after.exists(_.startsWith("test,b)")))
+    assert(after == after.sorted) // shards stay internally/globally sorted
+    // the index still merges: bounds re-derive from the surviving
+    // shards (any emptied shard was REMOVED, not left to poison them)
+    graft.io.Cdx.mergeCdxj(spark, dir,
+      Seq(("test,b)/p", "20260201000000", "http://b.test/p", "text/html",
+        Integer.valueOf(200), "sha1:new", java.lang.Long.valueOf(10L),
+        java.lang.Long.valueOf(99L), null: java.lang.Long, "seg1.warc"))
+        .toDF("surt", "ts", "url", "mime", "status", "digest", "length",
+          "offset", "gz_offset", "filename"))
+    val merged = lines()
+    assert(merged.size == 17 && merged == merged.sorted &&
+      merged.count(_.startsWith("test,b)")) == 1)
+    // compaction re-shards the drifted layout; a flagged junk line is
+    // dropped LOUDLY through the returned count
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "junk.cdxj"), "garbage-line\n")
+    val (kept, dropped) = graft.io.Cdx.compactCdxj(spark, dir, shards = 2)
+    assert(kept == 17L && dropped == 1L)
+    val compacted = lines()
+    assert(compacted.size == 17 && compacted == compacted.sorted)
+    assert(compacted.map(_.split(" ", 3).take(2).mkString(" ")) ==
+      merged.map(_.split(" ", 3).take(2).mkString(" ")))
+    assert(!new java.io.File(dir + ".compact.tmp").exists())
+  }
 }
 
 /** A local filesystem under a scheme only the SESSION configuration

@@ -204,4 +204,78 @@ class RecrawlSpec extends SparkSpec {
     assert(merged("http://x.test/e") ==
       ((null, "orphan", "2026-03-01T00:00:00Z")))
   }
+
+  test("w3cTs: every sitemap lastmod form; garbage and empty are null") {
+    import spark.implicits._
+    val got = Seq("2026-01-02", "2026-01-02T03:04:05Z",
+      "2026-01-02T03:04:05+09:00", "2026-01-02T03:04Z",
+      "2026-01-02T03:04:05.250Z", "garbage", "")
+      .toDF("v")
+      .select($"v", graft.operators.HttpDate.w3cTs($"v").as("s"))
+      .collect().map(r => r.getString(0) -> r.getAs[Any]("s")).toMap
+    assert(got("2026-01-02") == 1767312000L) // date-only anchors UTC midnight
+    assert(got("2026-01-02T03:04:05Z") == 1767323045L)
+    assert(got("2026-01-02T03:04:05+09:00") == 1767290645L) // zone PARSES
+    assert(got("2026-01-02T03:04Z") == 1767323040L) // minutes precision
+    assert(got("2026-01-02T03:04:05.250Z") == 1767323045L) // fraction
+    assert(got("garbage") == null && got("") == null)
+  }
+
+  test("applySitemapHints: stale pull, hint cap, freshness precedence, discovery") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sm_hints").toString
+    // all four pages share the Jan-1 Last-Modified anchor: heuristic
+    // interval at alpha 0.1 = 0.1 × 59 days = 509760 s
+    def page(p: String, extra: String) =
+      (s"http://a.test/$p", "text/plain",
+        ("Last-Modified: Thu, 01 Jan 2026 00:00:00 GMT" + extra),
+        "x".getBytes("UTF-8"))
+    graft.io.Warc.writeWarcResponsesWithHeaders(Seq(
+      page("stale", ""), page("capped", ""),
+      page("fresh", "\r\nCache-Control: max-age=7200"), page("plain", ""))
+      .toDF("target_uri", "content_type", "extra_headers", "payload"), dir)
+    val plan = Recrawl.recrawlPlan(graft.io.Warc.readWarc(spark, dir),
+      alpha = 0.1, minHours = 1.0, maxHours = 720.0, defaultDays = 7.0)
+    val sm = Seq(
+      // listed by TWO sitemaps: newest lastmod (newer than the capture
+      // → stale) and most eager hint (both null here) win the collapse
+      ("http://a.test/stale", "2026-03-15T00:00:00Z", ""),
+      ("http://a.test/stale", "2026-01-02", "never"),
+      // date-only older lastmod; two hints collapse to the eager daily
+      ("http://a.test/capped", "2026-02-01", "daily"),
+      ("http://a.test/capped", "2026-01-02", "yearly"),
+      // the hourly hint must NOT cap the explicit max-age
+      ("http://a.test/fresh", "2026-02-01", "hourly"),
+      // never archived → discovery
+      ("http://a.test/new", "", "weekly"),
+      // a loc with no derivable identity hints at nothing
+      ("not a url", "2026-02-01", "daily"))
+      .toDF("loc", "lastmod", "changefreq")
+    def run() = Recrawl.applySitemapHints(plan, sm,
+      minHours = 1.0, maxHours = 720.0, defaultDays = 7.0)
+      .collect().map(r => r.getAs[String]("url") ->
+        ((r.getLong(r.fieldIndex("interval_s")),
+          r.getLong(r.fieldIndex("next_fetch_s")),
+          r.getBoolean(r.fieldIndex("stale")),
+          r.getAs[String]("source")))).toMap
+    val out = run()
+    val fetch = 1772323200L // 2026-03-01T00:00:00Z, the staged stamp
+    val heur = 509760L
+    assert(out("http://a.test/stale") == ((heur, fetch, true, "archive")))
+    assert(out("http://a.test/capped") ==
+      ((86400L, fetch + 86400L, false, "archive")))
+    assert(out("http://a.test/fresh") ==
+      ((7200L, fetch + 7200L, false, "archive")))
+    assert(out("http://a.test/plain") ==
+      ((heur, fetch + heur, false, "archive")))
+    assert(out("http://a.test/new") == ((604800L, 0L, true, "discovered")))
+    assert(out.size == 5) // the junk loc contributed nothing
+    // session-zone invariance: the date-only lastmod anchors at UTC
+    // midnight, not the session's
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      assert(run() == out)
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+  }
 }
