@@ -821,9 +821,11 @@ object ScaleBench {
         // selection rewrites only the shards whose ranges own it, so
         // the row must stay flat while the standing index grows 100×.
         measure("cdx_delete", s"$scaleDir/out_cdx_delete") {
+          // the same zero-padded ids the merge delta keyed its surts on
           val removed = graft.io.Cdx.deleteFromCdxj(spark, mergeIdxDir,
             spark.range(2048).select(
-              concat(lit("http://delta.test/doc/"), col("id")).as("url")))
+              concat(lit("http://delta.test/doc/"),
+                lpad(col("id").cast("string"), 6, "0")).as("url")))
           require(removed == 2048,
             s"cdx_delete octave: removed $removed of 2048")
           mergeDelta.select("surt") // fixed-size sink; the delete is the cost

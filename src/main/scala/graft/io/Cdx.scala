@@ -197,16 +197,27 @@ object Cdx {
           var added = 0L
           try {
             var standing = in.readLine()
+            var lastWritten: String = null
             while (buffered.hasNext && buffered.head._1 == shard) {
               val (_, k, line) = buffered.next()
               // drain standing lines up to the delta key (ties: standing
               // first — a stable merge)
               while (standing != null && keyOf(standing) <= k) {
-                out.write(standing); out.write('\n')
+                out.write(standing); out.write('\n'); lastWritten = standing
                 standing = in.readLine()
               }
-              out.write(line); out.write('\n')
-              added += 1
+              // convergent replay: a delta line byte-identical to the
+              // one just written (equal keys drain standing first, so
+              // an already-merged twin is always adjacent) is the SAME
+              // capture arriving again — a re-run merge, a
+              // crash-replayed microbatch — and is skipped: merging a
+              // delta twice converges instead of accumulating. Distinct
+              // captures sharing (surt, ts) differ in their json and
+              // are kept.
+              if (line != lastWritten) {
+                out.write(line); out.write('\n'); lastWritten = line
+                added += 1
+              }
             }
             while (standing != null) {
               out.write(standing); out.write('\n')
@@ -224,6 +235,49 @@ object Cdx {
       .collect()
     val _ = rewritten // shards-scale action forces the side effects
   }
+
+  /** At-most-once [[mergeCdxj]] per microbatch id — the streaming
+    * maintenance guard (the [[graft.io.Sinks.appendBatchIdempotent]]
+    * contract): the standing dir's dot-marker records the last merged
+    * batch and a replayed id — Structured Streaming re-runs a failed
+    * batch under the SAME id — is skipped, with the writer lease held
+    * for the merge like every mutating index verb. The residual
+    * crash-between-merge-and-marker window replays the delta, which
+    * [[mergeCdxj]]'s byte-identical-line skip absorbs: the re-merge
+    * converges instead of duplicating. Returns whether the batch
+    * merged. */
+  def mergeCdxjIdempotent(spark: SparkSession, standingDir: String,
+      delta: DataFrame, batchId: Long): Boolean =
+    graft.operators.IndexLock.withLock(spark, standingDir, "cdx-merge") {
+      if (batchId <= graft.io.Sinks.lastCommittedBatch(spark, standingDir))
+        false
+      else {
+        mergeCdxj(spark, standingDir, delta)
+        graft.io.Sinks.recordCommittedBatch(spark, standingDir, batchId)
+        true
+      }
+    }
+
+  /** Continuous index maintenance — the standing CDXJ maintained AS
+    * the crawl streams in: each microbatch of records index-derives
+    * ([[cdxFromWarc]]) and sorted-merges into the standing shards
+    * at-most-once ([[mergeCdxjIdempotent]]). Compose with
+    * [[Warc.readWarcStream]] and the selection layer is never a
+    * post-pass — a capture is fetchable through the index the moment
+    * its batch commits, the `writeStreamIndexed` analogue for the
+    * selection tier. Periodic [[compactCdxj]] re-balances the shard
+    * drift merges accumulate, in the same maintenance window as every
+    * standing artifact here. */
+  def writeStreamCdx(records: Dataset[Warc.WarcRecord], standingDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Warc.WarcRecord], batchId: Long) =>
+        val _ = mergeCdxjIdempotent(batch.sparkSession, standingDir,
+          cdxFromWarc(batch), batchId)
+      }
+      .start()
 
   /** Re-sharding compaction — the maintenance pass [[mergeCdxj]] and
     * [[deleteFromCdxj]] defer to: merges grow shards they touch and

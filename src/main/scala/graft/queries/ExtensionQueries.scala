@@ -1072,6 +1072,58 @@ object ExtensionQueries {
       s"$out/idx"
     })
 
+  private val cdxStreamStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_cdx_stream: the corpus split into
+    * three "crawl segments" (`doc_id % 3`) arriving as a FILE STREAM —
+    * each wave moved into the watched dir and drained
+    * (`processAllAvailable`) before the next, so
+    * [[graft.io.Cdx.writeStreamCdx]] maintains the standing CDXJ
+    * across three real microbatch commits (wave 0 the bootstrap write,
+    * waves 1–2 sorted merges under the at-most-once guard). Returns
+    * the index dir; the archives stay beside it for the fetch-back. */
+  private def cdxStreamStage(s: SparkSession, dir: String): String =
+    cdxStreamStages.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_cdx_stream").toString
+      new java.io.File(s"$out/in").mkdirs()
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://h"), col("doc_id") % 10,
+            lit(".corpus.test/doc/"), col("doc_id")).as("u"),
+          regexp_replace(col("text"), "\\. ", "\n").as("x"))
+        .as[(Long, String, String)]
+        .map { case (id, u, x) =>
+          val html = x.split("\n", -1).map(l => "<p>" + l + "</p>").mkString
+          (id, u, "text/html",
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+        .toDF("doc_id", "target_uri", "content_type", "payload")
+      def wave(w: Int): Unit = {
+        graft.io.Warc.writeWarcResponses(
+          media.filter(col("doc_id") % 3 === w).drop("doc_id"),
+          s"$out/w$w", gzipPerRecord = true)
+        new java.io.File(s"$out/w$w").listFiles()
+          .filter(_.getName.endsWith(".warc.gz")).foreach { f =>
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(s"$out/in", s"w$w-${f.getName}"))
+          }
+      }
+      wave(0)
+      val q = graft.io.Cdx.writeStreamCdx(
+        graft.io.Warc.readWarcStream(s, s"$out/in"),
+        s"$out/idx", s"$out/ckpt")
+      try {
+        q.processAllAvailable()
+        wave(1)
+        q.processAllAvailable()
+        wave(2)
+        q.processAllAvailable()
+      } finally q.stop()
+      s"$out/idx"
+    })
+
   private val charsetStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2289,6 +2341,9 @@ object ExtensionQueries {
     // q_sitemap_recrawl's the validator-bearing archive write
     cdxDeleteStage(s, dir)
     sitemapRecrawlStage(s, dir)
+    // the streamed-index stage runs its three microbatch commits here
+    // (bootstrap + two merges); the query times the fetch-back
+    cdxStreamStage(s, dir)
     // ONE tiny untimed probe against each standing index: the first
     // probe of a session pays the index's first-read (file listing,
     // parquet footers, probe-plan codegen) — measured 1.94 s first vs
@@ -5180,6 +5235,21 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // The standing index maintained AS the crawl streams: three
+    // segment waves through writeStreamCdx (bootstrap + two sorted
+    // merges under the at-most-once batch guard); EVERY document
+    // fetches back through the streamed index hash-identical.
+    "q_cdx_stream" -> ((s, dir) => {
+      val idx = graft.io.Cdx.readCdxj(s, cdxStreamStage(s, dir))
+        .filter(col("ok"))
+      graft.io.Warc.toDocumentsHtml(graft.io.Cdx.fetchRecords(s, idx))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // WAT sidecar round-trip: every response's metadata envelope —
     // WARC headers, HTTP headers, the RAW outlink list with stripped
     // anchors — serialized as JSON lines and parsed BACK; a framing,
@@ -6758,6 +6828,11 @@ object ExtensionQueries {
         """arch AS (SELECT doc_id, 'http://corpus.test/doc/' || doc_id AS url, CAST(CASE WHEN l = 4 THEN 7200 WHEN l = 1 THEN 86400 ELSE h END AS BIGINT) AS interval_s, CAST(CASE WHEN l = 0 THEN f WHEN l = 4 THEN f + 7200 WHEN l = 1 THEN f + 86400 ELSE f + h END AS BIGINT) AS next_fetch_s, l = 0 AS stale, 'archive' AS source FROM ih), """ +
         """disc AS (SELECT doc_id, 'http://corpus.test/new' || doc_id AS url, CAST(604800 AS BIGINT) AS interval_s, CAST(0 AS BIGINT) AS next_fetch_s, TRUE AS stale, 'discovered' AS source FROM d WHERE l = 5) """ +
         """SELECT * FROM (SELECT * FROM arch UNION ALL SELECT * FROM disc) ORDER BY url"""),
+
+    // every wave's captures fetch back through the streamed index —
+    // the bootstrap third and both merged thirds alike
+    "q_cdx_stream" ->
+      """SELECT doc_id, 'http://h' || (doc_id % 10) || '.corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
 
     // EVERY document fetches back through the merged index — the
     // standing two-thirds and the delta third alike, hash-identical

@@ -278,6 +278,75 @@ class CdxSpec extends SparkSpec {
       merged.map(_.split(" ", 3).take(2).mkString(" ")))
     assert(!new java.io.File(dir + ".compact.tmp").exists())
   }
+
+  private def idxRows(surts: (String, String, Long)*) =
+    surts.map { case (surt, ts, off) =>
+      (surt, ts, "http://" + surt.takeWhile(_ != ')') + ".test/p",
+        "text/html", Integer.valueOf(200), s"sha1:$off",
+        java.lang.Long.valueOf(10L), java.lang.Long.valueOf(off),
+        null: java.lang.Long, "s.warc")
+    }.toDF("surt", "ts", "url", "mime", "status", "digest", "length",
+      "offset", "gz_offset", "filename")
+
+  test("mergeCdxj converges on replay; the batch guard skips replayed ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_conv").toString
+    graft.io.Cdx.writeCdxj(idxRows(
+      ("test,a)/", "20260101000000", 0L), ("test,b)/", "20260101000000", 1L),
+      ("test,c)/", "20260101000000", 2L), ("test,d)/", "20260101000000", 3L)),
+      dir)
+    def count() = graft.io.Cdx.readCdxj(spark, dir).count()
+    val delta = idxRows(("test,bb)/", "20260201000000", 4L),
+      ("test,cc)/", "20260201000000", 5L))
+    graft.io.Cdx.mergeCdxj(spark, dir, delta)
+    assert(count() == 6)
+    // the crash-replay shape: the SAME delta merged again — byte-identical
+    // lines are adjacent to their standing twins and skip, so the index
+    // converges instead of accumulating
+    graft.io.Cdx.mergeCdxj(spark, dir, delta)
+    assert(count() == 6)
+    // a DISTINCT capture at an existing (surt, ts) key is not a duplicate
+    graft.io.Cdx.mergeCdxj(spark, dir,
+      idxRows(("test,bb)/", "20260201000000", 99L)))
+    assert(count() == 7)
+    // the at-most-once guard: a replayed microbatch id never re-merges
+    val d2 = idxRows(("test,e)/", "20260301000000", 6L))
+    assert(graft.io.Cdx.mergeCdxjIdempotent(spark, dir, d2, 7L))
+    assert(count() == 8)
+    assert(!graft.io.Cdx.mergeCdxjIdempotent(spark, dir, d2, 7L))
+    assert(count() == 8)
+  }
+
+  test("writeStreamCdx: the standing index maintained as segments arrive") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdx_str").toString
+    new java.io.File(s"$root/in").mkdirs()
+    def wave(n: Int): Unit = {
+      graft.io.Warc.writeWarcResponses(
+        Seq.tabulate(3)(i => (s"http://w$n.test/p$i", "text/plain",
+          s"wave$n doc$i".getBytes("UTF-8")))
+          .toDF("target_uri", "content_type", "payload").coalesce(1),
+        s"$root/w$n", gzipPerRecord = true)
+      new java.io.File(s"$root/w$n").listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$root/in", s"w$n-${f.getName}"))
+        }
+    }
+    wave(0)
+    val q = graft.io.Cdx.writeStreamCdx(
+      graft.io.Warc.readWarcStream(spark, s"$root/in"),
+      s"$root/idx", s"$root/ckpt")
+    try {
+      q.processAllAvailable()
+      wave(1)
+      q.processAllAvailable()
+    } finally q.stop()
+    // every capture of both waves fetches back through the index built
+    // AS the segments arrived
+    val got = graft.io.Cdx.fetchRecords(spark,
+        graft.io.Cdx.readCdxj(spark, s"$root/idx"))
+      .collect().map(r => new String(r.payload, "UTF-8")).toSet
+    assert(got == (for (n <- 0 to 1; i <- 0 to 2) yield s"wave$n doc$i").toSet)
+  }
 }
 
 /** A local filesystem under a scheme only the SESSION configuration
