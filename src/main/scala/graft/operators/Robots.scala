@@ -177,7 +177,8 @@ object Robots {
     * own politeness instruction, in either published form (delta
     * seconds, or an HTTP-date the backoff derives from by subtracting
     * the capture time — [[HttpDate.httpTs]], all three RFC 9110 forms
-    * including the obsolete RFC 850 and asctime dates, zone-parsed and
+    * including the obsolete RFC 850 and asctime dates, zone-parsed,
+    * the RFC 850 fifty-year rule anchored at the capture time, and
     * clock-skew-safe: a date in the past floors at 0). A rate-limit
     * response WITHOUT the header still means "slow down":
     * `defaultBackoffS`. One max per host — the most conservative hint
@@ -186,7 +187,8 @@ object Robots {
   def backoffHosts(records: org.apache.spark.sql.Dataset[graft.io.Warc.WarcRecord],
       defaultBackoffS: Double = 60.0): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType}
-    def httpTs(c: org.apache.spark.sql.Column) = HttpDate.httpTs(c)
+    def httpTs(c: org.apache.spark.sql.Column) =
+      HttpDate.httpTs(c, col("fetch_s"))
     records.toDF()
       .filter(col("warc_type") === "response" && col("framing_ok") &&
         col("target_uri").isNotNull &&

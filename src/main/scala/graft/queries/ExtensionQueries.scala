@@ -1469,12 +1469,16 @@ object ExtensionQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Session-scoped staging for q_recrawl_freshness + q_warc_truncated:
-    * six explicit-freshness lanes on `doc_id % 6` (bare max-age;
+    * seven explicit-freshness lanes on `doc_id % 7` (bare max-age;
     * s-maxage beating max-age; Expires anchored at Date; no-cache; the
-    * idiomatic invalid `Expires: 0`; no freshness at all — the
-    * heuristic lane with a constant Last-Modified), and independently
-    * every third id carries `WARC-Truncated: length` (the §5.13 flag,
-    * routed into the WARC block by the writer). */
+    * idiomatic invalid `Expires: 0`; an obsolete RFC 850 Last-Modified
+    * whose two-digit year must resolve to 1994 under the §5.6.7
+    * fifty-year rule — the max-clamp lane, distinguishable from the
+    * default-interval demotion a 2094 reading would cause; no
+    * freshness at all — the heuristic lane with a constant
+    * Last-Modified), and independently every third id carries
+    * `WARC-Truncated: length` (the §5.13 flag, routed into the WARC
+    * block by the writer). */
   private def freshnessStage(s: SparkSession, dir: String): String =
     freshnessStages.computeIfAbsent(dir, _ => {
       import s.implicits._
@@ -1485,13 +1489,14 @@ object ExtensionQueries {
           col("text"))
         .as[(Long, String, String)]
         .map { case (id, u, text) =>
-          val fresh = (id % 6) match {
+          val fresh = (id % 7) match {
             case 0 => Seq("Cache-Control: max-age=7200")
             case 1 => Seq("Cache-Control: public, s-maxage=3600, max-age=7200")
             case 2 => Seq("Date: Sun, 01 Mar 2026 00:00:00 GMT",
               "Expires: Mon, 02 Mar 2026 00:00:00 GMT")
             case 3 => Seq("Cache-Control: no-cache")
             case 4 => Seq("Expires: 0")
+            case 5 => Seq("Last-Modified: Sunday, 06-Nov-94 08:49:37 GMT")
             case _ => Seq("Last-Modified: Thu, 01 Jan 2026 00:00:00 GMT")
           }
           val trunc =
@@ -6886,8 +6891,11 @@ object ExtensionQueries {
 
     // the six freshness lanes replayed: explicit lifetimes, zero lanes
     // min-clamped, the bare lane's heuristic from the constant dates
+    // lane 5 pins RFC 9110 §5.6.7's fifty-year rule: `06-Nov-94` reads
+    // as 1994 (a huge age, alpha-scaled then MAX-clamped to 720 h =
+    // 2592000 s) — a 2094 reading would demote to the 7-day default
     "q_recrawl_freshness" ->
-      """WITH d AS (SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS m FROM documents), q AS (SELECT doc_id, m, CASE m WHEN 0 THEN 7200 WHEN 1 THEN 3600 WHEN 2 THEN 86400 WHEN 3 THEN 0 WHEN 4 THEN 0 END AS f, CASE m WHEN 0 THEN 7200 WHEN 1 THEN 3600 WHEN 2 THEN 86400 WHEN 3 THEN 3600 WHEN 4 THEN 3600 ELSE 2548800 END AS iv FROM d) SELECT doc_id, CAST(f AS BIGINT) AS freshness_s, CAST(iv AS BIGINT) AS interval_s, CAST(epoch(TIMESTAMP '2026-03-01 00:00:00') AS BIGINT) + iv AS next_fetch_s FROM q ORDER BY doc_id""",
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 7 AS INTEGER) AS m FROM documents), q AS (SELECT doc_id, m, CASE m WHEN 0 THEN 7200 WHEN 1 THEN 3600 WHEN 2 THEN 86400 WHEN 3 THEN 0 WHEN 4 THEN 0 END AS f, CASE m WHEN 0 THEN 7200 WHEN 1 THEN 3600 WHEN 2 THEN 86400 WHEN 3 THEN 3600 WHEN 4 THEN 3600 WHEN 5 THEN 2592000 ELSE 2548800 END AS iv FROM d) SELECT doc_id, CAST(f AS BIGINT) AS freshness_s, CAST(iv AS BIGINT) AS interval_s, CAST(epoch(TIMESTAMP '2026-03-01 00:00:00') AS BIGINT) + iv AS next_fetch_s FROM q ORDER BY doc_id""",
 
     // the §5.13 flag on every third id, null elsewhere
     "q_warc_truncated" ->

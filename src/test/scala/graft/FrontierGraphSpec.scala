@@ -246,4 +246,27 @@ class FrontierGraphSpec extends SparkSpec {
     assert(got("http://z.test/g") == (("http://z.test/g", 2L)))
     assert(got("http://z.test/h") == (("http://z.test/g", 2L)))
   }
+
+  test("urlAliasClusters: a planted id-hash collision fails loudly") {
+    // real xxhash64 collisions are not constructible; the injectable
+    // hash plants one — TWO unrelated pairs whose four URLs all hash
+    // equal. The guard must refuse to ship silently-merged clusters,
+    // and the check rides the membership pass (no standalone job).
+    val redirects = Seq(
+      ("http://a.test/x", "http://a.test/y"),
+      ("http://b.test/x", "http://b.test/y"))
+      .toDF("from_url", "to_url")
+    val canonicals = Seq.empty[(String, String)]
+      .toDF("url", "canonical_url")
+    val e = intercept[IllegalArgumentException] {
+      LinkRank.urlAliasClustersHashed(redirects, canonicals, 25,
+        _ => org.apache.spark.sql.functions.lit(0L))
+    }
+    assert(e.getMessage.contains("collision"))
+    // the honest hash on the same graph still clusters cleanly
+    val ok = LinkRank.urlAliasClusters(redirects, canonicals)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ok("http://a.test/x") == "http://a.test/y")
+    assert(ok("http://b.test/x") == "http://b.test/y")
+  }
 }

@@ -119,6 +119,12 @@ class RecrawlSpec extends SparkSpec {
       // asctime's space-padded single-digit day form
       ("http://a.test/padded", "text/plain",
         "Last-Modified: Sun Feb  1 00:00:00 2026",
+        "x".getBytes("UTF-8")),
+      // RFC 9110 §5.6.7 fifty-year rule: `94` read from a 2026 capture
+      // is 1994 (2094 is >50 years future) — a real age, not the
+      // future-guard's default-interval demotion
+      ("http://a.test/fifty", "text/plain",
+        "Last-Modified: Sunday, 06-Nov-94 08:49:37 GMT",
         "x".getBytes("UTF-8")))
       .toDF("target_uri", "content_type", "extra_headers", "payload"), dir)
     val tz0 = spark.conf.get("spark.sql.session.timeZone")
@@ -133,6 +139,9 @@ class RecrawlSpec extends SparkSpec {
       assert(plan("http://a.test/r850") == 100L)
       assert(plan("http://a.test/asctime") == 100L)
       assert(plan("http://a.test/padded") == 28L * 86400)
+      assert(plan("http://a.test/fifty") ==
+        java.time.Instant.parse("2026-03-01T00:00:00Z").getEpochSecond -
+          java.time.Instant.parse("1994-11-06T08:49:37Z").getEpochSecond)
     } finally spark.conf.set("spark.sql.session.timeZone", tz0)
   }
 
@@ -209,7 +218,8 @@ class RecrawlSpec extends SparkSpec {
     import spark.implicits._
     val got = Seq("2026-01-02", "2026-01-02T03:04:05Z",
       "2026-01-02T03:04:05+09:00", "2026-01-02T03:04Z",
-      "2026-01-02T03:04:05.250Z", "garbage", "")
+      "2026-01-02T03:04:05.250Z", "2026-01-02T03:04:05.5Z",
+      "2026-01-02T03:04:05.123456Z", "garbage", "")
       .toDF("v")
       .select($"v", graft.operators.HttpDate.w3cTs($"v").as("s"))
       .collect().map(r => r.getString(0) -> r.getAs[Any]("s")).toMap
@@ -218,6 +228,10 @@ class RecrawlSpec extends SparkSpec {
     assert(got("2026-01-02T03:04:05+09:00") == 1767290645L) // zone PARSES
     assert(got("2026-01-02T03:04Z") == 1767323040L) // minutes precision
     assert(got("2026-01-02T03:04:05.250Z") == 1767323045L) // fraction
+    // the profile allows ANY fraction width — both must parse, not
+    // silently drop the hint
+    assert(got("2026-01-02T03:04:05.5Z") == 1767323045L)
+    assert(got("2026-01-02T03:04:05.123456Z") == 1767323045L)
     assert(got("garbage") == null && got("") == null)
   }
 
