@@ -5322,6 +5322,57 @@ object ExtensionQueries {
         .orderBy("url")
     }),
 
+    // The composed frontier WITH the site's own change claims: a newer
+    // lastmod pulls its row (and through the collapse, its whole
+    // cluster) due NOW; an hourly changefreq caps the heuristic
+    // interval; a never-archived sitemap URL enters as a DISCOVERY row
+    // that must survive alias collapse and scheduling — every lane's
+    // due time, stale flag, source tag, slot, and backoff recomputed
+    // independently in DuckDB.
+    "q_frontier_sitemap" -> ((s, dir) => {
+      import s.implicits._
+      val recs = graft.io.Warc.readWarc(s, frontierStage(s, dir))
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      def u(p: String) = concat(lit("http://h"), col("doc_id") % 10,
+        lit(".test/" + p), col("doc_id"))
+      val redirects = d.filter(col("doc_id") % 5 === 0)
+        .select(u("a").as("from_url"), u("p").as("to_url"))
+      val canonicals = redirects.filter(lit(false))
+        .select(col("from_url").as("url"), col("to_url").as("canonical_url"))
+      val rules = s.range(0, 10).as[Long].map { h =>
+        val body = (h % 3) match {
+          case 0 => "User-agent: graftbot\nCrawl-delay: 2\n"
+          case 1 => "User-agent: *\nCrawl-delay: 0.5\n"
+          case _ => "User-agent: *\nDisallow:\n"
+        }
+        (s"h$h.test",
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      // the site's claims: id%4==1 a NEWER lastmod on /p (stale pull),
+      // id%4==3 an hourly changefreq on /p (interval cap), id%4==2 a
+      // never-archived /n URL (discovery, daily cycle)
+      val sitemaps = d
+        .filter(col("doc_id") % 4 =!= 0)
+        .select(
+          when(col("doc_id") % 4 === 2, u("n")).otherwise(u("p")).as("loc"),
+          when(col("doc_id") % 4 === 1, lit("2026-03-02T00:00:00Z"))
+            .as("lastmod"),
+          when(col("doc_id") % 4 === 3, lit("hourly"))
+            .when(col("doc_id") % 4 === 2, lit("daily")).as("changefreq"))
+      graft.operators.Frontier.frontierPlan(recs,
+          graft.operators.LinkRank.urlAliasClusters(redirects, canonicals),
+          rules, "graftbot/1.0",
+          alpha = 0.5, minHours = 1.0, maxHours = 720.0, defaultDays = 7.0,
+          defaultDelayS = 1.0, defaultBackoffS = 60.0,
+          sitemaps = Some(sitemaps))
+        .select(
+          regexp_extract(col("url"), "/[pzn](\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("host"), col("next_fetch_s"), col("stale"),
+          col("source"), col("delay_s"), col("fetch_at_s"))
+        .orderBy("url")
+    }),
+
     // WAT request-record fidelity: the sidecar's crawl-accounting half
     // — method and User-Agent parsed from the embedded request head,
     // serialized as HTTP-Request-Metadata, parsed BACK; the
@@ -6863,6 +6914,18 @@ object ExtensionQueries {
         """rows AS (SELECT doc_id, h, 'http://h' || h || '.test/p' || doc_id AS url, CASE WHEN doc_id % 5 = 0 THEN 3600 WHEN doc_id % 2 = 0 THEN 7200 ELSE 604800 END AS iv FROM d UNION ALL SELECT doc_id, h, 'http://h' || h || '.test/z' || doc_id, 604800 FROM d WHERE doc_id % 10 = 7), """ +
         """r AS (SELECT doc_id, h, url, CAST(epoch(TIMESTAMP '2026-03-01 00:00:00') AS BIGINT) + iv AS nf, CAST(row_number() OVER (PARTITION BY h ORDER BY url) - 1 AS DOUBLE) AS slot, CASE CAST(h % 3 AS INTEGER) WHEN 0 THEN 2.0 WHEN 1 THEN 0.5 ELSE 1.0 END AS delay_s, CASE WHEN h = 7 THEN 120.0 ELSE 0.0 END AS backoff FROM rows) """ +
         """SELECT doc_id, url, 'h' || h || '.test' AS host, nf AS next_fetch_s, delay_s, slot * delay_s + backoff AS fetch_at_s FROM r ORDER BY url"""),
+
+    // the sitemap-informed frontier replayed lane by lane: odd ids are
+    // all hinted (%4=1 stale pull to the capture epoch, %4=3 hourly cap
+    // to the 3600 clamp), the alias collapse still wins where its
+    // member is most eager, %4=2 adds the /n discovery rows (due 0,
+    // source 'discovered') which ALSO shift every later same-host
+    // slot's rank — the schedule recomputed over the widened queue
+    "q_frontier_sitemap" ->
+      ("""WITH d AS (SELECT doc_id, doc_id % 10 AS h FROM documents), """ +
+        """rows AS (SELECT doc_id, h, 'http://h' || h || '.test/p' || doc_id AS url, CASE WHEN doc_id % 4 = 1 THEN 0 WHEN doc_id % 4 = 3 THEN 3600 WHEN doc_id % 5 = 0 THEN 3600 WHEN doc_id % 2 = 0 THEN 7200 ELSE 604800 END AS iv, doc_id % 4 = 1 AS stale, 'archive' AS source FROM d UNION ALL SELECT doc_id, h, 'http://h' || h || '.test/z' || doc_id, 604800, FALSE, 'archive' FROM d WHERE doc_id % 10 = 7 UNION ALL SELECT doc_id, h, 'http://h' || h || '.test/n' || doc_id, NULL, TRUE, 'discovered' FROM d WHERE doc_id % 4 = 2), """ +
+        """r AS (SELECT doc_id, h, url, stale, source, CASE WHEN source = 'discovered' THEN 0 ELSE CAST(epoch(TIMESTAMP '2026-03-01 00:00:00') AS BIGINT) + iv END AS nf, CAST(row_number() OVER (PARTITION BY h ORDER BY url) - 1 AS DOUBLE) AS slot, CASE CAST(h % 3 AS INTEGER) WHEN 0 THEN 2.0 WHEN 1 THEN 0.5 ELSE 1.0 END AS delay_s, CASE WHEN h = 7 THEN 120.0 ELSE 0.0 END AS backoff FROM rows) """ +
+        """SELECT doc_id, url, 'h' || h || '.test' AS host, nf AS next_fetch_s, stale, source, delay_s, slot * delay_s + backoff AS fetch_at_s FROM r ORDER BY url"""),
 
     // the request lane's method/agent replayed from the staging
     // constants; the metadata lane carries the link but no request head
