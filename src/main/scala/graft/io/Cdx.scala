@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** CDXJ crawl indexes — the selection layer OVER the archives: one
   * sorted text line per capture (`<surt-key> <timestamp14> <json>`,
@@ -24,6 +25,39 @@ import org.apache.spark.sql.functions._
   * ([[Warc.readWarcRecordsAt]]); [[mergeCdxj]] maintains the standing
   * index incrementally — a delta sorted-merges into only the shards
   * whose ranges it touches, never re-sorting the corpus-scale side.
+  *
+  * ==The generation manifest — reader-safe maintenance==
+  *
+  * A maintained index dir holds shard files plus a GENERATION MANIFEST
+  * (`.manifest-<gen>`, dot-prefixed so no text reader lists it): the
+  * ordered list of the current generation's shard file names, in range
+  * order. Every maintenance verb (merge / delete / compact) writes its
+  * NEW shard files BESIDE the live ones under fresh generation-stamped
+  * names, then publishes by atomically creating the next manifest —
+  * never deleting or renaming a live name in place. A reader therefore
+  * always resolves a COMPLETE generation: the old one until the flip,
+  * the new one after; there is no instant at which a shard is missing
+  * or half-replaced (the delete-then-rename gap this design exists to
+  * close). Superseded generations are garbage-collected by the NEXT
+  * maintenance verb (and opportunistically after each flip) — a reader
+  * that resolved the old generation and races that GC fails LOUDLY
+  * (file-not-found, retry against the new generation), never silently
+  * missing a key range. Tasks only ever CREATE files at deterministic
+  * names (idempotent overwrite of their own output), so task retries
+  * and speculative attempts are harmless — no attempt deletes or moves
+  * anything; publication and GC are the driver's, after the job.
+  *
+  * A dir with no manifest (a plain [[writeCdxj]] product from an older
+  * layout, or hand-built shards) is ADOPTED: readers and writers list
+  * its `part-*` files in name order as generation 0, and the first
+  * maintenance verb's flip starts the manifest. Files that are neither
+  * generation-named (`part-*`, `shard-g*`) nor manifests are FOREIGN
+  * sidecars: readers parse them under the tolerant-bridge flag like
+  * any line source, writers never touch them (compaction, which
+  * consumes and loudly drops their flagged lines, removes them).
+  * Single-writer contract across all maintenance verbs, like every
+  * standing-artifact maintainer here ([[mergeCdxjIdempotent]] holds
+  * the writer lease).
   *
   * Addressing follows the [[Warc.WarcRecord]] contract: for gzipped
   * archives `gz_offset` is the record's member's compressed offset and
@@ -84,14 +118,96 @@ object Cdx {
     line.substring(0, sp2)
   }
 
-  /** Write `(surt, ts, url, mime, status, digest, length, offset,
-    * gz_offset, filename)` rows as CDXJ text, globally sorted by
-    * (surt, ts). `shards > 0` pins the range-partition count — the
-    * layout knob that holds SHARD SIZE constant as the corpus grows
-    * (the Common Crawl convention: shard count ∝ index size), which is
-    * what keeps [[mergeCdxj]]'s touched-shard cost flat; 0 leaves the
-    * session's parallelism in charge. */
-  def writeCdxj(index: DataFrame, dir: String, shards: Int = 0): Unit = {
+  // ---- the generation shard store ---------------------------------
+
+  private val ManifestPrefix = ".manifest-"
+  private val StagePrefix = ".stage-"
+
+  private def isGenerationName(n: String): Boolean =
+    n.startsWith("part-") || n.startsWith("shard-g")
+
+  private def manifestName(gen: Long) = f"$ManifestPrefix$gen%09d"
+  private def shardName(gen: Long, shard: Int, roll: Int) =
+    f"shard-g$gen%09d-$shard%05d-$roll%03d"
+
+  /** Resolve `dir`'s CURRENT generation: (gen, shard files in range
+    * order, foreign sidecar files). No manifest = generation 0, the
+    * adopted `part-*` listing (empty part files — a range
+    * partitioner's empty tails — own no range and are excluded). */
+  private[graft] def currentShards(fs: FileSystem, dir: Path)
+      : (Long, Array[Path], Array[Path]) = {
+    if (!fs.exists(dir)) return (0L, Array.empty, Array.empty)
+    val entries = fs.listStatus(dir)
+    val foreign = entries
+      .filter(e => !e.isDirectory && e.getLen > 0 && {
+        val n = e.getPath.getName
+        !n.startsWith(".") && !n.startsWith("_") && !isGenerationName(n)
+      })
+      .map(_.getPath).sortBy(_.getName)
+    val manifests = entries
+      .filter(_.getPath.getName.startsWith(ManifestPrefix))
+      .map(_.getPath).sortBy(_.getName)
+    if (manifests.isEmpty) {
+      val parts = entries
+        .filter(e => e.getPath.getName.startsWith("part-") && e.getLen > 0)
+        .map(_.getPath).sortBy(_.getName)
+      (0L, parts, foreign)
+    } else {
+      val m = manifests.last
+      val gen = m.getName.stripPrefix(ManifestPrefix).toLong
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(m), utf8))
+      val names =
+        try Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .map(_.trim).filter(_.nonEmpty).toArray
+        finally in.close()
+      (gen, names.map(n => new Path(dir, n)), foreign)
+    }
+  }
+
+  /** Publish `names` (range order) as generation `gen`: staged write +
+    * one atomic rename — a racing reader sees the previous manifest or
+    * this one, never a half-written list. */
+  private def writeManifest(fs: FileSystem, dir: Path, gen: Long,
+      names: Seq[String]): Unit = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val tmp = new Path(dir, s".tmp-manifest-$gen")
+    val out = fs.create(tmp, true)
+    try out.write(names.mkString("", "\n", "\n").getBytes(utf8))
+    finally out.close()
+    val target = new Path(dir, manifestName(gen))
+    require(fs.rename(tmp, target),
+      s"cdx manifest publish failed: $tmp -> $target")
+  }
+
+  /** Remove everything the current generation doesn't reference:
+    * superseded manifests, replaced/orphaned generation files, crashed
+    * staging dirs. Driver-side, under the single-writer contract;
+    * foreign sidecars are never touched. */
+  private def gcGenerations(fs: FileSystem, dir: Path, gen: Long,
+      live: Array[Path]): Unit = {
+    if (!fs.exists(dir)) return
+    val keep = live.map(_.getName).toSet
+    val keepManifest = manifestName(gen)
+    fs.listStatus(dir).foreach { e =>
+      val n = e.getPath.getName
+      if (e.isDirectory && n.startsWith(StagePrefix))
+        fs.delete(e.getPath, true)
+      else if (!e.isDirectory && n.startsWith(ManifestPrefix) &&
+        n != keepManifest)
+        fs.delete(e.getPath, false)
+      else if (!e.isDirectory && n.startsWith(".tmp-manifest-"))
+        fs.delete(e.getPath, false)
+      else if (!e.isDirectory && isGenerationName(n) && !keep.contains(n))
+        fs.delete(e.getPath, false)
+    }
+  }
+
+  /** The bare sorted text write (no manifest) [[writeCdxj]] and the
+    * maintenance verbs' staging paths share. */
+  private def writeCdxjPlain(index: DataFrame, dir: String,
+      shards: Int): Unit = {
     import index.sparkSession.implicits._
     val arranged =
       if (shards > 0)
@@ -104,6 +220,84 @@ object Cdx {
       .write.mode("overwrite").text(dir)
   }
 
+  /** Adopt `dir`'s fresh `part-*` listing as generation `gen`. */
+  private def adoptManifest(fs: FileSystem, dir: Path, gen: Long): Unit = {
+    val parts = fs.listStatus(dir)
+      .filter(e => e.getPath.getName.startsWith("part-") && e.getLen > 0)
+      .map(_.getPath.getName).sorted
+    writeManifest(fs, dir, gen, parts.toSeq)
+  }
+
+  /** Write `(surt, ts, url, mime, status, digest, length, offset,
+    * gz_offset, filename)` rows as CDXJ text, globally sorted by
+    * (surt, ts), and publish the layout as manifest generation 1.
+    * `shards > 0` pins the range-partition count — the layout knob
+    * that holds SHARD SIZE constant as the corpus grows (the Common
+    * Crawl convention: shard count ∝ index size), which is what keeps
+    * [[mergeCdxj]]'s touched-shard cost flat; 0 leaves the session's
+    * parallelism in charge. Mode is overwrite: this is the full
+    * (re)build verb, not a maintenance verb. */
+  def writeCdxj(index: DataFrame, dir: String, shards: Int = 0): Unit = {
+    writeCdxjPlain(index, dir, shards)
+    val spark = index.sparkSession
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    adoptManifest(fs, p, 1L)
+  }
+
+  /** A rolling shard writer: streams lines into one or more
+    * generation-named files, rotating at `maxShardBytes` — but ONLY at
+    * a (surt, ts) key boundary, so a key's whole capture run stays in
+    * exactly one shard (what keeps delta routing unambiguous and the
+    * convergent-replay skip airtight). `maxShardBytes = 0` never
+    * rotates. Names carry the task attempt number past attempt 0, so
+    * a speculative duplicate never writes the file another live
+    * attempt is writing; the driver publishes the SUCCESSFUL
+    * attempt's returned names and the loser's files are unreferenced
+    * garbage the next GC collects. A full re-run (attempt 0 again)
+    * overwrites its own deterministic names with identical content —
+    * idempotent. */
+  private final class RollingShardWriter(fs: FileSystem, dir: Path,
+      gen: Long, shard: Int, maxShardBytes: Long) {
+    private val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    private val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(_.attemptNumber()).getOrElse(0)
+    private var out: java.io.OutputStream = null
+    private var bytes = 0L
+    private var pendingRoll = false
+    private var lastKey: String = null
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def write(key: String, line: String): Unit = {
+      if (pendingRoll && key != lastKey) {
+        out.close(); out = null; pendingRoll = false; bytes = 0L
+      }
+      if (out == null) {
+        val n = shardName(gen, shard, names.length) +
+          (if (attempt > 0) s"-a$attempt" else "")
+        names += n
+        out = fs.create(new Path(dir, n), true)
+      }
+      val b = line.getBytes(utf8)
+      out.write(b); out.write('\n')
+      bytes += b.length + 1
+      lastKey = key
+      if (maxShardBytes > 0 && bytes >= maxShardBytes) pendingRoll = true
+    }
+
+    def close(): Unit = {
+      if (out != null) { out.close(); out = null }
+    }
+
+    /** Abandon the rewrite: remove this attempt's files (only ever its
+      * OWN names — never a live shard). */
+    def discard(): Unit = {
+      close()
+      names.foreach(n => fs.delete(new Path(dir, n), false))
+      names.clear()
+    }
+  }
+
   /** Incremental index maintenance — the `index-append` analogue for
     * the selection layer: sorted-merge a DELTA (new crawl segments'
     * [[cdxFromWarc]] rows) into a STANDING [[writeCdxj]] index WITHOUT
@@ -113,41 +307,78 @@ object Cdx {
     * internally sorted and globally range-partitioned, so the merge
     *
     *   1. reads each shard's FIRST line (driver-side, shards-scale —
-    *      the range bounds ARE the index's own layout, no manifest);
+    *      the range bounds ARE the index's own layout, no extra
+    *      metadata);
     *   2. routes every delta row to the one shard whose range owns its
     *      key (broadcast bounds, binary search — keys below the first
     *      shard go to it, keys past the last to the last);
     *   3. rewrites ONLY the shards that received delta rows: one
     *      streaming two-iterator merge per touched shard (standing
-    *      lines win ties — stable), dot-tmp + rename replace.
+    *      lines win ties — stable), written to next-generation files
+    *      and published by the manifest flip (see the object doc: a
+    *      reader sees the whole old generation or the whole new one).
     *
     * Cost is the delta plus the standing bytes of TOUCHED shards —
     * flat in standing-index size for the locality-bearing deltas a
     * real recrawl produces (a re-fetched site's captures share SURT
     * prefixes and land in few shards); a delta scattered across every
     * shard honestly pays every shard, which is what periodic
-    * [[writeCdxj]] re-sharding (compaction) is for. Shard COUNT is
-    * preserved — a merge never splits; rebalancing is the compaction
-    * pass's job. Single-writer contract, like every standing-artifact
-    * maintainer here; the per-shard replace is atomic-rename, so a
-    * reader sees old or new, never half.
+    * [[compactCdxj]] re-sharding is for.
     *
-    * An empty standing dir degrades to [[writeCdxj]] (the bootstrap). */
+    * HOT-SHARD SPLIT (`maxShardBytes > 0`): a touched shard whose
+    * rewrite exceeds the threshold rolls into multiple next-generation
+    * files at a key boundary, each becoming its own shard in the new
+    * manifest — so a hot site recrawled every cycle keeps per-merge
+    * cost flat BETWEEN rare global compactions instead of growing one
+    * shard linearly (the local analogue of the ANN layer's
+    * threshold-triggered rebalance). Untouched shards are never
+    * split; global re-balancing stays the compaction pass's job.
+    *
+    * Convergent replay: a delta line byte-identical to one already
+    * present at its (surt, ts) key — a re-run merge, a crash-replayed
+    * microbatch — is skipped, however many captures share the key and
+    * in whatever order they arrive (the writer tracks the key's
+    * written lines, reset at each key boundary), so merging a delta
+    * twice converges instead of accumulating. Distinct captures
+    * sharing (surt, ts) differ in their json and are kept. Key runs
+    * never straddle shard boundaries (writeCdxj's range partitioner
+    * keeps equal keys together; the split writer rotates only at key
+    * boundaries), so the standing twin is always in the routed shard.
+    *
+    * An empty standing dir degrades to the bootstrap: the delta is
+    * staged (a dot-prefixed dir — the standing dir's own dot-files,
+    * the writer lease and the batch marker, are never disturbed),
+    * moved in under generation names, and published. Single-writer
+    * contract. */
   def mergeCdxj(spark: SparkSession, standingDir: String,
-      delta: DataFrame): Unit = {
+      delta: DataFrame, maxShardBytes: Long = 0L): Unit = {
     import spark.implicits._
-    import org.apache.hadoop.fs.Path
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
-    val fs = new Path(standingDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // empty part files (a range partitioner's empty tails) own no
-    // range — they are not merge targets
-    val parts =
-      if (!fs.exists(new Path(standingDir))) Array.empty[Path]
-      else fs.listStatus(new Path(standingDir))
-        .filter(st => st.getPath.getName.startsWith("part-") && st.getLen > 0)
+    val dirP = new Path(standingDir)
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (gen, parts, _) = currentShards(fs, dirP)
+    // clear crashed leftovers (pre-flip files of a dead writer, old
+    // generations a dead writer never collected)
+    gcGenerations(fs, dirP, gen, parts)
+    val nextGen = gen + 1
+    if (parts.isEmpty) {
+      // bootstrap: stage the delta's sorted write INSIDE the dir under
+      // a dot-prefix (invisible to readers), move the shards in, flip
+      val stage = new Path(dirP, s"${StagePrefix}g$nextGen")
+      writeCdxjPlain(delta, stage.toString, shards = 0)
+      val staged = fs.listStatus(stage)
+        .filter(e => e.getPath.getName.startsWith("part-") && e.getLen > 0)
         .map(_.getPath).sortBy(_.getName)
-    if (parts.isEmpty) { writeCdxj(delta, standingDir); return }
+      val names = staged.zipWithIndex.map { case (p, i) =>
+        val n = shardName(nextGen, i, 0)
+        require(fs.rename(p, new Path(dirP, n)),
+          s"mergeCdxj bootstrap: staging $p -> $n failed")
+        n
+      }
+      if (names.nonEmpty) writeManifest(fs, dirP, nextGen, names.toSeq)
+      fs.delete(stage, true)
+      return
+    }
     val firstKeys = parts.map { p =>
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(p), utf8))
@@ -178,62 +409,71 @@ object Cdx {
       }
       .toDF("shard", "key", "line")
       .repartition(col("shard"))
-      .sortWithinPartitions("shard", "key")
+      .sortWithinPartitions("shard", "key", "line")
       .as[(Int, String, String)]
       .mapPartitions { it =>
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
         val conf = hconf.value.value
-        val done = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        val done =
+          scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Seq[String])]
         val buffered = it.buffered
         while (buffered.hasNext) {
           val shard = buffered.head._1
           val target = new Path(shardPaths.value(shard))
           val sfs = target.getFileSystem(conf)
-          val tmp = new Path(target.getParent, s".${target.getName}.merge.tmp")
+          val w = new RollingShardWriter(sfs, target.getParent, nextGen,
+            shard, maxShardBytes)
           val in = new java.io.BufferedReader(
             new java.io.InputStreamReader(sfs.open(target), utf8))
-          val out = new java.io.BufferedWriter(
-            new java.io.OutputStreamWriter(sfs.create(tmp, true), utf8))
           var added = 0L
           try {
             var standing = in.readLine()
-            var lastWritten: String = null
+            var standingKey = if (standing == null) null else keyOf(standing)
+            def advance(): Unit = {
+              standing = in.readLine()
+              standingKey = if (standing == null) null else keyOf(standing)
+            }
+            // the convergent-replay skip: every line already written at
+            // the CURRENT key, standing or delta (multiple captures can
+            // share a key, and a replayed twin need not be adjacent)
+            var curKey: String = null
+            val written = scala.collection.mutable.HashSet.empty[String]
             while (buffered.hasNext && buffered.head._1 == shard) {
               val (_, k, line) = buffered.next()
-              // drain standing lines up to the delta key (ties: standing
-              // first — a stable merge)
-              while (standing != null && keyOf(standing) <= k) {
-                out.write(standing); out.write('\n'); lastWritten = standing
-                standing = in.readLine()
+              if (k != curKey) { written.clear(); curKey = k }
+              // drain standing lines below the delta key, then the
+              // key's own run (ties: standing first — a stable merge)
+              while (standing != null && standingKey < k) {
+                w.write(standingKey, standing); advance()
               }
-              // convergent replay: a delta line byte-identical to the
-              // one just written (equal keys drain standing first, so
-              // an already-merged twin is always adjacent) is the SAME
-              // capture arriving again — a re-run merge, a
-              // crash-replayed microbatch — and is skipped: merging a
-              // delta twice converges instead of accumulating. Distinct
-              // captures sharing (surt, ts) differ in their json and
-              // are kept.
-              if (line != lastWritten) {
-                out.write(line); out.write('\n'); lastWritten = line
+              while (standing != null && standingKey == k) {
+                w.write(k, standing); written += standing; advance()
+              }
+              if (!written.contains(line)) {
+                w.write(k, line); written += line
                 added += 1
               }
             }
             while (standing != null) {
-              out.write(standing); out.write('\n')
-              standing = in.readLine()
+              w.write(standingKey, standing); advance()
             }
-          } finally { out.close(); in.close() }
-          // atomic replace: a reader sees the old shard or the new one
-          sfs.delete(target, false)
-          require(sfs.rename(tmp, target),
-            s"mergeCdxj: rename $tmp -> $target failed")
-          done += ((shard, added))
+          } finally { w.close(); in.close() }
+          done += ((shard, added, w.names.toSeq))
         }
         done.iterator
       }
       .collect()
-    val _ = rewritten // shards-scale action forces the side effects
+    if (rewritten.isEmpty) return // empty delta: current generation stands
+    // publish: touched shards swap to their next-generation roll files
+    // (a split shard contributes several, still in range order),
+    // untouched shards carry their current file forward
+    val rolls = rewritten.map(r => r._1 -> r._3).toMap
+    val names = parts.indices.flatMap { i =>
+      rolls.getOrElse(i, Seq(parts(i).getName))
+    }
+    writeManifest(fs, dirP, nextGen, names)
+    gcGenerations(fs, dirP, nextGen,
+      names.map(n => new Path(dirP, n)).toArray)
   }
 
   /** At-most-once [[mergeCdxj]] per microbatch id — the streaming
@@ -243,16 +483,17 @@ object Cdx {
     * batch under the SAME id — is skipped, with the writer lease held
     * for the merge like every mutating index verb. The residual
     * crash-between-merge-and-marker window replays the delta, which
-    * [[mergeCdxj]]'s byte-identical-line skip absorbs: the re-merge
-    * converges instead of duplicating. Returns whether the batch
-    * merged. */
+    * [[mergeCdxj]]'s per-key convergent-replay skip absorbs: the
+    * re-merge converges instead of duplicating. Returns whether the
+    * batch merged. */
   def mergeCdxjIdempotent(spark: SparkSession, standingDir: String,
-      delta: DataFrame, batchId: Long): Boolean =
+      delta: DataFrame, batchId: Long,
+      maxShardBytes: Long = 0L): Boolean =
     graft.operators.IndexLock.withLock(spark, standingDir, "cdx-merge") {
       if (batchId <= graft.io.Sinks.lastCommittedBatch(spark, standingDir))
         false
       else {
-        mergeCdxj(spark, standingDir, delta)
+        mergeCdxj(spark, standingDir, delta, maxShardBytes)
         graft.io.Sinks.recordCommittedBatch(spark, standingDir, batchId)
         true
       }
@@ -265,51 +506,72 @@ object Cdx {
     * [[Warc.readWarcStream]] and the selection layer is never a
     * post-pass — a capture is fetchable through the index the moment
     * its batch commits, the `writeStreamIndexed` analogue for the
-    * selection tier. Periodic [[compactCdxj]] re-balances the shard
-    * drift merges accumulate, in the same maintenance window as every
-    * standing artifact here. */
+    * selection tier. `maxShardBytes` bounds hot-shard growth between
+    * compactions (the [[mergeCdxj]] split); periodic [[compactCdxj]]
+    * re-balances the shard drift merges accumulate, in the same
+    * maintenance window as every standing artifact here. */
   def writeStreamCdx(records: Dataset[Warc.WarcRecord], standingDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String, maxShardBytes: Long = 0L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     records.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Warc.WarcRecord], batchId: Long) =>
         val _ = mergeCdxjIdempotent(batch.sparkSession, standingDir,
-          cdxFromWarc(batch), batchId)
+          cdxFromWarc(batch), batchId, maxShardBytes)
       }
       .start()
 
   /** Re-sharding compaction — the maintenance pass [[mergeCdxj]] and
-    * [[deleteFromCdxj]] defer to: merges grow shards they touch and
-    * never split, deletes shrink and may remove shards, so a standing
-    * index drifts away from the constant-shard-SIZE layout that keeps
-    * touched-shard costs flat. Compaction re-sorts the whole index
-    * into `shards` fresh range partitions (0 = session parallelism) —
-    * corpus-scale by design, scheduled rarely, exactly like the BM25
+    * [[deleteFromCdxj]] defer to: merges grow (and under the split
+    * threshold, locally multiply) the shards they touch, deletes
+    * shrink and may remove shards, so a standing index drifts away
+    * from the constant-shard-SIZE layout that keeps touched-shard
+    * costs flat. Compaction re-sorts the whole index into `shards`
+    * fresh range partitions (0 = session parallelism) — corpus-scale
+    * by design, scheduled rarely, exactly like the BM25
     * `index-compact` verb. Lines the reader flags malformed cannot be
     * re-sharded typed; they are dropped LOUDLY (the returned second
-    * count — a caller that must not lose them fixes the index first).
-    * The rewrite stages beside the live index and swaps in two
-    * renames; single-writer contract, readers between the renames see
-    * the index mid-swap — schedule compaction in the same maintenance
-    * window as every other standing-artifact rewrite here. Returns
-    * (lines kept, flagged lines dropped). */
+    * count — a caller that must not lose them fixes the index first),
+    * and the foreign sidecar files that carried them are consumed
+    * (removed) with the old generation.
+    *
+    * The rewrite stages INSIDE the live dir under a dot-prefix, moves
+    * the new shards in under generation names, and publishes with the
+    * one-manifest flip — the index dir never disappears, readers
+    * resolve the old generation until the flip (no
+    * delete-the-world-then-rename window), and the dir's dot-files
+    * (the writer lease, the streaming batch marker) ride through
+    * untouched. Single-writer contract. Returns (lines kept, flagged
+    * lines dropped). */
   def compactCdxj(spark: SparkSession, dir: String,
       shards: Int = 0): (Long, Long) = {
-    import org.apache.hadoop.fs.Path
+    val dirP = new Path(dir)
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (gen, parts, foreign) = currentShards(fs, dirP)
+    gcGenerations(fs, dirP, gen, parts)
+    val nextGen = gen + 1
     val rows = readCdxj(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dropped = rows.filter(!col("ok")).count()
       val kept = rows.filter(col("ok")).count()
-      val tmp = dir.stripSuffix("/") + ".compact.tmp"
-      writeCdxj(rows.filter(col("ok")), tmp, shards)
-      val fs = new Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      require(fs.delete(new Path(dir), true),
-        s"compactCdxj: removing old index $dir failed")
-      require(fs.rename(new Path(tmp), new Path(dir)),
-        s"compactCdxj: swap $tmp -> $dir failed")
+      val stage = new Path(dirP, s"${StagePrefix}g$nextGen")
+      writeCdxjPlain(rows.filter(col("ok")), stage.toString, shards)
+      val staged = fs.listStatus(stage)
+        .filter(e => e.getPath.getName.startsWith("part-") && e.getLen > 0)
+        .map(_.getPath).sortBy(_.getName)
+      val names = staged.zipWithIndex.map { case (p, i) =>
+        val n = shardName(nextGen, i, 0)
+        require(fs.rename(p, new Path(dirP, n)),
+          s"compactCdxj: staging $p -> $n failed")
+        n
+      }
+      writeManifest(fs, dirP, nextGen, names.toSeq)
+      fs.delete(stage, true)
+      foreign.foreach(f => fs.delete(f, false)) // consumed (counted) above
+      gcGenerations(fs, dirP, nextGen,
+        names.map(n => new Path(dirP, n)))
       (kept, dropped)
     } finally { val _ = rows.unpersist() }
   }
@@ -333,32 +595,32 @@ object Cdx {
     * full shard span its `<surt> <ts>` range can reach — `"<surt> "`
     * through `"<surt> :"` (ts bytes are `-` and digits, all < `:`) —
     * and each touched shard drops its matching lines in one streaming
-    * walk, dot-tmp + atomic rename like [[mergeCdxj]]. A shard
-    * deleted down to zero lines is REMOVED (an empty file owns no
-    * range and would poison the merge's bounds probe). Deleting an
-    * absent key is a no-op. Returns the number of index lines
-    * removed.
+    * walk to a next-generation file, published by the manifest flip.
+    * A shard deleted down to zero lines simply leaves the new
+    * manifest (an empty file would own no range); its attempt file is
+    * discarded. Deleting an absent key is a no-op. Tasks only create
+    * their own deterministic files, so retries and speculation are
+    * harmless and the returned removed-count (summed from the
+    * successful attempt per partition) is exact. Returns the number
+    * of index lines removed.
     *
     * Scale shape: the delete set distincts and routes through
     * broadcast shard bounds (takedown lists are small against a
     * corpus; the shuffle is delete-scale), and cost is the standing
     * bytes of TOUCHED shards only — flat in standing-index size for
     * the host-local selections real takedowns are. Single-writer
-    * contract, per-shard atomic replace. */
+    * contract; readers resolve whole generations (object doc). */
   def deleteFromCdxj(spark: SparkSession, standingDir: String,
       urls: DataFrame): Long = {
     import spark.implicits._
-    import org.apache.hadoop.fs.Path
     import graft.expressions.NativeUrl
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
-    val fs = new Path(standingDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts =
-      if (!fs.exists(new Path(standingDir))) Array.empty[Path]
-      else fs.listStatus(new Path(standingDir))
-        .filter(st => st.getPath.getName.startsWith("part-") && st.getLen > 0)
-        .map(_.getPath).sortBy(_.getName)
+    val dirP = new Path(standingDir)
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (gen, parts, _) = currentShards(fs, dirP)
+    gcGenerations(fs, dirP, gen, parts)
     if (parts.isEmpty) return 0L
+    val nextGen = gen + 1
     val firstKeys = parts.map { p =>
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(p), utf8))
@@ -373,7 +635,7 @@ object Cdx {
     val hconf = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
-    val removedPerShard = urls
+    val results = urls
       .select(NativeUrl.surtUrl(col("url")).as("surt"))
       .filter(col("surt").isNotNull)
       .distinct()
@@ -400,53 +662,70 @@ object Cdx {
         val conf = hconf.value.value
         def surtOf(line: String): String =
           line.substring(0, line.indexOf(' '))
-        val done = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        val done =
+          scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Seq[String])]
         val buffered = it.buffered
         while (buffered.hasNext) {
           val shard = buffered.head._1
           val target = new Path(shardPaths.value(shard))
           val sfs = target.getFileSystem(conf)
-          val tmp = new Path(target.getParent, s".${target.getName}.del.tmp")
+          val w = new RollingShardWriter(sfs, target.getParent, nextGen,
+            shard, maxShardBytes = 0L)
           val in = new java.io.BufferedReader(
             new java.io.InputStreamReader(sfs.open(target), utf8))
-          val out = new java.io.BufferedWriter(
-            new java.io.OutputStreamWriter(sfs.create(tmp, true), utf8))
           var removed = 0L
-          var kept = 0L
           try {
             var standing = in.readLine()
+            var standingSurt = if (standing == null) null else surtOf(standing)
+            def advance(): Unit = {
+              standing = in.readLine()
+              standingSurt = if (standing == null) null else surtOf(standing)
+            }
             while (buffered.hasNext && buffered.head._1 == shard) {
               val (_, key) = buffered.next()
-              while (standing != null && surtOf(standing) < key) {
-                out.write(standing); out.write('\n'); kept += 1
-                standing = in.readLine()
+              while (standing != null && standingSurt < key) {
+                w.write(keyOf(standing), standing); advance()
               }
-              while (standing != null && surtOf(standing) == key) {
-                removed += 1
-                standing = in.readLine()
+              while (standing != null && standingSurt == key) {
+                removed += 1; advance()
               }
             }
             while (standing != null) {
-              out.write(standing); out.write('\n'); kept += 1
-              standing = in.readLine()
+              w.write(keyOf(standing), standing); advance()
             }
-          } finally { out.close(); in.close() }
-          if (kept == 0L) {
-            // a fully-deleted shard is removed, not left empty: an
-            // empty part owns no range and must not anchor bounds
-            require(sfs.delete(tmp, false) && sfs.delete(target, false),
-              s"deleteFromCdxj: removing emptied shard $target failed")
+          } finally { in.close() }
+          if (removed == 0L) {
+            // every routed key was absent here: the rewrite is an
+            // identical copy — discard the attempt, keep the old file
+            w.discard()
+            done += ((shard, 0L, Nil))
           } else {
-            sfs.delete(target, false)
-            require(sfs.rename(tmp, target),
-              s"deleteFromCdxj: rename $tmp -> $target failed")
+            // emptied shards wrote nothing (no names → omitted from
+            // the manifest); shrunk shards publish their rewrite
+            w.close()
+            done += ((shard, removed, w.names.toSeq))
           }
-          done += ((shard, removed))
         }
         done.iterator
       }
       .collect()
-    removedPerShard.map(_._2).sum
+    val removedTotal = results.map(_._2).sum
+    // publish only when something actually changed (a no-op delete
+    // leaves the current generation standing — its attempts already
+    // discarded their identical copies)
+    if (removedTotal > 0) {
+      val outcome = results.map(r => r._1 -> ((r._2, r._3))).toMap
+      val names = parts.indices.flatMap { i =>
+        outcome.get(i) match {
+          case Some((r, ns)) if r > 0 => ns // emptied: ns is empty
+          case _ => Seq(parts(i).getName) // untouched (content or range)
+        }
+      }
+      writeManifest(fs, dirP, nextGen, names)
+      gcGenerations(fs, dirP, nextGen,
+        names.map(n => new Path(dirP, n)).toArray)
+    }
+    removedTotal
   }
 
   /** Fetch the records an index slice names — the whole reason the
@@ -515,12 +794,25 @@ object Cdx {
   }
 
   /** Parse CDXJ lines back to typed rows; `ok = false` flags a
-    * malformed line (bad framing or JSON) without failing siblings. */
+    * malformed line (bad framing or JSON) without failing siblings.
+    * A directory resolves through its generation manifest (plus any
+    * foreign sidecar files — the tolerant-bridge surface); a
+    * manifest-less dir falls back to its `part-*` listing, and a
+    * non-directory path is read as given. */
   def readCdxj(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     import graft.operators.Json
     import graft.operators.Json.{JNum, JObj, JStr}
-    spark.read.textFile(path)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lines: Dataset[String] =
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
+        val (_, shards, foreign) = currentShards(fs, p)
+        val files = (shards ++ foreign).map(_.toString)
+        if (files.isEmpty) spark.emptyDataset[String]
+        else spark.read.textFile(files: _*)
+      } else spark.read.textFile(path)
+    lines
       .map { line =>
         try {
           val sp1 = line.indexOf(' ')

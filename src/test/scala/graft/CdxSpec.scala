@@ -13,6 +13,19 @@ class CdxSpec extends SparkSpec {
       .select(graft.expressions.NativeUrl.surtUrl($"u").as("s"))
       .collect()(0).getString(0)
 
+  /** The CURRENT generation's shard files (manifest-resolved, range
+    * order) — how a reader sees the maintained index. */
+  private def currentFiles(dir: String): List[java.io.File] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, parts, _) = graft.io.Cdx.currentShards(fs, p)
+    parts.toList.map(sp => new java.io.File(sp.toUri.getPath))
+  }
+
+  private def shardLines(dir: String): List[String] =
+    currentFiles(dir).flatMap(f =>
+      scala.io.Source.fromFile(f).getLines().toList)
+
   test("surt kernel: reversal, www strip, ports, case, v6, non-urls") {
     assert(surt("http://WWW.Example.COM/A/B?C=1") == "com,example)/a/b?c=1")
     assert(surt("https://sub.d.example.com:8443/x") ==
@@ -152,13 +165,13 @@ class CdxSpec extends SparkSpec {
       .toDF("surt", "ts", "url", "mime", "status", "digest", "length",
         "offset", "gz_offset", "filename")
     graft.io.Cdx.mergeCdxj(spark, dir.toString, delta)
-    // the untouched shard's bytes never moved
+    // the untouched shard's bytes never moved — its FILE carries
+    // forward into the new generation's manifest by name
     assert(java.util.Arrays.equals(
       java.nio.file.Files.readAllBytes(untouched), untouchedBytes))
+    assert(currentFiles(dir.toString).map(_.getName).contains("part-00002"))
     // the merged index is one globally-sorted, fully-parseable whole
-    val lines = Seq("part-00000", "part-00001", "part-00002")
-      .flatMap(n => scala.io.Source.fromFile(dir.resolve(n).toFile)
-        .getLines().toList)
+    val lines = shardLines(dir.toString)
     assert(lines.length == 9)
     val keys = lines.map(l => l.substring(0, l.indexOf(' ', l.indexOf(' ') + 1)))
     assert(keys == keys.sorted)
@@ -240,9 +253,7 @@ class CdxSpec extends SparkSpec {
     // six range shards over 24 lines: b's 8-capture run straddles
     // shard boundaries, so the delete must route to a shard SPAN
     graft.io.Cdx.writeCdxj(idx, dir, shards = 6)
-    def lines() = new java.io.File(dir).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.length > 0).sorted
-      .flatMap(f => scala.io.Source.fromFile(f).getLines().toList).toList
+    def lines() = shardLines(dir)
     assert(lines().size == 24)
     // absent key: no-op, zero count
     assert(graft.io.Cdx.deleteFromCdxj(spark, dir,
@@ -276,7 +287,12 @@ class CdxSpec extends SparkSpec {
     assert(compacted.size == 17 && compacted == compacted.sorted)
     assert(compacted.map(_.split(" ", 3).take(2).mkString(" ")) ==
       merged.map(_.split(" ", 3).take(2).mkString(" ")))
-    assert(!new java.io.File(dir + ".compact.tmp").exists())
+    // compaction consumed the flagged sidecar (counted above) and left
+    // no staging residue; the batch marker and any other dot-file ride
+    // through untouched (the dir itself never disappears)
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!leftovers.contains("junk.cdxj"))
+    assert(!leftovers.exists(_.startsWith(".stage-")))
   }
 
   private def idxRows(surts: (String, String, Long)*) =
@@ -314,6 +330,119 @@ class CdxSpec extends SparkSpec {
     assert(count() == 8)
     assert(!graft.io.Cdx.mergeCdxjIdempotent(spark, dir, d2, 7L))
     assert(count() == 8)
+  }
+
+  test("replay converges when several captures share a (surt, ts) key") {
+    // the non-adjacent-twin shape: standing holds TWO distinct captures
+    // at one key; a replayed delta re-sends the FIRST — draining both
+    // standing lines must not forget the earlier twin (a last-line-only
+    // comparison would re-add it and the index would grow every replay)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_twin").toString
+    graft.io.Cdx.writeCdxj(idxRows(
+      ("test,a)/", "20260101000000", 0L),
+      ("test,a)/", "20260101000000", 1L), // same key, distinct json
+      ("test,z)/", "20260101000000", 2L)), dir)
+    def count() = graft.io.Cdx.readCdxj(spark, dir).count()
+    assert(count() == 3)
+    graft.io.Cdx.mergeCdxj(spark, dir,
+      idxRows(("test,a)/", "20260101000000", 0L)))
+    assert(count() == 3, "replayed twin of the FIRST capture must skip")
+    graft.io.Cdx.mergeCdxj(spark, dir,
+      idxRows(("test,a)/", "20260101000000", 1L)))
+    assert(count() == 3, "replayed twin of the SECOND capture must skip")
+    // a delta that self-duplicates one line also converges to ONE copy
+    graft.io.Cdx.mergeCdxj(spark, dir,
+      idxRows(("test,m)/", "20260101000000", 9L),
+        ("test,m)/", "20260101000000", 9L)))
+    assert(count() == 4)
+    val lines = shardLines(dir)
+    assert(lines == lines.sorted)
+  }
+
+  test("maintenance publishes whole generations: pre-flip files invisible, GC collects") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_gen").toString
+    graft.io.Cdx.writeCdxj(idxRows(
+      ("test,a)/", "20260101000000", 0L),
+      ("test,b)/", "20260101000000", 1L)), dir)
+    // a crashed writer's pre-flip residue: a next-generation shard file
+    // with DIFFERENT content, never published by a manifest flip
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "shard-g000000099-00000-000"),
+      "test,x)/ 20260101000000 {\"url\":\"http://x.test/ghost\"}\n")
+    // readers resolve the manifest: the unpublished file is invisible
+    val seen = graft.io.Cdx.readCdxj(spark, dir)
+      .select("surt").as[String].collect().toSet
+    assert(seen == Set("test,a)/", "test,b)/"),
+      "a pre-flip shard file must not leak into readers")
+    // the next maintenance verb garbage-collects the residue and the
+    // superseded generation, and the index stays complete throughout
+    graft.io.Cdx.mergeCdxj(spark, dir,
+      idxRows(("test,c)/", "20260201000000", 2L)))
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!names.contains("shard-g000000099-00000-000"))
+    assert(names.count(_.startsWith(".manifest-")) == 1,
+      "exactly one live manifest after GC")
+    assert(graft.io.Cdx.readCdxj(spark, dir).count() == 3)
+    // every file the live manifest names exists (a complete generation)
+    currentFiles(dir).foreach(f => assert(f.exists(), f.getName))
+  }
+
+  test("bootstrap merge preserves the dir's dot-files and batch marker") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_boot2").toString
+    // the streaming maintenance state a bootstrap must NOT destroy: the
+    // at-most-once marker (and any sibling dot-file — the writer lease)
+    val delta = idxRows(("test,a)/", "20260101000000", 0L))
+    assert(graft.io.Cdx.mergeCdxjIdempotent(spark, dir, delta, 3L))
+    // the marker written after the bootstrap SURVIVES it: the replayed
+    // id is skipped (the old overwrite-bootstrap reset it to -1)
+    assert(!graft.io.Cdx.mergeCdxjIdempotent(spark, dir, delta, 3L))
+    assert(graft.io.Sinks.lastCommittedBatch(spark, dir) == 3L)
+    // a takedown that empties the whole index, then a re-bootstrap:
+    // marker continuity still holds across the emptied state
+    assert(graft.io.Cdx.deleteFromCdxj(spark, dir,
+      Seq("http://a.test/").toDF("url")) == 1L)
+    assert(graft.io.Cdx.readCdxj(spark, dir).count() == 0)
+    assert(graft.io.Sinks.lastCommittedBatch(spark, dir) == 3L)
+    assert(!graft.io.Cdx.mergeCdxjIdempotent(spark, dir, delta, 2L),
+      "an old batch id must stay skipped after a full takedown")
+    assert(graft.io.Cdx.mergeCdxjIdempotent(spark, dir, delta, 4L))
+    assert(graft.io.Cdx.readCdxj(spark, dir).count() == 1)
+  }
+
+  test("mergeCdxj hot-shard split: repeated hot-site merges keep shard size bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_split").toString
+    def wave(n: Int) = idxRows(
+      (0 until 64).map(i =>
+        (f"test,hot)/p$i%03d", f"2026020100${n}%02d00", (n * 64 + i).toLong)): _*)
+    graft.io.Cdx.writeCdxj(idxRows(
+      ("test,cold)/", "20260101000000", 0L),
+      ("test,hot)/p000", "20260101000000", 1L),
+      ("test,zz)/", "20260101000000", 2L)), dir, shards = 3)
+    // every wave lands in the hot shard; the 4 KiB threshold forces it
+    // to split instead of growing without bound between compactions
+    (0 until 8).foreach(n =>
+      graft.io.Cdx.mergeCdxj(spark, dir, wave(n), maxShardBytes = 4096))
+    val files = currentFiles(dir)
+    assert(files.length > 3, "the hot shard must have split")
+    val maxBytes = files.map(_.length).max
+    assert(maxBytes < 3 * 4096,
+      s"no shard may grow far past the split threshold (max $maxBytes)")
+    // the split index is still one globally-sorted whole with every
+    // capture present exactly once, and replay still converges
+    val lines = shardLines(dir)
+    assert(lines == lines.sorted)
+    assert(graft.io.Cdx.readCdxj(spark, dir).filter($"ok").count() ==
+      3 + 8 * 64)
+    graft.io.Cdx.mergeCdxj(spark, dir, wave(3), maxShardBytes = 4096)
+    assert(graft.io.Cdx.readCdxj(spark, dir).filter($"ok").count() ==
+      3 + 8 * 64, "a replayed wave must converge across split shards")
+    // and the split shards still fetch/route: a fresh key between two
+    // split boundaries merges into exactly one of them
+    graft.io.Cdx.mergeCdxj(spark, dir,
+      idxRows(("test,hot)/p032x", "20260301000000", 999L)))
+    val after = shardLines(dir)
+    assert(after.count(_.startsWith("test,hot)/p032x ")) == 1)
+    assert(after == after.sorted)
   }
 
   test("writeStreamCdx: the standing index maintained as segments arrive") {
