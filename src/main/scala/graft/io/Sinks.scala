@@ -162,6 +162,54 @@ object Sinks {
     }
   }
 
+  private def stagedDirName(batchId: Long) = s".staged-$batchId"
+
+  /** Write one microbatch INVISIBLY beside `dir`'s data — parquet into
+    * the dot-prefixed subdir `<dir>/.staged-<batchId>`, which no
+    * parquet reader of `dir` lists. The staging half of a
+    * MANIFEST-LAST multi-dir commit: a sink that must land a batch in
+    * SEVERAL directories atomically stages each one, flips ONE marker
+    * ([[recordCommittedBatch]] on the manifest dir), then publishes
+    * every staging with [[publishStagedBatch]] — so a reader sees the
+    * batch in all dirs or in none, and a crash at any point either
+    * recomputes (pre-flip: nothing visible, overwrite-restage) or
+    * rolls forward (post-flip: [[publishStagedBatch]] is idempotent).
+    * The protocol's owner is `CorpusPipeline.indexedCommit` /
+    * `mediaCommit`; see their scaladoc for the replay proof. */
+  def stageBatch(batch: DataFrame, dir: String, batchId: Long): Unit =
+    batch.write.mode("overwrite")
+      .parquet(s"${dir.stripSuffix("/")}/${stagedDirName(batchId)}")
+
+  /** Publish a staged batch: move its parquet part files into `dir`
+    * proper and drop the staging dir. Idempotent roll-forward — files
+    * already moved are absent from staging, and a missing staging dir
+    * is a completed publication (the no-op a replayed roll-forward
+    * needs). Part-file names are write-unique (Spark's uuid naming),
+    * so publication never collides with standing files. */
+  def publishStagedBatch(spark: SparkSession, dir: String, batchId: Long): Unit = {
+    val (fs, root) = fsFor(spark, dir)
+    val stage = new HPath(root, stagedDirName(batchId))
+    if (!fs.exists(stage)) return
+    fs.listStatus(stage).foreach { e =>
+      if (e.getPath.getName.endsWith(".parquet"))
+        renameOrFail(fs, e.getPath, new HPath(root, e.getPath.getName))
+    }
+    fs.delete(stage, true)
+  }
+
+  /** The batch ids staged under `dir` and not yet published — what a
+    * commit's entry roll-forward scans (publish every id at or below
+    * the manifest marker before reading any standing table). */
+  def stagedBatches(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, root) = fsFor(spark, dir)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(".staged-"))
+      .flatMap(n => n.stripPrefix(".staged-").toLongOption)
+  }
+
   /** Parquet files under `root`, excluding dot-prefixed (in-flight
     * compaction tmp/retired) subtrees. */
   private def countParquetFiles(fs: FileSystem, root: HPath): Int = {

@@ -275,16 +275,25 @@ object CorpusPipeline {
     * not O(corpus bands). A signature table that predates the index (or
     * lost it) is backfilled once, inside the commit, before the probe.
     *
-    * Idempotency: the doc append reuses the batch-marker contract
-    * (`Sinks.appendBatchIdempotent`), and the signature + bucket appends
-    * happen only when the doc append really ran, so a replayed batch
-    * touches none of the three dirs. A crash BETWEEN doc append and the
-    * index appends leaves the docs present but unindexed — later twins of
-    * exactly those docs can slip through (dedup weakens, data never
-    * corrupts); closing that needs an atomic multi-dir commit, a table
-    * format's job. Single-writer contract. Every batch's caches
-    * (batch signatures, the fresh survivors) are unpersisted at the end
-    * of the commit — a long-running query holds no growing cache.
+    * Atomicity — the MANIFEST-LAST commit (`Sinks.stageBatch` /
+    * `publishStagedBatch`): every batch stages its corpus rows,
+    * bucket rows, and signatures INVISIBLY (dot-prefixed staging dirs
+    * no reader lists), then flips ONE marker (the corpus dir's batch
+    * marker — the commit manifest for all three dirs), then publishes
+    * the stagings. A reader therefore sees a batch in all three dirs
+    * or in none — there is no docs-present-but-unindexed state in
+    * which later twins of committed docs could slip past the probe. A
+    * crash BEFORE the flip leaves nothing visible; the replay
+    * recomputes the identical kept-set (a pure function of the batch
+    * and the unchanged standing table) and restages over its own
+    * leftovers. A crash AFTER the flip rolls forward: every commit
+    * begins by publishing any staged batch at or below the marker,
+    * BEFORE the probe reads the signature table — so admission never
+    * runs against a table missing committed rows, and a replayed id
+    * publishes-and-returns without re-appending. Single-writer
+    * contract. Every batch's caches (batch signatures, the fresh
+    * survivors) are unpersisted at the end of the commit — a
+    * long-running query holds no growing cache.
     *
     * (k, bands, shingleN, minJaccard) are pinned per corpus — changing
     * them invalidates the accumulated table AND index (see
@@ -313,20 +322,19 @@ object CorpusPipeline {
     * so the curated corpus is keyword-searchable the moment a batch
     * commits — no separate indexing job trailing the ingest.
     *
-    * Crash safety — the reason this is more than four appends in a row:
-    * every directory carries its own batch marker, the appends run in a
-    * FIXED order (docs → BM25 index → buckets → signatures), and the
-    * batch's kept-set (`fresh`) — intra-batch dedup included — is a pure
-    * function of (batch, signature table) with the signature append LAST. A replay after a crash at any
-    * point therefore recomputes the same kept-set — or, once the
-    * signatures landed, an empty one — and each dir's marker skips
-    * exactly the appends that already completed: the three-dir crash
-    * window documented on the bare index (Search.scala maintenance
-    * contract) is SELF-HEALING here, which CorpusPipelineSpec drives
-    * (mid-sequence crash + replay converges, index never double-counts).
-    * The residual window is appendBatchIdempotent's own (crash between an
-    * append and its marker write duplicates that one append on replay) —
-    * a table format's job, documented there. Single-writer contract.
+    * Crash safety: the corpus/bucket/signature trio commits through
+    * the MANIFEST-LAST protocol (stage all three → flip the corpus
+    * marker → publish; see [[writeStreamIncrementalDedup]] for the
+    * replay proof — all-or-nothing visibility, pre-flip crashes
+    * recompute, post-flip crashes roll forward at the next entry).
+    * The BM25 append rides its own marker BEFORE the flip: a pre-flip
+    * crash replays to the identical kept-set (the signature table is
+    * unchanged until the flip) and the index marker skips the
+    * completed append — never a double-count, which
+    * CorpusPipelineSpec drives (mid-sequence crash + replay
+    * converges). The BM25 index's own residual append-to-marker
+    * window is documented at its maintenance contract (Search.scala).
+    * Single-writer contract.
     *
     * The BM25 index is threshold-compacted in the commit
     * ([[Search.bm25IndexMaintain]], `maxIndexFiles`) so a long-running
@@ -359,6 +367,20 @@ object CorpusPipeline {
     import org.apache.hadoop.fs.{Path => HPath}
     val spark = batch.sparkSession
     val bucketDir = sigDir + ".buckets"
+    val dirs = Seq(corpusDir, bucketDir, sigDir)
+    // MANIFEST-LAST entry: publish any committed-but-unpublished
+    // staging first (a crash between the marker flip and publication),
+    // BEFORE anything reads the signature table — admission never runs
+    // against a table missing committed rows
+    val committed = graft.io.Sinks.lastCommittedBatch(spark, corpusDir)
+    dirs.foreach { d =>
+      graft.io.Sinks.stagedBatches(spark, d).filter(_ <= committed)
+        .foreach(b => graft.io.Sinks.publishStagedBatch(spark, d, b))
+    }
+    if (batchId <= committed) {
+      dirs.foreach(spark.catalog.refreshByPath)
+      return // replayed id: the batch is committed; roll-forward above
+    }
     val fs = new HPath(sigDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hasParquet(dir: String): Boolean = {
@@ -412,20 +434,27 @@ object CorpusPipeline {
     val freshSigs = batchSigs.join(
       freshP.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
       .persist()
-    // fixed order, one marker per dir; signatures LAST (see scaladoc)
-    graft.io.Sinks.appendBatchIdempotent(freshP, corpusDir, batchId)
+    // stage all three dirs INVISIBLY (every standing-table read above
+    // happened against the pre-batch state), then the BM25 append under
+    // its own marker, then flip the ONE manifest marker, then publish —
+    // a reader sees the batch in all three dirs or in none, and a crash
+    // at any point either recomputes the identical kept-set (pre-flip:
+    // nothing visible) or rolls forward at the next entry (post-flip)
+    graft.io.Sinks.stageBatch(freshP, corpusDir, batchId)
+    graft.io.Sinks.stageBatch(
+      Dedup.minhashBucketTable(freshSigs, k, bands), bucketDir, batchId)
+    graft.io.Sinks.stageBatch(freshSigs, sigDir, batchId)
     indexDir.foreach { idx =>
       if (graft.operators.Search.bm25IndexAppendIdempotent(
           freshP, idx, batchId, idCol, textCol))
         graft.operators.Search.bm25IndexMaintain(spark, idx, maxIndexFiles)
     }
-    graft.io.Sinks.appendBatchIdempotent(
-      Dedup.minhashBucketTable(freshSigs, k, bands), bucketDir, batchId)
-    graft.io.Sinks.appendBatchIdempotent(freshSigs, sigDir, batchId)
+    graft.io.Sinks.recordCommittedBatch(spark, corpusDir, batchId) // commit
+    dirs.foreach(d => graft.io.Sinks.publishStagedBatch(spark, d, batchId))
     freshSigs.unpersist()
     freshP.unpersist()
     batchSigs.unpersist()
-    Seq(corpusDir, sigDir, bucketDir).foreach(spark.catalog.refreshByPath)
+    dirs.foreach(spark.catalog.refreshByPath)
     ()
   }
 
@@ -603,12 +632,15 @@ object CorpusPipeline {
     * re-levelled, or resized copy of already-kept media is a DUP, not a
     * new row), deduped within the batch and against the STANDING
     * signature table at Hamming radius `maxHamming`, and the survivors
-    * committed idempotently: corpus rows, then the chunk bucket index
-    * ([[Dedup.hash64BucketTable]], partitioned by modality so probes
-    * prune), then signatures LAST — the same self-healing
-    * fixed-order-commit proof as the text sink (the kept-set is a pure
-    * function of (batch, signature table)). Modalities never
-    * cross-match: probing and pairing run per modality.
+    * committed atomically through the same MANIFEST-LAST protocol as
+    * the text sink (stage corpus rows, the chunk bucket index —
+    * [[Dedup.hash64BucketTable]], partitioned by modality so probes
+    * prune — and signatures invisibly; flip the corpus marker;
+    * publish): a reader sees a batch everywhere or nowhere, pre-flip
+    * crashes replay to the identical kept-set (a pure function of
+    * (batch, signature table)), post-flip crashes roll forward.
+    * Modalities never cross-match: probing and pairing run per
+    * modality.
     *
     * Unhashable kinds pass through to the corpus undeduped (see
     * [[hashableKinds]]). Single-writer contract. */
@@ -629,6 +661,17 @@ object CorpusPipeline {
     import org.apache.hadoop.fs.{Path => HPath}
     val spark = batch.sparkSession
     val bucketDir = sigDir + ".buckets"
+    val dirs = Seq(corpusDir, bucketDir, sigDir)
+    // manifest-last entry roll-forward — same protocol as indexedCommit
+    val committed = graft.io.Sinks.lastCommittedBatch(spark, corpusDir)
+    dirs.foreach { d =>
+      graft.io.Sinks.stagedBatches(spark, d).filter(_ <= committed)
+        .foreach(b => graft.io.Sinks.publishStagedBatch(spark, d, b))
+    }
+    if (batchId <= committed) {
+      dirs.foreach(spark.catalog.refreshByPath)
+      return
+    }
     val fs = new HPath(sigDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hasParquet(dir: String): Boolean = {
@@ -691,13 +734,15 @@ object CorpusPipeline {
       .union(batch.select(col("media_id"))
         .join(sigs.select(col("doc_id").as("media_id")), Seq("media_id"), "left_anti"))
     val corpusRows = batch.join(keepIds, Seq("media_id"), "left_semi")
-    // fixed order, one marker per dir; signatures LAST (see scaladoc)
-    graft.io.Sinks.appendBatchIdempotent(corpusRows, corpusDir, batchId)
-    graft.io.Sinks.appendBatchIdempotent(
-      bucketRows(freshP), bucketDir, batchId)
-    graft.io.Sinks.appendBatchIdempotent(freshP, sigDir, batchId)
+    // stage → one marker flip → publish (the manifest-last commit; the
+    // kept-set was checkpointed before any directory is touched)
+    graft.io.Sinks.stageBatch(corpusRows, corpusDir, batchId)
+    graft.io.Sinks.stageBatch(bucketRows(freshP), bucketDir, batchId)
+    graft.io.Sinks.stageBatch(freshP, sigDir, batchId)
+    graft.io.Sinks.recordCommittedBatch(spark, corpusDir, batchId) // commit
+    dirs.foreach(d => graft.io.Sinks.publishStagedBatch(spark, d, batchId))
     sigs.unpersist()
-    Seq(corpusDir, sigDir, bucketDir).foreach(spark.catalog.refreshByPath)
+    dirs.foreach(spark.catalog.refreshByPath)
     ()
   }
 

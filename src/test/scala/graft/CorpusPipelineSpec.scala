@@ -372,17 +372,18 @@ class CorpusPipelineSpec extends SparkSpec {
         s"$dir/corpus", s"$dir/sigs", Some(s"$dir/idx"), "doc_id", "text",
         k = 64, bands = 16, shingleN = 3, minJaccard = 0.5, maxIndexFiles = 64)
     commit(Seq((1L, base), (2L, other)), 0L)
-    // batch 1 "crashes" after the doc + index appends completed (markers
-    // written) but before the bucket/signature appends — the window the
-    // plain index documents as needing repair
+    // batch 1 "crashes" PRE-FLIP: stagings written (some of them), the
+    // BM25 append completed under its own marker, but the commit
+    // manifest never flipped — NOTHING is visible in the three dirs
     val b1 = Seq((5L, "completely different content nothing shared with anything"))
-    graft.io.Sinks.appendBatchIdempotent(
-      b1.toDF("doc_id", "text"), s"$dir/corpus", 1L)
+    graft.io.Sinks.stageBatch(b1.toDF("doc_id", "text"), s"$dir/corpus", 1L)
     graft.operators.Search.bm25IndexAppendIdempotent(
       b1.toDF("doc_id", "text"), s"$dir/idx", 1L)
+    assert(spark.read.parquet(s"$dir/corpus").count() == 2) // invisible
     assert(spark.read.parquet(s"$dir/sigs").count() == 2) // crash state
-    // the replay: recomputes the same kept-set, skips the committed
-    // appends via their markers, completes the missing ones
+    // the replay: recomputes the same kept-set (the standing table is
+    // unchanged), restages over the leftovers, flips, publishes; the
+    // index marker skips the already-completed BM25 append
     commit(b1, 1L)
     assert(spark.read.parquet(s"$dir/corpus")
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
@@ -402,6 +403,54 @@ class CorpusPipelineSpec extends SparkSpec {
     // and the repaired state keeps deduping: a twin of doc 5 is dropped
     commit(Seq((20L, "completely different content nothing shared with anything")), 2L)
     assert(spark.read.parquet(s"$dir/corpus").count() == 3)
+  }
+
+  test("indexedCommit: the manifest-last commit closes the unindexed-docs window") {
+    // the round's directive: a crash BETWEEN the doc append and the
+    // signature/bucket appends must never leave docs visible but
+    // unindexed (later twins of exactly those docs would slip through).
+    // Both crash halves are driven against the real commit:
+    val dir = java.nio.file.Files.createTempDirectory("graft_mlast").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    def commit(docs: Seq[(Long, String)], id: Long): Unit =
+      CorpusPipeline.indexedCommit(docs.toDF("doc_id", "text"), id,
+        s"$dir/corpus", s"$dir/sigs", None, "doc_id", "text",
+        k = 64, bands = 16, shingleN = 3, minJaccard = 0.5, maxIndexFiles = 64)
+    commit(Seq((1L, base)), 0L)
+    // POST-FLIP crash: batch 1 staged in ALL THREE dirs and the
+    // manifest flipped, but publication never ran (the worst half —
+    // under the OLD per-dir appends this was docs-present-unindexed)
+    val b1 = Seq((5L, "completely different content nothing shared here"))
+    val sigs1 = Dedup.minhashSignatureTable(
+      b1.toDF("doc_id", "text"), "doc_id", "text")
+    graft.io.Sinks.stageBatch(b1.toDF("doc_id", "text"), s"$dir/corpus", 1L)
+    graft.io.Sinks.stageBatch(Dedup.minhashBucketTable(sigs1),
+      s"$dir/sigs.buckets", 1L)
+    graft.io.Sinks.stageBatch(sigs1, s"$dir/sigs", 1L)
+    graft.io.Sinks.recordCommittedBatch(spark, s"$dir/corpus", 1L)
+    // mid-crash visibility: the batch is in NO dir (all-or-nothing) —
+    // a reader never observes docs without their signatures
+    assert(spark.read.parquet(s"$dir/corpus").count() == 1)
+    assert(spark.read.parquet(s"$dir/sigs").count() == 1)
+    // batch 2 arrives with a TWIN of the crashed batch's doc: the
+    // entry roll-forward publishes batch 1 BEFORE probing, so the twin
+    // is caught — no dedup-weakening window survives the crash
+    commit(Seq((9L, "completely different content nothing shared here")), 2L)
+    assert(spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 5L))
+    assert(spark.read.parquet(s"$dir/sigs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 5L))
+    assert(spark.read.parquet(s"$dir/sigs.buckets")
+      .select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 5L))
+    // a replayed id after full commit publishes-and-returns: no growth
+    commit(b1, 1L)
+    assert(spark.read.parquet(s"$dir/corpus").count() == 2)
+    // and no staging residue remains anywhere
+    Seq("corpus", "sigs", "sigs.buckets").foreach { d =>
+      assert(graft.io.Sinks.stagedBatches(spark, s"$dir/$d").isEmpty, d)
+    }
   }
 
   test("deleteDocs: takedown across corpus/sigs/buckets/index; a later twin is NOT suppressed") {
