@@ -750,7 +750,8 @@ object ScaleBench {
       if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
           .exists(!_.exists(s =>
             "cdx_build".contains(s) || "cdx_fetch".contains(s) ||
-              "cdx_merge".contains(s) || "cdx_delete".contains(s)))) {
+              "cdx_merge".contains(s) || "cdx_delete".contains(s) ||
+              "cdx_hotsplit".contains(s)))) {
         import spark.implicits._
         val cdxWarcDir = s"$scaleDir/warc_cdx"
         graft.io.Warc.writeWarcResponses(
@@ -840,15 +841,82 @@ object ScaleBench {
         }
       }
 
+      // HOT-SHARD SPLIT between compactions: eight successive hot-site
+      // DISCOVERY waves (new pages each crawl cycle — surts strictly
+      // increasing, the append shape a sitemap-informed recrawl
+      // produces), every wave landing past the standing index's tail.
+      // Without a split the tail shard accumulates all prior waves and
+      // the k-th merge rewrites k·delta lines — linear per-merge growth
+      // between rare global compactions; with maxShardBytes the
+      // over-threshold rewrite rolls into new shards at key boundaries,
+      // so each wave touches ONE bounded shard and per-merge cost stays
+      // flat in the wave count AND the standing-index scale, no
+      // compaction in the loop. Per-merge seconds print to the run log;
+      // the row times the whole eight-wave loop.
+      if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
+          .exists(!_.exists("cdx_hotsplit".contains))) {
+        import spark.implicits._
+        val splitIdxDir = s"$scaleDir/cdx_idx_split"
+        graft.io.Cdx.writeCdxj(
+          graft.io.Cdx.cdxFromWarc(
+            graft.io.Warc.readWarc(spark, s"$scaleDir/warc_cdx")),
+          splitIdxDir, shards = 8 * scale)
+        val standingLines = graft.io.Cdx.readCdxj(spark, splitIdxDir)
+          .filter(col("ok")).count()
+        def hotWave(n: Int) = spark.range(2048).select(
+          concat(lit("test,zzhot)/doc/"),
+            lpad((col("id") + n * 2048L).cast("string"), 7, "0")).as("surt"),
+          lit(f"202603${1 + n}%02d000000").as("ts"),
+          concat(lit("http://zzhot.test/doc/"), col("id") + n * 2048L)
+            .as("url"),
+          lit("text/html").as("mime"), lit(200).cast("int").as("status"),
+          lit(null).cast("string").as("digest"), lit(100L).as("length"),
+          lit(0L).as("offset"), lit(null).cast("long").as("gz_offset"),
+          lit("hot-seg0.warc.gz").as("filename"))
+        measure("cdx_hotsplit", s"$scaleDir/out_cdx_hotsplit") {
+          val perMerge = (0 until 8).map { n =>
+            val t0 = System.nanoTime()
+            graft.io.Cdx.mergeCdxj(spark, splitIdxDir, hotWave(n),
+              maxShardBytes = 192 * 1024)
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"cdx_hotsplit per-merge sec @${scale}x: " +
+            perMerge.map(t => f"$t%.2f").mkString(", "))
+          hotWave(0).select("surt") // fixed-size sink; the loop is the cost
+        }
+        // untimed structural verification: the split really happened
+        // (the hot range rolled into several bounded shards) and the
+        // merged index is complete and clean
+        locally {
+          val fs = new org.apache.hadoop.fs.Path(splitIdxDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val (_, shards, _) = graft.io.Cdx.currentShards(fs,
+            new org.apache.hadoop.fs.Path(splitIdxDir))
+          require(shards.length >= 8 * scale + 4,
+            s"cdx_hotsplit: expected the hot tail to split, " +
+              s"got ${shards.length} shards from ${8 * scale}")
+          val total = graft.io.Cdx.readCdxj(spark, splitIdxDir)
+          require(total.filter(!col("ok")).isEmpty,
+            "cdx_hotsplit: malformed lines after split merges")
+          val n = total.filter(col("ok")).count()
+          require(n == standingLines + 8 * 2048,
+            s"cdx_hotsplit: $n lines, expected ${standingLines + 8 * 2048}")
+        }
+      }
+
       // Conditional-refetch merge at scale: a prior crawl of the whole
       // corpus reconciled with a refetch wave covering all the lanes
       // (changed 200s, raw 304s, digest-bearing revisits, the
       // untouched fifth carrying forward). Every join is an equi-join
       // on canonical URL / sha1 digest with one-capture-per-key
       // aggregates FIRST, so the claim under measurement is linear
-      // growth with the two crawls and no skew term — the
-      // payload-bearing max(struct(...)) aggregates move full bodies
-      // through the exchange, the honest cost of reconciling crawls.
+      // growth with the two crawls and no skew term — and since the
+      // pointer-election rework the exchanges carry only (warc_date,
+      // content_type, path, offset, gz_offset) structs: winners elect
+      // over pointers and only the WINNING bodies fetch back through
+      // readWarcRecordsAt, so the shuffle column must drop from the
+      // GB-scale payload exchange the old max(struct(..., payload))
+      // aggregates paid to pointer scale.
       if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
           .exists(!_.exists("recrawl_merge".contains))) {
         import spark.implicits._
@@ -1479,11 +1547,14 @@ object ScaleBench {
       // conditional-refetch merge under a Zipfian archive: ONE URL
       // holds 10% of all prior captures (generations of a hot page —
       // the one-capture-per-key max(struct) must collapse them in the
-      // partial aggregate, map-side, before any exchange), and ONE
-      // digest is named by 10% of all refetch records (the digest
-      // join's hot key: N revisit rows hash to one partition against a
-      // single prior row — the probe adjudicates whether that
-      // serializes the stage). Archives staged untimed.
+      // partial aggregate, map-side, before any exchange — and since
+      // the pointer-election rework what collapses are POINTER structs,
+      // so even the pre-collapse map side never materializes N bodies
+      // in one aggregate buffer), and ONE digest is named by 10% of
+      // all refetch records (the digest join's hot key: N revisit rows
+      // hash to one partition against a single prior POINTER row — the
+      // probe adjudicates whether that serializes the stage).
+      // Archives staged untimed.
       if (!sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSeq)
           .exists(!_.exists("skew_recrawl_merge".contains))) {
         import spark.implicits._
@@ -1905,12 +1976,29 @@ object ScaleBench {
       "deleteFromCdxj — routing by broadcast shard bounds, rewriting " +
       "only the owning shards — so it rides the merge's flatness for " +
       "host-local selections, which is what real takedowns are. " +
+      "cdx_hotsplit is the BETWEEN-compactions claim: eight successive " +
+      "hot-site discovery waves all landing past the index tail, " +
+      "merged under a maxShardBytes split threshold — the tail shard " +
+      "rolls into new shards at key boundaries instead of growing, so " +
+      "the k-th wave rewrites one bounded shard, not k accumulated " +
+      "waves; per-merge cost stays flat in BOTH the wave count and " +
+      "the standing-index scale with NO global compaction in the loop " +
+      "(per-merge seconds print in the run log; the row times the " +
+      "whole eight-wave loop). The split keeps APPEND-shaped hot " +
+      "growth flat; a wave re-capturing a site's whole existing range " +
+      "interleaves with every prior capture and honestly pays that " +
+      "range — the inherent sorted-merge cost compaction exists for. " +
       "recrawl_merge is the reconciliation row: all-equi-join shapes " +
       "on canonical URL / sha1 digest with one-capture-per-key " +
-      "aggregates first — linear in the two crawls, with the honest " +
-      "payload-bearing exchange the bodies require (see the skew " +
-      "section's skew_recrawl_merge for the hot-generation/hot-digest " +
-      "probe). curate_e2e is the END-TO-END capstone: raw WARC → " +
+      "aggregates first — linear in the two crawls, and as of the " +
+      "pointer-election rework the exchanges move only (warc_date, " +
+      "content_type, path, offset, gz_offset) structs: winners elect " +
+      "over pointers, and only the WINNING bodies fetch back through " +
+      "the offset-addressed reader (selection-scale), so the " +
+      "GB-scale payload exchange the old max(struct(..., payload)) " +
+      "aggregates paid is gone (see the skew section's " +
+      "skew_recrawl_merge for the hot-generation/hot-digest probe). " +
+      "curate_e2e is the END-TO-END capstone: raw WARC → " +
       "detect/decode (one archive scan into a persisted text-scale " +
       "frame — no consumer re-walks the archive) → quality floor → " +
       "near-dup dedup → decontamination against a FIXED eval set → " +

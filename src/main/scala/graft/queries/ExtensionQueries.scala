@@ -862,6 +862,36 @@ object ExtensionQueries {
       s"$out/idx"
     })
 
+  private val cdxSplitStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-scoped staging for q_cdx_split: the same archives as
+    * [[cdxMergeStage]] (which this stage forces first), but the delta
+    * third merges in as FOUR successive waves under a split threshold
+    * small enough that every touched shard rolls into multiple
+    * next-generation shards — and one wave REPLAYED verbatim (the
+    * crash-replay shape), so the oracle pins that hot-shard splitting
+    * neither loses nor duplicates a capture and that convergent
+    * replay holds across split boundaries. Returns the index dir. */
+  private def cdxSplitStage(s: SparkSession, dir: String): String =
+    cdxSplitStages.computeIfAbsent(dir, _ => {
+      val root = new java.io.File(cdxMergeStage(s, dir)).getParent
+      val out = java.nio.file.Files.createTempDirectory("graft_cdx_split").toString
+      def idx(sub: String) = graft.io.Cdx.cdxFromWarc(
+        graft.io.Warc.readWarc(s, s"$root/$sub/gz")
+          .union(graft.io.Warc.readWarc(s, s"$root/$sub/bare")))
+      graft.io.Cdx.writeCdxj(idx("standing"), s"$out/idx", shards = 4)
+      val delta = idx("delta")
+      def wave(w: Int) =
+        delta.filter(pmod(xxhash64(col("url")), lit(4)) === w)
+      (0 until 4).foreach(w =>
+        graft.io.Cdx.mergeCdxj(s, s"$out/idx", wave(w),
+          maxShardBytes = 8 * 1024))
+      graft.io.Cdx.mergeCdxj(s, s"$out/idx", wave(1),
+        maxShardBytes = 8 * 1024) // the replayed wave
+      s"$out/idx"
+    })
+
   private val watStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -5224,6 +5254,24 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // Hot-shard SPLIT under maintenance: four delta waves merged under
+    // a threshold that rolls every touched shard into multiple
+    // next-generation shards, plus one wave replayed verbatim — the
+    // split index must still fetch EVERY record back hash-identical
+    // (nothing lost at a roll boundary, nothing duplicated by the
+    // replay across split shards); same oracle derivation as the
+    // plain merge.
+    "q_cdx_split" -> ((s, dir) => {
+      val idx = graft.io.Cdx.readCdxj(s, cdxSplitStage(s, dir))
+        .filter(col("ok"))
+      graft.io.Warc.toDocumentsHtml(graft.io.Cdx.fetchRecords(s, idx))
+        .select(
+          regexp_extract(col("url"), "doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // Takedown through the index: every `doc_id % 5 == 2` URL deleted
     // from the standing shards (eight-way ranged, so routing and the
     // per-shard rewrite both exercise); the survivors fetch back
@@ -6893,6 +6941,12 @@ object ExtensionQueries {
     // EVERY document fetches back through the merged index — the
     // standing two-thirds and the delta third alike, hash-identical
     "q_cdx_merge" ->
+      """SELECT doc_id, 'http://h' || (doc_id % 10) || '.corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
+
+    // the split index holds exactly the same captures as the plain
+    // merge — rolling at key boundaries and the replayed wave must be
+    // invisible in the fetched corpus
+    "q_cdx_split" ->
       """SELECT doc_id, 'http://h' || (doc_id % 10) || '.corpus.test/doc/' || doc_id AS url, replace(text, '. ', chr(10)) AS text FROM documents ORDER BY doc_id""",
 
     // both planted links per page replayed from the id cycles, headers
