@@ -881,14 +881,29 @@ object ExtensionQueries {
         graft.io.Warc.readWarc(s, s"$root/$sub/gz")
           .union(graft.io.Warc.readWarc(s, s"$root/$sub/bare")))
       graft.io.Cdx.writeCdxj(idx("standing"), s"$out/idx", shards = 4)
+      // the split threshold scales with the staged index (an eighth of
+      // the standing bytes, floored) so every SF both TRIGGERS rolls
+      // and keeps a sane shard count — a fixed tiny threshold would
+      // shatter a larger SF's index into hundreds of files and time
+      // file overhead instead of the operator
+      val fs = new org.apache.hadoop.fs.Path(s"$out/idx")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val standingBytes = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$out/idx"))
+        .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
+      val threshold = math.max(8L * 1024, standingBytes / 8)
+      // index rows are pointer-scale: persist so the five wave merges
+      // route off one archive scan instead of re-walking per wave
       val delta = idx("delta")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def wave(w: Int) =
         delta.filter(pmod(xxhash64(col("url")), lit(4)) === w)
       (0 until 4).foreach(w =>
         graft.io.Cdx.mergeCdxj(s, s"$out/idx", wave(w),
-          maxShardBytes = 8 * 1024))
+          maxShardBytes = threshold))
       graft.io.Cdx.mergeCdxj(s, s"$out/idx", wave(1),
-        maxShardBytes = 8 * 1024) // the replayed wave
+        maxShardBytes = threshold) // the replayed wave
+      delta.unpersist()
       s"$out/idx"
     })
 
