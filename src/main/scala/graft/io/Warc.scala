@@ -163,6 +163,96 @@ object Warc {
       }
   }
 
+  /** The TAGGED face of [[readWarcRecordsAt]]: rider columns travel
+    * the pointer-scale selection shuffle and come back PAIRED with
+    * their record's payload inside the fetch task — so a consumer
+    * never pays the join-back that would shuffle the fetched BODIES a
+    * second time (bodies move through ZERO exchanges: archive scan →
+    * output). `selection` carries `(filename, offset, gz_offset,
+    * tag)` with `tag` any struct; the output columns are the tag's
+    * fields plus `payload` (binary, null when the fetch degrades) and
+    * `framing_ok`. Several tags naming one record (duplicate index
+    * rows, N 304s validating one capture) read the record ONCE and
+    * emit one row per tag, in seek order. Same degrade contract as
+    * the plain fetch: offsets that address nothing yield
+    * `framing_ok = false` rows, never failing sibling fetches. One
+    * record is in flight at a time — task memory is record-scale plus
+    * the file's POINTER rows, never selection-payload-scale. */
+  def readWarcRecordsAtTagged(spark: SparkSession, selection: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, BooleanType, StructType}
+    import org.apache.spark.sql.Row
+    val tagSchema = selection.schema("tag").dataType.asInstanceOf[StructType]
+    val outSchema = StructType(tagSchema.fields)
+      .add("payload", BinaryType, nullable = true)
+      .add("framing_ok", BooleanType, nullable = false)
+    val hadoopConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    selection
+      .select(
+        col("filename").cast("string").as("filename"),
+        coalesce(col("offset"), lit(0L)).cast("long").as("offset"),
+        coalesce(col("gz_offset"), lit(-1L)).cast("long").as("gz_offset"),
+        col("tag"))
+      .groupByKey((r: Row) => r.getString(0))(
+        org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroups { (file: String, rows: Iterator[Row]) =>
+        // forward seek order; equal pointers adjacent → fetched once
+        val all = rows.toArray.sortBy(r => (r.getLong(2), r.getLong(1)))
+        if (all.isEmpty) Iterator.empty
+        else {
+          val p = new org.apache.hadoop.fs.Path(file)
+          val fs = p.getFileSystem(hadoopConf.value.value)
+          val in = fs.open(p)
+          def closeQuietly(): Unit =
+            try in.close() catch { case _: Exception => () }
+          // the stream outlives this call (lazy iterator): close on
+          // task completion, and eagerly once the iterator drains
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => closeQuietly()))
+          new Iterator[Row] {
+            private var i = 0
+            private var curGz = Long.MinValue
+            private var curOff = Long.MinValue
+            private var curPayload: Array[Byte] = null
+            private var curOk = false
+            def hasNext: Boolean =
+              if (i < all.length) true else { closeQuietly(); false }
+            def next(): Row = {
+              val r = all(i); i += 1
+              val gz = r.getLong(2); val off = r.getLong(1)
+              if (gz != curGz || off != curOff) {
+                curGz = gz; curOff = off
+                val rec =
+                  try {
+                    if (gz >= 0) {
+                      in.seek(gz)
+                      val s = new java.util.zip.GZIPInputStream(
+                        new java.io.BufferedInputStream(in, 64 * 1024),
+                        64 * 1024)
+                      var toSkip = off
+                      while (toSkip > 0) {
+                        val k = s.skip(toSkip)
+                        require(k > 0, "warc fetch: member shorter than offset")
+                        toSkip -= k
+                      }
+                      readRecordFrom(file, s, off, gz)
+                    } else {
+                      in.seek(off)
+                      readRecordFrom(file,
+                        new java.io.BufferedInputStream(in, 64 * 1024), off, gz)
+                    }
+                  } catch { case _: Exception => null }
+                curOk = rec != null && rec.framing_ok
+                curPayload = if (curOk) rec.payload else null
+              }
+              Row.fromSeq(r.getStruct(3).toSeq ++ Seq(curPayload, curOk))
+            }
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** One record read progressively from `in` (positioned at its first
     * byte): header bytes to the CRLFCRLF, then exactly Content-Length
     * block bytes, then the 4-byte terminator (absent at EOF — the

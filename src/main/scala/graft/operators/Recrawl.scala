@@ -210,21 +210,23 @@ object Recrawl {
     * archive no longer yields its record (deleted or rewritten between
     * the scan and the fetch) degrades the same way.
     *
-    * Scale shape — winners elect over POINTERS, bodies never ride the
-    * election exchanges: the one-capture-per-key aggregates and every
+    * Scale shape — winners elect over POINTERS and bodies move through
+    * ZERO exchanges: the one-capture-per-key aggregates and every
     * equi-join (canonical URL / sha1 digest — high-cardinality, uniform
     * keys, no skew term) move only `(warc_date, content_type, path,
     * offset, gz_offset)` structs, then the WINNING bodies alone are
-    * fetched back by offset through [[graft.io.Warc.readWarcRecordsAt]]
-    * (one seek-sorted range read per record — cost follows the
-    * selection, flat in prior-corpus size) and joined to their rows at
-    * selection scale. Aggregating `max(struct(..., payload))` instead
-    * would shuffle every prior generation's full body to elect each
-    * winner — at 100× that is a GB-scale exchange for a pointer-scale
-    * decision (measured: ~1.1 GB shuffle dropped to pointer scale).
-    * The refetch's own fresh 200 bodies take no shuffle at all: they
-    * ride the scan straight into the output union. The carry-forward
-    * is one anti-join on the same URL key. */
+    * fetched by offset through
+    * [[graft.io.Warc.readWarcRecordsAtTagged]] — the pointer rows ride
+    * the (pointer-scale) fetch shuffle as tags and come back PAIRED
+    * with their payload inside the fetch task, so there is no
+    * payload-bearing join-back either: a body goes archive scan →
+    * output, untouched by any exchange. Aggregating
+    * `max(struct(..., payload))` instead would shuffle every prior
+    * generation's full body to elect each winner — at 100× that was a
+    * ~1.1 GB exchange for a pointer-scale decision. The refetch's own
+    * fresh 200 bodies likewise ride their scan straight into the
+    * output union. The carry-forward is one anti-join on the same URL
+    * key. */
   def mergeRefetch(prior: Dataset[graft.io.Warc.WarcRecord],
       refetch: Dataset[graft.io.Warc.WarcRecord]): DataFrame = {
     import graft.expressions.NativeUrl
@@ -287,22 +289,26 @@ object Recrawl {
       .unionByName(priorByUrl
         .join(claimed, Seq("url"), "left_anti")
         .withColumn("src0", lit("prior")))
-    // fetch ONLY the winning bodies, by offset; duplicate pointers
-    // (several 304s validating one capture) fetch once
-    val fetched = graft.io.Warc.readWarcRecordsAt(spark,
+    // fetch ONLY the winning bodies, by offset, with each pointer's
+    // row riding as the fetch tag — no payload-bearing join-back;
+    // duplicate pointers (several 304s validating one capture) read
+    // the record once and each earn a row
+    val resolved = graft.io.Warc.readWarcRecordsAtTagged(spark,
         pointers.filter(col("path").isNotNull)
           .select(col("path").as("filename"), col("offset"),
-            col("gz_offset"))
-          .distinct())
-      .toDF()
-      .filter(col("framing_ok"))
-      .select((col("payload") +: ptr): _*)
-    val resolved = pointers
-      .join(fetched, Seq("path", "offset", "gz_offset"), "left")
+            col("gz_offset"),
+            struct(col("url"), col("warc_date"), col("content_type"),
+              col("src0")).as("tag")))
       .select(col("url"), col("warc_date"), col("content_type"),
-        col("payload"),
-        when(col("payload").isNotNull, col("src0"))
+        when(col("framing_ok"), col("payload")).as("payload"),
+        when(col("framing_ok"), col("src0"))
           .otherwise(lit("orphan")).as("source"))
-    fresh.unionByName(resolved)
+    // a 304/revisit naming nothing in the prior crawl never reaches
+    // the fetch: it degrades here, loud in the data
+    val orphans = pointers.filter(col("path").isNull)
+      .select(col("url"), col("warc_date"), col("content_type"),
+        lit(null).cast("binary").as("payload"),
+        lit("orphan").as("source"))
+    fresh.unionByName(resolved).unionByName(orphans)
   }
 }
