@@ -106,16 +106,46 @@ object Cdx {
       col("status"), col("digest"), col("length"), col("offset"),
       col("gz_offset"), col("filename"))
 
-  /** The sort key of a CDXJ line: its `<surt> <ts>` prefix. String
-    * order of the prefix equals (surt, ts) column order: SURT keys are
-    * space-free by construction (the line format's own framing), every
-    * SURT byte is ≥ 0x20 so a prefix SURT sorts before its extensions
-    * under both orders, and the absent-ts `-` (0x2D) sorts before any
-    * digit — matching the column sort's nulls-first. */
+  /** The sort key of a CDXJ line: its `<surt> <ts>` prefix. Prefix
+    * order (under [[cpCompare]]) equals (surt, ts) column order: SURT
+    * keys are space-free by construction (the line format's own
+    * framing), every SURT code point is ≥ 0x20 so a prefix SURT sorts
+    * before its extensions under both orders, and the absent-ts `-`
+    * (0x2D) sorts before any digit — matching the column sort's
+    * nulls-first. */
   private def keyOf(line: String): String = {
     val sp2 = line.indexOf(' ', line.indexOf(' ') + 1)
     require(sp2 > 0, s"malformed cdxj line: ${line.take(80)}")
     line.substring(0, sp2)
+  }
+
+  /** Compare keys in Unicode CODE-POINT order — the order of the
+    * UTF-8 binary comparison Spark's sort laid the standing shards
+    * out in. Java's natural `String` order (UTF-16 code units)
+    * diverges for supplementary-plane characters: a surrogate
+    * (0xD800–0xDFFF) sorts BELOW U+E000–U+FFFF, so a SURT carrying a
+    * raw astral code point (an emoji path) would order differently
+    * than on disk, and a `<`-driven merge drain against the standing
+    * walk could stop early — misordering the rewritten shard and
+    * letting a byte-identical replayed line slip past the
+    * convergent-replay skip. Every routing/merge/delete comparison
+    * against the standing layout goes through THIS, never `<`: at the
+    * first differing code unit, surrogates rotate above the BMP
+    * (+0x2800 puts 0xD800 at 0x10000), which is exactly UTF-8 byte
+    * order for well-formed text. */
+  private[graft] def cpCompare(a: String, b: String): Int = {
+    val la = a.length; val lb = b.length
+    var i = 0
+    while (i < la && i < lb) {
+      val ca = a.charAt(i); val cb = b.charAt(i)
+      if (ca != cb) {
+        val xa = if (ca >= 0xD800 && ca < 0xE000) ca + 0x2800 else ca.toInt
+        val xb = if (cb >= 0xD800 && cb < 0xE000) cb + 0x2800 else cb.toInt
+        return xa - xb
+      }
+      i += 1
+    }
+    la - lb
   }
 
   // ---- the generation shard store ---------------------------------
@@ -403,7 +433,7 @@ object Cdx {
         var lo = 0; var hi = b.length
         while (lo < hi) {
           val mid = (lo + hi) >>> 1
-          if (b(mid) <= k) lo = mid + 1 else hi = mid
+          if (cpCompare(b(mid), k) <= 0) lo = mid + 1 else hi = mid
         }
         (lo, k, line)
       }
@@ -443,7 +473,7 @@ object Cdx {
               if (k != curKey) { written.clear(); curKey = k }
               // drain standing lines below the delta key, then the
               // key's own run (ties: standing first — a stable merge)
-              while (standing != null && standingKey < k) {
+              while (standing != null && cpCompare(standingKey, k) < 0) {
                 w.write(standingKey, standing); advance()
               }
               while (standing != null && standingKey == k) {
@@ -646,7 +676,7 @@ object Cdx {
           var lo = 0; var hi = b.length
           while (lo < hi) {
             val mid = (lo + hi) >>> 1
-            if (b(mid) <= k) lo = mid + 1 else hi = mid
+            if (cpCompare(b(mid), k) <= 0) lo = mid + 1 else hi = mid
           }
           lo
         }
@@ -683,7 +713,7 @@ object Cdx {
             }
             while (buffered.hasNext && buffered.head._1 == shard) {
               val (_, key) = buffered.next()
-              while (standing != null && standingSurt < key) {
+              while (standing != null && cpCompare(standingSurt, key) < 0) {
                 w.write(keyOf(standing), standing); advance()
               }
               while (standing != null && standingSurt == key) {

@@ -24,7 +24,7 @@ class CdxSpec extends SparkSpec {
 
   private def shardLines(dir: String): List[String] =
     currentFiles(dir).flatMap(f =>
-      scala.io.Source.fromFile(f).getLines().toList)
+      scala.io.Source.fromFile(f)(scala.io.Codec.UTF8).getLines().toList)
 
   test("surt kernel: reversal, www strip, ports, case, v6, non-urls") {
     assert(surt("http://WWW.Example.COM/A/B?C=1") == "com,example)/a/b?c=1")
@@ -357,6 +357,47 @@ class CdxSpec extends SparkSpec {
     assert(count() == 4)
     val lines = shardLines(dir)
     assert(lines == lines.sorted)
+  }
+
+  test("merge/delete compare keys in code-point order (astral SURTs)") {
+    // Spark laid the standing shards out in UTF-8 binary order ==
+    // code-point order; Java's UTF-16 `<` disagrees for astral chars:
+    // U+FF01 (！) sorts BELOW U+1F600 (😀) by code point but ABOVE its
+    // lead surrogate 0xD83D. On disk: ！-key first, 😀-key second. A
+    // `<`-driven drain for the 😀 delta would stop at the ！ line,
+    // write the replayed 😀 line before it (misorder) and past the
+    // convergence skip (duplicate).
+    val kBang = "com,x)/a！"
+    val kEmoji = "com,x)/a😀"
+    assert(kBang > kEmoji, "lane must exercise the divergence")
+    assert(graft.io.Cdx.cpCompare(kBang, kEmoji) < 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx_astral").toString
+    graft.io.Cdx.writeCdxj(idxRows(
+      (kBang, "20260101000000", 0L),
+      (kEmoji, "20260101000000", 1L),
+      ("com,z)/", "20260101000000", 2L)), dir, shards = 2)
+    val before = shardLines(dir)
+    assert(before.map(_.takeWhile(_ != ' ')).take(2) == List(kBang, kEmoji),
+      "standing layout is code-point ordered")
+    // the crash-replay shape, on the astral key
+    graft.io.Cdx.mergeCdxj(spark, dir,
+      idxRows((kEmoji, "20260101000000", 1L)))
+    assert(shardLines(dir) == before,
+      "replayed astral line must skip, not duplicate or reorder")
+    // a fresh capture lands AFTER the ！ line, keeping disk order
+    graft.io.Cdx.mergeCdxj(spark, dir,
+      idxRows((kEmoji, "20260201000000", 3L)))
+    val merged = shardLines(dir)
+    assert(merged.length == 4)
+    val keys = merged.map(l => l.substring(0, l.indexOf(' ', l.indexOf(' ') + 1)))
+    assert(keys == keys.sortWith(graft.io.Cdx.cpCompare(_, _) < 0))
+    // the takedown walks the same order: deleting the 😀 URL must not
+    // strand the drain before the ！ line
+    val removed = graft.io.Cdx.deleteFromCdxj(spark, dir,
+      Seq("http://x.com/a😀").toDF("url"))
+    assert(removed == 2L)
+    assert(shardLines(dir).map(_.takeWhile(_ != ' ')) ==
+      List(kBang, "com,z)/"))
   }
 
   test("maintenance publishes whole generations: pre-flip files invisible, GC collects") {
