@@ -177,8 +177,23 @@ object Warc {
     * the plain fetch: offsets that address nothing yield
     * `framing_ok = false` rows, never failing sibling fetches. One
     * record is in flight at a time — task memory is record-scale plus
-    * the file's POINTER rows, never selection-payload-scale. */
-  def readWarcRecordsAtTagged(spark: SparkSession, selection: DataFrame): DataFrame = {
+    * the file's POINTER rows, never selection-payload-scale.
+    *
+    * `salt > 1` is the straggler defense for this shape: the group
+    * key widens from the file to (file, hash(tag) % salt), so fetch
+    * parallelism is files × salt instead of capping at the archive's
+    * file count, and a HOT record — one capture that thousands of
+    * tags name (a viral page's 304 validations all resolving to one
+    * body) — spreads its tags across up to `salt` tasks instead of
+    * serializing them in one. The cost is bounded read duplication:
+    * a pointer is read once per bucket its tags occupy — exactly once
+    * for the common single-tag pointer (its one tag hashes to one
+    * bucket; no amplification anywhere on the cold path), at most
+    * `salt` times for the hot ones, which is precisely where a
+    * re-read per task is worth buying the parallelism. Forward seek
+    * order holds within each bucket (the per-file sort is per-group). */
+  def readWarcRecordsAtTagged(spark: SparkSession, selection: DataFrame,
+      salt: Int = 1): DataFrame = {
     import org.apache.spark.sql.types.{BinaryType, BooleanType, StructType}
     import org.apache.spark.sql.Row
     val tagSchema = selection.schema("tag").dataType.asInstanceOf[StructType]
@@ -193,10 +208,15 @@ object Warc {
         col("filename").cast("string").as("filename"),
         coalesce(col("offset"), lit(0L)).cast("long").as("offset"),
         coalesce(col("gz_offset"), lit(-1L)).cast("long").as("gz_offset"),
-        col("tag"))
-      .groupByKey((r: Row) => r.getString(0))(
-        org.apache.spark.sql.Encoders.STRING)
-      .flatMapGroups { (file: String, rows: Iterator[Row]) =>
+        col("tag"),
+        (if (salt > 1) pmod(hash(col("tag")), lit(salt)) else lit(0))
+          .as("bucket"))
+      .groupByKey((r: Row) => (r.getString(0), r.getInt(4)))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaInt))
+      .flatMapGroups { (key: (String, Int), rows: Iterator[Row]) =>
+        val file = key._1
         // forward seek order; equal pointers adjacent → fetched once
         val all = rows.toArray.sortBy(r => (r.getLong(2), r.getLong(1)))
         if (all.isEmpty) Iterator.empty

@@ -226,9 +226,18 @@ object Recrawl {
     * ~1.1 GB exchange for a pointer-scale decision. The refetch's own
     * fresh 200 bodies likewise ride their scan straight into the
     * output union. The carry-forward is one anti-join on the same URL
-    * key. */
+    * key.
+    *
+    * `fetchSalt` passes through to the tagged fetch's straggler
+    * defense (see [[graft.io.Warc.readWarcRecordsAtTagged]]): fetch
+    * parallelism = archive files × salt, and a hot capture that many
+    * revisits validate (its tags would otherwise serialize in the one
+    * task owning its file) spreads across up to `salt` tasks at the
+    * bounded price of one re-read per occupied bucket — single-tag
+    * pointers, the cold-path bulk, stay read-once. */
   def mergeRefetch(prior: Dataset[graft.io.Warc.WarcRecord],
-      refetch: Dataset[graft.io.Warc.WarcRecord]): DataFrame = {
+      refetch: Dataset[graft.io.Warc.WarcRecord],
+      fetchSalt: Int = 8): DataFrame = {
     import graft.expressions.NativeUrl
     val spark = prior.sparkSession
     val curl = NativeUrl.canonicalizeUrl(col("target_uri")).as("url")
@@ -298,7 +307,8 @@ object Recrawl {
           .select(col("path").as("filename"), col("offset"),
             col("gz_offset"),
             struct(col("url"), col("warc_date"), col("content_type"),
-              col("src0")).as("tag")))
+              col("src0")).as("tag")),
+        salt = fetchSalt)
       .select(col("url"), col("warc_date"), col("content_type"),
         when(col("framing_ok"), col("payload")).as("payload"),
         when(col("framing_ok"), col("src0"))
