@@ -173,18 +173,32 @@ object CorpusPipeline {
     val scored = scoreAndFilter(graft.io.Warc.toDocumentsDetected(records),
         minTokens, maxDupNgramRatio)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val losers = Dedup.minhashNearDupPairs(scored, "url", "text",
-        minJaccard = minJaccard)
-      .select(col("id_b").as("url")).distinct()
-    // persisted: decontamination reads the dedup SURVIVORS three ways
-    // (bucket derivation, the candidate-pruned verify probe, the
-    // flagged join-back) — uncached, each consumer would re-run the
-    // whole LSH pair pipeline behind `losers` (measured 4× the flow's
-    // cost at sf0.1 before this persist)
-    val deduped = scored.join(losers, Seq("url"), "left_anti")
+    // ONE signature pass over the curated corpus (tokenize → shingle →
+    // minhash — the flow's heaviest per-row kernels), shared by the
+    // near-dup dedup AND the decontamination probe; before r16 the
+    // decontamination side re-ran all three kernels over the survivors
+    // (guide §1.2: remove redundant passes before tuning anything else)
+    val sigs = Dedup.minhashSignatureTable(scored, "url", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: loser ids are read twice (the corpus anti-join and the
+    // survivor-signature anti-join) — uncached, each consumer would
+    // re-run the whole LSH pair pipeline (measured 4× the flow's cost
+    // at sf0.1 before the r15 persist of its consumer; the r16 shape
+    // caches the loser SET itself, id-scale instead of corpus-scale)
+    val losers = Dedup.minhashNearDupPairs(scored, "url", "text",
+        minJaccard = minJaccard, sigs = Some(sigs))
+      .select(col("id_b").as("url")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deduped = scored.join(losers, Seq("url"), "left_anti")
     bench.fold(deduped)(b =>
-      Decontaminate.flagNearContaminated(deduped, b, minJaccard = minJaccard)
+      Decontaminate.flagNearContaminated(deduped, b, minJaccard = minJaccard,
+          // the survivors' signatures, re-keyed to the docs' id column
+          // (doc_id = xxhash64(url) — toDocumentsDetected's derivation)
+          docSigs = Some(sigs
+            .join(losers.select(col("url").as("doc_id")), Seq("doc_id"),
+              "left_anti")
+            .select(xxhash64(col("doc_id")).as("doc_id"), col("hs"),
+              col("sig"))))
         .filter(!col("near_contaminated")).drop("near_contaminated"))
   }
 

@@ -77,28 +77,48 @@ object Decontaminate {
     * signature/bucket derivation — no corpus-scale shuffle anywhere.
     * The verify recomputes shingle hashes only for the rare candidate
     * docs (a broadcast semi-join prune of the raw corpus), so the wide
-    * hs arrays never materialize corpus-wide. */
+    * hs arrays never materialize corpus-wide.
+    *
+    * `docSigs`: a [[Dedup.minhashSignatureTable]] frame of `docs` the
+    * caller already owns (doc_id column holding `idCol` values — the
+    * same (k, bands, shingleN) pinning contract as every signature
+    * consumer). When given, the corpus is NOT re-tokenized here: the
+    * bucket derivation explodes the existing signatures and the verify
+    * reads their `hs` arrays directly (the caller persisted them, so
+    * the wide arrays were already materialized once for its own dedup
+    * pass — [[CorpusPipeline.curateArchive]] shares one signature
+    * table between near-dup dedup and this probe instead of running
+    * the tokenize → shingle → minhash kernels twice over the curated
+    * corpus). */
   def flagNearContaminated(docs: DataFrame, bench: DataFrame,
       k: Int = 64, bands: Int = 16, shingleN: Int = 3,
       minJaccard: Double = 0.8, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      docSigs: Option[DataFrame] = None): DataFrame = {
     val benchSigs = Dedup.minhashSignatureTable(bench, idCol, textCol,
         k, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     benchSigs.count() // materialize: exact stats, one compute for both uses
     val docBuckets = Dedup.minhashBucketTable(
-      Dedup.minhashSignatureTable(docs, idCol, textCol, k, shingleN),
+      docSigs.getOrElse(
+        Dedup.minhashSignatureTable(docs, idCol, textCol, k, shingleN)),
       k, bands)
     val candidates = docBuckets.as("d")
       .join(broadcast(Dedup.minhashBucketTable(benchSigs, k, bands).as("b")),
         col("d.band") === col("b.band") && col("d.bucket") === col("b.bucket"))
       .select(col("d.doc_id").as("doc_id"), col("b.doc_id").as("bench_id"))
       .distinct()
-    val docNeeded = Dedup.minhashSignatureTable(
-        docs.join(broadcast(candidates.select(col("doc_id").as(idCol))
-          .distinct()), Seq(idCol), "left_semi"),
-        idCol, textCol, k, shingleN)
-      .select(col("doc_id"), col("hs").as("hs_d"))
+    val docNeeded = docSigs match {
+      case Some(ds) => ds
+        .join(broadcast(candidates.select(col("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("hs").as("hs_d"))
+      case None => Dedup.minhashSignatureTable(
+          docs.join(broadcast(candidates.select(col("doc_id").as(idCol))
+            .distinct()), Seq(idCol), "left_semi"),
+          idCol, textCol, k, shingleN)
+        .select(col("doc_id"), col("hs").as("hs_d"))
+    }
     val flagged = candidates
       .join(docNeeded, Seq("doc_id"))
       .join(broadcast(benchSigs.select(col("doc_id").as("bench_id"),
