@@ -75,7 +75,16 @@ object Bench {
     // idle no matter how many threads this session was given.
     val machineCores = Runtime.getRuntime.availableProcessors()
     val loaded = loadStart > machineCores.toDouble / 8.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpus":$cpus,"loaded":$loaded}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpus":$cpus,"loaded":$loaded}"""
+    println(line)
+    // the printed line is ~8 KB for 249 queries and log captures truncate
+    // it, so ALSO write the identical JSON to a file (additions-only: the
+    // stdout contract is unchanged)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
   }
 }

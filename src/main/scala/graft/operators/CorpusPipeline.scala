@@ -177,29 +177,41 @@ object CorpusPipeline {
     // minhash — the flow's heaviest per-row kernels), shared by the
     // near-dup dedup AND the decontamination probe; before r16 the
     // decontamination side re-ran all three kernels over the survivors
-    // (guide §1.2: remove redundant passes before tuning anything else)
+    // (guide §1.2: remove redundant passes before tuning anything else).
+    // Persisted for the span of the two eager id-set jobs below, then
+    // RELEASED — the returned plan never reads it (guide §5: caches get
+    // an owner and an unpersist point; the r16 shape leaked this, the
+    // flow's widest frame, one copy per call).
     val sigs = Dedup.minhashSignatureTable(scored, "url", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // persisted: loser ids are read twice (the corpus anti-join and the
-    // survivor-signature anti-join) — uncached, each consumer would
+    // loser ids are read twice (the corpus anti-join and the
+    // survivor-signature anti-join) — uncomputed, each consumer would
     // re-run the whole LSH pair pipeline (measured 4× the flow's cost
-    // at sf0.1 before the r15 persist of its consumer; the r16 shape
-    // caches the loser SET itself, id-scale instead of corpus-scale)
+    // at sf0.1). Eager localCheckpoint instead of persist: the id-scale
+    // result pins as blocks with TRUNCATED lineage, so `sigs` can be
+    // released before return instead of leaking for the session.
     val losers = Dedup.minhashNearDupPairs(scored, "url", "text",
         minJaccard = minJaccard, sigs = Some(sigs))
       .select(col("id_b").as("url")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val deduped = scored.join(losers, Seq("url"), "left_anti")
-    bench.fold(deduped)(b =>
-      Decontaminate.flagNearContaminated(deduped, b, minJaccard = minJaccard,
-          // the survivors' signatures, re-keyed to the docs' id column
-          // (doc_id = xxhash64(url) — toDocumentsDetected's derivation)
-          docSigs = Some(sigs
-            .join(losers.select(col("url").as("doc_id")), Seq("doc_id"),
-              "left_anti")
-            .select(xxhash64(col("doc_id")).as("doc_id"), col("hs"),
-              col("sig"))))
-        .filter(!col("near_contaminated")).drop("near_contaminated"))
+    val out = bench.fold(deduped) { b =>
+      // the survivors' signatures, re-keyed to the docs' id column
+      // (doc_id = xxhash64(url) — toDocumentsDetected's derivation)
+      val survivorSigs = sigs
+        .join(losers.select(col("url").as("doc_id")), Seq("doc_id"),
+          "left_anti")
+        .select(xxhash64(col("doc_id")).as("doc_id"), col("hs"), col("sig"))
+      // contamination is rare by contract (the Decontaminate scaladoc) —
+      // the flagged id set is tiny; computing it eagerly here is what
+      // lets `sigs` release deterministically below
+      val flagged = Decontaminate.nearContaminatedIds(deduped, b,
+          minJaccard = minJaccard, docSigs = Some(survivorSigs))
+        .localCheckpoint(true)
+      deduped.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+    }
+    sigs.unpersist(false)
+    out
   }
 
   /** The stateless front of the flow — redact, score, filter — one narrow

@@ -95,10 +95,28 @@ object Decontaminate {
       minJaccard: Double = 0.8, textCol: String = "text",
       idCol: String = "doc_id",
       docSigs: Option[DataFrame] = None): DataFrame = {
+    val flagged = nearContaminatedIds(docs, bench, k, bands, shingleN,
+        minJaccard, textCol, idCol, docSigs)
+      .withColumn("__near", lit(true))
+    docs.join(broadcast(flagged), Seq(idCol), "left")
+      .withColumn("near_contaminated", coalesce(col("__near"), lit(false)))
+      .drop("__near")
+  }
+
+  /** The flagged-id set of [[flagNearContaminated]] as a bare frame (one
+    * `idCol` column) — the form [[CorpusPipeline.curateArchive]] consumes
+    * directly (it anti-joins the ids instead of carrying the flag). */
+  def nearContaminatedIds(docs: DataFrame, bench: DataFrame,
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      minJaccard: Double = 0.8, textCol: String = "text",
+      idCol: String = "doc_id",
+      docSigs: Option[DataFrame] = None): DataFrame = {
+    // NOT persisted: both consumers broadcast it, and the benchmark is
+    // eval-scale by contract — recomputing its signature subtree twice
+    // is cheaper than a cached frame with no unpersist point (the r16
+    // persist here leaked one eval-scale frame per call — guide §5)
     val benchSigs = Dedup.minhashSignatureTable(bench, idCol, textCol,
         k, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    benchSigs.count() // materialize: exact stats, one compute for both uses
     val docBuckets = Dedup.minhashBucketTable(
       docSigs.getOrElse(
         Dedup.minhashSignatureTable(docs, idCol, textCol, k, shingleN)),
@@ -119,7 +137,7 @@ object Decontaminate {
           idCol, textCol, k, shingleN)
         .select(col("doc_id"), col("hs").as("hs_d"))
     }
-    val flagged = candidates
+    candidates
       .join(docNeeded, Seq("doc_id"))
       .join(broadcast(benchSigs.select(col("doc_id").as("bench_id"),
         col("hs").as("hs_b"))), Seq("bench_id"))
@@ -128,9 +146,5 @@ object Decontaminate {
         (size(col("hs_d")) + size(col("hs_b")) - col("n_shared"))
           .cast("double") >= minJaccard)
       .select(col("doc_id").as(idCol)).distinct()
-      .withColumn("__near", lit(true))
-    docs.join(broadcast(flagged), Seq(idCol), "left")
-      .withColumn("near_contaminated", coalesce(col("__near"), lit(false)))
-      .drop("__near")
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for all suites (one JVM-wide session). */
@@ -18,8 +19,20 @@ object TestSpark {
   }
 }
 
-abstract class SparkSpec extends AnyFunSuite {
+abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
   lazy val spark: SparkSession = TestSpark.spark
+
+  /** Operators legitimately persist shared sub-plans for the span of a
+    * flow; with one JVM-wide session across ~90 suites, anything a suite
+    * leaves cached accumulates for the whole 45-minute run and can
+    * starve late suites (the r16 mid-suite executor death). Each suite
+    * therefore drops the session cache on exit — the same hygiene the
+    * bench applies between queries. */
+  override protected def afterAll(): Unit = {
+    try spark.catalog.clearCache()
+    finally super.afterAll()
+  }
 
   def resource(name: String): String =
     getClass.getClassLoader.getResource(name).getPath
