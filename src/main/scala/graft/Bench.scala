@@ -31,8 +31,13 @@ object Bench {
       .groupBy("l_returnflag").count().collect()
     // session model memos (IVF centroids, PQ codebooks, BM25 index) are
     // one-time builds, not query work — build them untimed so the first
-    // memo-using query doesn't absorb them as a phantom regression
-    graft.queries.ExtensionQueries.warmSessionModels(spark, sfDir)
+    // memo-using query doesn't absorb them as a phantom regression.
+    // SPARK_GRAFT_WARM=skip is the dev-loop escape hatch for filtered
+    // single-query iteration (timed rows then absorb their own staging —
+    // never publish such a run); the driver never sets it, so the
+    // published bench always warms exactly as before.
+    if (!sys.env.get("SPARK_GRAFT_WARM").contains("skip"))
+      graft.queries.ExtensionQueries.warmSessionModels(spark, sfDir)
     spark.catalog.clearCache()
     // optional comma-separated query filter for local iteration; the driver
     // never sets it, so the published bench always covers every query

@@ -29,7 +29,11 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
-    graft.queries.ExtensionQueries.warmSessionModels(spark, sfDir)
+    // SPARK_GRAFT_WARM=skip: dev-loop knob — skip the full session warm
+    // (~minutes of staging) when iterating on one query; rep 1 then
+    // absorbs that query's own staging, so read reps 2+ only
+    if (!sys.env.get("SPARK_GRAFT_WARM").contains("skip"))
+      graft.queries.ExtensionQueries.warmSessionModels(spark, sfDir)
     spark.catalog.clearCache()
     @volatile var jobs = 0
     @volatile var stages = 0
